@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension merges — the reference's signature compound
+  * operators (SURVEY §2.9 C1/C2).
+  *
+  * The reference implements SCD1 as a pandas left-join + per-row flag
+  * lambdas + an iterrows() UPDATE loop (ETLScript_withSCDimplementation
+  * .py:47-121 ×8 tables) and SCD2 as detect-vs-current + expire + append
+  * (:630-717). Both rewritten set-based: a single shuffle on the business
+  * key, no driver-side loops, null-safe attribute comparison (`<=>`) —
+  * the reference's pandas `!=` treats NaN≠NaN and re-updates null
+  * attributes forever (SURVEY §7.3); we implement the intended semantics.
+  *
+  * Scale: both merges are one equi-join on the key (sort-merge at 100 TB,
+  * broadcast if one side is small) plus a union — no windows over the
+  * whole table, no collect.
+  */
+object Scd {
+
+  private def suffixed(df: DataFrame, cols: Seq[String], sfx: String) =
+    cols.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + sfx))
+
+  /** Null-safe "any attribute differs" predicate (SURVEY P5). */
+  def anyAttrDiffers(attrs: Seq[String], sfx: String): Column =
+    attrs.map(a => !(col(a + sfx) <=> col(a))).reduce(_ || _)
+
+  /** SCD Type-1 merge (upsert): for each key present in `src`, the result
+    * carries src's attributes; keys only in `tgt` pass through unchanged.
+    * Equivalent to the reference's insert-set ∪ update-set ∪ untouched
+    * (py:74-121) in one full-outer join.
+    */
+  def scd1Merge(src: DataFrame, tgt: DataFrame, keys: Seq[String],
+      attrs: Seq[String]): DataFrame = {
+    val s = suffixed(src.select((keys ++ attrs).map(col): _*), attrs, "__s")
+      .withColumn("__src_present", lit(1))
+    val out = keys.map(col) ++
+      attrs.map(a => when(col("__src_present").isNotNull, col(a + "__s"))
+        .otherwise(col(a)).as(a))
+    tgt.join(s, keys, "full_outer").select(out: _*)
+  }
+
+  /** SCD Type-2 merge: versioned history. Change detection runs against
+    * current rows only (py:637); changed keys get their current row
+    * expired (`current_flag`→0, `expCol`→asOf; py:676-681) and a fresh
+    * version appended alongside brand-new keys (flag 1, `effCol`=asOf;
+    * py:682-691). `hist` must carry `current_flag`, `effCol`, `expCol`.
+    */
+  def scd2Merge(src: DataFrame, hist: DataFrame, keys: Seq[String],
+      attrs: Seq[String], asOf: Column,
+      flagCol: String = "current_flag",
+      effCol: String = "eff_dt", expCol: String = "exp_dt"): DataFrame = {
+    val cur = hist.filter(col(flagCol) === 1)
+      .select((keys ++ attrs).map(col): _*)
+    val s = suffixed(src.select((keys ++ attrs).map(col): _*), attrs, "__s")
+
+    val changedKeys = cur.join(s, keys, "inner")
+      .filter(anyAttrDiffers(attrs, "__s")).select(keys.map(col): _*)
+    val newKeys = s.join(cur, keys, "left_anti").select(keys.map(col): _*)
+    val versionKeys = changedKeys.unionByName(newKeys)
+
+    val histCols = hist.columns.toSeq
+    val marked = hist.join(
+      changedKeys.withColumn("__chg", lit(1)), keys, "left")
+    val isExpiring = col("__chg").isNotNull && col(flagCol) === 1
+    val expired = marked.select(histCols.map {
+      case `flagCol` =>
+        when(isExpiring, lit(0L)).otherwise(col(flagCol)).as(flagCol)
+      case `expCol` =>
+        when(isExpiring, asOf).otherwise(col(expCol)).as(expCol)
+      case c => col(c)
+    }: _*)
+
+    val fresh = s.join(versionKeys, keys, "left_semi")
+      .select(keys.map(col) ++ attrs.map(a => col(a + "__s").as(a)): _*)
+      .withColumn(flagCol, lit(1L))
+      .withColumn(effCol, asOf)
+      .withColumn(expCol, lit(null).cast(
+        expired.schema(expCol).dataType))
+      .select(histCols.map(col): _*)
+
+    expired.unionByName(fresh)
+  }
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Beyond-reference analytics the engine exposes as first-class operators:
+  * JSON extraction, event-time windows, sessionization, rolling frames,
+  * rollup, percentiles, set ops (SURVEY §7.2 step 8; testdata `events`).
+  */
+object Events {
+
+  /** JSON scalar extraction (`events.props` is a JSON string). */
+  val q21 = Q("q21_json_extract",
+    """SELECT event_type,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |       AS BIGINT) AS sum_k,
+      |  count(*) AS n,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+      |    AS avg_k
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val kv = get_json_object(col("props"), "$.k").cast("long")
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(sum(kv).cast("long").as("sum_k"), count(lit(1)).as("n"),
+        round(avg(kv), 4).as("avg_k"))
+  }
+
+  /** Tumbling event-time window (batch `window()`; the Structured
+    * Streaming form reuses the same expression — see graft.streaming).
+    * Window start formatted as a string for a type-stable oracle compare.
+    */
+  val q22 = Q("q22_tumbling_window",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+      |    AS win_start,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_val
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("win_start"), col("event_type"), col("n"), col("sum_val"))
+  }
+
+  /** Gap-based sessionization (30-min inactivity): lag + cumulative
+    * new-session sum, then two-level aggregation. All window work is
+    * partitioned by user — scales out on user_id.
+    */
+  val q23 = Q("q23_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g),
+      |per_sess AS (
+      |  SELECT user_id, session_id, count(*) AS n_events
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(max(n_events) AS BIGINT) AS max_sess_events,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events
+      |FROM per_sess GROUP BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val newSess = when(lag(col("ts"), 1).over(w).isNull ||
+      (col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+        > 1800, 1).otherwise(0)
+    val cum = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .withColumn("new_sess", newSess)
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n_events").as("max_sess_events"),
+        sum("n_events").cast("long").as("n_events"))
+  }
+
+  /** Rolling frame aggregate (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW). */
+  val q24 = Q("q24_rolling_window",
+    """SELECT event_id, user_id,
+      |  round(sum(value) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS roll_sum
+      |FROM events""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(sum("value").over(w), 2).as("roll_sum"))
+  }
+
+  /** ROLLUP (grouping sets) over year × status. */
+  val q25 = Q("q25_rollup",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS amt
+      |FROM orders
+      |GROUP BY ROLLUP (1, 2)""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .rollup(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("amt"))
+  }
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). At 100 TB the scale path is
+    * `approx_percentile` — exposed in the library; exact kept for the
+    * oracle.
+    */
+  val q26 = Q("q26_percentile",
+    """SELECT c_mktsegment,
+      |  round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+      |  round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+      |  count(*) AS n
+      |FROM customer GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_bal"),
+        round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Set operation: EXCEPT (distinct) — BUILDING customers with no
+    * urgent order.
+    */
+  val q27 = Q("q27_set_except",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderpriority = '1-URGENT'""".stripMargin) { (s, dir) =>
+    val b = Tables(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val u = Tables(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    b.except(u)
+  }
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27)
+}

@@ -1,0 +1,545 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+import graft.ops.{Calendar, Cdc, Derive, Scd}
+
+/** Reference-parity operator suite over the driver testdata, one query per
+  * SURVEY.md §2 inventory row (IDs in each scaladoc). Every query has an
+  * independently-derived DuckDB oracle.
+  *
+  * Determinism policy (oracle hash-compare of doubles): aggregate sums are
+  * rounded at the data's decimal granularity — 2dp for price columns,
+  * 4dp for price×discount products — so cross-engine summation-order
+  * noise (≲1e-5 at sf0.01) can't move the rounded value across a decimal
+  * boundary. Counts/min/max are exact. Derived ints are cast to long to
+  * match DuckDB's BIGINT.
+  */
+object Parity {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** S1/S2, A1, A2, A4 — pricing summary (hash aggregate, map-side
+    * partial agg; no join). Reference pattern: BikesDWSQl.sql:24-39.
+    */
+  val q01 = Q("q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** J2 (inner equi-join), A1, F7 — fact-style join + agg by year.
+    * Reference: Prdct_Sm_Fct (BikesDWSQl.sql:22-39). At scale: shuffle
+    * join on orderkey; AQE handles skew.
+    */
+  val q02 = Q("q02_join_year_agg",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  count(DISTINCT o_orderkey) AS n_orders,
+      |  sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"), "inner")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        countDistinct("o_orderkey").as("n_orders"),
+        sum("l_quantity").as("sum_qty"))
+  }
+
+  /** A3 (conditional aggregation / pivot-style), A4 — reference
+    * On/Off Ordertype split (BikesDWSQl.sql:49-56).
+    */
+  val q03 = Q("q03_conditional_agg",
+    """SELECT o_orderstatus,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_cnt,
+      |  round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 2) AS urgent_amt,
+      |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low_cnt,
+      |  round(avg(o_totalprice), 4) AS avg_price,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+          .cast("long").as("urgent_cnt"),
+        round(sum(when(col("o_orderpriority") === "1-URGENT",
+          col("o_totalprice")).otherwise(0)), 2).as("urgent_amt"),
+        sum(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0))
+          .cast("long").as("low_cnt"),
+        round(avg("o_totalprice"), 4).as("avg_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** A1 + sort + limit — top-N with deterministic tie-break. */
+  val q04 = Q("q04_top_customers",
+    """SELECT o_custkey,
+      |  round(sum(o_totalprice), 2) AS total_spend,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spend").desc, col("o_custkey").asc)
+        .limit(10)
+  }
+
+  /** A5 (multi-key group-by) — Ordr_Dtl_Fct grain (BikesDWSQl.sql:101-106). */
+  val q05 = Q("q05_multikey_agg",
+    """SELECT l_suppkey, l_returnflag,
+      |  sum(l_quantity) AS sum_qty,
+      |  count(*) AS n,
+      |  round(max(l_extendedprice), 2) AS max_price
+      |FROM lineitem GROUP BY l_suppkey, l_returnflag""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey", "l_returnflag")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+          round(max("l_extendedprice"), 2).as("max_price"))
+  }
+
+  /** A6/A7 (DISTINCT after projection — the load-bearing dedup order,
+    * SURVEY §1.4.2), P1.
+    */
+  val q06 = Q("q06_project_dedup",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer") { (s, dir) =>
+    graft.ops.Cleanse.projectThenDedup(
+      t(s, dir, "customer"), Seq("c_mktsegment", "c_nationkey"))
+  }
+
+  /** J3 (left outer dimension enrich), P2 (renames) — Str_Dim pattern
+    * (BikesDWSQl.sql:123-139). nation/region are broadcast at any scale.
+    */
+  val q07 = Q("q07_dim_enrich",
+    """SELECT c.c_custkey AS cust_id, c.c_name AS cust_nm,
+      |  n.n_name AS natn_nm, r.r_name AS regn_nm,
+      |  round(c.c_acctbal, 2) AS acct_bal
+      |FROM customer c
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"), "left")
+        .select(col("c_custkey").as("cust_id"), col("c_name").as("cust_nm"),
+          col("n_name").as("natn_nm"), col("r_name").as("regn_nm"),
+          round(col("c_acctbal"), 2).as("acct_bal"))
+  }
+
+  /** J4 (multi-way join chain) + A1 — star join: fact × 4 dims; dims
+    * broadcast, single shuffle for the aggregate. Prdct_Dim pattern
+    * (BikesDWSQl.sql:156-169).
+    */
+  val q08 = Q("q08_star_join_agg",
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  count(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        countDistinct("o_orderkey").as("n_orders"))
+  }
+
+  /** J5 (CDC anti-join) + A1 — the incremental-fact pattern
+    * (BikesDWSQl.sql:60-72): rows not yet in the "fact" (here: the
+    * orderkey%3==0 subset plays the already-loaded fact).
+    */
+  val q09 = Q("q09_cdc_anti_join",
+    """SELECT o_orderstatus, count(*) AS n_new,
+      |  round(sum(o_totalprice), 2) AS amt_new
+      |FROM orders o
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders e
+      |  WHERE e.o_orderkey % 3 = 0 AND e.o_orderkey = o.o_orderkey)
+      |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val existing = o.filter(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey")
+    Cdc.newRows(o, existing, Seq("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_new"),
+        round(sum("o_totalprice"), 2).as("amt_new"))
+  }
+
+  /** Semi-join (SURVEY §2.3 note: complement of J5). */
+  val q10 = Q("q10_semi_join",
+    """SELECT c_mktsegment, count(*) AS n_cust
+      |FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    t(s, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_cust"))
+  }
+
+  /** P1/P3/P7 (projection + range/equality filters) — predicate pushdown
+    * showcase: filters and the 5-column projection reach the parquet scan.
+    */
+  val q11 = Q("q11_filtered_scan",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  round(l_extendedprice, 2) AS price, l_returnflag
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE)
+      |        BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+      |  AND l_discount > 0.05 AND l_quantity < 10""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date")
+          .between("1996-01-01", "1996-12-31")
+          && col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_extendedprice"), 2).as("price"), col("l_returnflag"))
+  }
+
+  /** P4/P5 (null-safe change detection) — the SCD update-set derivation
+    * with injected nulls; pandas NaN≠NaN accident fixed via `<=>`
+    * (SURVEY §7.3).
+    */
+  val q12 = Q("q12_nullsafe_change_detect",
+    """WITH tgt AS (
+      |  SELECT c_custkey AS k,
+      |    nullif(c_mktsegment, 'BUILDING') AS seg,
+      |    round(c_acctbal, 2) AS bal
+      |  FROM customer),
+      |src AS (
+      |  SELECT c_custkey AS k,
+      |    nullif(c_mktsegment, 'AUTOMOBILE') AS seg,
+      |    round(c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 10 ELSE 0 END,
+      |          2) AS bal
+      |  FROM customer)
+      |SELECT s.k, s.seg AS seg_src, t.seg AS seg_tgt,
+      |  s.bal AS bal_src, t.bal AS bal_tgt, 'U' AS upd_flag
+      |FROM src s JOIN tgt t ON s.k = t.k
+      |WHERE s.seg IS DISTINCT FROM t.seg
+      |   OR s.bal IS DISTINCT FROM t.bal""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer")
+    val tgt = c.select(col("c_custkey").as("k"),
+      when(col("c_mktsegment") === "BUILDING", lit(null))
+        .otherwise(col("c_mktsegment")).as("seg"),
+      round(col("c_acctbal"), 2).as("bal"))
+    val src = c.select(col("c_custkey").as("k"),
+      when(col("c_mktsegment") === "AUTOMOBILE", lit(null))
+        .otherwise(col("c_mktsegment")).as("seg"),
+      round(col("c_acctbal") +
+        when(col("c_custkey") % 7 === 0, 10).otherwise(0), 2).as("bal"))
+    val st = src.select(col("k"), col("seg").as("seg_src"),
+      col("bal").as("bal_src"))
+    val tt = tgt.select(col("k"), col("seg").as("seg_tgt"),
+      col("bal").as("bal_tgt"))
+    st.join(tt, Seq("k"))
+      .filter(!(col("seg_src") <=> col("seg_tgt")) ||
+        !(col("bal_src") <=> col("bal_tgt")))
+      .select(col("k"), col("seg_src"), col("seg_tgt"),
+        col("bal_src"), col("bal_tgt"), lit("U").as("upd_flag"))
+  }
+
+  /** W1 (row_number window) — top-N per group. */
+  val q13 = Q("q13_window_topn",
+    """SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, c_custkey,
+      |  round(c_acctbal, 2) AS bal
+      |FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer)
+      |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("bal"))
+  }
+
+  /** F10-style right-closed bucketing (BI "Groups" banding,
+    * README.md:17) + A1.
+    */
+  val q14 = Q("q14_bucketize",
+    """SELECT CASE WHEN c_acctbal <= 0 THEN '1:neg'
+      |         WHEN c_acctbal <= 2500 THEN '2:low'
+      |         WHEN c_acctbal <= 5000 THEN '3:mid'
+      |         WHEN c_acctbal <= 7500 THEN '4:high'
+      |         ELSE '5:top' END AS bal_bucket,
+      |  count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
+    val bucket = when(col("c_acctbal") <= 0, "1:neg")
+      .when(col("c_acctbal") <= 2500, "2:low")
+      .when(col("c_acctbal") <= 5000, "3:mid")
+      .when(col("c_acctbal") <= 7500, "4:high")
+      .otherwise("5:top")
+    t(s, dir, "customer")
+      .groupBy(bucket.as("bal_bucket"))
+      .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
+  }
+
+  /** F3 (exact floor-age) + F10 (right-closed age buckets, age 30 →
+    * '18-29') on a synthetic DOB — the reference's Customer derivation
+    * (ETLScript_withSCDimplementation.py:31-45) at fixed asOf 2025-06-30.
+    */
+  val q15 = Q("q15_age_buckets",
+    """WITH d AS (
+      |  SELECT c_custkey,
+      |    DATE '1950-01-01' + CAST(c_custkey * 37 % 20000 AS INT) AS dob
+      |  FROM customer),
+      |a AS (
+      |  SELECT c_custkey,
+      |    CAST(2025 - year(dob)
+      |      - CASE WHEN 630 < month(dob) * 100 + day(dob)
+      |             THEN 1 ELSE 0 END AS BIGINT) AS age
+      |  FROM d)
+      |SELECT CASE WHEN age >= 18 AND age <= 30 THEN '18-29'
+      |         WHEN age > 30 AND age <= 40 THEN '30-39'
+      |         WHEN age > 40 AND age <= 50 THEN '40-49'
+      |         WHEN age > 50 AND age <= 60 THEN '50-59'
+      |         WHEN age > 60 AND age <= 70 THEN '60-69'
+      |         WHEN age > 70 AND age <= 120 THEN '70+'
+      |         ELSE NULL END AS age_range,
+      |  count(*) AS n, min(age) AS min_age, max(age) AS max_age
+      |FROM a GROUP BY 1""".stripMargin) { (s, dir) =>
+    val asOf = lit(java.sql.Date.valueOf("2025-06-30"))
+    val dob = date_add(lit(java.sql.Date.valueOf("1950-01-01")),
+      (col("c_custkey") * 37 % 20000).cast("int"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), Derive.age(dob, asOf).as("age"))
+      .groupBy(Derive.ageRange(col("age")).as("age_range"))
+      .agg(count(lit(1)).as("n"), min("age").as("min_age"),
+        max("age").as("max_age"))
+  }
+
+  /** C5 (calendar dimension) + F4-F9, F12, F13 — the DATETAB spine with
+    * all derived attributes and relative-period flags at fixed asOf.
+    */
+  val q16 = Q("q16_calendar_dim",
+    """WITH spine AS (
+      |  SELECT (DATE '2023-01-01' + CAST(i AS INT)) AS date_val
+      |  FROM range(0, 731) t(i))
+      |SELECT date_val,
+      |  CAST(day(date_val) AS BIGINT) AS day_of_month,
+      |  dayname(date_val) AS weekday_name,
+      |  CAST(dayofweek(date_val) + 1 AS BIGINT) AS weekday_num,
+      |  CAST(weekofyear(date_val) AS BIGINT) AS week_of_year,
+      |  CAST(month(date_val) AS BIGINT) AS month_num,
+      |  monthname(date_val) AS month_name,
+      |  CAST(quarter(date_val) AS BIGINT) AS quarter_num,
+      |  'Q' || CAST(quarter(date_val) AS VARCHAR) AS quarter_label,
+      |  CAST(year(date_val) AS BIGINT) AS year_num,
+      |  CAST(year(date_val) * 100 + month(date_val) AS BIGINT) AS year_month,
+      |  CASE WHEN year(date_val) = 2024 THEN 'Y' ELSE 'N' END AS cytd_flag,
+      |  CASE WHEN year(date_val) = 2023 THEN 'Y' ELSE 'N' END AS pytd_flag,
+      |  CASE WHEN date_val > DATE '2024-06-15'
+      |    - CAST(dayofweek(DATE '2024-06-15') AS INT)
+      |    THEN 'Y' ELSE 'N' END AS cw_flag,
+      |  CASE WHEN date_val > DATE '2024-06-08'
+      |    - CAST(dayofweek(DATE '2024-06-08') AS INT)
+      |    THEN 'Y' ELSE 'N' END AS pw_flag,
+      |  CASE WHEN date_val > DATE '2024-05-18'
+      |    - CAST(dayofweek(DATE '2024-05-18') AS INT)
+      |    THEN 'Y' ELSE 'N' END AS w4_flag,
+      |  CASE WHEN date_val > DATE '2024-03-16'
+      |    - CAST(dayofweek(DATE '2024-03-16') AS INT)
+      |    THEN 'Y' ELSE 'N' END AS w13_flag
+      |FROM spine""".stripMargin) { (s, _) =>
+    Calendar.calendarDim(s, "2023-01-01", "2024-12-31", "2024-06-15")
+  }
+
+  /** C1 (SCD Type-1 merge): updates on half the keys, inserts of new
+    * keys, untouched passthrough — one full-outer join, null-safe.
+    */
+  val q17 = Q("q17_scd1_merge",
+    """WITH tgt AS (
+      |  SELECT c_custkey AS k, c_name AS nm, c_mktsegment AS seg,
+      |    round(c_acctbal, 2) AS bal FROM customer),
+      |src AS (
+      |  SELECT k, nm, seg, round(bal + 100, 2) AS bal
+      |  FROM tgt WHERE k % 2 = 0
+      |  UNION ALL
+      |  SELECT k + 1000000, nm, 'NEW', 0.0 FROM tgt WHERE k % 5 = 0)
+      |SELECT coalesce(s.k, t.k) AS k,
+      |  CASE WHEN s.k IS NOT NULL THEN s.nm ELSE t.nm END AS nm,
+      |  CASE WHEN s.k IS NOT NULL THEN s.seg ELSE t.seg END AS seg,
+      |  CASE WHEN s.k IS NOT NULL THEN s.bal ELSE t.bal END AS bal
+      |FROM src s FULL OUTER JOIN tgt t ON s.k = t.k""".stripMargin) {
+    (s, dir) =>
+      val tgt = t(s, dir, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("nm"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal"), 2).as("bal"))
+      val src = tgt.filter(col("k") % 2 === 0)
+        .withColumn("bal", round(col("bal") + 100, 2))
+        .unionByName(tgt.filter(col("k") % 5 === 0)
+          .select((col("k") + 1000000).as("k"), col("nm"),
+            lit("NEW").as("seg"), lit(0.0).as("bal")))
+      Scd.scd1Merge(src, tgt, Seq("k"), Seq("nm", "seg", "bal"))
+  }
+
+  /** C2 (SCD Type-2 merge): history with pre-existing expired versions;
+    * changed keys expire + re-version, new keys append, asOf-injected.
+    */
+  val q18 = Q("q18_scd2_merge",
+    """WITH curv AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    round(c_acctbal, 2) AS bal,
+      |    CAST(1 AS BIGINT) AS current_flag,
+      |    DATE '2020-01-01' AS eff_dt, CAST(NULL AS DATE) AS exp_dt
+      |  FROM customer),
+      |hist AS (
+      |  SELECT * FROM curv
+      |  UNION ALL
+      |  SELECT k, 'OLD', round(bal - 50, 2), CAST(0 AS BIGINT),
+      |    DATE '2019-01-01', DATE '2020-01-01'
+      |  FROM curv WHERE k % 10 = 0),
+      |src AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey % 4 = 0 THEN 'CHANGED'
+      |         ELSE c_mktsegment END AS seg,
+      |    round(c_acctbal, 2) AS bal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEWSEG', 1.0
+      |  FROM customer WHERE c_custkey % 25 = 0),
+      |cur AS (SELECT k, seg, bal FROM hist WHERE current_flag = 1),
+      |changed AS (
+      |  SELECT s.k FROM src s JOIN cur c ON s.k = c.k
+      |  WHERE s.seg IS DISTINCT FROM c.seg
+      |     OR s.bal IS DISTINCT FROM c.bal),
+      |newk AS (
+      |  SELECT s.k FROM src s
+      |  WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.k = s.k)),
+      |expired AS (
+      |  SELECT h.k, h.seg, h.bal,
+      |    CASE WHEN ch.k IS NOT NULL AND h.current_flag = 1
+      |         THEN CAST(0 AS BIGINT) ELSE h.current_flag END AS current_flag,
+      |    h.eff_dt,
+      |    CASE WHEN ch.k IS NOT NULL AND h.current_flag = 1
+      |         THEN DATE '2024-01-01' ELSE h.exp_dt END AS exp_dt
+      |  FROM hist h LEFT JOIN changed ch ON h.k = ch.k),
+      |fresh AS (
+      |  SELECT s.k, s.seg, s.bal, CAST(1 AS BIGINT) AS current_flag,
+      |    DATE '2024-01-01' AS eff_dt, CAST(NULL AS DATE) AS exp_dt
+      |  FROM src s
+      |  WHERE EXISTS (SELECT 1 FROM changed c WHERE c.k = s.k)
+      |     OR EXISTS (SELECT 1 FROM newk n WHERE n.k = s.k))
+      |SELECT * FROM expired UNION ALL SELECT * FROM fresh""".stripMargin) {
+    (s, dir) =>
+      val c = t(s, dir, "customer")
+      val curv = c.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), round(col("c_acctbal"), 2).as("bal"),
+        lit(1L).as("current_flag"),
+        lit(java.sql.Date.valueOf("2020-01-01")).as("eff_dt"),
+        lit(null).cast("date").as("exp_dt"))
+      val hist = curv.unionByName(curv.filter(col("k") % 10 === 0)
+        .select(col("k"), lit("OLD").as("seg"),
+          round(col("bal") - 50, 2).as("bal"), lit(0L).as("current_flag"),
+          lit(java.sql.Date.valueOf("2019-01-01")).as("eff_dt"),
+          lit(java.sql.Date.valueOf("2020-01-01")).as("exp_dt")))
+      val src = c.select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 4 === 0, "CHANGED")
+          .otherwise(col("c_mktsegment")).as("seg"),
+        round(col("c_acctbal"), 2).as("bal"))
+        .unionByName(c.filter(col("c_custkey") % 25 === 0)
+          .select((col("c_custkey") + 1000000).as("k"),
+            lit("NEWSEG").as("seg"), lit(1.0).as("bal")))
+      Scd.scd2Merge(src, hist, Seq("k"), Seq("seg", "bal"),
+        lit(java.sql.Date.valueOf("2024-01-01")))
+  }
+
+  /** C3 (incremental fact load): anti-join vs already-loaded order keys
+    * (pre-aggregation, as the reference does — BikesDWSQl.sql:60-72),
+    * then aggregate to the order grain.
+    */
+  val q19 = Q("q19_incremental_fact",
+    """SELECT o.o_orderkey, o.o_custkey,
+      |  CAST(o.o_orderdate AS DATE) AS ord_dt,
+      |  round(sum(l.l_extendedprice), 2) AS ordr_amt,
+      |  sum(l.l_quantity) AS ordr_qty,
+      |  count(*) AS n_items
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders e
+      |  WHERE e.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    AND e.o_orderkey = o.o_orderkey)
+      |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val existing = o
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey")
+    Cdc.newRows(o, existing, Seq("o_orderkey"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("ord_dt"))
+      .agg(round(sum("l_extendedprice"), 2).as("ordr_amt"),
+        sum("l_quantity").as("ordr_qty"), count(lit(1)).as("n_items"))
+  }
+
+  /** C4 (full-refresh dimension build) + P2 renames + F11 audit column
+    * (fixed asOf) — Str_Dim/Prdct_Dim pattern (BikesDWSQl.sql:123-170).
+    */
+  val q20 = Q("q20_full_dim_refresh",
+    """SELECT s.s_suppkey AS sup_id, s.s_name AS sup_nm,
+      |  round(s.s_acctbal, 2) AS sup_bal,
+      |  n.n_name AS natn_nm, r.r_name AS regn_nm,
+      |  DATE '2024-06-15' AS dwh_cyc_dt
+      |FROM supplier s
+      |LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"), "left")
+        .select(col("s_suppkey").as("sup_id"), col("s_name").as("sup_nm"),
+          round(col("s_acctbal"), 2).as("sup_bal"),
+          col("n_name").as("natn_nm"), col("r_name").as("regn_nm"),
+          lit(java.sql.Date.valueOf("2024-06-15")).as("dwh_cyc_dt"))
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+}
