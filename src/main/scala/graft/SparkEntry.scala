@@ -30,5 +30,7 @@ object SparkEntry {
 /** Central query registry (all suites). */
 object Registry {
   def all: Seq[Q] =
-    graft.queries.Parity.all ++ graft.queries.Events.all
+    graft.queries.Parity.all ++ graft.queries.Events.all ++
+      graft.queries.TextQueries.all ++ graft.queries.SimQueries.all ++
+      graft.queries.MultimodalQueries.all
 }

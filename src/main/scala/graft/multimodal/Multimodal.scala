@@ -1,0 +1,80 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed
+  * metadata, with decode/feature-extraction as per-partition batch
+  * operations. The decode step is a STUB (no image/audio libs in this
+  * container): `fakeDecode` produces a deterministic feature vector
+  * from the payload bytes. The Spark-side shape — binary column, typed
+  * metadata struct, partition-batched extraction, explicit output
+  * schema — is real and is what a production decoder (JNI/codec lib)
+  * would plug into.
+  *
+  * Scale notes: payloads stay distributed (no collect); extraction is
+  * mapPartitions so a real decoder amortizes per-partition init (codec
+  * contexts, model weights); metadata-only queries never touch the
+  * payload column thanks to parquet column pruning.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("n_bytes", LongType))), nullable = false)))
+
+  /** Wrap a text corpus as a media table: payload = UTF-8 bytes (a
+    * stand-in for image/audio bytes), modality derived from the source.
+    */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      concat(lit("fake/"), col("source")).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(col("source").as("source"),
+        length(col("text")).cast("long").as("n_bytes")).as("meta"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("feature", ArrayType(DoubleType), nullable = false)))
+
+  /** Deterministic stand-in for a real decoder: 4 "features" derived
+    * from byte-range sums over the payload, one "frame" per 256 bytes.
+    * A real implementation replaces ONLY the body of this function
+    * (e.g. JNI decode + resize + embed); the partition-batched driver
+    * below is unchanged.
+    */
+  def fakeDecode(payload: Array[Byte]): (Long, Array[Double]) = {
+    val nFrames = payload.length / 256 + 1
+    val feat = new Array[Double](4)
+    var i = 0
+    while (i < payload.length) {
+      feat(i % 4) += (payload(i) & 0xff).toDouble / 255.0
+      i += 1
+    }
+    (nFrames.toLong, feat)
+  }
+
+  /** Partition-batched feature extraction over the media table. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload").rdd
+      .mapPartitions { rows =>
+        // per-partition init would go here (codec context, model, …)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val (nFrames, feat) = fakeDecode(payload)
+          Row(id, payload.length.toLong, nFrames, feat.toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}

@@ -52,12 +52,17 @@ object Scd {
       attrs: Seq[String], asOf: Column,
       flagCol: String = "current_flag",
       effCol: String = "eff_dt", expCol: String = "exp_dt"): DataFrame = {
+    // `s` (the incoming batch — small next to the history at scale) and
+    // the changed-key set are each referenced by 2-3 downstream joins;
+    // persist to avoid recomputing their upstream per reference.
     val cur = hist.filter(col(flagCol) === 1)
       .select((keys ++ attrs).map(col): _*)
     val s = suffixed(src.select((keys ++ attrs).map(col): _*), attrs, "__s")
+      .persist()
 
     val changedKeys = cur.join(s, keys, "inner")
       .filter(anyAttrDiffers(attrs, "__s")).select(keys.map(col): _*)
+      .persist()
     val newKeys = s.join(cur, keys, "left_anti").select(keys.map(col): _*)
     val versionKeys = changedKeys.unionByName(newKeys)
 

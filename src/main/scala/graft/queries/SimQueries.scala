@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sim.Similarity
+import graft.sources.Tables
+
+/** Similarity search over `embeddings` (array<float>, 64-dim):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane
+  * LSH bucketing as the scale path (each query scans only its bucket).
+  */
+object SimQueries {
+
+  private val D = 64
+  private val dotSql =
+    "list_sum(list_transform(range(1,65), i -> " +
+      "q.embedding[CAST(i AS INT)]::DOUBLE * " +
+      "c.embedding[CAST(i AS INT)]::DOUBLE))"
+  private val normSql =
+    "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
+
+  private def bucketSql: String =
+    "CAST(" + (0 until 4).map { s =>
+      s"(CASE WHEN list_sum(list_transform(range(1,65), i -> " +
+        s"embedding[CAST(i AS INT)]::DOUBLE * " +
+        s"(strpos('0123456789abcdef', substr(md5('$s:'||i),1,1)) - 1 - 7.5)" +
+        s")) > 0 THEN ${1L << s} ELSE 0 END)"
+    }.mkString(" + ") + " AS BIGINT)"
+
+  /** Brute-force cosine top-5 per query vector (vec_id < 8 are the
+    * queries; the rest the corpus). Exact ANN baseline: broadcast the
+    * query set, linear scan, per-query top-k window.
+    */
+  val q37 = Q("q37_cosine_topk",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < 8),
+       |c AS (SELECT * FROM e WHERE vec_id >= 8),
+       |sims AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    round($dotSql / (q.nrm * c.nrm), 6) AS sim
+       |  FROM q, c)
+       |SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY sim DESC, nid) AS rn
+       |  FROM sims)
+       |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("cn"))
+    val sims = broadcast(q).crossJoin(c)
+      .select(col("qid"), col("nid"),
+        round(Similarity.dot(col("qe"), col("ne"))
+          / (col("qn") * col("cn")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc,
+      col("nid").asc)
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+  }
+
+  /** LSH-bucketed ANN: 4 random hyperplanes → 16 buckets; each query
+    * joins only its bucket, then exact cosine re-rank (top-3). The
+    * 100 TB shape: bucket assignment is a map-only pass; the join key
+    * is the bucket id.
+    */
+  val q38 = Q("q38_ann_lsh",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm, $bucketSql AS bkt
+       |  FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < 8),
+       |c AS (SELECT * FROM e WHERE vec_id >= 8),
+       |sims AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.bkt,
+       |    round($dotSql / (q.nrm * c.nrm), 6) AS sim
+       |  FROM q JOIN c ON c.bkt = q.bkt)
+       |SELECT qid, nid, bkt, sim, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT qid, nid, bkt, sim,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY sim DESC, nid) AS rn
+       |  FROM sims)
+       |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"),
+        Similarity.lshBucket(col("embedding"), 4, D).as("bkt"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bkt"))
+    val c = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("cn"), col("bkt"))
+    val sims = broadcast(q).join(c, Seq("bkt"))
+      .select(col("qid"), col("nid"), col("bkt"),
+        round(Similarity.dot(col("qe"), col("ne"))
+          / (col("qn") * col("cn")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc,
+      col("nid").asc)
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Embedding-cosine near-duplicate pairs among the corpus itself:
+    * same-bucket pairs with rounded cosine above threshold — the
+    * embedding-space analog of MinHash dedup (bounded by bucketing).
+    */
+  val q39 = Q("q39_embedding_neardup",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm, $bucketSql AS bkt
+       |  FROM embeddings),
+       |sims AS (
+       |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, q.bkt,
+       |    round($dotSql / (q.nrm * c.nrm), 6) AS sim
+       |  FROM e q JOIN e c ON c.bkt = q.bkt AND q.vec_id < c.vec_id)
+       |SELECT id_a, id_b, bkt, sim FROM sims
+       |WHERE sim > 0.2""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"),
+        Similarity.lshBucket(col("embedding"), 4, D).as("bkt"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("qe"),
+      col("nrm").as("qn"), col("bkt"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("ne"),
+      col("nrm").as("cn"), col("bkt"))
+    a.join(b, Seq("bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("bkt"),
+        round(Similarity.dot(col("qe"), col("ne"))
+          / (col("qn") * col("cn")), 6).as("sim"))
+      .filter(col("sim") > 0.2)
+  }
+
+  val all: Seq[Q] = Seq(q37, q38, q39)
+}

@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+import graft.text.TextOps
+
+/** Training-data text pipeline over `documents`: exact + near dedup
+  * (MinHash/LSH, SimHash, n-gram Jaccard), language ID, quality scoring,
+  * token stats, fingerprints. Every hash is md5-based so the DuckDB
+  * oracle reproduces results exactly (see TextOps scaladoc).
+  *
+  * Scale notes: shingling/minhashing is a narrow explode + one groupBy
+  * per doc (shuffle on doc_id only); LSH candidate generation joins on
+  * band keys with bucket-size capping (2..20) so no quadratic blowup on
+  * hot buckets — at 100 TB the cap is what keeps skewed buckets from
+  * dominating (same idea as AQE skew-split, but semantic).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  /** Exploded (doc_id, shingle) pairs: 8-char shingles, stride 4. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      explode(TextOps.shinglePositions(col("text"), 8, 4)).as("i"),
+      col("text"))
+      .select(col("doc_id"),
+        TextOps.shingleAt(col("text"), col("i"), 8).as("sh"))
+
+  /** 6-component MinHash signature per doc. Persisted: the signature
+    * table is tiny relative to the corpus (6 hashes/doc) and every LSH
+    * consumer references it several times — without persist Spark
+    * re-runs the whole shingle explode per reference (no cross-
+    * DataFrame CSE). At 100 TB this is the step a production pipeline
+    * materializes to storage.
+    */
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir).groupBy("doc_id")
+      .agg(TextOps.minhash(col("sh"), 0).as("mh0"),
+        TextOps.minhash(col("sh"), 1).as("mh1"),
+        TextOps.minhash(col("sh"), 2).as("mh2"),
+        TextOps.minhash(col("sh"), 3).as("mh3"),
+        TextOps.minhash(col("sh"), 4).as("mh4"),
+        TextOps.minhash(col("sh"), 5).as("mh5"))
+      .persist()
+
+  private val shingleSqlCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    substr(text,
+      |      CAST(unnest(range(1, greatest(len(text)-7,1)+1, 4)) AS INT),
+      |      8) AS sh
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id,
+      |    min(md5('0:' || sh)) AS mh0, min(md5('1:' || sh)) AS mh1,
+      |    min(md5('2:' || sh)) AS mh2, min(md5('3:' || sh)) AS mh3,
+      |    min(md5('4:' || sh)) AS mh4, min(md5('5:' || sh)) AS mh5
+      |  FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Exact dedup: count distinct normalized-text hashes per source. */
+  val q28 = Q("q28_dedup_exact",
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '',
+      |                                    'g'))) AS n_distinct
+      |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+    docs(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(TextOps.normalize(col("text"))))
+          .as("n_distinct"))
+  }
+
+  /** MinHash signatures (the reusable near-dup index). */
+  val q29 = Q("q29_minhash_signature",
+    s"""WITH $shingleSqlCte
+       |SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5 FROM sig""".stripMargin) {
+    (s, dir) => signatures(s, dir)
+  }
+
+  /** LSH candidate pairs: 2 bands × 3 minhash components; buckets capped
+    * at 2..20 docs before the pair join (bounded output, skew-proof).
+    */
+  val q30 = Q("q30_lsh_candidates",
+    s"""WITH $shingleSqlCte,
+       |b AS (
+       |  SELECT doc_id, 0 AS band, mh0 || mh1 || mh2 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, mh3 || mh4 || mh5 AS key FROM sig),
+       |sized AS (
+       |  SELECT band, key FROM b GROUP BY band, key
+       |  HAVING count(*) BETWEEN 2 AND 20)
+       |SELECT DISTINCT CAST(a.band AS BIGINT) AS band,
+       |  a.doc_id AS doc_a, c.doc_id AS doc_b
+       |FROM sized x
+       |JOIN b a ON a.band = x.band AND a.key = x.key
+       |JOIN b c ON c.band = x.band AND c.key = x.key
+       |  AND a.doc_id < c.doc_id""".stripMargin) { (s, dir) =>
+    val sig = signatures(s, dir)
+    val bands = sig.select(col("doc_id"), lit(0L).as("band"),
+      concat(col("mh0"), col("mh1"), col("mh2")).as("key"))
+      .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
+        concat(col("mh3"), col("mh4"), col("mh5")).as("key")))
+      .persist()
+    val sized = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 20)).select("band", "key")
+    val a = bands.join(sized, Seq("band", "key"))
+    val b = a.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    a.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("band", "doc_a", "doc_b").distinct()
+  }
+
+  /** Character 4-gram Jaccard between consecutive doc ids — exact
+    * near-dup verification (integer set arithmetic, one division).
+    */
+  val q31 = Q("q31_ngram_jaccard",
+    """WITH s AS (
+      |  SELECT DISTINCT doc_id,
+      |    substr(text,
+      |      CAST(unnest(range(1, greatest(len(text)-3,1)+1)) AS INT),
+      |      4) AS g
+      |  FROM documents),
+      |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+      |i AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      |  FROM s a JOIN s b ON b.g = a.g AND b.doc_id = a.doc_id + 1
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b,
+      |  round(CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni), 6) AS jaccard
+      |FROM i
+      |JOIN c ca ON ca.doc_id = i.doc_a
+      |JOIN c cb ON cb.doc_id = i.doc_b""".stripMargin) { (s, dir) =>
+    val grams = docs(s, dir).select(col("doc_id"),
+      explode(TextOps.shinglePositions(col("text"), 4, 1)).as("i"),
+      col("text"))
+      .select(col("doc_id"),
+        TextOps.shingleAt(col("text"), col("i"), 4).as("g"))
+      .distinct()
+      .persist() // referenced 3× (sets, counts, shifted side)
+    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val b = grams.select((col("doc_id") - 1).as("doc_id"), col("g"))
+    val inter = grams.join(b.withColumnRenamed("doc_id", "doc_a")
+      .withColumnRenamed("g", "gb"),
+      col("doc_id") === col("doc_a") && col("g") === col("gb"))
+      .groupBy(col("doc_id").as("doc_a2"))
+      .agg(count(lit(1)).as("ni"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a2"), col("n").as("na")),
+        Seq("doc_a2"))
+      .join(counts.select((col("doc_id") - 1).as("doc_a2"),
+        col("n").as("nb")), Seq("doc_a2"))
+      .select(col("doc_a2").as("doc_a"), (col("doc_a2") + 1).as("doc_b"),
+        round(col("ni").cast("double") /
+          (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
+  }
+
+  /** 16-bit SimHash over whitespace tokens (duplicate-weighted). */
+  val q32 = Q("q32_simhash",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |hx AS (SELECT doc_id, md5(w) AS h FROM tok),
+      |bits AS (
+      |  SELECT doc_id, CAST(unnest(range(0, 16)) AS INT) AS b, h
+      |  FROM hx),
+      |bv AS (
+      |  SELECT doc_id, b,
+      |    CAST(floor((strpos('0123456789abcdef',
+      |                       substr(h, b // 4 + 1, 1)) - 1)
+      |               / power(2, b % 4)) AS INT) % 2 AS bit
+      |  FROM bits),
+      |wg AS (SELECT doc_id, b, sum(2 * bit - 1) AS wgt
+      |       FROM bv GROUP BY doc_id, b)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN wgt > 0 THEN CAST(power(2, b) AS BIGINT)
+      |               ELSE 0 END) AS BIGINT) AS simhash
+      |FROM wg GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    val bits = tok.select(col("doc_id"), col("h"),
+      explode(sequence(lit(0), lit(15))).as("b"))
+      .select(col("doc_id"), col("b"),
+        (floor(TextOps.hexDigit(col("h"), expr("b div 4") + 1)
+          / pow(lit(2), col("b") % 4)).cast("int") % 2).as("bit"))
+    bits.groupBy("doc_id", "b")
+      .agg(sum(col("bit") * 2 - 1).as("wgt"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("wgt") > 0, pow(lit(2), col("b")).cast("long"))
+        .otherwise(0L)).cast("long").as("simhash"))
+  }
+
+  private val langMarkers = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "las", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est"))
+
+  private def inList(xs: Seq[String]) =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  /** Marker-token language ID (n-gram heuristic); output is the
+    * confusion matrix vs the labeled `lang` column.
+    */
+  val q33 = Q("q33_lang_id",
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang,
+       |${langMarkers.map { case (l, ms) =>
+          s"    len(list_filter(string_split(text, ' '), w -> w IN " +
+          s"${inList(ms)})) AS ${l}_hits"}.mkString(",\n")}
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang,
+       |    CASE
+       |      WHEN en_hits >= es_hits AND en_hits >= de_hits
+       |       AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+       |      WHEN es_hits >= de_hits AND es_hits >= fr_hits
+       |       AND es_hits > 0 THEN 'es'
+       |      WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+       |      WHEN fr_hits > 0 THEN 'fr'
+       |      ELSE 'unknown' END AS pred_lang
+       |  FROM sc)
+       |SELECT lang, pred_lang, count(*) AS n
+       |FROM p GROUP BY lang, pred_lang""".stripMargin) { (s, dir) =>
+    val hits = langMarkers.foldLeft(docs(s, dir)) { case (df, (l, ms)) =>
+      df.withColumn(s"${l}_hits",
+        TextOps.markerHits(col("text"), ms))
+    }
+    val pred = when(col("en_hits") >= col("es_hits") &&
+        col("en_hits") >= col("de_hits") &&
+        col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+      .when(col("es_hits") >= col("de_hits") &&
+        col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
+      .when(col("de_hits") >= col("fr_hits") && col("de_hits") > 0, "de")
+      .when(col("fr_hits") > 0, "fr")
+      .otherwise("unknown")
+    hits.select(col("lang"), pred.as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-document quality features + bucket (length, token stats,
+    * punctuation + stopword ratios).
+    */
+  val q34 = Q("q34_text_quality",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    len(text) AS n_chars_m,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS hits,
+      |    len(text)
+      |      - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+      |      AS n_punct
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_chars_m AS BIGINT) AS n_chars_m,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  round(CAST(n_chars_m - n_tokens + 1 AS DOUBLE) / n_tokens, 4)
+      |    AS avg_tok_len,
+      |  round(CAST(n_punct AS DOUBLE) / n_chars_m, 6) AS punct_ratio,
+      |  round(CAST(hits AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+      |  CASE WHEN n_tokens >= 20
+      |        AND CAST(hits AS DOUBLE) / n_tokens > 0.05 THEN 'good'
+      |       WHEN n_tokens >= 5 THEN 'ok'
+      |       ELSE 'poor' END AS quality
+      |FROM f""".stripMargin) { (s, dir) =>
+    val nChars = length(col("text")).cast("long")
+    val nTokens = size(TextOps.tokens(col("text"))).cast("long")
+    val hits = TextOps.markerHits(col("text"),
+      Seq("the", "a", "of", "and", "to", "in")).cast("long")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("long")
+    docs(s, dir).select(col("doc_id"), nChars.as("n_chars_m"),
+      nTokens.as("n_tokens"), hits.as("hits"), nPunct.as("n_punct"))
+      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
+        round((col("n_chars_m") - col("n_tokens") + 1).cast("double")
+          / col("n_tokens"), 4).as("avg_tok_len"),
+        round(col("n_punct").cast("double") / col("n_chars_m"), 6)
+          .as("punct_ratio"),
+        round(col("hits").cast("double") / col("n_tokens"), 6)
+          .as("stop_ratio"),
+        when(col("n_tokens") >= 20 &&
+          col("hits").cast("double") / col("n_tokens") > 0.05, "good")
+          .when(col("n_tokens") >= 5, "ok")
+          .otherwise("poor").as("quality"))
+  }
+
+  /** Corpus token statistics per source (whitespace + regex-word
+    * counts).
+    */
+  val q35 = Q("q35_token_stats",
+    """SELECT source,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT)
+      |    AS n_words,
+      |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+    val nTok = size(TextOps.tokens(col("text")))
+    val nWords = expr("size(regexp_extract_all(text, '[a-z]+', 0))")
+    docs(s, dir).groupBy("source")
+      .agg(sum(nTok).cast("long").as("n_tokens"),
+        sum(nWords).cast("long").as("n_words"),
+        round(avg(nTok), 4).as("avg_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** Document fingerprints: full + head md5 of normalized text, short
+    * prefix for bucketing.
+    */
+  val q36 = Q("q36_fingerprint",
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+      |  substr(md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')),
+      |         1, 8) AS fp8,
+      |  md5(substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |             1, 64)) AS head_fp
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val norm = TextOps.normalize(col("text"))
+    docs(s, dir).select(col("doc_id"), md5(norm).as("fp"),
+      md5(norm).substr(1, 8).as("fp8"),
+      md5(norm.substr(lit(1), lit(64))).as("head_fp"))
+  }
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36)
+}

@@ -1,0 +1,59 @@
+package graft.sim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity primitives over `array<float>` embedding columns.
+  * All higher-order Catalyst expressions (zip_with/transform/aggregate)
+  * — no UDFs, no serialization wall. Arithmetic is promoted to double
+  * element-wise and folded left-to-right, which is deterministic and
+  * engine-reproducible (the DuckDB oracles fold the same way).
+  *
+  * Scale path: brute-force top-k is a broadcast of the (small) query
+  * set against a full scan of the corpus — linear, embarrassingly
+  * parallel, no shuffle until the per-query top-k window. The LSH
+  * variant buckets the corpus by random-hyperplane signature first, so
+  * each query only scans its bucket (corpus/2^planes expected).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision, left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** ‖a‖₂ in double precision. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity (double). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane component for (seed, dim):
+    * first md5 hex digit of "seed:dim", centered: value − 7.5 ∈
+    * [−7.5, 7.5]. Public-knowledge construction (hash-based projection,
+    * Charikar-style SimHash for vectors).
+    */
+  def planeComponent(seed: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$seed:$dim".getBytes("UTF-8"))
+    val hex = "%02x".format(h(0)).charAt(0)
+    Integer.parseInt(hex.toString, 16) - 7.5
+  }
+
+  /** Literal array column of one hyperplane (dims 1..dim). */
+  def plane(seed: Int, dim: Int): Column =
+    array((1 to dim).map(i => lit(planeComponent(seed, i))): _*)
+
+  /** Random-hyperplane LSH bucket id: bit s = (emb · plane_s) > 0,
+    * bucket = Σ bitₛ·2ˢ — 2^nPlanes buckets.
+    */
+  def lshBucket(emb: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { s =>
+      when(dot(emb, plane(s, dim)) > 0,
+        lit(1L << s)).otherwise(lit(0L))
+    }.reduce(_ + _).cast("long")
+}

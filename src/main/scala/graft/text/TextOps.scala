@@ -1,0 +1,56 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for large-scale training-data curation:
+  * normalization, shingling, MinHash, SimHash, token/quality stats,
+  * fingerprints, language ID. All pure Catalyst expressions (codegen'd,
+  * UDF-free), so they whole-stage-compile and scale linearly; the only
+  * shuffles are the explicit groupBys/joins of the callers.
+  *
+  * Cross-engine determinism: every hash is md5-hex (identical bytes in
+  * any engine), min/compare on the hex string — so the DuckDB oracles
+  * reproduce results bit-for-bit.
+  */
+object TextOps {
+
+  /** Lowercase, strip everything but [a-z0-9 ] — canonical form for
+    * near-dup detection.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9 ]", "")
+
+  /** Whitespace tokens (single-space corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Character k-gram shingle at position column `i` (1-based). */
+  def shingleAt(text: Column, i: Column, k: Int): Column =
+    text.substr(i, lit(k))
+
+  /** 1-based start positions for k-shingles with the given stride:
+    * 1, 1+stride, … ≤ max(len-k+1, 1). Explode this and apply
+    * [[shingleAt]].
+    */
+  def shinglePositions(text: Column, k: Int, stride: Int): Column =
+    sequence(lit(1), greatest(length(text) - (k - 1), lit(1)), lit(stride))
+
+  /** MinHash component for one seed: min over the group of
+    * md5("<seed>:" ++ shingle). Use as an aggregate expression after
+    * grouping by document. Banding = concat of components.
+    */
+  def minhash(shingle: Column, seed: Int): Column =
+    min(md5(concat(lit(s"$seed:"), shingle)))
+
+  /** Count of tokens matching a marker set (language ID / stopword
+    * ratio) — array filter, no explode needed.
+    */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(markers.map(lit): _*)))
+
+  /** Hex-digit value (0-15) of character `pos` (1-based) of an md5 hex
+    * string. (Oracle-side equivalent: strpos('0123456789abcdef', ch)-1.)
+    */
+  def hexDigit(h: Column, pos: Column): Column =
+    conv(h.substr(pos, lit(1)), 16, 10).cast("int")
+}
