@@ -24,13 +24,13 @@ object Derive {
     * age 30 → '18-29', 40 → '30-39'; <18 or >120 → null. SURVEY F10.
     */
   def ageRange(age: Column): Column =
-    when(age.between(18, 30), "18-29")
+    when(age < 18 || age > 120, lit(null))
+      .when(age <= 30, "18-29")
       .when(age <= 40, "30-39")
       .when(age <= 50, "40-49")
       .when(age <= 60, "50-59")
       .when(age <= 70, "60-69")
-      .when(age <= 120, "70+")
-      .otherwise(lit(null))
+      .otherwise("70+")
 
   /** 'Q1'..'Q4' label (BikesDWSQl.sql:182-187). */
   def quarterLabel(d: Column): Column =

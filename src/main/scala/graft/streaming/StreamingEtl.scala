@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.Scd
+
+/** Structured-Streaming surface. The reference's incrementality is
+  * scheduled batch (SURVEY §2.8) — these operators are the optional
+  * stretch that reuses the batch operators unchanged under a stream:
+  * file-arrival micro-batches run the same SCD merge via foreachBatch,
+  * and the windowed aggregation is the streaming twin of q22.
+  */
+object StreamingEtl {
+
+  /** Watermarked tumbling-window counts — append-mode-safe (late data
+    * beyond 10 minutes is dropped; at scale the watermark bounds state).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_val"))
+
+  /** File-arrival SCD1: each micro-batch of source rows is merged into
+    * the parquet warehouse table with the SAME batch operator
+    * (Scd.scd1Merge) — the reference's daily merge, continuously.
+    *
+    * The target is read back and materialized (persist + count) BEFORE
+    * the overwrite starts — required when overwriting the directory
+    * being read. A table format with atomic commit (e.g. Delta) would
+    * replace this dance in production; the operator itself is
+    * unchanged.
+    */
+  def scd1Sink(src: DataFrame, targetDir: String, keys: Seq[String],
+      attrs: Seq[String], checkpointDir: String): StreamingQuery =
+    src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val tgt =
+          if (new java.io.File(targetDir).exists())
+            spark.read.parquet(targetDir)
+          else batch.limit(0)
+        val merged = Scd.scd1Merge(batch, tgt, keys, attrs).persist()
+        merged.count() // materialize before overwriting the input dir
+        merged.write.mode("overwrite").parquet(targetDir)
+        merged.unpersist()
+        ()
+      }
+      .start()
+}
