@@ -219,19 +219,22 @@ object Parity {
   }
 
   /** P1/P3/P7 (projection + range/equality filters) — predicate pushdown
-    * showcase: filters and the 5-column projection reach the parquet scan.
+    * showcase: filters and the 5-column projection reach the parquet
+    * scan. The range predicate is on the RAW timestamp (not
+    * CAST-to-date, which would block parquet pushdown and force a full
+    * scan at 100 TB).
     */
   val q11 = Q("q11_filtered_scan",
     """SELECT l_orderkey, l_linenumber, l_quantity,
       |  round(l_extendedprice, 2) AS price, l_returnflag
       |FROM lineitem
-      |WHERE CAST(l_shipdate AS DATE)
-      |        BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_discount > 0.05 AND l_quantity < 10""".stripMargin) {
     (s, dir) =>
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate").cast("date")
-          .between("1996-01-01", "1996-12-31")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
           && col("l_discount") > 0.05 && col("l_quantity") < 10)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           round(col("l_extendedprice"), 2).as("price"), col("l_returnflag"))

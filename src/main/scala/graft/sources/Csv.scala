@@ -1,0 +1,20 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** CSV source (SURVEY S1): header CSVs read with an EXPLICIT schema —
+  * never inference in production paths (§1.2). Spark's reader handles
+  * the UTF-8 BOM on Address.csv/Store.csv natively (§1.4.5). Date
+  * columns arrive as strings and are parsed downstream with
+  * Cleanse.parseDate (dd-MM-yyyy, §1.4.4) so malformed values surface
+  * as nulls rather than reader failures.
+  */
+object Csv {
+  def read(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .schema(schema)
+      .csv(path)
+}

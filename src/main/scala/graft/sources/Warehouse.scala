@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed warehouse table (SURVEY S2, S4-S6): read, append
+  * (insert-only load), full refresh (DELETE+INSERT → overwrite), and
+  * merge-overwrite — the read-modify-overwrite that replaces the
+  * reference's per-row UPDATE loop (S5,
+  * ETLScript_withSCDimplementation.py:86-91).
+  *
+  * `mergeOverwrite` materializes the merged result in a sibling temp
+  * directory first, then swaps — the self-referential read-before-write
+  * (E1 step 3) never overwrites the data it is still reading, and a
+  * crash mid-write leaves the old table intact. On a real deployment an
+  * ACID table format (Delta/Iceberg — not in this container) replaces
+  * the swap with an atomic commit; callers are unchanged.
+  */
+final case class Warehouse(root: String) {
+
+  private def dir(table: String) = s"$root/$table"
+
+  def exists(table: String): Boolean = new File(dir(table)).exists()
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(dir(table))
+
+  /** Insert-only load (S4/S7). */
+  def append(df: DataFrame, table: String): Unit =
+    df.write.mode("append").parquet(dir(table))
+
+  /** Full refresh (S6: DELETE all + INSERT SELECT). */
+  def overwrite(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").parquet(dir(table))
+
+  /** Atomic-ish replace for merges that read their own target:
+    * write to `<table>.tmp`, then swap directories.
+    */
+  def mergeOverwrite(df: DataFrame, table: String): Unit = {
+    val tmp = new File(dir(table + ".tmp"))
+    val live = new File(dir(table))
+    val old = new File(dir(table + ".old"))
+    df.write.mode("overwrite").parquet(tmp.getPath)
+    if (old.exists()) delete(old)
+    if (live.exists() && !live.renameTo(old))
+      sys.error(s"swap failed: cannot move $live aside")
+    if (!tmp.renameTo(live)) sys.error(s"swap failed: cannot move $tmp in")
+    delete(old)
+  }
+
+  private def delete(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete(); ()
+  }
+}

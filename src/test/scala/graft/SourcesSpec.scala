@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import graft.etl.Schemas
+import graft.sources.{Csv, Warehouse}
+import graft.ops.Scd
+
+/** I/O layer: CSV with explicit schema + BOM handling (S1), warehouse
+  * append/overwrite/merge-overwrite semantics (S4-S6).
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Csv.read: explicit schema, header, UTF-8 BOM tolerated") {
+    val f = Files.createTempFile("graft", ".csv").toFile
+    val bom = "﻿"
+    val content = bom + "ADDRESSID,CITY,COUNTRY,REGION,POSTALCODE\n" +
+      "1,Lyon,France,EMEA,69000\n2,Austin,USA,AMER,73301\n"
+    Files.write(f.toPath, content.getBytes("UTF-8"))
+    val df = Csv.read(spark, f.getPath, Schemas.address)
+    assert(df.count() == 2)
+    val r = df.filter($"ADDRESSID" === 1L).head()
+    assert(r.getAs[String]("CITY") == "Lyon")
+    assert(r.getAs[Long]("POSTALCODE") == 69000L)
+  }
+
+  test("Warehouse: append accumulates, overwrite replaces, " +
+    "mergeOverwrite survives reading its own target") {
+    val root = Files.createTempDirectory("graft-wh").toString
+    val wh = Warehouse(root)
+    assert(!wh.exists("t"))
+    wh.append(Seq((1L, "a")).toDF("k", "v"), "t")
+    wh.append(Seq((2L, "b")).toDF("k", "v"), "t")
+    assert(wh.read(spark, "t").count() == 2)
+    wh.overwrite(Seq((3L, "c")).toDF("k", "v"), "t")
+    assert(rows(wh.read(spark, "t")) == Set(Seq(3L, "c")))
+
+    // the self-referential merge: target is an input of the write
+    val tgt = wh.read(spark, "t")
+    val src = Seq((3L, "c2"), (4L, "d")).toDF("k", "v")
+    wh.mergeOverwrite(Scd.scd1Merge(src, tgt, Seq("k"), Seq("v")), "t")
+    assert(rows(wh.read(spark, "t")) == Set(Seq(3L, "c2"), Seq(4L, "d")))
+  }
+}
