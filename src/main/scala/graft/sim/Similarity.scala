@@ -17,16 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision, left-to-right. */
+  /** Σ aᵢ·bᵢ in double precision, left-to-right — fused custom
+    * Expression (codegen'd; the HOF zip_with+aggregate equivalent is
+    * CodegenFallback and pays per-element closure dispatch on the ANN
+    * hot loop).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
-      (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductF(a, b)
 
   /** ‖a‖₂ in double precision. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity (double). */
   def cosine(a: Column, b: Column): Column =
@@ -44,9 +44,12 @@ object Similarity {
     Integer.parseInt(hex.toString, 16) - 7.5
   }
 
-  /** Literal array column of one hyperplane (dims 1..dim). */
+  /** Literal array column of one hyperplane (dims 1..dim) as
+    * array<float> (the components are k+0.5 values — exact in float),
+    * matching DotProductF's input type.
+    */
   def plane(seed: Int, dim: Int): Column =
-    array((1 to dim).map(i => lit(planeComponent(seed, i))): _*)
+    array((1 to dim).map(i => lit(planeComponent(seed, i).toFloat)): _*)
 
   /** Random-hyperplane LSH bucket id: bit s = (emb · plane_s) > 0,
     * bucket = Σ bitₛ·2ˢ — 2^nPlanes buckets.
