@@ -543,6 +543,25 @@ object Parity {
           lit(java.sql.Date.valueOf("2024-06-15")).as("dwh_cyc_dt"))
   }
 
+  /** J2 + A1 with the part dimension (broadcast): revenue by brand. */
+  val q41 = Q("q41_brand_revenue",
+    """SELECT p_brand,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  sum(l_quantity) AS sum_qty,
+      |  count(DISTINCT l_partkey) AS n_parts
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"), "inner")
+      .groupBy("p_brand")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        sum("l_quantity").as("sum_qty"),
+        countDistinct("l_partkey").as("n_parts"))
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q41)
 }

@@ -29,6 +29,16 @@ final case class Warehouse(root: String) {
   def append(df: DataFrame, table: String): Unit =
     df.write.mode("append").parquet(dir(table))
 
+  /** Partitioned insert (the 100 TB fact layout, SURVEY §4: facts
+    * partitioned by their date key). Date-filtered reads then prune
+    * whole partitions (`PartitionFilters` in the scan) instead of
+    * scanning data files.
+    */
+  def appendPartitioned(df: DataFrame, table: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*)
+      .parquet(dir(table))
+
   /** Full refresh (S6: DELETE all + INSERT SELECT). */
   def overwrite(df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").parquet(dir(table))

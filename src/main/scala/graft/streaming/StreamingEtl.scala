@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
 import graft.ops.Scd
 
 /** Structured-Streaming surface. The reference's incrementality is
@@ -31,6 +31,35 @@ object StreamingEtl {
     * replace this dance in production; the operator itself is
     * unchanged.
     */
+  /** Typed event row for the stateful operators. */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Running per-user totals across micro-batches. */
+  final case class UserTotal(user_id: Long, n_events: Long,
+      sum_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: per-user running
+    * totals, updated every micro-batch (Update output mode). State is
+    * one small record per user — bounded, shuffle-partitioned on the
+    * key, the canonical KeyValueGroupedDataset stateful shape.
+    */
+  def runningUserTotals(events: Dataset[Ev])
+      : Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev],
+         state: org.apache.spark.sql.streaming.GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prev.n_events
+          var sum = prev.sum_value
+          evs.foreach { e => n += 1; sum += e.value }
+          val next = UserTotal(uid, n, sum)
+          state.update(next)
+          next
+      }
+  }
+
   def scd1Sink(src: DataFrame, targetDir: String, keys: Seq[String],
       attrs: Seq[String], checkpointDir: String): StreamingQuery =
     src.writeStream

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{Cdc, Scd}
+
+/** Property-based invariants (SURVEY §5.4) over ScalaCheck-generated
+  * frames: SCD1 idempotence, SCD2 structural invariants, CDC
+  * fixed-point. Sampled explicitly (seeded) to keep Spark-job count
+  * bounded and runs reproducible.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowGen: Gen[(Long, Option[String], Option[Double])] = for {
+    k <- Gen.choose(0L, 9L)
+    s <- Gen.option(Gen.oneOf("a", "b", "c"))
+    v <- Gen.option(Gen.choose(0, 99).map(_.toDouble))
+  } yield (k, s, v)
+
+  private val tableGen = Gen.listOfN(12, rowGen)
+
+  private def sample(seed: Long) = {
+    val params = Gen.Parameters.default
+    val t = tableGen.pureApply(params, Seed(seed))
+      .distinctBy(_._1) // unique business keys
+    t.map { case (k, s, v) => (k, s.orNull, v.map(Double.box).orNull) }
+      .toDF("k", "s", "v")
+  }
+
+  test("property: scd1Merge idempotent and key-complete over random " +
+    "frames with nulls") {
+    (1L to 8L).foreach { seed =>
+      val src = sample(seed)
+      val tgt = sample(seed + 100)
+      val once = Scd.scd1Merge(src, tgt, Seq("k"), Seq("s", "v")).persist()
+      val twice = Scd.scd1Merge(src, once, Seq("k"), Seq("s", "v"))
+      assert(rows(once) == rows(twice), s"idempotence failed seed=$seed")
+      val expectKeys = (src.select("k").as[Long].collect().toSet
+        ++ tgt.select("k").as[Long].collect().toSet)
+      assert(once.select("k").as[Long].collect().toSet == expectKeys,
+        s"key completeness failed seed=$seed")
+      once.unpersist(); ()
+    }
+  }
+
+  test("property: scd2Merge keeps exactly one current row per live " +
+    "key, exp>=eff, and is a fixed-point on re-run") {
+    val asOf = lit(java.sql.Date.valueOf("2024-01-01"))
+    (1L to 6L).foreach { seed =>
+      val src = sample(seed)
+      val hist = sample(seed + 50)
+        .withColumn("current_flag", lit(1L))
+        .withColumn("eff_dt", lit(java.sql.Date.valueOf("2020-01-01")))
+        .withColumn("exp_dt", lit(null).cast("date"))
+      val out = Scd.scd2Merge(src, hist, Seq("k"), Seq("s", "v"), asOf)
+        .persist()
+      val maxCur = out.filter($"current_flag" === 1)
+        .groupBy("k").count().agg(max("count")).head().getLong(0)
+      assert(maxCur == 1L, s"multiple current rows seed=$seed")
+      assert(out.filter($"exp_dt".isNotNull && $"exp_dt" < $"eff_dt")
+        .count() == 0, s"exp<eff seed=$seed")
+      val again = Scd.scd2Merge(src, out, Seq("k"), Seq("s", "v"), asOf)
+      assert(rows(again) == rows(out), s"not a fixed-point seed=$seed")
+      out.unpersist(); ()
+    }
+  }
+
+  test("property: CDC delta of (existing ∪ delta) is empty") {
+    (1L to 8L).foreach { seed =>
+      val src = sample(seed)
+      val existing = sample(seed + 7)
+      val delta = Cdc.newRows(src, existing, Seq("k"))
+      val after = existing.select("k").unionByName(delta.select("k"))
+      assert(Cdc.newRows(src, after, Seq("k")).count() == 0,
+        s"re-run appended rows seed=$seed")
+    }
+  }
+}

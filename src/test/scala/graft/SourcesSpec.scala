@@ -41,4 +41,20 @@ class SourcesSpec extends SparkSpec {
     wh.mergeOverwrite(Scd.scd1Merge(src, tgt, Seq("k"), Seq("v")), "t")
     assert(rows(wh.read(spark, "t")) == Set(Seq(3L, "c2"), Seq(4L, "d")))
   }
+
+  test("appendPartitioned: date-filtered reads prune partitions " +
+    "(PartitionFilters in the scan, not data filters)") {
+    val root = Files.createTempDirectory("graft-wh2").toString
+    val wh = Warehouse(root)
+    val fact = Seq(
+      ("2024-01-01", 1L, 10.0), ("2024-01-02", 2L, 20.0),
+      ("2024-01-03", 3L, 30.0)).toDF("dt", "k", "v")
+    wh.appendPartitioned(fact, "fct", Seq("dt"))
+    val filtered = wh.read(spark, "fct").filter($"dt" === "2024-01-02")
+    assert(filtered.count() == 1)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert("PartitionFilters: \\[[^\\]]*dt[^\\]]*\\]".r
+      .findFirstIn(plan).isDefined, plan)
+  }
 }

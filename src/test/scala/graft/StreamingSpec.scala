@@ -40,6 +40,30 @@ class StreamingSpec extends SparkSpec {
       Set(Seq(1L, "a2", 10.0), Seq(2L, "b", 20.0), Seq(3L, "c", 30.0)))
   }
 
+  test("runningUserTotals: mapGroupsWithState accumulates across " +
+    "micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingEtl.{Ev, UserTotal}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingEtl.runningUserTotals(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("totals").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(Ev(1L, ts("2024-01-01 10:00:00"), 1.0),
+      Ev(1L, ts("2024-01-01 10:01:00"), 2.0),
+      Ev(2L, ts("2024-01-01 10:02:00"), 5.0))
+    q.processAllAvailable()
+    input.addData(Ev(1L, ts("2024-01-01 10:03:00"), 4.0))
+    q.processAllAvailable()
+    // latest state per user: u1 has 3 events summing 7, u2 one event
+    val latest = spark.table("totals").as[UserTotal].collect()
+      .groupBy(_.user_id).map { case (u, ts) => u -> ts.maxBy(_.n_events) }
+    assert(latest(1L) == UserTotal(1L, 3L, 7.0))
+    assert(latest(2L) == UserTotal(2L, 1L, 5.0))
+    q.stop()
+  }
+
   test("windowedCounts aggregates per hour × type under a watermark") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
