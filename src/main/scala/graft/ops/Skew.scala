@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation (SURVEY §7.3 "salting for skew"). AQE's skew-join
+  * handles sort-merge skew automatically; explicit salting is the tool
+  * when a hot key must spread across reducers in a hash join or
+  * aggregation regardless of plan shape.
+  */
+object Skew {
+
+  /** Salted equi-join: the big (skewed) side gets a per-row salt in
+    * [0, nSalts); the small side is replicated once per salt value, so
+    * a hot key's rows land on nSalts reducers instead of one.
+    * Result is identical to `big.join(small, keys, joinType)`;
+    * supported joinTypes: inner / left (right-side replication makes
+    * other types incorrect).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      nSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, got $joinType")
+    val b = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(nSalts)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    b.join(s, (keys :+ "__salt").toSeq, joinType).drop("__salt")
+  }
+}

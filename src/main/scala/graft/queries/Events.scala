@@ -145,5 +145,30 @@ object Events {
     b.except(u)
   }
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27)
+  /** As-of join (temporal attribution): each purchase matched to the
+    * user's most recent click at-or-before it. Spark has no native
+    * as-of operator; graft.ops.AsOf composes it as union + keyed
+    * ordered window (one shuffle). Oracle: DuckDB's native ASOF JOIN.
+    */
+  val q42 = Q("q42_asof_join",
+    """SELECT p.event_id, p.user_id, c.event_id AS click_id,
+      |  date_diff('second', c.ts, p.ts) AS gap_s
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin) {
+    (s, dir) =>
+      val e = Tables(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val c = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOf.join(p, c, Seq("user_id"), "ts", "ts",
+        Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("click_id"),
+          (col("ts").cast("long") - col("asof_ts").cast("long"))
+            .as("gap_s"))
+  }
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q42)
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AsOf, Skew}
+
+class AsOfSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("AsOf.join: latest right row at-or-before, per key; null when " +
+    "no prior; inclusive on equal timestamps") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // after r2
+      (2L, 10L, ts("2024-01-01 08:59:59")),  // before everything
+      (3L, 10L, ts("2024-01-01 09:30:00")),  // equal to r1 ts → inclusive
+      (4L, 20L, ts("2024-01-01 12:00:00")))  // other key, no right rows
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 09:30:00")), // r1
+      (102L, 10L, ts("2024-01-01 09:45:00"))) // r2
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOf.join(left, right, Seq("user_id"), "ts", "ts",
+      Seq("event_id"))
+      .select($"event_id", $"asof_event_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out(1L).contains(102L))
+    assert(out(2L).isEmpty)
+    assert(out(3L).contains(101L)) // inclusive match
+    assert(out(4L).isEmpty)
+  }
+
+  test("Skew.saltedJoin equals the plain join on a skewed key " +
+    "distribution (inner and left)") {
+    val big = (1 to 500).map(i => (if (i <= 450) 1L else i.toLong,
+      i.toDouble)).toDF("k", "v") // heavy skew on k=1
+    val small = Seq((1L, "hot"), (7L, "x"), (999L, "unmatched"))
+      .toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), jt)
+      val salted = Skew.saltedJoin(big, small, Seq("k"), 8, jt)
+      assert(salted.count() == plain.count(), jt)
+      val ps = plain.agg(round(sum("v"), 6)).head().getDouble(0)
+      val ss = salted.agg(round(sum("v"), 6)).head().getDouble(0)
+      assert(ps == ss, jt)
+      assert(rows(salted) == rows(plain), jt)
+    }
+  }
+}
