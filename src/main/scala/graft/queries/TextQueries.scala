@@ -21,29 +21,17 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
-  /** Exploded (doc_id, shingle) pairs: 8-char shingles, stride 4. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      explode(TextOps.shinglePositions(col("text"), 8, 4)).as("i"),
-      col("text"))
-      .select(col("doc_id"),
-        TextOps.shingleAt(col("text"), col("i"), 8).as("sh"))
-
-  /** 6-component MinHash signature per doc. Persisted: the signature
-    * table is tiny relative to the corpus (6 hashes/doc) and every LSH
-    * consumer references it several times — without persist Spark
-    * re-runs the whole shingle explode per reference (no cross-
-    * DataFrame CSE). At 100 TB this is the step a production pipeline
-    * materializes to storage.
+  /** 6-component MinHash signature per doc — per-row scalar
+    * expressions (TextOps.minhashExpr): a map-only projection, no
+    * explode/shuffle. Persisted because every LSH consumer references
+    * it several times and the md5 work is worth one materialization —
+    * at 100 TB this is the signature table a pipeline writes to
+    * storage.
     */
   private def signatures(s: SparkSession, dir: String): DataFrame =
-    shingled(s, dir).groupBy("doc_id")
-      .agg(TextOps.minhash(col("sh"), 0).as("mh0"),
-        TextOps.minhash(col("sh"), 1).as("mh1"),
-        TextOps.minhash(col("sh"), 2).as("mh2"),
-        TextOps.minhash(col("sh"), 3).as("mh3"),
-        TextOps.minhash(col("sh"), 4).as("mh4"),
-        TextOps.minhash(col("sh"), 5).as("mh5"))
+    docs(s, dir).select(col("doc_id") +:
+      (0 to 5).map(i =>
+        TextOps.minhashExpr(col("text"), 8, 4, i).as(s"mh$i")): _*)
       .persist()
 
   private val shingleSqlCte =
@@ -133,26 +121,19 @@ object TextQueries {
       |FROM i
       |JOIN c ca ON ca.doc_id = i.doc_a
       |JOIN c cb ON cb.doc_id = i.doc_b""".stripMargin) { (s, dir) =>
-    val grams = docs(s, dir).select(col("doc_id"),
-      explode(TextOps.shinglePositions(col("text"), 4, 1)).as("i"),
-      col("text"))
-      .select(col("doc_id"),
-        TextOps.shingleAt(col("text"), col("i"), 4).as("g"))
-      .distinct()
-      .persist() // referenced 3× (sets, counts, shifted side)
-    val counts = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val b = grams.select((col("doc_id") - 1).as("doc_id"), col("g"))
-    val inter = grams.join(b.withColumnRenamed("doc_id", "doc_a")
-      .withColumnRenamed("g", "gb"),
-      col("doc_id") === col("doc_a") && col("g") === col("gb"))
-      .groupBy(col("doc_id").as("doc_a2"))
-      .agg(count(lit(1)).as("ni"))
-    inter
-      .join(counts.select(col("doc_id").as("doc_a2"), col("n").as("na")),
-        Seq("doc_a2"))
-      .join(counts.select((col("doc_id") - 1).as("doc_a2"),
-        col("n").as("nb")), Seq("doc_a2"))
-      .select(col("doc_a2").as("doc_a"), (col("doc_a2") + 1).as("doc_b"),
+    // Per-row gram SETS (no explode/shuffle), then a tiny doc→doc+1
+    // equi-join and array_intersect — the whole query is one narrow
+    // join on doc ids instead of a |docs|×|grams| shuffle + self-join.
+    val sets = docs(s, dir).select(col("doc_id"),
+      TextOps.shingleSet(col("text"), 4, 1).as("gs"))
+    val b = sets.select((col("doc_id") - 1).as("doc_id"),
+      col("gs").as("gs_b"))
+    sets.join(b, Seq("doc_id"))
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"),
+        size(array_intersect(col("gs"), col("gs_b"))).as("ni"),
+        size(col("gs")).as("na"), size(col("gs_b")).as("nb"))
+      .filter(col("ni") > 0) // oracle's inner join keeps overlapping pairs
+      .select(col("doc_a"), col("doc_b"),
         round(col("ni").cast("double") /
           (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
   }

@@ -42,6 +42,24 @@ object TextOps {
   def minhash(shingle: Column, seed: Int): Column =
     min(md5(concat(lit(s"$seed:"), shingle)))
 
+  /** Per-row k-gram shingle SET (distinct) as an array — the
+    * no-shuffle formulation: a pure projection computes each document's
+    * gram set in place, instead of explode → distinct → groupBy
+    * (which shuffles |doc|×|grams| rows). At 100 TB this is the
+    * difference between a map-only pass and a multi-TB shuffle.
+    */
+  def shingleSet(text: Column, k: Int, stride: Int): Column =
+    array_distinct(transform(shinglePositions(text, k, stride),
+      i => text.substr(i, lit(k))))
+
+  /** Per-row MinHash component over the document's shingles — same
+    * value as [[minhash]] after grouping, computed as a scalar
+    * expression (array_min over md5s), no explode/aggregation.
+    */
+  def minhashExpr(text: Column, k: Int, stride: Int, seed: Int): Column =
+    array_min(transform(shinglePositions(text, k, stride),
+      i => md5(concat(lit(s"$seed:"), text.substr(i, lit(k))))))
+
   /** Count of tokens matching a marker set (language ID / stopword
     * ratio) — array filter, no explode needed.
     */
