@@ -52,17 +52,18 @@ object Scd {
       attrs: Seq[String], asOf: Column,
       flagCol: String = "current_flag",
       effCol: String = "eff_dt", expCol: String = "exp_dt"): DataFrame = {
-    // `s` (the incoming batch — small next to the history at scale) and
-    // the changed-key set are each referenced by 2-3 downstream joins;
-    // persist to avoid recomputing their upstream per reference.
+    // NOTE: deliberately no .persist() inside this operator — Spark's
+    // cache manager matches by canonicalized logical plan, so caching a
+    // frame derived from a warehouse path here would serve STALE data
+    // to a later merge that re-reads the same path after an overwrite
+    // (observed: a day-2 cached changed-key set re-versioning day-3
+    // rows). Callers with immutable inputs may persist src themselves.
     val cur = hist.filter(col(flagCol) === 1)
       .select((keys ++ attrs).map(col): _*)
     val s = suffixed(src.select((keys ++ attrs).map(col): _*), attrs, "__s")
-      .persist()
 
     val changedKeys = cur.join(s, keys, "inner")
       .filter(anyAttrDiffers(attrs, "__s")).select(keys.map(col): _*)
-      .persist()
     val newKeys = s.join(cur, keys, "left_anti").select(keys.map(col): _*)
     val versionKeys = changedKeys.unionByName(newKeys)
 

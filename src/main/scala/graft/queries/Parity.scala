@@ -470,7 +470,10 @@ object Parity {
       |     OR EXISTS (SELECT 1 FROM newk n WHERE n.k = s.k))
       |SELECT * FROM expired UNION ALL SELECT * FROM fresh""".stripMargin) {
     (s, dir) =>
-      val c = t(s, dir, "customer")
+      // inputs are immutable testdata → safe to persist the reused
+      // source/current frames here (NOT inside Scd itself — see the
+      // stale-cache note in Scd.scd2Merge)
+      val c = t(s, dir, "customer").persist()
       val curv = c.select(col("c_custkey").as("k"),
         col("c_mktsegment").as("seg"), round(col("c_acctbal"), 2).as("bal"),
         lit(1L).as("current_flag"),
