@@ -43,6 +43,20 @@ final case class Warehouse(root: String) {
   def overwrite(df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").parquet(dir(table))
 
+  /** Bucketed CTAS (S8) into the session catalog: co-locates future
+    * equi-joins/aggregations on `bucketCols` — two tables bucketed the
+    * same way join with NO exchange (verified in SourcesSpec). The
+    * 100 TB pattern for repeated joins on the same key (e.g. fact ⋈
+    * fact on order id): pay the shuffle once at write time.
+    */
+  def saveBucketed(df: DataFrame, table: String, nBuckets: Int,
+      bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", dir(table))
+      .saveAsTable(table)
+
   /** Atomic-ish replace for merges that read their own target:
     * write to `<table>.tmp`, then swap directories.
     */

@@ -42,6 +42,30 @@ class SourcesSpec extends SparkSpec {
     assert(rows(wh.read(spark, "t")) == Set(Seq(3L, "c2"), Seq(4L, "d")))
   }
 
+  test("saveBucketed: equi-join of two same-bucketed tables runs " +
+    "with no shuffle exchange") {
+    val root = Files.createTempDirectory("graft-wh3").toString
+    val wh = Warehouse(root)
+    val a = (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+    val b = (1 to 200).map(i => (i.toLong, s"n$i")).toDF("k", "nb")
+    wh.saveBucketed(a, "bkt_a", 4, Seq("k"))
+    wh.saveBucketed(b, "bkt_b", 4, Seq("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"),
+        Seq("k"))
+      assert(joined.count() == 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+      ()
+    }
+  }
+
   test("appendPartitioned: date-filtered reads prune partitions " +
     "(PartitionFilters in the scan, not data filters)") {
     val root = Files.createTempDirectory("graft-wh2").toString

@@ -72,6 +72,15 @@ class TextSimSpec extends SparkSpec {
     assert(b1 == b2 && b1 >= 0 && b1 < 16)
   }
 
+  test("Approx sketches track exact values within tolerance") {
+    import graft.ops.Approx
+    val df = (1 to 5000).map(i => (i % 997).toLong).toDF("v")
+    val r = df.agg(Approx.approxDistinct($"v").as("ad"),
+      Approx.approxQuantile($"v", 0.5).as("aq")).head()
+    assert(math.abs(r.getLong(0) - 997L) <= 40) // 2% rsd sketch
+    assert(math.abs(r.getAs[Number](1).doubleValue() - 498.0) <= 10)
+  }
+
   test("multimodal fakeDecode: deterministic features and frames") {
     import graft.multimodal.Multimodal
     val payload = "abcdabcd".getBytes("UTF-8")
