@@ -42,6 +42,20 @@ class SourcesSpec extends SparkSpec {
     assert(rows(wh.read(spark, "t")) == Set(Seq(3L, "c2"), Seq(4L, "d")))
   }
 
+  test("Typed datasets + SQL views: typed filter compiles and agrees " +
+    "with the spark.sql formulation") {
+    import graft.sources.Typed
+    val dir = "/root/testdata/sf0.001"
+    val typedCount = Typed.orders(spark, dir)
+      .filter(o => o.o_orderpriority == "1-URGENT" && o.o_totalprice > 0)
+      .count()
+    Typed.registerViews(spark, dir)
+    val sqlCount = spark.sql(
+      "SELECT count(*) FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "AND o_totalprice > 0").head().getLong(0)
+    assert(typedCount == sqlCount && typedCount > 0)
+  }
+
   test("saveBucketed: equi-join of two same-bucketed tables runs " +
     "with no shuffle exchange") {
     val root = Files.createTempDirectory("graft-wh3").toString
