@@ -170,5 +170,33 @@ object Events {
             .as("gap_s"))
   }
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q42)
+  /** Banded range join: purchase×click pairs of the same user within
+    * ±10 minutes — equi-join on (user, time-band) + exact filter
+    * instead of the quadratic inequality join Spark would plan.
+    * Oracle: DuckDB plans the raw inequality natively (IEJoin).
+    */
+  val q43 = Q("q43_range_join",
+    """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+      |  date_diff('second', c.ts, p.ts) AS gap_s
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND p.ts >= c.ts - INTERVAL 600 SECONDS
+      | AND p.ts <= c.ts + INTERVAL 600 SECONDS""".stripMargin) {
+    (s, dir) =>
+      val e = Tables(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("ts_p"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("ts").as("ts_c"))
+      graft.ops.RangeJoin.withinGap(p, c, Seq("user_id"),
+        "ts_p", "ts_c", 600L)
+        .select(col("p_id"), col("c_id"), col("user_id"),
+          (col("ts_p").cast("long") - col("ts_c").cast("long"))
+            .as("gap_s"))
+  }
+
+  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43)
 }

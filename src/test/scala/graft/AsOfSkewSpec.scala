@@ -30,6 +30,28 @@ class AsOfSkewSpec extends SparkSpec {
     assert(out(4L).isEmpty)
   }
 
+  test("RangeJoin.withinGap: inclusive ±gap bounds, cross-band " +
+    "matches, no duplicate pairs") {
+    import graft.ops.RangeJoin
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:10:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 10:10:00")))
+      .toDF("p_id", "user_id", "ts_p")
+    val right = Seq(
+      (101L, 10L, ts("2024-01-01 10:00:00")), // exactly -600s of p1
+      (102L, 10L, ts("2024-01-01 10:20:00")), // exactly +600s of p1
+      (103L, 10L, ts("2024-01-01 10:20:01")), // 601s → out
+      (104L, 10L, ts("2024-01-01 11:55:00")), // near p2, crosses band
+      (105L, 30L, ts("2024-01-01 10:10:00"))) // other key
+      .toDF("c_id", "user_id", "ts_c")
+    val out = RangeJoin.withinGap(left, right, Seq("user_id"),
+      "ts_p", "ts_c", 600L)
+      .select($"p_id", $"c_id").as[(Long, Long)].collect().toSeq
+    assert(out.size == out.distinct.size) // no dupes from banding
+    assert(out.toSet == Set((1L, 101L), (1L, 102L), (2L, 104L)))
+  }
+
   test("Skew.saltedJoin equals the plain join on a skewed key " +
     "distribution (inner and left)") {
     val big = (1 to 500).map(i => (if (i <= 450) 1L else i.toLong,
