@@ -198,5 +198,37 @@ object Events {
             .as("gap_s"))
   }
 
-  val all: Seq[Q] = Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43)
+  /** CUBE grouping sets (all four combinations of year × status). */
+  val q44 = Q("q44_cube",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS amt
+      |FROM orders
+      |GROUP BY CUBE (1, 2)""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .cube(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("amt"))
+  }
+
+  /** RANGE interval frame: per-user rolling 1-hour sum ordered by
+    * event time (value-range frame, not row-count — SURVEY §2.5 noted
+    * the reference never uses frame specs; the engine supports both).
+    */
+  val q45 = Q("q45_range_frame",
+    """SELECT event_id, user_id,
+      |  round(sum(value) OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS roll_1h
+      |FROM events""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(sum("value").over(w), 2).as("roll_1h"))
+  }
+
+  val all: Seq[Q] =
+    Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45)
 }

@@ -28,11 +28,19 @@ object TextQueries {
     * at 100 TB this is the signature table a pipeline writes to
     * storage.
     */
-  private def signatures(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id") +:
-      (0 to 5).map(i =>
-        TextOps.minhashExpr(col("text"), 8, 4, i).as(s"mh$i")): _*)
-      .persist()
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    // all 6 components in ONE nested-HOF pass over the shingles
+    // (seed is the outer lambda variable), cached as an array; the
+    // element_at unpacking sits above the cache so projection collapse
+    // can't inline the array expression 6×
+    val sigArr = transform(sequence(lit(0), lit(5)), seed =>
+      array_min(transform(TextOps.shinglePositions(col("text"), 8, 4),
+        i => md5(concat(seed.cast("string"), lit(":"),
+          col("text").substr(i, lit(8)))))))
+    docs(s, dir).select(col("doc_id"), sigArr.as("mh")).persist()
+      .select(col("doc_id") +:
+        (0 to 5).map(i => element_at(col("mh"), i + 1).as(s"mh$i")): _*)
+  }
 
   private val shingleSqlCte =
     """sh AS (
@@ -126,6 +134,7 @@ object TextQueries {
     // join on doc ids instead of a |docs|×|grams| shuffle + self-join.
     val sets = docs(s, dir).select(col("doc_id"),
       TextOps.shingleSet(col("text"), 4, 1).as("gs"))
+      .persist() // immutable testdata; referenced by both join sides
     val b = sets.select((col("doc_id") - 1).as("doc_id"),
       col("gs").as("gs_b"))
     sets.join(b, Seq("doc_id"))
