@@ -13,10 +13,10 @@ object Cdc {
   /** Rows of `src` whose grain key is absent from `existing`.
     * The reference anti-joins PRE-aggregation on raw rows (DW:60-67) —
     * equivalent here because grain keys are the join keys; preserved.
+    * No dedup on the existing side: anti-join semantics are already
+    * set-membership, so a distinct would only add an Exchange+Aggregate.
     */
   def newRows(src: DataFrame, existing: DataFrame,
       keys: Seq[String]): DataFrame =
-    src.join(
-      existing.select(keys.map(existing(_)): _*).dropDuplicates(),
-      keys, "left_anti")
+    src.join(existing.select(keys.map(existing(_)): _*), keys, "left_anti")
 }

@@ -21,8 +21,8 @@ object SimQueries {
   private val normSql =
     "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
 
-  private def bucketSql: String =
-    "CAST(" + (0 until 4).map { s =>
+  private def bucketSql(nPlanes: Int): String =
+    "CAST(" + (0 until nPlanes).map { s =>
       s"(CASE WHEN list_sum(list_transform(range(1,65), i -> " +
         s"embedding[CAST(i AS INT)]::DOUBLE * " +
         s"(strpos('0123456789abcdef', substr(md5('$s:'||i),1,1)) - 1 - 7.5)" +
@@ -74,7 +74,8 @@ object SimQueries {
     */
   val q38 = Q("q38_ann_lsh",
     s"""WITH e AS (
-       |  SELECT vec_id, embedding, $normSql AS nrm, $bucketSql AS bkt
+       |  SELECT vec_id, embedding, $normSql AS nrm,
+       |    ${bucketSql(4)} AS bkt
        |  FROM embeddings),
        |q AS (SELECT * FROM e WHERE vec_id < 8),
        |c AS (SELECT * FROM e WHERE vec_id >= 8),
@@ -110,32 +111,34 @@ object SimQueries {
 
   /** Embedding-cosine near-duplicate pairs among the corpus itself:
     * same-bucket pairs with rounded cosine above threshold — the
-    * embedding-space analog of MinHash dedup (bounded by bucketing).
+    * embedding-space analog of MinHash dedup. Buckets are CAPPED at
+    * `NearDupMaxBucket` before the pair join (mirror of q30's band
+    * cap), so a hot bucket can never go quadratic; `NearDupPlanes` is
+    * the corpus-sized plane count (Similarity.planesFor(500, 32) = 4
+    * for the test corpus; at 1e10 vectors the same formula gives 28).
     */
+  private val NearDupPlanes = Similarity.planesFor(500L, 32)
+  private val NearDupMaxBucket = 40
+
   val q39 = Q("q39_embedding_neardup",
     s"""WITH e AS (
-       |  SELECT vec_id, embedding, $normSql AS nrm, $bucketSql AS bkt
+       |  SELECT vec_id, embedding, $normSql AS nrm,
+       |    ${bucketSql(NearDupPlanes)} AS bkt
        |  FROM embeddings),
+       |ok AS (
+       |  SELECT bkt FROM e GROUP BY bkt
+       |  HAVING count(*) BETWEEN 2 AND $NearDupMaxBucket),
        |sims AS (
        |  SELECT q.vec_id AS id_a, c.vec_id AS id_b, q.bkt,
        |    round($dotSql / (q.nrm * c.nrm), 6) AS sim
-       |  FROM e q JOIN e c ON c.bkt = q.bkt AND q.vec_id < c.vec_id)
+       |  FROM e q
+       |  JOIN ok ON ok.bkt = q.bkt
+       |  JOIN e c ON c.bkt = q.bkt AND q.vec_id < c.vec_id)
        |SELECT id_a, id_b, bkt, sim FROM sims
        |WHERE sim > 0.2""".stripMargin) { (s, dir) =>
-    val e = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        Similarity.norm(col("embedding")).as("nrm"),
-        Similarity.lshBucket(col("embedding"), 4, D).as("bkt"))
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("qe"),
-      col("nrm").as("qn"), col("bkt"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("ne"),
-      col("nrm").as("cn"), col("bkt"))
-    a.join(b, Seq("bkt"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("bkt"),
-        round(Similarity.dot(col("qe"), col("ne"))
-          / (col("qn") * col("cn")), 6).as("sim"))
-      .filter(col("sim") > 0.2)
+    Similarity.nearDupPairs(
+      Tables(s, dir, "embeddings").select("vec_id", "embedding"),
+      NearDupPlanes, D, NearDupMaxBucket, 0.2)
   }
 
   val all: Seq[Q] = Seq(q37, q38, q39)

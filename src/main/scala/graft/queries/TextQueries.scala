@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.sources.Tables
@@ -168,19 +168,25 @@ object TextQueries {
       |  CAST(sum(CASE WHEN wgt > 0 THEN CAST(power(2, b) AS BIGINT)
       |               ELSE 0 END) AS BIGINT) AS simhash
       |FROM wg GROUP BY doc_id""".stripMargin) { (s, dir) =>
-    val tok = docs(s, dir)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("h"))
-    val bits = tok.select(col("doc_id"), col("h"),
-      explode(sequence(lit(0), lit(15))).as("b"))
-      .select(col("doc_id"), col("b"),
-        (floor(TextOps.hexDigit(col("h"), expr("b div 4") + 1)
-          / pow(lit(2), col("b") % 4)).cast("int") % 2).as("bit"))
-    bits.groupBy("doc_id", "b")
-      .agg(sum(col("bit") * 2 - 1).as("wgt"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("wgt") > 0, pow(lit(2), col("b")).cast("long"))
-        .otherwise(0L)).cast("long").as("simhash"))
+    // Per-row formulation (mirror of TextOps.minhashExpr): fold the
+    // token array into a 16-slot weight vector with aggregate+zip_with,
+    // then fold the weights into the signature — a pure projection.
+    // The explode-×16-bits + double-groupBy version shuffled twice and
+    // blew rows up 16×; this is map-only, zero Exchange at any scale.
+    def bit(h: Column, b: Column): Column =
+      floor(TextOps.hexDigit(h, (b / 4).cast("int") + 1)
+        / pow(lit(2), b % 4)).cast("int") % 2
+    val weights = aggregate(
+      transform(TextOps.tokens(col("text")), w => md5(w)),
+      array_repeat(lit(0), 16),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(15)),
+        (a, b) => a + bit(h, b) * 2 - 1))
+    val simhash = aggregate(
+      zip_with(weights, sequence(lit(0), lit(15)),
+        (wgt, b) => when(wgt > 0, pow(lit(2), b).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    docs(s, dir).select(col("doc_id"), simhash.as("simhash"))
   }
 
   private val langMarkers = Seq(

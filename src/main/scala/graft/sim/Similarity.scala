@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Vector-similarity primitives over `array<float>` embedding columns.
@@ -59,4 +59,45 @@ object Similarity {
       when(dot(emb, plane(s, dim)) > 0,
         lit(1L << s)).otherwise(lit(0L))
     }.reduce(_ + _).cast("long")
+
+  /** Plane count sized to the corpus: enough hyperplanes that the
+    * EXPECTED bucket holds ~`targetBucket` vectors (buckets ≈
+    * n / 2^planes). At 100 TB this is the knob that keeps the pair
+    * join linear: planesFor(1e10, 64) = 28 planes → 2.7e8 buckets.
+    */
+  def planesFor(corpusSize: Long, targetBucket: Int): Int =
+    math.max(1, math.ceil(math.log(corpusSize.toDouble / targetBucket)
+      / math.log(2.0)).toInt)
+
+  /** Embedding-cosine near-duplicate pairs, bucketed AND capped.
+    *
+    * `e` must carry (`vec_id`, `embedding`). Pairs are generated only
+    * within an LSH bucket, and only for buckets of size 2..`maxBucket`
+    * — the same semantic skew-guard as the MinHash-LSH band cap
+    * (TextQueries q30): a hot bucket can never produce more than
+    * C(maxBucket, 2) pairs, so worst-case output is
+    * (n/2^planes-capped) × C(maxBucket,2) — linear in the corpus, never
+    * quadratic, and the shuffle key space is 2^nPlanes (size the planes
+    * with [[planesFor]]). The bucket-size table is ≤ 2^nPlanes rows and
+    * is broadcast, so the cap costs no extra shuffle of the corpus.
+    */
+  def nearDupPairs(e: DataFrame, nPlanes: Int, dim: Int,
+      maxBucket: Int, minSim: Double): DataFrame = {
+    val scored = e.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      lshBucket(col("embedding"), nPlanes, dim).as("bkt"))
+    val sized = scored.groupBy("bkt").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket)).select("bkt")
+    val inCap = scored.join(broadcast(sized), Seq("bkt"))
+    val a = inCap.select(col("bkt"), col("vec_id").as("id_a"),
+      col("embedding").as("qe"), col("nrm").as("qn"))
+    val b = inCap.select(col("bkt"), col("vec_id").as("id_b"),
+      col("embedding").as("ne"), col("nrm").as("cn"))
+    a.join(b, Seq("bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("bkt"),
+        round(dot(col("qe"), col("ne"))
+          / (col("qn") * col("cn")), 6).as("sim"))
+      .filter(col("sim") > minSim)
+  }
 }
