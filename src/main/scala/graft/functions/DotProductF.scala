@@ -8,11 +8,20 @@ import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.types._
 
 /** Fused dot product over two `array<float>` columns, accumulated in
-  * double, element order left-to-right — numerically identical to the
-  * zip_with+aggregate higher-order formulation (and to the DuckDB
-  * oracle's list fold), but a native codegen'd Expression: the HOFs are
+  * double, element order left-to-right — same fold order as the
+  * zip_with+aggregate higher-order formulation and the DuckDB oracle's
+  * list fold, but a native codegen'd Expression: the HOFs are
   * CodegenFallback, so on the ANN hot loop (every query×candidate pair)
   * this removes per-element closure dispatch entirely.
+  *
+  * Degenerate-input semantics (differs from the HOF form, which yields
+  * null): arrays of different lengths are truncated to the shorter one,
+  * and null ELEMENTS read as 0.0 — i.e. missing/null components
+  * contribute nothing to the sum. A top-level null array still yields
+  * null (null-safe eval). Embedding columns are fixed-dimension and
+  * non-null in every engine path, so the two formulations agree there;
+  * the truncate/zero behavior is deliberate for the hot loop (no
+  * per-element branch).
   *
   * Preference order per SURVEY §2.10: built-ins first; this is the one
   * place the built-ins genuinely can't express the fused loop, so a

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -62,19 +62,21 @@ object Multimodal {
     (nFrames.toLong, feat)
   }
 
-  /** Partition-batched feature extraction over the media table. */
+  /** Partition-batched feature extraction over the media table —
+    * typed `Dataset.mapPartitions` (stays inside Tungsten encoding; no
+    * RDD round-trip in the plan), producing [[featureSchema]].
+    */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "payload").rdd
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition init would go here (codec context, model, …)
-        rows.map { r =>
-          val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
+        rows.map { case (id, payload) =>
           val (nFrames, feat) = fakeDecode(payload)
-          Row(id, payload.length.toLong, nFrames, feat.toSeq)
+          (id, payload.length.toLong, nFrames, feat)
         }
       }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF("media_id", "n_bytes", "n_frames", "feature")
   }
 }

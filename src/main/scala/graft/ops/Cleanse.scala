@@ -18,8 +18,16 @@ object Cleanse {
     * Reference: strptime "%d-%m-%Y" (ETLScript_withSCDimplementation.py:32);
     * we use this format uniformly (the reference's *intended* semantics —
     * its stored-column cast is accidentally month-first, SURVEY §1.4.4).
+    * STRICT like the reference's strptime: under Spark 4's default ANSI
+    * mode a malformed date throws (use [[parseDateOrNull]] for
+    * null-on-malformed quarantine flows).
     */
   def parseDate(c: Column): Column = to_date(c, "dd-MM-yyyy")
+
+  /** Lenient variant: malformed dates become null (try_to_date), for
+    * pipelines that quarantine bad rows instead of failing the job.
+    */
+  def parseDateOrNull(c: Column): Column = try_to_date(c, "dd-MM-yyyy")
 
   /** Project to a keep-list THEN drop exact duplicates. Order is
     * load-bearing: duplicates may differ only in dropped columns

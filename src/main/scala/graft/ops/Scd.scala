@@ -42,16 +42,33 @@ object Scd {
     tgt.join(s, keys, "full_outer").select(out: _*)
   }
 
+  /** Deterministic version surrogate key: md5 over (business keys,
+    * effective date). The reference's Product dimension carries
+    * `PID numeric Identity(1,1)` (SQLserver Scripts/Createtables_BIKES
+    * .sql:74); an identity sequence is a single-writer construct that
+    * doesn't distribute, so the Spark-native surrogate is a hash of the
+    * version's natural identity — unique per (key, version) with no
+    * coordination, stable across re-runs (SURVEY §1.3: uniqueness, not
+    * sequence, is the contract), and reproducible by any engine.
+    */
+  def mintPid(keys: Seq[Column], eff: Column): Column =
+    md5(concat_ws("|", (keys :+ eff).map(_.cast("string")): _*))
+
   /** SCD Type-2 merge: versioned history. Change detection runs against
     * current rows only (py:637); changed keys get their current row
     * expired (`current_flag`→0, `expCol`→asOf; py:676-681) and a fresh
     * version appended alongside brand-new keys (flag 1, `effCol`=asOf;
     * py:682-691). `hist` must carry `current_flag`, `effCol`, `expCol`.
+    *
+    * With `pidCol = Some(p)`, `hist` must also carry `p`: expired rows
+    * keep their surrogate key, appended versions mint [[mintPid]](keys,
+    * asOf) — one current PID per business key, unique across history.
     */
   def scd2Merge(src: DataFrame, hist: DataFrame, keys: Seq[String],
       attrs: Seq[String], asOf: Column,
       flagCol: String = "current_flag",
-      effCol: String = "eff_dt", expCol: String = "exp_dt"): DataFrame = {
+      effCol: String = "eff_dt", expCol: String = "exp_dt",
+      pidCol: Option[String] = None): DataFrame = {
     // NOTE: deliberately no .persist() inside this operator — Spark's
     // cache manager matches by canonicalized logical plan, so caching a
     // frame derived from a warehouse path here would serve STALE data
@@ -79,12 +96,14 @@ object Scd {
       case c => col(c)
     }: _*)
 
-    val fresh = s.join(versionKeys, keys, "left_semi")
+    val freshBase = s.join(versionKeys, keys, "left_semi")
       .select(keys.map(col) ++ attrs.map(a => col(a + "__s").as(a)): _*)
       .withColumn(flagCol, lit(1L))
       .withColumn(effCol, asOf)
       .withColumn(expCol, lit(null).cast(
         expired.schema(expCol).dataType))
+    val fresh = pidCol.fold(freshBase)(p =>
+        freshBase.withColumn(p, mintPid(keys.map(col), asOf)))
       .select(histCols.map(col): _*)
 
     expired.unionByName(fresh)

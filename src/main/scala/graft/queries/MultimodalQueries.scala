@@ -8,6 +8,13 @@ import graft.sources.Tables
 /** Multimodal-column pipeline exercised end-to-end: binary payload +
   * typed metadata + partition-batched (stub) decode. The oracle
   * recomputes the deterministic stub features from the text bytes.
+  *
+  * Oracle equivalence note: the Spark path works on UTF-8 payload
+  * BYTES (encode + payload.length) while the DuckDB oracle works on
+  * CHARACTERS (ord(substr(text,i,1)), len(text)) — identical only
+  * because the generated corpus is ASCII (verified: every doc matches
+  * `^[ -~]*$`). A non-ASCII corpus would need the oracle rewritten
+  * over octet_length/encode; the engine side is byte-correct as is.
   */
 object MultimodalQueries {
 

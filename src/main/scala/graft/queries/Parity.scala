@@ -470,29 +470,102 @@ object Parity {
       |     OR EXISTS (SELECT 1 FROM newk n WHERE n.k = s.k))
       |SELECT * FROM expired UNION ALL SELECT * FROM fresh""".stripMargin) {
     (s, dir) =>
-      // inputs are immutable testdata → safe to persist the reused
-      // source/current frames here (NOT inside Scd itself — see the
-      // stale-cache note in Scd.scd2Merge)
-      val c = t(s, dir, "customer").persist()
-      val curv = c.select(col("c_custkey").as("k"),
-        col("c_mktsegment").as("seg"), round(col("c_acctbal"), 2).as("bal"),
-        lit(1L).as("current_flag"),
-        lit(java.sql.Date.valueOf("2020-01-01")).as("eff_dt"),
-        lit(null).cast("date").as("exp_dt"))
-      val hist = curv.unionByName(curv.filter(col("k") % 10 === 0)
-        .select(col("k"), lit("OLD").as("seg"),
-          round(col("bal") - 50, 2).as("bal"), lit(0L).as("current_flag"),
-          lit(java.sql.Date.valueOf("2019-01-01")).as("eff_dt"),
-          lit(java.sql.Date.valueOf("2020-01-01")).as("exp_dt")))
-      val src = c.select(col("c_custkey").as("k"),
-        when(col("c_custkey") % 4 === 0, "CHANGED")
-          .otherwise(col("c_mktsegment")).as("seg"),
-        round(col("c_acctbal"), 2).as("bal"))
-        .unionByName(c.filter(col("c_custkey") % 25 === 0)
-          .select((col("c_custkey") + 1000000).as("k"),
-            lit("NEWSEG").as("seg"), lit(1.0).as("bal")))
+      val (hist, src) = scd2Frames(s, dir)
       Scd.scd2Merge(src, hist, Seq("k"), Seq("seg", "bal"),
         lit(java.sql.Date.valueOf("2024-01-01")))
+  }
+
+  /** Shared SCD2 scenario over `customer` (q18/q46): seed history =
+    * current versions (eff 2020-01-01) plus an expired 'OLD' version
+    * for every 10th key; incoming src changes every 4th key's segment
+    * and adds a brand-new key for every 25th. Inputs are immutable
+    * testdata → safe to materialize the reused customer frame here
+    * (NOT inside Scd itself — see the stale-cache note in scd2Merge).
+    */
+  private def scd2Frames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val c = graft.Materialized(s, s"customer:$dir")(t(s, dir, "customer"))
+    val curv = c.select(col("c_custkey").as("k"),
+      col("c_mktsegment").as("seg"), round(col("c_acctbal"), 2).as("bal"),
+      lit(1L).as("current_flag"),
+      lit(java.sql.Date.valueOf("2020-01-01")).as("eff_dt"),
+      lit(null).cast("date").as("exp_dt"))
+    val hist = curv.unionByName(curv.filter(col("k") % 10 === 0)
+      .select(col("k"), lit("OLD").as("seg"),
+        round(col("bal") - 50, 2).as("bal"), lit(0L).as("current_flag"),
+        lit(java.sql.Date.valueOf("2019-01-01")).as("eff_dt"),
+        lit(java.sql.Date.valueOf("2020-01-01")).as("exp_dt")))
+    val src = c.select(col("c_custkey").as("k"),
+      when(col("c_custkey") % 4 === 0, "CHANGED")
+        .otherwise(col("c_mktsegment")).as("seg"),
+      round(col("c_acctbal"), 2).as("bal"))
+      .unionByName(c.filter(col("c_custkey") % 25 === 0)
+        .select((col("c_custkey") + 1000000).as("k"),
+          lit("NEWSEG").as("seg"), lit(1.0).as("bal")))
+    (hist, src)
+  }
+
+  /** C2 with the surrogate version key the reference's Product table
+    * carries (`PID numeric Identity(1,1)`, Createtables_BIKES.sql:74):
+    * same scenario as q18, history seeded with PIDs, merge minting a
+    * PID per appended version (Scd.mintPid — hash of key + effective
+    * date: unique per version, no identity-sequence coordination).
+    */
+  val q46 = Q("q46_scd2_pid",
+    """WITH curv AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    round(c_acctbal, 2) AS bal,
+      |    CAST(1 AS BIGINT) AS current_flag,
+      |    DATE '2020-01-01' AS eff_dt, CAST(NULL AS DATE) AS exp_dt
+      |  FROM customer),
+      |hist AS (
+      |  SELECT *, md5(k::VARCHAR || '|' || eff_dt::VARCHAR) AS pid
+      |  FROM (
+      |    SELECT * FROM curv
+      |    UNION ALL
+      |    SELECT k, 'OLD', round(bal - 50, 2), CAST(0 AS BIGINT),
+      |      DATE '2019-01-01', DATE '2020-01-01'
+      |    FROM curv WHERE k % 10 = 0)),
+      |src AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey % 4 = 0 THEN 'CHANGED'
+      |         ELSE c_mktsegment END AS seg,
+      |    round(c_acctbal, 2) AS bal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEWSEG', 1.0
+      |  FROM customer WHERE c_custkey % 25 = 0),
+      |cur AS (SELECT k, seg, bal FROM hist WHERE current_flag = 1),
+      |changed AS (
+      |  SELECT s.k FROM src s JOIN cur c ON s.k = c.k
+      |  WHERE s.seg IS DISTINCT FROM c.seg
+      |     OR s.bal IS DISTINCT FROM c.bal),
+      |newk AS (
+      |  SELECT s.k FROM src s
+      |  WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.k = s.k)),
+      |expired AS (
+      |  SELECT h.k, h.seg, h.bal,
+      |    CASE WHEN ch.k IS NOT NULL AND h.current_flag = 1
+      |         THEN CAST(0 AS BIGINT) ELSE h.current_flag END AS current_flag,
+      |    h.eff_dt,
+      |    CASE WHEN ch.k IS NOT NULL AND h.current_flag = 1
+      |         THEN DATE '2024-01-01' ELSE h.exp_dt END AS exp_dt,
+      |    h.pid
+      |  FROM hist h LEFT JOIN changed ch ON h.k = ch.k),
+      |fresh AS (
+      |  SELECT s.k, s.seg, s.bal, CAST(1 AS BIGINT) AS current_flag,
+      |    DATE '2024-01-01' AS eff_dt, CAST(NULL AS DATE) AS exp_dt,
+      |    md5(s.k::VARCHAR || '|2024-01-01') AS pid
+      |  FROM src s
+      |  WHERE EXISTS (SELECT 1 FROM changed c WHERE c.k = s.k)
+      |     OR EXISTS (SELECT 1 FROM newk n WHERE n.k = s.k))
+      |SELECT * FROM expired UNION ALL SELECT * FROM fresh""".stripMargin) {
+    (s, dir) =>
+      val (hist0, src) = scd2Frames(s, dir)
+      val hist = hist0.withColumn("pid",
+        Scd.mintPid(Seq(col("k")), col("eff_dt")))
+      Scd.scd2Merge(src, hist, Seq("k"), Seq("seg", "bal"),
+        lit(java.sql.Date.valueOf("2024-01-01")), pidCol = Some("pid"))
   }
 
   /** C3 (incremental fact load): anti-join vs already-loaded order keys
@@ -566,5 +639,5 @@ object Parity {
   }
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q41)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q41, q46)
 }

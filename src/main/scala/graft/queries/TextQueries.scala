@@ -23,10 +23,11 @@ object TextQueries {
 
   /** 6-component MinHash signature per doc — per-row scalar
     * expressions (TextOps.minhashExpr): a map-only projection, no
-    * explode/shuffle. Persisted because every LSH consumer references
-    * it several times and the md5 work is worth one materialization —
-    * at 100 TB this is the signature table a pipeline writes to
-    * storage.
+    * explode/shuffle. Materialized once per session because every LSH
+    * consumer references it several times and the md5 work is worth
+    * one materialization — at 100 TB this is the signature table a
+    * pipeline writes to storage (Materialized is the in-session
+    * stand-in, shared across registry runs, unpersisted via clear()).
     */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     // all 6 components in ONE nested-HOF pass over the shingles
@@ -37,9 +38,10 @@ object TextQueries {
       array_min(transform(TextOps.shinglePositions(col("text"), 8, 4),
         i => md5(concat(seed.cast("string"), lit(":"),
           col("text").substr(i, lit(8)))))))
-    docs(s, dir).select(col("doc_id"), sigArr.as("mh")).persist()
-      .select(col("doc_id") +:
-        (0 to 5).map(i => element_at(col("mh"), i + 1).as(s"mh$i")): _*)
+    graft.Materialized(s, s"minhash_signatures:$dir") {
+      docs(s, dir).select(col("doc_id"), sigArr.as("mh"))
+    }.select(col("doc_id") +:
+      (0 to 5).map(i => element_at(col("mh"), i + 1).as(s"mh$i")): _*)
   }
 
   private val shingleSqlCte =
@@ -94,11 +96,12 @@ object TextQueries {
        |JOIN b c ON c.band = x.band AND c.key = x.key
        |  AND a.doc_id < c.doc_id""".stripMargin) { (s, dir) =>
     val sig = signatures(s, dir)
-    val bands = sig.select(col("doc_id"), lit(0L).as("band"),
-      concat(col("mh0"), col("mh1"), col("mh2")).as("key"))
-      .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
-        concat(col("mh3"), col("mh4"), col("mh5")).as("key")))
-      .persist()
+    val bands = graft.Materialized(s, s"minhash_bands:$dir") {
+      sig.select(col("doc_id"), lit(0L).as("band"),
+        concat(col("mh0"), col("mh1"), col("mh2")).as("key"))
+        .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
+          concat(col("mh3"), col("mh4"), col("mh5")).as("key")))
+    }
     val sized = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, 20)).select("band", "key")
     val a = bands.join(sized, Seq("band", "key"))
@@ -132,9 +135,11 @@ object TextQueries {
     // Per-row gram SETS (no explode/shuffle), then a tiny doc→doc+1
     // equi-join and array_intersect — the whole query is one narrow
     // join on doc ids instead of a |docs|×|grams| shuffle + self-join.
-    val sets = docs(s, dir).select(col("doc_id"),
-      TextOps.shingleSet(col("text"), 4, 1).as("gs"))
-      .persist() // immutable testdata; referenced by both join sides
+    val sets = graft.Materialized(s, s"gram_sets:$dir") {
+      // immutable testdata; referenced by both join sides
+      docs(s, dir).select(col("doc_id"),
+        TextOps.shingleSet(col("text"), 4, 1).as("gs"))
+    }
     val b = sets.select((col("doc_id") - 1).as("doc_id"),
       col("gs").as("gs_b"))
     sets.join(b, Seq("doc_id"))
@@ -320,5 +325,22 @@ object TextQueries {
       md5(norm.substr(lit(1), lit(64))).as("head_fp"))
   }
 
-  val all: Seq[Q] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36)
+  /** Heavy-hitter tokens (> 1% of the corpus token stream) via the
+    * two-pass sketch+exact construction (Approx.heavyHitters) — same
+    * rows as the oracle's full GROUP BY/HAVING, but the engine never
+    * shuffles the unbounded token key space.
+    */
+  val q47 = Q("q47_heavy_hitters",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |SELECT w, count(*) AS cnt FROM tok
+      |GROUP BY w
+      |HAVING count(*) > 0.01 * (SELECT count(*) FROM tok)""".stripMargin) {
+    (s, dir) =>
+      val tok = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+      graft.ops.Approx.heavyHitters(tok, "w", 0.01)
+  }
+
+  val all: Seq[Q] = Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47)
 }

@@ -7,8 +7,9 @@ import org.apache.spark.sql.types.StructType
   * never inference in production paths (§1.2). Spark's reader handles
   * the UTF-8 BOM on Address.csv/Store.csv natively (§1.4.5). Date
   * columns arrive as strings and are parsed downstream with
-  * Cleanse.parseDate (dd-MM-yyyy, §1.4.4) so malformed values surface
-  * as nulls rather than reader failures.
+  * Cleanse.parseDate (dd-MM-yyyy, §1.4.4) — strict under Spark 4's
+  * default ANSI mode, matching the reference's strptime: a malformed
+  * date fails the job at the parse site rather than the reader.
   */
 object Csv {
   def read(spark: SparkSession, path: String, schema: StructType,

@@ -59,8 +59,15 @@ final case class Warehouse(root: String) {
 
   /** Atomic-ish replace for merges that read their own target:
     * write to `<table>.tmp`, then swap directories.
+    *
+    * Crash recovery: there is an unavoidable local-FS window between
+    * moving the live dir aside and moving the new one in. If a crash
+    * lands in it, the data survives as `<table>.old`; [[recover]] (run
+    * automatically on the next mergeOverwrite) rolls it back. An ACID
+    * table format replaces all of this with an atomic commit.
     */
   def mergeOverwrite(df: DataFrame, table: String): Unit = {
+    recover(table)
     val tmp = new File(dir(table + ".tmp"))
     val live = new File(dir(table))
     val old = new File(dir(table + ".old"))
@@ -72,8 +79,25 @@ final case class Warehouse(root: String) {
     delete(old)
   }
 
+  /** Roll back from a crash inside mergeOverwrite's swap window: if no
+    * live dir exists but a `.old` does, restore it (the `.old` is the
+    * last complete table; any `.tmp` is an unfinished write and is
+    * discarded by the next write anyway).
+    */
+  def recover(table: String): Unit = {
+    val live = new File(dir(table))
+    val old = new File(dir(table + ".old"))
+    if (!live.exists() && old.exists() && !old.renameTo(live))
+      sys.error(s"recovery failed: cannot restore $old to $live")
+  }
+
   private def delete(f: File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
+    if (f.isDirectory) {
+      val children = f.listFiles()
+      // listFiles() is null if the dir vanished concurrently — nothing
+      // left to delete in that case
+      if (children != null) children.foreach(delete)
+    }
     f.delete(); ()
   }
 }

@@ -77,6 +77,32 @@ class ScdSpec extends SparkSpec {
     assert(rows(again) == rows(out))
   }
 
+  test("scd2Merge with pidCol: PID unique across history, one current " +
+    "PID per key, expired rows keep theirs, idempotent") {
+    val histP = hist.withColumn("pid", Scd.mintPid(Seq($"k"), $"eff_dt"))
+    val out = Scd.scd2Merge(src2, histP, Seq("k"), Seq("s"), lit(asOf),
+      pidCol = Some("pid")).persist()
+    // PID unique across the whole history
+    assert(out.select("pid").distinct().count() == out.count())
+    // exactly one current PID per live business key
+    assert(out.filter($"current_flag" === 1).groupBy("k")
+      .count().filter($"count" =!= 1).count() == 0)
+    // pre-existing versions keep their original surrogate key
+    val kept = out.join(histP.select($"k", $"eff_dt",
+      $"pid".as("pid0")), Seq("k", "eff_dt"))
+    assert(kept.filter($"pid" =!= $"pid0").count() == 0)
+    // appended version for changed key 1 carries the (k, asOf) pid
+    assert(out.filter($"k" === 1 && $"current_flag" === 1)
+      .head().getAs[String]("pid") ==
+      out.sparkSession.range(1).select(
+        Scd.mintPid(Seq(lit(1L)), lit(asOf))).head().getString(0))
+    // re-running the same merge changes nothing (PID stability)
+    val again = Scd.scd2Merge(src2, out, Seq("k"), Seq("s"), lit(asOf),
+      pidCol = Some("pid"))
+    assert(rows(again) == rows(out))
+    out.unpersist()
+  }
+
   test("Cdc.newRows: re-running an incremental load appends zero rows") {
     val fact = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val srcAll = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
