@@ -81,6 +81,49 @@ class TextSimSpec extends SparkSpec {
     assert(math.abs(r.getAs[Number](1).doubleValue() - 498.0) <= 10)
   }
 
+  test("heavyHitters equals the exact GROUP BY/HAVING result") {
+    import graft.ops.Approx
+    // skewed stream: 'a' 40%, 'b' 25%, 120 singletons (tail)
+    val vals = Seq.fill(80)("a") ++ Seq.fill(50)("b") ++
+      (1 to 120).map(i => s"t$i")
+    val df = vals.toDF("w")
+    val hh = Approx.heavyHitters(df, "w", 0.1)
+      .as[(String, Long)].collect().toSet
+    val n = vals.size
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 > n * 0.1).toMap
+    assert(hh == exact.toSet && hh.map(_._1) == Set("a", "b"))
+  }
+
+  test("nearDupPairs: cap excludes oversize buckets, keeps small ones") {
+    // v and -v land in complementary LSH buckets (every plane dot flips
+    // sign); 10 copies of v exceed maxBucket=3 → contribute NO pairs,
+    // the 2 copies of -v form the single surviving (identical) pair
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val neg = v.map(-_)
+    val e = ((1 to 10).map(i => (i.toLong, v)) ++
+      Seq((100L, neg), (101L, neg))).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(e, nPlanes = 2, dim = 8,
+      maxBucket = 3, minSim = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)))
+    // with a cap that admits the big bucket, its C(10,2) pairs appear
+    val uncapped = Similarity.nearDupPairs(e, 2, 8, 40, 0.2).count()
+    assert(uncapped == 45L + 1L)
+  }
+
+  test("Materialized: builds once per key, rebuilds after clear") {
+    var builds = 0
+    def get() = Materialized(spark, "textsim-spec-artifact") {
+      builds += 1
+      Seq(1, 2, 3).toDF("x")
+    }
+    assert(get().count() == 3 && get().count() == 3 && builds == 1)
+    Materialized.clear(spark)
+    assert(get().count() == 3 && builds == 2)
+    Materialized.clear(spark)
+  }
+
   test("multimodal fakeDecode: deterministic features and frames") {
     import graft.multimodal.Multimodal
     val payload = "abcdabcd".getBytes("UTF-8")
