@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
@@ -141,5 +141,88 @@ object SimQueries {
       NearDupPlanes, D, NearDupMaxBucket, 0.2)
   }
 
-  val all: Seq[Q] = Seq(q37, q38, q39)
+  /** IVF-style ANN — the coarse-quantizer alternative to q38's LSH:
+    * K deterministic centroids (md5-derived half-integer components —
+    * exact as float AND as SQL decimal text, so both engines hold
+    * bit-identical centroids); every corpus vector is assigned to its
+    * max-inner-product centroid (cell id = argmax over rounded dots —
+    * rounding makes the argmax cross-engine stable, same policy as
+    * q37's sims); each query probes its top-2 cells and exact-reranks
+    * only those cells' members. 100 TB shape: assignment is map-only,
+    * the probe join keys on K cell ids (corpus/K expected per cell),
+    * and nProbe bounds scanned candidates — identical economics to a
+    * production IVF index, minus the trained centroids.
+    */
+  private val K = 8
+  private def centroid(k: Int): Column =
+    array((1 to D).map(i =>
+      lit(Similarity.planeComponent(100 + k, i).toFloat)): _*)
+  private def centroidSql(k: Int): String =
+    (1 to D).map(i => f"${Similarity.planeComponent(100 + k, i)}%.1f")
+      .mkString("[", ", ", "]")
+  private def cellDotsSql: String =
+    (0 until K).map { k =>
+      "round(list_sum(list_transform(range(1,65), i -> " +
+        "embedding[CAST(i AS INT)]::DOUBLE * " +
+        s"${centroidSql(k)}[CAST(i AS INT)])), 6)"
+    }.mkString("[", ", ", "]")
+
+  val q48 = Q("q48_ann_ivf",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm,
+       |    $cellDotsSql AS dl
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT *, CAST(list_indexof(dl, list_max(dl)) AS BIGINT) AS cid1
+       |  FROM e),
+       |qp AS (
+       |  SELECT vec_id, embedding, nrm, cid1,
+       |    CAST(list_indexof(dl,
+       |      list_max(list_filter(dl, x -> x <> list_max(dl))))
+       |      AS BIGINT) AS cid2
+       |  FROM a WHERE vec_id < 8),
+       |qq AS (
+       |  SELECT vec_id, embedding, nrm, unnest([cid1, cid2]) AS cid
+       |  FROM qp),
+       |c AS (
+       |  SELECT vec_id, embedding, nrm, cid1 AS cid
+       |  FROM a WHERE vec_id >= 8),
+       |sims AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.cid,
+       |    round($dotSql / (q.nrm * c.nrm), 6) AS sim
+       |  FROM qq q JOIN c ON c.cid = q.cid)
+       |SELECT qid, nid, cid, sim, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT qid, nid, cid, sim,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY sim DESC, nid) AS rn
+       |  FROM sims)
+       |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"),
+        array((0 until K).map(k =>
+          round(Similarity.dot(col("embedding"), centroid(k)), 6)): _*)
+          .as("dl"))
+    val m1 = array_max(col("dl"))
+    val a = e.withColumn("cid1", array_position(col("dl"), m1))
+    val c = a.filter(col("vec_id") >= 8)
+      .select(col("cid1").as("cid"), col("vec_id").as("nid"),
+        col("embedding").as("ne"), col("nrm").as("cn"))
+    val q = a.filter(col("vec_id") < 8)
+      .withColumn("cid2", array_position(col("dl"),
+        array_max(filter(col("dl"), x => x =!= m1))))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"),
+        explode(array(col("cid1"), col("cid2"))).as("cid"))
+    val sims = broadcast(q).join(c, Seq("cid"))
+      .select(col("qid"), col("nid"), col("cid"),
+        round(Similarity.dot(col("qe"), col("ne"))
+          / (col("qn") * col("cn")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc,
+      col("nid").asc)
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  val all: Seq[Q] = Seq(q37, q38, q39, q48)
 }

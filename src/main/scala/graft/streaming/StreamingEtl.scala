@@ -21,6 +21,21 @@ object StreamingEtl {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_val"))
 
+  /** Streaming exact dedup — the training-data-pipeline shape: drop
+    * rows whose fingerprint (e.g. md5 of normalized text) was already
+    * seen within the watermark horizon. `dropDuplicatesWithinWatermark`
+    * keeps one state entry per fingerprint and EXPIRES it once the
+    * watermark passes — bounded state, unlike plain dropDuplicates
+    * whose state grows forever on an unbounded stream. At 100 TB/day
+    * the horizon is the dedup window a production pipeline would pick
+    * (exact global dedup over all history belongs in the batch layer —
+    * q28 — with the stream handling the recent horizon).
+    */
+  def dedupStream(src: DataFrame, fingerprintCol: String, tsCol: String,
+      horizon: String): DataFrame =
+    src.withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(fingerprintCol)
+
   /** File-arrival SCD1: each micro-batch of source rows is merged into
     * the parquet warehouse table with the SAME batch operator
     * (Scd.scd1Merge) — the reference's daily merge, continuously.

@@ -71,4 +71,18 @@ object TextOps {
     */
   def hexDigit(h: Column, pos: Column): Column =
     conv(h.substr(pos, lit(1)), 16, 10).cast("int")
+
+  /** GPT-2-style pre-tokenizer chunks (the "BPE-ish" token count): an
+    * apostrophe-suffix, space-prefixed letter run, space-prefixed digit
+    * run, space-prefixed punctuation run, or whitespace run. No
+    * lookarounds or backreferences, so the pattern behaves identically
+    * under Java regex (Spark) and RE2 (DuckDB). `size(bpeChunks(c))` is
+    * the BPE-ish token count; on the letters-and-spaces test corpus it
+    * degenerates to the q35 word count, so it's exercised by spec on
+    * mixed text rather than by a corpus oracle.
+    */
+  def bpeChunks(text: Column): Column =
+    regexp_extract_all(text,
+      lit("'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"),
+      lit(0))
 }

@@ -64,6 +64,29 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("dedupStream drops repeated fingerprints across micro-batches " +
+    "within the watermark horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingEtl.dedupStream(
+      input.toDF().toDF("fp", "ts"), "fp", "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    input.addData(("a", ts("2024-01-01 10:00:00")),
+      ("b", ts("2024-01-01 10:01:00")),
+      ("a", ts("2024-01-01 10:02:00"))) // in-batch duplicate
+    q.processAllAvailable()
+    input.addData(("a", ts("2024-01-01 10:10:00")), // cross-batch dup
+      ("c", ts("2024-01-01 10:11:00")))
+    q.processAllAvailable()
+    val kept = spark.table("dedup").select("fp").as[String]
+      .collect().sorted.toSeq
+    assert(kept == Seq("a", "b", "c"))
+    q.stop()
+  }
+
   test("windowedCounts aggregates per hour × type under a watermark") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(

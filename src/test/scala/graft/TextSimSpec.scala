@@ -38,6 +38,16 @@ class TextSimSpec extends SparkSpec {
     assert(n == 3)
   }
 
+  test("bpeChunks: GPT-2-style pre-tokenizer on mixed text") {
+    val chunks = Seq("don't stop 42 times!").toDF("t")
+      .select(TextOps.bpeChunks($"t")).as[Seq[String]].head()
+    assert(chunks == Seq("don", "'t", " stop", " 42", " times", "!"))
+    // letters-and-spaces text degenerates to space-prefixed words
+    val simple = Seq("key agg row").toDF("t")
+      .select(TextOps.bpeChunks($"t")).as[Seq[String]].head()
+    assert(simple == Seq("key", " agg", " row"))
+  }
+
   test("hexDigit parses md5 hex chars") {
     // md5("hello") = 5d41402abc4b2a76b9719d911017c592
     val d = Seq("hello").toDF("t")
