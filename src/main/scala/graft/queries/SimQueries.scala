@@ -67,15 +67,19 @@ object SimQueries {
       .filter(col("rn") <= 5)
   }
 
-  /** LSH-bucketed ANN: 4 random hyperplanes → 16 buckets; each query
-    * joins only its bucket, then exact cosine re-rank (top-3). The
-    * 100 TB shape: bucket assignment is a map-only pass; the join key
-    * is the bucket id.
+  /** LSH-bucketed ANN: `AnnPlanes` random hyperplanes → 2^planes
+    * buckets; each query joins only its bucket, then exact cosine
+    * re-rank (top-3). The 100 TB shape: bucket assignment is a
+    * map-only pass; the join key is the bucket id; the plane count is
+    * sized to the corpus with Similarity.planesFor so expected bucket
+    * size stays ~constant as the corpus grows.
     */
+  private val AnnPlanes = Similarity.planesFor(500L, 32)
+
   val q38 = Q("q38_ann_lsh",
     s"""WITH e AS (
        |  SELECT vec_id, embedding, $normSql AS nrm,
-       |    ${bucketSql(4)} AS bkt
+       |    ${bucketSql(AnnPlanes)} AS bkt
        |  FROM embeddings),
        |q AS (SELECT * FROM e WHERE vec_id < 8),
        |c AS (SELECT * FROM e WHERE vec_id >= 8),
@@ -92,7 +96,7 @@ object SimQueries {
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"),
-        Similarity.lshBucket(col("embedding"), 4, D).as("bkt"))
+        Similarity.lshBucket(col("embedding"), AnnPlanes, D).as("bkt"))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bkt"))
