@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate aggregates — the 100 TB companions to the exact
@@ -27,24 +28,33 @@ object Approx {
     *     family) — single pass, ≤1/support counters per partition,
     *     GUARANTEED to return a superset of every item with frequency
     *     > support·n (false positives possible, false negatives not);
-    *  2. exact pass: count only the ≤1/support candidates (broadcast
-    *     isin filter → narrow aggregation over a tiny key space) and
-    *     keep those with count > support·n.
+    *  2. exact pass: group every row into its candidate (or the null
+    *     bucket for the tail) — the aggregate key space is ≤1/support+1
+    *     regardless of input cardinality, and it yields BOTH the exact
+    *     candidate counts and (summed over the ≤1/support+1 groups by
+    *     an unpartitioned window — harmless at that size) the total n
+    *     for the support threshold, so no separate count pass.
     *
     * Output is EXACTLY `GROUP BY x HAVING count(*) > support·n` — but
     * where the naive form shuffles every distinct value (unbounded key
-    * space at 100 TB), both passes here are map-side-bounded: the
-    * sketch is fixed-memory and the exact aggregation touches at most
-    * 1/support keys. The candidate list on the driver is ≤1/support
-    * items by construction — a bounded collect, not a data-sized one.
+    * space at 100 TB), both passes here are map-side-bounded. The
+    * candidate list on the driver is ≤1/support items by construction —
+    * a bounded collect, not a data-sized one.
     */
   def heavyHitters(df: DataFrame, colName: String,
       support: Double): DataFrame = {
-    val total = df.count()
     val cand = df.stat.freqItems(Seq(colName), support)
       .head().getSeq[Any](0)
-    df.filter(col(colName).isInCollection(cand))
-      .groupBy(colName).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > lit(total * support))
+    val counted = df.groupBy(
+        when(col(colName).isInCollection(cand), col(colName))
+          .as(colName))
+      .agg(count(lit(1)).as("cnt"))
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    counted
+      .withColumn("__n", sum("cnt").over(all))
+      .filter(col(colName).isNotNull &&
+        col("cnt") > col("__n") * support)
+      .select(col(colName), col("cnt"))
   }
 }

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode,
+  StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger,
+  TTLConfig, ValueState}
 import graft.ops.Scd
 
 /** Structured-Streaming surface. The reference's incrementality is
@@ -73,6 +75,38 @@ object StreamingEtl {
           state.update(next)
           next
       }
+  }
+
+  /** Spark-4-native stateful processor (`transformWithState`): the
+    * same per-user running totals as [[runningUserTotals]], on the
+    * StatefulProcessor API — typed per-key `ValueState` with a TTL
+    * hook (state expiry is what bounds state over an unbounded
+    * keyspace; `TTLConfig.NONE` here because totals are cumulative).
+    * Requires the RocksDB state store provider (the API's contract),
+    * which is also the store that scales state past executor memory.
+    */
+  class TotalsProcessor extends StatefulProcessor[Long, Ev, UserTotal] {
+    @transient private var state: ValueState[UserTotal] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserTotal]("totals",
+        Encoders.product[UserTotal], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserTotal] = {
+      val prev = Option(state.get()).getOrElse(UserTotal(key, 0L, 0.0))
+      var n = prev.n_events
+      var sum = prev.sum_value
+      rows.foreach { e => n += 1; sum += e.value }
+      val next = UserTotal(key, n, sum)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserTotalsTws(events: Dataset[Ev]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TotalsProcessor, TimeMode.None(),
+        OutputMode.Update())
   }
 
   def scd1Sink(src: DataFrame, targetDir: String, keys: Seq[String],

@@ -64,6 +64,44 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("runningUserTotalsTws: transformWithState ValueState accumulates " +
+    "across micro-batches (RocksDB store)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingEtl.{Ev, UserTotal}
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val q = StreamingEtl.runningUserTotalsTws(input.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("totals_tws").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(Ev(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Ev(1L, ts("2024-01-01 10:01:00"), 2.0),
+        Ev(2L, ts("2024-01-01 10:02:00"), 5.0))
+      q.processAllAvailable()
+      input.addData(Ev(1L, ts("2024-01-01 10:03:00"), 4.0))
+      q.processAllAvailable()
+      val latest = spark.table("totals_tws").as[UserTotal].collect()
+        .groupBy(_.user_id)
+        .map { case (u, ts) => u -> ts.maxBy(_.n_events) }
+      assert(latest(1L) == UserTotal(1L, 3L, 7.0))
+      assert(latest(2L) == UserTotal(2L, 1L, 5.0))
+      q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dedupStream drops repeated fingerprints across micro-batches " +
     "within the watermark horizon") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
