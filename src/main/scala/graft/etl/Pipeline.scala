@@ -53,6 +53,11 @@ object Pipeline {
 
   private def scd1Load(spark: SparkSession, wh: Warehouse, name: String,
       staged: DataFrame, keys: Seq[String], attrs: Seq[String]): Unit = {
+    // DDL constraint gate (Createtables_BIKES.sql PKs): key uniqueness +
+    // NOT NULL must hold BEFORE the merge — scd1Merge assumes one src
+    // row per key, and a violating batch must fail the load, not
+    // corrupt the dimension.
+    Warehouse.checkConstraints(staged, name, keys)
     val merged =
       if (wh.exists(name))
         Scd.scd1Merge(staged, wh.read(spark, name), keys, attrs)
@@ -86,6 +91,8 @@ object Pipeline {
     // Product: SCD Type-2 versioned history (py:630-717)
     val stagedProd = BikesPipeline.stage(raw.product,
       Seq("PRODUCTID", "PRODCATEGORYID", "PARTNERID", "PRICE"))
+    Warehouse.checkConstraints(stagedProd, "ods_product_hist",
+      Seq("PRODUCTID"))
     val prodAttrs = Seq("PRODCATEGORYID", "PARTNERID", "PRICE")
     val prodHist =
       if (wh.exists("ods_product_hist"))

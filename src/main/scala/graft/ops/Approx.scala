@@ -25,29 +25,55 @@ object Approx {
     * two-pass construction:
     *
     *  1. candidate pass: `df.stat.freqItems` (Karp et al. / Misra-Gries
-    *     family) — single pass, ≤1/support counters per partition,
+    *     family) — single pass, bounded counters per partition,
     *     GUARANTEED to return a superset of every item with frequency
-    *     > support·n (false positives possible, false negatives not);
+    *     > support·n (false positives possible, false negatives not).
+    *     The sketch is asked for at `1/ceil(1/support)` ≤ support:
+    *     freqItems sizes itself as floor(1/s) counters, so a
+    *     non-integral 1/support (e.g. 0.03 → 33 counters → only
+    *     freq > n/33 guaranteed) would otherwise open a false-negative
+    *     window between support·n and n/floor(1/support);
     *  2. exact pass: group every row into its candidate (or the null
-    *     bucket for the tail) — the aggregate key space is ≤1/support+1
-    *     regardless of input cardinality, and it yields BOTH the exact
-    *     candidate counts and (summed over the ≤1/support+1 groups by
-    *     an unpartitioned window — harmless at that size) the total n
-    *     for the support threshold, so no separate count pass.
+    *     bucket for the tail) — the aggregate key space is bounded by
+    *     the candidate count + 1 regardless of input cardinality, and
+    *     it yields BOTH the exact candidate counts and (summed over
+    *     those few groups by an unpartitioned window — harmless at that
+    *     size) the total n for the support threshold, so no separate
+    *     count pass.
     *
-    * Output is EXACTLY `GROUP BY x HAVING count(*) > support·n` — but
-    * where the naive form shuffles every distinct value (unbounded key
-    * space at 100 TB), both passes here are map-side-bounded. The
-    * candidate list on the driver is ≤1/support items by construction —
-    * a bounded collect, not a data-sized one.
+    * Output is EXACTLY `GROUP BY x HAVING count(*) > support·n` for
+    * NON-NULL values — a null group that clears the threshold is
+    * deliberately excluded (null is the tail bucket; callers that care
+    * about null frequency should count it directly). Where the naive
+    * form shuffles every distinct value (unbounded key space at
+    * 100 TB), both passes here are map-side-bounded.
+    *
+    * Candidate routing: below `maxInList` candidates they are inlined
+    * as an `In` list (driver collect bounded at ceil(1/support) items);
+    * above it (tiny supports) the inline list would bloat the plan, so
+    * the candidate frame — still ≤ ceil(1/support) rows — is broadcast
+    * and left-joined instead, never collected.
     */
   def heavyHitters(df: DataFrame, colName: String,
-      support: Double): DataFrame = {
-    val cand = df.stat.freqItems(Seq(colName), support)
-      .head().getSeq[Any](0)
-    val counted = df.groupBy(
-        when(col(colName).isInCollection(cand), col(colName))
-          .as(colName))
+      support: Double, maxInList: Int = 1024): DataFrame = {
+    val margin = 1.0 / math.ceil(1.0 / support)
+    val keyed =
+      if (math.ceil(1.0 / margin) <= maxInList) {
+        val cand = df.stat.freqItems(Seq(colName), margin)
+          .head().getSeq[Any](0)
+        df.select(
+          when(col(colName).isInCollection(cand), col(colName))
+            .as(colName))
+      } else {
+        val candDf = df.stat.freqItems(Seq(colName), margin)
+          .select(explode(col(s"${colName}_freqItems")).as(colName))
+          .filter(col(colName).isNotNull)
+          .withColumn("__cand", lit(1))
+        df.join(broadcast(candDf), Seq(colName), "left")
+          .select(
+            when(col("__cand").isNotNull, col(colName)).as(colName))
+      }
+    val counted = keyed.groupBy(colName)
       .agg(count(lit(1)).as("cnt"))
     val all = Window.partitionBy().rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)

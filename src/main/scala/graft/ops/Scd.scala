@@ -63,6 +63,16 @@ object Scd {
     * With `pidCol = Some(p)`, `hist` must also carry `p`: expired rows
     * keep their surrogate key, appended versions mint [[mintPid]](keys,
     * asOf) — one current PID per business key, unique across history.
+    *
+    * PRECONDITION: `src` carries at most ONE row per business key (the
+    * reference's staging dedups before the merge — py:630; our
+    * `BikesPipeline.stage*` does the same). With duplicate src rows for
+    * a key, only the individual rows that differ from current are
+    * appended (row-level, not key-level, semantics) and more than one
+    * flag-1 version would land for that key. Null business keys in src
+    * are treated as NEW keys (a left join never matches them against
+    * current) — assert/dedupe upstream if the source can emit them
+    * (see `Warehouse.checkConstraints`).
     */
   def scd2Merge(src: DataFrame, hist: DataFrame, keys: Seq[String],
       attrs: Seq[String], asOf: Column,

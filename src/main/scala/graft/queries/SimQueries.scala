@@ -145,52 +145,54 @@ object SimQueries {
       NearDupPlanes, D, NearDupMaxBucket, 0.2)
   }
 
-  /** IVF-style ANN — the coarse-quantizer alternative to q38's LSH:
-    * K deterministic centroids (md5-derived half-integer components —
-    * exact as float AND as SQL decimal text, so both engines hold
-    * bit-identical centroids); every corpus vector is assigned to its
-    * max-inner-product centroid (cell id = argmax over rounded dots —
-    * rounding makes the argmax cross-engine stable, same policy as
-    * q37's sims); each query probes its top-2 cells and exact-reranks
-    * only those cells' members. 100 TB shape: assignment is map-only,
-    * the probe join keys on K cell ids (corpus/K expected per cell),
-    * and nProbe bounds scanned candidates — identical economics to a
-    * production IVF index, minus the trained centroids.
+  /** IVF-style ANN — the coarse-quantizer alternative to q38's LSH.
+    * The index is sized to the corpus: K = Similarity.cellsFor(n,
+    * IvfTargetCell) cells (the planesFor analog — expected cell stays
+    * ~IvfTargetCell vectors as n grows, so an NProbe-cell probe scans
+    * a BOUNDED candidate set, not a fraction of the corpus; the test
+    * corpus of 500 lands on K=8). Centroids live in a K-row BROADCAST
+    * table (Similarity.centroidTable) joined for the argmax assignment
+    * — the plan stays constant-size however large K grows, unlike K
+    * literal array columns. Assignment shuffles exactly one row per
+    * corpus vector (partial agg collapses the K× expansion map-side);
+    * each query probes its top-NProbe cells and exact-reranks only
+    * those cells' members. Dots rounded to 6dp + lowest-cid ties keep
+    * the argmax cross-engine stable (same policy as q37's sims).
     */
-  private val K = 8
-  private def centroid(k: Int): Column =
-    array((1 to D).map(i =>
-      lit(Similarity.planeComponent(100 + k, i).toFloat)): _*)
+  private val IvfTargetCell = 64
+  private val K = Similarity.cellsFor(500L, IvfTargetCell)
+  private val NProbe = 2
   private def centroidSql(k: Int): String =
     (1 to D).map(i => f"${Similarity.planeComponent(100 + k, i)}%.1f")
       .mkString("[", ", ", "]")
-  private def cellDotsSql: String =
-    (0 until K).map { k =>
-      "round(list_sum(list_transform(range(1,65), i -> " +
-        "embedding[CAST(i AS INT)]::DOUBLE * " +
-        s"${centroidSql(k)}[CAST(i AS INT)])), 6)"
-    }.mkString("[", ", ", "]")
+  private def centroidValuesSql: String =
+    (0 until K).map(k => s"(${k + 1}, ${centroidSql(k)})")
+      .mkString(", ")
 
   val q48 = Q("q48_ann_ivf",
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding, $normSql AS nrm,
-       |    $cellDotsSql AS dl
-       |  FROM embeddings),
-       |a AS (
-       |  SELECT *, CAST(list_indexof(dl, list_max(dl)) AS BIGINT) AS cid1
-       |  FROM e),
-       |qp AS (
-       |  SELECT vec_id, embedding, nrm, cid1,
-       |    CAST(list_indexof(dl,
-       |      list_max(list_filter(dl, x -> x <> list_max(dl))))
-       |      AS BIGINT) AS cid2
-       |  FROM a WHERE vec_id < 8),
-       |qq AS (
-       |  SELECT vec_id, embedding, nrm, unnest([cid1, cid2]) AS cid
-       |  FROM qp),
+    s"""WITH cent AS (
+       |  SELECT CAST(cid AS BIGINT) AS cid, ce
+       |  FROM (VALUES $centroidValuesSql) t(cid, ce)),
+       |e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+       |sc AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+       |    round(list_sum(list_transform(range(1,65), i ->
+       |      e.embedding[CAST(i AS INT)]::DOUBLE *
+       |      c.ce[CAST(i AS INT)]::DOUBLE)), 6) AS d,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY round(list_sum(list_transform(
+       |                         range(1,65), i ->
+       |                         e.embedding[CAST(i AS INT)]::DOUBLE *
+       |                         c.ce[CAST(i AS INT)]::DOUBLE)), 6) DESC,
+       |                       c.cid) AS rnp
+       |  FROM e CROSS JOIN cent c),
        |c AS (
-       |  SELECT vec_id, embedding, nrm, cid1 AS cid
-       |  FROM a WHERE vec_id >= 8),
+       |  SELECT vec_id, embedding, nrm, cid
+       |  FROM sc WHERE rnp = 1 AND vec_id >= 8),
+       |qq AS (
+       |  SELECT vec_id, embedding, nrm, cid
+       |  FROM sc WHERE rnp <= $NProbe AND vec_id < 8),
        |sims AS (
        |  SELECT q.vec_id AS qid, c.vec_id AS nid, q.cid,
        |    round($dotSql / (q.nrm * c.nrm), 6) AS sim
@@ -201,24 +203,18 @@ object SimQueries {
        |                       ORDER BY sim DESC, nid) AS rn
        |  FROM sims)
        |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val cent = Similarity.centroidTable(s, K, D)
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        Similarity.norm(col("embedding")).as("nrm"),
-        array((0 until K).map(k =>
-          round(Similarity.dot(col("embedding"), centroid(k)), 6)): _*)
-          .as("dl"))
-    val m1 = array_max(col("dl"))
-    val a = e.withColumn("cid1", array_position(col("dl"), m1))
-    val c = a.filter(col("vec_id") >= 8)
-      .select(col("cid1").as("cid"), col("vec_id").as("nid"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val corp = Similarity.ivfAssign(e.filter(col("vec_id") >= 8), cent)
+      .select(col("cid"), col("vec_id").as("nid"),
         col("embedding").as("ne"), col("nrm").as("cn"))
-    val q = a.filter(col("vec_id") < 8)
-      .withColumn("cid2", array_position(col("dl"),
-        array_max(filter(col("dl"), x => x =!= m1))))
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("nrm").as("qn"),
-        explode(array(col("cid1"), col("cid2"))).as("cid"))
-    val sims = broadcast(q).join(c, Seq("cid"))
+    val probes = Similarity.ivfProbes(e.filter(col("vec_id") < 8),
+        cent, NProbe)
+      .select(col("cid"), col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val sims = broadcast(probes).join(corp, Seq("cid"))
       .select(col("qid"), col("nid"), col("cid"),
         round(Similarity.dot(col("qe"), col("ne"))
           / (col("qn") * col("cn")), 6).as("sim"))

@@ -1,6 +1,7 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector-similarity primitives over `array<float>` embedding columns.
@@ -68,6 +69,74 @@ object Similarity {
   def planesFor(corpusSize: Long, targetBucket: Int): Int =
     math.max(1, math.ceil(math.log(corpusSize.toDouble / targetBucket)
       / math.log(2.0)).toInt)
+
+  /** IVF cell count sized to the corpus — the [[planesFor]] analog for
+    * a coarse quantizer: K = ceil(n / targetCell) keeps the EXPECTED
+    * cell at ~targetCell vectors, so an nProbe-cell probe scans
+    * ~nProbe·targetCell candidates regardless of corpus size
+    * (cellsFor(500, 64) = 8 for the test corpus; cellsFor(1e10, 4096)
+    * ≈ 2.5M cells at 100 TB — a bounded candidate set, not a fraction
+    * of the corpus).
+    */
+  def cellsFor(corpusSize: Long, targetCell: Int): Int =
+    math.max(1, math.ceil(corpusSize.toDouble / targetCell).toInt)
+
+  /** The K-row coarse-quantizer centroid table (`cid` 1..k, `ce`
+    * array<float>) — the BROADCAST side of IVF assignment. Components
+    * are md5-derived half-integers ([[planeComponent]], seed
+    * `seedBase + cid - 1`): exact as float AND as SQL decimal text, so
+    * both engines hold bit-identical centroids. A trained index would
+    * load real k-means centroids into this same shape; everything
+    * downstream is unchanged. As a TABLE (not K literal array columns)
+    * the plan stays constant-size however large K grows.
+    */
+  def centroidTable(s: SparkSession, k: Int, dim: Int,
+      seedBase: Int = 100): DataFrame = {
+    val rows: Seq[(Long, Seq[Float])] = (0 until k).map(j =>
+      ((j + 1).toLong,
+        (1 to dim).map(i => planeComponent(seedBase + j, i).toFloat)))
+    s.createDataFrame(rows).toDF("cid", "ce")
+  }
+
+  /** Max-inner-product cell assignment: cross the tiny centroid table
+    * (broadcast — BroadcastNestedLoopJoin, no shuffle of the corpus),
+    * then argmax per vector. `e` must carry (`vec_id`, `embedding`,
+    * `nrm`); output replaces nothing and adds `cid`.
+    *
+    * Scale shape: the groupBy's PARTIAL aggregation collapses the K×
+    * expansion map-side (all K copies of a vector sit in its input
+    * partition), so the exchange carries exactly one row per corpus
+    * vector — the one-time index-build shuffle, amortized over every
+    * probe that follows. Dots are rounded to 6dp before the argmax and
+    * ties take the LOWEST cid — both choices make the assignment
+    * reproducible across engines (struct max = (d, -cid) lexicographic).
+    */
+  def ivfAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cid"), round(dot(col("embedding"), col("ce")), 6).as("d"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("d"), (-col("cid")).as("nc"))).as("m"),
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (-col("m.nc")).as("cid"))
+
+  /** Top-`nProbe` probe cells per query vector (rank by rounded dot
+    * desc, cid asc — same tie policy as [[ivfAssign]]). The query set
+    * is small by contract, so the per-query window is cheap; `nProbe`
+    * is the recall/cost knob: candidates scanned ≈ nProbe·targetCell.
+    */
+  def ivfProbes(q: DataFrame, cent: DataFrame, nProbe: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("d").desc, col("cid").asc)
+    q.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cid"), round(dot(col("embedding"), col("ce")), 6).as("d"))
+      .withColumn("__p", row_number().over(w))
+      .filter(col("__p") <= nProbe)
+      .select("vec_id", "embedding", "nrm", "cid")
+  }
 
   /** Embedding-cosine near-duplicate pairs, bucketed AND capped.
     *

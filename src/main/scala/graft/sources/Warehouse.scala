@@ -101,3 +101,45 @@ final case class Warehouse(root: String) {
     f.delete(); ()
   }
 }
+
+object Warehouse {
+
+  /** Load-time constraint check — the Spark-native stand-in for the
+    * reference DDL's declared PRIMARY KEY / NOT NULL constraints
+    * (SQLserver Scripts/Createtables_BIKES.sql:40-118, e.g.
+    * `customer_id` PK at :48): a parquet warehouse enforces nothing at
+    * write time, so a dirty source would otherwise load silently and
+    * corrupt every downstream SCD merge.
+    *
+    * One distributed aggregate job (map-side partial, no collect of
+    * data rows): counts rows, rows violating NOT NULL on
+    * `keys ++ notNull`, and distinct key tuples. Throws
+    * IllegalStateException naming the table and violation counts;
+    * returns `df` unchanged on success so it chains into the write.
+    * Key uniqueness is checked as countDistinct(keys) == rows, which is
+    * exact once the null check has passed (countDistinct skips
+    * null-keyed rows, but those already failed the NOT NULL gate).
+    */
+  def checkConstraints(df: DataFrame, table: String, keys: Seq[String],
+      notNull: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val required = (keys ++ notNull).distinct
+    val nullCond = required.map(col(_).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val stats = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(nullCond, 1L).otherwise(0L)).as("nulls"),
+      countDistinct(struct(keys.map(col): _*)).as("nk")).head()
+    val (n, nulls, nk) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    if (nulls > 0)
+      throw new IllegalStateException(
+        s"$table: $nulls row(s) violate NOT NULL on " +
+          required.mkString("(", ", ", ")"))
+    if (nk != n)
+      throw new IllegalStateException(
+        s"$table: primary key ${keys.mkString("(", ", ", ")")} has " +
+          s"${n - nk} duplicate row(s) ($n rows, $nk distinct keys)")
+    df
+  }
+}

@@ -72,6 +72,32 @@ object TextOps {
   def hexDigit(h: Column, pos: Column): Column =
     conv(h.substr(pos, lit(1)), 16, 10).cast("int")
 
+  /** `nBits`-bit SimHash over whitespace tokens (duplicate-weighted,
+    * Charikar): per-row aggregate/zip_with fold — md5 each token, fold
+    * the per-bit ±1 weights into an nBits-slot vector, then fold the
+    * positive-weight bits into the signature. A pure projection: zero
+    * Exchange at any scale (the explode-per-bit formulation shuffled
+    * twice and blew rows up nBits×). Bit b comes from md5 hex digit
+    * b/4 (so nBits ≤ 60 keeps the signature a non-negative BIGINT:
+    * 2^b is exact in double up to b=59 on both engines).
+    */
+  def simhash(text: Column, nBits: Int): Column = {
+    require(nBits >= 1 && nBits <= 60, s"nBits out of BIGINT-safe range: $nBits")
+    def bit(h: Column, b: Column): Column =
+      floor(hexDigit(h, (b / 4).cast("int") + 1)
+        / pow(lit(2), b % 4)).cast("int") % 2
+    val weights = aggregate(
+      transform(tokens(text), w => md5(w)),
+      array_repeat(lit(0), nBits),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(nBits - 1)),
+        (a, b) => a + bit(h, b) * 2 - 1))
+    aggregate(
+      zip_with(weights, sequence(lit(0), lit(nBits - 1)),
+        (wgt, b) => when(wgt > 0, pow(lit(2), b).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   /** GPT-2-style pre-tokenizer chunks (the "BPE-ish" token count): an
     * apostrophe-suffix, space-prefixed letter run, space-prefixed digit
     * run, space-prefixed punctuation run, or whitespace run. No

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Approx
+import graft.sim.Similarity
+import graft.sources.Warehouse
+import graft.text.TextOps
+
+/** Round-3 additions: load-time constraint checks, corpus-sized IVF,
+  * wide SimHash, heavy-hitter candidate routing, bench error capture.
+  */
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Warehouse.checkConstraints ----
+
+  test("checkConstraints passes a clean frame through unchanged") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Warehouse.checkConstraints(df, "t", Seq("id")).count() == 2)
+  }
+
+  test("checkConstraints rejects duplicate primary keys") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v")
+    val e = intercept[IllegalStateException] {
+      Warehouse.checkConstraints(df, "ods_x", Seq("id"))
+    }
+    assert(e.getMessage.contains("ods_x") &&
+      e.getMessage.contains("duplicate"))
+  }
+
+  test("checkConstraints rejects null keys and null NOT NULL attrs") {
+    val withNullKey = Seq((Some(1L), "a"), (None, "b"))
+      .toDF("id", "v")
+    intercept[IllegalStateException] {
+      Warehouse.checkConstraints(withNullKey, "t", Seq("id"))
+    }
+    val withNullAttr = Seq((1L, Some("a")), (2L, None)).toDF("id", "v")
+    intercept[IllegalStateException] {
+      Warehouse.checkConstraints(withNullAttr, "t", Seq("id"), Seq("v"))
+    }
+    // nullable column NOT in the constraint set is fine
+    assert(Warehouse.checkConstraints(withNullAttr, "t", Seq("id"))
+      .count() == 2)
+  }
+
+  test("checkConstraints on a composite key") {
+    val df = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("a", "b", "v")
+    assert(Warehouse.checkConstraints(df, "t", Seq("a", "b"))
+      .count() == 2)
+    val dup = df.unionAll(Seq((1L, 2L, "z")).toDF("a", "b", "v"))
+    intercept[IllegalStateException] {
+      Warehouse.checkConstraints(dup, "t", Seq("a", "b"))
+    }
+  }
+
+  // ---- Approx.heavyHitters: margin + broadcast candidate routing ----
+
+  test("heavyHitters at tiny support (broadcast-join path) is exact") {
+    val words = (1 to 1500).map(i => s"u$i") ++ Seq.fill(400)("hot")
+    val df = words.toDF("w")
+    // support 1e-4 → candidate space 10k > maxInList default → the
+    // candidates are broadcast-joined, never inlined or collected
+    val hh = Approx.heavyHitters(df, "w", 1e-4)
+    val exact = df.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > words.size * 1e-4)
+    assert(rows(hh) == rows(exact))
+  }
+
+  test("heavyHitters non-integral support keeps the superset guarantee") {
+    // n=1000, support 0.03: threshold 30; 'edge' appears 31 times,
+    // inside the (support·n, n/floor(1/support)] window a 33-counter
+    // sketch may drop — the margin (1/ceil(1/support) = 1/34) covers it
+    val words = (1 to 969).map(i => s"u$i") ++ Seq.fill(31)("edge")
+    val hh = Approx.heavyHitters(words.toDF("w"), "w", 0.03)
+    assert(rows(hh) == Set(Seq[Any]("edge", 31L)))
+  }
+
+  // ---- IVF sizing + broadcast-centroid assignment ----
+
+  test("cellsFor sizes the cell count to the corpus") {
+    assert(Similarity.cellsFor(500L, 64) == 8)
+    assert(Similarity.cellsFor(64L, 64) == 1)
+    assert(Similarity.cellsFor(10000000000L, 4096) == 2441407)
+    // expected cell occupancy stays ≤ targetCell
+    for (n <- Seq(1000L, 100000L, 10000000L))
+      assert(n.toDouble / Similarity.cellsFor(n, 256) <= 256.0)
+  }
+
+  test("ivfAssign matches brute-force argmax with lowest-cid ties") {
+    val dim = 4
+    val k = 3
+    val cent = Similarity.centroidTable(spark, k, dim)
+    val cents = cent.orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, -1f, 2f, 0.5f)),
+      (3L, Seq(-1f, -1f, -1f, -1f)), (4L, Seq(0f, 0f, 0f, 0f)))
+    val e = vecs.toDF("vec_id", "embedding")
+      .withColumn("nrm", lit(1.0))
+    val got = Similarity.ivfAssign(e, cent)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val want = vecs.map { case (id, v) =>
+      val dots = cents.map { case (cid, c) =>
+        (BigDecimal(v.zip(c).map { case (a, b) => a.toDouble * b.toDouble }
+          .sum).setScale(6, BigDecimal.RoundingMode.HALF_EVEN), cid)
+      }
+      // max dot, ties to lowest cid
+      id -> dots.maxBy(t => (t._1, -t._2))._2
+    }.toMap
+    assert(got == want)
+  }
+
+  test("ivfProbes returns nProbe distinct cells per query") {
+    val cent = Similarity.centroidTable(spark, 4, 4)
+    val q = Seq((1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(-1f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding").withColumn("nrm", lit(1.0))
+    val probes = Similarity.ivfProbes(q, cent, 2)
+      .select("vec_id", "cid").as[(Long, Long)].collect()
+    assert(probes.length == 4)
+    assert(probes.groupBy(_._1).forall { case (_, cs) =>
+      cs.map(_._2).distinct.length == 2 })
+  }
+
+  test("centroidTable components are the planeComponent half-integers") {
+    val row = Similarity.centroidTable(spark, 2, 8)
+      .filter($"cid" === 2L).select("ce").as[Seq[Float]].head()
+    assert(row == (1 to 8).map(i =>
+      Similarity.planeComponent(101, i).toFloat))
+  }
+
+  // ---- wide SimHash (q49 index) ----
+
+  test("simhash is deterministic, bounded, and width-checked") {
+    val df = Seq("the quick brown fox", "the quick brown fox",
+      "a different document").toDF("t")
+    val sigs = df.select(TextOps.simhash($"t", 60)).as[Long].collect()
+    assert(sigs(0) == sigs(1)) // same text, same signature
+    assert(sigs.forall(s => s >= 0L && s < (1L << 60)))
+    intercept[IllegalArgumentException] {
+      Seq("x").toDF("t").select(TextOps.simhash($"t", 61)).collect()
+    }
+  }
+
+  test("simhash(16) stays within 16 bits and differs across texts") {
+    val sigs = Seq("alpha beta gamma", "delta epsilon zeta")
+      .toDF("t").select(TextOps.simhash($"t", 16)).as[Long].collect()
+    assert(sigs.forall(s => s >= 0L && s < (1L << 16)))
+    assert(sigs(0) != sigs(1))
+  }
+
+  // ---- Bench error capture ----
+
+  test("Bench.run records per-query errors instead of swallowing them") {
+    val ok = Q.noOracle("ok")((s, _) => {
+      import s.implicits._; Seq(1, 2).toDF("x") })
+    val boom = Q.noOracle("boom")((_, _) =>
+      throw new RuntimeException("deliberate failure"))
+    val res = Bench.run(spark, "/unused", Seq(ok, boom))
+    assert(res.map(_._1) == Seq("ok", "boom"))
+    assert(res(0)._3.isEmpty && res(0)._2 >= 0)
+    assert(res(1)._2 == -1.0 &&
+      res(1)._3.exists(_.contains("deliberate failure")))
+  }
+}
