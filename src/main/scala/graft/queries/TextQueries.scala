@@ -74,6 +74,7 @@ object TextQueries {
     signatures(s, dir).count()
     bands(s, dir).count()
     gramSets(s, dir).count()
+    simhashes(s, dir).count()
     ()
   }
 
@@ -201,15 +202,19 @@ object TextQueries {
        |  FROM wg GROUP BY doc_id)""".stripMargin
 
   /** 16-bit SimHash over whitespace tokens (duplicate-weighted).
-    * Engine side is TextOps.simhash — a per-row aggregate/zip_with
+    * Engine side reads the shared 60-bit signature artifact and masks
+    * its low 16 bits — bit b < 16 of the 60-bit signature IS the
+    * 16-bit signature's bit b (same per-token md5 digits, same weight
+    * fold), so one stored signature table serves every width ≤ 60.
+    * The underlying TextOps.simhash is a per-row aggregate/zip_with
     * fold, map-only at any scale (the oracle's explode-per-bit chain
     * is the spec, not the plan).
     */
   val q32 = Q("q32_simhash",
     s"""WITH ${simhashSqlCte(16, "sg")}
        |SELECT doc_id, simhash FROM sg""".stripMargin) { (s, dir) =>
-    docs(s, dir).select(col("doc_id"),
-      TextOps.simhash(col("text"), 16).as("simhash"))
+    simhashes(s, dir).select(col("doc_id"),
+      col("sh").bitwiseAND(lit((1L << 16) - 1)).as("simhash"))
   }
 
   /** q49 constants: a 60-bit production-width signature (widest that

@@ -83,14 +83,22 @@ object TextOps {
     */
   def simhash(text: Column, nBits: Int): Column = {
     require(nBits >= 1 && nBits <= 60, s"nBits out of BIGINT-safe range: $nBits")
-    def bit(h: Column, b: Column): Column =
-      floor(hexDigit(h, (b / 4).cast("int") + 1)
+    val nDigits = (nBits + 3) / 4
+    // Parse each token's hex digits ONCE (md5 once per token, one
+    // conv/substr per digit) — the per-(token, bit) work in the weight
+    // fold is then pure arithmetic over the digit array. The naive
+    // hexDigit-per-(token, bit) form string-parses nBits times per
+    // token and made the 60-bit signature 4× slower.
+    val tokenDigits = transform(transform(tokens(text), w => md5(w)),
+      h => transform(sequence(lit(1), lit(nDigits)), i => hexDigit(h, i)))
+    def bit(digs: Column, b: Column): Column =
+      floor(element_at(digs, (b / 4).cast("int") + 1)
         / pow(lit(2), b % 4)).cast("int") % 2
     val weights = aggregate(
-      transform(tokens(text), w => md5(w)),
+      tokenDigits,
       array_repeat(lit(0), nBits),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(nBits - 1)),
-        (a, b) => a + bit(h, b) * 2 - 1))
+      (acc, digs) => zip_with(acc, sequence(lit(0), lit(nBits - 1)),
+        (a, b) => a + bit(digs, b) * 2 - 1))
     aggregate(
       zip_with(weights, sequence(lit(0), lit(nBits - 1)),
         (wgt, b) => when(wgt > 0, pow(lit(2), b).cast("long"))
