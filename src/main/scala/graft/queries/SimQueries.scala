@@ -224,5 +224,56 @@ object SimQueries {
       .filter(col("rn") <= 3)
   }
 
-  val all: Seq[Q] = Seq(q37, q38, q39, q48)
+  /** ANN recall@3 — the evaluation harness an ANN index ships with:
+    * for each query, what fraction of the EXACT top-3 (q37's
+    * brute-force ranking) does the LSH index (q38's bucketed ranking)
+    * recover? Both rankings reuse the shared rounding + tie policy, so
+    * the measurement is reproducible in both engines. Recall drives
+    * the planes/nProbe tuning loop: the knob is cheap to turn because
+    * this query is cheap to run (exact side is one broadcast scan at
+    * any corpus size, per-query). NOTE the test corpus is RANDOM
+    * embeddings — near-orthogonal vectors with no cluster structure,
+    * the worst case for any sublinear index — so measured recall is
+    * intentionally low (~0.1-0.3 here); on real embedding manifolds
+    * the same harness is what justifies raising planes or switching
+    * to the IVF path (q48).
+    */
+  val q55 = Q("q55_ann_recall",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm,
+       |    ${bucketSql(AnnPlanes)} AS bkt
+       |  FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < 8),
+       |c AS (SELECT * FROM e WHERE vec_id >= 8),
+       |ex AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC,
+       |                 c.vec_id) AS rn
+       |    FROM q, c)
+       |  WHERE rn <= 3),
+       |ls AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC,
+       |                 c.vec_id) AS rn
+       |    FROM q JOIN c ON c.bkt = q.bkt)
+       |  WHERE rn <= 3)
+       |SELECT ex.qid,
+       |  round(CAST(count(ls.nid) AS DOUBLE) / 3.0, 6) AS recall3
+       |FROM ex LEFT JOIN ls ON ls.qid = ex.qid AND ls.nid = ex.nid
+       |GROUP BY ex.qid""".stripMargin) { (s, dir) =>
+    val exact3 = q37.fn(s, dir).filter(col("rn") <= 3)
+      .select(col("qid"), col("nid"))
+    val lsh3 = q38.fn(s, dir)
+      .select(col("qid"), col("nid"), lit(1L).as("__hit"))
+    exact3.join(lsh3, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(round(sum(coalesce(col("__hit"), lit(0L))) / 3.0, 6)
+        .as("recall3"))
+  }
+
+  val all: Seq[Q] = Seq(q37, q38, q39, q48, q55)
 }

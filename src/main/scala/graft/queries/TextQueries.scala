@@ -356,6 +356,106 @@ object TextQueries {
         count(lit(1)).as("n_dups"))
   }
 
+  /** PII scan + redaction — the compliance pass a curation pipeline
+    * runs before training. The corpus is letters+spaces, so PII is
+    * synthesized in-query from doc_id (only on some docs — % 3/5/7 —
+    * so counts genuinely vary): both engines build the identical
+    * string, count emails / IPv4s / phone-like runs, and fingerprint
+    * the REDACTED text (each match class replaced by a tag). Patterns
+    * avoid lookarounds/backreferences so Java regex and RE2 agree.
+    * Map-only at any scale.
+    */
+  val q52 = Q("q52_pii_scan",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    text
+      |      || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+      |           || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+      |      || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.'
+      |           || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+      |      || CASE WHEN doc_id % 7 = 0 THEN ' tel 555-0'
+      |           || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS mt
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(mt,
+      |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+', 0)) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(mt,
+      |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', 0)) AS BIGINT) AS n_ip,
+      |  CAST(len(regexp_extract_all(mt,
+      |    '[0-9][0-9][0-9]-[0-9]+', 0)) AS BIGINT) AS n_phone,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(mt,
+      |    '[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+      |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+      |    '[0-9][0-9][0-9]-[0-9]+', '<PHONE>', 'g')) AS red_fp
+      |FROM m""".stripMargin) { (s, dir) =>
+    val emailPat = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    val ipPat = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    val phonePat = "[0-9][0-9][0-9]-[0-9]+"
+    val mt = concat(col("text"),
+      when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com"))).otherwise(""),
+      when(col("doc_id") % 5 === 0, concat(lit(" ip 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7"))).otherwise(""),
+      when(col("doc_id") % 7 === 0, concat(lit(" tel 555-0"),
+        (col("doc_id") % 100).cast("string"))).otherwise(""))
+    def count(pat: String) =
+      size(regexp_extract_all(col("mt"), lit(pat), lit(0))).cast("long")
+    docs(s, dir).select(col("doc_id"), mt.as("mt"))
+      .select(col("doc_id"),
+        count(emailPat).as("n_email"),
+        count(ipPat).as("n_ip"),
+        count(phonePat).as("n_phone"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("mt"),
+          emailPat, "<EMAIL>"), ipPat, "<IP>"), phonePat, "<PHONE>"))
+          .as("red_fp"))
+  }
+
+  /** Repetition metrics (the Gopher-family quality filters): total vs
+    * distinct token / 2-gram / 3-gram counts per document — high
+    * duplicate fractions flag boilerplate/spam for removal. Counts,
+    * not ratios, cross the engine boundary (exact integers — a ratio
+    * like m/640 can land exactly ON a 6dp round-half boundary, which
+    * engines break differently); the consumer derives 1 − u/n. Pure
+    * per-row array arithmetic (no explode, no shuffle): n-grams are
+    * built by indexing the token array in place.
+    */
+  val q53 = Q("q53_repetition",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, n, toks,
+      |    CASE WHEN n >= 2 THEN list_transform(range(1, n),
+      |      i -> toks[i] || ' ' || toks[i + 1])
+      |      ELSE [] END AS g2,
+      |    CASE WHEN n >= 3 THEN list_transform(range(1, n - 1),
+      |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+      |      ELSE [] END AS g3
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(n AS BIGINT) AS n_tok,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS u_tok,
+      |  CAST(len(g2) AS BIGINT) AS n_2g,
+      |  CAST(len(list_distinct(g2)) AS BIGINT) AS u_2g,
+      |  CAST(len(g3) AS BIGINT) AS n_3g,
+      |  CAST(len(list_distinct(g3)) AS BIGINT) AS u_3g
+      |FROM g""".stripMargin) { (s, dir) =>
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks)
+    def grams(k: Int): Column =
+      transform(sequence(lit(1), n - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+    def uniq(g: Column): Column = size(array_distinct(g)).cast("long")
+    docs(s, dir).select(col("doc_id"),
+      n.cast("long").as("n_tok"),
+      uniq(toks).as("u_tok"),
+      when(n >= 2, (n - 1).cast("long")).otherwise(0L).as("n_2g"),
+      when(n >= 2, uniq(grams(2))).otherwise(0L).as("u_2g"),
+      when(n >= 3, (n - 2).cast("long")).otherwise(0L).as("n_3g"),
+      when(n >= 3, uniq(grams(3))).otherwise(0L).as("u_3g"))
+  }
+
   private val langMarkers = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is"),
     "es" -> Seq("el", "la", "los", "las", "que", "y"),
@@ -365,32 +465,12 @@ object TextQueries {
   private def inList(xs: Seq[String]) =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
-  /** Marker-token language ID (n-gram heuristic); output is the
-    * confusion matrix vs the labeled `lang` column.
+  /** Marker-hit columns + `pred_lang` appended to a documents frame
+    * (shared by q33's confusion matrix and q54's filter).
     */
-  val q33 = Q("q33_lang_id",
-    s"""WITH sc AS (
-       |  SELECT doc_id, lang,
-       |${langMarkers.map { case (l, ms) =>
-          s"    len(list_filter(string_split(text, ' '), w -> w IN " +
-          s"${inList(ms)})) AS ${l}_hits"}.mkString(",\n")}
-       |  FROM documents),
-       |p AS (
-       |  SELECT lang,
-       |    CASE
-       |      WHEN en_hits >= es_hits AND en_hits >= de_hits
-       |       AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
-       |      WHEN es_hits >= de_hits AND es_hits >= fr_hits
-       |       AND es_hits > 0 THEN 'es'
-       |      WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
-       |      WHEN fr_hits > 0 THEN 'fr'
-       |      ELSE 'unknown' END AS pred_lang
-       |  FROM sc)
-       |SELECT lang, pred_lang, count(*) AS n
-       |FROM p GROUP BY lang, pred_lang""".stripMargin) { (s, dir) =>
-    val hits = langMarkers.foldLeft(docs(s, dir)) { case (df, (l, ms)) =>
-      df.withColumn(s"${l}_hits",
-        TextOps.markerHits(col("text"), ms))
+  private def withPredLang(df: DataFrame): DataFrame = {
+    val hits = langMarkers.foldLeft(df) { case (d, (l, ms)) =>
+      d.withColumn(s"${l}_hits", TextOps.markerHits(col("text"), ms))
     }
     val pred = when(col("en_hits") >= col("es_hits") &&
         col("en_hits") >= col("de_hits") &&
@@ -400,8 +480,79 @@ object TextQueries {
       .when(col("de_hits") >= col("fr_hits") && col("de_hits") > 0, "de")
       .when(col("fr_hits") > 0, "fr")
       .otherwise("unknown")
-    hits.select(col("lang"), pred.as("pred_lang"))
+    hits.withColumn("pred_lang", pred)
+  }
+
+  /** The oracle-side marker-hit column list (mirrors withPredLang). */
+  private def langHitsSqlCols: String =
+    langMarkers.map { case (l, ms) =>
+      s"    len(list_filter(string_split(text, ' '), w -> w IN " +
+        s"${inList(ms)})) AS ${l}_hits"
+    }.mkString(",\n")
+
+  private val predLangSqlCase =
+    """CASE
+      |      WHEN en_hits >= es_hits AND en_hits >= de_hits
+      |       AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+      |      WHEN es_hits >= de_hits AND es_hits >= fr_hits
+      |       AND es_hits > 0 THEN 'es'
+      |      WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+      |      WHEN fr_hits > 0 THEN 'fr'
+      |      ELSE 'unknown' END""".stripMargin
+
+  /** Marker-token language ID (n-gram heuristic); output is the
+    * confusion matrix vs the labeled `lang` column.
+    */
+  val q33 = Q("q33_lang_id",
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang,
+       |$langHitsSqlCols
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang,
+       |    $predLangSqlCase AS pred_lang
+       |  FROM sc)
+       |SELECT lang, pred_lang, count(*) AS n
+       |FROM p GROUP BY lang, pred_lang""".stripMargin) { (s, dir) =>
+    withPredLang(docs(s, dir))
       .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+  }
+
+  /** The quality-filter KEEP LIST — the decision a curation pipeline
+    * materializes: keep documents whose predicted language agrees with
+    * the label AND that clear the minimum-length bar, carrying the
+    * quality tier for downstream sampling. Combines the q33 predictor
+    * with the q34 features in one map-only pass + filter.
+    */
+  val q54 = Q("q54_filter_keep",
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '),
+       |        w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS hits,
+       |$langHitsSqlCols
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang, n_tokens, hits,
+       |    $predLangSqlCase AS pred_lang
+       |  FROM sc)
+       |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CASE WHEN n_tokens >= 20
+       |        AND CAST(hits AS DOUBLE) / n_tokens > 0.05 THEN 'good'
+       |       ELSE 'ok' END AS quality
+       |FROM p
+       |WHERE pred_lang = lang AND n_tokens >= 5""".stripMargin) { (s, dir) =>
+    val nTokens = size(TextOps.tokens(col("text"))).cast("long")
+    val stopHits = TextOps.markerHits(col("text"),
+      Seq("the", "a", "of", "and", "to", "in")).cast("long")
+    withPredLang(docs(s, dir))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        nTokens.as("n_tokens"), stopHits.as("hits"))
+      .filter(col("pred_lang") === col("lang") && col("n_tokens") >= 5)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        when(col("n_tokens") >= 20 &&
+          col("hits").cast("double") / col("n_tokens") > 0.05, "good")
+          .otherwise("ok").as("quality"))
   }
 
   /** Per-document quality features + bucket (length, token stats,
@@ -505,5 +656,6 @@ object TextQueries {
   }
 
   val all: Seq[Q] =
-    Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51)
+    Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
+      q52, q53, q54)
 }
