@@ -79,4 +79,37 @@ object Multimodal {
       }
       .toDF("media_id", "n_bytes", "n_frames", "feature")
   }
+
+  /** Frame sampling — the video-pipeline primitive: every `stride`-th
+    * 256-byte "frame" of the payload becomes one output row with its
+    * md5 fingerprint (a real decoder emits decoded frames / embeddings
+    * here; the fan-out shape, frame indexing, and per-partition batch
+    * are what this exercises). One input row yields
+    * ceil(nFrames/stride) rows via the iterator's flatMap — lazily, so
+    * a giant payload never materializes all its frames at once beyond
+    * the partition batch.
+    */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be positive: $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, payload) =>
+          val nFrames = payload.length / 256 + 1
+          (0 until nFrames).iterator
+            .filter(_ % stride == 0)
+            .map { k =>
+              val from = k * 256
+              val until = math.min(from + 256, payload.length)
+              val slice = java.util.Arrays.copyOfRange(payload, from, until)
+              val fp = md.digest(slice).map("%02x".format(_)).mkString
+              md.reset()
+              (id, k.toLong, fp)
+            }
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_fp")
+  }
 }

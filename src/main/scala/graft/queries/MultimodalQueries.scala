@@ -48,5 +48,22 @@ object MultimodalQueries {
         round(element_at(col("feature"), 4), 6).as("f3"))
   }
 
-  val all: Seq[Q] = Seq(q40)
+  /** Frame sampling: every 3rd 256-byte frame of each payload, with
+    * its md5 fingerprint — the fan-out half of the multimodal plumbing
+    * (q40 is the reduce half). Same ASCII caveat as q40: the oracle
+    * slices CHARACTERS where the engine slices payload BYTES.
+    */
+  val q56 = Q("q56_frame_sample",
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    CAST(unnest(range(0, len(text) // 256 + 1)) AS INT) AS k
+      |  FROM documents)
+      |SELECT doc_id AS media_id, CAST(k AS BIGINT) AS frame_idx,
+      |  md5(substr(text, k * 256 + 1, 256)) AS frame_fp
+      |FROM f WHERE k % 3 = 0""".stripMargin) { (s, dir) =>
+    val media = Multimodal.asMediaTable(Tables(s, dir, "documents"))
+    Multimodal.sampleFrames(media, 3)
+  }
+
+  val all: Seq[Q] = Seq(q40, q56)
 }

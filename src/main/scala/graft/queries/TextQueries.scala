@@ -443,9 +443,15 @@ object TextQueries {
       |FROM g""".stripMargin) { (s, dir) =>
     val toks = TextOps.tokens(col("text"))
     val n = size(toks)
+    // k-grams as k shifted slices of the token array zipped together —
+    // zip_with walks the arrays directly; the index-generating
+    // (sequence + element_at per position) formulation paid a boxed
+    // array lookup per (position, offset) and was ~8× the cost of the
+    // rest of the suite's map-only queries
     def grams(k: Int): Column =
-      transform(sequence(lit(1), n - (k - 1)), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+      (0 until k).map(j => slice(toks, lit(j + 1), n - (k - 1)))
+        .reduceRight((a, b) => zip_with(a, b,
+          (x, y) => concat(x, lit(" "), y)))
     def uniq(g: Column): Column = size(array_distinct(g)).cast("long")
     docs(s, dir).select(col("doc_id"),
       n.cast("long").as("n_tok"),

@@ -148,6 +148,44 @@ class Round3Spec extends SparkSpec {
     assert(sigs(0) != sigs(1))
   }
 
+  // ---- multimodal frame sampling + payload pruning ----
+
+  test("sampleFrames: stride sampling with md5 frame fingerprints") {
+    val docs = Seq((1L, "a" * 600, "web", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val media = graft.multimodal.Multimodal.asMediaTable(docs)
+    val out = graft.multimodal.Multimodal.sampleFrames(media, 2)
+      .orderBy("frame_idx").collect()
+    // 600 bytes → frames 0,1,2 (600/256+1); stride 2 keeps 0 and 2
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected0 = md.digest(("a" * 256).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0).getString(2) == expected0)
+    // last frame is the 88-byte tail, not a full 256
+    md.reset()
+    val expected2 = md.digest(("a" * 88).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1).getString(2) == expected2)
+  }
+
+  test("media parquet: metadata-only query prunes the payload column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+      .toString
+    val docs = Seq((1L, "hello world", "web", "en"),
+      (2L, "more text", "books", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    graft.multimodal.Multimodal.asMediaTable(docs).write
+      .mode("overwrite").parquet(dir)
+    val metaOnly = spark.read.parquet(dir)
+      .groupBy("modality").agg(sum($"meta.n_bytes").as("bytes"))
+    val plan = metaOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("payload"),
+      "metadata aggregate must not read the payload column")
+    assert(metaOnly.count() == 2)
+  }
+
   // ---- Bench error capture ----
 
   test("Bench.run records per-query errors instead of swallowing them") {
