@@ -186,6 +186,39 @@ class Round3Spec extends SparkSpec {
     assert(metaOnly.count() == 2)
   }
 
+  // ---- plan-hygiene regression: the scale properties PLANS.md
+  //      documents, locked in as tests (sf0.001 testdata, read-only)
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("plan hygiene: map-only queries never exchange") {
+    import graft.queries.{MultimodalQueries => M, TextQueries => T}
+    val mapOnly = Seq(T.q29, T.q32, T.q34, T.q36, T.q50, T.q52, T.q53,
+      M.q40, M.q56)
+    for (q <- mapOnly) {
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"${q.name} must stay map-only but its plan has an Exchange")
+    }
+  }
+
+  test("plan hygiene: q51 dedup is exactly one shuffle on the fingerprint") {
+    val plan = graft.queries.TextQueries.q51.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    val n = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(n == 1, s"expected 1 Exchange, plan has $n")
+    assert(plan.contains("hashpartitioning(fp"))
+  }
+
+  test("plan hygiene: q48 assigns cells via a broadcast centroid join") {
+    val plan = graft.queries.SimQueries.q48.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "centroid assignment must broadcast the centroid table")
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe ⋈ assigned-cells must broadcast the probe side")
+  }
+
   // ---- Bench error capture ----
 
   test("Bench.run records per-query errors instead of swallowing them") {
