@@ -30,16 +30,18 @@ object TextQueries {
     * stand-in, shared across registry runs, unpersisted via clear()).
     */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
-    // all 6 components in ONE nested-HOF pass over the shingles
-    // (seed is the outer lambda variable), cached as an array; the
-    // element_at unpacking sits above the cache so projection collapse
-    // can't inline the array expression 6×
-    val sigArr = transform(sequence(lit(0), lit(5)), seed =>
-      array_min(transform(TextOps.shinglePositions(col("text"), 8, 4),
-        i => md5(concat(seed.cast("string"), lit(":"),
-          col("text").substr(i, lit(8)))))))
+    // native codegen'd builder (graft.functions.MinhashSigF) — the HOF
+    // spec it reproduces bit-for-bit is:
+    //   transform(sequence(0, 5), seed =>
+    //     array_min(transform(shinglePositions(text, 8, 4),
+    //       i => md5(concat(seed, ":", substr(text, i, 8))))))
+    // (equivalence property-tested in Round3Spec); cached as an array —
+    // the element_at unpacking sits above the cache so projection
+    // collapse can't inline the build 6×
     graft.Materialized(s, s"minhash_signatures:$dir") {
-      docs(s, dir).select(col("doc_id"), sigArr.as("mh"))
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.TextHashF.minhashSig(col("text"), 8, 4, 6)
+          .as("mh"))
     }.select(col("doc_id") +:
       (0 to 5).map(i => element_at(col("mh"), i + 1).as(s"mh$i")): _*)
   }
@@ -57,12 +59,14 @@ object TextQueries {
     }
   }
 
-  /** Per-document character-4-gram sets (q31's join input). */
+  /** Per-document character-4-gram sets (q31's join input) — native
+    * builder, spec = TextOps.shingleSet (Round3Spec equivalence).
+    */
   private def gramSets(s: SparkSession, dir: String): DataFrame =
     graft.Materialized(s, s"gram_sets:$dir") {
       // immutable testdata; referenced by both join sides
       docs(s, dir).select(col("doc_id"),
-        TextOps.shingleSet(col("text"), 4, 1).as("gs"))
+        graft.functions.TextHashF.shingleSet(col("text"), 4, 1).as("gs"))
     }
 
   /** Build every shared [[graft.Materialized]] artifact of this module
@@ -239,8 +243,10 @@ object TextQueries {
     */
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     graft.Materialized(s, s"simhash60:$dir") {
+      // native builder, spec = TextOps.simhash (Round3Spec equivalence)
       docs(s, dir).select(col("doc_id"),
-        TextOps.simhash(col("text"), Simhash49Bits).as("sh"))
+        graft.functions.TextHashF.simhash(col("text"), Simhash49Bits)
+          .as("sh"))
     }
 
   /** SimHash→candidates: the consumer the q32 signature exists for.

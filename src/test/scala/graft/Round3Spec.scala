@@ -148,6 +148,47 @@ class Round3Spec extends SparkSpec {
     assert(sigs(0) != sigs(1))
   }
 
+  // ---- native signature expressions ≡ their HOF specs ----
+
+  private val hashSamples = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a a a repeated tokens a a",
+    "short",
+    "",
+    "double  space and trailing ",
+    "unicode tøkens mixed ascii ünïcode")
+
+  test("SimhashF equals the TextOps.simhash HOF spec") {
+    for (bits <- Seq(16, 60)) {
+      val rows = hashSamples.toDF("t")
+        .select(TextOps.simhash($"t", bits).as("spec"),
+          graft.functions.TextHashF.simhash($"t", bits).as("native"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"simhash($bits) mismatch on a sample"))
+    }
+  }
+
+  test("MinhashSigF equals the nested-HOF signature spec") {
+    val spec = transform(sequence(lit(0), lit(5)), seed =>
+      array_min(transform(TextOps.shinglePositions($"t", 8, 4),
+        i => md5(concat(seed.cast("string"), lit(":"),
+          $"t".substr(i, lit(8)))))))
+    val rows = hashSamples.toDF("t")
+      .select(spec.as("spec"),
+        graft.functions.TextHashF.minhashSig($"t", 8, 4, 6).as("native"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("ShingleSetF equals the TextOps.shingleSet HOF spec") {
+    val rows = hashSamples.toDF("t")
+      .select(TextOps.shingleSet($"t", 4, 1).as("spec"),
+        graft.functions.TextHashF.shingleSet($"t", 4, 1).as("native"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (a, b) => assert(a == b) }
+  }
+
   // ---- multimodal frame sampling + payload pruning ----
 
   test("sampleFrames: stride sampling with md5 frame fingerprints") {
