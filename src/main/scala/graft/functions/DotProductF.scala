@@ -88,15 +88,40 @@ object DotProductF {
       GraftBridge.expression(a), GraftBridge.expression(b)))
 }
 
-/** Session extension registering `graft_dot` for SQL callers:
-  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+/** Session extension registering the graft_* functions for SQL
+  * callers: `SparkSession.builder.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Foldable int argument (the signature shapes are plan constants). */
+  private def intArg(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn expects a literal integer argument")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashF].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) =>
+        SimhashF(exprs(0), intArg(exprs(1), "graft_simhash"))))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSigF].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => MinhashSigF(exprs(0),
+        intArg(exprs(1), "graft_minhash_sig"),
+        intArg(exprs(2), "graft_minhash_sig"),
+        intArg(exprs(3), "graft_minhash_sig"))))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingle_set"),
+      new ExpressionInfo(classOf[ShingleSetF].getName, "graft_shingle_set"),
+      (exprs: Seq[Expression]) => ShingleSetF(exprs(0),
+        intArg(exprs(1), "graft_shingle_set"),
+        intArg(exprs(2), "graft_shingle_set"))))
   }
 }
