@@ -279,26 +279,9 @@ object TextQueries {
        |    AND a.doc_id < c.doc_id)
        |SELECT doc_a, doc_b, hamming FROM p
        |WHERE hamming <= $Simhash49MaxHamming""".stripMargin) { (s, dir) =>
-    val bnd = simhashes(s, dir)
-      .select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(Simhash49Bands - 1))).as("band"))
-      .withColumn("key",
-        expr(s"shiftright(sh, 15 * band) & ${(1 << Simhash49BandBits) - 1}"))
-    val sized = bnd.groupBy("band", "key").agg(count(lit(1)).as("n"))
-      .filter(col("n").between(2, Simhash49MaxBucket))
-      .select("band", "key")
-    val inCap = bnd.join(broadcast(sized), Seq("band", "key"))
-    val right = inCap.select(col("band"), col("key"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    inCap.select(col("band"), col("key"),
-        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      .join(right, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
-          .as("hamming"))
-      .filter(col("hamming") <= Simhash49MaxHamming)
-      .distinct()
+    graft.text.NearDup.simhashCandidates(simhashes(s, dir),
+      Simhash49Bands, 15, Simhash49BandBits,
+      Simhash49MaxBucket, Simhash49MaxHamming)
   }
 
   /** BPE-ish pre-tokenizer on SYNTHESIZED mixed text: the corpus is

@@ -148,6 +148,21 @@ class Round3Spec extends SparkSpec {
     assert(sigs(0) != sigs(1))
   }
 
+  // ---- NearDup.simhashCandidates unit semantics ----
+
+  test("simhashCandidates: hamming pairs found, hot buckets excluded") {
+    // ids 1,2 identical; 3 differs by one bit in block 1 (still shares
+    // band 0); 4 differs by 10 bits (over maxHamming); ids 100+ are a
+    // 30-doc hot cluster whose every bucket exceeds the cap
+    val rows = Seq(1L -> 5L, 2L -> 5L, 3L -> (5L | (1L << 20)),
+      4L -> (5L | (0x3FFL << 30))) ++ (100L to 129L).map(_ -> 7L)
+    val sig = rows.toDF("doc_id", "sh")
+    val out = graft.text.NearDup
+      .simhashCandidates(sig, 4, 15, 8, 20, 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   // ---- native signature expressions ≡ their HOF specs ----
 
   private val hashSamples = Seq(
