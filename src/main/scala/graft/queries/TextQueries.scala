@@ -451,6 +451,34 @@ object TextQueries {
       when(n >= 3, uniq(grams(3))).otherwise(0L).as("u_3g"))
   }
 
+  /** Benchmark DECONTAMINATION — remove training documents that
+    * collide with a held-out evaluation set (here: every 10th doc
+    * stands in for the benchmark; a real pipeline loads the benchmark
+    * fingerprints from storage). The scale shape is the point: the
+    * benchmark fingerprint set is tiny relative to the corpus, so it
+    * BROADCASTS and the contamination check is one map-only semi-join
+    * pass over 100 TB — no corpus shuffle. Fingerprint = q36's head
+    * fingerprint (64 normalized chars), which also catches docs that
+    * share a benchmark prefix.
+    */
+  val q57 = Q("q57_decontaminate",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    md5(substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |               1, 64)) AS fp
+      |  FROM documents),
+      |bench AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 = 0)
+      |SELECT f.doc_id, f.fp FROM f JOIN bench USING (fp)
+      |WHERE f.doc_id % 10 <> 0""".stripMargin) { (s, dir) =>
+    val f = docs(s, dir).select(col("doc_id"),
+      md5(TextOps.normalize(col("text")).substr(lit(1), lit(64)))
+        .as("fp"))
+    val bench = f.filter(col("doc_id") % 10 === 0).select("fp").distinct()
+    f.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(bench), Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("fp"))
+  }
+
   private val langMarkers = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is"),
     "es" -> Seq("el", "la", "los", "las", "que", "y"),
@@ -652,5 +680,5 @@ object TextQueries {
 
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
-      q52, q53, q54)
+      q52, q53, q54, q57)
 }

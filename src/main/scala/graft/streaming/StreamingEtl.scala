@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode,
-  StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger,
-  TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues,
+  Trigger, TTLConfig, ValueState}
 import graft.ops.Scd
 
 /** Structured-Streaming surface. The reference's incrementality is
@@ -107,6 +107,61 @@ object StreamingEtl {
     events.groupByKey(_.user_id)
       .transformWithState(new TotalsProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** A token routed to its sketch bucket (`bucket` = hash(w) % B by
+    * the caller — each distinct token always lands in ONE bucket).
+    */
+  final case class TokEvent(bucket: Long, w: String)
+
+  /** A bucket's current lower-bound count for a surviving token. */
+  final case class TokCount(bucket: Long, w: String, cnt: Long)
+
+  /** Streaming heavy hitters — a distributed Misra-Gries sketch in
+    * keyed `MapState` (the streaming twin of the batch two-pass
+    * `Approx.heavyHitters`, q47). Each bucket keeps AT MOST `capacity`
+    * counters: a known token increments; an unknown token inserts while
+    * there is room, otherwise every counter decrements (zeros evicted)
+    * and the arrival is absorbed — the classic guarantee follows: any
+    * token with true bucket frequency > n_bucket/capacity is still
+    * present, and each surviving count undercounts by at most
+    * n_bucket/capacity. State is bounded at B·capacity entries FOREVER,
+    * on an unbounded stream with an unbounded token vocabulary — the
+    * property ValueState-per-token cannot give.
+    */
+  class HeavyHittersProcessor(capacity: Int)
+      extends StatefulProcessor[Long, TokEvent, TokCount] {
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("mg",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TokEvent],
+        timerValues: TimerValues): Iterator[TokCount] = {
+      rows.foreach { t =>
+        if (counts.containsKey(t.w))
+          counts.updateValue(t.w, counts.getValue(t.w) + 1L)
+        else if (counts.keys().size < capacity)
+          counts.updateValue(t.w, 1L)
+        else {
+          // Misra-Gries step: decrement all, evict zeros, absorb arrival
+          val entries = counts.iterator().toList
+          entries.foreach { case (w, c) =>
+            if (c <= 1L) counts.removeKey(w)
+            else counts.updateValue(w, c - 1L)
+          }
+        }
+      }
+      counts.iterator().map { case (w, c) => TokCount(key, w, c) }
+        .toList.iterator
+    }
+  }
+
+  def streamingHeavyHitters(tokens: Dataset[TokEvent],
+      capacity: Int): Dataset[TokCount] = {
+    import tokens.sparkSession.implicits._
+    tokens.groupByKey(_.bucket)
+      .transformWithState(new HeavyHittersProcessor(capacity),
+        TimeMode.None(), OutputMode.Update())
   }
 
   def scd1Sink(src: DataFrame, targetDir: String, keys: Seq[String],

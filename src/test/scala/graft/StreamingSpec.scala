@@ -102,6 +102,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingHeavyHitters: MapState Misra-Gries keeps hot tokens, " +
+    "bounded counters, across micro-batches (RocksDB store)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingEtl.{TokCount, TokEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[TokEvent]
+      val q = StreamingEtl.streamingHeavyHitters(input.toDS(), 3)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("hh_stream").start()
+      // batch 1 fills the 3 counters: hot=5, a=1, b=1
+      input.addData(Seq.fill(5)(TokEvent(0L, "hot")) ++
+        Seq(TokEvent(0L, "a"), TokEvent(0L, "b")): _*)
+      q.processAllAvailable()
+      // batch 2: 'c' hits a full sketch → decrement-all evicts a and b;
+      // three more 'hot' leave it at 7 regardless of in-batch order
+      input.addData(TokEvent(0L, "c"), TokEvent(0L, "hot"),
+        TokEvent(0L, "hot"), TokEvent(0L, "hot"))
+      q.processAllAvailable()
+      val byTok = spark.table("hh_stream").as[TokCount].collect()
+        .groupBy(_.w).map { case (w, cs) => w -> cs.map(_.cnt).max }
+      assert(byTok("hot") == 7L) // true count 8, undercount ≤ n/capacity
+      assert(byTok.get("c").isEmpty) // absorbed, never inserted
+      // batch-1 emissions for a/b remain in the sink but their final
+      // counts were evicted: nothing beyond batch-1's value of 1
+      assert(byTok.getOrElse("a", 1L) == 1L &&
+        byTok.getOrElse("b", 1L) == 1L)
+      q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dedupStream drops repeated fingerprints across micro-batches " +
     "within the watermark horizon") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
