@@ -52,11 +52,19 @@ object Bench {
     // artifact warm-up: the signature/band/gram-set tables a production
     // pipeline would already hold on storage are built once here, not
     // billed to whichever consumer runs first — but the cost is still
-    // REPORTED (warmup_sec) so the total stays honest
+    // REPORTED (warmup_sec), and a FAILED warm-up must still produce
+    // the JSON line (as "__warmup" in errors) and a nonzero exit, not
+    // abort before any output
     val w0 = System.nanoTime()
-    graft.queries.TextQueries.prewarm(spark, sfDir)
+    val warmupErr =
+      try { graft.queries.TextQueries.prewarm(spark, sfDir); None }
+      catch { case e: Throwable =>
+        Some(e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
+      }
     val warmupSec = (System.nanoTime() - w0) / 1e9
-    val results = run(spark, sfDir, Registry.all)
+    val results = run(spark, sfDir, Registry.all) ++
+      warmupErr.map(e => ("__warmup", -1.0, Some(e))).toSeq
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""

@@ -53,16 +53,27 @@ object Pipeline {
 
   private def scd1Load(spark: SparkSession, wh: Warehouse, name: String,
       staged: DataFrame, keys: Seq[String], attrs: Seq[String]): Unit = {
-    // DDL constraint gate (Createtables_BIKES.sql PKs): key uniqueness +
-    // NOT NULL must hold BEFORE the merge — scd1Merge assumes one src
-    // row per key, and a violating batch must fail the load, not
-    // corrupt the dimension.
-    Warehouse.checkConstraints(staged, name, keys)
-    val merged =
-      if (wh.exists(name))
-        Scd.scd1Merge(staged, wh.read(spark, name), keys, attrs)
-      else staged
-    wh.mergeOverwrite(merged, name)
+    // persist: the constraint gate is an extra action over the staging
+    // lineage — without caching, the merge below would recompute the
+    // full stage* transform chain a second time. Safe to cache: staged
+    // derives from the raw inputs, never from a warehouse path this
+    // load overwrites (see the Scd.scd2Merge stale-cache note).
+    val cached = staged.persist()
+    try {
+      // DDL constraint gate (Createtables_BIKES.sql PKs): key
+      // uniqueness + NOT NULL must hold BEFORE the merge — scd1Merge
+      // assumes one src row per key, and a violating batch must fail
+      // the load, not corrupt the dimension.
+      Warehouse.checkConstraints(cached, name, keys)
+      val merged =
+        if (wh.exists(name))
+          Scd.scd1Merge(cached, wh.read(spark, name), keys, attrs)
+        else cached
+      wh.mergeOverwrite(merged, name)
+    } finally {
+      cached.unpersist()
+      ()
+    }
   }
 
   /** One daily refresh: staging → ODS SCD merges → DW build. */
@@ -91,18 +102,24 @@ object Pipeline {
     // Product: SCD Type-2 versioned history (py:630-717)
     val stagedProd = BikesPipeline.stage(raw.product,
       Seq("PRODUCTID", "PRODCATEGORYID", "PARTNERID", "PRICE"))
-    Warehouse.checkConstraints(stagedProd, "ods_product_hist",
-      Seq("PRODUCTID"))
-    val prodAttrs = Seq("PRODCATEGORYID", "PARTNERID", "PRICE")
-    val prodHist =
-      if (wh.exists("ods_product_hist"))
-        Scd.scd2Merge(stagedProd, wh.read(spark, "ods_product_hist"),
-          Seq("PRODUCTID"), prodAttrs, asOfD)
-      else stagedProd
-        .withColumn("current_flag", lit(1L))
-        .withColumn("eff_dt", asOfD)
-        .withColumn("exp_dt", lit(null).cast("date"))
-    wh.mergeOverwrite(prodHist, "ods_product_hist")
+      .persist() // gate + merge both consume it (see scd1Load note)
+    try {
+      Warehouse.checkConstraints(stagedProd, "ods_product_hist",
+        Seq("PRODUCTID"))
+      val prodAttrs = Seq("PRODCATEGORYID", "PARTNERID", "PRICE")
+      val prodHist =
+        if (wh.exists("ods_product_hist"))
+          Scd.scd2Merge(stagedProd, wh.read(spark, "ods_product_hist"),
+            Seq("PRODUCTID"), prodAttrs, asOfD)
+        else stagedProd
+          .withColumn("current_flag", lit(1L))
+          .withColumn("eff_dt", asOfD)
+          .withColumn("exp_dt", lit(null).cast("date"))
+      wh.mergeOverwrite(prodHist, "ods_product_hist")
+    } finally {
+      stagedProd.unpersist()
+      ()
+    }
 
     // ---- E2: warehouse build (BikesDWSQl.sql:22-200, in order) ----
     def ods(n: String) = wh.read(spark, n)

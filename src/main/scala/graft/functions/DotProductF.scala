@@ -94,9 +94,25 @@ object DotProductF {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  /** Foldable int argument (the signature shapes are plan constants). */
+  /** Arity gate with a readable message (a wrong-arity SQL call should
+    * not surface as an IndexOutOfBoundsException).
+    */
+  private def arity(fn: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$fn expects $n arguments, got ${exprs.length}")
+
+  /** Foldable integer argument (the signature shapes are plan
+    * constants); rejects non-literal and non-integral arguments with a
+    * message naming the function instead of a ClassCastException.
+    */
   private def intArg(e: Expression, fn: String): Int = {
-    require(e.foldable, s"$fn expects a literal integer argument")
+    val ok = e.foldable && (e.dataType match {
+      case _: IntegerType | _: LongType | _: ShortType | _: ByteType => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$fn expects a literal integer argument, got ${e.sql}")
     e.eval().asInstanceOf[Number].intValue
   }
 
@@ -104,24 +120,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        arity("graft_dot", exprs, 2)
+        DotProductF(exprs(0), exprs(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashF].getName, "graft_simhash"),
-      (exprs: Seq[Expression]) =>
-        SimhashF(exprs(0), intArg(exprs(1), "graft_simhash"))))
+      (exprs: Seq[Expression]) => {
+        arity("graft_simhash", exprs, 2)
+        SimhashF(exprs(0), intArg(exprs(1), "graft_simhash"))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinhashSigF].getName, "graft_minhash_sig"),
-      (exprs: Seq[Expression]) => MinhashSigF(exprs(0),
-        intArg(exprs(1), "graft_minhash_sig"),
-        intArg(exprs(2), "graft_minhash_sig"),
-        intArg(exprs(3), "graft_minhash_sig"))))
+      (exprs: Seq[Expression]) => {
+        arity("graft_minhash_sig", exprs, 4)
+        MinhashSigF(exprs(0),
+          intArg(exprs(1), "graft_minhash_sig"),
+          intArg(exprs(2), "graft_minhash_sig"),
+          intArg(exprs(3), "graft_minhash_sig"))
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_shingle_set"),
       new ExpressionInfo(classOf[ShingleSetF].getName, "graft_shingle_set"),
-      (exprs: Seq[Expression]) => ShingleSetF(exprs(0),
-        intArg(exprs(1), "graft_shingle_set"),
-        intArg(exprs(2), "graft_shingle_set"))))
+      (exprs: Seq[Expression]) => {
+        arity("graft_shingle_set", exprs, 3)
+        ShingleSetF(exprs(0),
+          intArg(exprs(1), "graft_shingle_set"),
+          intArg(exprs(2), "graft_shingle_set"))
+      }))
   }
 }

@@ -45,6 +45,14 @@ object Multimodal {
     StructField("n_frames", LongType, nullable = false),
     StructField("feature", ArrayType(DoubleType), nullable = false)))
 
+  /** Frame count: ceil(bytes/256), minimum 1 (an empty payload is one
+    * empty frame, never zero — every media row decodes to something).
+    * floor+1 would mint a PHANTOM empty frame for every exact-multiple
+    * payload, which frame-level fingerprint consumers would then
+    * cluster on md5("").
+    */
+  def frameCount(nBytes: Int): Int = math.max(1, (nBytes + 255) / 256)
+
   /** Deterministic stand-in for a real decoder: 4 "features" derived
     * from byte-range sums over the payload, one "frame" per 256 bytes.
     * A real implementation replaces ONLY the body of this function
@@ -52,7 +60,7 @@ object Multimodal {
     * below is unchanged.
     */
   def fakeDecode(payload: Array[Byte]): (Long, Array[Double]) = {
-    val nFrames = payload.length / 256 + 1
+    val nFrames = frameCount(payload.length)
     val feat = new Array[Double](4)
     var i = 0
     while (i < payload.length) {
@@ -97,7 +105,7 @@ object Multimodal {
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { case (id, payload) =>
-          val nFrames = payload.length / 256 + 1
+          val nFrames = frameCount(payload.length)
           (0 until nFrames).iterator
             .filter(_ % stride == 0)
             .map { k =>

@@ -25,7 +25,8 @@ object MultimodalQueries {
       |  FROM documents)
       |SELECT doc_id AS media_id,
       |  CAST(any_value(len(text)) AS BIGINT) AS n_bytes,
-      |  CAST(any_value(len(text)) // 256 + 1 AS BIGINT) AS n_frames,
+      |  CAST(greatest((any_value(len(text)) + 255) // 256, 1)
+      |    AS BIGINT) AS n_frames,
       |  round(sum(CASE WHEN (i - 1) % 4 = 0
       |    THEN ord(substr(text, i, 1))::DOUBLE / 255.0 ELSE 0 END), 6)
       |    AS f0,
@@ -56,7 +57,8 @@ object MultimodalQueries {
   val q56 = Q("q56_frame_sample",
     """WITH f AS (
       |  SELECT doc_id, text,
-      |    CAST(unnest(range(0, len(text) // 256 + 1)) AS INT) AS k
+      |    CAST(unnest(range(0, greatest((len(text) + 255) // 256, 1)))
+      |      AS INT) AS k
       |  FROM documents)
       |SELECT doc_id AS media_id, CAST(k AS BIGINT) AS frame_idx,
       |  md5(substr(text, k * 256 + 1, 256)) AS frame_fp

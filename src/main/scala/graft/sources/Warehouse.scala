@@ -126,9 +126,12 @@ object Warehouse {
     val required = (keys ++ notNull).distinct
     val nullCond = required.map(col(_).isNull)
       .reduceOption(_ || _).getOrElse(lit(false))
+    // count(when(...)) not sum(when(...)): sum over ZERO rows is null,
+    // and an empty batch (no new rows today) must pass the gate, not
+    // NPE on Row.getLong
     val stats = df.agg(
       count(lit(1)).as("n"),
-      sum(when(nullCond, 1L).otherwise(0L)).as("nulls"),
+      count(when(nullCond, lit(1))).as("nulls"),
       countDistinct(struct(keys.map(col): _*)).as("nk")).head()
     val (n, nulls, nk) =
       (stats.getLong(0), stats.getLong(1), stats.getLong(2))

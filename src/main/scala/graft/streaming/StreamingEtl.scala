@@ -137,16 +137,21 @@ object StreamingEtl {
         Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[TokEvent],
         timerValues: TimerValues): Iterator[TokCount] = {
+      // counter count loaded ONCE per batch and tracked locally —
+      // counts.keys() is a full state-store scan, and paying it per
+      // tail-token arrival (the common case) would dwarf the real work
+      var size = counts.keys().size
       rows.foreach { t =>
         if (counts.containsKey(t.w))
           counts.updateValue(t.w, counts.getValue(t.w) + 1L)
-        else if (counts.keys().size < capacity)
+        else if (size < capacity) {
           counts.updateValue(t.w, 1L)
-        else {
+          size += 1
+        } else {
           // Misra-Gries step: decrement all, evict zeros, absorb arrival
           val entries = counts.iterator().toList
           entries.foreach { case (w, c) =>
-            if (c <= 1L) counts.removeKey(w)
+            if (c <= 1L) { counts.removeKey(w); size -= 1 }
             else counts.updateValue(w, c - 1L)
           }
         }

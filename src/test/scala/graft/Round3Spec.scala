@@ -43,6 +43,12 @@ class Round3Spec extends SparkSpec {
       .count() == 2)
   }
 
+  test("checkConstraints passes an EMPTY batch (no rows violate nothing)") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    assert(Warehouse.checkConstraints(empty, "t", Seq("id"), Seq("v"))
+      .count() == 0)
+  }
+
   test("checkConstraints on a composite key") {
     val df = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("a", "b", "v")
     assert(Warehouse.checkConstraints(df, "t", Seq("a", "b"))
@@ -223,6 +229,18 @@ class Round3Spec extends SparkSpec {
     val expected2 = md.digest(("a" * 88).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     assert(out(1).getString(2) == expected2)
+  }
+
+  test("sampleFrames: exact-multiple payload has NO phantom empty frame") {
+    val docs = Seq((1L, "b" * 512, "web", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val media = graft.multimodal.Multimodal.asMediaTable(docs)
+    val out = graft.multimodal.Multimodal.sampleFrames(media, 1)
+      .orderBy("frame_idx").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L)) // ceil(512/256)=2
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert(out.forall(_.getString(2) != emptyMd5))
+    assert(graft.multimodal.Multimodal.frameCount(0) == 1) // empty = 1 frame
   }
 
   test("media parquet: metadata-only query prunes the payload column") {
