@@ -229,6 +229,89 @@ object Events {
         round(sum("value").over(w), 2).as("roll_1h"))
   }
 
+  /** Ordered conversion funnel: per user, first 'view', first 'click'
+    * strictly AFTER that view, first 'purchase' strictly after that
+    * click — the sequential-step semantics (a purchase before the
+    * click does NOT count), then one row per funnel step with the
+    * surviving user count. Shape: three keyed min-aggregations (one
+    * shuffle each on user_id, conditional min avoids re-scanning
+    * events per step) over a small per-user frame — no window over the
+    * whole event stream, no self-join explosion.
+    */
+  val q58 = Q("q58_funnel",
+    """WITH v AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      |  GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT 1 AS step, 'view' AS name,
+      |    CAST(count(t1) AS BIGINT) AS n_users FROM v
+      |  UNION ALL
+      |  SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM c
+      |  UNION ALL
+      |  SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p)
+      |""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val v = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    v.agg(count(col("t1")).as("n_users"))
+      .select(lit(1).as("step"), lit("view").as("name"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2).as("step"), lit("view>click").as("name"),
+          col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3).as("step"),
+          lit("view>click>purchase").as("name"), col("n_users")))
+  }
+
+  /** Cohort retention: users grouped by the Monday-start week of their
+    * FIRST event (date_trunc('week') agrees across engines), counted
+    * in every week they were active, with the week offset. Two
+    * aggregations + one join on user_id — the cohort frame is one row
+    * per (user, active week), never the raw event stream.
+    */
+  val q59 = Q("q59_retention_cohorts",
+    """WITH e AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id)
+      |SELECT c.cohort_wk, e.wk AS active_wk,
+      |  CAST((e.wk - c.cohort_wk) // 7 AS BIGINT) AS week_no,
+      |  count(*) AS n_users
+      |FROM e JOIN c ON c.user_id = e.user_id
+      |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val c = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    e.join(c, Seq("user_id"))
+      .select(col("cohort_wk"), col("wk").as("active_wk"),
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("long")
+          .as("week_no"))
+      .groupBy("cohort_wk", "active_wk", "week_no")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45)
+    Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45, q58, q59)
 }
