@@ -106,4 +106,25 @@ class PipelineE2ESpec extends SparkSpec {
     assert(fct("ods_product_hist").filter($"current_flag" === 1)
       .count() == 2)
   }
+
+  test("dirty batch: a duplicate-key source fails the constraint gate " +
+    "and leaves the warehouse untouched") {
+    val wh = Warehouse(Files.createTempDirectory("graft-dirty").toString)
+    Pipeline.runDaily(spark, wh, inputs("Medendorp@@", 100L,
+      extraOrder = false), "2024-06-15")
+    val before = rows(wh.read(spark, "ods_address"))
+
+    // day 2 arrives with a duplicate ADDRESSID — the PK gate must stop
+    // the load BEFORE any merge corrupts the dimension
+    val dirty = inputs("Smith", 120L, extraOrder = true).copy(
+      address = Seq((1L, "Lyon", "France", "EMEA", 69000L),
+        (1L, "Paris", "France", "EMEA", 75000L))
+        .toDF("ADDRESSID", "CITY", "COUNTRY", "REGION", "POSTALCODE"))
+    val e = intercept[IllegalStateException] {
+      Pipeline.runDaily(spark, wh, dirty, "2024-06-16")
+    }
+    assert(e.getMessage.contains("ods_address") &&
+      e.getMessage.contains("duplicate"))
+    assert(rows(wh.read(spark, "ods_address")) == before)
+  }
 }

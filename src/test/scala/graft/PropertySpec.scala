@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.ops.{Cdc, Scd}
+import graft.ops.{Approx, Cdc, Scd}
 
 /** Property-based invariants (SURVEY §5.4) over ScalaCheck-generated
   * frames: SCD1 idempotence, SCD2 structural invariants, CDC
@@ -75,6 +75,27 @@ class PropertySpec extends SparkSpec {
       val after = existing.select("k").unionByName(delta.select("k"))
       assert(Cdc.newRows(src, after, Seq("k")).count() == 0,
         s"re-run appended rows seed=$seed")
+    }
+  }
+
+  test("property: heavyHitters equals the naive GROUP BY/HAVING for " +
+    "random corpora and supports (non-null groups)") {
+    // skewed vocabulary: a few hot words, a long tail
+    val wordGen: Gen[String] = Gen.frequency(
+      6 -> Gen.oneOf("hot1", "hot2", "hot3"),
+      4 -> Gen.choose(0, 399).map(i => s"tail$i"))
+    val corpusGen = Gen.listOfN(600, wordGen)
+    val supportGen = Gen.oneOf(0.01, 0.03, 0.07, 0.1, 0.2)
+    (1L to 6L).foreach { seed =>
+      val params = Gen.Parameters.default
+      val words = corpusGen.pureApply(params, Seed(seed))
+      val support = supportGen.pureApply(params, Seed(seed + 1000))
+      val df = words.toDF("w")
+      val hh = Approx.heavyHitters(df, "w", support)
+      val exact = df.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .filter($"cnt" > words.size * support)
+      assert(rows(hh) == rows(exact),
+        s"mismatch seed=$seed support=$support")
     }
   }
 }
