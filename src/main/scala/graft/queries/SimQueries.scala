@@ -275,5 +275,55 @@ object SimQueries {
         .as("recall3"))
   }
 
-  val all: Seq[Q] = Seq(q37, q38, q39, q48, q55)
+  /** int8 scalar quantization — the storage op a 100 TB embedding
+    * store runs before anything else (4× smaller than float32, and the
+    * ANN probes above re-rank against dequantized codes): per-vector
+    * max-abs scale, code = floor(x/scale·127 + 0.5) — floor-based
+    * round-half-up is the formulation BOTH engines compute identically
+    * (a bare round() on a double that lands exactly on .5 — which
+    * x = scale/2 produces — is where engines may split ties
+    * differently). Output proves the contract: codes within [-127,127]
+    * (code_min/max), an exact integer checksum (code_sum), and the
+    * max reconstruction error (≤ scale/254 + float noise). Map-only
+    * at any corpus size; `scale` is guarded at 1e-6 so an all-zero
+    * vector quantizes to zeros instead of NaN codes.
+    */
+  val q60 = Q("q60_quantize_int8",
+    """WITH m AS (
+      |  SELECT vec_id, embedding,
+      |    greatest(list_max(list_transform(embedding,
+      |      x -> abs(x::DOUBLE))), 0.000001) AS mx
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, embedding, mx,
+      |    list_transform(embedding, x ->
+      |      CAST(floor(x::DOUBLE / mx * 127.0 + 0.5) AS BIGINT)) AS codes
+      |  FROM m)
+      |SELECT vec_id, round(mx, 6) AS scale,
+      |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |  CAST(list_min(codes) AS BIGINT) AS code_min,
+      |  CAST(list_max(codes) AS BIGINT) AS code_max,
+      |  round(list_max(list_transform(range(1, 65), i ->
+      |    abs(codes[CAST(i AS INT)] * mx / 127.0
+      |        - embedding[CAST(i AS INT)]::DOUBLE))), 6) AS max_err
+      |FROM q""".stripMargin) { (s, dir) =>
+    val mx = greatest(
+      array_max(transform(col("embedding"), x => abs(x.cast("double")))),
+      lit(0.000001))
+    val codes = transform(col("embedding"),
+      x => floor(x.cast("double") / col("mx") * 127.0 + 0.5).cast("long"))
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), mx.as("mx"))
+      .select(col("vec_id"), col("embedding"), col("mx"),
+        codes.as("codes"))
+      .select(col("vec_id"), round(col("mx"), 6).as("scale"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        round(array_max(zip_with(col("codes"), col("embedding"),
+          (c, x) => abs(c * col("mx") / lit(127.0)
+            - x.cast("double")))), 6).as("max_err"))
+  }
+
+  val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60)
 }
