@@ -21,6 +21,16 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
+  /** Head fingerprint (md5 of the first 64 normalized chars) — shared
+    * by q36's fingerprint set, q51's dedup keep, q57's decontamination.
+    */
+  private def headFp: Column =
+    md5(TextOps.normalize(col("text")).substr(lit(1), lit(64)))
+
+  private val headFpSql =
+    """md5(substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |               1, 64))""".stripMargin
+
   /** 6-component MinHash signature per doc — per-row scalar
     * expressions (TextOps.minhashExpr): a map-only projection, no
     * explode/shuffle. Materialized once per session because every LSH
@@ -265,7 +275,8 @@ object TextQueries {
        |  FROM sg),
        |bk AS (
        |  SELECT doc_id, sh, band,
-       |    (sh >> (15 * band)) & ${(1 << Simhash49BandBits) - 1} AS key
+       |    (sh >> (${Simhash49Bits / Simhash49Bands} * band))
+       |      & ${(1 << Simhash49BandBits) - 1} AS key
        |  FROM b),
        |sized AS (
        |  SELECT band, key FROM bk GROUP BY band, key
@@ -280,7 +291,7 @@ object TextQueries {
        |SELECT doc_a, doc_b, hamming FROM p
        |WHERE hamming <= $Simhash49MaxHamming""".stripMargin) { (s, dir) =>
     graft.text.NearDup.simhashCandidates(simhashes(s, dir),
-      Simhash49Bands, 15, Simhash49BandBits,
+      Simhash49Bands, Simhash49Bits / Simhash49Bands, Simhash49BandBits,
       Simhash49MaxBucket, Simhash49MaxHamming)
   }
 
@@ -327,18 +338,15 @@ object TextQueries {
     * this is the job that writes the deduplicated corpus.
     */
   val q51 = Q("q51_dedup_keep",
-    """WITH f AS (
-      |  SELECT doc_id, source,
-      |    md5(substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-      |               1, 64)) AS fp
-      |  FROM documents)
-      |SELECT fp, min(doc_id) AS keep_id, min_by(source, doc_id) AS source,
-      |  count(*) AS n_dups
-      |FROM f GROUP BY fp""".stripMargin) { (s, dir) =>
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |    $headFpSql AS fp
+       |  FROM documents)
+       |SELECT fp, min(doc_id) AS keep_id, min_by(source, doc_id) AS source,
+       |  count(*) AS n_dups
+       |FROM f GROUP BY fp""".stripMargin) { (s, dir) =>
     docs(s, dir)
-      .select(col("doc_id"), col("source"),
-        md5(TextOps.normalize(col("text")).substr(lit(1), lit(64)))
-          .as("fp"))
+      .select(col("doc_id"), col("source"), headFp.as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"),
         min_by(col("source"), col("doc_id")).as("source"),
@@ -462,17 +470,14 @@ object TextQueries {
     * share a benchmark prefix.
     */
   val q57 = Q("q57_decontaminate",
-    """WITH f AS (
-      |  SELECT doc_id,
-      |    md5(substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-      |               1, 64)) AS fp
-      |  FROM documents),
-      |bench AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 = 0)
-      |SELECT f.doc_id, f.fp FROM f JOIN bench USING (fp)
-      |WHERE f.doc_id % 10 <> 0""".stripMargin) { (s, dir) =>
-    val f = docs(s, dir).select(col("doc_id"),
-      md5(TextOps.normalize(col("text")).substr(lit(1), lit(64)))
-        .as("fp"))
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    $headFpSql AS fp
+       |  FROM documents),
+       |bench AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 = 0)
+       |SELECT f.doc_id, f.fp FROM f JOIN bench USING (fp)
+       |WHERE f.doc_id % 10 <> 0""".stripMargin) { (s, dir) =>
+    val f = docs(s, dir).select(col("doc_id"), headFp.as("fp"))
     val bench = f.filter(col("doc_id") % 10 === 0).select("fp").distinct()
     f.filter(col("doc_id") % 10 =!= 0)
       .join(broadcast(bench), Seq("fp"), "left_semi")
@@ -648,17 +653,16 @@ object TextQueries {
     * prefix for bucketing.
     */
   val q36 = Q("q36_fingerprint",
-    """SELECT doc_id,
-      |  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
-      |  substr(md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')),
-      |         1, 8) AS fp8,
-      |  md5(substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-      |             1, 64)) AS head_fp
-      |FROM documents""".stripMargin) { (s, dir) =>
+    s"""SELECT doc_id,
+       |  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+       |  substr(md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')),
+       |         1, 8) AS fp8,
+       |  $headFpSql AS head_fp
+       |FROM documents""".stripMargin) { (s, dir) =>
     val norm = TextOps.normalize(col("text"))
     docs(s, dir).select(col("doc_id"), md5(norm).as("fp"),
       md5(norm).substr(1, 8).as("fp8"),
-      md5(norm.substr(lit(1), lit(64))).as("head_fp"))
+      headFp.as("head_fp"))
   }
 
   /** Heavy-hitter tokens (> 1% of the corpus token stream) via the

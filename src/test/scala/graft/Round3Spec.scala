@@ -220,15 +220,12 @@ class Round3Spec extends SparkSpec {
       .orderBy("frame_idx").collect()
     // 600 bytes → frames 0,1,2 (600/256+1); stride 2 keeps 0 and 2
     assert(out.map(_.getLong(1)).toSeq == Seq(0L, 2L))
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val expected0 = md.digest(("a" * 256).getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    assert(out(0).getString(2) == expected0)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getString(2) == md5hex("a" * 256))
     // last frame is the 88-byte tail, not a full 256
-    md.reset()
-    val expected2 = md.digest(("a" * 88).getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    assert(out(1).getString(2) == expected2)
+    assert(out(1).getString(2) == md5hex("a" * 88))
   }
 
   test("sampleFrames: exact-multiple payload has NO phantom empty frame") {
