@@ -263,9 +263,10 @@ class Round3Spec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("plan hygiene: map-only queries never exchange") {
-    import graft.queries.{MultimodalQueries => M, TextQueries => T}
+    import graft.queries.{MultimodalQueries => M, SimQueries => Si,
+      TextQueries => T}
     val mapOnly = Seq(T.q29, T.q32, T.q34, T.q36, T.q50, T.q52, T.q53,
-      M.q40, M.q56)
+      M.q40, M.q56, Si.q60)
     for (q <- mapOnly) {
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
