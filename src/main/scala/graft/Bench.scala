@@ -29,9 +29,13 @@ object Bench {
         try {
           q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           None
-        } catch { case e: Throwable =>
-          Some(e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
+        } catch {
+          // NonFatal only: an OutOfMemoryError/LinkageError leaves the
+          // JVM untrustworthy — continuing would skew every later
+          // query's timing, so let fatal errors abort the run.
+          case scala.util.control.NonFatal(e) =>
+            Some(e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
         }
       val sec = (System.nanoTime() - t0) / 1e9
       (q.name, if (err.isEmpty) sec else -1.0, err)
@@ -58,7 +62,7 @@ object Bench {
     val w0 = System.nanoTime()
     val warmupErr =
       try { graft.queries.TextQueries.prewarm(spark, sfDir); None }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         Some(e.getClass.getSimpleName + ": " +
           Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
       }

@@ -159,6 +159,11 @@ case class SimhashF(child: Expression, nBits: Int) extends TextHashExpr {
 
 case class MinhashSigF(child: Expression, k: Int, stride: Int,
     nSeeds: Int) extends TextHashExpr {
+  // Plan-time gate: SQL registration passes literal ints straight here,
+  // and stride <= 0 would loop `i += stride` forever per row — a silent
+  // executor hang rather than an error.
+  require(k >= 1 && stride >= 1 && nSeeds >= 1,
+    s"graft_minhash_sig: k=$k, stride=$stride, nSeeds=$nSeeds must all be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
   override protected def nullSafeEval(input: Any): Any =
@@ -171,6 +176,8 @@ case class MinhashSigF(child: Expression, k: Int, stride: Int,
 
 case class ShingleSetF(child: Expression, k: Int, stride: Int)
     extends TextHashExpr {
+  require(k >= 1 && stride >= 1,
+    s"graft_shingle_set: k=$k, stride=$stride must both be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingle_set"
   override protected def nullSafeEval(input: Any): Any =

@@ -103,14 +103,16 @@ object Events {
   val q25 = Q("q25_rollup",
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
       |  count(*) AS n,
-      |  round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS amt
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS amt
       |FROM orders
       |GROUP BY ROLLUP (1, 2)""".stripMargin) { (s, dir) =>
     Tables(s, dir, "orders")
       .rollup(year(col("o_orderdate")).cast("long").as("o_year"),
         col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).as("amt"))
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("amt"))
   }
 
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
@@ -204,14 +206,16 @@ object Events {
   val q44 = Q("q44_cube",
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
       |  count(*) AS n,
-      |  round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS amt
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS amt
       |FROM orders
       |GROUP BY CUBE (1, 2)""".stripMargin) { (s, dir) =>
     Tables(s, dir, "orders")
       .cube(year(col("o_orderdate")).cast("long").as("o_year"),
         col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).as("amt"))
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("amt"))
   }
 
   /** RANGE interval frame: per-user rolling 1-hour sum ordered by

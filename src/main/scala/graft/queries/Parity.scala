@@ -24,6 +24,15 @@ import graft.ops.{Calendar, Cdc, Derive, Scd}
   * 100 TB it only grows. Price/discount columns are 2dp-exact, so casting
   * to DECIMAL(18,2) before Σ makes the sum EXACT and order-independent in
   * both engines — the same policy every financial warehouse uses.
+  *
+  * DECIMAL is ACCUMULATION-ONLY (driver contract, round 3 finding): the
+  * driver's result hasher rejects DECIMAL-typed OUTPUT columns (6 of 10
+  * decimal-output queries failed hash_match in r03 with values verified
+  * identical to the oracle). Every rounded money sum is therefore cast to
+  * DOUBLE as the final step, on BOTH the Spark and oracle sides. The
+  * pre-cast sum is exact, so the double conversion is deterministic and
+  * engine-identical. Output columns are restricted to
+  * double/bigint/string/date/timestamp/bool/arrays.
   */
 object Parity {
 
@@ -43,11 +52,11 @@ object Parity {
   val q01 = Q("q01_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
       |  sum(l_quantity) AS sum_qty,
-      |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
-      |    AS sum_base_price,
-      |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
       |            * (1 - CAST(l_discount AS DECIMAL(18,2)))), 4)
-      |    AS sum_disc_price,
+      |    AS DOUBLE) AS sum_disc_price,
       |  round(avg(l_discount), 6) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
@@ -56,8 +65,9 @@ object Parity {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").as("sum_qty"),
-        round(sum(dec2("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(discPriceDec), 4).as("sum_disc_price"),
+        round(sum(dec2("l_extendedprice")), 2).cast("double")
+          .as("sum_base_price"),
+        round(sum(discPriceDec), 4).cast("double").as("sum_disc_price"),
         round(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
@@ -68,9 +78,9 @@ object Parity {
     */
   val q02 = Q("q02_join_year_agg",
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-      |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
       |            * (1 - CAST(l_discount AS DECIMAL(18,2)))), 4)
-      |    AS revenue,
+      |    AS DOUBLE) AS revenue,
       |  count(DISTINCT o_orderkey) AS n_orders,
       |  sum(l_quantity) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -80,7 +90,7 @@ object Parity {
         col("l_orderkey") === col("o_orderkey"), "inner")
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
-        round(sum(discPriceDec), 4).as("revenue"),
+        round(sum(discPriceDec), 4).cast("double").as("revenue"),
         countDistinct("o_orderkey").as("n_orders"),
         sum("l_quantity").as("sum_qty"))
   }
@@ -91,9 +101,9 @@ object Parity {
   val q03 = Q("q03_conditional_agg",
     """SELECT o_orderstatus,
       |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_cnt,
-      |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |  CAST(round(sum(CASE WHEN o_orderpriority = '1-URGENT'
       |            THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END), 2)
-      |    AS urgent_amt,
+      |    AS DOUBLE) AS urgent_amt,
       |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low_cnt,
       |  round(avg(o_totalprice), 4) AS avg_price,
       |  count(*) AS n
@@ -106,7 +116,7 @@ object Parity {
           .cast("long").as("urgent_cnt"),
         round(sum(when(col("o_orderpriority") === "1-URGENT",
           dec2("o_totalprice")).otherwise(lit(0).cast("decimal(18,2)"))), 2)
-          .as("urgent_amt"),
+          .cast("double").as("urgent_amt"),
         sum(when(col("o_orderpriority") === "5-LOW", 1).otherwise(0))
           .cast("long").as("low_cnt"),
         round(avg("o_totalprice"), 4).as("avg_price"),
@@ -116,14 +126,16 @@ object Parity {
   /** A1 + sort + limit — top-N with deterministic tie-break. */
   val q04 = Q("q04_top_customers",
     """SELECT o_custkey,
-      |  round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS total_spend,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS total_spend,
       |  count(*) AS n_orders
       |FROM orders GROUP BY o_custkey
       |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin) {
     (s, dir) =>
       t(s, dir, "orders")
         .groupBy("o_custkey")
-        .agg(round(sum(dec2("o_totalprice")), 2).as("total_spend"),
+        .agg(round(sum(dec2("o_totalprice")), 2).cast("double")
+          .as("total_spend"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("total_spend").desc, col("o_custkey").asc)
         .limit(10)
@@ -179,9 +191,9 @@ object Parity {
     */
   val q08 = Q("q08_star_join_agg",
     """SELECT r_name, n_name,
-      |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
       |            * (1 - CAST(l_discount AS DECIMAL(18,2)))), 4)
-      |    AS revenue,
+      |    AS DOUBLE) AS revenue,
       |  count(DISTINCT o_orderkey) AS n_orders
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -198,7 +210,7 @@ object Parity {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        round(sum(discPriceDec), 4).as("revenue"),
+        round(sum(discPriceDec), 4).cast("double").as("revenue"),
         countDistinct("o_orderkey").as("n_orders"))
   }
 
@@ -208,7 +220,8 @@ object Parity {
     */
   val q09 = Q("q09_cdc_anti_join",
     """SELECT o_orderstatus, count(*) AS n_new,
-      |  round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS amt_new
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS amt_new
       |FROM orders o
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM orders e
@@ -220,7 +233,7 @@ object Parity {
     Cdc.newRows(o, existing, Seq("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_new"),
-        round(sum(dec2("o_totalprice")), 2).as("amt_new"))
+        round(sum(dec2("o_totalprice")), 2).cast("double").as("amt_new"))
   }
 
   /** Semi-join (SURVEY §2.3 note: complement of J5). */
@@ -597,8 +610,8 @@ object Parity {
   val q19 = Q("q19_incremental_fact",
     """SELECT o.o_orderkey, o.o_custkey,
       |  CAST(o.o_orderdate AS DATE) AS ord_dt,
-      |  round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2)
-      |    AS ordr_amt,
+      |  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS ordr_amt,
       |  sum(l.l_quantity) AS ordr_qty,
       |  count(*) AS n_items
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -615,7 +628,8 @@ object Parity {
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_custkey"),
         col("o_orderdate").cast("date").as("ord_dt"))
-      .agg(round(sum(dec2("l_extendedprice")), 2).as("ordr_amt"),
+      .agg(round(sum(dec2("l_extendedprice")), 2).cast("double")
+        .as("ordr_amt"),
         sum("l_quantity").as("ordr_qty"), count(lit(1)).as("n_items"))
   }
 
@@ -645,9 +659,9 @@ object Parity {
   /** J2 + A1 with the part dimension (broadcast): revenue by brand. */
   val q41 = Q("q41_brand_revenue",
     """SELECT p_brand,
-      |  round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
       |            * (1 - CAST(l_discount AS DECIMAL(18,2)))), 4)
-      |    AS revenue,
+      |    AS DOUBLE) AS revenue,
       |  sum(l_quantity) AS sum_qty,
       |  count(DISTINCT l_partkey) AS n_parts
       |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -657,7 +671,7 @@ object Parity {
         col("l_partkey") === col("p_partkey"), "inner")
       .groupBy("p_brand")
       .agg(
-        round(sum(discPriceDec), 4).as("revenue"),
+        round(sum(discPriceDec), 4).cast("double").as("revenue"),
         sum("l_quantity").as("sum_qty"),
         countDistinct("l_partkey").as("n_parts"))
   }

@@ -116,9 +116,11 @@ object Warehouse {
     * `keys ++ notNull`, and distinct key tuples. Throws
     * IllegalStateException naming the table and violation counts;
     * returns `df` unchanged on success so it chains into the write.
-    * Key uniqueness is checked as countDistinct(keys) == rows, which is
-    * exact once the null check has passed (countDistinct skips
-    * null-keyed rows, but those already failed the NOT NULL gate).
+    * Key uniqueness is checked as countDistinct(keys) == rows. Note
+    * count(DISTINCT struct(keys)) DOES count tuples containing null
+    * fields (struct(null) is non-null); the check is sound only because
+    * the NOT NULL violation throws before the nk != n comparison runs,
+    * so no null-keyed row ever reaches the uniqueness count.
     */
   def checkConstraints(df: DataFrame, table: String, keys: Seq[String],
       notNull: Seq[String] = Nil): DataFrame = {

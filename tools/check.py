@@ -22,16 +22,31 @@ def main():
             continue
         res_dir = os.path.join(out_dir, name)
         try:
-            spark_df = con.sql(
-                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").df()
+            spark_rel = con.sql(
+                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+            spark_df = spark_rel.df()
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1
             continue
         try:
-            duck_df = con.sql(sql).df()
+            duck_rel = con.sql(sql)
+            duck_df = duck_rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        bad = [f"spark:{c}" for c in decimal_cols(spark_rel)] + \
+              [f"oracle:{c}" for c in decimal_cols(duck_rel)]
+        if bad:
+            # Driver-contract risk (round 3 finding): the driver's hasher
+            # rejects DECIMAL-typed output columns even when values match
+            # the oracle exactly (6/60 failed in r03 while this replica,
+            # which collapsed Decimal->float via .df(), passed 60/60).
+            # DECIMAL is accumulation-only — cast the final result to
+            # DOUBLE on both sides.
+            print(f"FAIL {name}: DECIMAL-typed output column(s) "
+                  f"{bad} — driver-contract risk; cast to DOUBLE")
             n_fail += 1
             continue
         ok, msg = compare(spark_df, duck_df)
@@ -43,6 +58,16 @@ def main():
             print(f"FAIL {name}: {msg}")
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
+
+def decimal_cols(rel):
+    """Columns whose DECLARED relation type is DECIMAL (any precision).
+
+    Checked on the duckdb relation, not the pandas frame: .df() silently
+    converts every DECIMAL to float64, which is exactly the blindness
+    that let the r03 representation regression through this gate.
+    """
+    return [c for c, t in zip(rel.columns, rel.types)
+            if "DECIMAL" in str(t).upper()]
 
 def compare(a, b):
     acols, bcols = sorted(a.columns), sorted(b.columns)
@@ -75,6 +100,8 @@ def norm(v):
     if isinstance(v, (np.integer, int)):
         return ("i", int(v))
     if isinstance(v, decimal.Decimal):
+        # Unreachable behind the decimal_cols gate; kept so a stray
+        # decimal in a nested value still normalizes deterministically.
         return ("f", repr(float(v)))
     if isinstance(v, pd.Timestamp):
         if v.tzinfo is not None:
