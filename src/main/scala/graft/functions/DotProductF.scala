@@ -7,12 +7,16 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.types._
 
-/** Fused dot product over two `array<float>` columns, accumulated in
-  * double, element order left-to-right — same fold order as the
+/** Fused dot product over two `array<float>` or two `array<double>`
+  * columns (both sides the same element type), accumulated in double,
+  * element order left-to-right — same fold order as the
   * zip_with+aggregate higher-order formulation and the DuckDB oracle's
   * list fold, but a native codegen'd Expression: the HOFs are
   * CodegenFallback, so on the ANN hot loop (every query×candidate pair)
-  * this removes per-element closure dispatch entirely.
+  * this removes per-element closure dispatch entirely. The double-array
+  * form serves derived vectors (perturbed/averaged embeddings are
+  * double after arithmetic); float→double promotion is exact, so a
+  * float corpus vector scores identically through either form.
   *
   * Degenerate-input semantics (differs from the HOF form, which yields
   * null): arrays of different lengths are truncated to the shorter one,
@@ -30,18 +34,25 @@ import org.apache.spark.sql.types._
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+  private lazy val isDouble: Boolean = elemType(left).contains(DoubleType)
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+    val ok = (elemType(left), elemType(right)) match {
+      case (Some(a), Some(b)) => a == b
       case _ => false
-    })
+    }
     if (ok)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<float> arguments, got " +
-          s"${left.dataType.sql} and ${right.dataType.sql}")
+        s"$prettyName requires two array<float> or two array<double> " +
+          s"arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
@@ -52,10 +63,16 @@ case class DotProductF(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
-    }
+    if (isDouble)
+      while (i < n) {
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+    else
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
     acc
   }
 
@@ -65,11 +82,12 @@ case class DotProductF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      val get = if (isDouble) "getDouble" else "getFloat"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  $acc += ((double) $x.$get($i)) * ((double) $y.$get($i));
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -85,6 +103,76 @@ object DotProductF {
   /** Column-level entry point. */
   def apply(a: Column, b: Column): Column =
     GraftBridge.column(DotProductF(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** Fused EXACT integer dot product over two `array<bigint>` columns —
+  * the scorer for int8-quantized embeddings (SimQueries q60/q61): codes
+  * are small ints, so Σ aᵢ·bᵢ fits int64 with astronomical headroom
+  * (64 dims × 127² ≈ 2²⁰) and the result is exact, order-independent,
+  * and bit-identical in every engine — no floating-point at all until
+  * the caller rescales. Same degenerate-input semantics as
+  * [[DotProductF]]: truncate to the shorter array, null elements read
+  * as 0, top-level null yields null.
+  */
+case class DotLongF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_int"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getLong($i) * $y.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object DotLongF {
+  import org.apache.spark.sql.GraftBridge
+
+  /** Column-level entry point. */
+  def apply(a: Column, b: Column): Column =
+    GraftBridge.column(DotLongF(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 }
 
@@ -123,6 +211,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity("graft_dot", exprs, 2)
         DotProductF(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot_int"),
+      new ExpressionInfo(classOf[DotLongF].getName, "graft_dot_int"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_dot_int", exprs, 2)
+        DotLongF(exprs(0), exprs(1))
       }))
     e.injectFunction((
       FunctionIdentifier("graft_simhash"),
