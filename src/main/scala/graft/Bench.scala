@@ -42,6 +42,10 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    // optional args: query names to bench in isolation (dev loop for
+    // chasing a single query's timing); the driver's no-arg invocation
+    // runs the full registry
+    val only = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -67,7 +71,10 @@ object Bench {
           Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
       }
     val warmupSec = (System.nanoTime() - w0) / 1e9
-    val results = run(spark, sfDir, Registry.all) ++
+    val picked =
+      if (only.isEmpty) Registry.all
+      else Registry.all.filter(q => only(q.name))
+    val results = run(spark, sfDir, picked) ++
       warmupErr.map(e => ("__warmup", -1.0, Some(e))).toSeq
     def jstr(s: String): String =
       "\"" + s.flatMap {
