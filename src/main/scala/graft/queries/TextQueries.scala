@@ -682,7 +682,143 @@ object TextQueries {
       graft.ops.Approx.heavyHitters(tok, "w", 0.01)
   }
 
+  /** Deterministic hash SPLIT (train/val/test ≈ 90/5/5) — the first
+    * op any training run applies to a corpus. Bucket = the first two
+    * md5 hex digits of the doc id (0..255); split by fixed thresholds
+    * (230/243). Membership depends only on the key: stable across
+    * runs, engines, cluster sizes, and corpus growth — a doc never
+    * migrates between splits when new data arrives (the property
+    * random sampling can't give). Map-only at any scale; the output
+    * aggregates to one row per split with an id checksum.
+    */
+  val q62 = Q("q62_hash_split",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    (strpos('0123456789abcdef',
+      |       substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef',
+      |        substr(md5(doc_id::VARCHAR), 2, 1)) - 1 AS bkt
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN bkt < 230 THEN 'train'
+      |         WHEN bkt < 243 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM b)
+      |SELECT split, count(*) AS n_docs,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+      |  CAST(max(doc_id) AS BIGINT) AS max_doc,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc
+      |FROM s GROUP BY split""".stripMargin) { (s, dir) =>
+    val bkt = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+      16, 10).cast("int")
+    docs(s, dir)
+      .select(col("doc_id"),
+        when(bkt < 230, "train").when(bkt < 243, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        sum("doc_id").cast("long").as("sum_doc"))
+  }
+
+  /** SOFT decontamination scoring — q57 removes exact/prefix
+    * collisions; this measures PARTIAL overlap: how many of a
+    * training doc's distinct word 3-grams also appear anywhere in the
+    * held-out benchmark set (doc_id % 10 = 0, q57's stand-in). The
+    * benchmark gram vocabulary is tiny relative to the corpus, so it
+    * BROADCASTS; the corpus side is explode → broadcast-semi-join →
+    * one bounded agg on doc_id — no corpus-sized shuffle key space.
+    * COUNTS cross the engine boundary, not ratios (q53's 6dp-boundary
+    * lesson); the consumer thresholds n_hit/u_3g itself.
+    */
+  val q63 = Q("q63_contamination_3g",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n >= 3 THEN list_distinct(list_transform(
+      |      range(1, n - 1),
+      |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+      |      ELSE [] END AS g3
+      |  FROM t),
+      |bench AS (
+      |  SELECT DISTINCT unnest(g3) AS ng FROM g WHERE doc_id % 10 = 0),
+      |h AS (
+      |  SELECT doc_id, len(g3) AS u3, unnest(g3) AS ng
+      |  FROM g WHERE doc_id % 10 <> 0)
+      |SELECT h.doc_id, CAST(h.u3 AS BIGINT) AS u_3g,
+      |  count(*) AS n_hit
+      |FROM h JOIN bench USING (ng)
+      |GROUP BY h.doc_id, h.u3""".stripMargin) { (s, dir) =>
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks)
+    def grams(k: Int): Column =
+      (0 until k).map(j => slice(toks, lit(j + 1), n - (k - 1)))
+        .reduceRight((a, b) => zip_with(a, b,
+          (x, y) => concat(x, lit(" "), y)))
+    val g = docs(s, dir).select(col("doc_id"),
+      when(n >= 3, array_distinct(grams(3)))
+        .otherwise(array().cast("array<string>")).as("g3"))
+    val bench = g.filter(col("doc_id") % 10 === 0)
+      .select(explode(col("g3")).as("ng")).distinct()
+    g.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), size(col("g3")).cast("long").as("u_3g"),
+        explode(col("g3")).as("ng"))
+      .join(broadcast(bench), Seq("ng"), "left_semi")
+      .groupBy("doc_id", "u_3g")
+      .agg(count(lit(1)).as("n_hit"))
+  }
+
+  /** Duplicate-CLUSTER resolution — the step after candidate
+    * generation that the dedup tier was missing: connected components
+    * over the LSH candidate pairs ([[graft.ops.Components]], min-label
+    * propagation, one scalar per round to the driver), reported one
+    * row per component with its keeper (= the component id = the
+    * minimum doc id, the same keep-lowest policy as q51) and size.
+    * Oracle: DuckDB recursive CTE computing min-reachable-id per node
+    * over the same pair list — an independent formulation of the same
+    * fixpoint.
+    */
+  val q64 = Q("q64_dup_components",
+    s"""WITH RECURSIVE $shingleSqlCte,
+       |b AS (
+       |  SELECT doc_id, 0 AS band, mh0 || mh1 || mh2 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, mh3 || mh4 || mh5 AS key FROM sig),
+       |sized AS (
+       |  SELECT band, key FROM b GROUP BY band, key
+       |  HAVING count(*) BETWEEN 2 AND 20),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM sized x
+       |  JOIN b a ON a.band = x.band AND a.key = x.key
+       |  JOIN b c ON c.band = x.band AND c.key = x.key
+       |    AND a.doc_id < c.doc_id),
+       |nodes AS (
+       |  SELECT doc_a AS n FROM pairs
+       |  UNION SELECT doc_b FROM pairs),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |r(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT e.d, r.m FROM r JOIN edges e ON e.s = r.n),
+       |cc AS (SELECT n, min(m) AS comp FROM r GROUP BY n)
+       |SELECT comp, count(*) AS n_docs,
+       |  CAST(max(n) AS BIGINT) AS max_doc
+       |FROM cc GROUP BY comp""".stripMargin) { (s, dir) =>
+    val pairs = q30.fn(s, dir).select("doc_a", "doc_b").distinct()
+    graft.ops.Components.connected(pairs)
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
-      q52, q53, q54, q57)
+      q52, q53, q54, q57, q62, q63, q64)
 }

@@ -47,6 +47,34 @@ class Round4Spec extends SparkSpec {
       .count() == 0)
   }
 
+  test("Components.connected: multi-round path graph, separate " +
+    "components, min-id labels") {
+    import graft.ops.Components
+    // a 6-node path (needs several propagation rounds), a triangle,
+    // and an isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val labels = Components.connected(pairs)
+    val byComp = labels.groupBy("comp")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byComp == Map(1L -> 6L, 10L -> 3L, 20L -> 2L))
+    // every node labelled with its component's minimum id
+    assert(labels.filter($"comp" > $"node").count() == 0)
+  }
+
+  test("Components.connected: round cap fails loudly, not half-merged") {
+    import graft.ops.Components
+    val chain = (1L to 6L).sliding(2)
+      .map(w => (w.head, w.last)).toSeq.toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Components.connected(chain, maxRounds = 1).collect()
+    }
+    ()
+  }
+
   test("SignatureStore: stored-band candidates equal the in-session " +
     "q30 pairs; only the final distinct exchanges") {
     val dir = "/root/testdata/sf0.001"
