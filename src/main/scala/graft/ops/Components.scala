@@ -8,21 +8,20 @@ import org.apache.spark.sql.functions._
   * candidate pairs (MinHash-LSH q30 / SimHash q49 / embedding q39)
   * → components → one keeper per component.
   *
-  * Algorithm: distributed min-label propagation. Every node starts
-  * labelled with itself; each round joins labels across edges and
-  * keeps the per-node minimum; convergence when no label changed.
-  * The driver reads ONE scalar per round (the changed-label count),
-  * never data rows; lineage is cut each round with localCheckpoint so
-  * the plan doesn't grow with the iteration count.
-  *
-  * Scale note: plain propagation needs O(graph diameter) rounds —
-  * fine for dedup graphs (near-duplicate clusters are small and
-  * dense, diameter is tiny). A corpus with pathological chain-shaped
-  * components would want the alternating small-star/large-star
-  * contraction (Kiveris et al., "Connected Components in MapReduce"),
-  * which is the same DataFrame join/agg ops in O(log n) rounds — the
-  * round cap below fails loudly rather than returning a half-merged
-  * labelling if that day comes.
+  * Algorithm: distributed min-label propagation WITH pointer jumping.
+  * Every node starts labelled with itself; each round takes the
+  * per-node minimum over (its own label, its neighbours' labels, its
+  * label's label). The edge-propagation term alone converges in
+  * O(diameter) rounds; the pointer-jumping term (follow the label
+  * chain one hop: node → comp → comp's comp) compresses chains
+  * geometrically, giving O(log diameter) rounds — the same idea as
+  * the star-contraction CC algorithms (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond"). Convergence when no label
+  * changed; the driver reads ONE scalar per round (the changed-label
+  * count), never data rows; lineage is cut each round with
+  * localCheckpoint so the plan doesn't grow with the round count.
+  * The round cap fails loudly rather than returning a half-merged
+  * labelling.
   */
 object Components {
 
@@ -31,9 +30,13 @@ object Components {
     */
   def connected(pairs: DataFrame, a: String = "doc_a",
       b: String = "doc_b", maxRounds: Int = 50): DataFrame = {
+    // materialize the edge list ONCE — every round joins against it,
+    // and without this each round would re-execute the pair-generation
+    // lineage (the whole LSH candidate pipeline when fed from q30)
     val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
       .localCheckpoint()
@@ -47,7 +50,12 @@ object Components {
             "budget; use a star-contraction variant for this graph")
       val prop = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("comp"))
-      val next = labels.unionByName(prop)
+      // pointer jumping: node -> comp -> comp's current label
+      val jump = labels
+        .join(labels.select(col("node").as("comp"),
+          col("comp").as("comp2")), Seq("comp"))
+        .select(col("node"), col("comp2").as("comp"))
+      val next = labels.unionByName(prop).unionByName(jump)
         .groupBy("node").agg(min("comp").as("comp"))
         .localCheckpoint()
       changed = next
