@@ -169,6 +169,26 @@ object StreamingEtl {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Watermarked stream-stream INTERVAL join — the attribution shape:
+    * each left-side event (click) joins the right-side events
+    * (impressions) for the same key within the preceding `gapSeconds`.
+    * Both sides carry watermarks AND the join condition bounds both
+    * event times — the combination is what lets Spark EXPIRE buffered
+    * rows once the watermark passes; without the time bound a
+    * stream-stream join must buffer both streams forever. Inner join,
+    * append-mode-safe.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      watermark: String, gapSeconds: Long): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) <= col(leftTs) &&
+          col(rightTs) >= col(leftTs) -
+            expr(s"INTERVAL $gapSeconds SECONDS"))
+
   def scd1Sink(src: DataFrame, targetDir: String, keys: Seq[String],
       attrs: Seq[String], checkpointDir: String): StreamingQuery =
     src.writeStream

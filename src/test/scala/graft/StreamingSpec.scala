@@ -168,6 +168,31 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("intervalJoin: stream-stream attribution joins only in-window " +
+    "impressions for the same key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamingEtl.intervalJoin(
+      clicks.toDF().toDF("c_user", "c_ts", "c_id"),
+      imps.toDF().toDF("i_user", "i_ts", "i_id"),
+      "c_user", "i_user", "c_ts", "i_ts", "10 minutes", 300L)
+    val q = joined.select("c_id", "i_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+    imps.addData((1L, ts("2024-01-01 10:00:00"), "i1"),
+      (1L, ts("2024-01-01 10:03:00"), "i2"),
+      (1L, ts("2024-01-01 09:50:00"), "i0"), // outside the 300s window
+      (2L, ts("2024-01-01 10:03:30"), "i3")) // other user
+    clicks.addData((1L, ts("2024-01-01 10:04:00"), "c1"))
+    q.processAllAvailable()
+    val got = spark.table("attrib").as[(String, String)].collect().toSet
+    assert(got == Set(("c1", "i1"), ("c1", "i2")))
+    q.stop()
+  }
+
   test("windowedCounts aggregates per hour × type under a watermark") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
