@@ -320,6 +320,97 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Sequence mining — top user JOURNEYS: each user's first three
+    * event types concatenated in event-time order, counted across
+    * users, thresholded at ≥2 (path-space grows |types|^k, so k and
+    * the support floor trade off against corpus size). The path string is assembled by
+    * conditional-max PIVOT over the row number (max(when(rn=i)))
+    * rather than collect_list, whose intra-group order Spark does not
+    * guarantee — the pivot is deterministic on any executor layout.
+    * Window is partitioned by user (scales out); concat_ws skips the
+    * NULL slots of short histories identically in both engines.
+    */
+  val q68 = Q("q68_event_paths",
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |j AS (
+      |  SELECT user_id, concat_ws('>',
+      |    max(CASE WHEN rn = 1 THEN event_type END),
+      |    max(CASE WHEN rn = 2 THEN event_type END),
+      |    max(CASE WHEN rn = 3 THEN event_type END)) AS path
+      |  FROM e WHERE rn <= 3 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users
+      |FROM j GROUP BY path HAVING count(*) >= 2""".stripMargin) {
+    (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val slots = (1 to 3).map(i =>
+        max(when(col("rn") === i, col("event_type"))))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(concat_ws(">", slots: _*).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .filter(col("n_users") >= 2)
+  }
+
+  /** EXACT z-score outlier counts via integer moments. `value` is
+    * 2dp-generated (stored as double), so X = round(100·value) is an
+    * exact integer in both engines; S=ΣX and Q=ΣX² accumulate in
+    * DECIMAL(38,0) (sums overflow BIGINT long before 100 TB). The
+    * per-row test |x−μ| > 2σ_sample is cleared of ALL floating-point
+    * by multiplying through:
+    *   (X·n − S)² · (n−1) > 4·n·(n·Q − S²)
+    * — pure integer arithmetic, so the outlier COUNT is bit-exact at
+    * any scale and any summation order (a double mean/stddev compare
+    * can flip rows sitting near the threshold). Group moments (one
+    * row per event_type) broadcast back onto the stream: two narrow
+    * passes, no window over the raw events.
+    */
+  val q71 = Q("q71_outlier_zscore",
+    """WITH x AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 100) AS HUGEINT) AS xv
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, count(*) AS n, sum(xv) AS s,
+      |    sum(xv * xv) AS q
+      |  FROM x GROUP BY event_type)
+      |SELECT x.event_type, CAST(m.n AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN (x.xv * m.n - m.s) * (x.xv * m.n - m.s)
+      |                     * (m.n - 1) > 4 * m.n * (m.n * m.q - m.s * m.s)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(round(CAST(m.s AS DOUBLE) / (100 * m.n), 6) AS DOUBLE)
+      |    AS mean_val
+      |FROM x JOIN m ON x.event_type = m.event_type
+      |GROUP BY x.event_type, m.n, m.s, m.q""".stripMargin) { (s, dir) =>
+    val xv = round(col("value") * 100).cast("decimal(18,0)")
+    val x = Tables(s, dir, "events")
+      .select(col("event_type"), xv.as("xv"))
+    val m = x.groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(18,0)").as("n"),
+        sum(col("xv")).cast("decimal(38,0)").as("s"),
+        sum((col("xv") * col("xv")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("q"))
+    val dev = col("xv") * col("n") - col("s")
+    val isOut = (dev * dev * (col("n") - lit(1).cast("decimal(18,0)"))) >
+      (lit(4).cast("decimal(18,0)") * col("n") *
+        (col("n") * col("q") - col("s") * col("s")))
+    x.join(broadcast(m), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("s"))
+      .agg(sum(when(isOut, 1).otherwise(0)).cast("long").as("n_outliers"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        col("n_outliers"),
+        round(col("s").cast("double") /
+          (lit(100) * col("n").cast("double")), 6).as("mean_val"))
+  }
+
   val all: Seq[Q] =
-    Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45, q58, q59)
+    Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45, q58, q59,
+      q68, q71)
 }

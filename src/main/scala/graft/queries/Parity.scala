@@ -676,6 +676,74 @@ object Parity {
         countDistinct("l_partkey").as("n_parts"))
   }
 
+  /** Skew-salted join ([[graft.ops.Skew.saltedJoin]], SURVEY §7.3):
+    * the fact side gets a per-row salt and the supplier dim is
+    * replicated once per salt value, so a hot suppkey's rows spread
+    * over nSalts reducers instead of one. The dim side carries a
+    * SHUFFLE_HASH hint — under a broadcast join there is no reducer
+    * to skew, so the hint forces the shuffled plan the operator
+    * exists for (Round5Spec pins ShuffledHashJoin + result equality
+    * with the unsalted join). Oracle: the plain join — salting must
+    * be invisible in the result.
+    */
+  val q65 = Q("q65_salted_join",
+    """SELECT CAST(s_nationkey AS BIGINT) AS natn_id,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |            * (1 - CAST(l_discount AS DECIMAL(18,2)))), 4)
+      |    AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val dim = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      .hint("shuffle_hash")
+    graft.ops.Skew.saltedJoin(t(s, dir, "lineitem"), dim,
+        Seq("l_suppkey"), nSalts = 8)
+      .groupBy(col("s_nationkey").cast("long").as("natn_id"))
+      .agg(
+        round(sum(discPriceDec), 4).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** W1 extension — ntile quantile assignment: customer-spend
+    * quartiles WITHIN market segment (partitioned window, so each
+    * segment sorts independently and the work scales out across
+    * segments; an exact global ntile would need a single total sort —
+    * at 100 TB replace with approx-percentile boundaries + a map-side
+    * bucket lookup). Spend accumulates in DECIMAL (money policy);
+    * ntile ties broken by custkey for a total, engine-independent
+    * order.
+    */
+  val q70 = Q("q70_spend_quartiles",
+    """WITH spend AS (
+      |  SELECT c_mktsegment, o_custkey,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |d AS (
+      |  SELECT c_mktsegment, s,
+      |    ntile(4) OVER (PARTITION BY c_mktsegment
+      |                   ORDER BY s DESC, o_custkey) AS quartile
+      |  FROM spend)
+      |SELECT c_mktsegment, CAST(quartile AS BIGINT) AS quartile,
+      |  count(*) AS n_cust,
+      |  CAST(round(sum(s), 2) AS DOUBLE) AS tot_spend,
+      |  CAST(round(max(s), 2) AS DOUBLE) AS top_spend
+      |FROM d GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val spend = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy("c_mktsegment", "o_custkey")
+      .agg(sum(dec2("o_totalprice")).as("s"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("s").desc, col("o_custkey"))
+    spend.withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("c_mktsegment", "quartile")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum("s"), 2).cast("double").as("tot_spend"),
+        round(max("s"), 2).cast("double").as("top_spend"))
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q41, q46)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q41, q46, q65, q70)
 }
