@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.sources.Tables
@@ -818,7 +819,248 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
   }
 
+  /** END-TO-END curation pipeline — the composition a training run
+    * actually executes, as ONE query: language filter (predicted ==
+    * labeled, q33's predictor) → minimum-length gate → exact dedup
+    * keeping the lowest doc per full-text fingerprint (q51's policy,
+    * here a single min_by shuffle carrying the whole row) →
+    * benchmark decontamination (q57's broadcast anti-join on the head
+    * fingerprint) → per-language corpus stats. Scale: two narrow
+    * shuffles total (fingerprint, lang) — every other step is map-only
+    * against a broadcast bench set. The oracle formulates dedup
+    * independently as group-min + join-back.
+    */
+  val q66 = Q("q66_curation_pipeline",
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang, text,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |$langHitsSqlCols
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang, text, n_tokens,
+       |    $predLangSqlCase AS pred_lang
+       |  FROM sc),
+       |k AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CASE WHEN n_tokens >= 20 THEN 'good' ELSE 'ok' END AS quality,
+       |    md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+       |    $headFpSql AS head_fp
+       |  FROM p WHERE pred_lang = lang AND n_tokens >= 5),
+       |keep AS (SELECT fp, min(doc_id) AS doc_id FROM k GROUP BY fp),
+       |kept AS (
+       |  SELECT k.* FROM k
+       |  JOIN keep ON k.fp = keep.fp AND k.doc_id = keep.doc_id),
+       |bench AS (
+       |  SELECT DISTINCT $headFpSql AS head_fp
+       |  FROM documents WHERE doc_id % 10 = 0)
+       |SELECT lang, quality, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM kept
+       |WHERE doc_id % 10 <> 0
+       |  AND NOT EXISTS (SELECT 1 FROM bench b WHERE b.head_fp = kept.head_fp)
+       |GROUP BY lang, quality""".stripMargin) { (s, dir) =>
+    val nTokens = size(TextOps.tokens(col("text"))).cast("long")
+    val k = withPredLang(docs(s, dir))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        nTokens.as("n_tokens"),
+        when(nTokens >= 20, "good").otherwise("ok").as("quality"),
+        md5(TextOps.normalize(col("text"))).as("fp"), headFp.as("head_fp"))
+      .filter(col("pred_lang") === col("lang") && col("n_tokens") >= 5)
+    val kept = k
+      .groupBy("fp")
+      .agg(min_by(struct("doc_id", "lang", "n_tokens", "quality",
+        "head_fp"), col("doc_id")).as("r"))
+      .select(col("r.*"))
+    val bench = docs(s, dir).filter(col("doc_id") % 10 === 0)
+      .select(headFp.as("head_fp")).distinct()
+    kept.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(bench), Seq("head_fp"), "left_anti")
+      .groupBy("lang", "quality")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        sum("doc_id").cast("long").as("id_sum"))
+  }
+
+  /** TF-IDF characteristic terms per source: corpus-wide term
+    * explode → (doc, term) tf → document frequency → per-source
+    * score Σtf · ln(N/df), top-5 per source by a PARTITIONED window.
+    * Scale: the explode shuffles token-grain rows once into the tf
+    * agg (map-side combine shrinks it to vocab grain); df and the
+    * N scalar are vocab-sized → broadcast back. Ranking orders by the
+    * 6dp-ROUNDED score (bit-identical across engines) with the term
+    * as total tie-break.
+    */
+  val q67 = Q("q67_tfidf_terms",
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |tf AS (
+      |  SELECT doc_id, source, w, count(*) AS tf
+      |  FROM (SELECT doc_id, source,
+      |          unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |st AS (SELECT source, w, sum(tf) AS stf FROM tf GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT st.source, st.w,
+      |    round(st.stf * ln(CAST(nn.n AS DOUBLE) / df.df), 6) AS score
+      |  FROM st JOIN df USING (w) CROSS JOIN nn),
+      |r AS (
+      |  SELECT source, w, score,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY score DESC, w) AS rk
+      |  FROM sc)
+      |SELECT source, w AS term, CAST(rk AS BIGINT) AS rk, score
+      |FROM r WHERE rk <= 5""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val tf = d.select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "source", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val st = tf.groupBy("source", "w").agg(sum("tf").as("stf"))
+    val nn = d.select(count(lit(1)).as("n"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("w"))
+    st.join(broadcast(df), Seq("w")).crossJoin(broadcast(nn))
+      .select(col("source"), col("w"),
+        round(col("stf") * log(col("n").cast("double") / col("df")), 6)
+          .as("score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("w").as("term"), col("rk"), col("score"))
+  }
+
+  /** STRATIFIED deterministic sampling — rebalance a skewed corpus by
+    * keeping a per-language fraction, decided by the same stable
+    * md5-bucket as q62's split (bucket < 256·rate). Membership is a
+    * pure function of (doc_id, lang): reproducible on any engine or
+    * cluster size, stable as the corpus grows, and map-only — the
+    * reweighting step every multilingual training mix applies.
+    */
+  val q69 = Q("q69_stratified_sample",
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    (strpos('0123456789abcdef',
+      |       substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef',
+      |        substr(md5(doc_id::VARCHAR), 2, 1)) - 1 AS bkt,
+      |    CASE lang WHEN 'en' THEN 64 WHEN 'es' THEN 128
+      |              WHEN 'de' THEN 192 ELSE 256 END AS thr
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN bkt < thr THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(sum(CASE WHEN bkt < thr THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS kept_id_sum
+      |FROM b GROUP BY lang""".stripMargin) { (s, dir) =>
+    val bkt = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+      16, 10).cast("int")
+    val thr = when(col("lang") === "en", 64)
+      .when(col("lang") === "es", 128)
+      .when(col("lang") === "de", 192).otherwise(256)
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), bkt.as("bkt"), thr.as("thr"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("bkt") < col("thr"), 1).otherwise(0)).cast("long")
+          .as("n_kept"),
+        sum(when(col("bkt") < col("thr"), col("doc_id")).otherwise(0))
+          .cast("long").as("kept_id_sum"))
+  }
+
+  /** Quantile-based length trimming — drop the pathological tails
+    * (too short = boilerplate/fragments, too long = concatenation
+    * artifacts). Boundaries are the exact interpolated p5/p95 of the
+    * token count (one-row aggregate, broadcast back); the pass itself
+    * is map-only. At 100 TB the exact percentile becomes
+    * approx_percentile with the same downstream shape.
+    */
+  val q72 = Q("q72_length_trim",
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |b AS (SELECT quantile_cont(n, 0.05) AS lo,
+      |             quantile_cont(n, 0.95) AS hi FROM t)
+      |SELECT CASE WHEN n < lo THEN 'short' WHEN n > hi THEN 'long'
+      |            ELSE 'keep' END AS bucket,
+      |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM t CROSS JOIN b GROUP BY 1""".stripMargin) { (s, dir) =>
+    val t = docs(s, dir)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n"))
+    val b = t.agg(expr("percentile(n, 0.05)").as("lo"),
+      expr("percentile(n, 0.95)").as("hi"))
+    t.crossJoin(broadcast(b))
+      .select(col("doc_id"), col("n"),
+        when(col("n") < col("lo"), "short")
+          .when(col("n") > col("hi"), "long").otherwise("keep")
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").cast("long").as("sum_tokens"),
+        sum("doc_id").cast("long").as("id_sum"))
+  }
+
+  /** Collocation mining — PMI of adjacent token bigrams (count ≥ 20):
+    * ln(p(ab) / (p(a)·p(b))) with every double operation written in
+    * the SAME order on both engines (counts are exact integers; the
+    * ratios/log are the only float steps). Bigrams come from a
+    * per-row zip of the token array with its tail (map-only explode);
+    * unigram counts are vocab-sized → broadcast joins; totals are
+    * one-row aggregates. The count floor bounds the output by the
+    * bigram vocabulary, not the corpus.
+    */
+  val q73 = Q("q73_bigram_pmi",
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS ts,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |bgx AS (
+      |  SELECT unnest(list_transform(range(1, n),
+      |    i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      |  FROM toks WHERE n >= 2),
+      |bc AS (SELECT bg, count(*) AS c2 FROM bgx GROUP BY bg
+      |       HAVING count(*) >= 20),
+      |ug AS (SELECT unnest(ts) AS w FROM toks),
+      |uc AS (SELECT w, count(*) AS c1 FROM ug GROUP BY w),
+      |tot AS (SELECT count(*) AS t1 FROM ug),
+      |t2 AS (SELECT sum(n - 1) AS t2 FROM toks WHERE n >= 2)
+      |SELECT bc.bg AS bigram, CAST(bc.c2 AS BIGINT) AS n_pair,
+      |  round(ln((CAST(bc.c2 AS DOUBLE) / t2.t2) /
+      |    ((CAST(a.c1 AS DOUBLE) / tot.t1)
+      |     * (CAST(b.c1 AS DOUBLE) / tot.t1))), 6) AS pmi
+      |FROM bc
+      |JOIN uc a ON a.w = split_part(bc.bg, ' ', 1)
+      |JOIN uc b ON b.w = split_part(bc.bg, ' ', 2)
+      |CROSS JOIN tot CROSS JOIN t2""".stripMargin) { (s, dir) =>
+    val toks = docs(s, dir)
+      .select(TextOps.tokens(col("text")).as("ts"))
+      .withColumn("n", size(col("ts")))
+    val bgx = toks.filter(col("n") >= 2)
+      .select(explode(zip_with(
+        slice(col("ts"), lit(1), col("n") - 1),
+        slice(col("ts"), lit(2), col("n") - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val bc = bgx.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= 20)
+    val uc = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val tot = toks.select(sum(col("n")).as("t1"))
+    val t2 = toks.filter(col("n") >= 2)
+      .select(sum(col("n") - 1).as("t2"))
+    bc.join(broadcast(uc.withColumnRenamed("w", "wa")
+          .withColumnRenamed("c1", "ca")),
+        split_part(col("bg"), lit(" "), lit(1)) === col("wa"))
+      .join(broadcast(uc.withColumnRenamed("w", "wb")
+          .withColumnRenamed("c1", "cb")),
+        split_part(col("bg"), lit(" "), lit(2)) === col("wb"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(t2))
+      .select(col("bg").as("bigram"), col("c2").cast("long").as("n_pair"),
+        round(log((col("c2").cast("double") / col("t2")) /
+          ((col("ca").cast("double") / col("t1"))
+            * (col("cb").cast("double") / col("t1")))), 6).as("pmi"))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
-      q52, q53, q54, q57, q62, q63, q64)
+      q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73)
 }
