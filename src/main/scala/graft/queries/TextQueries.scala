@@ -885,11 +885,15 @@ object TextQueries {
   /** TF-IDF characteristic terms per source: corpus-wide term
     * explode → (doc, term) tf → document frequency → per-source
     * score Σtf · ln(N/df), top-5 per source by a PARTITIONED window.
-    * Scale: the explode shuffles token-grain rows once into the tf
-    * agg (map-side combine shrinks it to vocab grain); df and the
-    * N scalar are vocab-sized → broadcast back. Ranking orders by the
-    * 6dp-ROUNDED score (bit-identical across engines) with the term
-    * as total tie-break.
+    * Scale: the explode shuffles token-grain rows ONCE into the
+    * (doc, source, term) tf aggregate; everything after runs at
+    * (source, term) grain or smaller — df(term) = Σ_sources docs
+    * (each doc has exactly one source, so no second corpus pass) and
+    * the N scalar are vocab-sized → broadcast back. Spark has no
+    * cross-reference CSE, so deriving df from the small grain instead
+    * of re-referencing tf halves the heavy work. Ranking orders by
+    * the 6dp-ROUNDED score (bit-identical across engines) with the
+    * term as total tie-break.
     */
   val q67 = Q("q67_tfidf_terms",
     """WITH nn AS (SELECT count(*) AS n FROM documents),
@@ -900,6 +904,8 @@ object TextQueries {
       |  GROUP BY 1, 2, 3),
       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
       |st AS (SELECT source, w, sum(tf) AS stf FROM tf GROUP BY 1, 2),
+      |-- (duckdb reuses the tf CTE; the engine derives df from the
+      |--  (source, term) grain instead — same values)
       |sc AS (
       |  SELECT st.source, st.w,
       |    round(st.stf * ln(CAST(nn.n AS DOUBLE) / df.df), 6) AS score
@@ -915,12 +921,18 @@ object TextQueries {
     val tf = d.select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy("doc_id", "source", "w").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val st = tf.groupBy("source", "w").agg(sum("tf").as("stf"))
+    // one pass to (source, term) grain; df folds out of it because a
+    // document belongs to exactly one source — as a window sum over
+    // the small grain, so the plan is ONE chain (a groupBy+join-back
+    // would re-run the corpus aggregation: no cross-reference CSE)
+    val st = tf.groupBy("source", "w")
+      .agg(sum("tf").as("stf"), count(lit(1)).as("n_docs_sw"))
+    val withDf = st.withColumn("df",
+      sum("n_docs_sw").over(Window.partitionBy("w")))
     val nn = d.select(count(lit(1)).as("n"))
     val w = Window.partitionBy("source")
       .orderBy(col("score").desc, col("w"))
-    st.join(broadcast(df), Seq("w")).crossJoin(broadcast(nn))
+    withDf.crossJoin(broadcast(nn))
       .select(col("source"), col("w"),
         round(col("stf") * log(col("n").cast("double") / col("df")), 6)
           .as("score"))
@@ -1004,10 +1016,14 @@ object TextQueries {
     * ln(p(ab) / (p(a)·p(b))) with every double operation written in
     * the SAME order on both engines (counts are exact integers; the
     * ratios/log are the only float steps). Bigrams come from a
-    * per-row zip of the token array with its tail (map-only explode);
-    * unigram counts are vocab-sized → broadcast joins; totals are
-    * one-row aggregates. The count floor bounds the output by the
-    * bigram vocabulary, not the corpus.
+    * per-row zip of the token array with its tail (map-only explode).
+    * Spark has no cross-reference CSE, so the plan touches the corpus
+    * exactly three times — bigram explode, unigram explode, one
+    * column scan for both totals — and the unigram table is joined
+    * ONCE by melting each bigram into its two sides (the naive
+    * two-sided join would compute the unigram aggregation twice).
+    * The count floor bounds everything downstream by the bigram
+    * vocabulary, not the corpus.
     */
   val q73 = Q("q73_bigram_pmi",
     """WITH toks AS (
@@ -1044,16 +1060,22 @@ object TextQueries {
       .filter(col("c2") >= 20)
     val uc = toks.select(explode(col("ts")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val tot = toks.select(sum(col("n")).as("t1"))
-    val t2 = toks.filter(col("n") >= 2)
-      .select(sum(col("n") - 1).as("t2"))
-    bc.join(broadcast(uc.withColumnRenamed("w", "wa")
-          .withColumnRenamed("c1", "ca")),
-        split_part(col("bg"), lit(" "), lit(1)) === col("wa"))
-      .join(broadcast(uc.withColumnRenamed("w", "wb")
-          .withColumnRenamed("c1", "cb")),
-        split_part(col("bg"), lit(" "), lit(2)) === col("wb"))
-      .crossJoin(broadcast(tot)).crossJoin(broadcast(t2))
+    val tots = toks.agg(sum(col("n")).as("t1"),
+      sum(when(col("n") >= 2, col("n") - 1).otherwise(0)).as("t2"))
+    // melt bigram → (side, word), join the unigram table once, pivot
+    // the two sides back with conditional max
+    bc.select(col("bg"), col("c2"), explode(array(
+          struct(lit(1).as("side"),
+            split_part(col("bg"), lit(" "), lit(1)).as("w")),
+          struct(lit(2).as("side"),
+            split_part(col("bg"), lit(" "), lit(2)).as("w")))).as("sw"))
+      .select(col("bg"), col("c2"),
+        col("sw.side").as("side"), col("sw.w").as("w"))
+      .join(broadcast(uc), Seq("w"))
+      .groupBy("bg", "c2")
+      .agg(max(when(col("side") === 1, col("c1"))).as("ca"),
+        max(when(col("side") === 2, col("c1"))).as("cb"))
+      .crossJoin(broadcast(tots))
       .select(col("bg").as("bigram"), col("c2").cast("long").as("n_pair"),
         round(log((col("c2").cast("double") / col("t2")) /
           ((col("ca").cast("double") / col("t1"))
