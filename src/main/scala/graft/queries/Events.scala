@@ -410,7 +410,25 @@ object Events {
           (lit(100) * col("n").cast("double")), 6).as("mean_val"))
   }
 
+  /** Set operation: INTERSECT (distinct) — the complement of q27's
+    * EXCEPT: customers who placed BOTH an urgent and a low-priority
+    * order. Both engines apply distinct-set semantics.
+    */
+  val q78 = Q("q78_set_intersect",
+    """SELECT CAST(o_custkey AS BIGINT) AS cust
+      |FROM orders WHERE o_orderpriority = '1-URGENT'
+      |INTERSECT
+      |SELECT CAST(o_custkey AS BIGINT)
+      |FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin) {
+    (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").cast("long").as("cust"))
+        .intersect(o.filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey").cast("long").as("cust")))
+  }
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45, q58, q59,
-      q68, q71)
+      q68, q71, q78)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
@@ -744,6 +744,87 @@ object Parity {
         round(max("s"), 2).cast("double").as("top_spend"))
   }
 
+  /** A3 extension — PIVOT with an explicit value list (the
+    * DataFrame `pivot(col, values)` operator; giving the values up
+    * front keeps the plan a single-pass conditional aggregation —
+    * value discovery would cost an extra job). Absent combinations
+    * surface as 0 via coalesce, matching the oracle's conditional
+    * counts.
+    */
+  val q74 = Q("q74_pivot",
+    """SELECT o_orderstatus,
+      |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+      |    AS urgent_n,
+      |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+      |    AS high_n,
+      |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+      |    AS medium_n,
+      |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+      |    AS notspec_n,
+      |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low_n
+      |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val values = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val names = Seq("urgent_n", "high_n", "medium_n", "notspec_n", "low_n")
+    val piv = t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", values)
+      .agg(count(lit(1)))
+    piv.select(col("o_orderstatus") +:
+      values.zip(names).map { case (v, n) =>
+        coalesce(col(v), lit(0L)).as(n)
+      }: _*)
+  }
+
+  /** A5 extension — GROUPING SETS beyond what ROLLUP/CUBE (q25/q44)
+    * can express: a non-hierarchical set list ((status, priority),
+    * (priority), ()) — per-combination, per-priority-only, and grand
+    * total, skipping the per-status level a rollup would force.
+    * Money sums follow the DECIMAL-accumulation policy.
+    */
+  val q75 = Q("q75_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS amt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderpriority), ())""".stripMargin) {
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq.empty[Column]),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec2("o_totalprice")), 2).cast("double").as("amt"))
+  }
+
+  /** W1 extension — relative-rank window functions: percent_rank and
+    * cume_dist of supplier account balance WITHIN nation (partitioned
+    * window, scales out across nations). The ORDER BY carries a
+    * unique tie-break (suppkey), so there are no peer groups and both
+    * engines compute identical (rank−1)/(n−1) and rank/n doubles —
+    * bit-equal before rounding.
+    */
+  val q76 = Q("q76_relative_rank",
+    """SELECT CAST(s_suppkey AS BIGINT) AS sup_id,
+      |  CAST(s_nationkey AS BIGINT) AS natn_id,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey
+      |             ORDER BY s_acctbal, s_suppkey)""".stripMargin) {
+    (s, dir) =>
+      val w = Window.partitionBy("s_nationkey")
+        .orderBy(col("s_acctbal"), col("s_suppkey"))
+      t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("sup_id"),
+          col("s_nationkey").cast("long").as("natn_id"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q41, q46, q65, q70)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q41, q46, q65, q70,
+    q74, q75, q76)
 }

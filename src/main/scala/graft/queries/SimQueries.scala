@@ -548,5 +548,51 @@ object SimQueries {
         col("top1_nid"), col("top1_sim_q"), col("top1_dot_deq"))
   }
 
-  val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61)
+  /** Class-centroid similarity — the embedding-space structure report
+    * a labeled corpus gets before training (which classes collide?):
+    * per-label mean vector, then pairwise centroid cosine. One
+    * posexplode to (label, dim) grain + one aggregation; the centroid
+    * table is |labels| rows → broadcast cross pairs. Centroid
+    * components are rounded to 6dp BEFORE the cosine so both engines
+    * fold identical doubles (the mean's last-ulp summation noise never
+    * reaches the pair arithmetic); the dot folds dims ascending on
+    * both sides ([[Similarity.dot]] / list_sum over range). Shared
+    * via [[graft.Materialized]] because the pair join references the
+    * centroid frame twice (no cross-reference CSE in Spark).
+    */
+  val q77 = Q("q77_label_centroids",
+    """WITH x AS (
+      |  SELECT label, i, embedding[CAST(i AS INT)]::DOUBLE AS v
+      |  FROM embeddings CROSS JOIN generate_series(1, 64) t(i)),
+      |m AS (
+      |  SELECT label, i, round(avg(v), 6) AS m FROM x GROUP BY 1, 2),
+      |c AS (SELECT label, list(m ORDER BY i) AS cv FROM m GROUP BY label)
+      |SELECT CAST(a.label AS BIGINT) AS label_a,
+      |  CAST(b.label AS BIGINT) AS label_b,
+      |  round(list_sum(list_transform(range(1, 65),
+      |          i -> a.cv[CAST(i AS INT)] * b.cv[CAST(i AS INT)]))
+      |    / (sqrt(list_sum(list_transform(a.cv, x -> x * x)))
+      |       * sqrt(list_sum(list_transform(b.cv, x -> x * x)))), 6)
+      |    AS cos_sim
+      |FROM c a JOIN c b ON a.label < b.label""".stripMargin) { (s, dir) =>
+    val cent = graft.Materialized(s, s"label_centroids:$dir") {
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+        .groupBy("label", "p")
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+          st => st.getField("m")).as("cv"))
+    }
+    val a = cent.select(col("label").as("la"), col("cv").as("ca"))
+    val b = cent.select(col("label").as("lb"), col("cv").as("cb"))
+    broadcast(a).crossJoin(b).filter(col("la") < col("lb"))
+      .select(col("la").cast("long").as("label_a"),
+        col("lb").cast("long").as("label_b"),
+        round(Similarity.dot(col("ca"), col("cb"))
+          / (Similarity.norm(col("ca")) * Similarity.norm(col("cb"))), 6)
+          .as("cos_sim"))
+  }
+
+  val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77)
 }

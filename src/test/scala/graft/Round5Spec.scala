@@ -110,6 +110,40 @@ class Round5Spec extends SparkSpec {
     assert(got == total)
   }
 
+  test("q74: pivot cell counts sum to the orders row count") {
+    val total = sources.Tables(spark, sf, "orders").count()
+    val r = queries.Parity.q74.fn(spark, sf)
+      .select((col("urgent_n") + col("high_n") + col("medium_n")
+        + col("notspec_n") + col("low_n")).as("s"))
+      .agg(sum($"s")).head().getLong(0)
+    assert(r == total)
+  }
+
+  test("q75: grouping-set levels are consistent (combo rows sum to " +
+    "the grand total)") {
+    val r = queries.Parity.q75.fn(spark, sf).cache()
+    try {
+      val grand = r.filter($"o_orderstatus".isNull &&
+        $"o_orderpriority".isNull).select($"n").head().getLong(0)
+      val comboSum = r.filter($"o_orderstatus".isNotNull &&
+        $"o_orderpriority".isNotNull).agg(sum($"n")).head().getLong(0)
+      val prioSum = r.filter($"o_orderstatus".isNull &&
+        $"o_orderpriority".isNotNull).agg(sum($"n")).head().getLong(0)
+      assert(grand == comboSum && grand == prioSum)
+    } finally r.unpersist()
+  }
+
+  test("q77: centroid cosines are within [-1, 1] and every label " +
+    "pair appears once") {
+    val df = queries.SimQueries.q77.fn(spark, sf).cache()
+    try {
+      val n = df.count()
+      assert(n == 45, s"expected C(10,2)=45 pairs, got $n")
+      val bad = df.filter($"cos_sim" < -1.0 || $"cos_sim" > 1.0).count()
+      assert(bad == 0)
+    } finally df.unpersist()
+  }
+
   test("q73 bigram construction: per-row zip yields adjacent pairs") {
     val df = Seq("a b c d", "x y", "solo").toDF("text")
     val ts = split($"text", " ")
