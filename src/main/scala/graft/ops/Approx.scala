@@ -21,6 +21,55 @@ object Approx {
   def approxQuantile(c: Column, q: Double, accuracy: Int = 10000): Column =
     percentile_approx(c, lit(q), lit(accuracy))
 
+  /** Map-side quantile bucketing — the 100 TB replacement for a
+    * partitioned `ntile` window (q70_spend_quartiles): per-group
+    * ntile sorts each group's ENTIRE population on a single task
+    * (q70's 5 market segments → 5 reducers own all the data), while
+    * here the only per-group state is one boundary array. Two corpus
+    * passes, no sort anywhere:
+    *
+    *  1. boundary pass: `percentile_approx` (t-digest-style sketch —
+    *     single-pass, fixed memory, mergeable across partitions) per
+    *     group → the nBuckets-1 interior boundaries;
+    *  2. assignment pass: broadcast the boundary table (ONE row per
+    *     group) back and bucket each row by counting boundaries
+    *     strictly below its value — pure map work, no shuffle of the
+    *     data rows at all beyond what the caller already needs.
+    *
+    * Buckets are ascending and 1-based: bucket b covers
+    * (bound(b-1), bound(b)], so value <= bound(1) → 1 and
+    * value > bound(nBuckets-1) → nBuckets. `exact = true` swaps the
+    * sketch for Spark's exact interpolated `percentile` — same plan
+    * shape, per-group memory grows with distinct values; the oracle
+    * gate (q80_quantile_buckets) runs this mode because DuckDB's
+    * `quantile_cont` computes the identical interpolation, while the
+    * 100 TB default stays `exact = false`.
+    *
+    * vs ntile: equal-count is approximate where ntile's is exact —
+    * ties sit in one bucket here (a value never straddles a
+    * boundary), and sketch error can shift rows between adjacent
+    * buckets. That is the accepted trade for eliminating the
+    * per-group total sort.
+    */
+  def quantileBuckets(df: DataFrame, partCols: Seq[String],
+      valueCol: String, nBuckets: Int, accuracy: Int = 10000,
+      exact: Boolean = false): DataFrame = {
+    require(nBuckets >= 2, s"quantileBuckets: nBuckets=$nBuckets < 2")
+    val probs = array((1 until nBuckets)
+      .map(i => lit(i.toDouble / nBuckets)): _*)
+    val v = col(valueCol).cast("double")
+    val bound =
+      if (exact) percentile(v, probs)
+      else percentile_approx(v, probs, lit(accuracy))
+    val b = df.groupBy(partCols.map(col): _*).agg(bound.as("__bounds"))
+    df.join(broadcast(b), partCols)
+      .withColumn("bucket",
+        (aggregate(col("__bounds"), lit(0),
+          (acc, bd) => acc + when(v > bd, 1).otherwise(0)) + 1)
+          .cast("long"))
+      .drop("__bounds")
+  }
+
   /** Exact heavy hitters with sketch-bounded memory — the classic
     * two-pass construction:
     *

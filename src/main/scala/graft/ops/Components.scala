@@ -47,7 +47,7 @@ object Components {
         throw new IllegalStateException(
           s"Components.connected: no convergence after $maxRounds " +
             "rounds — component diameter exceeds the propagation " +
-            "budget; use a star-contraction variant for this graph")
+            "budget; use connectedStar for this graph")
       val prop = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("comp"))
       // pointer jumping: node -> comp -> comp's current label
@@ -67,5 +67,85 @@ object Components {
       round += 1
     }
     labels
+  }
+
+  /** Star-contraction connected components — the high-diameter
+    * fallback [[connected]]'s round cap points at: alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"). Where label propagation
+    * touches every EDGE every round for O(log d) rounds, contraction
+    * rewires the edge list itself toward each neighborhood's minimum,
+    * so long chains (crawl snapshots of one evolving page — exactly
+    * the near-dup input that produces a deep component) collapse
+    * geometrically and the edge list SHRINKS as it converges.
+    *
+    * One round =
+    *  - large-star: for every center u over the symmetric edge list,
+    *    connect each neighbor v > u to m = min(N(u) ∪ u);
+    *  - small-star: orient edges toward the smaller endpoint; for
+    *    every center u connect u and its (all smaller) neighbors to
+    *    their minimum.
+    * Both steps preserve connectivity and never move an edge's
+    * endpoints out of its component; the fixed point is a forest of
+    * stars whose centers are the component minima. Convergence is the
+    * edge set reaching that fixed point — checked as a symmetric-
+    * difference count, ONE scalar to the driver per round; lineage is
+    * cut per round with localCheckpoint, same as [[connected]].
+    *
+    * Output contract matches [[connected]]: (node, comp) for every
+    * node appearing in `pairs`, comp = the component's minimum id.
+    */
+  def connectedStar(pairs: DataFrame, a: String = "doc_a",
+      b: String = "doc_b", maxRounds: Int = 100): DataFrame = {
+    val nodes = pairs.select(col(a).as("node"))
+      .unionByName(pairs.select(col(b).as("node"))).distinct()
+      .localCheckpoint()
+    // canonical (larger, smaller) orientation; self-loops carry no
+    // connectivity (their nodes are preserved via `nodes`)
+    var edges = pairs
+      .select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"Components.connectedStar: no convergence after $maxRounds " +
+            "rounds")
+      // large-star: m(u) = min over the closed neighborhood of u;
+      // every neighbor v > u re-attaches to m(u). Emitted edges keep
+      // the canonical orientation (v > u >= m(u)).
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: neighbors of u are now all < u; u and each
+      // non-minimum neighbor re-attach to the minimum neighbor.
+      val mins2 = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val next = ls.join(mins2, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      // converged when the edge set is a fixed point (a star forest):
+      // symmetric difference as a single count — one scalar per round
+      changed = next.unionByName(edges)
+        .groupBy("u", "v").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1).count()
+      edges = next
+      round += 1
+    }
+    // stars: u → component minimum; centers and isolated nodes are
+    // their own component
+    nodes
+      .join(edges.select(col("u").as("node"), col("v").as("comp")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
   }
 }

@@ -428,7 +428,27 @@ object Events {
           .select(col("o_custkey").cast("long").as("cust")))
   }
 
+  /** Fixed-width histogram (width_bucket semantics, hand-rolled so
+    * both engines share the exact bin arithmetic): 25-unit bins over
+    * `value`, clamped to a top bin — bin assignment is a pure map
+    * expression, the aggregate key space is the BIN COUNT (20) no
+    * matter the row count, so the shuffle carries a constant number
+    * of groups at any scale. Per-bin count + 2dp value sum (q22's
+    * double-sum rounding policy).
+    */
+  val q84 = Q("q84_value_histogram",
+    """SELECT CAST(least(CAST(floor(value / 25) AS BIGINT), 19)
+      |    AS BIGINT) AS bin,
+      |  count(*) AS n,
+      |  round(sum(value), 2) AS sum_val
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(least(floor(col("value") / 25).cast("long"), lit(19L))
+        .as("bin"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"))
+  }
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45, q58, q59,
-      q68, q71, q78)
+      q68, q71, q78, q84)
 }

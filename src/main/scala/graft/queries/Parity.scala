@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.sources.Tables
-import graft.ops.{Calendar, Cdc, Derive, Scd}
+import graft.ops.{Approx, Calendar, Cdc, Derive, Scd}
 
 /** Reference-parity operator suite over the driver testdata, one query per
   * SURVEY.md §2 inventory row (IDs in each scaladoc). Every query has an
@@ -706,13 +706,16 @@ object Parity {
   }
 
   /** W1 extension — ntile quantile assignment: customer-spend
-    * quartiles WITHIN market segment (partitioned window, so each
-    * segment sorts independently and the work scales out across
-    * segments; an exact global ntile would need a single total sort —
-    * at 100 TB replace with approx-percentile boundaries + a map-side
-    * bucket lookup). Spend accumulates in DECIMAL (money policy);
-    * ntile ties broken by custkey for a total, engine-independent
-    * order.
+    * quartiles WITHIN market segment. This is the EXACT equal-count
+    * form and it is scale-bound by construction: the partitioned
+    * window sorts each segment's entire population on one task
+    * (~5 segments → 5 reducers own all customers). It stays
+    * registered as the ntile semantics/correctness row; the 100 TB
+    * plan — approx-percentile boundaries + a map-side bucket lookup,
+    * no per-group sort — is [[graft.ops.Approx.quantileBuckets]],
+    * gate-checked with identical data in q80_quantile_buckets.
+    * Spend accumulates in DECIMAL (money policy); ntile ties broken
+    * by custkey for a total, engine-independent order.
     */
   val q70 = Q("q70_spend_quartiles",
     """WITH spend AS (
@@ -824,7 +827,174 @@ object Parity {
           round(cume_dist().over(w), 6).as("cd"))
   }
 
+  /** The 100 TB quartile plan on q70's exact data —
+    * [[graft.ops.Approx.quantileBuckets]] in `exact = true` mode so
+    * DuckDB's `quantile_cont` (same linear interpolation as Spark's
+    * `percentile`, q72 precedent) reproduces the boundaries
+    * bit-identically. Plan shape is the production one regardless of
+    * mode: one boundary row per segment, broadcast back, bucket
+    * assignment is pure map work — no per-segment population sort
+    * anywhere (contrast q70's ntile window). At 100 TB the only
+    * change is `exact = false` (t-digest sketch boundaries).
+    * Boundary semantics differ from ntile on purpose: a tied value
+    * lands in ONE bucket (value <= boundary), so bucket counts are
+    * near-equal rather than exactly equal.
+    */
+  val q80 = Q("q80_quantile_buckets",
+    """WITH spend AS (
+      |  SELECT c_mktsegment, o_custkey,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |b AS (
+      |  SELECT c_mktsegment,
+      |    quantile_cont(CAST(s AS DOUBLE), 0.25) AS b1,
+      |    quantile_cont(CAST(s AS DOUBLE), 0.50) AS b2,
+      |    quantile_cont(CAST(s AS DOUBLE), 0.75) AS b3
+      |  FROM spend GROUP BY 1)
+      |SELECT spend.c_mktsegment,
+      |  CAST(CASE WHEN CAST(s AS DOUBLE) <= b1 THEN 1
+      |            WHEN CAST(s AS DOUBLE) <= b2 THEN 2
+      |            WHEN CAST(s AS DOUBLE) <= b3 THEN 3
+      |            ELSE 4 END AS BIGINT) AS bucket,
+      |  count(*) AS n_cust,
+      |  CAST(round(sum(s), 2) AS DOUBLE) AS tot_spend
+      |FROM spend JOIN b USING (c_mktsegment)
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val spend = t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy("c_mktsegment", "o_custkey")
+      .agg(sum(dec2("o_totalprice")).as("s"))
+    Approx.quantileBuckets(spend, Seq("c_mktsegment"), "s",
+        nBuckets = 4, exact = true)
+      .groupBy("c_mktsegment", "bucket")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum("s"), 2).cast("double").as("tot_spend"))
+  }
+
+  /** A-extension — bivariate statistics (corr / sample covariance /
+    * stddev) per return flag, computed from EXACT integer moments
+    * (q71's policy): quantity is integral and price is 2dp-exact, so
+    * n, Σx, Σy, Σx², Σy², Σxy accumulate in DECIMAL — bit-exact at
+    * any summation order and any scale — and only the FINAL
+    * combination runs in double, the identical expression tree on
+    * both engines. A double `corr()` aggregate would be
+    * summation-order-dependent and engine-divergent; this is the
+    * cross-engine-deterministic (and shuffle-equivalent: one partial-
+    * aggregable pass) form. Moment magnitudes: Σxy ≤ n·50·10⁹ —
+    * DECIMAL(38,0) holds to n ≈ 10²⁶ rows.
+    */
+  val q82 = Q("q82_corr_stats",
+    """WITH x AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity) AS HUGEINT) AS xv,
+      |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS yv
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(xv) AS DOUBLE) AS sx, CAST(sum(yv) AS DOUBLE) AS sy,
+      |    CAST(sum(xv * xv) AS DOUBLE) AS sxx,
+      |    CAST(sum(yv * yv) AS DOUBLE) AS syy,
+      |    CAST(sum(xv * yv) AS DOUBLE) AS sxy
+      |  FROM x GROUP BY 1)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  round((n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+      |    AS corr_qp,
+      |  round((n * sxy - sx * sy) / (n * (n - 1)) / 100, 4) AS cov_qp,
+      |  round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS sd_qty
+      |FROM m""".stripMargin) { (s, dir) =>
+    val xv = round(col("l_quantity")).cast("decimal(18,0)")
+    val yv = round(col("l_extendedprice") * 100).cast("decimal(18,0)")
+    val m = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), xv.as("xv"), yv.as("yv"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cn"),
+        sum(col("xv")).cast("double").as("sx"),
+        sum(col("yv")).cast("double").as("sy"),
+        sum((col("xv") * col("xv")).cast("decimal(38,0)"))
+          .cast("double").as("sxx"),
+        sum((col("yv") * col("yv")).cast("decimal(38,0)"))
+          .cast("double").as("syy"),
+        sum((col("xv") * col("yv")).cast("decimal(38,0)"))
+          .cast("double").as("sxy"))
+    val n = col("cn").cast("double")
+    m.select(col("l_returnflag"), col("cn").as("n"),
+      round((n * col("sxy") - col("sx") * col("sy")) /
+        sqrt((n * col("sxx") - col("sx") * col("sx")) *
+          (n * col("syy") - col("sy") * col("sy"))), 6).as("corr_qp"),
+      round((n * col("sxy") - col("sx") * col("sy")) /
+        (n * (n - lit(1))) / 100, 4).as("cov_qp"),
+      round(sqrt((n * col("sxx") - col("sx") * col("sx")) /
+        (n * (n - lit(1)))), 6).as("sd_qty"))
+  }
+
+  /** A-extension — Shannon entropy of the order-priority distribution
+    * per status, from exact integer counts: H = ln N − (Σ n·ln n)/N.
+    * Both factors derive from bit-exact counts; the only double sum
+    * runs over ≤ |priorities| = 5 rows per group, so summation-order
+    * noise is bounded far below the 6dp round. Everything is
+    * two-stage hash aggregation at (status, priority) grain — no
+    * window, no sort, scale-free.
+    */
+  val q83 = Q("q83_priority_entropy",
+    """WITH c AS (
+      |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n_orders,
+      |  count(*) AS n_priorities,
+      |  round(ln(CAST(sum(n) AS DOUBLE))
+      |    - sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+      |      / CAST(sum(n) AS DOUBLE), 6) AS entropy
+      |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("o_orderstatus")
+      .agg(sum("n").cast("long").as("n_orders"),
+        count(lit(1)).as("n_priorities"),
+        round(log(sum("n").cast("double"))
+          - sum(col("n").cast("double") * log(col("n").cast("double")))
+            / sum("n").cast("double"), 6).as("entropy"))
+  }
+
+  /** W-extension — lag/lead over an aggregated time series:
+    * month-over-month revenue delta and growth. The window is
+    * deliberately unpartitioned BUT runs at month grain — its input
+    * is bounded by the calendar (n months), not the corpus, so the
+    * single-task sort is a few dozen rows at any data scale (same
+    * bounded-grain argument as q67's vocab window). Revenue
+    * accumulates in DECIMAL; delta stays decimal-exact until the
+    * final double cast; growth ratio is a deterministic double of two
+    * exact decimals.
+    */
+  val q85 = Q("q85_mom_delta",
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+      |      AS BIGINT) AS ym,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1)
+      |SELECT ym, CAST(round(rev, 2) AS DOUBLE) AS rev,
+      |  CAST(round(rev - lag(rev) OVER (ORDER BY ym), 2) AS DOUBLE)
+      |    AS delta,
+      |  round(CAST(rev - lag(rev) OVER (ORDER BY ym) AS DOUBLE)
+      |    / CAST(lag(rev) OVER (ORDER BY ym) AS DOUBLE), 6) AS growth
+      |FROM m""".stripMargin) { (s, dir) =>
+    val m = t(s, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 100
+        + month(col("o_orderdate"))).cast("long").as("ym"))
+      .agg(sum(dec2("o_totalprice")).as("rev"))
+    val w = Window.orderBy("ym")
+    val prev = lag(col("rev"), 1).over(w)
+    m.select(col("ym"),
+      round(col("rev"), 2).cast("double").as("rev"),
+      round(col("rev") - prev, 2).cast("double").as("delta"),
+      round((col("rev") - prev).cast("double") / prev.cast("double"), 6)
+        .as("growth"))
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q41, q46, q65, q70,
-    q74, q75, q76)
+    q74, q75, q76, q80, q82, q83, q85)
 }

@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.sources.Tables
-import graft.text.TextOps
+import graft.ops.Components
+import graft.sources.{Tables, Warehouse}
+import graft.text.{SignatureStore, TextOps}
 
 /** Training-data text pipeline over `documents`: exact + near dedup
   * (MinHash/LSH, SimHash, n-gram Jaccard), language ID, quality scoring,
@@ -1063,15 +1064,20 @@ object TextQueries {
     val tots = toks.agg(sum(col("n")).as("t1"),
       sum(when(col("n") >= 2, col("n") - 1).otherwise(0)).as("t2"))
     // melt bigram → (side, word), join the unigram table once, pivot
-    // the two sides back with conditional max
-    bc.select(col("bg"), col("c2"), explode(array(
-          struct(lit(1).as("side"),
-            split_part(col("bg"), lit(" "), lit(1)).as("w")),
-          struct(lit(2).as("side"),
-            split_part(col("bg"), lit(" "), lit(2)).as("w")))).as("sw"))
-      .select(col("bg"), col("c2"),
-        col("sw.side").as("side"), col("sw.w").as("w"))
-      .join(broadcast(uc), Seq("w"))
+    // the two sides back with conditional max. The BROADCAST side is
+    // the melted bigram list — bounded by the c2 >= 20 support floor
+    // (2 rows per surviving bigram), tiny relative to the corpus — NOT
+    // the unigram table, which is the full corpus vocabulary
+    // (10^8-10^9 rows at web scale, far past any broadcast limit).
+    broadcast(
+      bc.select(col("bg"), col("c2"), explode(array(
+            struct(lit(1).as("side"),
+              split_part(col("bg"), lit(" "), lit(1)).as("w")),
+            struct(lit(2).as("side"),
+              split_part(col("bg"), lit(" "), lit(2)).as("w")))).as("sw"))
+        .select(col("bg"), col("c2"),
+          col("sw.side").as("side"), col("sw.w").as("w")))
+      .join(uc, Seq("w"))
       .groupBy("bg", "c2")
       .agg(max(when(col("side") === 1, col("c1"))).as("ca"),
         max(when(col("side") === 2, col("c1"))).as("cb"))
@@ -1082,7 +1088,118 @@ object TextQueries {
             * (col("cb").cast("double") / col("t1")))), 6).as("pmi"))
   }
 
+  /** The PERSISTED-index candidate path (SURVEY S8 × LSH): write the
+    * band table through [[graft.text.SignatureStore]] as a bucketed
+    * CTAS on (band, key), then generate candidates by READING the
+    * store — the production "signatures are a stored table" plan the
+    * in-session q30 stands in for. The bucketed read means the bucket-
+    * size aggregation and both self-join sides inherit the write-time
+    * hash distribution: zero exchanges until the final pair distinct
+    * (pinned in Round4Spec/Round6Spec). Same oracle as q30 — the
+    * stored path must be RESULT-IDENTICAL to the in-session one.
+    */
+  val q79 = Q("q79_store_candidates",
+    s"""WITH $shingleSqlCte,
+       |b AS (
+       |  SELECT doc_id, 0 AS band, mh0 || mh1 || mh2 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, mh3 || mh4 || mh5 AS key FROM sig),
+       |sized AS (
+       |  SELECT band, key FROM b GROUP BY band, key
+       |  HAVING count(*) BETWEEN 2 AND 20)
+       |SELECT DISTINCT CAST(a.band AS BIGINT) AS band,
+       |  a.doc_id AS doc_a, c.doc_id AS doc_b
+       |FROM sized x
+       |JOIN b a ON a.band = x.band AND a.key = x.key
+       |JOIN b c ON c.band = x.band AND c.key = x.key
+       |  AND a.doc_id < c.doc_id""".stripMargin) { (s, dir) =>
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    SignatureStore.writeBands(Warehouse(root), docs(s, dir),
+      "sig_bands_q79", 8)
+    SignatureStore.candidatesFromStore(s, "sig_bands_q79", 20)
+  }
+
+  /** Star-contraction connected components on a HIGH-DIAMETER dup
+    * graph — the input class [[graft.ops.Components.connected]]'s
+    * round cap names (a long chain of crawl snapshots, each near-dup
+    * of its neighbor): doc k links to doc k+1 within 50-doc chains.
+    * [[graft.ops.Components.connectedStar]] collapses each chain
+    * geometrically; the oracle is the closed form (doc_ids are
+    * contiguous, so a chain's component is its 50-block base).
+    * Reported at component grain: size and span.
+    */
+  val q81 = Q("q81_chain_components",
+    """WITH e AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 50 <> 49),
+      |n AS (SELECT doc_a AS node FROM e
+      |      UNION SELECT doc_b FROM e),
+      |lbl AS (SELECT node, node - node % 50 AS comp FROM n)
+      |SELECT comp, count(*) AS n_nodes,
+      |  CAST(min(node) AS BIGINT) AS min_node,
+      |  CAST(max(node) AS BIGINT) AS max_node
+      |FROM lbl GROUP BY comp""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir).select("doc_id")
+    val e = d.select(col("doc_id").as("doc_a"))
+      .filter(col("doc_a") % 50 =!= 49)
+      .join(d.select(col("doc_id").as("doc_b")),
+        col("doc_b") === col("doc_a") + 1)
+    Components.connectedStar(e)
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("node").cast("long").as("min_node"),
+        max("node").cast("long").as("max_node"))
+  }
+
+  /** Weighted deterministic sampling — keep probability proportional
+    * to document length (the "sample long documents more" curation
+    * knob), with md5-hash membership (q69's idiom) so the sample is a
+    * pure function of doc_id: reproducible across runs, engines, and
+    * partitionings, no RNG state. u01 = first 4 md5 hex digits / 16⁴;
+    * keep iff u01 · 800 < token count (cap at 1 — docs ≥ 800 tokens
+    * always kept). Map-only: no shuffle beyond the final stats
+    * aggregation.
+    */
+  val q86 = Q("q86_weighted_sample",
+    """WITH t AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n,
+      |    CAST(strpos('0123456789abcdef',
+      |           substr(md5(doc_id::VARCHAR), 1, 1)) - 1 AS BIGINT)
+      |      * 4096
+      |    + (strpos('0123456789abcdef',
+      |         substr(md5(doc_id::VARCHAR), 2, 1)) - 1) * 256
+      |    + (strpos('0123456789abcdef',
+      |         substr(md5(doc_id::VARCHAR), 3, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef',
+      |        substr(md5(doc_id::VARCHAR), 4, 1)) - 1 AS h
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN h * 800 < n * 65536 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN h * 800 < n * 65536 THEN doc_id ELSE 0 END)
+      |    AS BIGINT) AS kept_id_sum,
+      |  CAST(sum(CASE WHEN h * 800 < n * 65536 THEN n ELSE 0 END)
+      |    AS BIGINT) AS kept_tokens
+      |FROM t GROUP BY lang""".stripMargin) { (s, dir) =>
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long")
+    val keep = col("h") * 800 < col("n") * 65536
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"), h.as("h"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(keep, 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(keep, col("doc_id")).otherwise(0)).cast("long")
+          .as("kept_id_sum"),
+        sum(when(keep, col("n")).otherwise(0)).cast("long")
+          .as("kept_tokens"))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
-      q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73)
+      q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
+      q81, q86)
 }
