@@ -367,10 +367,19 @@ object Events {
     * by multiplying through:
     *   (X·n − S)² · (n−1) > 4·n·(n·Q − S²)
     * — pure integer arithmetic, so the outlier COUNT is bit-exact at
-    * any scale and any summation order (a double mean/stddev compare
-    * can flip rows sitting near the threshold). Group moments (one
-    * row per event_type) broadcast back onto the stream: two narrow
-    * passes, no window over the raw events.
+    * any summation order (a double mean/stddev compare can flip rows
+    * sitting near the threshold). PRECISION BOUND, not unlimited
+    * scale: the products live in DECIMAL(38,0), and the dominant term
+    * (X·n − S)²·(n−1) is ≈ (max|X−μ|·n)²·n — with |X| ≤ 5·10⁴ (this
+    * data's 2dp values ≤ 500) the 38-digit cap holds to n ≈ 10⁹ rows
+    * per group; beyond that non-ANSI Spark NULLs the product (the
+    * outlier silently counts 0) while an oracle in wider integers
+    * errors or keeps going — the engines diverge SILENTLY. At that
+    * scale divide the test through by n (one double division,
+    * threshold rows then need a guarded exact recheck) or widen to
+    * per-group two-pass central moments. Group moments (one row per
+    * event_type) broadcast back onto the stream: two narrow passes,
+    * no window over the raw events.
     */
   val q71 = Q("q71_outlier_zscore",
     """WITH x AS (

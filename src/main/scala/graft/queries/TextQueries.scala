@@ -861,6 +861,19 @@ object TextQueries {
        |WHERE doc_id % 10 <> 0
        |  AND NOT EXISTS (SELECT 1 FROM bench b WHERE b.head_fp = kept.head_fp)
        |GROUP BY lang, quality""".stripMargin) { (s, dir) =>
+    curatedDocs(s, dir)
+      .groupBy("lang", "quality")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        sum("doc_id").cast("long").as("id_sum"))
+  }
+
+  /** q66's pipeline at DOC grain (everything before the final stats
+    * aggregation) — exposed so specs can assert the decontamination
+    * invariant row-by-row (no curated head_fp intersects the bench
+    * set), which the aggregated query output cannot show.
+    */
+  private[graft] def curatedDocs(s: SparkSession, dir: String): DataFrame = {
     val nTokens = size(TextOps.tokens(col("text"))).cast("long")
     val k = withPredLang(docs(s, dir))
       .select(col("doc_id"), col("lang"), col("pred_lang"),
@@ -873,15 +886,16 @@ object TextQueries {
       .agg(min_by(struct("doc_id", "lang", "n_tokens", "quality",
         "head_fp"), col("doc_id")).as("r"))
       .select(col("r.*"))
-    val bench = docs(s, dir).filter(col("doc_id") % 10 === 0)
-      .select(headFp.as("head_fp")).distinct()
     kept.filter(col("doc_id") % 10 =!= 0)
-      .join(broadcast(bench), Seq("head_fp"), "left_anti")
-      .groupBy("lang", "quality")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").cast("long").as("n_tokens"),
-        sum("doc_id").cast("long").as("id_sum"))
+      .join(broadcast(benchFps(s, dir)), Seq("head_fp"), "left_anti")
   }
+
+  /** The benchmark head-fingerprint set q66 decontaminates against
+    * (every 10th doc stands in for the benchmark corpus).
+    */
+  private[graft] def benchFps(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("doc_id") % 10 === 0)
+      .select(headFp.as("head_fp")).distinct()
 
   /** TF-IDF characteristic terms per source: corpus-wide term
     * explode → (doc, term) tf → document frequency → per-source

@@ -81,13 +81,23 @@ class Round5Spec extends SparkSpec {
 
   test("q66: curated corpus is a subset of the q54 keep list and " +
     "contains no benchmark fingerprint") {
-    val d = sources.Tables(spark, sf, "documents")
-    val curatedDocs = queries.TextQueries.q66.fn(spark, sf)
-      .agg(sum($"n_docs")).head().getLong(0)
+    val curated = queries.TextQueries.curatedDocs(spark, sf)
+    val curatedDocs = curated.count()
     val keepList = queries.TextQueries.q54.fn(spark, sf).count()
     assert(curatedDocs <= keepList,
       s"curated $curatedDocs > keep-list $keepList")
     assert(curatedDocs > 0)
+    // decontamination invariant, row-by-row: no curated doc shares a
+    // head fingerprint with the bench set (inner join must be empty)
+    val contaminated = curated
+      .join(queries.TextQueries.benchFps(spark, sf), Seq("head_fp"))
+      .count()
+    assert(contaminated == 0,
+      s"$contaminated curated doc(s) carry a bench fingerprint")
+    // and the stats query aggregates exactly this doc set
+    val statsTotal = queries.TextQueries.q66.fn(spark, sf)
+      .agg(sum($"n_docs")).head().getLong(0)
+    assert(statsTotal == curatedDocs)
   }
 
   test("q70: ntile quartiles are balanced within each segment") {
