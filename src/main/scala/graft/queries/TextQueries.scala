@@ -1212,8 +1212,123 @@ object TextQueries {
           .as("kept_tokens"))
   }
 
+  /** Sliding-window token chunking (stride 30, window 40, overlap 10)
+    * — the pretraining/RAG chunker: every document explodes into its
+    * chunk starts (`sequence(1, n, 30)`), each chunk fingerprinted on
+    * its EXACT token slice so chunk-grain dedup (n_distinct_chunks vs
+    * n_chunks) falls out of the same pass. Narrow explode, one
+    * source-grain aggregation; chunk count per doc is ⌈n/stride⌉ so
+    * output volume is linear in corpus tokens — no joins, no windows.
+    */
+  val q87 = Q("q87_token_chunks",
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, ts, n,
+      |    unnest(range(1, n + 1, 30)) AS st
+      |  FROM t WHERE n >= 1),
+      |x AS (
+      |  SELECT doc_id, source,
+      |    least(40, n - st + 1) AS chunk_len,
+      |    md5(array_to_string(ts[st:st + least(40, n - st + 1) - 1],
+      |        ' ')) AS chunk_fp
+      |  FROM c)
+      |SELECT source, count(*) AS n_chunks,
+      |  count(DISTINCT doc_id) AS n_docs,
+      |  CAST(sum(chunk_len) AS BIGINT) AS sum_chunk_tokens,
+      |  count(DISTINCT chunk_fp) AS n_distinct_chunks
+      |FROM x GROUP BY source""".stripMargin) { (s, dir) =>
+    val t = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.tokens(col("text")).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") >= 1)
+    val len = least(lit(40), col("n") - col("st") + 1)
+    t.select(col("doc_id"), col("source"), col("ts"), col("n"),
+        explode(sequence(lit(1L), col("n").cast("long"), lit(30L)))
+          .as("st"))
+      .select(col("doc_id"), col("source"), len.as("chunk_len"),
+        md5(concat_ws(" ", slice(col("ts"), col("st").cast("int"),
+          len.cast("int")))).as("chunk_fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum("chunk_len").cast("long").as("sum_chunk_tokens"),
+        countDistinct(col("chunk_fp")).as("n_distinct_chunks"))
+  }
+
+  /** Split-level contamination report — q62's deterministic md5 split
+    * × q57/q66's bench fingerprint set, composed: how many documents
+    * of each train/val/test split share a head fingerprint with the
+    * benchmark. The bench set broadcasts (bounded), membership is a
+    * left join + non-null count — map-only over the corpus, one
+    * 3-group aggregation. The report a curation run publishes before
+    * anyone trains on the split.
+    */
+  val q88 = Q("q88_split_contamination",
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (strpos('0123456789abcdef',
+       |           substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+       |         + strpos('0123456789abcdef',
+       |             substr(md5(doc_id::VARCHAR), 2, 1)) - 1 < 230
+       |         THEN 'train'
+       |         WHEN (strpos('0123456789abcdef',
+       |           substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+       |         + strpos('0123456789abcdef',
+       |             substr(md5(doc_id::VARCHAR), 2, 1)) - 1 < 243
+       |         THEN 'val' ELSE 'test' END AS split,
+       |    $headFpSql AS head_fp
+       |  FROM documents),
+       |bench AS (
+       |  SELECT DISTINCT $headFpSql AS head_fp
+       |  FROM documents WHERE doc_id % 10 = 0)
+       |SELECT split, count(*) AS n_docs,
+       |  count(b.head_fp) AS n_contaminated
+       |FROM s LEFT JOIN bench b ON s.head_fp = b.head_fp
+       |GROUP BY split""".stripMargin) { (s, dir) =>
+    val bkt = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+      16, 10).cast("int")
+    docs(s, dir)
+      .select(col("doc_id"),
+        when(bkt < 230, "train").when(bkt < 243, "val")
+          .otherwise("test").as("split"),
+        headFp.as("head_fp"))
+      .join(broadcast(benchFps(s, dir).withColumn("hit", lit(1))),
+        Seq("head_fp"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("hit")).as("n_contaminated"))
+  }
+
+  /** Deterministic per-group k-sample — k documents per language,
+    * chosen by md5 order (a reproducible uniform draw, not top-by-
+    * value like q13): rank over (lang, md5(doc_id)) with rk <= 3.
+    * Catalyst rewrites the rank filter to WindowGroupLimit, so each
+    * partition keeps only its local top-k before the shuffle — the
+    * scale-safe "reservoir" stand-in (state per task = k rows per
+    * group, never the group's population).
+    */
+  val q89 = Q("q89_group_sample",
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents)
+      |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 3""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(s, dir)
+      .select(col("lang"), col("doc_id"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 3)
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
-      q81, q86)
+      q81, q86, q87, q88, q89)
 }

@@ -139,6 +139,52 @@ class Round6Spec extends SparkSpec {
       rows(queries.TextQueries.q86.fn(spark, sf)))
   }
 
+  test("q87: chunk counts follow ceil(n/stride) and overlap math") {
+    val t = sources.Tables(spark, sf, "documents")
+      .select(size(split($"text", " ")).as("n")).filter($"n" >= 1)
+    val expChunks = t
+      .select(ceil($"n".cast("double") / 30).cast("long").as("c"))
+      .agg(sum($"c")).head().getLong(0)
+    val r = queries.TextQueries.q87.fn(spark, sf)
+    assert(r.agg(sum($"n_chunks")).head().getLong(0) == expChunks)
+    // distinct chunks never exceed chunk count
+    r.collect().foreach { row =>
+      assert(row.getAs[Long]("n_distinct_chunks") <=
+        row.getAs[Long]("n_chunks"))
+    }
+  }
+
+  test("q88: split sizes cover the corpus and contamination counts " +
+    "the bench members themselves") {
+    val r = queries.TextQueries.q88.fn(spark, sf)
+    val total = sources.Tables(spark, sf, "documents").count()
+    assert(r.agg(sum($"n_docs")).head().getLong(0) == total)
+    // every doc_id % 10 == 0 doc matches its own bench fingerprint, so
+    // total contamination is at least the bench-set size
+    val benchDocs = sources.Tables(spark, sf, "documents")
+      .filter($"doc_id" % 10 === 0).count()
+    assert(r.agg(sum($"n_contaminated")).head().getLong(0) >= benchDocs)
+  }
+
+  test("q89: exactly 3 docs per language, rank from the md5 order, " +
+    "and the plan carries a WindowGroupLimit") {
+    val df = queries.TextQueries.q89.fn(spark, sf)
+    df.groupBy("lang").count().collect()
+      .foreach(r => assert(r.getLong(1) == 3, s"$r"))
+    assert(df.queryExecution.optimizedPlan.toString
+      .contains("WindowGroupLimit"),
+      "rank filter did not push down to WindowGroupLimit")
+  }
+
+  test("Approx.approxDistinct: within 10% of the exact count") {
+    val li = sources.Tables(spark, sf, "lineitem")
+    val exact = li.select(countDistinct($"l_partkey")).head().getLong(0)
+    val est = li.select(Approx.approxDistinct($"l_partkey"))
+      .head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.1,
+      s"HLL estimate $est vs exact $exact")
+  }
+
   test("q82: corr matches Spark's built-in corr to 1e-6") {
     val built = sources.Tables(spark, sf, "lineitem")
       .groupBy("l_returnflag")
