@@ -994,7 +994,36 @@ object Parity {
         .as("growth"))
   }
 
+  /** S-layer E2E at the 100 TB fact layout (SURVEY §4): write the
+    * fact PARTITIONED on its coarse date key
+    * ([[graft.sources.Warehouse.appendPartitioned]]), then read back
+    * with a partition-key filter — the scan must prune whole year
+    * directories (`PartitionFilters` in the plan, pinned in
+    * Round6Spec) instead of reading data files and filtering rows.
+    * The oracle aggregates the raw table under the same predicate, so
+    * the gate certifies the write→prune→read round trip end-to-end.
+    */
+  val q90 = Q("q90_partition_pruned_read",
+    """SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS amt
+      |FROM orders WHERE year(o_orderdate) = 1997
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-part").toString
+    val wh = graft.sources.Warehouse(root)
+    wh.appendPartitioned(
+      t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate"))),
+      "orders_part", Seq("o_year"))
+    wh.read(s, "orders_part")
+      .filter(col("o_year") === 1997)
+      .groupBy(month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec2("o_totalprice")), 2).cast("double").as("amt"))
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q41, q46, q65, q70,
-    q74, q75, q76, q80, q82, q83, q85)
+    q74, q75, q76, q80, q82, q83, q85, q90)
 }

@@ -1327,8 +1327,47 @@ object TextQueries {
       .filter(col("rk") <= 3)
   }
 
+  /** Asymmetric n-gram CONTAINMENT — the near-dup measure Jaccard
+    * (q31) misses: a short document fully embedded in a longer one has
+    * low Jaccard (the union is large) but containment(A) = 1. Used by
+    * curation pipelines to drop quotes/excerpts of kept documents.
+    * Same narrow doc→doc+1 join shape as q31 (per-row gram sets,
+    * array_intersect, no gram-grain shuffle); both directions
+    * reported.
+    */
+  val q91 = Q("q91_containment",
+    """WITH s AS (
+      |  SELECT DISTINCT doc_id,
+      |    substr(text,
+      |      CAST(unnest(range(1, greatest(len(text)-3,1)+1)) AS INT),
+      |      4) AS g
+      |  FROM documents),
+      |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+      |i AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      |  FROM s a JOIN s b ON b.g = a.g AND b.doc_id = a.doc_id + 1
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b,
+      |  round(CAST(i.ni AS DOUBLE) / ca.n, 6) AS cont_a,
+      |  round(CAST(i.ni AS DOUBLE) / cb.n, 6) AS cont_b
+      |FROM i
+      |JOIN c ca ON ca.doc_id = i.doc_a
+      |JOIN c cb ON cb.doc_id = i.doc_b""".stripMargin) { (s, dir) =>
+    val sets = gramSets(s, dir)
+    val b = sets.select((col("doc_id") - 1).as("doc_id"),
+      col("gs").as("gs_b"))
+    sets.join(b, Seq("doc_id"))
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"),
+        size(array_intersect(col("gs"), col("gs_b"))).as("ni"),
+        size(col("gs")).as("na"), size(col("gs_b")).as("nb"))
+      .filter(col("ni") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni").cast("double") / col("na"), 6).as("cont_a"),
+        round(col("ni").cast("double") / col("nb"), 6).as("cont_b"))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
-      q81, q86, q87, q88, q89)
+      q81, q86, q87, q88, q89, q91)
 }

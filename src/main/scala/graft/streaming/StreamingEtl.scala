@@ -23,6 +23,24 @@ object StreamingEtl {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_val"))
 
+  /** Streaming gap-based sessionization — q23's batch semantics as an
+    * unbounded stream, via Spark's native `session_window`: windows
+    * extend while events arrive within `gap` of the session's end and
+    * MERGE when late events bridge two open sessions; a session only
+    * emits (Append mode) once the watermark passes its end, which is
+    * also when its state expires — bounded state per (user, open
+    * session), no custom state machine. The batch q23 lag/cumsum
+    * formulation and this operator agree on closed sessions by
+    * construction (same gap rule).
+    */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_val"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"), col("sum_val"))
+
   /** Streaming exact dedup — the training-data-pipeline shape: drop
     * rows whose fingerprint (e.g. md5 of normalized text) was already
     * seen within the watermark horizon. `dropDuplicatesWithinWatermark`

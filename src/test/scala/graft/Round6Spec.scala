@@ -176,6 +176,39 @@ class Round6Spec extends SparkSpec {
       "rank filter did not push down to WindowGroupLimit")
   }
 
+  test("q90: partitioned read prunes to the filtered year's " +
+    "directories") {
+    val df = queries.Parity.q90.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]+\\]".r.findFirstIn(plan).isDefined &&
+      !plan.contains("PartitionFilters: []"),
+      s"scan did not prune partitions:\n${plan.take(800)}")
+    // result parity with the raw-table formulation
+    val raw = sources.Tables(spark, sf, "orders")
+      .filter(year($"o_orderdate") === 1997)
+      .groupBy(month($"o_orderdate").cast("long").as("m"))
+      .agg(count(lit(1)).as("n"))
+    assert(rows(df.select($"m", $"n")) == rows(raw))
+  }
+
+  test("q91: containment bounds Jaccard and detects full embedding") {
+    val cont = queries.TextQueries.q91.fn(spark, sf)
+    val jac = queries.TextQueries.q31.fn(spark, sf)
+    // containment >= jaccard on every pair (|A∩B|/|A| >= |A∩B|/|A∪B|),
+    // up to the 6dp rounding both sides carry
+    val bad = cont.join(jac, Seq("doc_a", "doc_b"))
+      .filter($"cont_a" < $"jaccard" - 1e-6 ||
+        $"cont_b" < $"jaccard" - 1e-6)
+      .count()
+    assert(bad == 0)
+    cont.collect().foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("Approx.approxDistinct: within 10% of the exact count") {
     val li = sources.Tables(spark, sf, "lineitem")
     val exact = li.select(countDistinct($"l_partkey")).head().getLong(0)

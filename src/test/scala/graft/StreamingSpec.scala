@@ -145,6 +145,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionizeStream: events within the gap merge into one " +
+    "session; a quiet user closes after the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamingEtl.sessionizeStream(
+      input.toDF().toDF("user_id", "ts", "value"), "30 minutes",
+      "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    // user 1: three events 10 min apart = ONE session; user 2: one event
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),
+      (1L, ts("2024-01-01 10:20:00"), 3.0),
+      (2L, ts("2024-01-01 10:05:00"), 5.0))
+    q.processAllAvailable()
+    // advance the watermark far past both sessions' ends so they emit
+    input.addData((9L, ts("2024-01-01 13:00:00"), 0.0))
+    q.processAllAvailable()
+    val out = spark.table("sessions")
+      .select("user_id", "n_events", "sum_val")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.contains((1L, 3L, 6.0)),
+      s"user 1's merged session missing from $out")
+    assert(out.contains((2L, 1L, 5.0)))
+    // one session per user — the three close events never split
+    assert(spark.table("sessions").filter($"user_id" === 1L).count() == 1)
+    q.stop()
+  }
+
   test("dedupStream drops repeated fingerprints across micro-batches " +
     "within the watermark horizon") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
