@@ -16,13 +16,21 @@ object Skew {
     * Result is identical to `big.join(small, keys, joinType)`;
     * supported joinTypes: inner / left (right-side replication makes
     * other types incorrect).
+    *
+    * The salt hashes the ENTIRE big-side row (not the join key, which
+    * is constant on the hot key — the whole problem), so it is a pure
+    * function of row content: the intermediate is deterministic across
+    * runs, retries, and partition layouts, unlike a
+    * monotonically_increasing_id-derived salt. Rows that are full
+    * duplicates share a salt — the one skew case this cannot spread;
+    * hot-key rows normally differ in their payload columns.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       nSalts: Int, joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin supports inner/left, got $joinType")
     val b = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(nSalts)).cast("int"))
+      pmod(hash(big.columns.map(col).toSeq: _*), lit(nSalts)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     b.join(s, (keys :+ "__salt").toSeq, joinType).drop("__salt")
