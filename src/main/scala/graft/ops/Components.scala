@@ -118,12 +118,15 @@ object Components {
       // the canonical orientation (v > u >= m(u)).
       val sym = edges.unionByName(
         edges.select(col("v").as("u"), col("u").as("v")))
+      // no distinct here: duplicate (v, m) edges across centers are
+      // harmless to the min-aggregation below and get deduplicated by
+      // next's distinct — skipping the mid-round dedup saves a full
+      // shuffle per round
       val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
       val ls = sym.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: neighbors of u are now all < u; u and each
       // non-minimum neighbor re-attach to the minimum neighbor.
       val mins2 = ls.groupBy("u").agg(min(col("v")).as("m"))

@@ -457,7 +457,55 @@ object Events {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"))
   }
 
+  /** Native `session_window` in BATCH mode, gate-checked against the
+    * classic lag/cumsum formulation (q23's machinery) — certifying
+    * that the declarative operator and the hand-built one agree on
+    * REAL data pins three subtle semantics: a new session starts when
+    * the gap is >= the threshold (session windows are [start, end),
+    * so an event landing exactly on the previous end opens a new
+    * one); the gap is EXACT microsecond duration, not
+    * `date_diff('second')` — which counts second-BOUNDARY crossings
+    * and calls a 1799.3 s gap "1800" when it straddles the right
+    * sub-second phase (one real session split at sf0.1 hangs on
+    * this); and the window's end is the LAST event + gap (not max ts).
+    * This is also the exact expression the streaming
+    * [[graft.streaming.StreamingEtl.sessionizeStream]] runs — batch
+    * and stream share one definition. Work is user-partitioned: the
+    * session assignment scales out on user_id.
+    */
+  val q92 = Q("q92_session_window",
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+      |              >= 1800 * 1000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+      |    AS sess_end,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_val
+      |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_val"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("sess_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n_events"), col("sum_val"))
+  }
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45, q58, q59,
-      q68, q71, q78, q84)
+      q68, q71, q78, q84, q92)
 }
