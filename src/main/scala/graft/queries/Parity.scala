@@ -1023,7 +1023,93 @@ object Parity {
         round(sum(dec2("o_totalprice")), 2).cast("double").as("amt"))
   }
 
+  /** W-extension — frame navigation functions (first_value /
+    * last_value / nth_value, explicit unbounded frames) plus
+    * dense_rank, all over the MONTH-grain revenue series per segment:
+    * the window input is calendar-bounded (q85's argument), so the
+    * per-partition sort is dozens of rows at any corpus size.
+    * last_value/nth_value get the full-partition frame explicitly —
+    * the default frame stops at CURRENT ROW, a classic silent-wrong-
+    * answer; dense_rank orders by the revenue value itself, so ties
+    * share a rank and the output is deterministic without a
+    * tiebreaker.
+    */
+  val q93 = Q("q93_frame_functions",
+    """WITH m AS (
+      |  SELECT c_mktsegment,
+      |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+      |      AS ym,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT c_mktsegment, ym,
+      |  CAST(round(rev, 2) AS DOUBLE) AS rev,
+      |  CAST(round(first_value(rev) OVER w, 2) AS DOUBLE) AS first_rev,
+      |  CAST(round(last_value(rev) OVER
+      |    (PARTITION BY c_mktsegment ORDER BY ym
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+      |    AS DOUBLE) AS last_rev,
+      |  CAST(round(nth_value(rev, 2) OVER
+      |    (PARTITION BY c_mktsegment ORDER BY ym
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+      |    AS DOUBLE) AS second_rev,
+      |  CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+      |    ORDER BY rev DESC) AS BIGINT) AS rev_rank
+      |FROM m
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY ym)""".stripMargin) {
+    (s, dir) =>
+      val m = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"))
+        .agg(sum(dec2("o_totalprice")).as("rev"))
+      val ordered = Window.partitionBy("c_mktsegment").orderBy("ym")
+      val full = ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val byRev = Window.partitionBy("c_mktsegment")
+        .orderBy(col("rev").desc)
+      m.select(col("c_mktsegment"), col("ym"),
+        round(col("rev"), 2).cast("double").as("rev"),
+        round(first_value(col("rev")).over(ordered), 2).cast("double")
+          .as("first_rev"),
+        round(last_value(col("rev")).over(full), 2).cast("double")
+          .as("last_rev"),
+        round(nth_value(col("rev"), 2).over(full), 2).cast("double")
+          .as("second_rev"),
+        dense_rank().over(byRev).cast("long").as("rev_rank"))
+  }
+
+  /** A-extension — argmin/argmax AGGREGATES (min_by / max_by; DuckDB
+    * arg_min / arg_max): the per-group "which row holds the extreme"
+    * without a window or join-back — one partial-aggregable pass, the
+    * scale-preferred form of q13's row_number-top-1. The ordering
+    * value is made UNIQUE (balance in cents · 2²⁰ + suppkey) because
+    * both engines leave argmax ties unspecified.
+    */
+  val q94 = Q("q94_argmax_agg",
+    """WITH s AS (
+      |  SELECT s_nationkey, s_name,
+      |    CAST(round(s_acctbal * 100) AS BIGINT) * 1048576 + s_suppkey
+      |      AS ordv
+      |  FROM supplier)
+      |SELECT CAST(s_nationkey AS BIGINT) AS natn_id,
+      |  count(*) AS n_sup,
+      |  arg_max(s_name, ordv) AS top_name,
+      |  arg_min(s_name, ordv) AS bottom_name
+      |FROM s GROUP BY 1""".stripMargin) { (s, dir) =>
+    val ordv = (round(col("s_acctbal") * 100).cast("long") * 1048576L
+      + col("s_suppkey")).as("ordv")
+    t(s, dir, "supplier")
+      .select(col("s_nationkey"), col("s_name"), ordv)
+      .groupBy(col("s_nationkey").cast("long").as("natn_id"))
+      .agg(count(lit(1)).as("n_sup"),
+        max_by(col("s_name"), col("ordv")).as("top_name"),
+        min_by(col("s_name"), col("ordv")).as("bottom_name"))
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q41, q46, q65, q70,
-    q74, q75, q76, q80, q82, q83, q85, q90)
+    q74, q75, q76, q80, q82, q83, q85, q90, q93, q94)
 }
