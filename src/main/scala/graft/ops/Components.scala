@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected pair list — the
@@ -22,8 +23,51 @@ import org.apache.spark.sql.functions._
   * localCheckpoint so the plan doesn't grow with the round count.
   * The round cap fails loudly rather than returning a half-merged
   * labelling.
+  *
+  * Block-manager hygiene: every round's localCheckpoint persists
+  * blocks, and a superseded round's blocks are dead weight — left
+  * cached they accumulate for the rest of the session and evict
+  * useful storage (the round-6 bench regression). Both algorithms
+  * therefore unpersist each superseded frame as soon as its
+  * successor is materialized AND the convergence count that reads it
+  * has run. What survives a call is exactly the checkpointed
+  * frame(s) the RETURNED plan still reads (the final labels / final
+  * edges + nodes) — lineage is truncated, so those must stay until
+  * the caller has consumed the result, then [[release]] frees them.
+  * All checkpoint RDDs carry the [[rddNamePrefix]] name so session
+  * harnesses (Bench's hygiene pass) can sweep stragglers by name
+  * without touching unrelated cached data.
   */
 object Components {
+
+  /** Block-manager name given to every checkpoint RDD this object
+    * creates — the sweep key for [[release]]/Bench hygiene.
+    */
+  val rddNamePrefix = "graft-cc"
+
+  // localCheckpoint + tag the materialized RDD so it is identifiable
+  // in sc.getPersistentRDDs; eager by default, so on return the blocks
+  // exist and the input's lineage is no longer needed
+  private def cp(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint()
+    out.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => lr.rdd.setName(rddNamePrefix)
+      case _ => ()
+    }
+    out
+  }
+
+  /** Free the checkpoint blocks a frame returned by [[connected]] /
+    * [[connectedStar]] still holds. Call AFTER the result has been
+    * consumed — the checkpointed lineage is truncated, so the frame
+    * cannot be recomputed afterwards.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD if lr.rdd.name == rddNamePrefix =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** (node, comp) for every node appearing in `pairs`(a, b); `comp`
     * is the component's minimum node id — deterministic in any engine.
@@ -33,13 +77,11 @@ object Components {
     // materialize the edge list ONCE — every round joins against it,
     // and without this each round would re-execute the pair-generation
     // lineage (the whole LSH candidate pipeline when fed from q30)
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+    val edges = cp(pairs.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("comp"))
-      .localCheckpoint()
+      .distinct())
+    var labels = cp(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp")))
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -55,17 +97,22 @@ object Components {
         .join(labels.select(col("node").as("comp"),
           col("comp").as("comp2")), Seq("comp"))
         .select(col("node"), col("comp2").as("comp"))
-      val next = labels.unionByName(prop).unionByName(jump)
-        .groupBy("node").agg(min("comp").as("comp"))
-        .localCheckpoint()
+      val next = cp(labels.unionByName(prop).unionByName(jump)
+        .groupBy("node").agg(min("comp").as("comp")))
       changed = next
         .join(labels.select(col("node"), col("comp").as("prev")),
           Seq("node"))
         .filter(col("comp") < col("prev"))
         .count()
+      // `next` is materialized and the convergence count has read
+      // `labels` — the superseded round's blocks are dead from here
+      release(labels)
       labels = next
       round += 1
     }
+    // the returned plan is the final checkpoint alone — the edge
+    // list's blocks are no longer reachable from it
+    release(edges)
     labels
   }
 
@@ -97,15 +144,13 @@ object Components {
     */
   def connectedStar(pairs: DataFrame, a: String = "doc_a",
       b: String = "doc_b", maxRounds: Int = 100): DataFrame = {
-    val nodes = pairs.select(col(a).as("node"))
-      .unionByName(pairs.select(col(b).as("node"))).distinct()
-      .localCheckpoint()
+    val nodes = cp(pairs.select(col(a).as("node"))
+      .unionByName(pairs.select(col(b).as("node"))).distinct())
     // canonical (larger, smaller) orientation; self-loops carry no
     // connectivity (their nodes are preserved via `nodes`)
-    var edges = pairs
+    var edges = cp(pairs
       .select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct())
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -130,17 +175,18 @@ object Components {
       // small-star: neighbors of u are now all < u; u and each
       // non-minimum neighbor re-attach to the minimum neighbor.
       val mins2 = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val next = ls.join(mins2, Seq("u"))
+      val next = cp(ls.join(mins2, Seq("u"))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(mins2.select(col("u"), col("m").as("v")))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       // converged when the edge set is a fixed point (a star forest):
       // symmetric difference as a single count — one scalar per round
       changed = next.unionByName(edges)
         .groupBy("u", "v").agg(count(lit(1)).as("c"))
         .filter(col("c") === 1).count()
+      // symmetric-difference count has read the old edge set; free it
+      release(edges)
       edges = next
       round += 1
     }

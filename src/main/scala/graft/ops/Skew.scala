@@ -21,18 +21,28 @@ object Skew {
     * is constant on the hot key — the whole problem), so it is a pure
     * function of row content: the intermediate is deterministic across
     * runs, retries, and partition layouts, unlike a
-    * monotonically_increasing_id-derived salt. Rows that are full
-    * duplicates share a salt — the one skew case this cannot spread;
-    * hot-key rows normally differ in their payload columns.
+    * monotonically_increasing_id-derived salt. CONTRACT LIMIT: rows
+    * that are full duplicates share a salt — a hot key whose rows are
+    * IDENTICAL (fully denormalized repeats) regains the original skew,
+    * silently. Hot-key rows normally differ in their payload columns
+    * (the spread is asserted in AsOfSkewSpec); a duplicate-heavy
+    * caller should pre-aggregate the duplicates (count them into one
+    * row) rather than salt them.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       nSalts: Int, joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin supports inner/left, got $joinType")
-    val b = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toSeq: _*), lit(nSalts)))
+    val b = big.withColumn("__salt", contentSalt(big, nSalts))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     b.join(s, (keys :+ "__salt").toSeq, joinType).drop("__salt")
   }
+
+  /** The salt [[saltedJoin]] assigns `df`'s rows — exposed so tests
+    * and operators can MEASURE balance on their own inputs instead of
+    * trusting the hash.
+    */
+  def contentSalt(df: DataFrame, nSalts: Int): org.apache.spark.sql.Column =
+    pmod(hash(df.columns.map(col).toSeq: _*), lit(nSalts))
 }

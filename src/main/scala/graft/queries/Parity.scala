@@ -996,7 +996,7 @@ object Parity {
 
   /** S-layer E2E at the 100 TB fact layout (SURVEY §4): write the
     * fact PARTITIONED on its coarse date key
-    * ([[graft.sources.Warehouse.appendPartitioned]]), then read back
+    * ([[graft.sources.Warehouse.overwritePartitioned]]), then read back
     * with a partition-key filter — the scan must prune whole year
     * directories (`PartitionFilters` in the plan, pinned in
     * Round6Spec) instead of reading data files and filtering rows.
@@ -1010,13 +1010,19 @@ object Parity {
       |    AS DOUBLE) AS amt
       |FROM orders WHERE year(o_orderdate) = 1997
       |GROUP BY 1""".stripMargin) { (s, dir) =>
-    val root =
-      java.nio.file.Files.createTempDirectory("graft-part").toString
-    val wh = graft.sources.Warehouse(root)
-    wh.appendPartitioned(
-      t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate"))),
-      "orders_part", Seq("o_year"))
-    wh.read(s, "orders_part")
+    // per-(session, corpus) fact copy: written once, reused by repeat
+    // invocations, deleted at JVM exit (round-6 ADVICE: no temp-dir
+    // litter per invocation). Overwrite (not append) so a retried
+    // first write can't double the table.
+    val table = s"orders_part_${graft.SessionScratch.keyOf(dir)}"
+    val wh = graft.sources.Warehouse(
+      graft.SessionScratch.dir(s, "partfact"))
+    graft.SessionScratch.once(s, table) {
+      wh.overwritePartitioned(
+        t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate"))),
+        table, Seq("o_year"))
+    }
+    wh.read(s, table)
       .filter(col("o_year") === 1997)
       .groupBy(month(col("o_orderdate")).cast("long").as("m"))
       .agg(count(lit(1)).as("n"),
@@ -1085,21 +1091,28 @@ object Parity {
     * arg_min / arg_max): the per-group "which row holds the extreme"
     * without a window or join-back — one partial-aggregable pass, the
     * scale-preferred form of q13's row_number-top-1. The ordering
-    * value is made UNIQUE (balance in cents · 2²⁰ + suppkey) because
-    * both engines leave argmax ties unspecified.
+    * value is made UNIQUE because both engines leave argmax ties
+    * unspecified: lexicographic (cents, suppkey) packed as
+    * cents · 2⁶³ + suppkey in exact wide arithmetic
+    * (DECIMAL(38,0) / HUGEINT). The 2⁶³ stride is provably above
+    * EVERY possible key — suppkey is a non-negative BIGINT, so
+    * suppkey < 2⁶³ by type, not by data assumption — and
+    * |cents| · 2⁶³ ≤ ~1e37 stays inside both engines' 38-digit
+    * range; the round-6 2²⁰ packing broke once suppkey passed ~10⁶.
     */
   val q94 = Q("q94_argmax_agg",
     """WITH s AS (
       |  SELECT s_nationkey, s_name,
-      |    CAST(round(s_acctbal * 100) AS BIGINT) * 1048576 + s_suppkey
-      |      AS ordv
+      |    CAST(round(s_acctbal * 100) AS HUGEINT)
+      |      * 9223372036854775808 + s_suppkey AS ordv
       |  FROM supplier)
       |SELECT CAST(s_nationkey AS BIGINT) AS natn_id,
       |  count(*) AS n_sup,
       |  arg_max(s_name, ordv) AS top_name,
       |  arg_min(s_name, ordv) AS bottom_name
       |FROM s GROUP BY 1""".stripMargin) { (s, dir) =>
-    val ordv = (round(col("s_acctbal") * 100).cast("long") * 1048576L
+    val ordv = (round(col("s_acctbal") * 100).cast("decimal(38,0)")
+      * lit(BigDecimal("9223372036854775808"))
       + col("s_suppkey")).as("ordv")
     t(s, dir, "supplier")
       .select(col("s_nationkey"), col("s_name"), ordv)

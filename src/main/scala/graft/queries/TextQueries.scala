@@ -1127,11 +1127,16 @@ object TextQueries {
        |JOIN b a ON a.band = x.band AND a.key = x.key
        |JOIN b c ON c.band = x.band AND c.key = x.key
        |  AND a.doc_id < c.doc_id""".stripMargin) { (s, dir) =>
-    val root =
-      java.nio.file.Files.createTempDirectory("graft-sigstore").toString
-    SignatureStore.writeBands(Warehouse(root), docs(s, dir),
-      "sig_bands_q79", 8)
-    SignatureStore.candidatesFromStore(s, "sig_bands_q79", 20)
+    // one store per (session, corpus): the CTAS cost is still billed
+    // in-query (to the first invocation), but repeat invocations reuse
+    // the artifact instead of littering a fresh temp warehouse and
+    // repointing the catalog name under earlier plans (round-6 ADVICE)
+    val table = s"sig_bands_q79_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, table) {
+      val root = graft.SessionScratch.dir(s, "sigstore")
+      SignatureStore.writeBands(Warehouse(root), docs(s, dir), table, 8)
+    }
+    SignatureStore.candidatesFromStore(s, table, 20)
   }
 
   /** Star-contraction connected components on a HIGH-DIAMETER dup

@@ -39,6 +39,15 @@ final case class Warehouse(root: String) {
     df.write.mode("append").partitionBy(partitionCols: _*)
       .parquet(dir(table))
 
+  /** Partitioned full build — [[appendPartitioned]]'s layout with
+    * overwrite semantics, for rebuilt facts and for writes that must
+    * be idempotent under retry (a failed attempt can't double rows).
+    */
+  def overwritePartitioned(df: DataFrame, table: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(dir(table))
+
   /** Full refresh (S6: DELETE all + INSERT SELECT). */
   def overwrite(df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").parquet(dir(table))

@@ -68,4 +68,20 @@ class AsOfSkewSpec extends SparkSpec {
       assert(rows(salted) == rows(plain), jt)
     }
   }
+
+  test("Skew.saltedJoin: the content salt actually spreads a hot key " +
+    "— no salt bucket owns more than 2/nSalts of its rows") {
+    // 10k hot-key rows with payload-bearing (distinct) columns — the
+    // input class the op is FOR; full-duplicate rows are the
+    // documented degenerate case and are excluded by construction
+    val nSalts = 16
+    val big = (1 to 10000).map(i => (1L, i.toDouble)).toDF("k", "v")
+    val shares = big
+      .withColumn("__salt", Skew.contentSalt(big, nSalts))
+      .groupBy("__salt").count()
+    assert(shares.count() == nSalts, "every salt value must be hit")
+    val maxShare = shares.agg(max("count")).head().getLong(0)
+    assert(maxShare <= 2L * 10000 / nSalts,
+      s"hot key concentrated: max salt bucket $maxShare of 10000")
+  }
 }
