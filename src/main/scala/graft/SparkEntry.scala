@@ -32,5 +32,5 @@ object Registry {
   def all: Seq[Q] =
     graft.queries.Parity.all ++ graft.queries.Events.all ++
       graft.queries.TextQueries.all ++ graft.queries.SimQueries.all ++
-      graft.queries.MultimodalQueries.all
+      graft.queries.MultimodalQueries.all ++ graft.queries.Extras.all
 }

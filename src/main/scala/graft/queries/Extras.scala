@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Round-7 surface extensions: multi-granularity aggregation
+  * (GROUPING SETS), relational reshaping (unpivot/melt), edit-distance
+  * near-dup blocking, ordered set aggregation, gaps-and-islands
+  * streaks, robust (MAD) outliers, and distribution-position windows
+  * (percent_rank / cume_dist). Same determinism policy as
+  * [[Parity]] (decimal accumulation, double outputs, BIGINT casts).
+  */
+object Extras {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private def dec2(c: String) = col(c).cast("decimal(18,2)")
+
+  /** A-extension — GROUPING SETS with grouping() flags: one shuffle
+    * produces the (segment × priority), per-segment, and grand-total
+    * grains (Spark expands the sets BEFORE the exchange — each input
+    * row is replicated once per set, partial-aggregated map-side, so
+    * the cost is one pass regardless of how many grains are asked
+    * for; a UNION of three GROUP BYs would scan three times). The
+    * grouping() flags disambiguate a NULL group value from a rollup
+    * total — the reason sane consumers never key on NULL.
+    */
+  val q95 = Q("q95_grouping_sets",
+    """SELECT c_mktsegment, o_orderpriority,
+      |  CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+      |    AS DOUBLE) AS rev
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+      |  (c_mktsegment), ())""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment"), col("o_orderpriority")),
+          Seq(col("c_mktsegment")), Seq.empty[Column]),
+        col("c_mktsegment"), col("o_orderpriority"))
+      .agg(grouping(col("c_mktsegment")).cast("long").as("g_seg"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+        count(lit(1)).as("n"),
+        round(sum(dec2("o_totalprice")), 2).cast("double").as("rev"))
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        col("g_seg"), col("g_prio"), col("n"), col("rev"))
+  }
+
+  /** P-extension — unpivot/melt (Dataset.unpivot, Spark 3.4+): wide
+    * measure columns → (id, metric, value) long form, the reshape
+    * every metric-store ingestion performs. Map-only — each input row
+    * emits one row per measure with NO shuffle (verified in
+    * Round7Spec); the aggregation after it is the only exchange.
+    * The oracle spells the same reshape as UNION ALL, the engine-
+    * portable form.
+    */
+  val q96 = Q("q96_unpivot",
+    """WITH m AS (
+      |  SELECT p_brand, 'retailprice' AS metric,
+      |    CAST(p_retailprice AS DOUBLE) AS v FROM part
+      |  UNION ALL
+      |  SELECT p_brand, 'size' AS metric,
+      |    CAST(p_size AS DOUBLE) AS v FROM part)
+      |SELECT p_brand, metric, count(*) AS n,
+      |  CAST(round(sum(CAST(v AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_v,
+      |  round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(*), 4) AS avg_v
+      |FROM m GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val melted = t(s, dir, "part").unpivot(
+      Array(col("p_brand")),
+      Array(col("p_retailprice").cast("double").as("retailprice"),
+        col("p_size").cast("double").as("size")),
+      "metric", "v")
+    melted.groupBy("p_brand", "metric")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("v").cast("decimal(18,2)")), 2).cast("double")
+          .as("sum_v"),
+        round(sum(col("v").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 4).as("avg_v"))
+  }
+
+  /** Text-dedup extension — EDIT-DISTANCE near-dup candidates with
+    * blocking: exact Levenshtein is O(|a|·|b|) per pair and all-pairs
+    * is quadratic, so pairs are generated only WITHIN (brand, type)
+    * blocks — the same cap-the-candidates discipline as the LSH
+    * pipeline (q30), with the block key playing the band/bucket role.
+    * Block populations are bounded by the catalog's brand×type
+    * granularity (≈150 groups growing with catalog breadth, not
+    * depth), so the self-join stays linear-ish in the table. Spark
+    * `levenshtein` = DuckDB `levenshtein` (full edit distance, both).
+    */
+  val q97 = Q("q97_levenshtein_neardup",
+    """SELECT a.p_brand, a.p_type,
+      |  a.p_partkey AS part_a, b.p_partkey AS part_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+      |  AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin) {
+    (s, dir) =>
+      val p = t(s, dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+      val a = p.select(col("p_brand"), col("p_type"),
+        col("p_partkey").as("part_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("p_type"),
+        col("p_partkey").as("part_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand", "p_type"))
+        .filter(col("part_a") < col("part_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
+        .select(col("p_brand"), col("p_type"), col("part_a"),
+          col("part_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long")
+            .as("dist"))
+  }
+
+  /** A-extension — ordered set aggregation: per language, the sorted
+    * distinct source list as ONE string. collect_set is the
+    * deterministic base (set semantics), array_sort fixes the order,
+    * array_join emits an engine-portable scalar — collect_list would
+    * depend on partition arrival order, the classic nondeterminism
+    * trap. Grain is bounded by the language × source catalog, never
+    * by corpus size.
+    */
+  val q98 = Q("q98_source_sets",
+    """WITH d AS (SELECT DISTINCT lang, source FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+      |  string_agg(source, ',' ORDER BY source) AS sources
+      |FROM d GROUP BY lang""".stripMargin) { (s, dir) =>
+    docsTable(s, dir)
+      .groupBy("lang")
+      .agg(size(collect_set(col("source"))).cast("long").as("n_sources"),
+        array_join(array_sort(collect_set(col("source"))), ",")
+          .as("sources"))
+  }
+
+  private def docsTable(s: SparkSession, dir: String) =
+    Tables(s, dir, "documents")
+
+  /** W-extension — gaps-and-islands (activity streaks): distinct
+    * active days per user, island id = day − row_number days (equal
+    * within a consecutive run — the classic Tabibitosan trick), then
+    * two bounded aggregations. Every window is partitioned by
+    * user_id, so the work scales out on the user population; no
+    * global sort anywhere.
+    */
+  val q99 = Q("q99_activity_islands",
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |r AS (
+      |  SELECT user_id, day,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      |  FROM d),
+      |isl AS (
+      |  SELECT user_id, day - CAST(rn AS INTEGER) AS anchor,
+      |    count(*) AS len
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  count(*) AS n_streaks,
+      |  CAST(max(len) AS BIGINT) AS max_streak
+      |FROM isl GROUP BY user_id""".stripMargin) { (s, dir) =>
+    val d = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val rn = row_number().over(
+      Window.partitionBy("user_id").orderBy("day"))
+    d.withColumn("anchor", date_sub(col("day"), rn))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").cast("long").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").cast("long").as("max_streak"))
+  }
+
+  /** A-extension — robust outliers via MEDIAN ABSOLUTE DEVIATION:
+    * z-scores (q71) move with the outliers they hunt (mean and sd are
+    * not robust); the MAD estimator is the standard fix. Exact
+    * interpolated medians on both sides (Spark `percentile` = DuckDB
+    * `quantile_cont`, the q26-pinned pair) over per-customer spend —
+    * the median input is customer-grain, already reduced by the first
+    * aggregation; the boundary compare rounds at 6dp on both engines
+    * so an ulp of interpolation noise cannot flip a count.
+    */
+  val q100 = Q("q100_mad_outliers",
+    """WITH spend AS (
+      |  SELECT c_mktsegment, o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |med AS (
+      |  SELECT c_mktsegment, quantile_cont(x, 0.5) AS med
+      |  FROM spend GROUP BY 1),
+      |dev AS (
+      |  SELECT s.c_mktsegment, s.x, m.med, abs(s.x - m.med) AS adev
+      |  FROM spend s JOIN med m USING (c_mktsegment)),
+      |mad AS (
+      |  SELECT c_mktsegment, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  round(any_value(d.med), 2) AS med,
+      |  round(any_value(m.mad), 2) AS mad,
+      |  CAST(sum(CASE WHEN round(d.adev - 3 * 1.4826 * m.mad, 6) > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m USING (c_mktsegment)
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val spend = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_custkey")
+      .agg(sum(dec2("o_totalprice")).cast("double").as("x"))
+    val med = spend.groupBy("c_mktsegment")
+      .agg(percentile(col("x"), lit(0.5)).as("med"))
+    val dev = spend.join(broadcast(med), Seq("c_mktsegment"))
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = dev.groupBy("c_mktsegment")
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq("c_mktsegment"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(any_value(col("med")), 2).as("med"),
+        round(any_value(col("mad")), 2).as("mad"),
+        sum(when(round(col("adev") - lit(3) * lit(1.4826) * col("mad"),
+          6) > 0, 1).otherwise(0)).cast("long").as("n_outliers"))
+  }
+
+  /** W-extension — distribution position: percent_rank + cume_dist
+    * per segment over customer spend, keeping the top decile. Exact
+    * rank semantics need the per-segment total order, so this is the
+    * EXACT gate; the 100 TB default for "which quantile is this row
+    * in" is the sketch path ([[graft.ops.Approx.quantileBuckets]],
+    * q80) — same trade as ntile/q70. Spend is carried in CENTS
+    * (exact BIGINT) so ties — which both rank functions expose — are
+    * bit-identical across engines.
+    */
+  val q101 = Q("q101_percent_rank",
+    """WITH spend AS (
+      |  SELECT c_mktsegment, o_custkey,
+      |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+      |      AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT c_mktsegment, o_custkey, cents,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd
+      |  FROM spend
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents))
+      |SELECT c_mktsegment, CAST(o_custkey AS BIGINT) AS cust_id,
+      |  CAST(cents AS DOUBLE) / 100 AS spend,
+      |  round(pr, 6) AS pr, round(cd, 6) AS cd
+      |FROM r WHERE pr >= 0.9""".stripMargin) { (s, dir) =>
+    val spend = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_custkey")
+      .agg(round(sum(dec2("o_totalprice")) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy("c_mktsegment").orderBy("cents")
+    spend
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("pr") >= 0.9)
+      .select(col("c_mktsegment"),
+        col("o_custkey").cast("long").as("cust_id"),
+        (col("cents").cast("double") / 100).as("spend"),
+        round(col("pr"), 6).as("pr"), round(col("cd"), 6).as("cd"))
+  }
+
+  val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101)
+}

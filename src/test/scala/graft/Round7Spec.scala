@@ -81,4 +81,99 @@ class Round7Spec extends SparkSpec {
     assert(byName("clean").cleared == 0 && byName("clean").retained == 0)
     assert(ccBlocks.isEmpty)
   }
+
+  // ---- round-7 queries ----
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q95: grouping-sets grains are consistent (grand total = sum " +
+    "of per-segment rows) and expand in ONE aggregation pass") {
+    val df = queries.Extras.q95.fn(spark, sf)
+    val out = df.collect()
+    val total = out.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
+    val perSeg = out.filter(r => r.getLong(2) == 0 && r.getLong(3) == 1)
+    assert(total.length == 1 && perSeg.nonEmpty)
+    assert(total.head.getLong(4) == perSeg.map(_.getLong(4)).sum)
+    // final AQE plan only (the toString repeats the initial plan)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Expand"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      "grouping sets must not multiply shuffles:\n" + plan)
+  }
+
+  test("q96: unpivot is map-only before the aggregation (no Exchange " +
+    "in the reshape) and melts 2 rows per part") {
+    val melted = sources.Tables(spark, sf, "part").unpivot(
+      Array(col("p_brand")),
+      Array(col("p_retailprice").cast("double").as("retailprice"),
+        col("p_size").cast("double").as("size")),
+      "metric", "v")
+    assert(!melted.queryExecution.executedPlan.toString
+      .contains("Exchange"))
+    val parts = sources.Tables(spark, sf, "part").count()
+    assert(melted.count() == 2 * parts)
+    assert(queries.Extras.q96.fn(spark, sf)
+      .select("metric").distinct().as[String].collect().toSet ==
+      Set("retailprice", "size"))
+  }
+
+  test("q97: levenshtein pairs stay inside (brand, type) blocks — " +
+    "the plan joins on the block key, never a cartesian") {
+    val df = queries.Extras.q97.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan)
+    // every emitted pair is a genuine near-duplicate under the cap
+    assert(df.filter($"dist" > 3).count() == 0)
+  }
+
+  test("q99: islands math on a constructed streak") {
+    // user 1: days 1-3 then 5 (streaks 3+1); user 2: one day
+    val events = Seq(
+      (1L, "2024-03-01"), (1L, "2024-03-02"), (1L, "2024-03-03"),
+      (1L, "2024-03-05"), (2L, "2024-03-09"))
+      .toDF("user_id", "d")
+      .select($"user_id", to_date($"d").as("day"))
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    val isl = events.distinct()
+      .withColumn("anchor",
+        date_sub($"day", row_number().over(rn)))
+      .groupBy("user_id", "anchor").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum("len").as("active"), count(lit(1)).as("streaks"),
+        max("len").as("longest"))
+    assert(rows(isl) == Set(Seq(1L, 4L, 2L, 3L), Seq(2L, 1L, 1L, 1L)))
+  }
+
+  test("q100: MAD flags the planted extreme point and only it") {
+    // spread base population (MAD = 5.5, nondegenerate) + one extreme
+    val xs = ((91 to 111).map(_.toDouble) ++ Seq(1000.0))
+      .zipWithIndex.map { case (v, i) => ("S", i.toLong, v) }
+      .toDF("c_mktsegment", "o_custkey", "x")
+    val med = xs.groupBy("c_mktsegment")
+      .agg(percentile($"x", lit(0.5)).as("med"))
+    val dev = xs.join(med, Seq("c_mktsegment"))
+      .withColumn("adev", abs($"x" - $"med"))
+    val mad = dev.groupBy("c_mktsegment")
+      .agg(percentile($"adev", lit(0.5)).as("mad"))
+    val flagged = dev.join(mad, Seq("c_mktsegment"))
+      .filter(round($"adev" - lit(3) * lit(1.4826) * $"mad", 6) > 0)
+    assert(flagged.select("x").as[Double].collect().toSeq == Seq(1000.0))
+  }
+
+  test("q101: percent_rank top decile — pr within [0.9, 1], cume_dist " +
+    "≥ pr, and ties share a rank") {
+    val df = queries.Extras.q101.fn(spark, sf)
+    val bad = df.filter($"pr" < 0.9 || $"pr" > 1.0 || $"cd" < $"pr")
+    assert(bad.count() == 0)
+    // a duplicated cents value must yield one shared pr
+    val ties = Seq(("S", 1L, 100L), ("S", 2L, 100L), ("S", 3L, 200L))
+      .toDF("c_mktsegment", "o_custkey", "cents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment").orderBy("cents")
+    val pr = ties.withColumn("pr", percent_rank().over(w))
+      .filter($"cents" === 100L).select("pr").distinct()
+    assert(pr.count() == 1)
+  }
 }

@@ -2,7 +2,8 @@ package graft
 
 import java.nio.file.Files
 import graft.etl.Schemas
-import graft.sources.{Csv, Warehouse}
+import graft.sources.{Csv, Jdbc, Warehouse}
+import org.apache.spark.sql.functions.sum
 import graft.ops.Scd
 
 /** I/O layer: CSV with explicit schema + BOM handling (S1), warehouse
@@ -94,5 +95,48 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"), plan)
     assert("PartitionFilters: \\[[^\\]]*dt[^\\]]*\\]".r
       .findFirstIn(plan).isDefined, plan)
+  }
+
+  // ---- JDBC (embedded Derby stands in for the reference's SQL
+  // Server; same spark.read.jdbc/write.jdbc path either way) ----
+
+  private val derbyUrl = "jdbc:derby:memory:graftjdbc;create=true"
+
+  test("Jdbc: append + read round-trip, overwrite refreshes in place") {
+    val dim = Seq((1L, "road"), (2L, "mountain"), (3L, "touring"))
+      .toDF("k", "name")
+    Jdbc.append(dim, derbyUrl, "prdct_dim")
+    val back = Jdbc.read(spark, derbyUrl, "prdct_dim")
+    assert(back.columns.map(_.toLowerCase).toSet == Set("k", "name"))
+    assert(rows(back.select($"K".as("k"), $"NAME".as("name"))) ==
+      rows(dim))
+    // append again = insert-only (S4): rows accumulate
+    Jdbc.append(dim.filter($"k" === 1L), derbyUrl, "prdct_dim")
+    assert(Jdbc.read(spark, derbyUrl, "prdct_dim").count() == 4)
+    // full refresh (S6): target holds exactly the new build
+    val rebuilt = Seq((9L, "gravel")).toDF("k", "name")
+    Jdbc.overwrite(rebuilt, derbyUrl, "prdct_dim", truncate = false)
+    assert(rows(Jdbc.read(spark, derbyUrl, "prdct_dim")
+      .select($"K".as("k"), $"NAME".as("name"))) == rows(rebuilt))
+  }
+
+  test("Jdbc: filters and column pruning reach the generated SQL; " +
+    "partitioned read splits into range queries without row loss") {
+    val fact = spark.range(1, 1001).selectExpr("id AS k",
+      "CAST(id % 7 AS DOUBLE) AS v")
+    Jdbc.overwrite(fact, derbyUrl, "fct", truncate = false)
+    val filtered = Jdbc.read(spark, derbyUrl, "fct")
+      .filter($"K" > 900).select("K")
+    assert(filtered.count() == 100)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.toLowerCase.contains("greaterthan(k,900)"), plan)
+    // the partitioned read: 8 range queries, same multiset of rows —
+    // including rows outside [lower, upper] (widened edge strides)
+    val part = Jdbc.readPartitioned(spark, derbyUrl, "fct",
+      "K", 100, 900, 8)
+    assert(part.rdd.getNumPartitions == 8)
+    assert(part.count() == 1000)
+    assert(part.agg(sum($"K")).head().getLong(0) == 500500L)
   }
 }
