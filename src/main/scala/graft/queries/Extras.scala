@@ -93,7 +93,14 @@ object Extras {
     * Block populations are bounded by the catalog's brand×type
     * granularity (≈150 groups growing with catalog breadth, not
     * depth), so the self-join stays linear-ish in the table. Spark
-    * `levenshtein` = DuckDB `levenshtein` (full edit distance, both).
+    * `levenshtein` = DuckDB `levenshtein` (full edit distance, both);
+    * the engine side uses the THRESHOLDED form (Spark 3.5+): banded
+    * DP that abandons a pair the moment its distance provably
+    * exceeds the cap — O(k·min(|a|,|b|)) instead of O(|a|·|b|) per
+    * pair, and -1 (filtered out) for the overwhelming non-dup
+    * majority. Distances actually emitted (≤ cap) are identical to
+    * the unthresholded value, so the oracle needs no threshold
+    * support.
     */
   val q97 = Q("q97_levenshtein_neardup",
     """SELECT a.p_brand, a.p_type,
@@ -112,11 +119,10 @@ object Extras {
         col("p_partkey").as("part_b"), col("p_name").as("name_b"))
       a.join(b, Seq("p_brand", "p_type"))
         .filter(col("part_a") < col("part_b"))
-        .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
-        .select(col("p_brand"), col("p_type"), col("part_a"),
-          col("part_b"),
-          levenshtein(col("name_a"), col("name_b")).cast("long")
-            .as("dist"))
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b"), 3).cast("long"))
+        .filter(col("dist") >= 0) // -1 = early-abandoned (> cap)
+        .select("p_brand", "p_type", "part_a", "part_b", "dist")
   }
 
   /** A-extension — ordered set aggregation: per language, the sorted

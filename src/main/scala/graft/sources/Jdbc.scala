@@ -76,6 +76,12 @@ object Jdbc {
     * instead of DROP + CREATE, preserving indexes/constraints/grants
     * on the target — the DELETE-all + INSERT-SELECT the reference's
     * full-refresh dims perform.
+    *
+    * SELF-REFERENCE HAZARD: `df` must NOT read `table` — Spark clears
+    * the target BEFORE evaluating the plan, so a merge that reads its
+    * own target would see it empty (the same read-before-write race
+    * [[Warehouse.mergeOverwrite]] solves for files). Use
+    * [[mergeOverwrite]] for those.
     */
   def overwrite(df: DataFrame, url: String, table: String,
       user: Option[String] = None, password: Option[String] = None,
@@ -83,4 +89,21 @@ object Jdbc {
     df.write.mode("overwrite")
       .option("truncate", truncate)
       .jdbc(url, table, props(user, password, driver))
+
+  /** Overwrite for plans that READ their own target (SCD merges):
+    * materialize `df` into `<table>_stage` first, then refresh the
+    * target from the staged copy — the JDBC analog of
+    * [[Warehouse.mergeOverwrite]]'s sibling-dir swap, with the same
+    * crash story (a failure mid-stage leaves the live table intact;
+    * a failure mid-refresh leaves the complete stage to re-run from).
+    */
+  def mergeOverwrite(df: DataFrame, url: String, table: String,
+      user: Option[String] = None, password: Option[String] = None,
+      driver: Option[String] = None, truncate: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    overwrite(df, url, s"${table}_stage", user, password, driver,
+      truncate = false)
+    overwrite(read(spark, url, s"${table}_stage", user, password, driver),
+      url, table, user, password, driver, truncate)
+  }
 }

@@ -139,4 +139,26 @@ class SourcesSpec extends SparkSpec {
     assert(part.count() == 1000)
     assert(part.agg(sum($"K")).head().getLong(0) == 500500L)
   }
+
+  test("Jdbc as warehouse: SCD1 merge computed set-based, target " +
+    "full-refreshed — the reference's DB round trip without per-row " +
+    "UPDATEs") {
+    val day1 = Seq((1L, "road", 100.0), (2L, "mtn", 200.0))
+      .toDF("bk", "name", "price")
+    Jdbc.overwrite(day1, derbyUrl, "scd_dim", truncate = false)
+    val delta = Seq((2L, "mtn", 250.0), (3L, "tour", 300.0))
+      .toDF("bk", "name", "price")
+    val current = Jdbc.read(spark, derbyUrl, "scd_dim")
+      .select($"BK".as("bk"), $"NAME".as("name"), $"PRICE".as("price"))
+    val merged = Scd.scd1Merge(delta, current, Seq("bk"),
+      Seq("name", "price"))
+    // merged READS scd_dim — plain overwrite would clear the table
+    // before the plan runs; mergeOverwrite stages first
+    Jdbc.mergeOverwrite(merged, derbyUrl, "scd_dim", truncate = false)
+    val after = Jdbc.read(spark, derbyUrl, "scd_dim")
+      .select($"BK".as("bk"), $"NAME".as("name"), $"PRICE".as("price"))
+    assert(rows(after) == Set(
+      Seq(1L, "road", 100.0), Seq(2L, "mtn", 250.0),
+      Seq(3L, "tour", 300.0)))
+  }
 }
