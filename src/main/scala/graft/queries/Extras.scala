@@ -274,5 +274,105 @@ object Extras {
         round(col("pr"), 6).as("pr"), round(col("cd"), 6).as("cd"))
   }
 
-  val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101)
+  /** P/A-extension — PIVOT (RelationalGroupedDataset.pivot) with an
+    * EXPLICIT value list: without one Spark runs a driver-side
+    * `distinct().collect()` on the pivot column to discover the
+    * output schema — an extra corpus pass AND an unbounded-width
+    * hazard at scale. The priority domain is a 5-value enum, so the
+    * list is part of the query; the plan is then a single hash
+    * aggregation with conditional partials (same shape as the
+    * oracle's CASE columns).
+    */
+  val q102 = Q("q102_pivot",
+    """SELECT c_mktsegment,
+      |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+      |    AS n_urgent,
+      |  CAST(round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+      |    AS rev_urgent,
+      |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+      |    AS n_medium,
+      |  CAST(round(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+      |    AS rev_medium,
+      |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)
+      |    AS n_low,
+      |  CAST(round(sum(CASE WHEN o_orderpriority = '5-LOW'
+      |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+      |    AS rev_low
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val pivoted = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderpriority", Seq("1-URGENT", "3-MEDIUM", "5-LOW"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec2("o_totalprice")), 2).cast("double").as("rev"))
+    pivoted.select(col("c_mktsegment"),
+      col("`1-URGENT_n`").as("n_urgent"),
+      col("`1-URGENT_rev`").as("rev_urgent"),
+      col("`3-MEDIUM_n`").as("n_medium"),
+      col("`3-MEDIUM_rev`").as("rev_medium"),
+      col("`5-LOW_n`").as("n_low"),
+      col("`5-LOW_rev`").as("rev_low"))
+  }
+
+  /** Time-series densification — fill the nation × month grid so
+    * missing months surface as explicit zeros (a sparse revenue
+    * series silently skips them; every downstream lag/rolling window
+    * then computes over WRONG gaps — q85's lag assumes a dense
+    * series). The spine is generated, not scanned: one global
+    * min/max row (broadcast) × `sequence(.., interval 1 month)`,
+    * cross-joined with the bounded nation dim, LEFT-joined to the
+    * observed aggregate. Spine cardinality = |nations| × months —
+    * calendar-bounded at any corpus size (SURVEY F14's argument).
+    */
+  val q103 = Q("q103_series_fill",
+    """WITH bounds AS (
+      |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+      |    date_trunc('month', max(o_orderdate)) AS hi
+      |  FROM orders),
+      |months AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH))
+      |    AS DATE) AS month
+      |  FROM bounds),
+      |obs AS (
+      |  SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE)
+      |      AS month,
+      |    count(*) AS n,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n.n_name, m.month,
+      |  CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+      |  CAST(round(coalesce(o.rev, 0), 2) AS DOUBLE) AS rev,
+      |  CAST(CASE WHEN o.n IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS filled
+      |FROM nation n CROSS JOIN months m
+      |LEFT JOIN obs o ON o.n_name = n.n_name AND o.month = m.month"""
+      .stripMargin) { (s, dir) =>
+    val orders = t(s, dir, "orders")
+    val bounds = orders.agg(
+      trunc(min(col("o_orderdate")), "month").as("lo"),
+      trunc(max(col("o_orderdate")), "month").as("hi"))
+    val months = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr("interval 1 month"))).as("month"))
+    val obs = orders
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        trunc(col("o_orderdate"), "month").as("month"))
+      .agg(count(lit(1)).as("n"), sum(dec2("o_totalprice")).as("rev"))
+    t(s, dir, "nation").select("n_name")
+      .crossJoin(broadcast(months))
+      .join(obs, Seq("n_name", "month"), "left")
+      .select(col("n_name"), col("month"),
+        coalesce(col("n"), lit(0)).cast("long").as("n"),
+        round(coalesce(col("rev"), lit(0)), 2).cast("double").as("rev"),
+        when(col("n").isNull, 1).otherwise(0).cast("long").as("filled"))
+  }
+
+  val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103)
 }

@@ -162,6 +162,36 @@ class Round7Spec extends SparkSpec {
     assert(flagged.select("x").as[Double].collect().toSeq == Seq(1000.0))
   }
 
+  test("q102: pivot columns reconcile with the unpivoted aggregate " +
+    "and the plan has no driver-side value discovery") {
+    val df = queries.Extras.q102.fn(spark, sf)
+    val byPrio = sources.Tables(spark, sf, "orders")
+      .join(sources.Tables(spark, sf, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val pivotN = df.select($"c_mktsegment", $"n_urgent")
+    assert(rows(pivotN) == rows(byPrio))
+  }
+
+  test("q103: spine is dense (|nations| × months rows), fills are " +
+    "zero-revenue, observed rows are untouched") {
+    val df = queries.Extras.q103.fn(spark, sf)
+    val nations = sources.Tables(spark, sf, "nation").count()
+    val months = df.select("month").distinct().count()
+    assert(df.count() == nations * months)
+    // month spine has no holes: consecutive first-of-month dates
+    val ms = df.select("month").distinct().orderBy("month")
+      .as[java.sql.Date].collect()
+    ms.sliding(2).foreach { case Array(a, b) =>
+      assert(b.toLocalDate == a.toLocalDate.plusMonths(1))
+    case _ => () }
+    assert(df.filter($"filled" === 1 && ($"n" =!= 0 || $"rev" =!= 0.0))
+      .count() == 0)
+    val obsSum = df.filter($"filled" === 0).agg(sum("n")).head().getLong(0)
+    assert(obsSum == sources.Tables(spark, sf, "orders").count())
+  }
+
   test("q101: percent_rank top decile — pr within [0.9, 1], cume_dist " +
     "≥ pr, and ties share a rank") {
     val df = queries.Extras.q101.fn(spark, sf)
