@@ -160,6 +160,14 @@ class Round7Spec extends SparkSpec {
     val flagged = dev.join(mad, Seq("c_mktsegment"))
       .filter(round($"adev" - lit(3) * lit(1.4826) * $"mad", 6) > 0)
     assert(flagged.select("x").as[Double].collect().toSeq == Seq(1000.0))
+    // the registered query computes the same thing in ONE pass: the
+    // only join is the customer enrich — both medians are window
+    // aggregates over one segment partitioning, never join-backs
+    val plan = queries.Extras.q100.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Join".r.findAllIn(plan).size <= 1,
+      "q100 must not re-join its spend subtree:\n" + plan)
   }
 
   test("q102: pivot columns reconcile with the unpivoted aggregate " +
