@@ -382,5 +382,123 @@ object Extras {
         when(col("n").isNull, 1).otherwise(0).cast("long").as("filled"))
   }
 
-  val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103)
+  /** Text-dedup extension — WINNOWING fingerprint selection
+    * (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting" — the MOSS algorithm): hash every
+    * consecutive word 3-gram, slide a 4-hash window, keep each
+    * window's MINIMUM hash, dedupe. Guarantee: any shared run of
+    * ≥ 3+4−1 = 6 consecutive TOKENS yields at least one SHARED
+    * fingerprint, while only ~2/(w+1) of the gram hashes are kept —
+    * positional near-dup sensitivity that whole-doc MinHash (q29)
+    * trades away, at a fraction of full-gram storage (q31). Token
+    * grams (not the character grams of the original MOSS) because
+    * the corpus is single-space word text and token grams cut the
+    * hash count ~6× for the same run guarantee in token units. Tie
+    * handling: the output is the fingerprint VALUE set, so which
+    * position realizes a repeated window-min is irrelevant — no
+    * rightmost-tie rule needed for cross-engine determinism. Entirely
+    * per-row HOF arithmetic: map-only, no shuffle until the final
+    * stats grain. Every doc has ≥ 10 tokens at all sfs; the
+    * greatest(…,1) floors keep the expression total anyway.
+    */
+  val q104 = Q("q104_winnow_fingerprints",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(t)-2,1)+1),
+      |      i -> md5('w:' || t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |      AS hs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |        FROM documents)),
+      |f AS (
+      |  SELECT doc_id, hs,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(hs)-3,1)+1),
+      |      j -> list_aggregate(hs[j:j+3], 'min'))) AS fps
+      |  FROM h)
+      |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+      |  CAST(len(fps) AS BIGINT) AS n_fps,
+      |  list_aggregate(fps, 'min') AS min_fp
+      |FROM f""".stripMargin) { (s, dir) =>
+    docsTable(s, dir)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("hs", winnowGramHashes(col("t")))
+      .withColumn("fps", winnowFps(col("hs")))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        array_min(col("fps")).as("min_fp"))
+  }
+
+  /** md5 of each consecutive word 3-gram of token array `t`. */
+  private def winnowGramHashes(t: Column): Column =
+    transform(sequence(lit(1), greatest(size(t) - 2, lit(1))),
+      i => md5(concat(lit("w:"), element_at(t, i), lit(" "),
+        element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+
+  /** Winnowing selection: distinct window-of-4 minima over `hs`. */
+  private def winnowFps(hs: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(hs) - 3, lit(1))),
+      j => array_min(slice(hs, j, lit(4)))))
+
+  // exposed for the winnowing-guarantee property test
+  private[graft] def testWinnowGramHashes(t: Column): Column =
+    winnowGramHashes(t)
+  private[graft] def testWinnowFps(hs: Column): Column = winnowFps(hs)
+
+  /** Winnowing CANDIDATE PAIRS — the dedup payoff of [[q104]], in
+    * q30's bucket-capped shape: explode each doc's fingerprint set,
+    * keep fingerprints shared by 2..20 docs (the cap kills stopword-
+    * like grams the same way LSH bucket caps kill hot bands), pair
+    * within a fingerprint. Selectivity comes from winnowing itself:
+    * only window-min hashes survive, so the exploded table is
+    * ~2/(w+1) of the full gram table and the guarantee (shared run ≥
+    * 6 tokens → shared fp) still holds.
+    *
+    * Plan shape: ONE pass over the fingerprint table — group to
+    * (fp, sorted doc set), cap 2..20, expand the ≤C(20,2) pairs per
+    * bucket IN-ROW with a nested HOF (a self-join formulation would
+    * recompute the winnowing subtree once per reference — Spark does
+    * not CSE repeated subtrees). One shuffle to fp grain plus the
+    * final pair distinct.
+    */
+  val q105 = Q("q105_winnow_candidates",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(t)-2,1)+1),
+      |      i -> md5('w:' || t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |      AS hs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |        FROM documents)),
+      |f AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(hs)-3,1)+1),
+      |      j -> list_aggregate(hs[j:j+3], 'min')))) AS fp
+      |  FROM h),
+      |sized AS (
+      |  SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 20)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM sized x
+      |JOIN f a ON a.fp = x.fp
+      |JOIN f b ON b.fp = x.fp AND a.doc_id < b.doc_id""".stripMargin) {
+    (s, dir) =>
+      val f = docsTable(s, dir)
+        .withColumn("t", split(col("text"), " "))
+        .withColumn("hs", winnowGramHashes(col("t")))
+        .select(col("doc_id"), explode(winnowFps(col("hs"))).as("fp"))
+      val docsCol = col("docs")
+      f.groupBy("fp")
+        .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+        .filter(size(docsCol).between(2, 20))
+        .select(explode(flatten(transform(
+          sequence(lit(1), size(docsCol) - 1),
+          i => transform(sequence(i + 1, size(docsCol)),
+            j => struct(element_at(docsCol, i).as("doc_a"),
+              element_at(docsCol, j).as("doc_b")))))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+  }
+
+  val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
+    q104, q105)
 }

@@ -200,6 +200,27 @@ class Round7Spec extends SparkSpec {
     assert(obsSum == sources.Tables(spark, sf, "orders").count())
   }
 
+  test("winnowing guarantee: docs sharing a >= 6-token run share a " +
+    "fingerprint; unrelated docs share none") {
+    import queries.Extras
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // shares the 6-token run "gamma delta epsilon zeta eta theta"
+      (2L, "one two gamma delta epsilon zeta eta theta three four"),
+      (3L, "cold warm hot mild damp dry dusty foggy clear windy"))
+      .toDF("doc_id", "text")
+    val fps = docs
+      .withColumn("t", split($"text", " "))
+      .withColumn("hs", Extras.testWinnowGramHashes($"t"))
+      .select($"doc_id", explode(Extras.testWinnowFps($"hs")).as("fp"))
+    val shared = fps.as("a").join(fps.as("b"), "fp")
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shared == Set((1L, 2L)),
+      s"expected only the overlapping pair, got $shared")
+  }
+
   test("q101: percent_rank top decile — pr within [0.9, 1], cume_dist " +
     "≥ pr, and ties share a rank") {
     val df = queries.Extras.q101.fn(spark, sf)
