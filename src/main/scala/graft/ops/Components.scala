@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * geometrically, giving O(log diameter) rounds — the same idea as
   * the star-contraction CC algorithms (Kiveris et al., "Connected
   * Components in MapReduce and Beyond"). Convergence when no label
-  * changed; the driver reads ONE scalar per round (the changed-label
-  * count), never data rows; lineage is cut each round with
-  * localCheckpoint so the plan doesn't grow with the round count.
+  * changed; the driver reads ONE fingerprint per round (a set-equality
+  * check — see [[fingerprint]]), never data rows; lineage is cut each
+  * round with localCheckpoint so the plan doesn't grow with the round
+  * count.
   * The round cap fails loudly rather than returning a half-merged
   * labelling.
   *
@@ -45,16 +46,39 @@ object Components {
     */
   val rddNamePrefix = "graft-cc"
 
-  // localCheckpoint + tag the materialized RDD so it is identifiable
-  // in sc.getPersistentRDDs; eager by default, so on return the blocks
-  // exist and the input's lineage is no longer needed
-  private def cp(df: DataFrame): DataFrame = {
-    val out = df.localCheckpoint()
+  // localCheckpoint + tag the RDD so it is identifiable in
+  // sc.getPersistentRDDs. LAZY by default: the per-round convergence
+  // aggregate is the frame's first action, so one job both
+  // materializes the checkpoint blocks and reads the scalar —
+  // an eager checkpoint would schedule a second, redundant pass over
+  // the round's plan just to persist it. (persist() registers the
+  // RDD in the block manager at call time, so hygiene accounting sees
+  // lazy and eager checkpoints identically.)
+  private def cp(df: DataFrame, eager: Boolean = false): DataFrame = {
+    val out = df.localCheckpoint(eager)
     out.queryExecution.analyzed.foreach {
       case lr: LogicalRDD => lr.rdd.setName(rddNamePrefix)
       case _ => ()
     }
     out
+  }
+
+  /** Order-independent set fingerprint: (row count, XOR of per-row
+    * 64-bit hashes). Equal sets always produce equal fingerprints, so
+    * an UNEQUAL fingerprint is definitive proof the round changed
+    * something — the common case, decided by a global aggregate whose
+    * shuffle carries one partial row per partition instead of the
+    * full edge/label set the exact symmetric difference re-shuffles.
+    * Equal fingerprints are only ever trusted after the caller
+    * re-checks exactly (a 2^-64 collision must not end the loop
+    * early), so convergence detection stays EXACT: the expensive diff
+    * runs once at the fixed point, not every round.
+    */
+  private def fingerprint(df: DataFrame, c1: String, c2: String): (Long, Long) = {
+    val r = df.select(xxhash64(col(c1), col(c2)).as("h"))
+      .agg(count(lit(1)).as("c"), expr("bit_xor(h)").as("x"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Free the checkpoint blocks a frame returned by [[connected]] /
@@ -82,6 +106,7 @@ object Components {
       .distinct())
     var labels = cp(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp")))
+    var fp = fingerprint(labels, "node", "comp")
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -99,15 +124,24 @@ object Components {
         .select(col("node"), col("comp2").as("comp"))
       val next = cp(labels.unionByName(prop).unionByName(jump)
         .groupBy("node").agg(min("comp").as("comp")))
-      changed = next
-        .join(labels.select(col("node"), col("comp").as("prev")),
-          Seq("node"))
-        .filter(col("comp") < col("prev"))
-        .count()
-      // `next` is materialized and the convergence count has read
+      // labels only ever shrink their comp, so the label SET is
+      // unchanged iff no label changed: an unequal fingerprint is
+      // proof of progress (and the job that computes it is also what
+      // materializes the lazy checkpoint); an equal one is confirmed
+      // with the exact per-node comparison before ending the loop
+      val nfp = fingerprint(next, "node", "comp")
+      changed =
+        if (nfp != fp) 1L
+        else next
+          .join(labels.select(col("node"), col("comp").as("prev")),
+            Seq("node"))
+          .filter(col("comp") < col("prev"))
+          .count()
+      // `next` is materialized and the convergence check has read
       // `labels` — the superseded round's blocks are dead from here
       release(labels)
       labels = next
+      fp = nfp
       round += 1
     }
     // the returned plan is the final checkpoint alone — the edge
@@ -135,9 +169,10 @@ object Components {
     * Both steps preserve connectivity and never move an edge's
     * endpoints out of its component; the fixed point is a forest of
     * stars whose centers are the component minima. Convergence is the
-    * edge set reaching that fixed point — checked as a symmetric-
-    * difference count, ONE scalar to the driver per round; lineage is
-    * cut per round with localCheckpoint, same as [[connected]].
+    * edge set reaching that fixed point — checked per round by set
+    * fingerprint (exact symmetric difference only to confirm the
+    * fixed point, see [[fingerprint]]); lineage is cut per round with
+    * localCheckpoint, same as [[connected]].
     *
     * Output contract matches [[connected]]: (node, comp) for every
     * node appearing in `pairs`, comp = the component's minimum id.
@@ -151,6 +186,7 @@ object Components {
     var edges = cp(pairs
       .select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
       .filter(col("u") =!= col("v")).distinct())
+    var fp = fingerprint(edges, "u", "v")
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -180,14 +216,21 @@ object Components {
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(mins2.select(col("u"), col("m").as("v")))
         .distinct())
-      // converged when the edge set is a fixed point (a star forest):
-      // symmetric difference as a single count — one scalar per round
-      changed = next.unionByName(edges)
-        .groupBy("u", "v").agg(count(lit(1)).as("c"))
-        .filter(col("c") === 1).count()
-      // symmetric-difference count has read the old edge set; free it
+      // converged when the edge set is a fixed point (a star forest).
+      // The fingerprint job doubles as the lazy checkpoint's
+      // materialization; the full symmetric-difference shuffle runs
+      // only to confirm an equal fingerprint (normally: once, at the
+      // fixed point) instead of every round
+      val nfp = fingerprint(next, "u", "v")
+      changed =
+        if (nfp != fp) 1L
+        else next.unionByName(edges)
+          .groupBy("u", "v").agg(count(lit(1)).as("c"))
+          .filter(col("c") === 1).count()
+      // the convergence check has read the old edge set; free it
       release(edges)
       edges = next
+      fp = nfp
       round += 1
     }
     // stars: u → component minimum; centers and isolated nodes are
