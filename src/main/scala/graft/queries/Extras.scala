@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.Q
 import graft.sources.Tables
 
@@ -499,6 +500,100 @@ object Extras {
         .distinct()
   }
 
+  /** S-extension — JSONL round trip: the line-delimited-JSON ingest
+    * path every LLM-data pipeline runs (crawl dumps and annotation
+    * exports arrive as .jsonl, not parquet). The query WRITES the
+    * corpus as JSONL (once per session/corpus — [[graft.SessionScratch]],
+    * same billing policy as q79's signature store), reads it back
+    * through `spark.read.schema(...).json`, and aggregates; the oracle
+    * computes the same aggregate from the parquet table, so a hash
+    * match proves the round trip is lossless — row counts, BIGINT
+    * values, and string content (count(DISTINCT text) crosses the
+    * JSON escaping path) all survive.
+    *
+    * Scale shape: JSONL is splittable by line, so the read
+    * parallelizes like any text source; the explicit schema kills the
+    * inference pre-pass (a full extra scan at 100 TB), and FAILFAST
+    * surfaces corrupt lines as errors instead of silent nulls. The
+    * aggregate itself is one shuffle at (lang, source) grain.
+    */
+  val q106 = Q("q106_jsonl_roundtrip",
+    """SELECT lang, source, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  count(DISTINCT text) AS n_text,
+      |  min(doc_id) AS lo, max(doc_id) AS hi
+      |FROM documents GROUP BY lang, source""".stripMargin) { (s, dir) =>
+    val key = s"jsonl_docs_${graft.SessionScratch.keyOf(dir)}"
+    val out = graft.SessionScratch.dir(s, key)
+    graft.SessionScratch.once(s, key) {
+      docsTable(s, dir).write.mode("overwrite").json(out)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    s.read.schema(schema).option("mode", "FAILFAST").json(out)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        countDistinct(col("text")).as("n_text"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+  }
+
+  /** Dedup/curation extension — BLOOM-PRUNED decontamination, the
+    * scale path for q57's broadcast semi-join. q57 broadcasts the
+    * distinct benchmark fingerprints — right while that set fits an
+    * executor, impossible when the held-out suite is itself huge. A
+    * Bloom filter ships BITS instead of values (~1.2 MB for 10⁶ keys
+    * at 1% fpp, vs the full value set), so the corpus side is pruned
+    * to (matches + fpp·n) rows BEFORE any join; only the survivors
+    * reach the exact semi-join that removes the false positives.
+    * Output is therefore EXACTLY q57's (oracle-gated against the same
+    * SQL); the bloom stage changes the plan, never the answer.
+    *
+    * Plumbing is all engine-native: the filter is built distributed
+    * (`stat.bloomFilter` — a treeAggregate of mergeable sketches) over
+    * xxhash64(fp) longs, and membership is Spark's own codegen'd
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * probing the same xxhash64 values — the expression the engine's
+    * runtime row-level filtering uses, so the probe stays inside
+    * whole-stage codegen (no UDF). Sizing uses a generous constant
+    * here; production sizes off approx_count_distinct of the bench
+    * side (an over-size costs bits, an under-size costs fpp, never
+    * correctness).
+    */
+  val q107 = Q("q107_bloom_decontaminate",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    md5(substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |               1, 64)) AS fp
+      |  FROM documents),
+      |bench AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 = 0)
+      |SELECT f.doc_id, f.fp FROM f JOIN bench USING (fp)
+      |WHERE f.doc_id % 10 <> 0""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal}
+    val f = docsTable(s, dir).select(col("doc_id"),
+      md5(graft.text.TextOps.normalize(col("text"))
+        .substr(lit(1), lit(64))).as("fp"))
+    val bench = f.filter(col("doc_id") % 10 === 0).select("fp")
+    val bf = bench.select(xxhash64(col("fp")).as("hx"))
+      .stat.bloomFilter("hx", 1000000L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = GraftBridge.column(BloomFilterMightContain(
+      Literal(bytes),
+      GraftBridge.expression(xxhash64(col("fp")))))
+    f.filter(col("doc_id") % 10 =!= 0)
+      .filter(might)
+      .join(broadcast(bench.distinct()), Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("fp"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105)
+    q104, q105, q106, q107)
 }
