@@ -594,5 +594,58 @@ object SimQueries {
           .as("cos_sim"))
   }
 
-  val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77)
+  /** The STORED form of q48 — the IVF index as a persisted artifact,
+    * completing the ANN story the way q79 completes the LSH one: a
+    * production pipeline builds the index ONCE (the K-dot assignment
+    * pass over the whole corpus — the expensive part of q48) and
+    * every probe afterwards reads it. The cell table is a bucketed
+    * CTAS on `cid`, and the probe path:
+    *
+    *  1. ranks cells for the (tiny, by contract) query set against
+    *     the broadcast centroid table;
+    *  2. collects the probed cell ids — bounded by |queries|·nProbe,
+    *     the same bounded-driver-pull contract as
+    *     [[graft.ops.Approx.heavyHitters]]'s candidate inlining;
+    *  3. scans the store with `cid IN (probed)` — Spark prunes
+    *     non-matching BUCKETS at the scan, so query cost tracks the
+    *     probed-cell population, not the corpus;
+    *  4. broadcast-joins the query side for the scoring pass.
+    *
+    * Output (and oracle) are exactly q48's; only the plan differs:
+    * assignment cost moves to write time, the probe reads
+    * probed-buckets-only. Store is per (session, corpus) via
+    * [[graft.SessionScratch]] — first invocation pays the build,
+    * repeats reuse it.
+    */
+  val q108 = Q("q108_stored_ann_ivf", q48.oracle.get) { (s, dir) =>
+    val cent = Similarity.centroidTable(s, K, D)
+    def emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val table = s"ivf_cells_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, table) {
+      val root = graft.SessionScratch.dir(s, "ivfstore")
+      val corp = Similarity.ivfAssign(emb.filter(col("vec_id") >= 8), cent)
+        .select(col("cid"), col("vec_id").as("nid"),
+          col("embedding").as("ne"), col("nrm").as("cn"))
+      graft.sources.Warehouse(root).saveBucketed(corp, table, 8, Seq("cid"))
+    }
+    val probes = Similarity.ivfProbes(emb.filter(col("vec_id") < 8),
+        cent, NProbe)
+      .select(col("cid"), col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val probedCells = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ |queries|·nProbe values
+    val corp = s.table(table).filter(col("cid").isin(probedCells: _*))
+    val sims = broadcast(probes).join(corp, Seq("cid"))
+      .select(col("qid"), col("nid"), col("cid"),
+        round(Similarity.dot(col("qe"), col("ne"))
+          / (col("qn") * col("cn")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc,
+      col("nid").asc)
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108)
 }
