@@ -235,4 +235,57 @@ class Round7Spec extends SparkSpec {
       .filter($"cents" === 100L).select("pr").distinct()
     assert(pr.count() == 1)
   }
+
+  test("q107: the bloom probe is the engine's codegen'd expression " +
+    "(no UDF) and the result equals q57 exactly") {
+    val df = queries.Extras.q107.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "bloom probe missing from plan:\n" + plan)
+    assert(!plan.contains("ScalaUDF"), "UDF leaked into the probe path")
+    assert(rows(df) == rows(queries.TextQueries.q57.fn(spark, sf)),
+      "bloom pruning changed the answer")
+  }
+
+  test("q108: the stored-IVF probe scan prunes buckets (reads only " +
+    "the probed cells' buckets) and matches q48 exactly") {
+    val df = queries.SimQueries.q108.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, "no bucket pruning in the store scan:\n" + plan)
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"probe read every bucket: ${sel.get.matched}")
+    assert(rows(df) == rows(queries.SimQueries.q48.fn(spark, sf)),
+      "stored index changed the answer")
+  }
+
+  test("jsonl ingest: FAILFAST surfaces a corrupt line as an error; " +
+    "PERMISSIVE quarantines it in _corrupt_record") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-jsonl-spec").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "part.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"doc_id": 1, "text": "ok"}""")
+    w.println("""{"doc_id": 2, "text": "also ok"}""")
+    w.println("""{"doc_id": 3 "text": "missing comma"""")
+    w.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val strict = spark.read
+      .schema(StructType(schema.fields.dropRight(1)))
+      .option("mode", "FAILFAST").json(f.getPath)
+    intercept[org.apache.spark.SparkException] { strict.collect() }
+    // Spark disallows querying ONLY _corrupt_record from a raw file
+    // scan (the column is filled during parsing) — materialize first,
+    // per the engine's own guidance
+    val loose = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(f.getPath)
+      .collect()
+    assert(loose.count(r => !r.isNullAt(2)) == 1)
+    assert(loose.count(_.isNullAt(2)) == 2)
+  }
 }
