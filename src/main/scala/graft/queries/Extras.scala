@@ -594,6 +594,124 @@ object Extras {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Curation extension — MIXTURE RESAMPLING to a target source mix:
+    * given a target of EQUAL shares across sources (the general case
+    * just swaps in a target-share column), each source's keep rate is
+    * min(1, target/actual) and docs are kept by deterministic md5
+    * threshold — the data-mixing step every pretraining pipeline runs
+    * between curation and tokenization.
+    *
+    * Exactness discipline (q86's): the keep decision is INTEGER
+    * arithmetic — keep iff h·k·n_s < N·65536 with h the first 4 md5
+    * hex digits of doc_id (0..65535), k the source count, n_s the
+    * source's docs, N the total. This is algebraically u01 < rate
+    * with no float division anywhere, so both engines flip the same
+    * docs at any scale (bound: h·k·n_s < 2^63 up to ~10^14 docs per
+    * source at k≤16). Over-represented sources shrink toward N/k;
+    * under-represented ones pass through whole (rate clamps at 1
+    * automatically: n_s·k ≤ N·… makes the inequality always true).
+    *
+    * Scale shape: one count per source (k-row aggregate), window
+    * totals over that k-row frame, broadcast back — the corpus sees
+    * one map-side join and a map-side predicate; one exchange total
+    * for the final per-source report.
+    */
+  val q109 = Q("q109_mixture_resample",
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+      |r AS (
+      |  SELECT source, n_s,
+      |    (SELECT sum(n_s) FROM s) AS n_tot,
+      |    (SELECT count(*) FROM s) AS k
+      |  FROM s),
+      |d AS (
+      |  SELECT d.doc_id, d.source, r.n_s, r.n_tot, r.k,
+      |    CAST(strpos('0123456789abcdef',
+      |           substr(md5(d.doc_id::VARCHAR), 1, 1)) - 1 AS BIGINT)
+      |      * 4096
+      |    + (strpos('0123456789abcdef',
+      |         substr(md5(d.doc_id::VARCHAR), 2, 1)) - 1) * 256
+      |    + (strpos('0123456789abcdef',
+      |         substr(md5(d.doc_id::VARCHAR), 3, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef',
+      |        substr(md5(d.doc_id::VARCHAR), 4, 1)) - 1 AS h
+      |  FROM documents d JOIN r USING (source))
+      |SELECT source, count(*) AS n_before,
+      |  CAST(sum(CASE WHEN h * k * n_s < n_tot * 65536 THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN h * k * n_s < n_tot * 65536 THEN doc_id
+      |    ELSE 0 END) AS BIGINT) AS kept_id_sum,
+      |  round(least(1.0, CAST(max(n_tot) AS DOUBLE)
+      |    / (max(k) * max(n_s))), 6) AS rate
+      |FROM d GROUP BY source""".stripMargin) { (s, dir) =>
+    val wAll = Window.partitionBy()
+    val perSrc = docsTable(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("n_tot", sum("n_s").over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long")
+    val keep = col("h") * col("k") * col("n_s") < col("n_tot") * 65536L
+    docsTable(s, dir).select(col("doc_id"), col("source"), h.as("h"))
+      .join(broadcast(perSrc), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(keep, 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(keep, col("doc_id")).otherwise(0)).cast("long")
+          .as("kept_id_sum"),
+        round(least(lit(1.0),
+          max(col("n_tot")).cast("double")
+            / (max(col("k")) * max(col("n_s")))), 6).as("rate"))
+  }
+
+  /** Tokenization extension — TOKEN PACKING into fixed-budget bins:
+    * docs are packed head-to-tail per source in doc_id order and a
+    * doc belongs to the 512-token bin its STARTING offset falls in —
+    * the deterministic, engine-portable form of the greedy sequence
+    * packing that turns curated docs into fixed-length training rows.
+    * (True bin packing is order-dependent; pinning the order to the
+    * storage key makes the layout a pure function of the data.)
+    *
+    * Scale shape: packing is inherently sequential WITHIN its stream,
+    * so the stream key (source here; source × shard-day in
+    * production) is the parallel grain — each partition's running sum
+    * is an independent window, and the 100 TB knob is choosing a
+    * stream key fine enough that no single stream dominates. One
+    * exchange to (source) for the window, map-side binning, one
+    * exchange to the report grain.
+    */
+  val q110 = Q("q110_token_packing",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, tok,
+      |    sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT source, CAST(floor((cum - tok) / 512) AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS toks,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY source, bin""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsTable(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long")
+          .as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      // floor, not a truncating cast: DuckDB's double→BIGINT cast
+      // ROUNDS, so the bin boundary must be floored explicitly in
+      // both engines (offsets are non-negative, floor ≡ int-div)
+      .withColumn("bin", floor((col("cum") - col("tok")) / 512L)
+        .cast("long"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok").cast("long").as("toks"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106, q107)
+    q104, q105, q106, q107, q109, q110)
 }
