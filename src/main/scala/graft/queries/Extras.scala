@@ -712,6 +712,32 @@ object Extras {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** S-extension — ORC round trip, q106's twin for the other columnar
+    * format the engine must ingest (ORC is Spark-native: splittable
+    * stripes, predicate pushdown, column pruning — the same scan
+    * properties as parquet). Same lossless-round-trip proof shape as
+    * q106 at a different grain; the oracle reads the parquet table, so
+    * a hash match certifies ORC write+read preserves every value.
+    */
+  val q111 = Q("q111_orc_roundtrip",
+    """SELECT lang, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  count(DISTINCT text) AS n_text,
+      |  count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+    val key = s"orc_docs_${graft.SessionScratch.keyOf(dir)}"
+    val out = graft.SessionScratch.dir(s, key)
+    graft.SessionScratch.once(s, key) {
+      docsTable(s, dir).write.mode("overwrite").orc(out)
+    }
+    s.read.orc(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        countDistinct(col("text")).as("n_text"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106, q107, q109, q110)
+    q104, q105, q106, q107, q109, q110, q111)
 }

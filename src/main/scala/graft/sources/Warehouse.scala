@@ -88,6 +88,38 @@ final case class Warehouse(root: String) {
     delete(old)
   }
 
+  /** Small-file COMPACTION — the table-maintenance job every
+    * incremental warehouse needs at scale: repeated [[append]]s of
+    * daily deltas leave one file per delta per task, and a year of
+    * them makes every scan pay thousands of file opens (the classic
+    * small-file problem; at 100 TB the open/footer cost dwarfs the
+    * data read). Rewrites the table into
+    * max(1, ceil(bytes / targetFileBytes)) files via the same
+    * crash-safe tmp-write-and-swap as [[mergeOverwrite]] — readers
+    * never see a half-compacted table, rows are bit-identical (spec:
+    * SourcesSpec). Size is measured from the live files (driver-side
+    * directory walk — metadata only, the local stand-in for a
+    * FileSystem.listFiles on a real cluster).
+    *
+    * `coalesce`, not `repartition`: compaction must not pay a full
+    * shuffle of the table — coalesce merges existing splits map-side.
+    * The trade: no rebalancing of skewed input files (a shuffle-free
+    * compaction keeps whatever row order the inputs had, which also
+    * preserves any write-time sort locality).
+    */
+  def compact(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val bytes = size(new File(dir(table)))
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    mergeOverwrite(read(spark, table).coalesce(nFiles.toInt), table)
+  }
+
+  private def size(f: File): Long =
+    if (f.isDirectory) {
+      val children = f.listFiles()
+      if (children == null) 0L else children.map(size).sum
+    } else f.length()
+
   /** Roll back from a crash inside mergeOverwrite's swap window: if no
     * live dir exists but a `.old` does, restore it (the `.old` is the
     * last complete table; any `.tmp` is an unfinished write and is

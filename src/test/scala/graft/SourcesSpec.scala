@@ -161,4 +161,29 @@ class SourcesSpec extends SparkSpec {
       Seq(1L, "road", 100.0), Seq(2L, "mtn", 250.0),
       Seq(3L, "tour", 300.0)))
   }
+
+  test("Warehouse.compact: many small append files collapse to the " +
+    "size-targeted count, rows identical, no shuffle in the rewrite") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString
+    val wh = sources.Warehouse(root)
+    // 20 tiny appends → ≥ 20 files (one+ per append)
+    (1 to 20).foreach { i =>
+      wh.append(Seq((i.toLong, s"row$i")).toDF("k", "v"), "t")
+    }
+    def files() = new java.io.File(s"$root/t").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = rows(wh.read(spark, "t"))
+    assert(files() >= 20)
+    // no-shuffle claim: the compaction plan is coalesce, not repartition
+    val plan = wh.read(spark, "t").coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    wh.compact(spark, "t", targetFileBytes = 1L << 30)
+    assert(files() == 1, s"expected 1 compacted file, got ${files()}")
+    assert(rows(wh.read(spark, "t")) == before)
+    // a second compact is a no-op in content and file count
+    wh.compact(spark, "t", targetFileBytes = 1L << 30)
+    assert(files() == 1 && rows(wh.read(spark, "t")) == before)
+  }
 }
