@@ -738,6 +738,103 @@ object Extras {
         countDistinct(col("source")).as("n_sources"))
   }
 
+  /** Dedup extension — EXACT VERIFICATION of the winnowing candidates:
+    * the third stage of the MOSS pipeline (q104 fingerprints → q105
+    * candidate pairs → exact shared-run measurement), computing for
+    * every candidate pair the exact length of the longest run of
+    * consecutive shared tokens, RELATIONALLY — no per-pair nested
+    * loops:
+    *
+    *  - each doc explodes its 6-token grams with positions (6 = the
+    *    q104 guarantee threshold: any true ≥6-token shared run must
+    *    produce a shared 6-gram);
+    *  - candidates join on gram equality → matched (i, j) positions;
+    *  - a shared run of R tokens is R−5 consecutive matches along one
+    *    DIAGONAL (i−j constant), so max_run = 5 + the largest island
+    *    of consecutive i per (pair, diagonal) — the q99
+    *    gaps-and-islands trick turned into a dedup verifier.
+    *
+    * Exact by construction: every alignment of a true shared run lies
+    * on its diagonal; spurious cross-matches of repeated grams form
+    * their own (smaller) islands and can only lose to the true
+    * maximum. Scale shape: all joins are anchored on the CANDIDATE
+    * set (the expensive corpus-wide work already happened in q105's
+    * capped buckets), gram volume is ~|doc| per doc, and the window
+    * partitions by (pair, diagonal) — thousands of small partitions,
+    * never a global sort.
+    */
+  val q112 = Q("q112_winnow_verify",
+    """WITH cand AS (
+      |  SELECT * FROM (
+      |    WITH h AS (
+      |      SELECT doc_id,
+      |        list_transform(range(1, greatest(len(t)-2,1)+1),
+      |          i -> md5('w:' || t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |          AS hs
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |            FROM documents)),
+      |    f AS (
+      |      SELECT doc_id,
+      |        unnest(list_distinct(list_transform(
+      |          range(1, greatest(len(hs)-3,1)+1),
+      |          j -> list_aggregate(hs[j:j+3], 'min')))) AS fp
+      |      FROM h),
+      |    sized AS (
+      |      SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 20)
+      |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |    FROM sized x
+      |    JOIN f a ON a.fp = x.fp
+      |    JOIN f b ON b.fp = x.fp AND a.doc_id < b.doc_id) q105),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS tok
+      |      FROM documents),
+      |g6 AS (
+      |  SELECT doc_id, generate_subscripts(gs, 1) AS pos,
+      |    unnest(gs) AS gram
+      |  FROM (SELECT doc_id,
+      |          list_transform(range(1, greatest(len(tok)-5, 1) + 1),
+      |            i -> md5(array_to_string(tok[i:i+5], ' '))) AS gs
+      |        FROM t)),
+      |m AS (
+      |  SELECT c.doc_a, c.doc_b, a.pos AS i, a.pos - b.pos AS d
+      |  FROM cand c
+      |  JOIN g6 a ON a.doc_id = c.doc_a
+      |  JOIN g6 b ON b.doc_id = c.doc_b AND b.gram = a.gram),
+      |isl AS (
+      |  SELECT doc_a, doc_b, d, i,
+      |    i - row_number() OVER (PARTITION BY doc_a, doc_b, d
+      |                           ORDER BY i) AS k
+      |  FROM m),
+      |runs AS (
+      |  SELECT doc_a, doc_b, d, k, count(*) + 5 AS run
+      |  FROM isl GROUP BY doc_a, doc_b, d, k)
+      |SELECT doc_a, doc_b, CAST(max(run) AS BIGINT) AS max_run,
+      |  CAST(sum(run - 5) AS BIGINT) AS anchors
+      |FROM runs GROUP BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val cand = q105.fn(s, dir)
+    val tok = docsTable(s, dir).select(col("doc_id"),
+      split(col("text"), " ").as("tok"))
+    val g6 = tok.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(1), greatest(size(col("tok")) - 5, lit(1))),
+        i => md5(array_join(slice(col("tok"), i, lit(6)), " ")))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col").as("gram"))
+    val a = g6.select(col("doc_id").as("doc_a"), col("pos").as("i"),
+      col("gram"))
+    val b = g6.select(col("doc_id").as("doc_b"), col("pos").as("j"),
+      col("gram"))
+    val m = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b", "gram"))
+      .select(col("doc_a"), col("doc_b"), col("i"),
+        (col("i") - col("j")).as("d"))
+    val w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("i")
+    m.withColumn("k", col("i") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "d", "k")
+      .agg((count(lit(1)) + 5).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max("run").cast("long").as("max_run"),
+        sum(col("run") - 5).cast("long").as("anchors"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106, q107, q109, q110, q111)
+    q104, q105, q106, q107, q109, q110, q111, q112)
 }
