@@ -757,7 +757,11 @@ object Extras {
     * Exact by construction: every alignment of a true shared run lies
     * on its diagonal; spurious cross-matches of repeated grams form
     * their own (smaller) islands and can only lose to the true
-    * maximum. Scale shape: all joins are anchored on the CANDIDATE
+    * maximum. Output contract: only candidates with a GENUINE
+    * ≥6-token shared run appear — a q105 candidate that merely
+    * collided on a fingerprint VALUE without sharing a run has no
+    * matched 6-gram and is (correctly) filtered by the inner join;
+    * that drop IS the verification. Scale shape: all joins are anchored on the CANDIDATE
     * set (the expensive corpus-wide work already happened in q105's
     * capped buckets), gram volume is ~|doc| per doc, and the window
     * partitions by (pair, diagonal) — thousands of small partitions,
