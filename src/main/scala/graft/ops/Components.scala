@@ -47,15 +47,15 @@ object Components {
   val rddNamePrefix = "graft-cc"
 
   // localCheckpoint + tag the RDD so it is identifiable in
-  // sc.getPersistentRDDs. LAZY by default: the per-round convergence
+  // sc.getPersistentRDDs. Always LAZY: the per-round convergence
   // aggregate is the frame's first action, so one job both
   // materializes the checkpoint blocks and reads the scalar —
   // an eager checkpoint would schedule a second, redundant pass over
   // the round's plan just to persist it. (persist() registers the
   // RDD in the block manager at call time, so hygiene accounting sees
   // lazy and eager checkpoints identically.)
-  private def cp(df: DataFrame, eager: Boolean = false): DataFrame = {
-    val out = df.localCheckpoint(eager)
+  private def cp(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(false)
     out.queryExecution.analyzed.foreach {
       case lr: LogicalRDD => lr.rdd.setName(rddNamePrefix)
       case _ => ()

@@ -135,11 +135,17 @@ object Extras {
     * by corpus size.
     */
   val q98 = Q("q98_source_sets",
-    """WITH d AS (SELECT DISTINCT lang, source FROM documents)
+    """WITH d AS (SELECT DISTINCT lang, source FROM documents
+      |           WHERE source IS NOT NULL)
       |SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
       |  string_agg(source, ',' ORDER BY source) AS sources
       |FROM d GROUP BY lang""".stripMargin) { (s, dir) =>
-    docsTable(s, dir)
+    // the NOT NULL filter (no-op on this corpus) pins the null
+    // semantics both sides already half-imply: collect_set drops
+    // nulls while DuckDB's count(*) over DISTINCT would count a null
+    // source as a row its string_agg then skips — an inconsistent
+    // "set" on either reading; a null source is simply not a source
+    docsTable(s, dir).filter(col("source").isNotNull)
       .groupBy("lang")
       .agg(size(collect_set(col("source"))).cast("long").as("n_sources"),
         array_join(array_sort(collect_set(col("source"))), ",")
@@ -315,12 +321,16 @@ object Extras {
       .pivot("o_orderpriority", Seq("1-URGENT", "3-MEDIUM", "5-LOW"))
       .agg(count(lit(1)).as("n"),
         round(sum(dec2("o_totalprice")), 2).cast("double").as("rev"))
+    // coalesce the counts: a (segment, priority) cell with no rows is
+    // NULL out of Spark's pivot but 0 out of the oracle's
+    // count(CASE ...) — align on 0 (the rev columns stay NULL on both
+    // sides: SUM over no rows is NULL in each engine)
     pivoted.select(col("c_mktsegment"),
-      col("`1-URGENT_n`").as("n_urgent"),
+      coalesce(col("`1-URGENT_n`"), lit(0L)).as("n_urgent"),
       col("`1-URGENT_rev`").as("rev_urgent"),
-      col("`3-MEDIUM_n`").as("n_medium"),
+      coalesce(col("`3-MEDIUM_n`"), lit(0L)).as("n_medium"),
       col("`3-MEDIUM_rev`").as("rev_medium"),
-      col("`5-LOW_n`").as("n_low"),
+      coalesce(col("`5-LOW_n`"), lit(0L)).as("n_low"),
       col("`5-LOW_rev`").as("rev_low"))
   }
 
@@ -429,11 +439,18 @@ object Extras {
         array_min(col("fps")).as("min_fp"))
   }
 
-  /** md5 of each consecutive word 3-gram of token array `t`. */
+  /** md5 of each consecutive word 3-gram of token array `t`. The gram
+    * string is built with slice + array_join — identical bytes to
+    * `t[i] || ' ' || t[i+1] || ' ' || t[i+2]` whenever 3 tokens exist,
+    * but TOTAL: Spark 4 runs ANSI mode by default, where an
+    * out-of-bounds `element_at` THROWS, so the element-wise spelling
+    * would crash the whole query on any sub-3-token document (the
+    * corpus floors at 10 tokens, but an operator must not be one
+    * short row away from aborting a 100 TB job; slice just clamps).
+    */
   private def winnowGramHashes(t: Column): Column =
     transform(sequence(lit(1), greatest(size(t) - 2, lit(1))),
-      i => md5(concat(lit("w:"), element_at(t, i), lit(" "),
-        element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+      i => md5(concat(lit("w:"), array_join(slice(t, i, lit(3)), " "))))
 
   /** Winnowing selection: distinct window-of-4 minima over `hs`. */
   private def winnowFps(hs: Column): Column =

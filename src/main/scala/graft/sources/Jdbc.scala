@@ -105,5 +105,28 @@ object Jdbc {
       truncate = false)
     overwrite(read(spark, url, s"${table}_stage", user, password, driver),
       url, table, user, password, driver, truncate)
+    // the stage's crash-recovery value ends the moment the target
+    // refresh commits — after that it is a full duplicate copy per
+    // merged table, so drop it rather than letting every merge
+    // permanently double the table's footprint
+    dropTable(url, s"${table}_stage", user, password, driver)
+  }
+
+  /** Best-effort DROP TABLE over a plain JDBC connection (Spark has no
+    * DataFrame-level drop). Failures are swallowed: a stage that
+    * cannot be dropped is litter, not an incorrect merge.
+    */
+  private def dropTable(url: String, table: String, user: Option[String],
+      password: Option[String], driver: Option[String]): Unit = {
+    driver.foreach(Class.forName)
+    val p = props(user, password, driver)
+    try {
+      val conn = java.sql.DriverManager.getConnection(url, p)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DROP TABLE $table")
+        finally st.close()
+      } finally conn.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 }

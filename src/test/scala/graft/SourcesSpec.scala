@@ -160,6 +160,12 @@ class SourcesSpec extends SparkSpec {
     assert(rows(after) == Set(
       Seq(1L, "road", 100.0), Seq(2L, "mtn", 250.0),
       Seq(3L, "tour", 300.0)))
+    // the stage copy must not outlive the merge (every merge would
+    // otherwise permanently double the table's footprint)
+    val staged = intercept[Exception] {
+      Jdbc.read(spark, derbyUrl, "scd_dim_stage").collect()
+    }
+    assert(staged.getMessage != null)
   }
 
   test("Warehouse.compact: many small append files collapse to the " +
