@@ -168,6 +168,26 @@ class SourcesSpec extends SparkSpec {
     assert(staged.getMessage != null)
   }
 
+  test("schema evolution on read: a column added by later appends is " +
+    "visible under mergeSchema, null for pre-evolution rows, and " +
+    "absent columns never fail the old readers") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-evolve").toString
+    val wh = sources.Warehouse(root)
+    wh.append(Seq((1L, "a")).toDF("k", "v"), "t")
+    // the schema evolves: a later load carries a new quality column
+    wh.append(Seq((2L, "b", 0.9)).toDF("k", "v", "q"), "t")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/t")
+    assert(merged.columns.toSet == Set("k", "v", "q"))
+    assert(rows(merged.select("k", "v", "q")) ==
+      Set(Seq(1L, "a", null), Seq(2L, "b", 0.9)))
+    // an old reader projecting only the original columns still works
+    assert(rows(spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/t").select("k", "v")) ==
+      Set(Seq(1L, "a"), Seq(2L, "b")))
+  }
+
   test("Warehouse.compact: many small append files collapse to the " +
     "size-targeted count, rows identical, no shuffle in the rewrite") {
     val root = java.nio.file.Files
