@@ -109,6 +109,15 @@ final case class Warehouse(root: String) {
     */
   def compact(spark: SparkSession, table: String,
       targetFileBytes: Long = 128L << 20): Unit = {
+    // a partitioned table would come back UNPARTITIONED from this
+    // rewrite (read + coalesce + flat overwrite silently drops the
+    // hive layout and with it every pruned read) — refuse loudly;
+    // partitioned compaction is per-partition rewrites, a different
+    // operation
+    val parts = Option(new File(dir(table)).listFiles()).getOrElse(Array())
+    require(!parts.exists(f => f.isDirectory && f.getName.contains("=")),
+      s"compact($table): table is hive-partitioned; compact partitions " +
+        "individually instead of flattening the layout")
     val bytes = size(new File(dir(table)))
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     mergeOverwrite(read(spark, table).coalesce(nFiles.toInt), table)

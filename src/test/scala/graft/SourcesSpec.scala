@@ -211,5 +211,9 @@ class SourcesSpec extends SparkSpec {
     // a second compact is a no-op in content and file count
     wh.compact(spark, "t", targetFileBytes = 1L << 30)
     assert(files() == 1 && rows(wh.read(spark, "t")) == before)
+    // a hive-partitioned table must be refused, not silently flattened
+    wh.appendPartitioned(Seq((1L, "2024")).toDF("k", "y"), "pt", Seq("y"))
+    val e = intercept[IllegalArgumentException] { wh.compact(spark, "pt") }
+    assert(e.getMessage.contains("partition"))
   }
 }
