@@ -647,5 +647,21 @@ object SimQueries {
       .filter(col("rn") <= 3)
   }
 
-  val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108)
+  /** Embedding whitening surfaced as a registry query: fit (μ, Σ) on
+    * the corpus, y = L⁻¹(x − μ) per vector, report each vector's
+    * whitened norm (its Mahalanobis distance from the corpus mean).
+    * No SQL oracle exists for a Cholesky factorization, so this row is
+    * rows-gated here and CONTRACT-gated in WhiteningSpec (whitened
+    * covariance ≈ I, mean ≈ 0 — stronger than value matching).
+    */
+  val q113 = Q.noOracle("q113_whitened_norms") { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+    graft.sim.Whitening.whiten(e, "embedding", D)
+      .select(col("vec_id"),
+        round(sqrt(Similarity.dot(col("whitened"), col("whitened"))), 6)
+          .as("wnorm"))
+  }
+
+  val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
+    q113)
 }
