@@ -260,6 +260,16 @@ class Round7Spec extends SparkSpec {
       "stored index changed the answer")
   }
 
+  test("winnowing grams are total under ANSI: sub-3-token docs yield " +
+    "an empty gram set instead of an out-of-bounds throw") {
+    val df = Seq("", "one", "one two", "one two three")
+      .toDF("text").withColumn("t", split(col("text"), " "))
+      .withColumn("g", queries.Extras.testWinnowGramHashes(col("t")))
+      .select(col("text"), size(col("g")).as("n"))
+    assert(df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap ==
+      Map("" -> 0, "one" -> 0, "one two" -> 0, "one two three" -> 1))
+  }
+
   test("jsonl ingest: FAILFAST surfaces a corrupt line as an error; " +
     "PERMISSIVE quarantines it in _corrupt_record") {
     import org.apache.spark.sql.types._
