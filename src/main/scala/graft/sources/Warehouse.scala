@@ -88,6 +88,33 @@ final case class Warehouse(root: String) {
     delete(old)
   }
 
+  /** Audited insert-only load: [[append]] plus IN-FLIGHT quality
+    * metrics via `Dataset.observe` — row count and null-key count are
+    * accumulated by the write job ITSELF (Spark's observation metrics
+    * ride the existing tasks), so the telemetry costs ZERO extra
+    * passes over the data. The complement to
+    * [[Warehouse.checkConstraints]]: that gate runs a separate
+    * aggregate BEFORE the write and can abort a dirty load; this one
+    * reports from inside the write — at 100 TB the free-metrics form
+    * is what every routine load runs, with the blocking pre-check
+    * reserved for sources that have actually burned you.
+    *
+    * Returns (rows written, rows with a NULL in any of `keys`) —
+    * a non-zero second component is the alert/rollback trigger.
+    */
+  def appendAudited(df: DataFrame, table: String,
+      keys: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation()
+    val nullCond = keys.map(col(_).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    append(df.observe(obs, count(lit(1)).as("rows"),
+      count(when(nullCond, lit(1))).as("null_keys")), table)
+    val m = obs.get
+    (m("rows").asInstanceOf[Long], m("null_keys").asInstanceOf[Long])
+  }
+
   /** Small-file COMPACTION — the table-maintenance job every
     * incremental warehouse needs at scale: repeated [[append]]s of
     * daily deltas leave one file per delta per task, and a year of
