@@ -861,6 +861,147 @@ object Extras {
         sum(col("run") - 5).cast("long").as("anchors"))
   }
 
+  /** Word 5-grams of a doc's token array as exploded rows — shared by
+    * [[q114]]/[[q115]]. The `size >= 5` fence keeps the transform total
+    * under ANSI `element_at` semantics (same armor as the winnowing
+    * grams); sub-5-token docs contribute zero grams on both engines
+    * (the oracle's `WHERE len(t) >= 5` is the same fence).
+    */
+  private def fiveGrams(s: SparkSession, dir: String) =
+    docsTable(s, dir)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 4),
+        i => array_join(slice(col("t"), i, lit(5)), " "))).as("gram"))
+
+  private val fiveGramSqlCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(t)-4,1)+1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+      |           t[i+3] || ' ' || t[i+4])) AS gram
+      |  FROM t WHERE len(t) >= 5)""".stripMargin
+
+  /** Text-cleaning extension — BOILERPLATE n-gram detection (the
+    * corpus-frequency filter of CCNet/RefinedWeb-style pipelines):
+    * word 5-grams that recur across >= 3 DISTINCT documents are, in a
+    * web corpus, navigation chrome / license headers / templated spam
+    * — the segments a training run wants stripped before dedup even
+    * starts. One hash aggregate on the gram key: the distinct-doc
+    * count partial-aggregates map-side (per-partition (gram, doc_id)
+    * dedup before the exchange), so the shuffle carries surviving
+    * (gram, doc) pairs, not raw occurrences. The >= 3 threshold cuts
+    * the output to the repeated tail: at most total_grams/3 rows by
+    * counting, in practice orders of magnitude fewer (74 of ~24k
+    * distinct grams at sf0.01). No broadcast anywhere — the detector
+    * scales with corpus tokens, period.
+    */
+  val q114 = Q("q114_boilerplate_ngrams",
+    s"""WITH $fiveGramSqlCte
+       |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  count(*) AS n_occur
+       |FROM g GROUP BY gram
+       |HAVING count(DISTINCT doc_id) >= 3""".stripMargin) { (s, dir) =>
+    fiveGrams(s, dir).groupBy("gram")
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_occur"))
+      .filter(col("n_docs") >= 3)
+  }
+
+  /** The payoff of [[q114]]: per-document BOILERPLATE COVERAGE — the
+    * fraction of a doc's 5-gram positions whose gram is in the
+    * boilerplate set. This is the cleaning signal: a doc whose text is
+    * mostly corpus-repeated template (high `boiler_frac`) is dropped
+    * or stripped before training; a low fraction means original
+    * content. Shape: the gram stream LEFT-joins the detector output on
+    * the gram key — a shuffle join where the right side has exactly
+    * one row per surviving gram (<= total_grams/3 by the threshold
+    * bound, tiny in practice), then one hash aggregate back to doc
+    * grain. Both shuffles partial-aggregate; hot boilerplate grams
+    * skew the join key by construction, which is exactly the AQE
+    * skew-join case (the dim side is 1 row per key, so splitting the
+    * big side is safe).
+    */
+  val q115 = Q("q115_boilerplate_coverage",
+    s"""WITH $fiveGramSqlCte,
+       |b AS (
+       |  SELECT gram FROM g GROUP BY gram
+       |  HAVING count(DISTINCT doc_id) >= 3)
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_boiler,
+       |  round(CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS boiler_frac
+       |FROM g LEFT JOIN b ON b.gram = g.gram
+       |GROUP BY g.doc_id""".stripMargin) { (s, dir) =>
+    val g = fiveGrams(s, dir)
+    val b = g.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 3)
+      .select(col("gram"), lit(1).as("isb"))
+    val hit = sum(coalesce(col("isb"), lit(0)))
+    g.join(b, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        hit.cast("long").as("n_boiler"),
+        round(hit.cast("double") / count(lit(1)), 6).as("boiler_frac"))
+  }
+
+  /** Text-quality extension — UNIGRAM LANGUAGE-MODEL INFORMATION
+    * CONTENT per document (the CCNet perplexity-filter shape, at
+    * unigram order): each token scores its corpus surprisal
+    * -log2 p(w) = log2(total/count(w)); a doc's quality signal is the
+    * mean surprisal in bits. Training pipelines drop BOTH tails —
+    * near-zero bits is degenerate repetition, extreme bits is noise /
+    * wrong-language text. Cross-engine determinism: the per-token
+    * surprisal is rounded to integer MICRO-bits
+    * (`round(log2(...)*1e6)` as BIGINT) before aggregation, so the
+    * per-doc sum is exact integer arithmetic — no float-summation
+    * order sensitivity; the only float op is one log2 per DISTINCT
+    * token (31 values at any sf here), where a sub-ulp engine
+    * difference cannot move a 6-dp rounding except on a knife-edge
+    * measure-zero input. Scale shape: vocab counts are one hash agg;
+    * `total` derives from the counts (sum over vocab — no second
+    * corpus pass); the token->surprisal join is a shuffle join whose
+    * right side has one row per vocab entry — broadcastable outright
+    * when the tokenizer vocab is bounded (any BPE corpus: <= ~100k
+    * entries), AQE-skew-handled when open-vocab. Doc grain comes back
+    * with one partial-aggregated shuffle.
+    */
+  val q116 = Q("q116_doc_infocontent",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |c AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+      |n AS (SELECT sum(cnt) AS total FROM c),
+      |u AS (
+      |  SELECT w, CAST(round(log2(CAST(total AS DOUBLE) / cnt) * 1000000)
+      |    AS BIGINT) AS ubits
+      |  FROM c, n)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(ubits) AS BIGINT) AS sum_ubits,
+      |  round(CAST(sum(ubits) AS DOUBLE) / 1000000 / count(*), 4)
+      |    AS avg_bits
+      |FROM tok JOIN u USING (w)
+      |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val tok = docsTable(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val c = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = c.agg(sum(col("cnt")).as("total"))
+    val u = c.crossJoin(broadcast(tot))
+      .select(col("w"),
+        round(log2(col("total").cast("double") / col("cnt")) * 1000000)
+          .cast("long").as("ubits"))
+    tok.join(u, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ubits")).cast("long").as("sum_ubits"),
+        round(sum(col("ubits")).cast("double") / 1000000 /
+          count(lit(1)), 4).as("avg_bits"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106, q107, q109, q110, q111, q112)
+    q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116)
 }

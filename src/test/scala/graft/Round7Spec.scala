@@ -298,4 +298,38 @@ class Round7Spec extends SparkSpec {
     assert(loose.count(r => !r.isNullAt(2)) == 1)
     assert(loose.count(_.isNullAt(2)) == 2)
   }
+
+  test("q114/q115: boilerplate detection and coverage reconcile — " +
+    "every detected gram spans >= 3 docs, and the per-doc hits sum " +
+    "to the detector's occurrence total") {
+    val det = queries.Extras.q114.fn(spark, sf).collect()
+    assert(det.nonEmpty, "threshold too high: no boilerplate detected")
+    assert(det.forall(_.getLong(1) >= 3))
+    assert(det.forall(r => r.getLong(2) >= r.getLong(1)),
+      "a gram occurs at least once per doc that contains it")
+    val cov = queries.Extras.q115.fn(spark, sf)
+    // every boilerplate-gram occurrence is exactly one covered
+    // position in exactly one doc
+    assert(cov.agg(sum($"n_boiler")).head.getLong(0) ==
+      det.map(_.getLong(2)).sum)
+    assert(cov.filter($"boiler_frac" < 0 || $"boiler_frac" > 1 ||
+      $"n_boiler" > $"n_grams").count() == 0)
+  }
+
+  test("q116: surprisal bookkeeping is exact — integer micro-bit sums " +
+    "divide back to the rounded mean, doc tokens sum to the corpus " +
+    "total (the join dropped nothing)") {
+    val out = queries.Extras.q116.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, s, a) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0 && s > 0)
+      assert(math.abs(s.toDouble / 1e6 / n - a) <= 5e-5,
+        s"avg_bits $a drifted from its own integer sum $s/$n")
+    }
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(size(split($"text", " ")).cast("long")).as[Long]
+      .collect().sum
+    assert(out.map(_.getLong(1)).sum == expected)
+  }
 }
