@@ -1002,6 +1002,99 @@ object Extras {
           count(lit(1)), 4).as("avg_bits"))
   }
 
+  /** Data-quality extension — single-pass COLUMN PROFILE of `orders`
+    * ([[graft.ops.Profile]]): the pre-training corpus validation step
+    * (row/null/distinct counts, native-typed min/max) as one
+    * aggregate + a 1-row unpivot. The timestamp column is profiled at
+    * DATE grain and the double price at DECIMAL(18,2) — both because
+    * the profile renders min/max as strings and those casts are the
+    * engine-portable renderings (raw double/timestamp formatting is
+    * engine-specific trivia, not data quality). The oracle is the
+    * blunt per-column UNION ALL — 5 corpus scans to the engine's one.
+    */
+  val q117 = Q("q117_column_profile", {
+    def block(name: String, e: String) =
+      s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+         |  CAST(count(*) - count($e) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $e) AS BIGINT) AS n_distinct,
+         |  CAST(min($e) AS VARCHAR) AS min_s,
+         |  CAST(max($e) AS VARCHAR) AS max_s
+         |FROM orders""".stripMargin
+    Seq(
+      block("o_orderkey", "o_orderkey"),
+      block("o_custkey", "o_custkey"),
+      block("o_orderstatus", "o_orderstatus"),
+      block("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+      block("o_orderdate", "CAST(o_orderdate AS DATE)"))
+      .mkString("\nUNION ALL\n")
+  }) { (s, dir) =>
+    graft.ops.Profile.profile(t(s, dir, "orders"), Seq(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> col("o_totalprice").cast("decimal(18,2)"),
+      "o_orderdate" -> col("o_orderdate").cast("date")))
+  }
+
+  /** LM-statistics extension — NEXT-TOKEN TOP-K: for every prefix
+    * token, the 3 most frequent continuations with their conditional
+    * probability p(w2|w1) — the corpus-level next-token distribution
+    * summary (the thing an n-gram LM memorizes, and the first
+    * diagnostic for a template-polluted corpus: near-1.0 conditionals
+    * are boilerplate by another name). Ranking ties break on the
+    * continuation token, so the top-3 set is unique and
+    * engine-portable. Shape: bigram counts are one hash agg; prefix
+    * totals REUSE that table (vocab²-bounded, no second corpus pass);
+    * the per-prefix rank is a row_number filtered to <= 3 — the shape
+    * Spark's WindowGroupLimit rewrites into a per-partition top-k
+    * push-down (bounded heap per prefix, never a full per-group
+    * sort); the totals join is 1 row per prefix key.
+    */
+  val q118 = Q("q118_bigram_topk",
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS ts,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |bgx AS (
+      |  SELECT split_part(bg, ' ', 1) AS w1,
+      |    split_part(bg, ' ', 2) AS w2
+      |  FROM (
+      |    SELECT unnest(list_transform(range(1, n),
+      |      i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      |    FROM toks WHERE n >= 2)),
+      |bc AS (SELECT w1, w2, count(*) AS c FROM bgx GROUP BY w1, w2),
+      |tot AS (SELECT w1, sum(c) AS t FROM bc GROUP BY w1),
+      |r AS (
+      |  SELECT w1, w2, c,
+      |    row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rk
+      |  FROM bc)
+      |SELECT r.w1, r.w2, CAST(r.c AS BIGINT) AS n_pair,
+      |  CAST(r.rk AS BIGINT) AS rk,
+      |  round(CAST(r.c AS DOUBLE) / t, 6) AS p
+      |FROM r JOIN tot USING (w1) WHERE rk <= 3""".stripMargin) {
+    (s, dir) =>
+      val toks = docsTable(s, dir)
+        .select(split(col("text"), " ").as("ts"))
+        .withColumn("n", size(col("ts")))
+      val bgx = toks.filter(col("n") >= 2)
+        .select(explode(zip_with(
+          slice(col("ts"), lit(1), col("n") - 1),
+          slice(col("ts"), lit(2), col("n") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bc = bgx.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val tot = bc.groupBy("w1").agg(sum(col("c")).as("t"))
+      val w = Window.partitionBy("w1")
+        .orderBy(col("c").desc, col("w2"))
+      bc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .join(tot, Seq("w1"))
+        .select(col("w1"), col("w2"), col("c").cast("long").as("n_pair"),
+          col("rk").cast("long").as("rk"),
+          round(col("c").cast("double") / col("t"), 6).as("p"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116)
+    q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
+    q117, q118)
 }

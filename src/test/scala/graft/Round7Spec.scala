@@ -332,4 +332,41 @@ class Round7Spec extends SparkSpec {
       .collect().sum
     assert(out.map(_.getLong(1)).sum == expected)
   }
+
+  test("Profile: approx variant matches exact within HLL tolerance " +
+    "and plans WITHOUT the Expand replication the exact profile pays") {
+    val orders = sources.Tables(spark, sf, "orders")
+    val cols = Seq("o_orderkey" -> col("o_orderkey"),
+      "o_orderstatus" -> col("o_orderstatus"))
+    val ex = ops.Profile.profile(orders, cols)
+    val ap = ops.Profile.profile(orders, cols, exact = false)
+    // two exact countDistincts force Expand (2x input replication);
+    // the HLL path is a plain partial-aggregable single pass
+    assert(ex.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!ap.queryExecution.executedPlan.toString.contains("Expand"))
+    val e = ex.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val a = ap.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // the default rsd is a 5% STANDARD DEVIATION, not a bound — gate
+    // at 2 sigma
+    e.foreach { case (c, v) =>
+      assert(math.abs(a(c) - v) <= math.max(2L, (0.10 * v).toLong),
+        s"$c: approx ${a(c)} vs exact $v")
+    }
+  }
+
+  test("q118: per-prefix top-3 is a WindowGroupLimit plan, " +
+    "probabilities are a distribution prefix (sum <= 1, rank-ordered)") {
+    val df = queries.Extras.q118.fn(spark, sf)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"), "top-k must push a group limit")
+    val byPrefix = df.collect().groupBy(_.getString(0))
+    byPrefix.foreach { case (w1, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getDouble(4)).sum <= 1.0 + 1e-6, s"p sum for $w1")
+      // rank order must agree with count order
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(2)).sliding(2).forall(
+        p => p.length < 2 || p(0) >= p(1)), s"rank/count disagree: $w1")
+    }
+  }
 }
