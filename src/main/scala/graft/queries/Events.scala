@@ -505,7 +505,37 @@ object Events {
         col("n_events"), col("sum_val"))
   }
 
+  /** [[q42]]'s as-of attribution planned through the NATIVE operator
+    * ([[graft.plans.AsOfJoin]]: custom logical node + planner strategy
+    * + physical merge) instead of the composed union-window. Identical
+    * oracle, identical output — what changes is the plan: each side
+    * shuffles and sorts ONLY ITSELF on the key (the SortMergeJoin
+    * distribution contract), and the merge holds one buffered right
+    * row per partition instead of running window machinery over a
+    * null-padded union. Registered side by side with q42 so the gate
+    * continuously proves composed ≡ native.
+    */
+  val q119 = Q("q119_asof_native",
+    """SELECT p.event_id, p.user_id, c.event_id AS click_id,
+      |  date_diff('second', c.ts, p.ts) AS gap_s
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin) {
+    (s, dir) =>
+      val e = Tables(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val c = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.plans.AsOfJoin.join(p, c, Seq("user_id"), "ts", "ts",
+        Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("click_id"),
+          (col("ts").cast("long") - col("asof_ts").cast("long"))
+            .as("gap_s"))
+  }
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45, q58, q59,
-      q68, q71, q78, q84, q92)
+      q68, q71, q78, q84, q92, q119)
 }

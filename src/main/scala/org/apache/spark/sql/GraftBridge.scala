@@ -3,12 +3,17 @@ package org.apache.spark.sql
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridge to the `private[sql]` Column↔Expression converters — the
-  * standard pattern for third-party Catalyst extensions (the public
-  * bytecode is stable; only the Scala signature is package-private).
-  * Kept to exactly these two calls.
+/** Bridge to the `private[sql]` Column↔Expression converters and the
+  * LogicalPlan→DataFrame constructor — the standard pattern for
+  * third-party Catalyst extensions (the public bytecode is stable;
+  * only the Scala signatures are package-private). Kept to exactly
+  * these three calls.
   */
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

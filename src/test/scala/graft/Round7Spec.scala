@@ -354,6 +354,49 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("native as-of join: merge semantics on constructed edges — " +
+    "inclusive tie, null key/ts never match, unmatched stays null") {
+    val l = Seq(
+      (Option(1L), Option("2024-01-01 00:10:00"), "p1"),
+      (Option(1L), Option("2024-01-01 00:05:00"), "p2"),
+      (Option(1L), Option("2024-01-01 00:01:00"), "p3"),
+      (Option(2L), Option("2024-01-01 09:00:00"), "p4"),
+      (Option.empty[Long], Option("2024-01-01 00:10:00"), "p5"),
+      (Option(1L), Option.empty[String], "p6"))
+      .toDF("user_id", "ts_s", "pid")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"), $"pid")
+    val r = Seq(
+      (Option(1L), Option("2024-01-01 00:05:00"), "c1"),
+      (Option(1L), Option("2024-01-01 00:09:00"), "c2"),
+      (Option.empty[Long], Option("2024-01-01 00:00:00"), "c3"),
+      (Option(2L), Option.empty[String], "c4"))
+      .toDF("user_id", "ts_s", "cid")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"), $"cid")
+    val out = plans.AsOfJoin
+      .join(l, r, Seq("user_id"), "ts", "ts", Seq("cid"))
+      .select($"pid", $"asof_cid")
+      .as[(String, Option[String])].collect().toMap
+    assert(out == Map(
+      "p1" -> Some("c2"),  // latest at-or-before 00:10 is c2@00:09
+      "p2" -> Some("c1"),  // inclusive: equal timestamps match
+      "p3" -> None,        // before any right row of its key
+      "p4" -> None,        // its only right row has a null ts
+      "p5" -> None,        // null key never matches (c3 is null-keyed)
+      "p6" -> None))       // null left ts never matches
+  }
+
+  test("q119: the native plan is AsOfJoinExec with the SMJ contract — " +
+    "one exchange per side, no Window, output identical to composed " +
+    "q42") {
+    val n = queries.Events.q119.fn(spark, sf)
+    val plan = n.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("AsOfJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("Window"), plan)
+    assert(rows(n) == rows(queries.Events.q42.fn(spark, sf)))
+  }
+
   test("q118: per-prefix top-3 is a WindowGroupLimit plan, " +
     "probabilities are a distribution prefix (sum <= 1, rank-ordered)") {
     val df = queries.Extras.q118.fn(spark, sf)
