@@ -820,6 +820,80 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
   }
 
+  /** NEAR-DUP DEDUP MATERIALIZATION — the decision q64 stops short
+    * of: one row per KEPT document. Cluster members (q30's LSH
+    * candidates → connected components) keep only their best
+    * representative — longest text, ties to the lowest doc id (the
+    * richest copy wins; exact-dup clusters tie on length, so the
+    * stable-id rule applies) — and every unclustered doc keeps
+    * itself. This closes the dedup loop end to end: detect (q30) →
+    * cluster (q64) → materialize the keep-list (here), each stage
+    * gate-checked. Scale: the component table is |clustered docs|
+    * (<< corpus), the representative pick is one row_number window at
+    * component grain, and the singleton complement is a left-anti
+    * join on the same small node set — the corpus is scanned once.
+    */
+  val q120 = Q("q120_neardup_keep",
+    s"""WITH RECURSIVE $shingleSqlCte,
+       |b AS (
+       |  SELECT doc_id, 0 AS band, mh0 || mh1 || mh2 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, mh3 || mh4 || mh5 AS key FROM sig),
+       |sized AS (
+       |  SELECT band, key FROM b GROUP BY band, key
+       |  HAVING count(*) BETWEEN 2 AND 20),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM sized x
+       |  JOIN b a ON a.band = x.band AND a.key = x.key
+       |  JOIN b c ON c.band = x.band AND c.key = x.key
+       |    AND a.doc_id < c.doc_id),
+       |nodes AS (
+       |  SELECT doc_a AS n FROM pairs
+       |  UNION SELECT doc_b FROM pairs),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |r(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT e.d, r.m FROM r JOIN edges e ON e.s = r.n),
+       |cc AS (SELECT n, min(m) AS comp FROM r GROUP BY n),
+       |ranked AS (
+       |  SELECT d.doc_id, cc.comp,
+       |    row_number() OVER (PARTITION BY cc.comp
+       |      ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY cc.comp) AS sz
+       |  FROM cc JOIN documents d ON d.doc_id = cc.n)
+       |SELECT doc_id, comp, CAST(sz AS BIGINT) AS n_members
+       |FROM ranked WHERE rk = 1
+       |UNION ALL
+       |SELECT doc_id, doc_id AS comp, CAST(1 AS BIGINT) AS n_members
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT n FROM nodes)""".stripMargin) {
+    (s, dir) =>
+      val pairs = q30.fn(s, dir).select("doc_a", "doc_b").distinct()
+      val cc = graft.ops.Components.connected(pairs)
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val members = cc.join(d, cc("node") === d("doc_id"))
+        .select(col("doc_id"), col("comp"), col("n_chars"))
+      val w = Window.partitionBy("comp")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val best = members
+        .withColumn("rk", row_number().over(w))
+        .withColumn("sz",
+          count(lit(1)).over(Window.partitionBy("comp")))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("comp"),
+          col("sz").cast("long").as("n_members"))
+      val singletons = d
+        .join(cc.select(col("node")), d("doc_id") === col("node"),
+          "left_anti")
+        .select(col("doc_id"), col("doc_id").as("comp"),
+          lit(1L).as("n_members"))
+      best.unionByName(singletons)
+  }
+
   /** END-TO-END curation pipeline — the composition a training run
     * actually executes, as ONE query: language filter (predicted ==
     * labeled, q33's predictor) → minimum-length gate → exact dedup
@@ -1374,5 +1448,5 @@ object TextQueries {
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
-      q81, q86, q87, q88, q89, q91)
+      q81, q86, q87, q88, q89, q91, q120)
 }

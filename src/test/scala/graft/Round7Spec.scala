@@ -397,6 +397,20 @@ class Round7Spec extends SparkSpec {
     assert(rows(n) == rows(queries.Events.q42.fn(spark, sf)))
   }
 
+  test("q120: the keep-list is a partition decision — each doc kept " +
+    "at most once, and members across kept rows cover the corpus " +
+    "exactly") {
+    val keep = queries.TextQueries.q120.fn(spark, sf)
+    val ids = keep.select($"doc_id").as[Long].collect()
+    assert(ids.distinct.length == ids.length, "a doc kept twice")
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    // components partition the corpus: kept rows' member counts must
+    // sum to every document exactly once
+    assert(keep.agg(sum($"n_members")).head.getLong(0) == nDocs)
+    assert(keep.filter($"n_members" > 1).count() > 0,
+      "corpus has planted near-dups; some cluster must be non-trivial")
+  }
+
   test("q118: per-prefix top-3 is a WindowGroupLimit plan, " +
     "probabilities are a distribution prefix (sum <= 1, rank-ordered)") {
     val df = queries.Extras.q118.fn(spark, sf)
