@@ -610,25 +610,8 @@ object TextQueries {
       |       WHEN n_tokens >= 5 THEN 'ok'
       |       ELSE 'poor' END AS quality
       |FROM f""".stripMargin) { (s, dir) =>
-    val nChars = length(col("text")).cast("long")
-    val nTokens = size(TextOps.tokens(col("text"))).cast("long")
-    val hits = TextOps.markerHits(col("text"),
-      Seq("the", "a", "of", "and", "to", "in")).cast("long")
-    val nPunct = (length(col("text")) -
-      length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("long")
-    docs(s, dir).select(col("doc_id"), nChars.as("n_chars_m"),
-      nTokens.as("n_tokens"), hits.as("hits"), nPunct.as("n_punct"))
-      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
-        round((col("n_chars_m") - col("n_tokens") + 1).cast("double")
-          / col("n_tokens"), 4).as("avg_tok_len"),
-        round(col("n_punct").cast("double") / col("n_chars_m"), 6)
-          .as("punct_ratio"),
-        round(col("hits").cast("double") / col("n_tokens"), 6)
-          .as("stop_ratio"),
-        when(col("n_tokens") >= 20 &&
-          col("hits").cast("double") / col("n_tokens") > 0.05, "good")
-          .when(col("n_tokens") >= 5, "ok")
-          .otherwise("poor").as("quality"))
+    // shared with the streaming path — see TextOps.qualityProfile
+    TextOps.qualityProfile(docs(s, dir))
   }
 
   /** Corpus token statistics per source (whitespace + regex-word

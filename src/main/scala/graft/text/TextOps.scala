@@ -66,6 +66,36 @@ object TextOps {
   def markerHits(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), w => w.isin(markers.map(lit): _*)))
 
+  /** q34's quality scorer over any frame with (doc_id, text) — length,
+    * punctuation and stopword ratios plus the good/ok/poor label. A
+    * pure map-only Column pipeline, which is the point of having it
+    * HERE: the exact same function scores a batch corpus (q34) and a
+    * readStream micro-batch (StreamingSpec) — no reimplementation, no
+    * semantic drift between the offline gate and the live filter.
+    */
+  def qualityProfile(df: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val nTokens = size(tokens(col("text"))).cast("long")
+    val hits = markerHits(col("text"),
+      Seq("the", "a", "of", "and", "to", "in")).cast("long")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+      .cast("long")
+    df.select(col("doc_id"), nChars.as("n_chars_m"),
+      nTokens.as("n_tokens"), hits.as("hits"), nPunct.as("n_punct"))
+      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
+        round((col("n_chars_m") - col("n_tokens") + 1).cast("double")
+          / col("n_tokens"), 4).as("avg_tok_len"),
+        round(col("n_punct").cast("double") / col("n_chars_m"), 6)
+          .as("punct_ratio"),
+        round(col("hits").cast("double") / col("n_tokens"), 6)
+          .as("stop_ratio"),
+        when(col("n_tokens") >= 20 &&
+            col("hits").cast("double") / col("n_tokens") > 0.05, "good")
+          .when(col("n_tokens") >= 5, "ok")
+          .otherwise("poor").as("quality"))
+  }
+
   /** Hex-digit value (0-15) of character `pos` (1-based) of an md5 hex
     * string. (Oracle-side equivalent: strpos('0123456789abcdef', ch)-1.)
     */

@@ -281,4 +281,28 @@ class StreamingSpec extends SparkSpec {
       Seq("2024-01-01 11:00:00", "click", 1L, 4.0),
       Seq("2024-01-01 10:00:00", "view", 1L, 8.0)))
   }
+
+  test("batch ≡ stream: TextOps.qualityProfile (q34's scorer) runs " +
+    "UNCHANGED on a readStream and scores micro-batches identically " +
+    "to the batch plan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = graft.text.TextOps
+      .qualityProfile(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quality_stream").start()
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.text.TextOps.qualityProfile(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    assert(rows(spark.table("quality_stream")) == rows(batch))
+  }
 }
