@@ -877,6 +877,58 @@ object TextQueries {
       best.unionByName(singletons)
   }
 
+  /** RETRIEVAL SCORING — BM25 top-20 docs for a fixed query-term set
+    * (Robertson/Lucene idf form, k1=1.2, b=0.75): the lexical-search
+    * primitive a curation pipeline uses to pull benchmark-adjacent or
+    * topic-targeted documents out of a corpus. Scale shape: the tf
+    * table only holds docs CONTAINING query terms (the isin filter
+    * cuts the explode before any shuffle); df and the (N, avgdl)
+    * scalars broadcast; the top-20 is orderBy+limit — Spark plans
+    * TakeOrderedAndProject (per-partition heap, no global sort, no
+    * single-partition window). Ordering ties break on (rounded score,
+    * doc_id), so the LIMIT boundary is engine-portable.
+    */
+  val q121 = Q("q121_bm25_topk",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, w, count(*) AS tf FROM toks
+      |  WHERE w IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2
+      |        / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+      |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id)
+      |  CROSS JOIN stats GROUP BY 1)
+      |SELECT doc_id, round(s, 4) AS bm25
+      |FROM sc ORDER BY round(s, 4) DESC, doc_id LIMIT 20""".stripMargin) {
+    (s, dir) =>
+      val qterms = Seq("spark", "hash", "merge")
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+      val tf = toks.filter(col("w").isin(qterms: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfq), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+            * col("tf") * 2.2
+            / (col("tf") + lit(1.2) *
+              (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+            .as("c"))
+        .groupBy("doc_id").agg(sum("c").as("s"))
+        .select(col("doc_id"), round(col("s"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
   /** END-TO-END curation pipeline — the composition a training run
     * actually executes, as ONE query: language filter (predicted ==
     * labeled, q33's predictor) → minimum-length gate → exact dedup
@@ -1431,5 +1483,5 @@ object TextQueries {
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
-      q81, q86, q87, q88, q89, q91, q120)
+      q81, q86, q87, q88, q89, q91, q120, q121)
 }

@@ -98,4 +98,41 @@ class PropertySpec extends SparkSpec {
         s"mismatch seed=$seed support=$support")
     }
   }
+
+  test("property: native as-of join ≡ composed as-of join over random " +
+    "non-null keyed event tables") {
+    // non-null domain: the two forms deliberately differ on null keys
+    // (native follows SQL equality — never matches; the composed
+    // window groups nulls together), so the shared contract is the
+    // non-null one. Duplicate (key, ts) rows ARE generated — with the
+    // payload a pure function of (key, ts), so the tie-winner is
+    // value-identical whichever physical row either form picks.
+    val evGen: Gen[(Long, Int)] = for {
+      k <- Gen.choose(0L, 4L)
+      t <- Gen.choose(0, 50)
+    } yield (k, t)
+    def frame(n: Int, seed: Long) = {
+      val params = Gen.Parameters.default
+      Gen.listOfN(n, evGen).pureApply(params, Seed(seed))
+        .map { case (k, t) => (k, t, k * 100000L + t) }
+        .toDF("user_id", "t", "event_id")
+        .select($"user_id",
+          timestamp_seconds($"t" * 60).as("ts"), $"event_id")
+    }
+    for (seed <- 1L to 5L) {
+      val l = frame(30, seed)
+      val r = frame(25, seed + 500)
+      // the two forms attach (asof_ts, asof_event_id) in opposite
+      // order — align columns before the value compare
+      val cols = Seq("user_id", "ts", "event_id", "asof_event_id",
+        "asof_ts")
+      val native = plans.AsOfJoin
+        .join(l, r, Seq("user_id"), "ts", "ts", Seq("event_id"))
+        .select(cols.map(col): _*)
+      val composed = ops.AsOf
+        .join(l, r, Seq("user_id"), "ts", "ts", Seq("event_id"))
+        .select(cols.map(col): _*)
+      assert(rows(native) == rows(composed), s"mismatch seed=$seed")
+    }
+  }
 }
