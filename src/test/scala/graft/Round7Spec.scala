@@ -385,6 +385,21 @@ class Round7Spec extends SparkSpec {
       "p6" -> None))       // null left ts never matches
   }
 
+  test("native as-of join: an empty right side yields all-null " +
+    "payloads (and the zipped partition counts stay aligned under " +
+    "AQE)") {
+    val l = Seq((1L, "2024-01-01 00:10:00", "p1"),
+      (2L, "2024-01-01 00:20:00", "p2"))
+      .toDF("user_id", "ts_s", "pid")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"), $"pid")
+    val r = l.filter(lit(false))
+      .select($"user_id", $"ts", $"pid".as("cid"))
+    val out = plans.AsOfJoin
+      .join(l, r, Seq("user_id"), "ts", "ts", Seq("cid"))
+    assert(out.count() == 2)
+    assert(out.filter($"asof_cid".isNotNull).count() == 0)
+  }
+
   test("q119: the native plan is AsOfJoinExec with the SMJ contract — " +
     "one exchange per side, no Window, output identical to composed " +
     "q42") {
