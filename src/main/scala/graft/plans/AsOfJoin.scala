@@ -214,14 +214,25 @@ object AsOfJoin {
             p.output.map(_.name).mkString(", ")))
     val payloadA = rightCols.map(c => attr(rPlan, s"${c}__r"))
     val rTsA = attr(rPlan, s"${rightTs}__r")
+    val lKeysA = keys.map(attr(lPlan, _))
+    val rKeysA = keys.map(k => attr(rPlan, s"${k}__r"))
+    val lTsA = attr(lPlan, leftTs)
+    // the merge compares both sides through ONE ordering built from
+    // the left types — silently wrong on mismatched sides, so refuse
+    require(keys.nonEmpty, "as-of join needs at least one equi-key")
+    lKeysA.zip(rKeysA).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key type mismatch: ${a.name} ${a.dataType} vs " +
+          s"${b.dataType}")
+    }
+    require(lTsA.dataType == rTsA.dataType,
+      s"as-of ts type mismatch: ${lTsA.dataType} vs ${rTsA.dataType}")
     val rightOut = (rTsA +: payloadA).map { a =>
       AttributeReference(
         "asof_" + a.name.stripSuffix("__r"), a.dataType,
         nullable = true)()
     }
     GraftBridge.ofRows(spark, AsOfJoinNode(
-      lPlan, rPlan,
-      keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"${k}__r")),
-      attr(lPlan, leftTs), rTsA, payloadA, rightOut))
+      lPlan, rPlan, lKeysA, rKeysA, lTsA, rTsA, payloadA, rightOut))
   }
 }
