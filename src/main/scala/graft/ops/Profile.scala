@@ -34,18 +34,27 @@ object Profile {
     */
   def profile(df: DataFrame, cols: Seq[(String, Column)],
       exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    // reported names flow into SQL identifiers and a string literal —
+    // quote both, so raw-CSV names ("unit price", "a.b") profile fine
+    def ident(n: String) = "`" + n.replace("`", "``") + "`"
+    def strLit(n: String) = "'" + n.replace("\\", "\\\\")
+      .replace("'", "\\'") + "'"
     val nd: Column => Column =
       if (exact) countDistinct(_) else approx_count_distinct(_)
     val aggs = cols.flatMap { case (n, c) => Seq(
-      sum(when(c.isNull, 1L).otherwise(0L)).cast("long")
-        .as(s"${n}__nulls"),
+      // count(1) - count(c): 0 (not null) on an empty input — a
+      // validation op must not itself report nulls on the empty-load
+      // case it exists to catch
+      (count(lit(1)) - count(c)).cast("long").as(s"${n}__nulls"),
       nd(c).cast("long").as(s"${n}__nd"),
       min(c).cast("string").as(s"${n}__min"),
       max(c).cast("string").as(s"${n}__max"))
     } :+ count(lit(1)).as("__rows")
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map { case (n, _) =>
-      s"'$n', ${n}__nulls, ${n}__nd, ${n}__min, ${n}__max"
+      s"${strLit(n)}, ${ident(s"${n}__nulls")}, ${ident(s"${n}__nd")}, " +
+        s"${ident(s"${n}__min")}, ${ident(s"${n}__max")}"
     }.mkString(", ")
     one.selectExpr("__rows AS n_rows",
         s"stack(${cols.size}, $stackArgs) " +

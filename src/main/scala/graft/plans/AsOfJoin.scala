@@ -204,7 +204,10 @@ object AsOfJoin {
     // fresh aliases mint new expression ids: a self-join's sides can
     // never collide inside the custom node (which no analyzer
     // deduplication rule knows how to rewrite)
-    val rNames = (keys ++ (rightTs +: rightCols)).distinct
+    // rightTs is always attached as asof_<rightTs>; listing it in
+    // rightCols too would mint a duplicate output name
+    val payloadCols = rightCols.filterNot(_ == rightTs).distinct
+    val rNames = (keys ++ (rightTs +: payloadCols)).distinct
     val r2 = right.select(rNames.map(n => col(n).as(s"${n}__r")): _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = r2.queryExecution.analyzed
@@ -212,7 +215,7 @@ object AsOfJoin {
       p.output.find(_.name == n).getOrElse(throw new
           IllegalArgumentException(s"column $n not found in " +
             p.output.map(_.name).mkString(", ")))
-    val payloadA = rightCols.map(c => attr(rPlan, s"${c}__r"))
+    val payloadA = payloadCols.map(c => attr(rPlan, s"${c}__r"))
     val rTsA = attr(rPlan, s"${rightTs}__r")
     val lKeysA = keys.map(attr(lPlan, _))
     val rKeysA = keys.map(k => attr(rPlan, s"${k}__r"))
@@ -224,6 +227,14 @@ object AsOfJoin {
       require(a.dataType == b.dataType,
         s"as-of key type mismatch: ${a.name} ${a.dataType} vs " +
           s"${b.dataType}")
+      // binary key comparison treats -0.0 != 0.0 and distinct NaN bit
+      // patterns as distinct — the NormalizeFloatingNumbers rule that
+      // fixes this for built-in joins does not know this node, so
+      // floating keys would silently miss matches SQL equality makes
+      require(a.dataType != org.apache.spark.sql.types.DoubleType &&
+          a.dataType != org.apache.spark.sql.types.FloatType,
+        s"as-of equi-key ${a.name} is ${a.dataType}: floating-point " +
+          "join keys are not supported (cast to decimal/integer)")
     }
     require(lTsA.dataType == rTsA.dataType,
       s"as-of ts type mismatch: ${lTsA.dataType} vs ${rTsA.dataType}")

@@ -126,13 +126,18 @@ class PropertySpec extends SparkSpec {
       // order — align columns before the value compare
       val cols = Seq("user_id", "ts", "event_id", "asof_event_id",
         "asof_ts")
+      // sorted MULTISET compare (not rows()'s Set): duplicate left
+      // rows emit duplicate outputs, so a dropped or double-emitted
+      // row in the custom merge iterator must fail this
+      def multiset(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.map(col): _*).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
       val native = plans.AsOfJoin
         .join(l, r, Seq("user_id"), "ts", "ts", Seq("event_id"))
-        .select(cols.map(col): _*)
       val composed = ops.AsOf
         .join(l, r, Seq("user_id"), "ts", "ts", Seq("event_id"))
-        .select(cols.map(col): _*)
-      assert(rows(native) == rows(composed), s"mismatch seed=$seed")
+      assert(multiset(native) == multiset(composed),
+        s"mismatch seed=$seed")
     }
   }
 }
