@@ -535,7 +535,44 @@ object Events {
             .as("gap_s"))
   }
 
+  /** Markov TRANSITION MATRIX over per-user event sequences: counts
+    * and conditional probabilities p(next | prev) for every adjacent
+    * event-type pair — the behavioral-sequence summary (and the
+    * training target of a first-order sequence model), complementing
+    * q68's head-path histogram. Shape: one lag() window keyed on the
+    * user (a single shuffle on the natural parallel grain), then a
+    * hash agg down to the |types|² transition grain — tiny at any
+    * corpus size; prefix totals reuse that table. Ordering ties
+    * break on event_id, so `prev` is engine-deterministic.
+    */
+  val q122 = Q("q122_event_transitions",
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (
+      |  SELECT prev, event_type AS next, count(*) AS n
+      |  FROM e WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev, sum(n) AS tot FROM c GROUP BY prev)
+      |SELECT c.prev, c.next, CAST(c.n AS BIGINT) AS n,
+      |  round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+      |FROM c JOIN t USING (prev)""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val c = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.groupBy("prev").agg(sum(col("n")).as("tot"))
+    c.join(broadcast(t), Seq("prev"))
+      .select(col("prev"), col("next"), col("n").cast("long").as("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("p"))
+  }
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45, q58, q59,
-      q68, q71, q78, q84, q92, q119)
+      q68, q71, q78, q84, q92, q119, q122)
 }
