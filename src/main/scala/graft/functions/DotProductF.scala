@@ -207,6 +207,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoin.AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ =>
+      graft.plans.IntervalJoin.IntervalJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),

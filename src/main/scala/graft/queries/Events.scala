@@ -572,7 +572,37 @@ object Events {
         round(col("n").cast("double") / col("tot"), 6).as("p"))
   }
 
+  /** [[q43]]'s banded range join planned through the NATIVE interval
+    * operator ([[graft.plans.IntervalJoin]]): same DuckDB IEJoin
+    * oracle, same output pairs — but instead of duplicating every
+    * right row into two time bands and filtering the residual, each
+    * side shuffles once on the key and a forward merge slides a
+    * 2·gap window of right rows past the left. Registered beside q43
+    * so the gate continuously proves banded ≡ native ≡ DuckDB.
+    */
+  val q123 = Q("q123_interval_native",
+    """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+      |  date_diff('second', c.ts, p.ts) AS gap_s
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND p.ts >= c.ts - INTERVAL 600 SECONDS
+      | AND p.ts <= c.ts + INTERVAL 600 SECONDS""".stripMargin) {
+    (s, dir) =>
+      val e = Tables(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val c = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.plans.IntervalJoin.join(p, c, Seq("user_id"), "ts", "ts",
+        600L, Seq("event_id"))
+        .select(col("event_id").as("p_id"),
+          col("band_event_id").as("c_id"), col("user_id"),
+          (col("ts").cast("long") - col("band_ts").cast("long"))
+            .as("gap_s"))
+  }
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45, q58, q59,
-      q68, q71, q78, q84, q92, q119, q122)
+      q68, q71, q78, q84, q92, q119, q122, q123)
 }

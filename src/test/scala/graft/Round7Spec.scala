@@ -400,6 +400,70 @@ class Round7Spec extends SparkSpec {
     assert(out.filter($"asof_cid".isNotNull).count() == 0)
   }
 
+  test("native interval join: inclusive band edges, null key/ts " +
+    "dropped, window evicts across keys") {
+    def ts(s: String) = s"2024-01-01 $s"
+    val l = Seq(
+      (Option(1L), Option(ts("00:10:00")), "p1"),
+      (Option(2L), Option(ts("00:30:00")), "p2"),
+      (Option.empty[Long], Option(ts("00:10:00")), "p3"),
+      (Option(1L), Option.empty[String], "p4"))
+      .toDF("user_id", "ts_s", "pid")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"), $"pid")
+    val r = Seq(
+      (Option(1L), Option(ts("00:09:00")), "c_in"),
+      (Option(1L), Option(ts("00:11:00")), "c_edge"),   // exactly +60s
+      (Option(1L), Option(ts("00:09:00")), "c_dup"),
+      (Option(1L), Option(ts("00:08:59")), "c_out"),    // 61s before
+      (Option(1L), Option(ts("00:11:01")), "c_out2"),   // 61s after
+      (Option(2L), Option(ts("00:10:00")), "c_prevkey"), // key 2, stale
+      (Option(2L), Option(ts("00:30:30")), "c_in2"),
+      (Option(2L), Option.empty[String], "c_nullts"),
+      (Option.empty[Long], Option(ts("00:10:00")), "c_nullkey"))
+      .toDF("user_id", "ts_s", "cid")
+      .select($"user_id", $"ts_s".cast("timestamp").as("ts"), $"cid")
+    val out = plans.IntervalJoin
+      .join(l, r, Seq("user_id"), "ts", "ts", 60L, Seq("cid"))
+      .select($"pid", $"band_cid").as[(String, String)]
+      .collect().toSeq.sorted
+    assert(out == Seq("p1" -> "c_dup", "p1" -> "c_edge",
+      "p1" -> "c_in", "p2" -> "c_in2").sorted)
+  }
+
+  test("property: native interval join ≡ composed banded range join " +
+    "over random non-null keyed tables (multiset)") {
+    val gen: org.scalacheck.Gen[(Long, Int)] = for {
+      k <- org.scalacheck.Gen.choose(0L, 3L)
+      t <- org.scalacheck.Gen.choose(0, 40)
+    } yield (k, t)
+    def frame(n: Int, seed: Long, tsName: String, idName: String) = {
+      val params = org.scalacheck.Gen.Parameters.default
+      org.scalacheck.Gen.listOfN(n, gen)
+        .pureApply(params, org.scalacheck.rng.Seed(seed))
+        .map { case (k, t) => (k, t, k * 1000L + t) }
+        .toDF("user_id", "t", idName)
+        .select($"user_id",
+          timestamp_seconds($"t" * 30).as(tsName), col(idName))
+    }
+    for (seed <- 1L to 4L) {
+      val l = frame(25, seed, "lts", "l_id")
+      val r = frame(25, seed + 900, "rts", "r_id")
+      def multiset(df: org.apache.spark.sql.DataFrame,
+          cols: Seq[String]) =
+        df.select(cols.map(col): _*).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val native = plans.IntervalJoin
+        .join(l, r, Seq("user_id"), "lts", "rts", 90L, Seq("r_id"))
+        .withColumnRenamed("band_r_id", "r_id")
+        .withColumnRenamed("band_rts", "rts")
+      val composed = ops.RangeJoin
+        .withinGap(l, r, Seq("user_id"), "lts", "rts", 90L)
+      val cols = Seq("user_id", "lts", "l_id", "rts", "r_id")
+      assert(multiset(native, cols) == multiset(composed, cols),
+        s"mismatch seed=$seed")
+    }
+  }
+
   test("q119: the native plan is AsOfJoinExec with the SMJ contract — " +
     "one exchange per side, no Window, output identical to composed " +
     "q42") {
