@@ -464,6 +464,20 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("q122: the transition matrix is row-stochastic — conditional " +
+    "probabilities per prev sum to ~1 and counts cover every " +
+    "adjacent pair") {
+    val m = queries.Events.q122.fn(spark, sf).collect()
+    m.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val p = rs.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) <= 1e-4, s"p($prev) sums to $p")
+    }
+    // pair count = total events minus one first-event per user
+    val ev = sources.Tables(spark, sf, "events")
+    val expected = ev.count() - ev.select($"user_id").distinct().count()
+    assert(m.map(_.getLong(2)).sum == expected)
+  }
+
   test("q119: the native plan is AsOfJoinExec with the SMJ contract — " +
     "one exchange per side, no Window, output identical to composed " +
     "q42") {
