@@ -11,7 +11,6 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
   SparkStrategy}
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.GraftBridge
 
 /** Native AS-OF JOIN — the full custom-operator tier (logical node +
@@ -201,49 +200,10 @@ object AsOfJoin {
       rightCols: Seq[String]): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
-    // fresh aliases mint new expression ids: a self-join's sides can
-    // never collide inside the custom node (which no analyzer
-    // deduplication rule knows how to rewrite)
-    // rightTs is always attached as asof_<rightTs>; listing it in
-    // rightCols too would mint a duplicate output name
-    val payloadCols = rightCols.filterNot(_ == rightTs).distinct
-    val rNames = (keys ++ (rightTs +: payloadCols)).distinct
-    val r2 = right.select(rNames.map(n => col(n).as(s"${n}__r")): _*)
-    val lPlan = left.queryExecution.analyzed
-    val rPlan = r2.queryExecution.analyzed
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(throw new
-          IllegalArgumentException(s"column $n not found in " +
-            p.output.map(_.name).mkString(", ")))
-    val payloadA = payloadCols.map(c => attr(rPlan, s"${c}__r"))
-    val rTsA = attr(rPlan, s"${rightTs}__r")
-    val lKeysA = keys.map(attr(lPlan, _))
-    val rKeysA = keys.map(k => attr(rPlan, s"${k}__r"))
-    val lTsA = attr(lPlan, leftTs)
-    // the merge compares both sides through ONE ordering built from
-    // the left types — silently wrong on mismatched sides, so refuse
-    require(keys.nonEmpty, "as-of join needs at least one equi-key")
-    lKeysA.zip(rKeysA).foreach { case (a, b) =>
-      require(a.dataType == b.dataType,
-        s"as-of key type mismatch: ${a.name} ${a.dataType} vs " +
-          s"${b.dataType}")
-      // binary key comparison treats -0.0 != 0.0 and distinct NaN bit
-      // patterns as distinct — the NormalizeFloatingNumbers rule that
-      // fixes this for built-in joins does not know this node, so
-      // floating keys would silently miss matches SQL equality makes
-      require(a.dataType != org.apache.spark.sql.types.DoubleType &&
-          a.dataType != org.apache.spark.sql.types.FloatType,
-        s"as-of equi-key ${a.name} is ${a.dataType}: floating-point " +
-          "join keys are not supported (cast to decimal/integer)")
-    }
-    require(lTsA.dataType == rTsA.dataType,
-      s"as-of ts type mismatch: ${lTsA.dataType} vs ${rTsA.dataType}")
-    val rightOut = (rTsA +: payloadA).map { a =>
-      AttributeReference(
-        "asof_" + a.name.stripSuffix("__r"), a.dataType,
-        nullable = true)()
-    }
+    val s = NativeJoinSides.resolve(left, right, keys, leftTs, rightTs,
+      rightCols, "asof_", "as-of")
     GraftBridge.ofRows(spark, AsOfJoinNode(
-      lPlan, rPlan, lKeysA, rKeysA, lTsA, rTsA, payloadA, rightOut))
+      s.lPlan, s.rPlan, s.lKeys, s.rKeys, s.lTs, s.rTs, s.payload,
+      s.rightOut))
   }
 }

@@ -11,16 +11,15 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
   SparkStrategy}
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 import org.apache.spark.sql.GraftBridge
 
 /** Native banded INTERVAL JOIN (|left.ts − right.ts| <= gap within the
   * same key) — the second custom physical operator, the temporal-pair
   * sibling of [[AsOfJoin]]. [[graft.ops.RangeJoin]] composes the same
-  * semantics by duplicating each right row into adjacent time bands
-  * and equi-joining on (key, band) — 2× the right-side shuffle volume
-  * and a post-join residual filter. This operator declares the
+  * semantics by duplicating each right row into its THREE candidate
+  * time bands and equi-joining on (key, band) — 3× the right-side
+  * shuffle volume and a post-join residual filter. This operator declares the
   * SortMergeJoin contract instead (clustered on key, sorted by
   * (key, ts) per side) and runs a forward merge holding a sliding
   * window of right rows: per partition, O(rows in one 2·gap window of
@@ -91,6 +90,10 @@ object IntervalJoin {
 
     override def outputPartitioning: Partitioning =
       left.outputPartitioning
+
+    // each left row's matches emit together, in left (key, ts) order
+    override def outputOrdering: Seq[SortOrder] =
+      (leftKeys :+ leftTs).map(asc)
 
     override protected def withNewChildrenInternal(
         newLeft: SparkPlan, newRight: SparkPlan): IntervalJoinExec =
@@ -204,46 +207,17 @@ object IntervalJoin {
       rightCols: Seq[String]): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
-    val payloadCols = rightCols.filterNot(_ == rightTs).distinct
-    val rNames = (keys ++ (rightTs +: payloadCols)).distinct
-    val r2 = right.select(rNames.map(n => col(n).as(s"${n}__r")): _*)
-    val lPlan = left.queryExecution.analyzed
-    val rPlan = r2.queryExecution.analyzed
-    def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(throw new
-          IllegalArgumentException(s"column $n not found in " +
-            p.output.map(_.name).mkString(", ")))
-    val payloadA = payloadCols.map(c => attr(rPlan, s"${c}__r"))
-    val rTsA = attr(rPlan, s"${rightTs}__r")
-    val lKeysA = keys.map(attr(lPlan, _))
-    val rKeysA = keys.map(k => attr(rPlan, s"${k}__r"))
-    val lTsA = attr(lPlan, leftTs)
-    require(keys.nonEmpty, "interval join needs at least one equi-key")
-    lKeysA.zip(rKeysA).foreach { case (a, b) =>
-      require(a.dataType == b.dataType,
-        s"interval key type mismatch: ${a.name} ${a.dataType} vs " +
-          s"${b.dataType}")
-      require(a.dataType != org.apache.spark.sql.types.DoubleType &&
-          a.dataType != org.apache.spark.sql.types.FloatType,
-        s"interval equi-key ${a.name} is ${a.dataType}: floating-point " +
-          "join keys are not supported (cast to decimal/integer)")
-    }
+    val s = NativeJoinSides.resolve(left, right, keys, leftTs, rightTs,
+      rightCols, "band_", "interval")
     // the window arithmetic reads micros-as-long: timestamps only
-    Seq(lTsA, rTsA).foreach { t =>
+    Seq(s.lTs, s.rTs).foreach { t =>
       require(t.dataType == TimestampType ||
           t.dataType == TimestampNTZType,
         s"interval ts ${t.name} must be a timestamp, got ${t.dataType}")
     }
-    require(lTsA.dataType == rTsA.dataType,
-      s"interval ts type mismatch: ${lTsA.dataType} vs ${rTsA.dataType}")
     require(gapSeconds >= 0, "gapSeconds must be non-negative")
-    val rightOutA = (rTsA +: payloadA).map { a =>
-      AttributeReference(
-        "band_" + a.name.stripSuffix("__r"), a.dataType,
-        nullable = true)()
-    }
     GraftBridge.ofRows(spark, IntervalJoinNode(
-      lPlan, rPlan, lKeysA, rKeysA, lTsA, rTsA,
-      gapSeconds * 1000000L, payloadA, rightOutA))
+      s.lPlan, s.rPlan, s.lKeys, s.rKeys, s.lTs, s.rTs,
+      gapSeconds * 1000000L, s.payload, s.rightOut))
   }
 }

@@ -575,7 +575,7 @@ object Events {
   /** [[q43]]'s banded range join planned through the NATIVE interval
     * operator ([[graft.plans.IntervalJoin]]): same DuckDB IEJoin
     * oracle, same output pairs — but instead of duplicating every
-    * right row into two time bands and filtering the residual, each
+    * right row into three time bands and filtering the residual, each
     * side shuffles once on the key and a forward merge slides a
     * 2·gap window of right rows past the left. Registered beside q43
     * so the gate continuously proves banded ≡ native ≡ DuckDB.
