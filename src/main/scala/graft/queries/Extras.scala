@@ -1094,7 +1094,89 @@ object Extras {
           round(col("c").cast("double") / col("t"), 6).as("p"))
   }
 
+  /** Text-quality extension — WITHIN-DOC TOKEN ENTROPY: Shannon
+    * entropy of each document's own token distribution plus the
+    * distinct-token ratio. The complement of q116 (which scores
+    * against the CORPUS distribution): near-zero entropy means the
+    * doc repeats a few tokens (spam/boilerplate — the q53 repetition
+    * signal, information-theoretically), entropy near log2(distinct)
+    * means flat diversity. Same determinism device as q116: each
+    * distinct token's entropy term is rounded to integer MICRO-bits
+    * before the per-doc sum, so aggregation order cannot move the
+    * result; the only float ops are one log2 per (doc, distinct
+    * token), and the two output ratios are UNROUNDED divisions of
+    * exact integers — IEEE division is correctly rounded, so the
+    * doubles are bit-identical in any engine (a round(x, 4) here
+    * measurably diverged on a .00705 half-up knife edge).
+    * Shape: one (doc, token) hash agg, one doc-grain agg —
+    * both partial-aggregated, nothing broadcast.
+    */
+  val q124 = Q("q124_doc_entropy",
+    """WITH tc AS (
+      |  SELECT doc_id, w, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) GROUP BY doc_id, w),
+      |n AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id),
+      |terms AS (
+      |  SELECT tc.doc_id,
+      |    CAST(round(1000000 * (CAST(tc.c AS DOUBLE) / n.n)
+      |      * log2(CAST(n.n AS DOUBLE) / tc.c)) AS BIGINT) AS ubits,
+      |    tc.c
+      |  FROM tc JOIN n USING (doc_id))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(sum(ubits) AS DOUBLE) / 1000000 AS entropy_bits,
+      |  CAST(count(*) AS DOUBLE) / sum(c) AS distinct_ratio
+      |FROM terms GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val tc = docsTable(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val n = tc.groupBy("doc_id").agg(sum("c").as("n"))
+    tc.join(n, Seq("doc_id"))
+      .select(col("doc_id"), col("c"),
+        round(lit(1000000) * (col("c").cast("double") / col("n"))
+          * log2(col("n").cast("double") / col("c")))
+          .cast("long").as("ubits"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_distinct"),
+        sum("c").cast("long").as("n_tokens"),
+        (sum("ubits").cast("double") / 1000000).as("entropy_bits"),
+        (count(lit(1)).cast("double") / sum("c"))
+          .as("distinct_ratio"))
+  }
+
+  /** Ops-dashboard extension — PER-SOURCE DUPLICATION STATS: how much
+    * of each source is exact-duplicate text (the first thing a corpus
+    * triage meeting asks for, per provider). Fingerprint = md5 of
+    * normalized text (q28's key); dup_rate = 1 − distinct/total.
+    * One (source, fp) agg then one source-grain agg — the distinct
+    * count rides the first grouping, no Expand, no second corpus
+    * pass.
+    */
+  val q125 = Q("q125_source_dup_stats",
+    """WITH f AS (
+      |  SELECT source,
+      |    md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+      |  FROM documents),
+      |g AS (SELECT source, fp, count(*) AS c FROM f GROUP BY source, fp)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(sum(c) - count(*) AS BIGINT) AS n_dups,
+      |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS dup_rate
+      |FROM g GROUP BY source""".stripMargin) { (s, dir) =>
+    docsTable(s, dir)
+      .select(col("source"),
+        md5(graft.text.TextOps.normalize(col("text"))).as("fp"))
+      .groupBy("source", "fp").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        (sum("c") - count(lit(1))).cast("long").as("n_dups"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum("c"), 6)
+          .as("dup_rate"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
-    q117, q118)
+    q117, q118, q124, q125)
 }

@@ -504,6 +504,25 @@ class Round7Spec extends SparkSpec {
       "corpus has planted near-dups; some cluster must be non-trivial")
   }
 
+  test("q124/q125: entropy bounded by log2(distinct) and dup stats " +
+    "reconcile to the corpus") {
+    queries.Extras.q124.fn(spark, sf).collect().foreach { r =>
+      val (nd, h, dr) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      // each of the nd terms carries up to 0.5 micro-bit of rounding
+      assert(h >= 0 && h <= math.log(nd.toDouble) / math.log(2)
+          + nd * 1e-6,
+        s"entropy $h outside [0, log2($nd)]")
+      assert(dr > 0 && dr <= 1)
+    }
+    val dup = queries.Extras.q125.fn(spark, sf).collect()
+    dup.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        "n_docs = n_distinct + n_dups")
+    }
+    assert(dup.map(_.getLong(1)).sum ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
   test("q118: per-prefix top-3 is a WindowGroupLimit plan, " +
     "probabilities are a distribution prefix (sum <= 1, rank-ordered)") {
     val df = queries.Extras.q118.fn(spark, sf)
