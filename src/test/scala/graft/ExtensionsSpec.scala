@@ -134,4 +134,18 @@ class ExtensionsSpec extends SparkSpec with BeforeAndAfterAll {
       assert(q.head().getLong(0) == 10L)
     } finally ext.conf.unset(ApproxDistinctRewrite.EnabledKey)
   }
+
+  test("the native-join planner strategies inject through the " +
+    "extension path (no runtime extraStrategies registration needed)") {
+    val strategies =
+      org.apache.spark.sql.GraftTestBridge.plannerStrategies(ext)
+    assert(strategies.contains(graft.plans.AsOfJoin.AsOfJoinStrategy))
+    assert(strategies.contains(
+      graft.plans.IntervalJoin.IntervalJoinStrategy))
+    // the base (non-extension) session resolves them only via the
+    // runtime extraStrategies path the APIs register on first use
+    val base = org.apache.spark.sql.GraftTestBridge
+      .plannerStrategies(SparkSpec.session)
+    assert(base.length <= strategies.length)
+  }
 }
