@@ -1176,7 +1176,48 @@ object Extras {
           .as("dup_rate"))
   }
 
+  /** Provenance-triage extension — CROSS-SOURCE CONTAMINATION: for
+    * every source pair, how many distinct normalized-text
+    * fingerprints they SHARE ([[q125]] asks "how much does each
+    * source repeat itself"; this asks "which providers are reselling
+    * the same crawl"). The fingerprint is the 64-char TEXT PREFIX
+    * (shared openings survive tail edits — the cross-provider signal
+    * full-document hashing misses; both grains exist in the engine,
+    * q36). Shape: one (fp, source) dedup agg, then a
+    * self-join restricted to fps seen in 2..20 sources (the q30-style
+    * size cap: a fingerprint in more sources than that is template
+    * boilerplate, and the cap bounds the pair fan-out at C(20,2) per
+    * fp — never quadratic in sources); output is the source-pair
+    * grain, |sources|² rows at most.
+    */
+  val q126 = Q("q126_cross_source_overlap",
+    """WITH f AS (
+      |  SELECT DISTINCT source, md5(substr(text, 1, 64)) AS fp
+      |  FROM documents),
+      |sized AS (
+      |  SELECT fp FROM f GROUP BY fp
+      |  HAVING count(*) BETWEEN 2 AND 20)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  count(*) AS n_shared
+      |FROM sized x
+      |JOIN f a ON a.fp = x.fp
+      |JOIN f b ON b.fp = x.fp AND a.source < b.source
+      |GROUP BY a.source, b.source""".stripMargin) { (s, dir) =>
+    val f = docsTable(s, dir)
+      .select(col("source"), md5(substring(col("text"), 1, 64)).as("fp"))
+      .distinct()
+    val sized = f.groupBy("fp").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 20)).select("fp")
+    val a = f.join(sized, Seq("fp"))
+    val b = a.select(col("fp"), col("source").as("src_b"))
+    a.select(col("fp"), col("source").as("src_a"))
+      .join(b, Seq("fp"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
-    q117, q118, q124, q125)
+    q117, q118, q124, q125, q126)
 }
