@@ -504,6 +504,16 @@ class Round7Spec extends SparkSpec {
       "corpus has planted near-dups; some cluster must be non-trivial")
   }
 
+  test("q121: the global top-20 plans TakeOrderedAndProject (per-" +
+    "partition heap), never a single-partition Window") {
+    val df = queries.TextQueries.q121.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(df.count() <= 20)
+  }
+
   test("q124/q125: entropy bounded by log2(distinct) and dup stats " +
     "reconcile to the corpus") {
     queries.Extras.q124.fn(spark, sf).collect().foreach { r =>
