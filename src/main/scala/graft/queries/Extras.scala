@@ -1108,8 +1108,10 @@ object Extras {
     * exact integers — IEEE division is correctly rounded, so the
     * doubles are bit-identical in any engine (a round(x, 4) here
     * measurably diverged on a .00705 half-up knife edge).
-    * Shape: one (doc, token) hash agg, one doc-grain agg —
-    * both partial-aggregated, nothing broadcast.
+    * Shape: one (doc, token) hash agg, one doc-grain agg, and a
+    * doc-totals join AQE plans as broadcast at this sf — at corpus
+    * scale the totals side grows with |docs| and AQE flips it to a
+    * shuffle join on the already-partitioned doc key.
     */
   val q124 = Q("q124_doc_entropy",
     """WITH tc AS (
@@ -1183,12 +1185,14 @@ object Extras {
     * the same crawl"). The fingerprint is the 64-char TEXT PREFIX
     * (shared openings survive tail edits — the cross-provider signal
     * full-document hashing misses; both grains exist in the engine,
-    * q36). Shape: one (fp, source) dedup agg, then a
-    * self-join restricted to fps seen in 2..20 sources (the q30-style
-    * size cap: a fingerprint in more sources than that is template
-    * boilerplate, and the cap bounds the pair fan-out at C(20,2) per
-    * fp — never quadratic in sources); output is the source-pair
-    * grain, |sources|² rows at most.
+    * q36). Shape: ONE corpus scan — (source, fp) dedup agg, fp-grain
+    * collect_set capped at 2..20 sources (the q30-style size cap: a
+    * fingerprint in more sources is template boilerplate, and the cap
+    * bounds fan-out at C(20,2) per fp), then the pairs EXPAND
+    * MAP-SIDE from each sorted source set (nested transform — no
+    * self-join, so the scan/dedup lineage is not recomputed per
+    * side), one final pair-grain agg. The oracle formulates the same
+    * pairs independently as the blunt sized self-join.
     */
   val q126 = Q("q126_cross_source_overlap",
     """WITH f AS (
@@ -1203,17 +1207,18 @@ object Extras {
       |JOIN f a ON a.fp = x.fp
       |JOIN f b ON b.fp = x.fp AND a.source < b.source
       |GROUP BY a.source, b.source""".stripMargin) { (s, dir) =>
-    val f = docsTable(s, dir)
+    val g = docsTable(s, dir)
       .select(col("source"), md5(substring(col("text"), 1, 64)).as("fp"))
       .distinct()
-    val sized = f.groupBy("fp").agg(count(lit(1)).as("n"))
-      .filter(col("n").between(2, 20)).select("fp")
-    val a = f.join(sized, Seq("fp"))
-    val b = a.select(col("fp"), col("source").as("src_b"))
-    a.select(col("fp"), col("source").as("src_a"))
-      .join(b, Seq("fp"))
-      .filter(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b")
+      .groupBy("fp")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")).between(2, 20))
+    // ordered pairs (x, y) with x < y straight off the sorted set
+    val pairs = expr("""flatten(transform(ss, (x, i) ->
+      transform(slice(ss, i + 2, size(ss) - i - 1),
+        y -> struct(x AS src_a, y AS src_b))))""")
+    g.select(explode(pairs).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
 
