@@ -96,7 +96,11 @@ object Bench {
     // abort before any output
     val w0 = System.nanoTime()
     val warmupErr =
-      try { graft.queries.TextQueries.prewarm(spark, sfDir); None }
+      try {
+        graft.queries.TextQueries.prewarm(spark, sfDir)
+        graft.queries.Extras.prewarm(spark, sfDir)
+        None
+      }
       catch { case scala.util.control.NonFatal(e) =>
         Some(e.getClass.getSimpleName + ": " +
           Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
@@ -130,7 +134,11 @@ object Bench {
     val cachedEnd = s"""{"rdds":${storage.length},"mem_bytes":${
       storage.map(_.memSize).sum},"disk_bytes":${storage.map(_.diskSize).sum}}"""
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"hygiene":$hyg,"cached_end":$cachedEnd,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
+    // headline fields LAST: the driver captures only the tail of
+    // stdout, so a truncated line must still carry errors, hygiene,
+    // and the total — the per-query map is the only field allowed to
+    // lose its head
+    println(s"""{"queries":$qs,"hygiene":$hyg,"cached_end":$cachedEnd,"sf":"$sfDir","errors":$errs,"warmup_sec":$warmupSec,"unit":"sec","metric":"total","value":$total}""")
     Materialized.clear(spark)
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)

@@ -186,8 +186,13 @@ object AsOfJoin {
     val exp = spark
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .experimental
-    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
-      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    // extraStrategies is a plain var: the contains/append pair must be
+    // atomic or concurrent join() calls can lose a registration or
+    // stack duplicates
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    }
   }
 
   /** As-of join `left` to `right` on `keys` with

@@ -192,8 +192,13 @@ object IntervalJoin {
     val exp = spark
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .experimental
-    if (!exp.extraStrategies.contains(IntervalJoinStrategy))
-      exp.extraStrategies = exp.extraStrategies :+ IntervalJoinStrategy
+    // extraStrategies is a plain var: the contains/append pair must be
+    // atomic or concurrent join() calls can lose a registration or
+    // stack duplicates
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(IntervalJoinStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ IntervalJoinStrategy
+    }
   }
 
   /** Inner interval join: pairs of `left` × `right` rows sharing

@@ -123,8 +123,24 @@ object Jdbc {
     try {
       val conn = java.sql.DriverManager.getConnection(url, p)
       try {
+        // a plain (possibly schema-qualified) identifier passes through
+        // unquoted — it was CREATED unquoted by Spark's JDBC writer, so
+        // quoting here would miss the case-normalized stored name.
+        // Anything else (a name needing quoting, or a hostile one
+        // reaching mergeOverwrite) is wrapped in the dialect's own
+        // identifier quote so it stays ONE identifier, never SQL
+        val plain = "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"
+        val quoted =
+          if (table.matches(plain)) table
+          else {
+            val q = Option(conn.getMetaData.getIdentifierQuoteString)
+              .map(_.trim).filter(_.nonEmpty).getOrElse("\"")
+            table.split('.')
+              .map(part => q + part.replace(q, q + q) + q)
+              .mkString(".")
+          }
         val st = conn.createStatement()
-        try st.executeUpdate(s"DROP TABLE $table")
+        try st.executeUpdate(s"DROP TABLE $quoted")
         finally st.close()
       } finally conn.close()
     } catch { case scala.util.control.NonFatal(_) => () }
