@@ -647,19 +647,54 @@ object SimQueries {
       .filter(col("rn") <= 3)
   }
 
-  /** Embedding whitening surfaced as a registry query: fit (μ, Σ) on
-    * the corpus, y = L⁻¹(x − μ) per vector, report each vector's
-    * whitened norm (its Mahalanobis distance from the corpus mean).
-    * No SQL oracle exists for a Cholesky factorization, so this row is
-    * rows-gated here and CONTRACT-gated in WhiteningSpec (whitened
-    * covariance ≈ I, mean ≈ 0 — stronger than value matching).
+  /** Embedding whitening's distributed MOMENTS at (i, j) grain —
+    * [[graft.sim.Whitening.moments]]'s corpus-touching 80%, surfaced
+    * as an ORACLED registry query (the r7 verdict's ask: the previous
+    * whitened-norms registration was the registry's only non-green
+    * driver row, because a Cholesky factorization has no SQL oracle;
+    * the norms remain CONTRACT-gated in WhiteningSpec — whitened
+    * covariance ≈ I, mean ≈ 0 — which is stronger than value
+    * matching, while this row gives the distributed plumbing the same
+    * oracle discipline as every other query).
+    *
+    * Same plan shape as moments(): per-row upper-triangle outer
+    * product via nested posexplode (slice keeps j ≥ i — D(D+1)/2
+    * groups, not D²), one aggregation whose map-side partial collapse
+    * bounds the shuffle at O(D²·partitions) regardless of corpus
+    * size. Determinism is the q116 device: each product is floored to
+    * integer MICRO-UNITS before summing, so both engines add exact
+    * integers in any order — float Σ x_i·x_j would differ in the last
+    * bits between Spark's partial-aggregation order and DuckDB's
+    * (floor, not round: IEEE floor of identical doubles cannot
+    * knife-edge).
     */
-  val q113 = Q.noOracle("q113_whitened_norms") { (s, dir) =>
-    val e = Tables(s, dir, "embeddings")
-    graft.sim.Whitening.whiten(e, "embedding", D)
-      .select(col("vec_id"),
-        round(sqrt(Similarity.dot(col("whitened"), col("whitened"))), 6)
-          .as("wnorm"))
+  val q113 = Q("q113_whitening_moments",
+    """WITH e AS (
+      |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT v, generate_subscripts(v, 1) AS ip, unnest(v) AS xi
+      |  FROM e),
+      |p AS (
+      |  SELECT CAST(ip - 1 AS BIGINT) AS i,
+      |    CAST(ip - 2 + generate_subscripts(v[ip:], 1) AS BIGINT) AS j,
+      |    CAST(floor(xi * unnest(v[ip:]) * 1000000) AS BIGINT) AS xx
+      |  FROM a)
+      |SELECT i, j, CAST(sum(xx) AS BIGINT) AS sxx_micro,
+      |  count(*) AS n
+      |FROM p GROUP BY i, j""".stripMargin) { (s, dir) =>
+    val pairs = Tables(s, dir, "embeddings")
+      .select(transform(col("embedding"), v => v.cast("double")).as("v"))
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("v"), col("i") + 1, lit(D)))
+          .as(Seq("dj", "xj")))
+      .select(col("i").cast("long").as("i"),
+        (col("i") + col("dj")).cast("long").as("j"),
+        floor(col("xi") * col("xj") * lit(1000000)).cast("long").as("xx"))
+    pairs.groupBy("i", "j")
+      .agg(sum("xx").cast("long").as("sxx_micro"),
+        count(lit(1)).as("n"))
   }
 
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,

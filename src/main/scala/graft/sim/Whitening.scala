@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   *    [[graft.functions.DotProductF]] over the centered vector — no
   *    shuffle, no UDF, 2·D² flops per row.
   *
-  * No DuckDB oracle: a Cholesky factorization is not expressible in
-  * SQL, so this operator is spec-gated instead (WhiteningSpec pins
+  * Correctness gating is split along the SQL-expressibility line:
+  * the distributed MOMENTS plumbing (the only part that touches the
+  * corpus) is oracled against DuckDB at (i, j) grain in integer
+  * micro-units (registry query q113_whitening_moments); the
+  * driver-side Cholesky/inverse and the whitening transform — not
+  * expressible in SQL — are spec-gated instead (WhiteningSpec pins
   * the mathematical CONTRACT: whitened sample covariance ≈ I,
   * whitened mean ≈ 0, which is a far stronger check than value
   * matching). The ridge `eps` keeps Σ positive-definite when some
@@ -53,11 +57,24 @@ object Whitening {
     val agg = pairs.groupBy("i", "j")
       .agg(sum("xx").as("sxx"),
         sum(when(col("i") === col("j"), col("xi"))).as("sx"),
-        count(when(col("i") === col("j"), lit(1))).as("n"))
+        count(col("xx")).as("nxx"),
+        count(lit(1)).as("cnt"))
       .collect() // ≤ D(D+1)/2 rows — driver-bounded by construction
-    val n = agg.collectFirst {
-      case r if r.getInt(0) == r.getInt(1) => r.getLong(4)
-    }.getOrElse(0L).toDouble
+    // ragged input must fail LOUDLY, not skew the moments: a short
+    // array starves its high-(i, j) groups (fewer rows), a long one
+    // mints groups beyond dim, a null element drops its product from
+    // sum but not from the row count — each of the three checks below
+    // catches exactly one of those silently-wrong shapes
+    require(agg.length == dim * (dim + 1) / 2,
+      s"expected ${dim * (dim + 1) / 2} moment groups for dim=$dim, " +
+        s"got ${agg.length}: embedding arrays are not uniformly length $dim")
+    val cnts = agg.map(_.getLong(5)).distinct
+    require(cnts.length == 1,
+      s"moment groups disagree on row count (${cnts.sorted.mkString(",")}): " +
+        s"embedding arrays are ragged, not uniformly length $dim")
+    require(agg.forall(r => r.getLong(4) == r.getLong(5)),
+      "embedding arrays contain null elements")
+    val n = cnts.head.toDouble
     require(n > 1, s"whitening needs >1 vectors, got $n")
     val mu = new Array[Double](dim)
     val exx = Array.ofDim[Double](dim, dim)

@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.sim.Whitening
 
-/** Whitening is spec-gated (a Cholesky factorization has no DuckDB
-  * oracle), so the suite pins the CONTRACT rather than values: the
-  * whitened corpus has sample mean ≈ 0 and sample covariance ≈ I —
-  * exactly the properties y = L⁻¹(x − μ) guarantees when (μ, Σ) are
-  * the corpus's own moments (up to the ridge and float error).
+/** The non-SQL-expressible side of whitening (Cholesky, transform) is
+  * spec-gated here by CONTRACT rather than values: the whitened
+  * corpus has sample mean ≈ 0 and sample covariance ≈ I — exactly the
+  * properties y = L⁻¹(x − μ) guarantees when (μ, Σ) are the corpus's
+  * own moments (up to the ridge and float error). The distributed
+  * moments plumbing is additionally ORACLE-gated in the registry
+  * (q113_whitening_moments).
   */
 class WhiteningSpec extends SparkSpec {
   import spark.implicits._
@@ -68,6 +70,30 @@ class WhiteningSpec extends SparkSpec {
           s"WL($i,$j)")
       }
     }
+  }
+
+  test("ragged input: a short embedding array fails moments() loudly " +
+    "instead of silently skewing mu/Sigma") {
+    val df = corpus().withColumn("emb",
+      when(col("vec_id") === 7, slice(col("emb"), 1, D - 2))
+        .otherwise(col("emb")))
+    val e = intercept[IllegalArgumentException] {
+      Whitening.moments(df, "emb", D)
+    }
+    assert(e.getMessage.contains("ragged"), e.getMessage)
+  }
+
+  test("null elements: a null inside an embedding array fails " +
+    "moments() loudly") {
+    val df = corpus().withColumn("emb",
+      when(col("vec_id") === 3,
+        transform(col("emb"), (x, idx) =>
+          when(idx === 2, lit(null).cast("double")).otherwise(x)))
+        .otherwise(col("emb")))
+    val e = intercept[IllegalArgumentException] {
+      Whitening.moments(df, "emb", D)
+    }
+    assert(e.getMessage.contains("null elements"), e.getMessage)
   }
 
   test("degenerate direction: a constant dimension is survived by the " +
