@@ -885,8 +885,13 @@ object TextQueries {
     * cuts the explode before any shuffle); df and the (N, avgdl)
     * scalars broadcast; the top-20 is orderBy+limit — Spark plans
     * TakeOrderedAndProject (per-partition heap, no global sort, no
-    * single-partition window). Ordering ties break on (rounded score,
-    * doc_id), so the LIMIT boundary is engine-portable.
+    * single-partition window). Determinism is the q116 device: each
+    * per-term contribution is floored to integer MICRO-UNITS before
+    * the per-doc sum, so both engines add exact integers in any
+    * order — a float sum's partial-aggregation order could flip the
+    * 4dp rounding on a knife-edge value and move the LIMIT boundary —
+    * and the top-20 orders on the integer sum itself (ties on
+    * doc_id), which no rounding can disturb.
     */
   val q121 = Q("q121_bm25_topk",
     """WITH toks AS (
@@ -900,12 +905,14 @@ object TextQueries {
       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
       |sc AS (
       |  SELECT tf.doc_id,
-      |    sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2
-      |        / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+      |    CAST(sum(CAST(floor(
+      |      ln((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2
+      |        / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+      |        * 1000000) AS BIGINT)) AS BIGINT) AS sm
       |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id)
       |  CROSS JOIN stats GROUP BY 1)
-      |SELECT doc_id, round(s, 4) AS bm25
-      |FROM sc ORDER BY round(s, 4) DESC, doc_id LIMIT 20""".stripMargin) {
+      |SELECT doc_id, round(CAST(sm AS DOUBLE) / 1000000, 4) AS bm25
+      |FROM sc ORDER BY sm DESC, doc_id LIMIT 20""".stripMargin) {
     (s, dir) =>
       val qterms = Seq("spark", "hash", "merge")
       val toks = docs(s, dir).select(col("doc_id"),
@@ -919,14 +926,15 @@ object TextQueries {
         .join(dl, Seq("doc_id"))
         .crossJoin(broadcast(stats))
         .select(col("doc_id"),
-          (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+          floor((log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
             * col("tf") * 2.2
             / (col("tf") + lit(1.2) *
               (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
-            .as("c"))
-        .groupBy("doc_id").agg(sum("c").as("s"))
-        .select(col("doc_id"), round(col("s"), 4).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+            * 1000000).cast("long").as("cm"))
+        .groupBy("doc_id").agg(sum("cm").cast("long").as("sm"))
+        .orderBy(col("sm").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"),
+          round(col("sm").cast("double") / 1000000, 4).as("bm25"))
   }
 
   /** END-TO-END curation pipeline — the composition a training run
