@@ -38,6 +38,20 @@ import org.apache.spark.sql.GraftBridge
   * inequality semantics); unmatched left rows keep nulls; at equal
   * right timestamps the last row in (key, ts) order wins — the same
   * row the composed window's `last()` picks.
+  *
+  * PARALLELISM BOUND: both children cluster on the JOIN KEY, so one
+  * pathological hot key serializes its entire merge into a single
+  * task — the same bound as the composed window form, and inherent to
+  * any per-key ordered semantics (a correct as-of must observe a
+  * key's rows in timestamp order). Correctness under a 90%-hot key is
+  * pinned in AsOfSkewSpec. Salting ([[graft.ops.Skew]]) is NOT sound
+  * here: the latest-at-or-before carry crosses any salt boundary. If
+  * one key genuinely outgrows a task, split its timeline into range
+  * buckets and carry each bucket's last right row forward as a seed
+  * (a per-bucket prefix pass over ~|buckets| rows), then as-of join
+  * within buckets — the composed [[graft.ops.AsOf]] expresses that
+  * shape over (key, bucket) sub-keys; at entity-grain keys (the
+  * reference's workloads) no key approaches a task's capacity.
   */
 object AsOfJoin {
 

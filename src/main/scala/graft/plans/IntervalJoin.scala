@@ -32,6 +32,17 @@ import org.apache.spark.sql.GraftBridge
   * columns must be timestamps (micros-as-long internally — the window
   * arithmetic is integer), and float/double keys are refused for the
   * same normalization reason as [[AsOfJoin]].
+  *
+  * PARALLELISM BOUND: children cluster on the JOIN KEY, so a hot key
+  * serializes its merge into one task (pinned correct under a
+  * 90%-hot key in AsOfSkewSpec) — the same bound as the composed
+  * banded form, whose (key, band) equi-join AQE can at least
+  * skew-split. When one key dominates AND its matches are sparse in
+  * time, prefer [[graft.ops.RangeJoin.withinGap]] with AQE skew join:
+  * its equi-join key (key, band) subdivides the hot key by time band,
+  * trading 3× right-side duplication for band-grain parallelism.
+  * Salting is unsound here for the same reason as the as-of carry:
+  * a pair's two rows must meet in one partition.
   */
 object IntervalJoin {
 

@@ -52,6 +52,55 @@ class AsOfSkewSpec extends SparkSpec {
     assert(out.toSet == Set((1L, 101L), (1L, 102L), (2L, 104L)))
   }
 
+  // one key owning 90% of both sides — the adversarial distribution
+  // for the native temporal joins, whose parallelism is bounded by key
+  // cardinality (ClusteredDistribution on the join key): the hot key's
+  // merge runs in ONE task, by design. These pin that correctness
+  // survives that shape; the bound itself is documented in the
+  // operators' scaladoc.
+  private def hotKey(i: Int): Long =
+    if (i % 10 != 0) 1L else ((i / 10) % 50 + 2).toLong
+
+  private def skewedSides() = {
+    val base = ts("2024-01-01 00:00:00").getTime
+    def t(sec: Long) = new java.sql.Timestamp(base + sec * 1000)
+    // multiplicative offsets mod a prime: distinct per-side timestamps
+    // (no (key, ts) right-side ties), deterministic across runs
+    val left = (1 to 2000).map(i =>
+      (i.toLong, hotKey(i), t((i * 37) % 4999))).toDF("event_id", "user_id", "ts")
+    val right = (1 to 600).map(j =>
+      (10000L + j, hotKey(j), t((j * 91) % 4999))).toDF("event_id", "user_id", "ts")
+    (left, right)
+  }
+
+  test("native as-of join: a 90%-hot key produces exactly the composed " +
+    "form's rows (the hot key serializes into one task, correctly)") {
+    val (left, right) = skewedSides()
+    val nat = plans.AsOfJoin.join(left, right, Seq("user_id"), "ts", "ts",
+      Seq("event_id"))
+      .select($"event_id", $"user_id", $"ts", $"asof_ts", $"asof_event_id")
+    val comp = AsOf.join(left, right, Seq("user_id"), "ts", "ts",
+      Seq("event_id"))
+      .select($"event_id", $"user_id", $"ts", $"asof_ts", $"asof_event_id")
+    assert(nat.count() === 2000L)
+    assert(rows(nat) == rows(comp))
+  }
+
+  test("native interval join: a 90%-hot key produces exactly the " +
+    "composed banded form's pairs") {
+    val (left, right) = skewedSides()
+    val nat = plans.IntervalJoin.join(left, right, Seq("user_id"),
+      "ts", "ts", 120L, Seq("event_id"))
+      .select($"event_id", $"band_event_id")
+    val r2 = right.withColumnRenamed("event_id", "r_event_id")
+      .withColumnRenamed("ts", "r_ts")
+    val comp = graft.ops.RangeJoin.withinGap(left, r2, Seq("user_id"),
+      "ts", "r_ts", 120L)
+      .select($"event_id", $"r_event_id".as("band_event_id"))
+    assert(rows(nat) == rows(comp))
+    assert(nat.count() > 0, "hot key must actually produce pairs")
+  }
+
   test("Skew.saltedJoin equals the plain join on a skewed key " +
     "distribution (inner and left)") {
     val big = (1 to 500).map(i => (if (i <= 450) 1L else i.toLong,
