@@ -94,19 +94,26 @@ object TextQueries {
     ()
   }
 
-  private val shingleSqlCte =
-    """sh AS (
-      |  SELECT doc_id,
-      |    substr(text,
-      |      CAST(unnest(range(1, greatest(len(text)-7,1)+1, 4)) AS INT),
-      |      8) AS sh
-      |  FROM documents),
-      |sig AS (
-      |  SELECT doc_id,
-      |    min(md5('0:' || sh)) AS mh0, min(md5('1:' || sh)) AS mh1,
-      |    min(md5('2:' || sh)) AS mh2, min(md5('3:' || sh)) AS mh3,
-      |    min(md5('4:' || sh)) AS mh4, min(md5('5:' || sh)) AS mh5
-      |  FROM sh GROUP BY doc_id)""".stripMargin
+  /** The MinHash signature CTE over an arbitrary source relation —
+    * q127 computes signatures over its GATED population (a per-doc
+    * map-only function, so gating before or after signing is
+    * equivalent; the CAPS below are what must see the gated set).
+    */
+  private def shingleSqlCteFrom(src: String): String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    substr(text,
+       |      CAST(unnest(range(1, greatest(len(text)-7,1)+1, 4)) AS INT),
+       |      8) AS sh
+       |  FROM $src),
+       |sig AS (
+       |  SELECT doc_id,
+       |    min(md5('0:' || sh)) AS mh0, min(md5('1:' || sh)) AS mh1,
+       |    min(md5('2:' || sh)) AS mh2, min(md5('3:' || sh)) AS mh3,
+       |    min(md5('4:' || sh)) AS mh4, min(md5('5:' || sh)) AS mh5
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val shingleSqlCte = shingleSqlCteFrom("documents")
 
   /** Exact dedup: count distinct normalized-text hashes per source. */
   val q28 = Q("q28_dedup_exact",
@@ -877,6 +884,129 @@ object TextQueries {
       best.unionByName(singletons)
   }
 
+  /** END-TO-END NEAR-DUP curation pipeline — [[q66]]'s composition
+    * with MinHash near-dup dedup in place of exact dedup, as ONE
+    * plan: language gate (predicted == labeled) → minimum-length
+    * gate → LSH candidate detection on the GATED population (q30's
+    * capped buckets over the shared signature artifact — signatures
+    * are per-doc map-only, so gating before or after signing is
+    * equivalent, while the 2..20 bucket caps correctly see only the
+    * gated set) → duplicate-cluster components (q64's operator) →
+    * keep the longest doc per cluster + singletons (q120's policy) →
+    * benchmark decontamination (q57's broadcast anti-join on the head
+    * fingerprint) → per-(lang, quality) corpus stats, q66's exact
+    * output shape so the exact-vs-near dedup pipelines are directly
+    * comparable.
+    *
+    * Scale shape, stage by stage: gates are map-only; the signature
+    * table is the per-session [[graft.Materialized]] artifact
+    * semi-joined down (at 100 TB: the stored signature table, scanned
+    * once); candidate pairs are cap-bounded per bucket; components is
+    * the O(log d)-round operator with one scalar per round to the
+    * driver; keep is one window at component grain; decontamination
+    * broadcasts only fingerprints; the final stats are one narrow
+    * two-key shuffle. The oracle mirrors every stage in SQL, the
+    * components via the recursive CTE q120 proved.
+    */
+  val q127 = Q("q127_neardup_pipeline",
+    s"""WITH RECURSIVE sc AS (
+       |  SELECT doc_id, lang, text, n_chars,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |$langHitsSqlCols
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang, text, n_chars, n_tokens,
+       |    $predLangSqlCase AS pred_lang
+       |  FROM sc),
+       |k AS (
+       |  SELECT doc_id, lang, text, n_chars, n_tokens,
+       |    CASE WHEN n_tokens >= 20 THEN 'good' ELSE 'ok' END AS quality,
+       |    $headFpSql AS head_fp
+       |  FROM p WHERE pred_lang = lang AND n_tokens >= 5),
+       |${shingleSqlCteFrom("k")},
+       |b AS (
+       |  SELECT doc_id, 0 AS band, mh0 || mh1 || mh2 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, mh3 || mh4 || mh5 AS key FROM sig),
+       |sized AS (
+       |  SELECT band, key FROM b GROUP BY band, key
+       |  HAVING count(*) BETWEEN 2 AND 20),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM sized x
+       |  JOIN b a ON a.band = x.band AND a.key = x.key
+       |  JOIN b c ON c.band = x.band AND c.key = x.key
+       |    AND a.doc_id < c.doc_id),
+       |nodes AS (
+       |  SELECT doc_a AS n FROM pairs
+       |  UNION SELECT doc_b FROM pairs),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |r(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT e.d, r.m FROM r JOIN edges e ON e.s = r.n),
+       |cc AS (SELECT n, min(m) AS comp FROM r GROUP BY n),
+       |ranked AS (
+       |  SELECT k.doc_id, k.lang, k.quality, k.n_tokens, k.head_fp,
+       |    row_number() OVER (PARTITION BY cc.comp
+       |      ORDER BY k.n_chars DESC, k.doc_id) AS rk
+       |  FROM cc JOIN k ON k.doc_id = cc.n),
+       |kept AS (
+       |  SELECT doc_id, lang, quality, n_tokens, head_fp
+       |  FROM ranked WHERE rk = 1
+       |  UNION ALL
+       |  SELECT doc_id, lang, quality, n_tokens, head_fp
+       |  FROM k WHERE doc_id NOT IN (SELECT n FROM nodes)),
+       |bench AS (
+       |  SELECT DISTINCT $headFpSql AS head_fp
+       |  FROM documents WHERE doc_id % 10 = 0)
+       |SELECT lang, quality, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM kept
+       |WHERE doc_id % 10 <> 0
+       |  AND NOT EXISTS (SELECT 1 FROM bench b WHERE b.head_fp = kept.head_fp)
+       |GROUP BY lang, quality""".stripMargin) { (s, dir) =>
+    val nTokens = size(TextOps.tokens(col("text"))).cast("long")
+    val k = withPredLang(docs(s, dir))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        nTokens.as("n_tokens"),
+        when(nTokens >= 20, "good").otherwise("ok").as("quality"),
+        headFp.as("head_fp"), col("pred_lang"))
+      .filter(col("pred_lang") === col("lang") && col("n_tokens") >= 5)
+      .drop("pred_lang")
+    val bnd = bands(s, dir)
+      .join(k.select("doc_id"), Seq("doc_id"), "left_semi")
+    val sized = bnd.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 20)).select("band", "key")
+    val inb = bnd.join(sized, Seq("band", "key"))
+    val pairs = inb
+      .select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(inb.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val cc = graft.ops.Components.connected(pairs)
+    val members = cc.join(k, cc("node") === k("doc_id"))
+    val w = Window.partitionBy("comp")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val keptCols = Seq("doc_id", "lang", "quality", "n_tokens", "head_fp")
+    val best = members.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(keptCols.map(col): _*)
+    val singles = k.join(cc.select("node"), k("doc_id") === col("node"),
+      "left_anti").select(keptCols.map(col): _*)
+    best.unionByName(singles)
+      .filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(benchFps(s, dir)), Seq("head_fp"), "left_anti")
+      .groupBy("lang", "quality")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        sum("doc_id").cast("long").as("id_sum"))
+  }
+
   /** RETRIEVAL SCORING — BM25 top-20 docs for a fixed query-term set
     * (Robertson/Lucene idf form, k1=1.2, b=0.75): the lexical-search
     * primitive a curation pipeline uses to pull benchmark-adjacent or
@@ -1491,5 +1621,5 @@ object TextQueries {
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
-      q81, q86, q87, q88, q89, q91, q120, q121)
+      q81, q86, q87, q88, q89, q91, q120, q121, q127)
 }
