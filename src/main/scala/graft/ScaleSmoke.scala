@@ -93,6 +93,7 @@ object ScaleSmoke {
     // warm-up, then declaration-order noop-sink timing
     spark.range(1000).selectExpr("sum(id)").collect()
     graft.queries.TextQueries.prewarm(spark, workDir)
+    graft.queries.Extras.prewarm(spark, workDir)
     val picked =
       if (only.isEmpty) Registry.all else Registry.all.filter(q => only(q.name))
     val results = Bench.run(spark, workDir, picked)
