@@ -697,6 +697,151 @@ object SimQueries {
         count(lit(1)).as("n"))
   }
 
+  /** SEMANTIC dedup, end-to-end in one plan — the embedding-space
+    * analog of q127's MinHash pipeline, following the published
+    * SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): cluster
+    * the corpus with a coarse quantizer, find high-cosine pairs
+    * WITHIN a cluster only, connect them into duplicate groups, and
+    * from each group KEEP the member with the LOWEST similarity to
+    * its cluster centroid (the paper's rule: prefer the outlier,
+    * drop the redundant core). Composition of proven pieces:
+    *
+    *  1. cell assignment = q48's [[Similarity.ivfAssign]] (broadcast
+    *     K-row centroid table, ONE exchange of exactly n rows);
+    *  2. pair candidates keyed on (cid, LSH sub-bucket): the
+    *     sub-bucket ([[Similarity.lshBucket]], `SemPlanes` planes)
+    *     bounds the within-cell pair join the way q39's buckets do —
+    *     at production scale cells hold ~targetCell vectors but a
+    *     skewed quantizer can still produce hot cells, and the
+    *     (2..`SemMaxBucket`) cap makes the worst case C(cap, 2)
+    *     pairs per key, linear in the corpus, never quadratic;
+    *  3. rounded-cosine threshold (> `SemTau`) on the candidate
+    *     pairs — the q37/q39 determinism device (identical
+    *     left-to-right fold in both engines, then round 6dp);
+    *  4. [[graft.ops.Components.connected]] over the pair list
+    *     (every member carries exactly one (cid, bkt) key, so
+    *     components never span cells — the paper's within-cluster
+    *     contract);
+    *  5. keep rule per component: ascending centroid-cosine, ties to
+    *     the lowest vec_id — one row_number window at component
+    *     grain.
+    *
+    * Output is the per-component decision table (component id, cell,
+    * member count, kept vector, its centroid-cosine) — the join key
+    * a curation pass uses to drop `n_members − 1` rows per group.
+    * Oracled in DuckDB via q48's centroid VALUES + q127's
+    * recursive-CTE components device. The assignment frame is
+    * referenced three times (cap sizing, both pair sides, member
+    * info), so it is cached via [[graft.Materialized]] as ONE frame
+    * and every use joins that same instance — the q77/q112 lesson:
+    * a frame joined against a derivation of itself loses the cache
+    * to analyzer attribute dedup.
+    */
+  private val SemPlanes = 2
+  private val SemMaxBucket = 40
+  private val SemTau = 0.2
+  private val centNormSql =
+    "sqrt(list_sum(list_transform(range(1,65), i -> " +
+      "c.ce[CAST(i AS INT)]::DOUBLE * c.ce[CAST(i AS INT)]::DOUBLE)))"
+  private val pairDotSql =
+    "list_sum(list_transform(range(1,65), i -> " +
+      "a.embedding[CAST(i AS INT)]::DOUBLE * " +
+      "b.embedding[CAST(i AS INT)]::DOUBLE))"
+
+  val q128 = Q("q128_semantic_dedup",
+    s"""WITH RECURSIVE cent AS (
+       |  SELECT CAST(cid AS BIGINT) AS cid, ce
+       |  FROM (VALUES $centroidValuesSql) t(cid, ce)),
+       |e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm,
+       |    ${bucketSql(SemPlanes)} AS bkt
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, e.bkt, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY round(list_sum(list_transform(
+       |                         range(1,65), i ->
+       |                         e.embedding[CAST(i AS INT)]::DOUBLE *
+       |                         c.ce[CAST(i AS INT)]::DOUBLE)), 6) DESC,
+       |                       c.cid) AS rnp
+       |  FROM e CROSS JOIN cent c),
+       |asn AS (
+       |  SELECT vec_id, embedding, nrm, bkt, cid
+       |  FROM sc WHERE rnp = 1),
+       |cd AS (
+       |  SELECT a.vec_id, a.embedding, a.nrm, a.bkt, a.cid,
+       |    round(list_sum(list_transform(range(1,65), i ->
+       |        a.embedding[CAST(i AS INT)]::DOUBLE *
+       |        c.ce[CAST(i AS INT)]::DOUBLE))
+       |      / (a.nrm * $centNormSql), 6) AS ccos
+       |  FROM asn a JOIN cent c ON c.cid = a.cid),
+       |sized AS (
+       |  SELECT cid, bkt FROM asn GROUP BY cid, bkt
+       |  HAVING count(*) BETWEEN 2 AND $SemMaxBucket),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cd a
+       |  JOIN sized s ON s.cid = a.cid AND s.bkt = a.bkt
+       |  JOIN cd b ON b.cid = a.cid AND b.bkt = a.bkt
+       |    AND a.vec_id < b.vec_id
+       |  WHERE round($pairDotSql / (a.nrm * b.nrm), 6) > $SemTau),
+       |nodes AS (
+       |  SELECT id_a AS n FROM pairs
+       |  UNION SELECT id_b FROM pairs),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |r(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT e.d, r.m FROM r JOIN edges e ON e.s = r.n),
+       |cc AS (SELECT n, min(m) AS comp FROM r GROUP BY n),
+       |ranked AS (
+       |  SELECT cc.comp, cd.vec_id, cd.cid, cd.ccos,
+       |    row_number() OVER (PARTITION BY cc.comp
+       |      ORDER BY cd.ccos, cd.vec_id) AS rk
+       |  FROM cc JOIN cd ON cd.vec_id = cc.n)
+       |SELECT comp, min(cid) AS cid, count(*) AS n_members,
+       |  min(CASE WHEN rk = 1 THEN vec_id END) AS keep_id,
+       |  min(CASE WHEN rk = 1 THEN ccos END) AS keep_ccos
+       |FROM ranked GROUP BY comp""".stripMargin) { (s, dir) =>
+    val cent = Similarity.centroidTable(s, K, D)
+    val cd = graft.Materialized(s, s"semdedup_cd:$dir") {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"))
+      Similarity.ivfAssign(e, cent)
+        .withColumn("bkt",
+          Similarity.lshBucket(col("embedding"), SemPlanes, D))
+        .join(broadcast(cent), Seq("cid"))
+        .withColumn("ccos",
+          round(Similarity.dot(col("embedding"), col("ce"))
+            / (col("nrm") * Similarity.norm(col("ce"))), 6))
+        .drop("ce")
+    }
+    val sized = cd.groupBy("cid", "bkt").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, SemMaxBucket)).select("cid", "bkt")
+    val inb = cd.join(broadcast(sized), Seq("cid", "bkt"))
+    val a = inb.select(col("cid"), col("bkt"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = inb.select(col("cid"), col("bkt"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cid", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Similarity.dot(col("ea"), col("eb"))
+        / (col("na") * col("nb")), 6) > SemTau)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val cc = graft.ops.Components.connected(pairs)
+    val ranked = cc.join(cd, cc("node") === cd("vec_id"))
+      .withColumn("rk", row_number().over(Window.partitionBy("comp")
+        .orderBy(col("ccos").asc, col("vec_id").asc)))
+    ranked.groupBy("comp")
+      .agg(min("cid").as("cid"),
+        count(lit(1)).as("n_members"),
+        min(when(col("rk") === 1, col("vec_id"))).as("keep_id"),
+        min(when(col("rk") === 1, col("ccos"))).as("keep_ccos"))
+  }
+
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
-    q113)
+    q113, q128)
 }
