@@ -730,12 +730,14 @@ object SimQueries {
     * member count, kept vector, its centroid-cosine) — the join key
     * a curation pass uses to drop `n_members − 1` rows per group.
     * Oracled in DuckDB via q48's centroid VALUES + q127's
-    * recursive-CTE components device. The assignment frame is
-    * referenced three times (cap sizing, both pair sides, member
-    * info), so it is cached via [[graft.Materialized]] as ONE frame
-    * and every use joins that same instance — the q77/q112 lesson:
-    * a frame joined against a derivation of itself loses the cache
-    * to analyzer attribute dedup.
+    * recursive-CTE components device.
+    *
+    * The implementation is [[Similarity.semanticDedup]] — the
+    * PARAMETERIZED operator (any centroid table, corpus-sized K and
+    * planes via cellsFor/planesFor). This registry instance pins
+    * K = cellsFor(500, 64) = 8 and `SemPlanes` = 2 sub-planes so the
+    * static oracle SQL and the Spark plan see the same quantizer;
+    * Round8Spec drives the operator at other quantizer sizes.
     */
   private val SemPlanes = 2
   private val SemMaxBucket = 40
@@ -805,41 +807,10 @@ object SimQueries {
        |  min(CASE WHEN rk = 1 THEN vec_id END) AS keep_id,
        |  min(CASE WHEN rk = 1 THEN ccos END) AS keep_ccos
        |FROM ranked GROUP BY comp""".stripMargin) { (s, dir) =>
-    val cent = Similarity.centroidTable(s, K, D)
-    val cd = graft.Materialized(s, s"semdedup_cd:$dir") {
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          Similarity.norm(col("embedding")).as("nrm"))
-      Similarity.ivfAssign(e, cent)
-        .withColumn("bkt",
-          Similarity.lshBucket(col("embedding"), SemPlanes, D))
-        .join(broadcast(cent), Seq("cid"))
-        .withColumn("ccos",
-          round(Similarity.dot(col("embedding"), col("ce"))
-            / (col("nrm") * Similarity.norm(col("ce"))), 6))
-        .drop("ce")
-    }
-    val sized = cd.groupBy("cid", "bkt").agg(count(lit(1)).as("n"))
-      .filter(col("n").between(2, SemMaxBucket)).select("cid", "bkt")
-    val inb = cd.join(broadcast(sized), Seq("cid", "bkt"))
-    val a = inb.select(col("cid"), col("bkt"), col("vec_id").as("id_a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = inb.select(col("cid"), col("bkt"), col("vec_id").as("id_b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("cid", "bkt"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(round(Similarity.dot(col("ea"), col("eb"))
-        / (col("na") * col("nb")), 6) > SemTau)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    val cc = graft.ops.Components.connected(pairs)
-    val ranked = cc.join(cd, cc("node") === cd("vec_id"))
-      .withColumn("rk", row_number().over(Window.partitionBy("comp")
-        .orderBy(col("ccos").asc, col("vec_id").asc)))
-    ranked.groupBy("comp")
-      .agg(min("cid").as("cid"),
-        count(lit(1)).as("n_members"),
-        min(when(col("rk") === 1, col("vec_id"))).as("keep_id"),
-        min(when(col("rk") === 1, col("ccos"))).as("keep_ccos"))
+    Similarity.semanticDedup(
+      Tables(s, dir, "embeddings").select("vec_id", "embedding"),
+      Similarity.centroidTable(s, K, D), SemPlanes, D,
+      SemMaxBucket, SemTau, cacheKey = s"semdedup_cd:$dir")
   }
 
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,

@@ -138,6 +138,65 @@ object Similarity {
       .select("vec_id", "embedding", "nrm", "cid")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540) as a reusable operator: cluster with the coarse
+    * quantizer `cent` (a (cid, ce) table — [[centroidTable]] or real
+    * k-means output), find rounded-cosine pairs above `minSim` WITHIN
+    * a (cell, LSH sub-bucket) key only, connect them into duplicate
+    * groups, and per group keep the member with the LOWEST cosine to
+    * its cell centroid (the paper's rule: prefer the outlier, drop
+    * the redundant core). Returns the per-component decision table
+    * (comp, cid, n_members, keep_id, keep_ccos) — the join key a
+    * curation pass uses to drop `n_members − 1` rows per group.
+    *
+    * `e` must carry (`vec_id`, `embedding`). Production sizing: K =
+    * [[cellsFor]](n, targetCell) cells and `nPlanes` =
+    * [[planesFor]](targetCell, targetBucket) sub-planes keep the
+    * expected (cid, bkt) population constant as the corpus grows, so
+    * the 2..`maxBucket` cap (the q30/q39 skew guard — worst case
+    * C(maxBucket, 2) pairs per key) stays a guard, not a recall
+    * ceiling. The assignment+centroid-cosine frame is referenced
+    * three times (cap sizing, both pair sides, member info), so it is
+    * cached ONCE under `cacheKey` via [[graft.Materialized]] — the
+    * key must include every input it depends on (corpus dir, cent
+    * parameters).
+    */
+  def semanticDedup(e: DataFrame, cent: DataFrame, nPlanes: Int,
+      dim: Int, maxBucket: Int, minSim: Double, cacheKey: String)
+      : DataFrame = {
+    val s = e.sparkSession
+    val cd = graft.Materialized(s, cacheKey) {
+      ivfAssign(e.select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm")), cent)
+        .withColumn("bkt", lshBucket(col("embedding"), nPlanes, dim))
+        .join(broadcast(cent), Seq("cid"))
+        .withColumn("ccos", round(dot(col("embedding"), col("ce"))
+          / (col("nrm") * norm(col("ce"))), 6))
+        .drop("ce")
+    }
+    val sized = cd.groupBy("cid", "bkt").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket)).select("cid", "bkt")
+    val inb = cd.join(broadcast(sized), Seq("cid", "bkt"))
+    val a = inb.select(col("cid"), col("bkt"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = inb.select(col("cid"), col("bkt"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cid", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dot(col("ea"), col("eb"))
+        / (col("na") * col("nb")), 6) > minSim)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val cc = graft.ops.Components.connected(pairs)
+    val ranked = cc.join(cd, cc("node") === cd("vec_id"))
+      .withColumn("rk", row_number().over(Window.partitionBy("comp")
+        .orderBy(col("ccos").asc, col("vec_id").asc)))
+    ranked.groupBy("comp")
+      .agg(min("cid").as("cid"),
+        count(lit(1)).as("n_members"),
+        min(when(col("rk") === 1, col("vec_id"))).as("keep_id"),
+        min(when(col("rk") === 1, col("ccos"))).as("keep_ccos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, bucketed AND capped.
     *
     * `e` must carry (`vec_id`, `embedding`). Pairs are generated only

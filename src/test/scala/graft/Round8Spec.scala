@@ -44,6 +44,30 @@ class Round8Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("semanticDedup operator: corpus-sized quantizer (cellsFor/" +
+    "planesFor production sizing) upholds the same decision-table " +
+    "invariants as the pinned registry instance") {
+    import graft.sim.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val n = e.count()
+    val k = Similarity.cellsFor(n, 32) // finer quantizer than q128's
+    val cent = Similarity.centroidTable(spark, k, 64)
+    val planes = Similarity.planesFor(32, 8)
+    val d = Similarity.semanticDedup(e, cent, planes, 64,
+      maxBucket = 40, minSim = 0.2,
+      cacheKey = s"semdedup_spec:$sf:$k:$planes").collect()
+    assert(d.nonEmpty, "finer quantizer still finds duplicate groups")
+    d.foreach { r =>
+      assert(r.getLong(2) >= 2, "component below pair size")
+      assert(r.getLong(0) <= r.getLong(3), "keeper below component min")
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= k,
+        s"cell id ${r.getLong(1)} outside 1..$k")
+    }
+    assert(d.map(_.getLong(2)).sum <= n,
+      "components are disjoint; members cannot exceed corpus")
+  }
+
   test("q128: centroid assignment broadcasts the K-row table and the " +
     "bucket cap broadcasts the sized keys — the corpus never shuffles " +
     "for either") {
