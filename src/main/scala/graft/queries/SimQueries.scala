@@ -813,6 +813,81 @@ object SimQueries {
       SemMaxBucket, SemTau, cacheKey = s"semdedup_cd:$dir")
   }
 
+  /** SEMANTIC decontamination — the embedding-space member of the
+    * decontamination family (exact n-gram q57/q63/q88, Bloom-pruned
+    * q107): drop training documents whose embedding is too close to
+    * any held-out benchmark vector, the published guard against
+    * paraphrase-level test-set leakage that token matching misses
+    * (e.g. the contamination analyses in the GPT-3 and PaLM reports
+    * use n-gram overlap and note its blind spot). Contract mirrors
+    * q57: `vec_id % 10 = 0` is the held-out benchmark set.
+    *
+    * Plan: the benchmark set BROADCASTS (small by contract — the
+    * eval suite, not the corpus); the corpus streams through ONE
+    * BroadcastNestedLoopJoin scoring every (corpus, bench) pair with
+    * the codegen'd [[Similarity.dot]], and the per-vector max
+    * collapses the |bench|× expansion MAP-SIDE (same device as
+    * [[Similarity.ivfAssign]]'s argmax) — the exchange carries
+    * exactly one row per corpus vector. Corpus cost is linear,
+    * bench-bounded, zero corpus shuffles before the n-row grain.
+    * When the benchmark set itself outgrows broadcast, route BOTH
+    * sides through [[Similarity.ivfAssign]] and score only same-cell
+    * pairs — the q107 move (ship a compact structure, not values),
+    * at the price of probe-miss recall.
+    *
+    * Determinism: cosines rounded to 6dp before max (identical
+    * left-to-right fold in both engines); max of identical doubles
+    * is order-free. Output at (label) grain: docs, flagged, kept,
+    * and the per-label max similarity as the audit diagnostic.
+    */
+  private val DecontamTau = 0.3
+
+  val q129 = Q("q129_semantic_decontam",
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding, $normSql AS nrm
+       |  FROM embeddings),
+       |b AS (
+       |  SELECT embedding AS be, nrm AS bn FROM e WHERE vec_id % 10 = 0),
+       |c AS (
+       |  SELECT vec_id, label, embedding, nrm FROM e
+       |  WHERE vec_id % 10 <> 0),
+       |sims AS (
+       |  SELECT c.vec_id, c.label,
+       |    round(list_sum(list_transform(range(1,65), i ->
+       |        c.embedding[CAST(i AS INT)]::DOUBLE *
+       |        b.be[CAST(i AS INT)]::DOUBLE)) / (c.nrm * b.bn), 6) AS sim
+       |  FROM c CROSS JOIN b),
+       |mx AS (
+       |  SELECT vec_id, label, max(sim) AS maxsim
+       |  FROM sims GROUP BY vec_id, label)
+       |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN maxsim > $DecontamTau THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_flagged,
+       |  CAST(sum(CASE WHEN maxsim > $DecontamTau THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_kept,
+       |  max(maxsim) AS max_sim
+       |FROM mx GROUP BY 1""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val bench = e.filter(col("vec_id") % 10 === 0)
+      .select(col("embedding").as("be"), col("nrm").as("bn"))
+    val corp = e.filter(col("vec_id") % 10 =!= 0)
+    val mx = corp.crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("label"),
+        round(Similarity.dot(col("embedding"), col("be"))
+          / (col("nrm") * col("bn")), 6).as("sim"))
+      .groupBy("vec_id", "label")
+      .agg(max("sim").as("maxsim"))
+    mx.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("maxsim") > DecontamTau, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(when(col("maxsim") > DecontamTau, 0L).otherwise(1L))
+          .as("n_kept"),
+        max("maxsim").as("max_sim"))
+  }
+
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
-    q113, q128)
+    q113, q128, q129)
 }

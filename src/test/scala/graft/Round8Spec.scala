@@ -68,6 +68,28 @@ class Round8Spec extends SparkSpec {
       "components are disjoint; members cannot exceed corpus")
   }
 
+  test("q129: benchmark set broadcasts and the per-vector max " +
+    "collapses map-side — two exchanges total (vector grain, label " +
+    "grain), and flags reconcile to the corpus") {
+    val df = queries.SimQueries.q129.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bench side must broadcast:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"corpus must not shuffle before the vector grain:\n$plan")
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        "n_docs = n_flagged + n_kept")
+      assert(r.getDouble(4) <= 1.0 + 1e-9, "cosine above 1")
+    }
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter($"vec_id" % 10 =!= 0).count()
+    assert(rows.map(_.getLong(1)).sum == corpus,
+      "every non-benchmark vector is classified exactly once")
+  }
+
   test("q128: centroid assignment broadcasts the K-row table and the " +
     "bucket cap broadcasts the sized keys — the corpus never shuffles " +
     "for either") {
