@@ -56,6 +56,37 @@ object StreamingEtl {
     src.withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(fingerprintCol)
 
+  /** Streaming semantic decontamination — q129's gate at INGEST time:
+    * each arriving embedding row gains `maxsim` (its max rounded
+    * cosine against the held-out benchmark set) and a `contaminated`
+    * flag. The benchmark set is inlined as a LITERAL array of
+    * vectors, so the scorer is completely STATELESS — a map-only
+    * projection that runs in append mode with no watermark, no state
+    * store, and no shuffle (the batch q129 gets the same per-vector
+    * result via broadcast + map-side max collapse; this form trades
+    * the codegen'd BNLJ for per-row literal-array folds, the right
+    * shape when rows arrive one micro-batch at a time). Bench norms
+    * are precomputed on the driver once — kilobytes by the same
+    * eval-suite contract as q129.
+    */
+  def semanticDecontamStream(src: DataFrame,
+      bench: Seq[Seq[Float]], tau: Double): DataFrame = {
+    import graft.sim.Similarity
+    require(bench.nonEmpty, "benchmark set must be non-empty")
+    val sims = bench.map { v =>
+      // same left-to-right float→double fold as Similarity.norm, so
+      // the stream scorer is bit-identical to the batch q129 path
+      val bn = math.sqrt(v.foldLeft(0.0)((a, x) =>
+        a + x.toDouble * x.toDouble))
+      val be = array(v.map(lit): _*)
+      round(Similarity.dot(col("embedding"), be)
+        / (Similarity.norm(col("embedding")) * lit(bn)), 6)
+    }
+    val mx = if (sims.size == 1) sims.head else greatest(sims: _*)
+    src.withColumn("maxsim", mx)
+      .withColumn("contaminated", col("maxsim") > tau)
+  }
+
   /** File-arrival SCD1: each micro-batch of source rows is merged into
     * the parquet warehouse table with the SAME batch operator
     * (Scd.scd1Merge) — the reference's daily merge, continuously.

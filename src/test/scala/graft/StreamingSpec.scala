@@ -305,4 +305,41 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     assert(rows(spark.table("quality_stream")) == rows(batch))
   }
+
+  test("semanticDecontamStream: the stateless literal-fold scorer on " +
+    "the stream is row-identical to q129's broadcast-join batch scorer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sim.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val bench = all.filter($"vec_id" % 10 === 0).collect()
+      .map(_.getSeq[Float](1).toSeq).toSeq
+    val corpusRows = all.filter($"vec_id" % 10 =!= 0).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingEtl.semanticDecontamStream(
+        input.toDF().toDF("vec_id", "embedding"), bench, 0.3)
+      .select($"vec_id", $"maxsim", $"contaminated")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("decontam_stream").start()
+    val (b1, b2) = corpusRows.splitAt(corpusRows.length / 2)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch reference: the q129 shape (broadcast bench, map-side max)
+    val be = all.filter($"vec_id" % 10 === 0).select(
+      $"embedding".as("bemb"), Similarity.norm($"embedding").as("bn"))
+    val batch = all.filter($"vec_id" % 10 =!= 0)
+      .select($"vec_id", $"embedding",
+        Similarity.norm($"embedding").as("nrm"))
+      .crossJoin(broadcast(be))
+      .select($"vec_id", round(Similarity.dot($"embedding", $"bemb")
+        / ($"nrm" * $"bn"), 6).as("sim"))
+      .groupBy("vec_id").agg(max($"sim").as("maxsim"))
+      .withColumn("contaminated", $"maxsim" > 0.3)
+    assert(rows(spark.table("decontam_stream")) == rows(batch))
+  }
 }
