@@ -112,6 +112,18 @@ object Similarity {
     * reproducible across engines (struct max = (d, -cid) lexicographic).
     */
   def ivfAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    // Plan note (audited round 8): this aggregation is a
+    // SortAggregate, and that is the deliberate trade. The cause is
+    // not max(struct) — any formulation that carries the embedding
+    // payload through the aggregation buffer (first(array), max_by,
+    // a packed-long argmax) is ineligible for HashAggregate, because
+    // Tungsten's hash buffer holds only mutable fixed-width types.
+    // The payload-free alternative (hash-aggregate (vec_id, pk)
+    // longs, then join the winner back to `e`) does plan
+    // HashAggregate but pays TWO extra n-row exchanges plus the SMJ
+    // sorts of the join — strictly more shuffle, the scarce resource
+    // at 100 TB. One exchange of exactly n payload rows with a local
+    // linear-run sort on each side beats three exchanges.
     e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cid"), round(dot(col("embedding"), col("ce")), 6).as("d"))
