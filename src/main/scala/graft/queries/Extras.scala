@@ -1312,7 +1312,97 @@ object Extras {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Curation extension — TEMPERATURE-scaled mixture resampling
+    * (q109's generalization): instead of equal target shares, each
+    * source's target share is p_s^(1/T) renormalized — the standard
+    * smoothing that up-weights small domains without flattening the
+    * mix entirely (the multilingual-sampling device of the mT5 and
+    * XLM-R recipes). This query pins T = 2, the sqrt point of the
+    * family, which is what makes the decision ENGINE-EXACT:
+    *
+    *  - `sqrt(n_s)` is correctly rounded by IEEE-754 contract in
+    *    every compliant engine (unlike pow(x, 1/T) for general T,
+    *    whose last bits are implementation-defined — the reason
+    *    general T is NOT offered as an oracled query);
+    *  - `floor(sqrt(n_s)·2^20)` scales by a power of two (exact) and
+    *    floors to the integer micro-unit weight s_s, so the k-row
+    *    weight table is integer from there on — the weight SUM is
+    *    order-free;
+    *  - the per-source keep threshold r_s = ⌊65536·s_s·n_tot /
+    *    (s_tot·n_s)⌋ is INTEGRAL DIVISION in decimal(38,0) (Spark
+    *    `div` = IntegralDivide, DuckDB `//` — both true floor on
+    *    positives, no rounding mode in sight), clamping to rate 1
+    *    automatically since h ≤ 65535 < r_s whenever the unclamped
+    *    rate ≥ 1;
+    *  - keep iff h < r_s with h the first 4 md5 hex digits of doc_id
+    *    (q109's uniform 0..65535 device).
+    *
+    * Scale shape identical to q109: a k-row source table (one
+    * aggregate), window totals at k grain, broadcast back, map-side
+    * keep predicate, one exchange for the report.
+    */
+  val q130 = Q("q130_temperature_mix",
+    """WITH s AS (
+      |  SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+      |q AS (
+      |  SELECT lang, n_s,
+      |    CAST(floor(sqrt(n_s) * 1048576) AS BIGINT) AS s_s
+      |  FROM s),
+      |r AS (
+      |  SELECT lang, n_s, s_s,
+      |    (SELECT sum(s_s) FROM q) AS s_tot,
+      |    (SELECT sum(n_s) FROM q) AS n_tot
+      |  FROM q),
+      |thr AS (
+      |  SELECT lang, n_s,
+      |    CAST((65536::HUGEINT * s_s * n_tot) // (s_tot * n_s)
+      |      AS BIGINT) AS r_s
+      |  FROM r),
+      |d AS (
+      |  SELECT d.doc_id, d.lang, thr.r_s,
+      |    CAST(strpos('0123456789abcdef',
+      |           substr(md5(d.doc_id::VARCHAR), 1, 1)) - 1 AS BIGINT)
+      |      * 4096
+      |    + (strpos('0123456789abcdef',
+      |         substr(md5(d.doc_id::VARCHAR), 2, 1)) - 1) * 256
+      |    + (strpos('0123456789abcdef',
+      |         substr(md5(d.doc_id::VARCHAR), 3, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef',
+      |        substr(md5(d.doc_id::VARCHAR), 4, 1)) - 1 AS h
+      |  FROM documents d JOIN thr USING (lang))
+      |SELECT lang, count(*) AS n_before,
+      |  CAST(sum(CASE WHEN h < r_s THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(sum(CASE WHEN h < r_s THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS kept_id_sum,
+      |  round(least(1.0, CAST(max(r_s) AS DOUBLE) / 65536), 6) AS rate
+      |FROM d GROUP BY lang""".stripMargin) { (s, dir) =>
+    val wAll = Window.partitionBy()
+    val perSrc = docsTable(s, dir).groupBy("lang")
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("s_s",
+        floor(sqrt(col("n_s").cast("double")) * (1L << 20)).cast("long"))
+      .withColumn("s_tot", sum("s_s").over(wAll))
+      .withColumn("n_tot", sum("n_s").over(wAll))
+      .withColumn("r_s", expr(
+        "(CAST(65536 AS DECIMAL(38,0)) * s_s * n_tot) div " +
+          "(CAST(s_tot AS DECIMAL(38,0)) * n_s)"))
+      .select("lang", "r_s")
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long")
+    val keep = col("h") < col("r_s")
+    docsTable(s, dir).select(col("doc_id"), col("lang"), h.as("h"))
+      .join(broadcast(perSrc), Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(keep, 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(keep, col("doc_id")).otherwise(0)).cast("long")
+          .as("kept_id_sum"),
+        round(least(lit(1.0), max(col("r_s")).cast("double") / 65536),
+          6).as("rate"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
-    q117, q118, q124, q125, q126)
+    q117, q118, q124, q125, q126, q130)
 }

@@ -90,6 +90,39 @@ class Round8Spec extends SparkSpec {
       "every non-benchmark vector is classified exactly once")
   }
 
+  test("q130: temperature resampling downweights the dominant " +
+    "language toward its sqrt share, clamps the rest at 1, and the " +
+    "reported rate matches an independent integer recomputation") {
+    val rows130 = queries.Extras.q130.fn(spark, sf).collect()
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent threshold math: s_s = floor(sqrt(n)*2^20) exact,
+    // r_s = floor(65536*s_s*N / (s_tot*n)) in BigInt
+    val sS = counts.map { case (l, n) =>
+      l -> BigInt(math.floor(math.sqrt(n.toDouble) * (1L << 20)).toLong)
+    }
+    val sTot = sS.values.sum
+    val nTot = BigInt(counts.values.sum)
+    rows130.foreach { r =>
+      val (lang, before, kept, rate) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4))
+      val rS = (BigInt(65536) * sS(lang) * nTot) /
+        (sTot * BigInt(counts(lang)))
+      val expRate = math.min(1.0,
+        (rS.toDouble / 65536 * 1e6).round / 1e6)
+      assert(rate == expRate, s"$lang rate $rate != recomputed $expRate")
+      assert(kept <= before)
+      if (rate == 1.0) assert(kept == before,
+        s"$lang clamped at 1 must keep everything")
+      else assert(kept < before, s"$lang rate $rate must drop docs")
+    }
+    // the dominant language is genuinely downsampled on this corpus
+    val en = rows130.find(_.getString(0) == "en").get
+    assert(en.getDouble(4) < 1.0 && en.getLong(2) < en.getLong(1),
+      "en is ~44% of the corpus; T=2 must shrink it")
+  }
+
   test("q128: centroid assignment broadcasts the K-row table and the " +
     "bucket cap broadcasts the sized keys — the corpus never shuffles " +
     "for either") {
