@@ -1618,8 +1618,121 @@ object TextQueries {
         round(col("ni").cast("double") / col("nb"), 6).as("cont_b"))
   }
 
+  /** LSH CALIBRATION — the empirical s-curve of the q30 candidate
+    * generator: for a deterministic 10% BLOCK sample (doc_id % 20 <
+    * 2 — blocks of two consecutive ids, so the sample contains the
+    * id-adjacent pairs where this corpus's near-dups live), compute
+    * EXACT Jaccard over the INDEX'S OWN shingle space (8-char
+    * stride-4 shingles — the set the minhash signature actually
+    * sketches; 4-gram Jaccard would be a different measure and the
+    * banding theory would not apply to it), bucket by Jaccard
+    * decile, and report per decile how many pairs the production
+    * generator (2 bands × 3 minhash rows, buckets capped 2..20 on
+    * the FULL corpus — the caps are part of what is measured)
+    * actually surfaced, next to the banding expectation
+    * P(candidate) = 1 − (1 − j³)² (Broder/MMDS analysis). This is
+    * the dedup-side analog of q55's ANN recall harness: the number
+    * that certifies the index, not just runs it.
+    *
+    * Determinism: jaccard and hit_rate are divisions of exact
+    * integers (identical doubles in both engines — the unrounded-
+    * division convention); the decile is floor(jac·10) clamped to
+    * 9; expected_rate uses multiplication only (m·m·m, x·x — no
+    * pow()), so every output bit matches across engines. Base
+    * population: sample pairs sharing ≥ 1 shingle (a pair sharing
+    * none has j = 0 and a cryptographically negligible candidate
+    * probability).
+    *
+    * Scale shape: the exact side is all-pairs ON THE SAMPLE ONLY
+    * (C(n/10, 2) array_intersects over per-row shingle sets — the
+    * sample rate is the knob that keeps the harness affordable
+    * while the generator under test runs against the whole corpus);
+    * the candidate side reuses the shared bands artifact and its
+    * full-corpus caps, filtered to sample docs before the pair
+    * join.
+    */
+  val q131 = Q("q131_lsh_scurve",
+    s"""WITH $shingleSqlCte,
+       |b AS (
+       |  SELECT doc_id, 0 AS band, mh0 || mh1 || mh2 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, mh3 || mh4 || mh5 AS key FROM sig),
+       |sized AS (
+       |  SELECT band, key FROM b GROUP BY band, key
+       |  HAVING count(*) BETWEEN 2 AND 20),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM sized x
+       |  JOIN b a ON a.band = x.band AND a.key = x.key
+       |    AND a.doc_id % 20 < 2
+       |  JOIN b c ON c.band = x.band AND c.key = x.key
+       |    AND c.doc_id % 20 < 2 AND a.doc_id < c.doc_id),
+       |sp AS (
+       |  SELECT DISTINCT doc_id, sh AS g FROM sh WHERE doc_id % 20 < 2),
+       |c AS (SELECT doc_id, count(*) AS n FROM sp GROUP BY doc_id),
+       |i AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+       |  FROM sp a JOIN sp b ON b.g = a.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jac
+       |  FROM i
+       |  JOIN c ca ON ca.doc_id = i.doc_a
+       |  JOIN c cb ON cb.doc_id = i.doc_b),
+       |h AS (
+       |  SELECT least(CAST(floor(j.jac * 10) AS BIGINT), 9) AS bucket,
+       |    CASE WHEN cand.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM j LEFT JOIN cand
+       |    ON cand.doc_a = j.doc_a AND cand.doc_b = j.doc_b)
+       |SELECT bucket, count(*) AS n_pairs,
+       |  CAST(sum(hit) AS BIGINT) AS n_hits,
+       |  CAST(sum(hit) AS DOUBLE) / count(*) AS hit_rate,
+       |  1 - (1 - ((bucket + 0.5) / 10) * ((bucket + 0.5) / 10)
+       |         * ((bucket + 0.5) / 10))
+       |    * (1 - ((bucket + 0.5) / 10) * ((bucket + 0.5) / 10)
+       |         * ((bucket + 0.5) / 10)) AS expected_rate
+       |FROM h GROUP BY bucket""".stripMargin) { (s, dir) =>
+    val bnd = bands(s, dir)
+    val sized = bnd.groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, 20)).select("band", "key")
+    val inCap = bnd.join(sized, Seq("band", "key"))
+      .filter(col("doc_id") % 20 < 2)
+    val cand = inCap.select(col("band"), col("key"),
+        col("doc_id").as("doc_a"))
+      .join(inCap.select(col("band"), col("key"),
+        col("doc_id").as("doc_b")), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .withColumn("hit0", lit(1))
+    // the index's own shingle space: 8-char shingles at stride 4
+    val sets = docs(s, dir).filter(col("doc_id") % 20 < 2)
+      .select(col("doc_id"),
+        graft.functions.TextHashF.shingleSet(col("text"), 8, 4).as("gs"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("gs").as("ga"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("gs").as("gb"))
+    val jac = broadcast(a).join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).as("ni"),
+        size(col("ga")).as("na"), size(col("gb")).as("nb"))
+      .filter(col("ni") > 0)
+      .select(col("doc_a"), col("doc_b"), (col("ni").cast("double")
+        / (col("na") + col("nb") - col("ni"))).as("jac"))
+    val mid = (col("bucket") + lit(0.5)) / 10
+    val j3 = mid * mid * mid
+    jac.join(cand, Seq("doc_a", "doc_b"), "left")
+      .select(least(floor(col("jac") * 10).cast("long"), lit(9L))
+          .as("bucket"),
+        coalesce(col("hit0"), lit(0)).as("hit"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("hit").cast("long").as("n_hits"),
+        (sum("hit").cast("double") / count(lit(1))).as("hit_rate"))
+      .withColumn("expected_rate", lit(1) - (lit(1) - j3) * (lit(1) - j3))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
-      q81, q86, q87, q88, q89, q91, q120, q121, q127)
+      q81, q86, q87, q88, q89, q91, q120, q121, q127, q131)
 }

@@ -123,6 +123,28 @@ class Round8Spec extends SparkSpec {
       "en is ~44% of the corpus; T=2 must shrink it")
   }
 
+  test("q131: the empirical s-curve matches the banding theory at " +
+    "both ends — the planted near-dup (bucket 9, expected 0.98) is " +
+    "caught, background pairs (expected 2.5e-4) are not") {
+    val rows131 = queries.TextQueries.q131.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    rows131.foreach { case (b, n, hits, rate, exp) =>
+      assert(hits <= n && rate >= 0 && rate <= 1)
+      assert(exp > 0 && exp < 1, s"bucket $b expected rate $exp")
+    }
+    val top = rows131.find(_._1 == 9)
+      .getOrElse(fail("sf0.001 plants a >0.9-Jaccard pair in the " +
+        "block sample; bucket 9 must be populated"))
+    assert(top._3 == top._2,
+      "a 0.97-Jaccard pair collides in both bands with p≈0.98; the " +
+        "capped generator must surface it")
+    val bottom = rows131.find(_._1 == 0).get
+    assert(bottom._4 <= 0.01,
+      s"near-orthogonal pairs must almost never be candidates, got " +
+        s"hit_rate ${bottom._4}")
+  }
+
   test("q128: centroid assignment broadcasts the K-row table and the " +
     "bucket cap broadcasts the sized keys — the corpus never shuffles " +
     "for either") {
