@@ -1402,7 +1402,104 @@ object Extras {
           6).as("rate"))
   }
 
+  /** Dedup extension — PER-DOC DUPLICATED-SPAN PROFILE against the
+    * whole corpus (the document-side surface of exact-substring dedup,
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): positions whose word 5-gram
+    * recurs in >= 2 DISTINCT documents are merged into MAXIMAL
+    * duplicated spans (two hits merge while their 5-token windows
+    * overlap or touch — gap <= 5), and each doc reports span count,
+    * longest span, covered tokens, and covered fraction. This closes
+    * the family: q28/q51 drop whole duplicate docs, q112 verifies
+    * runs on CANDIDATE PAIRS, q115 counts boilerplate positions —
+    * this is the per-doc span STRUCTURE against the corpus, the
+    * signal substring-dedup uses to CUT spans out of otherwise-unique
+    * docs rather than drop them. Docs with no duplicated gram have no
+    * spans and (correctly) no row.
+    *
+    * Shape: ONE positioned gram explode of the corpus; the dup-gram
+    * set is a gram-grain aggregate whose distinct-doc count
+    * partial-aggregates map-side ((gram, doc) dedup before the
+    * exchange — the q114 device); membership comes back as a
+    * LEFT-SEMI join on the gram key (hot template grams skew it —
+    * the AQE skew-join case, dim side 1 row/key); the span merge is
+    * doc-partitioned windows (lag flag + running sum — q99's islands
+    * generalized to gap tolerance), so after the semi-join every
+    * exchange is at doc grain and per-doc work is linear in its dup
+    * positions. Determinism: positions and span widths are integers
+    * end to end; the single division (covered/n_tokens) is the
+    * unrounded exact-integer ratio both engines print identically.
+    */
+  val q132 = Q("q132_dupspan_profile",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ix AS (
+      |  SELECT doc_id, len(t) AS nt, t,
+      |    unnest(range(1, len(t) - 3)) AS pos
+      |  FROM t WHERE len(t) >= 5),
+      |p AS (
+      |  SELECT doc_id, nt, pos,
+      |    t[CAST(pos AS INT)] || ' ' || t[CAST(pos+1 AS INT)] || ' ' ||
+      |    t[CAST(pos+2 AS INT)] || ' ' || t[CAST(pos+3 AS INT)] || ' ' ||
+      |    t[CAST(pos+4 AS INT)] AS gram
+      |  FROM ix),
+      |b AS (
+      |  SELECT gram FROM p GROUP BY gram
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |m AS (SELECT p.doc_id, p.nt, p.pos FROM p JOIN b USING (gram)),
+      |f AS (
+      |  SELECT doc_id, nt, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+      |                                   ORDER BY pos) <= 5
+      |      THEN 0 ELSE 1 END AS newspan
+      |  FROM m),
+      |g2 AS (
+      |  SELECT doc_id, nt, pos,
+      |    sum(newspan) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM f),
+      |sp AS (
+      |  SELECT doc_id, nt, grp,
+      |    max(pos) + 4 - min(pos) + 1 AS span_tokens
+      |  FROM g2 GROUP BY doc_id, nt, grp)
+      |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+      |  count(*) AS n_spans,
+      |  CAST(max(span_tokens) AS BIGINT) AS max_span,
+      |  CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+      |  CAST(sum(span_tokens) AS DOUBLE) / nt AS dup_frac
+      |FROM sp GROUP BY doc_id, nt""".stripMargin) { (s, dir) =>
+    val t = docsTable(s, dir)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 5)
+    val p = t.select(col("doc_id"), size(col("t")).cast("long").as("nt"),
+        posexplode(transform(
+          sequence(lit(1), size(col("t")) - 4),
+          i => array_join(slice(col("t"), i, lit(5)), " "))))
+      .select(col("doc_id"), col("nt"), (col("pos") + 1L).as("pos"),
+        col("col").as("gram"))
+    val b = p.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val m = p.join(b, Seq("gram"), "left_semi")
+    val wl = Window.partitionBy("doc_id").orderBy("pos")
+    val run = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("newspan",
+        when(col("pos") - lag("pos", 1).over(wl) <= 5, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("grp", sum("newspan").over(run))
+      .groupBy("doc_id", "nt", "grp")
+      .agg((max("pos") + 4 - min("pos") + 1).as("span_tokens"))
+      .groupBy("doc_id", "nt")
+      .agg(count(lit(1)).as("n_spans"),
+        max("span_tokens").cast("long").as("max_span"),
+        sum("span_tokens").cast("long").as("dup_tokens"),
+        (sum("span_tokens").cast("double") / col("nt")).as("dup_frac"))
+      .select(col("doc_id"), col("nt").as("n_tokens"), col("n_spans"),
+        col("max_span"), col("dup_tokens"), col("dup_frac"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
-    q117, q118, q124, q125, q126, q130)
+    q117, q118, q124, q125, q126, q130, q132)
 }

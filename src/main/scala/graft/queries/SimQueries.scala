@@ -888,6 +888,93 @@ object SimQueries {
         max("maxsim").as("max_sim"))
   }
 
+  /** Index-maintenance extension — one K-MEANS LLOYD STEP over the
+    * coarse quantizer (the refinement loop every IVF deployment runs:
+    * assign, re-center, measure drift; Lloyd 1982 / the FAISS
+    * train-then-serve recipe). Vectors are assigned to their
+    * max-inner-product cell ([[Similarity.ivfAssign]] — broadcast
+    * centroid table, ONE corpus exchange), then each (cell, dim)
+    * re-centers as the mean of its members' components, reported next
+    * to the drift from the current centroid component. A production
+    * loop would feed the means back into the (cid, ce) table and
+    * iterate; one step is the oracle-able unit (iterating just
+    * re-runs it), and empty cells simply produce no rows, exactly the
+    * signal that triggers FAISS-style re-seeding.
+    *
+    * Determinism (the q113/q116 integer device): each float component
+    * is quantized to integer MICRO-units before any aggregation —
+    * float32 carries <= 24 significand bits, so x·10⁶ is EXACT in
+    * double and `round` sees no engine-variant last bit (exact .5
+    * would need x = (2k+1)/2·10⁻⁶, not a dyadic rational, so no
+    * float32 can hit it); the per-(cid,dim) sum is then exact integer
+    * arithmetic — no float-summation order sensitivity — and
+    * mean/delta are single divisions/subtractions of exact values,
+    * bit-identical in both engines. Drift stays at (cid, dim) grain
+    * (a per-cid L2 norm would sum doubles in engine order — the one
+    * non-deterministic reduction this formulation refuses).
+    *
+    * Scale shape: the assignment is the audited [[Similarity.ivfAssign]]
+    * plan (broadcast × corpus, partial-agg argmax, one n-row
+    * exchange); the re-center posexplodes D components per vector but
+    * partial-aggregates map-side, so the (cid, dim) exchange carries
+    * K·D rows per partition, never the corpus; the centroid join on
+    * the result is a broadcast at K·D grain. That is the textbook
+    * distributed-k-means cost — O(n·K) dots + O(n·D) explode map-side,
+    * O(K·D) shuffled — which survives 100 TB by construction.
+    */
+  val q133 = Q("q133_kmeans_step",
+    s"""WITH cent AS (
+       |  SELECT CAST(cid AS BIGINT) AS cid, ce
+       |  FROM (VALUES $centroidValuesSql) t(cid, ce)),
+       |e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+       |sc AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY round(list_sum(list_transform(
+       |                         range(1,65), i ->
+       |                         e.embedding[CAST(i AS INT)]::DOUBLE *
+       |                         c.ce[CAST(i AS INT)]::DOUBLE)), 6) DESC,
+       |                       c.cid) AS rnp
+       |  FROM e CROSS JOIN cent c),
+       |a AS (SELECT vec_id, embedding, cid FROM sc WHERE rnp = 1),
+       |ix AS (
+       |  SELECT cid, embedding, unnest(range(1, 65)) AS dim FROM a),
+       |x AS (
+       |  SELECT cid, dim,
+       |    CAST(round(embedding[CAST(dim AS INT)]::DOUBLE * 1000000)
+       |      AS BIGINT) AS micro
+       |  FROM ix),
+       |g AS (
+       |  SELECT cid, dim, count(*) AS n_vecs, sum(micro) AS sum_micro
+       |  FROM x GROUP BY cid, dim)
+       |SELECT g.cid, CAST(g.dim AS BIGINT) AS dim,
+       |  CAST(g.n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(g.sum_micro AS BIGINT) AS sum_micro,
+       |  CAST(g.sum_micro AS DOUBLE) / g.n_vecs AS mean_micro,
+       |  CAST(g.sum_micro AS DOUBLE) / g.n_vecs
+       |    - cent.ce[CAST(g.dim AS INT)]::DOUBLE * 1000000 AS delta_micro
+       |FROM g JOIN cent ON cent.cid = g.cid""".stripMargin) { (s, dir) =>
+    val cent = Similarity.centroidTable(s, K, D)
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val g = Similarity.ivfAssign(e, cent)
+      .select(col("cid"), posexplode(col("embedding")))
+      .select(col("cid"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("col").cast("double") * 1000000).cast("long")
+          .as("micro"))
+      .groupBy("cid", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum("micro").as("sum_micro"))
+    val mean = col("sum_micro").cast("double") / col("n_vecs")
+    g.join(broadcast(cent), Seq("cid"))
+      .select(col("cid"), col("dim"), col("n_vecs"),
+        col("sum_micro").cast("long").as("sum_micro"),
+        mean.as("mean_micro"),
+        (mean - element_at(col("ce"), col("dim").cast("int"))
+          .cast("double") * 1000000).as("delta_micro"))
+  }
+
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
-    q113, q128, q129)
+    q113, q128, q129, q133)
 }

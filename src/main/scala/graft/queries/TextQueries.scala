@@ -1619,40 +1619,50 @@ object TextQueries {
   }
 
   /** LSH CALIBRATION — the empirical s-curve of the q30 candidate
-    * generator: for a deterministic 10% BLOCK sample (doc_id % 20 <
-    * 2 — blocks of two consecutive ids, so the sample contains the
-    * id-adjacent pairs where this corpus's near-dups live), compute
-    * EXACT Jaccard over the INDEX'S OWN shingle space (8-char
-    * stride-4 shingles — the set the minhash signature actually
-    * sketches; 4-gram Jaccard would be a different measure and the
-    * banding theory would not apply to it), bucket by Jaccard
-    * decile, and report per decile how many pairs the production
-    * generator (2 bands × 3 minhash rows, buckets capped 2..20 on
-    * the FULL corpus — the caps are part of what is measured)
-    * actually surfaced, next to the banding expectation
-    * P(candidate) = 1 − (1 − j³)² (Broder/MMDS analysis). This is
-    * the dedup-side analog of q55's ANN recall harness: the number
-    * that certifies the index, not just runs it.
+    * generator: for a deterministic FIXED-SIZE block sample
+    * (doc_id % S < 2 with stride S = max(20, 2·⌈n/4000⌉) derived
+    * from the corpus count — blocks of two consecutive ids, so the
+    * sample contains the id-adjacent pairs where this corpus's
+    * near-dups live), compute EXACT Jaccard over the INDEX'S OWN
+    * shingle space (8-char stride-4 shingles — the set the minhash
+    * signature actually sketches; 4-gram Jaccard would be a
+    * different measure and the banding theory would not apply to
+    * it), bucket by Jaccard decile, and report per decile how many
+    * pairs the production generator (2 bands × 3 minhash rows,
+    * buckets capped 2..20 on the FULL corpus — the caps are part of
+    * what is measured) actually surfaced, next to the banding
+    * expectation P(candidate) = 1 − (1 − j³)² (Broder/MMDS
+    * analysis). This is the dedup-side analog of q55's ANN recall
+    * harness: the number that certifies the index, not just runs it.
     *
     * Determinism: jaccard and hit_rate are divisions of exact
     * integers (identical doubles in both engines — the unrounded-
     * division convention); the decile is floor(jac·10) clamped to
     * 9; expected_rate uses multiplication only (m·m·m, x·x — no
-    * pow()), so every output bit matches across engines. Base
+    * pow()); the stride is integer arithmetic on the exact corpus
+    * count — so every output bit matches across engines. Base
     * population: sample pairs sharing ≥ 1 shingle (a pair sharing
     * none has j = 0 and a cryptographically negligible candidate
     * probability).
     *
-    * Scale shape: the exact side is all-pairs ON THE SAMPLE ONLY
-    * (C(n/10, 2) array_intersects over per-row shingle sets — the
-    * sample rate is the knob that keeps the harness affordable
-    * while the generator under test runs against the whole corpus);
-    * the candidate side reuses the shared bands artifact and its
+    * Scale shape: the exact side is all-pairs ON THE SAMPLE, and the
+    * count-derived stride pins the sample at ~4000 docs however
+    * large the corpus grows — C(4000, 2) array_intersects is a
+    * CONSTANT absolute cost (measured flat in SCALE.md; the fixed
+    * 10% rate it replaces was quadratic-in-corpus, 4.8→59 s at 8×),
+    * which is how a calibration harness must behave: statistical
+    * confidence needs a fixed pair budget, not a fixed fraction.
+    * The candidate side reuses the shared bands artifact and its
     * full-corpus caps, filtered to sample docs before the pair
-    * join.
+    * join; the generator under test still runs against the whole
+    * corpus. The stride computation is one count(*) — on parquet a
+    * metadata read, not a scan.
     */
   val q131 = Q("q131_lsh_scurve",
     s"""WITH $shingleSqlCte,
+       |ns AS (
+       |  SELECT greatest(20, 2 * ((count(*) + 3999) // 4000)) AS s
+       |  FROM documents),
        |b AS (
        |  SELECT doc_id, 0 AS band, mh0 || mh1 || mh2 AS key FROM sig
        |  UNION ALL
@@ -1664,11 +1674,13 @@ object TextQueries {
        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
        |  FROM sized x
        |  JOIN b a ON a.band = x.band AND a.key = x.key
-       |    AND a.doc_id % 20 < 2
+       |    AND a.doc_id % (SELECT s FROM ns) < 2
        |  JOIN b c ON c.band = x.band AND c.key = x.key
-       |    AND c.doc_id % 20 < 2 AND a.doc_id < c.doc_id),
+       |    AND c.doc_id % (SELECT s FROM ns) < 2
+       |    AND a.doc_id < c.doc_id),
        |sp AS (
-       |  SELECT DISTINCT doc_id, sh AS g FROM sh WHERE doc_id % 20 < 2),
+       |  SELECT DISTINCT doc_id, sh AS g FROM sh
+       |  WHERE doc_id % (SELECT s FROM ns) < 2),
        |c AS (SELECT doc_id, count(*) AS n FROM sp GROUP BY doc_id),
        |i AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
@@ -1693,11 +1705,15 @@ object TextQueries {
        |    * (1 - ((bucket + 0.5) / 10) * ((bucket + 0.5) / 10)
        |         * ((bucket + 0.5) / 10)) AS expected_rate
        |FROM h GROUP BY bucket""".stripMargin) { (s, dir) =>
+    // count-derived stride pins the sample at ~4000 docs (2 per
+    // block of S consecutive ids); parquet count() is a metadata read
+    val n = docs(s, dir).count()
+    val stride = math.max(20L, 2L * ((n + 3999L) / 4000L))
     val bnd = bands(s, dir)
     val sized = bnd.groupBy("band", "key").agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, 20)).select("band", "key")
     val inCap = bnd.join(sized, Seq("band", "key"))
-      .filter(col("doc_id") % 20 < 2)
+      .filter(col("doc_id") % stride < 2)
     val cand = inCap.select(col("band"), col("key"),
         col("doc_id").as("doc_a"))
       .join(inCap.select(col("band"), col("key"),
@@ -1706,7 +1722,7 @@ object TextQueries {
       .select("doc_a", "doc_b").distinct()
       .withColumn("hit0", lit(1))
     // the index's own shingle space: 8-char shingles at stride 4
-    val sets = docs(s, dir).filter(col("doc_id") % 20 < 2)
+    val sets = docs(s, dir).filter(col("doc_id") % stride < 2)
       .select(col("doc_id"),
         graft.functions.TextHashF.shingleSet(col("text"), 8, 4).as("gs"))
     val a = sets.select(col("doc_id").as("doc_a"), col("gs").as("ga"))

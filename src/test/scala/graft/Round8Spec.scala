@@ -145,6 +145,85 @@ class Round8Spec extends SparkSpec {
         s"hit_rate ${bottom._4}")
   }
 
+  test("q132: duplicated spans are disjoint, within doc bounds, and " +
+    "the whole profile matches an independent in-memory recomputation") {
+    val d = queries.Extras.q132.fn(spark, sf).collect()
+    assert(d.nonEmpty, "sf0.001 has shared 5-grams; spans must exist")
+    d.foreach { r =>
+      val (nt, nSpans, maxSpan, dupTok, frac) = (r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nSpans >= 1)
+      // a span covers at least one full 5-gram window
+      assert(maxSpan >= 5 && maxSpan <= dupTok,
+        s"max span $maxSpan outside [5, $dupTok]")
+      // spans merge while gaps <= 5, so surviving spans are disjoint
+      // position ranges — coverage cannot exceed the doc
+      assert(dupTok <= nt, s"covered $dupTok tokens of a $nt-token doc")
+      assert(frac == dupTok.toDouble / nt, "frac must be the exact ratio")
+    }
+    // full independent oracle: recompute every doc's profile in plain
+    // Scala (sf0.001 is 500 docs / 28k tokens). split(text, " ", -1)
+    // matches Spark's split semantics on consecutive/trailing spaces.
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+      .filter(_._2.length >= 5)
+    val grams = toks.flatMap { case (id, ts) =>
+      ts.sliding(5).zipWithIndex.map { case (g, i) =>
+        (id, i + 1L, g.mkString(" ")) }
+    }
+    val dupGrams = grams.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val expected = toks.flatMap { case (id, ts) =>
+      val pos = grams.filter(g => g._1 == id && dupGrams(g._3))
+        .map(_._2).sorted
+      if (pos.isEmpty) None else {
+        val spans = pos.tail.foldLeft(List((pos.head, pos.head))) {
+          case ((lo, hi) :: rest, p) =>
+            if (p - hi <= 5) (lo, p) :: rest else (p, p) :: (lo, hi) :: rest
+          case (Nil, p) => List((p, p))
+        }.map { case (lo, hi) => hi + 4 - lo + 1 }
+        val nt = ts.length.toLong
+        Some(Seq[Any](id, nt, spans.length.toLong, spans.max.toLong,
+          spans.sum.toLong, spans.sum.toDouble / nt))
+      }
+    }.toSet
+    assert(d.map(_.toSeq).toSet == expected,
+      "query profile diverges from the independent recomputation")
+  }
+
+  test("q133: one Lloyd step re-centers every populated cell — (cid, " +
+    "dim) grain is complete, memberships reconcile to the corpus, and " +
+    "mean/delta recompute from the integer sums") {
+    import graft.sim.Similarity
+    val d = queries.SimQueries.q133.fn(spark, sf).collect()
+    val cells = d.map(_.getLong(0)).distinct
+    // every populated cell reports all 64 dims with one shared n_vecs
+    cells.foreach { c =>
+      val rs = d.filter(_.getLong(0) == c)
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 64L),
+        s"cell $c missing dims")
+      assert(rs.map(_.getLong(2)).distinct.length == 1,
+        s"cell $c reports inconsistent member counts")
+    }
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(d.filter(_.getLong(1) == 1L).map(_.getLong(2)).sum == corpus,
+      "each vector is assigned to exactly one cell")
+    // centroid components depend only on cid (seedBase + cid - 1),
+    // so regenerating the table up to the max observed cell matches
+    // the query's own K-row table on every populated cid
+    val cent = Similarity.centroidTable(spark, cells.max.toInt, 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    d.foreach { r =>
+      val (cid, dim, n, s) = (r.getLong(0), r.getLong(1).toInt,
+        r.getLong(2), r.getLong(3))
+      val mean = s.toDouble / n
+      assert(r.getDouble(4) == mean, "mean_micro must be sum/n exactly")
+      assert(r.getDouble(5) == mean - cent(cid)(dim - 1).toDouble * 1e6,
+        s"delta_micro must be mean minus the current centroid component")
+    }
+  }
+
   test("q128: centroid assignment broadcasts the K-row table and the " +
     "bucket cap broadcasts the sized keys — the corpus never shuffles " +
     "for either") {
