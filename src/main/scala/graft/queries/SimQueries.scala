@@ -975,6 +975,122 @@ object SimQueries {
           .cast("double") * 1000000).as("delta_micro"))
   }
 
+  // PQ codebook: M=8 sub-spaces of 8 dims, Ks=16 codes each — the
+  // same md5-derived half-integer device as centroidTable (seed base
+  // 300), exact in float, double, and SQL decimal text alike.
+  private val PqM = 8
+  private val PqKs = 16
+  private val PqSub = 8
+  private def pqSeed(m: Int, k: Int): Int = 300 + (m - 1) * PqKs + (k - 1)
+  private def pqCodeSql(m: Int, k: Int): String =
+    (1 to PqSub).map(j =>
+      f"${Similarity.planeComponent(pqSeed(m, k), j)}%.1f")
+      .mkString("[", ", ", "]")
+  private def pqValuesSql: String =
+    (for { m <- 1 to PqM; k <- 1 to PqKs }
+      yield s"($m, $k, ${pqCodeSql(m, k)})").mkString(", ")
+
+  /** Quantized-search extension — PRODUCT QUANTIZATION encode + ADC
+    * top-k (Jégou et al. 2011 "Product Quantization for Nearest
+    * Neighbor Search"; the FAISS `PQ8x16` shape): the 64-dim corpus is
+    * cut into M=8 sub-vectors, each encoded as its nearest of Ks=16
+    * half-integer codebook entries (squared L2), and every query
+    * answers from the CODES alone — an asymmetric-distance lookup
+    * table of |Q|·M·Ks exact micro-unit entries, summed per (query,
+    * vector). Completes the quantization tier: q60 scalar-quantizes
+    * values, q133 trains the coarse quantizer, q134 is the fine
+    * quantizer + the compressed scan (a production IVF-PQ composes it
+    * with q108's cell pruning).
+    *
+    * Determinism: each sub-distance is an 8-term fixed-order double
+    * sum rounded ONCE to integer micro-units (the q116/q133 device);
+    * the encode argmin packs (d2_micro, code) into ONE BIGINT
+    * (d2·32 + code−1) so min() is an exact integer comparison — and,
+    * unlike a struct-min, stays HashAggregate-eligible (Tungsten's
+    * hash buffer holds fixed-width types only; the struct formulation
+    * is the documented SortAggregate trade in ivfAssign). ADC sums
+    * are integer end to end; ties break on nid.
+    *
+    * Scale shape: the codebook (128 rows) and the LUT (|Q|·128 rows)
+    * BROADCAST; encoding partial-aggregates the Ks× expansion
+    * map-side, so the index-build exchange carries n·M rows ONCE
+    * (amortized over every query after); the ADC scan is a broadcast
+    * hash join + map-side partial sum (n·|Q| grain), and the per-query
+    * top-10 is rank-limited (WindowGroupLimit truncates each map
+    * partition to 10 rows per query BEFORE the final |Q|-key
+    * exchange — never a corpus sort). Codes are M bytes a vector vs
+    * 4·D floats: the 32× compression is what makes a 100 TB corpus
+    * scannable from memory.
+    */
+  val q134 = Q("q134_pq_adc",
+    s"""WITH cb AS (
+       |  SELECT CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code, ce
+       |  FROM (VALUES $pqValuesSql) t(m, code, ce)),
+       |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+       |enc0 AS (
+       |  SELECT c.vec_id, cb.m, cb.code,
+       |    CAST(round(list_sum(list_transform(range(1, 9), j ->
+       |      (c.embedding[CAST((cb.m - 1) * 8 + j AS INT)]::DOUBLE
+       |         - cb.ce[CAST(j AS INT)]::DOUBLE)
+       |      * (c.embedding[CAST((cb.m - 1) * 8 + j AS INT)]::DOUBLE
+       |         - cb.ce[CAST(j AS INT)]::DOUBLE))) * 1000000)
+       |      AS BIGINT) * 32 + cb.code - 1 AS packed
+       |  FROM c CROSS JOIN cb),
+       |enc AS (
+       |  SELECT vec_id, m, min(packed) % 32 + 1 AS code
+       |  FROM enc0 GROUP BY vec_id, m),
+       |lut AS (
+       |  SELECT q.vec_id AS qid, cb.m, cb.code,
+       |    CAST(round(list_sum(list_transform(range(1, 9), j ->
+       |      (q.embedding[CAST((cb.m - 1) * 8 + j AS INT)]::DOUBLE
+       |         - cb.ce[CAST(j AS INT)]::DOUBLE)
+       |      * (q.embedding[CAST((cb.m - 1) * 8 + j AS INT)]::DOUBLE
+       |         - cb.ce[CAST(j AS INT)]::DOUBLE))) * 1000000)
+       |      AS BIGINT) AS lm
+       |  FROM q CROSS JOIN cb),
+       |adc AS (
+       |  SELECT lut.qid, enc.vec_id AS nid,
+       |    CAST(sum(lut.lm) AS BIGINT) AS adc_micro
+       |  FROM enc JOIN lut ON lut.m = enc.m AND lut.code = enc.code
+       |  GROUP BY lut.qid, enc.vec_id)
+       |SELECT qid, nid, adc_micro, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT qid, nid, adc_micro,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY adc_micro, nid) AS rn
+       |  FROM adc)
+       |WHERE rn <= 10""".stripMargin) { (s, dir) =>
+    val cb = s.createDataFrame(
+      for { m <- 1 to PqM; k <- 1 to PqKs } yield (m.toLong, k.toLong,
+        (1 to PqSub).map(j => Similarity.planeComponent(pqSeed(m, k), j)
+          .toFloat))).toDF("m", "code", "ce")
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    // sub-distance in integer micro-units: 8-term fixed-order fold,
+    // one rounding — identical doubles, identical integers, both engines
+    def d2micro(emb: Column): Column = {
+      val sub = slice(emb, ((col("m") - 1) * 8 + 1).cast("int"), lit(8))
+      round(aggregate(
+        zip_with(sub, col("ce"), (x, c) => {
+          val d = x.cast("double") - c.cast("double"); d * d
+        }), lit(0.0), (a, b) => a + b) * 1000000).cast("long")
+    }
+    val enc = e.filter(col("vec_id") >= 8).crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("m"),
+        (d2micro(col("embedding")) * 32 + col("code") - 1).as("packed"))
+      .groupBy("vec_id", "m")
+      .agg((min("packed") % 32 + 1).as("code"))
+    val lut = e.filter(col("vec_id") < 8).crossJoin(broadcast(cb))
+      .select(col("vec_id").as("qid"), col("m"), col("code"),
+        d2micro(col("embedding")).as("lm"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("adc_micro").asc, col("nid").asc)
+    enc.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(sum("lm").cast("long").as("adc_micro"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+  }
+
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
-    q113, q128, q129, q133)
+    q113, q128, q129, q133, q134)
 }

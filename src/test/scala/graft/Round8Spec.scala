@@ -224,6 +224,55 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("q134: PQ codes and ADC top-10 match an independent " +
+    "recomputation, and the plan keeps the encode hash-aggregated, " +
+    "the LUT broadcast, and the top-k rank-limited") {
+    import graft.sim.Similarity
+    val df = queries.SimQueries.q134.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // packed-integer argmin keeps the encode out of SortAggregate
+    assert(!plan.contains("SortAggregate"),
+      s"packed argmin must hash-aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook/LUT sides must broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-10 must rank-limit before the exchange:\n$plan")
+    // independent recompute: 512 vectors x 8 sub-spaces x 16 codes
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    def d2m(emb: Seq[Float], m: Int, k: Int): Long = {
+      var s = 0.0
+      (1 to 8).foreach { j =>
+        val d = emb((m - 1) * 8 + j - 1).toDouble -
+          Similarity.planeComponent(300 + (m - 1) * 16 + (k - 1), j)
+        s += d * d
+      }
+      // Spark's Round on DoubleType: BigDecimal.valueOf + HALF_UP
+      java.math.BigDecimal.valueOf(s * 1000000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }
+    val corpus = all.filter(_._1 >= 8)
+    val codes = corpus.map { case (id, emb) =>
+      (id, (1 to 8).map { m =>
+        (1 to 16).map(k => d2m(emb, m, k) * 32 + k - 1).min % 32 + 1
+      })
+    }
+    val expected = all.filter(_._1 < 8).flatMap { case (qid, qemb) =>
+      corpus.indices.map { i =>
+        val (nid, cs) = codes(i)
+        (qid, nid,
+          (1 to 8).map(m => d2m(qemb, m, cs(m - 1).toInt)).sum)
+      }.sortBy { case (_, nid, adc) => (adc, nid) }.take(10)
+        .zipWithIndex.map { case ((q, n, a), i) => (q, n, a, i + 1L) }
+    }.toSet
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      "ADC ranking diverges from the independent recomputation")
+  }
+
   test("q128: centroid assignment broadcasts the K-row table and the " +
     "bucket cap broadcasts the sized keys — the corpus never shuffles " +
     "for either") {
