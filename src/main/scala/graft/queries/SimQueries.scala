@@ -975,34 +975,138 @@ object SimQueries {
           .cast("double") * 1000000).as("delta_micro"))
   }
 
-  // PQ codebook: M=8 sub-spaces of 8 dims, Ks=16 codes each — the
-  // same md5-derived half-integer device as centroidTable (seed base
-  // 300), exact in float, double, and SQL decimal text alike.
-  private val PqM = 8
+  // PQ codebook: M=32 sub-spaces of 2 dims, Ks=16 codes each (the
+  // FAISS "PQ32x4" fast-scan shape — 4-bit codes, 16 bytes a vector).
+  // Each sub-space's 16 codes are the 4×4 product grid of the 4-level
+  // Lloyd-Max-style quantizer {±1/16, ±3/16}: dyadic rationals tuned
+  // to the embedding component scale (σ ≈ 0.125 → levels at ±0.5σ,
+  // ±1.5σ, near the Gaussian Lloyd-Max points ±0.4528σ/±1.510σ),
+  // exact in float, double, and SQL decimal text alike. Codebook
+  // quality is LOAD-BEARING, not cosmetic: an off-scale codebook
+  // (raw ±7.5 half-integers) degenerates — every sub-vector snaps to
+  // the code nearest zero and ADC cannot rank (recall@10 ≈ 0) — and
+  // wide sub-spaces bury neighbor gaps in quantization error
+  // (measured on this corpus: 8-dim data-drawn codes 0.24, 4-dim
+  // 0.35, 2-dim grid 0.625 recall@10). q136 is the harness that
+  // certifies the choice; a production build replaces the grid with
+  // per-sub-space k-means (q133 is that training step) on a sample.
+  private val PqM = 32
   private val PqKs = 16
-  private val PqSub = 8
-  private def pqSeed(m: Int, k: Int): Int = 300 + (m - 1) * PqKs + (k - 1)
-  private def pqCodeSql(m: Int, k: Int): String =
-    (1 to PqSub).map(j =>
-      f"${Similarity.planeComponent(pqSeed(m, k), j)}%.1f")
+  private val PqSub = 2
+  private val PqLevels = Seq(-0.1875, -0.0625, 0.0625, 0.1875)
+  private def pqComponent(k: Int, j: Int): Double =
+    if (j == 1) PqLevels((k - 1) / 4) else PqLevels((k - 1) % 4)
+  private def pqCodeSql(k: Int): String =
+    (1 to PqSub).map(j => f"${pqComponent(k, j)}%.4f")
       .mkString("[", ", ", "]")
   private def pqValuesSql: String =
     (for { m <- 1 to PqM; k <- 1 to PqKs }
-      yield s"($m, $k, ${pqCodeSql(m, k)})").mkString(", ")
+      yield s"($m, $k, ${pqCodeSql(k)})").mkString(", ")
+
+  // Shared oracle CTEs: codebook, query/corpus split, packed-integer
+  // encode, and the per-query lookup table — q134/q135/q136 all
+  // compose from these.
+  private def pqSubD2Sql(src: String): String =
+    s"""CAST(round(list_sum(list_transform(range(1, 3), j ->
+       |      ($src.embedding[CAST((cb.m - 1) * 2 + j AS INT)]::DOUBLE
+       |         - cb.ce[CAST(j AS INT)]::DOUBLE)
+       |      * ($src.embedding[CAST((cb.m - 1) * 2 + j AS INT)]::DOUBLE
+       |         - cb.ce[CAST(j AS INT)]::DOUBLE))) * 1000000)
+       |      AS BIGINT)""".stripMargin
+  private def pqCtesSql: String =
+    s"""cb AS (
+       |  SELECT CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code, ce
+       |  FROM (VALUES $pqValuesSql) t(m, code, ce)),
+       |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+       |enc0 AS (
+       |  SELECT c.vec_id, cb.m, cb.code,
+       |    ${pqSubD2Sql("c")} * 32 + cb.code - 1 AS packed
+       |  FROM c CROSS JOIN cb),
+       |enc AS (
+       |  SELECT vec_id, m, min(packed) % 32 + 1 AS code
+       |  FROM enc0 GROUP BY vec_id, m),
+       |lut AS (
+       |  SELECT q.vec_id AS qid, cb.m, cb.code,
+       |    ${pqSubD2Sql("q")} AS lm
+       |  FROM q CROSS JOIN cb)""".stripMargin
+
+  /** The 128-row PQ codebook as a DataFrame — the BROADCAST side of
+    * both encode and LUT construction. */
+  private def pqCodebook(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      for { m <- 1 to PqM; k <- 1 to PqKs } yield (m.toLong, k.toLong,
+        (1 to PqSub).map(j => pqComponent(k, j)
+          .toFloat))).toDF("m", "code", "ce")
+
+  /** Sub-distance in integer micro-units: a 2-term fixed-order fold
+    * with ONE rounding — identical doubles, identical integers, both
+    * engines. Reads `m`/`ce` from the joined codebook row. */
+  private def pqD2micro(emb: Column): Column = {
+    val sub = slice(emb, ((col("m") - 1) * 2 + 1).cast("int"), lit(2))
+    round(aggregate(
+      zip_with(sub, col("ce"), (x, c) => {
+        val d = x.cast("double") - c.cast("double"); d * d
+      }), lit(0.0), (a, b) => a + b) * 1000000).cast("long")
+  }
+
+  /** PQ encode: one broadcast cross with the codebook, argmin per
+    * (vector, sub-space) as a packed-BIGINT min (HashAggregate — the
+    * struct-min would be ivfAssign's SortAggregate trade). `keep`
+    * threads extra vector-grain columns (e.g. the IVF cell) through
+    * the groupBy for free. */
+  private def pqEncode(e: DataFrame, cb: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
+    e.crossJoin(broadcast(cb))
+      .select((col("vec_id") +: keep.map(col)) :+ col("m") :+
+        (pqD2micro(col("embedding")) * 32 + col("code") - 1)
+          .as("packed"): _*)
+      .groupBy("vec_id", keep :+ "m": _*)
+      .agg((min("packed") % 32 + 1).as("code"))
+
+  /** Per-query ADC lookup table: |Q|·M·Ks integer micro-unit rows. */
+  private def pqLut(qdf: DataFrame, cb: DataFrame): DataFrame =
+    qdf.crossJoin(broadcast(cb))
+      .select(col("vec_id").as("qid"), col("m"), col("code"),
+        pqD2micro(col("embedding")).as("lm"))
+
+  /** Rank-limited per-query top-10 by integer ADC distance (ties on
+    * nid) — WindowGroupLimit truncates map-side. */
+  private def pqTop10(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("qid")
+      .orderBy(col("adc_micro").asc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+  }
+
+  /** The full-corpus ADC ranking (q134's plan), shared with q136's
+    * recall harness. */
+  private def pqAdcTop(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(s)
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val enc = pqEncode(e.filter(col("vec_id") >= 8), cb)
+    val lut = pqLut(e.filter(col("vec_id") < 8), cb)
+    pqTop10(enc.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(sum("lm").cast("long").as("adc_micro")))
+  }
 
   /** Quantized-search extension — PRODUCT QUANTIZATION encode + ADC
     * top-k (Jégou et al. 2011 "Product Quantization for Nearest
-    * Neighbor Search"; the FAISS `PQ8x16` shape): the 64-dim corpus is
-    * cut into M=8 sub-vectors, each encoded as its nearest of Ks=16
-    * half-integer codebook entries (squared L2), and every query
-    * answers from the CODES alone — an asymmetric-distance lookup
-    * table of |Q|·M·Ks exact micro-unit entries, summed per (query,
-    * vector). Completes the quantization tier: q60 scalar-quantizes
+    * Neighbor Search"; the FAISS `PQ32x4` fast-scan shape): the 64-dim
+    * corpus is cut into M=32 two-dim sub-vectors, each encoded as its
+    * nearest of Ks=16 grid codebook entries (squared L2, 4-bit
+    * codes), and every query answers from the CODES alone — an
+    * asymmetric-distance lookup table of |Q|·M·Ks exact micro-unit
+    * entries, summed per (query, vector). Recall@10 = 0.625 on this
+    * corpus (q136 measures it; see the codebook note above for why
+    * the sub-space width and level scale are what make PQ rank at
+    * all). Completes the quantization tier: q60 scalar-quantizes
     * values, q133 trains the coarse quantizer, q134 is the fine
     * quantizer + the compressed scan (a production IVF-PQ composes it
     * with q108's cell pruning).
     *
-    * Determinism: each sub-distance is an 8-term fixed-order double
+    * Determinism: each sub-distance is a 2-term fixed-order double
     * sum rounded ONCE to integer micro-units (the q116/q133 device);
     * the encode argmin packs (d2_micro, code) into ONE BIGINT
     * (d2·32 + code−1) so min() is an exact integer comparison — and,
@@ -1018,37 +1122,12 @@ object SimQueries {
     * hash join + map-side partial sum (n·|Q| grain), and the per-query
     * top-10 is rank-limited (WindowGroupLimit truncates each map
     * partition to 10 rows per query BEFORE the final |Q|-key
-    * exchange — never a corpus sort). Codes are M bytes a vector vs
-    * 4·D floats: the 32× compression is what makes a 100 TB corpus
-    * scannable from memory.
+    * exchange — never a corpus sort). Codes are M·4 bits = 16 bytes
+    * a vector vs 4·D = 256 float bytes: the 16× compression is what
+    * makes a 100 TB corpus scannable from memory.
     */
   val q134 = Q("q134_pq_adc",
-    s"""WITH cb AS (
-       |  SELECT CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code, ce
-       |  FROM (VALUES $pqValuesSql) t(m, code, ce)),
-       |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
-       |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
-       |enc0 AS (
-       |  SELECT c.vec_id, cb.m, cb.code,
-       |    CAST(round(list_sum(list_transform(range(1, 9), j ->
-       |      (c.embedding[CAST((cb.m - 1) * 8 + j AS INT)]::DOUBLE
-       |         - cb.ce[CAST(j AS INT)]::DOUBLE)
-       |      * (c.embedding[CAST((cb.m - 1) * 8 + j AS INT)]::DOUBLE
-       |         - cb.ce[CAST(j AS INT)]::DOUBLE))) * 1000000)
-       |      AS BIGINT) * 32 + cb.code - 1 AS packed
-       |  FROM c CROSS JOIN cb),
-       |enc AS (
-       |  SELECT vec_id, m, min(packed) % 32 + 1 AS code
-       |  FROM enc0 GROUP BY vec_id, m),
-       |lut AS (
-       |  SELECT q.vec_id AS qid, cb.m, cb.code,
-       |    CAST(round(list_sum(list_transform(range(1, 9), j ->
-       |      (q.embedding[CAST((cb.m - 1) * 8 + j AS INT)]::DOUBLE
-       |         - cb.ce[CAST(j AS INT)]::DOUBLE)
-       |      * (q.embedding[CAST((cb.m - 1) * 8 + j AS INT)]::DOUBLE
-       |         - cb.ce[CAST(j AS INT)]::DOUBLE))) * 1000000)
-       |      AS BIGINT) AS lm
-       |  FROM q CROSS JOIN cb),
+    s"""WITH $pqCtesSql,
        |adc AS (
        |  SELECT lut.qid, enc.vec_id AS nid,
        |    CAST(sum(lut.lm) AS BIGINT) AS adc_micro
@@ -1059,38 +1138,161 @@ object SimQueries {
        |    row_number() OVER (PARTITION BY qid
        |                       ORDER BY adc_micro, nid) AS rn
        |  FROM adc)
+       |WHERE rn <= 10""".stripMargin) { (s, dir) => pqAdcTop(s, dir) }
+
+  /** The production composition — IVF-PQ (the FAISS `IVFx,PQ32x4`
+    * index, Jégou 2011 §IV): the corpus is assigned to coarse cells
+    * ([[Similarity.ivfAssign]]) and PQ-encoded ONCE into a
+    * cid-bucketed CTAS store (q108's ship-a-structure move: the
+    * bucket spec IS the inverted index); a query probes its top-2
+    * cells and ADC-scores ONLY their members from codes. This is the
+    * 100 TB ANN recipe: probe cost tracks probed-cell population
+    * (q108's measured contract) AND each member costs M nibble-grain
+    * lookups instead of D float multiplies (q134's 16× compression) —
+    * the two bounds compose multiplicatively.
+    *
+    * Plan: store build pays the one n·M-row exchange (amortized);
+    * the probe path is bucket-pruned scan → broadcast probe join →
+    * broadcast LUT join → map-side partial ADC sum → rank-limited
+    * top-10. Nothing in the per-query path shuffles the corpus.
+    * Determinism: assignment is the q48 rounded-dot/lowest-cid
+    * device; ADC is q134's integer micro-units.
+    */
+  val q135 = Q("q135_ivfpq_topk",
+    s"""WITH cent AS (
+       |  SELECT CAST(cid AS BIGINT) AS cid, ce
+       |  FROM (VALUES $centroidValuesSql) t(cid, ce)),
+       |$pqCtesSql,
+       |e2 AS (SELECT vec_id, embedding FROM embeddings),
+       |sc2 AS (
+       |  SELECT e2.vec_id, ct.cid,
+       |    row_number() OVER (PARTITION BY e2.vec_id
+       |                       ORDER BY round(list_sum(list_transform(
+       |                         range(1,65), i ->
+       |                         e2.embedding[CAST(i AS INT)]::DOUBLE *
+       |                         ct.ce[CAST(i AS INT)]::DOUBLE)), 6) DESC,
+       |                       ct.cid) AS rnp
+       |  FROM e2 CROSS JOIN cent ct),
+       |a AS (SELECT vec_id, cid FROM sc2 WHERE rnp = 1 AND vec_id >= 8),
+       |pr AS (SELECT vec_id AS qid, cid FROM sc2
+       |       WHERE rnp <= $NProbe AND vec_id < 8),
+       |cand AS (
+       |  SELECT pr.qid, a.vec_id AS nid, enc.m, enc.code
+       |  FROM pr JOIN a ON a.cid = pr.cid
+       |  JOIN enc ON enc.vec_id = a.vec_id),
+       |adc2 AS (
+       |  SELECT cand.qid, cand.nid,
+       |    CAST(sum(lut.lm) AS BIGINT) AS adc_micro
+       |  FROM cand JOIN lut ON lut.qid = cand.qid AND lut.m = cand.m
+       |    AND lut.code = cand.code
+       |  GROUP BY cand.qid, cand.nid)
+       |SELECT qid, nid, adc_micro, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT qid, nid, adc_micro,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY adc_micro, nid) AS rn
+       |  FROM adc2)
        |WHERE rn <= 10""".stripMargin) { (s, dir) =>
-    val cb = s.createDataFrame(
-      for { m <- 1 to PqM; k <- 1 to PqKs } yield (m.toLong, k.toLong,
-        (1 to PqSub).map(j => Similarity.planeComponent(pqSeed(m, k), j)
-          .toFloat))).toDF("m", "code", "ce")
-    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
-    // sub-distance in integer micro-units: 8-term fixed-order fold,
-    // one rounding — identical doubles, identical integers, both engines
-    def d2micro(emb: Column): Column = {
-      val sub = slice(emb, ((col("m") - 1) * 8 + 1).cast("int"), lit(8))
-      round(aggregate(
-        zip_with(sub, col("ce"), (x, c) => {
-          val d = x.cast("double") - c.cast("double"); d * d
-        }), lit(0.0), (a, b) => a + b) * 1000000).cast("long")
+    val cent = Similarity.centroidTable(s, K, D)
+    val cb = pqCodebook(s)
+    def emb = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val table = s"ivfpq_codes_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, table) {
+      val root = graft.SessionScratch.dir(s, "ivfpqstore")
+      val assigned = Similarity
+        .ivfAssign(emb.filter(col("vec_id") >= 8), cent)
+        .select(col("cid"), col("vec_id"), col("embedding"))
+      graft.sources.Warehouse(root)
+        .saveBucketed(pqEncode(assigned, cb, keep = Seq("cid")),
+          table, 8, Seq("cid"))
     }
-    val enc = e.filter(col("vec_id") >= 8).crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("m"),
-        (d2micro(col("embedding")) * 32 + col("code") - 1).as("packed"))
-      .groupBy("vec_id", "m")
-      .agg((min("packed") % 32 + 1).as("code"))
-    val lut = e.filter(col("vec_id") < 8).crossJoin(broadcast(cb))
-      .select(col("vec_id").as("qid"), col("m"), col("code"),
-        d2micro(col("embedding")).as("lm"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("adc_micro").asc, col("nid").asc)
-    enc.join(broadcast(lut), Seq("m", "code"))
+    val probes = Similarity
+      .ivfProbes(emb.filter(col("vec_id") < 8), cent, NProbe)
+      .select(col("cid"), col("vec_id").as("qid"))
+    val probedCells = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ |queries|·nProbe values
+    val lut = pqLut(Tables(s, dir, "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") < 8), cb)
+    val cand = s.table(table).filter(col("cid").isin(probedCells: _*))
+    pqTop10(broadcast(probes).join(cand, Seq("cid"))
+      .join(broadcast(lut), Seq("qid", "m", "code"))
       .groupBy(col("qid"), col("vec_id").as("nid"))
-      .agg(sum("lm").cast("long").as("adc_micro"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 10)
+      .agg(sum("lm").cast("long").as("adc_micro")))
+  }
+
+  /** The certification harness for the PQ index (q55's role for the
+    * LSH index, q131's for the dedup bands): recall@10 of the q134
+    * ADC ranking against the EXACT squared-L2 top-10 — the same
+    * metric PQ approximates, full precision, same tie policy. At
+    * scale the exact side runs on the fixed query sample only (it
+    * already does: |Q| brute-force rows per corpus vector, map-side),
+    * which is the once-per-index-build certification cost.
+    * recall = n_hits/10 is one exact-integer division — identical
+    * doubles in both engines.
+    */
+  val q136 = Q("q136_pq_recall",
+    s"""WITH $pqCtesSql,
+       |adc AS (
+       |  SELECT lut.qid, enc.vec_id AS nid,
+       |    CAST(sum(lut.lm) AS BIGINT) AS adc_micro
+       |  FROM enc JOIN lut ON lut.m = enc.m AND lut.code = enc.code
+       |  GROUP BY lut.qid, enc.vec_id),
+       |adctop AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc_micro, nid) AS rn FROM adc)
+       |  WHERE rn <= 10),
+       |ex AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    CAST(round(list_sum(list_transform(range(1, 65), i ->
+       |      (q.embedding[CAST(i AS INT)]::DOUBLE
+       |         - c.embedding[CAST(i AS INT)]::DOUBLE)
+       |      * (q.embedding[CAST(i AS INT)]::DOUBLE
+       |         - c.embedding[CAST(i AS INT)]::DOUBLE))) * 1000000)
+       |      AS BIGINT) AS d2m
+       |  FROM q CROSS JOIN c),
+       |extop AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY d2m, nid) AS rn FROM ex)
+       |  WHERE rn <= 10),
+       |hits AS (
+       |  SELECT a.qid, count(*) AS n_hits
+       |  FROM adctop a JOIN extop x ON x.qid = a.qid AND x.nid = a.nid
+       |  GROUP BY a.qid),
+       |base AS (SELECT DISTINCT qid FROM extop)
+       |SELECT b.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10 AS recall
+       |FROM base b LEFT JOIN hits h ON h.qid = b.qid""".stripMargin) {
+    (s, dir) =>
+    val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+    val qdf = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val corpus = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val ex = broadcast(qdf).crossJoin(corpus)
+      .select(col("qid"), col("nid"),
+        round(aggregate(
+          zip_with(col("qe"), col("ne"), (a, b) => {
+            val d = a.cast("double") - b.cast("double"); d * d
+          }), lit(0.0), (a, b) => a + b) * 1000000).cast("long")
+          .as("d2m"))
+    val w = Window.partitionBy("qid").orderBy(col("d2m").asc,
+      col("nid").asc)
+    val extop = ex.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select("qid", "nid")
+    val hits = pqAdcTop(s, dir).select("qid", "nid")
+      .join(extop, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    extop.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 10)
+          .as("recall"))
   }
 
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
-    q113, q128, q129, q133, q134)
+    q113, q128, q129, q133, q134, q135, q136)
 }

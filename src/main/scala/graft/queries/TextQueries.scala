@@ -1620,7 +1620,7 @@ object TextQueries {
 
   /** LSH CALIBRATION — the empirical s-curve of the q30 candidate
     * generator: for a deterministic FIXED-SIZE block sample
-    * (doc_id % S < 2 with stride S = max(20, 2·⌈n/4000⌉) derived
+    * (doc_id % S < 2 with stride S = max(20, 2·⌈n/500⌉) derived
     * from the corpus count — blocks of two consecutive ids, so the
     * sample contains the id-adjacent pairs where this corpus's
     * near-dups live), compute EXACT Jaccard over the INDEX'S OWN
@@ -1646,8 +1646,8 @@ object TextQueries {
     * probability).
     *
     * Scale shape: the exact side is all-pairs ON THE SAMPLE, and the
-    * count-derived stride pins the sample at ~4000 docs however
-    * large the corpus grows — C(4000, 2) array_intersects is a
+    * count-derived stride pins the sample at ~500 docs however
+    * large the corpus grows — C(500, 2) array_intersects is a
     * CONSTANT absolute cost (measured flat in SCALE.md; the fixed
     * 10% rate it replaces was quadratic-in-corpus, 4.8→59 s at 8×),
     * which is how a calibration harness must behave: statistical
@@ -1661,7 +1661,7 @@ object TextQueries {
   val q131 = Q("q131_lsh_scurve",
     s"""WITH $shingleSqlCte,
        |ns AS (
-       |  SELECT greatest(20, 2 * ((count(*) + 3999) // 4000)) AS s
+       |  SELECT greatest(20, 2 * ((count(*) + 499) // 500)) AS s
        |  FROM documents),
        |b AS (
        |  SELECT doc_id, 0 AS band, mh0 || mh1 || mh2 AS key FROM sig
@@ -1705,10 +1705,10 @@ object TextQueries {
        |    * (1 - ((bucket + 0.5) / 10) * ((bucket + 0.5) / 10)
        |         * ((bucket + 0.5) / 10)) AS expected_rate
        |FROM h GROUP BY bucket""".stripMargin) { (s, dir) =>
-    // count-derived stride pins the sample at ~4000 docs (2 per
+    // count-derived stride pins the sample at ~500 docs (2 per
     // block of S consecutive ids); parquet count() is a metadata read
     val n = docs(s, dir).count()
-    val stride = math.max(20L, 2L * ((n + 3999L) / 4000L))
+    val stride = math.max(20L, 2L * ((n + 499L) / 500L))
     val bnd = bands(s, dir)
     val sized = bnd.groupBy("band", "key").agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, 20)).select("band", "key")
