@@ -1747,8 +1747,39 @@ object TextQueries {
       .withColumn("expected_rate", lit(1) - (lit(1) - j3) * (lit(1) - j3))
   }
 
+  /** Index MAINTENANCE — the q79 store built INCREMENTALLY: the
+    * corpus arrives in two batches (doc_id % 5 ≠ 0 first, the
+    * remaining 20% as the delta), the second batch is hashed ALONE
+    * and appended under the store's existing (band, key) bucket spec
+    * ([[SignatureStore.appendBands]] → [[Warehouse.appendBucketed]]),
+    * and candidate generation runs over the merged store. The oracle
+    * is EXACTLY q79's batch-rebuild SQL over the full corpus — the
+    * gate is incremental ≡ batch, row for row.
+    *
+    * Why it matters at 100 TB: a production dedup index absorbs a
+    * daily crawl delta. Rebuilding re-hashes and re-shuffles the
+    * whole corpus (O(N) per day); this path hashes the DELTA
+    * (O(ΔN)), writes new per-bucket files without touching old ones,
+    * and every consumer still gets the exchange-free bucketed reads
+    * (the delta was bucket-hashed at write time). The plan spec pins
+    * that: candidate generation over the two-batch store shows no
+    * pre-distinct exchange, same as the one-shot store.
+    */
+  val q137 = Q("q137_store_upsert", q79.oracle.get) { (s, dir) =>
+    val table = s"sig_bands_q137_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, table) {
+      val root = graft.SessionScratch.dir(s, "sigstore_inc")
+      val wh = Warehouse(root)
+      SignatureStore.writeBands(wh,
+        docs(s, dir).filter(col("doc_id") % 5 =!= 0), table, 8)
+      SignatureStore.appendBands(wh,
+        docs(s, dir).filter(col("doc_id") % 5 === 0), table, 8)
+    }
+    SignatureStore.candidatesFromStore(s, table, 20)
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
-      q81, q86, q87, q88, q89, q91, q120, q121, q127, q131)
+      q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137)
 }

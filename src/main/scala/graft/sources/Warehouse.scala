@@ -66,6 +66,21 @@ final case class Warehouse(root: String) {
       .option("path", dir(table))
       .saveAsTable(table)
 
+  /** Append to an existing bucketed table under the SAME bucket spec —
+    * the incremental index-maintenance path: delta rows are hashed
+    * into the existing bucket layout at write time (new files per
+    * bucket, no rewrite of old ones), so downstream bucketed joins
+    * and aggregations stay exchange-free across old + new files
+    * alike. The write cost tracks the DELTA, never the stored corpus.
+    */
+  def appendBucketed(df: DataFrame, table: String, nBuckets: Int,
+      bucketCols: Seq[String]): Unit =
+    df.write.mode("append")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", dir(table))
+      .saveAsTable(table)
+
   /** Atomic-ish replace for merges that read their own target:
     * write to `<table>.tmp`, then swap directories.
     *

@@ -39,17 +39,32 @@ object SignatureStore {
     * Same 2-band × 3-component layout as TextQueries.bands.
     */
   def writeBands(wh: Warehouse, docs: DataFrame, table: String,
-      nBuckets: Int): Unit = {
+      nBuckets: Int): Unit =
+    wh.saveBucketed(bandsOf(docs), table, nBuckets, Seq("band", "key"))
+
+  /** Incremental maintenance: hash ONLY the arriving docs and append
+    * their band rows under the store's existing bucket spec
+    * ([[Warehouse.appendBucketed]]). The signature cost tracks the
+    * delta, the stored corpus is never re-hashed or re-shuffled, and
+    * every consumer ([[candidatesFromStore]], dedup-keep, decontam)
+    * sees old + new rows through the same exchange-free bucketed
+    * reads. q137 gates the contract: incremental build ≡ batch
+    * rebuild, row for row.
+    */
+  def appendBands(wh: Warehouse, docs: DataFrame, table: String,
+      nBuckets: Int): Unit =
+    wh.appendBucketed(bandsOf(docs), table, nBuckets, Seq("band", "key"))
+
+  private def bandsOf(docs: DataFrame): DataFrame = {
     val sig = docs.select(col("doc_id"),
       graft.functions.TextHashF.minhashSig(col("text"), 8, 4, 6)
         .as("mh"))
-    val bands = sig.select(col("doc_id"), lit(0L).as("band"),
+    sig.select(col("doc_id"), lit(0L).as("band"),
         concat(element_at(col("mh"), 1), element_at(col("mh"), 2),
           element_at(col("mh"), 3)).as("key"))
       .unionByName(sig.select(col("doc_id"), lit(1L).as("band"),
         concat(element_at(col("mh"), 4), element_at(col("mh"), 5),
           element_at(col("mh"), 6)).as("key")))
-    wh.saveBucketed(bands, table, nBuckets, Seq("band", "key"))
   }
 
   /** q30-shaped candidate pairs from the STORED band table: bucket cap

@@ -334,6 +334,24 @@ class Round8Spec extends SparkSpec {
     assert(mean >= 0.3, s"mean recall@10 $mean — index degenerated")
   }
 
+  test("q137: the incrementally-appended band store yields exactly " +
+    "the batch store's candidates, and the merged-store read stays " +
+    "exchange-free before the pair distinct") {
+    val inc = queries.TextQueries.q137.fn(spark, sf)
+    val incRows = rows(inc)
+    assert(incRows == rows(queries.TextQueries.q79.fn(spark, sf)),
+      "incremental build diverges from the batch rebuild")
+    assert(incRows.nonEmpty)
+    // the delta files were bucket-hashed at write time: the size agg
+    // and both pair-join sides inherit the (band, key) distribution,
+    // so only the final candidate distinct repartitions
+    val plan = inc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"merged bucketed store must not re-shuffle before the " +
+        s"distinct:\n$plan")
+  }
+
   test("q128: centroid assignment broadcasts the K-row table and the " +
     "bucket cap broadcasts the sized keys — the corpus never shuffles " +
     "for either") {
