@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -1430,8 +1430,11 @@ object Extras {
     * end to end; the single division (covered/n_tokens) is the
     * unrounded exact-integer ratio both engines print identically.
     */
-  val q132 = Q("q132_dupspan_profile",
-    """WITH t AS (
+  // Shared dup-span machinery (q132 profile / q138 cut): the WITH
+  // chain through g2 — positioned 5-gram explode, map-side-deduped
+  // dup-gram set, left-semi membership, gap-5 island grouping.
+  private val dupSpanSqlCte =
+    """t AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |ix AS (
       |  SELECT doc_id, len(t) AS nt, t,
@@ -1457,21 +1460,23 @@ object Extras {
       |  SELECT doc_id, nt, pos,
       |    sum(newspan) OVER (PARTITION BY doc_id ORDER BY pos
       |      ROWS UNBOUNDED PRECEDING) AS grp
-      |  FROM f),
-      |sp AS (
-      |  SELECT doc_id, nt, grp,
-      |    max(pos) + 4 - min(pos) + 1 AS span_tokens
-      |  FROM g2 GROUP BY doc_id, nt, grp)
-      |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
-      |  count(*) AS n_spans,
-      |  CAST(max(span_tokens) AS BIGINT) AS max_span,
-      |  CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
-      |  CAST(sum(span_tokens) AS DOUBLE) / nt AS dup_frac
-      |FROM sp GROUP BY doc_id, nt""".stripMargin) { (s, dir) =>
-    val t = docsTable(s, dir)
+      |  FROM f)""".stripMargin
+
+  /** Tokenized docs with >= 5 tokens: (doc_id, text, t). */
+  private def docTokens(s: SparkSession, dir: String) =
+    docsTable(s, dir)
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 5)
-    val p = t.select(col("doc_id"), size(col("t")).cast("long").as("nt"),
+
+  /** Duplicated gram positions grouped into gap-5 islands:
+    * (doc_id, nt, pos, grp) — the Spark twin of [[dupSpanSqlCte]]'s
+    * g2 frame. One positioned gram explode; the dup-gram set
+    * partial-aggregates map-side; membership is a left-semi join on
+    * the gram key; the island windows run at doc grain.
+    */
+  private def dupSpanGroups(s: SparkSession, dir: String): DataFrame = {
+    val p = docTokens(s, dir)
+      .select(col("doc_id"), size(col("t")).cast("long").as("nt"),
         posexplode(transform(
           sequence(lit(1), size(col("t")) - 4),
           i => array_join(slice(col("t"), i, lit(5)), " "))))
@@ -1488,6 +1493,21 @@ object Extras {
         when(col("pos") - lag("pos", 1).over(wl) <= 5, lit(0L))
           .otherwise(lit(1L)))
       .withColumn("grp", sum("newspan").over(run))
+  }
+
+  val q132 = Q("q132_dupspan_profile",
+    s"""WITH $dupSpanSqlCte,
+      |sp AS (
+      |  SELECT doc_id, nt, grp,
+      |    max(pos) + 4 - min(pos) + 1 AS span_tokens
+      |  FROM g2 GROUP BY doc_id, nt, grp)
+      |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+      |  count(*) AS n_spans,
+      |  CAST(max(span_tokens) AS BIGINT) AS max_span,
+      |  CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+      |  CAST(sum(span_tokens) AS DOUBLE) / nt AS dup_frac
+      |FROM sp GROUP BY doc_id, nt""".stripMargin) { (s, dir) =>
+    dupSpanGroups(s, dir)
       .groupBy("doc_id", "nt", "grp")
       .agg((max("pos") + 4 - min("pos") + 1).as("span_tokens"))
       .groupBy("doc_id", "nt")
@@ -1499,7 +1519,73 @@ object Extras {
         col("max_span"), col("dup_tokens"), col("dup_frac"))
   }
 
+  /** Dedup extension — APPLY the substring-dedup CUT (the second half
+    * of Lee et al. 2022's ExactSubstr recipe; q132 is the profile,
+    * this is the surgery): duplicated spans of >= 20 tokens are
+    * removed from each affected doc and the retained text re-emitted,
+    * with the token accounting. Docs whose every token sits in a cut
+    * span survive as empty-text rows (the drop decision is the
+    * consumer's); docs with no >= 20-token span are untouched and
+    * produce no row.
+    *
+    * Shape: [[dupSpanGroups]]'s machinery up to the island frame, one
+    * doc-grain aggregate to the qualifying cut spans, collect_list of
+    * the (few) spans per doc, then the cut itself is a MAP-SIDE
+    * higher-order filter over the token array (position-indexed
+    * `filter` + `exists` over the per-row span list — no token
+    * explode, no join at token grain) and one array_join. Everything
+    * after the span aggregate is at doc grain; the reassembled text
+    * is byte-identical in both engines because it is pure integer
+    * indexing + string concat.
+    */
+  val q138 = Q("q138_dupspan_cut",
+    s"""WITH $dupSpanSqlCte,
+      |cut AS (
+      |  SELECT doc_id, grp, min(pos) AS lo, max(pos) + 4 AS hi
+      |  FROM g2 GROUP BY doc_id, grp
+      |  HAVING max(pos) + 4 - min(pos) + 1 >= 20),
+      |cd AS (SELECT DISTINCT doc_id FROM cut),
+      |tok AS (
+      |  SELECT x.doc_id, len(x.t) AS nt, x.i,
+      |    x.t[CAST(x.i AS INT)] AS w
+      |  FROM (SELECT t.doc_id, t.t, unnest(range(1, len(t.t) + 1)) AS i
+      |        FROM t JOIN cd USING (doc_id)) x),
+      |keep AS (
+      |  SELECT k.doc_id, k.i, k.w FROM tok k
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM cut c
+      |    WHERE c.doc_id = k.doc_id AND k.i BETWEEN c.lo AND c.hi)),
+      |new AS (
+      |  SELECT doc_id, count(*) AS kept,
+      |    string_agg(w, ' ' ORDER BY i) AS new_text
+      |  FROM keep GROUP BY doc_id),
+      |base AS (
+      |  SELECT DISTINCT doc_id, nt FROM tok)
+      |SELECT base.doc_id, CAST(base.nt AS BIGINT) AS n_tokens,
+      |  CAST(base.nt - coalesce(new.kept, 0) AS BIGINT) AS cut_tokens,
+      |  CAST(coalesce(new.kept, 0) AS BIGINT) AS kept_tokens,
+      |  coalesce(new.new_text, '') AS new_text
+      |FROM base LEFT JOIN new USING (doc_id)""".stripMargin) {
+    (s, dir) =>
+    val cut = dupSpanGroups(s, dir)
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("lo"), (max("pos") + 4).as("hi"))
+      .filter(col("hi") - col("lo") + 1 >= 20)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("lo"), col("hi"))).as("spans"))
+    docTokens(s, dir).join(cut, Seq("doc_id"))
+      .withColumn("kept", filter(col("t"), (w, i) =>
+        !exists(col("spans"), sp =>
+          (i + 1) >= sp.getField("lo") && (i + 1) <= sp.getField("hi"))))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long")
+          .as("cut_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        array_join(col("kept"), " ").as("new_text"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
-    q117, q118, q124, q125, q126, q130, q132)
+    q117, q118, q124, q125, q126, q130, q132, q138)
 }

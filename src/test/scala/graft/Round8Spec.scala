@@ -192,6 +192,57 @@ class Round8Spec extends SparkSpec {
       "query profile diverges from the independent recomputation")
   }
 
+  test("q138: the substring cut removes exactly the >= 20-token " +
+    "duplicated spans — full profile matches an independent " +
+    "in-memory recomputation, token accounting reconciles") {
+    val d = queries.Extras.q138.fn(spark, sf).collect()
+    assert(d.nonEmpty, "sf0.001 has >= 20-token duplicated spans")
+    d.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        "n_tokens = cut + kept")
+      assert(r.getLong(2) >= 20, "a cut doc lost at least one span")
+      val retokenized =
+        if (r.getString(4).isEmpty) 0 else r.getString(4).split(" ", -1).length
+      assert(retokenized == r.getLong(3),
+        "kept_tokens must equal the reassembled text's token count")
+    }
+    // independent recompute (same machinery as the q132 spec, plus
+    // the cut): spans >= 20 tokens removed, text rebuilt
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+      .filter(_._2.length >= 5)
+    val grams = toks.flatMap { case (id, ts) =>
+      ts.sliding(5).zipWithIndex.map { case (g, i) =>
+        (id, i + 1L, g.mkString(" ")) }
+    }
+    val dupGrams = grams.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val expected = toks.flatMap { case (id, ts) =>
+      val pos = grams.filter(g => g._1 == id && dupGrams(g._3))
+        .map(_._2).sorted
+      if (pos.isEmpty) None else {
+        val spans = pos.tail.foldLeft(List((pos.head, pos.head))) {
+          case ((lo, hi) :: rest, p) =>
+            if (p - hi <= 5) (lo, p) :: rest else (p, p) :: (lo, hi) :: rest
+          case (Nil, p) => List((p, p))
+        }.map { case (lo, hi) => (lo, hi + 4) }
+          .filter { case (lo, hi4) => hi4 - lo + 1 >= 20 }
+        if (spans.isEmpty) None else {
+          val kept = ts.zipWithIndex.collect {
+            case (w, i) if !spans.exists { case (lo, hi4) =>
+              i + 1 >= lo && i + 1 <= hi4 } => w
+          }
+          Some(Seq[Any](id, ts.length.toLong,
+            (ts.length - kept.length).toLong, kept.length.toLong,
+            kept.mkString(" ")))
+        }
+      }
+    }.toSet
+    assert(d.map(_.toSeq).toSet == expected,
+      "cut output diverges from the independent recomputation")
+  }
+
   test("q133: one Lloyd step re-centers every populated cell — (cid, " +
     "dim) grain is complete, memberships reconcile to the corpus, and " +
     "mean/delta recompute from the integer sums") {
