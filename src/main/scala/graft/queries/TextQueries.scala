@@ -1778,8 +1778,130 @@ object TextQueries {
     SignatureStore.candidatesFromStore(s, table, 20)
   }
 
+  /** Quality filter — the GOPHER REPETITION RULES (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1; the filter set most published
+    * pipelines run verbatim): per doc, the fraction of characters
+    * inside the most frequent 2-/3-/4-gram and inside duplicated
+    * 5-grams. Complements q53 (distinct-ratio signals — how varied
+    * the vocabulary is) with the CONCENTRATION signals (how much of
+    * the doc one template phrase owns). Definition pin: the
+    * duplicated-gram fraction counts cnt·len(gram) per duplicated
+    * gram (overlaps double-counted, so it can exceed 1 on
+    * pathological docs) — the common open reimplementation of the
+    * rule, stated here because Gopher's prose is ambiguous; the
+    * overlap-deduplicated variant of the signal is exactly q132's
+    * span machinery at within-doc scope.
+    *
+    * Shape: ONE tagged gram explode (n ∈ 2..5 ≈ 4× the token
+    * stream), (doc, n, gram) counts partial-aggregate map-side, the
+    * top-1 is a (doc, n)-grain window (WindowGroupLimit bounds it),
+    * the dup sum is doc-grain, and the final join is doc-grain —
+    * nothing exceeds gram-stream volume, everything map-combines.
+    * Determinism: covers are integer char counts; top-1 ties break
+    * (cnt DESC, gram ASC) — binary collation matches across engines
+    * on this ASCII corpus; the fractions are exact-integer divisions
+    * (identical doubles, the unrounded-division convention).
+    */
+  val q139 = Q("q139_gopher_repetition",
+    """WITH d AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    string_split(text, ' ') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, 2 AS n,
+      |    t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] AS gram
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |        FROM d WHERE len(t) >= 2) x2
+      |  UNION ALL
+      |  SELECT doc_id, 3 AS n,
+      |    t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] || ' ' ||
+      |      t[CAST(i+2 AS INT)] AS gram
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+      |        FROM d WHERE len(t) >= 3) x3
+      |  UNION ALL
+      |  SELECT doc_id, 4 AS n,
+      |    t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] || ' ' ||
+      |      t[CAST(i+2 AS INT)] || ' ' || t[CAST(i+3 AS INT)] AS gram
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+      |        FROM d WHERE len(t) >= 4) x4
+      |  UNION ALL
+      |  SELECT doc_id, 5 AS n,
+      |    t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] || ' ' ||
+      |      t[CAST(i+2 AS INT)] || ' ' || t[CAST(i+3 AS INT)] || ' ' ||
+      |      t[CAST(i+4 AS INT)] AS gram
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+      |        FROM d WHERE len(t) >= 5) x5),
+      |c AS (
+      |  SELECT doc_id, n, gram, count(*) AS cnt
+      |  FROM g GROUP BY doc_id, n, gram),
+      |top AS (
+      |  SELECT doc_id, n, cnt * length(gram) AS cov FROM (
+      |    SELECT doc_id, n, gram, cnt,
+      |      row_number() OVER (PARTITION BY doc_id, n
+      |                         ORDER BY cnt DESC, gram) AS rn
+      |    FROM c WHERE n <= 4) r WHERE rn = 1),
+      |dup AS (
+      |  SELECT doc_id, 5 AS n, sum(cnt * length(gram)) AS cov
+      |  FROM c WHERE n = 5 AND cnt >= 2 GROUP BY doc_id),
+      |u AS (SELECT * FROM top UNION ALL SELECT * FROM dup),
+      |cv AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN n = 2 THEN cov END) AS c2,
+      |    max(CASE WHEN n = 3 THEN cov END) AS c3,
+      |    max(CASE WHEN n = 4 THEN cov END) AS c4,
+      |    max(CASE WHEN n = 5 THEN cov END) AS c5
+      |  FROM u GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+      |  CAST(coalesce(cv.c2, 0) AS DOUBLE) / d.n_chars AS top2_frac,
+      |  CAST(coalesce(cv.c3, 0) AS DOUBLE) / d.n_chars AS top3_frac,
+      |  CAST(coalesce(cv.c4, 0) AS DOUBLE) / d.n_chars AS top4_frac,
+      |  CAST(coalesce(cv.c5, 0) AS DOUBLE) / d.n_chars AS dup5_frac
+      |FROM d LEFT JOIN cv USING (doc_id)""".stripMargin) { (s, dir) =>
+    val toks = TextOps.tokens(col("text"))
+    val nt = size(toks)
+    def grams(k: Int): Column =
+      (0 until k).map(j => slice(toks, lit(j + 1), nt - (k - 1)))
+        .reduceRight((a, b) => zip_with(a, b,
+          (x, y) => concat(x, lit(" "), y)))
+    val base = docs(s, dir).select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"), col("text"))
+    val g = (2 to 5).map { k =>
+      base.filter(nt >= k).select(col("doc_id"), lit(k.toLong).as("n"),
+        explode(grams(k)).as("gram"))
+    }.reduce(_ unionByName _)
+    val counts = g.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    val wtop = Window.partitionBy("doc_id", "n")
+      .orderBy(col("cnt").desc, col("gram").asc)
+    val top = counts.filter(col("n") <= 4)
+      .withColumn("rn", row_number().over(wtop))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n"),
+        (col("cnt") * length(col("gram"))).cast("long").as("cov"))
+    val dup = counts.filter(col("n") === 5 && col("cnt") >= 2)
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * length(col("gram"))).cast("long").as("cov"))
+      .select(col("doc_id"), lit(5L).as("n"), col("cov"))
+    val covs = top.unionByName(dup).groupBy("doc_id")
+      .agg(max(when(col("n") === 2, col("cov"))).as("c2"),
+        max(when(col("n") === 3, col("cov"))).as("c3"),
+        max(when(col("n") === 4, col("cov"))).as("c4"),
+        max(when(col("n") === 5, col("cov"))).as("c5"))
+    base.select("doc_id", "n_chars")
+      .join(covs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        (coalesce(col("c2"), lit(0L)).cast("double") / col("n_chars"))
+          .as("top2_frac"),
+        (coalesce(col("c3"), lit(0L)).cast("double") / col("n_chars"))
+          .as("top3_frac"),
+        (coalesce(col("c4"), lit(0L)).cast("double") / col("n_chars"))
+          .as("top4_frac"),
+        (coalesce(col("c5"), lit(0L)).cast("double") / col("n_chars"))
+          .as("dup5_frac"))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
-      q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137)
+      q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139)
 }

@@ -243,6 +243,38 @@ class Round8Spec extends SparkSpec {
       "cut output diverges from the independent recomputation")
   }
 
+  test("q139: the Gopher repetition signals match an independent " +
+    "in-memory recomputation on every doc") {
+    val d = queries.TextQueries.q139.fn(spark, sf).collect()
+    val docs0 = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(d.length == docs0.length, "one row per doc")
+    val expected = docs0.map { case (id, text) =>
+      val ts = text.split(" ", -1)
+      def cov(k: Int, dupOnly: Boolean): Long =
+        if (ts.length < k) 0L
+        else {
+          val counts = ts.sliding(k).map(_.mkString(" ")).toSeq
+            .groupBy(identity).map { case (g, o) => g -> o.length }
+          if (dupOnly)
+            counts.collect { case (g, c) if c >= 2 => c.toLong * g.length }
+              .sum
+          else {
+            // top-1 by (count desc, gram asc) — the query's tie policy
+            val (g, c) = counts.toSeq.minBy { case (g2, c2) => (-c2, g2) }
+            c.toLong * g.length
+          }
+        }
+      val nc = text.length.toLong
+      Seq[Any](id, nc, cov(2, false).toDouble / nc,
+        cov(3, false).toDouble / nc, cov(4, false).toDouble / nc,
+        cov(5, true).toDouble / nc)
+    }.toSet
+    assert(d.map(_.toSeq).toSet == expected,
+      "repetition signals diverge from the independent recomputation")
+  }
+
   test("q133: one Lloyd step re-centers every populated cell — (cid, " +
     "dim) grain is complete, memberships reconcile to the corpus, and " +
     "mean/delta recompute from the integer sums") {
