@@ -1192,20 +1192,33 @@ object SimQueries {
        |                       ORDER BY adc_micro, nid) AS rn
        |  FROM adc2)
        |WHERE rn <= 10""".stripMargin) { (s, dir) =>
+    ivfPqQuery(s, dir, "ivfpq_codes", "ivfpqstore") { (wh, table, codesOf, emb) =>
+      wh.saveBucketed(codesOf(emb.filter(col("vec_id") >= 8)),
+        table, 8, Seq("cid"))
+    }
+  }
+
+  /** Shared IVF-PQ machinery: build the cid-bucketed (cid, vec_id, m,
+    * code) store via `build` (one-shot or incremental), then run the
+    * probe path — top-2 cells per query, bucket-pruned candidate
+    * scan, broadcast LUT, map-side ADC sums, rank-limited top-10.
+    */
+  private def ivfPqQuery(s: SparkSession, dir: String, tablePrefix: String,
+      scratchTag: String)(build: (graft.sources.Warehouse, String,
+        DataFrame => DataFrame, DataFrame) => Unit): DataFrame = {
     val cent = Similarity.centroidTable(s, K, D)
     val cb = pqCodebook(s)
     def emb = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
-    val table = s"ivfpq_codes_${graft.SessionScratch.keyOf(dir)}"
+    val table = s"${tablePrefix}_${graft.SessionScratch.keyOf(dir)}"
     graft.SessionScratch.once(s, table) {
-      val root = graft.SessionScratch.dir(s, "ivfpqstore")
-      val assigned = Similarity
-        .ivfAssign(emb.filter(col("vec_id") >= 8), cent)
-        .select(col("cid"), col("vec_id"), col("embedding"))
-      graft.sources.Warehouse(root)
-        .saveBucketed(pqEncode(assigned, cb, keep = Seq("cid")),
-          table, 8, Seq("cid"))
+      val root = graft.SessionScratch.dir(s, scratchTag)
+      val codesOf = (part: DataFrame) =>
+        pqEncode(Similarity.ivfAssign(part, cent)
+          .select(col("cid"), col("vec_id"), col("embedding")),
+          cb, keep = Seq("cid"))
+      build(graft.sources.Warehouse(root), table, codesOf, emb)
     }
     val probes = Similarity
       .ivfProbes(emb.filter(col("vec_id") < 8), cent, NProbe)
@@ -1219,6 +1232,28 @@ object SimQueries {
       .join(broadcast(lut), Seq("qid", "m", "code"))
       .groupBy(col("qid"), col("vec_id").as("nid"))
       .agg(sum("lm").cast("long").as("adc_micro")))
+  }
+
+  /** Index MAINTENANCE, ANN side (q137's contract for the vector
+    * store): the corpus is assigned + PQ-encoded in two batches —
+    * 80% as the initial cid-bucketed CTAS, the remaining 20% hashed
+    * ALONE and appended under the store's bucket spec
+    * ([[graft.sources.Warehouse.appendBucketed]]) — and the probe
+    * path runs unchanged over the merged store. The oracle is
+    * EXACTLY q135's one-shot SQL: incremental ≡ batch, row for row.
+    * A production vector index absorbs its daily embedding delta at
+    * O(Δ) assign+encode cost; with q137 both persisted index
+    * families (dedup bands, ANN codes) maintain incrementally.
+    */
+  val q140 = Q("q140_ivfpq_upsert", q135.oracle.get) { (s, dir) =>
+    ivfPqQuery(s, dir, "ivfpq_codes_inc", "ivfpqstore_inc") {
+      (wh, table, codesOf, emb) =>
+        val corpus = emb.filter(col("vec_id") >= 8)
+        wh.saveBucketed(codesOf(corpus.filter(col("vec_id") % 5 =!= 0)),
+          table, 8, Seq("cid"))
+        wh.appendBucketed(codesOf(corpus.filter(col("vec_id") % 5 === 0)),
+          table, 8, Seq("cid"))
+    }
   }
 
   /** The certification harness for the PQ index (q55's role for the
@@ -1294,5 +1329,5 @@ object SimQueries {
   }
 
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
-    q113, q128, q129, q133, q134, q135, q136)
+    q113, q128, q129, q133, q134, q135, q136, q140)
 }

@@ -401,6 +401,17 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("q140: the incrementally-built IVF-PQ store answers exactly " +
+    "like the one-shot store, and its probe stays bucket-pruned") {
+    val inc = queries.SimQueries.q140.fn(spark, sf)
+    assert(rows(inc) == rows(queries.SimQueries.q135.fn(spark, sf)),
+      "incremental store diverges from the one-shot build")
+    val plan = inc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SelectedBucketsCount"),
+      s"probe must prune the merged cid-bucketed store:\n$plan")
+  }
+
   test("q136: the PQ index genuinely ranks — recall@10 vs exact L2 " +
     "is well above chance on every query and the harness row shape " +
     "holds") {
