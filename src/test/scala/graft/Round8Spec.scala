@@ -2,10 +2,15 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-8 additions: the SemDeDup-style semantic-dedup pipeline
-  * (q128) — decision-table invariants, cross-partitioning
-  * determinism, and the broadcast plan shape that makes the
-  * composition scale.
+/** Round-8 additions: semantic dedup/decontam (q128/q129),
+  * temperature resampling (q130), the LSH calibration harness
+  * (q131), dup-span profile + cut (q132/q138), the k-means step
+  * (q133), the PQ tier (q134 ADC, q135 IVF-PQ, q136 recall), both
+  * incremental index-maintenance paths (q137 bands, q140 codes), and
+  * the Gopher repetition rules (q139). Each test pins either a full
+  * independent in-memory recomputation or the oracle-unreachable
+  * contract (plan shapes: broadcasts, bucket pruning, hash-agg
+  * argmin, rank-limited top-k, partition-count invariance).
   */
 class Round8Spec extends SparkSpec {
   import spark.implicits._
