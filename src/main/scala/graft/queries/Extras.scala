@@ -1585,7 +1585,51 @@ object Extras {
         array_join(col("kept"), " ").as("new_text"))
   }
 
+  /** TOKENIZER TRAINING — one BPE merge-selection step (Sennrich et
+    * al. 2016): count adjacent symbol pairs over the corpus and rank
+    * the merge candidates. The classic trick that makes BPE training
+    * tractable at corpus scale is visible in the plan: pairs are
+    * counted over the DISTINCT-WORD frequency table (vocab grain),
+    * never the token stream — each distinct word explodes into
+    * len-1 two-char pairs once, weighted by its corpus frequency.
+    * At 100 TB the token stream collapses to a vocab-bounded table
+    * in the first partial-aggregated pass and everything after is
+    * O(vocab · word_len); the top-20 is TakeOrderedAndProject.
+    * A full training loop would contract the winning pair and
+    * recount — iteration at vocab grain, same driver-loop pattern as
+    * q133's Lloyd step.
+    */
+  val q142 = Q("q142_bpe_pairs",
+    """WITH wf AS (
+      |  SELECT w, count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM documents) t
+      |  WHERE length(w) >= 2 GROUP BY w),
+      |p AS (
+      |  SELECT w, freq, substr(w, CAST(i AS INT), 2) AS pair
+      |  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i
+      |        FROM wf) x)
+      |SELECT pair, count(DISTINCT w) AS n_words,
+      |  CAST(sum(freq) AS BIGINT) AS total
+      |FROM p GROUP BY pair
+      |ORDER BY total DESC, pair
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    val wf = docsTable(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    wf.select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w"), col("freq"),
+        expr("substring(w, i, 2)").as("pair"))
+      .groupBy("pair")
+      .agg(countDistinct("w").as("n_words"),
+        sum("freq").cast("long").as("total"))
+      .orderBy(col("total").desc, col("pair"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
-    q117, q118, q124, q125, q126, q130, q132, q138)
+    q117, q118, q124, q125, q126, q130, q132, q138, q142)
 }

@@ -1900,8 +1900,77 @@ object TextQueries {
           .as("dup5_frac"))
   }
 
+  /** DATA SELECTION — DSIR-style importance resampling (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every raw document by how much its hashed
+    * unigram features look like a target distribution, then keep the
+    * top-k. Target = the bench-like slice (doc_id % 10 = 0, the same
+    * convention q57/q120 decontaminate against); raw = the rest.
+    * Features are hashed into 256 buckets (md5 first byte — q62's
+    * split device), so the learned weight table is FIXED-SIZE no
+    * matter the vocabulary: per bucket, weight = ln(p_target/p_raw)
+    * with add-1 smoothing. Determinism is the q116 device — each
+    * bucket weight is rounded to integer MICRO-NATS at the 256-row
+    * bucket grain, so the per-doc score is an exact integer sum both
+    * engines order identically.
+    *
+    * Scale shape: the bucket-count agg partial-aggregates the token
+    * stream map-side into ≤256 groups; the weight table (256 rows)
+    * broadcasts; scoring is one more partial-aggregated pass over the
+    * token stream; the top-50 is orderBy+limit → TakeOrderedAndProject
+    * (per-partition heap). Nothing in the plan grows with vocabulary
+    * or corpus except the two linear scans.
+    */
+  val q141 = Q("q141_dsir_selection",
+    """WITH tb AS (
+      |  SELECT doc_id,
+      |    (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1 AS b
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |        FROM documents) t),
+      |c AS (
+      |  SELECT b,
+      |    sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS ct,
+      |    sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS cr
+      |  FROM tb GROUP BY b),
+      |t AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM c),
+      |w AS (
+      |  SELECT b, CAST(round((ln((ct + 1.0) / (tt + 256))
+      |    - ln((cr + 1.0) / (tr + 256))) * 1000000) AS BIGINT) AS ubits
+      |  FROM c, t)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(ubits) AS BIGINT) AS score_ubits
+      |FROM tb JOIN w USING (b)
+      |WHERE doc_id % 10 <> 0
+      |GROUP BY doc_id
+      |ORDER BY score_ubits DESC, doc_id
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    val tb = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 2), 16, 10).cast("int").as("b"))
+    val isT = col("doc_id") % 10 === 0
+    val c = tb.groupBy("b").agg(
+      sum(when(isT, 1L).otherwise(0L)).as("ct"),
+      sum(when(!isT, 1L).otherwise(0L)).as("cr"))
+    val tots = c.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val w = c.crossJoin(broadcast(tots))
+      .select(col("b"),
+        round((log((col("ct") + lit(1.0)) / (col("tt") + 256))
+          - log((col("cr") + lit(1.0)) / (col("tr") + 256))) * 1000000)
+          .cast("long").as("ubits"))
+    tb.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(w), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("ubits").cast("long").as("score_ubits"))
+      .orderBy(col("score_ubits").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
-      q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139)
+      q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
+      q141)
 }

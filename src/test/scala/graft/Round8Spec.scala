@@ -462,4 +462,67 @@ class Round8Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"sized (cid, bkt) cap table must broadcast:\n$plan")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q141: DSIR scores match a from-scratch recomputation " +
+    "(hashed buckets, add-1 smoothing, HALF_UP micro-nats), the " +
+    "weight table broadcasts, and the top-50 is a per-partition heap") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val toks = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).map(w => (id, Integer.parseInt(
+        md5hex(w).substring(0, 2), 16)))
+    }
+    val (tgt, raw) = toks.partition(_._1 % 10 == 0)
+    val ct = tgt.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cr = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val (tt, tr) = (tgt.length.toLong, raw.length.toLong)
+    val ubits: Map[Int, Long] = (ct.keySet ++ cr.keySet).map { b =>
+      val x = (math.log((ct.getOrElse(b, 0L) + 1.0) / (tt + 256)) -
+        math.log((cr.getOrElse(b, 0L) + 1.0) / (tr + 256))) * 1e6
+      b -> java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }.toMap
+    val expected = raw.groupBy(_._1).map { case (id, ts) =>
+      (id, ts.length.toLong, ts.map(t => ubits(t._2)).sum)
+    }.toSeq.sortBy(r => (-r._3, r._1)).take(50).toSet
+    val df = queries.TextQueries.q141.fn(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, "DSIR top-50 diverges from recomputation")
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"256-row weight table must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 must be a per-partition heap, not a global sort:\n$plan")
+  }
+
+  test("q142: BPE pair statistics match a from-scratch recomputation " +
+    "and the top-20 is a per-partition heap over the vocab grain") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").collect().map(_.getString(0))
+    val wf = texts.flatMap(_.split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairAgg = wf.toSeq.flatMap { case (w, f) =>
+      (0 until w.length - 1).map(i => (w.substring(i, i + 2), w, f))
+    }.groupBy(_._1).map { case (p, occ) =>
+      // n_words counts distinct words containing the pair; total
+      // counts every occurrence (a pair twice in one word counts
+      // twice) weighted by word frequency
+      (p, occ.map(_._2).distinct.size.toLong, occ.map(_._3).sum)
+    }.toSeq.sortBy(r => (-r._3, r._1)).take(20).toSet
+    val df = queries.Extras.q142.fn(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == pairAgg, "BPE pair top-20 diverges from recomputation")
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a per-partition heap, not a global sort:\n$plan")
+  }
 }
