@@ -1629,7 +1629,87 @@ object Extras {
       .limit(20)
   }
 
+  /** QUALITY SCORING — CCNet-style bigram-LM filter (Wenzek et al.
+    * 2020): train an add-1-smoothed bigram language model on the
+    * target slice (doc_id % 10 = 0, the bench-like convention), then
+    * score every raw document by its total bigram log-probability.
+    * This is the TRAIN-then-SCORE shape q116 (self-information over
+    * the whole corpus) deliberately is not: conditional
+    * probabilities p(w2|w1) from one slice applied to another, with
+    * a per-context backoff for unseen bigrams and a constant floor
+    * for unseen contexts. Determinism is the q116/q141 device — all
+    * three weight forms (seen bigram, unseen-bigram-seen-context,
+    * unseen context) are rounded to integer micro-nats at the
+    * bigram-vocab / context-vocab / literal grain, so the per-doc
+    * score is an exact integer sum.
+    *
+    * Scale shape: the model tables live at TARGET-VOCAB grain
+    * (bigram + context), built in one partial-aggregated pass over
+    * the target token stream; scoring is two hash joins of the raw
+    * bigram stream against them (vocab-sized build sides — hash
+    * join, broadcast when small enough, never a shuffle of weights
+    * per row) and one partial-aggregated doc-grain sum. Nothing is
+    * per-row log math: every log is taken at vocab grain.
+    */
+  val q143 = Q("q143_lm_bigram_score",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, split_part(b, ' ', 1) AS w1,
+      |    split_part(b, ' ', 2) AS w2
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, n),
+      |          i -> ts[i] || ' ' || ts[i + 1])) AS b
+      |        FROM tok WHERE n >= 2)),
+      |tb AS (SELECT w1, w2, count(*) AS cb FROM bg
+      |       WHERE doc_id % 10 = 0 GROUP BY w1, w2),
+      |tc AS (SELECT w1, sum(cb) AS cu FROM tb GROUP BY w1),
+      |wt AS (SELECT w1, w2,
+      |    CAST(round(ln((cb + 1.0) / (cu + 4096)) * 1000000) AS BIGINT)
+      |      AS ubits
+      |  FROM tb JOIN tc USING (w1)),
+      |fb AS (SELECT w1,
+      |    CAST(round(ln(1.0 / (cu + 4096)) * 1000000) AS BIGINT)
+      |      AS fb_ubits
+      |  FROM tc)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(coalesce(wt.ubits, fb.fb_ubits,
+      |    CAST(round(ln(1.0 / 4096) * 1000000) AS BIGINT)))
+      |    AS BIGINT) AS score_ubits
+      |FROM bg LEFT JOIN wt USING (w1, w2) LEFT JOIN fb USING (w1)
+      |WHERE doc_id % 10 <> 0
+      |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = docsTable(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+    val bg = toks.filter(col("n") >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), col("n") - 1),
+        slice(col("ts"), lit(2), col("n") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tb = bg.filter(col("doc_id") % 10 === 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val tc = tb.groupBy("w1").agg(sum("cb").as("cu"))
+    val wt = tb.join(tc, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(log((col("cb") + lit(1.0)) / (col("cu") + 4096)) * 1000000)
+          .cast("long").as("ubits"))
+    val fb = tc.select(col("w1"),
+      round(log(lit(1.0) / (col("cu") + 4096)) * 1000000)
+        .cast("long").as("fb_ubits"))
+    bg.filter(col("doc_id") % 10 =!= 0)
+      .join(wt, Seq("w1", "w2"), "left")
+      .join(fb, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("ubits"), col("fb_ubits"),
+          round(log(lit(1.0) / 4096) * 1000000).cast("long")))
+          .cast("long").as("score_ubits"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
-    q117, q118, q124, q125, q126, q130, q132, q138, q142)
+    q117, q118, q124, q125, q126, q130, q132, q138, q142, q143)
 }

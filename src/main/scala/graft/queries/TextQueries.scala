@@ -1968,9 +1968,42 @@ object TextQueries {
       .limit(50)
   }
 
+  /** TOKENIZER EVALUATION — fertility (subword chunks per whitespace
+    * word) per language: the standard measure of how well a
+    * tokenizer fits a language's text (Rust et al. 2021 use exactly
+    * this ratio to compare monolingual vs multilingual vocabularies).
+    * Chunks come from the q50 GPT-2-style pre-tokenizer
+    * ([[TextOps.bpeChunks]]); words from the whitespace split. Both
+    * counts are map-only per-row scalars folded into one lang-grain
+    * aggregate — a 100 TB corpus pays one linear scan and a 5-row
+    * shuffle. The ratio is a single IEEE division of two exact
+    * integer sums (the repo's unrounded-division determinism rule).
+    */
+  val q144 = Q("q144_tokenizer_fertility",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+      |  CAST(sum(len(regexp_extract_all(text,
+      |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+',
+      |    0))) AS BIGINT) AS n_chunks,
+      |  CAST(sum(len(regexp_extract_all(text,
+      |    '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+',
+      |    0))) AS DOUBLE)
+      |    / sum(len(string_split(text, ' '))) AS fertility
+      |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+    docs(s, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        size(TextOps.bpeChunks(col("text"))).cast("long").as("c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w").cast("long").as("n_words"),
+        sum("c").cast("long").as("n_chunks"),
+        (sum("c").cast("double") / sum("w")).as("fertility"))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
-      q141)
+      q141, q144)
 }

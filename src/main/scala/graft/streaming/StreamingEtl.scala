@@ -87,6 +87,31 @@ object StreamingEtl {
       .withColumn("contaminated", col("maxsim") > tau)
   }
 
+  /** Streaming DSIR quality gate — q141's learned importance weights
+    * applied at INGEST time: each arriving document is tokenized,
+    * every token hashed to its 256-bucket feature (the same
+    * md5-first-byte expression as the batch trainer), and the
+    * per-doc score folded map-side against the weight table inlined
+    * as a 256-element LITERAL array. Train offline (q141's
+    * bucket-grain aggregation), apply online: the scorer is
+    * completely stateless — append mode, no watermark, no state
+    * store, no shuffle — and its integer micro-nat sums are
+    * bit-identical to the batch q141 scoring pass by construction
+    * (same hash, same weights, exact integer addition in any order).
+    */
+  def dsirScoreStream(src: DataFrame, ubits: Seq[Long],
+      textCol: String = "text"): DataFrame = {
+    require(ubits.length == 256, s"need 256 bucket weights, got ${ubits.length}")
+    val warr = array(ubits.map(lit): _*)
+    val toks = split(col(textCol), " ")
+    val score = aggregate(
+      transform(toks, w => element_at(warr,
+        conv(substring(md5(w), 1, 2), 16, 10).cast("int") + 1)),
+      lit(0L), (acc, x) => acc + x)
+    src.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("score_ubits", score)
+  }
+
   /** File-arrival SCD1: each micro-batch of source rows is merged into
     * the parquet warehouse table with the SAME batch operator
     * (Scd.scd1Merge) — the reference's daily merge, continuously.

@@ -525,4 +525,60 @@ class Round8Spec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-20 must be a per-partition heap, not a global sort:\n$plan")
   }
+
+  test("q143: bigram-LM scores match a from-scratch recomputation " +
+    "covering all three weight forms (seen bigram, context backoff, " +
+    "unseen-context floor)") {
+    def ubits(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    def bigrams(ts: Array[String]) = ts.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))).toSeq
+    val tgt = docs.filter(_._1 % 10 == 0).flatMap(d => bigrams(d._2))
+    val cb = tgt.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cu = tgt.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val floor = ubits(math.log(1.0 / 4096))
+    val expected = docs.filter(_._1 % 10 != 0)
+      .filter(_._2.length >= 2).map { case (id, ts) =>
+        val bs = bigrams(ts)
+        val score = bs.map { b =>
+          cb.get(b) match {
+            case Some(c) => ubits(math.log((c + 1.0) / (cu(b._1) + 4096)))
+            case None => cu.get(b._1)
+              .map(u => ubits(math.log(1.0 / (u + 4096))))
+              .getOrElse(floor)
+          }
+        }.sum
+        (id, bs.length.toLong, score)
+      }.toSet
+    // the synthetic corpus must actually exercise every branch
+    val rawBgs = docs.filter(_._1 % 10 != 0).flatMap(d => bigrams(d._2))
+    assert(rawBgs.exists(cb.contains), "no seen bigram in raw docs")
+    assert(rawBgs.exists(b => !cb.contains(b) && cu.contains(b._1)),
+      "no context-backoff case in raw docs")
+    val got = queries.Extras.q143.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, "LM scores diverge from recomputation")
+  }
+
+  test("q144: fertility matches a from-scratch recomputation and is " +
+    "an exact IEEE division of the two integer sums") {
+    val pat = ("'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+" +
+      "| ?[^a-zA-Z0-9\\s]+|\\s+").r
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"lang", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val w = ds.map(_._2.split(" ", -1).length.toLong).sum
+      val c = ds.map(d => pat.findAllIn(d._2).size.toLong).sum
+      (lang, ds.length.toLong, w, c, c.toDouble / w)
+    }.toSet
+    val got = queries.TextQueries.q144.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expected, "fertility diverges from recomputation")
+  }
 }

@@ -342,4 +342,51 @@ class StreamingSpec extends SparkSpec {
       .withColumn("contaminated", $"maxsim" > 0.3)
     assert(rows(spark.table("decontam_stream")) == rows(batch))
   }
+
+  test("dsirScoreStream: the stateless literal-array scorer on the " +
+    "stream reproduces the batch q141 trainer's per-doc integer " +
+    "scores exactly, across micro-batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(w: String): Int =
+      Integer.parseInt(md5hex(w).substring(0, 2), 16)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // offline training: q141's bucket-grain weight formula
+    val toks = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).map(w => (id, bucket(w)))
+    }
+    val (tgt, raw) = toks.partition(_._1 % 10 == 0)
+    val ct = tgt.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cr = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ubits = (0 until 256).map { b =>
+      val x = (math.log((ct.getOrElse(b, 0L) + 1.0) / (tgt.length + 256))
+        - math.log((cr.getOrElse(b, 0L) + 1.0) / (raw.length + 256))) * 1e6
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }
+    val rawDocs = docs.filter(_._1 % 10 != 0).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingEtl.dsirScoreStream(
+        input.toDF().toDF("doc_id", "text"), ubits)
+      .select($"doc_id", $"n_tokens", $"score_ubits")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsir_stream").start()
+    val (b1, b2) = rawDocs.splitAt(rawDocs.length / 2)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = rawDocs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      Seq[Any](id, ws.length.toLong, ws.map(w => ubits(bucket(w))).sum)
+    }.toSet
+    assert(rows(spark.table("dsir_stream")) == expected,
+      "stream scores diverge from the offline trainer")
+  }
 }
