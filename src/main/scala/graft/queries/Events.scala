@@ -602,7 +602,83 @@ object Events {
             .as("gap_s"))
   }
 
+  /** ITERATIVE LINEAR ALGEBRA AT BOUNDED GRAIN — the stationary
+    * distribution of q122's event-transition Markov chain by three
+    * power-iteration steps, every quantity an exact integer: the
+    * transition matrix is quantized to micro-units with half-up
+    * INTEGER division ((2·n·10⁶ + tot) div (2·tot) — no float ever),
+    * the mass vector starts uniform, and each step is one
+    * matrix-vector multiply at |types|² grain followed by the same
+    * integer renormalizing division. Both engines therefore iterate
+    * the identical integer map — no accumulation-order or rounding
+    * divergence is possible at any depth.
+    *
+    * Scale shape: the corpus pays ONE per-user lag window + one
+    * (prev,next) count agg (q122's cost); the matrix and vector then
+    * live at |types|² / |types| grain, so iteration depth is free at
+    * 100 TB — each step is a broadcast join of bounded tables
+    * (Spark's ReuseExchange dedups the repeated matrix subplan; a
+    * production loop would persist the matrix once, the q133
+    * driver-loop pattern). Types with no outgoing edges absorb mass
+    * out of the system (the matrix is row-substochastic there) —
+    * deterministic, and absent in this corpus where every type
+    * transitions.
+    */
+  val q145 = Q("q145_markov_stationary",
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (
+      |  SELECT prev, event_type AS next, count(*) AS n
+      |  FROM e WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev, sum(n) AS tot FROM c GROUP BY prev),
+      |q AS (SELECT prev, next,
+      |        (2 * n * 1000000 + tot) // (2 * tot) AS q
+      |      FROM c JOIN t USING (prev)),
+      |ty AS (SELECT DISTINCT event_type AS ty FROM events),
+      |v0 AS (SELECT ty, 1000000 // (SELECT count(*) FROM ty) AS m
+      |       FROM ty),
+      |v1 AS (SELECT q.next AS ty,
+      |         (2 * sum(v0.m * q.q) + 1000000) // 2000000 AS m
+      |       FROM v0 JOIN q ON q.prev = v0.ty GROUP BY q.next),
+      |v2 AS (SELECT q.next AS ty,
+      |         (2 * sum(v1.m * q.q) + 1000000) // 2000000 AS m
+      |       FROM v1 JOIN q ON q.prev = v1.ty GROUP BY q.next),
+      |v3 AS (SELECT q.next AS ty,
+      |         (2 * sum(v2.m * q.q) + 1000000) // 2000000 AS m
+      |       FROM v2 JOIN q ON q.prev = v2.ty GROUP BY q.next)
+      |SELECT ty, CAST(m AS BIGINT) AS mass_micro,
+      |  CAST(m AS DOUBLE) / 1000000 AS p
+      |FROM v3""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables(s, dir, "events")
+    val c = ev
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val t = c.groupBy("prev").agg(sum(col("n")).as("tot"))
+    val qm = c.join(broadcast(t), Seq("prev"))
+      .select(col("prev"), col("next"),
+        expr("div(2 * n * 1000000 + tot, 2 * tot)").as("q"))
+    val ty = ev.select(col("event_type").as("ty")).distinct()
+    val v0 = ty.crossJoin(broadcast(ty.agg(count(lit(1)).as("cnt"))))
+      .select(col("ty"), expr("div(1000000, cnt)").as("m"))
+    def step(v: org.apache.spark.sql.DataFrame) =
+      v.join(broadcast(qm), v("ty") === qm("prev"))
+        .groupBy(col("next"))
+        .agg(expr("div(2 * sum(m * q) + 1000000, 2000000)").as("m"))
+        .select(col("next").as("ty"), col("m"))
+    val v3 = step(step(step(v0)))
+    v3.select(col("ty"), col("m").cast("long").as("mass_micro"),
+      (col("m").cast("double") / 1000000).as("p"))
+  }
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45, q58, q59,
-      q68, q71, q78, q84, q92, q119, q122, q123)
+      q68, q71, q78, q84, q92, q119, q122, q123, q145)
 }

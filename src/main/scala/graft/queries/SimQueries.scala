@@ -1328,6 +1328,62 @@ object SimQueries {
           .as("recall"))
   }
 
+  /** DIMENSIONALITY REDUCTION — Johnson-Lindenstrauss random
+    * projection 64 → 8 with the Achlioptas (2003) ±1 sign matrix,
+    * the cheap pre-clustering/pre-ANN transform a 100 TB embedding
+    * pipeline applies before its quadratic-ish stages. The sign
+    * matrix is DERIVED, not stored: s(i,j) = +1 iff the first hex
+    * digit of md5("i:j") < 8 — the Spark side bakes the 512 signs in
+    * as literal arrays at query-build time, the oracle re-derives
+    * them in SQL from the same hashes, so the two sides share no
+    * code path. Inputs are quantized with floor(x·2²⁰) (the q113
+    * device — floor of identical doubles has no rounding knife edge)
+    * and each output component is an exact integer dot product.
+    *
+    * Scale shape: pure map work — one in-row fold per output
+    * component against a literal sign vector, the 8 components
+    * emitted by an in-row explode. No join, no shuffle, no state;
+    * the projected table is 8 longs per vector (64× smaller than
+    * the float input it replaces downstream).
+    */
+  val q146 = Q("q146_jl_projection",
+    """WITH x AS (
+      |  SELECT vec_id, CAST(ip - 1 AS BIGINT) AS i,
+      |    CAST(floor(CAST(xi AS DOUBLE) * 1048576) AS BIGINT) AS xi
+      |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS ip,
+      |          unnest(embedding) AS xi
+      |        FROM embeddings) t),
+      |s AS (
+      |  SELECT a.i, b.j,
+      |    CASE WHEN strpos('01234567',
+      |        substr(md5(a.i || ':' || b.j), 1, 1)) > 0
+      |      THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(0, 64)) AS i) a,
+      |       (SELECT unnest(range(0, 8)) AS j) b)
+      |SELECT vec_id, s.j AS j, CAST(sum(x.xi * s.s) AS BIGINT) AS y
+      |FROM x JOIN s USING (i)
+      |GROUP BY vec_id, s.j""".stripMargin) { (s, dir) =>
+    def md5hex(str: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val signs = Array.tabulate(8, D) { (j, i) =>
+      if (Integer.parseInt(md5hex(s"$i:$j").substring(0, 1), 16) < 8) 1L
+      else -1L
+    }
+    val xi = transform(col("embedding"),
+      x => floor(x.cast("double") * 1048576).cast("long"))
+    val projs = array((0 until 8).map { j =>
+      val sv = array(signs(j).toIndexedSeq.map(lit): _*)
+      struct(lit(j.toLong).as("j"),
+        aggregate(zip_with(col("xi"), sv, (x, sg) => x * sg),
+          lit(0L), (acc, v) => acc + v).as("y"))
+    }: _*)
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), xi.as("xi"))
+      .select(col("vec_id"), explode(projs).as("p"))
+      .select(col("vec_id"), col("p.j").as("j"), col("p.y").as("y"))
+  }
+
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
-    q113, q128, q129, q133, q134, q135, q136, q140)
+    q113, q128, q129, q133, q134, q135, q136, q140, q146)
 }

@@ -581,4 +581,70 @@ class Round8Spec extends SparkSpec {
         r.getLong(3), r.getDouble(4))).toSet
     assert(got == expected, "fertility diverges from recomputation")
   }
+
+  test("q145: three integer power-iteration steps match an exact " +
+    "from-scratch recomputation and keep total mass within per-entry " +
+    "rounding of one") {
+    val ev = sources.Tables(spark, sf, "events")
+      .select($"user_id", $"event_type", $"ts", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000000L +
+          r.getTimestamp(2).getNanos % 1000000, r.getLong(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      seq.sliding(2).filter(_.length == 2).map(p => (p(0), p(1)))
+    }
+    val n = trans.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tot = trans.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    // exact half-up integer division, no float anywhere
+    val q = n.map { case ((a, b), c) =>
+      (a, b) -> (2L * c * 1000000L + tot(a)) / (2L * tot(a))
+    }
+    val types = ev.map(_._2).distinct.sorted
+    var v: Map[String, Long] =
+      types.map(_ -> 1000000L / types.length).toMap
+    // mirror the JOIN semantics exactly: a next type appears iff some
+    // matrix row reaches it from the current vector's keys, even when
+    // the renormalized mass rounds to zero
+    for (_ <- 1 to 3)
+      v = q.keys.filter(k => v.contains(k._1)).toSeq.groupBy(_._2)
+        .map { case (next, ks) =>
+          val s = ks.map(k => v(k._1) * q(k)).sum
+          next -> (2L * s + 1000000L) / 2000000L
+        }
+    val got = queries.Events.q145.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(r => r._1 -> r._2).toMap == v,
+      "stationary masses diverge from integer recomputation")
+    got.foreach(r => assert(r._3 == r._2.toDouble / 1000000,
+      "p must be the single-division image of the integer mass"))
+    val mass = got.map(_._2).sum
+    assert(math.abs(mass - 1000000L) <= types.length,
+      s"mass $mass drifted beyond per-entry rounding")
+  }
+
+  test("q146: the JL projection matches an exact integer " +
+    "recomputation for every (vector, component) and the plan is " +
+    "map-only — no Exchange anywhere") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val signs = Array.tabulate(8, 64) { (j, i) =>
+      if (Integer.parseInt(md5hex(s"$i:$j").substring(0, 1), 16) < 8) 1L
+      else -1L
+    }
+    val expected = vecs.flatMap { case (id, e) =>
+      val xi = e.map(x => math.floor(x.toDouble * 1048576).toLong)
+      (0 until 8).map(j =>
+        (id, j.toLong, xi.zip(signs(j)).map { case (x, s) => x * s }.sum))
+    }.toSet
+    val df = queries.SimQueries.q146.fn(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, "projection diverges from recomputation")
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"),
+      s"JL projection must be map-only:\n$plan")
+  }
 }
