@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.Q
+import graft.ops.ZOrder
 import graft.sources.Tables
 
 /** Round-7 surface extensions: multi-granularity aggregation
@@ -1709,7 +1710,55 @@ object Extras {
           .cast("long").as("score_ubits"))
   }
 
+  /** DATA LAYOUT — the Z-order (Morton) curve value for every order
+    * on (customer, order-day), the write-time clustering key behind
+    * Delta/Iceberg ZORDER BY: range-partitioning on this ONE integer
+    * gives each output file a compact rectangle of (customer, day)
+    * space, so min/max pruning works for predicates on EITHER key.
+    * Both keys are first min-max scaled onto the same 10-bit range
+    * with exact integer arithmetic — WITHOUT that normalization the
+    * wider key's high bits own every top z-bit and the layout
+    * degenerates into a plain date sort (measured, see ZOrder
+    * scaladoc). The curve is then pure integer bit interleaving
+    * ([[graft.ops.ZOrder.zValue]]) inside whole-stage codegen; the
+    * oracle re-derives scaling and curve from independent SQL
+    * ([[graft.ops.ZOrder.zSql]]). The layout operator
+    * (`ZOrder.cluster` — one range exchange + in-partition sort) is
+    * spec-certified to shrink per-partition spans on BOTH keys vs a
+    * single-key sort (Round8Spec).
+    */
+  val q147 = Q("q147_zorder_curve",
+    s"""WITH k AS (
+      |  SELECT o_orderkey, o_custkey AS x,
+      |    datediff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) AS y
+      |  FROM orders),
+      |mm AS (SELECT min(x) AS xmin, max(x) AS xmax,
+      |         min(y) AS ymin, max(y) AS ymax FROM k),
+      |sc AS (
+      |  SELECT o_orderkey, x, y,
+      |    ((x - xmin) * 1023) //
+      |      (CASE WHEN xmax > xmin THEN xmax - xmin ELSE 1 END) AS xs,
+      |    ((y - ymin) * 1023) //
+      |      (CASE WHEN ymax > ymin THEN ymax - ymin ELSE 1 END) AS ys
+      |  FROM k, mm)
+      |SELECT o_orderkey, x, y,
+      |  CAST(${ZOrder.zSql("xs", "ys")} AS BIGINT) AS z
+      |FROM sc""".stripMargin) { (s, dir) =>
+    val k = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("x"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("y"))
+    val mm = k.agg(min("x").as("xmin"), max("x").as("xmax"),
+      min("y").as("ymin"), max("y").as("ymax"))
+    k.crossJoin(broadcast(mm))
+      .select(col("o_orderkey"), col("x"), col("y"),
+        ZOrder.zValue(
+          ZOrder.scaled(col("x"), col("xmin"), col("xmax")),
+          ZOrder.scaled(col("y"), col("ymin"), col("ymax"))).as("z"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
-    q117, q118, q124, q125, q126, q130, q132, q138, q142, q143)
+    q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147)
 }

@@ -647,4 +647,50 @@ class Round8Spec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"JL projection must be map-only:\n$plan")
   }
+
+  test("q147/ZOrder: the Morton value matches a scale-then-interleave " +
+    "recomputation, and clustering on it gives per-partition locality " +
+    "on BOTH keys where a single-key sort has none on the second") {
+    import graft.ops.ZOrder
+    def morton(a: Long, b: Long): Long =
+      (0 until 10).foldLeft(0L) { (acc, k) =>
+        acc | (((a >> k) & 1L) << (2 * k)) | (((b >> k) & 1L) << (2 * k + 1))
+      }
+    val rows147 = queries.Extras.q147.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows147.nonEmpty)
+    val (xmin, xmax) = (rows147.map(_._2).min, rows147.map(_._2).max)
+    val (ymin, ymax) = (rows147.map(_._3).min, rows147.map(_._3).max)
+    def sc(v: Long, lo: Long, hi: Long): Long =
+      (v - lo) * 1023 / math.max(hi - lo, 1L)
+    rows147.foreach { case (_, x, y, z) =>
+      val e = morton(sc(x, xmin, xmax), sc(y, ymin, ymax))
+      assert(z == e, s"z($x,$y)=$z != $e")
+    }
+    // layout quality: average per-partition span of each key under the
+    // z-cluster vs a range partition on x alone (same partition count)
+    val orders = sources.Tables(spark, sf, "orders")
+      .select($"o_custkey".as("x"),
+        datediff(to_date($"o_orderdate"), lit("1970-01-01"))
+          .cast("long").as("y"))
+    def spans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val s = df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+        .agg(avg($"sx"), avg($"sy")).head()
+      (s.getDouble(0), s.getDouble(1))
+    }
+    val (gx, gy) = {
+      val r = orders.agg(max($"x") - min($"x"), max($"y") - min($"y")).head()
+      (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    }
+    val (zx, zy) = spans(ZOrder.cluster(orders, $"x", $"y", 10, 8))
+    val (_, xy) = spans(orders.repartitionByRange(8, $"x").sortWithinPartitions("x"))
+    assert(zx < 0.7 * gx, s"z-cluster x-span $zx not localized vs $gx")
+    assert(zy < 0.7 * gy, s"z-cluster y-span $zy not localized vs $gy")
+    assert(xy > 0.9 * gy,
+      s"x-only sort should leave y unlocalized (got $xy vs $gy)")
+    assert(zy < 0.8 * xy,
+      s"z-cluster must beat the single-key sort on the second key")
+  }
 }
