@@ -2001,9 +2001,116 @@ object TextQueries {
         (sum("c").cast("double") / sum("w")).as("fertility"))
   }
 
+  /** PER-SOURCE QUOTA CAP — the CCNet/RefinedWeb-style curation rule
+    * "keep at most cap(s) documents per domain, best first" (Penedo
+    * et al. 2023 cap per-domain contributions exactly this way to stop
+    * a few crawl-heavy hosts from dominating the training mix). Rank
+    * is deterministic quality order (n_chars DESC, doc_id). The cap is
+    * ADAPTIVE — 20% of the source's own volume, clamped to [5, 40] —
+    * so it cannot be a window literal. The scale-correct composition
+    * is two-stage: (1) `row_number <= 40` against the GLOBAL literal
+    * clamp, which Catalyst rewrites to WindowGroupLimit (spec-pinned)
+    * — every map task keeps a 40-row heap per source, so the window
+    * shuffle carries <= 40·partitions rows per source, not the corpus;
+    * (2) the adaptive cap, a source-grain broadcast (one row per
+    * source), filters the survivors exactly. At 100 TB stage 1 is the
+    * only corpus-grain work and it is heap-bounded map-side; the
+    * full-sort-per-source a naive window would pay never happens.
+    */
+  val q148 = Q("q148_source_quota_cap",
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars DESC, doc_id) AS rnk
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    least(40, greatest(5,
+      |      CAST(ceil(count(*) * 0.2) AS INTEGER))) AS cap
+      |  FROM documents GROUP BY source)
+      |SELECT source, n_docs, cap, count(*) AS n_kept,
+      |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+      |FROM r JOIN c USING (source)
+      |WHERE rnk <= cap
+      |GROUP BY source, n_docs, cap
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ranked = d.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 40) // literal clamp -> WindowGroupLimit
+    val caps = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("cap",
+        least(lit(40), greatest(lit(5),
+          ceil(col("n_docs") * 0.2).cast("int"))))
+    ranked.join(broadcast(caps), "source")
+      .filter(col("rnk") <= col("cap"))
+      .groupBy("source", "n_docs", "cap")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_chars").cast("long").as("kept_chars"))
+      .orderBy("source")
+  }
+
+  /** EXACT STRATIFIED SAMPLE — keep exactly ceil(10% of N_lang) docs
+    * per language, chosen by deterministic pseudo-random order
+    * (md5 of doc_id). The naive form is one window per stratum — but
+    * `lang` has a handful of values, so at 100 TB a per-stratum
+    * row_number serializes each stratum into ONE task. This is the
+    * distributed-selection rewrite (one round of distributed
+    * quickselect, the same trick RangePartitioner uses to pick sort
+    * boundaries): bucket every doc by its first hash byte, count at
+    * (lang, bucket) grain — a few·256-row table — and classify each
+    * bucket against the stratum quota: buckets wholly below the
+    * cutoff are kept with NO sort, buckets wholly above are dropped,
+    * and only the ONE straddling bucket per stratum pays a
+    * row_number, over ~1/256 of that stratum. Corpus-grain work is
+    * one map-side-combined count and one broadcast-join filter; the
+    * only window runs on the straddle slice. Ordering equivalence
+    * with the oracle's plain global rank holds because the bucket id
+    * is the hash's leading 2 hex chars, so bucket order IS hash-prefix
+    * order (hex digits are ASCII-ascending).
+    */
+  val q149 = Q("q149_stratified_sample",
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang FROM r
+      |WHERE rnk <= CAST(ceil(n * 0.1) AS BIGINT)""".stripMargin) {
+    (s, dir) =>
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("b", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val counts = d.groupBy("lang", "b").agg(count(lit(1)).as("cnt"))
+    val wLang = Window.partitionBy("lang")
+    val cum = counts
+      .withColumn("n", sum("cnt").over(wLang))
+      .withColumn("cum",
+        coalesce(sum("cnt").over(wLang.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("q", ceil(col("n") * 0.1).cast("long"))
+      .select("lang", "b", "cnt", "cum", "q")
+    val tagged = d.join(broadcast(cum), Seq("lang", "b"))
+    val whole = tagged
+      .filter(col("cum") + col("cnt") <= col("q"))
+      .select("doc_id", "lang")
+    val straddleW = Window.partitionBy("lang", "b")
+      .orderBy(col("h"), col("doc_id"))
+    val partial = tagged
+      .filter(col("cum") < col("q") && col("cum") + col("cnt") > col("q"))
+      .withColumn("rnk", row_number().over(straddleW))
+      .filter(col("rnk") <= col("q") - col("cum"))
+      .select("doc_id", "lang")
+    whole.union(partial)
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
-      q141, q144)
+      q141, q144, q148, q149)
 }

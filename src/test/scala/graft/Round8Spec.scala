@@ -693,4 +693,53 @@ class Round8Spec extends SparkSpec {
     assert(zy < 0.8 * xy,
       s"z-cluster must beat the single-key sort on the second key")
   }
+
+  test("q148: the literal clamp pushes a WindowGroupLimit and the " +
+    "kept set matches a from-scratch per-source recomputation") {
+    val df = queries.TextQueries.q148.fn(spark, sf)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"),
+      "stage-1 literal clamp must push a group limit")
+    val got = df.collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source", $"n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = docs.groupBy(_._2).map { case (src, rs) =>
+      val cap = math.min(40, math.max(5, math.ceil(rs.length * 0.2).toInt))
+      val kept = rs.sortBy { case (id, _, nc) => (-nc, id) }.take(cap)
+      src -> ((rs.length.toLong, cap, kept.length.toLong,
+        kept.map(_._3).sum))
+    }
+    assert(got == exp, s"per-source quota mismatch:\n$got\nvs\n$exp")
+  }
+
+  test("q149: bucket selection equals the naive global per-stratum " +
+    "rank, quotas are exact, and only the straddle bucket is sorted") {
+    val df = queries.TextQueries.q149.fn(spark, sf)
+    val got = rows(df)
+    // naive single-window form (the semantics, not the scale shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val naive = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .filter($"rnk" <= ceil($"n" * 0.1).cast("long"))
+      .select("doc_id", "lang")
+    assert(got == rows(naive), "bucket selection diverged from naive rank")
+    // exact quotas per stratum
+    val quota = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> math.ceil(r.getLong(1) * 0.1).toLong)
+      .toMap
+    val kept = df.collect().groupBy(_.getString(1)).map {
+      case (l, rs) => l -> rs.length.toLong
+    }
+    assert(kept == quota, s"quota mismatch: $kept vs $quota")
+  }
 }
