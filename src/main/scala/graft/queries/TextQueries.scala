@@ -2108,9 +2108,109 @@ object TextQueries {
     whole.union(partial)
   }
 
+  /** RAG CHUNKING — split every document into sliding token windows
+    * (32 tokens, stride 24, so consecutive chunks overlap by 8) — the
+    * retrieval-corpus preparation step every RAG index build runs
+    * before embedding. The plan is MAP-ONLY: per row, `sequence`
+    * enumerates the chunk starts and `slice` materializes each
+    * window from the one split array — no shuffle, no join, no
+    * window; at 100 TB this is embarrassingly parallel and the output
+    * is ~|tokens|/stride rows. Chunk identity is the md5 of the
+    * joined window (what a downstream dedup/embedding store would
+    * key on). The last chunk is the first one whose window reaches
+    * the end of the doc; short docs yield exactly one (possibly
+    * short) chunk.
+    */
+  val q150 = Q("q150_rag_chunks",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    len(string_split(text, ' ')) AS nw
+      |  FROM documents),
+      |i AS (
+      |  SELECT doc_id, ws,
+      |    unnest(generate_series(0,
+      |      CAST(greatest(0, ceil((nw - 32) / 24.0)) AS BIGINT))) AS chunk_idx
+      |  FROM t)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(len(list_slice(ws, chunk_idx * 24 + 1,
+      |                          chunk_idx * 24 + 32)) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(list_slice(ws, chunk_idx * 24 + 1,
+      |                                     chunk_idx * 24 + 32),
+      |      ' ')) AS chunk_md5
+      |FROM i""".stripMargin) { (s, dir) =>
+    val c = 32
+    val st = 24
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("nw", size(col("ws")))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L),
+          greatest(lit(0.0), ceil((col("nw") - c) / st.toDouble))
+            .cast("long"))).as("chunk_idx"))
+      .withColumn("chunk",
+        slice(col("ws"), (col("chunk_idx") * st + 1).cast("int"), lit(c)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+  }
+
+  /** SOURCE DRIFT — KL(source unigram LM || corpus unigram LM) per
+    * source: the standard domain-shift measure a mixture designer
+    * reads before weighting sources (DoReMi/DSIR both reason in
+    * exactly these per-domain log-ratio terms). All counting is
+    * integer and map-side-combinable; the only joins run at
+    * (source x vocab) / vocab grain — never the token stream — and
+    * the source totals + corpus total are broadcast. Determinism is
+    * the q116 device: each term's log-ratio is quantized to integer
+    * micro-nats BEFORE the per-source sum (log of a ratio of exact
+    * integers is bit-identical in any IEEE engine), so the sum is
+    * exact integer arithmetic and the final per-source division is
+    * one IEEE op. Term bound: |ubits| <= ln(N)*1e6 ~ 2e7 and
+    * csw <= N, so csw*ubits stays far inside int64 for any corpus
+    * whose token count fits in ~5e10 per source-word — at true
+    * 100 TB scale the same sum runs in DECIMAL(38,0) accumulation;
+    * documented, not needed at bench scale.
+    */
+  val q151 = Q("q151_source_kl",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |sw AS (SELECT source, w, count(*) AS csw FROM tok GROUP BY 1, 2),
+      |wt AS (SELECT w, sum(csw) AS cw FROM sw GROUP BY 1),
+      |st AS (SELECT source, sum(csw) AS ns FROM sw GROUP BY 1),
+      |tot AS (SELECT sum(csw) AS n FROM sw)
+      |SELECT source, CAST(ns AS BIGINT) AS n_tokens,
+      |  CAST(sum(csw * CAST(round(ln(
+      |    (csw * n) / CAST(cw * ns AS DOUBLE)) * 1000000) AS BIGINT))
+      |    AS BIGINT) AS kl_unats,
+      |  CAST(sum(csw * CAST(round(ln(
+      |    (csw * n) / CAST(cw * ns AS DOUBLE)) * 1000000) AS BIGINT))
+      |    AS DOUBLE) / 1000000.0 / ns AS kl_nats
+      |FROM sw JOIN wt USING (w) JOIN st USING (source) CROSS JOIN tot
+      |GROUP BY source, ns
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val tok = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("csw"))
+    val wt = sw.groupBy("w").agg(sum("csw").as("cw"))
+    val st = sw.groupBy("source").agg(sum("csw").as("ns"))
+    val tot = sw.agg(sum("csw").as("n"))
+    val ubits = round(log(
+      (col("csw") * col("n")) / (col("cw") * col("ns")).cast("double"))
+      * 1000000).cast("long")
+    sw.join(wt, "w")
+      .join(broadcast(st), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"), col("ns").as("n_tokens"))
+      .agg(sum(col("csw") * ubits).cast("long").as("kl_unats"))
+      .withColumn("kl_nats",
+        col("kl_unats").cast("double") / 1000000.0 / col("n_tokens"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
-      q141, q144, q148, q149)
+      q141, q144, q148, q149, q150, q151)
 }
