@@ -1758,7 +1758,152 @@ object Extras {
           ZOrder.scaled(col("y"), col("ymin"), col("ymax"))).as("z"))
   }
 
+  /** TEXTRANK — weighted PageRank over the word co-occurrence graph
+    * (Mihalcea & Tarau 2004: nodes = words, edges = adjacency counts,
+    * the classic unsupervised keyword extractor). Three damped
+    * (d = 0.85) power-iteration steps, all integer: transition
+    * weights and masses live in micro-units with half-up division
+    * (q145's `(2a+b) div 2b` device), so Spark and the oracle iterate
+    * the identical integer map — no float accumulation anywhere, and
+    * the top-30 boundary cannot be rounding-flipped. Scale shape: the
+    * corpus is touched ONCE (the bigram count, map-side combinable);
+    * the graph lives at vocab-pair grain and each iteration is one
+    * vocab-grain shuffle join — iteration cost is independent of
+    * corpus size, and the top-30 is a TakeOrdered, not a global sort.
+    * Mass-sum bound: sum(m·q) per node <= V·1e12 micro^2, times 34
+    * stays inside int64 for vocab to ~1e5; beyond that the same sum
+    * runs in DECIMAL accumulation (documented, not needed here).
+    */
+  val q152 = Q("q152_textrank",
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS ts,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |bgx AS (
+      |  SELECT split_part(bg, ' ', 1) AS w1,
+      |    split_part(bg, ' ', 2) AS w2
+      |  FROM (
+      |    SELECT unnest(list_transform(range(1, n),
+      |      i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      |    FROM toks WHERE n >= 2)),
+      |e AS (
+      |  SELECT u, v, sum(c) AS w FROM (
+      |    SELECT w1 AS u, w2 AS v, count(*) AS c FROM bgx GROUP BY 1, 2
+      |    UNION ALL
+      |    SELECT w2 AS u, w1 AS v, count(*) AS c FROM bgx GROUP BY 1, 2)
+      |  GROUP BY u, v),
+      |d AS (SELECT u, sum(w) AS wu FROM e GROUP BY u),
+      |q AS (SELECT u, v, (2 * w * 1000000 + wu) // (2 * wu) AS q
+      |      FROM e JOIN d USING (u)),
+      |v0 AS (SELECT u AS ty, CAST(1000000 AS BIGINT) AS m FROM d),
+      |v1 AS (SELECT q.v AS ty,
+      |         150000 + (34 * sum(v0.m * q.q) + 20000000) // 40000000 AS m
+      |       FROM v0 JOIN q ON q.u = v0.ty GROUP BY q.v),
+      |v2 AS (SELECT q.v AS ty,
+      |         150000 + (34 * sum(v1.m * q.q) + 20000000) // 40000000 AS m
+      |       FROM v1 JOIN q ON q.u = v1.ty GROUP BY q.v),
+      |v3 AS (SELECT q.v AS ty,
+      |         150000 + (34 * sum(v2.m * q.q) + 20000000) // 40000000 AS m
+      |       FROM v2 JOIN q ON q.u = v2.ty GROUP BY q.v)
+      |SELECT ty AS word, CAST(m AS BIGINT) AS mass_micro,
+      |  CAST(m AS DOUBLE) / 1000000 AS score
+      |FROM v3 ORDER BY m DESC, ty LIMIT 30""".stripMargin) { (s, dir) =>
+    val toks = docsTable(s, dir)
+      .select(split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+    val bgx = toks.filter(col("n") >= 2)
+      .select(explode(zip_with(
+        slice(col("ts"), lit(1), col("n") - 1),
+        slice(col("ts"), lit(2), col("n") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bgx.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val e = bc.select(col("w1").as("u"), col("w2").as("v"), col("c"))
+      .unionAll(bc.select(col("w2").as("u"), col("w1").as("v"), col("c")))
+      .groupBy("u", "v").agg(sum("c").as("w"))
+    val d = e.groupBy("u").agg(sum("w").as("wu"))
+    val qm = e.join(d, Seq("u"))
+      .select(col("u"), col("v"),
+        expr("div(2 * w * 1000000 + wu, 2 * wu)").as("q"))
+    val v0 = d.select(col("u").as("ty"), lit(1000000L).as("m"))
+    def step(v: DataFrame): DataFrame =
+      v.join(qm, v("ty") === qm("u"))
+        .groupBy(col("v"))
+        .agg((lit(150000L) +
+          expr("div(34 * sum(m * q) + 20000000, 40000000)")).as("m"))
+        .select(col("v").as("ty"), col("m"))
+    val v3 = step(step(step(v0)))
+    v3.orderBy(col("m").desc, col("ty"))
+      .limit(30)
+      .select(col("ty").as("word"), col("m").cast("long").as("mass_micro"),
+        (col("m").cast("double") / 1000000).as("score"))
+  }
+
+  /** NUCLEUS (TOP-P) VOCABULARY CUT — for each prefix token, the
+    * smallest set of next-token candidates whose cumulative
+    * probability reaches p = 0.9 (Holtzman et al. 2020's nucleus;
+    * here applied to the corpus bigram LM — the vocabulary-pruning
+    * statistic a decoder or a speculative-decoding draft table is
+    * built from). The membership test is INTEGER: a candidate is in
+    * the nucleus iff 10·(cum − c) < 9·total, so no float boundary
+    * exists at all. Scale shape: the corpus pays the one bigram
+    * count; the cumulative window and the aggregate both run on the
+    * VOCAB-PAIR table partitioned by prefix — corpus-independent —
+    * and prefixes below 50 observations are dropped before output.
+    */
+  val q153 = Q("q153_nucleus_cut",
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS ts,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |bgx AS (
+      |  SELECT split_part(bg, ' ', 1) AS w1,
+      |    split_part(bg, ' ', 2) AS w2
+      |  FROM (
+      |    SELECT unnest(list_transform(range(1, n),
+      |      i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      |    FROM toks WHERE n >= 2)),
+      |bc AS (SELECT w1, w2, count(*) AS c FROM bgx GROUP BY 1, 2),
+      |t AS (SELECT w1, sum(c) AS tot, count(*) AS n_next
+      |      FROM bc GROUP BY w1),
+      |r AS (
+      |  SELECT w1, w2, c,
+      |    sum(c) OVER (PARTITION BY w1 ORDER BY c DESC, w2
+      |                 ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM bc)
+      |SELECT r.w1, CAST(t.n_next AS BIGINT) AS n_next,
+      |  CAST(t.tot AS BIGINT) AS n_obs,
+      |  CAST(count(*) AS BIGINT) AS nucleus_size,
+      |  CAST(sum(r.c) AS BIGINT) AS nucleus_mass
+      |FROM r JOIN t USING (w1)
+      |WHERE 10 * (r.cum - r.c) < 9 * t.tot AND t.tot >= 50
+      |GROUP BY r.w1, t.n_next, t.tot""".stripMargin) { (s, dir) =>
+    val toks = docsTable(s, dir)
+      .select(split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+    val bgx = toks.filter(col("n") >= 2)
+      .select(explode(zip_with(
+        slice(col("ts"), lit(1), col("n") - 1),
+        slice(col("ts"), lit(2), col("n") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bgx.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val t = bc.groupBy("w1")
+      .agg(sum("c").as("tot"), count(lit(1)).as("n_next"))
+    val w = Window.partitionBy("w1").orderBy(col("c").desc, col("w2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bc.withColumn("cum", sum("c").over(w))
+      .join(t, Seq("w1"))
+      .filter(lit(10) * (col("cum") - col("c")) < lit(9) * col("tot") &&
+        col("tot") >= 50)
+      .groupBy(col("w1"), col("n_next").cast("long").as("n_next"),
+        col("tot").cast("long").as("n_obs"))
+      .agg(count(lit(1)).as("nucleus_size"),
+        sum("c").cast("long").as("nucleus_mass"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
-    q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147)
+    q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147,
+    q152, q153)
 }

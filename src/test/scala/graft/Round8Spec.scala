@@ -742,4 +742,71 @@ class Round8Spec extends SparkSpec {
     }
     assert(kept == quota, s"quota mismatch: $kept vs $quota")
   }
+
+  private def bigramCounts(): Map[(String, String), Long] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").collect()
+      .flatMap(_.getString(0).split(" ").sliding(2).collect {
+        case Array(a, b) => (a, b)
+      })
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+
+  test("q152: three integer TextRank steps match an exact from-scratch " +
+    "recomputation of the damped iteration") {
+    val bc = bigramCounts()
+    val e = (bc.toSeq ++ bc.toSeq.map { case ((a, b), c) => ((b, a), c) })
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val wu = e.toSeq.groupBy(_._1._1)
+      .map { case (u, es) => u -> es.map(_._2).sum }
+    val q = e.map { case ((u, v), w) =>
+      (u, v) -> ((2 * BigInt(w) * 1000000 + wu(u)) / (2 * BigInt(wu(u))))
+    }
+    var m: Map[String, BigInt] = wu.map { case (u, _) => u -> BigInt(1000000) }
+    for (_ <- 1 to 3) {
+      val s = scala.collection.mutable.Map[String, BigInt]()
+      q.foreach { case ((u, v), qq) =>
+        s(v) = s.getOrElse(v, BigInt(0)) + m(u) * qq
+      }
+      m = s.toMap.map { case (v, sum) =>
+        v -> (150000 + (34 * sum + 20000000) / 40000000)
+      }
+    }
+    val exp = m.toSeq.sortBy { case (w, mm) => (-mm, w) }.take(30)
+      .map { case (w, mm) => (w, mm.toLong) }
+    val got = queries.Extras.q152.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exp, s"textrank mismatch:\n$got\nvs\n$exp")
+  }
+
+  test("q153: nucleus membership matches the smallest prefix covering " +
+    "90% and the integer boundary test admits no off-by-one") {
+    val bc = bigramCounts()
+    val byPrefix = bc.toSeq.map { case ((a, b), c) => (a, b, c) }
+      .groupBy(_._1)
+    val exp = byPrefix.flatMap { case (w1, rs) =>
+      val tot = rs.map(_._3).sum
+      if (tot < 50) None
+      else {
+        val sorted = rs.sortBy { case (_, w2, c) => (-c, w2) }
+        val cums = sorted.scanLeft(0L)(_ + _._3).tail
+        val nucleus = sorted.zip(cums).filter {
+          case ((_, _, c), cum) => 10 * (cum - c) < 9 * tot
+        }
+        Some(w1 -> ((rs.length.toLong, tot, nucleus.length.toLong,
+          nucleus.map(_._1._3).sum)))
+      }
+    }
+    val got = queries.Extras.q153.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == exp, s"nucleus mismatch:\n$got\nvs\n$exp")
+    // the nucleus is the SMALLEST covering prefix: its mass reaches
+    // 90% but dropping its last member falls below
+    got.foreach { case (w1, (_, tot, size, mass)) =>
+      assert(10 * mass >= 9 * tot, s"$w1 nucleus mass below p")
+      val sorted = byPrefix(w1).sortBy { case (_, w2, c) => (-c, w2) }
+      val withoutLast = sorted.take(size.toInt - 1).map(_._3).sum
+      assert(10 * withoutLast < 9 * tot, s"$w1 nucleus not minimal")
+    }
+  }
 }
