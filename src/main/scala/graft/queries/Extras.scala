@@ -1902,8 +1902,119 @@ object Extras {
         sum("c").cast("long").as("nucleus_mass"))
   }
 
+  /** CCNET BUCKET SPLIT — the head/middle/tail tercile partition of
+    * each language's documents by LM score that CCNet (Wenzek et al.
+    * 2020) uses to grade crawl quality: "head" is the third of docs
+    * the reference LM finds most probable, "tail" the least. Scores
+    * are q143's bigram-LM integer micro-nats, reduced to a PER-BIGRAM
+    * cost with half-up integer division on the NEGATED sum (div
+    * truncates toward zero in Spark but floors in DuckDB — on the
+    * positive cost scale both agree, which is why the cost, not the
+    * log-prob, is the ranking key). Bucket membership is pure integer
+    * rank arithmetic (3·rank vs n), ties broken by doc_id. Scale
+    * shape: scoring is q143's vocab-grain-join plan; the tercile
+    * rank is one window per language — at 100 TB you would compute
+    * just the two cutoff scores with q149's distributed-selection
+    * machinery instead of ranking every doc; the full rank here is
+    * what the oracle can gate.
+    */
+  val q155 = Q("q155_ccnet_buckets",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, split_part(b, ' ', 1) AS w1,
+      |    split_part(b, ' ', 2) AS w2
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, n),
+      |          i -> ts[i] || ' ' || ts[i + 1])) AS b
+      |        FROM tok WHERE n >= 2)),
+      |tb AS (SELECT w1, w2, count(*) AS cb FROM bg
+      |       WHERE doc_id % 10 = 0 GROUP BY w1, w2),
+      |tc AS (SELECT w1, sum(cb) AS cu FROM tb GROUP BY w1),
+      |wt AS (SELECT w1, w2,
+      |    CAST(round(ln((cb + 1.0) / (cu + 4096)) * 1000000) AS BIGINT)
+      |      AS ubits
+      |  FROM tb JOIN tc USING (w1)),
+      |fb AS (SELECT w1,
+      |    CAST(round(ln(1.0 / (cu + 4096)) * 1000000) AS BIGINT)
+      |      AS fb_ubits
+      |  FROM tc),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS nb,
+      |    CAST(sum(coalesce(wt.ubits, fb.fb_ubits,
+      |      CAST(round(ln(1.0 / 4096) * 1000000) AS BIGINT)))
+      |      AS BIGINT) AS su
+      |  FROM bg LEFT JOIN wt USING (w1, w2) LEFT JOIN fb USING (w1)
+      |  WHERE doc_id % 10 <> 0
+      |  GROUP BY doc_id),
+      |av AS (
+      |  SELECT s.doc_id, d.lang,
+      |    (2 * (-su) + nb) // (2 * nb) AS cost_ubits
+      |  FROM sc s JOIN documents d ON d.doc_id = s.doc_id),
+      |r AS (
+      |  SELECT lang, cost_ubits,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY cost_ubits, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM av)
+      |SELECT lang,
+      |  CASE WHEN rk * 3 <= n THEN 'head'
+      |       WHEN rk * 3 <= 2 * n THEN 'middle'
+      |       ELSE 'tail' END AS bucket,
+      |  count(*) AS n_docs,
+      |  CAST(min(cost_ubits) AS BIGINT) AS lo_ubits,
+      |  CAST(max(cost_ubits) AS BIGINT) AS hi_ubits,
+      |  CAST(sum(cost_ubits) AS BIGINT) AS sum_ubits
+      |FROM r GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val toks = docsTable(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+    val bg = toks.filter(col("n") >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), col("n") - 1),
+        slice(col("ts"), lit(2), col("n") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tb = bg.filter(col("doc_id") % 10 === 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val tc = tb.groupBy("w1").agg(sum("cb").as("cu"))
+    val wt = tb.join(tc, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        round(log((col("cb") + lit(1.0)) / (col("cu") + 4096)) * 1000000)
+          .cast("long").as("ubits"))
+    val fb = tc.select(col("w1"),
+      round(log(lit(1.0) / (col("cu") + 4096)) * 1000000)
+        .cast("long").as("fb_ubits"))
+    val sc = bg.filter(col("doc_id") % 10 =!= 0)
+      .join(wt, Seq("w1", "w2"), "left")
+      .join(fb, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nb"),
+        sum(coalesce(col("ubits"), col("fb_ubits"),
+          round(log(lit(1.0) / 4096) * 1000000).cast("long")))
+          .cast("long").as("su"))
+    val av = sc.join(docsTable(s, dir).select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        expr("div(2 * (-su) + nb, 2 * nb)").as("cost_ubits"))
+    val w = Window.partitionBy("lang").orderBy(col("cost_ubits"), col("doc_id"))
+    av.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("bucket",
+        when(col("rk") * 3 <= col("n"), "head")
+          .when(col("rk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("cost_ubits").cast("long").as("lo_ubits"),
+        max("cost_ubits").cast("long").as("hi_ubits"),
+        sum("cost_ubits").cast("long").as("sum_ubits"))
+      .orderBy("lang", "bucket")
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
     q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147,
-    q152, q153)
+    q152, q153, q155)
 }

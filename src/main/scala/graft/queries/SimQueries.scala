@@ -1384,6 +1384,52 @@ object SimQueries {
       .select(col("vec_id"), col("p.j").as("j"), col("p.y").as("y"))
   }
 
+  /** ROBUST-SCALER STATS — exact per-dimension median and quartiles
+    * of the embedding corpus, the statistics a median/IQR feature
+    * normalizer (sklearn's RobustScaler) is fit from; unlike the
+    * mean/variance moments (q113) these are outlier-insensitive,
+    * which is the point for crawl-derived embeddings. Determinism:
+    * components are quantized to integer micro-units FIRST (the q113
+    * float32 device), so the sort ranks integers and the quartile
+    * interpolation `(1-f)·a + f·b` runs on integer operands whose
+    * every product is exactly representable — bit-identical in any
+    * IEEE engine regardless of how it factors the expression. Scale
+    * shape: one posexplode + a D-grain exact percentile — the
+    * documented exact-mode price (each of the D=64 groups sorts its
+    * own component stream, q117's Expand-tax analog); the 100 TB path
+    * is approx_percentile (a map-combinable KLL sketch) with
+    * identical plumbing, which this query deliberately does not use
+    * because the oracle gates EXACT quantiles.
+    */
+  val q154 = Q("q154_robust_scale",
+    """WITH a AS (
+      |  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+      |      AS BIGINT) AS vq
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT dim, count(*) AS n,
+      |    quantile_cont(vq, [0.25, 0.5, 0.75]) AS qs
+      |  FROM a GROUP BY dim)
+      |SELECT CAST(dim AS INTEGER) AS dim, n,
+      |  qs[1] AS p25_micro, qs[2] AS p50_micro, qs[3] AS p75_micro,
+      |  qs[3] - qs[1] AS iqr_micro
+      |FROM q""".stripMargin) { (s, dir) =>
+    val a = Tables(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        round(col("x").cast("double") * 1000000).cast("long").as("vq"))
+    a.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        percentile(col("vq"), array(lit(0.25), lit(0.5), lit(0.75)))
+          .as("qs"))
+      .select(col("dim"), col("n"),
+        col("qs").getItem(0).as("p25_micro"),
+        col("qs").getItem(1).as("p50_micro"),
+        col("qs").getItem(2).as("p75_micro"),
+        (col("qs").getItem(2) - col("qs").getItem(0)).as("iqr_micro"))
+  }
+
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
-    q113, q128, q129, q133, q134, q135, q136, q140, q146)
+    q113, q128, q129, q133, q134, q135, q136, q140, q146, q154)
 }

@@ -809,4 +809,61 @@ class Round8Spec extends SparkSpec {
       assert(10 * withoutLast < 9 * tot, s"$w1 nucleus not minimal")
     }
   }
+
+  test("q154: exact per-dimension quartiles match an in-memory " +
+    "linear-interpolation recomputation on the micro-quantized values") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    def quantile(xs: Array[Long], p: Double): Double = {
+      val s = xs.sorted
+      val pos = p * (s.length - 1)
+      val lo = pos.toInt
+      val f = pos - lo
+      if (lo + 1 < s.length) (1 - f) * s(lo) + f * s(lo + 1)
+      else s(lo).toDouble
+    }
+    val byDim = vecs.head.indices.map { d =>
+      d -> vecs.map(v => math.round(v(d).toDouble * 1000000))
+    }.toMap
+    val got = queries.SimQueries.q154.fn(spark, sf).collect()
+    assert(got.length == vecs.head.length)
+    got.foreach { r =>
+      val d = r.getInt(0)
+      val xs = byDim(d)
+      assert(r.getLong(1) == xs.length)
+      assert(r.getDouble(2) == quantile(xs, 0.25), s"p25 dim $d")
+      assert(r.getDouble(3) == quantile(xs, 0.5), s"p50 dim $d")
+      assert(r.getDouble(4) == quantile(xs, 0.75), s"p75 dim $d")
+      assert(r.getDouble(5) == r.getDouble(4) - r.getDouble(2))
+    }
+  }
+
+  test("q155: per-language buckets are terciles with non-overlapping " +
+    "cost ranges and cover every scored document") {
+    val rs = queries.Extras.q155.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byLang = rs.groupBy(_._1)
+    val scored = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" % 10 =!= 0)
+      .filter(size(split($"text", " ")) >= 2)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, bs) =>
+      val m = bs.map(b => b._2 -> b).toMap
+      assert(m.keySet == Set("head", "middle", "tail"), s"$lang buckets")
+      val n = scored(lang)
+      assert(bs.map(_._3).sum == n, s"$lang coverage")
+      // the 3*rk <= n rule gives |head| = floor(n/3), |head|+|middle|
+      // = floor(2n/3)
+      assert(m("head")._3 == n / 3, s"$lang head size")
+      assert(m("head")._3 + m("middle")._3 == 2 * n / 3,
+        s"$lang middle size")
+      // rank order is (cost, doc_id), so bucket cost ranges can touch
+      // but never cross
+      assert(m("head")._5 <= m("middle")._4, s"$lang head/middle")
+      assert(m("middle")._5 <= m("tail")._4, s"$lang middle/tail")
+    }
+  }
 }
