@@ -282,4 +282,41 @@ object StreamingEtl {
         ()
       }
       .start()
+
+  /** A document arriving on the curation stream. */
+  final case class DocArrival(source: String, doc_id: Long, n_chars: Long)
+
+  /** A document admitted by the quota gate; `seq` is its 1-based
+    * admission number within its source. */
+  final case class KeptDoc(source: String, doc_id: Long, seq: Long)
+
+  /** Streaming per-source quota gate — the ingest-time twin of q148's
+    * batch quota cap: admit at most `cap` documents per source over
+    * the stream's lifetime, first-come-first-kept. State is ONE
+    * counter per source (bounded by the source keyspace, not the
+    * stream), shuffle-partitioned on the key; each micro-batch admits
+    * its group's rows in deterministic doc_id order so replays of the
+    * same batch boundaries reproduce the same kept set. Admission
+    * cannot be reordered across batches (the counter is monotone), so
+    * unlike the batch form there is no quality ranking — that is the
+    * inherent batch/stream semantic gap, documented here rather than
+    * papered over: a stream cannot rank arrivals it has not seen.
+    */
+  def quotaGateStream(docs: Dataset[DocArrival], cap: Long)
+      : Dataset[KeptDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[DocArrival],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val kept = Vector.newBuilder[KeptDoc]
+          rows.toVector.sortBy(_.doc_id).foreach { d =>
+            if (used < cap) { used += 1; kept += KeptDoc(src, d.doc_id, used) }
+          }
+          state.update(used)
+          kept.result().iterator
+      }
+  }
 }

@@ -389,4 +389,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows(spark.table("dsir_stream")) == expected,
       "stream scores diverge from the offline trainer")
   }
+
+  test("quotaGateStream: at most cap docs admitted per source, " +
+    "first-come across micro-batches, doc_id-ordered within a batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingEtl.{DocArrival, KeptDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocArrival]
+    val q = StreamingEtl.quotaGateStream(input.toDS(), cap = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quota_gate").start()
+    // batch 1: srcA sends 2 (out of order), srcB sends 1
+    input.addData(DocArrival("a", 20L, 100L), DocArrival("a", 10L, 50L),
+      DocArrival("b", 1L, 10L))
+    q.processAllAvailable()
+    // batch 2: srcA sends 3 more — only ONE seat left; the lowest
+    // doc_id of the batch takes it. srcB takes its second seat.
+    input.addData(DocArrival("a", 33L, 1L), DocArrival("a", 31L, 1L),
+      DocArrival("a", 32L, 1L), DocArrival("b", 2L, 20L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("quota_gate").as[KeptDoc].collect().toSet
+    val expected = Set(
+      KeptDoc("a", 10L, 1L), KeptDoc("a", 20L, 2L), // batch 1, id order
+      KeptDoc("b", 1L, 1L),
+      KeptDoc("a", 31L, 3L), // lowest id of batch 2 takes the last seat
+      KeptDoc("b", 2L, 2L))
+    assert(got == expected, s"gate admitted $got")
+  }
 }
