@@ -67,5 +67,104 @@ object MultimodalQueries {
     Multimodal.sampleFrames(media, 3)
   }
 
-  val all: Seq[Q] = Seq(q40, q56)
+  /** KEYFRAME SELECTION — collapse each media's consecutive runs of
+    * identical frames to one representative (the shot-boundary /
+    * static-scene dedup every video ingest pipeline runs before
+    * embedding: a held camera produces thousands of near-identical
+    * frames; only the first of each run is worth decoding further).
+    * Runs are detected on the frame FINGERPRINT stream from
+    * [[Multimodal.sampleFrames]] (stride 1 = every frame): lag marks
+    * run starts, a cumulative sum numbers runs, one aggregate per
+    * (media, run) keeps the first frame and the run length. The
+    * window is partitioned per media and ordered by frame index —
+    * state is one row, and the partition grain is the media id, so a
+    * 100 TB corpus parallelizes across media while each payload's
+    * frame stream stays local (it was produced by that payload's own
+    * partition-batched flatMap). ASCII caveat as q40/q56.
+    */
+  val q156 = Q("q156_keyframes",
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    CAST(unnest(range(0, greatest((len(text) + 255) // 256, 1)))
+      |      AS INT) AS k
+      |  FROM documents),
+      |fp AS (
+      |  SELECT doc_id AS media_id, CAST(k AS BIGINT) AS frame_idx,
+      |    md5(substr(text, k * 256 + 1, 256)) AS frame_fp
+      |  FROM f),
+      |marks AS (
+      |  SELECT media_id, frame_idx, frame_fp,
+      |    CASE WHEN frame_fp = lag(frame_fp) OVER
+      |      (PARTITION BY media_id ORDER BY frame_idx)
+      |    THEN 0 ELSE 1 END AS is_new
+      |  FROM fp),
+      |runs AS (
+      |  SELECT media_id, frame_idx, frame_fp,
+      |    sum(is_new) OVER (PARTITION BY media_id ORDER BY frame_idx
+      |                      ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM marks)
+      |SELECT media_id, CAST(min(frame_idx) AS BIGINT) AS frame_idx,
+      |  CAST(count(*) AS BIGINT) AS run_len,
+      |  any_value(frame_fp) AS frame_fp
+      |FROM runs GROUP BY media_id, run_id""".stripMargin) { (s, dir) =>
+    val media = Multimodal.asMediaTable(Tables(s, dir, "documents"))
+    val fp = Multimodal.sampleFrames(media, 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    val wc = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    fp.withColumn("is_new",
+        when(col("frame_fp") === lag("frame_fp", 1).over(w), 0L)
+          .otherwise(1L))
+      .withColumn("run_id", sum("is_new").over(wc))
+      .groupBy("media_id", "run_id")
+      .agg(min("frame_idx").as("frame_idx"),
+        count(lit(1)).as("run_len"),
+        first("frame_fp").as("frame_fp"))
+      .drop("run_id")
+  }
+
+  /** PAIR CURATION — the LAION-style caption/embedding pair filter
+    * (Schuhmann et al. 2022 curate image-text pairs by caption
+    * length and embedding-quality gates before training): join each
+    * caption to its vector ON ID, keep pairs whose caption has
+    * 25..80 tokens AND whose embedding is not "peaky" (max absolute
+    * component <= 0.35 — a collapsed/degenerate vector concentrates
+    * its unit mass in few dimensions). The peakiness gate is integer:
+    * components quantize to milli-units (exact for float32, the q113
+    * device) and the max-abs reduces inside the row via
+    * `functions.aggregate` — map-only, no explode. The join is
+    * id-to-id at corpus grain (co-partitionable/bucketable at 100 TB);
+    * everything else is a per-row scalar.
+    */
+  val q157 = Q("q157_pair_curation",
+    """WITH p AS (
+      |  SELECT d.doc_id AS pair_id, d.lang, e.label,
+      |    len(string_split(d.text, ' ')) AS n_tokens,
+      |    list_max(list_transform(e.embedding,
+      |      x -> abs(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))))
+      |      AS peak_milli
+      |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id)
+      |SELECT pair_id, lang, label,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(peak_milli AS BIGINT) AS peak_milli
+      |FROM p
+      |WHERE n_tokens BETWEEN 25 AND 80 AND peak_milli <= 350""".stripMargin) {
+    (s, dir) =>
+    val caps = Tables(s, dir, "documents")
+      .select(col("doc_id").as("pair_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val vecs = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("pair_id"), col("label"),
+        aggregate(
+          transform(col("embedding"),
+            x => abs(round(x.cast("double") * 1000).cast("long"))),
+          lit(0L), (acc, v) => greatest(acc, v)).as("peak_milli"))
+    caps.join(vecs, "pair_id")
+      .filter(col("n_tokens").between(25, 80) && col("peak_milli") <= 350)
+      .select("pair_id", "lang", "label", "n_tokens", "peak_milli")
+  }
+
+  val all: Seq[Q] = Seq(q40, q56, q156, q157)
 }

@@ -866,4 +866,63 @@ class Round8Spec extends SparkSpec {
       assert(m("middle")._5 <= m("tail")._4, s"$lang middle/tail")
     }
   }
+
+  test("q156/keyframes: a static-scene payload collapses to one " +
+    "keyframe per run and run lengths tile the frame stream") {
+    import graft.multimodal.Multimodal
+    // payload = AAAA… (3 frames) + BBBB… (2 frames) + AAAA… (1 frame):
+    // three runs, lengths 3/2/1, the A-run and the trailing A frame
+    // NOT merged (runs are consecutive, not global dedup)
+    val a256 = "A" * 256
+    val b256 = "B" * 256
+    val text = a256 * 3 + b256 * 2 + a256
+    val docs = spark.createDataFrame(Seq((1L, text, "en", "src", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.asMediaTable(docs)
+    val frames = Multimodal.sampleFrames(media, 1)
+    assert(frames.count() == 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    val wc = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val runs = frames
+      .withColumn("is_new",
+        when($"frame_fp" === lag("frame_fp", 1).over(w), 0L).otherwise(1L))
+      .withColumn("run_id", sum("is_new").over(wc))
+      .groupBy("media_id", "run_id")
+      .agg(min("frame_idx").as("frame_idx"), count(lit(1)).as("run_len"))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(runs.toSeq == Seq((0L, 3L), (3L, 2L), (5L, 1L)),
+      s"runs were ${runs.toSeq}")
+    // registry form on real data: run lengths tile every frame exactly
+    val df = queries.MultimodalQueries.q156.fn(spark, sf)
+    val totalRuns = df.agg(sum("run_len")).head().getLong(0)
+    val totalFrames = Multimodal.sampleFrames(
+      Multimodal.asMediaTable(
+        spark.read.parquet(s"$sf/documents.parquet")), 1).count()
+    assert(totalRuns == totalFrames, "run lengths must tile the stream")
+  }
+
+  test("q157/pair curation: kept set matches an independent " +
+    "recomputation of both gates") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.abs(
+          math.round(x.toDouble * 1000))).max)
+      .toMap
+    val exp = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val nt = r.getString(1).split(" ", -1).length
+        vecs.get(id).collect {
+          case peak if nt >= 25 && nt <= 80 && peak <= 350 => id
+        }
+      }.toSet
+    val got = queries.MultimodalQueries.q157.fn(spark, sf)
+      .select("pair_id").collect().map(_.getLong(0)).toSet
+    assert(got == exp, s"pair curation kept ${got.size} vs ${exp.size}")
+  }
 }
