@@ -2013,8 +2013,163 @@ object Extras {
       .orderBy("lang", "bucket")
   }
 
+  /** MIXTURE PLANNING — UniMax budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining"): given a token budget B
+    * (here 7/4 of the corpus) and a per-language epoch cap C (here 2),
+    * allocate the budget as uniformly as possible across languages
+    * without any language exceeding C epochs. This is capped
+    * waterfilling, solved EXACTLY in one pass of window functions
+    * over the strata-grain table:
+    *
+    *  - ascending-cap order, the capped set is a PREFIX (share money
+    *    only grows as small strata saturate — the classic
+    *    waterfilling exchange argument), so per-row flag
+    *    `cap_i·(n−i+1) + P_{i−1} <= B` (pure BIGINT, no division)
+    *    AND-ed down the prefix finds it without iteration;
+    *  - the uncapped strata split the remainder by integer division
+    *    (documented slack: up to n−k−1 tokens unallocated — the same
+    *    floor both engines compute).
+    *
+    * Scale shape: the corpus pays ONE partial-aggregated token count
+    * to the lang grain; every window below runs on a table whose row
+    * count is the number of strata — constant in corpus size. The
+    * interesting output at this corpus: the four low-resource
+    * languages hit the 2-epoch cap and en fills the remaining budget
+    * at ~1.4 epochs — exactly the published UniMax picture
+    * (upsample the tail to the cap, never past it).
+    */
+  val q159 = Q("q159_unimax_alloc",
+    """WITH sz AS (
+      |  SELECT lang,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sz
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(sum(sz) AS BIGINT) AS t FROM sz),
+      |c AS (
+      |  SELECT lang, sz, 2 * sz AS cap,
+      |    row_number() OVER (ORDER BY 2 * sz, lang) AS i,
+      |    count(*) OVER () AS n,
+      |    coalesce(sum(2 * sz) OVER (ORDER BY 2 * sz, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS p
+      |  FROM sz),
+      |f AS (
+      |  SELECT c.*, (7 * t) // 4 AS b,
+      |    CASE WHEN cap * (n - i + 1) + p <= (7 * t) // 4
+      |         THEN 1 ELSE 0 END AS ok
+      |  FROM c, tot),
+      |g AS (SELECT *, min(ok) OVER (ORDER BY i) AS capped FROM f),
+      |s AS (SELECT CAST(sum(capped) AS BIGINT) AS k,
+      |        CAST(coalesce(sum(cap * capped), 0) AS BIGINT) AS pk
+      |      FROM g)
+      |SELECT lang, sz, cap, CAST(capped AS BIGINT) AS capped,
+      |  CAST(CASE WHEN capped = 1 THEN cap
+      |            WHEN n > k THEN (b - pk) // (n - k)
+      |       END AS BIGINT) AS alloc,
+      |  CAST((CASE WHEN capped = 1 THEN cap
+      |             WHEN n > k THEN (b - pk) // (n - k)
+      |        END * 1000000) // sz AS BIGINT) AS micro_epochs
+      |FROM g, s
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val sz = docsTable(s, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .groupBy("lang").agg(sum("w").cast("long").as("sz"))
+    val wAsc = Window.orderBy(col("cap"), col("lang"))
+    val c = sz.withColumn("cap", col("sz") * 2)
+      .withColumn("i", row_number().over(wAsc))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy()))
+      .withColumn("p", coalesce(sum("cap").over(
+        wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = sz.agg(sum("sz").cast("long").as("t"))
+    val f = c.crossJoin(broadcast(tot))
+      .withColumn("b", expr("(7 * t) div 4"))
+      .withColumn("ok",
+        when(col("cap") * (col("n") - col("i") + 1) + col("p")
+          <= col("b"), lit(1)).otherwise(lit(0)))
+      .withColumn("capped",
+        min("ok").over(Window.orderBy("i")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ks = f.agg(sum("capped").cast("long").as("k"),
+      coalesce(sum(col("cap") * col("capped")), lit(0L))
+        .cast("long").as("pk"))
+    val alloc = when(col("capped") === 1, col("cap"))
+      .when(col("n") > col("k"), expr("(b - pk) div (n - k)"))
+    f.crossJoin(broadcast(ks))
+      .withColumn("alloc", alloc.cast("long"))
+      .select(col("lang"), col("sz"), col("cap"),
+        col("capped").cast("long").as("capped"), col("alloc"),
+        expr("(alloc * 1000000) div sz").cast("long")
+          .as("micro_epochs"))
+      .orderBy("lang")
+  }
+
+  /** WEIGHTED SAMPLING — probability-proportional-to-size SYSTEMATIC
+    * sampling (the classic survey-sampling estimator, and the shape
+    * quality-weighted data selection takes when inclusion probability
+    * must be ∝ a score): order the corpus by a deterministic hash,
+    * lay the docs end-to-end on the cumulative weight line (weight =
+    * n_chars), and take every (W/n)-th point — a doc is selected once
+    * per threshold that lands inside its weight interval, so
+    * inclusion count is EXACTLY proportional to weight (large docs
+    * can be hit more than once; Σ n_hits = n by construction,
+    * spec-pinned). All threshold tests are pure BIGINT —
+    * `m·W ∈ [cum·n, (cum+w)·n)` counted by two ceil-divisions — so
+    * both engines make identical knife-edge decisions. (Bound: cum·n
+    * must fit a BIGINT — fine for n=100 up to ~10^16 weight units.)
+    *
+    * Scale shape: the one global prefix-sum does NOT pay a global
+    * sort — the q149 distributed-selection device again: docs bucket
+    * by the hash's leading byte (bucket order IS hash order), bucket
+    * totals make a 256-row broadcast prefix table, and the within-
+    * bucket running sum is a window PARTITIONED BY bucket — 256-way
+    * parallel, each task sorting ~1/256 of the corpus. The oracle is
+    * the naive single-window global form; matching it proves the
+    * bucketed decomposition exact.
+    */
+  val q160 = Q("q160_pps_sample",
+    """WITH d AS (
+      |  SELECT doc_id, lang, source, n_chars AS w,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, coalesce(sum(w) OVER (ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS cum,
+      |    sum(w) OVER () AS tw
+      |  FROM d)
+      |SELECT doc_id, lang, source, w,
+      |  CAST(((cum + w) * 100 + tw - 1) // tw
+      |     - (cum * 100 + tw - 1) // tw AS BIGINT) AS n_hits
+      |FROM c
+      |WHERE ((cum + w) * 100 + tw - 1) // tw
+      |    > (cum * 100 + tw - 1) // tw""".stripMargin) { (s, dir) =>
+    val d = docsTable(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").as("w"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("b", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val bt = d.groupBy("b").agg(sum("w").as("bw"))
+    val bp = bt.withColumn("bpre",
+      coalesce(sum("bw").over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "bpre")
+    val tot = d.agg(sum("w").as("tw"))
+    val wIn = Window.partitionBy("b").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(bp), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", col("bpre") + coalesce(sum("w").over(wIn), lit(0L)))
+      .withColumn("mlo", expr("(cum * 100 + tw - 1) div tw"))
+      .withColumn("mhi", expr("((cum + w) * 100 + tw - 1) div tw"))
+      .filter(col("mhi") > col("mlo"))
+      .select(col("doc_id"), col("lang"), col("source"), col("w"),
+        (col("mhi") - col("mlo")).cast("long").as("n_hits"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
     q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147,
-    q152, q153, q155)
+    q152, q153, q155, q159, q160)
 }
