@@ -17,15 +17,24 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects by default. Read it as a long (nanos since epoch) via the
-    * legacy conf, then surface a proper TimestampType column truncated
-    * to microseconds (`ts div 1000` — integer division; a double path
-    * would lose precision above 2^53 ns).
+  /** `events.ts` has shipped as two different parquet encodings across
+    * testdata generations: TIMESTAMP(NANOS) (which Spark's reader
+    * rejects by default — read as a long via the legacy conf, then
+    * truncate to microseconds with integer `div 1000`; a double path
+    * would lose precision above 2^53 ns) and plain TIMESTAMP(MICROS)
+    * (surfaced as TIMESTAMP_NTZ). Normalize both to session-TZ
+    * TimestampType at microsecond grain so every downstream query sees
+    * one type; the session TZ is pinned to UTC, so the NTZ cast is a
+    * pure re-tag of the same micros value.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
   }
 }
