@@ -925,4 +925,103 @@ class Round8Spec extends SparkSpec {
       .select("pair_id").collect().map(_.getLong(0)).toSet
     assert(got == exp, s"pair curation kept ${got.size} vs ${exp.size}")
   }
+
+  test("q159: capped waterfilling matches an exact from-scratch BigInt " +
+    "recomputation and upholds the UniMax invariants") {
+    // exact integer recomputation, mirroring the Spark split semantics
+    // (split(text, ' ') keeps trailing empties -> split(" ", -1))
+    val sz = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"lang", $"text").collect()
+      .groupBy(_.getString(0)).view.mapValues(
+        _.map(_.getString(1).split(" ", -1).length.toLong).sum).toMap
+    val tot = sz.values.sum
+    val b = 7 * tot / 4
+    val ordered = sz.toSeq.map { case (l, s) => (l, s, 2 * s) }
+      .sortBy { case (l, _, cap) => (cap, l) }
+    val n = ordered.length
+    // capped set = longest prefix (ascending cap) where every row's
+    // "give everyone from here on my cap" bound stays within budget
+    var p = 0L
+    var broken = false
+    val capped = ordered.zipWithIndex.map { case ((_, _, cap), i) =>
+      val ok = cap * (n - i) + p <= b // n - i == n - (i+1) + 1
+      p += cap
+      broken ||= !ok
+      !broken
+    }
+    val k = capped.count(identity)
+    val pk = ordered.zip(capped).collect { case ((_, _, c), true) => c }.sum
+    val share = if (n > k) (b - pk) / (n - k) else 0L
+    val exp = ordered.zip(capped).map { case ((l, s, cap), isCap) =>
+      val alloc = if (isCap) cap else share
+      Vector[Any](l, s, cap, if (isCap) 1L else 0L, alloc,
+        alloc * 1000000L / s)
+    }.toSet
+    val got = rows(queries.Extras.q159.fn(spark, sf))
+    assert(got == exp, s"waterfilling diverged: $got vs $exp")
+    // UniMax invariants: capped strata sit exactly at 2 epochs, the
+    // uncapped share is strictly below every uncapped cap (else the
+    // prefix would have grown), and the unallocated slack is < n - k
+    exp.foreach { r =>
+      val (cap, isCap, alloc) =
+        (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long],
+          r(4).asInstanceOf[Long])
+      if (isCap == 1L) assert(r(5) == 2000000L, s"capped stratum off-cap: $r")
+      else {
+        assert(alloc < cap, s"uncapped stratum at/over cap: $r")
+        assert(alloc == share)
+      }
+    }
+    val allocated = exp.toSeq.map(_(4).asInstanceOf[Long]).sum
+    assert(allocated <= b, "allocation exceeds budget")
+    if (n > k)
+      assert(b - allocated < (n - k).toLong,
+        s"slack ${b - allocated} exceeds the documented floor bound n-k-1")
+  }
+
+  test("q160: the bucketed PPS decomposition equals the naive global " +
+    "prefix sum, hits total exactly n=100, and per-doc hits track " +
+    "weight within one threshold") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"source", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), md5hex(r.getLong(0).toString)))
+      .sortBy(r => (r._5, r._1))
+    val tw = docs.map(_._4).sum
+    var cum = 0L
+    val exp = docs.flatMap { case (id, lang, src, w, _) =>
+      val mlo = (cum * 100 + tw - 1) / tw
+      val mhi = ((cum + w) * 100 + tw - 1) / tw
+      cum += w
+      if (mhi > mlo) Some(Vector[Any](id, lang, src, w, mhi - mlo))
+      else None
+    }.toSet
+    val got = rows(queries.Extras.q160.fn(spark, sf))
+    assert(got == exp, "bucketed form diverged from naive global PPS")
+    val hits = got.toSeq.map(_(4).asInstanceOf[Long])
+    assert(hits.sum == 100L, s"systematic PPS must place exactly n: ${hits.sum}")
+    got.foreach { r =>
+      val (w, h) = (r(3).asInstanceOf[Long], r(4).asInstanceOf[Long])
+      val ideal = w.toDouble * 100 / tw
+      assert(math.abs(h - ideal) <= 1.0,
+        s"hits $h off proportionality $ideal for weight $w")
+    }
+  }
+
+  test("q160: selection is invariant under shuffle-partition count " +
+    "(hash order is global, bucket decomposition leaves no " +
+    "partition-order dependence)") {
+    def run(): Set[Seq[Any]] = rows(queries.Extras.q160.fn(spark, sf))
+    val base = run()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(run() == base, "result changed with 7 shuffle partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      assert(run() == base, "result changed with 13 shuffle partitions")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
