@@ -83,6 +83,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Tables.events' NTZ re-tag assumes a UTC session (see
+      // sources/Tables.scala) — pin it here too so bench timings on a
+      // non-UTC host read the same rows as Verify/PlanAudit
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up: JVM/codegen/scheduler init shouldn't be billed

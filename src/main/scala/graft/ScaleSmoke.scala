@@ -59,9 +59,13 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$workDir/orders.parquet")
     shiftedUnion(lineitem, Map("l_orderkey" -> ordStride), factor)
       .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
-    // events.ts is TIMESTAMP(NANOS): read raw as long (the Tables
-    // loader re-interprets on read), shift the entity keys — new users
-    // per copy, so sessionization scales by population, not density
+    // events.ts is TIMESTAMP(NANOS) in older testdata (read raw as
+    // long — set nanosAsLong HERE, not via a prior Tables.events call,
+    // so this read doesn't depend on call-order side effects) or
+    // TIMESTAMP_NTZ(MICROS) in newer testdata (reads as NTZ and the
+    // shifted copy round-trips unchanged; the Tables loader normalizes
+    // either encoding on read). Shift the entity keys — new users per
+    // copy, so sessionization scales by population, not density.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$srcDir/events.parquet")
     shiftedUnion(events,
@@ -84,6 +88,9 @@ object ScaleSmoke {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // same invariant as Bench: Tables.events' NTZ re-tag needs a
+      // UTC session to be a pure micros re-tag
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s0 = System.nanoTime()

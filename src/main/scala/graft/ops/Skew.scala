@@ -14,8 +14,18 @@ object Skew {
     * [0, nSalts); the small side is replicated once per salt value, so
     * a hot key's rows land on nSalts reducers instead of one.
     * Result is identical to `big.join(small, keys, joinType)`;
-    * supported joinTypes: inner / left (right-side replication makes
-    * other types incorrect).
+    * supported joinTypes: inner / left / left_semi (right-side
+    * replication makes other types incorrect; semi is safe because a
+    * big-side row can only match the replica carrying its own salt,
+    * and semi-join output never duplicates the probe row anyway).
+    *
+    * left_semi is here for a measured reason (Round9Spec): AQE's
+    * skew-join split only pattern-matches joins whose children are
+    * bare shuffles, so the gram-membership semi-joins
+    * (q114/q115/q132/q138), whose build side is an AGGREGATE feeding
+    * the join through its own partitioning, get NO adaptive skew
+    * handling — salting is the defense that works for that shape
+    * regardless of what feeds the join.
     *
     * The salt hashes the ENTIRE big-side row (not the join key, which
     * is constant on the hot key — the whole problem), so it is a pure
@@ -31,8 +41,9 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       nSalts: Int, joinType: String = "inner"): DataFrame = {
-    require(joinType == "inner" || joinType == "left",
-      s"saltedJoin supports inner/left, got $joinType")
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_semi",
+      s"saltedJoin supports inner/left/left_semi, got $joinType")
     val b = big.withColumn("__salt", contentSalt(big, nSalts))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))

@@ -1474,13 +1474,26 @@ object Extras {
     * g2 frame. One positioned gram explode; the dup-gram set
     * partial-aggregates map-side; membership is a left-semi join on
     * the gram key; the island windows run at doc grain.
+    *
+    * xxhash64 of the token slice, not the gram string: the q112 rule
+    * applies verbatim — the 5-gram exists only to carry EQUALITY
+    * through the dup-gram aggregate and the left-semi join (it never
+    * reaches the output), so an 8-byte hash replaces a ~30-60 byte
+    * string in the two largest exchanges these queries have (the
+    * token-grain gram aggregate and the semi-join key). Hashing the
+    * array slice directly also skips materializing the concatenated
+    * gram string per position (one fewer allocation in the explode's
+    * hot loop). The oracle CTE keeps the exact string — it only has
+    * to produce the same doc/pos frame, and staying exact there makes
+    * the gate strictly stronger (a Spark-side hash collision would
+    * surface as a mismatch).
     */
   private def dupSpanGroups(s: SparkSession, dir: String): DataFrame = {
     val p = docTokens(s, dir)
       .select(col("doc_id"), size(col("t")).cast("long").as("nt"),
         posexplode(transform(
           sequence(lit(1), size(col("t")) - 4),
-          i => array_join(slice(col("t"), i, lit(5)), " "))))
+          i => xxhash64(slice(col("t"), i, lit(5))))))
       .select(col("doc_id"), col("nt"), (col("pos") + 1L).as("pos"),
         col("col").as("gram"))
     val b = p.groupBy("gram")
@@ -2168,8 +2181,195 @@ object Extras {
         (col("mhi") - col("mlo")).cast("long").as("n_hits"))
   }
 
+  /** Dedup extension — CHUNK-GRAIN EXACT dedup with re-emission: the
+    * paragraph/line-level pass of the published pipelines (Lee et al.
+    * 2022 dedup both doc- and span-level; Rae et al. 2021 [Gopher]
+    * filter repeated paragraphs; Penedo et al. 2023 [RefinedWeb]
+    * dedup at line level), expressed over fixed 20-token chunks
+    * because the synthetic corpus has no newline structure. Every
+    * chunk is fingerprinted (md5 — VALUE-carrying, oracle-compared,
+    * so no xxhash64 here unlike [[q132]]'s equality-only keys);
+    * across the whole corpus the FIRST occurrence (lexicographic
+    * (doc_id, idx)) of each fingerprint survives and every later
+    * occurrence is cut; each affected doc re-emits its surviving
+    * text. The planted near-dup prefixes in `documents` make the cut
+    * set non-trivial.
+    *
+    * Shape: one chunk explode (token-linear, ~tokens/20 rows), ONE
+    * fingerprint-grain exchange for the keeper argmin (min(struct) —
+    * partial-aggregated map-side), a fingerprint-keyed join back
+    * (same exchange key), then doc-grain reassembly via in-row
+    * array_sort — no token-grain window anywhere. At 100 TB the
+    * fingerprint table is the chunk-distinct table; both exchanges
+    * carry 16-byte keys + two longs.
+    */
+  val q161 = Q("q161_chunk_dedup",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    len(string_split(text, ' ')) AS nt
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+      |    array_to_string(
+      |      t[CAST(i*20+1 AS INT):CAST(i*20+20 AS INT)], ' ') AS chunk
+      |  FROM (SELECT doc_id, t,
+      |          unnest(range(0, (nt + 19) // 20)) AS i
+      |        FROM t)),
+      |f AS (
+      |  SELECT doc_id, idx, chunk,
+      |    row_number() OVER (PARTITION BY md5(chunk)
+      |                       ORDER BY doc_id, idx) AS rn
+      |  FROM ch)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS cut_chunks,
+      |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+      |    ORDER BY idx), '') AS kept_text
+      |FROM f GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val t = docsTable(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("nt", size(col("t")))
+      .withColumn("nch", expr("(nt + 19) div 20"))
+    val ch = t.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("nch") - 1L),
+          i => array_join(
+            slice(col("t"), (i * 20 + 1).cast("int"), lit(20)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col").as("chunk"))
+      .withColumn("fp", md5(col("chunk")))
+    val keeper = ch.groupBy("fp")
+      .agg(min(struct(col("doc_id").as("kd"), col("idx").as("ki")))
+        .as("k"))
+      .select(col("fp"), col("k.kd").as("kd"), col("k.ki").as("ki"))
+    ch.join(keeper, Seq("fp"))
+      .withColumn("keep",
+        col("doc_id") === col("kd") && col("idx") === col("ki"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 0L).otherwise(1L)).cast("long")
+          .as("cut_chunks"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("kept_text"))
+  }
+
+  /** QUALITY CLASSIFIER — the GPT-3-style trained quality filter
+    * (Brown et al. 2020, Appendix A: a classifier trained
+    * curated-vs-crawl scores every crawl document; PaLM and the
+    * Pile's pipelines use the same device), as a Naive Bayes unigram
+    * log-likelihood-ratio model so training IS relational
+    * aggregation. Contract (the q143 trainer device): `source =
+    * 'src0'` is the curated/positive slice, `source = 'src1'` the
+    * crawl/negative slice; every OTHER doc is scored. Per-word
+    * weight = ln P(w|pos) − ln P(w|neg) with add-1 smoothing over
+    * the joint training vocab, each log INDEPENDENTLY quantized to
+    * integer micro-nats (round(ln·10⁶) — q143's determinism device)
+    * before the subtraction, so both engines sum identical integers;
+    * out-of-vocab words take the constant unseen-floor weight, and
+    * the doc score adds the micro-nat log prior-ratio. Output: score
+    * and the threshold decision (score > 0 ⇒ curated-like). The
+    * published Pareto-lottery keep rule (`np.random.pareto` in
+    * GPT-3's filter) is deliberately NOT reproduced — it is
+    * nondeterministic by design; the score column is exactly what it
+    * consumes, and [[q160]]'s PPS device is the deterministic
+    * sampling stand-in.
+    *
+    * Shape: training counts partial-aggregate to VOCAB grain
+    * (constant as the corpus grows — the training slices are fixed
+    * by contract); scoring is one token explode + a vocab-grain join
+    * + a doc-grain aggregate, all corpus-linear. The same shape as
+    * q141/q143 — the trained-filter family shares one plan family.
+    */
+  val q162 = Q("q162_quality_classifier",
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |pos AS (SELECT w, count(*) AS c FROM tok
+      |        WHERE source = 'src0' GROUP BY w),
+      |neg AS (SELECT w, count(*) AS c FROM tok
+      |        WHERE source = 'src1' GROUP BY w),
+      |v AS (SELECT count(*) AS nv FROM (
+      |        SELECT w FROM pos UNION SELECT w FROM neg)),
+      |tots AS (
+      |  SELECT (SELECT coalesce(sum(c), 0) FROM pos) AS tp,
+      |    (SELECT coalesce(sum(c), 0) FROM neg) AS tn,
+      |    (SELECT nv FROM v) AS nv),
+      |wt AS (
+      |  SELECT u.w,
+      |    CAST(round(ln((coalesce(p.c, 0) + 1.0) / (t.tp + t.nv))
+      |        * 1000000) AS BIGINT)
+      |      - CAST(round(ln((coalesce(g.c, 0) + 1.0) / (t.tn + t.nv))
+      |        * 1000000) AS BIGINT) AS ubits
+      |  FROM (SELECT w FROM pos UNION SELECT w FROM neg) u
+      |  LEFT JOIN pos p USING (w) LEFT JOIN neg g USING (w)
+      |  CROSS JOIN tots t),
+      |fl AS (
+      |  SELECT CAST(round(ln(1.0 / (tp + nv)) * 1000000) AS BIGINT)
+      |      - CAST(round(ln(1.0 / (tn + nv)) * 1000000) AS BIGINT)
+      |      AS fl_ubits,
+      |    CAST(round(ln(
+      |        CAST((SELECT count(*) FROM documents WHERE source = 'src0')
+      |          AS DOUBLE)
+      |        / (SELECT count(*) FROM documents WHERE source = 'src1'))
+      |        * 1000000) AS BIGINT) AS prior_ubits
+      |  FROM tots)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(coalesce(wt.ubits, fl.fl_ubits)) + min(fl.prior_ubits)
+      |    AS BIGINT) AS score_ubits,
+      |  CAST(CASE WHEN sum(coalesce(wt.ubits, fl.fl_ubits))
+      |      + min(fl.prior_ubits) > 0 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS keep_flag
+      |FROM tok LEFT JOIN wt USING (w) CROSS JOIN fl
+      |WHERE source NOT IN ('src0', 'src1')
+      |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val tok = docsTable(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+    val pos = tok.filter(col("source") === "src0")
+      .groupBy("w").agg(count(lit(1)).as("cp"))
+    val neg = tok.filter(col("source") === "src1")
+      .groupBy("w").agg(count(lit(1)).as("cn"))
+    val vocab = pos.select("w").union(neg.select("w")).distinct()
+    val tots = pos.agg(coalesce(sum("cp"), lit(0L)).as("tp"))
+      .crossJoin(neg.agg(coalesce(sum("cn"), lit(0L)).as("tn")))
+      .crossJoin(vocab.agg(count(lit(1)).as("nv")))
+    val wt = vocab
+      .join(pos, Seq("w"), "left").join(neg, Seq("w"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("w"),
+        (round(log((coalesce(col("cp"), lit(0L)) + lit(1.0))
+            / (col("tp") + col("nv"))) * 1000000).cast("long")
+          - round(log((coalesce(col("cn"), lit(0L)) + lit(1.0))
+            / (col("tn") + col("nv"))) * 1000000).cast("long"))
+          .as("ubits"))
+    val docs = docsTable(s, dir)
+    val fl = tots.crossJoin(
+        docs.filter(col("source") === "src0")
+          .agg(count(lit(1)).as("np"))
+          .crossJoin(docs.filter(col("source") === "src1")
+            .agg(count(lit(1)).as("nn"))))
+      .select(
+        (round(log(lit(1.0) / (col("tp") + col("nv"))) * 1000000)
+            .cast("long")
+          - round(log(lit(1.0) / (col("tn") + col("nv"))) * 1000000)
+            .cast("long")).as("fl_ubits"),
+        round(log(col("np").cast("double") / col("nn")) * 1000000)
+          .cast("long").as("prior_ubits"))
+    tok.filter(!col("source").isin("src0", "src1"))
+      .join(wt, Seq("w"), "left")
+      .crossJoin(broadcast(fl))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(coalesce(col("ubits"), col("fl_ubits")))
+          + min(col("prior_ubits"))).cast("long").as("score_ubits"))
+      .withColumn("keep_flag",
+        when(col("score_ubits") > 0, 1L).otherwise(0L))
+      .select("doc_id", "n_tokens", "score_ubits", "keep_flag")
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
     q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147,
-    q152, q153, q155, q159, q160)
+    q152, q153, q155, q159, q160, q161, q162)
 }

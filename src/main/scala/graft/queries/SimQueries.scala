@@ -732,13 +732,26 @@ object SimQueries {
     * Oracled in DuckDB via q48's centroid VALUES + q127's
     * recursive-CTE components device.
     *
-    * The implementation is [[Similarity.semanticDedup]] — the
-    * PARAMETERIZED operator (any centroid table, corpus-sized K and
-    * planes via cellsFor/planesFor). This registry instance pins
-    * K = cellsFor(500, 64) = 8 and `SemPlanes` = 2 sub-planes so the
-    * static oracle SQL and the Spark plan see the same quantizer;
-    * Round8Spec drives the operator at other quantizer sizes.
+    * The implementation is [[Similarity.semanticDedupSized]] — the
+    * production entry point with CORPUS-DERIVED quantizer sizing
+    * (K = cellsFor(n, `SemTargetCell`), planes =
+    * planesFor(`SemTargetCell`, `SemTargetBucket`)), so the expected
+    * (cid, bkt) population stays constant as the corpus grows and
+    * the 2..`SemMaxBucket` cap never silently becomes a recall
+    * ceiling. The static oracle SQL stays valid because at the
+    * oracle corpus (500 vectors at sf0.01) the DERIVED sizing is
+    * exactly cellsFor(500, 64) = 8 cells and planesFor(64, 16) = 2
+    * planes — the same quantizer the SQL's centroid VALUES pin; a
+    * different corpus size derives a different (documented) quantizer
+    * and has no static oracle. Round8Spec drives the operator at
+    * other quantizer sizes; Round9Spec asserts the derived K at two
+    * synthetic corpus sizes.
     */
+  private val SemTargetCell = 64
+  private val SemTargetBucket = 16
+  // the quantizer the SQL oracle pins = the sizing DERIVED at the
+  // oracle corpus: cellsFor(500, SemTargetCell) = 8 = K,
+  // planesFor(SemTargetCell, SemTargetBucket) = 2 = SemPlanes
   private val SemPlanes = 2
   private val SemMaxBucket = 40
   private val SemTau = 0.2
@@ -807,9 +820,9 @@ object SimQueries {
        |  min(CASE WHEN rk = 1 THEN vec_id END) AS keep_id,
        |  min(CASE WHEN rk = 1 THEN ccos END) AS keep_ccos
        |FROM ranked GROUP BY comp""".stripMargin) { (s, dir) =>
-    Similarity.semanticDedup(
+    Similarity.semanticDedupSized(
       Tables(s, dir, "embeddings").select("vec_id", "embedding"),
-      Similarity.centroidTable(s, K, D), SemPlanes, D,
+      SemTargetCell, SemTargetBucket, D,
       SemMaxBucket, SemTau, cacheKey = s"semdedup_cd:$dir")
   }
 
@@ -831,9 +844,13 @@ object SimQueries {
     * exactly one row per corpus vector. Corpus cost is linear,
     * bench-bounded, zero corpus shuffles before the n-row grain.
     * When the benchmark set itself outgrows broadcast, route BOTH
-    * sides through [[Similarity.ivfAssign]] and score only same-cell
-    * pairs — the q107 move (ship a compact structure, not values),
-    * at the price of probe-miss recall.
+    * sides through shared IVF cells and score within probed cells —
+    * the q107 move (ship a compact structure, not values), at the
+    * price of probe-miss recall below full probe. That route is CODE,
+    * not documentation: [[Similarity.semanticDecontamRouted]],
+    * registered as [[q158]] with THIS query's oracle at nProbe = K
+    * (full probe scores every pair exactly once, so routed ≡
+    * broadcast row for row — the q119≡q42 pattern).
     *
     * Determinism: cosines rounded to 6dp before max (identical
     * left-to-right fold in both engines); max of identical doubles
@@ -879,6 +896,41 @@ object SimQueries {
           / (col("nrm") * col("bn")), 6).as("sim"))
       .groupBy("vec_id", "label")
       .agg(max("sim").as("maxsim"))
+    mx.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("maxsim") > DecontamTau, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(when(col("maxsim") > DecontamTau, 0L).otherwise(1L))
+          .as("n_kept"),
+        max("maxsim").as("max_sim"))
+  }
+
+  /** [[q129]]'s semantic decontamination planned through the IVF
+    * ROUTE ([[Similarity.semanticDecontamRouted]]) instead of the
+    * broadcast cross-join — the beyond-broadcast path for a benchmark
+    * set too large to ship to every executor. Identical oracle,
+    * identical output (nProbe = K scores every (corpus, bench) pair
+    * exactly once); what changes is the execution: the bench set is
+    * PARTITIONED by its IVF cell and met through a cell-keyed
+    * shuffle-hash join, so per-executor memory holds one cell's bench
+    * slice (~targetCell vectors under cellsFor sizing), never the
+    * whole set. Registered side by side with q129 so the gate
+    * continuously proves routed ≡ broadcast — and production drops
+    * nProbe below K to trade probe-miss recall for an nProbe×
+    * (not K×) corpus-side expansion. Fills the registry's q158
+    * numbering gap noted by the round-8 audit.
+    */
+  val q158 = Q("q158_semantic_decontam_routed", q129.oracle.get) {
+    (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val bench = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("bid"), col("embedding").as("be"),
+        col("nrm").as("bn"))
+    val corp = e.filter(col("vec_id") % 10 =!= 0)
+    val mx = Similarity.semanticDecontamRouted(corp, bench,
+      Similarity.centroidTable(s, K, D), nProbe = K)
     mx.groupBy(col("label").cast("long").as("label"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("maxsim") > DecontamTau, 1L).otherwise(0L))
@@ -1431,5 +1483,5 @@ object SimQueries {
   }
 
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
-    q113, q128, q129, q133, q134, q135, q136, q140, q146, q154)
+    q113, q128, q129, q133, q134, q135, q136, q140, q146, q154, q158)
 }

@@ -173,6 +173,34 @@ object Similarity {
     * key must include every input it depends on (corpus dir, cent
     * parameters).
     */
+  /** [[semanticDedup]] with CORPUS-DERIVED quantizer sizing — the
+    * production entry point. Counts the corpus once (a metadata-cheap
+    * columnar count) and derives K = [[cellsFor]](n, targetCell)
+    * cells and nPlanes = [[planesFor]](targetCell, targetBucket)
+    * sub-planes, so the expected (cid, bkt) population stays at
+    * ~targetBucket however large n grows — the 2..maxBucket cap
+    * remains a skew GUARD, never a recall ceiling that silently binds
+    * harder as the corpus outgrows a statically pinned K. The derived
+    * sizes are folded into the cache key: two corpora of different
+    * sizes must never share a materialized assignment frame.
+    */
+  def semanticDedupSized(e: DataFrame, targetCell: Int,
+      targetBucket: Int, dim: Int, maxBucket: Int, minSim: Double,
+      cacheKey: String): DataFrame = {
+    val (k, nPlanes) = sizedQuantizer(e.count(), targetCell,
+      targetBucket)
+    semanticDedup(e, centroidTable(e.sparkSession, k, dim), nPlanes,
+      dim, maxBucket, minSim, s"$cacheKey:k$k:p$nPlanes")
+  }
+
+  /** The (K, nPlanes) pair [[semanticDedupSized]] derives for a
+    * corpus of `n` vectors — a pure function so specs can pin the
+    * derivation at arbitrary corpus sizes without running the dedup.
+    */
+  def sizedQuantizer(n: Long, targetCell: Int, targetBucket: Int)
+      : (Int, Int) =
+    (cellsFor(n, targetCell), planesFor(targetCell.toLong, targetBucket))
+
   def semanticDedup(e: DataFrame, cent: DataFrame, nPlanes: Int,
       dim: Int, maxBucket: Int, minSim: Double, cacheKey: String)
       : DataFrame = {
@@ -207,6 +235,64 @@ object Similarity {
         count(lit(1)).as("n_members"),
         min(when(col("rk") === 1, col("vec_id"))).as("keep_id"),
         min(when(col("rk") === 1, col("ccos"))).as("keep_ccos"))
+  }
+
+  /** Semantic-decontamination scoring ROUTED through shared IVF cells
+    * — the beyond-broadcast path the q129 scaladoc promises, as code.
+    *
+    * q129's production contract is a FIXED eval suite that broadcasts;
+    * when the benchmark set outgrows broadcast, this route partitions
+    * the bench set by its [[ivfAssign]] cell and meets it with the
+    * corpus through a CELL-KEYED SHUFFLE-HASH JOIN, so an executor
+    * ever holds only ONE CELL's bench slice (~targetCell vectors, by
+    * [[cellsFor]] sizing) instead of the whole set. The corpus side
+    * emits its top-`nProbe` probe cells per vector with the
+    * [[ivfAssign]] device (broadcast centroids, ONE corpus-grain
+    * exchange whose partial collect collapses the K× expansion
+    * map-side, then an in-row sort+slice — no per-vector window over
+    * the corpus), and every (corpus, probed-cell bench) pair is
+    * scored exactly once.
+    *
+    * `nProbe` is the recall/cost knob: nProbe = K scores every
+    * (corpus, bench) pair exactly once — per-vector maxima IDENTICAL
+    * to the broadcast cross-join, which is what the q158 gate pins —
+    * while production sets nProbe ≪ K and accepts probe-miss recall
+    * for a corpus-side expansion of nProbe× instead of K×.
+    *
+    * Inputs: `corp` carries (vec_id, label, embedding, nrm); `bench`
+    * carries (bid, be, bn). Output is per-vector (vec_id, label,
+    * maxsim) with maxsim NULL for vectors none of whose probed cells
+    * held a bench vector (impossible at nProbe = K with a nonempty
+    * bench set).
+    */
+  def semanticDecontamRouted(corp: DataFrame, bench: DataFrame,
+      cent: DataFrame, nProbe: Int): DataFrame = {
+    val ba = ivfAssign(bench.select(col("bid").as("vec_id"),
+        col("be").as("embedding"), col("bn").as("nrm")), cent)
+      .select(col("embedding").as("be"), col("nrm").as("bn"),
+        col("cid").as("pcid"))
+    val probes = corp.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("nrm"), col("cid"),
+        round(dot(col("embedding"), col("ce")), 6).as("d"))
+      .groupBy("vec_id")
+      .agg(first(col("label")).as("label"),
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"),
+        slice(sort_array(collect_list(struct(col("d"),
+          (-col("cid")).as("nc"))), asc = false), 1, nProbe).as("top"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("nrm"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("nrm"), (-col("t.nc")).as("pcid"))
+    val mx = probes.join(ba.hint("shuffle_hash"), Seq("pcid"))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("embedding"), col("be"))
+          / (col("nrm") * col("bn")), 6).as("sim"))
+      .groupBy("vec_id", "label")
+      .agg(max("sim").as("maxsim"))
+    corp.select("vec_id", "label")
+      .join(mx, Seq("vec_id", "label"), "left")
   }
 
   /** Embedding-cosine near-duplicate pairs, bucketed AND capped.

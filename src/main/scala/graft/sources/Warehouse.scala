@@ -165,6 +165,54 @@ final case class Warehouse(root: String) {
     mergeOverwrite(read(spark, table).coalesce(nFiles.toInt), table)
   }
 
+  /** BUCKETED compaction — [[compact]] for the incremental stores
+    * ([[appendBucketed]]: q137's band store, q140's IVF-PQ store),
+    * which accrete one file set per append and decay into the classic
+    * small-file problem at daily-delta cadence. Rewrites the table to
+    * ONE FILE PER BUCKET under the SAME `bucketBy`/`sortBy` spec, so
+    * every downstream bucketed join/aggregation stays exchange-free
+    * across the compacted files, then swaps via the crash-safe
+    * tmp-write-and-swap (readers never see a half-compacted table;
+    * the live catalog entry's spec and path are unchanged, so the
+    * swap is invisible to it beyond a metadata refresh).
+    *
+    * Shuffle-free like [[compact]], via the bucketed SCAN: each scan
+    * partition holds exactly one bucket's files, so the bucketed
+    * write emits one file per bucket with no exchange. The scan runs
+    * in a cloned session with `autoBucketedScan` pinned OFF — left
+    * on (the default), Spark drops the bucketed scan for plans that
+    * don't exploit its partitioning, the read falls back to
+    * file-split parallelism, and the "compaction" would rewrite the
+    * same file count it started with.
+    */
+  def compactBucketed(spark: SparkSession, table: String,
+      nBuckets: Int, bucketCols: Seq[String]): Unit = {
+    recover(table)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    val tmpTable = table + "__compact_tmp"
+    s.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    val tmp = new File(dir(table + ".tmp"))
+    delete(tmp)
+    s.table(table).write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", tmp.getPath)
+      .saveAsTable(tmpTable)
+    // external table: dropping the catalog entry leaves the files for
+    // the swap below
+    s.sql(s"DROP TABLE `$tmpTable`")
+    val live = new File(dir(table))
+    val old = new File(dir(table + ".old"))
+    if (old.exists()) delete(old)
+    if (live.exists() && !live.renameTo(old))
+      sys.error(s"swap failed: cannot move $live aside")
+    if (!tmp.renameTo(live)) sys.error(s"swap failed: cannot move $tmp in")
+    delete(old)
+    spark.catalog.refreshTable(table)
+  }
+
   private def size(f: File): Long =
     if (f.isDirectory) {
       val children = f.listFiles()

@@ -102,12 +102,12 @@ class AsOfSkewSpec extends SparkSpec {
   }
 
   test("Skew.saltedJoin equals the plain join on a skewed key " +
-    "distribution (inner and left)") {
+    "distribution (inner, left, left_semi)") {
     val big = (1 to 500).map(i => (if (i <= 450) 1L else i.toLong,
       i.toDouble)).toDF("k", "v") // heavy skew on k=1
     val small = Seq((1L, "hot"), (7L, "x"), (999L, "unmatched"))
       .toDF("k", "name")
-    for (jt <- Seq("inner", "left")) {
+    for (jt <- Seq("inner", "left", "left_semi")) {
       val plain = big.join(small, Seq("k"), jt)
       val salted = Skew.saltedJoin(big, small, Seq("k"), 8, jt)
       assert(salted.count() == plain.count(), jt)

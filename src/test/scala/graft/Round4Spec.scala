@@ -83,21 +83,22 @@ class Round4Spec extends SparkSpec {
     SignatureStore.writeBands(wh, Tables(spark, dir, "documents"),
       "sig_bands", 4)
     try {
-      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      try {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        val stored = SignatureStore.candidatesFromStore(spark,
-          "sig_bands", 20)
-        val inSession = graft.queries.TextQueries.q30.fn(spark, dir)
-        assert(rows(stored) == rows(inSession))
-        // AQE prints "== Final Plan ==" then "== Initial Plan ==" —
-        // count exchanges only once (the executed section)
-        val plan = stored.queryExecution.executedPlan.toString
-          .split("== Initial Plan ==")(0)
-        val exchanges = "Exchange".r.findAllIn(plan).length
-        assert(exchanges == 1,
-          s"expected only the final-distinct exchange, got $exchanges:\n$plan")
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // cloned session (own SQLConf; the persistent table lives in the
+      // shared catalog): disabling broadcast for this plan-shape check
+      // cannot leak into a concurrently running suite
+      val clone = spark.newSession()
+      clone.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val stored = SignatureStore.candidatesFromStore(clone,
+        "sig_bands", 20)
+      val inSession = graft.queries.TextQueries.q30.fn(spark, dir)
+      assert(rows(stored) == rows(inSession))
+      // AQE prints "== Final Plan ==" then "== Initial Plan ==" —
+      // count exchanges only once (the executed section)
+      val plan = stored.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"expected only the final-distinct exchange, got $exchanges:\n$plan")
     } finally { spark.sql("DROP TABLE IF EXISTS sig_bands"); () }
   }
 }

@@ -38,15 +38,16 @@ class Round8Spec extends SparkSpec {
   test("q128: decision table is invariant under shuffle-partition " +
     "count (rounded-cosine + lowest-id ties leave no partition-order " +
     "dependence)") {
-    def run(): Set[Seq[Any]] = rows(queries.SimQueries.q128.fn(spark, sf))
-    val base = run()
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "7")
-      assert(run() == base, "result changed with 7 shuffle partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "13")
-      assert(run() == base, "result changed with 13 shuffle partitions")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // cloned session: its own SQLConf, so the 7/13-partition setting
+    // can never leak into a concurrently running suite (all suites
+    // share one lazy session)
+    val base = rows(queries.SimQueries.q128.fn(spark, sf))
+    val clone = spark.newSession()
+    def run(): Set[Seq[Any]] = rows(queries.SimQueries.q128.fn(clone, sf))
+    clone.conf.set("spark.sql.shuffle.partitions", "7")
+    assert(run() == base, "result changed with 7 shuffle partitions")
+    clone.conf.set("spark.sql.shuffle.partitions", "13")
+    assert(run() == base, "result changed with 13 shuffle partitions")
   }
 
   test("semanticDedup operator: corpus-sized quantizer (cellsFor/" +
@@ -1014,14 +1015,13 @@ class Round8Spec extends SparkSpec {
   test("q160: selection is invariant under shuffle-partition count " +
     "(hash order is global, bucket decomposition leaves no " +
     "partition-order dependence)") {
-    def run(): Set[Seq[Any]] = rows(queries.Extras.q160.fn(spark, sf))
-    val base = run()
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "7")
-      assert(run() == base, "result changed with 7 shuffle partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "13")
-      assert(run() == base, "result changed with 13 shuffle partitions")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // cloned session (own SQLConf) — see the q128 invariance test
+    val base = rows(queries.Extras.q160.fn(spark, sf))
+    val clone = spark.newSession()
+    def run(): Set[Seq[Any]] = rows(queries.Extras.q160.fn(clone, sf))
+    clone.conf.set("spark.sql.shuffle.partitions", "7")
+    assert(run() == base, "result changed with 7 shuffle partitions")
+    clone.conf.set("spark.sql.shuffle.partitions", "13")
+    assert(run() == base, "result changed with 13 shuffle partitions")
   }
 }

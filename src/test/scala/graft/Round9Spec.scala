@@ -1,0 +1,351 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 hardening: corpus-derived quantizer sizing for the
+  * semantic-dedup entry point (the round-8 verdict's "statically
+  * pinned K" finding), pinned both as a pure derivation and by
+  * driving the sized operator at two corpus sizes.
+  */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("semanticDedupSized: the quantizer derivation is corpus-" +
+    "driven — K tracks n at two synthetic corpus sizes while the " +
+    "expected cell stays at targetCell") {
+    import graft.sim.Similarity
+    // the oracle corpus: 500 vectors -> the exact quantizer q128's
+    // static SQL pins
+    assert(Similarity.sizedQuantizer(500L, 64, 16) == ((8, 2)))
+    // a 64x corpus: K grows proportionally (expected cell constant),
+    // planes unchanged (they size the WITHIN-cell bucket, which is
+    // corpus-independent by construction)
+    assert(Similarity.sizedQuantizer(32000L, 64, 16) == ((500, 2)))
+    // production order of magnitude from the cellsFor scaladoc
+    assert(Similarity.sizedQuantizer(10000000000L, 4096, 64)._1 ==
+      math.ceil(1e10 / 4096).toInt)
+  }
+
+  test("semanticDedupSized: driven at two corpus sizes, the derived " +
+    "quantizer actually widens with the corpus (cells beyond the " +
+    "base-K range get populated) and the decision-table invariants " +
+    "hold at both") {
+    import graft.sim.Similarity
+    val e1 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val n1 = e1.count()
+    // 4 key-shifted copies: same device as ScaleSmoke — the corpus
+    // grows, the vector space keeps its planted duplicate structure
+    val stride = n1 * 10
+    val e4 = (0 until 4).map(i => e1.select(
+        ($"vec_id" + lit(i * stride)).as("vec_id"), $"embedding"))
+      .reduce(_ union _)
+    val (k1, p1) = Similarity.sizedQuantizer(n1, 64, 16)
+    val (k4, p4) = Similarity.sizedQuantizer(4 * n1, 64, 16)
+    assert(k4 == 4 * k1, "K must scale with the corpus")
+    assert(p1 == p4, "planes size the within-cell bucket; constant")
+    def check(d: Array[org.apache.spark.sql.Row], k: Int,
+        n: Long): Unit = {
+      assert(d.nonEmpty, "planted duplicates must yield components")
+      d.foreach { r =>
+        assert(r.getLong(2) >= 2, "component below pair size")
+        assert(r.getLong(0) <= r.getLong(3), "keeper below comp min")
+        assert(r.getLong(1) >= 1 && r.getLong(1) <= k,
+          s"cell ${r.getLong(1)} outside the derived 1..$k")
+      }
+      assert(d.map(_.getLong(2)).sum <= n,
+        "components disjoint; members cannot exceed corpus")
+    }
+    val d1 = Similarity.semanticDedupSized(e1, 64, 16, 64, 40, 0.2,
+      s"semdedup_r9:$sf:f1").collect()
+    check(d1, k1, n1)
+    val d4 = Similarity.semanticDedupSized(e4, 64, 16, 64, 40, 0.2,
+      s"semdedup_r9:$sf:f4").collect()
+    check(d4, k4, 4 * n1)
+    // the wider quantizer is REAL: with 4x the cells, some components
+    // live in cells the base quantizer does not have
+    assert(d4.map(_.getLong(1)).max > k1,
+      s"4x corpus never populated a cell beyond the base K=$k1 — " +
+        "sizing did not widen the quantizer")
+  }
+
+  test("q158: IVF-routed decontam ≡ q129's broadcast-scored output " +
+    "row for row, and the scoring join is a cell-keyed shuffle-hash " +
+    "join (per-task bench slice), not a bench broadcast") {
+    val routed = queries.SimQueries.q158.fn(spark, sf)
+    assert(rows(routed) == rows(queries.SimQueries.q129.fn(spark, sf)),
+      "full-probe routing must reproduce the broadcast scoring exactly")
+    val plan = routed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ShuffledHashJoin"),
+      s"bench must meet the corpus through a shuffle-hash join:\n$plan")
+  }
+
+  test("semanticDecontamRouted: below full probe, per-vector maxima " +
+    "are bounded by the exact ones (probe-miss recall is the only " +
+    "failure mode — never a wrong pair score)") {
+    import graft.sim.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding",
+        Similarity.norm($"embedding").as("nrm"))
+    val bench = e.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("bid"), $"embedding".as("be"),
+        $"nrm".as("bn"))
+    val corp = e.filter($"vec_id" % 10 =!= 0)
+    val cent = Similarity.centroidTable(spark, 8, 64)
+    def maxima(nProbe: Int): Map[Long, Option[Double]] =
+      Similarity.semanticDecontamRouted(corp, bench, cent, nProbe)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val exact = maxima(8)
+    val one = maxima(1)
+    assert(exact.keySet == one.keySet, "one row per corpus vector")
+    assert(exact.values.forall(_.isDefined),
+      "full probe with a nonempty bench set leaves no vector unscored")
+    one.foreach { case (id, m) =>
+      m.foreach(v => assert(v <= exact(id).get + 1e-12,
+        s"vector $id: nProbe=1 max $v exceeds the exact max"))
+    }
+    // nProbe=1 is a genuine subset on this corpus: at least one
+    // vector's top bench match lives outside its first probe cell
+    assert(one.exists { case (id, m) =>
+      m.isEmpty || m.get < exact(id).get },
+      "nProbe=1 reproduced every exact max — the probe knob is a no-op")
+  }
+
+  test("hot-gram skew (q114/q115/q132/q138 shape): AQE splits the " +
+    "hot partition only when the dup-gram set feeds the semi-join " +
+    "through a bare shuffle; the in-plan aggregate shape gets NO " +
+    "adaptive help — pinned, with the salted semi-join as the " +
+    "defense that works for both shapes") {
+    // the gram-membership semi-join's skew exposure, isolated and
+    // MEASURED (this test was written expecting "AQE handles it" and
+    // found the truth more specific). The layered defenses:
+    //  (a) the gram AGGREGATE is always safe — partial aggregation
+    //      collapses a hot gram to one row per map partition;
+    //  (b) at bench scale the dup-gram set BROADCASTS (no probe-side
+    //      shuffle on gram at all);
+    //  (c) past broadcast, AQE's OptimizeSkewedJoin only pattern-
+    //      matches SMJ children that are BARE SHUFFLES: it splits the
+    //      hot partition when the dup-gram set is read back from a
+    //      store (flat scan -> shuffle), but the single-plan shape —
+    //      dup set computed by an aggregate whose output partitioning
+    //      feeds the join directly — gets NO adaptive skew handling;
+    //  (d) ops/Skew.saltedJoin (extended to left_semi on the back of
+    //      this finding) spreads the hot gram regardless of shape.
+    // Synthetic corpus: 8000 docs x 20 grams, one gram at 10/20
+    // positions of half the docs, an md5 payload so partition BYTES
+    // reflect the row skew (detection is byte-based on compressed map
+    // output; constant-string-only hot rows compress below the
+    // detection median).
+    val clone = spark.newSession()
+    clone.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    clone.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    clone.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "1.0")
+    clone.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "1KB")
+    clone.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "1KB")
+    // 64 partitions thin the uniform background to ~2.5k rows each
+    // while the hot partition keeps its ~42k — the Zipfian picture
+    clone.conf.set("spark.sql.shuffle.partitions", "64")
+    val pc = clone.range(8000).select(col("id").as("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), lit(20))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(":", col("doc_id"), col("pos"))).as("payload"),
+        when(col("doc_id") % 2 === 0 && col("pos") <= 10, lit("HOT"))
+          .otherwise(concat_ws("_", col("doc_id") % 700, col("pos")))
+          .as("gram"))
+    val b = pc.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    // independent membership recomputation shared by all three forms
+    val expected = {
+      val rows = pc.collect().map(r => (r.getLong(0), r.getString(3)))
+      val dup = rows.groupBy(_._2)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      rows.count(r => dup(r._2)).toLong
+    }
+    // (c-1) single-plan shape: aggregate feeds the join — correct
+    // results, but NO adaptive skew split (execute m itself so the
+    // final adaptive plan is readable)
+    val m = pc.join(b, Seq("gram"), "left_semi")
+    assert(m.collect().length.toLong == expected,
+      "in-plan semi-join membership wrong")
+    val inPlan = m.queryExecution.executedPlan.toString
+    assert(inPlan.contains("SortMergeJoin") && inPlan.contains("LeftSemi"),
+      s"beyond-broadcast shape must be a left-semi SMJ:\n$inPlan")
+    assert(!inPlan.contains("skew"),
+      "AQE split the aggregate-fed semi-join — it has learned a " +
+        "shape it could not optimize when this was pinned; revisit " +
+        "the salting advice in ops/Skew and PLANS.md:\n" + inPlan)
+    // (c-2) store-backed shape: the dup-gram set materialized and
+    // read back flat — AQE DOES split the hot partition
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-skew9").toString + "/grams"
+    b.write.mode("overwrite").parquet(store)
+    val m2 = pc.join(clone.read.parquet(store), Seq("gram"), "left_semi")
+    assert(m2.collect().length.toLong == expected,
+      "store-backed semi-join membership wrong")
+    val flat = m2.queryExecution.executedPlan.toString
+    assert(flat.contains("skew"),
+      "AQE did not split the hot partition even for the bare-shuffle " +
+        s"shape — the store-backed defense is gone:\n$flat")
+    // (d) the salted semi-join: same rows, hot gram spread by
+    // construction (salt spread is asserted in AsOfSkewSpec)
+    val salted = graft.ops.Skew.saltedJoin(pc, b, Seq("gram"), 8,
+      "left_semi")
+    assert(salted.collect().length.toLong == expected,
+      "salted semi-join changed the membership")
+  }
+
+  test("q161: chunk dedup equals a from-scratch recomputation — " +
+    "global first-occurrence keepers, per-doc cuts, reassembled text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val chunks = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).grouped(20).zipWithIndex
+        .map { case (c, i) => (id, i.toLong, c.mkString(" ")) }
+    }
+    val keeper = chunks.groupBy(_._3).map { case (c, occ) =>
+      c -> occ.map(x => (x._1, x._2)).min
+    }
+    val expected = chunks.groupBy(_._1).map { case (id, cs) =>
+      val kept = cs.filter(x => keeper(x._3) == ((x._1, x._2)))
+        .sortBy(_._2)
+      Seq[Any](id, cs.length.toLong, (cs.length - kept.length).toLong,
+        kept.map(_._3).mkString(" "))
+    }.toSet
+    assert(rows(queries.Extras.q161.fn(spark, sf)) == expected,
+      "chunk dedup diverges from the independent recomputation")
+  }
+
+  test("q162: the NB quality classifier scores exactly the docs " +
+    "outside both training slices and matches a from-scratch " +
+    "integer-micro-nat recomputation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def words(t: String) = t.split(" ", -1).toSeq
+    val posW = docs.filter(_._2 == "src0").flatMap(d => words(d._3))
+    val negW = docs.filter(_._2 == "src1").flatMap(d => words(d._3))
+    val cp = posW.groupBy(identity).map { case (w, o) => w -> o.size }
+    val cn = negW.groupBy(identity).map { case (w, o) => w -> o.size }
+    val vocab = cp.keySet ++ cn.keySet
+    val (tp, tn, nv) = (posW.size.toLong, negW.size.toLong,
+      vocab.size.toLong)
+    // Spark's round() is HALF_UP (rint is HALF_EVEN — off on exact .5)
+    def micro(x: Double): Long = BigDecimal(math.log(x) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val wt = vocab.map(w => w ->
+      (micro((cp.getOrElse(w, 0) + 1.0) / (tp + nv))
+        - micro((cn.getOrElse(w, 0) + 1.0) / (tn + nv)))).toMap
+    val fl = micro(1.0 / (tp + nv)) - micro(1.0 / (tn + nv))
+    val prior = micro(docs.count(_._2 == "src0").toDouble /
+      docs.count(_._2 == "src1"))
+    val expected = docs.filter(d => d._2 != "src0" && d._2 != "src1")
+      .map { case (id, _, t) =>
+        val ws = words(t)
+        val score = ws.map(w => wt.getOrElse(w, fl)).sum + prior
+        Seq[Any](id, ws.size.toLong, score,
+          if (score > 0) 1L else 0L)
+      }.toSet
+    assert(rows(queries.Extras.q162.fn(spark, sf)) == expected,
+      "classifier diverges from the independent recomputation")
+  }
+
+  private def parquetFiles(dir: String): Int =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      .count(_.getName.endsWith(".parquet"))
+
+  test("compactBucketed: N appends then compact -> one file per " +
+    "bucket, rows identical, the same-bucketed join is still " +
+    "exchange-free, and equality reads stay bucket-pruned") {
+    import graft.sources.Warehouse
+    val root = java.nio.file.Files.createTempDirectory("graft-wh9")
+      .toString
+    val wh = Warehouse(root)
+    val base = (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    wh.saveBucketed(base, "cb9_a", 4, Seq("k"))
+    (1 to 3).foreach { j =>
+      val delta = (1 to 50)
+        .map(i => ((j * 1000 + i).toLong, i * 2.0)).toDF("k", "v")
+      wh.appendBucketed(delta, "cb9_a", 4, Seq("k"))
+    }
+    val before = rows(spark.table("cb9_a"))
+    val filesBefore = parquetFiles(s"$root/cb9_a")
+    assert(filesBefore > 4,
+      s"appends should accrete files; saw $filesBefore")
+    try {
+      wh.compactBucketed(spark, "cb9_a", 4, Seq("k"))
+      assert(parquetFiles(s"$root/cb9_a") == 4,
+        "compaction must leave exactly one file per (nonempty) bucket")
+      assert(rows(spark.table("cb9_a")) == before,
+        "compaction changed the data")
+      // the bucket layout survived: a same-bucketed partner still
+      // joins with no exchange (cloned session, broadcast disabled)
+      val b = (1 to 200).map(i => (i.toLong, s"n$i")).toDF("k", "nb")
+      wh.saveBucketed(b, "cb9_b", 4, Seq("k"))
+      val clone = spark.newSession()
+      clone.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = clone.table("cb9_a").join(clone.table("cb9_b"),
+        Seq("k"))
+      assert(joined.count() == 100L,
+        "join row count off") // cb9_a keys 1..100 match cb9_b's 1..200
+      val jplan = joined.queryExecution.executedPlan.toString
+      assert(!jplan.contains("Exchange"),
+        s"bucketed join shuffled after compaction:\n$jplan")
+      // and equality filters still prune buckets on the compacted
+      // files (autoBucketedScan would drop the bucketed scan for a
+      // bare filter+count, hiding the pruning — pin it on in the
+      // clone, as a production read that exploits bucketing would)
+      clone.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = clone.table("cb9_a").filter($"k" === 42L)
+      val pplan = pruned.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(pplan)
+      assert(sel.isDefined && sel.get.group(1).toInt == 1,
+        s"equality read not bucket-pruned after compaction:\n$pplan")
+      assert(pruned.count() == 1L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cb9_a")
+      spark.sql("DROP TABLE IF EXISTS cb9_b")
+      ()
+    }
+  }
+
+  test("compactBucketed on the band store: candidate pairs are " +
+    "identical before and after, at one file per bucket") {
+    import graft.sources.{Tables, Warehouse}
+    import graft.text.SignatureStore
+    val root = java.nio.file.Files.createTempDirectory("graft-sig9")
+      .toString
+    val wh = Warehouse(root)
+    val docs = Tables(spark, sf, "documents")
+    try {
+      SignatureStore.writeBands(wh, docs.filter($"doc_id" % 3 === 0),
+        "sig9_bands", 4)
+      SignatureStore.appendBands(wh, docs.filter($"doc_id" % 3 === 1),
+        "sig9_bands", 4)
+      SignatureStore.appendBands(wh, docs.filter($"doc_id" % 3 === 2),
+        "sig9_bands", 4)
+      val before =
+        rows(SignatureStore.candidatesFromStore(spark, "sig9_bands", 20))
+      wh.compactBucketed(spark, "sig9_bands", 4, Seq("band", "key"))
+      assert(parquetFiles(s"$root/sig9_bands") == 4,
+        "band store not compacted to one file per bucket")
+      val after =
+        rows(SignatureStore.candidatesFromStore(spark, "sig9_bands", 20))
+      assert(after == before,
+        "compaction changed the candidate set")
+    } finally { spark.sql("DROP TABLE IF EXISTS sig9_bands"); () }
+  }
+}

@@ -65,16 +65,18 @@ class SourcesSpec extends SparkSpec {
     val b = (1 to 200).map(i => (i.toLong, s"n$i")).toDF("k", "nb")
     wh.saveBucketed(a, "bkt_a", 4, Seq("k"))
     wh.saveBucketed(b, "bkt_b", 4, Seq("k"))
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("bkt_a").join(spark.table("bkt_b"),
+      // cloned session (own SQLConf; bucketed tables live in the
+      // shared catalog) — the broadcast-disable cannot leak into a
+      // concurrently running suite
+      val clone = spark.newSession()
+      clone.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = clone.table("bkt_a").join(clone.table("bkt_b"),
         Seq("k"))
       assert(joined.count() == 200)
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), plan)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS bkt_a")
       spark.sql("DROP TABLE IF EXISTS bkt_b")
       ()

@@ -417,4 +417,65 @@ class StreamingSpec extends SparkSpec {
       KeptDoc("b", 2L, 2L))
     assert(got == expected, s"gate admitted $got")
   }
+
+  test("quotaGateStream under operational events: checkpoint restart " +
+    "restores the per-source counters, and a changed cap applies to " +
+    "new arrivals only — admitted history stands") {
+    import graft.streaming.StreamingEtl.{DocArrival, KeptDoc}
+    val base = Files.createTempDirectory("graft-quota").toFile
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val outDir = new java.io.File(base, "out").getPath
+    val ckDir = new java.io.File(base, "ck").getPath
+    def arrive(docs: (String, Long)*): Unit =
+      docs.map { case (s, id) => DocArrival(s, id, 10L) }.toDS()
+        .write.mode("append").parquet(srcDir.getPath)
+    val schema = implicitly[org.apache.spark.sql.Encoder[DocArrival]]
+      .schema
+    // each run() is a fresh query instance on the SAME checkpoint —
+    // the restart story; `cap` can differ per run, the state cannot
+    def run(cap: Long): Unit = {
+      val in = spark.readStream.schema(schema).parquet(srcDir.getPath)
+        .as[DocArrival]
+      val q = StreamingEtl.quotaGateStream(in, cap)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", outDir).start()
+      q.awaitTermination()
+    }
+    def kept(): Set[KeptDoc] =
+      spark.read.parquet(outDir).as[KeptDoc].collect().toSet
+    // run 1, cap=3: source a sends 2 — both admitted
+    arrive("a" -> 10L, "a" -> 20L)
+    run(cap = 3)
+    assert(kept() == Set(KeptDoc("a", 10L, 1L), KeptDoc("a", 20L, 2L)))
+    // RESTART, same cap: 2 more arrive; a restored counter admits
+    // exactly ONE more (seq 3). A lost counter would admit both,
+    // restarting seq at 1.
+    arrive("a" -> 30L, "a" -> 40L)
+    run(cap = 3)
+    assert(kept() == Set(KeptDoc("a", 10L, 1L), KeptDoc("a", 20L, 2L),
+      KeptDoc("a", 30L, 3L)),
+      "checkpoint restart must restore the per-source counter")
+    // RESTART with a RAISED cap (3 -> 5): the new cap applies to new
+    // arrivals — the counter continues from 3, it does not reset
+    arrive("a" -> 50L, "a" -> 60L, "a" -> 70L)
+    run(cap = 5)
+    assert(kept() == Set(KeptDoc("a", 10L, 1L), KeptDoc("a", 20L, 2L),
+      KeptDoc("a", 30L, 3L), KeptDoc("a", 50L, 4L),
+      KeptDoc("a", 60L, 5L)),
+      "a raised cap must open seats for NEW arrivals from the " +
+        "restored counter, not replay old decisions")
+    // RESTART with a LOWERED cap (5 -> 1): already-admitted history
+    // stands (append sink, monotone counter — nothing is retracted);
+    // the full source admits nothing new; a fresh source gets the
+    // new cap
+    arrive("a" -> 80L, "c" -> 1L, "c" -> 2L)
+    run(cap = 1)
+    assert(kept() == Set(KeptDoc("a", 10L, 1L), KeptDoc("a", 20L, 2L),
+      KeptDoc("a", 30L, 3L), KeptDoc("a", 50L, 4L),
+      KeptDoc("a", 60L, 5L), KeptDoc("c", 1L, 1L)),
+      "a lowered cap must gate new arrivals only — no retroactive " +
+        "eviction, no extra admissions past the new cap")
+  }
 }
