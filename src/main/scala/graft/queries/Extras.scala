@@ -2326,43 +2326,40 @@ object Extras {
     val tok = docsTable(s, dir)
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("w"))
-    val pos = tok.filter(col("source") === "src0")
-      .groupBy("w").agg(count(lit(1)).as("cp"))
-    val neg = tok.filter(col("source") === "src1")
-      .groupBy("w").agg(count(lit(1)).as("cn"))
-    val vocab = pos.select("w").union(neg.select("w")).distinct()
-    val tots = pos.agg(coalesce(sum("cp"), lit(0L)).as("tp"))
-      .crossJoin(neg.agg(coalesce(sum("cn"), lit(0L)).as("tn")))
-      .crossJoin(vocab.agg(count(lit(1)).as("nv")))
-    val wt = vocab
-      .join(pos, Seq("w"), "left").join(neg, Seq("w"), "left")
-      .crossJoin(broadcast(tots))
-      .select(col("w"),
-        (round(log((coalesce(col("cp"), lit(0L)) + lit(1.0))
-            / (col("tp") + col("nv"))) * 1000000).cast("long")
-          - round(log((coalesce(col("cn"), lit(0L)) + lit(1.0))
-            / (col("tn") + col("nv"))) * 1000000).cast("long"))
-          .as("ubits"))
-    val docs = docsTable(s, dir)
-    val fl = tots.crossJoin(
-        docs.filter(col("source") === "src0")
-          .agg(count(lit(1)).as("np"))
-          .crossJoin(docs.filter(col("source") === "src1")
-            .agg(count(lit(1)).as("nn"))))
-      .select(
-        (round(log(lit(1.0) / (col("tp") + col("nv"))) * 1000000)
-            .cast("long")
-          - round(log(lit(1.0) / (col("tn") + col("nv"))) * 1000000)
-            .cast("long")).as("fl_ubits"),
-        round(log(col("np").cast("double") / col("nn")) * 1000000)
-          .cast("long").as("prior_ubits"))
+    // ONE training pass to vocab grain: per-word counts for both
+    // classes in the same aggregate (a word in either slice gets a
+    // row — the joint vocab — with 0 for the class it misses)
+    val tr = tok.filter(col("source").isin("src0", "src1"))
+      .groupBy("w")
+      .agg(count(when(col("source") === "src0", lit(1))).as("cp"),
+        count(when(col("source") === "src1", lit(1))).as("cn"))
+    // model CONSTANTS pulled to the driver: three longs (the audited
+    // bounded-pull pattern — Whitening's moment vector, the 1-row
+    // Warehouse aggregates), so the weight table needs no crossJoin
+    // and the training slice is scanned twice total, never once per
+    // constant. Math.log here IS the function Spark's log() codegen
+    // calls, and the HALF_UP scale matches round() in both engines.
+    val t0 = tr.agg(coalesce(sum("cp"), lit(0L)),
+      coalesce(sum("cn"), lit(0L)), count(lit(1))).head()
+    val (tp, tn, nv) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))
+    def micro(x: Double): Long = BigDecimal(math.log(x) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val wt = tr.select(col("w"),
+      (round(log((col("cp") + lit(1.0)) / lit((tp + nv).toDouble))
+          * 1000000).cast("long")
+        - round(log((col("cn") + lit(1.0)) / lit((tn + nv).toDouble))
+          * 1000000).cast("long")).as("ubits"))
+    val d0 = docsTable(s, dir).agg(
+      count(when(col("source") === "src0", lit(1))),
+      count(when(col("source") === "src1", lit(1)))).head()
+    val flUbits = micro(1.0 / (tp + nv)) - micro(1.0 / (tn + nv))
+    val priorUbits = micro(d0.getLong(0).toDouble / d0.getLong(1))
     tok.filter(!col("source").isin("src0", "src1"))
-      .join(wt, Seq("w"), "left")
-      .crossJoin(broadcast(fl))
+      .join(broadcast(wt), Seq("w"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        (sum(coalesce(col("ubits"), col("fl_ubits")))
-          + min(col("prior_ubits"))).cast("long").as("score_ubits"))
+        (sum(coalesce(col("ubits"), lit(flUbits))) + lit(priorUbits))
+          .cast("long").as("score_ubits"))
       .withColumn("keep_flag",
         when(col("score_ubits") > 0, 1L).otherwise(0L))
       .select("doc_id", "n_tokens", "score_ubits", "keep_flag")

@@ -158,12 +158,91 @@ final case class Warehouse(root: String) {
     // operation
     val parts = Option(new File(dir(table)).listFiles()).getOrElse(Array())
     require(!parts.exists(f => f.isDirectory && f.getName.contains("=")),
-      s"compact($table): table is hive-partitioned; compact partitions " +
-        "individually instead of flattening the layout")
+      s"compact($table): table is hive-partitioned; use " +
+        "compactPartitioned, which rewrites each partition in place")
     val bytes = size(new File(dir(table)))
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     mergeOverwrite(read(spark, table).coalesce(nFiles.toInt), table)
   }
+
+  /** PARTITIONED compaction — the per-partition rewrite [[compact]]
+    * refuses to improvise: each hive leaf partition (`k=v` directory
+    * chain) is compacted INDIVIDUALLY to its size-targeted file
+    * count, so the layout — and every pruned read over it — is
+    * untouched by construction. Partitions already at or under their
+    * target file count are SKIPPED (their files are not rewritten at
+    * all): the daily-compaction job touches only the partitions that
+    * accreted deltas, which is what makes it affordable at a
+    * 100 TB table with years of closed partitions.
+    *
+    * Each partition swap is its own crash-safe tmp-write-and-swap;
+    * the tmp/old directories live under the table root with
+    * underscore-prefixed names, which Spark's file index ignores, so
+    * a reader mid-compaction sees every partition either fully old
+    * or fully new. A crash inside one partition's swap window leaves
+    * a `_compact_old__<partition>` directory that the next call
+    * restores before doing anything else.
+    */
+  def compactPartitioned(spark: SparkSession, table: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val root = new File(dir(table))
+    require(root.exists(), s"compactPartitioned($table): no such table")
+    recoverPartitions(root)
+    def leaves(f: File): Seq[File] = {
+      val kids = Option(f.listFiles()).getOrElse(Array())
+      val sub = kids.filter(d => d.isDirectory && d.getName.contains("="))
+      if (sub.isEmpty) Seq(f) else sub.toSeq.flatMap(leaves)
+    }
+    val parts = leaves(root).filterNot(_ == root)
+    require(parts.nonEmpty,
+      s"compactPartitioned($table): no hive partition directories — " +
+        "use compact for flat tables")
+    parts.foreach { p =>
+      val data = Option(p.listFiles()).getOrElse(Array())
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+      val bytes = data.map(_.length).sum
+      val nFiles =
+        math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      if (data.length > nFiles) {
+        val tag = root.toPath.relativize(p.toPath).toString
+          .replace(File.separator, "__SEP__")
+        val tmp = new File(root, s"_compact_tmp__$tag")
+        val old = new File(root, s"_compact_old__$tag")
+        delete(tmp); delete(old)
+        // reading the partition DIRECTORY directly yields only the
+        // data columns (partition values stay encoded in the path,
+        // exactly where the rewrite puts the files back)
+        spark.read.parquet(p.getPath).coalesce(nFiles)
+          .write.mode("overwrite").parquet(tmp.getPath)
+        if (!p.renameTo(old))
+          sys.error(s"swap failed: cannot move $p aside")
+        if (!tmp.renameTo(p))
+          sys.error(s"swap failed: cannot move $tmp into place")
+        delete(old)
+      }
+    }
+  }
+
+  /** Roll back partitions caught in [[compactPartitioned]]'s swap
+    * window: a `_compact_old__<tag>` with no live partition dir is
+    * the last complete copy — restore it; any `_compact_tmp__` is an
+    * unfinished write and is discarded.
+    */
+  private def recoverPartitions(root: File): Unit =
+    Option(root.listFiles()).getOrElse(Array()).foreach { f =>
+      if (f.getName.startsWith("_compact_tmp__")) delete(f)
+      else if (f.getName.startsWith("_compact_old__")) {
+        val live = new File(root,
+          f.getName.stripPrefix("_compact_old__").replace("__SEP__",
+            File.separator))
+        if (!live.exists()) {
+          Option(live.getParentFile).foreach(_.mkdirs())
+          if (!f.renameTo(live))
+            sys.error(s"recovery failed: cannot restore $f to $live")
+        } else delete(f)
+      }
+    }
 
   /** BUCKETED compaction — [[compact]] for the incremental stores
     * ([[appendBucketed]]: q137's band store, q140's IVF-PQ store),

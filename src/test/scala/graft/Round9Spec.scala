@@ -322,6 +322,45 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("compactPartitioned: per-partition rewrite — delta-accreted " +
+    "partitions collapse to their target file count, untouched " +
+    "partitions keep their exact files, rows identical, pruned reads " +
+    "intact") {
+    import graft.sources.Warehouse
+    val root = java.nio.file.Files.createTempDirectory("graft-whp9")
+      .toString
+    val wh = Warehouse(root)
+    // dt=a accretes 4 delta files; dt=b gets exactly one
+    (1 to 4).foreach { j =>
+      wh.appendPartitioned(
+        Seq((j.toLong, "a")).toDF("v", "dt").coalesce(1),
+        "pfact", Seq("dt"))
+    }
+    wh.appendPartitioned(Seq((99L, "b")).toDF("v", "dt").coalesce(1),
+      "pfact", Seq("dt"))
+    def files(part: String): Set[String] =
+      Option(new java.io.File(s"$root/pfact/dt=$part").listFiles())
+        .getOrElse(Array()).map(_.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    val before = rows(spark.read.parquet(s"$root/pfact"))
+    assert(files("a").size == 4 && files("b").size == 1)
+    val bFilesBefore = files("b")
+    wh.compactPartitioned(spark, "pfact")
+    assert(files("a").size == 1,
+      "the accreted partition must collapse to one file")
+    assert(files("b") == bFilesBefore,
+      "an already-compact partition must not be rewritten")
+    assert(rows(spark.read.parquet(s"$root/pfact")) == before,
+      "compaction changed the data")
+    // partition pruning still works on the compacted layout
+    val pruned = spark.read.parquet(s"$root/pfact")
+      .filter($"dt" === "a")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*dt[^\\]]*\\]".r
+      .findFirstIn(plan).isDefined, plan)
+    assert(pruned.count() == 4L)
+  }
+
   test("compactBucketed on the band store: candidate pairs are " +
     "identical before and after, at one file per bucket") {
     import graft.sources.{Tables, Warehouse}
