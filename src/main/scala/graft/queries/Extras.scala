@@ -2365,8 +2365,117 @@ object Extras {
       .select("doc_id", "n_tokens", "score_ubits", "keep_flag")
   }
 
+  /** TOKENIZER TRAINING, the LOOP — three full BPE iterations
+    * (select the max-frequency adjacent pair, CONTRACT it everywhere,
+    * recount), where [[q142]] is the single selection step. The
+    * iteration is unrolled identically in both engines (k is a
+    * training hyperparameter, so unrolling is faithful, not a
+    * limitation — q133's Lloyd step makes the same argument).
+    *
+    * The contraction device: each word's symbol sequence is a
+    * space-delimited string with sentinel spaces (` a b c `), and
+    * merging pair (a, b) is the literal string replace of ` a b ` by
+    * ` ab ` — both engines' `replace` scans left-to-right and resumes
+    * AFTER the substitution, which is exactly BPE's non-overlapping
+    * left-to-right merge convention (` a a a ` contracts to ` aa a `,
+    * not ` aa aa `). The winning pair stays a 1-row broadcast inside
+    * the plan (no driver pull); ties break (total desc, pair asc) in
+    * both engines.
+    *
+    * Scale shape: everything after the first word-frequency count
+    * runs at VOCAB grain (the q142 argument — the corpus collapses to
+    * the distinct-word table in one partial-aggregated pass); each
+    * iteration is a vocab-grain explode + aggregate + a 1-row sort,
+    * so the loop costs O(k · vocab · word_len) with zero further
+    * corpus scans. Output: the k learned merge rules with their
+    * weighted counts — the artifact a tokenizer build persists.
+    */
+  val q163 = Q("q163_bpe_train",
+    """WITH wf AS (
+      |  SELECT w, count(*) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |        FROM documents) t
+      |  WHERE length(w) >= 2 GROUP BY w),
+      |s0 AS (
+      |  SELECT freq, ' ' || array_to_string(
+      |    list_transform(range(1, length(w) + 1),
+      |      i -> w[CAST(i AS INT)]), ' ') || ' ' AS sq
+      |  FROM wf),
+      |p1 AS (
+      |  SELECT ar[CAST(i AS INT)] AS a, ar[CAST(i+1 AS INT)] AS b,
+      |    CAST(sum(freq) AS BIGINT) AS total
+      |  FROM (SELECT freq, string_split(trim(sq), ' ') AS ar FROM s0) x,
+      |    UNNEST(range(1, len(ar))) AS u(i)
+      |  GROUP BY 1, 2),
+      |b1 AS (SELECT a, b, total FROM p1
+      |       ORDER BY total DESC, a, b LIMIT 1),
+      |s1 AS (
+      |  SELECT s0.freq, replace(s0.sq, ' ' || b1.a || ' ' || b1.b || ' ',
+      |    ' ' || b1.a || b1.b || ' ') AS sq
+      |  FROM s0 CROSS JOIN b1),
+      |p2 AS (
+      |  SELECT ar[CAST(i AS INT)] AS a, ar[CAST(i+1 AS INT)] AS b,
+      |    CAST(sum(freq) AS BIGINT) AS total
+      |  FROM (SELECT freq, string_split(trim(sq), ' ') AS ar FROM s1) x,
+      |    UNNEST(range(1, len(ar))) AS u(i)
+      |  GROUP BY 1, 2),
+      |b2 AS (SELECT a, b, total FROM p2
+      |       ORDER BY total DESC, a, b LIMIT 1),
+      |s2 AS (
+      |  SELECT s1.freq, replace(s1.sq, ' ' || b2.a || ' ' || b2.b || ' ',
+      |    ' ' || b2.a || b2.b || ' ') AS sq
+      |  FROM s1 CROSS JOIN b2),
+      |p3 AS (
+      |  SELECT ar[CAST(i AS INT)] AS a, ar[CAST(i+1 AS INT)] AS b,
+      |    CAST(sum(freq) AS BIGINT) AS total
+      |  FROM (SELECT freq, string_split(trim(sq), ' ') AS ar FROM s2) x,
+      |    UNNEST(range(1, len(ar))) AS u(i)
+      |  GROUP BY 1, 2),
+      |b3 AS (SELECT a, b, total FROM p3
+      |       ORDER BY total DESC, a, b LIMIT 1)
+      |SELECT CAST(1 AS BIGINT) AS it, a AS sym_a, b AS sym_b, total
+      |FROM b1
+      |UNION ALL SELECT 2, a, b, total FROM b2
+      |UNION ALL SELECT 3, a, b, total FROM b3""".stripMargin) {
+    (s, dir) =>
+    val wf = docsTable(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val s0 = wf.select(col("freq"),
+      concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+        .as("sq"))
+    def bestPair(sq: DataFrame): DataFrame = {
+      val ar = split(trim(col("sq")), " ")
+      sq.select(col("freq"), ar.as("ar"))
+        .filter(size(col("ar")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("ar"), lit(1), size(col("ar")) - 1),
+          slice(col("ar"), lit(2), size(col("ar")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").cast("long").as("total"))
+        .orderBy(col("total").desc, col("a"), col("b"))
+        .limit(1)
+    }
+    def contract(sq: DataFrame, best: DataFrame): DataFrame =
+      sq.crossJoin(broadcast(best.select(col("a"), col("b"))))
+        .withColumn("sq", expr(
+          "replace(sq, concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' '))"))
+        .select("freq", "sq")
+    val b1 = bestPair(s0)
+    val st1 = contract(s0, b1)
+    val b2 = bestPair(st1)
+    val st2 = contract(st1, b2)
+    val b3 = bestPair(st2)
+    def out(b: DataFrame, it: Int): DataFrame =
+      b.select(lit(it.toLong).as("it"), col("a").as("sym_a"),
+        col("b").as("sym_b"), col("total"))
+    out(b1, 1).unionAll(out(b2, 2)).unionAll(out(b3, 3))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
     q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147,
-    q152, q153, q155, q159, q160, q161, q162)
+    q152, q153, q155, q159, q160, q161, q162, q163)
 }

@@ -261,6 +261,43 @@ class Round9Spec extends SparkSpec {
       "classifier diverges from the independent recomputation")
   }
 
+  test("q163: the three BPE iterations match a from-scratch trainer " +
+    "(weighted pair counts, lexicographic ties, left-to-right " +
+    "non-overlapping contraction)") {
+    val wf = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    var seqs: Map[Vector[String], Long] =
+      wf.map { case (w, f) => w.split("").toVector -> f }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val rules = (1 to 3).map { it =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      seqs.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val best = counts.toSeq.minBy { case ((a, b), t) => (-t, a, b) }
+      val ((ba, bb), total) = best
+      def contract(s: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == ba && s(i + 1) == bb) {
+            out += (ba + bb); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        out.result()
+      }
+      seqs = seqs.toSeq.map { case (k, f) => contract(k) -> f }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      Seq[Any](it.toLong, ba, bb, total)
+    }.toSet
+    assert(rows(queries.Extras.q163.fn(spark, sf)) == rules,
+      "BPE loop diverges from the independent trainer")
+  }
+
   private def parquetFiles(dir: String): Int =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array())
       .count(_.getName.endsWith(".parquet"))
@@ -359,6 +396,27 @@ class Round9Spec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*dt[^\\]]*\\]".r
       .findFirstIn(plan).isDefined, plan)
     assert(pruned.count() == 4L)
+  }
+
+  test("compactBucketed on q140's incremental IVF-PQ store: the " +
+    "probe answers identically off the compacted files and stays " +
+    "bucket-pruned") {
+    val before = rows(queries.SimQueries.q140.fn(spark, sf))
+    val root = graft.SessionScratch.dir(spark, "ivfpqstore_inc")
+    val table = s"ivfpq_codes_inc_${graft.SessionScratch.keyOf(sf)}"
+    graft.sources.Warehouse(root)
+      .compactBucketed(spark, table, 8, Seq("cid"))
+    assert(parquetFiles(s"$root/$table") <= 8,
+      "compaction must leave at most one file per bucket")
+    // SessionScratch.once skips the rebuild — this plan READS the
+    // compacted store
+    val df = queries.SimQueries.q140.fn(spark, sf)
+    assert(rows(df) == before,
+      "probe result changed after store compaction")
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SelectedBucketsCount"),
+      s"probe must stay bucket-pruned on the compacted store:\n$plan")
   }
 
   test("compactBucketed on the band store: candidate pairs are " +
