@@ -2390,14 +2390,17 @@ object Extras {
     * corpus scans. Output: the k learned merge rules with their
     * weighted counts — the artifact a tokenizer build persists.
     */
-  val q163 = Q("q163_bpe_train",
-    """WITH wf AS (
+  // Shared BPE machinery (q163 train / q164 apply): the SQL CTE chain
+  // carries the word through every contraction so the apply side can
+  // join the final symbol counts back to the corpus.
+  private val bpeSqlCte =
+    """wf AS (
       |  SELECT w, count(*) AS freq
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w
       |        FROM documents) t
       |  WHERE length(w) >= 2 GROUP BY w),
       |s0 AS (
-      |  SELECT freq, ' ' || array_to_string(
+      |  SELECT w, freq, ' ' || array_to_string(
       |    list_transform(range(1, length(w) + 1),
       |      i -> w[CAST(i AS INT)]), ' ') || ' ' AS sq
       |  FROM wf),
@@ -2410,8 +2413,9 @@ object Extras {
       |b1 AS (SELECT a, b, total FROM p1
       |       ORDER BY total DESC, a, b LIMIT 1),
       |s1 AS (
-      |  SELECT s0.freq, replace(s0.sq, ' ' || b1.a || ' ' || b1.b || ' ',
-      |    ' ' || b1.a || b1.b || ' ') AS sq
+      |  SELECT s0.w, s0.freq,
+      |    replace(s0.sq, ' ' || b1.a || ' ' || b1.b || ' ',
+      |      ' ' || b1.a || b1.b || ' ') AS sq
       |  FROM s0 CROSS JOIN b1),
       |p2 AS (
       |  SELECT ar[CAST(i AS INT)] AS a, ar[CAST(i+1 AS INT)] AS b,
@@ -2422,8 +2426,9 @@ object Extras {
       |b2 AS (SELECT a, b, total FROM p2
       |       ORDER BY total DESC, a, b LIMIT 1),
       |s2 AS (
-      |  SELECT s1.freq, replace(s1.sq, ' ' || b2.a || ' ' || b2.b || ' ',
-      |    ' ' || b2.a || b2.b || ' ') AS sq
+      |  SELECT s1.w, s1.freq,
+      |    replace(s1.sq, ' ' || b2.a || ' ' || b2.b || ' ',
+      |      ' ' || b2.a || b2.b || ' ') AS sq
       |  FROM s1 CROSS JOIN b2),
       |p3 AS (
       |  SELECT ar[CAST(i AS INT)] AS a, ar[CAST(i+1 AS INT)] AS b,
@@ -2432,50 +2437,124 @@ object Extras {
       |    UNNEST(range(1, len(ar))) AS u(i)
       |  GROUP BY 1, 2),
       |b3 AS (SELECT a, b, total FROM p3
-      |       ORDER BY total DESC, a, b LIMIT 1)
+      |       ORDER BY total DESC, a, b LIMIT 1),
+      |s3 AS (
+      |  SELECT s2.w, s2.freq,
+      |    replace(s2.sq, ' ' || b3.a || ' ' || b3.b || ' ',
+      |      ' ' || b3.a || b3.b || ' ') AS sq
+      |  FROM s2 CROSS JOIN b3)""".stripMargin
+
+  /** The corpus collapsed to the (w, freq, sq) VOCAB-grain frame,
+    * materialized once per session — without it every b_i/s_i lineage
+    * in the unrolled loop re-scans the documents table (7 scans
+    * measured); the cached frame is the small table a tokenizer build
+    * would persist anyway. `sq` is the sentinel-spaced char sequence.
+    */
+  private def bpeS0(s: SparkSession, dir: String): DataFrame =
+    graft.Materialized(s, s"bpe_s0:$dir") {
+      docsTable(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("w"), col("freq"),
+          concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+            .as("sq"))
+    }
+
+  /** The 1-row max-frequency adjacent pair of the current symbol
+    * frame: (a, b, total), ties (total desc, a, b) in both engines.
+    */
+  private def bpeBestPair(sq: DataFrame): DataFrame = {
+    val ar = split(trim(col("sq")), " ")
+    sq.select(col("freq"), ar.as("ar"))
+      .filter(size(col("ar")) >= 2)
+      .select(col("freq"), explode(zip_with(
+        slice(col("ar"), lit(1), size(col("ar")) - 1),
+        slice(col("ar"), lit(2), size(col("ar")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").cast("long").as("total"))
+      .orderBy(col("total").desc, col("a"), col("b"))
+      .limit(1)
+  }
+
+  /** Contract the winning pair everywhere — the 1-row best stays a
+    * broadcast inside the plan; the literal replace is both engines'
+    * left-to-right non-overlapping scan (BPE's merge convention).
+    */
+  private def bpeContract(sq: DataFrame, best: DataFrame): DataFrame =
+    sq.crossJoin(broadcast(best.select(col("a"), col("b"))))
+      .withColumn("sq", expr(
+        "replace(sq, concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' '))"))
+      .select("w", "freq", "sq")
+
+  /** The three-iteration chain: (best1, best2, best3, final frame). */
+  private def bpeChain(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val s0 = bpeS0(s, dir)
+    val b1 = bpeBestPair(s0)
+    val st1 = bpeContract(s0, b1)
+    val b2 = bpeBestPair(st1)
+    val st2 = bpeContract(st1, b2)
+    val b3 = bpeBestPair(st2)
+    (b1, b2, b3, bpeContract(st2, b3))
+  }
+
+  val q163 = Q("q163_bpe_train",
+    s"""WITH $bpeSqlCte
       |SELECT CAST(1 AS BIGINT) AS it, a AS sym_a, b AS sym_b, total
       |FROM b1
       |UNION ALL SELECT 2, a, b, total FROM b2
       |UNION ALL SELECT 3, a, b, total FROM b3""".stripMargin) {
     (s, dir) =>
-    val wf = docsTable(s, dir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-    val s0 = wf.select(col("freq"),
-      concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
-        .as("sq"))
-    def bestPair(sq: DataFrame): DataFrame = {
-      val ar = split(trim(col("sq")), " ")
-      sq.select(col("freq"), ar.as("ar"))
-        .filter(size(col("ar")) >= 2)
-        .select(col("freq"), explode(zip_with(
-          slice(col("ar"), lit(1), size(col("ar")) - 1),
-          slice(col("ar"), lit(2), size(col("ar")) - 1),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("freq").cast("long").as("total"))
-        .orderBy(col("total").desc, col("a"), col("b"))
-        .limit(1)
-    }
-    def contract(sq: DataFrame, best: DataFrame): DataFrame =
-      sq.crossJoin(broadcast(best.select(col("a"), col("b"))))
-        .withColumn("sq", expr(
-          "replace(sq, concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' '))"))
-        .select("freq", "sq")
-    val b1 = bestPair(s0)
-    val st1 = contract(s0, b1)
-    val b2 = bestPair(st1)
-    val st2 = contract(st1, b2)
-    val b3 = bestPair(st2)
+    val (b1, b2, b3, _) = bpeChain(s, dir)
     def out(b: DataFrame, it: Int): DataFrame =
       b.select(lit(it.toLong).as("it"), col("a").as("sym_a"),
         col("b").as("sym_b"), col("total"))
     out(b1, 1).unionAll(out(b2, 2)).unionAll(out(b3, 3))
   }
 
+  /** TOKENIZER APPLICATION — encode the WHOLE corpus with [[q163]]'s
+    * learned merge table (the train-then-apply pair every tokenizer
+    * deployment runs; fertility/compression per doc is the metric
+    * data pipelines track per Rust et al. 2021). The applied
+    * tokenization is the training chain's final symbol frame at
+    * VOCAB grain; the corpus side is one token explode joined to that
+    * broadcast word table and one doc-grain aggregate — the q116
+    * shape, corpus-linear, no per-doc string work at all. Words under
+    * 2 chars are outside the merge model by the training contract and
+    * are excluded from both counts (documented, not silent).
+    */
+  val q164 = Q("q164_bpe_apply",
+    s"""WITH $bpeSqlCte,
+      |wl AS (SELECT w, len(string_split(trim(sq), ' ')) AS n_sym
+      |       FROM s3),
+      |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |       FROM documents)
+      |SELECT dt.doc_id, count(*) AS n_words,
+      |  CAST(sum(length(dt.w)) AS BIGINT) AS syms_before,
+      |  CAST(sum(wl.n_sym) AS BIGINT) AS syms_after,
+      |  round(CAST(sum(length(dt.w)) AS DOUBLE) / sum(wl.n_sym), 6)
+      |    AS compression
+      |FROM dt JOIN wl USING (w)
+      |GROUP BY dt.doc_id""".stripMargin) { (s, dir) =>
+    val (_, _, _, st3) = bpeChain(s, dir)
+    val wl = st3.select(col("w"),
+      size(split(trim(col("sq")), " ")).as("n_sym"))
+    docsTable(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .join(broadcast(wl), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("syms_before"),
+        sum("n_sym").cast("long").as("syms_after"),
+        round(sum(length(col("w"))).cast("double") / sum("n_sym"), 6)
+          .as("compression"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
     q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147,
-    q152, q153, q155, q159, q160, q161, q162, q163)
+    q152, q153, q155, q159, q160, q161, q162, q163, q164)
 }

@@ -261,25 +261,28 @@ class Round9Spec extends SparkSpec {
       "classifier diverges from the independent recomputation")
   }
 
-  test("q163: the three BPE iterations match a from-scratch trainer " +
-    "(weighted pair counts, lexicographic ties, left-to-right " +
-    "non-overlapping contraction)") {
-    val wf = spark.read.parquet(s"$sf/documents.parquet")
+  /** From-scratch BPE trainer: (the 3 merge-rule rows, the final
+    * per-word symbol sequences) — shared by the q163 and q164 specs.
+    */
+  private def bpeReference(): (Set[Seq[Any]], Map[String, Int]) = {
+    var seqs: Map[String, Vector[String]] =
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select($"text").collect()
+        .flatMap(_.getString(0).split(" ", -1)).filter(_.length >= 2)
+        .distinct.map(w => w -> w.split("").toVector).toMap
+    val freq = spark.read.parquet(s"$sf/documents.parquet")
       .select($"text").collect()
       .flatMap(_.getString(0).split(" ", -1)).filter(_.length >= 2)
       .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
-    var seqs: Map[Vector[String], Long] =
-      wf.map { case (w, f) => w.split("").toVector -> f }
-        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
     val rules = (1 to 3).map { it =>
       val counts = scala.collection.mutable.Map[(String, String), Long]()
-      seqs.foreach { case (syms, f) =>
+      seqs.foreach { case (w, syms) =>
         syms.zip(syms.tail).foreach { p =>
-          counts(p) = counts.getOrElse(p, 0L) + f
+          counts(p) = counts.getOrElse(p, 0L) + freq(w)
         }
       }
-      val best = counts.toSeq.minBy { case ((a, b), t) => (-t, a, b) }
-      val ((ba, bb), total) = best
+      val ((ba, bb), total) =
+        counts.toSeq.minBy { case ((a, b), t) => (-t, a, b) }
       def contract(s: Vector[String]): Vector[String] = {
         val out = Vector.newBuilder[String]
         var i = 0
@@ -290,12 +293,34 @@ class Round9Spec extends SparkSpec {
         }
         out.result()
       }
-      seqs = seqs.toSeq.map { case (k, f) => contract(k) -> f }
-        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      seqs = seqs.map { case (w, syms) => w -> contract(syms) }
       Seq[Any](it.toLong, ba, bb, total)
     }.toSet
-    assert(rows(queries.Extras.q163.fn(spark, sf)) == rules,
+    (rules, seqs.map { case (w, syms) => w -> syms.length })
+  }
+
+  test("q163: the three BPE iterations match a from-scratch trainer " +
+    "(weighted pair counts, lexicographic ties, left-to-right " +
+    "non-overlapping contraction)") {
+    assert(rows(queries.Extras.q163.fn(spark, sf)) == bpeReference()._1,
       "BPE loop diverges from the independent trainer")
+  }
+
+  test("q164: applying the learned merges to the corpus matches the " +
+    "independent trainer's final symbol counts per doc") {
+    val nSym = bpeReference()._2
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ", -1).filter(_.length >= 2)
+        val before = ws.map(_.length.toLong).sum
+        val after = ws.map(w => nSym(w).toLong).sum
+        Seq[Any](r.getLong(0), ws.length.toLong, before, after,
+          BigDecimal(before.toDouble / after)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+    assert(rows(queries.Extras.q164.fn(spark, sf)) == expected,
+      "BPE apply diverges from the independent encoder")
   }
 
   private def parquetFiles(dir: String): Int =
@@ -396,6 +421,35 @@ class Round9Spec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*dt[^\\]]*\\]".r
       .findFirstIn(plan).isDefined, plan)
     assert(pruned.count() == 4L)
+  }
+
+  test("compactPartitioned crash recovery: a partition caught in the " +
+    "swap window (moved aside, replacement not yet in place) is " +
+    "restored by the next call before any compaction runs") {
+    import graft.sources.Warehouse
+    val root = java.nio.file.Files.createTempDirectory("graft-whr9")
+      .toString
+    val wh = Warehouse(root)
+    (1 to 3).foreach { j =>
+      wh.appendPartitioned(
+        Seq((j.toLong, "a"), (j.toLong, "b")).toDF("v", "dt")
+          .coalesce(1), "rfact", Seq("dt"))
+    }
+    val before = rows(spark.read.parquet(s"$root/rfact"))
+    // simulate the crash: dt=a moved aside as the old copy, live dir
+    // gone, a half-written tmp left behind
+    val live = new java.io.File(s"$root/rfact/dt=a")
+    val old = new java.io.File(s"$root/rfact/_compact_old__dt=a")
+    assert(live.renameTo(old), "test setup: move partition aside")
+    val tmp = new java.io.File(s"$root/rfact/_compact_tmp__dt=a")
+    tmp.mkdirs()
+    new java.io.File(tmp, "part-junk.parquet").createNewFile()
+    // next compaction call must first restore dt=a and discard the tmp
+    wh.compactPartitioned(spark, "rfact")
+    assert(!old.exists() && !tmp.exists(),
+      "recovery must consume the old/tmp work dirs")
+    assert(rows(spark.read.parquet(s"$root/rfact")) == before,
+      "recovered table must hold the pre-crash rows")
   }
 
   test("compactBucketed on q140's incremental IVF-PQ store: the " +
