@@ -1495,6 +1495,72 @@ object SimQueries {
         (col("qs").getItem(2) - col("qs").getItem(0)).as("iqr_micro"))
   }
 
+  /** CLUSTER-BALANCED subsampling — the diversity-pruning selection
+    * step of the published curation recipes (Sorscher et al. 2022
+    * "Beyond neural scaling laws": rank within a cluster by cosine to
+    * the cluster centroid and keep a fixed budget per cluster so no
+    * region of embedding space dominates the kept set; SemDeDup's
+    * cousin that CAPS clusters instead of deduping them). Assignment
+    * is [[Similarity.ivfAssign]]'s audited plan (broadcast centroids,
+    * one n-row exchange); the per-cell rank is a row_number window
+    * that the `rk <= cap` filter turns into WindowGroupLimit — the
+    * q148 device: every map partition keeps at most `cap` rows per
+    * cell in a heap BEFORE the exchange, so the shuffle carries
+    * ~K·cap rows per partition, never the corpus. Keep rule: highest
+    * centroid-cosine first (the paper's easy-first/prototypical
+    * ordering), ties to the lowest vec_id — integer-deterministic in
+    * both engines on the 6dp-rounded cosine.
+    *
+    * Production sizing is the q128 story: K = cellsFor(n, targetCell)
+    * keeps expected cell population constant, so cap·K tracks the
+    * desired kept fraction as the corpus grows.
+    */
+  private val ClusterCap = 40
+  val q165 = Q("q165_cluster_capped",
+    s"""WITH cent AS (
+       |  SELECT CAST(cid AS BIGINT) AS cid, ce
+       |  FROM (VALUES $centroidValuesSql) t(cid, ce)),
+       |e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+       |sc AS (
+       |  SELECT e.vec_id, e.nrm, c.cid,
+       |    round(list_sum(list_transform(range(1,65), i ->
+       |        e.embedding[CAST(i AS INT)]::DOUBLE *
+       |        c.ce[CAST(i AS INT)]::DOUBLE)), 6) AS d,
+       |    round(list_sum(list_transform(range(1,65), i ->
+       |        e.embedding[CAST(i AS INT)]::DOUBLE *
+       |        c.ce[CAST(i AS INT)]::DOUBLE))
+       |      / (e.nrm * sqrt(list_sum(list_transform(c.ce,
+       |          x -> x::DOUBLE * x::DOUBLE)))), 6) AS ccos,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_sum(list_transform(range(1,65), i ->
+       |        e.embedding[CAST(i AS INT)]::DOUBLE *
+       |        c.ce[CAST(i AS INT)]::DOUBLE)), 6) DESC, c.cid) AS rnp
+       |  FROM e CROSS JOIN cent c),
+       |asn AS (SELECT vec_id, cid, ccos FROM sc WHERE rnp = 1),
+       |rk AS (
+       |  SELECT vec_id, cid, ccos,
+       |    row_number() OVER (PARTITION BY cid
+       |      ORDER BY ccos DESC, vec_id) AS rk
+       |  FROM asn)
+       |SELECT vec_id, cid, CAST(rk AS BIGINT) AS rk, ccos
+       |FROM rk WHERE rk <= $ClusterCap""".stripMargin) { (s, dir) =>
+    val cent = Similarity.centroidTable(s, K, D)
+    val cd = Similarity.ivfAssign(
+        Tables(s, dir, "embeddings").select(col("vec_id"),
+          col("embedding"), Similarity.norm(col("embedding")).as("nrm")),
+        cent)
+      .join(broadcast(cent), Seq("cid"))
+      .withColumn("ccos", round(Similarity.dot(col("embedding"),
+        col("ce")) / (col("nrm") * Similarity.norm(col("ce"))), 6))
+    val w = Window.partitionBy("cid")
+      .orderBy(col("ccos").desc, col("vec_id").asc)
+    cd.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= ClusterCap)
+      .select("vec_id", "cid", "rk", "ccos")
+  }
+
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
-    q113, q128, q129, q133, q134, q135, q136, q140, q146, q154, q158)
+    q113, q128, q129, q133, q134, q135, q136, q140, q146, q154, q158,
+    q165)
 }

@@ -261,6 +261,41 @@ class Round9Spec extends SparkSpec {
       "classifier diverges from the independent recomputation")
   }
 
+  test("q165: cluster-balanced subsample — WindowGroupLimit prunes " +
+    "map-side, every cell holds at most the cap in prototypicality " +
+    "order, and the kept set matches a from-library recomputation") {
+    import graft.sim.Similarity
+    val df = queries.SimQueries.q165.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"),
+      s"the cap filter must plan as WindowGroupLimit:\n$plan")
+    val got = rows(df)
+    // independent keep rule from the library's own assignment ops
+    val cent = Similarity.centroidTable(spark, 8, 64)
+    val cd = Similarity.ivfAssign(
+        spark.read.parquet(s"$sf/embeddings.parquet")
+          .select($"vec_id", $"embedding",
+            Similarity.norm($"embedding").as("nrm")), cent)
+      .join(org.apache.spark.sql.functions.broadcast(cent), Seq("cid"))
+      .withColumn("ccos", round(Similarity.dot($"embedding", $"ce")
+        / ($"nrm" * Similarity.norm($"ce")), 6))
+      .select($"vec_id", $"cid", $"ccos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = cd.groupBy(_._2).toSeq.flatMap { case (_, members) =>
+      members.sortBy(m => (-m._3, m._1)).take(40).zipWithIndex
+        .map { case ((vid, c, ccos), i) =>
+          Seq[Any](vid, c, (i + 1).toLong, ccos) }.toSeq
+    }.toSet
+    assert(got == expected,
+      "kept set diverges from the independent prototypicality ranking")
+    got.groupBy(_(1)).foreach { case (cid, rowsInCell) =>
+      assert(rowsInCell.size <= 40, s"cell $cid over cap")
+      assert(rowsInCell.map(_(2).asInstanceOf[Long]).toSeq.sorted ==
+        (1L to rowsInCell.size).toSeq, s"cell $cid ranks not contiguous")
+    }
+  }
+
   /** From-scratch BPE trainer: (the 3 merge-rule rows, the final
     * per-word symbol sequences) — shared by the q163 and q164 specs.
     */
