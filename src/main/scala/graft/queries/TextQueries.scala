@@ -2208,9 +2208,80 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Cross-source exact dedup with SOURCE PRECEDENCE — the published
+    * multi-dataset composition rule (Dolma and RedPajama both dedupe
+    * across their source mix keeping the copy from the
+    * higher-priority source; The Pile's "weights" imply the same
+    * ordering): when the same text appears in several sources, the
+    * copy from the most-preferred source survives and every other
+    * copy is dropped. Priority contract: the numeric source suffix,
+    * lower = more curated (src0 is the q162 curated slice) — a
+    * production run substitutes its real priority table; ties inside
+    * one source fall to the lowest doc_id, so the decision is total
+    * and engine-deterministic. The dedup key is the 10-token HEAD
+    * fingerprint — this corpus's planted duplicate structure is
+    * prefix-level (full texts are globally distinct), and head/URL
+    * keys are exactly what the published cross-source passes use; a
+    * production run swaps in its canonical id.
+    *
+    * Shape: one md5 fingerprint per doc (the q28 exact-dup key), ONE
+    * fingerprint-grain min(struct(prio, doc_id)) exchange
+    * (partial-aggregated argmin — no window over the corpus), a
+    * fingerprint-keyed join back on the same key, then a source-grain
+    * aggregate. Output per source: docs, kept, dropped, and how many
+    * of the drops were yielded to a DIFFERENT source (vs in-source
+    * duplicates) — the audit split a mixture owner reads.
+    */
+  val q166 = Q("q166_source_precedence_dedup",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(substr(source, 4) AS INT) AS prio,
+      |    md5(array_to_string((string_split(text, ' '))[1:10], ' '))
+      |      AS fp
+      |  FROM documents),
+      |k AS (
+      |  SELECT fp, min(prio * 4294967296 + doc_id) AS pk
+      |  FROM d GROUP BY fp),
+      |j AS (
+      |  SELECT d.doc_id, d.source, d.prio,
+      |    CASE WHEN d.prio * 4294967296 + d.doc_id = k.pk
+      |      THEN 1 ELSE 0 END AS keep,
+      |    CAST(k.pk // 4294967296 AS BIGINT) AS keep_prio
+      |  FROM d JOIN k USING (fp))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(keep) AS BIGINT) AS n_kept,
+      |  CAST(sum(1 - keep) AS BIGINT) AS n_dropped,
+      |  CAST(sum(CASE WHEN keep = 0 AND keep_prio <> prio
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_yielded
+      |FROM j GROUP BY source""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      substring(col("source"), 4, 10).cast("int").as("prio"),
+      md5(array_join(slice(split(col("text"), " "), 1, 10), " "))
+        .as("fp"))
+    // packed-BIGINT argmin (the q134 encode device): HashAggregate-
+    // eligible, ONE exchange at fingerprint grain; the keeper's
+    // source is recoverable from the packed priority (source <-> prio
+    // is bijective), so no join back to the kept set is ever needed
+    val k = d.groupBy("fp")
+      .agg(min(col("prio").cast("long") * 4294967296L + col("doc_id"))
+        .as("pk"))
+    d.join(k, Seq("fp"))
+      .withColumn("keep",
+        when(col("prio").cast("long") * 4294967296L + col("doc_id")
+          === col("pk"), 1L).otherwise(0L))
+      .withColumn("keep_prio", expr("pk div 4294967296"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("keep").cast("long").as("n_kept"),
+        sum(lit(1L) - col("keep")).cast("long").as("n_dropped"),
+        sum(when(col("keep") === 0 &&
+          col("keep_prio") =!= col("prio").cast("long"), 1L)
+          .otherwise(0L)).cast("long").as("n_yielded"))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
-      q141, q144, q148, q149, q150, q151)
+      q141, q144, q148, q149, q150, q151, q166)
 }

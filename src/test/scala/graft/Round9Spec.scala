@@ -296,6 +296,38 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q166: source-precedence dedup matches a from-scratch " +
+    "recomputation and the rule genuinely fires (drops and " +
+    "cross-source yields are nonzero on the planted prefix dups)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source", $"text").collect()
+      .map { r =>
+        val head = r.getString(2).split(" ", -1).take(10).mkString(" ")
+        (r.getLong(0), r.getString(1), r.getString(1).drop(3).toInt,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(head.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString)
+      }
+    val keeper = d.groupBy(_._4).map { case (fp, grp) =>
+      fp -> grp.map(x => (x._3, x._1)).min
+    }
+    val expected = d.groupBy(_._2).map { case (src, grp) =>
+      val kept = grp.count(x => keeper(x._4) == ((x._3, x._1)))
+      val yielded = grp.count { x =>
+        keeper(x._4) != ((x._3, x._1)) && keeper(x._4)._1 != x._3
+      }
+      Seq[Any](src, grp.length.toLong, kept.toLong,
+        (grp.length - kept).toLong, yielded.toLong)
+    }.toSet
+    val got = rows(queries.TextQueries.q166.fn(spark, sf))
+    assert(got == expected,
+      "precedence dedup diverges from the independent recomputation")
+    assert(got.map(_(3).asInstanceOf[Long]).sum > 0,
+      "no drops — the gate is vacuous on this corpus")
+    assert(got.map(_(4).asInstanceOf[Long]).sum > 0,
+      "no cross-source yields — the precedence rule never fired")
+  }
+
   /** From-scratch BPE trainer: (the 3 merge-rule rows, the final
     * per-word symbol sequences) — shared by the q163 and q164 specs.
     */
@@ -456,6 +488,37 @@ class Round9Spec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*dt[^\\]]*\\]".r
       .findFirstIn(plan).isDefined, plan)
     assert(pruned.count() == 4L)
+  }
+
+  test("compactPartitioned on a two-level hive layout: leaf " +
+    "partitions compact individually, the nested directory chain " +
+    "and both pruning levels survive") {
+    import graft.sources.Warehouse
+    val root = java.nio.file.Files.createTempDirectory("graft-whn9")
+      .toString
+    val wh = Warehouse(root)
+    (1 to 3).foreach { j =>
+      wh.appendPartitioned(
+        Seq((j.toLong, "a", 1L), (j.toLong, "b", 2L))
+          .toDF("v", "dt", "h").coalesce(1), "nfact", Seq("dt", "h"))
+    }
+    val before = rows(spark.read.parquet(s"$root/nfact"))
+    def files(p: String): Int =
+      Option(new java.io.File(s"$root/nfact/$p").listFiles())
+        .getOrElse(Array()).count(_.getName.endsWith(".parquet"))
+    assert(files("dt=a/h=1") == 3 && files("dt=b/h=2") == 3)
+    wh.compactPartitioned(spark, "nfact")
+    assert(files("dt=a/h=1") == 1 && files("dt=b/h=2") == 1,
+      "both leaf partitions must compact")
+    assert(rows(spark.read.parquet(s"$root/nfact")) == before)
+    val pruned = spark.read.parquet(s"$root/nfact")
+      .filter($"dt" === "a" && $"h" === 1L)
+    assert(pruned.count() == 3L)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*dt[^\\]]*h[^\\]]*\\]".r
+      .findFirstIn(plan).isDefined ||
+      ("PartitionFilters: \\[[^\\]]*h[^\\]]*dt[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined), plan)
   }
 
   test("compactPartitioned crash recovery: a partition caught in the " +
