@@ -2279,9 +2279,61 @@ object TextQueries {
           .otherwise(0L)).cast("long").as("n_yielded"))
   }
 
+  /** Exact-dup INGEST GATE against a persisted fingerprint store —
+    * q137's incremental-maintenance contract for the exact-dedup
+    * family: the historical corpus's head fingerprints live in an
+    * fp-bucketed store (built once, here from the doc_id % 5 != 0
+    * slice — the 80/20 device), and an arriving delta is admitted
+    * only if (a) its fingerprint misses the store (anti-join whose
+    * STORE side reads exchange-free from the bucketed layout) and
+    * (b) it is the first holder of its fingerprint within the delta
+    * itself (packed argmin at the delta's fingerprint grain — the
+    * q166 device). This is the nightly-ingest shape: per run, the
+    * store pays a bucketed read, the delta pays O(Δ), and admitted
+    * fingerprints append under the same bucket spec
+    * ([[graft.sources.Warehouse.appendBucketed]]) so the next run is
+    * identical. The oracle recomputes the decision with no store at
+    * all — a PASS proves store-routed ≡ from-scratch.
+    */
+  val q167 = Q("q167_fp_store_gate",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string((string_split(text, ' '))[1:10], ' '))
+      |      AS fp
+      |  FROM documents),
+      |hist AS (SELECT DISTINCT fp FROM d WHERE doc_id % 5 <> 0),
+      |delta AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+      |miss AS (
+      |  SELECT * FROM delta
+      |  WHERE fp NOT IN (SELECT fp FROM hist)),
+      |first AS (SELECT fp, min(doc_id) AS keep_doc FROM miss GROUP BY fp)
+      |SELECT m.doc_id, m.source, m.fp
+      |FROM miss m JOIN first f
+      |  ON f.fp = m.fp AND f.keep_doc = m.doc_id""".stripMargin) {
+    (s, dir) =>
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      md5(array_join(slice(split(col("text"), " "), 1, 10), " "))
+        .as("fp"))
+    val table = s"fp_store_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, table) {
+      val wh = graft.sources.Warehouse(
+        graft.SessionScratch.dir(s, "fpstore"))
+      wh.saveBucketed(
+        d.filter(col("doc_id") % 5 =!= 0).select("fp").distinct(),
+        table, 8, Seq("fp"))
+    }
+    val delta = d.filter(col("doc_id") % 5 === 0)
+    val miss = delta.join(s.table(table), Seq("fp"), "left_anti")
+    val first = miss.select(col("fp").as("kfp"), col("doc_id"))
+      .groupBy("kfp").agg(min(col("doc_id")).as("keep_doc"))
+    miss.join(first,
+        col("fp") === col("kfp") && col("doc_id") === col("keep_doc"))
+      .select("doc_id", "source", "fp")
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
-      q141, q144, q148, q149, q150, q151, q166)
+      q141, q144, q148, q149, q150, q151, q166, q167)
 }

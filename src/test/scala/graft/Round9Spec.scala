@@ -328,6 +328,34 @@ class Round9Spec extends SparkSpec {
       "no cross-source yields — the precedence rule never fired")
   }
 
+  test("q167: the fingerprint-store ingest gate matches a no-store " +
+    "recomputation and BOTH rejection modes fire (store hit, " +
+    "first-in-delta)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source", $"text").collect()
+      .map { r =>
+        val head = r.getString(2).split(" ", -1).take(10).mkString(" ")
+        (r.getLong(0), r.getString(1),
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(head.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString)
+      }
+    val hist = d.filter(_._1 % 5 != 0).map(_._3).toSet
+    val delta = d.filter(_._1 % 5 == 0)
+    val miss = delta.filterNot(x => hist(x._3))
+    val firstIn = miss.groupBy(_._3).map { case (fp, g) =>
+      fp -> g.map(_._1).min
+    }
+    val expected = miss.filter(x => firstIn(x._3) == x._1)
+      .map(x => Seq[Any](x._1, x._2, x._3)).toSet
+    assert(rows(queries.TextQueries.q167.fn(spark, sf)) == expected,
+      "store-routed gate diverges from the no-store recomputation")
+    assert(delta.count(x => hist(x._3)) > 0,
+      "no store hits — the historical check is vacuous here")
+    assert(miss.length > expected.size,
+      "no in-delta duplicate — the first-holder rule never fired")
+  }
+
   /** From-scratch BPE trainer: (the 3 merge-rule rows, the final
     * per-word symbol sequences) — shared by the q163 and q164 specs.
     */
