@@ -319,4 +319,28 @@ object StreamingEtl {
           kept.result().iterator
       }
   }
+
+  /** Streaming twin of q167's exact-dup ingest gate: arrivals carrying
+    * a precomputed `fp` column are admitted iff the fingerprint misses
+    * the PERSISTED store (a stream-static left-anti join — the static
+    * side is the fp-bucketed store read, re-planned per micro-batch so
+    * store compactions/appends between batches are picked up) and the
+    * fingerprint has not already been admitted on this stream
+    * (stateful `dropDuplicates` on fp).
+    *
+    * Semantic gaps vs the batch q167, stated not papered over: the
+    * in-stream first-holder is ARRIVAL order, not min doc_id (a stream
+    * cannot rank arrivals it has not seen — the quotaGateStream
+    * argument); and the dedup state holds one entry per admitted
+    * fingerprint, which grows with the admitted set — a production
+    * deployment either bounds it with `withWatermark` + horizon dedup
+    * (the [[dedupStream]] contract) or periodically folds admitted
+    * fps into the store and restarts the stream with fresh state,
+    * which is exactly the append-then-compact maintenance cycle the
+    * store already has.
+    */
+  def fpStoreGateStream(arrivals: DataFrame, storeFps: DataFrame)
+      : DataFrame =
+    arrivals.join(storeFps.select("fp"), Seq("fp"), "left_anti")
+      .dropDuplicates("fp")
 }

@@ -478,4 +478,38 @@ class StreamingSpec extends SparkSpec {
       "a lowered cap must gate new arrivals only — no retroactive " +
         "eviction, no extra admissions past the new cap")
   }
+
+  test("fpStoreGateStream ≡ the batch q167 gate when arrivals come " +
+    "in doc_id order, across micro-batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sf = "/root/testdata/sf0.001"
+    // the same fingerprinting as q167, precomputed batch-side
+    val d = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(array_join(slice(split(col("text"), " "), 1, 10), " "))
+          .as("fp"))
+    val store = d.filter(col("doc_id") % 5 =!= 0)
+      .select("fp").distinct()
+    val delta = d.filter(col("doc_id") % 5 === 0)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, String)]
+    val gated = StreamingEtl.fpStoreGateStream(
+      input.toDF().toDF("doc_id", "source", "fp"), store)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("fp_gate").start()
+    val (b1, b2) = delta.splitAt(delta.length / 2)
+    input.addData(b1.toIndexedSeq); q.processAllAvailable()
+    input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("fp_gate").collect()
+      .map(r => Seq[Any](r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[String]("fp")))
+      .toSet
+    val batch = rows(graft.queries.TextQueries.q167.fn(spark, sf))
+    assert(got == batch,
+      "stream gate diverges from the batch decision on ordered arrivals")
+  }
 }
