@@ -2279,6 +2279,98 @@ object TextQueries {
           .otherwise(0L)).cast("long").as("n_yielded"))
   }
 
+  /** Near-dup keep with SOURCE PRECEDENCE — [[q120]]'s component
+    * machinery under the published quality-aware keep rule: within a
+    * near-duplicate cluster, survive the copy from the most-curated
+    * SOURCE first ([[q166]]'s priority contract — numeric source
+    * suffix, lower = more curated), then longest, then lowest id.
+    * This is how the multi-source mixes actually resolve near-dup
+    * clusters (RefinedWeb/Dolma keep by source precedence or quality
+    * rank, not by arbitrary id); q120 remains the source-agnostic
+    * form. Output adds the kept source and the cluster's distinct
+    * source count — n_sources > 1 rows are exactly the cross-source
+    * near-dups a mixture owner audits.
+    *
+    * Plan: identical shape to q120 (capped LSH candidates → O(log d)
+    * components → ONE window at component grain); the precedence key
+    * only changes the window's ORDER BY, so the scale argument is
+    * unchanged.
+    */
+  val q168 = Q("q168_neardup_precedence_keep",
+    s"""WITH RECURSIVE $shingleSqlCte,
+       |b AS (
+       |  SELECT doc_id, 0 AS band, mh0 || mh1 || mh2 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, mh3 || mh4 || mh5 AS key FROM sig),
+       |sized AS (
+       |  SELECT band, key FROM b GROUP BY band, key
+       |  HAVING count(*) BETWEEN 2 AND 20),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM sized x
+       |  JOIN b a ON a.band = x.band AND a.key = x.key
+       |  JOIN b c ON c.band = x.band AND c.key = x.key
+       |    AND a.doc_id < c.doc_id),
+       |nodes AS (
+       |  SELECT doc_a AS n FROM pairs
+       |  UNION SELECT doc_b FROM pairs),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |r(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT e.d, r.m FROM r JOIN edges e ON e.s = r.n),
+       |cc AS (SELECT n, min(m) AS comp FROM r GROUP BY n),
+       |ranked AS (
+       |  SELECT d.doc_id, d.source, cc.comp,
+       |    row_number() OVER (PARTITION BY cc.comp
+       |      ORDER BY CAST(substr(d.source, 4) AS INT),
+       |        d.n_chars DESC, d.doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY cc.comp) AS sz,
+       |    count(DISTINCT d.source) OVER (PARTITION BY cc.comp)
+       |      AS nsrc
+       |  FROM cc JOIN documents d ON d.doc_id = cc.n)
+       |SELECT doc_id, comp, CAST(sz AS BIGINT) AS n_members,
+       |  source AS kept_source, CAST(nsrc AS BIGINT) AS n_sources
+       |FROM ranked WHERE rk = 1
+       |UNION ALL
+       |SELECT doc_id, doc_id AS comp, CAST(1 AS BIGINT) AS n_members,
+       |  source AS kept_source, CAST(1 AS BIGINT) AS n_sources
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT n FROM nodes)""".stripMargin) {
+    (s, dir) =>
+      val pairs = q30.fn(s, dir).select("doc_a", "doc_b").distinct()
+      val cc = graft.ops.Components.connected(pairs)
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        substring(col("source"), 4, 10).cast("int").as("prio"),
+        col("n_chars"))
+      val members = cc.join(d, cc("node") === d("doc_id"))
+        .select(col("doc_id"), col("source"), col("prio"),
+          col("comp"), col("n_chars"))
+      val w = Window.partitionBy("comp")
+        .orderBy(col("prio").asc, col("n_chars").desc,
+          col("doc_id").asc)
+      val wc = Window.partitionBy("comp")
+      val best = members
+        .withColumn("rk", row_number().over(w))
+        .withColumn("sz", count(lit(1)).over(wc))
+        .withColumn("nsrc",
+          size(collect_set(col("source")).over(wc)))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("comp"),
+          col("sz").cast("long").as("n_members"),
+          col("source").as("kept_source"),
+          col("nsrc").cast("long").as("n_sources"))
+      val singletons = d
+        .join(cc.select(col("node")), d("doc_id") === col("node"),
+          "left_anti")
+        .select(col("doc_id"), col("doc_id").as("comp"),
+          lit(1L).as("n_members"), col("source").as("kept_source"),
+          lit(1L).as("n_sources"))
+      best.unionByName(singletons)
+  }
+
   /** Exact-dup INGEST GATE against a persisted fingerprint store —
     * q137's incremental-maintenance contract for the exact-dedup
     * family: the historical corpus's head fingerprints live in an
@@ -2335,5 +2427,5 @@ object TextQueries {
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
-      q141, q144, q148, q149, q150, q151, q166, q167)
+      q141, q144, q148, q149, q150, q151, q166, q167, q168)
 }

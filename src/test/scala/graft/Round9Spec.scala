@@ -356,6 +356,44 @@ class Round9Spec extends SparkSpec {
       "no in-delta duplicate — the first-holder rule never fired")
   }
 
+  test("q168: precedence-aware near-dup keep — union-find over the " +
+    "oracled candidate pairs reproduces every keeper, and " +
+    "cross-source clusters exist (the rule has work to do)") {
+    val pairs = queries.TextQueries.q30.fn(spark, sf)
+      .select($"doc_a", $"doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val meta = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"source", $"n_chars").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(1).drop(3).toInt, r.getLong(2)))
+      .toMap
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val byComp = nodes.groupBy(find)
+    val expected = byComp.map { case (comp, members) =>
+      val keeper = members.minBy { id =>
+        val (_, prio, nChars) = meta(id); (prio, -nChars, id)
+      }
+      Seq[Any](keeper, comp, members.length.toLong,
+        meta(keeper)._1,
+        members.map(meta(_)._1).distinct.length.toLong)
+    }.toSet ++ meta.keySet.diff(nodes.toSet).map(id =>
+      Seq[Any](id, id, 1L, meta(id)._1, 1L))
+    val got = rows(queries.TextQueries.q168.fn(spark, sf))
+    assert(got == expected,
+      "precedence keep diverges from union-find + independent rule")
+    assert(got.exists(_(4).asInstanceOf[Long] > 1),
+      "no cross-source cluster — precedence never had a choice")
+  }
+
   /** From-scratch BPE trainer: (the 3 merge-rule rows, the final
     * per-word symbol sequences) — shared by the q163 and q164 specs.
     */
