@@ -2372,15 +2372,20 @@ object Extras {
     * training hyperparameter, so unrolling is faithful, not a
     * limitation — q133's Lloyd step makes the same argument).
     *
-    * The contraction device: each word's symbol sequence is a
-    * space-delimited string with sentinel spaces (` a b c `), and
-    * merging pair (a, b) is the literal string replace of ` a b ` by
-    * ` ab ` — both engines' `replace` scans left-to-right and resumes
-    * AFTER the substitution, which is exactly BPE's non-overlapping
-    * left-to-right merge convention (` a a a ` contracts to ` aa a `,
-    * not ` aa aa `). The winning pair stays a 1-row broadcast inside
-    * the plan (no driver pull); ties break (total desc, pair asc) in
-    * both engines.
+    * The contraction device: each word's symbol sequence is a string
+    * with DOUBLE-space separators and single-space sentinels
+    * (` a  b  c `), and merging pair (a, b) is the literal replace of
+    * ` a  b ` by ` ab `. The double separator is what makes the
+    * literal replace EXACTLY BPE's greedy left-to-right
+    * non-overlapping convention: each match consumes one space from
+    * each flanking separator, so adjacent occurrences never compete
+    * for a shared delimiter (` a  b  a  b ` contracts to ` ab  ab `
+    * in ONE pass, and an odd same-symbol run ` a  a  a ` to
+    * ` aa  a `, never ` a  aa `). A single-space form under-merges
+    * consecutive occurrences because the first match eats the space
+    * the second needs — the round-9 review caught exactly that.
+    * The winning pair stays a 1-row broadcast inside the plan (no
+    * driver pull); ties break (total desc, pair asc) in both engines.
     *
     * Scale shape: everything after the first word-frequency count
     * runs at VOCAB grain (the q142 argument — the corpus collapses to
@@ -2402,45 +2407,45 @@ object Extras {
       |s0 AS (
       |  SELECT w, freq, ' ' || array_to_string(
       |    list_transform(range(1, length(w) + 1),
-      |      i -> w[CAST(i AS INT)]), ' ') || ' ' AS sq
+      |      i -> w[CAST(i AS INT)]), '  ') || ' ' AS sq
       |  FROM wf),
       |p1 AS (
       |  SELECT ar[CAST(i AS INT)] AS a, ar[CAST(i+1 AS INT)] AS b,
       |    CAST(sum(freq) AS BIGINT) AS total
-      |  FROM (SELECT freq, string_split(trim(sq), ' ') AS ar FROM s0) x,
+      |  FROM (SELECT freq, string_split(trim(sq), '  ') AS ar FROM s0) x,
       |    UNNEST(range(1, len(ar))) AS u(i)
       |  GROUP BY 1, 2),
       |b1 AS (SELECT a, b, total FROM p1
       |       ORDER BY total DESC, a, b LIMIT 1),
       |s1 AS (
       |  SELECT s0.w, s0.freq,
-      |    replace(s0.sq, ' ' || b1.a || ' ' || b1.b || ' ',
+      |    replace(s0.sq, ' ' || b1.a || '  ' || b1.b || ' ',
       |      ' ' || b1.a || b1.b || ' ') AS sq
       |  FROM s0 CROSS JOIN b1),
       |p2 AS (
       |  SELECT ar[CAST(i AS INT)] AS a, ar[CAST(i+1 AS INT)] AS b,
       |    CAST(sum(freq) AS BIGINT) AS total
-      |  FROM (SELECT freq, string_split(trim(sq), ' ') AS ar FROM s1) x,
+      |  FROM (SELECT freq, string_split(trim(sq), '  ') AS ar FROM s1) x,
       |    UNNEST(range(1, len(ar))) AS u(i)
       |  GROUP BY 1, 2),
       |b2 AS (SELECT a, b, total FROM p2
       |       ORDER BY total DESC, a, b LIMIT 1),
       |s2 AS (
       |  SELECT s1.w, s1.freq,
-      |    replace(s1.sq, ' ' || b2.a || ' ' || b2.b || ' ',
+      |    replace(s1.sq, ' ' || b2.a || '  ' || b2.b || ' ',
       |      ' ' || b2.a || b2.b || ' ') AS sq
       |  FROM s1 CROSS JOIN b2),
       |p3 AS (
       |  SELECT ar[CAST(i AS INT)] AS a, ar[CAST(i+1 AS INT)] AS b,
       |    CAST(sum(freq) AS BIGINT) AS total
-      |  FROM (SELECT freq, string_split(trim(sq), ' ') AS ar FROM s2) x,
+      |  FROM (SELECT freq, string_split(trim(sq), '  ') AS ar FROM s2) x,
       |    UNNEST(range(1, len(ar))) AS u(i)
       |  GROUP BY 1, 2),
       |b3 AS (SELECT a, b, total FROM p3
       |       ORDER BY total DESC, a, b LIMIT 1),
       |s3 AS (
       |  SELECT s2.w, s2.freq,
-      |    replace(s2.sq, ' ' || b3.a || ' ' || b3.b || ' ',
+      |    replace(s2.sq, ' ' || b3.a || '  ' || b3.b || ' ',
       |      ' ' || b3.a || b3.b || ' ') AS sq
       |  FROM s2 CROSS JOIN b3)""".stripMargin
 
@@ -2457,7 +2462,7 @@ object Extras {
         .filter(length(col("w")) >= 2)
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .select(col("w"), col("freq"),
-          concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+          concat(lit(" "), concat_ws("  ", split(col("w"), "")), lit(" "))
             .as("sq"))
     }
 
@@ -2465,7 +2470,7 @@ object Extras {
     * frame: (a, b, total), ties (total desc, a, b) in both engines.
     */
   private def bpeBestPair(sq: DataFrame): DataFrame = {
-    val ar = split(trim(col("sq")), " ")
+    val ar = split(trim(col("sq")), "  ")
     sq.select(col("freq"), ar.as("ar"))
       .filter(size(col("ar")) >= 2)
       .select(col("freq"), explode(zip_with(
@@ -2485,7 +2490,7 @@ object Extras {
   private def bpeContract(sq: DataFrame, best: DataFrame): DataFrame =
     sq.crossJoin(broadcast(best.select(col("a"), col("b"))))
       .withColumn("sq", expr(
-        "replace(sq, concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' '))"))
+        "replace(sq, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))"))
       .select("w", "freq", "sq")
 
   /** The three-iteration chain: (best1, best2, best3, final frame). */
@@ -2527,7 +2532,7 @@ object Extras {
     */
   val q164 = Q("q164_bpe_apply",
     s"""WITH $bpeSqlCte,
-      |wl AS (SELECT w, len(string_split(trim(sq), ' ')) AS n_sym
+      |wl AS (SELECT w, len(string_split(trim(sq), '  ')) AS n_sym
       |       FROM s3),
       |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
       |       FROM documents)
@@ -2540,7 +2545,7 @@ object Extras {
       |GROUP BY dt.doc_id""".stripMargin) { (s, dir) =>
     val (_, _, _, st3) = bpeChain(s, dir)
     val wl = st3.select(col("w"),
-      size(split(trim(col("sq")), " ")).as("n_sym"))
+      size(split(trim(col("sq")), "  ")).as("n_sym"))
     docsTable(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)

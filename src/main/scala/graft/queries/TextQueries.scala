@@ -2258,18 +2258,24 @@ object TextQueries {
       substring(col("source"), 4, 10).cast("int").as("prio"),
       md5(array_join(slice(split(col("text"), " "), 1, 10), " "))
         .as("fp"))
-    // packed-BIGINT argmin (the q134 encode device): HashAggregate-
-    // eligible, ONE exchange at fingerprint grain; the keeper's
-    // source is recoverable from the packed priority (source <-> prio
-    // is bijective), so no join back to the kept set is ever needed
+    // struct-min argmin, ONE exchange at fingerprint grain — NOT the
+    // packed-BIGINT device: prio*2^32 + doc_id silently collides once
+    // doc_id reaches 2^32, exactly the scale this operator claims
+    // (the round-9 review's catch). The SortAggregate this costs is
+    // the documented ivfAssign trade; the ORACLE keeps the packed
+    // form, which is exact at oracle scale, so a PASS also pins the
+    // two formulations equal. The keeper's source stays recoverable
+    // from its priority (source <-> prio is bijective), so no join
+    // back to the kept set is ever needed.
     val k = d.groupBy("fp")
-      .agg(min(col("prio").cast("long") * 4294967296L + col("doc_id"))
-        .as("pk"))
+      .agg(min(struct(col("prio").cast("long").as("kp"),
+        col("doc_id").as("kd"))).as("k"))
+      .select(col("fp"), col("k.kp").as("keep_prio"),
+        col("k.kd").as("keep_doc"))
     d.join(k, Seq("fp"))
       .withColumn("keep",
-        when(col("prio").cast("long") * 4294967296L + col("doc_id")
-          === col("pk"), 1L).otherwise(0L))
-      .withColumn("keep_prio", expr("pk div 4294967296"))
+        when(col("prio").cast("long") === col("keep_prio") &&
+          col("doc_id") === col("keep_doc"), 1L).otherwise(0L))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("keep").cast("long").as("n_kept"),

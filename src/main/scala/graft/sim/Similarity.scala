@@ -174,15 +174,23 @@ object Similarity {
     * parameters).
     */
   /** [[semanticDedup]] with CORPUS-DERIVED quantizer sizing — the
-    * production entry point. Counts the corpus once (a metadata-cheap
-    * columnar count) and derives K = [[cellsFor]](n, targetCell)
-    * cells and nPlanes = [[planesFor]](targetCell, targetBucket)
-    * sub-planes, so the expected (cid, bkt) population stays at
-    * ~targetBucket however large n grows — the 2..maxBucket cap
-    * remains a skew GUARD, never a recall ceiling that silently binds
-    * harder as the corpus outgrows a statically pinned K. The derived
-    * sizes are folded into the cache key: two corpora of different
-    * sizes must never share a materialized assignment frame.
+    * production entry point. Counts the corpus and derives
+    * K = [[cellsFor]](n, targetCell) cells and nPlanes =
+    * [[planesFor]](targetCell, targetBucket) sub-planes, so the
+    * expected (cid, bkt) population stays at ~targetBucket however
+    * large n grows — the 2..maxBucket cap remains a skew GUARD, never
+    * a recall ceiling that silently binds harder as the corpus
+    * outgrows a statically pinned K. The derived sizes are folded
+    * into the cache key: two corpora of different sizes must never
+    * share a materialized assignment frame.
+    *
+    * Cost note (round-9 review): `e.count()` is one aggregate JOB
+    * over the input lineage — for a derived frame that is a real
+    * pass over the input, not a metadata lookup. A caller that
+    * already knows its corpus size (every production pipeline tracks
+    * it) should derive (K, planes) via [[sizedQuantizer]] and call
+    * [[semanticDedup]] directly, paying no counting pass; this
+    * convenience entry point is for when n is genuinely unknown.
     */
   def semanticDedupSized(e: DataFrame, targetCell: Int,
       targetBucket: Int, dim: Int, maxBucket: Int, minSim: Double,

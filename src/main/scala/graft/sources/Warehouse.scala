@@ -177,11 +177,17 @@ final case class Warehouse(root: String) {
     *
     * Each partition swap is its own crash-safe tmp-write-and-swap;
     * the tmp/old directories live under the table root with
-    * underscore-prefixed names, which Spark's file index ignores, so
-    * a reader mid-compaction sees every partition either fully old
-    * or fully new. A crash inside one partition's swap window leaves
-    * a `_compact_old__<partition>` directory that the next call
-    * restores before doing anything else.
+    * underscore-prefixed names, which Spark's file index ignores. The
+    * same honesty note as [[mergeOverwrite]]: between the two renames
+    * there is a local-FS window in which the partition directory is
+    * ABSENT (a concurrent lister sees zero rows for it; a reader
+    * holding the pre-swap listing fails on the moved files), and a
+    * concurrent [[appendPartitioned]] into a partition being rewritten
+    * can lose its rows to the swap — compaction is a maintenance job
+    * to run without concurrent writers, and an ACID table format is
+    * what removes the window entirely. A crash inside one partition's
+    * swap window leaves a `_compact_old__<partition>` directory that
+    * the next call restores before doing anything else.
     */
   def compactPartitioned(spark: SparkSession, table: String,
       targetFileBytes: Long = 128L << 20): Unit = {
@@ -266,6 +272,24 @@ final case class Warehouse(root: String) {
     */
   def compactBucketed(spark: SparkSession, table: String,
       nBuckets: Int, bucketCols: Seq[String]): Unit = {
+    // a rewrite under the WRONG spec would silently corrupt every
+    // bucketed read (files hashed mod m while the catalog still
+    // declares n — pruning and joins read the wrong buckets, rows
+    // vanish with no error), so the passed spec must match the
+    // catalog's before anything is touched
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED `$table`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val catBuckets = desc.get("Num Buckets").map(_.trim.toInt)
+    val catCols = desc.get("Bucket Columns")
+      .map(_.replaceAll("[\\[\\]`\\s]", "").split(",").toSeq
+        .filter(_.nonEmpty))
+    require(catBuckets.contains(nBuckets),
+      s"compactBucketed($table): passed nBuckets=$nBuckets but the " +
+        s"catalog declares ${catBuckets.getOrElse("no bucketing")}")
+    require(catCols.exists(_.map(_.toLowerCase) ==
+        bucketCols.map(_.toLowerCase)),
+      s"compactBucketed($table): passed bucketCols=$bucketCols but " +
+        s"the catalog declares ${catCols.getOrElse(Seq())}")
     recover(table)
     val s = spark.newSession()
     s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",

@@ -322,11 +322,18 @@ object StreamingEtl {
 
   /** Streaming twin of q167's exact-dup ingest gate: arrivals carrying
     * a precomputed `fp` column are admitted iff the fingerprint misses
-    * the PERSISTED store (a stream-static left-anti join — the static
-    * side is the fp-bucketed store read, re-planned per micro-batch so
-    * store compactions/appends between batches are picked up) and the
+    * the PERSISTED store (a stream-static left-anti join) and the
     * fingerprint has not already been admitted on this stream
     * (stateful `dropDuplicates` on fp).
+    *
+    * Static-side staleness, stated plainly: a parquet-backed static
+    * DataFrame PINS its file listing when the DataFrame is created —
+    * store appends made while the stream runs are NOT picked up, and
+    * a compaction's renames would break the pinned listing outright.
+    * The operational contract is therefore: run store maintenance
+    * (append admitted fps, compact) BETWEEN stream runs and restart
+    * the query with a freshly-built `storeFps` — which is the same
+    * fold-into-store cycle the dedup state already requires (below).
     *
     * Semantic gaps vs the batch q167, stated not papered over: the
     * in-stream first-holder is ARRIVAL order, not min doc_id (a stream

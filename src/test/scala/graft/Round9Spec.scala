@@ -397,13 +397,14 @@ class Round9Spec extends SparkSpec {
   /** From-scratch BPE trainer: (the 3 merge-rule rows, the final
     * per-word symbol sequences) — shared by the q163 and q164 specs.
     */
-  private def bpeReference(): (Set[Seq[Any]], Map[String, Int]) = {
+  private def bpeReference(dir: String = sf)
+      : (Set[Seq[Any]], Map[String, Int]) = {
     var seqs: Map[String, Vector[String]] =
-      spark.read.parquet(s"$sf/documents.parquet")
+      spark.read.parquet(s"$dir/documents.parquet")
         .select($"text").collect()
         .flatMap(_.getString(0).split(" ", -1)).filter(_.length >= 2)
         .distinct.map(w => w -> w.split("").toVector).toMap
-    val freq = spark.read.parquet(s"$sf/documents.parquet")
+    val freq = spark.read.parquet(s"$dir/documents.parquet")
       .select($"text").collect()
       .flatMap(_.getString(0).split(" ", -1)).filter(_.length >= 2)
       .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
@@ -437,6 +438,46 @@ class Round9Spec extends SparkSpec {
     "non-overlapping contraction)") {
     assert(rows(queries.Extras.q163.fn(spark, sf)) == bpeReference()._1,
       "BPE loop diverges from the independent trainer")
+  }
+
+  test("q163/q164 contraction merges CONSECUTIVE winning-pair " +
+    "occurrences and same-symbol runs correctly (the shared-" +
+    "delimiter trap a single-space sentinel form falls into)") {
+    // synthetic corpus engineered so the winning pairs occur
+    // back-to-back: 'xyxy' makes (x,y) win iteration 1 and leaves
+    // [xy, xy] — a consecutive SAME-symbol pair for iteration 2;
+    // 'zzz' exercises the odd same-symbol run (left-to-right keeps
+    // [zz, z], never [z, zz])
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe9")
+      .toString
+    Seq(
+      (1L, "xyxy xyxy xyxy", "en", "src0", 14L),
+      (2L, "xyxy zzz", "en", "src1", 8L),
+      (3L, "zzz qq", "en", "src2", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val (rules, nSym) = bpeReference(dir)
+    assert(rows(queries.Extras.q163.fn(spark, dir)) == rules,
+      "loop diverges from the trainer on consecutive occurrences")
+    // the engine's applied symbol counts equal the trainer's exactly
+    val wl = nSym.map { case (w, n) => (w, n.toLong) }
+    val expected = Seq(
+      (1L, "xyxy xyxy xyxy"), (2L, "xyxy zzz"), (3L, "zzz qq"))
+      .map { case (id, text) =>
+        val ws = text.split(" ", -1).filter(_.length >= 2)
+        val before = ws.map(_.length.toLong).sum
+        val after = ws.map(wl).sum
+        Seq[Any](id, ws.length.toLong, before, after,
+          BigDecimal(before.toDouble / after)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+    assert(rows(queries.Extras.q164.fn(spark, dir)) == expected,
+      "apply diverges from the trainer's final symbol counts")
+    // and the trainer itself really saw the trap: 'xyxy' must end
+    // fully merged once (x,y) then (xy,xy) win
+    assert(nSym("xyxy") == 1,
+      s"'xyxy' ended as ${nSym("xyxy")} symbols — consecutive " +
+        "occurrences were not fully merged")
   }
 
   test("q164: applying the learned merges to the corpus matches the " +
@@ -479,6 +520,14 @@ class Round9Spec extends SparkSpec {
     assert(filesBefore > 4,
       s"appends should accrete files; saw $filesBefore")
     try {
+      // a mismatched spec must refuse BEFORE touching anything — a
+      // wrong-modulus rewrite would silently corrupt bucketed reads
+      intercept[IllegalArgumentException] {
+        wh.compactBucketed(spark, "cb9_a", 8, Seq("k"))
+      }
+      intercept[IllegalArgumentException] {
+        wh.compactBucketed(spark, "cb9_a", 4, Seq("v"))
+      }
       wh.compactBucketed(spark, "cb9_a", 4, Seq("k"))
       assert(parquetFiles(s"$root/cb9_a") == 4,
         "compaction must leave exactly one file per (nonempty) bucket")
