@@ -2235,7 +2235,8 @@ object TextQueries {
   val q166 = Q("q166_source_precedence_dedup",
     """WITH d AS (
       |  SELECT doc_id, source,
-      |    CAST(substr(source, 4) AS INT) AS prio,
+      |    coalesce(TRY_CAST(substr(source, 4) AS INT), 2147483647)
+      |      AS prio,
       |    md5(array_to_string((string_split(text, ' '))[1:10], ' '))
       |      AS fp
       |  FROM documents),
@@ -2254,8 +2255,13 @@ object TextQueries {
       |  CAST(sum(CASE WHEN keep = 0 AND keep_prio <> prio
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_yielded
       |FROM j GROUP BY source""".stripMargin) { (s, dir) =>
+    // priority is TOTAL: an unparseable source suffix coalesces to
+    // least-curated (Int.MaxValue) on BOTH sides instead of a null
+    // that would win the nulls-first struct-min and leave its
+    // fingerprint group with zero keepers (round-9 follow-up review)
     val d = docs(s, dir).select(col("doc_id"), col("source"),
-      substring(col("source"), 4, 10).cast("int").as("prio"),
+      coalesce(substring(col("source"), 4, 10).cast("int"),
+        lit(Int.MaxValue)).as("prio"),
       md5(array_join(slice(split(col("text"), " "), 1, 10), " "))
         .as("fp"))
     // struct-min argmin, ONE exchange at fingerprint grain — NOT the

@@ -277,8 +277,12 @@ final case class Warehouse(root: String) {
     // declares n — pruning and joins read the wrong buckets, rows
     // vanish with no error), so the passed spec must match the
     // catalog's before anything is touched
+    // parse ONLY the metadata section — a data column named like a
+    // metadata label (or a null value cell) must not corrupt the check
     val desc = spark.sql(s"DESCRIBE TABLE EXTENDED `$table`").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .dropWhile(r => !r.getString(0).startsWith("# Detailed Table"))
+      .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
+      .toMap
     val catBuckets = desc.get("Num Buckets").map(_.trim.toInt)
     val catCols = desc.get("Bucket Columns")
       .map(_.replaceAll("[\\[\\]`\\s]", "").split(",").toSeq
