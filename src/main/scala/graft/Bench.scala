@@ -150,7 +150,21 @@ object Bench {
     // stdout, so a truncated line must still carry errors, hygiene,
     // and the total — the per-query map is the only field allowed to
     // lose its head
-    println(s"""{"queries":$qs,"hygiene":$hyg,"cached_end":$cachedEnd,"sf":"$sfDir","errors":$errs,"warmup_sec":$warmupSec,"unit":"sec","metric":"total","value":$total}""")
+    val fullJson = s"""{"queries":$qs,"hygiene":$hyg,"cached_end":$cachedEnd,"sf":"$sfDir","errors":$errs,"warmup_sec":$warmupSec,"unit":"sec","metric":"total","value":$total}"""
+    // the full line has outgrown the driver's tail-capture window
+    // (BENCH_r08/r09 both recorded "parsed": null — the line's HEAD
+    // was cut, so it never parsed), so: (a) persist the complete JSON
+    // to a sidecar the judge can read whole, and (b) end stdout with a
+    // SHORT headline line that fits any tail window and parses as the
+    // last line — per-query detail lives in the sidecar and in the
+    // (possibly truncated) full line above it
+    val sidecar = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+    java.nio.file.Files.write(sidecar,
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(fullJson)
+    val nErr = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":$nErr,"warmup_sec":$warmupSec,"full_json":${jstr(sidecar.toAbsolutePath.toString)}}""")
     Materialized.clear(spark)
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)

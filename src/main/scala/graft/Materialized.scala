@@ -23,22 +23,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Materialized {
 
   private val cache = new ConcurrentHashMap[(String, String), DataFrame]()
+  // identity-keyed (SparkSession doesn't override equals): a test can
+  // pin a nonce to one cloned session so that clone's artifacts key —
+  // and rebuild — separately from the application-shared ones
+  private val nonces = new ConcurrentHashMap[SparkSession, String]()
+
+  /** Cache scope for a session: the application id, plus the test
+    * nonce if one is pinned to this exact session object. Production
+    * sessions (no nonce) share one scope per application — N registry
+    * consumers, one materialization — while a nonce-pinned clone
+    * rebuilds its full lineage under its own conf (the
+    * partition-invariance tests need the rebuild; sharing the base
+    * session's artifacts would let only the stages DOWNSTREAM of the
+    * cached frame run at the altered partition count).
+    */
+  private def scope(spark: SparkSession): String =
+    spark.sparkContext.applicationId +
+      Option(nonces.get(spark)).map(":" + _).getOrElse("")
+
+  /** Pin `nonce` to this session object; its artifacts now live (and
+    * are cleared) under their own scope. Test-only.
+    */
+  private[graft] def setNonceForTests(spark: SparkSession,
+      nonce: String): Unit = { nonces.put(spark, nonce); () }
+
+  private[graft] def clearNonceForTests(spark: SparkSession): Unit = {
+    nonces.remove(spark); ()
+  }
 
   /** The persisted frame for `key`, building (and persisting) it on
     * first use in this Spark application. `key` must include every
     * input the build depends on (e.g. the sf dir).
     */
   def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((spark.sparkContext.applicationId, key),
-      _ => build.persist())
+    cache.computeIfAbsent((scope(spark), key), _ => build.persist())
 
-  /** Unpersist and forget every artifact of this application (test
-    * teardown / end-of-session hygiene).
+  /** Unpersist and forget every artifact of this scope — the whole
+    * application for a production session, just the clone's artifacts
+    * for a nonce-pinned test session (so a mid-suite clear can never
+    * yank an artifact out from under a concurrently running suite).
     */
   def clear(spark: SparkSession): Unit = {
-    val appId = spark.sparkContext.applicationId
+    val s = scope(spark)
     cache.forEach { (k, df) =>
-      if (k._1 == appId) {
+      if (k._1 == s) {
         df.unpersist()
         cache.remove(k)
       }

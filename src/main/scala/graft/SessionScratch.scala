@@ -25,24 +25,39 @@ object SessionScratch {
 
   private val dirs = new ConcurrentHashMap[(String, String), Path]()
   private val written = new ConcurrentHashMap[(String, String), Boolean]()
+  // identity-keyed test nonces, same device as [[Materialized]]: a
+  // nonce-pinned clone gets its own scratch scope so invariance tests
+  // rebuild on-disk artifacts under the clone's conf instead of
+  // silently reusing the base session's
+  private val nonces = new ConcurrentHashMap[SparkSession, String]()
 
-  /** The scratch directory for (this application, tag) — one per pair,
+  private def scope(spark: SparkSession): String =
+    spark.sparkContext.applicationId +
+      Option(nonces.get(spark)).map(":" + _).getOrElse("")
+
+  private[graft] def setNonceForTests(spark: SparkSession,
+      nonce: String): Unit = { nonces.put(spark, nonce); () }
+
+  private[graft] def clearNonceForTests(spark: SparkSession): Unit = {
+    nonces.remove(spark); ()
+  }
+
+  /** The scratch directory for (this scope, tag) — one per pair,
     * deleted on JVM shutdown.
     */
   def dir(spark: SparkSession, tag: String): String =
-    dirs.computeIfAbsent((spark.sparkContext.applicationId, tag), _ => {
+    dirs.computeIfAbsent((scope(spark), tag), _ => {
       val p = Files.createTempDirectory(s"graft-scratch-$tag-")
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p)))
       p
     }).toString
 
-  /** Run `write` exactly once per (application, key); concurrent and
+  /** Run `write` exactly once per (scope, key); concurrent and
     * repeated callers wait for / reuse the first invocation's artifact.
     * A failed write is not recorded, so the next caller retries.
     */
   def once(spark: SparkSession, key: String)(write: => Unit): Unit =
-    written.computeIfAbsent(
-      (spark.sparkContext.applicationId, key), _ => { write; true })
+    written.computeIfAbsent((scope(spark), key), _ => { write; true })
 
   /** A short filesystem/catalog-safe token for an input path — used to
     * key table names per sf dir so different corpora never share an

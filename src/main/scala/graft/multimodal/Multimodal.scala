@@ -6,12 +6,15 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
   * metadata, with decode/feature-extraction as per-partition batch
-  * operations. The decode step is a STUB (no image/audio libs in this
-  * container): `fakeDecode` produces a deterministic feature vector
-  * from the payload bytes. The Spark-side shape — binary column, typed
-  * metadata struct, partition-batched extraction, explicit output
-  * schema — is real and is what a production decoder (JNI/codec lib)
-  * would plug into.
+  * operations. The decode entry point ([[decode]]) is REAL at the
+  * container level: magic-number format sniffing plus PNG IHDR /
+  * JPEG marker-scan dimension extraction over actual bytes
+  * ([[sniffFormat]]/[[pngDims]]/[[jpegDims]]). Only PIXEL decode
+  * (which needs codec libraries this container lacks) falls back to
+  * the deterministic [[byteSumFeatures]] stand-in. The Spark-side
+  * shape — binary column, typed metadata struct, partition-batched
+  * extraction, explicit output schema — is what a production pixel
+  * decoder (JNI/codec lib) would plug into.
   *
   * Scale notes: payloads stay distributed (no collect); extraction is
   * mapPartitions so a real decoder amortizes per-partition init (codec
@@ -39,6 +42,52 @@ object Multimodal {
       struct(col("source").as("source"),
         length(col("text")).cast("long").as("n_bytes")).as("meta"))
 
+  /** Deterministic IMAGE media table: synthesizes spec-conformant
+    * PNG and JPEG payloads per doc (the corpus carries no real image
+    * bytes — same device as the queries that synthesize HTML/mixed
+    * text in-query), built entirely from codegen'd string/hex
+    * built-ins, no UDF. Per doc_id: `id%3==0` → a PNG whose IHDR
+    * carries width `id%1000+1`, height `id%777+1`; `id%3==1` → a
+    * JFIF JPEG with an APP0 segment, a COM segment of VARYING length
+    * (`id%7+1` bytes — so a decoder must genuinely measure-and-skip
+    * segments, not read fixed offsets), a legal FF fill byte before
+    * the SOF0 marker for `id%5==0`, SOF0 height `id%333+1` / width
+    * `id%500+1`, and EOI; `id%3==2` → the raw UTF-8 text bytes (the
+    * garbage-payload case every crawl contains). meta.n_bytes is the
+    * true payload byte length.
+    */
+  def asImageTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val m = id % 3
+    val k = id % 7 + 1 // COM payload bytes, 1..7
+    val fill = when(id % 5 === 0, lit(1)).otherwise(lit(0))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex(id % 1000 + 1), 8, "0"),
+      lpad(hex(id % 777 + 1), 8, "0"),
+      lit("0802000000" + "00000000"))
+    val jpegHex = concat(
+      lit("FFD8" + "FFE00010" + "4A46494600" + "0101" + "00" +
+        "0001" + "0001" + "0000" + "FFFE"),
+      lpad(hex(k + 2), 4, "0"),
+      lit("78787878787878").substr(lit(1), (k * 2).cast("int")),
+      lit("FF").substr(lit(1), (fill * 2).cast("int")),
+      lit("FFC0" + "0011" + "08"),
+      lpad(hex(id % 333 + 1), 4, "0"),
+      lpad(hex(id % 500 + 1), 4, "0"),
+      lit("03" + "012200" + "021101" + "031101" + "FFD9"))
+    docs.select(
+      id.as("media_id"),
+      when(m === 0, lit("image/png")).when(m === 1, lit("image/jpeg"))
+        .otherwise(lit("text/plain")).as("modality"),
+      when(m === 0, unhex(pngHex)).when(m === 1, unhex(jpegHex))
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"),
+      col("source"))
+      .select(col("media_id"), col("modality"), col("payload"),
+        struct(col("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
@@ -53,13 +102,116 @@ object Multimodal {
     */
   def frameCount(nBytes: Int): Int = math.max(1, (nBytes + 255) / 256)
 
-  /** Deterministic stand-in for a real decoder: 4 "features" derived
-    * from byte-range sums over the payload, one "frame" per 256 bytes.
-    * A real implementation replaces ONLY the body of this function
-    * (e.g. JNI decode + resize + embed); the partition-batched driver
-    * below is unchanged.
+  // ---- real image-header decode (pure byte arithmetic over public
+  // formats: PNG = ISO/IEC 15948 §5.2/§11.2.2, JPEG/JFIF = ITU-T T.81
+  // §B.2). Header-only: dimensions and format come from the container
+  // structure; pixel decode (which needs a codec library this
+  // container lacks) remains out of scope — but unlike the former
+  // all-stub tier, format sniffing and dimension extraction here parse
+  // REAL bytes and are what a VLM-ingest pipeline runs first to
+  // filter/route/bucket a binary column before any expensive decode.
+
+  /** Magic-number format sniff: PNG's full 8-byte signature, JPEG's
+    * SOI-then-marker prefix `FF D8 FF`, else unknown. Content-based —
+    * never trusts the modality/extension metadata, the standard
+    * defense against mislabeled crawl payloads.
     */
-  def fakeDecode(payload: Array[Byte]): (Long, Array[Double]) = {
+  def sniffFormat(p: Array[Byte]): String =
+    if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+      p(2) == 'N' && p(3) == 'G' && p(4) == 0x0d && p(5) == 0x0a &&
+      p(6) == 0x1a && p(7) == 0x0a) "png"
+    else if (p.length >= 3 && (p(0) & 0xff) == 0xff &&
+      (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff) "jpeg"
+    else "unknown"
+
+  private def be4(p: Array[Byte], i: Int): Long =
+    ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+      ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+
+  private def be2(p: Array[Byte], i: Int): Int =
+    ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+
+  /** PNG dimensions from the IHDR chunk, which the spec REQUIRES to be
+    * the first chunk: bytes 8-11 chunk length, 12-15 type `IHDR`,
+    * 16-19 width, 20-23 height (both big-endian). None for a payload
+    * too short or whose first chunk is not IHDR — corrupt, not a
+    * guess.
+    */
+  def pngDims(p: Array[Byte]): Option[(Long, Long)] =
+    if (p.length >= 24 && p(12) == 'I' && p(13) == 'H' &&
+      p(14) == 'D' && p(15) == 'R')
+      Some((be4(p, 16), be4(p, 20)))
+    else None
+
+  /** JPEG dimensions via a REAL marker-segment scan (T.81 §B.1.1.2):
+    * walk `FF <marker> <len16> <payload>` segments from after SOI,
+    * skipping fill bytes (padding FFs before a marker are legal) and
+    * standalone markers (RSTn/TEM carry no length), until a
+    * frame-header SOFn (C0-CF minus DHT C4 / JPG C8 / DAC CC) yields
+    * `<len> <precision> <height16> <width16>`. None on truncation,
+    * a broken marker stream, or EOI before any SOF. The scan is what
+    * makes this a decoder rather than offset arithmetic: APP/COM
+    * segments vary per file and must be measured and skipped.
+    */
+  def jpegDims(p: Array[Byte]): Option[(Long, Long)] = {
+    var i = 2 // past SOI
+    while (i + 3 < p.length) {
+      if ((p(i) & 0xff) != 0xff) return None // marker stream broken
+      // fill bytes: any number of FFs may pad before the marker code
+      while (i + 1 < p.length && (p(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 3 >= p.length) return None
+      val marker = p(i + 1) & 0xff
+      if (marker == 0xd9) return None // EOI before any SOF
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone marker, no length field
+      } else {
+        val len = be2(p, i + 2)
+        if (len < 2) return None
+        if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOFn: len(2) precision(1) height(2) width(2) ...
+          return if (i + 8 < p.length)
+            Some((be2(p, i + 7).toLong, be2(p, i + 5).toLong))
+          else None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Decode image metadata over a media table — the typed
+    * partition-batched driver running the REAL header parsers above.
+    * Output per row: (media_id, format, width, height, n_bytes);
+    * unknown/corrupt payloads report format `unknown` and 0×0 rather
+    * than an error (a 100 TB crawl always contains garbage — decode
+    * failure is data, not an exception).
+    */
+  def decodeImageMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, p) =>
+          val dims = sniffFormat(p) match {
+            case "png" => pngDims(p).map(d => ("png", d._1, d._2))
+            case "jpeg" => jpegDims(p).map(d => ("jpeg", d._1, d._2))
+            case _ => None
+          }
+          val (fmt, w, h) = dims.getOrElse(("unknown", 0L, 0L))
+          (id, fmt, w, h, p.length.toLong)
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "n_bytes")
+  }
+
+  /** Deterministic byte-sum features — the decode FALLBACK for
+    * payloads that sniff as no known image format: 4 "features" from
+    * byte-range sums, one "frame" per 256 bytes. (Former name
+    * `fakeDecode`; it remains the stand-in for pixel-level decode,
+    * which needs codec libraries this container lacks.)
+    */
+  def byteSumFeatures(payload: Array[Byte]): (Long, Array[Double]) = {
     val nFrames = frameCount(payload.length)
     val feat = new Array[Double](4)
     var i = 0
@@ -70,9 +222,34 @@ object Multimodal {
     (nFrames.toLong, feat)
   }
 
+  /** The decode dispatch: sniff the payload's REAL format first. A
+    * recognized image yields one frame and a header-derived feature
+    * vector [width, height, n_bytes, format code] (1=png, 2=jpeg) —
+    * the metadata features a routing/bucketing stage consumes; any
+    * other payload takes the byte-sum fallback. This is the single
+    * decode entry point: [[extractFeatures]] (and q40 through it) runs
+    * every payload through this dispatch.
+    */
+  def decode(payload: Array[Byte]): (Long, Array[Double]) =
+    sniffFormat(payload) match {
+      case "png" => pngDims(payload) match {
+        case Some((w, h)) =>
+          (1L, Array(w.toDouble, h.toDouble, payload.length.toDouble, 1.0))
+        case None => byteSumFeatures(payload)
+      }
+      case "jpeg" => jpegDims(payload) match {
+        case Some((w, h)) =>
+          (1L, Array(w.toDouble, h.toDouble, payload.length.toDouble, 2.0))
+        case None => byteSumFeatures(payload)
+      }
+      case _ => byteSumFeatures(payload)
+    }
+
   /** Partition-batched feature extraction over the media table —
     * typed `Dataset.mapPartitions` (stays inside Tungsten encoding; no
-    * RDD round-trip in the plan), producing [[featureSchema]].
+    * RDD round-trip in the plan), producing [[featureSchema]] via the
+    * [[decode]] dispatch (real sniff + header parse, byte-sum
+    * fallback).
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -81,7 +258,7 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init would go here (codec context, model, …)
         rows.map { case (id, payload) =>
-          val (nFrames, feat) = fakeDecode(payload)
+          val (nFrames, feat) = decode(payload)
           (id, payload.length.toLong, nFrames, feat)
         }
       }

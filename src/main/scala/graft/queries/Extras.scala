@@ -2339,6 +2339,20 @@ object Extras {
     // and the training slice is scanned twice total, never once per
     // constant. Math.log here IS the function Spark's log() codegen
     // calls, and the HALF_UP scale matches round() in both engines.
+    // ULP CAVEAT (shared with the whole q143 micro-nat family): the
+    // cross-engine determinism of round(ln(·)×1e6) rests on DuckDB's
+    // ln() and JVM Math.log agreeing to the last ulp at every .5
+    // rounding boundary the corpus produces. Neither engine documents
+    // correctly-rounded ln; a one-ulp disagreement exactly at a
+    // boundary would flip one weight by 1 micro-nat and fail the
+    // oracle hash. This has never fired (the family is green at every
+    // tested sf) because a boundary hit needs ln(rational)×1e6 to land
+    // within one double-ulp of k+0.5 — measure-zero-ish but not
+    // impossible. The fully-safe alternative — weights as exact
+    // rationals over integer counts, compared via cross-multiplied
+    // BIGINTs — would make per-word weights unsummable (doc score is a
+    // SUM of logs), so the quantized-log form stays, with this caveat
+    // as the documented trade.
     val t0 = tr.agg(coalesce(sum("cp"), lit(0L)),
       coalesce(sum("cn"), lit(0L)), count(lit(1))).head()
     val (tp, tn, nv) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))

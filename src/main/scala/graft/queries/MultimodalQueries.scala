@@ -6,8 +6,12 @@ import graft.multimodal.Multimodal
 import graft.sources.Tables
 
 /** Multimodal-column pipeline exercised end-to-end: binary payload +
-  * typed metadata + partition-batched (stub) decode. The oracle
-  * recomputes the deterministic stub features from the text bytes.
+  * typed metadata + partition-batched decode through
+  * [[Multimodal.decode]]'s REAL format dispatch (magic-number sniff,
+  * PNG/JPEG header parse; byte-sum fallback for unrecognized
+  * payloads — q40/q56's ASCII text payloads all take that branch, so
+  * their oracles recompute the fallback features from the text
+  * bytes; q169 is the image branch's gate).
   *
   * Oracle equivalence note: the Spark path works on UTF-8 payload
   * BYTES (encode + payload.length) while the DuckDB oracle works on
@@ -166,5 +170,69 @@ object MultimodalQueries {
       .select("pair_id", "lang", "label", "n_tokens", "peak_milli")
   }
 
-  val all: Seq[Q] = Seq(q40, q56, q156, q157)
+  /** REAL IMAGE HEADER DECODE — the first thing a VLM-data pipeline
+    * does with a binary column: sniff each payload's actual format by
+    * magic number and extract dimensions from the container structure
+    * (PNG IHDR fixed layout; JPEG via a genuine marker-segment scan —
+    * the synthesized corpus varies each file's COM-segment length and
+    * plants legal FF fill bytes, so fixed-offset reads CANNOT pass;
+    * see [[Multimodal.asImageTable]]/[[Multimodal.jpegDims]]). The
+    * engine parses BYTES ([[Multimodal.decodeImageMeta]], the
+    * documented partition-batched codec path); the oracle builds the
+    * identical hex layout and extracts the same fields by offset
+    * ARITHMETIC over the layout it just built (it knows each file's
+    * segment lengths, so it needs no scan) — a decoder that misreads
+    * any offset, misses a fill byte, or mis-measures a segment
+    * hash-fails. Unknown payloads (raw text bytes) report
+    * ('unknown', 0, 0) — garbage is data at crawl scale, never an
+    * exception.
+    */
+  val q169 = Q("q169_image_header_decode",
+    """WITH img AS (
+      |  SELECT doc_id, text, doc_id % 3 AS m,
+      |    (doc_id % 1000) + 1 AS pw, (doc_id % 777) + 1 AS ph,
+      |    (doc_id % 500) + 1 AS jw, (doc_id % 333) + 1 AS jh,
+      |    (doc_id % 7) + 1 AS k,
+      |    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS fill
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, text, m, k, fill,
+      |    CASE
+      |      WHEN m = 0 THEN
+      |        '89504E470D0A1A0A' || '0000000D' || '49484452'
+      |        || lpad(to_hex(pw), 8, '0') || lpad(to_hex(ph), 8, '0')
+      |        || '0802000000' || '00000000'
+      |      WHEN m = 1 THEN
+      |        'FFD8' || 'FFE00010' || '4A46494600' || '0101' || '00'
+      |        || '0001' || '0001' || '0000'
+      |        || 'FFFE' || lpad(to_hex(k + 2), 4, '0') || repeat('78', k)
+      |        || repeat('FF', fill)
+      |        || 'FFC0' || '0011' || '08'
+      |        || lpad(to_hex(jh), 4, '0') || lpad(to_hex(jw), 4, '0')
+      |        || '03' || '012200' || '021101' || '031101' || 'FFD9'
+      |      ELSE NULL END AS hx
+      |  FROM img)
+      |SELECT doc_id AS media_id,
+      |  CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |    ELSE 'unknown' END AS format,
+      |  CAST(CASE m
+      |    WHEN 0 THEN CAST(('0x' || substr(hx, 33, 8)) AS BIGINT)
+      |    WHEN 1 THEN
+      |      CAST(('0x' || substr(hx, 2 * (24 + k + fill + 7) + 1, 4))
+      |        AS BIGINT)
+      |    ELSE 0 END AS BIGINT) AS width,
+      |  CAST(CASE m
+      |    WHEN 0 THEN CAST(('0x' || substr(hx, 41, 8)) AS BIGINT)
+      |    WHEN 1 THEN
+      |      CAST(('0x' || substr(hx, 2 * (24 + k + fill + 5) + 1, 4))
+      |        AS BIGINT)
+      |    ELSE 0 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN m = 2 THEN len(text)
+      |    ELSE len(hx) // 2 END AS BIGINT) AS n_bytes
+      |FROM h""".stripMargin) { (s, dir) =>
+    Multimodal.decodeImageMeta(
+      Multimodal.asImageTable(Tables(s, dir, "documents")))
+  }
+
+  val all: Seq[Q] = Seq(q40, q56, q156, q157, q169)
 }

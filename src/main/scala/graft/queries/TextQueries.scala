@@ -2337,7 +2337,8 @@ object TextQueries {
        |ranked AS (
        |  SELECT d.doc_id, d.source, cc.comp,
        |    row_number() OVER (PARTITION BY cc.comp
-       |      ORDER BY CAST(substr(d.source, 4) AS INT),
+       |      ORDER BY coalesce(TRY_CAST(substr(d.source, 4) AS INT),
+       |          2147483647),
        |        d.n_chars DESC, d.doc_id) AS rk,
        |    count(*) OVER (PARTITION BY cc.comp) AS sz,
        |    count(DISTINCT d.source) OVER (PARTITION BY cc.comp)
@@ -2354,8 +2355,14 @@ object TextQueries {
     (s, dir) =>
       val pairs = q30.fn(s, dir).select("doc_a", "doc_b").distinct()
       val cc = graft.ops.Components.connected(pairs)
+      // q166's totality hardening applies here too: an unparseable
+      // source suffix ranks least-curated (Int.MaxValue) instead of a
+      // NULL that Spark's ascending window sorts FIRST (most-curated)
+      // while the oracle's bare CAST would error — TRY_CAST+coalesce
+      // keeps both engines total and agreeing
       val d = docs(s, dir).select(col("doc_id"), col("source"),
-        substring(col("source"), 4, 10).cast("int").as("prio"),
+        coalesce(substring(col("source"), 4, 10).cast("int"),
+          lit(Int.MaxValue)).as("prio"),
         col("n_chars"))
       val members = cc.join(d, cc("node") === d("doc_id"))
         .select(col("doc_id"), col("source"), col("prio"),

@@ -257,9 +257,17 @@ final case class Warehouse(root: String) {
     * ONE FILE PER BUCKET under the SAME `bucketBy`/`sortBy` spec, so
     * every downstream bucketed join/aggregation stays exchange-free
     * across the compacted files, then swaps via the crash-safe
-    * tmp-write-and-swap (readers never see a half-compacted table;
-    * the live catalog entry's spec and path are unchanged, so the
-    * swap is invisible to it beyond a metadata refresh).
+    * tmp-write-and-swap. Same honesty note as [[mergeOverwrite]] /
+    * [[compactPartitioned]]: between the live→old and tmp→live renames
+    * there is a local-FS window in which the table path is ABSENT (a
+    * reader holding the pre-swap listing fails; a concurrent lister
+    * sees no table) — run compaction without concurrent readers or
+    * writers; an ACID table format is what removes the window. The
+    * live catalog entry's spec and path are unchanged, so after the
+    * swap a metadata refresh is all a catalog consumer needs. A crash
+    * inside the window leaves a `.old` copy that [[recover]] (called
+    * on entry here and by every store op) restores before anything
+    * else runs.
     *
     * Shuffle-free like [[compact]], via the bucketed SCAN: each scan
     * partition holds exactly one bucket's files, so the bucketed

@@ -1,0 +1,178 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+/** Round-10 additions. The largest block pins the REAL image-header
+  * decoders ([[Multimodal.sniffFormat]]/[[Multimodal.pngDims]]/
+  * [[Multimodal.jpegDims]]) against hand-built byte sequences —
+  * including the adversarial shapes the oracle corpus cannot carry
+  * (truncation mid-header, EOI before SOF, DHT segments that look
+  * like SOF to an off-by-one scanner, progressive SOF2 files, broken
+  * marker streams).
+  */
+class Round10Spec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  // ---- sniffFormat
+
+  test("sniffFormat: full PNG signature required — 7 of 8 bytes is " +
+    "unknown, and JPEG needs SOI plus a third FF") {
+    assert(Multimodal.sniffFormat(hexBytes("89504E470D0A1A0A")) == "png")
+    assert(Multimodal.sniffFormat(hexBytes("89504E470D0A1A")) == "unknown")
+    // PNG sig with one corrupted byte
+    assert(Multimodal.sniffFormat(hexBytes("89504E470D0A1A0B")) == "unknown")
+    assert(Multimodal.sniffFormat(hexBytes("FFD8FF")) == "jpeg")
+    assert(Multimodal.sniffFormat(hexBytes("FFD8")) == "unknown")
+    assert(Multimodal.sniffFormat(hexBytes("FFD800")) == "unknown")
+    assert(Multimodal.sniffFormat(Array.emptyByteArray) == "unknown")
+    assert(Multimodal.sniffFormat("hello".getBytes) == "unknown")
+  }
+
+  // ---- pngDims
+
+  test("pngDims: big-endian IHDR width/height, including values above " +
+    "one byte and above two bytes") {
+    val p = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00012345" + "00000102" + "0802000000" + "00000000")
+    assert(Multimodal.pngDims(p).contains((0x12345L, 0x102L)))
+  }
+
+  test("pngDims: first chunk must be IHDR — a spec-violating file " +
+    "whose first chunk is something else is corrupt, not guessed at") {
+    val p = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484454" + // IHDT
+      "00000001" + "00000001" + "0802000000" + "00000000")
+    assert(Multimodal.pngDims(p).isEmpty)
+  }
+
+  test("pngDims: truncated before the height field is None") {
+    val p = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000001" + "0000") // height cut
+    assert(Multimodal.pngDims(p).isEmpty)
+  }
+
+  // ---- jpegDims
+
+  private def jfifApp0 = "FFE00010" + "4A46494600" + "0101" + "00" +
+    "0001" + "0001" + "0000"
+
+  test("jpegDims: marker scan measures and skips variable segments — " +
+    "dims come out right with 0, 1, and 3 COM segments in the way") {
+    def com(n: Int) = "FFFE" + f"${n + 2}%04X" + "41" * n
+    val sof = "FFC0" + "0011" + "08" + "0064" + "00C8" +
+      "03" + "012200" + "021101" + "031101"
+    for (coms <- Seq("", com(5), com(1) + com(9) + com(200))) {
+      val b = hexBytes("FFD8" + jfifApp0 + coms + sof + "FFD9")
+      assert(Multimodal.jpegDims(b).contains((200L, 100L)),
+        s"failed with COM layout of ${coms.length / 2} bytes")
+    }
+  }
+
+  test("jpegDims: legal fill bytes (padding FFs before a marker) are " +
+    "skipped, not treated as markers") {
+    val b = hexBytes("FFD8" + jfifApp0 + "FFFFFF" + // 2 fill bytes
+      "FFC0" + "0011" + "08" + "0010" + "0020" +
+      "03" + "012200" + "021101" + "031101" + "FFD9")
+    assert(Multimodal.jpegDims(b).contains((32L, 16L)))
+  }
+
+  test("jpegDims: DHT (C4) is NOT a frame header — a scanner matching " +
+    "the C0-CF range without the exclusions would misread it") {
+    // DHT whose payload bytes would parse as plausible dims, then the
+    // real SOF0
+    val dht = "FFC4" + "0008" + "00" + "0011" + "0022" + "00"
+    val b = hexBytes("FFD8" + jfifApp0 + dht +
+      "FFC0" + "0011" + "08" + "0040" + "0080" +
+      "03" + "012200" + "021101" + "031101" + "FFD9")
+    assert(Multimodal.jpegDims(b).contains((128L, 64L)))
+  }
+
+  test("jpegDims: progressive JPEG (SOF2) parses like baseline") {
+    val b = hexBytes("FFD8" + jfifApp0 +
+      "FFC2" + "0011" + "08" + "0300" + "0400" +
+      "03" + "012200" + "021101" + "031101" + "FFD9")
+    assert(Multimodal.jpegDims(b).contains((0x400L, 0x300L)))
+  }
+
+  test("jpegDims: standalone markers (RSTn, TEM) carry no length and " +
+    "are stepped over, not mis-measured") {
+    val b = hexBytes("FFD8" + "FF01" + "FFD0" + jfifApp0 +
+      "FFC0" + "0011" + "08" + "0002" + "0003" +
+      "03" + "012200" + "021101" + "031101" + "FFD9")
+    assert(Multimodal.jpegDims(b).contains((3L, 2L)))
+  }
+
+  test("jpegDims: corrupt streams are None, never a crash or a junk " +
+    "dimension — EOI before SOF, truncation mid-header, broken marker " +
+    "stream, segment length below 2") {
+    // EOI before any SOF
+    assert(Multimodal.jpegDims(hexBytes("FFD8" + jfifApp0 + "FFD9")).isEmpty)
+    // truncated inside the SOF header (height half-present)
+    assert(Multimodal.jpegDims(
+      hexBytes("FFD8" + jfifApp0 + "FFC0" + "0011" + "08" + "00")).isEmpty)
+    // a non-FF byte where a marker must be
+    assert(Multimodal.jpegDims(hexBytes("FFD8" + "00C0" + "0011")).isEmpty)
+    // segment length 0 would loop forever in a naive scanner
+    assert(Multimodal.jpegDims(hexBytes("FFD8" + "FFFE" + "0000" + "00")).isEmpty)
+    // empty / SOI-only
+    assert(Multimodal.jpegDims(hexBytes("FFD8")).isEmpty)
+  }
+
+  // ---- decode dispatch
+
+  test("decode dispatch: an image payload yields header features " +
+    "(w, h, bytes, format code) and one frame; a corrupt image falls " +
+    "back to byte-sum features; text takes the fallback") {
+    val png = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000020" + "00000010" + "0802000000" + "00000000")
+    val (pf, pfeat) = Multimodal.decode(png)
+    assert(pf == 1L && pfeat.sameElements(
+      Array(32.0, 16.0, png.length.toDouble, 1.0)))
+    val jpeg = hexBytes("FFD8" + jfifApp0 +
+      "FFC0" + "0011" + "08" + "0010" + "0020" +
+      "03" + "012200" + "021101" + "031101" + "FFD9")
+    val (jf, jfeat) = Multimodal.decode(jpeg)
+    assert(jf == 1L && jfeat.sameElements(
+      Array(32.0, 16.0, jpeg.length.toDouble, 2.0)))
+    // JPEG magic but EOI before SOF: sniffs jpeg, dims fail, fallback
+    val broken = hexBytes("FFD8" + "FFFE" + "0004" + "4142" + "FFD9")
+    val (bf, bfeat) = Multimodal.decode(broken)
+    val (ef, efeat) = Multimodal.byteSumFeatures(broken)
+    assert(bf == ef && bfeat.sameElements(efeat))
+    val text = "plain ascii text".getBytes
+    val (tf, tfeat) = Multimodal.decode(text)
+    val (xf, xfeat) = Multimodal.byteSumFeatures(text)
+    assert(tf == xf && tfeat.sameElements(xfeat))
+  }
+
+  test("q169 corpus round-trip: every synthesized payload's parsed " +
+    "dims equal the generator arithmetic, and the plan is map-only " +
+    "(no exchange — decode is embarrassingly parallel)") {
+    val media = Multimodal.asImageTable(
+      graft.sources.Tables(spark, sf, "documents"))
+    val out = Multimodal.decodeImageMeta(media)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"decode must not shuffle:\n$plan")
+    out.collect().foreach { r =>
+      val (id, fmt, w, h) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      id % 3 match {
+        case 0 =>
+          assert(fmt == "png" && w == id % 1000 + 1 && h == id % 777 + 1,
+            s"png $id: $fmt $w x $h")
+        case 1 =>
+          assert(fmt == "jpeg" && w == id % 500 + 1 && h == id % 333 + 1,
+            s"jpeg $id: $fmt $w x $h")
+        case _ =>
+          assert(fmt == "unknown" && w == 0 && h == 0,
+            s"unknown $id: $fmt $w x $h")
+      }
+    }
+  }
+}

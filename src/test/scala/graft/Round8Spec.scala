@@ -40,14 +40,28 @@ class Round8Spec extends SparkSpec {
     "dependence)") {
     // cloned session: its own SQLConf, so the 7/13-partition setting
     // can never leak into a concurrently running suite (all suites
-    // share one lazy session)
+    // share one lazy session). A fresh Materialized/SessionScratch
+    // nonce per partition setting forces the clone to rebuild its FULL
+    // lineage under that conf — without it the clone would reuse
+    // artifacts the base session persisted (both key by applicationId,
+    // which clones share) and only downstream stages would actually
+    // run at the altered partition count.
     val base = rows(queries.SimQueries.q128.fn(spark, sf))
     val clone = spark.newSession()
     def run(): Set[Seq[Any]] = rows(queries.SimQueries.q128.fn(clone, sf))
-    clone.conf.set("spark.sql.shuffle.partitions", "7")
-    assert(run() == base, "result changed with 7 shuffle partitions")
-    clone.conf.set("spark.sql.shuffle.partitions", "13")
-    assert(run() == base, "result changed with 13 shuffle partitions")
+    def atPartitions(n: Int): Set[Seq[Any]] = {
+      clone.conf.set("spark.sql.shuffle.partitions", n.toString)
+      Materialized.setNonceForTests(clone, s"q128inv$n")
+      SessionScratch.setNonceForTests(clone, s"q128inv$n")
+      try run()
+      finally {
+        Materialized.clear(clone) // clears ONLY the nonce scope
+        Materialized.clearNonceForTests(clone)
+        SessionScratch.clearNonceForTests(clone)
+      }
+    }
+    assert(atPartitions(7) == base, "result changed with 7 shuffle partitions")
+    assert(atPartitions(13) == base, "result changed with 13 shuffle partitions")
   }
 
   test("semanticDedup operator: corpus-sized quantizer (cellsFor/" +
@@ -1015,13 +1029,24 @@ class Round8Spec extends SparkSpec {
   test("q160: selection is invariant under shuffle-partition count " +
     "(hash order is global, bucket decomposition leaves no " +
     "partition-order dependence)") {
-    // cloned session (own SQLConf) — see the q128 invariance test
+    // cloned session (own SQLConf) + per-setting cache nonce so the
+    // full lineage rebuilds under each conf — see the q128 invariance
+    // test for why the nonce matters
     val base = rows(queries.Extras.q160.fn(spark, sf))
     val clone = spark.newSession()
     def run(): Set[Seq[Any]] = rows(queries.Extras.q160.fn(clone, sf))
-    clone.conf.set("spark.sql.shuffle.partitions", "7")
-    assert(run() == base, "result changed with 7 shuffle partitions")
-    clone.conf.set("spark.sql.shuffle.partitions", "13")
-    assert(run() == base, "result changed with 13 shuffle partitions")
+    def atPartitions(n: Int): Set[Seq[Any]] = {
+      clone.conf.set("spark.sql.shuffle.partitions", n.toString)
+      Materialized.setNonceForTests(clone, s"q160inv$n")
+      SessionScratch.setNonceForTests(clone, s"q160inv$n")
+      try run()
+      finally {
+        Materialized.clear(clone)
+        Materialized.clearNonceForTests(clone)
+        SessionScratch.clearNonceForTests(clone)
+      }
+    }
+    assert(atPartitions(7) == base, "result changed with 7 shuffle partitions")
+    assert(atPartitions(13) == base, "result changed with 13 shuffle partitions")
   }
 }

@@ -134,10 +134,10 @@ class TextSimSpec extends SparkSpec {
     Materialized.clear(spark)
   }
 
-  test("multimodal fakeDecode: deterministic features and frames") {
+  test("multimodal byteSumFeatures: deterministic features and frames") {
     import graft.multimodal.Multimodal
     val payload = "abcdabcd".getBytes("UTF-8")
-    val (frames, feat) = Multimodal.fakeDecode(payload)
+    val (frames, feat) = Multimodal.byteSumFeatures(payload)
     assert(frames == 1L)
     assert(math.abs(feat(0) - 2 * 'a'.toInt / 255.0) < 1e-12)
     assert(math.abs(feat(3) - 2 * 'd'.toInt / 255.0) < 1e-12)
