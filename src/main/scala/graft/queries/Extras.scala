@@ -2519,6 +2519,121 @@ object Extras {
     (b1, b2, b3, bpeContract(st2, b3))
   }
 
+  /** GENERALIZED BPE TRAINING — the [[q163]] machinery behind a
+    * driver-side loop of `k` merge rounds, the shape a production
+    * vocab build (thousands of merges) actually runs. Per round: one
+    * vocab-grain job (pair explode + partial-aggregated count + 1-row
+    * top) whose winning pair is pulled to the DRIVER — a BOUNDED pull
+    * of exactly one row per merge, k rows total (the audited
+    * bounded-pull pattern; the merge table is precisely the artifact
+    * a tokenizer build persists, so materializing it row-by-row on
+    * the driver is the production contract, not a shortcut) — then
+    * one map-only contraction of the symbol frame with the pair as
+    * literal constants. Every `checkpointEvery` rounds the frame's
+    * ANALYZED LINEAGE is truncated by rebasing it on its own row RDD
+    * (persisted eagerly, released before return): the contraction
+    * otherwise stacks one replace per merge and Catalyst re-analyzes
+    * the whole chain each round — O(k²) planning across the loop.
+    * (Not `localCheckpoint`: its internal RDD is persisted OUTSIDE
+    * the CacheManager and `Dataset.unpersist` cannot release it —
+    * the rebase keeps the cut releasable, which the round-10 leak
+    * spec pins.)
+    *
+    * Scale: after [[bpeS0]] collapses the corpus ONCE, every round
+    * costs O(vocab · word_len) regardless of corpus size — per-merge
+    * cost is flat in the corpus (SCALE.md pins this at f=1/8), so
+    * k=50k merges on 100 TB costs the same loop as k=16 here plus
+    * the one-time corpus collapse. Stops early (returning the merges
+    * learned so far) if the vocabulary runs out of adjacent pairs.
+    */
+  def bpeTrain(s: SparkSession, dir: String, k: Int,
+      checkpointEvery: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    var frame = bpeS0(s, dir)
+    val checkpoints = scala.collection.mutable.Buffer[DataFrame]()
+    val merges = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
+    var it = 1
+    var exhausted = false
+    while (it <= k && !exhausted) {
+      val best = bpeBestPair(frame).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, total) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((it.toLong, a, b, total))
+        frame = frame.withColumn("sq",
+          replace(col("sq"), lit(s" $a  $b "), lit(s" $a$b ")))
+        if (it % checkpointEvery == 0) {
+          val cut = s.createDataFrame(frame.rdd, frame.schema).persist()
+          cut.count() // eager: materialize before the old lineage drops
+          checkpoints += cut
+          frame = cut
+        }
+        it += 1
+      }
+    }
+    // the loop's decisions are already on the driver; the checkpointed
+    // frames are scratch — release their blocks before returning so a
+    // registry consumer (Bench hygiene) never sees them as leaks
+    val out = s.createDataFrame(merges.toSeq)
+      .toDF("it", "sym_a", "sym_b", "total")
+    checkpoints.foreach(_.unpersist(false))
+    out
+  }
+
+  /** The [[q170]] oracle, generated mechanically: the [[bpeSqlCte]]
+    * stage template unrolled `k` times. Stages are MATERIALIZED —
+    * each s_i is referenced twice (by p_{i+1} and s_{i+1}), so the
+    * default inlining re-evaluates the chain 2^k times (k=16 ran out
+    * of file handles before it ran out of time); materialization
+    * makes the oracle linear in k like the engine loop.
+    */
+  private def bpeSqlCteK(k: Int): String = {
+    val head =
+      """wf AS (
+        |  SELECT w, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |        FROM documents) t
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |s0 AS MATERIALIZED (
+        |  SELECT w, freq, ' ' || array_to_string(
+        |    list_transform(range(1, length(w) + 1),
+        |      i -> w[CAST(i AS INT)]), '  ') || ' ' AS sq
+        |  FROM wf)""".stripMargin
+    val stages = (1 to k).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS (
+         |  SELECT ar[CAST(i AS INT)] AS a, ar[CAST(i+1 AS INT)] AS b,
+         |    CAST(sum(freq) AS BIGINT) AS total
+         |  FROM (SELECT freq, string_split(trim(sq), '  ') AS ar
+         |        FROM $prev) x,
+         |    UNNEST(range(1, len(ar))) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT a, b, total FROM p$i
+         |  ORDER BY total DESC, a, b LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT $prev.w, $prev.freq,
+         |    replace($prev.sq, ' ' || b$i.a || '  ' || b$i.b || ' ',
+         |      ' ' || b$i.a || b$i.b || ' ') AS sq
+         |  FROM $prev CROSS JOIN b$i)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  /** Deep BPE training, oracle-gated at k=16: the driver-loop
+    * [[bpeTrain]] against the mechanically unrolled 16-stage oracle.
+    * b1-b3 coincide with [[q163]] by construction (same machinery),
+    * which the round-10 spec also pins against a from-scratch Scala
+    * recomputation of all 16 merges.
+    */
+  val q170 = Q("q170_bpe_train_deep",
+    s"""WITH ${bpeSqlCteK(16)}
+       |${(1 to 16).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS it, a AS sym_a, b AS sym_b, " +
+            s"total FROM b$i").mkString("\nUNION ALL ")}""".stripMargin) {
+    (s, dir) => bpeTrain(s, dir, 16)
+  }
+
   val q163 = Q("q163_bpe_train",
     s"""WITH $bpeSqlCte
       |SELECT CAST(1 AS BIGINT) AS it, a AS sym_a, b AS sym_b, total
@@ -2575,5 +2690,5 @@ object Extras {
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
     q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147,
-    q152, q153, q155, q159, q160, q161, q162, q163, q164)
+    q152, q153, q155, q159, q160, q161, q162, q163, q164, q170)
 }

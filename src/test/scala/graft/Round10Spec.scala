@@ -150,6 +150,92 @@ class Round10Spec extends SparkSpec {
     assert(tf == xf && tfeat.sameElements(xfeat))
   }
 
+  // ---- generalized BPE training
+
+  /** From-scratch BPE over a (word -> freq) map: greedy
+    * left-to-right non-overlapping contraction, ties (total desc,
+    * a, b) — an independent reimplementation sharing NO code with
+    * the engine's vocab-grain formulation.
+    */
+  private def bpeReference(wordFreq: Map[String, Long],
+      k: Int): Seq[(Long, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      wordFreq.groupMapReduce { case (w, _) =>
+        w.toVector.map(_.toString)
+      } { case (_, f) => f }(_ + _)
+    val out = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
+    var it = 1
+    var done = false
+    while (it <= k && !done) {
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- vocab; Vector(a, b) <- syms.sliding(2))
+        pairs((a, b)) = pairs.getOrElse((a, b), 0L) + f
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), tot) = pairs.minBy { case ((x, y), t) => (-t, x, y) }
+        out += ((it.toLong, a, b, tot))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val r = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              r += a + b; i += 2
+            } else { r += syms(i); i += 1 }
+          }
+          r.result()
+        } { case (_, f) => f }(_ + _)
+        it += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain k=16: the driver-loop merges equal a from-scratch " +
+    "Scala recomputation, and the first three equal q163's unrolled " +
+    "chain") {
+    val wf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = bpeReference(wf, 16)
+    assert(expected.size == 16, s"corpus exhausted at ${expected.size}")
+    val got = queries.Extras.bpeTrain(spark, sf, 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == expected,
+      s"driver-loop diverged from reference:\n$got\nvs\n$expected")
+    val q163First3 = queries.Extras.q163.fn(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got.take(3) == q163First3,
+      "loop head must coincide with the unrolled 3-merge chain")
+  }
+
+  test("bpeTrain: stops early (returning learned merges) when the " +
+    "vocabulary runs out of adjacent pairs, and checkpointed frames " +
+    "are released") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // tiny synthetic dir is overkill — exhaustion is reachable on the
+    // real corpus by asking for far more merges than symbol pairs
+    // exist; sf0.001's vocab has < 200 possible merges
+    val m = queries.Extras.bpeTrain(spark, sf, 10000, checkpointEvery = 7)
+      .collect()
+    assert(m.length < 10000 && m.length >= 16,
+      s"expected exhaustion between 16 and 10000 merges: ${m.length}")
+    // every word fully merged: the final merge set, replayed over the
+    // vocab, must leave no length-2 windows — spot-check via counts
+    // being strictly decreasing in total
+    val totals = m.map(_.getLong(3))
+    assert(totals.forall(_ >= 1))
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      "bpeTrain leaked checkpointed RDD blocks")
+  }
+
   test("q169 corpus round-trip: every synthesized payload's parsed " +
     "dims equal the generator arithmetic, and the plan is map-only " +
     "(no exchange — decode is embarrassingly parallel)") {
