@@ -2442,9 +2442,240 @@ object TextQueries {
       .select("doc_id", "source", "fp")
   }
 
+  /** TRAINED char-trigram LANGUAGE CLASSIFIER — the fastText/CLD-style
+    * upgrade over [[q33]]'s fixed marker list: a multi-class Naive
+    * Bayes over character 3-grams, trained on the corpus's labeled
+    * `lang` column with [[Extras.q162]]'s integer micro-nat machinery
+    * (every log INDEPENDENTLY quantized to round(ln·10⁶) before any
+    * sum, so both engines add identical integers; same documented ulp
+    * caveat). Argmax ties break alphabetically (de,en,es,fr,zh) via
+    * the ordered >= CASE chain, mirrored exactly in the oracle, so
+    * the decision is total and engine-deterministic. Output: the
+    * confusion matrix (lang, pred_lang, n) — q33's output shape, so
+    * the two classifiers compare row-for-row.
+    *
+    * EVALUATION HONESTY: this corpus's lang labels are synthetic
+    * noise — a measured 80/20 split shows the trained model does NOT
+    * generalize (28% held-out vs the heuristic's 32%; the round-10
+    * spec documents the measurement), so the oracle gates the
+    * in-sample train+score contract (NB 288/500 vs heuristic
+    * 160/500 at sf0.01), i.e. the MACHINERY — vocab-grain counts,
+    * quantization, argmax totality — not linguistic generalization,
+    * which needs real multilingual text.
+    *
+    * Shape: one corpus gram pass collapsing to GRAM grain (char
+    * trigram vocab is alphabet-bounded — constant as the corpus
+    * grows); class totals, vocab size, doc priors are SIX driver
+    * longs (bounded pull); the weight table broadcasts (V rows);
+    * scoring is one more gram pass + a doc-grain aggregate; the
+    * confusion collapses to (lang, pred) grain. No corpus-grain
+    * shuffle beyond the doc-grain aggregate — the q162 family shape,
+    * multi-class.
+    */
+  val q171 = Q("q171_trained_langid",
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, greatest(len(text) - 1, 1)),
+      |      i -> substr(text, CAST(i AS INT), 3))) AS g
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT g,
+      |    count(*) FILTER (WHERE lang = 'de') AS c_de,
+      |    count(*) FILTER (WHERE lang = 'en') AS c_en,
+      |    count(*) FILTER (WHERE lang = 'es') AS c_es,
+      |    count(*) FILTER (WHERE lang = 'fr') AS c_fr,
+      |    count(*) FILTER (WHERE lang = 'zh') AS c_zh
+      |  FROM tok GROUP BY g),
+      |tots AS (
+      |  SELECT sum(c_de) AS t_de, sum(c_en) AS t_en, sum(c_es) AS t_es,
+      |    sum(c_fr) AS t_fr, sum(c_zh) AS t_zh, count(*) AS v
+      |  FROM cnt),
+      |nd AS (
+      |  SELECT count(*) FILTER (WHERE lang = 'de') AS n_de,
+      |    count(*) FILTER (WHERE lang = 'en') AS n_en,
+      |    count(*) FILTER (WHERE lang = 'es') AS n_es,
+      |    count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+      |    count(*) FILTER (WHERE lang = 'zh') AS n_zh,
+      |    count(*) AS n
+      |  FROM documents),
+      |wt AS (
+      |  SELECT g,
+      |    CAST(round(ln((c_de + 1.0) / (t.t_de + t.v)) * 1000000)
+      |      AS BIGINT) AS u_de,
+      |    CAST(round(ln((c_en + 1.0) / (t.t_en + t.v)) * 1000000)
+      |      AS BIGINT) AS u_en,
+      |    CAST(round(ln((c_es + 1.0) / (t.t_es + t.v)) * 1000000)
+      |      AS BIGINT) AS u_es,
+      |    CAST(round(ln((c_fr + 1.0) / (t.t_fr + t.v)) * 1000000)
+      |      AS BIGINT) AS u_fr,
+      |    CAST(round(ln((c_zh + 1.0) / (t.t_zh + t.v)) * 1000000)
+      |      AS BIGINT) AS u_zh
+      |  FROM cnt CROSS JOIN tots t),
+      |pr AS (
+      |  SELECT
+      |    CAST(round(ln(CAST(n_de AS DOUBLE) / n) * 1000000) AS BIGINT)
+      |      AS p_de,
+      |    CAST(round(ln(CAST(n_en AS DOUBLE) / n) * 1000000) AS BIGINT)
+      |      AS p_en,
+      |    CAST(round(ln(CAST(n_es AS DOUBLE) / n) * 1000000) AS BIGINT)
+      |      AS p_es,
+      |    CAST(round(ln(CAST(n_fr AS DOUBLE) / n) * 1000000) AS BIGINT)
+      |      AS p_fr,
+      |    CAST(round(ln(CAST(n_zh AS DOUBLE) / n) * 1000000) AS BIGINT)
+      |      AS p_zh
+      |  FROM nd),
+      |sc AS (
+      |  SELECT tok.doc_id, tok.lang,
+      |    sum(wt.u_de) + min(pr.p_de) AS s_de,
+      |    sum(wt.u_en) + min(pr.p_en) AS s_en,
+      |    sum(wt.u_es) + min(pr.p_es) AS s_es,
+      |    sum(wt.u_fr) + min(pr.p_fr) AS s_fr,
+      |    sum(wt.u_zh) + min(pr.p_zh) AS s_zh
+      |  FROM tok JOIN wt USING (g) CROSS JOIN pr
+      |  GROUP BY tok.doc_id, tok.lang),
+      |p AS (
+      |  SELECT lang, CASE
+      |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+      |     AND s_de >= s_zh THEN 'de'
+      |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |    WHEN s_fr >= s_zh THEN 'fr'
+      |    ELSE 'zh' END AS pred_lang
+      |  FROM sc)
+      |SELECT lang, pred_lang, count(*) AS n
+      |FROM p GROUP BY lang, pred_lang""".stripMargin) { (s, dir) =>
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+    // char trigrams via sequence+transform HOFs (in-row, codegen'd);
+    // the length guard matters: sequence(1, L-2) with L < 3 would
+    // COUNT DOWN (negative default step), minting phantom grams
+    def toks(df: DataFrame): DataFrame = df.select(
+      col("doc_id"), col("lang"),
+      explode(when(length(col("text")) >= 3,
+        transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val tok = toks(d)
+    // ONE training pass to GRAM grain: per-gram counts for all five
+    // classes in the same aggregate (the q162 joint-vocab device,
+    // multi-class)
+    val cnt = graft.Materialized(s, s"langid_cnt:$dir") {
+      tok.groupBy("g").agg(
+        count(when(col("lang") === langs.head, 1)).as(s"c_${langs.head}"),
+        langs.tail.map(l =>
+          count(when(col("lang") === l, 1)).as(s"c_$l")): _*)
+    }
+    // model constants: 5 class totals + vocab size + 5 doc counts +
+    // corpus size — twelve driver longs (the audited bounded-pull
+    // pattern), so neither the weight table nor scoring crossJoins
+    val t0 = cnt.agg(
+      sum(s"c_${langs.head}"),
+      langs.tail.map(l => sum(s"c_$l").as(s"t_$l")) :+ count(lit(1)): _*)
+      .head()
+    val tot = langs.zipWithIndex.map { case (l, i) => l -> t0.getLong(i) }.toMap
+    val v = t0.getLong(langs.size)
+    val d0 = d.agg(
+      count(when(col("lang") === langs.head, 1)),
+      langs.tail.map(l => count(when(col("lang") === l, 1))) :+
+        count(lit(1)): _*)
+      .head()
+    val nd = langs.zipWithIndex.map { case (l, i) => l -> d0.getLong(i) }.toMap
+    val n = d0.getLong(langs.size)
+    def micro(x: Double): Long = BigDecimal(math.log(x) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val prior = langs.map(l => l -> micro(nd(l).toDouble / n)).toMap
+    val wt = cnt.select(col("g") +: langs.map(l =>
+      round(log((col(s"c_$l") + lit(1.0)) / lit((tot(l) + v).toDouble))
+        * 1000000).cast("long").as(s"u_$l")): _*)
+    val sc = tok.join(broadcast(wt), Seq("g"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(s"u_${langs.head}").as(s"s_${langs.head}"),
+        langs.tail.map(l => sum(s"u_$l").as(s"s_$l")): _*)
+      .select(col("doc_id") +: col("lang") +: langs.map(l =>
+        (col(s"s_$l") + lit(prior(l))).as(s"s_$l")): _*)
+    val pred = when(col("s_de") >= col("s_en") &&
+        col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+        col("s_de") >= col("s_zh"), "de")
+      .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+        col("s_en") >= col("s_zh"), "en")
+      .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+      .when(col("s_fr") >= col("s_zh"), "fr")
+      .otherwise("zh")
+    sc.withColumn("pred_lang", pred)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+  }
+
+  /** HTML STRIP round-trip — [[graft.text.TextOps.htmlToText]] gated
+    * end-to-end: the corpus carries no markup, so each doc is wrapped
+    * IN-QUERY into a full HTML page (the [[q50]] synthesis device,
+    * identical string in both engines): DOCTYPE, head with title +
+    * style + a script whose body contains ENTITIES that must not leak
+    * (`1 &lt; 2`, `"&amp;"`), a comment containing fake markup, body
+    * attributes, and the doc's text with every space entity-encoded
+    * as `&nbsp;` — so tag removal, block-content removal, comment
+    * handling, entity decoding, and whitespace collapse are ALL on
+    * the path from html back to the original text. Output pins
+    * `stripped == text` (ok), the stripped md5 (bit-identical
+    * extraction across engines), and the before/after lengths.
+    * Map-only — one projection chain, no shuffle at any scale.
+    */
+  val q172 = Q("q172_html_strip",
+    """WITH h AS (
+      |  SELECT doc_id, text,
+      |    '<!DOCTYPE html><html><head><title>d' || doc_id ||
+      |    '</title><style>p { margin: 0; }</style>' ||
+      |    '<script>if (1 &lt; 2) { x = "&amp;"; }</script></head>' ||
+      |    '<body id="b' || doc_id || '"><!-- <p>not text</p> -->' ||
+      |    '<p class="t">' || replace(text, ' ', '&nbsp;') ||
+      |    '</p><br/></body></html>' AS html
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, text, html,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
+      |                '(?is)<script[^>]*>.*?</script>', '', 'g'),
+      |              '(?is)<style[^>]*>.*?</style>', '', 'g'),
+      |            '(?is)<title[^>]*>.*?</title>', '', 'g'),
+      |          '<[^>]+>', ' ', 'g'),
+      |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      |        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+      |      '\s+', ' ', 'g')) AS stripped
+      |  FROM h)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN stripped = text THEN 1 ELSE 0 END AS BIGINT)
+      |    AS ok,
+      |  md5(stripped) AS text_md5,
+      |  CAST(len(html) AS BIGINT) AS n_html_chars,
+      |  CAST(len(stripped) AS BIGINT) AS n_text_chars
+      |FROM s""".stripMargin) { (s, dir) =>
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><title>d"),
+      col("doc_id").cast("string"),
+      lit("</title><style>p { margin: 0; }</style>" +
+        "<script>if (1 &lt; 2) { x = \"&amp;\"; }</script></head>" +
+        "<body id=\"b"),
+      col("doc_id").cast("string"),
+      lit("\"><!-- <p>not text</p> --><p class=\"t\">"),
+      replace(col("text"), lit(" "), lit("&nbsp;")),
+      lit("</p><br/></body></html>"))
+    docs(s, dir)
+      .select(col("doc_id"), col("text"), html.as("html"))
+      .withColumn("stripped", TextOps.htmlToText(col("html")))
+      .select(col("doc_id"),
+        when(col("stripped") === col("text"), 1L).otherwise(0L).as("ok"),
+        md5(col("stripped")).as("text_md5"),
+        length(col("html")).cast("long").as("n_html_chars"),
+        length(col("stripped")).cast("long").as("n_text_chars"))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
-      q141, q144, q148, q149, q150, q151, q166, q167, q168)
+      q141, q144, q148, q149, q150, q151, q166, q167, q168, q171, q172)
 }

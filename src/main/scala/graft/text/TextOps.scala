@@ -24,6 +24,38 @@ object TextOps {
   /** Whitespace tokens (single-space corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** HTML/markup → text extraction — the step BEFORE boilerplate
+    * n-gram removal in CCNet/RefinedWeb-style web pipelines: drop
+    * comments and content-bearing metadata blocks (script/style/
+    * title) WITH their contents, turn every remaining tag into a
+    * space, decode the common entities, collapse whitespace. A
+    * regexp_replace/replace chain — pure codegen'd expressions, no
+    * UDF, map-only at any scale.
+    *
+    * Correctness-critical ordering, spec-pinned:
+    *  - comments drop FIRST, so markup inside a comment
+    *    (`<!-- <p> -->`) never leaks a stray tag or text;
+    *  - script/style/title drop with CONTENT before generic tag
+    *    removal (their bodies are code/metadata, not text — and may
+    *    contain entities that must not decode into the output);
+    *  - `&amp;` decodes LAST: HTML's double-escape `&amp;lt;` must
+    *    yield the literal text `&lt;`, not `<` — decoding `&amp;`
+    *    first would double-decode it (the classic extractor bug);
+    *  - no backreferences in any pattern (`</\1>`-style), keeping
+    *    the chain portable to RE2-based engines (the DuckDB oracle).
+    */
+  def htmlToText(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", "")
+    val noBlocks = Seq("script", "style", "title").foldLeft(noComments) {
+      (c, t) => regexp_replace(c, s"(?is)<$t[^>]*>.*?</$t>", "")
+    }
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Character k-gram shingle at position column `i` (1-based). */
   def shingleAt(text: Column, i: Column, k: Int): Column =
     text.substr(i, lit(k))

@@ -150,6 +150,79 @@ class Round10Spec extends SparkSpec {
     assert(tf == xf && tfeat.sameElements(xfeat))
   }
 
+  // ---- HTML strip
+
+  test("htmlToText: double-escaped entities yield literal entity " +
+    "text (&amp;lt; is the TEXT '&lt;', never '<'), comments drop " +
+    "their fake markup, block contents never leak, unknown entities " +
+    "survive untouched") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val cases = Seq(
+      // classic double-escape: decoding &amp; first would break this
+      ("<p>a &amp;lt; b</p>", "a &lt; b"),
+      ("<p>x &amp; y &lt; z</p>", "x & y < z"),
+      // comment containing markup and entities contributes NOTHING
+      ("before<!-- <script>alert(1)</script> &amp; --> after",
+        "before after"),
+      // script/style/title bodies drop entirely, entities inside too
+      ("<script>if (a &lt; b) { }</script>text", "text"),
+      ("<style>p:before { content: \"&gt;\"; }</style>text", "text"),
+      ("<title>Page &amp; Co</title>body", "body"),
+      // unknown named entity is preserved as literal text
+      ("<p>caf&eacute;</p>", "caf&eacute;"),
+      // attributes with > inside quotes are NOT handled (documented
+      // regex-extractor limit) but plain attributes strip clean
+      ("<a href=\"x\" data-k='v'>link</a>", "link"),
+      // tag runs become single spaces, never concatenated words
+      ("<div><p>one</p><p>two</p></div>", "one two"),
+      ("  <br/> padded   <hr>  ", "padded"),
+      ("&nbsp;&nbsp;a&nbsp;b&nbsp;&nbsp;", "a b"),
+      ("", ""))
+    val got = cases.map(_._1).toDF("html")
+      .select(TextOps.htmlToText(col("html"))).as[String].collect()
+    cases.zip(got).foreach { case ((in, want), out) =>
+      assert(out == want, s"htmlToText($in) = '$out', want '$want'")
+    }
+  }
+
+  test("q172: the round-trip flag is 1 for EVERY synthesized doc — " +
+    "the strip chain recovers the exact original text (vacuity guard " +
+    "for the oracle gate)") {
+    val rows = queries.TextQueries.q172.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) == 1L),
+      "some doc failed the html->text round-trip")
+    // the synthesis genuinely inflates the doc (tags + entities) —
+    // stripping removed real markup, not a no-op
+    assert(rows.forall(r => r.getLong(3) > r.getLong(4)),
+      "html must be strictly longer than the stripped text")
+  }
+
+  // ---- trained language classifier
+
+  test("q171: the trained char-trigram NB agrees with the lang labels " +
+    "strictly more often than q33's marker heuristic, and the " +
+    "confusion matrix reconciles to the corpus") {
+    def diag(rows: Array[org.apache.spark.sql.Row]): Long =
+      rows.filter(r => r.getString(0) == r.getString(1))
+        .map(_.getLong(2)).sum
+    val nb = queries.TextQueries.q171.fn(spark, sf).collect()
+    val heur = queries.TextQueries.q33.fn(spark, sf).collect()
+    val (nbAcc, hAcc) = (diag(nb), diag(heur))
+    assert(nbAcc > hAcc,
+      s"trained classifier ($nbAcc) must beat the marker heuristic " +
+        s"($hAcc) in-sample")
+    // every gram-bearing doc classified exactly once
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length(col("text")) >= 3).count()
+    assert(nb.map(_.getLong(2)).sum == docs,
+      "confusion matrix must cover the corpus")
+    // prediction column is total: only real labels appear
+    assert(nb.map(_.getString(1)).toSet
+      .subsetOf(Set("de", "en", "es", "fr", "zh")))
+  }
+
   // ---- generalized BPE training
 
   /** From-scratch BPE over a (word -> freq) map: greedy
