@@ -618,6 +618,28 @@ object SimQueries {
     * repeats reuse it.
     */
   val q108 = Q("q108_stored_ann_ivf", q48.oracle.get) { (s, dir) =>
+    storedAnnIvf(s, dir, collectCells = true)
+  }
+
+  /** q108's probe path with a CELL-SET STRATEGY knob. `collectCells =
+    * true` (the registry default): the probed cell ids — bounded by
+    * |queries|·nProbe — are pulled to the driver and inlined as a
+    * scan filter, buying STATIC bucket pruning (the scan reads only
+    * probed buckets; I/O tracks the probe set, not the corpus).
+    * false: the NO-COLLECT form for query sets that outgrow the
+    * driver contract — the cell set stays distributed and the
+    * broadcast probe join itself does the cell filtering, zero driver
+    * round-trip. The trade, stated: without the inlined ids the scan
+    * cannot statically prune buckets, so the store pays a full (still
+    * bucketed, exchange-free) read; at 100 TB you pick per query-set
+    * size — driver-bounded probes take the pruned scan, streaming or
+    * million-query batches take the join form. Results are identical
+    * by construction (the inner join filters exactly the probed
+    * cells); the round-10 spec pins row identity and that the
+    * no-collect plan carries no literal cell list.
+    */
+  private[graft] def storedAnnIvf(s: SparkSession, dir: String,
+      collectCells: Boolean): DataFrame = {
     val cent = Similarity.centroidTable(s, K, D)
     def emb = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
@@ -634,9 +656,12 @@ object SimQueries {
         cent, NProbe)
       .select(col("cid"), col("vec_id").as("qid"),
         col("embedding").as("qe"), col("nrm").as("qn"))
-    val probedCells = probes.select("cid").distinct()
-      .collect().map(_.getLong(0)).toSeq // ≤ |queries|·nProbe values
-    val corp = s.table(table).filter(col("cid").isin(probedCells: _*))
+    val corp =
+      if (collectCells) {
+        val probedCells = probes.select("cid").distinct()
+          .collect().map(_.getLong(0)).toSeq // ≤ |queries|·nProbe values
+        s.table(table).filter(col("cid").isin(probedCells: _*))
+      } else s.table(table)
     val sims = broadcast(probes).join(corp, Seq("cid"))
       .select(col("qid"), col("nid"), col("cid"),
         round(Similarity.dot(col("qe"), col("ne"))
@@ -1267,9 +1292,17 @@ object SimQueries {
     * code) store via `build` (one-shot or incremental), then run the
     * probe path — top-2 cells per query, bucket-pruned candidate
     * scan, broadcast LUT, map-side ADC sums, rank-limited top-10.
+    * `collectCells` is [[storedAnnIvf]]'s cell-set strategy knob:
+    * true inlines the ≤|queries|·nProbe probed cell ids for static
+    * bucket pruning (registry default); false keeps the cell set
+    * distributed and lets the broadcast probe join filter — zero
+    * driver pull, full bucketed scan, for query sets that outgrow
+    * the driver.
     */
-  private def ivfPqQuery(s: SparkSession, dir: String, tablePrefix: String,
-      scratchTag: String)(build: (graft.sources.Warehouse, String,
+  private[graft] def ivfPqQuery(s: SparkSession, dir: String,
+      tablePrefix: String, scratchTag: String,
+      collectCells: Boolean = true)(
+      build: (graft.sources.Warehouse, String,
         DataFrame => DataFrame, DataFrame) => Unit): DataFrame = {
     val cent = Similarity.centroidTable(s, K, D)
     val cb = pqCodebook(s)
@@ -1288,11 +1321,14 @@ object SimQueries {
     val probes = Similarity
       .ivfProbes(emb.filter(col("vec_id") < 8), cent, NProbe)
       .select(col("cid"), col("vec_id").as("qid"))
-    val probedCells = probes.select("cid").distinct()
-      .collect().map(_.getLong(0)).toSeq // ≤ |queries|·nProbe values
     val lut = pqLut(Tables(s, dir, "embeddings")
       .select("vec_id", "embedding").filter(col("vec_id") < 8), cb)
-    val cand = s.table(table).filter(col("cid").isin(probedCells: _*))
+    val cand =
+      if (collectCells) {
+        val probedCells = probes.select("cid").distinct()
+          .collect().map(_.getLong(0)).toSeq // ≤ |queries|·nProbe values
+        s.table(table).filter(col("cid").isin(probedCells: _*))
+      } else s.table(table)
     pqTop10(broadcast(probes).join(cand, Seq("cid"))
       .join(broadcast(lut), Seq("qid", "m", "code"))
       .groupBy(col("qid"), col("vec_id").as("nid"))

@@ -150,6 +150,35 @@ class Round10Spec extends SparkSpec {
     assert(tf == xf && tfeat.sameElements(xfeat))
   }
 
+  // ---- no-collect probe variants
+
+  test("storedAnnIvf / ivfPqQuery no-collect variants: row-identical " +
+    "to the collect form, the collect plan carries the inlined " +
+    "cell-id list (static bucket pruning) and the no-collect plan " +
+    "does not (zero driver pull)") {
+    val collectForm = queries.SimQueries
+      .storedAnnIvf(spark, sf, collectCells = true)
+    val joinForm = queries.SimQueries
+      .storedAnnIvf(spark, sf, collectCells = false)
+    assert(rows(joinForm) == rows(collectForm),
+      "cell-set strategy must not change the answer")
+    val collectPlan = collectForm.queryExecution.executedPlan.toString
+    val joinPlan = joinForm.queryExecution.executedPlan.toString
+    assert(collectPlan.contains("In(cid"),
+      s"collect form must push the inlined cell list:\n$collectPlan")
+    assert(!joinPlan.contains("In(cid"),
+      s"no-collect form must not inline cell ids:\n$joinPlan")
+    // same contract for the IVF-PQ probe path (q135's build)
+    def pq(cc: Boolean) = queries.SimQueries.ivfPqQuery(
+      spark, sf, "ivfpq_codes", "ivfpqstore", collectCells = cc) {
+      (wh, table, codesOf, emb) =>
+        wh.saveBucketed(
+          codesOf(emb.filter(col("vec_id") >= 8)), table, 8, Seq("cid"))
+    }
+    assert(rows(pq(false)) == rows(pq(true)),
+      "IVF-PQ cell-set strategy must not change the answer")
+  }
+
   // ---- HTML strip
 
   test("htmlToText: double-escaped entities yield literal entity " +

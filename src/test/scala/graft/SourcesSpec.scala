@@ -235,4 +235,78 @@ class SourcesSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { wh.compact(spark, "pt") }
     assert(e.getMessage.contains("partition"))
   }
+
+  test("compactBucketed crash safety, pre-swap: a crash during the " +
+    "tmp write leaves the live table untouched — reads stay on the " +
+    "old fileset and a re-run completes cleanly") {
+    val root = Files.createTempDirectory("graft-cbc1").toString
+    val wh = Warehouse(root)
+    val base = (1 to 60).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    try {
+      wh.saveBucketed(base, "cbc1", 4, Seq("k"))
+      (1 to 2).foreach { j =>
+        wh.appendBucketed((1 to 30).map(i => ((j * 100 + i).toLong,
+          i * 2.0)).toDF("k", "v"), "cbc1", 4, Seq("k"))
+      }
+      val before = rows(spark.table("cbc1"))
+      // simulate the crash: a half-written tmp dir exists, live intact
+      val tmp = new java.io.File(s"$root/cbc1.tmp")
+      tmp.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(tmp, "part-halfwritten.parquet").toPath,
+        Array[Byte](1, 2, 3))
+      // reads see the live fileset, unaffected by the orphan tmp
+      assert(rows(wh.read(spark, "cbc1")) == before)
+      // the re-run discards the orphan and completes
+      wh.compactBucketed(spark, "cbc1", 4, Seq("k"))
+      assert(!tmp.exists(), "re-run must consume the orphan tmp")
+      assert(rows(spark.table("cbc1")) == before)
+      val files = Option(new java.io.File(s"$root/cbc1").listFiles())
+        .getOrElse(Array()).count(_.getName.endsWith(".parquet"))
+      assert(files == 4, s"expected one file per bucket, got $files")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cbc1"); ()
+    }
+  }
+
+  test("compactBucketed crash safety, mid-swap: live moved aside and " +
+    "the replacement not yet in place — recovery restores the last " +
+    "complete copy and a re-run completes with the bucket spec intact") {
+    val root = Files.createTempDirectory("graft-cbc2").toString
+    val wh = Warehouse(root)
+    try {
+      wh.saveBucketed((1 to 80).map(i => (i.toLong, s"r$i"))
+        .toDF("k", "v"), "cbc2", 4, Seq("k"))
+      wh.appendBucketed((81 to 120).map(i => (i.toLong, s"r$i"))
+        .toDF("k", "v"), "cbc2", 4, Seq("k"))
+      val before = rows(spark.table("cbc2"))
+      // simulate the crash INSIDE the swap window: live renamed aside,
+      // tmp (the finished compacted copy in a real crash; junk here,
+      // which recovery must discard unread) never moved in
+      val live = new java.io.File(s"$root/cbc2")
+      val old = new java.io.File(s"$root/cbc2.old")
+      assert(live.renameTo(old), "test setup: move live aside")
+      val tmp = new java.io.File(s"$root/cbc2.tmp")
+      tmp.mkdirs()
+      new java.io.File(tmp, "part-junk.parquet").createNewFile()
+      // recover (run on entry by every store op) restores the last
+      // complete copy; the catalog entry's path is unchanged
+      wh.recover("cbc2")
+      spark.catalog.refreshTable("cbc2")
+      assert(!old.exists() && live.exists(),
+        "recovery must restore the old copy to the live path")
+      assert(rows(spark.table("cbc2")) == before,
+        "recovered table must hold the pre-crash rows")
+      // the re-run completes: one file per bucket, rows identical,
+      // and the crash-junk tmp was discarded, never read
+      wh.compactBucketed(spark, "cbc2", 4, Seq("k"))
+      assert(rows(spark.table("cbc2")) == before)
+      val files = Option(live.listFiles()).getOrElse(Array())
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 4, s"expected one file per bucket, got $files")
+      assert(!tmp.exists() && !old.exists())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cbc2"); ()
+    }
+  }
 }
