@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -112,9 +112,10 @@ object Multimodal {
   // filter/route/bucket a binary column before any expensive decode.
 
   /** Magic-number format sniff: PNG's full 8-byte signature, JPEG's
-    * SOI-then-marker prefix `FF D8 FF`, else unknown. Content-based —
-    * never trusts the modality/extension metadata, the standard
-    * defense against mislabeled crawl payloads.
+    * SOI-then-marker prefix `FF D8 FF`, WAV's RIFF....WAVE frame,
+    * else unknown. Content-based — never trusts the modality/
+    * extension metadata, the standard defense against mislabeled
+    * crawl payloads.
     */
   def sniffFormat(p: Array[Byte]): String =
     if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
@@ -122,6 +123,9 @@ object Multimodal {
       p(6) == 0x1a && p(7) == 0x0a) "png"
     else if (p.length >= 3 && (p(0) & 0xff) == 0xff &&
       (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff) "jpeg"
+    else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' &&
+      p(2) == 'F' && p(3) == 'F' && p(8) == 'W' && p(9) == 'A' &&
+      p(10) == 'V' && p(11) == 'E') "wav"
     else "unknown"
 
   private def be4(p: Array[Byte], i: Int): Long =
@@ -180,6 +184,128 @@ object Multimodal {
     None
   }
 
+  private def le4(p: Array[Byte], i: Int): Long =
+    (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+
+  private def le2(p: Array[Byte], i: Int): Int =
+    (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+
+  /** WAV audio metadata via a REAL RIFF chunk walk (the audio twin of
+    * [[jpegDims]]'s marker scan, with two deliberate contrasts: all
+    * fields are LITTLE-endian, and RIFF pads every odd-sized chunk to
+    * an even boundary — a walker that skips the pad byte lands
+    * off-by-one and misreads everything after the first odd chunk):
+    * from byte 12, iterate `id(4) size(LE4) payload [pad]` chunks;
+    * `fmt ` yields (audio_format, channels, sample_rate LE4, ...,
+    * bits_per_sample at +22); `data` yields the payload byte count.
+    * Both chunks are required — a file missing either is corrupt, not
+    * guessed at. The audio format code is reported, not filtered:
+    * header-only decode identifies non-PCM files, it does not decode
+    * them. None on truncation or a chunk running past the buffer.
+    */
+  def wavMeta(p: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    if (sniffFormat(p) != "wav") return None
+    var i = 12
+    var fmt: Option[(Long, Long, Long, Long)] = None
+    var dataBytes: Option[Long] = None
+    while (i + 8 <= p.length) {
+      val csz = le4(p, i + 4)
+      val isFmt = p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' &&
+        p(i + 3) == ' '
+      val isData = p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' &&
+        p(i + 3) == 'a'
+      if (i + 8 + csz > p.length) return None // chunk overruns buffer
+      if (isFmt) {
+        if (csz < 16) return None // PCM fmt chunk is at least 16 bytes
+        fmt = Some((le2(p, i + 8).toLong, le2(p, i + 10).toLong,
+          le4(p, i + 12), le2(p, i + 22).toLong))
+      } else if (isData) dataBytes = Some(csz)
+      i += 8 + csz.toInt + (csz % 2).toInt // RIFF even-padding rule
+    }
+    for ((af, ch, sr, bits) <- fmt; nd <- dataBytes)
+      yield (ch, sr, bits, nd, af)
+  }
+
+  /** Deterministic AUDIO media table — [[asImageTable]]'s device for
+    * the WAV tier: `id%3 != 2` gets a spec-conformant RIFF/WAVE file
+    * (PCM fmt chunk; channels `id%2+1`, sample rate
+    * `8000 + (id%5)·4000`, bits 8 for `id%3==0` else 16, data bytes
+    * `id%100+1` — odd data sizes exercise the even-padding rule), and
+    * `id%4==0` files additionally carry a junk LIST chunk of VARYING
+    * size `id%6+1` BEFORE fmt — odd sizes force the walker to apply
+    * RIFF padding or land off-byte. `id%3==2` is the raw-text garbage
+    * case. All built from codegen'd hex built-ins, no UDF; the RIFF
+    * size field is computed, so the container is internally
+    * consistent.
+    */
+  def asAudioTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def le4h(x: Column): Column = {
+      val h = lpad(hex(x), 8, "0")
+      concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2))
+    }
+    def le2h(x: Column): Column = {
+      val h = lpad(hex(x), 4, "0")
+      concat(h.substr(3, 2), h.substr(1, 2))
+    }
+    val ch = id % 2 + 1
+    val sr = lit(8000) + (id % 5) * 4000
+    val bits = when(id % 3 === 0, 8).otherwise(16)
+    val nd = id % 100 + 1
+    val ndPad = nd + nd % 2
+    val lj = when(id % 4 === 0, id % 6 + 1).otherwise(0)
+    val ljPad = lj + lj % 2
+    val junkChunk = when(lj > 0,
+      concat(lit("4C495354"), le4h(lj),
+        lit("4A" * 8).substr(lit(1), (ljPad * 2).cast("int"))))
+      .otherwise(lit(""))
+    val junkLen = when(lj > 0, lit(8) + ljPad).otherwise(lit(0))
+    val riffSize = lit(4) + junkLen + lit(24) + lit(8) + ndPad
+    // Column `/` is double division — cast back so hex() sees an
+    // integer (ch·bits is always a multiple of 8 here)
+    val ba = (ch * bits / 8).cast("int")
+    val wavHex = concat(
+      lit("52494646"), le4h(riffSize), lit("57415645"),
+      junkChunk,
+      lit("666D7420" + "10000000" + "0100"),
+      le2h(ch), le4h(sr), le4h(sr * ba), le2h(ba), le2h(bits),
+      lit("64617461"), le4h(nd),
+      lit("00" * 101).substr(lit(1), (ndPad * 2).cast("int")))
+    docs.select(
+      id.as("media_id"),
+      when(id % 3 === 2, lit("text/plain")).otherwise(lit("audio/wav"))
+        .as("modality"),
+      when(id % 3 === 2, encode(col("text"), "UTF-8"))
+        .otherwise(unhex(wavHex)).as("payload"),
+      col("source"))
+      .select(col("media_id"), col("modality"), col("payload"),
+        struct(col("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Decode audio metadata over a media table — [[decodeImageMeta]]'s
+    * audio twin, running [[wavMeta]]'s chunk walk partition-batched.
+    * Unknown/corrupt payloads report ('unknown', 0...) — garbage is
+    * data at crawl scale.
+    */
+  def decodeAudioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (mid, p) =>
+          wavMeta(p) match {
+            case Some((ch, sr, bits, nd, af)) =>
+              (mid, "wav", ch, sr, bits, nd, af)
+            case None => (mid, "unknown", 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "format", "channels", "sample_rate",
+        "bits_per_sample", "n_data_bytes", "audio_format")
+  }
+
   /** Decode image metadata over a media table — the typed
     * partition-batched driver running the REAL header parsers above.
     * Output per row: (media_id, format, width, height, n_bytes);
@@ -223,12 +349,13 @@ object Multimodal {
   }
 
   /** The decode dispatch: sniff the payload's REAL format first. A
-    * recognized image yields one frame and a header-derived feature
-    * vector [width, height, n_bytes, format code] (1=png, 2=jpeg) —
-    * the metadata features a routing/bucketing stage consumes; any
-    * other payload takes the byte-sum fallback. This is the single
-    * decode entry point: [[extractFeatures]] (and q40 through it) runs
-    * every payload through this dispatch.
+    * recognized image/audio container yields one frame and a
+    * header-derived feature vector [a, b, n_bytes, format code]
+    * (png: w,h,code 1; jpeg: w,h,code 2; wav: channels,sample_rate,
+    * code 3) — the metadata features a routing/bucketing stage
+    * consumes; any other payload takes the byte-sum fallback. This is
+    * the single decode entry point: [[extractFeatures]] (and q40
+    * through it) runs every payload through this dispatch.
     */
   def decode(payload: Array[Byte]): (Long, Array[Double]) =
     sniffFormat(payload) match {
@@ -240,6 +367,11 @@ object Multimodal {
       case "jpeg" => jpegDims(payload) match {
         case Some((w, h)) =>
           (1L, Array(w.toDouble, h.toDouble, payload.length.toDouble, 2.0))
+        case None => byteSumFeatures(payload)
+      }
+      case "wav" => wavMeta(payload) match {
+        case Some((ch, sr, _, _, _)) =>
+          (1L, Array(ch.toDouble, sr.toDouble, payload.length.toDouble, 3.0))
         case None => byteSumFeatures(payload)
       }
       case _ => byteSumFeatures(payload)

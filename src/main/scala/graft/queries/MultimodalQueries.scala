@@ -234,5 +234,92 @@ object MultimodalQueries {
       Multimodal.asImageTable(Tables(s, dir, "documents")))
   }
 
-  val all: Seq[Q] = Seq(q40, q56, q156, q157, q169)
+  /** REAL WAV/RIFF HEADER DECODE — [[q169]]'s audio twin, and a
+    * genuinely different parse: all fields are LITTLE-endian and the
+    * RIFF chunk walk must apply the even-padding rule (the
+    * synthesized corpus plants odd-sized junk LIST chunks before
+    * `fmt ` and odd data sizes, so a walker that skips the pad byte
+    * lands off-byte and fails — see
+    * [[Multimodal.asAudioTable]]/[[Multimodal.wavMeta]]). The engine
+    * walks BYTES; the oracle builds the identical layout and reads
+    * the fields by little-endian hex-swap arithmetic at the offsets
+    * it chose. Output per payload: format, channels, sample rate,
+    * bits per sample, data byte count, and the audio-format code
+    * (header-only decode IDENTIFIES non-PCM, it never decodes
+    * samples). Raw-text payloads report ('unknown', 0...).
+    */
+  val q173 = Q("q173_wav_header_decode",
+    """WITH img AS (
+      |  SELECT doc_id, doc_id % 3 AS m,
+      |    (doc_id % 2) + 1 AS ch,
+      |    8000 + (doc_id % 5) * 4000 AS sr,
+      |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+      |    (doc_id % 100) + 1 AS nd,
+      |    CASE WHEN doc_id % 4 = 0 THEN (doc_id % 6) + 1 ELSE 0 END AS lj
+      |  FROM documents),
+      |le AS (
+      |  SELECT doc_id, m, ch, sr, bits, nd, lj,
+      |    ch * bits // 8 AS ba,
+      |    CASE WHEN lj > 0 THEN 8 + lj + (lj % 2) ELSE 0 END AS junk
+      |  FROM img),
+      |hx AS (
+      |  SELECT doc_id, m, junk, nd,
+      |    '52494646' ||
+      |    (SELECT substr(s,7,2)||substr(s,5,2)||substr(s,3,2)||substr(s,1,2)
+      |     FROM (SELECT lpad(to_hex(4 + junk + 24 + 8 + nd + (nd % 2)),
+      |       8, '0') AS s)) ||
+      |    '57415645' ||
+      |    CASE WHEN lj > 0 THEN
+      |      '4C495354' ||
+      |      (SELECT substr(s,7,2)||substr(s,5,2)||substr(s,3,2)||substr(s,1,2)
+      |       FROM (SELECT lpad(to_hex(lj), 8, '0') AS s)) ||
+      |      repeat('4A', lj + (lj % 2))
+      |    ELSE '' END ||
+      |    '666D7420' || '10000000' || '0100' ||
+      |    (SELECT substr(s,3,2)||substr(s,1,2)
+      |     FROM (SELECT lpad(to_hex(ch), 4, '0') AS s)) ||
+      |    (SELECT substr(s,7,2)||substr(s,5,2)||substr(s,3,2)||substr(s,1,2)
+      |     FROM (SELECT lpad(to_hex(sr), 8, '0') AS s)) ||
+      |    (SELECT substr(s,7,2)||substr(s,5,2)||substr(s,3,2)||substr(s,1,2)
+      |     FROM (SELECT lpad(to_hex(sr * ba), 8, '0') AS s)) ||
+      |    (SELECT substr(s,3,2)||substr(s,1,2)
+      |     FROM (SELECT lpad(to_hex(ba), 4, '0') AS s)) ||
+      |    (SELECT substr(s,3,2)||substr(s,1,2)
+      |     FROM (SELECT lpad(to_hex(bits), 4, '0') AS s)) ||
+      |    '64617461' ||
+      |    (SELECT substr(s,7,2)||substr(s,5,2)||substr(s,3,2)||substr(s,1,2)
+      |     FROM (SELECT lpad(to_hex(nd), 8, '0') AS s)) ||
+      |    repeat('00', nd + (nd % 2)) AS h
+      |  FROM le),
+      |f AS (SELECT doc_id, m, h, 12 + junk AS f0 FROM hx)
+      |SELECT doc_id AS media_id,
+      |  CASE WHEN m = 2 THEN 'unknown' ELSE 'wav' END AS format,
+      |  CAST(CASE WHEN m = 2 THEN 0 ELSE
+      |    CAST(('0x' || substr(h, 2*(f0+11)+1, 2)
+      |      || substr(h, 2*(f0+10)+1, 2)) AS BIGINT) END AS BIGINT)
+      |    AS channels,
+      |  CAST(CASE WHEN m = 2 THEN 0 ELSE
+      |    CAST(('0x' || substr(h, 2*(f0+15)+1, 2)
+      |      || substr(h, 2*(f0+14)+1, 2) || substr(h, 2*(f0+13)+1, 2)
+      |      || substr(h, 2*(f0+12)+1, 2)) AS BIGINT) END AS BIGINT)
+      |    AS sample_rate,
+      |  CAST(CASE WHEN m = 2 THEN 0 ELSE
+      |    CAST(('0x' || substr(h, 2*(f0+23)+1, 2)
+      |      || substr(h, 2*(f0+22)+1, 2)) AS BIGINT) END AS BIGINT)
+      |    AS bits_per_sample,
+      |  CAST(CASE WHEN m = 2 THEN 0 ELSE
+      |    CAST(('0x' || substr(h, 2*(f0+31)+1, 2)
+      |      || substr(h, 2*(f0+30)+1, 2) || substr(h, 2*(f0+29)+1, 2)
+      |      || substr(h, 2*(f0+28)+1, 2)) AS BIGINT) END AS BIGINT)
+      |    AS n_data_bytes,
+      |  CAST(CASE WHEN m = 2 THEN 0 ELSE
+      |    CAST(('0x' || substr(h, 2*(f0+9)+1, 2)
+      |      || substr(h, 2*(f0+8)+1, 2)) AS BIGINT) END AS BIGINT)
+      |    AS audio_format
+      |FROM f""".stripMargin) { (s, dir) =>
+    Multimodal.decodeAudioMeta(
+      Multimodal.asAudioTable(Tables(s, dir, "documents")))
+  }
+
+  val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173)
 }

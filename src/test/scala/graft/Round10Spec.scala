@@ -150,6 +150,98 @@ class Round10Spec extends SparkSpec {
     assert(tf == xf && tfeat.sameElements(xfeat))
   }
 
+  // ---- WAV/RIFF header decode
+
+  private def le4h(x: Long): String = {
+    val h = f"$x%08X"
+    h.substring(6, 8) + h.substring(4, 6) + h.substring(2, 4) +
+      h.substring(0, 2)
+  }
+  private def le2h(x: Int): String = {
+    val h = f"$x%04X"
+    h.substring(2, 4) + h.substring(0, 2)
+  }
+  private def wavHex(ch: Int, sr: Long, bits: Int, nd: Int,
+      pre: String = "", af: Int = 1): String = {
+    val ba = ch * bits / 8
+    val body = pre + "666D7420" + "10000000" + le2h(af) + le2h(ch) +
+      le4h(sr) + le4h(sr * ba) + le2h(ba) + le2h(bits) +
+      "64617461" + le4h(nd) + "00" * (nd + nd % 2)
+    "52494646" + le4h(4 + body.length / 2) + "57415645" + body
+  }
+
+  test("wavMeta: little-endian fields and the RIFF even-padding rule " +
+    "— odd-sized junk chunks before fmt must be padded over, or every " +
+    "later field is off by one byte") {
+    // no junk: straight parse; values cross byte boundaries (LE test)
+    assert(Multimodal.wavMeta(hexBytes(wavHex(2, 44100L, 16, 7)))
+      .contains((2L, 44100L, 16L, 7L, 1L)))
+    // ODD-sized LIST chunk: size field says 5, payload padded to 6
+    val oddJunk = "4C495354" + le4h(5) + "4A" * 6
+    assert(Multimodal.wavMeta(hexBytes(wavHex(1, 8000L, 8, 10, oddJunk)))
+      .contains((1L, 8000L, 8L, 10L, 1L)))
+    // even-sized junk too
+    val evenJunk = "4C495354" + le4h(4) + "4A" * 4
+    assert(Multimodal.wavMeta(hexBytes(wavHex(2, 16000L, 16, 3, evenJunk)))
+      .contains((2L, 16000L, 16L, 3L, 1L)))
+    // non-PCM format code is REPORTED, not rejected (identify, don't
+    // decode)
+    assert(Multimodal.wavMeta(hexBytes(wavHex(2, 22050L, 16, 4, af = 2)))
+      .contains((2L, 22050L, 16L, 4L, 2L)))
+  }
+
+  test("wavMeta: corrupt containers are None — missing fmt, missing " +
+    "data, chunk overrunning the buffer, undersized fmt, and a RIFF " +
+    "that is not WAVE sniffs unknown") {
+    // data chunk only, no fmt
+    val noFmt = "52494646" + le4h(4 + 8 + 4) + "57415645" +
+      "64617461" + le4h(4) + "00000000"
+    assert(Multimodal.wavMeta(hexBytes(noFmt)).isEmpty)
+    // fmt only, no data
+    val noData = wavHex(1, 8000L, 8, 2).replace("64617461", "6A756E6B")
+    assert(Multimodal.wavMeta(hexBytes(noData)).isEmpty)
+    // chunk size runs past the buffer
+    val overrun = "52494646" + le4h(100) + "57415645" +
+      "666D7420" + le4h(9999) + "00"
+    assert(Multimodal.wavMeta(hexBytes(overrun)).isEmpty)
+    // fmt chunk below the 16-byte PCM minimum
+    val tinyFmt = "52494646" + le4h(4 + 8 + 4 + 8 + 2) + "57415645" +
+      "666D7420" + le4h(4) + "01000200" + "64617461" + le4h(2) + "0000"
+    assert(Multimodal.wavMeta(hexBytes(tinyFmt)).isEmpty)
+    // RIFF container that is not WAVE (e.g. AVI) is a different format
+    assert(Multimodal.sniffFormat(
+      hexBytes("52494646" + le4h(4) + "41564920")) == "unknown")
+    assert(Multimodal.wavMeta(
+      hexBytes("52494646" + le4h(4) + "41564920")).isEmpty)
+  }
+
+  test("q173 corpus round-trip: every synthesized WAV's parsed fields " +
+    "equal the generator arithmetic, the plan is map-only, and both " +
+    "the odd-data-size and junk-chunk variants are present (vacuity)") {
+    val media = Multimodal.asAudioTable(
+      graft.sources.Tables(spark, sf, "documents"))
+    val out = Multimodal.decodeAudioMeta(media)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rs = out.collect()
+    var junked = 0
+    rs.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 3 == 2) assert(r.getString(1) == "unknown")
+      else {
+        assert(r.getString(1) == "wav", s"$id")
+        assert(r.getLong(2) == id % 2 + 1, s"channels $id")
+        assert(r.getLong(3) == 8000 + (id % 5) * 4000, s"rate $id")
+        assert(r.getLong(4) == (if (id % 3 == 0) 8 else 16), s"bits $id")
+        assert(r.getLong(5) == id % 100 + 1, s"data bytes $id")
+        assert(r.getLong(6) == 1L, s"audio format $id")
+        if (id % 4 == 0) junked += 1
+      }
+    }
+    assert(junked > 0, "no junk-chunk variant in the corpus (vacuous)")
+    assert(rs.exists(r => r.getLong(0) % 3 != 2 && r.getLong(5) % 2 == 1),
+      "no odd data size in the corpus (padding rule untested, vacuous)")
+  }
+
   // ---- no-collect probe variants
 
   test("storedAnnIvf / ivfPqQuery no-collect variants: row-identical " +
