@@ -2605,6 +2605,57 @@ object TextQueries {
       .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
   }
 
+  /** [[q171]]'s trained model EXPORTED to the driver: (langs, gram →
+    * per-lang micro-nat weights, per-lang OOV floors, per-lang
+    * priors) — the artifact a deployment ships to the streaming
+    * scorer ([[graft.streaming.StreamingEtl.langidScoreStream]]).
+    * The pull is bounded by the char-trigram vocabulary (alphabet³
+    * ceiling, V=377 at this corpus) — a trained classifier IS a
+    * driver-sized artifact by construction; formulas are q171's
+    * verbatim (same Materialized count frame, same micro
+    * quantization), and the round-10 streaming spec pins the exported
+    * model's confusion equal to q171's oracle-gated output.
+    */
+  private[graft] def langidModel(s: SparkSession, dir: String)
+      : (Seq[String], Map[String, Seq[Long]], Seq[Long], Seq[Long]) = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+    val tok = d.select(col("doc_id"), col("lang"),
+      explode(when(length(col("text")) >= 3,
+        transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val cnt = graft.Materialized(s, s"langid_cnt:$dir") {
+      tok.groupBy("g").agg(
+        count(when(col("lang") === langs.head, 1)).as(s"c_${langs.head}"),
+        langs.tail.map(l =>
+          count(when(col("lang") === l, 1)).as(s"c_$l")): _*)
+    }
+    val t0 = cnt.agg(
+      sum(s"c_${langs.head}"),
+      langs.tail.map(l => sum(s"c_$l").as(s"t_$l")) :+ count(lit(1)): _*)
+      .head()
+    val tot = langs.zipWithIndex.map { case (l, i) => l -> t0.getLong(i) }.toMap
+    val v = t0.getLong(langs.size)
+    val d0 = d.agg(
+      count(when(col("lang") === langs.head, 1)),
+      langs.tail.map(l => count(when(col("lang") === l, 1))) :+
+        count(lit(1)): _*)
+      .head()
+    val nd = langs.zipWithIndex.map { case (l, i) => l -> d0.getLong(i) }.toMap
+    val n = d0.getLong(langs.size)
+    def micro(x: Double): Long = BigDecimal(math.log(x) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val weights = cnt.collect().map { r =>
+      r.getString(0) -> langs.zipWithIndex.map { case (l, i) =>
+        micro((r.getLong(i + 1) + 1.0) / (tot(l) + v))
+      }
+    }.toMap
+    val floors = langs.map(l => micro(1.0 / (tot(l) + v)))
+    val priors = langs.map(l => micro(nd(l).toDouble / n))
+    (langs, weights, floors, priors)
+  }
+
   /** HTML STRIP round-trip — [[graft.text.TextOps.htmlToText]] gated
     * end-to-end: the corpus carries no markup, so each doc is wrapped
     * IN-QUERY into a full HTML page (the [[q50]] synthesis device,

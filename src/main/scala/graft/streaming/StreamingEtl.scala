@@ -112,6 +112,51 @@ object StreamingEtl {
       .withColumn("score_ubits", score)
   }
 
+  /** Streaming LANGUAGE-ID gate — q171's trained char-trigram NB
+    * applied at INGEST time (train offline with
+    * [[graft.queries.TextQueries.langidModel]], apply online): each
+    * arriving document's 3-grams fold against the weight table inlined
+    * as ONE literal map (`typedLit` — a single MapType literal, not
+    * V×5 scalar literals, so the plan stays small at any vocabulary
+    * the driver can hold); out-of-vocab grams take the per-language
+    * floor, priors seed the folds, and the argmax uses q171's exact
+    * alphabetical >= CASE chain. Completely STATELESS — append mode,
+    * no watermark, no state store, no shuffle — and bit-identical to
+    * the batch scorer by construction: identical integer micro-nat
+    * weights, and integer addition is exact in any order.
+    */
+  def langidScoreStream(src: DataFrame, langs: Seq[String],
+      weights: Map[String, Seq[Long]], floors: Seq[Long],
+      priors: Seq[Long], textCol: String = "text"): DataFrame = {
+    require(langs.nonEmpty && floors.length == langs.length &&
+      priors.length == langs.length &&
+      weights.values.forall(_.length == langs.length),
+      "model arity mismatch")
+    val wmap = typedLit(weights)
+    val text = col(textCol)
+    val grams = when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val scored = langs.zipWithIndex.foldLeft(src) { case (df, (l, i)) =>
+      df.withColumn(s"s_$l", aggregate(
+        grams, lit(priors(i)),
+        (acc, g) => acc + coalesce(
+          element_at(element_at(wmap, g), i + 1), lit(floors(i)))))
+    }
+    // q171's decision chain verbatim: first language (alphabetical)
+    // whose score is >= all others
+    val pred = langs.init.zipWithIndex.foldLeft(
+        org.apache.spark.sql.functions.when(lit(false), "")) {
+      case (w, (l, i)) =>
+        val beats = langs.drop(i + 1)
+          .map(o => col(s"s_$l") >= col(s"s_$o"))
+          .reduce(_ && _)
+        w.when(beats, l)
+    }.otherwise(langs.last)
+    scored.withColumn("pred_lang", pred)
+  }
+
   /** File-arrival SCD1: each micro-batch of source rows is merged into
     * the parquet warehouse table with the SAME batch operator
     * (Scd.scd1Merge) — the reference's daily merge, continuously.

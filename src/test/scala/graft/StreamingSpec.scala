@@ -390,6 +390,67 @@ class StreamingSpec extends SparkSpec {
       "stream scores diverge from the offline trainer")
   }
 
+  test("langidScoreStream: the stateless literal-map scorer on the " +
+    "stream reproduces a from-scratch driver scorer per doc across " +
+    "micro-batch boundaries, and its confusion equals the " +
+    "oracle-gated batch q171 output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val (langs, weights, floors, priors) =
+      queries.TextQueries.langidModel(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingEtl.langidScoreStream(
+        input.toDF().toDF("doc_id", "lang", "text"),
+        langs, weights, floors, priors)
+      .select($"doc_id", $"lang", $"pred_lang")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("langid_stream").start()
+    val (b1, b2) = docs.toSeq.splitAt(docs.length / 2)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // from-scratch driver scorer: plain Scala over the exported model
+    def scoreOf(t: String): Map[String, Long] = {
+      val grams =
+        if (t.length < 3) Seq.empty
+        else (0 to t.length - 3).map(i => t.substring(i, i + 3))
+      langs.zipWithIndex.map { case (l, i) =>
+        l -> grams.foldLeft(priors(i)) { (acc, g) =>
+          acc + weights.get(g).map(_(i)).getOrElse(floors(i))
+        }
+      }.toMap
+    }
+    def predOf(t: String): String = {
+      val s = scoreOf(t)
+      langs.zipWithIndex.collectFirst {
+        case (l, i) if langs.drop(i + 1).forall(o => s(l) >= s(o)) => l
+      }.getOrElse(langs.last)
+    }
+    val expected = docs.map { case (id, lang, t) =>
+      Seq[Any](id, lang, predOf(t))
+    }.toSet
+    assert(rows(spark.table("langid_stream")) == expected,
+      "stream predictions diverge from the from-scratch scorer")
+    // and the confusion matrix implied by the stream's predictions
+    // equals the oracle-gated batch q171 output — batch ≡ stream at
+    // the gated grain (q171 only covers gram-bearing docs, i.e.
+    // length >= 3; the stream also scores shorter docs by prior
+    // alone, so restrict to the shared domain)
+    val streamConf = docs.filter(_._3.length >= 3)
+      .map { case (_, lang, t) => (lang, predOf(t)) }
+      .groupBy(identity).map { case ((l, p), xs) =>
+        Seq[Any](l, p, xs.length.toLong)
+      }.toSet
+    assert(streamConf == rows(queries.TextQueries.q171.fn(spark, sf)),
+      "stream confusion diverges from the batch q171 gate")
+  }
+
   test("quotaGateStream: at most cap docs admitted per source, " +
     "first-come across micro-batches, doc_id-ordered within a batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
