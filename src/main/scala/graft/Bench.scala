@@ -158,13 +158,24 @@ object Bench {
     // SHORT headline line that fits any tail window and parses as the
     // last line — per-query detail lives in the sidecar and in the
     // (possibly truncated) full line above it
+    // stdout FIRST: the sidecar is a convenience and its write can
+    // fail (unwritable dir, bad SPARK_GRAFT_BENCH_OUT) — a failed
+    // write must never destroy the bench output that println cannot
+    // lose
+    println(fullJson)
     val sidecar = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
-    java.nio.file.Files.write(sidecar,
-      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(fullJson)
+    val sidecarPath =
+      try {
+        java.nio.file.Files.write(sidecar,
+          (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        sidecar.toAbsolutePath.toString
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          s"unwritable: ${e.getClass.getSimpleName}"
+      }
     val nErr = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":$nErr,"warmup_sec":$warmupSec,"full_json":${jstr(sidecar.toAbsolutePath.toString)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":$nErr,"warmup_sec":$warmupSec,"full_json":${jstr(sidecarPath)}}""")
     Materialized.clear(spark)
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)

@@ -43,6 +43,16 @@ object Materialized {
 
   /** Pin `nonce` to this session object; its artifacts now live (and
     * are cleared) under their own scope. Test-only.
+    *
+    * SCOPE LIMIT: the nonce isolates this cache (and
+    * [[SessionScratch]]'s dirs/once-guards) — NOT shared-catalog
+    * TABLE NAMES. Stored-table queries (q79/q108/q135 family) derive
+    * their table names from the sf dir alone and `saveAsTable` into
+    * the catalog every cloned session shares, so a nonce-pinned clone
+    * running one would repoint the live catalog entry at its own
+    * scratch dir, yanking the artifact from concurrent suites.
+    * Nonce-pinned clones must stick to queries with no stored-table
+    * path (the current invariance tests — q128, q160 — qualify).
     */
   private[graft] def setNonceForTests(spark: SparkSession,
       nonce: String): Unit = { nonces.put(spark, nonce); () }
@@ -60,8 +70,10 @@ object Materialized {
 
   /** Unpersist and forget every artifact of this scope — the whole
     * application for a production session, just the clone's artifacts
-    * for a nonce-pinned test session (so a mid-suite clear can never
-    * yank an artifact out from under a concurrently running suite).
+    * for a nonce-pinned test session (so a mid-suite clear of THIS
+    * CACHE can never yank a cached frame out from under a
+    * concurrently running suite; see [[setNonceForTests]] for the
+    * catalog-table carve-out the nonce does not cover).
     */
   def clear(spark: SparkSession): Unit = {
     val s = scope(spark)

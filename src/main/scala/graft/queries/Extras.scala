@@ -2550,7 +2550,12 @@ object Extras {
       checkpointEvery: Int = 10): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     var frame = bpeS0(s, dir)
-    val checkpoints = scala.collection.mutable.Buffer[DataFrame]()
+    // at most ONE persisted cut lives at a time: once the next cut
+    // materializes, the previous one is dead data — retaining the
+    // whole chain would grow memory linearly in k/checkpointEvery
+    // (5000 copies at the advertised k=50k), for frames nothing can
+    // ever read again
+    var lastCut: Option[DataFrame] = None
     val merges = scala.collection.mutable.Buffer[(Long, String, String, Long)]()
     var it = 1
     var exhausted = false
@@ -2566,18 +2571,19 @@ object Extras {
         if (it % checkpointEvery == 0) {
           val cut = s.createDataFrame(frame.rdd, frame.schema).persist()
           cut.count() // eager: materialize before the old lineage drops
-          checkpoints += cut
+          lastCut.foreach(_.unpersist(false))
+          lastCut = Some(cut)
           frame = cut
         }
         it += 1
       }
     }
-    // the loop's decisions are already on the driver; the checkpointed
-    // frames are scratch — release their blocks before returning so a
-    // registry consumer (Bench hygiene) never sees them as leaks
+    // the loop's decisions are already on the driver; the final cut is
+    // scratch — release its blocks before returning so a registry
+    // consumer (Bench hygiene) never sees them as leaks
     val out = s.createDataFrame(merges.toSeq)
       .toDF("it", "sym_a", "sym_b", "total")
-    checkpoints.foreach(_.unpersist(false))
+    lastCut.foreach(_.unpersist(false))
     out
   }
 

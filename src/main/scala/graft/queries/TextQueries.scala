@@ -2259,9 +2259,15 @@ object TextQueries {
     // least-curated (Int.MaxValue) on BOTH sides instead of a null
     // that would win the nulls-first struct-min and leave its
     // fingerprint group with zero keepers (round-9 follow-up review)
+    // FULL suffix, like the oracle's bare substr(source, 4): a
+    // truncated-prefix parse (substr(_, 4, 10)) would cast an
+    // 11+-digit suffix to a REAL priority from its first 10 digits
+    // while the oracle's whole-string TRY_CAST overflows to NULL —
+    // divergent ranks. Whole-suffix cast overflows to NULL in both
+    // engines, and the coalesce makes both land on least-curated.
     val d = docs(s, dir).select(col("doc_id"), col("source"),
-      coalesce(substring(col("source"), 4, 10).cast("int"),
-        lit(Int.MaxValue)).as("prio"),
+      coalesce(col("source").substr(lit(4), length(col("source")))
+        .cast("int"), lit(Int.MaxValue)).as("prio"),
       md5(array_join(slice(split(col("text"), " "), 1, 10), " "))
         .as("fp"))
     // struct-min argmin, ONE exchange at fingerprint grain — NOT the
@@ -2359,10 +2365,11 @@ object TextQueries {
       // source suffix ranks least-curated (Int.MaxValue) instead of a
       // NULL that Spark's ascending window sorts FIRST (most-curated)
       // while the oracle's bare CAST would error — TRY_CAST+coalesce
-      // keeps both engines total and agreeing
+      // keeps both engines total and agreeing. Full suffix, not a
+      // 10-char prefix — see q166's parse note.
       val d = docs(s, dir).select(col("doc_id"), col("source"),
-        coalesce(substring(col("source"), 4, 10).cast("int"),
-          lit(Int.MaxValue)).as("prio"),
+        coalesce(col("source").substr(lit(4), length(col("source")))
+          .cast("int"), lit(Int.MaxValue)).as("prio"),
         col("n_chars"))
       val members = cc.join(d, cc("node") === d("doc_id"))
         .select(col("doc_id"), col("source"), col("prio"),
@@ -2544,46 +2551,8 @@ object TextQueries {
       |  FROM sc)
       |SELECT lang, pred_lang, count(*) AS n
       |FROM p GROUP BY lang, pred_lang""".stripMargin) { (s, dir) =>
-    val langs = Seq("de", "en", "es", "fr", "zh")
-    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
-    // char trigrams via sequence+transform HOFs (in-row, codegen'd);
-    // the length guard matters: sequence(1, L-2) with L < 3 would
-    // COUNT DOWN (negative default step), minting phantom grams
-    def toks(df: DataFrame): DataFrame = df.select(
-      col("doc_id"), col("lang"),
-      explode(when(length(col("text")) >= 3,
-        transform(sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3))))
-        .otherwise(array().cast("array<string>"))).as("g"))
-    val tok = toks(d)
-    // ONE training pass to GRAM grain: per-gram counts for all five
-    // classes in the same aggregate (the q162 joint-vocab device,
-    // multi-class)
-    val cnt = graft.Materialized(s, s"langid_cnt:$dir") {
-      tok.groupBy("g").agg(
-        count(when(col("lang") === langs.head, 1)).as(s"c_${langs.head}"),
-        langs.tail.map(l =>
-          count(when(col("lang") === l, 1)).as(s"c_$l")): _*)
-    }
-    // model constants: 5 class totals + vocab size + 5 doc counts +
-    // corpus size — twelve driver longs (the audited bounded-pull
-    // pattern), so neither the weight table nor scoring crossJoins
-    val t0 = cnt.agg(
-      sum(s"c_${langs.head}"),
-      langs.tail.map(l => sum(s"c_$l").as(s"t_$l")) :+ count(lit(1)): _*)
-      .head()
-    val tot = langs.zipWithIndex.map { case (l, i) => l -> t0.getLong(i) }.toMap
-    val v = t0.getLong(langs.size)
-    val d0 = d.agg(
-      count(when(col("lang") === langs.head, 1)),
-      langs.tail.map(l => count(when(col("lang") === l, 1))) :+
-        count(lit(1)): _*)
-      .head()
-    val nd = langs.zipWithIndex.map { case (l, i) => l -> d0.getLong(i) }.toMap
-    val n = d0.getLong(langs.size)
-    def micro(x: Double): Long = BigDecimal(math.log(x) * 1e6)
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    val prior = langs.map(l => l -> micro(nd(l).toDouble / n)).toMap
+    val (langs, tok, cnt, tot, v, nd, n) = langidCounts(s, dir)
+    val prior = langs.map(l => l -> microQ(nd(l).toDouble / n)).toMap
     val wt = cnt.select(col("g") +: langs.map(l =>
       round(log((col(s"c_$l") + lit(1.0)) / lit((tot(l) + v).toDouble))
         * 1000000).cast("long").as(s"u_$l")): _*)
@@ -2605,26 +2574,41 @@ object TextQueries {
       .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
   }
 
-  /** [[q171]]'s trained model EXPORTED to the driver: (langs, gram →
-    * per-lang micro-nat weights, per-lang OOV floors, per-lang
-    * priors) — the artifact a deployment ships to the streaming
-    * scorer ([[graft.streaming.StreamingEtl.langidScoreStream]]).
-    * The pull is bounded by the char-trigram vocabulary (alphabet³
-    * ceiling, V=377 at this corpus) — a trained classifier IS a
-    * driver-sized artifact by construction; formulas are q171's
-    * verbatim (same Materialized count frame, same micro
-    * quantization), and the round-10 streaming spec pins the exported
-    * model's confusion equal to q171's oracle-gated output.
+  /** Char trigrams via sequence+transform HOFs (in-row, codegen'd).
+    * The length guard matters: sequence(1, L-2) with L < 3 would
+    * COUNT DOWN (negative default step), minting phantom grams.
+    * Shared by [[q171]], [[langidModel]], and the streaming scorer —
+    * one definition, so the three can never drift.
     */
-  private[graft] def langidModel(s: SparkSession, dir: String)
-      : (Seq[String], Map[String, Seq[Long]], Seq[Long], Seq[Long]) = {
+  private[graft] def charTrigrams(text: Column): Column =
+    when(length(text) >= 3,
+      transform(sequence(lit(1), length(text) - 2),
+        i => text.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** round(ln(x)·10⁶) with HALF_UP — the micro-nat quantizer of the
+    * q162/q171 family, driver side.
+    */
+  private def microQ(x: Double): Long = BigDecimal(math.log(x) * 1e6)
+    .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** The langid family's shared TRAINING frames and constants: ONE
+    * gram-grain counting pass (per-gram counts for all five classes in
+    * the same aggregate — the q162 joint-vocab device, multi-class;
+    * Materialized per corpus) plus the twelve driver longs (5 class
+    * totals, vocab size, 5 doc counts, corpus size — the audited
+    * bounded-pull pattern, so neither the weight table nor scoring
+    * ever crossJoins). Single source of truth for [[q171]] and
+    * [[langidModel]] — a smoothing or quantization change lands in
+    * both (and through the model, in the stream scorer) or neither.
+    */
+  private def langidCounts(s: SparkSession, dir: String): (Seq[String],
+      DataFrame, DataFrame, Map[String, Long], Long,
+      Map[String, Long], Long) = {
     val langs = Seq("de", "en", "es", "fr", "zh")
     val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
     val tok = d.select(col("doc_id"), col("lang"),
-      explode(when(length(col("text")) >= 3,
-        transform(sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3))))
-        .otherwise(array().cast("array<string>"))).as("g"))
+      explode(charTrigrams(col("text"))).as("g"))
     val cnt = graft.Materialized(s, s"langid_cnt:$dir") {
       tok.groupBy("g").agg(
         count(when(col("lang") === langs.head, 1)).as(s"c_${langs.head}"),
@@ -2644,15 +2628,33 @@ object TextQueries {
       .head()
     val nd = langs.zipWithIndex.map { case (l, i) => l -> d0.getLong(i) }.toMap
     val n = d0.getLong(langs.size)
-    def micro(x: Double): Long = BigDecimal(math.log(x) * 1e6)
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    (langs, tok, cnt, tot, v, nd, n)
+  }
+
+  /** [[q171]]'s trained model EXPORTED to the driver: (langs, gram →
+    * per-lang micro-nat weights, per-lang OOV floors, per-lang
+    * priors) — the artifact a deployment ships to the streaming
+    * scorer ([[graft.streaming.StreamingEtl.langidScoreStream]]).
+    * The pull is bounded by the char-trigram vocabulary (alphabet³
+    * ceiling, V=377 at this corpus) — a trained classifier IS a
+    * driver-sized artifact by construction; formulas are q171's
+    * verbatim (same Materialized count frame, same micro
+    * quantization), and the round-10 streaming spec pins the exported
+    * model's confusion equal to q171's oracle-gated output.
+    */
+  private[graft] def langidModel(s: SparkSession, dir: String)
+      : (Seq[String], Map[String, Seq[Long]], Seq[Long], Seq[Long]) = {
+    val (langs, _, cnt, tot, v, nd, n) = langidCounts(s, dir)
+    // driver-side microQ over collected counts lands on the identical
+    // longs as q171's in-plan round(log(...)): Spark's log codegen IS
+    // Math.log and round() is the same HALF_UP
     val weights = cnt.collect().map { r =>
       r.getString(0) -> langs.zipWithIndex.map { case (l, i) =>
-        micro((r.getLong(i + 1) + 1.0) / (tot(l) + v))
+        microQ((r.getLong(i + 1) + 1.0) / (tot(l) + v))
       }
     }.toMap
-    val floors = langs.map(l => micro(1.0 / (tot(l) + v)))
-    val priors = langs.map(l => micro(nd(l).toDouble / n))
+    val floors = langs.map(l => microQ(1.0 / (tot(l) + v)))
+    val priors = langs.map(l => microQ(nd(l).toDouble / n))
     (langs, weights, floors, priors)
   }
 
@@ -2688,10 +2690,10 @@ object TextQueries {
       |          regexp_replace(
       |            regexp_replace(
       |              regexp_replace(
-      |                regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
-      |                '(?is)<script[^>]*>.*?</script>', '', 'g'),
-      |              '(?is)<style[^>]*>.*?</style>', '', 'g'),
-      |            '(?is)<title[^>]*>.*?</title>', '', 'g'),
+      |                regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+      |                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |            '(?is)<title[^>]*>.*?</title>', ' ', 'g'),
       |          '<[^>]+>', ' ', 'g'),
       |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
       |        '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),

@@ -133,11 +133,9 @@ object StreamingEtl {
       weights.values.forall(_.length == langs.length),
       "model arity mismatch")
     val wmap = typedLit(weights)
-    val text = col(textCol)
-    val grams = when(length(text) >= 3,
-      transform(sequence(lit(1), length(text) - 2),
-        i => text.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
+    // the ONE shared trigram definition — the stream scorer cannot
+    // drift from the batch trainer's tokenization
+    val grams = graft.queries.TextQueries.charTrigrams(col(textCol))
     val scored = langs.zipWithIndex.foldLeft(src) { case (df, (l, i)) =>
       df.withColumn(s"s_$l", aggregate(
         grams, lit(priors(i)),

@@ -38,6 +38,10 @@ object TextOps {
     *  - script/style/title drop with CONTENT before generic tag
     *    removal (their bodies are code/metadata, not text — and may
     *    contain entities that must not decode into the output);
+    *  - every removed region — comment, block, tag — becomes a SPACE,
+    *    never the empty string: `word1<!-- x -->word2` must extract
+    *    as two words, not a glued `word1word2` (the final whitespace
+    *    collapse normalizes any run the spaces create);
     *  - `&amp;` decodes LAST: HTML's double-escape `&amp;lt;` must
     *    yield the literal text `&lt;`, not `<` — decoding `&amp;`
     *    first would double-decode it (the classic extractor bug);
@@ -45,9 +49,9 @@ object TextOps {
     *    the chain portable to RE2-based engines (the DuckDB oracle).
     */
   def htmlToText(html: Column): Column = {
-    val noComments = regexp_replace(html, "(?s)<!--.*?-->", "")
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
     val noBlocks = Seq("script", "style", "title").foldLeft(noComments) {
-      (c, t) => regexp_replace(c, s"(?is)<$t[^>]*>.*?</$t>", "")
+      (c, t) => regexp_replace(c, s"(?is)<$t[^>]*>.*?</$t>", " ")
     }
     val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
     val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",

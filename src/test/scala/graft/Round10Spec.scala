@@ -286,6 +286,10 @@ class Round10Spec extends SparkSpec {
       // comment containing markup and entities contributes NOTHING
       ("before<!-- <script>alert(1)</script> &amp; --> after",
         "before after"),
+      // removed regions are WORD BOUNDARIES: adjacent words must not
+      // glue together across a dropped comment or block
+      ("word1<!-- note -->word2", "word1 word2"),
+      ("intro<script>var x = 1;</script>outro", "intro outro"),
       // script/style/title bodies drop entirely, entities inside too
       ("<script>if (a &lt; b) { }</script>text", "text"),
       ("<style>p:before { content: \"&gt;\"; }</style>text", "text"),
