@@ -2507,16 +2507,28 @@ object Extras {
         "replace(sq, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))"))
       .select("w", "freq", "sq")
 
-  /** The three-iteration chain: (best1, best2, best3, final frame). */
+  /** The three-iteration chain: (best1, best2, best3, final frame).
+    *
+    * Each contracted stage is [[graft.Materialized]] (same policy as
+    * [[bpeS0]] — the per-iteration symbol frames ARE the artifacts a
+    * tokenizer build persists): without the cut, st2 references st1
+    * TWICE (via b2's aggregate and its own contract) and the
+    * uncached chain re-evaluates 2^depth sub-plans — the exact
+    * exponential the q170 oracle hit at k=16, paid here by BOTH
+    * q163 and q164 on every run. The frames are vocab-grain (30 rows
+    * at any sf), so the cache cost is nil and the two queries share
+    * one materialization per stage.
+    */
   private def bpeChain(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val s0 = bpeS0(s, dir)
     val b1 = bpeBestPair(s0)
-    val st1 = bpeContract(s0, b1)
+    val st1 = graft.Materialized(s, s"bpe_s1:$dir")(bpeContract(s0, b1))
     val b2 = bpeBestPair(st1)
-    val st2 = bpeContract(st1, b2)
+    val st2 = graft.Materialized(s, s"bpe_s2:$dir")(bpeContract(st1, b2))
     val b3 = bpeBestPair(st2)
-    (b1, b2, b3, bpeContract(st2, b3))
+    (b1, b2, b3,
+      graft.Materialized(s, s"bpe_s3:$dir")(bpeContract(st2, b3)))
   }
 
   /** GENERALIZED BPE TRAINING — the [[q163]] machinery behind a
