@@ -397,6 +397,84 @@ object Multimodal {
       .toDF("media_id", "n_bytes", "n_frames", "feature")
   }
 
+  /** 60-bit perceptual COLUMN hash over payload bytes — the dHash
+    * device (Krawetz's difference hash: compare adjacent region
+    * means, one bit per comparison) with the resize-to-grid step
+    * replaced by a fixed 60-column fold of the byte stream (column k
+    * sums bytes at positions ≡ k mod 60; a pixel decoder would plug a
+    * real 9×8 grid in here — the comparison structure, band-LSH
+    * retrieval, and Hamming verification downstream are the real
+    * pipeline). Properties the near-dup tier relies on: a single
+    * changed byte perturbs ONE column sum, which can flip at most the
+    * two comparison bits adjacent to that column — so edit distance
+    * bounds Hamming distance (≤ 2 bits per changed column), which is
+    * exactly the locality a perceptual hash must have and a
+    * cryptographic hash must not. 60 bits keeps the code a
+    * non-negative BIGINT on both engines (the [[graft.text.TextOps
+    * .simhash]] ceiling). One pass, O(len), no allocation beyond the
+    * 60-slot state.
+    */
+  def columnHash60(p: Array[Byte]): Long = {
+    val s = new Array[Long](60)
+    var i = 0
+    while (i < p.length) {
+      s(i % 60) += (p(i) & 0xffL)
+      i += 1
+    }
+    var code = 0L
+    var k = 0
+    while (k < 60) {
+      if (s(k) > s((k + 1) % 60)) code |= 1L << k
+      k += 1
+    }
+    code
+  }
+
+  /** [[columnHash60]] over a media table, partition-batched like the
+    * other decoders (a real pHash runs after pixel decode, amortizing
+    * codec init per partition). Output (media_id, sh) — the signature
+    * table [[graft.text.NearDup.simhashCandidates]] consumes.
+    */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, columnHash60(p)) })
+      .toDF("media_id", "sh")
+  }
+
+  /** Deterministic NEAR-DUP media table: each doc contributes its
+    * payload TWICE — media `2·id` is the original bytes and media
+    * `2·id+1` a perturbed twin with the characters at positions
+    * `p0 = id%23+1` and `p1 = p0 + id%19 + 1` overwritten by `~`
+    * (p1 > p0 always; both ≤ 43, under the corpus minimum length, so
+    * every twin really differs unless the original char was already
+    * `~`). Two changed bytes perturb ≤ 2 of [[columnHash60]]'s
+    * columns, so each twin pair sits at Hamming ≤ 4 of its base —
+    * the planted ground truth the perceptual near-dup query must
+    * recover (the re-encode/resize twin every image-dedup corpus
+    * contains, LAION-style).
+    */
+  def asTwinMediaTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val p0 = (id % 23 + 1).cast("int")
+    val p1 = (p0 + id % 19 + 1).cast("int")
+    val t = col("text")
+    val twin = concat(
+      t.substr(lit(1), p0 - 1), lit("~"),
+      t.substr(p0 + 1, p1 - p0 - 1), lit("~"),
+      t.substr(p1 + 1, length(t)))
+    val base = docs.select((id * 2).as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"), col("source"))
+    val tw = docs.select((id * 2 + 1).as("media_id"),
+      encode(twin, "UTF-8").as("payload"), col("source"))
+    base.unionAll(tw)
+      .select(col("media_id"), lit("image/raw").as("modality"),
+        col("payload"),
+        struct(col("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
   /** Frame sampling — the video-pipeline primitive: every `stride`-th
     * 256-byte "frame" of the payload becomes one output row with its
     * md5 fingerprint (a real decoder emits decoded frames / embeddings

@@ -321,5 +321,90 @@ object MultimodalQueries {
       Multimodal.asAudioTable(Tables(s, dir, "documents")))
   }
 
-  val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173)
+  /** PERCEPTUAL-HASH NEAR-DUP — image dedup the way LAION-scale
+    * pipelines run it (compute a small perceptual code per image,
+    * bucket by code bands, verify candidates by Hamming distance):
+    * [[Multimodal.columnHash60]] (dHash comparison structure over a
+    * 60-column byte fold; the resize step is what a pixel decoder
+    * would replace) feeds the GENERIC Hamming-band candidate
+    * generator [[graft.text.NearDup.simhashCandidates]] — the same
+    * operator the SimHash text tier uses, consumed exactly as a user
+    * would: any 60-bit code column plugs in. The corpus plants
+    * ground truth via [[Multimodal.asTwinMediaTable]] (every doc has
+    * a 2-byte-perturbed twin at Hamming ≤ 4); bands are 4×15 bits
+    * with the 2..32 bucket cap, verification at Hamming ≤ 6. The
+    * oracle recomputes the column sums character-wise (ASCII corpus
+    * — the documented byte≡char device), zero-fills columns beyond
+    * short payloads, rebuilds the code by bit shifts, and mirrors
+    * banding, cap, pair join, and Hamming cut.
+    *
+    * Shape: one payload pass per media (map-only), a 4× band explode
+    * of the 16-byte signature rows, one (band,key)-grain exchange for
+    * the bucket-size cap (broadcast back), the capped self-join, and
+    * the xor/bit_count verify — identical cost model to the q31
+    * SimHash tier; no all-pairs anywhere, worst case linear in the
+    * corpus by the cap argument.
+    */
+  val q174 = Q("q174_phash_neardup",
+    """WITH m AS (
+      |  SELECT doc_id * 2 AS media_id, text AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1,
+      |    substr(text, 1, CAST(doc_id % 23 AS INT)) || '~' ||
+      |    substr(text, CAST(doc_id % 23 + 2 AS INT),
+      |           CAST(doc_id % 19 AS INT)) || '~' ||
+      |    substr(text, CAST(doc_id % 23 + doc_id % 19 + 3 AS INT))
+      |  FROM documents),
+      |b AS (
+      |  SELECT media_id, t,
+      |    CAST(unnest(range(1, len(t) + 1)) AS INT) AS i
+      |  FROM m),
+      |cs AS (
+      |  SELECT media_id, (i - 1) % 60 AS k,
+      |    sum(ord(substr(t, i, 1))) AS s
+      |  FROM b GROUP BY media_id, (i - 1) % 60),
+      |ks AS (
+      |  SELECT mm.media_id, r.k, coalesce(cs.s, 0) AS s
+      |  FROM (SELECT DISTINCT media_id FROM m) mm
+      |  CROSS JOIN (SELECT unnest(range(0, 60)) AS k) r
+      |  LEFT JOIN cs ON cs.media_id = mm.media_id AND cs.k = r.k),
+      |bits AS (
+      |  SELECT a.media_id, a.k,
+      |    CASE WHEN a.s > b2.s THEN 1 ELSE 0 END AS bit
+      |  FROM ks a JOIN ks b2 ON b2.media_id = a.media_id
+      |    AND b2.k = (a.k + 1) % 60),
+      |code AS (
+      |  SELECT media_id,
+      |    sum(CASE WHEN bit = 1 THEN 1::BIGINT << CAST(k AS INT)
+      |        ELSE 0 END) AS sh
+      |  FROM bits GROUP BY media_id),
+      |bd AS (
+      |  SELECT media_id, sh, band,
+      |    (sh >> CAST(15 * band AS INT)) & 32767 AS key
+      |  FROM code
+      |  CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS band) r),
+      |sized AS (
+      |  SELECT band, key FROM bd GROUP BY band, key
+      |  HAVING count(*) BETWEEN 2 AND 32),
+      |pairs AS (
+      |  SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b,
+      |    a.sh AS sha, c.sh AS shb
+      |  FROM sized x
+      |  JOIN bd a ON a.band = x.band AND a.key = x.key
+      |  JOIN bd c ON c.band = x.band AND c.key = x.key
+      |    AND a.media_id < c.media_id)
+      |SELECT media_a, media_b,
+      |  CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+      |FROM pairs WHERE bit_count(xor(sha, shb)) <= 6""".stripMargin) {
+    (s, dir) =>
+    val media = Multimodal.asTwinMediaTable(Tables(s, dir, "documents"))
+    val codes = Multimodal.perceptualHash(media)
+      .withColumnRenamed("media_id", "doc_id")
+    graft.text.NearDup.simhashCandidates(codes, bands = 4,
+        blockBits = 15, bandBits = 15, maxBucket = 32, maxHamming = 6)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+  }
+
+  val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174)
 }

@@ -434,6 +434,62 @@ class Round10Spec extends SparkSpec {
       "bpeTrain leaked checkpointed RDD blocks")
   }
 
+  // ---- columnHash60 / perceptual near-dup (q174)
+
+  test("columnHash60: empty payload is code 0, and the hash is a " +
+    "pure function of the byte multiset per column (order within a " +
+    "column is irrelevant, order across columns is not)") {
+    assert(Multimodal.columnHash60(Array.emptyByteArray) == 0L)
+    val a = Array.tabulate[Byte](240)(i => ((i * 37 + 11) % 251).toByte)
+    assert(Multimodal.columnHash60(a) == Multimodal.columnHash60(a.clone))
+    // swapping two bytes 60 positions apart (same column) is invisible
+    val b = a.clone
+    val t = b(7); b(7) = b(67); b(67) = t
+    assert(Multimodal.columnHash60(b) == Multimodal.columnHash60(a))
+  }
+
+  test("columnHash60 locality: one changed byte flips at most the " +
+    "two comparison bits adjacent to its column — the property the " +
+    "Hamming-band retrieval rests on (a cryptographic hash fails " +
+    "this by design)") {
+    val base = Array.tabulate[Byte](333)(i => ((i * 53 + 29) % 256).toByte)
+    val h0 = Multimodal.columnHash60(base)
+    for (pos <- Seq(0, 1, 59, 60, 100, 332)) {
+      val m = base.clone
+      m(pos) = (m(pos) ^ 0x5a).toByte
+      val d = java.lang.Long.bitCount(h0 ^ Multimodal.columnHash60(m))
+      assert(d <= 2, s"one byte at $pos flipped $d bits")
+    }
+  }
+
+  test("q174 ground truth: every planted twin sits at Hamming <= 4 " +
+    "of its base (2 changed bytes, <= 2 bits per column), and the " +
+    "banded candidate pass recovers ALL 500 twin pairs on this " +
+    "corpus — plus only pairs that genuinely verify at Hamming <= 6") {
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val media = Multimodal.asTwinMediaTable(docs)
+    val codes = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = docs.count()
+    val twinDist = (0L until nDocs).map(i =>
+      java.lang.Long.bitCount(codes(2 * i) ^ codes(2 * i + 1)))
+    assert(twinDist.forall(_ <= 4),
+      s"max planted twin distance ${twinDist.max} > 4")
+    val out = graft.queries.MultimodalQueries.q174.fn(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    val pairs = out.map(_._1).toSet
+    (0L until nDocs).foreach { i =>
+      assert(pairs.contains((2 * i, 2 * i + 1)),
+        s"twin pair of doc $i missed by the band retrieval")
+    }
+    out.foreach { case ((a, b), ham) =>
+      assert(ham == java.lang.Long.bitCount(codes(a) ^ codes(b)),
+        s"reported hamming for ($a,$b) wrong")
+      assert(ham <= 6, s"unverified pair ($a,$b) at $ham")
+    }
+  }
+
   test("q169 corpus round-trip: every synthesized payload's parsed " +
     "dims equal the generator arithmetic, and the plan is map-only " +
     "(no exchange — decode is embarrassingly parallel)") {
