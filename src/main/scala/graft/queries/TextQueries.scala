@@ -2726,9 +2726,83 @@ object TextQueries {
         length(col("stripped")).cast("long").as("n_text_chars"))
   }
 
+  /** LEAKAGE-CONTROLLED SPLIT — group-aware train/val/test
+    * assignment: a random doc-level split leaks near-duplicates
+    * across the boundary (the train set then contains a paraphrase
+    * of every eval doc — the contamination Lee et al. 2022 measure),
+    * so the unit of assignment must be the DUPLICATE COMPONENT, not
+    * the document. Pipeline: q30's LSH candidate pairs →
+    * [[graft.ops.Components.connected]] (min-label propagation) →
+    * every doc's group is its component id (its own id if
+    * unclustered) → the group id alone, hashed (md5, salted
+    * `fold:`), picks the split 80/10/10. Membership is a pure
+    * function of the group, so NO component can span splits — the
+    * invariant the spec asserts, and the reason the hash input must
+    * not mention doc_id.
+    *
+    * Shape: the component table is |clustered docs| (≪ corpus) and
+    * the corpus-grain work is ONE left join against it (broadcast at
+    * any realistic cluster-table size) plus a map-only hash — no
+    * window, no global sort; at 100 TB the split is embarrassingly
+    * parallel after the (already-bounded) components fixpoint.
+    */
+  val q175 = Q("q175_leakage_split",
+    s"""WITH RECURSIVE $shingleSqlCte,
+       |b AS (
+       |  SELECT doc_id, 0 AS band, mh0 || mh1 || mh2 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, mh3 || mh4 || mh5 AS key FROM sig),
+       |sized AS (
+       |  SELECT band, key FROM b GROUP BY band, key
+       |  HAVING count(*) BETWEEN 2 AND 20),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM sized x
+       |  JOIN b a ON a.band = x.band AND a.key = x.key
+       |  JOIN b c ON c.band = x.band AND c.key = x.key
+       |    AND a.doc_id < c.doc_id),
+       |nodes AS (
+       |  SELECT doc_a AS n FROM pairs
+       |  UNION SELECT doc_b FROM pairs),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |r(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT e.d, r.m FROM r JOIN edges e ON e.s = r.n),
+       |cc AS (SELECT n, min(m) AS comp FROM r GROUP BY n),
+       |g AS (
+       |  SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS grp
+       |  FROM documents d LEFT JOIN cc ON cc.n = d.doc_id),
+       |f AS (
+       |  SELECT doc_id, grp,
+       |    CAST(('0x' || substr(md5('fold:' || grp), 1, 4)) AS BIGINT)
+       |      % 10 AS bucket
+       |  FROM g)
+       |SELECT doc_id, grp,
+       |  CASE WHEN bucket < 8 THEN 'train'
+       |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+       |FROM f""".stripMargin) { (s, dir) =>
+    val pairs = q30.fn(s, dir).select("doc_a", "doc_b").distinct()
+    val cc = graft.ops.Components.connected(pairs)
+      .withColumnRenamed("node", "doc_id")
+    val bucket = conv(
+      substring(md5(concat(lit("fold:"), col("grp").cast("string"))),
+        1, 4), 16, 10).cast("long") % 10
+    docs(s, dir).select(col("doc_id"))
+      .join(broadcast(cc), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("grp"))
+      .select(col("doc_id"), col("grp"),
+        when(bucket < 8, "train").when(bucket === 8, "val")
+          .otherwise("test").as("split"))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
-      q141, q144, q148, q149, q150, q151, q166, q167, q168, q171, q172)
+      q141, q144, q148, q149, q150, q151, q166, q167, q168, q171, q172,
+      q175)
 }

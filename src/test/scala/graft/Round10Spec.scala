@@ -490,6 +490,31 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  // ---- leakage-controlled split (q175)
+
+  test("q175 leakage invariant: no duplicate component spans splits " +
+    "(the split is a pure function of the group id), all three " +
+    "splits are populated, and multi-doc groups exist (vacuity — " +
+    "the invariant is only meaningful if clustering found anything)") {
+    val out = graft.queries.TextQueries.q175.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 500)
+    val perGroup = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    perGroup.foreach { case (g, splits) =>
+      assert(splits.size == 1, s"group $g spans splits $splits")
+    }
+    assert(perGroup.exists(_._2.nonEmpty) &&
+      out.groupBy(_._2).exists(_._2.length > 1),
+      "no multi-doc group — the invariant would be vacuous")
+    val bySplit = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"),
+      s"missing split in $bySplit")
+    // 80/10/10 by construction of the 10-bucket hash — allow slack
+    // for the small corpus, but train must dominate
+    assert(bySplit("train") > bySplit("val") + bySplit("test"),
+      s"unexpected proportions $bySplit")
+  }
+
   test("q169 corpus round-trip: every synthesized payload's parsed " +
     "dims equal the generator arithmetic, and the plan is map-only " +
     "(no exchange — decode is embarrassingly parallel)") {
