@@ -475,6 +475,50 @@ object Multimodal {
           length(col("payload")).cast("long").as("n_bytes")).as("meta"))
   }
 
+  /** MEDIA CURATION GATE — the rule layer every multimodal ingest
+    * runs over decoded header metadata before any expensive pixel/
+    * sample decode (the LAION-style pre-filter: drop undecodable
+    * payloads, tiny images, extreme aspect ratios, low-rate or
+    * sub-second audio). Inputs are [[decodeImageMeta]] /
+    * [[decodeAudioMeta]] frames; output one row per media with the
+    * FIRST failing rule (precedence-ordered — the reason a triage
+    * dashboard groups by) or `keep`. Rules are integer-only:
+    * aspect via cross-multiplication (no float ratio), duration in
+    * µs via `bytes·8e6 div (rate·ch·bits)` guarded against the
+    * zero denominators undecodable rows carry (ANSI mode makes an
+    * unguarded division an error, not a null). `unsupported_codec`
+    * (audio_format ≠ 1) cannot fire on the synthesized corpus —
+    * every generated WAV is PCM — so that branch is spec-driven
+    * with constructed frames, not oracle-gated.
+    *
+    * Map-only over both inputs plus a union — zero exchange at any
+    * scale. The gate itself consumes only the decoded metadata
+    * columns: fed from a PERSISTED metadata table (rather than the
+    * decoders inline) parquet prunes the payload entirely, which is
+    * the point of header-first triage.
+    */
+  def mediaGate(img: DataFrame, aud: DataFrame): DataFrame = {
+    val gi = img.select(lit("image").as("modality"), col("media_id"),
+      when(col("format") === "unknown", "undecodable")
+        .when(col("width") < 32 || col("height") < 32, "too_small")
+        .when(col("width") > col("height") * 3 ||
+          col("height") > col("width") * 3, "bad_aspect")
+        .otherwise("keep").as("reason"))
+    val denom = col("sample_rate") * col("channels") *
+      col("bits_per_sample")
+    val durUs = when(denom > 0,
+      expr("n_data_bytes * 8000000 div " +
+        "(sample_rate * channels * bits_per_sample)"))
+      .otherwise(lit(0L))
+    val ga = aud.select(lit("audio").as("modality"), col("media_id"),
+      when(col("format") === "unknown", "undecodable")
+        .when(col("audio_format") =!= 1, "unsupported_codec")
+        .when(col("sample_rate") < 16000, "low_rate")
+        .when(durUs < 2000, "too_short")
+        .otherwise("keep").as("reason"))
+    gi.unionByName(ga)
+  }
+
   /** Frame sampling — the video-pipeline primitive: every `stride`-th
     * 256-byte "frame" of the payload becomes one output row with its
     * md5 fingerprint (a real decoder emits decoded frames / embeddings

@@ -406,5 +406,60 @@ object MultimodalQueries {
         col("hamming"))
   }
 
-  val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174)
+  /** MEDIA CURATION GATE over BOTH decoded modalities —
+    * [[Multimodal.mediaGate]] end-to-end: the image table's real
+    * PNG/JPEG parse and the audio table's real RIFF walk feed the
+    * precedence-ordered keep/drop rules (undecodable → too_small →
+    * bad_aspect for images; undecodable → unsupported_codec →
+    * low_rate → too_short for audio). The oracle never parses a
+    * byte: it recomputes each payload's metadata from the generator
+    * arithmetic (the q169/q173 device) and applies the same rules —
+    * so the gate is double-checked THROUGH the byte parsers: a
+    * decoder regression surfaces here as a reason flip. Every
+    * oracle-reachable reason fires on the corpus (vacuity pinned in
+    * the spec); `unsupported_codec` cannot (all synthesized WAVs are
+    * PCM) and is spec-driven with constructed frames instead.
+    */
+  val q176 = Q("q176_media_gate",
+    """WITH img AS (
+      |  SELECT doc_id, doc_id % 3 AS m,
+      |    CASE WHEN doc_id % 3 = 0 THEN (doc_id % 1000) + 1
+      |         WHEN doc_id % 3 = 1 THEN (doc_id % 500) + 1
+      |         ELSE 0 END AS w,
+      |    CASE WHEN doc_id % 3 = 0 THEN (doc_id % 777) + 1
+      |         WHEN doc_id % 3 = 1 THEN (doc_id % 333) + 1
+      |         ELSE 0 END AS h
+      |  FROM documents),
+      |gi AS (
+      |  SELECT 'image' AS modality, doc_id AS media_id,
+      |    CASE WHEN m = 2 THEN 'undecodable'
+      |         WHEN w < 32 OR h < 32 THEN 'too_small'
+      |         WHEN w > 3 * h OR h > 3 * w THEN 'bad_aspect'
+      |         ELSE 'keep' END AS reason
+      |  FROM img),
+      |aud AS (
+      |  SELECT doc_id, doc_id % 3 AS m, 1 AS af,
+      |    (doc_id % 2) + 1 AS ch,
+      |    8000 + (doc_id % 5) * 4000 AS sr,
+      |    CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+      |    (doc_id % 100) + 1 AS nd
+      |  FROM documents),
+      |ga AS (
+      |  SELECT 'audio' AS modality, doc_id AS media_id,
+      |    CASE WHEN m = 2 THEN 'undecodable'
+      |         WHEN af <> 1 THEN 'unsupported_codec'
+      |         WHEN sr < 16000 THEN 'low_rate'
+      |         WHEN nd * 8000000 // (sr * ch * bits) < 2000
+      |           THEN 'too_short'
+      |         ELSE 'keep' END AS reason
+      |  FROM aud)
+      |SELECT * FROM gi UNION ALL SELECT * FROM ga""".stripMargin) {
+    (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    Multimodal.mediaGate(
+      Multimodal.decodeImageMeta(Multimodal.asImageTable(docs)),
+      Multimodal.decodeAudioMeta(Multimodal.asAudioTable(docs)))
+  }
+
+  val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176)
 }

@@ -490,6 +490,57 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  // ---- media curation gate (q176)
+
+  test("mediaGate precedence on constructed frames: undecodable wins " +
+    "over every later rule, unsupported_codec (the branch the PCM-only " +
+    "corpus cannot exercise) fires before low_rate, and the duration " +
+    "rule never divides by an undecodable row's zero denominator") {
+    val sp = spark
+    import sp.implicits._
+    val img = Seq(
+      (1L, "unknown", 0L, 0L, 9L),       // undecodable
+      (2L, "png", 16L, 2000L, 9L),       // too_small BEFORE bad_aspect
+      (3L, "png", 4000L, 100L, 9L),      // bad_aspect
+      (4L, "jpeg", 640L, 480L, 9L))      // keep
+      .toDF("media_id", "format", "width", "height", "n_bytes")
+    val aud = Seq(
+      (10L, "unknown", 0L, 0L, 0L, 0L, 0L),        // undecodable: 0 denom
+      (11L, "wav", 2L, 8000L, 16L, 64000L, 7L),    // codec BEFORE low_rate
+      (12L, "wav", 1L, 8000L, 16L, 64000L, 1L),    // low_rate
+      (13L, "wav", 1L, 16000L, 16L, 32L, 1L),      // too_short (1000 us)
+      (14L, "wav", 1L, 16000L, 16L, 640000L, 1L))  // keep (20 s)
+      .toDF("media_id", "format", "channels", "sample_rate",
+        "bits_per_sample", "n_data_bytes", "audio_format")
+    val out = Multimodal.mediaGate(img, aud).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out(("image", 1L)) == "undecodable")
+    assert(out(("image", 2L)) == "too_small")
+    assert(out(("image", 3L)) == "bad_aspect")
+    assert(out(("image", 4L)) == "keep")
+    assert(out(("audio", 10L)) == "undecodable")
+    assert(out(("audio", 11L)) == "unsupported_codec")
+    assert(out(("audio", 12L)) == "low_rate")
+    assert(out(("audio", 13L)) == "too_short")
+    assert(out(("audio", 14L)) == "keep")
+  }
+
+  test("q176 corpus vacuity + shape: every oracle-reachable reason " +
+    "fires in both modalities' rule sets, and the gate plan is " +
+    "map-only (no exchange, payload column pruned away)") {
+    val out = graft.queries.MultimodalQueries.q176.fn(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate must not shuffle:\n$plan")
+    val byReason = out.collect()
+      .groupBy(r => (r.getString(0), r.getString(2)))
+      .view.mapValues(_.length).toMap
+    for (k <- Seq(("image", "undecodable"), ("image", "too_small"),
+        ("image", "bad_aspect"), ("image", "keep"),
+        ("audio", "undecodable"), ("audio", "low_rate"),
+        ("audio", "too_short"), ("audio", "keep")))
+      assert(byReason.getOrElse(k, 0) > 0, s"reason $k never fires")
+  }
+
   // ---- leakage-controlled split (q175)
 
   test("q175 leakage invariant: no duplicate component spans splits " +
