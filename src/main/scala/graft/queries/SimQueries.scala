@@ -1596,7 +1596,75 @@ object SimQueries {
       .select("vec_id", "cid", "rk", "ccos")
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training curation step
+    * (dense-retrieval recipes mine the top-ranked WRONG-label
+    * neighbors of each anchor as training negatives; cf. the
+    * published DPR/ANCE practice of "hardest negatives come from the
+    * index, not random sampling"): per anchor (vec_id < 32), the
+    * top-3 corpus neighbors (vec_id ≥ 32) whose label differs, with
+    * each negative's margin against the anchor's BEST same-label
+    * neighbor — margin ≤ 0 flags a negative ranked above the
+    * positive, exactly the pair a contrastive loss learns most from.
+    * Anchors with no same-label corpus neighbor drop (no positive to
+    * anchor the margin; inner join on both engines).
+    *
+    * Shape: q37's exact-scan device (broadcast anchors, one corpus
+    * pass) with label-aware reduction — the positive side collapses
+    * to ≤|anchors| rows BEFORE the join back (map-side partial max),
+    * the negative side is the same per-anchor top-k window every
+    * exact baseline pays. The documented scale path swaps the linear
+    * scan for the IVF route (q55/q158's cell pruning) — the mining
+    * rule is unchanged, only candidate generation narrows.
+    */
+  val q177 = Q("q177_hard_negatives",
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding, $normSql AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < 32),
+       |c AS (SELECT * FROM e WHERE vec_id >= 32),
+       |sims AS (
+       |  SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS nid,
+       |    c.label AS nl, round($dotSql / (q.nrm * c.nrm), 6) AS sim
+       |  FROM q, c),
+       |pos AS (
+       |  SELECT qid, max(sim) AS pos_sim FROM sims
+       |  WHERE nl = ql GROUP BY qid),
+       |neg AS (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY sim DESC, nid) AS rn
+       |  FROM sims WHERE nl <> ql)
+       |SELECT n.qid, n.nid, n.sim, CAST(n.rn AS BIGINT) AS rn,
+       |  p.pos_sim, round(p.pos_sim - n.sim, 6) AS margin
+       |FROM neg n JOIN pos p USING (qid)
+       |WHERE n.rn <= 3""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("qid"), col("label").as("ql"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= 32)
+      .select(col("vec_id").as("nid"), col("label").as("nl"),
+        col("embedding").as("ne"), col("nrm").as("cn"))
+    val sims = broadcast(q).crossJoin(c)
+      .select(col("qid"), col("ql"), col("nid"), col("nl"),
+        round(Similarity.dot(col("qe"), col("ne"))
+          / (col("qn") * col("cn")), 6).as("sim"))
+    val pos = sims.filter(col("nl") === col("ql"))
+      .groupBy("qid").agg(max("sim").as("pos_sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc,
+      col("nid").asc)
+    sims.filter(col("nl") =!= col("ql"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .join(broadcast(pos), Seq("qid"))
+      .select(col("qid"), col("nid"), col("sim"), col("rn"),
+        col("pos_sim"),
+        round(col("pos_sim") - col("sim"), 6).as("margin"))
+  }
+
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
     q113, q128, q129, q133, q134, q135, q136, q140, q146, q154, q158,
-    q165)
+    q165, q177)
 }

@@ -541,6 +541,45 @@ class Round10Spec extends SparkSpec {
       assert(byReason.getOrElse(k, 0) > 0, s"reason $k never fires")
   }
 
+  // ---- hard-negative mining (q177)
+
+  test("q177 equals a shared-nothing Scala recomputation: per anchor " +
+    "the top-3 wrong-label neighbors by cosine, margins against the " +
+    "best same-label neighbor, identical rounding — and both margin " +
+    "signs occur (vacuity: there are negatives ranked above AND " +
+    "below the positive)") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = graft.sources.Tables(spark, sf, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val anchors = vecs.filter(_._1 < 32)
+    val corpus = vecs.filter(_._1 >= 32)
+    val expected = anchors.flatMap { case (qid, ql, qe) =>
+      val sims = corpus.map { case (nid, nl, ne) =>
+        (nid, nl, r6(dot(qe, ne) / (nrm(qe) * nrm(ne))))
+      }
+      val posSim = sims.filter(_._2 == ql).map(_._3).maxOption
+      posSim.toSeq.flatMap { p =>
+        sims.filter(_._2 != ql).sortBy(t => (-t._3, t._1)).take(3)
+          .zipWithIndex.map { case ((nid, _, s), i) =>
+            (qid, nid, s, (i + 1).toLong, p, r6(p - s))
+          }
+      }
+    }.toSet
+    val got = graft.queries.SimQueries.q177.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == expected,
+      s"diff: ${(got diff expected).take(3)} vs ${(expected diff got).take(3)}")
+    assert(got.exists(_._6 <= 0) && got.exists(_._6 > 0),
+      "margins all one sign — mining would be vacuous")
+  }
+
   // ---- leakage-controlled split (q175)
 
   test("q175 leakage invariant: no duplicate component spans splits " +
