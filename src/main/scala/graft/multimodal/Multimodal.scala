@@ -497,26 +497,80 @@ object Multimodal {
     * decoders inline) parquet prunes the payload entirely, which is
     * the point of header-first triage.
     */
-  def mediaGate(img: DataFrame, aud: DataFrame): DataFrame = {
-    val gi = img.select(lit("image").as("modality"), col("media_id"),
-      when(col("format") === "unknown", "undecodable")
-        .when(col("width") < 32 || col("height") < 32, "too_small")
-        .when(col("width") > col("height") * 3 ||
-          col("height") > col("width") * 3, "bad_aspect")
-        .otherwise("keep").as("reason"))
+  /** The image rule chain over a decoded-metadata frame — ONE
+    * definition shared by [[mediaGate]] and the streaming twin
+    * ([[graft.streaming.StreamingEtl.mediaGateStream]]), so the two
+    * can never drift.
+    */
+  private[graft] def imageReason: Column =
+    when(col("format") === "unknown", "undecodable")
+      .when(col("width") < 32 || col("height") < 32, "too_small")
+      .when(col("width") > col("height") * 3 ||
+        col("height") > col("width") * 3, "bad_aspect")
+      .otherwise("keep")
+
+  /** The audio rule chain — shared like [[imageReason]]. */
+  private[graft] def audioReason: Column = {
     val denom = col("sample_rate") * col("channels") *
       col("bits_per_sample")
     val durUs = when(denom > 0,
       expr("n_data_bytes * 8000000 div " +
         "(sample_rate * channels * bits_per_sample)"))
       .otherwise(lit(0L))
+    when(col("format") === "unknown", "undecodable")
+      .when(col("audio_format") =!= 1, "unsupported_codec")
+      .when(col("sample_rate") < 16000, "low_rate")
+      .when(durUs < 2000, "too_short")
+      .otherwise("keep")
+  }
+
+  def mediaGate(img: DataFrame, aud: DataFrame): DataFrame = {
+    val gi = img.select(lit("image").as("modality"), col("media_id"),
+      imageReason.as("reason"))
     val ga = aud.select(lit("audio").as("modality"), col("media_id"),
-      when(col("format") === "unknown", "undecodable")
-        .when(col("audio_format") =!= 1, "unsupported_codec")
-        .when(col("sample_rate") < 16000, "low_rate")
-        .when(durUs < 2000, "too_short")
-        .otherwise("keep").as("reason"))
+      audioReason.as("reason"))
     gi.unionByName(ga)
+  }
+
+  /** Decode a MIXED media feed by sniffing each payload — the routed
+    * union of [[decodeImageMeta]]/[[decodeAudioMeta]] for sources
+    * with no per-table provenance (a crawl stream arrives as one
+    * feed). Output carries the routed modality ('image'/'audio'/
+    * 'unknown') plus both metadata groups (zeros for the modality
+    * the payload is not). Stateless per row — streaming-safe, the
+    * decode entry point [[graft.streaming.StreamingEtl
+    * .mediaGateStream]] runs per micro-batch.
+    */
+  def decodeMixedMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        sniffFormat(p) match {
+          case "png" => pngDims(p) match {
+            case Some((w, h)) =>
+              (id, "image", "png", w, h, 0L, 0L, 0L, 0L, 0L)
+            case None =>
+              (id, "image", "unknown", 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+          case "jpeg" => jpegDims(p) match {
+            case Some((w, h)) =>
+              (id, "image", "jpeg", w, h, 0L, 0L, 0L, 0L, 0L)
+            case None =>
+              (id, "image", "unknown", 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+          case "wav" => wavMeta(p) match {
+            case Some((ch, sr, bits, nd, af)) =>
+              (id, "audio", "wav", 0L, 0L, ch, sr, bits, nd, af)
+            case None =>
+              (id, "audio", "unknown", 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+          case _ => (id, "unknown", "unknown", 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+        }
+      })
+      .toDF("media_id", "modality", "format", "width", "height",
+        "channels", "sample_rate", "bits_per_sample", "n_data_bytes",
+        "audio_format")
   }
 
   /** Frame sampling — the video-pipeline primitive: every `stride`-th

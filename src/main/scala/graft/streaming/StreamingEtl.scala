@@ -393,4 +393,29 @@ object StreamingEtl {
       : DataFrame =
     arrivals.join(storeFps.select("fp"), Seq("fp"), "left_anti")
       .dropDuplicates("fp")
+
+  /** Ingest-time MEDIA CURATION GATE — the streaming twin of the
+    * batch [[graft.multimodal.Multimodal.mediaGate]] (q176): sniff
+    * and header-decode each arriving payload
+    * ([[graft.multimodal.Multimodal.decodeMixedMeta]], stateless per
+    * row), then apply the SAME shared rule chains
+    * ([[graft.multimodal.Multimodal.imageReason]]/`audioReason` —
+    * one definition, so batch and stream cannot drift). Routing is
+    * by CONTENT sniff, which is the one honest semantic gap vs the
+    * batch gate and is stated, not papered over: a batch table knows
+    * a garbage payload's intended modality from provenance, a mixed
+    * stream does not — an unsniffable payload reports modality
+    * `unknown` here (same `undecodable` reason either way; the spec
+    * pins exactly this mapping). Zero state, no watermark needed —
+    * the gate is a pure per-row function, so restart/resume is
+    * trivially safe.
+    */
+  def mediaGateStream(media: DataFrame): DataFrame = {
+    import graft.multimodal.Multimodal
+    Multimodal.decodeMixedMeta(media)
+      .select(col("modality"), col("media_id"),
+        when(col("modality") === "image", Multimodal.imageReason)
+          .when(col("modality") === "audio", Multimodal.audioReason)
+          .otherwise("undecodable").as("reason"))
+  }
 }

@@ -573,4 +573,54 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch,
       "stream gate diverges from the batch decision on ordered arrivals")
   }
+  test("mediaGateStream: per-payload verdicts across micro-batch " +
+    "boundaries equal the batch q176 gate through the shared rule " +
+    "chains, with the one stated gap — an unsniffable payload " +
+    "reports modality 'unknown' (no provenance on a mixed feed), " +
+    "same undecodable reason") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.multimodal.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    // one mixed feed: image payloads on even synthetic ids, audio on
+    // odd — provenance deliberately destroyed by the union
+    val img = Multimodal.asImageTable(docs)
+      .select(($"media_id" * 2).as("media_id"), $"payload")
+    val aud = Multimodal.asAudioTable(docs)
+      .select(($"media_id" * 2 + 1).as("media_id"), $"payload")
+    val feed = img.unionByName(aud).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingEtl.mediaGateStream(
+        input.toDF().toDF("media_id", "payload"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("media_gate_stream").start()
+    val (b1, b2) = feed.toSeq.splitAt(feed.length / 2)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // expected = the batch gate's verdicts (ids remapped onto the
+    // feed's), with modality rewritten to 'unknown' exactly where the
+    // payload does not sniff (the stream has no table provenance)
+    val sniff = feed.map { case (id, p) =>
+      id -> Multimodal.sniffFormat(p)
+    }.toMap
+    val batch = Multimodal.mediaGate(
+        Multimodal.decodeImageMeta(img), Multimodal.decodeAudioMeta(aud))
+      .collect().map { r =>
+        val id = r.getLong(1)
+        val mod = if (sniff(id) == "unknown") "unknown" else r.getString(0)
+        Seq[Any](mod, id, r.getString(2))
+      }.toSet
+    assert(rows(spark.table("media_gate_stream")) == batch,
+      "stream gate diverges from the batch q176 rules")
+    // vacuity: the stream saw both modalities and at least one
+    // non-keep reason of each family
+    val byMod = spark.table("media_gate_stream").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byMod.keySet == Set("image", "audio", "unknown"), s"$byMod")
+  }
 }
