@@ -586,8 +586,12 @@ class Round10Spec extends SparkSpec {
     "(the split is a pure function of the group id), all three " +
     "splits are populated, and multi-doc groups exist (vacuity — " +
     "the invariant is only meaningful if clustering found anything)") {
-    val out = graft.queries.TextQueries.q175.fn(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val out =
+      try graft.queries.TextQueries.q175.fn(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      // the components fixpoint persists labeled intermediates; sweep
+      // them so later suites' clean-session preconditions hold
+      finally Bench.sweepTransients(spark)
     assert(out.length == 500)
     val perGroup = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
     perGroup.foreach { case (g, splits) =>
