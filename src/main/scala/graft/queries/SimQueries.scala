@@ -1664,7 +1664,162 @@ object SimQueries {
         round(col("pos_sim") - col("sim"), 6).as("margin"))
   }
 
+  /** MMR DIVERSIFIED RE-RANKING — the retrieval-diversification step
+    * a RAG pipeline runs after ANN (Carbonell & Goldstein 1998:
+    * greedily pick the candidate maximizing λ·sim(q,d) −
+    * (1−λ)·max_{s∈S} sim(d,s), so near-duplicate passages don't
+    * crowd the context window). λ = 0.7, top-12 candidates, 5 picks.
+    * The greedy is expressed as FIVE UNROLLED RELATIONAL STEPS (the
+    * q163 unrolled-chain device): each step is an anti-join
+    * (remaining), a selected-grain max-penalty aggregate, and one
+    * per-query argmax window — no driver loop, no UDF; the oracle is
+    * the same chain as MATERIALIZED CTEs (the q170 inlining lesson).
+    * Determinism is the q162 integer device: similarities quantize
+    * ONCE to integer micro-units (round(cos·10⁶) — the proven 6dp
+    * boundary), and the MMR objective is then PURE BIGINT
+    * (7·msim − 3·mpen, λ = 0.7 scaled by 10) — no double ever
+    * re-rounds, so no product can land on a rounding boundary (the
+    * naive round(0.7·sim, 6) form systematically lands on .5 at the
+    * 7th decimal and flipped by one micro between engines). Ties
+    * break on the lower neighbor id.
+    *
+    * Shape: candidate generation is q37's exact-scan (broadcast
+    * queries, one corpus pass, per-query top-k); everything after
+    * operates on |Q|·12 rows (Materialized once) — the unrolled
+    * steps cost |Q|-grain windows regardless of corpus size. Scale
+    * path: swap the scan for the IVF route; the MMR chain is
+    * unchanged. k is a LITERAL unroll here; a parameterized k would
+    * use the bpeTrain driver-loop device (bounded picks per step).
+    */
+  val q178 = Q("q178_mmr_rerank",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < 8),
+       |c AS (SELECT * FROM e WHERE vec_id >= 8),
+       |sims AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    CAST(round($dotSql / (q.nrm * c.nrm) * 1000000) AS BIGINT)
+       |      AS msim
+       |  FROM q, c),
+       |cand AS MATERIALIZED (
+       |  SELECT qid, nid, msim FROM (
+       |    SELECT qid, nid, msim,
+       |      row_number() OVER (PARTITION BY qid
+       |                         ORDER BY msim DESC, nid) AS rn
+       |    FROM sims) WHERE rn <= 12),
+       |cp AS (SELECT cand.qid, cand.nid, c.embedding, c.nrm
+       |       FROM cand JOIN c ON c.vec_id = cand.nid),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.qid, a.nid AS na, b.nid AS nb,
+       |    CAST(round(list_sum(list_transform(range(1,65), i ->
+       |      a.embedding[CAST(i AS INT)]::DOUBLE *
+       |      b.embedding[CAST(i AS INT)]::DOUBLE))
+       |      / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS mpsim
+       |  FROM cp a JOIN cp b ON b.qid = a.qid AND b.nid <> a.nid),
+       |s1 AS MATERIALIZED (
+       |  SELECT qid, nid, 7 * msim AS score, 1 AS rank
+       |  FROM (SELECT qid, nid, msim, row_number() OVER (
+       |          PARTITION BY qid ORDER BY msim DESC, nid) AS rn
+       |        FROM cand) WHERE rn = 1),
+       |""".stripMargin +
+    (2 to 5).map { t =>
+      val sel = (1 until t).map(i => s"SELECT qid, nid FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""sel$t AS MATERIALIZED ($sel),
+         |s$t AS MATERIALIZED (
+         |  SELECT qid, nid, score, $t AS rank FROM (
+         |    SELECT r.qid, r.nid,
+         |      7 * r.msim - 3 * pen.p AS score,
+         |      row_number() OVER (PARTITION BY r.qid
+         |        ORDER BY 7 * r.msim - 3 * pen.p DESC, r.nid) AS rn
+         |    FROM (SELECT cand.* FROM cand
+         |          LEFT JOIN sel$t s ON s.qid = cand.qid
+         |            AND s.nid = cand.nid
+         |          WHERE s.nid IS NULL) r
+         |    JOIN (SELECT p.qid, p.na, max(p.mpsim) AS p
+         |          FROM pairs p JOIN sel$t s ON s.qid = p.qid
+         |            AND s.nid = p.nb
+         |          GROUP BY p.qid, p.na) pen
+         |      ON pen.qid = r.qid AND pen.na = r.nid
+         |  ) WHERE rn = 1),
+         |""".stripMargin
+    }.mkString +
+    s"""picks AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+       |  UNION ALL SELECT * FROM s5)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
+       |  CAST(score AS BIGINT) AS score_micro
+       |FROM picks""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("cn"))
+    val w = Window.partitionBy("qid").orderBy(col("msim").desc,
+      col("nid").asc)
+    val cand = graft.Materialized(s, s"mmr_cand:$dir") {
+      broadcast(q).crossJoin(c)
+        .select(col("qid"), col("nid"),
+          round(Similarity.dot(col("qe"), col("ne"))
+            / (col("qn") * col("cn")) * 1000000).cast("long")
+            .as("msim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 12).drop("rn")
+    }
+    val cp = cand.join(c, Seq("nid"))
+    val pairs = graft.Materialized(s, s"mmr_pairs:$dir") {
+      val a = cp.select(col("qid"), col("nid").as("na"),
+        col("ne").as("ea"), col("cn").as("nna"))
+      val b = cp.select(col("qid"), col("nid").as("nb"),
+        col("ne").as("eb"), col("cn").as("nnb"))
+      a.join(b, Seq("qid")).filter(col("na") =!= col("nb"))
+        .select(col("qid"), col("na"), col("nb"),
+          round(Similarity.dot(col("ea"), col("eb"))
+            / (col("nna") * col("nnb")) * 1000000).cast("long")
+            .as("mpsim"))
+    }
+    // each step is Materialized (≤|Q| rows): without this, step t's
+    // lineage embeds every earlier step's full plan and the final
+    // union re-executes the chain ~2^k times — measured 15.3 s at
+    // f=1 un-cached vs the scan-bound cost cached
+    val s1 = graft.Materialized(s, s"mmr_s1:$dir") {
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"),
+          (lit(7L) * col("msim")).as("score"), lit(1).as("rank"))
+    }
+    val picks = (2 to 5).foldLeft(Seq(s1)) { (acc, t) =>
+      val sel = acc.map(_.select(col("qid"), col("nid")))
+        .reduce(_ unionAll _)
+      val rem = cand.join(sel, Seq("qid", "nid"), "left_anti")
+      val pen = pairs.join(sel.withColumnRenamed("nid", "nb"),
+          Seq("qid", "nb"))
+        .groupBy(col("qid"), col("na").as("nid"))
+        .agg(max("mpsim").as("p"))
+        .select(col("qid"), col("nid"), col("p"))
+      val ws = Window.partitionBy("qid")
+        .orderBy(col("score").desc, col("nid").asc)
+      val st = graft.Materialized(s, s"mmr_s$t:$dir") {
+        rem.join(pen, Seq("qid", "nid"))
+          .withColumn("score",
+            lit(7L) * col("msim") - lit(3L) * col("p"))
+          .withColumn("rn", row_number().over(ws))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("nid"), col("score"),
+            lit(t).as("rank"))
+      }
+      acc :+ st
+    }
+    picks.reduce(_ unionAll _)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("nid"), col("score").as("score_micro"))
+  }
+
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
     q113, q128, q129, q133, q134, q135, q136, q140, q146, q154, q158,
-    q165, q177)
+    q165, q177, q178)
 }

@@ -580,6 +580,58 @@ class Round10Spec extends SparkSpec {
       "margins all one sign — mining would be vacuous")
   }
 
+  // ---- MMR diversified re-ranking (q178)
+
+  test("q178 equals a shared-nothing greedy MMR recomputation " +
+    "(integer micro-unit objective, same quantization and ties), " +
+    "picks are distinct per query, rank 1 is the plain cosine " +
+    "argmax, and diversification actually reorders (vacuity: some " +
+    "query's picks differ from its top-5 by similarity)") {
+    val vecs = graft.sources.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def micro(a: Array[Double], b: Array[Double]): Long =
+      math.round(dot(a, b) / (math.sqrt(dot(a, a)) *
+        math.sqrt(dot(b, b))) * 1e6)
+    val corpus = vecs.keys.filter(_ >= 8).toSeq.sorted
+    val expected = (0L until 8L).flatMap { qid =>
+      val cand = corpus.map(n => n -> micro(vecs(qid), vecs(n)))
+        .sortBy { case (n, m) => (-m, n) }.take(12)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      (1 to 5).foreach { rank =>
+        val pick =
+          if (rank == 1) { val (n, m) = cand.head; (n, 7L * m) }
+          else cand.filterNot(c => sel.exists(_._1 == c._1))
+            .map { case (n, m) =>
+              val pen = sel.map(s => micro(vecs(n), vecs(s._1))).max
+              (n, 7L * m - 3L * pen)
+            }.minBy { case (n, sc) => (-sc, n) }
+        sel += pick
+        ()
+      }
+      sel.zipWithIndex.map { case ((n, sc), i) =>
+        (qid, (i + 1).toLong, n, sc)
+      }
+    }.toSet
+    val got = graft.queries.SimQueries.q178.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == expected,
+      s"diff: ${(got diff expected).take(3)} vs ${(expected diff got).take(3)}")
+    // diversification must have work to do on this corpus
+    val bySim = (0L until 8L).map { qid =>
+      qid -> corpus.map(n => n -> micro(vecs(qid), vecs(n)))
+        .sortBy { case (n, m) => (-m, n) }.take(5).map(_._1).toSet
+    }.toMap
+    val picked = got.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+    assert((0L until 8L).exists(q => picked(q) != bySim(q)),
+      "MMR never diverged from plain top-5 — objective vacuous")
+  }
+
   // ---- leakage-controlled split (q175)
 
   test("q175 leakage invariant: no duplicate component spans splits " +
