@@ -532,6 +532,19 @@ object Multimodal {
     gi.unionByName(ga)
   }
 
+  /** Band rows of a perceptual-code table — the Hamming-LSH layout
+    * [[graft.text.NearDup.simhashCandidates]] uses internally,
+    * exposed so a PERSISTED store can be written bucketed on the
+    * probe key: 4 bands × 15 low bits each of the 60-bit code, each
+    * row carrying the full code for verification. Bucketed CTAS on
+    * (band, key) makes every later probe exchange-free on the store
+    * side (the SignatureStore argument, Hamming edition).
+    */
+  def phashBands(codes: DataFrame): DataFrame =
+    codes.select(col("media_id"), col("sh"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key", expr("shiftright(sh, 15 * band) & 32767"))
+
   /** Decode a MIXED media feed by sniffing each payload — the routed
     * union of [[decodeImageMeta]]/[[decodeAudioMeta]] for sources
     * with no per-table provenance (a crawl stream arrives as one

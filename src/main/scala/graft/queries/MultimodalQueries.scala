@@ -461,5 +461,129 @@ object MultimodalQueries {
       Multimodal.decodeAudioMeta(Multimodal.asAudioTable(docs)))
   }
 
-  val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176)
+  /** The q174 column-sum code construction as a reusable CTE chain
+    * over a source CTE `src(media_id, t)` — emits prefixed CTEs
+    * ending in `$pfx_code(media_id, sh)`. Kept textually identical
+    * to q174's inline chain (same sums, zero-fill, bit assembly).
+    */
+  private def phashCodeCtes(src: String, pfx: String): String =
+    s"""${pfx}_b AS (
+       |  SELECT media_id, t,
+       |    CAST(unnest(range(1, len(t) + 1)) AS INT) AS i
+       |  FROM $src),
+       |${pfx}_cs AS (
+       |  SELECT media_id, (i - 1) % 60 AS k,
+       |    sum(ord(substr(t, i, 1))) AS s
+       |  FROM ${pfx}_b GROUP BY media_id, (i - 1) % 60),
+       |${pfx}_ks AS (
+       |  SELECT mm.media_id, r.k, coalesce(cs.s, 0) AS s
+       |  FROM (SELECT DISTINCT media_id FROM $src) mm
+       |  CROSS JOIN (SELECT unnest(range(0, 60)) AS k) r
+       |  LEFT JOIN ${pfx}_cs cs ON cs.media_id = mm.media_id
+       |    AND cs.k = r.k),
+       |${pfx}_bits AS (
+       |  SELECT a.media_id, a.k,
+       |    CASE WHEN a.s > b2.s THEN 1 ELSE 0 END AS bit
+       |  FROM ${pfx}_ks a JOIN ${pfx}_ks b2
+       |    ON b2.media_id = a.media_id AND b2.k = (a.k + 1) % 60),
+       |${pfx}_code AS (
+       |  SELECT media_id,
+       |    sum(CASE WHEN bit = 1 THEN 1::BIGINT << CAST(k AS INT)
+       |        ELSE 0 END) AS sh
+       |  FROM ${pfx}_bits GROUP BY media_id)""".stripMargin
+
+  /** PERCEPTUAL-CODE STORE INGEST GATE — the image twin of the q167
+    * fingerprint-store gate, and the piece that makes q174's dedup
+    * INCREMENTAL: the historical corpus's codes live in a PERSISTED
+    * band store (bucketed CTAS on the probe key (band, key) — the
+    * SignatureStore argument, Hamming edition: the probe join
+    * inherits the write-time distribution, zero store-side
+    * exchange), and an arriving delta is admitted or rejected by
+    * probing its 4 band keys and VERIFYING candidates at Hamming
+    * ≤ 6 against the stored full codes. The synthesized delta mixes
+    * both outcomes: even-doc arrivals are the q174 2-byte-perturbed
+    * twins of stored media (near-dups — rejected), odd-doc arrivals
+    * are the doc's REVERSED text (column sums permute, codes
+    * decorrelate — mostly admitted); the spec pins both verdicts
+    * non-vacuous and the exchange-free probe. Intra-delta duplicates
+    * are deliberately out of scope (q174 is the corpus-dedup pass;
+    * this is the per-arrival gate — the q167 contract). Output one
+    * row per arrival: verdict + verified store-match count.
+    */
+  val q179 = Q("q179_phash_store_gate",
+    s"""WITH hist AS (
+       |  SELECT doc_id AS media_id, text AS t FROM documents),
+       |delta AS (
+       |  SELECT doc_id + 10000 AS media_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN
+       |      substr(text, 1, CAST(doc_id % 23 AS INT)) || '~' ||
+       |      substr(text, CAST(doc_id % 23 + 2 AS INT),
+       |             CAST(doc_id % 19 AS INT)) || '~' ||
+       |      substr(text, CAST(doc_id % 23 + doc_id % 19 + 3 AS INT))
+       |    ELSE reverse(text) END AS t
+       |  FROM documents),
+       |${phashCodeCtes("hist", "h")},
+       |${phashCodeCtes("delta", "d")},
+       |hb AS (
+       |  SELECT media_id, sh, band,
+       |    (sh >> CAST(15 * band AS INT)) & 32767 AS key
+       |  FROM h_code
+       |  CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS band) r),
+       |db AS (
+       |  SELECT media_id, sh, band,
+       |    (sh >> CAST(15 * band AS INT)) & 32767 AS key
+       |  FROM d_code
+       |  CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS band) r),
+       |hits AS (
+       |  SELECT DISTINCT d.media_id, h.media_id AS store_id
+       |  FROM db d JOIN hb h ON h.band = d.band AND h.key = d.key
+       |  WHERE bit_count(xor(d.sh, h.sh)) <= 6),
+       |nm AS (SELECT media_id, count(*) AS n FROM hits GROUP BY media_id)
+       |SELECT dc.media_id,
+       |  CASE WHEN nm.n IS NULL THEN 'new' ELSE 'dup' END AS verdict,
+       |  CAST(coalesce(nm.n, 0) AS BIGINT) AS n_matches
+       |FROM d_code dc LEFT JOIN nm ON nm.media_id = dc.media_id"""
+      .stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val histMedia = docs.select(col("doc_id").as("media_id"),
+      lit("image/raw").as("modality"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val p0 = (col("doc_id") % 23 + 1).cast("int")
+    val p1 = (p0 + col("doc_id") % 19 + 1).cast("int")
+    val t = col("text")
+    val twin = concat(
+      t.substr(lit(1), p0 - 1), lit("~"),
+      t.substr(p0 + 1, p1 - p0 - 1), lit("~"),
+      t.substr(p1 + 1, length(t)))
+    val deltaMedia = docs.select(
+      (col("doc_id") + 10000).as("media_id"),
+      lit("image/raw").as("modality"),
+      encode(when(col("doc_id") % 2 === 0, twin)
+        .otherwise(reverse(col("text"))), "UTF-8").as("payload"))
+    val table = s"phash_store_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, table) {
+      val wh = graft.sources.Warehouse(
+        graft.SessionScratch.dir(s, "phashstore"))
+      wh.saveBucketed(
+        Multimodal.phashBands(Multimodal.perceptualHash(histMedia)),
+        table, 8, Seq("band", "key"))
+    }
+    val deltaCodes = Multimodal.perceptualHash(deltaMedia)
+    val probe = Multimodal.phashBands(deltaCodes)
+    val store = s.table(table)
+      .select(col("media_id").as("store_id"), col("sh").as("ssh"),
+        col("band"), col("key"))
+    val hits = probe.join(store, Seq("band", "key"))
+      .filter(bit_count(col("sh").bitwiseXOR(col("ssh"))) <= 6)
+      .select(col("media_id"), col("store_id")).distinct()
+    val nm = hits.groupBy("media_id").agg(count(lit(1)).as("n"))
+    deltaCodes.select("media_id")
+      .join(nm, Seq("media_id"), "left")
+      .select(col("media_id"),
+        when(col("n").isNull, "new").otherwise("dup").as("verdict"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_matches"))
+  }
+
+  val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176,
+    q179)
 }

@@ -418,4 +418,33 @@ object StreamingEtl {
           .when(col("modality") === "audio", Multimodal.audioReason)
           .otherwise("undecodable").as("reason"))
   }
+
+  /** Ingest-time PERCEPTUAL-DUP ALERT — the streaming face of the
+    * q179 phash-store gate: each arriving payload's 60-bit code is
+    * computed in-flight ([[graft.multimodal.Multimodal
+    * .perceptualHash]], stateless), exploded to its 4 band keys, and
+    * probed against the PERSISTED band store via a stream-static
+    * join; candidates verify at Hamming ≤ `maxHamming` against the
+    * stored full codes. Output is the DUP-HIT stream — one row per
+    * verified (arrival, stored) match — not an admit stream: turning
+    * hits into per-arrival verdicts needs a stream-side aggregate
+    * (stateful) or the batch gate; the alert stream is the stateless
+    * deliverable, and the spec pins its hit set equal to the batch
+    * gate's. Same store table, same band layout, same verify — the
+    * batch and stream probes cannot drift.
+    */
+  def phashDupAlertStream(media: DataFrame, storeBands: DataFrame,
+      maxHamming: Int = 6): DataFrame = {
+    import graft.multimodal.Multimodal
+    val probe = Multimodal.phashBands(Multimodal.perceptualHash(media))
+    val store = storeBands.select(col("media_id").as("store_id"),
+      col("sh").as("ssh"), col("band"), col("key"))
+    probe.join(store, Seq("band", "key"))
+      .filter(bit_count(col("sh").bitwiseXOR(col("ssh")))
+        <= maxHamming)
+      .select(col("media_id"), col("store_id"),
+        bit_count(col("sh").bitwiseXOR(col("ssh"))).cast("long")
+          .as("hamming"))
+      .dropDuplicates("media_id", "store_id")
+  }
 }

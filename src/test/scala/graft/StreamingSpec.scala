@@ -623,4 +623,54 @@ class StreamingSpec extends SparkSpec {
       .groupBy(_.getString(0)).view.mapValues(_.length).toMap
     assert(byMod.keySet == Set("image", "audio", "unknown"), s"$byMod")
   }
+
+  test("phashDupAlertStream: verified (arrival, stored) hits across " +
+    "micro-batch boundaries aggregate to exactly the batch q179 " +
+    "gate's verdicts — same store, same bands, same Hamming verify") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.multimodal.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val hist = docs.select($"doc_id".as("media_id"),
+      encode($"text", "UTF-8").as("payload"))
+    val storeBands = Multimodal.phashBands(
+      Multimodal.perceptualHash(hist))
+    // the q179 delta construction, byte-for-byte
+    val p0 = ($"doc_id" % 23 + 1).cast("int")
+    val p1 = (p0 + $"doc_id" % 19 + 1).cast("int")
+    val twin = concat($"text".substr(lit(1), p0 - 1), lit("~"),
+      $"text".substr(p0 + 1, p1 - p0 - 1), lit("~"),
+      $"text".substr(p1 + 1, length($"text")))
+    val delta = docs.select(($"doc_id" + 10000).as("media_id"),
+        encode(when($"doc_id" % 2 === 0, twin)
+          .otherwise(reverse($"text")), "UTF-8").as("payload"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingEtl.phashDupAlertStream(
+        input.toDF().toDF("media_id", "payload"), storeBands)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("phash_alerts").start()
+    val (b1, b2) = delta.toSeq.splitAt(delta.length / 2)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val alerts = spark.table("phash_alerts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fold the alert stream to per-arrival verdicts and compare to
+    // the oracle-gated batch gate
+    val perArrival = delta.map(_._1).map { id =>
+      val n = alerts.count(_._1 == id).toLong
+      (id, if (n > 0) "dup" else "new", n)
+    }.toSet
+    val batch = graft.queries.MultimodalQueries.q179.fn(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(perArrival == batch,
+      "alert stream folds to a different verdict set than batch q179")
+    assert(alerts.nonEmpty && perArrival.exists(_._2 == "new"),
+      "one-sided outcome — the gate had nothing to decide")
+  }
 }
