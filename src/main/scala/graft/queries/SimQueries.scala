@@ -1819,7 +1819,100 @@ object SimQueries {
         col("nid"), col("score").as("score_micro"))
   }
 
+  /** The [[q180]] oracle, generated mechanically like the q170 BPE
+    * oracle: the Lloyd-stage CTE template unrolled `iters` times, every
+    * stage MATERIALIZED (each c_t is referenced by a_{t+1} AND c_{t+1}
+    * — default inlining re-evaluates the chain 2^t times). The
+    * assignment cost here is the direct Σ(x−c)² integer form; the
+    * engine uses ‖c‖²−2·x·c, which differs by the per-vector constant
+    * ‖x‖² — identical argmin, identical ties (both break on cid), and
+    * an independent derivation is exactly what an oracle should be.
+    */
+  private def kmeansSqlCte(k: Int, iters: Int): String = {
+    val head =
+      s"""em AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(range(1, ${D + 1}), i ->
+         |    CAST(round(embedding[CAST(i AS INT)]::DOUBLE * 1000000)
+         |      AS BIGINT)) AS em
+         |  FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT CAST(vec_id + 1 AS BIGINT) AS cid, em AS cm
+         |  FROM em WHERE vec_id < $k)""".stripMargin
+    val stages = (1 to iters).map { t =>
+      val prev = s"c${t - 1}"
+      s"""a$t AS MATERIALIZED (
+         |  SELECT vec_id, em, cid FROM (
+         |    SELECT e.vec_id, e.em, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, ${D + 1}), i ->
+         |          (e.em[CAST(i AS INT)] - c.cm[CAST(i AS INT)]) *
+         |          (e.em[CAST(i AS INT)] - c.cm[CAST(i AS INT)]))) ASC,
+         |        c.cid) AS rn
+         |    FROM em e CROSS JOIN $prev c) WHERE rn = 1),
+         |g$t AS MATERIALIZED (
+         |  SELECT cid, CAST(u.i AS BIGINT) AS dim,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(em[CAST(u.i AS INT)]) AS BIGINT) AS s
+         |  FROM a$t, UNNEST(range(1, ${D + 1})) AS u(i)
+         |  GROUP BY 1, 2),
+         |c$t AS MATERIALIZED (
+         |  SELECT p.cid,
+         |    list(CAST(coalesce(
+         |      (2 * g.s + CASE WHEN g.s < 0 THEN -g.n ELSE g.n END)
+         |        // (2 * g.n),
+         |      p.cm[CAST(d.i AS INT)]) AS BIGINT) ORDER BY d.i) AS cm
+         |  FROM $prev p
+         |  CROSS JOIN UNNEST(range(1, ${D + 1})) AS d(i)
+         |  LEFT JOIN g$t g ON g.cid = p.cid AND g.dim = d.i
+         |  GROUP BY p.cid)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  private val KmIters = 4
+
+  /** FULL K-MEANS TRAINING — the iterate-to-convergence loop behind
+    * q133's single Lloyd step, the piece that turns the IVF/IVF-PQ
+    * stores' md5-derived coarse quantizers into TRAINED ones
+    * ([[Similarity.kmeansTrainMicro]]; Lloyd 1982, the FAISS
+    * train-then-serve recipe). Forgy init on the k lowest vec_ids,
+    * `KmIters` rounds of integer-exact assign/re-center (micro-unit
+    * components, half-away-from-zero integer rounding — the q133/q178
+    * determinism device extended to a LOOP: no float enters after the
+    * one exact ×10⁶ quantization), empty cells carry forward. Output
+    * is the (cid, dim)-grain artifact: final centroid components,
+    * final-assignment cell sizes, and last-round movement — what a
+    * training loop thresholds on.
+    *
+    * Scale: per round ONE corpus-grain argmin exchange (broadcast
+    * centroids, fused [[graft.functions.DotLongF]] scoring — the
+    * audited [[Similarity.ivfAssign]] shape) plus one k·D-row
+    * partial-aggregated stats exchange; the k·D driver pull per round
+    * is the bounded-artifact pattern (q170's argument — the centroid
+    * table IS what an index build persists). Production trains on a
+    * fixed-size sample upstream (FAISS recipe), so the loop cost is
+    * sample-bounded at any corpus size.
+    */
+  val q180 = Q("q180_kmeans_train",
+    s"""WITH ${kmeansSqlCte(K, KmIters)}
+       |SELECT c.cid, CAST(d.i AS BIGINT) AS dim,
+       |  CAST(coalesce(n.n, 0) AS BIGINT) AS n_vecs,
+       |  c.cm[CAST(d.i AS INT)] AS cmicro,
+       |  c.cm[CAST(d.i AS INT)] - p.cm[CAST(d.i AS INT)] AS delta_micro
+       |FROM c$KmIters c
+       |CROSS JOIN UNNEST(range(1, ${D + 1})) AS d(i)
+       |JOIN c${KmIters - 1} p ON p.cid = c.cid
+       |LEFT JOIN (SELECT cid, CAST(count(*) AS BIGINT) AS n
+       |           FROM a$KmIters GROUP BY cid) n ON n.cid = c.cid""".stripMargin) {
+    (s, dir) =>
+    val em = Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          round(x.cast("double") * 1000000).cast("long")).as("em"))
+    Similarity.kmeansTrainMicro(s, em, K, D, KmIters)
+  }
+
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
     q113, q128, q129, q133, q134, q135, q136, q140, q146, q154, q158,
-    q165, q177, q178)
+    q165, q177, q178, q180)
 }

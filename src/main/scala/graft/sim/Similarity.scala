@@ -303,6 +303,96 @@ object Similarity {
       .join(mx, Seq("vec_id", "label"), "left")
   }
 
+  /** FULL LLOYD TRAINING LOOP over integer-micro embeddings — the
+    * iterate-to-convergence form of the single [[ivfAssign]]-shaped
+    * step q133 exposes (Lloyd 1982; the FAISS coarse-quantizer train
+    * recipe). `em` must carry (`vec_id`, `em` array<bigint>), each
+    * component the ×10⁶ integer quantization of the float embedding
+    * (exact — float32 has ≤24 significand bits, so x·10⁶ is exact in
+    * double and `round` sees no engine-variant last bit). From there
+    * EVERY operation in the loop is int64 arithmetic, bit-identical in
+    * any engine:
+    *
+    *  - init: Forgy on the k lowest `vec_id`s (deterministic — no RNG);
+    *  - assign: argmin ‖x−c‖² via the fused integer dot
+    *    ([[graft.functions.DotLongF]]): cost = ‖c‖² − 2·x·c (the ‖x‖²
+    *    term is constant per vector and drops out of the argmin); ties
+    *    take the LOWEST cid;
+    *  - re-center: mean per (cid, dim) rounded HALF-AWAY-FROM-ZERO in
+    *    pure integer arithmetic — (2s ± n) div 2n with a truncating
+    *    division, which Spark's `div` and DuckDB's `//` both are;
+    *  - empty cells carry their centroid forward (n_vecs = 0), the
+    *    FAISS re-seed signal surfaced rather than papered over.
+    *
+    * Per iteration the cluster pays ONE corpus-grain exchange (the
+    * argmin aggregation — same SortAggregate trade as [[ivfAssign]],
+    * documented there) and one (cid, dim)-grain exchange whose
+    * posexplode fan-out partial-aggregates map-side, so k·D rows per
+    * partition cross the wire, never n·D. The k·D per-iteration stats
+    * pull to the driver is BOUNDED (512 longs here): the centroid
+    * table IS the artifact an index build persists — materializing it
+    * on the driver each round is the production contract, exactly the
+    * [[graft.queries.Extras.bpeTrain]] argument. At 100 TB the FAISS
+    * recipe trains on a fixed-size SAMPLE (`em.limit`/hash-sample
+    * upstream of this loop), so iteration cost is bounded by the
+    * sample, not the corpus; the loop itself is unchanged.
+    *
+    * Returns the (cid, dim)-grain artifact: final centroid components
+    * (`cmicro`), final-assignment cell sizes (`n_vecs`), and the last
+    * update's movement (`delta_micro` = final − previous) — the
+    * convergence signal a training loop thresholds on.
+    */
+  def kmeansTrainMicro(s: SparkSession, em: DataFrame, k: Int,
+      dim: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    require(iters >= 1, s"iters must be positive: $iters")
+    def roundDiv(sum: Long, n: Long): Long =
+      (2 * sum + (if (sum < 0) -n else n)) / (2 * n)
+    val init = em.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("em")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Long](1).toArray)
+    require(init.length == k, s"Forgy init needs vec_id 0..${k - 1}")
+    var cent: Array[Array[Long]] = init
+    var prev: Array[Array[Long]] = init
+    var nVecs: Array[Long] = Array.fill(k)(0L)
+    for (_ <- 1 to iters) {
+      val centRows = cent.toIndexedSeq.zipWithIndex.map { case (cm, j) =>
+        ((j + 1).toLong, cm.toSeq, cm.map(x => x * x).sum)
+      }
+      val cdf = s.createDataFrame(centRows).toDF("cid", "cm", "cy2")
+      val cost = col("cy2") - lit(2L) *
+        graft.functions.DotLongF(col("em"), col("cm"))
+      val win = em.crossJoin(broadcast(cdf))
+        .select(col("vec_id"), col("em"), col("cid"), cost.as("cost"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("cost"), col("cid"), col("em"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.em").as("em"))
+      val stats = win.select(col("cid"), posexplode(col("em")))
+        .groupBy(col("cid"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"), sum("col").as("s"))
+        .collect()
+      prev = cent.map(_.clone())
+      val next = cent.map(_.clone())
+      val counts = Array.fill(k)(0L)
+      stats.foreach { r =>
+        val (cid, d) = (r.getLong(0).toInt, r.getLong(1).toInt)
+        val (n, sm) = (r.getLong(2), r.getLong(3))
+        next(cid - 1)(d - 1) = roundDiv(sm, n)
+        counts(cid - 1) = n
+      }
+      cent = next
+      nVecs = counts
+    }
+    val out = for {
+      j <- 0 until k
+      d <- 0 until dim
+    } yield ((j + 1).toLong, (d + 1).toLong, nVecs(j), cent(j)(d),
+      cent(j)(d) - prev(j)(d))
+    s.createDataFrame(out)
+      .toDF("cid", "dim", "n_vecs", "cmicro", "delta_micro")
+  }
+
   /** Embedding-cosine near-duplicate pairs, bucketed AND capped.
     *
     * `e` must carry (`vec_id`, `embedding`). Pairs are generated only

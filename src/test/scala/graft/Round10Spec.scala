@@ -661,6 +661,83 @@ class Round10Spec extends SparkSpec {
       s"unexpected proportions $bySplit")
   }
 
+  // ---- full k-means training loop (q180)
+
+  test("q180 equals a shared-nothing Scala Lloyd recomputation " +
+    "(Forgy init, integer micro arithmetic, ties to lowest cid, " +
+    "half-away-from-zero re-centering) — and training actually moved " +
+    "the assignment (vacuity: iteration 1 and 4 assignments differ, " +
+    "all cells non-empty)") {
+    val k = 8; val dim = 64; val iters = 4
+    val vecs = graft.sources.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray)
+      .sortBy(_._1)
+    def roundDiv(s: Long, n: Long): Long =
+      (2 * s + (if (s < 0) -n else n)) / (2 * n)
+    var cent = vecs.take(k).map(_._2.clone())
+    var prev = cent
+    var lastAssign = Map.empty[Long, Int]
+    val assigns = scala.collection.mutable.Buffer.empty[Map[Long, Int]]
+    var nv = Array.fill(k)(0L)
+    (1 to iters).foreach { _ =>
+      val asg = vecs.map { case (id, em) =>
+        val costs = cent.zipWithIndex.map { case (cm, j) =>
+          (em.indices.map(i =>
+            (em(i) - cm(i)) * (em(i) - cm(i))).sum, j + 1)
+        }
+        id -> costs.min._2
+      }.toMap
+      assigns += asg
+      prev = cent.map(_.clone())
+      val next = cent.map(_.clone())
+      val counts = Array.fill(k)(0L)
+      (1 to k).foreach { cid =>
+        val members = vecs.filter(v => asg(v._1) == cid)
+        counts(cid - 1) = members.length.toLong
+        if (members.nonEmpty)
+          (0 until dim).foreach { d =>
+            next(cid - 1)(d) =
+              roundDiv(members.map(_._2(d)).sum, members.length.toLong)
+          }
+      }
+      cent = next
+      nv = counts
+      lastAssign = asg
+    }
+    val expected = (for {
+      j <- 0 until k
+      d <- 0 until dim
+    } yield ((j + 1).toLong, (d + 1).toLong, nv(j), cent(j)(d),
+      cent(j)(d) - prev(j)(d))).toSet
+    val got = graft.queries.SimQueries.q180.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected,
+      s"diff: ${(got diff expected).take(3)} vs ${(expected diff got).take(3)}")
+    assert(assigns.head != assigns.last,
+      "assignment never moved across 4 Lloyd rounds — training vacuous")
+    assert(nv.forall(_ > 0), s"empty cell on this corpus: ${nv.toSeq}")
+  }
+
+  test("kmeansTrainMicro constructed case: duplicate init centroids " +
+    "tie every vector to the LOWEST cid, the emptied cell carries its " +
+    "centroid forward with n_vecs = 0, and the survivor re-centers " +
+    "with truncating half-away rounding") {
+    val em = spark.createDataFrame(Seq(
+      (0L, Seq(7L)), (1L, Seq(7L)), (2L, Seq(8L))))
+      .toDF("vec_id", "em")
+    val out = graft.sim.Similarity.kmeansTrainMicro(spark, em,
+        k = 2, dim = 1, iters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // mean(7,7,8) = 7.33 -> trunc((2*22+3)/6) = 7: cell 1 holds all
+    // three rows both rounds; cell 2 never wins a tie and stays at 7
+    assert(out == Set((1L, 1L, 3L, 7L, 0L), (2L, 1L, 0L, 7L, 0L)), out)
+  }
+
   test("q169 corpus round-trip: every synthesized payload's parsed " +
     "dims equal the generator arithmetic, and the plan is map-only " +
     "(no exchange — decode is embarrassingly parallel)") {
