@@ -2799,10 +2799,77 @@ object TextQueries {
           .otherwise("test").as("split"))
   }
 
+  /** CURRICULUM SCHEDULE MATERIALIZATION — the step between mixture
+    * PLANNING (q130/q148/q159 decide how much of each source) and the
+    * training run: produce the actual interleaved ORDER the loader
+    * reads, easy-first within each source (curriculum learning,
+    * Bengio et al. 2009 — shortest documents lead) and sources
+    * interleaved in proportion to their weights via WEIGHTED FAIR
+    * QUEUEING virtual finish times (Demers et al. 1989): a doc's
+    * schedule key is `rank_within_source × (L/w)` with L = lcm of the
+    * weights, so a weight-3 source lands 3 docs in the time a
+    * weight-1 source lands one — the deterministic, integer-only form
+    * of "sample sources proportionally", with none of an RNG's
+    * cross-engine hazards. Weights derive from the q166 source-suffix
+    * parse ((prio mod 3) + 1, unparseable → least-curated path), so
+    * the contract survives a broken 'srcN' name the same hardened way.
+    *
+    * Scale shape: the per-source rank is a window partitioned by
+    * source (range-partitioned sort per source — the skew unit is one
+    * source's docs); the global interleave is a TOP-N on the finish
+    * key (TakeOrdered — never a full global sort materialization),
+    * bounded at `CurriculumTake` rows, then a single-partition
+    * row_number over exactly those rows. A full-schedule write-out at
+    * 100 TB would swap the TOP-N for a range-partitioned sort on
+    * (fkey, source, doc_id) — same keys, streaming write, no driver
+    * involvement.
+    */
+  val q181 = Q("q181_curriculum_interleave",
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars,
+      |    coalesce(TRY_CAST(substr(source, 4) AS INT), 2147483647)
+      |      AS prio
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, source, n_chars, (prio % 3) + 1 AS w FROM d),
+      |r AS (
+      |  SELECT doc_id, source, w,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars, doc_id) AS r
+      |  FROM w),
+      |f AS (
+      |  SELECT doc_id, source, CAST(w AS BIGINT) AS w,
+      |    CAST(r AS BIGINT) AS r, CAST(r * (6 // w) AS BIGINT) AS fkey
+      |  FROM r)
+      |SELECT * FROM (
+      |  SELECT CAST(row_number() OVER (ORDER BY fkey, source, doc_id)
+      |      AS BIGINT) AS pos,
+      |    doc_id, source, w, r, fkey
+      |  FROM f) WHERE pos <= 200""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      col("n_chars"),
+      coalesce(col("source").substr(lit(4), length(col("source")))
+        .cast("int"), lit(Int.MaxValue)).as("prio"))
+      .withColumn("w", (col("prio") % 3 + 1).cast("long"))
+    val perSrc = Window.partitionBy("source")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val f = d.withColumn("r", row_number().over(perSrc).cast("long"))
+      .withColumn("fkey", (col("r") * expr("6 div w")).cast("long"))
+      .select("doc_id", "source", "w", "r", "fkey")
+    val top = f.orderBy(col("fkey").asc, col("source").asc,
+      col("doc_id").asc).limit(CurriculumTake)
+    val sched = Window.orderBy(col("fkey").asc, col("source").asc,
+      col("doc_id").asc)
+    top.withColumn("pos", row_number().over(sched).cast("long"))
+      .select("pos", "doc_id", "source", "w", "r", "fkey")
+  }
+
+  private val CurriculumTake = 200
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
       q141, q144, q148, q149, q150, q151, q166, q167, q168, q171, q172,
-      q175)
+      q175, q181)
 }

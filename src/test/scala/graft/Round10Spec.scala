@@ -738,6 +738,53 @@ class Round10Spec extends SparkSpec {
     assert(out == Set((1L, 1L, 3L, 7L, 0L), (2L, 1L, 0L, 7L, 0L)), out)
   }
 
+  // ---- curriculum interleave (q181)
+
+  test("q181 equals a shared-nothing WFQ recomputation, every weight " +
+    "class is present in the schedule (vacuity), each source's " +
+    "scheduled docs are its easiest prefix in easy-first order, and " +
+    "sources interleave instead of running in blocks") {
+    val rows = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def weight(src: String): Long = {
+      val p = scala.util.Try(src.substring(3).toInt)
+        .getOrElse(Int.MaxValue)
+      (p % 3 + 1).toLong
+    }
+    val ranked = rows.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy(d => (d._3, d._1)).zipWithIndex.map { case (d, i) =>
+        val r = (i + 1).toLong
+        val w = weight(src)
+        (d._1, src, w, r, r * (6L / w))
+      }
+    }
+    val expected = ranked
+      .sortBy { case (id, src, _, _, f) => (f, src, id) }.take(200)
+      .zipWithIndex
+      .map { case ((id, src, w, r, f), i) =>
+        ((i + 1).toLong, id, src, w, r, f)
+      }.toSeq
+    val got = graft.queries.TextQueries.q181.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      .sortBy(_._1)
+    assert(got == expected,
+      s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    assert(got.map(_._4).toSet == Set(1L, 2L, 3L),
+      "not all weight classes scheduled — interleave vacuous")
+    got.groupBy(_._3).foreach { case (src, ss) =>
+      assert(ss.sortBy(_._1).map(_._5) == (1L to ss.length.toLong),
+        s"$src schedule is not its rank-1..n easiest prefix")
+    }
+    // a weight-3 source must land ~3 docs per weight-1 doc: in the
+    // full 200-slot window the per-class totals cannot be a block
+    // schedule (which would exhaust one class before the next starts)
+    val perClass = got.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(perClass(3L) > perClass(1L),
+      s"weight-3 sources do not outpace weight-1: $perClass")
+  }
+
   test("q169 corpus round-trip: every synthesized payload's parsed " +
     "dims equal the generator arithmetic, and the plan is map-only " +
     "(no exchange — decode is embarrassingly parallel)") {
