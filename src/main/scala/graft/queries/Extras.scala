@@ -773,6 +773,72 @@ object Extras {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** TRAINING-SHARD MANIFEST — the writer-side step after packing:
+    * assign every document to a fixed-capacity shard by GLOBAL
+    * ingest-order token position (WebDataset/TFRecord shard building:
+    * shard = exclusive-running-token-total div capacity; a doc whose
+    * first token lands in shard k joins shard k, so a shard can
+    * overflow by at most one document — next-fit, the standard rule).
+    * q110 packs WITHIN a source (its window partitions by source);
+    * the global form is a different operator because a naive global
+    * window (`ORDER BY doc_id` with no partition) moves the whole
+    * corpus to ONE partition — the exact anti-pattern.
+    *
+    * The engine computes the global exclusive prefix sum as a
+    * TWO-LEVEL (block) scan, the textbook distributed prefix sum:
+    * (1) block key = doc_id div `ShardBlk` — deterministic, aligned
+    * to ingest order, gap-tolerant (value-based, not row-based);
+    * (2) block totals (corpus/ShardBlk rows) get their own exclusive
+    * running sum on a SINGLE partition — sized so that table is
+    * driver-trivial at any corpus (1e5 rows at 100 TB with a 1e6
+    * block); (3) offsets broadcast-join back and the within-block
+    * window partitions by blk — every corpus-grain window is
+    * partitioned, nothing corpus-sized ever single-partitions. The
+    * DuckDB oracle uses the naive one-window form — an independent
+    * derivation of the same total order, which is the point of an
+    * oracle. Manifest output is shard-grain (tiny).
+    */
+  val q182 = Q("q182_shard_pack",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok,
+      |    coalesce(sum(tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cumex
+      |  FROM t)
+      |SELECT CAST(cumex // 2048 AS BIGINT) AS shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS tok_total,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+    val t = docsTable(s, dir)
+      .select(col("doc_id"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long")
+          .as("tok"),
+        expr(s"doc_id div $ShardBlk").as("blk"))
+    val wBlk = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = t.groupBy("blk").agg(sum("tok").as("btot"))
+      .withColumn("off", coalesce(sum("btot").over(wBlk), lit(0L)))
+      .select("blk", "off")
+    val wIn = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(offs), Seq("blk"))
+      .withColumn("cumex",
+        col("off") + coalesce(sum("tok").over(wIn), lit(0L)))
+      .withColumn("shard", expr(s"cumex div $ShardCap"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok").cast("long").as("tok_total"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
+  private val ShardCap = 2048L
+  private val ShardBlk = 100L
+
   /** S-extension — ORC round trip, q106's twin for the other columnar
     * format the engine must ingest (ORC is Spark-native: splittable
     * stripes, predicate pushdown, column pruning — the same scan
@@ -2707,6 +2773,7 @@ object Extras {
 
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
+    q182,
     q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147,
     q152, q153, q155, q159, q160, q161, q162, q163, q164, q170)
 }

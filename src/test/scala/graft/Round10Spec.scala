@@ -785,6 +785,50 @@ class Round10Spec extends SparkSpec {
       s"weight-3 sources do not outpace weight-1: $perClass")
   }
 
+  // ---- global shard packing (q182)
+
+  test("q182 two-level prefix sum equals a naive shared-nothing " +
+    "recomputation, shard ranges are ordered and contiguous, and the " +
+    "ONLY single-partition exchange in the plan is the block-grain " +
+    "offset window — the corpus-grain window partitions by blk") {
+    val rows = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+      .sortBy(_._1)
+    var cum = 0L
+    val assign = rows.map { case (id, tok) =>
+      val shard = cum / 2048L
+      cum += tok
+      (shard, id, tok)
+    }
+    val expected = assign.groupBy(_._1).map { case (shard, ds) =>
+      (shard, ds.length.toLong, ds.map(_._3).sum,
+        ds.map(_._2).min, ds.map(_._2).max)
+    }.toSet
+    val df = graft.queries.Extras.q182.fn(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected,
+      s"diff: ${(got diff expected).take(3)} vs ${(expected diff got).take(3)}")
+    val shards = got.toSeq.sortBy(_._1)
+    assert(shards.size >= 2, "single shard — packing vacuous")
+    assert(shards.map(_._1) == (0L until shards.size.toLong),
+      "shard ids not contiguous from 0")
+    shards.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._5 < b._4, s"shard ranges overlap: $a vs $b")
+    case _ => ()
+    }
+    // the AQE toString repeats the tree under "== Initial Plan ==" —
+    // count exchanges in the final plan only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("windowspecdefinition(blk"),
+      s"corpus window must partition by blk:\n$plan")
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles == 1,
+      s"expected exactly the block-offset SinglePartition, got $singles:\n$plan")
+  }
+
   test("q169 corpus round-trip: every synthesized payload's parsed " +
     "dims equal the generator arithmetic, and the plan is map-only " +
     "(no exchange — decode is embarrassingly parallel)") {
