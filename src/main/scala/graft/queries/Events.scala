@@ -678,7 +678,151 @@ object Events {
       (col("m").cast("double") / 1000000).as("p"))
   }
 
+  private val BtTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+  private val BtIters = 8
+
+  /** The [[q183]] oracle, generated mechanically. The event-type enum
+    * is the generator contract (the q171 hardcoded-slice precedent),
+    * which buys the one thing a float fixed-point iteration needs
+    * across engines: an EXPLICIT `t1 + t2 + ...` chain in ascending
+    * type order — left-associated addition with every operand a
+    * division of exact integers, so both engines execute the
+    * identical IEEE op sequence (no list/aggregate summation-order
+    * trust). Iteration frames are MATERIALIZED (w_t feeds both
+    * w_{t+1} and its 1-row pivot).
+    */
+  private def btSql(iters: Int): String = {
+    val gCols = BtTypes.map(t => s"g_$t")
+    val pivotG = BtTypes.map(t =>
+      s"    CAST(sum(CASE WHEN m.j = '$t' THEN m.n + m2.n ELSE 0 END) " +
+        s"AS BIGINT) AS g_$t").mkString(",\n")
+    val pivotW = BtTypes.map(t =>
+      s"    max(CASE WHEN i = '$t' THEN w END) AS w_$t").mkString(",\n")
+    val denomChain = BtTypes.map(t =>
+      s"(CASE WHEN w.g_$t = 0 THEN 0 " +
+        s"ELSE w.g_$t / CAST(w.w + p.w_$t AS DOUBLE) END)")
+      .mkString("\n        + ")
+    val carryG = gCols.map(g => s"w.$g").mkString(", ")
+    val vals = BtTypes.map(t => s"('$t')").mkString(", ")
+    val head =
+      s"""ct AS (
+         |  SELECT u.user_id, t.et, coalesce(c.c, 0) AS c
+         |  FROM (SELECT DISTINCT user_id FROM events) u
+         |  CROSS JOIN (VALUES $vals) t(et)
+         |  LEFT JOIN (SELECT user_id, event_type, count(*) AS c
+         |             FROM events GROUP BY 1, 2) c
+         |    ON c.user_id = u.user_id AND c.event_type = t.et),
+         |m AS MATERIALIZED (
+         |  SELECT a.et AS i, b.et AS j,
+         |    CAST(sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n
+         |  FROM ct a JOIN ct b ON a.user_id = b.user_id AND a.et <> b.et
+         |  GROUP BY 1, 2),
+         |w0 AS MATERIALIZED (
+         |  SELECT m.i, CAST(sum(m.n) AS BIGINT) AS wins,
+         |    CAST(sum(m.n + m2.n) AS BIGINT) AS games,
+         |$pivotG,
+         |    CAST(1000000 AS BIGINT) AS w
+         |  FROM m JOIN m m2 ON m2.i = m.j AND m2.j = m.i
+         |  GROUP BY m.i)""".stripMargin
+    val stages = (1 to iters).map { t =>
+      s"""wp${t - 1} AS (
+         |  SELECT
+         |$pivotW
+         |  FROM w${t - 1}),
+         |w$t AS MATERIALIZED (
+         |  SELECT w.i, w.wins, w.games, $carryG,
+         |    CASE WHEN w.games = 0 THEN w.w
+         |      ELSE CAST(round(w.wins / (
+         |        $denomChain)) AS BIGINT)
+         |    END AS w
+         |  FROM w${t - 1} w CROSS JOIN wp${t - 1} p)""".stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
+
+  /** BRADLEY-TERRY PREFERENCE-STRENGTH FITTING — the
+    * preference-data-curation operator behind reward-model training:
+    * derive pairwise preferences from behavior (item i beats item j
+    * for a user when the user did i more often — a pure INTEGER count
+    * comparison over a dense user × item grid, missing counts 0),
+    * then fit BT strengths by Zermelo's MM iteration (Zermelo 1929;
+    * Hunter 2004): w_i ← W_i / Σ_j g_ij/(w_i+w_j), synchronous
+    * updates, `BtIters` rounds, no-games items carry their weight.
+    *
+    * Determinism across engines: the corpus-grain stage is all
+    * integers; the driver loop quantizes weights to integer MICRO
+    * units after every update, and each iteration's float work is a
+    * fixed left-to-right chain of integer-ratio divisions (IEEE
+    * exactly-rounded, so identical op sequence → identical bits; the
+    * oracle writes the chain out explicitly per type rather than
+    * trusting any aggregate's summation order). The one documented
+    * boundary is `round` at an exact .5 micro — a measure-zero
+    * landing for a quotient of corpus-derived integers, the q162
+    * ulp-note stance, NOT q178's systematic decimal-grid case.
+    *
+    * Scale: the grid is |users| × K rows (linear, K items); the
+    * pairwise stage emits K² rows per user map-side and
+    * partial-aggregates to a K²-row matrix — the ONLY exchange is
+    * (i, j)-grain; the K²-row driver pull and the O(K²·iters) loop
+    * are the bounded-artifact pattern (the strength table IS what a
+    * ranking deploy persists). 100 TB of events changes the count
+    * aggregate's input, nothing else.
+    */
+  val q183 = Q("q183_bt_strength",
+    s"""WITH ${btSql(BtIters)}
+       |SELECT i AS etype, wins, games, w AS w_micro,
+       |  CAST(row_number() OVER (ORDER BY w DESC, i) AS BIGINT) AS rank
+       |FROM w$BtIters""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val cnt = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    val tdf = s.createDataFrame(BtTypes.map(Tuple1(_)))
+      .toDF("event_type")
+    val grid = ev.select("user_id").distinct()
+      .crossJoin(broadcast(tdf))
+      .join(cnt, Seq("user_id", "event_type"), "left")
+      .select(col("user_id"), col("event_type"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(col("user_id"), col("event_type").as("i"),
+      col("c").as("ci"))
+    val b = grid.select(col("user_id"), col("event_type").as("j"),
+      col("c").as("cj"))
+    val m = a.join(b, Seq("user_id")).filter(col("i") =!= col("j"))
+      .groupBy("i", "j")
+      .agg(sum(when(col("ci") > col("cj"), 1L).otherwise(0L)).as("n"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    def n(i: String, j: String): Long = m.getOrElse((i, j), 0L)
+    val wins = BtTypes.map(i =>
+      i -> BtTypes.filter(_ != i).map(n(i, _)).sum).toMap
+    val games = BtTypes.map(i =>
+      i -> BtTypes.filter(_ != i).map(j => n(i, j) + n(j, i)).sum).toMap
+    var w = BtTypes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to BtIters) {
+      w = BtTypes.map { i =>
+        i -> (if (games(i) == 0L) w(i)
+        else {
+          // the fold mirrors the oracle's explicit + chain: ascending
+          // type order, self term 0.0 (adding 0.0 is an IEEE no-op)
+          val denom = BtTypes.foldLeft(0.0) { (acc, j) =>
+            val g = if (j == i) 0L else n(i, j) + n(j, i)
+            acc + (if (g == 0L) 0.0
+                   else g.toDouble / (w(i) + w(j)).toDouble)
+          }
+          math.round(wins(i).toDouble / denom)
+        })
+      }.toMap
+    }
+    val rank = BtTypes.sortBy(i => (-w(i), i)).zipWithIndex
+      .map { case (i, r) => i -> (r + 1).toLong }.toMap
+    s.createDataFrame(BtTypes.map(i =>
+        (i, wins(i), games(i), w(i), rank(i))))
+      .toDF("etype", "wins", "games", "w_micro", "rank")
+  }
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45, q58, q59,
-      q68, q71, q78, q84, q92, q119, q122, q123, q145)
+      q68, q71, q78, q84, q92, q119, q122, q123, q145, q183)
 }

@@ -829,6 +829,59 @@ class Round10Spec extends SparkSpec {
       s"expected exactly the block-offset SinglePartition, got $singles:\n$plan")
   }
 
+  // ---- Bradley-Terry strengths (q183)
+
+  test("q183 equals a shared-nothing BT recomputation from raw " +
+    "events (dense count grid, Zermelo MM, per-round micro " +
+    "quantization, same fold order) — and the fit discriminates " +
+    "(vacuity: strengths are not all equal, total wins are " +
+    "antisymmetric-consistent)") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val evs = graft.sources.Tables(spark, sf, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byUser = evs.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap)
+      .toMap
+    val n = (for { i <- types; j <- types if i != j } yield {
+      (i, j) -> byUser.values.count(c =>
+        c.getOrElse(i, 0L) > c.getOrElse(j, 0L)).toLong
+    }).toMap
+    val wins = types.map(i =>
+      i -> types.filter(_ != i).map(j => n((i, j))).sum).toMap
+    val games = types.map(i =>
+      i -> types.filter(_ != i).map(j => n((i, j)) + n((j, i))).sum).toMap
+    var w = types.map(_ -> 1000000L).toMap
+    (1 to 8).foreach { _ =>
+      w = types.map { i =>
+        i -> (if (games(i) == 0L) w(i)
+        else {
+          val denom = types.foldLeft(0.0) { (acc, j) =>
+            val g = if (j == i) 0L else n((i, j)) + n((j, i))
+            acc + (if (g == 0L) 0.0
+                   else g.toDouble / (w(i) + w(j)).toDouble)
+          }
+          math.round(wins(i).toDouble / denom)
+        })
+      }.toMap
+    }
+    val rank = types.sortBy(i => (-w(i), i)).zipWithIndex
+      .map { case (i, r) => i -> (r + 1).toLong }.toMap
+    val expected = types.map(i =>
+      (i, wins(i), games(i), w(i), rank(i))).toSet
+    val got = graft.queries.Events.q183.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(w.values.toSet.size > 1,
+      "all strengths equal — fit is vacuous")
+    types.combinations(2).foreach { case Seq(i, j) =>
+      assert(n((i, j)) + n((j, i)) <= byUser.size,
+        s"($i,$j) games exceed the user population")
+    case _ => ()
+    }
+  }
+
   test("q169 corpus round-trip: every synthesized payload's parsed " +
     "dims equal the generator arithmetic, and the plan is map-only " +
     "(no exchange — decode is embarrassingly parallel)") {
