@@ -822,7 +822,64 @@ object Events {
       .toDF("etype", "wins", "games", "w_micro", "rank")
   }
 
+  /** GROUP-RELATIVE ADVANTAGE NORMALIZATION — the RLHF reward-shaping
+    * step GRPO-style training runs per sampling group (normalize each
+    * reward against its group's mean and spread; Shao et al. 2024,
+    * public DeepSeekMath recipe): group = `user_id`, reward =
+    * `value`. The determinism construction keeps EVERYTHING integer
+    * until one final division: rewards are exact centi-units (the
+    * corpus is 2-decimal, so ×100 never lands near a rounding
+    * boundary), group moments (n, Σx, Σx²) are exact int64 sums, and
+    * the z-score is algebraically rescaled to integer operands —
+    * z = (x·n − S) / √(n·Q − S²) — so both engines divide and √ the
+    * SAME exact integers (IEEE sqrt and division are
+    * correctly-rounded: bit-identical). Zero-variance groups (and
+    * singletons) get advantage 0 by the integer test n·Q − S² ≤ 0 —
+    * exact, no epsilon. Headroom: centi-rewards ≤ 5e4 keep n·Q − S²
+    * inside int64 for groups up to ~60k rows; larger groups need the
+    * next quantization down, documented here rather than discovered
+    * at 2^63.
+    *
+    * Scale shape: one group-grain aggregate (map-side partial — the
+    * moments exchange carries one row per GROUP), one join back on
+    * the group key (AQE picks broadcast while the group table is
+    * small, shuffle-hash beyond), and a map-only projection. No
+    * window, no sort, no driver state.
+    */
+  val q184 = Q("q184_group_advantage",
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    CAST(round(value * 100) AS BIGINT) AS xc
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(xc) AS BIGINT) AS sx,
+      |    CAST(sum(xc * xc) AS BIGINT) AS qx
+      |  FROM e GROUP BY 1)
+      |SELECT e.event_id, e.user_id, e.xc AS x_centi,
+      |  CASE WHEN g.n * g.qx - g.sx * g.sx <= 0 THEN 0
+      |    ELSE CAST(round(CAST(e.xc * g.n - g.sx AS DOUBLE) * 1000000.0
+      |      / sqrt(CAST(g.n * g.qx - g.sx * g.sx AS DOUBLE)))
+      |      AS BIGINT)
+      |  END AS adv_micro
+      |FROM e JOIN g USING (user_id)""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("xc"))
+    val g = e.groupBy("user_id").agg(
+      count(lit(1)).as("n"), sum("xc").as("sx"),
+      sum(col("xc") * col("xc")).as("qx"))
+    val varn = col("n") * col("qx") - col("sx") * col("sx")
+    e.join(g, Seq("user_id"))
+      .select(col("event_id"), col("user_id"),
+        col("xc").as("x_centi"),
+        when(varn <= 0L, lit(0L)).otherwise(
+          round((col("xc") * col("n") - col("sx")).cast("double")
+            * 1000000.0 / sqrt(varn.cast("double"))).cast("long"))
+          .as("adv_micro"))
+  }
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45, q58, q59,
-      q68, q71, q78, q84, q92, q119, q122, q123, q145, q183)
+      q68, q71, q78, q84, q92, q119, q122, q123, q145, q183, q184)
 }

@@ -882,6 +882,43 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  // ---- group-relative advantage (q184)
+
+  test("q184 equals a shared-nothing recomputation (integer moments, " +
+    "rescaled z over exact operands), every group's advantages sum " +
+    "within rounding of zero, and both signs occur (vacuity)") {
+    val evs = graft.sources.Tables(spark, sf, "events")
+      .select("event_id", "user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100)))
+    val byUser = evs.groupBy(_._2)
+    val expected = evs.map { case (eid, uid, xc) =>
+      val xs = byUser(uid).map(_._3)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val qx = xs.map(x => x * x).sum
+      val varn = n * qx - sx * sx
+      val adv =
+        if (varn <= 0L) 0L
+        else math.round(
+          (xc * n - sx).toDouble * 1000000.0 / math.sqrt(varn.toDouble))
+      (eid, uid, xc, adv)
+    }.toSet
+    val got = graft.queries.Events.q184.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == expected,
+      s"diff: ${(got diff expected).take(3)} vs ${(expected diff got).take(3)}")
+    got.groupBy(_._2).foreach { case (uid, rows) =>
+      // true z-scores sum to exactly 0; each output is within 0.5
+      // micro of its true value, so the group sum is bounded by n/2
+      assert(math.abs(rows.toSeq.map(_._4).sum) <= rows.size.toLong,
+        s"group $uid advantages do not center")
+    }
+    assert(got.exists(_._4 > 0) && got.exists(_._4 < 0),
+      "advantages all one sign — normalization vacuous")
+  }
+
   test("q169 corpus round-trip: every synthesized payload's parsed " +
     "dims equal the generator arithmetic, and the plan is map-only " +
     "(no exchange — decode is embarrassingly parallel)") {
