@@ -363,6 +363,53 @@ object StreamingEtl {
       }
   }
 
+  /** A document arriving at a shard writer: `tok` is its token count
+    * (computed upstream, stateless). */
+  final case class ShardArrival(writer: String, doc_id: Long, tok: Long)
+
+  /** A shard assignment: the arrival's 0-based shard under the
+    * writer's running token total. */
+  final case class ShardAssign(writer: String, doc_id: Long, shard: Long)
+
+  /** Streaming twin of q182's shard packer — the WRITER-SIDE next-fit
+    * sharder as a stateful stream: each writer key carries ONE long of
+    * state (its running token total); an arrival's shard is
+    * `total div cap` at the moment its first token lands, exactly the
+    * batch rule. Rows within a micro-batch assign in doc_id order (the
+    * quotaGateStream device — replays of the same batch boundaries
+    * reproduce the same assignment).
+    *
+    * Parallelism is BY WRITER: shard numbering is a total order per
+    * writer (the q182 scaladoc argument), so the stream form scales by
+    * partitioning the feed across writer keys — one counter per key,
+    * state bounded by the writer keyspace, never the stream. The
+    * single-writer case (constant `writer`) is the global-manifest
+    * builder and is inherently single-threaded — stated, not papered
+    * over. Second honest gap: the stream equals the batch q182
+    * assignment only when arrivals respect doc_id order ACROSS batches
+    * (a stream cannot re-sort history); out-of-order cross-batch
+    * arrivals get arrival-order packing — the same semantic gap every
+    * ingest-order gate in this file documents.
+    */
+  def shardAssignStream(docs: Dataset[ShardArrival], cap: Long)
+      : Dataset[ShardAssign] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.writer)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (w: String, rows: Iterator[ShardArrival],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = Vector.newBuilder[ShardAssign]
+          rows.toVector.sortBy(_.doc_id).foreach { d =>
+            out += ShardAssign(w, d.doc_id, cum / cap)
+            cum += d.tok
+          }
+          state.update(cum)
+          out.result().iterator
+      }
+  }
+
   /** Streaming twin of q167's exact-dup ingest gate: arrivals carrying
     * a precomputed `fp` column are admitted iff the fingerprint misses
     * the PERSISTED store (a stream-static left-anti join) and the

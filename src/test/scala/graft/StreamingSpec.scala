@@ -673,4 +673,48 @@ class StreamingSpec extends SparkSpec {
     assert(alerts.nonEmpty && perArrival.exists(_._2 == "new"),
       "one-sided outcome — the gate had nothing to decide")
   }
+
+  test("shardAssignStream: doc_id-ordered arrivals reproduce the " +
+    "batch q182 next-fit assignment across micro-batch boundaries, " +
+    "and a different batch partitioning yields the identical " +
+    "assignment") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingEtl.{ShardArrival, ShardAssign}
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => ShardArrival("w0", r.getLong(0),
+        r.getString(1).split(" ").length.toLong))
+      .sortBy(_.doc_id)
+    var cum = 0L
+    val expected = docs.map { d =>
+      val shard = cum / 2048L
+      cum += d.tok
+      ShardAssign("w0", d.doc_id, shard)
+    }.toSet
+    def run(name: String, batches: Seq[Seq[ShardArrival]])
+        : Set[ShardAssign] = {
+      val input = MemoryStream[ShardArrival]
+      val q = StreamingEtl.shardAssignStream(input.toDS(), cap = 2048L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      batches.foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).as[ShardAssign].collect().toSet
+    }
+    val even = run("shard_even", docs.grouped(100).map(_.toSeq).toSeq)
+    val ragged = run("shard_ragged",
+      Seq(docs.take(37).toSeq, docs.slice(37, 41).toSeq,
+        docs.drop(41).toSeq))
+    assert(even == expected,
+      "stream assignment diverges from the batch next-fit rule")
+    assert(ragged == expected,
+      "assignment depends on micro-batch boundaries")
+    assert(expected.map(_.shard).size >= 2,
+      "single shard — the boundary case never exercised")
+  }
 }
