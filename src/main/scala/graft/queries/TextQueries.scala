@@ -1078,8 +1078,12 @@ object TextQueries {
     * against a broadcast bench set. The oracle formulates dedup
     * independently as group-min + join-back.
     */
-  val q66 = Q("q66_curation_pipeline",
-    s"""WITH sc AS (
+  /** The q66 curation pipeline as a reusable oracle-CTE prefix ending
+    * in `cur` (the curated doc-grain set) — shared verbatim by q66 and
+    * the q185 training-run assembly so the two oracles cannot drift.
+    */
+  private def curationSqlCte: String =
+    s"""sc AS (
        |  SELECT doc_id, lang, text,
        |    len(string_split(text, ' ')) AS n_tokens,
        |$langHitsSqlCols
@@ -1100,13 +1104,19 @@ object TextQueries {
        |  JOIN keep ON k.fp = keep.fp AND k.doc_id = keep.doc_id),
        |bench AS (
        |  SELECT DISTINCT $headFpSql AS head_fp
-       |  FROM documents WHERE doc_id % 10 = 0)
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |cur AS (
+       |  SELECT kept.* FROM kept
+       |  WHERE doc_id % 10 <> 0
+       |    AND NOT EXISTS (SELECT 1 FROM bench b
+       |                    WHERE b.head_fp = kept.head_fp))""".stripMargin
+
+  val q66 = Q("q66_curation_pipeline",
+    s"""WITH $curationSqlCte
        |SELECT lang, quality, count(*) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-       |FROM kept
-       |WHERE doc_id % 10 <> 0
-       |  AND NOT EXISTS (SELECT 1 FROM bench b WHERE b.head_fp = kept.head_fp)
+       |FROM cur
        |GROUP BY lang, quality""".stripMargin) { (s, dir) =>
     curatedDocs(s, dir)
       .groupBy("lang", "quality")
@@ -2866,10 +2876,89 @@ object TextQueries {
 
   private val CurriculumTake = 200
 
+  /** TRAINING-RUN ASSEMBLY — the end-to-end composition the registry
+    * builds toward: raw corpus → q66's full curation pipeline
+    * (language-consistency + length gates, exact dedup keep-list,
+    * benchmark decontamination: [[curatedDocs]], ONE definition shared
+    * with q66) → lang-weighted easy-first CURRICULUM (the q181 WFQ
+    * device: per-lang rank by ascending length, integer virtual
+    * finish keys r·(L/w)) → next-fit SHARD PACKING over the SCHEDULE
+    * order (the q182 two-level prefix sum, blocks keyed on the
+    * virtual-time axis `fkey div 50` — block boundaries align to
+    * schedule time, so blocks are contiguous runs of the global
+    * (fkey, lang, doc_id) order and nothing corpus-sized ever
+    * single-partitions). Output is the shard manifest a training run
+    * reads: early shards carry the easiest documents of every
+    * language in weight proportion — visible in the per-shard fkey
+    * ranges.
+    *
+    * The point of gating the COMPOSITION (beyond each stage's own
+    * gate): stage boundaries are where grain bugs live — the oracle
+    * re-derives the entire chain from `documents` in one SQL
+    * statement, so a drifted join key or a filter applied at the
+    * wrong stage breaks the hash even when every stage passes alone.
+    * Plan cost is the sum of its stages': the curation aggregates,
+    * one per-lang rank window, the block-grain offset window, one
+    * blk-partitioned window, one shard-grain aggregate.
+    */
+  val q185 = Q("q185_training_run_pipeline",
+    s"""WITH $curationSqlCte,
+       |wgt AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CASE lang WHEN 'en' THEN 3 WHEN 'zh' THEN 2 ELSE 1 END AS w
+       |  FROM cur),
+       |r AS (
+       |  SELECT doc_id, lang, n_tokens, w,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY n_tokens, doc_id) AS r
+       |  FROM wgt),
+       |f AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(r * (6 // w) AS BIGINT) AS fkey
+       |  FROM r),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens, fkey,
+       |    coalesce(sum(n_tokens) OVER (ORDER BY fkey, lang, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cumex
+       |  FROM f)
+       |SELECT CAST(cumex // 1024 AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+       |  min(fkey) AS first_fkey, max(fkey) AS last_fkey
+       |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+    val cur = curatedDocs(s, dir)
+      .withColumn("w", when(col("lang") === "en", 3L)
+        .when(col("lang") === "zh", 2L).otherwise(1L))
+    val perLang = Window.partitionBy("lang")
+      .orderBy(col("n_tokens").asc, col("doc_id").asc)
+    val f = cur
+      .withColumn("r", row_number().over(perLang).cast("long"))
+      .withColumn("fkey", (col("r") * expr("6 div w")).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("fkey"),
+        expr("fkey div 50").as("blk"))
+    val wBlk = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = f.groupBy("blk").agg(sum("n_tokens").as("btot"))
+      .withColumn("off", coalesce(sum("btot").over(wBlk), lit(0L)))
+      .select("blk", "off")
+    val wIn = Window.partitionBy("blk")
+      .orderBy(col("fkey").asc, col("lang").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    f.join(broadcast(offs), Seq("blk"))
+      .withColumn("cumex",
+        col("off") + coalesce(sum("n_tokens").over(wIn), lit(0L)))
+      .withColumn("shard", expr("cumex div 1024"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("tok_total"),
+        min("fkey").as("first_fkey"), max("fkey").as("last_fkey"))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
       q141, q144, q148, q149, q150, q151, q166, q167, q168, q171, q172,
-      q175, q181)
+      q175, q181, q185)
 }

@@ -919,6 +919,55 @@ class Round10Spec extends SparkSpec {
       "advantages all one sign — normalization vacuous")
   }
 
+  // ---- training-run assembly (q185)
+
+  test("q185 equals a shared-nothing recomputation over the curated " +
+    "set, shard fkey ranges are non-overlapping and ordered (the " +
+    "schedule is monotone in virtual time), and the curriculum is " +
+    "visible: the first shard's mean length is below the last's") {
+    val cur = graft.queries.TextQueries.curatedDocs(spark, sf)
+      .select("doc_id", "lang", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def w(lang: String): Long = lang match {
+      case "en" => 3L; case "zh" => 2L; case _ => 1L
+    }
+    val scheduled = cur.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      ds.sortBy(d => (d._3, d._1)).zipWithIndex.map { case (d, i) =>
+        (d._1, lang, d._3, (i + 1).toLong * (6L / w(lang)))
+      }
+    }.sortBy { case (id, lang, _, f) => (f, lang, id) }
+    var cum = 0L
+    val assigned = scheduled.map { case (id, lang, tok, f) =>
+      val shard = cum / 1024L
+      cum += tok
+      (shard, id, lang, tok, f)
+    }
+    val expected = assigned.groupBy(_._1).map { case (shard, ds) =>
+      (shard, ds.length.toLong, ds.map(_._4).sum,
+        ds.map(_._5).min, ds.map(_._5).max)
+    }.toSet
+    val got = graft.queries.TextQueries.q185.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected,
+      s"diff: ${(got diff expected).take(3)} vs ${(expected diff got).take(3)}")
+    val shards = got.toSeq.sortBy(_._1)
+    assert(shards.size >= 2, "single shard — packing vacuous")
+    shards.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._5 <= b._4,
+        s"virtual-time ranges out of order: $a vs $b")
+    case _ => ()
+    }
+    val meanFirst = shards.head._3.toDouble / shards.head._2
+    val meanLast = shards.last._3.toDouble / shards.last._2
+    assert(meanFirst < meanLast,
+      s"easy-first not visible: first-shard mean $meanFirst vs $meanLast")
+    // language coverage is NOT asserted here: the schedule contains
+    // exactly the curated set by construction (the equality above),
+    // and at sf0.001 curation keeps only 'en' — the sf0.01 oracle
+    // gate exercises the multi-language interleave
+  }
+
   test("q169 corpus round-trip: every synthesized payload's parsed " +
     "dims equal the generator arithmetic, and the plan is map-only " +
     "(no exchange — decode is embarrassingly parallel)") {
