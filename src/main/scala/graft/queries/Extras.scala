@@ -798,7 +798,22 @@ object Extras {
     * derivation of the same total order, which is the point of an
     * oracle. Manifest output is shard-grain (tiny).
     */
-  val q182 = Q("q182_shard_pack",
+  val q182 = Q("q182_shard_pack", shardPackSql) { (s, dir) =>
+    shardManifest(shardAssignNextFit(shardToks(s, dir), base = 0L))
+  }
+
+  private val ShardCap = 2048L
+  private val ShardBlk = 100L
+
+  /** The q182/q186 oracle — the naive one-window form, an independent
+    * derivation of the same total order. Shared verbatim by both: the
+    * from-scratch packer and the store-mediated incremental packer
+    * must produce the IDENTICAL manifest (next-fit is a pure function
+    * of the global prefix sums, so an append that continues from the
+    * stored total is exactly a prefix decomposition — the q158≡q129
+    * same-oracle device).
+    */
+  private def shardPackSql: String =
     """WITH t AS (
       |  SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
@@ -813,31 +828,83 @@ object Extras {
       |  CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(tok) AS BIGINT) AS tok_total,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-      |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
-    val t = docsTable(s, dir)
-      .select(col("doc_id"),
-        size(graft.text.TextOps.tokens(col("text"))).cast("long")
-          .as("tok"),
-        expr(s"doc_id div $ShardBlk").as("blk"))
+      |FROM c GROUP BY 1""".stripMargin
+
+  private def shardToks(s: SparkSession, dir: String): DataFrame =
+    docsTable(s, dir).select(col("doc_id"),
+      size(graft.text.TextOps.tokens(col("text"))).cast("long")
+        .as("tok"))
+
+  /** The two-level next-fit assignment (q182's scaladoc carries the
+    * full plan argument): input (doc_id, tok) → (doc_id, tok, shard),
+    * with the exclusive global prefix sum STARTED at `base` — the knob
+    * that makes the incremental q186 path a pure prefix continuation.
+    */
+  private def shardAssignNextFit(t: DataFrame, base: Long): DataFrame = {
+    val tb = t.withColumn("blk", expr(s"doc_id div $ShardBlk"))
     val wBlk = Window.orderBy("blk")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = t.groupBy("blk").agg(sum("tok").as("btot"))
-      .withColumn("off", coalesce(sum("btot").over(wBlk), lit(0L)))
+    val offs = tb.groupBy("blk").agg(sum("tok").as("btot"))
+      .withColumn("off",
+        coalesce(sum("btot").over(wBlk), lit(0L)) + lit(base))
       .select("blk", "off")
     val wIn = Window.partitionBy("blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    t.join(broadcast(offs), Seq("blk"))
+    tb.join(broadcast(offs), Seq("blk"))
       .withColumn("cumex",
         col("off") + coalesce(sum("tok").over(wIn), lit(0L)))
       .withColumn("shard", expr(s"cumex div $ShardCap"))
-      .groupBy("shard")
+      .select("doc_id", "tok", "shard")
+  }
+
+  private def shardManifest(assigned: DataFrame): DataFrame =
+    assigned.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum("tok").cast("long").as("tok_total"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-  }
 
-  private val ShardCap = 2048L
-  private val ShardBlk = 100L
+  /** INCREMENTAL SHARD-MANIFEST MAINTENANCE — the store-maintenance
+    * face of q182, completing the pattern every persisted artifact in
+    * this registry has (q137 band store, q140 IVF-PQ codes, q167/q179
+    * ingest gates): the manifest and the writer's running token total
+    * live in a persisted store; an arriving delta (docs past the
+    * ingest watermark) packs INCREMENTALLY by continuing the prefix
+    * sum from the stored total — O(delta) work plus a manifest-grain
+    * merge, never a re-scan of history. Next-fit makes this exact,
+    * not approximate: shard = exclusive-prefix div cap is a pure
+    * function of the global running total, so prefix decomposition
+    * (history total + delta prefix) reproduces the from-scratch
+    * assignment bit-for-bit — which is why this query shares q182's
+    * oracle verbatim (the q158≡q129 same-oracle device), and the
+    * seam shard (stored partial + delta continuation) merges in the
+    * final manifest-grain aggregate. The bounded driver pull is ONE
+    * row (the stored total — the artifact a writer checkpoint
+    * persists).
+    */
+  val q186 = Q("q186_shard_append", shardPackSql) { (s, dir) =>
+    val W = 300L
+    val t = shardToks(s, dir)
+    val wh = graft.sources.Warehouse(
+      graft.SessionScratch.dir(s, "shardstore"))
+    val histTable = s"shard_hist_${graft.SessionScratch.keyOf(dir)}"
+    val totTable = s"shard_tot_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, histTable) {
+      val hist = shardAssignNextFit(t.filter(col("doc_id") < W),
+        base = 0L)
+      wh.overwrite(shardManifest(hist), histTable)
+      wh.overwrite(
+        hist.agg(sum("tok").cast("long").as("total")), totTable)
+    }
+    val base = wh.read(s, totTable).collect()(0).getLong(0)
+    val delta = shardAssignNextFit(t.filter(col("doc_id") >= W), base)
+    wh.read(s, histTable)
+      .unionByName(shardManifest(delta))
+      .groupBy("shard")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("tok_total").cast("long").as("tok_total"),
+        min("first_doc").as("first_doc"),
+        max("last_doc").as("last_doc"))
+  }
 
   /** S-extension — ORC round trip, q106's twin for the other columnar
     * format the engine must ingest (ORC is Spark-native: splittable
@@ -2773,7 +2840,7 @@ object Extras {
 
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
-    q182,
+    q182, q186,
     q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147,
     q152, q153, q155, q159, q160, q161, q162, q163, q164, q170)
 }

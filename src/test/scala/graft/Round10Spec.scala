@@ -968,6 +968,32 @@ class Round10Spec extends SparkSpec {
     // gate exercises the multi-language interleave
   }
 
+  // ---- incremental shard-manifest maintenance (q186)
+
+  test("q186 incremental append equals the from-scratch q182 " +
+    "manifest row-for-row, and the SEAM is exercised: the watermark " +
+    "lands mid-shard, so one shard merges stored history with delta " +
+    "continuation (first_doc < W <= last_doc)") {
+    val w = 300L
+    val scratch = graft.queries.Extras.q182.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val inc = graft.queries.Extras.q186.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(inc == scratch,
+      s"diff: ${(inc diff scratch).take(3)} vs ${(scratch diff inc).take(3)}")
+    val cumAtW = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .filter(_.getLong(0) < w)
+      .map(_.getString(1).split(" ").length.toLong).sum
+    assert(cumAtW % 2048L != 0L,
+      "watermark fell exactly on a shard boundary — seam merge vacuous")
+    val seam = inc.find(r => r._4 < w && r._5 >= w)
+    assert(seam.nonEmpty,
+      s"no shard spans the watermark: ${inc.toSeq.sortBy(_._1)}")
+  }
+
   test("q169 corpus round-trip: every synthesized payload's parsed " +
     "dims equal the generator arithmetic, and the plan is map-only " +
     "(no exchange — decode is embarrassingly parallel)") {
