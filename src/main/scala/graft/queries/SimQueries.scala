@@ -1248,8 +1248,13 @@ object SimQueries {
     * Determinism: assignment is the q48 rounded-dot/lowest-cid
     * device; ADC is q134's integer micro-units.
     */
-  val q135 = Q("q135_ivfpq_topk",
-    s"""WITH cent AS (
+  /** The q135 oracle's CTE chain through `adc2` (assignment, probes,
+    * bucket candidates, ADC sums) — shared verbatim by q135/q140 (via
+    * q135.oracle) and the q187 refine oracle, so the approximate
+    * stage the refiner reranks is BY CONSTRUCTION the gated one.
+    */
+  private def ivfPqAdcSqlCtes: String =
+    s"""cent AS (
        |  SELECT CAST(cid AS BIGINT) AS cid, ce
        |  FROM (VALUES $centroidValuesSql) t(cid, ce)),
        |$pqCtesSql,
@@ -1275,7 +1280,10 @@ object SimQueries {
        |    CAST(sum(lut.lm) AS BIGINT) AS adc_micro
        |  FROM cand JOIN lut ON lut.qid = cand.qid AND lut.m = cand.m
        |    AND lut.code = cand.code
-       |  GROUP BY cand.qid, cand.nid)
+       |  GROUP BY cand.qid, cand.nid)""".stripMargin
+
+  val q135 = Q("q135_ivfpq_topk",
+    s"""WITH $ivfPqAdcSqlCtes
        |SELECT qid, nid, adc_micro, CAST(rn AS BIGINT) AS rn FROM (
        |  SELECT qid, nid, adc_micro,
        |    row_number() OVER (PARTITION BY qid
@@ -1912,7 +1920,78 @@ object SimQueries {
     Similarity.kmeansTrainMicro(s, em, K, D, KmIters)
   }
 
+  /** COARSE-THEN-REFINE ANN SERVING — the production FAISS pattern
+    * (IndexRefine / "ADC shortlist, exact rerank"): q135's IVF-PQ
+    * probe produces the approximate top-10 shortlist from 16-byte
+    * codes, then ONLY those |Q|·10 (query, candidate) pairs fetch
+    * their full-precision vectors and rerank by exact cosine (the
+    * q37 device — 6dp round, nid tie), emitting the final top-5.
+    * This is the piece that turns a compressed index into a serving
+    * stack: the corpus-grain scan touches codes (16 B/vector), full
+    * vectors are read for a SHORTLIST whose size is independent of
+    * the corpus.
+    *
+    * Plan: the shortlist reuses [[ivfPqQuery]] against the SAME
+    * persisted store as q135 (SessionScratch dedupes the build); the
+    * rerank broadcasts the tiny (shortlist ⋈ query-vector) frame
+    * against the embeddings scan as a broadcast-hash join on nid —
+    * a production layout would additionally key the vector table by
+    * vec_id (bucketed CTAS) so the shortlist fetch prunes to its
+    * buckets instead of scanning. Oracle: q135's shared
+    * CTE chain + the exact-rerank stage — the shortlist the refiner
+    * consumes is by construction the gated one.
+    */
+  val q187 = Q("q187_ivfpq_refine",
+    s"""WITH $ivfPqAdcSqlCtes,
+       |top10 AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid
+       |                         ORDER BY adc_micro, nid) AS rn
+       |    FROM adc2) WHERE rn <= 10),
+       |en AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
+       |ref AS (
+       |  SELECT t.qid, t.nid,
+       |    round(list_sum(list_transform(range(1,65), i ->
+       |      q.embedding[CAST(i AS INT)]::DOUBLE *
+       |      c.embedding[CAST(i AS INT)]::DOUBLE))
+       |      / (q.nrm * c.nrm), 6) AS sim
+       |  FROM top10 t
+       |  JOIN en q ON q.vec_id = t.qid
+       |  JOIN en c ON c.vec_id = t.nid)
+       |SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY sim DESC, nid) AS rn
+       |  FROM ref)
+       |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    val shortlist = ivfPqQuery(s, dir, "ivfpq_codes", "ivfpqstore") {
+      (wh, table, codesOf, emb) =>
+        wh.saveBucketed(codesOf(emb.filter(col("vec_id") >= 8)),
+          table, 8, Seq("cid"))
+    }.select("qid", "nid")
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val qe = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val ne = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      col("nrm").as("cn"))
+    val ref = ne.join(broadcast(shortlist.join(broadcast(qe),
+        Seq("qid"))), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(Similarity.dot(col("qe"), col("ne"))
+          / (col("qn") * col("cn")), 6).as("sim"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("nid").asc)
+    ref.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("qid", "nid", "sim", "rn")
+  }
+
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
     q113, q128, q129, q133, q134, q135, q136, q140, q146, q154, q158,
-    q165, q177, q178, q180)
+    q165, q177, q178, q180, q187)
 }

@@ -994,6 +994,53 @@ class Round10Spec extends SparkSpec {
       s"no shard spans the watermark: ${inc.toSeq.sortBy(_._1)}")
   }
 
+  // ---- coarse-then-refine ANN serving (q187)
+
+  test("q187 refine: every refined hit comes from the ADC shortlist, " +
+    "recall@5 against the exact top-5 is at least the raw ADC " +
+    "ranking's, and the rerank actually reorders at least one " +
+    "query's shortlist (vacuity)") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = graft.sources.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      r6(dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y))))
+    }
+    val corpus = vecs.keys.filter(_ >= 8).toSeq
+    val exact5 = (0L until 8L).map { q =>
+      q -> corpus.map(n => (n, cos(q, n)))
+        .sortBy { case (n, s) => (-s, n) }.take(5).map(_._1).toSet
+    }.toMap
+    val adc = graft.queries.SimQueries.q135.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val adc5 = adc.filter(_._3 <= 5).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val short10 = adc.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val refined = graft.queries.SimQueries.q187.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val ref5 = refined.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    refined.foreach { case (q, n, _) =>
+      assert(short10(q).contains(n),
+        s"refined hit ($q, $n) not in the ADC shortlist")
+    }
+    val adcRecall = adc5.map { case (q, s) =>
+      (s intersect exact5(q)).size }.sum
+    val refRecall = ref5.map { case (q, s) =>
+      (s intersect exact5(q)).size }.sum
+    assert(refRecall >= adcRecall,
+      s"refine degraded recall: $refRecall < $adcRecall of ${8 * 5}")
+    assert((0L until 8L).exists(q => ref5(q) != adc5(q)),
+      "refine never changed any top-5 — rerank vacuous on this corpus")
+  }
+
   test("q169 corpus round-trip: every synthesized payload's parsed " +
     "dims equal the generator arithmetic, and the plan is map-only " +
     "(no exchange — decode is embarrassingly parallel)") {
