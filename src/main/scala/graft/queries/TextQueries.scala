@@ -2955,10 +2955,205 @@ object TextQueries {
         min("fkey").as("first_fkey"), max("fkey").as("last_fkey"))
   }
 
+  /** NORMALIZATION-KEY DEDUP — CCNet's cross-variant exact dedup: hash
+    * [[TextOps.foldKey]] (lowercase + accent fold + digit→0 + symbol
+    * collapse) instead of the raw text, so case/accent/revision-stamp
+    * variants of one document land on one key. The corpus has no such
+    * variants, so the query PLANTS them (the q50/q172 synthesis
+    * convention): every doc contributes its base form suffixed
+    * " 1999"; every doc_id % 4 == 0 doc additionally contributes an
+    * uppercased, accent-damaged twin suffixed " 2024". Raw md5 keys
+    * keep all twins distinct; fold keys collapse each twin onto its
+    * base (upper/accent damage inverts under lower+translate on this
+    * ASCII corpus; both digit stamps fold to " 0000"). Output per
+    * source: row count, raw-distinct, fold-distinct, and the
+    * collapsed delta — the measurement a curation run reports when
+    * deciding whether normalization-grain dedup is worth a pass.
+    *
+    * Shape: map-only synthesis + key projection (codegen'd
+    * lower/translate/regexp chain), ONE corpus exchange at the
+    * (source, raw_fp) grain (fold_fp is functionally dependent — it
+    * rides along, keeping the later COUNT(DISTINCT) off the corpus
+    * grain), then a source-grain aggregate whose single distinct runs
+    * over the already-collapsed fingerprint table. No Expand over the
+    * corpus, no second scan — the q166-family fingerprint-grain
+    * discipline.
+    */
+  val q188 = Q("q188_foldkey_dedup",
+    """WITH u AS (
+      |  SELECT doc_id, source, text || ' 1999' AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source,
+      |    upper(translate(text, 'aeiou', 'áéíóú')) || ' 2024' AS t
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |k AS (
+      |  SELECT source, md5(t) AS raw_fp,
+      |    md5(trim(regexp_replace(regexp_replace(
+      |      translate(lower(t), 'áéíóú', 'aeiou'),
+      |      '[0-9]', '0', 'g'), '[^a-z0-9]+', ' ', 'g'))) AS fold_fp
+      |  FROM u),
+      |g AS (
+      |  SELECT source, raw_fp, fold_fp, count(*) AS cnt
+      |  FROM k GROUP BY 1, 2, 3)
+      |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  count(*) AS n_raw, count(DISTINCT fold_fp) AS n_fold,
+      |  count(*) - count(DISTINCT fold_fp) AS n_collapsed
+      |FROM g GROUP BY source""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val base = d.select(col("doc_id"), col("source"),
+      concat(col("text"), lit(" 1999")).as("t"))
+    val variant = d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        concat(upper(translate(col("text"), "aeiou", "áéíóú")),
+          lit(" 2024")).as("t"))
+    val keyed = base.unionByName(variant)
+      .select(col("source"), md5(col("t")).as("raw_fp"),
+        md5(TextOps.foldKey(col("t"))).as("fold_fp"))
+    keyed.groupBy("source", "raw_fp", "fold_fp")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(sum("cnt").cast("long").as("n_rows"),
+        count(lit(1)).as("n_raw"),
+        countDistinct("fold_fp").as("n_fold"))
+      .withColumn("n_collapsed",
+        (col("n_raw") - col("n_fold")).cast("long"))
+  }
+
+  /** JSONL ROUND-TRIP + CORRUPT-LINE QUARANTINE — the interchange-
+    * format ingest gate ([[graft.sources.Jsonl]]): the corpus is
+    * serialized to JSON-Lines (every doc's text first DAMAGED with a
+    * quote + newline + backslash prefix, so the writer's escaping
+    * actually has work to do), a deterministic slice (doc_id % 97 == 0)
+    * is replaced by TRUNCATED lines (an unterminated JSON string — the
+    * interleaved-writer failure every real dump contains), the file is
+    * read back through the schema-explicit PERMISSIVE scan, and the
+    * output is per-source content fingerprints over the parsed rows
+    * plus one quarantine-count row. The oracle NEVER touches JSON: it
+    * recomputes every fingerprint arithmetically from parquet, so a
+    * PASS proves the write→escape→parse→unescape loop restored every
+    * byte (any escaping defect shifts lo_fp/hi_fp/n_fp) and the gate
+    * quarantined exactly the planted lines.
+    *
+    * Shape: map-only synthesis (`to_json` is codegen'd) + one text
+    * write (once per session — [[graft.SessionScratch.once]], the
+    * q167 store convention), a schema-explicit single-pass JSONL scan
+    * (NO inference pre-pass), one source-grain aggregate + one
+    * single-row count — nothing corpus-grain shuffles except the
+    * source aggregate. At 100 TB the write and scan are both
+    * line-splittable map passes; the quarantine is a filter, not a
+    * failure path. (Spark's corrupt-column restriction — a query may
+    * not reference ONLY `_corrupt` — is respected: both branches
+    * reference data columns.)
+    */
+  val q189 = Q("q189_jsonl_roundtrip",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    'say "hi"' || chr(10) || '\ ' || text AS t
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |p AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(length(t)) AS BIGINT) AS n_chars,
+      |    count(DISTINCT md5(t)) AS n_fp,
+      |    min(md5(t)) AS lo_fp, max(md5(t)) AS hi_fp
+      |  FROM d GROUP BY source),
+      |c AS (
+      |  SELECT '__corrupt__' AS source, count(*) AS n_docs,
+      |    CAST(0 AS BIGINT) AS n_chars, CAST(0 AS BIGINT) AS n_fp,
+      |    '' AS lo_fp, '' AS hi_fp
+      |  FROM documents WHERE doc_id % 97 = 0)
+      |SELECT * FROM p UNION ALL SELECT * FROM c""".stripMargin) {
+    (s, dir) =>
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+      .add("lang", StringType).add("source", StringType)
+    val d = docs(s, dir)
+    val path = graft.SessionScratch.dir(s, "jsonl")
+    graft.SessionScratch.once(s, s"jsonl_${graft.SessionScratch.keyOf(dir)}") {
+      val good = d.filter(col("doc_id") % 97 =!= 0)
+        .select(to_json(struct(col("doc_id"),
+          concat(lit("say \"hi\"\n\\ "), col("text")).as("text"),
+          col("lang"), col("source"))).as("value"))
+      val bad = d.filter(col("doc_id") % 97 === 0)
+        .select(concat(lit("{\"doc_id\": "),
+          col("doc_id").cast("string"),
+          lit(", \"text\": \"broken")).as("value"))
+      good.unionByName(bad).write.mode("overwrite").text(path)
+    }
+    val r = graft.sources.Jsonl.read(s, path, schema)
+    val parsed = r.filter(col(graft.sources.Jsonl.corruptCol).isNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        countDistinct(md5(col("text"))).as("n_fp"),
+        min(md5(col("text"))).as("lo_fp"),
+        max(md5(col("text"))).as("hi_fp"))
+    val quarantined = r
+      .filter(col(graft.sources.Jsonl.corruptCol).isNotNull)
+      .agg(count(lit(1)).as("n_docs"),
+        // reference a data column so the relation's required schema is
+        // never ONLY the corrupt column (Spark's documented
+        // restriction — see Jsonl.read). The reference must survive
+        // the optimizer (`* 0` gets constant-folded and re-pruned to
+        // corrupt-only — measured), so it is added plainly: a failed
+        // line nulls EVERY data field (no partial recovery —
+        // StreamingSpec pins it), so count(text) is provably 0 and
+        // the oracle gates that arithmetic.
+        count(col("text")).as("n_text"))
+      .select(lit("__corrupt__").as("source"),
+        (col("n_docs") + col("n_text")).as("n_docs"),
+        lit(0L).as("n_chars"), lit(0L).as("n_fp"),
+        lit("").as("lo_fp"), lit("").as("hi_fp"))
+    parsed.unionByName(quarantined)
+  }
+
+  /** ENCODING-DAMAGE SCAN — the mojibake gate of web-pipeline quality
+    * filtering (RefinedWeb/CCNet drop documents carrying U+FFFD
+    * replacement characters or stray C0 control bytes, the footprint
+    * of double-decoding and binary spill): the detector measures bad
+    * chars as a LENGTH DELTA under a codegen'd regexp sweep
+    * (`[\x00-\x08\x0B\x0C\x0E-\x1F�]` — tab/LF/CR stay legal),
+    * flags any doc with a nonzero count, and aggregates per source.
+    * The corpus is clean `[a-z0-9 ]` (spec-pinned), so the query
+    * PLANTS damage deterministically: doc_id % 5 == 0 docs get
+    * (doc_id % 3 + 1) replacement chars plus one BEL appended. The
+    * oracle recomputes the expected counts ARITHMETICALLY from doc_id
+    * — it never runs the regex — so a PASS double-checks the detector
+    * through the damage model (the q176 convention).
+    *
+    * Shape: map-only synthesize + detect (one codegen'd projection,
+    * no explode), ONE source-grain aggregate — embarrassingly
+    * parallel at any corpus; the scan is the whole cost.
+    */
+  val q190 = Q("q190_encoding_scan",
+    """SELECT source, count(*) AS n_docs,
+      |  count(*) FILTER (WHERE doc_id % 5 = 0) AS n_flagged,
+      |  CAST(coalesce(sum(CASE WHEN doc_id % 5 = 0
+      |    THEN doc_id % 3 + 2 END), 0) AS BIGINT) AS n_bad,
+      |  CAST(coalesce(max(CASE WHEN doc_id % 5 = 0
+      |    THEN doc_id % 3 + 2 END), 0) AS BIGINT) AS max_bad
+      |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+    val damaged = when(col("doc_id") % 5 === 0,
+      concat(col("text"),
+        repeat(lit("\uFFFD"), (col("doc_id") % 3 + 1).cast("int")),
+        lit("\u0007")))
+      .otherwise(col("text"))
+    val bad = (length(damaged) -
+      length(regexp_replace(damaged,
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFD]", ""))).cast("long")
+    docs(s, dir).select(col("source"), bad.as("bad"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bad") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_flagged"),
+        sum(col("bad")).cast("long").as("n_bad"),
+        max(col("bad")).cast("long").as("max_bad"))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
       q141, q144, q148, q149, q150, q151, q166, q167, q168, q171, q172,
-      q175, q181, q185)
+      q175, q181, q185, q188, q189, q190)
 }

@@ -441,6 +441,35 @@ object StreamingEtl {
     arrivals.join(storeFps.select("fp"), Seq("fp"), "left_anti")
       .dropDuplicates("fp")
 
+  /** Streaming JSONL INGEST GATE — the streaming twin of the batch
+    * [[graft.sources.Jsonl.read]] quarantine (q189): each arriving
+    * line parses through the SAME expression contract
+    * ([[graft.sources.Jsonl.parseLine]] — `from_json` over the same
+    * explicit schema, so batch and stream cannot drift), corrupt
+    * lines flag instead of failing, and the raw line is preserved for
+    * re-drive. A live tail of a JSONL dump directory is exactly this:
+    * `spark.readStream.text(dir)` feeds `lines`. Stateless, no
+    * watermark — a pure per-row parse, so restart/resume is trivially
+    * safe and state never grows. (The file-source corrupt-column
+    * restriction doesn't apply here: the parse is an expression over
+    * a text relation, not the json source's pushed-down parse.)
+    *
+    * Output: `is_corrupt`, the raw line, then `schema`'s fields
+    * (null-filled on corrupt rows) — the [[graft.sources.Jsonl.read]]
+    * shape with the raw line in place of the corrupt column.
+    */
+  def jsonlGateStream(lines: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      lineCol: String = "value"): DataFrame = {
+    val cc = graft.sources.Jsonl.corruptCol
+    val parsed = lines.withColumn("_p",
+      graft.sources.Jsonl.parseLine(col(lineCol), schema))
+    val fields = schema.fieldNames.toSeq.map(f => col(s"_p.$f").as(f))
+    parsed.select(
+      ((col("_p").isNull || col(s"_p.$cc").isNotNull).as("is_corrupt") +:
+        col(lineCol).as("raw") +: fields): _*)
+  }
+
   /** Ingest-time MEDIA CURATION GATE — the streaming twin of the
     * batch [[graft.multimodal.Multimodal.mediaGate]] (q176): sniff
     * and header-decode each arriving payload

@@ -24,6 +24,38 @@ object TextOps {
   /** Whitespace tokens (single-space corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** CCNet-style NORMALIZATION KEY — the canonical form hashed for
+    * cross-variant exact dedup in web-scale pipelines (CCNet §3.1's
+    * "lowercase + accent fold + digit→0" recipe): lowercase, fold the
+    * common accented vowels to their base letters, map every digit to
+    * '0' (so revision stamps like "2024" vs "1999" stop splitting
+    * otherwise-identical documents), collapse every run of anything
+    * else to a single space, trim. Strictly coarser than
+    * [[normalize]] (which drops accented letters instead of folding
+    * them and keeps digits distinct). A pure codegen'd
+    * lower/translate/regexp_replace chain — map-only at any scale,
+    * RE2-portable (no backreferences), reproduced bit-for-bit by the
+    * DuckDB oracle.
+    *
+    * Order is correctness-critical: lower() first (so 'Á' reaches the
+    * translate as 'á'), accent fold BEFORE the [^a-z0-9] sweep (else
+    * the accented letter is destroyed rather than folded), digit fold
+    * before the sweep only by convention (digits survive it either
+    * way).
+    */
+  def foldKey(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        translate(lower(text), "áéíóú", "aeiou"),
+        "[0-9]", "0"),
+      "[^a-z0-9]+", " "))
+
+  /** [[foldKey]]'s DuckDB formulation (RE2 needs explicit 'g'). */
+  val foldKeySql: String =
+    """trim(regexp_replace(regexp_replace(
+      |      translate(lower(%s), 'áéíóú', 'aeiou'),
+      |      '[0-9]', '0', 'g'), '[^a-z0-9]+', ' ', 'g'))""".stripMargin
+
   /** HTML/markup → text extraction — the step BEFORE boilerplate
     * n-gram removal in CCNet/RefinedWeb-style web pipelines: drop
     * comments and content-bearing metadata blocks (script/style/

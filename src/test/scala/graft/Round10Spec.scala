@@ -1066,4 +1066,117 @@ class Round10Spec extends SparkSpec {
       }
     }
   }
+
+  // ---- foldKey / q188 normalization-key dedup
+
+  test("foldKey: lowercases, folds accented vowels, maps digits to 0, " +
+    "collapses symbol runs to one space, trims — the CCNet recipe") {
+    import spark.implicits._
+    val got = Seq("Héllo, W0rld! 2024", "  á É í  ", "a--b__c",
+      "UPPER lower", "1999 vs 2024")
+      .toDF("t").select(graft.text.TextOps.foldKey(col("t")))
+      .as[String].collect().toSeq
+    assert(got == Seq("hello w0rld 0000", "a e i", "a b c",
+      "upper lower", "0000 vs 0000"))
+  }
+
+  test("q188: every planted variant's fold key equals its base doc's " +
+    "fold key (upper/accent damage inverts, both digit stamps fold to " +
+    "0000) while every raw key stays distinct from its base") {
+    val d = sources.Tables(spark, sf, "documents")
+    val base = d.select(col("doc_id"),
+      concat(col("text"), lit(" 1999")).as("t"))
+    val variant = d.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"),
+        concat(upper(translate(col("text"), "aeiou", "áéíóú")),
+          lit(" 2024")).as("t"))
+    val j = base.join(variant.withColumnRenamed("t", "vt"), "doc_id")
+      .select(
+        (md5(graft.text.TextOps.foldKey(col("t"))) ===
+          md5(graft.text.TextOps.foldKey(col("vt")))).as("fold_eq"),
+        (md5(col("t")) === md5(col("vt"))).as("raw_eq"))
+      .collect()
+    assert(j.nonEmpty)
+    assert(j.forall(r => r.getBoolean(0) && !r.getBoolean(1)))
+  }
+
+  // ---- Jsonl source / q189 / q190
+
+  test("Jsonl.write -> Jsonl.read round-trips adversarial content " +
+    "(quotes, backslashes, newlines, tabs, unicode, null fields) " +
+    "byte-exactly with zero quarantined rows") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import spark.implicits._
+    val schema = new StructType()
+      .add("id", LongType).add("t", StringType)
+    val in = Seq(
+      (1L, "plain"),
+      (2L, "qu\"ote and back\\slash"),
+      (3L, "new\nline and \ttab"),
+      (4L, "unicode é中�"),
+      (5L, null: String)
+    ).toDF("id", "t")
+    val dir = java.nio.file.Files
+      .createTempDirectory("jsonl-spec-").toString
+    graft.sources.Jsonl.write(in, dir)
+    val back = graft.sources.Jsonl.read(spark, dir, schema)
+    // select data columns alongside the corrupt column — a corrupt-only
+    // required schema is disallowed by the json source (see Jsonl.read)
+    assert(back.filter(col(graft.sources.Jsonl.corruptCol).isNotNull)
+      .select(col("id"), col("t"),
+        col(graft.sources.Jsonl.corruptCol)).collect().isEmpty)
+    assert(rows(back.select("id", "t")) == rows(in))
+  }
+
+  test("q189: parsed rows round-trip the synthesized text byte-exactly " +
+    "at ROW grain (anti-join on (doc_id, text) is empty both ways) and " +
+    "the quarantine row counts exactly the planted truncated lines") {
+    val d = sources.Tables(spark, sf, "documents")
+    val expected = d.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        concat(lit("say \"hi\"\n\\ "), col("text")).as("text"))
+    val nPlanted = d.filter(col("doc_id") % 97 === 0).count()
+    val out = graft.queries.TextQueries.q189.fn(spark, sf)
+    val corrupt = out.filter(col("source") === "__corrupt__").collect()
+    assert(corrupt.length == 1 &&
+      corrupt.head.getAs[Long]("n_docs") == nPlanted)
+    // row-grain round trip: re-read the scratch file directly
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+      .add("lang", StringType).add("source", StringType)
+    val parsed = graft.sources.Jsonl
+      .read(spark, SessionScratch.dir(spark, "jsonl"), schema)
+      .filter(col(graft.sources.Jsonl.corruptCol).isNull)
+      .select("doc_id", "text")
+    assert(parsed.join(expected, Seq("doc_id", "text"), "left_anti")
+      .count() == 0)
+    assert(expected.join(parsed, Seq("doc_id", "text"), "left_anti")
+      .count() == 0)
+    // count(doc_id), not count(*): a bare count prunes the required
+    // schema down to the corrupt filter column alone, which the json
+    // source disallows (see Jsonl.read)
+    assert(parsed.agg(count(col("doc_id"))).first().getLong(0) ==
+      expected.count())
+  }
+
+  test("q190: the corpus is clean [a-z0-9 ] (the arithmetic oracle's " +
+    "precondition) and the regex detector agrees with the damage " +
+    "model at ROW grain: doc_id%5==0 counts doc_id%3+2, others 0") {
+    val d = sources.Tables(spark, sf, "documents")
+    assert(d.filter(not(col("text").rlike("^[a-z0-9 ]*$"))).count() == 0)
+    val damaged = when(col("doc_id") % 5 === 0,
+      concat(col("text"),
+        repeat(lit("\uFFFD"), (col("doc_id") % 3 + 1).cast("int")),
+        lit("\u0007")))
+      .otherwise(col("text"))
+    val bad = (length(damaged) - length(regexp_replace(damaged,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFD]", ""))).cast("long")
+    val wrong = d.select(col("doc_id"), bad.as("bad"))
+      .withColumn("want",
+        when(col("doc_id") % 5 === 0, col("doc_id") % 3 + 2)
+          .otherwise(0L).cast("long"))
+      .filter(col("bad") =!= col("want"))
+    assert(wrong.count() == 0)
+  }
 }

@@ -717,4 +717,70 @@ class StreamingSpec extends SparkSpec {
     assert(expected.map(_.shard).size >= 2,
       "single shard — the boundary case never exercised")
   }
+
+  test("jsonlGateStream ≡ the batch Jsonl.read quarantine on the q189 " +
+    "line feed across micro-batch boundaries: same corrupt verdicts, " +
+    "same parsed field values, every data field null on corrupt " +
+    "lines (no partial recovery)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+      .add("lang", StringType).add("source", StringType)
+    // the q189 synthesis, batch-side: good JSONL lines + truncated ones
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val good = d.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), to_json(struct(col("doc_id"),
+        concat(lit("say \"hi\"\n\\ "), col("text")).as("text"),
+        col("lang"), col("source"))).as("value"))
+    val bad = d.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), concat(lit("{\"doc_id\": "),
+        col("doc_id").cast("string"),
+        lit(", \"text\": \"broken")).as("value"))
+    val lines = good.unionByName(bad).orderBy("doc_id").collect()
+      .map(_.getString(1))
+    val input = MemoryStream[String]
+    val gated = StreamingEtl.jsonlGateStream(input.toDF(), schema)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("jsonl_gate").start()
+    val (b1, b2) = lines.splitAt(lines.length / 3)
+    input.addData(b1.toIndexedSeq); q.processAllAvailable()
+    input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("jsonl_gate").collect().map(r =>
+      Seq[Any](r.getAs[Boolean]("is_corrupt"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("text"), r.getAs[String]("lang"),
+        r.getAs[String]("source"))).toSet
+    // batch twin: the file-source read over the same lines
+    val dir = java.nio.file.Files
+      .createTempDirectory("jsonl-stream-spec-").toString
+    spark.createDataset(lines.toIndexedSeq).toDF("value")
+      .write.mode("overwrite").text(dir)
+    val batch = graft.sources.Jsonl.read(spark, dir, schema)
+      .select(col(graft.sources.Jsonl.corruptCol).isNotNull
+          .as("is_corrupt"),
+        col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().map(r => Seq[Any](r.getAs[Boolean]("is_corrupt"),
+        r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("lang"), r.getAs[String]("source"))).toSet
+    assert(got == batch,
+      "stream gate diverges from the batch json-source quarantine")
+    val corrupt = got.filter(_.head == true)
+    assert(corrupt.nonEmpty, "no corrupt lines — quarantine vacuous")
+    // a failed line nulls EVERY data field — no partial recovery under
+    // a full-schema parse (pinned here; q189's quarantine-count device
+    // relies on text being null on every corrupt row)
+    assert(corrupt.forall(r => r(1) == null && r(2) == null &&
+      r(3) == null && r(4) == null),
+      s"corrupt-row field contract broken: $corrupt")
+    // count as a multiset (the corrupt tuples are identical, so the
+    // Set above collapses them) — the memory sink has no corrupt-only
+    // schema restriction
+    assert(spark.table("jsonl_gate").filter(col("is_corrupt")).count()
+      == d.filter(col("doc_id") % 97 === 0).count(),
+      "quarantine count differs from the planted truncated lines")
+  }
 }
