@@ -577,6 +577,9 @@ object Extras {
     * inference pre-pass (a full extra scan at 100 TB), and FAILFAST
     * surfaces corrupt lines as errors instead of silent nulls. The
     * aggregate itself is one shuffle at (lang, source) grain.
+    * [[graft.queries.TextQueries.q189]] is the PERMISSIVE sibling for
+    * dumps you do NOT own: corrupt lines quarantine as data instead
+    * of failing the job.
     */
   val q106 = Q("q106_jsonl_roundtrip",
     """SELECT lang, source, count(*) AS n,
@@ -587,13 +590,13 @@ object Extras {
     val key = s"jsonl_docs_${graft.SessionScratch.keyOf(dir)}"
     val out = graft.SessionScratch.dir(s, key)
     graft.SessionScratch.once(s, key) {
-      docsTable(s, dir).write.mode("overwrite").json(out)
+      graft.sources.Jsonl.write(docsTable(s, dir), out)
     }
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    s.read.schema(schema).option("mode", "FAILFAST").json(out)
+    graft.sources.Jsonl.readStrict(s, out, schema)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n"),
         sum(col("n_chars")).cast("long").as("chars"),
@@ -912,6 +915,9 @@ object Extras {
     * properties as parquet). Same lossless-round-trip proof shape as
     * q106 at a different grain; the oracle reads the parquet table, so
     * a hash match certifies ORC write+read preserves every value.
+    * [[graft.queries.TextQueries.q191]] is the scan-hygiene sibling:
+    * predicate pushdown + column pruning through the same source,
+    * plan-pinned.
     */
   val q111 = Q("q111_orc_roundtrip",
     """SELECT lang, count(*) AS n,
@@ -922,9 +928,9 @@ object Extras {
     val key = s"orc_docs_${graft.SessionScratch.keyOf(dir)}"
     val out = graft.SessionScratch.dir(s, key)
     graft.SessionScratch.once(s, key) {
-      docsTable(s, dir).write.mode("overwrite").orc(out)
+      graft.sources.Orc.write(docsTable(s, dir), out)
     }
-    s.read.orc(out)
+    graft.sources.Orc.read(s, out)
       .groupBy("lang")
       .agg(count(lit(1)).as("n"),
         sum(col("n_chars")).cast("long").as("chars"),
@@ -2838,9 +2844,170 @@ object Extras {
           .as("compression"))
   }
 
+  /** OPTIMAL vs GREEDY SUBWORD SEGMENTATION — the SentencePiece-side
+    * upgrade of the BPE tier (q163/q164/q170 train and apply merges;
+    * this measures what the APPLY step leaves on the table): given a
+    * unigram-style piece inventory with integer costs (chars 300,
+    * corpus-frequent bigrams 450, corpus-frequent trigrams 800 —
+    * micro-nat-like units, all arithmetic exact), segment every
+    * distinct word two ways and compare:
+    *
+    *  - OPTIMAL: Viterbi min-cost over piece boundaries —
+    *    `cost[i] = least(cost[i-1]+c1, cost[i-2]+c2 [bigram∈inv],
+    *    cost[i-3]+c3 [trigram∈inv])` — the unigram-LM decoding of
+    *    SentencePiece;
+    *  - GREEDY: longest-match-first from the left — the classic
+    *    maximal-munch tokenizer (WordPiece-style apply).
+    *
+    * Greedy is provably suboptimal exactly where a long piece is a
+    * trap (taking the trigram at cost 800 forfeits two bigrams at
+    * 450+450 < 800+300's continuation); `n_improved` counts the words
+    * where the DP wins, and the round-10 spec asserts it is NONZERO on
+    * this corpus (vacuity) and that every DP cost ≤ its greedy cost
+    * (dominance — an invariant of min-cost vs any segmentation).
+    *
+    * Shape (the q163/q170 vocab-grain discipline): ONE corpus pass
+    * collapses to the distinct-word frame (31 words here, bounded by
+    * the generator vocabulary at any sf — key-shifted copies add no
+    * new words); the inventory is two vocab-grain aggregates; both
+    * the 12-step DP and the 12-step greedy walk are driver-unrolled
+    * loops of broadcast joins + map-only projections over that
+    * vocab-grain frame — per-step cost independent of corpus size.
+    * The only corpus-grain work is the initial DISTINCT. Oracle: the
+    * same recurrences as WITH RECURSIVE CTEs carrying a shifted
+    * (c0,c1,c2) window — iteration-free SQL, independently derived.
+    */
+  val q192 = Q("q192_subword_segmentation",
+    """WITH RECURSIVE wv AS (
+      |  SELECT w, len(w) AS n FROM (
+      |    SELECT DISTINCT unnest(string_split(text,' ')) AS w
+      |    FROM documents)
+      |  WHERE len(w) BETWEEN 1 AND 12),
+      |big AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 2) AS g
+      |    FROM wv, unnest(range(1, n)) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 2),
+      |tri AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 3) AS g
+      |    FROM wv, unnest(range(1, greatest(n - 1, 1))) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 2),
+      |rec AS (
+      |  SELECT w, n, 0 AS i, 0 AS c0, NULL::INT AS c1, NULL::INT AS c2
+      |  FROM wv
+      |  UNION ALL
+      |  SELECT r.w, r.n, r.i + 1,
+      |    least(r.c0 + 300,
+      |      CASE WHEN b.g IS NOT NULL THEN r.c1 + 450 END,
+      |      CASE WHEN t3.g IS NOT NULL THEN r.c2 + 800 END),
+      |    r.c0, r.c1
+      |  FROM rec r
+      |  LEFT JOIN big b  ON r.i >= 1 AND b.g  = substr(r.w, r.i, 2)
+      |  LEFT JOIN tri t3 ON r.i >= 2 AND t3.g = substr(r.w, r.i - 1, 3)
+      |  WHERE r.i < r.n),
+      |opt AS (SELECT w, n, c0 AS oc FROM rec WHERE i = n),
+      |grec AS (
+      |  SELECT w, n, 1 AS pos, 0 AS cost FROM wv
+      |  UNION ALL
+      |  SELECT g.w, g.n,
+      |    g.pos + CASE WHEN t3.g IS NOT NULL THEN 3
+      |                 WHEN b.g IS NOT NULL THEN 2 ELSE 1 END,
+      |    g.cost + CASE WHEN t3.g IS NOT NULL THEN 800
+      |                  WHEN b.g IS NOT NULL THEN 450 ELSE 300 END
+      |  FROM grec g
+      |  LEFT JOIN tri t3 ON g.pos + 2 <= g.n
+      |    AND t3.g = substr(g.w, g.pos, 3)
+      |  LEFT JOIN big b  ON g.pos + 1 <= g.n
+      |    AND b.g = substr(g.w, g.pos, 2)
+      |  WHERE g.pos <= g.n),
+      |greedy AS (SELECT w, n, cost AS gc FROM grec WHERE pos = n + 1)
+      |SELECT CAST(o.n AS BIGINT) AS wlen, count(*) AS n_words,
+      |  CAST(sum(o.oc) AS BIGINT) AS opt_total,
+      |  CAST(sum(g.gc) AS BIGINT) AS greedy_total,
+      |  count(*) FILTER (WHERE o.oc < g.gc) AS n_improved
+      |FROM opt o JOIN greedy g USING (w, n)
+      |GROUP BY o.n""".stripMargin) { (s, dir) =>
+    subwordSegmentation(s, dir)
+  }
+
+  /** q192's body — shared with the round-10 spec (which re-checks the
+    * DP against a driver-side shortest-path recomputation).
+    */
+  private[graft] def subwordSegmentation(s: SparkSession,
+      dir: String): DataFrame = {
+    val (c1, c2, c3) = (300, 450, 800)
+    val wv = graft.Materialized(s, s"q192_wv_$dir") {
+      docsTable(s, dir)
+        .select(explode(split(col("text"), " ")).as("w")).distinct()
+        .filter(length(col("w")).between(1, 12))
+        .select(col("w"), length(col("w")).as("n"))
+    }
+    def inventory(len: Int): DataFrame = graft.Materialized(s, s"q192_inv${len}_$dir") {
+      wv.filter(col("n") >= len)
+        .select(explode(expr(
+          s"transform(sequence(1, n - ${len - 1}), i -> substring(w, i, $len))"))
+          .as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("g")
+    }
+    val big = inventory(2)
+    val tri = inventory(3)
+    // ---- Viterbi DP, driver-unrolled: cost window (c0, c1, c2)
+    var f = wv.withColumn("c0", lit(0))
+      .withColumn("c1", lit(null).cast("int"))
+      .withColumn("c2", lit(null).cast("int"))
+    for (i <- 1 to 12) {
+      val bigTerm =
+        if (i >= 2)
+          f.join(broadcast(big.withColumnRenamed("g", "bg")),
+            substring(col("w"), i - 1, 2) === col("bg"), "left")
+        else f.withColumn("bg", lit(null).cast("string"))
+      f =
+        (if (i >= 3)
+          bigTerm.join(broadcast(tri.withColumnRenamed("g", "tg")),
+            substring(col("w"), i - 2, 3) === col("tg"), "left")
+        else bigTerm.withColumn("tg", lit(null).cast("string")))
+        .select(col("w"), col("n"),
+          when(col("n") >= i, least(
+            col("c0") + c1,
+            when(col("bg").isNotNull, col("c1") + c2),
+            when(col("tg").isNotNull, col("c2") + c3)))
+            .otherwise(col("c0")).as("c0"),
+          when(col("n") >= i, col("c0")).otherwise(col("c1")).as("c1"),
+          when(col("n") >= i, col("c1")).otherwise(col("c2")).as("c2"))
+      if (i % 4 == 0) f = graft.Materialized(s, s"q192_dp${i}_$dir")(f)
+    }
+    val opt = f.select(col("w"), col("n"), col("c0").as("oc"))
+    // ---- greedy longest-match walk, driver-unrolled: state (pos, cost)
+    var g = wv.withColumn("pos", lit(1)).withColumn("cost", lit(0))
+    for (i <- 1 to 12) {
+      g = g.join(broadcast(tri.withColumnRenamed("g", "tg")),
+          col("pos") + 2 <= col("n") &&
+            expr("substring(w, pos, 3)") === col("tg"), "left")
+        .join(broadcast(big.withColumnRenamed("g", "bg")),
+          col("pos") + 1 <= col("n") &&
+            expr("substring(w, pos, 2)") === col("bg"), "left")
+        .select(col("w"), col("n"),
+          when(col("pos") <= col("n"), col("pos") +
+            when(col("tg").isNotNull, 3)
+              .when(col("bg").isNotNull, 2).otherwise(1))
+            .otherwise(col("pos")).as("pos"),
+          when(col("pos") <= col("n"), col("cost") +
+            when(col("tg").isNotNull, c3)
+              .when(col("bg").isNotNull, c2).otherwise(c1))
+            .otherwise(col("cost")).as("cost"))
+      if (i % 4 == 0) g = graft.Materialized(s, s"q192_gr${i}_$dir")(g)
+    }
+    val greedy = g.select(col("w").as("gw"), col("cost").as("gc"))
+    opt.join(broadcast(greedy), col("w") === col("gw"))
+      .groupBy(col("n").cast("long").as("wlen"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("oc")).cast("long").as("opt_total"),
+        sum(col("gc")).cast("long").as("greedy_total"),
+        sum(when(col("oc") < col("gc"), 1L).otherwise(0L)).cast("long")
+          .as("n_improved"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
     q182, q186,
     q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147,
-    q152, q153, q155, q159, q160, q161, q162, q163, q164, q170)
+    q152, q153, q155, q159, q160, q161, q162, q163, q164, q170, q192)
 }

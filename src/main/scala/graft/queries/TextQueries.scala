@@ -3019,9 +3019,12 @@ object TextQueries {
         (col("n_raw") - col("n_fold")).cast("long"))
   }
 
-  /** JSONL ROUND-TRIP + CORRUPT-LINE QUARANTINE — the interchange-
-    * format ingest gate ([[graft.sources.Jsonl]]): the corpus is
-    * serialized to JSON-Lines (every doc's text first DAMAGED with a
+  /** JSONL CORRUPT-LINE QUARANTINE — the ingest-GATE face of the
+    * JSONL tier ([[graft.sources.Jsonl]]). [[Extras.q106]] already
+    * proves the clean round trip (FAILFAST — a corrupt line is a JOB
+    * ERROR); this query proves the path real dumps need instead:
+    * PERMISSIVE quarantine, where corrupt lines are DATA. The corpus
+    * is serialized to JSON-Lines (every doc's text first DAMAGED with a
     * quote + newline + backslash prefix, so the writer's escaping
     * actually has work to do), a deterministic slice (doc_id % 97 == 0)
     * is replaced by TRUNCATED lines (an unterminated JSON string — the
@@ -3036,16 +3039,17 @@ object TextQueries {
     *
     * Shape: map-only synthesis (`to_json` is codegen'd) + one text
     * write (once per session — [[graft.SessionScratch.once]], the
-    * q167 store convention), a schema-explicit single-pass JSONL scan
-    * (NO inference pre-pass), one source-grain aggregate + one
-    * single-row count — nothing corpus-grain shuffles except the
-    * source aggregate. At 100 TB the write and scan are both
-    * line-splittable map passes; the quarantine is a filter, not a
-    * failure path. (Spark's corrupt-column restriction — a query may
-    * not reference ONLY `_corrupt` — is respected: both branches
-    * reference data columns.)
+    * q167 store convention), then ONE schema-explicit JSONL scan (NO
+    * inference pre-pass, no second pass for the quarantine: corrupt
+    * rows re-key into the `__corrupt__` group of the same source-grain
+    * aggregate) — the only corpus exchange is that aggregate. At
+    * 100 TB the write and scan are both line-splittable map passes;
+    * the quarantine is a re-keyed group, not a failure path or a
+    * second scan. (Spark's corrupt-column restriction — a query may
+    * not reference ONLY `_corrupt` — is structurally satisfied:
+    * source and text ride in the same grouping.)
     */
-  val q189 = Q("q189_jsonl_roundtrip",
+  val q189 = Q("q189_jsonl_quarantine",
     """WITH d AS (
       |  SELECT doc_id, source,
       |    'say "hi"' || chr(10) || '\ ' || text AS t
@@ -3081,30 +3085,23 @@ object TextQueries {
       good.unionByName(bad).write.mode("overwrite").text(path)
     }
     val r = graft.sources.Jsonl.read(s, path, schema)
-    val parsed = r.filter(col(graft.sources.Jsonl.corruptCol).isNull)
-      .groupBy("source")
+    // ONE scan for both row classes: corrupt rows re-key to the
+    // quarantine group instead of forking a second pass over the dump
+    // (at 100 TB the union-of-filters shape reads the file twice).
+    // Corrupt rows null EVERY data field (no partial recovery —
+    // StreamingSpec pins it), so the null-skipping aggregates produce
+    // the quarantine row's zeros/empties with no special-casing; this
+    // also sidesteps the corrupt-only required-schema restriction
+    // (see Jsonl.read) because source/text ride in the same grouping.
+    r.groupBy(
+        when(col(graft.sources.Jsonl.corruptCol).isNotNull,
+          lit("__corrupt__")).otherwise(col("source")).as("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text"))).cast("long").as("n_chars"),
+        coalesce(sum(length(col("text"))), lit(0L)).cast("long")
+          .as("n_chars"),
         countDistinct(md5(col("text"))).as("n_fp"),
-        min(md5(col("text"))).as("lo_fp"),
-        max(md5(col("text"))).as("hi_fp"))
-    val quarantined = r
-      .filter(col(graft.sources.Jsonl.corruptCol).isNotNull)
-      .agg(count(lit(1)).as("n_docs"),
-        // reference a data column so the relation's required schema is
-        // never ONLY the corrupt column (Spark's documented
-        // restriction — see Jsonl.read). The reference must survive
-        // the optimizer (`* 0` gets constant-folded and re-pruned to
-        // corrupt-only — measured), so it is added plainly: a failed
-        // line nulls EVERY data field (no partial recovery —
-        // StreamingSpec pins it), so count(text) is provably 0 and
-        // the oracle gates that arithmetic.
-        count(col("text")).as("n_text"))
-      .select(lit("__corrupt__").as("source"),
-        (col("n_docs") + col("n_text")).as("n_docs"),
-        lit(0L).as("n_chars"), lit(0L).as("n_fp"),
-        lit("").as("lo_fp"), lit("").as("hi_fp"))
-    parsed.unionByName(quarantined)
+        coalesce(min(md5(col("text"))), lit("")).as("lo_fp"),
+        coalesce(max(md5(col("text"))), lit("")).as("hi_fp"))
   }
 
   /** ENCODING-DAMAGE SCAN — the mojibake gate of web-pipeline quality
@@ -3150,10 +3147,159 @@ object TextQueries {
         max(col("bad")).cast("long").as("max_bad"))
   }
 
+  /** ORC PREDICATE PUSHDOWN + COLUMN PRUNING — the scan-hygiene face
+    * of the ORC tier ([[graft.sources.Orc]]). [[Extras.q111]] already
+    * proves the lossless round trip (full-table read); this query
+    * proves the properties that make the format worth using at scale:
+    * the corpus is written to ORC once (the q167/q189 scratch
+    * convention), read back through the footer-schema vectorized scan,
+    * filtered (`lang IN ('en','fr') AND n_chars >= 300` — both
+    * predicates selective AND non-vacuous on this corpus), and
+    * fingerprinted per lang. The oracle recomputes everything from
+    * parquet, so a PASS proves value fidelity through the filtered
+    * path; the q191 spec pins the pushdown and pruning in the plan.
+    *
+    * Shape: one ORC scan with BOTH predicates pushed to stripe level
+    * and the read schema pruned to exactly (lang, n_chars, text) — the
+    * q191 spec pins `PushedFilters` and `ReadSchema` in the plan text,
+    * the engine's standing "filters reach the scan" discipline applied
+    * to the second format. One source-grain aggregate after a map-only
+    * projection; the one-time write and the scan are both
+    * stripe-splittable at any corpus size.
+    */
+  val q191 = Q("q191_orc_pushdown",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  count(DISTINCT md5(text)) AS n_fp,
+      |  min(md5(text)) AS lo_fp, max(md5(text)) AS hi_fp
+      |FROM documents
+      |WHERE lang IN ('en', 'fr') AND n_chars >= 300
+      |GROUP BY lang""".stripMargin) { (s, dir) =>
+    val path = graft.SessionScratch.dir(s, "orcwh")
+    graft.SessionScratch.once(s, s"orc_${graft.SessionScratch.keyOf(dir)}") {
+      graft.sources.Orc.write(docs(s, dir), path)
+    }
+    graft.sources.Orc.read(s, path)
+      .filter(col("lang").isin("en", "fr") && col("n_chars") >= 300)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_fp"),
+        min(md5(col("text"))).as("lo_fp"),
+        max(md5(col("text"))).as("hi_fp"))
+  }
+
+  /** INGEST-PIPELINE E2E — the intake counterpart of q185's assembly
+    * pipeline, composing this round's gates in the order a real
+    * intake runs them: JSONL parse with corrupt-line QUARANTINE
+    * ([[graft.sources.Jsonl.read]], q189's contract) → ENCODING gate
+    * (q190's U+FFFD/control-char detector — the real regex, not the
+    * damage arithmetic) → EXACT-DUP first-holder keep on the head
+    * fingerprint (q167's fp, q166's min-doc_id rule). The dump plants
+    * all three failure classes decorrelated from each other AND from
+    * the source assignment (source = doc_id % 20, so the damage slice
+    * uses `(doc_id div 20) % 5` — a mod-5 slice of doc_id itself
+    * would wipe exactly the mod-5 sources and degenerate the stage
+    * interplay): truncated lines at doc_id % 97, one appended U+FFFD
+    * on the damage slice, and the corpus's natural head-fp duplicates
+    * for the dedup stage (24 in 500 — nonzero at both gate sfs).
+    * Output per source: arrivals, per-stage drops, admitted count +
+    * admitted-fingerprint envelope, with quarantined lines re-keyed
+    * into one `__corrupt__` row by the q189 single-scan device.
+    *
+    * The oracle re-derives the WHOLE chain from parquet in one
+    * statement — encoding drops by ARITHMETIC (never running the
+    * regex: the q176/q190 double-derivation), dedup by the same
+    * min() — so a stage-boundary grain bug breaks the hash even when
+    * each stage passes alone (the q185 argument, pointed at intake).
+    * Dedup runs AFTER the encoding gate (pipeline order), which is
+    * also what makes engine and oracle fingerprints comparable: a
+    * surviving doc's parsed text is bit-identical to parquet.
+    *
+    * Shape: one JSONL scan; ONE fp-grain aggregate (first-holder) +
+    * one fp-keyed join back; one source-grain aggregate. No corpus
+    * pass happens twice; at 100 TB the fp-grain exchange is the
+    * dedup's irreducible cost (the q166 discipline).
+    */
+  val q193 = Q("q193_ingest_pipeline",
+    """WITH arr AS (
+      |  SELECT doc_id, source,
+      |    md5(array_to_string((string_split(text, ' '))[1:10], ' '))
+      |      AS fp
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |surv AS (SELECT * FROM arr WHERE (doc_id // 20) % 5 <> 0),
+      |first AS (SELECT fp, min(doc_id) AS keep FROM surv GROUP BY fp),
+      |j AS (
+      |  SELECT a.source, a.doc_id, a.fp,
+      |    (a.doc_id // 20) % 5 = 0 AS encdrop, f.keep
+      |  FROM arr a LEFT JOIN first f ON f.fp = a.fp)
+      |SELECT source, count(*) AS n_arrived,
+      |  count(*) FILTER (WHERE encdrop) AS n_enc_dropped,
+      |  count(*) FILTER (WHERE NOT encdrop AND doc_id <> keep)
+      |    AS n_dup_dropped,
+      |  count(*) FILTER (WHERE NOT encdrop AND doc_id = keep)
+      |    AS n_admitted,
+      |  coalesce(min(fp) FILTER (WHERE NOT encdrop AND doc_id = keep),
+      |    '') AS lo_fp,
+      |  coalesce(max(fp) FILTER (WHERE NOT encdrop AND doc_id = keep),
+      |    '') AS hi_fp
+      |FROM j GROUP BY source
+      |UNION ALL
+      |SELECT '__corrupt__', count(*), 0, 0, 0, '', ''
+      |FROM documents WHERE doc_id % 97 = 0""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+      .add("lang", StringType).add("source", StringType)
+    val d = docs(s, dir)
+    val path = graft.SessionScratch.dir(s, "jsonl2")
+    graft.SessionScratch.once(s,
+      s"jsonl2_${graft.SessionScratch.keyOf(dir)}") {
+      val damaged = when(expr("doc_id div 20") % 5 === 0,
+        concat(col("text"), lit("\uFFFD"))).otherwise(col("text"))
+      val good = d.filter(col("doc_id") % 97 =!= 0)
+        .select(to_json(struct(col("doc_id"), damaged.as("text"),
+          col("lang"), col("source"))).as("value"))
+      val bad = d.filter(col("doc_id") % 97 === 0)
+        .select(concat(lit("{\"doc_id\": "),
+          col("doc_id").cast("string"),
+          lit(", \"text\": \"broken")).as("value"))
+      good.unionByName(bad).write.mode("overwrite").text(path)
+    }
+    val r = graft.sources.Jsonl.read(s, path, schema)
+    val corrupt = col(graft.sources.Jsonl.corruptCol).isNotNull
+    // the REAL q190 detector decides the encoding drop
+    val nBad = length(col("text")) - length(regexp_replace(col("text"),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFD]", ""))
+    val flagged = r.select(col("doc_id"), col("source"),
+      corrupt.as("is_corrupt"),
+      (!corrupt && nBad > 0).as("encdrop"),
+      md5(array_join(slice(split(col("text"), " "), 1, 10), " "))
+        .as("fp"))
+    val first = flagged.filter(!col("is_corrupt") && !col("encdrop"))
+      .groupBy(col("fp").as("kfp"))
+      .agg(min(col("doc_id")).as("keep"))
+    val admitted = !col("is_corrupt") && !col("encdrop") &&
+      col("doc_id") === col("keep")
+    flagged.join(first, col("fp") === col("kfp"), "left")
+      .groupBy(when(col("is_corrupt"), lit("__corrupt__"))
+        .otherwise(col("source")).as("source"))
+      .agg(count(lit(1)).as("n_arrived"),
+        sum(when(col("encdrop"), 1L).otherwise(0L)).cast("long")
+          .as("n_enc_dropped"),
+        sum(when(!col("is_corrupt") && !col("encdrop") &&
+            col("doc_id") =!= col("keep"), 1L).otherwise(0L))
+          .cast("long").as("n_dup_dropped"),
+        sum(when(admitted, 1L).otherwise(0L)).cast("long")
+          .as("n_admitted"),
+        coalesce(min(when(admitted, col("fp"))), lit("")).as("lo_fp"),
+        coalesce(max(when(admitted, col("fp"))), lit("")).as("hi_fp"))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
       q141, q144, q148, q149, q150, q151, q166, q167, q168, q171, q172,
-      q175, q181, q185, q188, q189, q190)
+      q175, q181, q185, q188, q189, q190, q191, q193)
 }

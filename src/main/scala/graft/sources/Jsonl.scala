@@ -55,6 +55,15 @@ object Jsonl {
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
 
+  /** FAILFAST scan — the contract for data you OWN (q106's round trip
+    * of the engine's own write): a corrupt line is a job error, not a
+    * quarantine row, so silent loss is impossible. Use [[read]] for
+    * third-party dumps, this for re-reading your own sink.
+    */
+  def readStrict(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
   /** Expression-level JSONL parse of a line column (`from_json`) with
     * the SAME quarantine contract as [[read]]: the returned struct has
     * `schema`'s fields plus [[corruptCol]] (non-null ⇔ the line failed

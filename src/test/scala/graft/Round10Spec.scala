@@ -1160,6 +1160,117 @@ class Round10Spec extends SparkSpec {
       expected.count())
   }
 
+  test("q191: both predicates reach the ORC scan (PushedFilters), the " +
+    "read schema prunes to exactly (lang, n_chars, text), and neither " +
+    "filter is vacuous — each drops rows and keeps rows") {
+    val out = graft.queries.TextQueries.q191.fn(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("Scan orc")).getOrElse(
+        fail(s"no ORC scan in plan:\n$plan"))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(n_chars,300)") &&
+      (plan.contains("In(lang,") || plan.contains("EqualTo(lang,")),
+      s"predicates not pushed to the ORC scan:\n$plan")
+    assert(scanLine.contains("lang") && scanLine.contains("n_chars") &&
+      scanLine.contains("text") && !scanLine.contains("doc_id") &&
+      !scanLine.contains("source"),
+      s"read schema not pruned to the 3 needed columns:\n$scanLine")
+    // vacuity: each predicate independently drops AND keeps
+    val d = sources.Tables(spark, sf, "documents")
+    assert(d.filter(col("lang").isin("en", "fr")).count() > 0)
+    assert(d.filter(!col("lang").isin("en", "fr")).count() > 0)
+    assert(d.filter(col("n_chars") >= 300).count() > 0)
+    assert(d.filter(col("n_chars") < 300).count() > 0)
+    assert(out.collect().nonEmpty)
+  }
+
+  test("q192: the vocab-grain DP reproduces a from-scratch Scala " +
+    "shortest-path recomputation word-for-word in aggregate, the DP " +
+    "dominates greedy everywhere (min-cost invariant), and greedy is " +
+    "strictly beaten on at least one word (vacuity)") {
+    val out = graft.queries.Extras.q192.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("wlen"), (r.getAs[Long]("n_words"),
+        r.getAs[Long]("opt_total"), r.getAs[Long]("greedy_total"),
+        r.getAs[Long]("n_improved")))).toMap
+    // independent recomputation: plain Scala over the same corpus
+    val words = sources.Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .collect().map(_.getString(0))
+      .filter(w => w.length >= 1 && w.length <= 12).toSeq
+    def grams(len: Int): Set[String] = words
+      .flatMap(w => w.sliding(len).filter(_.length == len))
+      .groupBy(identity).collect { case (g, o) if o.size >= 2 => g }
+      .toSet
+    val (big, tri) = (grams(2), grams(3))
+    val (c1, c2, c3) = (300, 450, 800)
+    def optCost(w: String): Int = {
+      val cost = Array.fill(w.length + 1)(Int.MaxValue)
+      cost(0) = 0
+      for (i <- 1 to w.length) {
+        cost(i) = cost(i - 1) + c1
+        if (i >= 2 && big(w.substring(i - 2, i)))
+          cost(i) = math.min(cost(i), cost(i - 2) + c2)
+        if (i >= 3 && tri(w.substring(i - 3, i)))
+          cost(i) = math.min(cost(i), cost(i - 3) + c3)
+      }
+      cost(w.length)
+    }
+    def greedyCost(w: String): Int = {
+      var (p, c) = (0, 0)
+      while (p < w.length) {
+        if (p + 3 <= w.length && tri(w.substring(p, p + 3))) {
+          c += c3; p += 3
+        } else if (p + 2 <= w.length && big(w.substring(p, p + 2))) {
+          c += c2; p += 2
+        } else { c += c1; p += 1 }
+      }
+      c
+    }
+    val want = words.groupBy(_.length.toLong).view.mapValues { ws =>
+      (ws.size.toLong, ws.map(optCost).map(_.toLong).sum,
+        ws.map(greedyCost).map(_.toLong).sum,
+        ws.count(w => optCost(w) < greedyCost(w)).toLong)
+    }.toMap
+    assert(out == want,
+      s"engine disagrees with the from-scratch recomputation:\n" +
+        s"  engine=$out\n  scala =$want")
+    // dominance + vacuity, from the independent side
+    assert(words.forall(w => optCost(w) <= greedyCost(w)))
+    assert(words.exists(w => optCost(w) < greedyCost(w)),
+      "greedy is optimal on every word — the comparison is vacuous")
+  }
+
+  test("q193: stage conservation holds per source (arrived = enc_drop " +
+    "+ dup_drop + admitted), every stage is non-vacuous, and the " +
+    "quarantine row matches the planted truncation count") {
+    val rows = graft.queries.TextQueries.q193.fn(spark, sf).collect()
+    val (corrupt, srcs) = rows.partition(
+      _.getAs[String]("source") == "__corrupt__")
+    val d = sources.Tables(spark, sf, "documents")
+    assert(corrupt.length == 1 &&
+      corrupt.head.getAs[Long]("n_arrived") ==
+        d.filter(col("doc_id") % 97 === 0).count())
+    assert(corrupt.head.getAs[Long]("n_admitted") == 0)
+    srcs.foreach { r =>
+      assert(r.getAs[Long]("n_arrived") ==
+        r.getAs[Long]("n_enc_dropped") + r.getAs[Long]("n_dup_dropped") +
+          r.getAs[Long]("n_admitted"),
+        s"conservation broken for ${r.getAs[String]("source")}: $r")
+    }
+    assert(srcs.map(_.getAs[Long]("n_enc_dropped")).sum > 0,
+      "encoding gate vacuous")
+    assert(srcs.map(_.getAs[Long]("n_dup_dropped")).sum > 0,
+      "dedup gate vacuous")
+    assert(srcs.map(_.getAs[Long]("n_admitted")).sum > 0,
+      "nothing admitted")
+    // admitted fingerprints exist exactly when something was admitted
+    srcs.foreach { r =>
+      assert((r.getAs[Long]("n_admitted") > 0) ==
+        (r.getAs[String]("lo_fp").nonEmpty))
+    }
+  }
+
   test("q190: the corpus is clean [a-z0-9 ] (the arithmetic oracle's " +
     "precondition) and the regex detector agrees with the damage " +
     "model at ROW grain: doc_id%5==0 counts doc_id%3+2, others 0") {
