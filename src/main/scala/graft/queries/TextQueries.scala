@@ -3296,10 +3296,155 @@ object TextQueries {
         coalesce(max(when(admitted, col("fp"))), lit("")).as("hi_fp"))
   }
 
+  /** CSV MALFORMED-ROW QUARANTINE — q189's ingest gate for the OTHER
+    * line format ([[graft.sources.Csv.readQuarantine]]), closing the
+    * gate matrix (JSONL q189, CSV here; ORC has no row-level corrupt
+    * class — q191's scaladoc states why). Good rows are written by
+    * Spark's CSV WRITER with text first DAMAGED by a comma + quote
+    * prefix — the two characters that force real quoting and `""`
+    * escape doubling — into one directory; a second directory plants
+    * TYPE-MALFORMED rows (the BIGINT column carries `xx`) for the
+    * doc_id % 97 slice; the quarantine read spans both (a real intake
+    * is a directory set). Per-source fingerprints over parsed rows +
+    * one `__corrupt__` row, the q189 single-scan re-key. The oracle
+    * recomputes every fingerprint arithmetically from parquet — a
+    * PASS proves the CSV quote/escape loop byte-exact and the
+    * quarantine exact.
+    *
+    * Defensive determinism: fingerprints/lengths are computed over
+    * `when(corrupt, null).otherwise(text)` so the output NEVER
+    * depends on whether the CSV parser recovers partial fields on a
+    * malformed row (a version-dependent behavior the JSON twin pinned
+    * one way; here it is made irrelevant by construction).
+    *
+    * Shape: one-time writes, ONE multi-path scan, one source-grain
+    * aggregate — the q189 cost model on the second format.
+    */
+  val q194 = Q("q194_csv_quarantine",
+    """WITH d AS (
+      |  SELECT doc_id, source, 'a,"b" ' || text AS t
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |p AS (
+      |  SELECT d.source, count(*) AS n_docs,
+      |    CAST(sum(length(t)) AS BIGINT) AS n_chars,
+      |    CAST(sum(o.n_chars) AS BIGINT) AS sum_nchars,
+      |    count(DISTINCT md5(t)) AS n_fp,
+      |    min(md5(t)) AS lo_fp, max(md5(t)) AS hi_fp
+      |  FROM d JOIN documents o ON o.doc_id = d.doc_id
+      |  GROUP BY d.source),
+      |c AS (
+      |  SELECT '__corrupt__' AS source, count(*) AS n_docs,
+      |    CAST(0 AS BIGINT) AS n_chars, CAST(0 AS BIGINT) AS sum_nchars,
+      |    CAST(0 AS BIGINT) AS n_fp,
+      |    '' AS lo_fp, '' AS hi_fp
+      |  FROM documents WHERE doc_id % 97 = 0)
+      |SELECT * FROM p UNION ALL SELECT * FROM c""".stripMargin) {
+    (s, dir) =>
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+      .add("lang", StringType).add("source", StringType)
+      .add("n_chars", LongType)
+    val d = docs(s, dir)
+    val goodDir = graft.SessionScratch.dir(s, "csvq_good")
+    val badDir = graft.SessionScratch.dir(s, "csvq_bad")
+    graft.SessionScratch.once(s,
+      s"csvq_${graft.SessionScratch.keyOf(dir)}") {
+      d.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          concat(lit("a,\"b\" "), col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").option("header", "false").csv(goodDir)
+      d.filter(col("doc_id") % 97 === 0)
+        .select(concat(col("doc_id").cast("string"), lit(",damaged,"),
+          col("lang"), lit(","), col("source"), lit(",xx"))
+          .as("value"))
+        .write.mode("overwrite").text(badDir)
+    }
+    val r = graft.sources.Csv.readQuarantine(s, Seq(goodDir, badDir),
+      schema)
+    val corrupt = col(graft.sources.Jsonl.corruptCol).isNotNull
+    val t = when(corrupt, lit(null: String)).otherwise(col("text"))
+    // sum_nchars references the MALFORMED column: the planted damage
+    // lives in n_chars ("xx" in a BIGINT), and a projection that
+    // prunes it away never parses it — the row would sail through
+    // un-flagged (measured; the q189 pruned-schema lesson). Keeping
+    // the broken field in the output both defeats the pruning and
+    // gates the numeric round-trip.
+    val nc = when(corrupt, lit(null: String).cast("long"))
+      .otherwise(col("n_chars"))
+    r.groupBy(when(corrupt, lit("__corrupt__"))
+        .otherwise(col("source")).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(t)), lit(0L)).cast("long").as("n_chars"),
+        coalesce(sum(nc), lit(0L)).cast("long").as("sum_nchars"),
+        countDistinct(md5(t)).as("n_fp"),
+        coalesce(min(md5(t)), lit("")).as("lo_fp"),
+        coalesce(max(md5(t)), lit("")).as("hi_fp"))
+  }
+
+  /** MULTI-FORMAT FEDERATION — one query over a corpus striped across
+    * THREE formats (doc_id % 3: parquet / JSONL / ORC), the lakehouse
+    * reality the source tier exists for: history lands in parquet,
+    * vendor drops in JSONL, a Hive-era warehouse in ORC, and the
+    * operator layer must not care. Each non-parquet stripe is written
+    * once (scratch convention), read back through its own source
+    * object ([[graft.sources.Jsonl.readStrict]] — own data, FAILFAST;
+    * [[graft.sources.Orc.read]]), and the three frames union into ONE
+    * aggregate. The oracle derives every stripe from parquet alone —
+    * a PASS proves all three read paths agree bit-for-bit on count,
+    * numeric, and string content, i.e. the format seam is invisible
+    * exactly where [[graft.sources.Orc]]'s scaladoc claims it is.
+    *
+    * Shape: three parallel scans (each line/stripe-splittable, no
+    * scan reads another stripe's bytes) + one source-grain aggregate
+    * over the union — Spark plans the union's children independently,
+    * so the federation costs exactly the sum of its scans at any
+    * corpus size.
+    */
+  val q195 = Q("q195_format_federation",
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'parquet'
+      |  WHEN 1 THEN 'jsonl' ELSE 'orc' END AS fmt,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  count(DISTINCT md5(text)) AS n_fp,
+      |  min(md5(text)) AS lo_fp, max(md5(text)) AS hi_fp
+      |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+      .add("lang", StringType).add("source", StringType)
+      .add("n_chars", LongType)
+    val d = docs(s, dir)
+    val jdir = graft.SessionScratch.dir(s, "fed_jsonl")
+    val odir = graft.SessionScratch.dir(s, "fed_orc")
+    graft.SessionScratch.once(s,
+      s"fed_${graft.SessionScratch.keyOf(dir)}") {
+      graft.sources.Jsonl.write(
+        d.filter(col("doc_id") % 3 === 1).select(cols.map(col): _*), jdir)
+      graft.sources.Orc.write(
+        d.filter(col("doc_id") % 3 === 2).select(cols.map(col): _*), odir)
+    }
+    val pq = d.filter(col("doc_id") % 3 === 0).select(cols.map(col): _*)
+      .withColumn("fmt", lit("parquet"))
+    val js = graft.sources.Jsonl.readStrict(s, jdir, schema)
+      .withColumn("fmt", lit("jsonl"))
+    val oc = graft.sources.Orc.read(s, odir)
+      .withColumn("fmt", lit("orc"))
+    pq.unionByName(js).unionByName(oc)
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_fp"),
+        min(md5(col("text"))).as("lo_fp"),
+        max(md5(col("text"))).as("hi_fp"))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
       q141, q144, q148, q149, q150, q151, q166, q167, q168, q171, q172,
-      q175, q181, q185, q188, q189, q190, q191, q193)
+      q175, q181, q185, q188, q189, q190, q191, q193, q194, q195)
 }

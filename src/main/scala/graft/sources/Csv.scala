@@ -18,4 +18,23 @@ object Csv {
       .option("header", header.toString)
       .schema(schema)
       .csv(path)
+
+  /** PERMISSIVE scan with malformed-row quarantine — [[Jsonl.read]]'s
+    * contract for the OTHER line format third-party data arrives in:
+    * rows that fail to parse (a type mismatch, a torn quote) land
+    * verbatim in [[Jsonl.corruptCol]] instead of failing the job or
+    * silently nulling. Takes multiple paths because a real intake is
+    * a directory set (dumps + stragglers). The same file-source
+    * restriction applies: a query may never reference ONLY the
+    * corrupt column (see Jsonl.read — same consumer discipline).
+    */
+  def readQuarantine(spark: SparkSession, paths: Seq[String],
+      schema: StructType): DataFrame =
+    spark.read
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Jsonl.corruptCol)
+      .schema(schema.add(Jsonl.corruptCol,
+        org.apache.spark.sql.types.StringType))
+      .csv(paths: _*)
 }

@@ -1271,6 +1271,48 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q194: CSV quote/escape round-trips the damaged text byte-" +
+    "exactly at ROW grain, the quarantine count equals the planted " +
+    "type-malformed lines, and the malformed column must be read for " +
+    "the flag to exist (the pruned-schema behavior, pinned)") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val d = sources.Tables(spark, sf, "documents")
+    graft.queries.TextQueries.q194.fn(spark, sf).collect() // build dirs
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+      .add("lang", StringType).add("source", StringType)
+      .add("n_chars", LongType)
+    val r = graft.sources.Csv.readQuarantine(spark,
+      Seq(SessionScratch.dir(spark, "csvq_good"),
+        SessionScratch.dir(spark, "csvq_bad")), schema)
+    val cc = graft.sources.Jsonl.corruptCol
+    // row-grain round trip over parsed rows — n_chars must be LOAD-
+    // BEARING (a filter, not a projection: an unused projected column
+    // is pruned right back out after the join) or the malformed rows
+    // are never flagged (the same behavior the last assert pins)
+    val parsed = r.filter(col(cc).isNull && col("n_chars").isNotNull)
+      .select("doc_id", "text")
+    val expected = d.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        concat(lit("a,\"b\" "), col("text")).as("text"))
+    assert(parsed.join(expected, Seq("doc_id", "text"), "left_anti")
+      .count() == 0)
+    assert(expected.join(parsed, Seq("doc_id", "text"), "left_anti")
+      .count() == 0)
+    // quarantine count — referencing n_chars (the malformed column)
+    val flagged = r.filter(col(cc).isNotNull)
+      .select(col("doc_id"), col("n_chars"), col(cc)).collect()
+    assert(flagged.length ==
+      d.filter(col("doc_id") % 97 === 0).count())
+    // the pruned-schema pin: read WITHOUT the malformed column in the
+    // projection and the same rows sail through un-flagged
+    val pruned = r.select(col("doc_id"), col("source"), col(cc))
+      .filter(col(cc).isNotNull).collect()
+    assert(pruned.isEmpty,
+      "pruned read flagged rows — the malformed-column dependence " +
+        s"this query documents has changed: ${pruned.toSeq}")
+  }
+
   test("q190: the corpus is clean [a-z0-9 ] (the arithmetic oracle's " +
     "precondition) and the regex detector agrees with the damage " +
     "model at ROW grain: doc_id%5==0 counts doc_id%3+2, others 0") {
