@@ -2927,19 +2927,140 @@ object Extras {
     subwordSegmentation(s, dir)
   }
 
-  /** q192's body — shared with the round-10 spec (which re-checks the
-    * DP against a driver-side shortest-path recomputation).
+  /** PIECE-USAGE PROFILE via Viterbi BACKTRACE — the tokenizer-audit
+    * face of the q192 machinery: not just WHAT the optimal
+    * segmentation costs but what it is MADE OF. The forward DP
+    * ([[viterbiChoices]]) records the argmin branch per position;
+    * this query walks the recorded choices backward from position n
+    * (a driver-unrolled 12-step walk whose position register selects
+    * the right choice column by a 12-way CASE — pure projections, no
+    * joins) and counts chars/bigrams/trigrams used per word. The
+    * reconstruction invariant — 300·k1 + 450·k2 + 800·k3 == the DP's
+    * optimal cost — rides in the output next to opt_total, so both
+    * engines must agree the path decomposition actually PRODUCES the
+    * optimum (a backtrace bug that picks a non-argmin branch breaks
+    * the hash). Ties break shortest-piece-first in BOTH engines: the
+    * engine's when-chain and the oracle's CASE share the same order,
+    * which is what makes the branch choice total and deterministic.
+    *
+    * Oracle: the q192 forward recursion already carries the shifted
+    * (c0, c1, c2) window, so the winning branch at position i is
+    * re-derivable from row i ALONE (char ⇔ c0 = c1+300, bigram ⇔
+    * inventory hit ∧ c0 = c2+450, else trigram — no cost-table
+    * self-joins); a second WITH RECURSIVE walks positions backward
+    * joining that choice table. Vocab-grain end to end; the only
+    * corpus work is the shared DISTINCT.
     */
-  private[graft] def subwordSegmentation(s: SparkSession,
-      dir: String): DataFrame = {
-    val (c1, c2, c3) = (300, 450, 800)
-    val wv = graft.Materialized(s, s"q192_wv_$dir") {
+  val q197 = Q("q197_piece_usage",
+    """WITH RECURSIVE wv AS (
+      |  SELECT w, len(w) AS n FROM (
+      |    SELECT DISTINCT unnest(string_split(text,' ')) AS w
+      |    FROM documents)
+      |  WHERE len(w) BETWEEN 1 AND 12),
+      |big AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 2) AS g
+      |    FROM wv, unnest(range(1, n)) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 2),
+      |tri AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 3) AS g
+      |    FROM wv, unnest(range(1, greatest(n - 1, 1))) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 2),
+      |rec AS (
+      |  SELECT w, n, 0 AS i, 0 AS c0, NULL::INT AS c1, NULL::INT AS c2
+      |  FROM wv
+      |  UNION ALL
+      |  SELECT r.w, r.n, r.i + 1,
+      |    least(r.c0 + 300,
+      |      CASE WHEN b.g IS NOT NULL THEN r.c1 + 450 END,
+      |      CASE WHEN t3.g IS NOT NULL THEN r.c2 + 800 END),
+      |    r.c0, r.c1
+      |  FROM rec r
+      |  LEFT JOIN big b  ON r.i >= 1 AND b.g  = substr(r.w, r.i, 2)
+      |  LEFT JOIN tri t3 ON r.i >= 2 AND t3.g = substr(r.w, r.i - 1, 3)
+      |  WHERE r.i < r.n),
+      |choice AS (
+      |  SELECT r.w, r.i,
+      |    CASE WHEN r.c0 = r.c1 + 300 THEN 1
+      |         WHEN b.g IS NOT NULL AND r.c0 = r.c2 + 450 THEN 2
+      |         ELSE 3 END AS len
+      |  FROM rec r
+      |  LEFT JOIN big b ON b.g = substr(r.w, r.i - 1, 2)
+      |  WHERE r.i >= 1),
+      |back AS (
+      |  SELECT w, n, n AS pos, 0 AS k1, 0 AS k2, 0 AS k3 FROM wv
+      |  UNION ALL
+      |  SELECT b.w, b.n, b.pos - c.len,
+      |    b.k1 + CASE WHEN c.len = 1 THEN 1 ELSE 0 END,
+      |    b.k2 + CASE WHEN c.len = 2 THEN 1 ELSE 0 END,
+      |    b.k3 + CASE WHEN c.len = 3 THEN 1 ELSE 0 END
+      |  FROM back b JOIN choice c ON c.w = b.w AND c.i = b.pos
+      |  WHERE b.pos > 0),
+      |done AS (SELECT w, n, k1, k2, k3 FROM back WHERE pos = 0),
+      |opt AS (SELECT w, c0 AS oc FROM rec WHERE i = n)
+      |SELECT CAST(d.n AS BIGINT) AS wlen, count(*) AS n_words,
+      |  CAST(sum(d.k1) AS BIGINT) AS chars_used,
+      |  CAST(sum(d.k2) AS BIGINT) AS bigrams_used,
+      |  CAST(sum(d.k3) AS BIGINT) AS trigrams_used,
+      |  CAST(sum(300 * d.k1 + 450 * d.k2 + 800 * d.k3) AS BIGINT)
+      |    AS recon_total,
+      |  CAST(sum(o.oc) AS BIGINT) AS opt_total
+      |FROM done d JOIN opt o USING (w)
+      |GROUP BY d.n""".stripMargin) { (s, dir) =>
+    val v = viterbiChoices(s, dir)
+    var b = v.select(Seq(col("w"), col("n"),
+      col("n").cast("int").as("pos"),
+      lit(0L).as("k1"), lit(0L).as("k2"), lit(0L).as("k3"),
+      col("c0").as("oc")) ++ (1 to 12).map(j => col(s"ch$j")): _*)
+    for (_ <- 1 to 12) {
+      val len = (2 to 12).foldLeft(
+        when(col("pos") === 1, col("ch1"))) {
+        (acc, j) => acc.when(col("pos") === j, col(s"ch$j"))
+      }
+      val live = col("pos") > 0
+      b = b.select(Seq(col("w"), col("n"),
+        when(live, col("pos") - len).otherwise(col("pos")).as("pos"),
+        when(live && len === 1, col("k1") + 1L).otherwise(col("k1"))
+          .as("k1"),
+        when(live && len === 2, col("k2") + 1L).otherwise(col("k2"))
+          .as("k2"),
+        when(live && len === 3, col("k3") + 1L).otherwise(col("k3"))
+          .as("k3"),
+        col("oc")) ++ (1 to 12).map(j => col(s"ch$j")): _*)
+    }
+    b.groupBy(col("n").cast("long").as("wlen"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("k1")).cast("long").as("chars_used"),
+        sum(col("k2")).cast("long").as("bigrams_used"),
+        sum(col("k3")).cast("long").as("trigrams_used"),
+        sum(col("k1") * segC1 + col("k2") * segC2 + col("k3") * segC3)
+          .cast("long").as("recon_total"),
+        sum(col("oc")).cast("long").as("opt_total"))
+  }
+
+  /** Segmentation piece costs (char / bigram / trigram), shared by
+    * q192 and q197.
+    */
+  private val segC1 = 300
+  private val segC2 = 450
+  private val segC3 = 800
+
+  /** Distinct-word frame (w, n) — the vocab-grain collapse both
+    * segmentation queries run over.
+    */
+  private def segWords(s: SparkSession, dir: String): DataFrame =
+    graft.Materialized(s, s"q192_wv_$dir") {
       docsTable(s, dir)
         .select(explode(split(col("text"), " ")).as("w")).distinct()
         .filter(length(col("w")).between(1, 12))
         .select(col("w"), length(col("w")).as("n"))
     }
-    def inventory(len: Int): DataFrame = graft.Materialized(s, s"q192_inv${len}_$dir") {
+
+  /** Corpus-frequent piece inventory of the given length. */
+  private def segInventory(s: SparkSession, dir: String,
+      len: Int): DataFrame = {
+    // hoisted OUT of the Materialized closure: a nested
+    // Materialized call inside another's build throws
+    // ConcurrentHashMap's "Recursive update" (measured)
+    val wv = segWords(s, dir)
+    graft.Materialized(s, s"q192_inv${len}_$dir") {
       wv.filter(col("n") >= len)
         .select(explode(expr(
           s"transform(sequence(1, n - ${len - 1}), i -> substring(w, i, $len))"))
@@ -2947,10 +3068,23 @@ object Extras {
         .groupBy("g").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select("g")
     }
-    val big = inventory(2)
-    val tri = inventory(3)
-    // ---- Viterbi DP, driver-unrolled: cost window (c0, c1, c2)
-    var f = wv.withColumn("c0", lit(0))
+  }
+
+  /** Forward Viterbi DP with RECORDED argmin choices — the shared
+    * engine of q192 (which reads only the final cost) and q197 (which
+    * backtraces the choices). Driver-unrolled over the vocab-grain
+    * frame: per position i, the shifted cost window (c0, c1, c2)
+    * relaxes against char/bigram/trigram transitions, and `ch$i`
+    * records WHICH branch won (1/2/3; the when-chain order makes ties
+    * break shortest-piece-first — the same total order the oracle's
+    * CASE mirrors). Positions past a word's length freeze (cost and
+    * choices alike), so c0 ends as cost-at-n for every word.
+    */
+  private[graft] def viterbiChoices(s: SparkSession,
+      dir: String): DataFrame = {
+    val big = segInventory(s, dir, 2)
+    val tri = segInventory(s, dir, 3)
+    var f = segWords(s, dir).withColumn("c0", lit(0))
       .withColumn("c1", lit(null).cast("int"))
       .withColumn("c2", lit(null).cast("int"))
     for (i <- 1 to 12) {
@@ -2959,22 +3093,39 @@ object Extras {
           f.join(broadcast(big.withColumnRenamed("g", "bg")),
             substring(col("w"), i - 1, 2) === col("bg"), "left")
         else f.withColumn("bg", lit(null).cast("string"))
-      f =
-        (if (i >= 3)
+      val joined =
+        if (i >= 3)
           bigTerm.join(broadcast(tri.withColumnRenamed("g", "tg")),
             substring(col("w"), i - 2, 3) === col("tg"), "left")
-        else bigTerm.withColumn("tg", lit(null).cast("string")))
-        .select(col("w"), col("n"),
-          when(col("n") >= i, least(
-            col("c0") + c1,
-            when(col("bg").isNotNull, col("c1") + c2),
-            when(col("tg").isNotNull, col("c2") + c3)))
-            .otherwise(col("c0")).as("c0"),
-          when(col("n") >= i, col("c0")).otherwise(col("c1")).as("c1"),
-          when(col("n") >= i, col("c1")).otherwise(col("c2")).as("c2"))
-      if (i % 4 == 0) f = graft.Materialized(s, s"q192_dp${i}_$dir")(f)
+        else bigTerm.withColumn("tg", lit(null).cast("string"))
+      val a = col("c0") + segC1
+      val b = when(col("bg").isNotNull, col("c1") + segC2)
+      val t3 = when(col("tg").isNotNull, col("c2") + segC3)
+      val c0n = least(a, b, t3)
+      val keepCh = (1 until i).map(j => col(s"ch$j"))
+      f = joined.select(Seq(col("w"), col("n"),
+        when(col("n") >= i, c0n).otherwise(col("c0")).as("c0"),
+        when(col("n") >= i, col("c0")).otherwise(col("c1")).as("c1"),
+        when(col("n") >= i, col("c1")).otherwise(col("c2")).as("c2"),
+        when(col("n") >= i,
+          when(c0n === a, 1).when(c0n === b, 2).otherwise(3))
+          .otherwise(lit(null).cast("int")).as(s"ch$i")) ++ keepCh: _*)
+      if (i % 4 == 0) f = graft.Materialized(s, s"q192_dpc${i}_$dir")(f)
     }
-    val opt = f.select(col("w"), col("n"), col("c0").as("oc"))
+    f
+  }
+
+  /** q192's body — shared with the round-10 spec (which re-checks the
+    * DP against a driver-side shortest-path recomputation).
+    */
+  private[graft] def subwordSegmentation(s: SparkSession,
+      dir: String): DataFrame = {
+    val (c1, c2, c3) = (segC1, segC2, segC3)
+    val wv = segWords(s, dir)
+    val big = segInventory(s, dir, 2)
+    val tri = segInventory(s, dir, 3)
+    val opt = viterbiChoices(s, dir)
+      .select(col("w"), col("n"), col("c0").as("oc"))
     // ---- greedy longest-match walk, driver-unrolled: state (pos, cost)
     var g = wv.withColumn("pos", lit(1)).withColumn("cost", lit(0))
     for (i <- 1 to 12) {
@@ -3009,5 +3160,6 @@ object Extras {
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
     q182, q186,
     q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147,
-    q152, q153, q155, q159, q160, q161, q162, q163, q164, q170, q192)
+    q152, q153, q155, q159, q160, q161, q162, q163, q164, q170, q192,
+    q197)
 }

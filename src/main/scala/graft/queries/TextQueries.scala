@@ -3441,10 +3441,57 @@ object TextQueries {
         max(md5(col("text"))).as("hi_fp"))
   }
 
+  /** SCHEMA EVOLUTION under a merged parquet read — the lakehouse
+    * drift case the warehouse tier must survive: an old generation of
+    * files lacks a column a new generation added (here `quality`,
+    * derived as `n_chars % 7` so the oracle can re-derive it
+    * arithmetically), both live under one table root as
+    * `gen=a`/`gen=b` directories, and ONE read must serve both — old
+    * rows with the new column NULL, new rows with their values, and
+    * the generation recoverable as a partition column. Spark's
+    * `mergeSchema` read does exactly this (the default single-footer
+    * read would pick one generation's schema and silently hide the
+    * column on half the files — the spec pins that the merged read
+    * carries both `quality` and the discovered `gen`).
+    *
+    * Output per lang: doc count, rows carrying the new column, its
+    * sum, and the n_chars sum — count/sum over a nullable evolved
+    * column exercises exactly the null-fill semantics. Oracle derives
+    * everything from parquet arithmetic (quality exists ⇔ odd
+    * doc_id). Shape: one-time two-generation write, one merged scan
+    * (footer merge is metadata work, scan stays stripe-splittable),
+    * one lang-grain aggregate.
+    */
+  val q196 = Q("q196_schema_evolution",
+    """SELECT lang, count(*) AS n_docs,
+      |  count(*) FILTER (WHERE doc_id % 2 = 1) AS n_with_quality,
+      |  CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1
+      |    THEN n_chars % 7 END), 0) AS BIGINT) AS sum_quality,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+    val d = docs(s, dir)
+    val path = graft.SessionScratch.dir(s, "evo")
+    graft.SessionScratch.once(s,
+      s"evo_${graft.SessionScratch.keyOf(dir)}") {
+      d.filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$path/gen=a")
+      d.filter(col("doc_id") % 2 === 1)
+        .withColumn("quality", (col("n_chars") % 7).cast("long"))
+        .write.mode("overwrite").parquet(s"$path/gen=b")
+    }
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("quality")).as("n_with_quality"),
+        coalesce(sum(col("quality")), lit(0L)).cast("long")
+          .as("sum_quality"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
       q141, q144, q148, q149, q150, q151, q166, q167, q168, q171, q172,
-      q175, q181, q185, q188, q189, q190, q191, q193, q194, q195)
+      q175, q181, q185, q188, q189, q190, q191, q193, q194, q195, q196)
 }

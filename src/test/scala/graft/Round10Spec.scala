@@ -1313,6 +1313,100 @@ class Round10Spec extends SparkSpec {
         s"this query documents has changed: ${pruned.toSeq}")
   }
 
+  test("q196: the merged read carries both the evolved column and the " +
+    "discovered generation partition, old-generation rows null-fill " +
+    "quality, and new-generation rows match the n_chars%7 arithmetic " +
+    "at ROW grain") {
+    graft.queries.TextQueries.q196.fn(spark, sf).collect() // build dirs
+    val r = spark.read.option("mergeSchema", "true")
+      .parquet(SessionScratch.dir(spark, "evo"))
+    assert(r.columns.contains("quality") && r.columns.contains("gen"),
+      s"merged schema missing evolved/partition column: " +
+        r.columns.mkString(","))
+    assert(r.filter(col("gen") === "a" && col("quality").isNotNull)
+      .count() == 0, "old generation grew quality values")
+    assert(r.filter(col("gen") === "b" &&
+      (col("quality").isNull ||
+        col("quality") =!= col("n_chars") % 7)).count() == 0,
+      "new generation quality diverges from the arithmetic")
+    val d = sources.Tables(spark, sf, "documents")
+    assert(r.count() == d.count())
+    assert(r.filter(col("gen") === "b").count() ==
+      d.filter(col("doc_id") % 2 === 1).count())
+  }
+
+  test("q197: the backtraced piece decomposition RECONSTRUCTS the " +
+    "optimum (300k1+450k2+800k3 == opt cost per length bucket), " +
+    "agrees with q192's opt totals bucket-for-bucket, uses bigrams " +
+    "(non-vacuity), and matches a from-scratch Scala backtrace " +
+    "count-for-count") {
+    val usage = graft.queries.Extras.q197.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("wlen") -> r).toMap
+    usage.values.foreach { r =>
+      assert(r.getAs[Long]("recon_total") == r.getAs[Long]("opt_total"),
+        s"reconstruction broke at wlen ${r.getAs[Long]("wlen")}: $r")
+    }
+    val q192out = graft.queries.Extras.q192.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("wlen") -> r.getAs[Long]("opt_total"))
+      .toMap
+    assert(usage.keySet == q192out.keySet)
+    usage.foreach { case (wlen, r) =>
+      assert(r.getAs[Long]("opt_total") == q192out(wlen),
+        s"q197 and q192 disagree on opt cost at wlen $wlen")
+    }
+    assert(usage.values.map(_.getAs[Long]("bigrams_used")).sum > 0,
+      "optimal paths never use a bigram — vacuous")
+    // third derivation: from-scratch Scala DP + backtrace with the
+    // same shortest-piece-first tie order, compared count-for-count
+    // (trigram usage may legitimately be zero at this sf — 800 beats
+    // char+char+char but loses to any 750 char+bigram split — so the
+    // check is exact agreement, not nonzero)
+    val words = sources.Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .collect().map(_.getString(0))
+      .filter(w => w.length >= 1 && w.length <= 12).toSeq
+    def grams(len: Int): Set[String] = words
+      .flatMap(w => w.sliding(len).filter(_.length == len))
+      .groupBy(identity).collect { case (g, o) if o.size >= 2 => g }
+      .toSet
+    val (big, tri) = (grams(2), grams(3))
+    def decompose(w: String): (Int, Int, Int) = {
+      val cost = Array.fill(w.length + 1)(Int.MaxValue)
+      val choice = Array.fill(w.length + 1)(0)
+      cost(0) = 0
+      for (i <- 1 to w.length) {
+        cost(i) = cost(i - 1) + 300; choice(i) = 1
+        if (i >= 2 && big(w.substring(i - 2, i)) &&
+          cost(i - 2) + 450 < cost(i)) {
+          cost(i) = cost(i - 2) + 450; choice(i) = 2
+        }
+        if (i >= 3 && tri(w.substring(i - 3, i)) &&
+          cost(i - 3) + 800 < cost(i)) {
+          cost(i) = cost(i - 3) + 800; choice(i) = 3
+        }
+      }
+      var (p, k1, k2, k3) = (w.length, 0, 0, 0)
+      while (p > 0) {
+        choice(p) match {
+          case 1 => k1 += 1; case 2 => k2 += 1; case _ => k3 += 1
+        }
+        p -= choice(p)
+      }
+      (k1, k2, k3)
+    }
+    val want = words.groupBy(_.length.toLong).view.mapValues { ws =>
+      val ds = ws.map(decompose)
+      (ds.map(_._1.toLong).sum, ds.map(_._2.toLong).sum,
+        ds.map(_._3.toLong).sum)
+    }.toMap
+    usage.foreach { case (wlen, r) =>
+      assert((r.getAs[Long]("chars_used"), r.getAs[Long]("bigrams_used"),
+        r.getAs[Long]("trigrams_used")) == want(wlen),
+        s"decomposition disagrees with the Scala backtrace at $wlen: " +
+          s"engine=$r want=${want(wlen)}")
+    }
+  }
+
   test("q190: the corpus is clean [a-z0-9 ] (the arithmetic oracle's " +
     "precondition) and the regex detector agrees with the damage " +
     "model at ROW grain: doc_id%5==0 counts doc_id%3+2, others 0") {
