@@ -3004,6 +3004,23 @@ object Extras {
       |  CAST(sum(o.oc) AS BIGINT) AS opt_total
       |FROM done d JOIN opt o USING (w)
       |GROUP BY d.n""".stripMargin) { (s, dir) =>
+    pieceCounts(s, dir)
+      .groupBy(col("n").cast("long").as("wlen"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("k1")).cast("long").as("chars_used"),
+        sum(col("k2")).cast("long").as("bigrams_used"),
+        sum(col("k3")).cast("long").as("trigrams_used"),
+        sum(col("k1") * segC1 + col("k2") * segC2 + col("k3") * segC3)
+          .cast("long").as("recon_total"),
+        sum(col("oc")).cast("long").as("opt_total"))
+  }
+
+  /** Per-WORD optimal decomposition (w, n, k1, k2, k3, oc) — the
+    * q197 backtrace before aggregation, shared with q198's
+    * corpus-wide fertility join.
+    */
+  private[graft] def pieceCounts(s: SparkSession,
+      dir: String): DataFrame = {
     val v = viterbiChoices(s, dir)
     var b = v.select(Seq(col("w"), col("n"),
       col("n").cast("int").as("pos"),
@@ -3025,14 +3042,8 @@ object Extras {
           .as("k3"),
         col("oc")) ++ (1 to 12).map(j => col(s"ch$j")): _*)
     }
-    b.groupBy(col("n").cast("long").as("wlen"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("k1")).cast("long").as("chars_used"),
-        sum(col("k2")).cast("long").as("bigrams_used"),
-        sum(col("k3")).cast("long").as("trigrams_used"),
-        sum(col("k1") * segC1 + col("k2") * segC2 + col("k3") * segC3)
-          .cast("long").as("recon_total"),
-        sum(col("oc")).cast("long").as("opt_total"))
+    b.select(col("w"), col("n"), col("k1"), col("k2"), col("k3"),
+      col("oc"))
   }
 
   /** Segmentation piece costs (char / bigram / trigram), shared by
@@ -3120,14 +3131,28 @@ object Extras {
     */
   private[graft] def subwordSegmentation(s: SparkSession,
       dir: String): DataFrame = {
-    val (c1, c2, c3) = (segC1, segC2, segC3)
-    val wv = segWords(s, dir)
-    val big = segInventory(s, dir, 2)
-    val tri = segInventory(s, dir, 3)
     val opt = viterbiChoices(s, dir)
       .select(col("w"), col("n"), col("c0").as("oc"))
-    // ---- greedy longest-match walk, driver-unrolled: state (pos, cost)
-    var g = wv.withColumn("pos", lit(1)).withColumn("cost", lit(0))
+    val greedy = greedyWalk(s, dir).select(col("w").as("gw"), col("gc"))
+    opt.join(broadcast(greedy), col("w") === col("gw"))
+      .groupBy(col("n").cast("long").as("wlen"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("oc")).cast("long").as("opt_total"),
+        sum(col("gc")).cast("long").as("greedy_total"),
+        sum(when(col("oc") < col("gc"), 1L).otherwise(0L)).cast("long")
+          .as("n_improved"))
+  }
+
+  /** Greedy longest-match walk (w, n, gc, np) — per-word greedy cost
+    * AND piece count, driver-unrolled over state (pos, cost, np).
+    * Shared by q192 (cost) and q198 (piece count).
+    */
+  private[graft] def greedyWalk(s: SparkSession,
+      dir: String): DataFrame = {
+    val big = segInventory(s, dir, 2)
+    val tri = segInventory(s, dir, 3)
+    var g = segWords(s, dir).withColumn("pos", lit(1))
+      .withColumn("cost", lit(0)).withColumn("np", lit(0L))
     for (i <- 1 to 12) {
       g = g.join(broadcast(tri.withColumnRenamed("g", "tg")),
           col("pos") + 2 <= col("n") &&
@@ -3141,19 +3166,178 @@ object Extras {
               .when(col("bg").isNotNull, 2).otherwise(1))
             .otherwise(col("pos")).as("pos"),
           when(col("pos") <= col("n"), col("cost") +
-            when(col("tg").isNotNull, c3)
-              .when(col("bg").isNotNull, c2).otherwise(c1))
-            .otherwise(col("cost")).as("cost"))
+            when(col("tg").isNotNull, segC3)
+              .when(col("bg").isNotNull, segC2).otherwise(segC1))
+            .otherwise(col("cost")).as("cost"),
+          when(col("pos") <= col("n"), col("np") + 1L)
+            .otherwise(col("np")).as("np"))
       if (i % 4 == 0) g = graft.Materialized(s, s"q192_gr${i}_$dir")(g)
     }
-    val greedy = g.select(col("w").as("gw"), col("cost").as("gc"))
-    opt.join(broadcast(greedy), col("w") === col("gw"))
-      .groupBy(col("n").cast("long").as("wlen"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("oc")).cast("long").as("opt_total"),
-        sum(col("gc")).cast("long").as("greedy_total"),
-        sum(when(col("oc") < col("gc"), 1L).otherwise(0L)).cast("long")
-          .as("n_improved"))
+    g.select(col("w"), col("n"), col("cost").as("gc"), col("np"))
+  }
+
+  /** CORPUS-WIDE FERTILITY under both tokenizers — q192/q197's
+    * vocab-grain machinery joined back to the TOKEN STREAM, which is
+    * how a tokenizer choice is actually evaluated (q144 measures the
+    * BPE apply's fertility; this compares two decoders over one
+    * inventory corpus-wide). Per language: token count, total pieces
+    * under the cost-OPTIMAL (Viterbi) segmentation, total pieces
+    * under greedy longest-match. The honest headline this output
+    * exposes — and the oracle pins — is that the two objectives pull
+    * APART: cost-optimal uses MORE pieces than greedy (it happily
+    * takes two cheap bigrams where greedy grabbed one long piece), so
+    * minimizing the unigram-LM cost is not minimizing fertility; a
+    * pipeline choosing a decoder needs exactly this table.
+    *
+    * Shape: the per-word decompositions ([[pieceCounts]] /
+    * [[greedyWalk]]) are vocab-grain; the corpus pass is ONE token
+    * explode + two BROADCAST joins on the word (the weight-table
+    * pattern — the vocab frame is generator-bounded at any sf) + a
+    * lang-grain aggregate. No corpus-grain shuffle except that
+    * aggregate.
+    */
+  val q198 = Q("q198_corpus_fertility",
+    """WITH RECURSIVE wv AS (
+      |  SELECT w, len(w) AS n FROM (
+      |    SELECT DISTINCT unnest(string_split(text,' ')) AS w
+      |    FROM documents)
+      |  WHERE len(w) BETWEEN 1 AND 12),
+      |big AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 2) AS g
+      |    FROM wv, unnest(range(1, n)) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 2),
+      |tri AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 3) AS g
+      |    FROM wv, unnest(range(1, greatest(n - 1, 1))) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 2),
+      |rec AS (
+      |  SELECT w, n, 0 AS i, 0 AS c0, NULL::INT AS c1, NULL::INT AS c2
+      |  FROM wv
+      |  UNION ALL
+      |  SELECT r.w, r.n, r.i + 1,
+      |    least(r.c0 + 300,
+      |      CASE WHEN b.g IS NOT NULL THEN r.c1 + 450 END,
+      |      CASE WHEN t3.g IS NOT NULL THEN r.c2 + 800 END),
+      |    r.c0, r.c1
+      |  FROM rec r
+      |  LEFT JOIN big b  ON r.i >= 1 AND b.g  = substr(r.w, r.i, 2)
+      |  LEFT JOIN tri t3 ON r.i >= 2 AND t3.g = substr(r.w, r.i - 1, 3)
+      |  WHERE r.i < r.n),
+      |choice AS (
+      |  SELECT r.w, r.i,
+      |    CASE WHEN r.c0 = r.c1 + 300 THEN 1
+      |         WHEN b.g IS NOT NULL AND r.c0 = r.c2 + 450 THEN 2
+      |         ELSE 3 END AS len
+      |  FROM rec r
+      |  LEFT JOIN big b ON b.g = substr(r.w, r.i - 1, 2)
+      |  WHERE r.i >= 1),
+      |back AS (
+      |  SELECT w, n, n AS pos, 0 AS np FROM wv
+      |  UNION ALL
+      |  SELECT b.w, b.n, b.pos - c.len, b.np + 1
+      |  FROM back b JOIN choice c ON c.w = b.w AND c.i = b.pos
+      |  WHERE b.pos > 0),
+      |optp AS (SELECT w, np AS opt_pieces FROM back WHERE pos = 0),
+      |grec AS (
+      |  SELECT w, n, 1 AS pos, 0 AS np FROM wv
+      |  UNION ALL
+      |  SELECT g.w, g.n,
+      |    g.pos + CASE WHEN t3.g IS NOT NULL THEN 3
+      |                 WHEN b.g IS NOT NULL THEN 2 ELSE 1 END,
+      |    g.np + 1
+      |  FROM grec g
+      |  LEFT JOIN tri t3 ON g.pos + 2 <= g.n
+      |    AND t3.g = substr(g.w, g.pos, 3)
+      |  LEFT JOIN big b  ON g.pos + 1 <= g.n
+      |    AND b.g = substr(g.w, g.pos, 2)
+      |  WHERE g.pos <= g.n),
+      |grp AS (SELECT w, np AS greedy_pieces FROM grec
+      |  WHERE pos = n + 1),
+      |tok AS (
+      |  SELECT d.lang, unnest(string_split(d.text, ' ')) AS w
+      |  FROM documents d)
+      |SELECT t.lang, count(*) AS n_tokens,
+      |  CAST(sum(o.opt_pieces) AS BIGINT) AS opt_pieces,
+      |  CAST(sum(g.greedy_pieces) AS BIGINT) AS greedy_pieces
+      |FROM tok t JOIN optp o USING (w) JOIN grp g USING (w)
+      |GROUP BY t.lang""".stripMargin) { (s, dir) =>
+    val optp = pieceCounts(s, dir)
+      .select(col("w"), (col("k1") + col("k2") + col("k3"))
+        .as("opt_pieces"))
+    val grp = greedyWalk(s, dir)
+      .select(col("w").as("gw"), col("np").as("greedy_pieces"))
+    docsTable(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(optp), "w")
+      .join(broadcast(grp), col("w") === col("gw"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("opt_pieces")).cast("long").as("opt_pieces"),
+        sum(col("greedy_pieces")).cast("long").as("greedy_pieces"))
+  }
+
+  /** SNAPSHOT DIFF AUDIT — the full CDC classification
+    * ([[graft.ops.Cdc.snapshotDiff]]): q09/q19's anti-join covers
+    * inserts; the audit a warehouse reconciliation actually runs
+    * classifies EVERY key across two snapshots as
+    * insert/delete/update/unchanged with per-attribute change flags.
+    * The previous snapshot is SYNTHESIZED from the current one with
+    * three decorrelated, overlapping damage classes: doc_id % 11 rows
+    * are absent from prev (→ inserts), doc_id % 13 rows spawn an
+    * extra prev-only twin at doc_id + 10M (→ deletes), and within the
+    * shared keys doc_id % 7 perturbs n_chars (+1) while doc_id % 5
+    * rewrites lang ('xx') — the OR of the two is an update, and the
+    * per-column counters split them (a row can be both, so
+    * chg_lang + chg_n_chars ≥ n_updates — the overlap is the point:
+    * per-attr flags are not a partition of updates). The engine runs
+    * the REAL full-outer diff; the oracle re-derives every count
+    * arithmetically from doc_id (the q176/q190 double-derivation).
+    *
+    * Shape: map-only synthesis union + ONE full-outer shuffle on the
+    * key + a source-grain aggregate — the irreducible diff cost at
+    * any scale. Null-safety: lang/n_chars comparisons go through
+    * `<=>` (P5), so the classification never silently equates nulls.
+    */
+  val q199 = Q("q199_snapshot_diff",
+    """SELECT source,
+      |  count(*) FILTER (WHERE doc_id % 11 = 0) AS n_inserts,
+      |  count(*) FILTER (WHERE doc_id % 13 = 0) AS n_deletes,
+      |  count(*) FILTER (WHERE doc_id % 11 <> 0
+      |    AND (doc_id % 7 = 0 OR doc_id % 5 = 0)) AS n_updates,
+      |  count(*) FILTER (WHERE doc_id % 11 <> 0
+      |    AND doc_id % 7 <> 0 AND doc_id % 5 <> 0) AS n_unchanged,
+      |  count(*) FILTER (WHERE doc_id % 11 <> 0 AND doc_id % 5 = 0)
+      |    AS chg_lang,
+      |  count(*) FILTER (WHERE doc_id % 11 <> 0 AND doc_id % 7 = 0)
+      |    AS chg_n_chars
+      |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+    val d = docsTable(s, dir)
+    val attrs = Seq("text", "lang", "source", "n_chars")
+    val prev = d.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 5 === 0, lit("xx")).otherwise(col("lang"))
+          .as("lang"),
+        col("source"),
+        (col("n_chars") +
+          when(col("doc_id") % 7 === 0, 1L).otherwise(0L))
+          .as("n_chars"))
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+    val diff = graft.ops.Cdc.snapshotDiff(d, prev, "doc_id", attrs)
+    diff.groupBy(coalesce(col("src_source"), col("tgt_source"))
+        .as("source"))
+      .agg(
+        sum(when(col("change_type") === "insert", 1L).otherwise(0L))
+          .cast("long").as("n_inserts"),
+        sum(when(col("change_type") === "delete", 1L).otherwise(0L))
+          .cast("long").as("n_deletes"),
+        sum(when(col("change_type") === "update", 1L).otherwise(0L))
+          .cast("long").as("n_updates"),
+        sum(when(col("change_type") === "unchanged", 1L).otherwise(0L))
+          .cast("long").as("n_unchanged"),
+        sum(when(col("changed_lang"), 1L).otherwise(0L)).cast("long")
+          .as("chg_lang"),
+        sum(when(col("changed_n_chars"), 1L).otherwise(0L)).cast("long")
+          .as("chg_n_chars"))
   }
 
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
@@ -3161,5 +3345,5 @@ object Extras {
     q182, q186,
     q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147,
     q152, q153, q155, q159, q160, q161, q162, q163, q164, q170, q192,
-    q197)
+    q197, q198, q199)
 }

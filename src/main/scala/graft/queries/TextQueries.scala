@@ -3488,10 +3488,70 @@ object TextQueries {
         sum(col("n_chars")).cast("long").as("sum_chars"))
   }
 
+  /** PER-SOURCE DATA CARD — the publishable corpus report a curation
+    * run ships with its output (the "Datasheets for Datasets" /
+    * data-card practice): one row per source carrying volume (docs,
+    * tokens, chars), language spread, length envelope, and the
+    * duplication exposure measured against the GLOBAL fingerprint
+    * space — a doc counts as duplicated if its q167 head fingerprint
+    * appears anywhere in the corpus. Global, not per-source, because
+    * cross-source pairs are invisible to per-source distinct counts
+    * (at sf0.01 EVERY duplicate pair is cross-source — a per-source
+    * card would read 0% dup and hide exactly the contamination the
+    * card exists to surface; the spec pins global strictly above
+    * per-source). `dup_pm` is integer per-mille (BIGINT floor
+    * division in both engines — no float ratio to disagree on).
+    *
+    * Shape: one scan → fingerprint-grain count (ONE corpus exchange)
+    * → fp-keyed join back → source-grain aggregate. The fp-grain
+    * exchange is the q166-family dedup cost, already irreducible for
+    * any dup metric; everything else is map-side.
+    */
+  val q200 = Q("q200_source_datacard",
+    """WITH f AS (SELECT source, lang, n_chars,
+      |    md5(array_to_string((string_split(text,' '))[1:10],' '))
+      |      AS fp,
+      |    len(string_split(text,' ')) AS ntok FROM documents),
+      |g AS (SELECT fp, count(*) AS cnt FROM f GROUP BY fp)
+      |SELECT f.source, count(*) AS n_docs,
+      |  CAST(sum(f.ntok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(f.n_chars) AS BIGINT) AS sum_chars,
+      |  count(DISTINCT f.lang) AS n_langs,
+      |  count(*) FILTER (WHERE g.cnt > 1) AS n_dup_docs,
+      |  (1000 * count(*) FILTER (WHERE g.cnt > 1)) // count(*)
+      |    AS dup_pm,
+      |  CAST(min(f.n_chars) AS BIGINT) AS len_min,
+      |  CAST(max(f.n_chars) AS BIGINT) AS len_max
+      |FROM f JOIN g USING (fp) GROUP BY f.source""".stripMargin) {
+    (s, dir) =>
+    val f = docs(s, dir).select(col("source"), col("lang"),
+      col("n_chars"),
+      md5(array_join(slice(split(col("text"), " "), 1, 10), " "))
+        .as("fp"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val g = f.groupBy(col("fp").as("gfp"))
+      .agg(count(lit(1)).as("cnt"))
+    f.join(g, col("fp") === col("gfp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).cast("long").as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_dup_docs"),
+        min(col("n_chars")).cast("long").as("len_min"),
+        max(col("n_chars")).cast("long").as("len_max"))
+      .withColumn("dup_pm",
+        expr("(1000 * n_dup_docs) div n_docs"))
+      .select("source", "n_docs", "n_tokens", "sum_chars", "n_langs",
+        "n_dup_docs", "dup_pm", "len_min", "len_max")
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
       q141, q144, q148, q149, q150, q151, q166, q167, q168, q171, q172,
-      q175, q181, q185, q188, q189, q190, q191, q193, q194, q195, q196)
+      q175, q181, q185, q188, q189, q190, q191, q193, q194, q195, q196,
+      q200)
 }

@@ -1407,6 +1407,151 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q198: corpus fertility matches a from-scratch Scala " +
+    "recomputation (per-word decompositions weighted by token " +
+    "occurrences) and exposes the objective split: cost-optimal " +
+    "uses MORE pieces than greedy overall") {
+    val out = graft.queries.Extras.q198.fn(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("opt_pieces"), r.getAs[Long]("greedy_pieces")))
+      .toMap
+    // from-scratch: per-word piece counts (same DP/greedy as the q197
+    // spec) weighted by per-(lang, word) token occurrences
+    val toks = sources.Tables(spark, sf, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("lang", "w").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val words = toks.map(_._2).distinct.toSeq
+      .filter(w => w.length >= 1 && w.length <= 12)
+    def grams(len: Int): Set[String] = words
+      .flatMap(w => w.sliding(len).filter(_.length == len))
+      .groupBy(identity).collect { case (g, o) if o.size >= 2 => g }
+      .toSet
+    val (big, tri) = (grams(2), grams(3))
+    def optPieces(w: String): Long = {
+      val cost = Array.fill(w.length + 1)(Int.MaxValue)
+      val choice = Array.fill(w.length + 1)(0)
+      cost(0) = 0
+      for (i <- 1 to w.length) {
+        cost(i) = cost(i - 1) + 300; choice(i) = 1
+        if (i >= 2 && big(w.substring(i - 2, i)) &&
+          cost(i - 2) + 450 < cost(i)) {
+          cost(i) = cost(i - 2) + 450; choice(i) = 2
+        }
+        if (i >= 3 && tri(w.substring(i - 3, i)) &&
+          cost(i - 3) + 800 < cost(i)) {
+          cost(i) = cost(i - 3) + 800; choice(i) = 3
+        }
+      }
+      var (p, k) = (w.length, 0L)
+      while (p > 0) { k += 1; p -= choice(p) }
+      k
+    }
+    def greedyPieces(w: String): Long = {
+      var (p, k) = (0, 0L)
+      while (p < w.length) {
+        k += 1
+        if (p + 3 <= w.length && tri(w.substring(p, p + 3))) p += 3
+        else if (p + 2 <= w.length && big(w.substring(p, p + 2))) p += 2
+        else p += 1
+      }
+      k
+    }
+    val want = toks.groupBy(_._1).view.mapValues { ts =>
+      (ts.map(_._3).sum,
+        ts.map(t => optPieces(t._2) * t._3).sum,
+        ts.map(t => greedyPieces(t._2) * t._3).sum)
+    }.toMap
+    assert(out == want,
+      s"fertility disagrees with recomputation:\n  engine=$out\n" +
+        s"  scala =$want")
+    val (optT, greT) = (out.values.map(_._2).sum,
+      out.values.map(_._3).sum)
+    assert(optT > greT,
+      "cost-optimal did not use more pieces than greedy — the " +
+        "objective-split observation this query documents is gone")
+  }
+
+  test("snapshotDiff: null-safe classification on a hand-built frame " +
+    "— value->null is a CHANGE, null<=>null is not, row absence is " +
+    "insert/delete (never update), per-attr flags only fire when " +
+    "both sides are present") {
+    import spark.implicits._
+    val curr = Seq(
+      (1L, Some("a"), Some(10L)), // unchanged
+      (2L, None: Option[String], Some(10L)), // a: value->null = update
+      (3L, None: Option[String], Some(10L)), // a null both sides
+      (4L, Some("new"), Some(1L)), // insert (absent from prev)
+      (6L, Some("x"), Some(2L)) // both attrs changed
+    ).toDF("k", "a", "b")
+    val prev = Seq(
+      (1L, Some("a"), Some(10L)),
+      (2L, Some("was"), Some(10L)),
+      (3L, None: Option[String], Some(10L)),
+      (5L, Some("gone"), Some(9L)), // delete (absent from curr)
+      (6L, Some("y"), Some(3L))
+    ).toDF("k", "a", "b")
+    val got = graft.ops.Cdc.snapshotDiff(curr, prev, "k", Seq("a", "b"))
+      .select("k", "change_type", "changed_a", "changed_b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got == Map(
+      1L -> ("unchanged", false, false),
+      2L -> ("update", true, false),
+      3L -> ("unchanged", false, false),
+      4L -> ("insert", false, false),
+      5L -> ("delete", false, false),
+      6L -> ("update", true, true)), got.toString)
+  }
+
+  test("q199: per-source conservation against the synthesized prev " +
+    "(inserts+updates+unchanged = shared-or-new keys; deletes " +
+    "counted apart), per-attr flags overlap updates " +
+    "(chg_lang + chg_n_chars >= n_updates), every class non-vacuous") {
+    val rows = graft.queries.Extras.q199.fn(spark, sf).collect()
+    val d = sources.Tables(spark, sf, "documents")
+    val nDocs = d.count()
+    assert(rows.map(_.getAs[Long]("n_inserts")).sum +
+      rows.map(_.getAs[Long]("n_updates")).sum +
+      rows.map(_.getAs[Long]("n_unchanged")).sum == nDocs)
+    assert(rows.map(_.getAs[Long]("n_deletes")).sum ==
+      d.filter(col("doc_id") % 13 === 0).count())
+    assert(rows.map(_.getAs[Long]("chg_lang")).sum +
+      rows.map(_.getAs[Long]("chg_n_chars")).sum >=
+      rows.map(_.getAs[Long]("n_updates")).sum)
+    Seq("n_inserts", "n_deletes", "n_updates", "n_unchanged",
+      "chg_lang", "chg_n_chars").foreach { c =>
+      assert(rows.map(_.getAs[Long](c)).sum > 0, s"$c vacuous")
+    }
+  }
+
+  test("q200: the global dup measure strictly CONTAINS the per-source " +
+    "one (cross-source pairs are invisible to per-source distincts), " +
+    "is non-vacuous, and volume/ratio columns conserve") {
+    val rows = graft.queries.TextQueries.q200.fn(spark, sf).collect()
+    val d = sources.Tables(spark, sf, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == d.count())
+    val globalDups = rows.map(_.getAs[Long]("n_dup_docs")).sum
+    assert(globalDups > 0,
+      "no dup exposure anywhere — the card's headline metric vacuous")
+    // per-source distincts see only intra-source pairs; the global
+    // measure sees those PLUS the cross-source ones — strictly more
+    // on this corpus (at sf0.01 the per-source count is exactly 0)
+    val fp = md5(array_join(slice(split(col("text"), " "), 1, 10), " "))
+    val psd = d.select(col("source"), fp.as("fp"))
+      .groupBy("source", "fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
+    assert(globalDups > psd,
+      s"global ($globalDups) not strictly above per-source ($psd) — " +
+        "no cross-source pair on this corpus, rationale gone")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("len_min") <= r.getAs[Long]("len_max"))
+      assert(r.getAs[Long]("dup_pm") ==
+        1000 * r.getAs[Long]("n_dup_docs") / r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("q190: the corpus is clean [a-z0-9 ] (the arithmetic oracle's " +
     "precondition) and the regex detector agrees with the damage " +
     "model at ROW grain: doc_id%5==0 counts doc_id%3+2, others 0") {
