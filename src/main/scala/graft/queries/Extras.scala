@@ -2844,6 +2844,45 @@ object Extras {
           .as("compression"))
   }
 
+  /** The shared WITH RECURSIVE prefix of the three segmentation
+    * oracles (q192/q197/q198): vocab, piece inventories, and the
+    * forward Viterbi recursion with the shifted (c0,c1,c2) cost
+    * window. ONE definition — the q135/q187 shared-CTE device — so
+    * the three oracles cannot drift on the DP they all decode.
+    */
+  private val segSqlCtes: String =
+    """WITH RECURSIVE wv AS (
+      |  SELECT w, len(w) AS n FROM (
+      |    SELECT DISTINCT unnest(string_split(text,' ')) AS w
+      |    FROM documents)
+      |  WHERE len(w) BETWEEN 1 AND 12),
+      |big AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 2) AS g
+      |    FROM wv, unnest(range(1, n)) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 2),
+      |tri AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 3) AS g
+      |    FROM wv, unnest(range(1, greatest(n - 1, 1))) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 2),
+      |rec AS (
+      |  SELECT w, n, 0 AS i, 0 AS c0, NULL::INT AS c1, NULL::INT AS c2
+      |  FROM wv
+      |  UNION ALL
+      |  SELECT r.w, r.n, r.i + 1,
+      |    least(r.c0 + 300,
+      |      CASE WHEN b.g IS NOT NULL THEN r.c1 + 450 END,
+      |      CASE WHEN t3.g IS NOT NULL THEN r.c2 + 800 END),
+      |    r.c0, r.c1
+      |  FROM rec r
+      |  LEFT JOIN big b  ON r.i >= 1 AND b.g  = substr(r.w, r.i, 2)
+      |  LEFT JOIN tri t3 ON r.i >= 2 AND t3.g = substr(r.w, r.i - 1, 3)
+      |  WHERE r.i < r.n),""".stripMargin + "\n"
+
+  /** Segmentation piece costs (char / bigram / trigram), shared by
+    * q192 and q197.
+    */
+  private val segC1 = 300
+  private val segC2 = 450
+  private val segC3 = 800
+
   /** OPTIMAL vs GREEDY SUBWORD SEGMENTATION — the SentencePiece-side
     * upgrade of the BPE tier (q163/q164/q170 train and apply merges;
     * this measures what the APPLY step leaves on the table): given a
@@ -2878,30 +2917,7 @@ object Extras {
     * (c0,c1,c2) window — iteration-free SQL, independently derived.
     */
   val q192 = Q("q192_subword_segmentation",
-    """WITH RECURSIVE wv AS (
-      |  SELECT w, len(w) AS n FROM (
-      |    SELECT DISTINCT unnest(string_split(text,' ')) AS w
-      |    FROM documents)
-      |  WHERE len(w) BETWEEN 1 AND 12),
-      |big AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 2) AS g
-      |    FROM wv, unnest(range(1, n)) AS t(i))
-      |  GROUP BY g HAVING count(*) >= 2),
-      |tri AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 3) AS g
-      |    FROM wv, unnest(range(1, greatest(n - 1, 1))) AS t(i))
-      |  GROUP BY g HAVING count(*) >= 2),
-      |rec AS (
-      |  SELECT w, n, 0 AS i, 0 AS c0, NULL::INT AS c1, NULL::INT AS c2
-      |  FROM wv
-      |  UNION ALL
-      |  SELECT r.w, r.n, r.i + 1,
-      |    least(r.c0 + 300,
-      |      CASE WHEN b.g IS NOT NULL THEN r.c1 + 450 END,
-      |      CASE WHEN t3.g IS NOT NULL THEN r.c2 + 800 END),
-      |    r.c0, r.c1
-      |  FROM rec r
-      |  LEFT JOIN big b  ON r.i >= 1 AND b.g  = substr(r.w, r.i, 2)
-      |  LEFT JOIN tri t3 ON r.i >= 2 AND t3.g = substr(r.w, r.i - 1, 3)
-      |  WHERE r.i < r.n),
+    segSqlCtes + """
       |opt AS (SELECT w, n, c0 AS oc FROM rec WHERE i = n),
       |grec AS (
       |  SELECT w, n, 1 AS pos, 0 AS cost FROM wv
@@ -2952,30 +2968,7 @@ object Extras {
     * corpus work is the shared DISTINCT.
     */
   val q197 = Q("q197_piece_usage",
-    """WITH RECURSIVE wv AS (
-      |  SELECT w, len(w) AS n FROM (
-      |    SELECT DISTINCT unnest(string_split(text,' ')) AS w
-      |    FROM documents)
-      |  WHERE len(w) BETWEEN 1 AND 12),
-      |big AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 2) AS g
-      |    FROM wv, unnest(range(1, n)) AS t(i))
-      |  GROUP BY g HAVING count(*) >= 2),
-      |tri AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 3) AS g
-      |    FROM wv, unnest(range(1, greatest(n - 1, 1))) AS t(i))
-      |  GROUP BY g HAVING count(*) >= 2),
-      |rec AS (
-      |  SELECT w, n, 0 AS i, 0 AS c0, NULL::INT AS c1, NULL::INT AS c2
-      |  FROM wv
-      |  UNION ALL
-      |  SELECT r.w, r.n, r.i + 1,
-      |    least(r.c0 + 300,
-      |      CASE WHEN b.g IS NOT NULL THEN r.c1 + 450 END,
-      |      CASE WHEN t3.g IS NOT NULL THEN r.c2 + 800 END),
-      |    r.c0, r.c1
-      |  FROM rec r
-      |  LEFT JOIN big b  ON r.i >= 1 AND b.g  = substr(r.w, r.i, 2)
-      |  LEFT JOIN tri t3 ON r.i >= 2 AND t3.g = substr(r.w, r.i - 1, 3)
-      |  WHERE r.i < r.n),
+    segSqlCtes + """
       |choice AS (
       |  SELECT r.w, r.i,
       |    CASE WHEN r.c0 = r.c1 + 300 THEN 1
@@ -3046,12 +3039,6 @@ object Extras {
       col("oc"))
   }
 
-  /** Segmentation piece costs (char / bigram / trigram), shared by
-    * q192 and q197.
-    */
-  private val segC1 = 300
-  private val segC2 = 450
-  private val segC3 = 800
 
   /** Distinct-word frame (w, n) — the vocab-grain collapse both
     * segmentation queries run over.
@@ -3197,30 +3184,7 @@ object Extras {
     * aggregate.
     */
   val q198 = Q("q198_corpus_fertility",
-    """WITH RECURSIVE wv AS (
-      |  SELECT w, len(w) AS n FROM (
-      |    SELECT DISTINCT unnest(string_split(text,' ')) AS w
-      |    FROM documents)
-      |  WHERE len(w) BETWEEN 1 AND 12),
-      |big AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 2) AS g
-      |    FROM wv, unnest(range(1, n)) AS t(i))
-      |  GROUP BY g HAVING count(*) >= 2),
-      |tri AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 3) AS g
-      |    FROM wv, unnest(range(1, greatest(n - 1, 1))) AS t(i))
-      |  GROUP BY g HAVING count(*) >= 2),
-      |rec AS (
-      |  SELECT w, n, 0 AS i, 0 AS c0, NULL::INT AS c1, NULL::INT AS c2
-      |  FROM wv
-      |  UNION ALL
-      |  SELECT r.w, r.n, r.i + 1,
-      |    least(r.c0 + 300,
-      |      CASE WHEN b.g IS NOT NULL THEN r.c1 + 450 END,
-      |      CASE WHEN t3.g IS NOT NULL THEN r.c2 + 800 END),
-      |    r.c0, r.c1
-      |  FROM rec r
-      |  LEFT JOIN big b  ON r.i >= 1 AND b.g  = substr(r.w, r.i, 2)
-      |  LEFT JOIN tri t3 ON r.i >= 2 AND t3.g = substr(r.w, r.i - 1, 3)
-      |  WHERE r.i < r.n),
+    segSqlCtes + """
       |choice AS (
       |  SELECT r.w, r.i,
       |    CASE WHEN r.c0 = r.c1 + 300 THEN 1

@@ -3072,7 +3072,8 @@ object TextQueries {
       .add("doc_id", LongType).add("text", StringType)
       .add("lang", StringType).add("source", StringType)
     val d = docs(s, dir)
-    val path = graft.SessionScratch.dir(s, "jsonl")
+    val path = graft.SessionScratch.dir(s,
+      s"jsonl_${graft.SessionScratch.keyOf(dir)}")
     graft.SessionScratch.once(s, s"jsonl_${graft.SessionScratch.keyOf(dir)}") {
       val good = d.filter(col("doc_id") % 97 =!= 0)
         .select(to_json(struct(col("doc_id"),
@@ -3175,7 +3176,8 @@ object TextQueries {
       |FROM documents
       |WHERE lang IN ('en', 'fr') AND n_chars >= 300
       |GROUP BY lang""".stripMargin) { (s, dir) =>
-    val path = graft.SessionScratch.dir(s, "orcwh")
+    val path = graft.SessionScratch.dir(s,
+      s"orcwh_${graft.SessionScratch.keyOf(dir)}")
     graft.SessionScratch.once(s, s"orc_${graft.SessionScratch.keyOf(dir)}") {
       graft.sources.Orc.write(docs(s, dir), path)
     }
@@ -3252,7 +3254,8 @@ object TextQueries {
       .add("doc_id", LongType).add("text", StringType)
       .add("lang", StringType).add("source", StringType)
     val d = docs(s, dir)
-    val path = graft.SessionScratch.dir(s, "jsonl2")
+    val path = graft.SessionScratch.dir(s,
+      s"jsonl2_${graft.SessionScratch.keyOf(dir)}")
     graft.SessionScratch.once(s,
       s"jsonl2_${graft.SessionScratch.keyOf(dir)}") {
       val damaged = when(expr("doc_id div 20") % 5 === 0,
@@ -3346,8 +3349,10 @@ object TextQueries {
       .add("lang", StringType).add("source", StringType)
       .add("n_chars", LongType)
     val d = docs(s, dir)
-    val goodDir = graft.SessionScratch.dir(s, "csvq_good")
-    val badDir = graft.SessionScratch.dir(s, "csvq_bad")
+    val goodDir = graft.SessionScratch.dir(s,
+      s"csvq_good_${graft.SessionScratch.keyOf(dir)}")
+    val badDir = graft.SessionScratch.dir(s,
+      s"csvq_bad_${graft.SessionScratch.keyOf(dir)}")
     graft.SessionScratch.once(s,
       s"csvq_${graft.SessionScratch.keyOf(dir)}") {
       d.filter(col("doc_id") % 97 =!= 0)
@@ -3417,8 +3422,10 @@ object TextQueries {
       .add("lang", StringType).add("source", StringType)
       .add("n_chars", LongType)
     val d = docs(s, dir)
-    val jdir = graft.SessionScratch.dir(s, "fed_jsonl")
-    val odir = graft.SessionScratch.dir(s, "fed_orc")
+    val jdir = graft.SessionScratch.dir(s,
+      s"fed_jsonl_${graft.SessionScratch.keyOf(dir)}")
+    val odir = graft.SessionScratch.dir(s,
+      s"fed_orc_${graft.SessionScratch.keyOf(dir)}")
     graft.SessionScratch.once(s,
       s"fed_${graft.SessionScratch.keyOf(dir)}") {
       graft.sources.Jsonl.write(
@@ -3470,7 +3477,8 @@ object TextQueries {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
     val d = docs(s, dir)
-    val path = graft.SessionScratch.dir(s, "evo")
+    val path = graft.SessionScratch.dir(s,
+      s"evo_${graft.SessionScratch.keyOf(dir)}")
     graft.SessionScratch.once(s,
       s"evo_${graft.SessionScratch.keyOf(dir)}") {
       d.filter(col("doc_id") % 2 === 0)

@@ -470,6 +470,37 @@ object StreamingEtl {
         col(lineCol).as("raw") +: fields): _*)
   }
 
+  /** Streaming SNAPSHOT-DIFF AUDIT — the arrival-side face of the
+    * batch [[graft.ops.Cdc.snapshotDiff]] (q199): each arriving row
+    * classifies against a STATIC target snapshot as
+    * insert/update/unchanged via a stateless stream-static left join
+    * (no watermark, no state store — restart-trivial). The one
+    * honest semantic gap, stated not papered over: DELETES are
+    * undetectable from an upsert stream — absence of a key that
+    * never arrives is not an event; detecting deletions needs the
+    * batch operator over a complete snapshot (or an explicit
+    * tombstone feed). Attribute comparison is the same null-safe
+    * `<=>` chain as the batch operator, so the two cannot drift on
+    * null transitions. StreamingSpec pins: stream verdicts ≡ the
+    * batch diff restricted to arrived keys, across micro-batch
+    * boundaries.
+    */
+  def snapshotDiffStream(src: DataFrame, target: DataFrame,
+      key: String, attrs: Seq[String]): DataFrame = {
+    val t = attrs.foldLeft(
+      target.select((key +: attrs).map(col): _*)) { (d, a) =>
+      d.withColumnRenamed(a, s"tgt_$a")
+    }.withColumn("tgt_present", lit(true))
+    val anyChanged = attrs
+      .map(a => !(col(a) <=> col(s"tgt_$a"))).reduce(_ || _)
+    src.join(t, Seq(key), "left")
+      .withColumn("change_type",
+        when(!coalesce(col("tgt_present"), lit(false)), "insert")
+          .when(anyChanged, "update")
+          .otherwise("unchanged"))
+      .select((col(key) +: attrs.map(col)) :+ col("change_type"): _*)
+  }
+
   /** Ingest-time MEDIA CURATION GATE — the streaming twin of the
     * batch [[graft.multimodal.Multimodal.mediaGate]] (q176): sniff
     * and header-decode each arriving payload

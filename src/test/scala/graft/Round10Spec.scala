@@ -1146,7 +1146,8 @@ class Round10Spec extends SparkSpec {
       .add("doc_id", LongType).add("text", StringType)
       .add("lang", StringType).add("source", StringType)
     val parsed = graft.sources.Jsonl
-      .read(spark, SessionScratch.dir(spark, "jsonl"), schema)
+      .read(spark, SessionScratch.dir(spark,
+        s"jsonl_${SessionScratch.keyOf(sf)}"), schema)
       .filter(col(graft.sources.Jsonl.corruptCol).isNull)
       .select("doc_id", "text")
     assert(parsed.join(expected, Seq("doc_id", "text"), "left_anti")
@@ -1283,8 +1284,10 @@ class Round10Spec extends SparkSpec {
       .add("lang", StringType).add("source", StringType)
       .add("n_chars", LongType)
     val r = graft.sources.Csv.readQuarantine(spark,
-      Seq(SessionScratch.dir(spark, "csvq_good"),
-        SessionScratch.dir(spark, "csvq_bad")), schema)
+      Seq(SessionScratch.dir(spark,
+          s"csvq_good_${SessionScratch.keyOf(sf)}"),
+        SessionScratch.dir(spark,
+          s"csvq_bad_${SessionScratch.keyOf(sf)}")), schema)
     val cc = graft.sources.Jsonl.corruptCol
     // row-grain round trip over parsed rows — n_chars must be LOAD-
     // BEARING (a filter, not a projection: an unused projected column
@@ -1319,7 +1322,8 @@ class Round10Spec extends SparkSpec {
     "at ROW grain") {
     graft.queries.TextQueries.q196.fn(spark, sf).collect() // build dirs
     val r = spark.read.option("mergeSchema", "true")
-      .parquet(SessionScratch.dir(spark, "evo"))
+      .parquet(SessionScratch.dir(spark,
+        s"evo_${SessionScratch.keyOf(sf)}"))
     assert(r.columns.contains("quality") && r.columns.contains("gen"),
       s"merged schema missing evolved/partition column: " +
         r.columns.mkString(","))
@@ -1550,6 +1554,30 @@ class Round10Spec extends SparkSpec {
       assert(r.getAs[Long]("dup_pm") ==
         1000 * r.getAs[Long]("n_dup_docs") / r.getAs[Long]("n_docs"))
     }
+  }
+
+  test("q197: piece-usage output is invariant under shuffle-partition " +
+    "count (the DP/backtrace chain carries no partition-order " +
+    "dependence; inventory thresholds are global counts) — cloned " +
+    "session + cache nonces so the full vocab lineage rebuilds per " +
+    "setting") {
+    val base = rows(graft.queries.Extras.q197.fn(spark, sf))
+    val clone = spark.newSession()
+    def atPartitions(n: Int): Set[Seq[Any]] = {
+      clone.conf.set("spark.sql.shuffle.partitions", n.toString)
+      Materialized.setNonceForTests(clone, s"q197inv$n")
+      SessionScratch.setNonceForTests(clone, s"q197inv$n")
+      try rows(graft.queries.Extras.q197.fn(clone, sf))
+      finally {
+        Materialized.clear(clone)
+        Materialized.clearNonceForTests(clone)
+        SessionScratch.clearNonceForTests(clone)
+      }
+    }
+    assert(atPartitions(7) == base,
+      "result changed with 7 shuffle partitions")
+    assert(atPartitions(13) == base,
+      "result changed with 13 shuffle partitions")
   }
 
   test("q190: the corpus is clean [a-z0-9 ] (the arithmetic oracle's " +

@@ -783,4 +783,52 @@ class StreamingSpec extends SparkSpec {
       == d.filter(col("doc_id") % 97 === 0).count(),
       "quarantine count differs from the planted truncated lines")
   }
+
+  test("snapshotDiffStream ≡ the batch Cdc.snapshotDiff restricted to " +
+    "arrived keys, across micro-batch boundaries (deletes are the " +
+    "stated out-of-scope class — a stream cannot observe absence)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val d = graft.sources.Tables(spark, sf, "documents")
+    val attrs = Seq("text", "lang", "source", "n_chars")
+    // q199's synthesized previous snapshot, verbatim
+    val prev = d.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 5 === 0, lit("xx")).otherwise(col("lang"))
+          .as("lang"),
+        col("source"),
+        (col("n_chars") +
+          when(col("doc_id") % 7 === 0, 1L).otherwise(0L))
+          .as("n_chars"))
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+    val arrivals = d.orderBy("doc_id").collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars")))
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val gated = StreamingEtl.snapshotDiffStream(
+      input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      prev, "doc_id", attrs)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("diff_stream").start()
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+    input.addData(b1.toIndexedSeq); q.processAllAvailable()
+    input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("diff_stream")
+      .select("doc_id", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = graft.ops.Cdc.snapshotDiff(d, prev, "doc_id", attrs)
+      .filter(col("change_type") =!= "delete")
+      .select("doc_id", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == batch,
+      "stream verdicts diverge from the batch diff on arrived keys")
+    assert(got.values.toSet == Set("insert", "update", "unchanged"),
+      s"class coverage vacuous: ${got.values.toSet}")
+  }
 }
