@@ -879,7 +879,67 @@ object Events {
           .as("adv_micro"))
   }
 
+  /** POINT-IN-TIME-CORRECT FEATURE JOIN — the feature-store leakage
+    * guard for training-set assembly: every event must see the
+    * feature version that was VALID AT ITS TIMESTAMP, never the
+    * current one (joining training rows to `current_flag = 1` is the
+    * classic leakage bug — it feeds the model information from the
+    * row's future). The dimension is an SCD2-shaped, synthesized
+    * 3-version history per user (validity thirds of the event range;
+    * tier = (user_id + version) % 5, so the correct answer is pure
+    * arithmetic); the engine runs BOTH joins — the PIT validity-range
+    * lookup AND the buggy current-flag lookup — and reports, per
+    * (event_type, tier), the event count, value sum, and `n_leak`:
+    * how many rows the buggy join would have mis-featured. The
+    * oracle NEVER joins: it derives the correct tier and the leak
+    * count arithmetically from (user_id, ts) — a PASS proves the
+    * interval lookup picked the right version for EVERY event.
+    *
+    * Shape: the dim is users × 3 versions (map-only synthesis off a
+    * distinct-user collapse) and BROADCASTS — the realistic PIT plan
+    * at any scale (facts never shuffle for a dim lookup); the range
+    * predicate rides inside the broadcast-hash join on user_id. One
+    * fact scan, one (event_type, tier)-grain aggregate.
+    */
+  val q201 = Q("q201_pit_features",
+    """SELECT event_type,
+      |  CAST((user_id + CASE WHEN ts < TIMESTAMP '2024-01-11'
+      |      THEN 0 WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+      |      ELSE 2 END) % 5 AS BIGINT) AS tier,
+      |  count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_val,
+      |  count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-21')
+      |    AS n_leak
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select("event_id", "event_type", "user_id", "ts", "value")
+    val users = e.select(col("user_id")).distinct()
+    val dim = Seq((0, "2024-01-01", "2024-01-11"),
+      (1, "2024-01-11", "2024-01-21"),
+      (2, "2024-01-21", "2100-01-01"))
+      .map { case (v, f, t) =>
+        users.select(col("user_id").as("d_user"),
+          to_timestamp(lit(f)).as("eff_ts"),
+          to_timestamp(lit(t)).as("exp_ts"),
+          ((col("user_id") + v) % 5).cast("long").as("tier"),
+          lit(if (v == 2) 1 else 0).as("current_flag"))
+      }.reduce(_ unionByName _)
+    val pit = e.join(broadcast(dim),
+      col("user_id") === col("d_user") &&
+        col("ts") >= col("eff_ts") && col("ts") < col("exp_ts"))
+      .select(col("event_type"), col("user_id"), col("value"),
+        col("tier"))
+    val cur = dim.filter(col("current_flag") === 1)
+      .select(col("d_user").as("c_user"), col("tier").as("cur_tier"))
+    pit.join(broadcast(cur), col("user_id") === col("c_user"))
+      .groupBy("event_type", "tier")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_val"),
+        sum(when(col("tier") =!= col("cur_tier"), 1L).otherwise(0L))
+          .cast("long").as("n_leak"))
+  }
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45, q58, q59,
-      q68, q71, q78, q84, q92, q119, q122, q123, q145, q183, q184)
+      q68, q71, q78, q84, q92, q119, q122, q123, q145, q183, q184, q201)
 }

@@ -501,6 +501,26 @@ object StreamingEtl {
       .select((col(key) +: attrs.map(col)) :+ col("change_type"): _*)
   }
 
+  /** Streaming POINT-IN-TIME FEATURE LOOKUP — the serving-side twin
+    * of the batch q201 join: each arriving event picks the feature
+    * version whose validity window covers ITS event time, via a
+    * stateless stream-static inner join against the dimension
+    * (broadcast — a dim lookup never shuffles the stream). This is
+    * the online-feature-store contract: the same validity semantics
+    * as offline training assembly, so train and serve cannot skew
+    * (the classic online/offline skew is exactly a current-flag
+    * serve against a PIT-trained model). No watermark, no state —
+    * a late event still picks its HISTORICALLY correct version, which
+    * is the point. StreamingSpec pins stream ≡ the batch validity
+    * join row-for-row across micro-batch boundaries.
+    */
+  def pitFeatureStream(events: DataFrame, dim: DataFrame,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+    events.join(broadcast(dim),
+      events(userCol) === dim("d_user") &&
+        events(tsCol) >= dim("eff_ts") && events(tsCol) < dim("exp_ts"))
+      .drop("d_user", "eff_ts", "exp_ts", "current_flag")
+
   /** Ingest-time MEDIA CURATION GATE — the streaming twin of the
     * batch [[graft.multimodal.Multimodal.mediaGate]] (q176): sniff
     * and header-decode each arriving payload

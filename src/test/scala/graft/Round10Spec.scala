@@ -1580,6 +1580,27 @@ class Round10Spec extends SparkSpec {
       "result changed with 13 shuffle partitions")
   }
 
+  test("q201: the validity windows cover every event exactly once " +
+    "(join multiplicity == fact count), the buggy current-flag join " +
+    "would mis-feature some rows but not all (leak non-vacuity both " +
+    "ways), and the fact side reaches the dim via broadcast joins") {
+    val out = graft.queries.Events.q201.fn(spark, sf)
+    val rows = out.collect()
+    val e = sources.Tables(spark, sf, "events")
+    assert(rows.map(_.getAs[Long]("n_events")).sum == e.count(),
+      "join multiplicity broke — windows overlap or leave gaps")
+    val leaks = rows.map(_.getAs[Long]("n_leak")).sum
+    assert(leaks > 0, "no leak exposure — the PIT/current contrast " +
+      "is vacuous on this corpus")
+    assert(leaks < rows.map(_.getAs[Long]("n_events")).sum,
+      "every row leaks — the current window never matches")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim lookup is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact shuffled for a dim lookup:\n$plan")
+  }
+
   test("q190: the corpus is clean [a-z0-9 ] (the arithmetic oracle's " +
     "precondition) and the regex detector agrees with the damage " +
     "model at ROW grain: doc_id%5==0 counts doc_id%3+2, others 0") {

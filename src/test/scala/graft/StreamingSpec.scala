@@ -831,4 +831,57 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.toSet == Set("insert", "update", "unchanged"),
       s"class coverage vacuous: ${got.values.toSet}")
   }
+
+  test("pitFeatureStream ≡ the q201 batch validity join row-for-row " +
+    "across micro-batch boundaries: every arriving event picks its " +
+    "historically correct version, and at least one event's PIT tier " +
+    "differs from the current version (skew non-vacuous)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables(spark, sf, "events")
+      .select("event_id", "user_id", "ts")
+    val users = e.select(col("user_id")).distinct()
+    val dim = Seq((0, "2024-01-01", "2024-01-11"),
+      (1, "2024-01-11", "2024-01-21"),
+      (2, "2024-01-21", "2100-01-01"))
+      .map { case (v, f, t) =>
+        users.select(col("user_id").as("d_user"),
+          to_timestamp(lit(f)).as("eff_ts"),
+          to_timestamp(lit(t)).as("exp_ts"),
+          ((col("user_id") + v) % 5).cast("long").as("tier"),
+          lit(if (v == 2) 1 else 0).as("current_flag"))
+      }.reduce(_ unionByName _)
+    val arrivals = e.orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts")))
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val gated = StreamingEtl.pitFeatureStream(
+      input.toDF().toDF("event_id", "user_id", "ts"), dim)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("pit_stream").start()
+    val (b1, b2) = arrivals.splitAt(arrivals.length / 2)
+    input.addData(b1.toIndexedSeq); q.processAllAvailable()
+    input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pit_stream").select("event_id", "tier")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = e.join(dim,
+        col("user_id") === col("d_user") &&
+          col("ts") >= col("eff_ts") && col("ts") < col("exp_ts"))
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch,
+      "stream PIT lookup diverges from the batch validity join")
+    assert(got.size == arrivals.length,
+      "coverage broke — some event matched zero or two versions")
+    val curTier = dim.filter(col("current_flag") === 1)
+      .select(col("d_user"), col("tier").as("ct")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val eByUser = e.select("event_id", "user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.exists { case (id, t) => curTier(eByUser(id)) != t },
+      "every PIT tier equals the current tier — skew contrast vacuous")
+  }
 }
