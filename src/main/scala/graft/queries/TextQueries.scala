@@ -3555,11 +3555,68 @@ object TextQueries {
         "n_dup_docs", "dup_pm", "len_min", "len_max")
   }
 
+  /** LENGTH-BUCKETED BATCH PACKING — the padding-waste minimizer of
+    * length-grouped training loops (HF `group_by_length` /
+    * fairseq-style bucketing): docs assign to power-of-two length
+    * buckets, each bucket packs fixed-32-slot batches padded to the
+    * BUCKET length, and the output prices the scheme per bucket —
+    * batch count, token cost (batches × 32 × bucket), useful tokens,
+    * and integer per-mille waste. All arithmetic is BIGINT (ceil
+    * division as (n+31) div 32, per-mille as 1000·waste div cost), so
+    * both engines agree exactly. The round-10 spec computes the
+    * UNBUCKETED baseline (doc_id-order batches padded to each batch's
+    * max) from scratch and asserts bucketing strictly cuts total
+    * padding — the property the scheme exists for — rather than
+    * baking a second grain into the gated output.
+    *
+    * Shape: one token-count projection (map-only) + ONE bucket-grain
+    * aggregate (the CASE chain is codegen'd; buckets are a constant
+    * set) — embarrassingly parallel; no per-doc window, no sort:
+    * slot assignment needs only COUNTS per bucket, never an ordering,
+    * which is what makes this form scale where a row_number-based
+    * packer would pay a bucket-partitioned window.
+    */
+  val q202 = Q("q202_length_bucketing",
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS ntok
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, ntok,
+      |    CASE WHEN ntok <= 16 THEN 16 WHEN ntok <= 32 THEN 32
+      |         WHEN ntok <= 64 THEN 64 WHEN ntok <= 128 THEN 128
+      |         WHEN ntok <= 256 THEN 256 ELSE 512 END AS bucket
+      |  FROM t)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+      |  (count(*) + 31) // 32 AS n_batches,
+      |  ((count(*) + 31) // 32) * 32 * bucket AS cost_tokens,
+      |  CAST(sum(ntok) AS BIGINT) AS useful_tokens,
+      |  (1000 * (((count(*) + 31) // 32) * 32 * bucket
+      |    - CAST(sum(ntok) AS BIGINT)))
+      |    // (((count(*) + 31) // 32) * 32 * bucket) AS waste_pm
+      |FROM b GROUP BY bucket""".stripMargin) { (s, dir) =>
+    val t = docs(s, dir).select(
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val bucket = when(col("ntok") <= 16, 16L)
+      .when(col("ntok") <= 32, 32L).when(col("ntok") <= 64, 64L)
+      .when(col("ntok") <= 128, 128L).when(col("ntok") <= 256, 256L)
+      .otherwise(512L)
+    t.select(col("ntok"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).cast("long").as("useful_tokens"))
+      .withColumn("n_batches", expr("(n_docs + 31) div 32"))
+      .withColumn("cost_tokens", col("n_batches") * 32 * col("bucket"))
+      .withColumn("waste_pm", expr(
+        "(1000 * (cost_tokens - useful_tokens)) div cost_tokens"))
+      .select("bucket", "n_docs", "n_batches", "cost_tokens",
+        "useful_tokens", "waste_pm")
+  }
+
   val all: Seq[Q] =
     Seq(q28, q29, q30, q31, q32, q33, q34, q35, q36, q47, q49, q50, q51,
       q52, q53, q54, q57, q62, q63, q64, q66, q67, q69, q72, q73, q79,
       q81, q86, q87, q88, q89, q91, q120, q121, q127, q131, q137, q139,
       q141, q144, q148, q149, q150, q151, q166, q167, q168, q171, q172,
       q175, q181, q185, q188, q189, q190, q191, q193, q194, q195, q196,
-      q200)
+      q200, q202)
 }

@@ -1601,6 +1601,33 @@ class Round10Spec extends SparkSpec {
       s"fact shuffled for a dim lookup:\n$plan")
   }
 
+  test("q202: bucketed packing strictly cuts total padding versus the " +
+    "unbucketed doc_id-order baseline (computed from scratch), " +
+    "volume conserves, and cost always covers useful tokens") {
+    val rows = graft.queries.TextQueries.q202.fn(spark, sf).collect()
+    val d = sources.Tables(spark, sf, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == d.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cost_tokens") >=
+        r.getAs[Long]("useful_tokens"), r.toString)
+      assert(r.getAs[Long]("waste_pm") >= 0 &&
+        r.getAs[Long]("waste_pm") < 1000)
+    }
+    val bucketedWaste = rows.map(r =>
+      r.getAs[Long]("cost_tokens") - r.getAs[Long]("useful_tokens")).sum
+    // unbucketed baseline: doc_id order, 32-slot batches, each padded
+    // to its own max length
+    val ntoks = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val unbucketedWaste = ntoks.grouped(32).map { b =>
+      32 * b.max - b.sum
+    }.sum
+    assert(bucketedWaste < unbucketedWaste,
+      s"bucketing did not cut padding: bucketed=$bucketedWaste " +
+        s"unbucketed=$unbucketedWaste")
+  }
+
   test("q190: the corpus is clean [a-z0-9 ] (the arithmetic oracle's " +
     "precondition) and the regex detector agrees with the damage " +
     "model at ROW grain: doc_id%5==0 counts doc_id%3+2, others 0") {
