@@ -126,6 +126,8 @@ object Multimodal {
     else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' &&
       p(2) == 'F' && p(3) == 'F' && p(8) == 'W' && p(9) == 'A' &&
       p(10) == 'V' && p(11) == 'E') "wav"
+    else if (p.length >= 12 && p(4) == 'f' && p(5) == 't' &&
+      p(6) == 'y' && p(7) == 'p') "mp4"
     else "unknown"
 
   private def be4(p: Array[Byte], i: Int): Long =
@@ -329,6 +331,168 @@ object Multimodal {
         }
       }
       .toDF("media_id", "format", "width", "height", "n_bytes")
+  }
+
+  private def be8(p: Array[Byte], i: Int): Long =
+    (be4(p, i) << 32) | be4(p, i + 4)
+
+  private def boxTypeIs(p: Array[Byte], i: Int, t: String): Boolean =
+    p(i) == t.charAt(0) && p(i + 1) == t.charAt(1) &&
+      p(i + 2) == t.charAt(2) && p(i + 3) == t.charAt(3)
+
+  /** MP4/ISO-BMFF movie metadata via a REAL nested-box walk (ISO/IEC
+    * 14496-12 §4.2/§8.2.2 — the video face of the header-decode
+    * triad, and a third genuinely different parse after [[jpegDims]]'
+    * flat marker scan and [[wavMeta]]'s padded LE chunk walk): boxes
+    * are `size(BE4) type(4) payload`, NESTED, with two size escapes a
+    * fixed-offset reader cannot survive — `size == 1` means a 64-bit
+    * `largesize` follows the type (header grows to 16 bytes), and
+    * `size == 0` means the box runs to end-of-buffer (legal only as
+    * the last box). The walk descends exactly one level, into `moov`,
+    * where `mvhd` carries the movie header in TWO layouts selected by
+    * its version byte: v0 packs creation/modification/duration as
+    * 32-bit, v1 as 64-bit (timescale stays 32-bit in both — the
+    * asymmetry is the spec's, and a parser that assumes one stride
+    * for all fields misreads v1). `trak` children are counted, not
+    * descended — structural counting, so byte runs that merely SPELL
+    * "trak" inside another box's payload (the corpus plants them in
+    * `free`) never count. Returns (timescale, duration, n_traks,
+    * mvhd_version); None on truncation, a box overrunning its
+    * parent, an unknown mvhd version, or no mvhd.
+    */
+  def mp4Meta(p: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (sniffFormat(p) != "mp4") return None
+    var mvhd: Option[(Long, Long, Long)] = None // ts, dur, version
+    var traks = 0L
+    var i = 0
+    while (i + 8 <= p.length) {
+      val sz0 = be4(p, i)
+      val (hdr, sz): (Int, Long) =
+        if (sz0 == 1L) {
+          if (i + 16 > p.length) return None
+          (16, be8(p, i + 8))
+        } else if (sz0 == 0L) (8, (p.length - i).toLong) // box-to-EOF
+        else (8, sz0)
+      if (sz < hdr || i + sz > p.length) return None
+      if (boxTypeIs(p, i + 4, "moov")) {
+        val end = i + sz.toInt
+        var j = i + hdr
+        while (j + 8 <= end) {
+          val csz0 = be4(p, j)
+          val (chdr, csz): (Int, Long) =
+            if (csz0 == 1L) {
+              if (j + 16 > end) return None
+              (16, be8(p, j + 8))
+            } else if (csz0 == 0L) (8, (end - j).toLong)
+            else (8, csz0)
+          if (csz < chdr || j + csz > end) return None
+          if (boxTypeIs(p, j + 4, "mvhd")) {
+            val c = j + chdr
+            (p(c) & 0xff) match {
+              case 0 =>
+                if (c + 20 > end) return None
+                mvhd = Some((be4(p, c + 12), be4(p, c + 16), 0L))
+              case 1 =>
+                if (c + 32 > end) return None
+                mvhd = Some((be4(p, c + 20), be8(p, c + 24), 1L))
+              case _ => return None // unknown mvhd layout — corrupt
+            }
+          } else if (boxTypeIs(p, j + 4, "trak")) traks += 1
+          j += csz.toInt
+        }
+      }
+      i += sz.toInt
+    }
+    mvhd.map { case (ts, dur, v) => (ts, dur, traks, v) }
+  }
+
+  /** Deterministic VIDEO media table — [[asImageTable]]'s device for
+    * the MP4 tier. `id%3 != 2` gets a spec-conformant ISO-BMFF file:
+    * `ftyp` (isom, 24 bytes), then for `id%4==0` a junk `free` box of
+    * VARYING payload size `id%5+1` whose bytes BEGIN WITH the ASCII
+    * run "trak" (a substring scanner miscounts; a box walker does
+    * not) and which uses the 64-bit LARGESIZE header form when
+    * `id%8==0` (size field = 1, real size after the type — a walker
+    * ignoring the escape lands mid-box), then `moov` holding an
+    * `mvhd` of version `id%2` (v0 = 32-bit fields, 108-byte box; v1 =
+    * 64-bit creation/modification/duration, 120-byte box) with
+    * timescale `600 + (id%10)·100` and duration `id%1000+1`, plus
+    * `id%3+1` empty `trak` boxes each carrying `id%3` junk payload
+    * bytes. All box sizes are computed, so the container is
+    * internally consistent; `id%3==2` is the raw-text garbage case.
+    * Codegen'd hex built-ins, no UDF.
+    */
+  def asVideoTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def be4h(x: Column): Column = lpad(hex(x), 8, "0")
+    def be8h(x: Column): Column = lpad(hex(x), 16, "0")
+    val m = id % 3
+    val ver = id % 2
+    val ts = lit(600) + (id % 10) * 100
+    val dur = id % 1000 + 1
+    val ntrak = id % 3 + 1
+    val tp = id % 3 // per-trak junk payload bytes, 0..2
+    val fp = id % 5 + 1 // free-box payload bytes, 1..5
+    val hasFree = id % 4 === 0
+    val isLarge = id % 8 === 0
+    val ftypHex = "00000018" + "66747970" + "69736F6D" + "00000200" +
+      "69736F6D" + "6D703431"
+    val freePayload = lit("7472616BAB").substr(lit(1), (fp * 2).cast("int"))
+    val freeHex = when(!hasFree, lit(""))
+      .when(isLarge,
+        concat(lit("00000001" + "66726565"), be8h(fp + 16), freePayload))
+      .otherwise(concat(be4h(fp + 8), lit("66726565"), freePayload))
+    // mvhd tail shared by both versions: rate, volume, reserved(10),
+    // unity matrix(36), pre_defined(24) — then next_track_ID appended
+    val mvhdTail = "00010000" + "0100" + "0000" + "00" * 8 +
+      "00010000" + "00000000" + "00000000" + "00000000" + "00010000" +
+      "00000000" + "00000000" + "00000000" + "40000000" + "00" * 24
+    val mvhdHex = when(ver === 0,
+      concat(lit("0000006C" + "6D766864" + "00000000" +
+        "000003E8" + "000007D0"),
+        be4h(ts), be4h(dur), lit(mvhdTail), be4h(ntrak + 1)))
+      .otherwise(
+        concat(lit("00000078" + "6D766864" + "01000000" +
+          "00000000000003E8" + "00000000000007D0"),
+          be4h(ts), be8h(dur), lit(mvhdTail), be4h(ntrak + 1)))
+    val trakOne = concat(be4h(tp + 8), lit("7472616B"),
+      lit("CDCD").substr(lit(1), (tp * 2).cast("int")))
+    val trakAll = concat(trakOne,
+      when(ntrak >= 2, trakOne).otherwise(lit("")),
+      when(ntrak >= 3, trakOne).otherwise(lit("")))
+    val mvhdSz = when(ver === 0, lit(108)).otherwise(lit(120))
+    val moovSz = lit(8) + mvhdSz + ntrak * (tp + 8)
+    val mp4Hex = concat(lit(ftypHex), freeHex,
+      be4h(moovSz), lit("6D6F6F76"), mvhdHex, trakAll)
+    docs.select(
+      id.as("media_id"),
+      when(m === 2, lit("text/plain")).otherwise(lit("video/mp4"))
+        .as("modality"),
+      when(m === 2, encode(col("text"), "UTF-8"))
+        .otherwise(unhex(mp4Hex)).as("payload"),
+      col("source"))
+      .select(col("media_id"), col("modality"), col("payload"),
+        struct(col("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Decode video metadata over a media table — the third
+    * partition-batched decode driver, running [[mp4Meta]]'s box walk.
+    * Unknown/corrupt payloads report ('unknown', 0...) — garbage is
+    * data at crawl scale.
+    */
+  def decodeVideoMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (mid, p) =>
+        mp4Meta(p) match {
+          case Some((ts, dur, nt, v)) => (mid, "mp4", ts, dur, nt, v)
+          case None => (mid, "unknown", 0L, 0L, 0L, 0L)
+        }
+      })
+      .toDF("media_id", "format", "timescale", "duration", "n_traks",
+        "mvhd_version")
   }
 
   /** Deterministic byte-sum features — the decode FALLBACK for

@@ -584,6 +584,94 @@ object MultimodalQueries {
         coalesce(col("n"), lit(0L)).cast("long").as("n_matches"))
   }
 
+  /** REAL MP4/ISO-BMFF HEADER DECODE — the video member completing
+    * the header-decode triad (PNG/JPEG q169, WAV q173), and a third
+    * genuinely different parse: NESTED big-endian boxes with the two
+    * size escapes (`size==1` → 64-bit largesize header, `size==0` →
+    * box-to-EOF) and an mvhd whose field widths change with its
+    * version byte. The synthesized corpus
+    * ([[Multimodal.asVideoTable]]) plants junk `free` boxes of
+    * varying size whose payload SPELLS "trak" (substring scanners
+    * miscount; the box walk does not), largesize headers on
+    * `id%8==0`, and both mvhd versions, so neither fixed offsets nor
+    * a single field stride can pass. The oracle builds the identical
+    * byte layout in hex and extracts timescale/duration by offset
+    * arithmetic over the lengths it just chose (the q169/q173 double
+    * derivation); trak count and version are its own structural
+    * choices. Raw-text payloads report ('unknown', 0...).
+    *
+    * Shape: one map-only synthesis projection + the documented
+    * partition-batched decode — zero exchange at any scale.
+    */
+  val q203 = Q("q203_mp4_header_decode",
+    """WITH v AS (
+      |  SELECT doc_id, doc_id % 3 AS m, doc_id % 2 AS ver,
+      |    600 + (doc_id % 10) * 100 AS ts,
+      |    (doc_id % 1000) + 1 AS dur,
+      |    (doc_id % 3) + 1 AS ntrak,
+      |    doc_id % 3 AS tp,
+      |    (doc_id % 5) + 1 AS fp,
+      |    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS hasfree,
+      |    CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END AS islarge
+      |  FROM documents),
+      |b AS (
+      |  SELECT *,
+      |    CASE WHEN hasfree = 1 THEN
+      |      fp + (CASE WHEN islarge = 1 THEN 16 ELSE 8 END)
+      |      ELSE 0 END AS flen,
+      |    CASE WHEN ver = 0 THEN 108 ELSE 120 END AS mvhdsz
+      |  FROM v),
+      |hx AS (
+      |  SELECT doc_id, m, ver, ntrak, flen,
+      |    '00000018' || '66747970' || '69736F6D' || '00000200'
+      |    || '69736F6D' || '6D703431' ||
+      |    CASE WHEN hasfree = 0 THEN ''
+      |      WHEN islarge = 1 THEN '00000001' || '66726565'
+      |        || lpad(to_hex(fp + 16), 16, '0')
+      |        || substr('7472616BAB', 1, fp * 2)
+      |      ELSE lpad(to_hex(fp + 8), 8, '0') || '66726565'
+      |        || substr('7472616BAB', 1, fp * 2) END ||
+      |    lpad(to_hex(8 + mvhdsz + ntrak * (tp + 8)), 8, '0')
+      |    || '6D6F6F76' ||
+      |    CASE WHEN ver = 0 THEN
+      |      '0000006C' || '6D766864' || '00000000' || '000003E8'
+      |      || '000007D0' || lpad(to_hex(ts), 8, '0')
+      |      || lpad(to_hex(dur), 8, '0')
+      |    ELSE
+      |      '00000078' || '6D766864' || '01000000'
+      |      || '00000000000003E8' || '00000000000007D0'
+      |      || lpad(to_hex(ts), 8, '0')
+      |      || lpad(to_hex(dur), 16, '0') END ||
+      |    '00010000' || '0100' || '0000' || repeat('00', 8) ||
+      |    '00010000' || '00000000' || '00000000' || '00000000'
+      |    || '00010000' || '00000000' || '00000000' || '00000000'
+      |    || '40000000' || repeat('00', 24) ||
+      |    lpad(to_hex(ntrak + 1), 8, '0') ||
+      |    repeat(lpad(to_hex(tp + 8), 8, '0') || '7472616B'
+      |      || substr('CDCD', 1, tp * 2), ntrak) AS h
+      |  FROM b),
+      |f AS (SELECT doc_id, m, ver, ntrak, 40 + flen AS c, h FROM hx)
+      |SELECT doc_id AS media_id,
+      |  CASE WHEN m = 2 THEN 'unknown' ELSE 'mp4' END AS format,
+      |  CAST(CASE WHEN m = 2 THEN 0 ELSE
+      |    CAST(('0x' || substr(h,
+      |      2 * (c + CASE WHEN ver = 0 THEN 12 ELSE 20 END) + 1, 8))
+      |      AS BIGINT) END AS BIGINT) AS timescale,
+      |  CAST(CASE WHEN m = 2 THEN 0
+      |    WHEN ver = 0 THEN
+      |      CAST(('0x' || substr(h, 2 * (c + 16) + 1, 8)) AS BIGINT)
+      |    ELSE
+      |      CAST(('0x' || substr(h, 2 * (c + 24) + 1, 16)) AS BIGINT)
+      |    END AS BIGINT) AS duration,
+      |  CAST(CASE WHEN m = 2 THEN 0 ELSE ntrak END AS BIGINT)
+      |    AS n_traks,
+      |  CAST(CASE WHEN m = 2 THEN 0 ELSE ver END AS BIGINT)
+      |    AS mvhd_version
+      |FROM f""".stripMargin) { (s, dir) =>
+    Multimodal.decodeVideoMeta(
+      Multimodal.asVideoTable(Tables(s, dir, "documents")))
+  }
+
   val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176,
-    q179)
+    q179, q203)
 }

@@ -1,0 +1,158 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/** Round-10 second-session additions. The first block pins the
+  * MP4/ISO-BMFF box walker ([[Multimodal.mp4Meta]]) against
+  * hand-built byte sequences covering the adversarial shapes the
+  * oracle corpus cannot isolate one at a time: the 64-bit largesize
+  * header escape, the size==0 box-to-EOF escape, both mvhd layouts
+  * (including a v1 duration above 2^32), unknown versions, "trak"
+  * spelled inside a foreign box's payload, trak boxes OUTSIDE moov,
+  * truncation, and undersized boxes.
+  */
+class Round10bSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def hex8(x: Long): String = f"$x%08X"
+  private def hex16(x: Long): String = f"$x%016X"
+
+  private val ftypHex =
+    "00000018" + "66747970" + "69736F6D" + "00000200" +
+      "69736F6D" + "6D703431"
+
+  // rate, volume, reserved(10), unity matrix(36), pre_defined(24)
+  private val mvhdTail =
+    "00010000" + "0100" + "0000" + "00" * 8 +
+      "00010000" + "00000000" + "00000000" + "00000000" + "00010000" +
+      "00000000" + "00000000" + "00000000" + "40000000" + "00" * 24
+
+  private def mvhdV0(ts: Long, dur: Long): String =
+    "0000006C" + "6D766864" + "00000000" + "000003E8" + "000007D0" +
+      hex8(ts) + hex8(dur) + mvhdTail + "00000002"
+
+  private def mvhdV1(ts: Long, dur: Long): String =
+    "00000078" + "6D766864" + "01000000" + hex16(1000L) + hex16(2000L) +
+      hex8(ts) + hex16(dur) + mvhdTail + "00000002"
+
+  // ---- sniffFormat: mp4 branch
+
+  test("sniffFormat: mp4 needs 'ftyp' at byte 4 and at least 12 bytes") {
+    assert(Multimodal.sniffFormat(hexBytes(ftypHex)) == "mp4")
+    // 'ftyp' at the wrong offset is not an ISO-BMFF file
+    assert(Multimodal.sniffFormat("ftypisom....".getBytes) == "unknown")
+    // 11 bytes is below the minimum sniff length
+    assert(Multimodal.sniffFormat(
+      hexBytes("00000018" + "66747970" + "697350")) == "unknown")
+  }
+
+  // ---- mp4Meta: hand-built containers
+
+  test("mp4Meta: minimal ftyp+moov(mvhd v0) parses timescale, " +
+    "duration, zero traks, version 0") {
+    val p = hexBytes(ftypHex + hex8(116) + "6D6F6F76" + mvhdV0(600, 42))
+    assert(Multimodal.mp4Meta(p).contains((600L, 42L, 0L, 0L)))
+  }
+
+  test("mp4Meta: size==1 largesize escape on moov — the 64-bit size " +
+    "after the type is the real one, and the header grows to 16 bytes") {
+    val p = hexBytes(ftypHex + "00000001" + "6D6F6F76" + hex16(124L) +
+      mvhdV0(600, 42))
+    assert(Multimodal.mp4Meta(p).contains((600L, 42L, 0L, 0L)))
+  }
+
+  test("mp4Meta: size==0 box-to-EOF escape on the final moov") {
+    val p = hexBytes(ftypHex + "00000000" + "6D6F6F76" + mvhdV0(777, 9))
+    assert(Multimodal.mp4Meta(p).contains((777L, 9L, 0L, 0L)))
+  }
+
+  test("mp4Meta: mvhd v1 carries 64-bit duration — a value above " +
+    "2^32 round-trips exactly") {
+    val dur = 5000000000L // > 2^32
+    val p = hexBytes(ftypHex + hex8(128) + "6D6F6F76" + mvhdV1(90000, dur))
+    assert(Multimodal.mp4Meta(p).contains((90000L, dur, 0L, 1L)))
+  }
+
+  test("mp4Meta: unknown mvhd version is corrupt, not guessed at") {
+    val bad = "0000006C" + "6D766864" + "02000000" + "000003E8" +
+      "000007D0" + hex8(600) + hex8(42) + mvhdTail + "00000002"
+    val p = hexBytes(ftypHex + hex8(116) + "6D6F6F76" + bad)
+    assert(Multimodal.mp4Meta(p).isEmpty)
+  }
+
+  test("mp4Meta: trak counting is structural — 'trak' spelled inside " +
+    "a free box's payload never counts, real moov children do") {
+    // free box whose 4 payload bytes are the ASCII run "trak"
+    val free = hex8(12) + "66726565" + "7472616B"
+    val trak = hex8(8) + "7472616B"
+    val moovSz = 8 + 108 + 8 + 8
+    val p = hexBytes(ftypHex + free + hex8(moovSz) + "6D6F6F76" +
+      mvhdV0(600, 42) + trak + trak)
+    assert(Multimodal.mp4Meta(p).contains((600L, 42L, 2L, 0L)))
+  }
+
+  test("mp4Meta: a trak box at TOP level (spec-violating placement) " +
+    "is not a movie track — only moov children count") {
+    val trak = hex8(8) + "7472616B"
+    val p = hexBytes(ftypHex + trak + hex8(116) + "6D6F6F76" +
+      mvhdV0(600, 42))
+    assert(Multimodal.mp4Meta(p).contains((600L, 42L, 0L, 0L)))
+  }
+
+  test("mp4Meta: truncation and undersized boxes are None — a box " +
+    "overrunning the buffer, a child overrunning moov, size<8, a " +
+    "file with no moov, and a moov with no mvhd") {
+    val good = ftypHex + hex8(116) + "6D6F6F76" + mvhdV0(600, 42)
+    // chop the final byte: the mvhd child now overruns its parent
+    assert(Multimodal.mp4Meta(hexBytes(good.dropRight(2))).isEmpty)
+    // top-level box size 5 (< 8-byte header) is structurally invalid
+    assert(Multimodal.mp4Meta(
+      hexBytes(ftypHex + hex8(5) + "6D6F6F76")).isEmpty)
+    // ftyp alone: no moov, no mvhd
+    assert(Multimodal.mp4Meta(hexBytes(ftypHex)).isEmpty)
+    // moov holding only a trak: still no mvhd
+    assert(Multimodal.mp4Meta(hexBytes(ftypHex + hex8(16) + "6D6F6F76" +
+      hex8(8) + "7472616B")).isEmpty)
+    // largesize header cut off mid-largesize
+    assert(Multimodal.mp4Meta(hexBytes(ftypHex + "00000001" +
+      "6D6F6F76" + "00000000")).isEmpty)
+  }
+
+  // ---- corpus round-trip
+
+  test("q203 corpus: decodeVideoMeta over asVideoTable reproduces the " +
+    "generator arithmetic per row, with every adversarial variant " +
+    "present (both mvhd versions, largesize free boxes, trak-text " +
+    "payloads, garbage rows)") {
+    val docs = Tables(spark, sf, "documents")
+    val got = Multimodal.decodeVideoMeta(Multimodal.asVideoTable(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty)
+    var sawV0 = false; var sawV1 = false; var sawLarge = false
+    var sawTrakText = false; var sawGarbage = false
+    ids.foreach { id =>
+      if (id % 3 == 2) {
+        sawGarbage = true
+        assert(got(id) == (("unknown", 0L, 0L, 0L, 0L)))
+      } else {
+        val exp = ("mp4", 600 + (id % 10) * 100, id % 1000 + 1,
+          id % 3 + 1, id % 2)
+        assert(got(id) == exp, s"doc $id")
+        if (id % 2 == 0) sawV0 = true else sawV1 = true
+        if (id % 8 == 0) sawLarge = true
+        if (id % 4 == 0 && id % 5 + 1 >= 4) sawTrakText = true
+      }
+    }
+    assert(sawV0 && sawV1 && sawLarge && sawTrakText && sawGarbage)
+  }
+}
