@@ -32,5 +32,6 @@ object Registry {
   def all: Seq[Q] =
     graft.queries.Parity.all ++ graft.queries.Events.all ++
       graft.queries.TextQueries.all ++ graft.queries.SimQueries.all ++
-      graft.queries.MultimodalQueries.all ++ graft.queries.Extras.all
+      graft.queries.MultimodalQueries.all ++ graft.queries.Extras.all ++
+      graft.queries.Extras2.all
 }

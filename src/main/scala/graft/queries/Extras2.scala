@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.Tables
+
+/** Round-10 continuation: training-order and link-graph surface
+  * extensions — the deterministic epoch shuffle every multi-epoch
+  * training run needs (a bijective keyed permutation, not a
+  * `rand()` sort) and link-based corpus quality weighting (the
+  * PageRank-family centrality crawl pipelines rank hosts by).
+  * Same determinism policy as [[Extras]]: integer arithmetic
+  * wherever a float could diverge between engines.
+  */
+object Extras2 {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** One keyed Feistel permutation pass over the 32-bit doc-id
+    * domain: 4 rounds on 16-bit halves, round function
+    * `f(r) = (r·40503 + k_i) mod 2^16` with per-epoch subkeys
+    * `k_i = (2654435761·epoch + 40503·i) mod 2^16` (Knuth/Fibonacci
+    * multipliers — nothing up the sleeve). Bijective for ANY round
+    * function by the Feistel construction, so distinctness of doc
+    * ids is preserved without a single exchange — the property a
+    * `rand()`-keyed shuffle cannot give you (collisions, and a
+    * different order on every retry of a failed stage). All
+    * operands stay far below 2^63; every op is +, ·, mod, xor —
+    * identical in both engines.
+    */
+  private[graft] def feistel32(x: Column, epoch: Column): Column = {
+    // split into 16-bit halves; shiftright ≡ div 65536 on the
+    // documented non-negative <2^32 domain, mirrored by the oracle's
+    // integer `//`
+    var l: Column = shiftright(x.cast("long"), 16)
+    var r: Column = x.cast("long") % 65536
+    for (i <- 0 to 3) {
+      val k = (lit(2654435761L) * epoch + lit(40503L) * i) % 65536
+      val f = (r * 40503L + k) % 65536
+      val nl = r
+      val nr = l.bitwiseXOR(f)
+      l = nl
+      r = nr
+    }
+    l * 65536L + r
+  }
+
+  /** DETERMINISTIC EPOCH SHUFFLE — the multi-epoch training-order
+    * primitive: each epoch's order/sharding is a KEYED BIJECTIVE
+    * permutation of the doc-id domain ([[feistel32]]), so (a) no two
+    * docs ever collide on a sort/shard key (a `rand()` key cannot
+    * promise that), (b) the order is reproducible from (seed, epoch)
+    * alone — a preempted job resumes with the identical schedule,
+    * and (c) no state is stored: the permutation IS the function.
+    * Output: per (epoch, shard = perm mod 8) the doc count, the sum
+    * of permuted keys (pins every permuted value — a single wrong
+    * bit anywhere breaks the hash), and the sum of doc lengths (the
+    * per-shard token balance the shuffle exists to even out).
+    *
+    * Shape: map-only permutation arithmetic (codegen'd integer ops)
+    * + a 3× epoch explode + one 24-group aggregate with map-side
+    * partials — embarrassingly parallel, zero joins, zero windows,
+    * no driver state at any scale. The 32-bit domain covers this
+    * corpus at any sf; a >2^32-doc corpus widens the halves (the
+    * construction is width-generic), it never changes the plan.
+    */
+  val q204 = Q("q204_epoch_shuffle",
+    """WITH e AS (
+      |  SELECT doc_id, n_chars, ep
+      |  FROM documents, (SELECT unnest([1, 2, 3]) AS ep)),
+      |r0 AS (
+      |  SELECT doc_id, n_chars, ep,
+      |    doc_id // 65536 AS l, doc_id % 65536 AS r FROM e),
+      |r1 AS (
+      |  SELECT doc_id, n_chars, ep, r AS l,
+      |    xor(l, (r * 40503 + (2654435761 * ep + 40503 * 0) % 65536)
+      |      % 65536) AS r FROM r0),
+      |r2 AS (
+      |  SELECT doc_id, n_chars, ep, r AS l,
+      |    xor(l, (r * 40503 + (2654435761 * ep + 40503 * 1) % 65536)
+      |      % 65536) AS r FROM r1),
+      |r3 AS (
+      |  SELECT doc_id, n_chars, ep, r AS l,
+      |    xor(l, (r * 40503 + (2654435761 * ep + 40503 * 2) % 65536)
+      |      % 65536) AS r FROM r2),
+      |r4 AS (
+      |  SELECT doc_id, n_chars, ep, r AS l,
+      |    xor(l, (r * 40503 + (2654435761 * ep + 40503 * 3) % 65536)
+      |      % 65536) AS r FROM r3),
+      |y AS (SELECT doc_id, n_chars, ep, l * 65536 + r AS y FROM r4)
+      |SELECT CAST(ep AS BIGINT) AS epoch,
+      |  CAST(y % 8 AS BIGINT) AS shard,
+      |  count(*) AS n_docs,
+      |  CAST(sum(y) AS BIGINT) AS sum_key,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM y GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val withEpoch = docs.select(col("doc_id"), col("n_chars"),
+      explode(array(lit(1L), lit(2L), lit(3L))).as("epoch"))
+    val y = feistel32(col("doc_id"), col("epoch"))
+    withEpoch
+      .withColumn("y", y)
+      .groupBy(col("epoch"), (col("y") % 8).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y")).as("sum_key"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** LINK-GRAPH CENTRALITY (PageRank, 4 synchronous rounds) — the
+    * link-based quality weight crawl curation assigns to hosts
+    * before content filters run (Common Crawl ranks its frontier
+    * this way). The corpus carries no hyperlinks, so the graph is
+    * synthesized by ARITHMETIC both engines share: every doc u links
+    * to `(u+1) mod n` and `(2u+1) mod n` (a ring guaranteeing every
+    * node an in-edge, plus a doubling chord making the in-degree
+    * non-uniform, 1..3 — so ranks genuinely spread). Out-degree is
+    * exactly 2 by construction, making the per-edge contribution an
+    * EXACT integer `pr div 2`; one round is
+    * `pr'(v) = 150000 + (850 · Σ_{u→v} (pr_u div 2)) div 1000` in
+    * micro-units (the unnormalized per-node-teleport PageRank form;
+    * damping 0.85), floor division in both engines — zero float
+    * anywhere, so 4 rounds stay bit-identical.
+    *
+    * Shape per round: one edge-grain shuffle-hash join on the node
+    * id + one node-grain aggregate with map-side partials — O(rounds)
+    * exchanges, each linear in |E|; the rank frame never leaves the
+    * cluster and nothing is broadcast (|V| = corpus size). In-degree
+    * here is bounded (≤3) by construction; a real web graph's hub
+    * skew would take the q29-family salting/AQE-skew defenses on the
+    * join key. The gate aggregates to per-source rank mass, pinning
+    * every node's 4-round rank through the sum.
+    */
+  val q205 = Q("q205_link_pagerank",
+    """WITH n AS (SELECT count(*) AS c FROM documents),
+      |e AS MATERIALIZED (
+      |  SELECT doc_id AS u, (doc_id + 1) % (SELECT c FROM n) AS v
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, (2 * doc_id + 1) % (SELECT c FROM n)
+      |  FROM documents),
+      |p0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS pr
+      |       FROM documents),
+      |p1 AS MATERIALIZED (
+      |  SELECT v AS node,
+      |    150000 + (850 * sum(pr // 2)) // 1000 AS pr
+      |  FROM e JOIN p0 ON p0.node = e.u GROUP BY v),
+      |p2 AS MATERIALIZED (
+      |  SELECT v AS node,
+      |    150000 + (850 * sum(pr // 2)) // 1000 AS pr
+      |  FROM e JOIN p1 ON p1.node = e.u GROUP BY v),
+      |p3 AS MATERIALIZED (
+      |  SELECT v AS node,
+      |    150000 + (850 * sum(pr // 2)) // 1000 AS pr
+      |  FROM e JOIN p2 ON p2.node = e.u GROUP BY v),
+      |p4 AS MATERIALIZED (
+      |  SELECT v AS node,
+      |    150000 + (850 * sum(pr // 2)) // 1000 AS pr
+      |  FROM e JOIN p3 ON p3.node = e.u GROUP BY v)
+      |SELECT d.source, count(*) AS n_docs,
+      |  CAST(sum(p4.pr) AS BIGINT) AS sum_pr
+      |FROM p4 JOIN documents d ON p4.node = d.doc_id
+      |GROUP BY d.source""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val nRow = docs.agg(count(lit(1)).as("c"))
+    // 1-row broadcast total — the documented small-side crossJoin
+    val withN = docs.select(col("doc_id")).crossJoin(broadcast(nRow))
+    val edges = withN.select(col("doc_id").as("u"),
+        ((col("doc_id") + 1) % col("c")).as("v"))
+      .unionAll(withN.select(col("doc_id").as("u"),
+        ((col("doc_id") * 2 + 1) % col("c")).as("v")))
+    var pr: DataFrame =
+      docs.select(col("doc_id").as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to 4) {
+      // name-based join refs: after the first round `pr`'s lineage
+      // contains `edges`, and DataFrame-indexed refs would go
+      // ambiguous under relation dedup; u/v vs node/pr never collide
+      pr = edges.join(pr, col("u") === col("node"))
+        .groupBy(col("v").as("node"))
+        .agg((lit(150000L) +
+          expr("850 * sum(pr div 2) div 1000")).as("pr"))
+        .select(col("node"), col("pr"))
+    }
+    pr.join(docs.select(col("doc_id"), col("source")),
+        pr("node") === col("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("pr").as("sum_pr"))
+  }
+
+  val all: Seq[Q] = Seq(q204, q205)
+}

@@ -155,4 +155,95 @@ class Round10bSpec extends SparkSpec {
     }
     assert(sawV0 && sawV1 && sawLarge && sawTrakText && sawGarbage)
   }
+
+  // ---- q204 epoch shuffle
+
+  /** Driver-side reference Feistel — shared-nothing recomputation of
+    * [[graft.queries.Extras2.feistel32]]'s arithmetic.
+    */
+  private def refFeistel(x: Long, epoch: Long): Long = {
+    var l = x >> 16
+    var r = x % 65536
+    for (i <- 0 to 3) {
+      val k = (2654435761L * epoch + 40503L * i) % 65536
+      val f = (r * 40503L + k) % 65536
+      val nl = r
+      val nr = l ^ f
+      l = nl
+      r = nr
+    }
+    l * 65536 + r
+  }
+
+  /** The constructive inverse — peel rounds in reverse. Its existence
+    * is the bijectivity proof the epoch shuffle rests on.
+    */
+  private def refFeistelInv(y: Long, epoch: Long): Long = {
+    var l = y >> 16
+    var r = y % 65536
+    for (i <- 3 to 0 by -1) {
+      val k = (2654435761L * epoch + 40503L * i) % 65536
+      // forward was (l', r') = (r, l xor f(r)): undo with r = l'
+      val pr = l
+      val f = (pr * 40503L + k) % 65536
+      val pl = r ^ f
+      l = pl
+      r = pr
+    }
+    l * 65536 + r
+  }
+
+  test("q204: engine permutation equals the shared-nothing reference " +
+    "for every doc and epoch, the constructive inverse round-trips " +
+    "(bijectivity, not just observed injectivity), and epochs " +
+    "genuinely reorder") {
+    import graft.queries.Extras2
+    val docs = Tables(spark, sf, "documents")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val got = docs.select(col("doc_id"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("epoch"))
+      .withColumn("y", Extras2.feistel32(col("doc_id"), col("epoch")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    for (id <- ids; e <- 1L to 3L) {
+      val y = refFeistel(id, e)
+      assert(got((id, e)) == y, s"doc $id epoch $e")
+      assert(refFeistelInv(y, e) == id, s"inverse at $id epoch $e")
+      assert(y >= 0 && y < 4294967296L)
+    }
+    // distinct permuted keys per epoch — no rand()-style collisions
+    for (e <- 1L to 3L)
+      assert(ids.map(refFeistel(_, e)).distinct.length == ids.length)
+    // different epochs produce different assignments somewhere
+    assert(ids.exists(id => refFeistel(id, 1) != refFeistel(id, 2)))
+  }
+
+  // ---- q205 link pagerank
+
+  test("q205: engine per-source rank mass equals a shared-nothing " +
+    "Scala PageRank over the same arithmetic graph, and ranks " +
+    "genuinely spread (non-uniform in-degree is doing its job)") {
+    import graft.queries.Extras2
+    val docs = Tables(spark, sf, "documents")
+    val rows = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = rows.length.toLong
+    val edges = rows.flatMap { case (u, _) =>
+      Seq(u -> ((u + 1) % n), u -> ((2 * u + 1) % n))
+    }
+    var pr = rows.map { case (id, _) => id -> 1000000L }.toMap
+    for (_ <- 1 to 4) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / 2 }.sum
+      }
+      pr = pr.keys.map(v => v -> (150000L + 850L * in(v) / 1000L)).toMap
+    }
+    assert(pr.values.toSet.size > 1, "ranks must spread")
+    val expBySource = rows.groupBy(_._2).map { case (s, rs) =>
+      s -> (rs.length.toLong, rs.map(r => pr(r._1)).sum)
+    }
+    val got = Extras2.q205.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expBySource)
+  }
 }
