@@ -187,5 +187,76 @@ object Extras2 {
       .agg(count(lit(1)).as("n_docs"), sum("pr").as("sum_pr"))
   }
 
-  val all: Seq[Q] = Seq(q204, q205)
+  /** POSITIONAL PHRASE PROBE — the retrieval step BM25 (q121) cannot
+    * express: exact phrase match via a positional inverted index
+    * (term → (doc, pos) postings; match = same doc, adjacent
+    * positions — the Lucene/ES phrase-query plan). The query phrase
+    * is corpus-derived for determinism: the globally most frequent
+    * bigram (ties broken lexicographically), found by an in-row
+    * bigram fold + one bigram-grain aggregate + TakeOrdered(1). The
+    * probe then joins the 1-row phrase against the postings TWICE
+    * (both broadcast hash joins — each is effectively a predicate on
+    * the token scan) and verifies adjacency with one (doc, pos)
+    * equi-join over the two filtered posting sets — never a
+    * corpus-sized self-join: the join inputs are only the phrase
+    * terms' postings. The oracle derives the same winner and counts
+    * matches by an INDEPENDENT in-row position scan (list_filter
+    * over each doc's own token list) — two different match plans,
+    * one answer.
+    *
+    * At index scale the postings persist term-bucketed (the
+    * SignatureStore argument applied to retrieval): a phrase probe
+    * then reads exactly |phrase| buckets, and the adjacency join
+    * stays proportional to the probed postings, not the corpus.
+    */
+  val q206 = Q("q206_phrase_probe",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts,
+      |    len(string_split(text, ' ')) AS n FROM documents),
+      |bgx AS (
+      |  SELECT unnest(list_transform(range(1, n),
+      |    i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      |  FROM toks WHERE n >= 2),
+      |win AS (
+      |  SELECT bg, count(*) AS c FROM bgx GROUP BY bg
+      |  ORDER BY c DESC, bg LIMIT 1),
+      |m AS (
+      |  SELECT doc_id, w.bg AS bg,
+      |    len(list_filter(range(1, n),
+      |      i -> ts[i] || ' ' || ts[i + 1] = w.bg)) AS nm
+      |  FROM toks, win w WHERE n >= 2)
+      |SELECT bg AS bigram, doc_id,
+      |  CAST(nm AS BIGINT) AS n_matches
+      |FROM m WHERE nm > 0""".stripMargin) { (s, dir) =>
+    import graft.text.TextOps
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("ts"))
+    // positional postings — the index layout
+    val post = toks.select(col("doc_id"),
+      posexplode(col("ts")).as(Seq("pos", "term")))
+    // winner bigram: in-row fold, one aggregate, TakeOrdered(1)
+    val win = toks.filter(size(col("ts")) >= 2)
+      .select(explode(expr("transform(sequence(0, size(ts) - 2), " +
+        "i -> struct(ts[i] AS t1, ts[i + 1] AS t2))")).as("bg"))
+      .select(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc,
+        concat_ws(" ", col("t1"), col("t2")).asc)
+      .limit(1)
+    val w = broadcast(win.select("t1", "t2"))
+    val p1 = post.join(w, col("term") === col("t1"))
+      .select(col("doc_id").as("d1"), col("pos").as("pos1"),
+        col("t1"), col("t2"))
+    val p2 = post.join(w, col("term") === col("t2"))
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"))
+    p1.join(p2,
+        col("d1") === col("d2") && col("pos2") === col("pos1") + 1)
+      .groupBy(col("d1"), col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_matches"))
+      .select(concat_ws(" ", col("t1"), col("t2")).as("bigram"),
+        col("d1").as("doc_id"), col("n_matches"))
+  }
+
+  val all: Seq[Q] = Seq(q204, q205, q206)
 }

@@ -246,4 +246,29 @@ class Round10bSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expBySource)
   }
+
+  // ---- q206 phrase probe
+
+  test("q206: the postings-adjacency plan reproduces a shared-nothing " +
+    "sliding-window recomputation — same winner bigram (count-desc, " +
+    "lexicographic ties), same per-doc OVERLAP-counting match counts " +
+    "— and the result is non-vacuous") {
+    import graft.queries.Extras2
+    val texts = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val bigramsOf = (t: String) => t.split(" ", -1).sliding(2)
+      .filter(_.length == 2).map(a => a(0) + " " + a(1)).toSeq
+    val counts = texts.flatMap { case (_, t) => bigramsOf(t) }
+      .groupBy(identity).map { case (bg, o) => bg -> o.length }
+    val winner = counts.toSeq.sortBy { case (bg, c) => (-c, bg) }.head._1
+    val exp = texts.flatMap { case (id, t) =>
+      val nm = bigramsOf(t).count(_ == winner)
+      if (nm > 0) Some((winner, id, nm.toLong)) else None
+    }.toSet
+    val got = Extras2.q206.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp)
+    assert(got.nonEmpty, "phrase must match somewhere — vacuous gate")
+  }
 }
