@@ -258,5 +258,145 @@ object Extras2 {
         col("d1").as("doc_id"), col("n_matches"))
   }
 
-  val all: Seq[Q] = Seq(q204, q205, q206)
+  /** RECIPROCAL RANK FUSION — hybrid lexical+dense retrieval, the
+    * serving pattern RAG stacks run when neither BM25 nor embedding
+    * search alone is trusted (Cormack/Clarke/Büttcher 2009; the
+    * default hybrid mode in ES/OpenSearch/Vespa): run both arms,
+    * convert each arm's top-k to RANKS, score each doc
+    * `Σ 1/(k₀+rank)` over the arms that retrieved it, re-rank. The
+    * lexical arm is q121's integer-micro BM25 chain verbatim (terms
+    * {spark, hash, merge}); the dense arm is the q37 device with the
+    * corpus doc 0's embedding as the query (doc_id ≡ vec_id on this
+    * corpus — the alignment the embeddings table is generated with).
+    * RRF's practical virtue is exactly what makes it oracle-exact:
+    * it consumes only INTEGER ranks, so the fusion is pure BIGINT
+    * (`1000000 div (60+rank)` per arm, k₀=60 the canonical
+    * constant) — no score normalization to diverge on.
+    *
+    * Shape: the lexical arm's two token-grain aggregates +
+    * TakeOrdered(20); the dense arm's broadcast-probe scan +
+    * TakeOrdered(20); then all windows/joins run on ≤20-row result
+    * frames (the single-partition window is the RESULT SET, never
+    * the corpus). Fusion cost is independent of corpus size.
+    */
+  val q207 = Q("q207_rrf_fusion",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, w, count(*) AS tf FROM toks
+       |  WHERE w IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    CAST(sum(CAST(floor(
+       |      ln((n - df + 0.5) / (df + 0.5) + 1) * tf * 2.2
+       |        / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       |        * 1000000) AS BIGINT)) AS BIGINT) AS sm
+       |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats GROUP BY 1),
+       |lex AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY sm DESC, doc_id) AS lex_rank
+       |  FROM (SELECT doc_id, sm FROM sc
+       |        ORDER BY sm DESC, doc_id LIMIT 20)),
+       |e AS (SELECT vec_id, embedding, ${SimQueries.normSql} AS nrm
+       |      FROM embeddings),
+       |q AS (SELECT embedding, nrm FROM e WHERE vec_id = 0),
+       |c AS (SELECT * FROM e WHERE vec_id >= 1),
+       |sims AS (
+       |  SELECT c.vec_id,
+       |    round(${SimQueries.dotSql} / (q.nrm * c.nrm), 6) AS sim
+       |  FROM c, q),
+       |den AS (
+       |  SELECT vec_id,
+       |    row_number() OVER (ORDER BY sim DESC, vec_id) AS vec_rank
+       |  FROM (SELECT vec_id, sim FROM sims
+       |        ORDER BY sim DESC, vec_id LIMIT 20)),
+       |fused AS (
+       |  SELECT COALESCE(lex.doc_id, den.vec_id) AS doc_id,
+       |    COALESCE(lex_rank, 0) AS lex_rank,
+       |    COALESCE(vec_rank, 0) AS vec_rank
+       |  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.vec_id)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(lex_rank AS BIGINT) AS lex_rank,
+       |  CAST(vec_rank AS BIGINT) AS vec_rank,
+       |  CAST((CASE WHEN lex_rank > 0
+       |          THEN 1000000 // (60 + lex_rank) ELSE 0 END)
+       |     + (CASE WHEN vec_rank > 0
+       |          THEN 1000000 // (60 + vec_rank) ELSE 0 END)
+       |    AS BIGINT) AS rrf_ppm
+       |FROM fused ORDER BY rrf_ppm DESC, doc_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    import graft.text.TextOps
+    import graft.sim.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val dox = t(s, dir, "documents")
+    // lexical arm — q121's integer-micro BM25, then ranks
+    val qterms = Seq("spark", "hash", "merge")
+    val toks = dox.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("w"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val tf = toks.filter(col("w").isin(qterms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val lexTop = tf.join(broadcast(dfq), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor((log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+          * col("tf") * 2.2
+          / (col("tf") + lit(1.2) *
+            (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+          * 1000000).cast("long").as("cm"))
+      .groupBy("doc_id").agg(sum("cm").cast("long").as("sm"))
+      .orderBy(col("sm").desc, col("doc_id")).limit(20)
+    val lex = lexTop.withColumn("lex_rank",
+        row_number().over(
+          Window.orderBy(col("sm").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    // dense arm — the q37 device, probe = doc 0's embedding
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val probe = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn")))
+    val denTop = e.filter(col("vec_id") >= 1).crossJoin(probe)
+      .select(col("vec_id"),
+        round(Similarity.dot(col("embedding"), col("qe"))
+          / (col("nrm") * col("qn")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(20)
+    val den = denTop.withColumn("vec_rank",
+        row_number().over(
+          Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    rrfFuse(lex, den).orderBy(col("rrf_ppm").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** The RRF fusion step alone: full-outer merge of two ranked lists
+    * (doc_id, lex_rank) / (doc_id, vec_rank), absent arm = rank 0 =
+    * no contribution, score `Σ 1000000 div (60+rank)` in pure
+    * BIGINT. Factored out of [[q207]] because the corpus's two arms
+    * never overlap (random embeddings are uncorrelated with token
+    * text) — the both-arms additive path is spec-driven with
+    * constructed lists, the q176-style oracle-unreachable-branch
+    * convention.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, den: DataFrame): DataFrame =
+    lex.join(den, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .withColumn("rrf_ppm",
+        (when(col("lex_rank") > 0,
+          expr("1000000 div (60 + lex_rank)")).otherwise(lit(0L)) +
+          when(col("vec_rank") > 0,
+            expr("1000000 div (60 + vec_rank)")).otherwise(lit(0L)))
+          .cast("long"))
+
+  val all: Seq[Q] = Seq(q204, q205, q206, q207)
 }

@@ -14,11 +14,11 @@ import graft.sources.Tables
 object SimQueries {
 
   private val D = 64
-  private val dotSql =
+  private[queries] val dotSql =
     "list_sum(list_transform(range(1,65), i -> " +
       "q.embedding[CAST(i AS INT)]::DOUBLE * " +
       "c.embedding[CAST(i AS INT)]::DOUBLE))"
-  private val normSql =
+  private[queries] val normSql =
     "sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))"
 
   private def bucketSql(nPlanes: Int): String =

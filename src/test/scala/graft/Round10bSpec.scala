@@ -271,4 +271,45 @@ class Round10bSpec extends SparkSpec {
     assert(got == exp)
     assert(got.nonEmpty, "phrase must match somewhere — vacuous gate")
   }
+
+  // ---- q207 RRF fusion
+
+  test("q207: rrf_ppm is exactly 1000000 div (60+rank) summed over " +
+    "present arms for every output row, both arms are represented, " +
+    "and the output is the rrf-desc/doc-asc top-10") {
+    import graft.queries.Extras2
+    val out = Extras2.q207.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 10)
+    out.foreach { case (_, lr, vr, s) =>
+      val exp = (if (lr > 0) 1000000L / (60 + lr) else 0L) +
+        (if (vr > 0) 1000000L / (60 + vr) else 0L)
+      assert(s == exp)
+    }
+    assert(out.exists(_._2 > 0) && out.exists(_._3 > 0),
+      "both retrieval arms must contribute to the fused top-10")
+    // sorted by (rrf desc, doc_id asc)
+    assert(out.sortBy { case (id, _, _, s) => (-s, id) }.toSeq ==
+      out.toSeq)
+  }
+
+  test("rrfFuse: a doc retrieved by BOTH arms gets the additive score " +
+    "(the corpus-unreachable branch), absent arms contribute nothing, " +
+    "and the full-outer merge keeps single-arm docs from either side") {
+    import graft.queries.Extras2
+    import spark.implicits._
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L))
+      .toDF("doc_id", "lex_rank")
+    val den = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "vec_rank")
+    val got = Extras2.rrfFuse(lex, den).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(20L) == ((2L, 1L, 1000000L / 62 + 1000000L / 61)))
+    assert(got(10L) == ((1L, 0L, 1000000L / 61)))
+    assert(got(30L) == ((3L, 0L, 1000000L / 63)))
+    assert(got(40L) == ((0L, 2L, 1000000L / 62)))
+    assert(got.size == 4)
+    // the both-arms doc outranks every single-arm doc at equal ranks
+    assert(got(20L)._3 > got(10L)._3)
+  }
 }
