@@ -398,5 +398,51 @@ object Extras2 {
             expr("1000000 div (60 + vec_rank)")).otherwise(lit(0L)))
           .cast("long"))
 
-  val all: Seq[Q] = Seq(q204, q205, q206, q207)
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the aggregate face
+    * of the store-maintenance pattern (q137 band store, q140 IVF-PQ
+    * codes, q167/q179 ingest gates, q186 shard manifest): a
+    * per-(source, lang) summary view of ALGEBRAIC statistics
+    * ([[graft.ops.AggView]]: n/sum/ssq/min/max over n_chars) is
+    * persisted once for the history half (doc_id < 300); the delta
+    * past the watermark is summarized ALONE — the only corpus scan
+    * this query pays reads `doc_id >= 300`, filter pushed to parquet
+    * — and folded into the stored view with one view-grain merge.
+    * Mergeability makes incremental ≡ from-scratch EXACT (BIGINT
+    * adds and min/max are order-free), which is why the oracle is
+    * the from-scratch recompute over all of `documents`: a hash
+    * match proves the maintenance path, not just the statistics.
+    * Derived means/variances come from (n, sum, ssq) at read time;
+    * non-algebraic stats (exact distincts/quantiles) are excluded by
+    * design — see AggView's scaladoc.
+    *
+    * Shape: one pushed-filter delta scan + one delta-grain aggregate
+    * + one merge aggregate over |view| + |delta groups| rows. At 100
+    * TB the view is millions of rows against billions scanned —
+    * maintenance cost is the delta's, never history's.
+    */
+  val q208 = Q("q208_mv_maintain",
+    """SELECT source, lang, count(*) AS n_rows,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_v,
+      |  CAST(sum(n_chars * n_chars) AS BIGINT) AS ssq_v,
+      |  CAST(min(n_chars) AS BIGINT) AS min_v,
+      |  CAST(max(n_chars) AS BIGINT) AS max_v
+      |FROM documents GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import graft.ops.AggView
+    val W = 300L
+    val docs = t(s, dir, "documents")
+    val keys = Seq("source", "lang")
+    val wh = graft.sources.Warehouse(
+      graft.SessionScratch.dir(s, s"mvstore_${graft.SessionScratch.keyOf(dir)}"))
+    val viewTable = s"mv_hist_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, viewTable) {
+      wh.overwrite(
+        AggView.summarize(docs.filter(col("doc_id") < W), keys,
+          "n_chars"), viewTable)
+    }
+    val delta = AggView.summarize(docs.filter(col("doc_id") >= W),
+      keys, "n_chars")
+    AggView.merge(wh.read(s, viewTable), delta, keys)
+  }
+
+  val all: Seq[Q] = Seq(q204, q205, q206, q207, q208)
 }

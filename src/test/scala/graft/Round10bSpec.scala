@@ -312,4 +312,47 @@ class Round10bSpec extends SparkSpec {
     // the both-arms doc outranks every single-arm doc at equal ranks
     assert(got(20L)._3 > got(10L)._3)
   }
+
+  // ---- q208 aggregate-view maintenance
+
+  test("AggView: merge(summarize(a), summarize(b)) equals " +
+    "summarize(a ∪ b) on constructed frames — the mergeability the " +
+    "incremental path rests on — with delta-only groups passing " +
+    "through and min/max combining across the seam") {
+    import graft.ops.AggView
+    import spark.implicits._
+    val a = Seq(("s1", "en", 10L), ("s1", "en", 20L), ("s2", "fr", 5L))
+      .toDF("source", "lang", "n_chars")
+    val b = Seq(("s1", "en", 1L), ("s3", "de", 7L))
+      .toDF("source", "lang", "n_chars")
+    val keys = Seq("source", "lang")
+    val inc = AggView.merge(
+      AggView.summarize(a, keys, "n_chars"),
+      AggView.summarize(b, keys, "n_chars"), keys)
+    val scratch = AggView.summarize(a.unionByName(b), keys, "n_chars")
+    assert(rows(inc) == rows(scratch))
+    val m = inc.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6))).toMap
+    // seam group: counts add, sums add, min crosses the seam (1 from
+    // the delta), max stays with history (20)
+    assert(m(("s1", "en")) == ((3L, 31L, 100L + 400L + 1L, 1L, 20L)))
+    // history-only and delta-only groups pass through untouched
+    assert(m(("s2", "fr")) == ((1L, 5L, 25L, 5L, 5L)))
+    assert(m(("s3", "de")) == ((1L, 7L, 49L, 7L, 7L)))
+  }
+
+  test("q208 corpus: the watermark is non-vacuous — both halves hold " +
+    "docs and at least one (source, lang) group spans it, so the " +
+    "merge seam is actually exercised by the oracle gate") {
+    val docs = Tables(spark, sf, "documents")
+    val hist = docs.filter(col("doc_id") < 300)
+    val delta = docs.filter(col("doc_id") >= 300)
+    assert(hist.count() > 0 && delta.count() > 0)
+    val hg = hist.select("source", "lang").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val dg = delta.select("source", "lang").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert((hg & dg).nonEmpty, "no group spans the watermark")
+  }
 }
