@@ -444,5 +444,84 @@ object Extras2 {
     AggView.merge(wh.read(s, viewTable), delta, keys)
   }
 
-  val all: Seq[Q] = Seq(q204, q205, q206, q207, q208)
+  /** BIGRAM-LM PERPLEXITY SCORING — the CCNet/KenLM quality filter
+    * at CONDITIONAL order, which q116's unigram surprisal cannot
+    * express: train an add-one-smoothed bigram model on a REFERENCE
+    * SLICE (the `lang='en'` docs — CCNet trains on Wikipedia), score
+    * EVERY doc's bigrams under it, report per-doc bigram count and
+    * total/mean integer micro-nats. The train/apply split is the
+    * point: a doc scores against the reference distribution, not
+    * itself, so off-distribution text (wrong language, noise) scores
+    * high and degenerate repetition of reference-frequent bigrams
+    * scores low — both drop tails. Per-bigram cost is
+    * `round(1e6·ln((c1(a)+V)/(c2(a,b)+1)))` (add-one smoothing in
+    * -log form; OOV history ⇒ c1=c2=0 ⇒ ln(V), the uniform floor) —
+    * always ≥ 0 since c2 ≤ c1, so the integer mean's floor division
+    * is sign-safe. q116's determinism stance: one ln per distinct
+    * bigram, 6-dp micro rounding before any aggregation.
+    *
+    * Shape: one train-slice bigram aggregate (vocab² grain, counts),
+    * one history aggregate (vocab grain), one corpus bigram pass
+    * left-joined against both count tables (vocab-sized right sides
+    * — broadcastable under a bounded tokenizer vocab, shuffle-join
+    * with AQE skew handling when open-vocab), one doc-grain
+    * aggregate. V is a 1-row broadcast.
+    */
+  val q209 = Q("q209_lm_perplexity",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS ts,
+      |    len(string_split(text, ' ')) AS n FROM documents),
+      |b2 AS (
+      |  SELECT doc_id, lang, g.a AS a, g.b AS b FROM (
+      |    SELECT doc_id, lang,
+      |      unnest(list_transform(range(1, n),
+      |        i -> {'a': ts[i], 'b': ts[i + 1]})) AS g
+      |    FROM toks WHERE n >= 2)),
+      |c2 AS (SELECT a, b, count(*) AS c2 FROM b2
+      |       WHERE lang = 'en' GROUP BY 1, 2),
+      |c1 AS (SELECT a, count(*) AS c1 FROM b2
+      |       WHERE lang = 'en' GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM
+      |        (SELECT unnest(ts) AS w FROM toks WHERE lang = 'en')),
+      |sc AS (
+      |  SELECT b2.doc_id,
+      |    CAST(round(ln(CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)
+      |      / (COALESCE(c2.c2, 0) + 1)) * 1000000) AS BIGINT) AS m
+      |  FROM b2 LEFT JOIN c2 USING (a, b) LEFT JOIN c1 USING (a)
+      |  CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(m) AS BIGINT) AS nat_micro_sum,
+      |  CAST(sum(m) // count(*) AS BIGINT) AS nat_micro_avg
+      |FROM sc GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.text.TextOps
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      TextOps.tokens(col("text")).as("ts"))
+    val bg = toks.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(0, size(ts) - 2), " +
+          "i -> struct(ts[i] AS a, ts[i + 1] AS b))")).as("g"))
+      .select(col("doc_id"), col("lang"),
+        col("g.a").as("a"), col("g.b").as("b"))
+    val train = bg.filter(col("lang") === "en")
+    val c2 = train.groupBy("a", "b").agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy("a").agg(count(lit(1)).as("c1"))
+    val vRow = toks.filter(col("lang") === "en")
+      .select(explode(col("ts")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bg.join(c2, Seq("a", "b"), "left")
+      .join(c1, Seq("a"), "left")
+      .crossJoin(broadcast(vRow))
+      .select(col("doc_id"),
+        round(log((coalesce(col("c1"), lit(0L)) + col("v"))
+          .cast("double") / (coalesce(col("c2"), lit(0L)) + 1))
+          * 1000000).cast("long").as("m"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("m").cast("long").as("nat_micro_sum"))
+      .withColumn("nat_micro_avg",
+        expr("nat_micro_sum div n_bigrams"))
+  }
+
+  val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209)
 }

@@ -355,4 +355,50 @@ class Round10bSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert((hg & dg).nonEmpty, "no group spans the watermark")
   }
+
+  // ---- q209 bigram-LM perplexity
+
+  test("q209: engine scores equal a shared-nothing Scala bigram-LM " +
+    "recomputation doc-for-doc (same add-one smoothing, same OOV " +
+    "floor, same micro-nat rounding), and the trained filter " +
+    "discriminates: in-distribution (en) docs average strictly lower " +
+    "than off-distribution docs") {
+    import graft.queries.Extras2
+    val texts = Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bigramsOf = (t: String) => t.split(" ", -1).sliding(2)
+      .filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+    val train = texts.filter(_._2 == "en")
+    val c2 = train.flatMap(t => bigramsOf(t._3))
+      .groupBy(identity).map { case (k, o) => k -> o.length.toLong }
+    val c1 = train.flatMap(t => bigramsOf(t._3).map(_._1))
+      .groupBy(identity).map { case (k, o) => k -> o.length.toLong }
+    val v = train.flatMap(_._3.split(" ", -1)).distinct.length.toLong
+    assert(v > 0, "train slice must be non-empty")
+    val exp = texts.flatMap { case (id, _, t) =>
+      val bgs = bigramsOf(t)
+      if (bgs.isEmpty) None
+      else {
+        val ms = bgs.map { case (a, b) =>
+          val n1 = c1.getOrElse(a, 0L)
+          val n2 = c2.getOrElse((a, b), 0L)
+          math.round(math.log((n1 + v).toDouble / (n2 + 1)) * 1e6)
+        }
+        Some(id -> (bgs.length.toLong, ms.sum, ms.sum / bgs.length))
+      }
+    }.toMap
+    val got = Extras2.q209.fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == exp)
+    val byLang = texts.map(t => t._2 == "en").zip(
+      texts.map(t => got.get(t._1).map(_._3)))
+    val en = byLang.collect { case (true, Some(a)) => a }
+    val other = byLang.collect { case (false, Some(a)) => a }
+    assert(en.nonEmpty && other.nonEmpty)
+    assert(en.sum.toDouble / en.length <
+      other.sum.toDouble / other.length,
+      "reference-trained LM must score its own distribution lower")
+  }
 }
