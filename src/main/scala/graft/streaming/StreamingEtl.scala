@@ -574,4 +574,22 @@ object StreamingEtl {
           .as("hamming"))
       .dropDuplicates("media_id", "store_id")
   }
+
+  /** Streaming twin of the q204 epoch shuffle — the ONLINE shard
+    * router: an arriving doc's (epoch, shard) assignment is the SAME
+    * keyed bijective permutation the batch plan computes
+    * ([[graft.queries.Extras2.feistel32]], one shared definition —
+    * the router cannot drift from the planner). Stateless by
+    * construction: the permutation is a pure function of (doc_id,
+    * epoch), so there is no running total to checkpoint, restarts
+    * are trivially safe, and a doc's route never depends on arrival
+    * order — the property that lets a preempted ingest resume
+    * mid-epoch with identical placement.
+    */
+  def epochShuffleStream(docs: DataFrame, epoch: Long,
+      nShards: Int = 8): DataFrame = {
+    val y = graft.queries.Extras2.feistel32(col("doc_id"), lit(epoch))
+    docs.withColumn("y", y)
+      .withColumn("shard", col("y") % nShards)
+  }
 }

@@ -401,4 +401,42 @@ class Round10bSpec extends SparkSpec {
       other.sum.toDouble / other.length,
       "reference-trained LM must score its own distribution lower")
   }
+
+  // ---- epochShuffleStream
+
+  test("epochShuffleStream: per-doc routes across micro-batch " +
+    "boundaries equal the batch permutation, and a DIFFERENT arrival " +
+    "partitioning routes identically (order independence — the " +
+    "stateless-resume property)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingEtl
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ids = Tables(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    def run(name: String, batches: Seq[Seq[Long]]): Map[Long, (Long, Long)] = {
+      val in = MemoryStream[Long]
+      val q = StreamingEtl.epochShuffleStream(
+          in.toDF().toDF("doc_id"), epoch = 2L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      batches.foreach { b =>
+        in.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("y"), r.getAs[Long]("shard"))).toMap
+    }
+    val (a, b) = ids.toSeq.splitAt(ids.length / 2)
+    val got1 = run("eshuf1", Seq(a, b))
+    // a different micro-batch split, interleaved arrival order
+    val (odd, even) = ids.toSeq.partition(_ % 2 == 1)
+    val got2 = run("eshuf2", Seq(odd, even))
+    assert(got1 == got2, "routes must not depend on arrival order")
+    ids.foreach { id =>
+      val y = refFeistel(id, 2L)
+      assert(got1(id) == ((y, y % 8)), s"doc $id")
+    }
+  }
 }
