@@ -402,6 +402,26 @@ class Round10bSpec extends SparkSpec {
       "reference-trained LM must score its own distribution lower")
   }
 
+  // ---- q210 matryoshka recall
+
+  test("q210: n_kept is bounded by the list size, the measurement is " +
+    "non-degenerate on isotropic embeddings (both misses and keeps " +
+    "occur), and the full arm agrees with q37's gated top-5 on the " +
+    "shared (qid, nid) pairs") {
+    import graft.queries.{Extras2, SimQueries}
+    val got = Extras2.q210.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 8)
+    assert(got.values.forall(k => k >= 0 && k <= 5))
+    assert(got.values.exists(_ < 5), "perfect recall from a 4× " +
+      "truncation of isotropic noise would mean the arms are wired " +
+      "to the same similarity")
+    // cross-query consistency: q37 IS the full arm
+    val q37pairs = SimQueries.q37.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q37pairs.map(_._1) == got.keySet)
+  }
+
   // ---- epochShuffleStream
 
   test("epochShuffleStream: per-doc routes across micro-batch " +
