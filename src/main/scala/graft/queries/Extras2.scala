@@ -475,8 +475,13 @@ object Extras2 {
     * with AQE skew handling when open-vocab), one doc-grain
     * aggregate. V is a 1-row broadcast.
     */
-  val q209 = Q("q209_lm_perplexity",
-    """WITH toks AS (
+  /** The q209 scoring chain as a reusable oracle-CTE prefix ending
+    * in `scored` (doc_id, n_bigrams, nat_micro_sum, nat_micro_avg) —
+    * shared verbatim by q209 and the q211 budget selection so the
+    * two oracles cannot drift (the curationSqlCte device).
+    */
+  private val lmSqlCtes =
+    """toks AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS ts,
       |    len(string_split(text, ' ')) AS n FROM documents),
       |b2 AS (
@@ -496,11 +501,18 @@ object Extras2 {
       |    CAST(round(ln(CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)
       |      / (COALESCE(c2.c2, 0) + 1)) * 1000000) AS BIGINT) AS m
       |  FROM b2 LEFT JOIN c2 USING (a, b) LEFT JOIN c1 USING (a)
-      |  CROSS JOIN v)
-      |SELECT doc_id, count(*) AS n_bigrams,
-      |  CAST(sum(m) AS BIGINT) AS nat_micro_sum,
-      |  CAST(sum(m) // count(*) AS BIGINT) AS nat_micro_avg
-      |FROM sc GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      |  CROSS JOIN v),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(m) AS BIGINT) AS nat_micro_sum,
+      |    CAST(sum(m) // count(*) AS BIGINT) AS nat_micro_avg
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+
+  /** The q209 scorer as a reusable frame — ONE definition consumed
+    * by q209 (gated directly) and q211 (as the quality signal), so
+    * the engine sides cannot drift either.
+    */
+  private def lmScored(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TextOps
     val docs = t(s, dir, "documents")
     val toks = docs.select(col("doc_id"), col("lang"),
@@ -530,6 +542,11 @@ object Extras2 {
       .withColumn("nat_micro_avg",
         expr("nat_micro_sum div n_bigrams"))
   }
+
+  val q209 = Q("q209_lm_perplexity",
+    s"""WITH $lmSqlCtes
+       |SELECT doc_id, n_bigrams, nat_micro_sum, nat_micro_avg
+       |FROM scored""".stripMargin) { (s, dir) => lmScored(s, dir) }
 
   /** MATRYOSHKA-TRUNCATION RECALL — the serving-cost knob
     * dimension-truncated embeddings buy (MRL practice: index/search
@@ -617,5 +634,77 @@ object Extras2 {
       .agg(count(col("tnid")).as("n_kept"))
   }
 
-  val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210)
+  /** BUDGETED QUALITY SELECTION WITHOUT A GLOBAL SORT — "take the
+    * best docs until the token budget is spent" (the data-selection
+    * step behind quality-pruned pretraining mixes), where the naive
+    * plan is a corpus-wide ORDER BY quality — a single-partition
+    * sort that dies at scale. The engine decomposes the selection
+    * the way distributed exact quantiles do: quality (q209's
+    * [[lmScored]] micro-nats, lower = better) buckets at deci-nat
+    * grain; bucket totals take ONE bucket-grain exchange and a
+    * single-partition window over the BUCKET TABLE ONLY (hundreds of
+    * rows — the q182 block device); full buckets below the crossing
+    * admit outright (map-only filter against broadcast cumulative
+    * offsets); only the ONE boundary bucket runs a doc-grain ordered
+    * window, bounded by the bucket width knob. Admission rule:
+    * inclusive running chars ≤ budget in (quality, doc_id) order —
+    * and bucketing by `q div 100000` preserves exactly that order,
+    * so the decomposition is equivalence, not approximation. The
+    * oracle IS the naive global-order window — an independent
+    * derivation the bucket plan must match bit-for-bit. Budget =
+    * 40% of total corpus chars, derived in-query (1-row broadcast).
+    */
+  val q211 = Q("q211_budget_select",
+    s"""WITH $lmSqlCtes,
+       |d AS (
+       |  SELECT sc.doc_id, dd.source, dd.n_chars,
+       |    sc.nat_micro_avg AS q
+       |  FROM scored sc JOIN documents dd USING (doc_id)),
+       |b AS (SELECT (SELECT sum(n_chars) FROM documents) * 2 // 5
+       |        AS budget),
+       |o AS (
+       |  SELECT source, n_chars,
+       |    sum(n_chars) OVER (ORDER BY q, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT source, count(*) AS n_admitted,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_admitted
+       |FROM o, b WHERE cum <= budget GROUP BY source""".stripMargin) {
+    (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val scored = lmScored(s, dir)
+        .select(col("doc_id"), col("nat_micro_avg").as("q"))
+      val budgetRow = docs.agg(
+        expr("sum(n_chars) * 2 div 5").as("budget"))
+      val d = scored
+        .join(docs.select("doc_id", "source", "n_chars"), Seq("doc_id"))
+        .crossJoin(broadcast(budgetRow))
+        .withColumn("bkt", expr("q div 100000"))
+      // bucket totals + exclusive cumulative — the single-partition
+      // window touches ONLY the bucket table (q182's block device)
+      val wB = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bcum = d.groupBy("bkt").agg(sum("n_chars").as("bc"))
+        .withColumn("cumex", coalesce(sum("bc").over(wB), lit(0L)))
+      val withCum = d.join(broadcast(bcum), Seq("bkt"))
+      val fullB = withCum
+        .filter(col("cumex") + col("bc") <= col("budget"))
+      // the unique crossing bucket: cumex <= B < cumex + bc
+      val wIn = Window.partitionBy("bkt")
+        .orderBy(col("q"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bndAdm = withCum
+        .filter(col("cumex") <= col("budget") &&
+          col("cumex") + col("bc") > col("budget"))
+        .withColumn("cum", col("cumex") + sum("n_chars").over(wIn))
+        .filter(col("cum") <= col("budget"))
+      fullB.select("source", "n_chars")
+        .unionByName(bndAdm.select("source", "n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_admitted"),
+          sum("n_chars").cast("long").as("chars_admitted"))
+  }
+
+  val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210, q211)
 }

@@ -422,6 +422,46 @@ class Round10bSpec extends SparkSpec {
     assert(q37pairs.map(_._1) == got.keySet)
   }
 
+  // ---- q211 budgeted quality selection
+
+  test("q211: the bucket-decomposed selection equals a shared-nothing " +
+    "global greedy (sort by quality, admit while cum <= budget), the " +
+    "budget is tight (next doc in order would overflow), and the " +
+    "boundary bucket genuinely splits (the partial path is " +
+    "exercised, not vacuous)") {
+    import graft.queries.Extras2
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val q = Extras2.q209.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val budget = docs.map(_._3).sum * 2 / 5
+    val ordered = docs.filter(d => q.contains(d._1))
+      .sortBy(d => (q(d._1), d._1))
+    var cum = 0L
+    val admitted = ordered.takeWhile { d =>
+      cum += d._3; cum <= budget
+    }
+    val exp = admitted.groupBy(_._2).map { case (s, ds) =>
+      s -> (ds.length.toLong, ds.map(_._3).sum)
+    }
+    val got = Extras2.q211.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp)
+    // tightness: the first rejected doc would overflow the budget
+    val admChars = admitted.map(_._3).sum
+    assert(admChars <= budget)
+    if (admitted.length < ordered.length)
+      assert(admChars + ordered(admitted.length)._3 > budget)
+    // boundary split: the crossing deci-nat bucket has both admitted
+    // and rejected docs (vacuity guard for the partial-window path)
+    val admIds = admitted.map(_._1).toSet
+    val byBkt = ordered.groupBy(d => q(d._1) / 100000)
+    assert(byBkt.exists { case (_, ds) =>
+      ds.exists(d => admIds(d._1)) && ds.exists(d => !admIds(d._1))
+    }, "no bucket splits — the boundary path is vacuous at this sf")
+  }
+
   // ---- epochShuffleStream
 
   test("epochShuffleStream: per-doc routes across micro-batch " +
