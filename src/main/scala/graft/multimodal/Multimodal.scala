@@ -688,6 +688,27 @@ object Multimodal {
       .otherwise("keep")
   }
 
+  /** The video rule chain — the third member, over [[decodeVideoMeta]]
+    * output. Rule order: undecodable, then the two structural
+    * corruptions a decoded header can still carry (`zero_timescale`,
+    * `no_tracks` — both oracle-unreachable on the generated corpus,
+    * which always writes ts ≥ 600 and ≥ 1 trak; spec-driven with
+    * constructed frames, the q176 convention), then the duration
+    * floor (`duration·1000 div timescale` ms — the division guarded
+    * because ANSI mode makes a zero denominator an error, and the
+    * preceding rules do not PRUNE the expression, they only order
+    * the output).
+    */
+  private[graft] def videoReason: Column = {
+    val durMs = when(col("timescale") > 0,
+      expr("duration * 1000 div timescale")).otherwise(lit(0L))
+    when(col("format") === "unknown", "undecodable")
+      .when(col("timescale") <= 0, "zero_timescale")
+      .when(col("n_traks") <= 0, "no_tracks")
+      .when(durMs < 500, "too_short")
+      .otherwise("keep")
+  }
+
   def mediaGate(img: DataFrame, aud: DataFrame): DataFrame = {
     val gi = img.select(lit("image").as("modality"), col("media_id"),
       imageReason.as("reason"))
@@ -695,6 +716,15 @@ object Multimodal {
       audioReason.as("reason"))
     gi.unionByName(ga)
   }
+
+  /** Three-modality gate — [[mediaGate]] plus the video chain over a
+    * [[decodeVideoMeta]] frame.
+    */
+  def mediaGate(img: DataFrame, aud: DataFrame,
+      vid: DataFrame): DataFrame =
+    mediaGate(img, aud).unionByName(
+      vid.select(lit("video").as("modality"), col("media_id"),
+        videoReason.as("reason")))
 
   /** Band rows of a perceptual-code table — the Hamming-LSH layout
     * [[graft.text.NearDup.simhashCandidates]] uses internally,
@@ -725,29 +755,36 @@ object Multimodal {
       .mapPartitions(_.map { case (id, p) =>
         sniffFormat(p) match {
           case "png" => pngDims(p) match {
-            case Some((w, h)) =>
-              (id, "image", "png", w, h, 0L, 0L, 0L, 0L, 0L)
-            case None =>
-              (id, "image", "unknown", 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+            case Some((w, h)) => (id, "image", "png",
+              w, h, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+            case None => (id, "image", "unknown",
+              0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
           }
           case "jpeg" => jpegDims(p) match {
-            case Some((w, h)) =>
-              (id, "image", "jpeg", w, h, 0L, 0L, 0L, 0L, 0L)
-            case None =>
-              (id, "image", "unknown", 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+            case Some((w, h)) => (id, "image", "jpeg",
+              w, h, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+            case None => (id, "image", "unknown",
+              0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
           }
           case "wav" => wavMeta(p) match {
-            case Some((ch, sr, bits, nd, af)) =>
-              (id, "audio", "wav", 0L, 0L, ch, sr, bits, nd, af)
-            case None =>
-              (id, "audio", "unknown", 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+            case Some((ch, sr, bits, nd, af)) => (id, "audio", "wav",
+              0L, 0L, ch, sr, bits, nd, af, 0L, 0L, 0L)
+            case None => (id, "audio", "unknown",
+              0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
           }
-          case _ => (id, "unknown", "unknown", 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          case "mp4" => mp4Meta(p) match {
+            case Some((ts, dur, nt, _)) => (id, "video", "mp4",
+              0L, 0L, 0L, 0L, 0L, 0L, 0L, ts, dur, nt)
+            case None => (id, "video", "unknown",
+              0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+          case _ => (id, "unknown", "unknown",
+            0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
         }
       })
       .toDF("media_id", "modality", "format", "width", "height",
         "channels", "sample_rate", "bits_per_sample", "n_data_bytes",
-        "audio_format")
+        "audio_format", "timescale", "duration", "n_traks")
   }
 
   /** Frame sampling — the video-pipeline primitive: every `stride`-th

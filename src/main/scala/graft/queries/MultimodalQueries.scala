@@ -672,6 +672,45 @@ object MultimodalQueries {
       Multimodal.asVideoTable(Tables(s, dir, "documents")))
   }
 
+  /** VIDEO CURATION GATE — q176's rule layer extended to the third
+    * modality over [[Multimodal.decodeVideoMeta]] (q203's decoder):
+    * `undecodable` for unparseable payloads, then the duration floor
+    * in integer milliseconds (`duration·1000 div timescale`, the
+    * division guarded against the zero denominators undecodable rows
+    * carry — ANSI makes an unguarded zero divide an error). The two
+    * structural rules (`zero_timescale`, `no_tracks`) cannot fire on
+    * the generated corpus (every container writes ts ≥ 600 and ≥ 1
+    * trak) and are spec-driven with constructed frames — the q176
+    * oracle-unreachable-branch convention. The oracle recomputes
+    * reason AND dur_ms arithmetically from the generator parameters
+    * (never touching bytes), so the gate is double-checked THROUGH
+    * the box walker; dur_ms rides in the output to pin the integer
+    * division itself. The shared [[Multimodal.videoReason]] chain
+    * also routes in [[graft.streaming.StreamingEtl.mediaGateStream]]
+    * — batch and stream cannot drift. Map-only, zero exchange.
+    */
+  val q212 = Q("q212_video_gate",
+    """WITH v AS (
+      |  SELECT doc_id, doc_id % 3 AS m,
+      |    600 + (doc_id % 10) * 100 AS ts,
+      |    (doc_id % 1000) + 1 AS dur
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CASE WHEN m = 2 THEN 'undecodable'
+      |       WHEN (dur * 1000) // ts < 500 THEN 'too_short'
+      |       ELSE 'keep' END AS reason,
+      |  CAST(CASE WHEN m = 2 THEN 0 ELSE (dur * 1000) // ts END
+      |    AS BIGINT) AS dur_ms
+      |FROM v""".stripMargin) { (s, dir) =>
+    val vid = Multimodal.decodeVideoMeta(
+      Multimodal.asVideoTable(Tables(s, dir, "documents")))
+    vid.select(col("media_id"),
+      Multimodal.videoReason.as("reason"),
+      when(col("timescale") > 0,
+        expr("duration * 1000 div timescale")).otherwise(lit(0L))
+        .as("dur_ms"))
+  }
+
   val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176,
-    q179, q203)
+    q179, q203, q212)
 }

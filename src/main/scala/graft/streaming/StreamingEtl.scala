@@ -543,6 +543,7 @@ object StreamingEtl {
       .select(col("modality"), col("media_id"),
         when(col("modality") === "image", Multimodal.imageReason)
           .when(col("modality") === "audio", Multimodal.audioReason)
+          .when(col("modality") === "video", Multimodal.videoReason)
           .otherwise("undecodable").as("reason"))
   }
 

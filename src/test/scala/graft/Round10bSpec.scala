@@ -422,6 +422,90 @@ class Round10bSpec extends SparkSpec {
     assert(q37pairs.map(_._1) == got.keySet)
   }
 
+  // ---- q212 video gate
+
+  test("videoReason: the oracle-unreachable branches fire on " +
+    "constructed frames with the documented precedence — " +
+    "undecodable over everything, zero_timescale over no_tracks, " +
+    "and the 500 ms floor is exclusive (exactly 500 keeps)") {
+    import spark.implicits._
+    val f = Seq(
+      // format, timescale, duration, n_traks
+      ("unknown", 0L, 0L, 0L), // undecodable (even with zero ts)
+      ("mp4", 0L, 100L, 0L), // zero_timescale wins over no_tracks
+      ("mp4", 1000L, 400L, 0L), // no_tracks
+      ("mp4", 1000L, 499L, 1L), // 499 ms -> too_short
+      ("mp4", 1000L, 500L, 1L), // exactly 500 ms -> keep
+      ("mp4", 600L, 299L, 2L), // 498 ms by floor div -> too_short
+      ("mp4", 600L, 300L, 2L)) // 500 ms -> keep
+      .toDF("format", "timescale", "duration", "n_traks")
+    val got = f.select(Multimodal.videoReason.as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("undecodable", "zero_timescale", "no_tracks",
+      "too_short", "keep", "too_short", "keep"))
+  }
+
+  test("q212 corpus: both reachable non-trivial verdicts occur " +
+    "(too_short and keep — vacuity guard), and dur_ms matches the " +
+    "generator arithmetic everywhere") {
+    import graft.queries.MultimodalQueries
+    val got = MultimodalQueries.q212.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val reasons = got.values.map(_._1).toSet
+    assert(Set("too_short", "keep").subsetOf(reasons), s"$reasons")
+    got.foreach { case (id, (reason, durMs)) =>
+      if (id % 3 == 2) assert(reason == "undecodable" && durMs == 0)
+      else {
+        val exp = ((id % 1000 + 1) * 1000) / (600 + (id % 10) * 100)
+        assert(durMs == exp, s"doc $id")
+      }
+    }
+  }
+
+  test("mediaGateStream routes all THREE modalities: a mixed " +
+    "image+audio+video feed across micro-batches equals the " +
+    "three-arg batch gate through the shared rule chains (sniff-" +
+    "unknown remap for provenance-free garbage)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingEtl
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+    val img = Multimodal.asImageTable(docs)
+      .select(($"media_id" * 3).as("media_id"), $"payload")
+    val aud = Multimodal.asAudioTable(docs)
+      .select(($"media_id" * 3 + 1).as("media_id"), $"payload")
+    val vid = Multimodal.asVideoTable(docs)
+      .select(($"media_id" * 3 + 2).as("media_id"), $"payload")
+    val feed = img.unionByName(aud).unionByName(vid).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingEtl.mediaGateStream(
+        input.toDF().toDF("media_id", "payload"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("media_gate_stream3").start()
+    val (b1, b2) = feed.toSeq.splitAt(feed.length / 2)
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val sniff = feed.map { case (id, p) =>
+      id -> Multimodal.sniffFormat(p)
+    }.toMap
+    val batch = Multimodal.mediaGate(
+        Multimodal.decodeImageMeta(img),
+        Multimodal.decodeAudioMeta(aud),
+        Multimodal.decodeVideoMeta(vid))
+      .collect().map { r =>
+        val id = r.getLong(1)
+        val mod = if (sniff(id) == "unknown") "unknown" else r.getString(0)
+        Seq[Any](mod, id, r.getString(2))
+      }.toSet
+    assert(rows(spark.table("media_gate_stream3")) == batch)
+    val mods = spark.table("media_gate_stream3").collect()
+      .map(_.getString(0)).toSet
+    assert(mods == Set("image", "audio", "video", "unknown"))
+  }
+
   // ---- q211 budgeted quality selection
 
   test("q211: the bucket-decomposed selection equals a shared-nothing " +
