@@ -706,5 +706,100 @@ object Extras2 {
           sum("n_chars").cast("long").as("chars_admitted"))
   }
 
-  val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210, q211)
+  /** The q204/q213 Feistel as a DuckDB CTE-chain factory: unrolled
+    * rounds over an input CTE `src(id, tag...)`, producing `outName
+    * (tag..., y)`. Seed plays q204's epoch role. Shared so the q213
+    * oracle's three instances (8-ring, 10-ring, doc keys) cannot
+    * drift from q204's arithmetic.
+    */
+  private def feistelSqlChain(src: String, idCol: String, tag: String,
+      seed: Long, outName: String): String = {
+    val rounds = (0 to 3).map { i =>
+      s"""${outName}_r${i + 1} AS (
+         |  SELECT $tag, r AS l,
+         |    xor(l, (r * 40503 + (2654435761 * $seed + 40503 * $i)
+         |      % 65536) % 65536) AS r
+         |  FROM ${outName}_r$i)""".stripMargin
+    }.mkString(",\n")
+    s"""${outName}_r0 AS (
+       |  SELECT $tag, $idCol // 65536 AS l, $idCol % 65536 AS r
+       |  FROM $src),
+       |$rounds,
+       |$outName AS (
+       |  SELECT $tag, l * 65536 + r AS y FROM ${outName}_r4)""".stripMargin
+  }
+
+  /** CONSISTENT-RING RESHARDING AUDIT — what happens to a sharded
+    * corpus when capacity grows 8 → 10 shards, measured for BOTH
+    * placement disciplines at once: naive modulo (`key mod S` —
+    * moves ~1−1/S of everything) and a consistent hash ring (64
+    * virtual nodes per shard; a doc belongs to the first vnode
+    * position ≥ its key, wrapping — adding shards only STEALS ARCS,
+    * so movement ≈ the new shards' share and, crucially, every moved
+    * doc moves TO a new shard, never between old ones — the property
+    * that makes live resharding cheap, spec-pinned). Every position
+    * and key comes from the SAME keyed Feistel as q204 (injective ⇒
+    * no position ties ⇒ deterministic ownership; pure integer in
+    * both engines — no engine-specific hash() anywhere). Output per
+    * ring-10 owner: doc count, ring-stolen count, and how many of
+    * the same docs the modulo discipline would have moved.
+    *
+    * Shape: the two rings build from a 640-row range → ONE-row
+    * sorted-array aggregates, broadcast into the corpus scan; owner
+    * lookup is an in-row HOF over the 640-entry array (binary-search
+    * semantics via filter-first on the sorted array) — map-only per
+    * doc, one final owner-grain aggregate. No per-doc join blowup at
+    * any scale.
+    */
+  val q213 = Q("q213_ring_reshard",
+    s"""WITH vn AS (SELECT unnest(range(0, 640)) AS i),
+       |${feistelSqlChain("vn", "i", "i", 9L, "vpos")},
+       |vs AS (SELECT i // 64 AS shard, y FROM vpos),
+       |p10 AS (SELECT list(struct_pack(pos := y, shard := shard)
+       |          ORDER BY y) AS ps FROM vs),
+       |p8 AS (SELECT list(struct_pack(pos := y, shard := shard)
+       |         ORDER BY y) AS ps FROM vs WHERE shard < 8),
+       |dk AS (SELECT doc_id FROM documents),
+       |${feistelSqlChain("dk", "doc_id", "doc_id", 7L, "keys")},
+       |a AS (
+       |  SELECT doc_id, y AS key,
+       |    COALESCE(list_filter(p8.ps, x -> x['pos'] >= y)[1]['shard'],
+       |      p8.ps[1]['shard']) AS o8,
+       |    COALESCE(list_filter(p10.ps, x -> x['pos'] >= y)[1]['shard'],
+       |      p10.ps[1]['shard']) AS o10
+       |  FROM keys, p8, p10)
+       |SELECT CAST(o10 AS BIGINT) AS shard,
+       |  count(*) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE o8 != o10) AS BIGINT)
+       |    AS n_stolen,
+       |  CAST(count(*) FILTER (WHERE key % 8 != key % 10) AS BIGINT)
+       |    AS n_moved_mod
+       |FROM a GROUP BY o10""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val vs = s.range(640).select(
+      (col("id") / 64).cast("long").as("shard"),
+      feistel32(col("id"), lit(9L)).as("pos"))
+    val p10 = vs.agg(sort_array(collect_list(struct(col("pos"),
+      col("shard")))).as("ps10"))
+    val p8 = vs.filter(col("shard") < 8)
+      .agg(sort_array(collect_list(struct(col("pos"),
+        col("shard")))).as("ps8"))
+    def owner(arr: String): Column =
+      expr(s"coalesce(element_at(filter($arr, x -> x.pos >= key), 1)" +
+        s".shard, element_at($arr, 1).shard)")
+    docs.select(col("doc_id"),
+        feistel32(col("doc_id"), lit(7L)).as("key"))
+      .crossJoin(broadcast(p8)).crossJoin(broadcast(p10))
+      .select(col("key"), owner("ps8").as("o8"),
+        owner("ps10").as("o10"))
+      .groupBy(col("o10").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("o8") =!= col("o10"), 1L).otherwise(0L))
+          .cast("long").as("n_stolen"),
+        sum(when(col("key") % 8 =!= col("key") % 10, 1L)
+          .otherwise(0L)).cast("long").as("n_moved_mod"))
+  }
+
+  val all: Seq[Q] =
+    Seq(q204, q205, q206, q207, q208, q209, q210, q211, q213)
 }

@@ -422,6 +422,44 @@ class Round10bSpec extends SparkSpec {
     assert(q37pairs.map(_._1) == got.keySet)
   }
 
+  // ---- q213 consistent-ring resharding
+
+  test("q213: engine ownership equals a shared-nothing Scala ring " +
+    "recomputation, every ring-stolen doc lands on a NEW shard " +
+    "(old shards steal nothing — the arc-stealing property live " +
+    "resharding rests on), and the ring moves strictly less than " +
+    "naive modulo") {
+    import graft.queries.Extras2
+    val ids = Tables(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val vs = (0 until 640).map(i => (refFeistel(i, 9L), i / 64))
+    val p10 = vs.sortBy(_._1)
+    val p8 = vs.filter(_._2 < 8).sortBy(_._1)
+    def own(ps: Seq[(Long, Int)], key: Long): Int =
+      ps.find(_._1 >= key).getOrElse(ps.head)._2
+    val assigned = ids.map { id =>
+      val key = refFeistel(id, 7L)
+      (id, key, own(p8, key), own(p10, key))
+    }
+    val exp = assigned.groupBy(_._4).map { case (o10, ds) =>
+      o10.toLong -> (ds.length.toLong,
+        ds.count(d => d._3 != d._4).toLong,
+        ds.count(d => d._2 % 8 != d._2 % 10).toLong)
+    }
+    val got = Extras2.q213.fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == exp)
+    // arc stealing: old shards steal nothing, new shards take all
+    assigned.filter(d => d._3 != d._4)
+      .foreach(d => assert(d._4 >= 8, s"doc ${d._1} moved between " +
+        "OLD shards — the ring is broken"))
+    val stolen = got.values.map(_._2).sum
+    val modMoved = got.values.map(_._3).sum
+    assert(stolen > 0 && stolen < modMoved,
+      s"ring must move less than modulo ($stolen vs $modMoved)")
+  }
+
   // ---- q212 video gate
 
   test("videoReason: the oracle-unreachable branches fire on " +
