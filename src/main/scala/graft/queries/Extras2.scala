@@ -800,6 +800,61 @@ object Extras2 {
           .otherwise(0L)).cast("long").as("n_moved_mod"))
   }
 
+  /** DETERMINISTIC POISSON BOOTSTRAP — replicate weights for error
+    * bars on corpus statistics at scale (the online-bootstrap
+    * standard: per (doc, replicate) an independent-ish Poisson(1)
+    * weight, so 32 resamples ride ONE corpus pass as a weighted
+    * aggregate — no data copies, no sampling shuffle, and a rerun
+    * reproduces the exact same replicates). The weight comes from
+    * the shared Feistel: u = F(doc_id·64 + rep, seed 11) is uniform
+    * on the 32-bit domain, cut against the Poisson(1) CDF
+    * PRE-QUANTIZED to integer thresholds (floor(CDF·2^32), hardcoded
+    * identically in both engines — zero runtime float anywhere, so
+    * the "random" weights are bit-identical by construction; tail
+    * capped at 6, P ≈ 5.9e-5, a stated truncation). Output per
+    * replicate: effective row count and weighted char total — the
+    * replicate spread IS the uncertainty estimate a data card quotes.
+    *
+    * Shape: one corpus scan × an in-row 32-way explode → one 32-group
+    * aggregate with map-side partials. Embarrassingly parallel;
+    * replicate count is a literal, never a data copy.
+    */
+  val q214 = Q("q214_poisson_bootstrap",
+    s"""WITH base AS (
+       |  SELECT doc_id, n_chars, rep, doc_id * 64 + rep AS x
+       |  FROM documents, (SELECT unnest(range(0, 32)) AS rep)),
+       |${feistelSqlChain("base", "x", "n_chars, rep", 11L, "u")},
+       |w AS (
+       |  SELECT rep, n_chars,
+       |    CASE WHEN y < 1580030168 THEN 0
+       |         WHEN y < 3160060337 THEN 1
+       |         WHEN y < 3950075421 THEN 2
+       |         WHEN y < 4213413783 THEN 3
+       |         WHEN y < 4279248373 THEN 4
+       |         WHEN y < 4292415291 THEN 5
+       |         ELSE 6 END AS wt
+       |  FROM u)
+       |SELECT CAST(rep AS BIGINT) AS rep,
+       |  CAST(sum(wt) AS BIGINT) AS n_eff,
+       |  CAST(sum(wt * n_chars) AS BIGINT) AS sum_chars
+       |FROM w GROUP BY rep""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val u = feistel32(col("doc_id") * 64 + col("rep"), lit(11L))
+    val wt = when(u < 1580030168L, 0L)
+      .when(u < 3160060337L, 1L)
+      .when(u < 3950075421L, 2L)
+      .when(u < 4213413783L, 3L)
+      .when(u < 4279248373L, 4L)
+      .when(u < 4292415291L, 5L)
+      .otherwise(6L)
+    docs.select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0L), lit(31L))).as("rep"))
+      .select(col("rep"), col("n_chars"), wt.as("wt"))
+      .groupBy("rep")
+      .agg(sum("wt").cast("long").as("n_eff"),
+        sum(col("wt") * col("n_chars")).cast("long").as("sum_chars"))
+  }
+
   val all: Seq[Q] =
-    Seq(q204, q205, q206, q207, q208, q209, q210, q211, q213)
+    Seq(q204, q205, q206, q207, q208, q209, q210, q211, q213, q214)
 }

@@ -460,6 +460,43 @@ class Round10bSpec extends SparkSpec {
       s"ring must move less than modulo ($stolen vs $modMoved)")
   }
 
+  // ---- q214 Poisson bootstrap
+
+  test("q214: replicate totals equal a shared-nothing recomputation " +
+    "from the same Feistel draws and pre-quantized CDF thresholds, " +
+    "replicates genuinely vary, and the weight distribution is " +
+    "Poisson(1)-shaped (zero-weight fraction near 1/e, replicate " +
+    "means near the corpus total)") {
+    import graft.queries.Extras2
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ts = Seq(1580030168L, 3160060337L, 3950075421L,
+      4213413783L, 4279248373L, 4292415291L)
+    def wt(u: Long): Long = ts.indexWhere(u < _) match {
+      case -1 => 6L; case i => i.toLong
+    }
+    val exp = (0L until 32L).map { rep =>
+      val ws = docs.map { case (id, nc) =>
+        (wt(refFeistel(id * 64 + rep, 11L)), nc)
+      }
+      rep -> (ws.map(_._1).sum, ws.map(w => w._1 * w._2).sum)
+    }.toMap
+    val got = Extras2.q214.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp)
+    assert(got.values.toSet.size > 1, "replicates must vary")
+    // Poisson(1) shape: zero fraction near 1/e, mean weight near 1
+    val n = docs.length
+    val draws = (0L until 32L).flatMap(rep => docs.map { case (id, _) =>
+      wt(refFeistel(id * 64 + rep, 11L))
+    })
+    val zeroFrac = draws.count(_ == 0L).toDouble / draws.size
+    assert(zeroFrac > 0.33 && zeroFrac < 0.41, s"$zeroFrac")
+    val meanEff = got.values.map(_._1).sum.toDouble / 32 / n
+    assert(meanEff > 0.9 && meanEff < 1.1, s"$meanEff")
+  }
+
   // ---- q212 video gate
 
   test("videoReason: the oracle-unreachable branches fire on " +
