@@ -855,6 +855,82 @@ object Extras2 {
         sum(col("wt") * col("n_chars")).cast("long").as("sum_chars"))
   }
 
-  val all: Seq[Q] =
-    Seq(q204, q205, q206, q207, q208, q209, q210, q211, q213, q214)
+  /** FEATURE-DRIFT MONITORING (PSI) — the ML-ops check that belongs
+    * next to q208's summary view: per feature, bucket the reference
+    * slice (doc_id < 300) and the current slice against the SAME
+    * bucket grid and report each bucket's Population Stability Index
+    * term `(p−q)·ln(p/q)` (add-one smoothed over the observed bucket
+    * set, so empty buckets neither divide by zero nor dominate).
+    * Two features ride one scan (n_chars at centi-grain, token count
+    * at deci-grain) via an in-row feature explode. Terms are ≥ 0 by
+    * construction (both factors share a sign); each quantizes ONCE
+    * to integer micro (the q162 ulp stance — p, q are rationals, the
+    * product's 6-dp rounding has measure-zero boundary risk,
+    * documented not hidden). Consumers sum a feature's terms into
+    * its PSI and alarm on the usual 0.1/0.25 thresholds.
+    *
+    * Shape: one scan → in-row 2-way feature explode → one
+    * (feature, bucket)-grain aggregate with conditional ref/cur
+    * counts → 1-row totals broadcast → map-only term math. The
+    * bucket table is the only exchanged grain; nothing corpus-sized
+    * moves after the first aggregate.
+    */
+  val q215 = Q("q215_psi_drift",
+    """WITH f AS (
+      |  SELECT doc_id < 300 AS is_ref, feature, bucket FROM (
+      |    SELECT doc_id,
+      |      unnest([
+      |        {'feature': 'n_chars', 'bucket': n_chars // 100},
+      |        {'feature': 'n_tokens',
+      |         'bucket': len(string_split(text, ' ')) // 10}]) AS fb
+      |    FROM documents)
+      |  , LATERAL (SELECT fb['feature'] AS feature,
+      |             fb['bucket'] AS bucket)),
+      |cnt AS (
+      |  SELECT feature, bucket,
+      |    count(*) FILTER (WHERE is_ref) AS c_ref,
+      |    count(*) FILTER (WHERE NOT is_ref) AS c_cur
+      |  FROM f GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT feature, sum(c_ref) AS n_ref, sum(c_cur) AS n_cur,
+      |    count(*) AS b
+      |  FROM cnt GROUP BY feature)
+      |SELECT c.feature, CAST(c.bucket AS BIGINT) AS bucket,
+      |  CAST(c_ref AS BIGINT) AS c_ref,
+      |  CAST(c_cur AS BIGINT) AS c_cur,
+      |  CAST(round(1000000 *
+      |    ((c_ref + 1.0) / (n_ref + b) - (c_cur + 1.0) / (n_cur + b))
+      |    * ln(((c_ref + 1.0) / (n_ref + b))
+      |        / ((c_cur + 1.0) / (n_cur + b)))) AS BIGINT)
+      |    AS psi_micro
+      |FROM cnt c JOIN tot t ON c.feature = t.feature""".stripMargin) {
+    (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val f = docs.select((col("doc_id") < 300).as("is_ref"),
+        explode(array(
+          struct(lit("n_chars").as("feature"),
+            expr("n_chars div 100").as("bucket")),
+          struct(lit("n_tokens").as("feature"),
+            expr("size(split(text, ' ')) div 10").cast("long")
+              .as("bucket")))).as("fb"))
+        .select(col("is_ref"), col("fb.feature").as("feature"),
+          col("fb.bucket").as("bucket"))
+      val cnt = f.groupBy("feature", "bucket")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+      val tot = cnt.groupBy("feature")
+        .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"),
+          count(lit(1)).as("b"))
+      val p = (col("c_ref") + 1.0) / (col("n_ref") + col("b"))
+      val q = (col("c_cur") + 1.0) / (col("n_cur") + col("b"))
+      cnt.join(broadcast(tot), Seq("feature"))
+        .select(col("feature"), col("bucket"),
+          col("c_ref").cast("long").as("c_ref"),
+          col("c_cur").cast("long").as("c_cur"),
+          round((p - q) * log(p / q) * 1000000).cast("long")
+            .as("psi_micro"))
+  }
+
+  val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
+    q211, q213, q214, q215)
 }

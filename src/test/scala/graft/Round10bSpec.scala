@@ -497,6 +497,43 @@ class Round10bSpec extends SparkSpec {
     assert(meanEff > 0.9 && meanEff < 1.1, s"$meanEff")
   }
 
+  // ---- q215 PSI drift
+
+  test("q215: every PSI term is non-negative (both factors share a " +
+    "sign by construction), both features are present with multiple " +
+    "buckets, conservation holds (bucket counts sum to the slice " +
+    "sizes per feature), and a shared-nothing recomputation agrees") {
+    import graft.queries.Extras2
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val feats = docs.flatMap { case (id, nc, tx) =>
+      Seq(("n_chars", nc / 100, id < 300),
+        ("n_tokens", tx.split(" ", -1).length.toLong / 10, id < 300))
+    }
+    val exp = feats.groupBy(f => (f._1, f._2)).map { case (k, fs) =>
+      k -> (fs.count(_._3).toLong, fs.count(!_._3).toLong)
+    }
+    val byFeat = exp.groupBy(_._1._1)
+    val got = Extras2.q215.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, (cr, cc, psi)) =>
+      assert((cr, cc) == exp(k), s"$k")
+      assert(psi >= 0, s"negative PSI term at $k")
+      // recompute the term with the same smoothing
+      val (nR, nC, b) = (byFeat(k._1).values.map(_._1).sum,
+        byFeat(k._1).values.map(_._2).sum, byFeat(k._1).size)
+      val p = (cr + 1.0) / (nR + b)
+      val q = (cc + 1.0) / (nC + b)
+      assert(psi == math.round((p - q) * math.log(p / q) * 1e6), s"$k")
+    }
+    assert(got.keySet.map(_._1) == Set("n_chars", "n_tokens"))
+    assert(got.keySet.groupBy(_._1).values.forall(_.size > 1),
+      "each feature needs multiple buckets for PSI to mean anything")
+  }
+
   // ---- q212 video gate
 
   test("videoReason: the oracle-unreachable branches fire on " +
