@@ -939,7 +939,74 @@ object Events {
           .cast("long").as("n_leak"))
   }
 
+  /** EVENT-TIME DISORDER AUDIT — the measurement that sizes a
+    * streaming watermark before anyone picks one: per arriving event
+    * (arrival order = event_id), lateness = how far the running
+    * event-time HIGH-WATER MARK is ahead of this event's timestamp,
+    * histogrammed at minute grain (the p99 of this histogram IS the
+    * watermark delay a pipeline should configure; q22's windows drop
+    * whatever lies beyond it). The raw feed is perfectly ordered, so
+    * disorder is PLANTED deterministically (the q199 damage
+    * convention): observed time = true time + (F(event_id) mod 601 −
+    * 300) seconds via the shared q204 Feistel — both engines derive
+    * the identical late feed.
+    *
+    * The operator's scale story is the running prefix-MAX itself:
+    * the naive form is one corpus-wide ordered window (single
+    * partition — dies at scale); the engine computes it as the q182
+    * two-level block decomposition applied to MAX (block maxima →
+    * exclusive max window over the BLOCK TABLE only → broadcast back
+    * → within-block exclusive running max, partitioned by block) —
+    * max is associative, so the decomposition is exact, and the
+    * oracle IS the naive global window: an independent derivation
+    * the block plan must match bit-for-bit.
+    */
+  val q216 = Q("q216_disorder_audit",
+    s"""WITH ev AS (
+       |  SELECT event_id, epoch_us(ts) // 1000000 AS t FROM events),
+       |${Extras2.feistelSqlChain("ev", "event_id", "event_id, t",
+          13L, "jt")},
+       |obs AS (
+       |  SELECT event_id, t + (y % 601 - 300) AS ot FROM jt),
+       |o AS (
+       |  SELECT event_id, ot,
+       |    max(ot) OVER (ORDER BY event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM obs),
+       |l AS (
+       |  SELECT CASE WHEN pm IS NULL OR pm <= ot THEN 0
+       |         ELSE pm - ot END AS late FROM o)
+       |SELECT CAST(late // 60 AS BIGINT) AS bucket,
+       |  count(*) AS n_events,
+       |  CAST(max(late) AS BIGINT) AS max_late_s
+       |FROM l GROUP BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events").select(col("event_id"),
+      expr("unix_micros(ts) div 1000000").as("t"))
+    val obs = ev.select(col("event_id"),
+      (col("t") + Extras2.feistel32(col("event_id"), lit(13L)) % 601
+        - 300).as("ot"),
+      expr("event_id div 500").as("blk"))
+    val wB = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // block maxima + exclusive prefix over the BLOCK table only
+    val bpre = obs.groupBy("blk").agg(max("ot").as("bm"))
+      .withColumn("bpm", max("bm").over(wB))
+      .select("blk", "bpm")
+    val wIn = Window.partitionBy("blk").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    obs.join(broadcast(bpre), Seq("blk"))
+      .withColumn("wpm", max("ot").over(wIn))
+      .withColumn("pm", greatest(col("bpm"), col("wpm")))
+      .withColumn("late",
+        when(col("pm").isNull || col("pm") <= col("ot"), 0L)
+          .otherwise(col("pm") - col("ot")))
+      .groupBy(expr("late div 60").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        max("late").cast("long").as("max_late_s"))
+  }
+
   val all: Seq[Q] =
     Seq(q21, q22, q23, q24, q25, q26, q27, q42, q43, q44, q45, q58, q59,
-      q68, q71, q78, q84, q92, q119, q122, q123, q145, q183, q184, q201)
+      q68, q71, q78, q84, q92, q119, q122, q123, q145, q183, q184, q201,
+      q216)
 }

@@ -712,7 +712,7 @@ object Extras2 {
     * oracle's three instances (8-ring, 10-ring, doc keys) cannot
     * drift from q204's arithmetic.
     */
-  private def feistelSqlChain(src: String, idCol: String, tag: String,
+  private[queries] def feistelSqlChain(src: String, idCol: String, tag: String,
       seed: Long, outName: String): String = {
     val rounds = (0 to 3).map { i =>
       s"""${outName}_r${i + 1} AS (

@@ -534,6 +534,45 @@ class Round10bSpec extends SparkSpec {
       "each feature needs multiple buckets for PSI to mean anything")
   }
 
+  // ---- q216 event-time disorder audit
+
+  test("q216: the two-level block prefix-max equals a shared-nothing " +
+    "sequential high-water-mark recomputation, disorder is " +
+    "non-vacuous (late and on-time both occur), and the only " +
+    "single-partition exchange in the plan is the block window") {
+    import graft.queries.Events
+    val evs = Tables(spark, sf, "events")
+      .selectExpr("event_id", "unix_micros(ts) div 1000000 as t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val obs = evs.map { case (id, t) =>
+      (id, t + refFeistel(id, 13L) % 601 - 300)
+    }
+    var hwm = Long.MinValue
+    val lates = obs.map { case (_, ot) =>
+      val late = if (hwm > ot) hwm - ot else 0L
+      hwm = math.max(hwm, ot)
+      late
+    }
+    val exp = lates.groupBy(_ / 60).map { case (b, ls) =>
+      b -> (ls.length.toLong, ls.max)
+    }
+    val df = Events.q216.fn(spark, sf)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp)
+    assert(got.keySet.size > 1 && got.contains(0L),
+      "need both on-time and late mass for the histogram to mean " +
+        "anything")
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("windowspecdefinition(blk"),
+      s"corpus window must partition by blk:\n$plan")
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles == 1,
+      s"expected exactly the block-max SinglePartition, got $singles")
+  }
+
   // ---- q212 video gate
 
   test("videoReason: the oracle-unreachable branches fire on " +
