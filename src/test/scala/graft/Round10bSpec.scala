@@ -460,6 +460,23 @@ class Round10bSpec extends SparkSpec {
       s"ring must move less than modulo ($stolen vs $modMoved)")
   }
 
+  test("ringOwner: a key ABOVE every vnode position wraps to the " +
+    "global minimum instead of throwing — the ANSI element_at-on-" +
+    "empty-array path ScaleSmoke's key-shifted corpus exposed") {
+    import graft.queries.Extras2
+    import spark.implicits._
+    val df = Seq(
+      (5L, Seq((10L, 1L), (20L, 2L), (30L, 3L))), // below all -> 1
+      (25L, Seq((10L, 1L), (20L, 2L), (30L, 3L))), // mid -> 3
+      (99L, Seq((10L, 1L), (20L, 2L), (30L, 3L)))) // above all -> wrap 1
+      .toDF("key", "raw")
+      .withColumn("ps", expr(
+        "transform(raw, r -> named_struct('pos', r._1, 'shard', r._2))"))
+    val got = df.select(col("key"), Extras2.ringOwner("ps").as("o"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 1L, 25L -> 3L, 99L -> 1L))
+  }
+
   // ---- q214 Poisson bootstrap
 
   test("q214: replicate totals equal a shared-nothing recomputation " +
