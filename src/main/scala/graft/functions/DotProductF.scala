@@ -249,5 +249,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg(exprs(1), "graft_shingle_set"),
           intArg(exprs(2), "graft_shingle_set"))
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKPairsF].getName, "graft_topk"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_topk", exprs, 3)
+        // analysis wraps a bare AggregateFunction into an
+        // AggregateExpression (ResolveFunctions)
+        TopKPairsF(exprs(0), exprs(1), intArg(exprs(2), "graft_topk"))
+      }))
   }
 }

@@ -942,6 +942,36 @@ object Extras2 {
             .as("psi_micro"))
   }
 
+  /** NATIVE BOUNDED TOP-K PER GROUP — the
+    * [[graft.functions.TopKPairsF]] aggregate driving a real query:
+    * per source, the 3 longest docs (ties to the lower doc id). The
+    * window formulation the ORACLE runs (`row_number() OVER
+    * (PARTITION BY source ORDER BY ...)` then `rn <= 3`) shuffles
+    * and sorts EVERY row before filtering; the native aggregate
+    * trims to k inside each map task, so the exchange carries ≤ k
+    * pairs per (source, input partition) and nothing ever sorts the
+    * corpus — the spec pins the ObjectHashAggregate partial→final
+    * pair around the exchange. Same answer, two structurally
+    * different plans: the hash gate proves the bounded-heap
+    * semantics (including tie order) equal the window's.
+    */
+  val q217 = Q("q217_topk_native",
+    """SELECT source, CAST(rn AS BIGINT) AS rank, n_chars, doc_id
+      |FROM (
+      |  SELECT source, n_chars, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    import graft.functions.TopKPairsF
+    t(s, dir, "documents")
+      .groupBy("source")
+      .agg(TopKPairsF(col("n_chars"), col("doc_id"), 3).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.ord").as("n_chars"), col("col.payload").as("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
-    q211, q213, q214, q215)
+    q211, q213, q214, q215, q217)
 }

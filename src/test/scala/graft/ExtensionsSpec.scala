@@ -148,4 +148,19 @@ class ExtensionsSpec extends SparkSpec with BeforeAndAfterAll {
       .plannerStrategies(SparkSpec.session)
     assert(base.length <= strategies.length)
   }
+
+  test("graft_topk resolves as a SQL aggregate through the extension " +
+    "(analysis wraps the bare TypedImperativeAggregate) and matches " +
+    "a driver-side top-k with the documented tie order") {
+    val sf = "/root/testdata/sf0.001"
+    val got = ext.sql(
+      s"""SELECT inline(graft_topk(n_chars, doc_id, 2))
+         |FROM parquet.`$sf/documents.parquet`""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val docs = ext.read.parquet(s"$sf/documents.parquet")
+      .select("n_chars", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exp = docs.sortBy { case (o, p) => (-o, p) }.take(2).toSeq
+    assert(got == exp)
+  }
 }

@@ -551,6 +551,60 @@ class Round10bSpec extends SparkSpec {
       "each feature needs multiple buckets for PSI to mean anything")
   }
 
+  // ---- q217 native bounded top-k aggregate
+
+  test("TopKPairsF: cross-partition merges with ties and trim " +
+    "pressure reproduce the window semantics exactly (ord DESC, " +
+    "payload ASC), and the plan is the partial→exchange→final " +
+    "ObjectHashAggregate pair — the map-side-bounded shape, not a " +
+    "corpus sort") {
+    import graft.functions.TopKPairsF
+    import spark.implicits._
+    // 3 groups × 40 rows with deliberate ord ties; 13 partitions so
+    // partial buffers serde across the exchange and merge repeatedly
+    val rows40 = for {
+      g <- Seq("a", "b", "c"); i <- 0 until 40
+    } yield (g, (i % 7).toLong, i.toLong)
+    val df = rows40.toDF("g", "ord", "payload").repartition(13)
+    val out = df.groupBy("g")
+      .agg(TopKPairsF(col("ord"), col("payload"), 5).as("top"))
+    val got = out.collect().map { r =>
+      r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getLong(1)))
+    }.toMap
+    val exp = rows40.groupBy(_._1).view.mapValues {
+      _.map(t => (t._2, t._3)).sortBy { case (o, p) => (-o, p) }.take(5)
+    }.toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (g, s) => assert(s == exp(g), s"group $g") }
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate must run in ObjectHashAggregate:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "expected the partial and final aggregate modes")
+    assert(!plan.contains("Sort "),
+      s"the native top-k must not sort the input:\n$plan")
+  }
+
+  test("q217: the native aggregate's corpus answer equals the window " +
+    "formulation (the oracle's plan) recomputed shared-nothing — " +
+    "the SQL surface is covered in ExtensionsSpec") {
+    import graft.queries.Extras2
+    val got = Extras2.q217.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val docs = Tables(spark, sf, "documents")
+      .select("source", "n_chars", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exp = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy(d => (-d._2, d._3)).take(3).zipWithIndex.map {
+        case ((_, nc, id), i) => (src, i + 1L, nc, id)
+      }
+    }.toSet
+    assert(got == exp)
+  }
+
   // ---- q216 event-time disorder audit
 
   test("q216: the two-level block prefix-max equals a shared-nothing " +
