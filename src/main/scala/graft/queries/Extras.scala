@@ -1804,8 +1804,14 @@ object Extras {
     * per row) and one partial-aggregated doc-grain sum. Nothing is
     * per-row log math: every log is taken at vocab grain.
     */
-  val q143 = Q("q143_lm_bigram_score",
-    """WITH tok AS (
+  /** The q143 generic-LM scoring chain as a reusable oracle-CTE
+    * prefix ending in `gscored(doc_id, n_bigrams, score_ubits)` over
+    * the held-out docs — shared with the q219 loss-difference
+    * selection (the lmSqlCtes device; CTE names are disjoint from
+    * Extras2.lmSqlCtes so the two prefixes compose in one WITH).
+    */
+  private[queries] val lmGenSqlCtes: String =
+    """tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS ts,
       |    len(string_split(text, ' ')) AS n
       |  FROM documents),
@@ -1825,14 +1831,28 @@ object Extras {
       |fb AS (SELECT w1,
       |    CAST(round(ln(1.0 / (cu + 4096)) * 1000000) AS BIGINT)
       |      AS fb_ubits
-      |  FROM tc)
-      |SELECT doc_id, count(*) AS n_bigrams,
-      |  CAST(sum(coalesce(wt.ubits, fb.fb_ubits,
-      |    CAST(round(ln(1.0 / 4096) * 1000000) AS BIGINT)))
-      |    AS BIGINT) AS score_ubits
-      |FROM bg LEFT JOIN wt USING (w1, w2) LEFT JOIN fb USING (w1)
-      |WHERE doc_id % 10 <> 0
-      |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      |  FROM tc),
+      |gscored AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(coalesce(wt.ubits, fb.fb_ubits,
+      |      CAST(round(ln(1.0 / 4096) * 1000000) AS BIGINT)))
+      |      AS BIGINT) AS score_ubits
+      |  FROM bg LEFT JOIN wt USING (w1, w2) LEFT JOIN fb USING (w1)
+      |  WHERE doc_id % 10 <> 0
+      |  GROUP BY doc_id)""".stripMargin
+
+  val q143 = Q("q143_lm_bigram_score",
+    s"""WITH $lmGenSqlCtes
+       |SELECT doc_id, n_bigrams, score_ubits
+       |FROM gscored""".stripMargin) { (s, dir) =>
+    lmGenericScored(s, dir)
+  }
+
+  /** q143's engine body as a reusable frame (doc_id, n_bigrams,
+    * score_ubits) — one definition for q143 and the q219 selection.
+    */
+  private[queries] def lmGenericScored(
+      s: SparkSession, dir: String): DataFrame = {
     val toks = docsTable(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .withColumn("n", size(col("ts")))

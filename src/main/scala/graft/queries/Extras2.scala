@@ -972,6 +972,96 @@ object Extras2 {
         col("col.ord").as("n_chars"), col("col.payload").as("doc_id"))
   }
 
+  /** K-ANONYMITY AUDIT — the privacy-review pass a dataset release
+    * runs before publishing anything row-grained: every
+    * quasi-identifier combination (source, lang, length bucket —
+    * the attributes a joiner could link on) must cover at least k=5
+    * rows, or those rows are re-identification risks that need
+    * suppression/generalization. Output per source: group count,
+    * risky-group count, risky-row count, and the integer per-mille
+    * suppression rate a compliant release would pay. The audit is
+    * pure counting — two aggregates, no privacy math to diverge on —
+    * which is exactly why it belongs in-engine rather than in a
+    * notebook: it re-runs on every snapshot as cheaply as a word
+    * count.
+    *
+    * Shape: one QI-grain aggregate (the only corpus exchange,
+    * map-side partials; QI cardinality is bounded by the attribute
+    * domains, not the corpus) + one source-grain rollup. Source is
+    * part of the QI, so each QI group rolls into exactly one source
+    * row — no double counting by construction.
+    */
+  val q218 = Q("q218_kanon_audit",
+    """WITH qi AS (
+      |  SELECT source, lang, n_chars // 100 AS lb, count(*) AS c
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT source,
+      |  count(*) AS n_groups,
+      |  CAST(count(*) FILTER (WHERE c < 5) AS BIGINT)
+      |    AS n_risky_groups,
+      |  CAST(COALESCE(sum(c) FILTER (WHERE c < 5), 0) AS BIGINT)
+      |    AS n_risky_docs,
+      |  CAST(1000 * COALESCE(sum(c) FILTER (WHERE c < 5), 0)
+      |    // sum(c) AS BIGINT) AS risky_pm
+      |FROM qi GROUP BY source""".stripMargin) { (s, dir) =>
+    val qi = t(s, dir, "documents")
+      .groupBy(col("source"), col("lang"),
+        expr("n_chars div 100").as("lb"))
+      .agg(count(lit(1)).as("c"))
+    qi.groupBy("source")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("c") < 5, 1L).otherwise(0L)).cast("long")
+          .as("n_risky_groups"),
+        sum(when(col("c") < 5, col("c")).otherwise(0L)).cast("long")
+          .as("n_risky_docs"),
+        expr("1000 * sum(CASE WHEN c < 5 THEN c ELSE 0 END) " +
+          "div sum(c)").cast("long").as("risky_pm"))
+  }
+
+  /** LOSS-DIFFERENCE DATA SELECTION (RHO-loss shape) — the modern
+    * data-selection move: score each candidate under TWO models and
+    * keep the docs where a GENERIC model is surprised but the
+    * IN-DOMAIN reference is not (high generic loss = informative;
+    * low reference loss = learnable/on-distribution — the difference
+    * filters out both the boring and the noise). The generic arm is
+    * q143's modulo-slice LM ([[Extras.lmGenericScored]] — one shared
+    * definition) restricted to its held-out docs; the reference arm
+    * is q209's en-trained LM ([[lmScored]]). Both averages are
+    * nonneg micro-nats per bigram; the generic total is NEGATED
+    * BEFORE its integer division (a negative dividend floor-divides
+    * differently in the two engines — DuckDB floors toward −∞,
+    * Spark's div truncates toward 0 — so the division must only ever
+    * see non-negative operands; q143 never divided, q219 does).
+    * Output: top-100 candidates by (excess desc, doc_id), with both
+    * arms' averages riding along. The oracle composes BOTH shared
+    * CTE prefixes — neither arm's formula exists twice anywhere.
+    *
+    * Shape: the two scoring chains (each audited at its own query)
+    * + one doc-grain join + TakeOrdered(100). Selection cost is the
+    * scorers'.
+    */
+  val q219 = Q("q219_rho_select",
+    s"""WITH ${Extras.lmGenSqlCtes},
+       |$lmSqlCtes
+       |SELECT g.doc_id,
+       |  CAST((-g.score_ubits) // g.n_bigrams AS BIGINT) AS gen_avg,
+       |  s2.nat_micro_avg AS ref_avg,
+       |  CAST((-g.score_ubits) // g.n_bigrams - s2.nat_micro_avg
+       |    AS BIGINT) AS excess_micro
+       |FROM gscored g JOIN scored s2 USING (doc_id)
+       |ORDER BY excess_micro DESC, g.doc_id
+       |LIMIT 100""".stripMargin) { (s, dir) =>
+    val gen = Extras.lmGenericScored(s, dir)
+      .select(col("doc_id"),
+        expr("(-score_ubits) div n_bigrams").as("gen_avg"))
+    val ref = lmScored(s, dir)
+      .select(col("doc_id"), col("nat_micro_avg").as("ref_avg"))
+    gen.join(ref, Seq("doc_id"))
+      .withColumn("excess_micro", col("gen_avg") - col("ref_avg"))
+      .orderBy(col("excess_micro").desc, col("doc_id"))
+      .limit(100)
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
-    q211, q213, q214, q215, q217)
+    q211, q213, q214, q215, q217, q218, q219)
 }

@@ -605,6 +605,94 @@ class Round10bSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  // ---- q218 k-anonymity audit
+
+  test("q218: counts equal a shared-nothing recomputation over the " +
+    "quasi-identifier grid, and the audit is non-vacuous — risky " +
+    "groups and safe groups both exist at this sf") {
+    import graft.queries.Extras2
+    val docs = Tables(spark, sf, "documents")
+      .select("source", "lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+    val qi = docs.groupBy(identity).view.mapValues(_.length).toMap
+    val exp = qi.groupBy(_._1._1).map { case (src, gs) =>
+      val risky = gs.filter(_._2 < 5)
+      val total = gs.values.sum.toLong
+      val riskyDocs = risky.values.sum.toLong
+      src -> (gs.size.toLong, risky.size.toLong, riskyDocs,
+        1000L * riskyDocs / total)
+    }
+    val got = Extras2.q218.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == exp)
+    assert(got.values.exists(_._2 > 0), "no risky groups — vacuous")
+    assert(got.values.exists(v => v._1 > v._2),
+      "every group risky — the k threshold is not discriminating")
+  }
+
+  // ---- q219 loss-difference selection
+
+  test("q219: the selection equals a shared-nothing recomputation of " +
+    "BOTH language models (generic modulo-slice + in-domain en) with " +
+    "sign-safe integer averaging, and the kept set is exactly the " +
+    "excess-ordered top-100") {
+    import graft.queries.Extras2
+    val texts = Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bigramsOf = (t: String) => t.split(" ", -1).sliding(2)
+      .filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+    // generic arm — q143's model: train doc_id%10==0, fixed V=4096
+    val gTrain = texts.filter(_._1 % 10 == 0)
+    val cb = gTrain.flatMap(t => bigramsOf(t._3))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cu = cb.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val floorU = math.round(math.log(1.0 / 4096) * 1e6)
+    def genScore(a: String, b: String): Long = cb.get((a, b)) match {
+      case Some(n) => math.round(math.log((n + 1.0) /
+        (cu(a) + 4096)) * 1e6)
+      case None => cu.get(a) match {
+        case Some(u) => math.round(math.log(1.0 / (u + 4096)) * 1e6)
+        case None => floorU
+      }
+    }
+    // reference arm — q209's model: train lang=='en', data-derived V
+    val rTrain = texts.filter(_._2 == "en")
+    val c2 = rTrain.flatMap(t => bigramsOf(t._3))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = rTrain.flatMap(t => bigramsOf(t._3).map(_._1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val v = rTrain.flatMap(_._3.split(" ", -1)).distinct.length.toLong
+    val scores = texts.filter(t => t._1 % 10 != 0)
+      .flatMap { case (id, _, tx) =>
+        val bgs = bigramsOf(tx)
+        if (bgs.isEmpty) None
+        else {
+          val gSum = bgs.map { case (a, b) => genScore(a, b) }.sum
+          val rSum = bgs.map { case (a, b) =>
+            math.round(math.log((c1.getOrElse(a, 0L) + v).toDouble /
+              (c2.getOrElse((a, b), 0L) + 1)) * 1e6)
+          }.sum
+          val genAvg = (-gSum) / bgs.length
+          val refAvg = rSum / bgs.length
+          Some((id, genAvg, refAvg, genAvg - refAvg))
+        }
+      }
+    val exp = scores.sortBy(x => (-x._4, x._1)).take(100)
+      .map(x => (x._1, x._2, x._3, x._4)).toSet
+    val got = Extras2.q219.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == exp)
+    // selection coherence: kept min excess >= excluded max excess
+    val keptMin = exp.map(_._4).min
+    val excluded = scores.sortBy(x => (-x._4, x._1)).drop(100)
+    if (excluded.nonEmpty)
+      assert(keptMin >= excluded.map(_._4).max)
+  }
+
   // ---- q216 event-time disorder audit
 
   test("q216: the two-level block prefix-max equals a shared-nothing " +
