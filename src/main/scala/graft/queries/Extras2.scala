@@ -1062,6 +1062,69 @@ object Extras2 {
       .limit(100)
   }
 
+  /** PII REDACTION TRANSFORM — q52 counts PII, this one REMOVES it
+    * and proves the removal byte-exact: plant deterministic PII
+    * spans (email on id%7, IPv4 on id%11, phone on id%13 — overlaps
+    * occur, id=0 carries all three), run the REAL
+    * regexp_replace chain (email → [EMAIL] first, then IPv4 → [IP],
+    * then phone → [PHONE]; RE2-portable patterns, no backreferences
+    * — the q172 convention), and gate (doc_id, n_redactions,
+    * md5(redacted)). The oracle NEVER runs a regex: the corpus
+    * carries no '@', digits, or dots (measured — documented
+    * precondition), so it reconstructs the redacted text
+    * ARITHMETICALLY from the same planted layout — a hash match
+    * proves the chain redacted exactly the planted spans and
+    * touched nothing else. Map-only at any scale.
+    */
+  /** The redaction chain alone — emails first, then IPv4, then
+    * phone runs; position-independent (the spec drives mid-string
+    * and multi-instance cases a suffix-only corpus cannot).
+    */
+  private[graft] def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c,
+          "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+", "[EMAIL]"),
+        "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "[IP]"),
+      "[0-9]{3}-[0-9]{4}", "[PHONE]")
+
+  val q220 = Q("q220_pii_redact",
+    """WITH p AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS m7,
+      |    CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS m11,
+      |    CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS m13
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, m7 + m11 + m13 AS n_redactions,
+      |    text
+      |    || CASE WHEN m7 = 1 THEN ' contact [EMAIL]' ELSE '' END
+      |    || CASE WHEN m11 = 1 THEN ' from [IP]' ELSE '' END
+      |    || CASE WHEN m13 = 1 THEN ' call [PHONE]' ELSE '' END
+      |      AS red
+      |  FROM p)
+      |SELECT doc_id, CAST(n_redactions AS BIGINT) AS n_redactions,
+      |  md5(red) AS red_md5
+      |FROM r""".stripMargin) { (s, dir) =>
+    val id = col("doc_id")
+    val planted = concat(col("text"),
+      when(id % 7 === 0, concat(lit(" contact bob"),
+        (id % 100).cast("string"), lit("@mail"),
+        (id % 10).cast("string"), lit(".com"))).otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" from 10."),
+        (id % 256).cast("string"), lit(".0."),
+        (id % 200 + 1).cast("string"))).otherwise(lit("")),
+      when(id % 13 === 0, concat(lit(" call 555-"),
+        lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val redacted = redactPii(planted)
+    t(s, dir, "documents").select(id,
+      (when(id % 7 === 0, 1L).otherwise(0L) +
+        when(id % 11 === 0, 1L).otherwise(0L) +
+        when(id % 13 === 0, 1L).otherwise(0L)).as("n_redactions"),
+      md5(encode(redacted, "UTF-8")).as("red_md5"))
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
-    q211, q213, q214, q215, q217, q218, q219)
+    q211, q213, q214, q215, q217, q218, q219, q220)
 }

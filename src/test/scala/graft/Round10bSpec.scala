@@ -693,6 +693,32 @@ class Round10bSpec extends SparkSpec {
       assert(keptMin >= excluded.map(_._4).max)
   }
 
+  // ---- q220 PII redaction
+
+  test("redactPii: mid-string and multi-instance spans redact, " +
+    "near-misses survive (3-part dotted number, short digit-dash " +
+    "runs), and the oracle device's precondition holds — the corpus " +
+    "carries no '@', digits, or dots of its own") {
+    import graft.queries.Extras2
+    import spark.implicits._
+    val cases = Seq(
+      ("write bob@x.com then call 555-1234 now",
+        "write [EMAIL] then call [PHONE] now"),
+      ("ips 1.2.3.4 and 10.0.0.1 pair", "ips [IP] and [IP] pair"),
+      ("version 1.2.3 stays; 12-3456 stays; 555-123 stays",
+        "version 1.2.3 stays; 12-3456 stays; 555-123 stays"),
+      ("a.b@c.de mid", "[EMAIL] mid"))
+      .toDF("s", "expected")
+    val got = cases.select(Extras2.redactPii(col("s")).as("r"),
+      col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // oracle precondition: arithmetic reconstruction rests on this
+    val dirty = Tables(spark, sf, "documents")
+      .filter(col("text").rlike("[@0-9.]")).count()
+    assert(dirty == 0, "corpus carries PII-pattern characters — the " +
+      "q220 oracle's reconstruction device no longer holds")
+  }
+
   // ---- q216 event-time disorder audit
 
   test("q216: the two-level block prefix-max equals a shared-nothing " +
