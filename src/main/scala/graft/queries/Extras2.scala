@@ -886,7 +886,12 @@ object Extras2 {
     * bucket table is the only exchanged grain; nothing corpus-sized
     * moves after the first aggregate.
     */
-  val q215 = Q("q215_psi_drift",
+  /** The PSI oracle SQL — shared verbatim by q215 (in-query
+    * reference) and q221 (stored reference): the two engine paths
+    * must produce the identical drift report, so they share one
+    * oracle (the q158≡q129 same-oracle device).
+    */
+  private val psiSql: String =
     """WITH f AS (
       |  SELECT doc_id < 300 AS is_ref, feature, bucket FROM (
       |    SELECT doc_id,
@@ -914,32 +919,83 @@ object Extras2 {
       |    * ln(((c_ref + 1.0) / (n_ref + b))
       |        / ((c_cur + 1.0) / (n_cur + b)))) AS BIGINT)
       |    AS psi_micro
-      |FROM cnt c JOIN tot t ON c.feature = t.feature""".stripMargin) {
-    (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val f = docs.select((col("doc_id") < 300).as("is_ref"),
-        explode(array(
-          struct(lit("n_chars").as("feature"),
-            expr("n_chars div 100").as("bucket")),
-          struct(lit("n_tokens").as("feature"),
-            expr("size(split(text, ' ')) div 10").cast("long")
-              .as("bucket")))).as("fb"))
-        .select(col("is_ref"), col("fb.feature").as("feature"),
-          col("fb.bucket").as("bucket"))
-      val cnt = f.groupBy("feature", "bucket")
-        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
-          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
-      val tot = cnt.groupBy("feature")
-        .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"),
-          count(lit(1)).as("b"))
-      val p = (col("c_ref") + 1.0) / (col("n_ref") + col("b"))
-      val q = (col("c_cur") + 1.0) / (col("n_cur") + col("b"))
-      cnt.join(broadcast(tot), Seq("feature"))
-        .select(col("feature"), col("bucket"),
-          col("c_ref").cast("long").as("c_ref"),
-          col("c_cur").cast("long").as("c_cur"),
-          round((p - q) * log(p / q) * 1000000).cast("long")
-            .as("psi_micro"))
+      |FROM cnt c JOIN tot t ON c.feature = t.feature""".stripMargin
+
+  /** The in-row feature/bucket projection — ONE definition for both
+    * PSI paths and the stored-reference build.
+    */
+  private def featBuckets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array(
+        struct(lit("n_chars").as("feature"),
+          expr("n_chars div 100").as("bucket")),
+        struct(lit("n_tokens").as("feature"),
+          expr("size(split(text, ' ')) div 10").cast("long")
+            .as("bucket")))).as("fb"))
+      .select(col("doc_id"), col("fb.feature").as("feature"),
+        col("fb.bucket").as("bucket"))
+
+  /** PSI term math over a (feature, bucket, c_ref, c_cur) frame —
+    * shared by q215/q221.
+    */
+  private[graft] def psiOf(cnt: DataFrame): DataFrame = {
+    val tot = cnt.groupBy("feature")
+      .agg(sum("c_ref").as("n_ref"), sum("c_cur").as("n_cur"),
+        count(lit(1)).as("b"))
+    val p = (col("c_ref") + 1.0) / (col("n_ref") + col("b"))
+    val q = (col("c_cur") + 1.0) / (col("n_cur") + col("b"))
+    cnt.join(broadcast(tot), Seq("feature"))
+      .select(col("feature"), col("bucket"),
+        col("c_ref").cast("long").as("c_ref"),
+        col("c_cur").cast("long").as("c_cur"),
+        round((p - q) * log(p / q) * 1000000).cast("long")
+          .as("psi_micro"))
+  }
+
+  val q215 = Q("q215_psi_drift", psiSql) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val f = featBuckets(docs)
+      .withColumn("is_ref", col("doc_id") < 300)
+    val cnt = f.groupBy("feature", "bucket")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+    psiOf(cnt)
+  }
+
+  /** STORED-REFERENCE PSI — the deployment form of q215: the
+    * reference distribution is a PERSISTED artifact (bucket counts
+    * written once, the q208/q167 store convention), and a drift
+    * check scans ONLY the current slice (pushed watermark filter),
+    * full-outer-joins the stored buckets (zero-filling either side —
+    * a bucket seen only in one slice must still contribute its PSI
+    * term), and reuses q215's term math verbatim. Same oracle as
+    * q215: the stored path must reproduce the in-query path
+    * bit-for-bit, which is the whole claim — a drift monitor that
+    * disagrees with its own offline definition is worse than none.
+    * Per-run cost: the current slice's scan + a bucket-grain join;
+    * the reference corpus is never re-read.
+    */
+  val q221 = Q("q221_psi_stored", psiSql) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val wh = graft.sources.Warehouse(
+      graft.SessionScratch.dir(s,
+        s"psiref_${graft.SessionScratch.keyOf(dir)}"))
+    val refTable = s"psi_ref_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, refTable) {
+      wh.overwrite(
+        featBuckets(docs.filter(col("doc_id") < 300))
+          .groupBy("feature", "bucket")
+          .agg(count(lit(1)).as("c_ref")), refTable)
+    }
+    val cur = featBuckets(docs.filter(col("doc_id") >= 300))
+      .groupBy("feature", "bucket")
+      .agg(count(lit(1)).as("c_cur"))
+    val cnt = wh.read(s, refTable)
+      .join(cur, Seq("feature", "bucket"), "full_outer")
+      .select(col("feature"), col("bucket"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    psiOf(cnt)
   }
 
   /** NATIVE BOUNDED TOP-K PER GROUP — the
@@ -1125,6 +1181,78 @@ object Extras2 {
       md5(encode(redacted, "UTF-8")).as("red_md5"))
   }
 
+  /** Pair-set evaluation metrics — |truth|, |pred|, |hit| and
+    * integer per-mille precision/recall over (doc_a, doc_b) /
+    * (da, db) pair frames. Factored so the spec can drive partial
+    * overlap and empty-side cases the corpus (which measures
+    * perfect agreement) cannot.
+    */
+  private[graft] def dedupEval(pred: DataFrame,
+      truth: DataFrame): DataFrame = {
+    val p = pred.select(col("doc_a"), col("doc_b")).distinct()
+    val tr = truth.select(col("da"), col("db")).distinct()
+    val hit = p.join(tr,
+      col("doc_a") === col("da") && col("doc_b") === col("db"))
+    p.agg(count(lit(1)).as("n_pred"))
+      .crossJoin(tr.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_pred"), col("n_hit"),
+        expr("CASE WHEN n_pred > 0 THEN 1000 * n_hit div n_pred " +
+          "ELSE 0 END").cast("long").as("precision_pm"),
+        expr("CASE WHEN n_truth > 0 THEN 1000 * n_hit div n_truth " +
+          "ELSE 0 END").cast("long").as("recall_pm"))
+  }
+
+  /** DEDUP-DETECTOR EVALUATION — the quality check a pipeline runs
+    * before trusting a cheap near-dup detector: score the MinHash/LSH
+    * candidate generator (q30, consumed AS A LIBRARY FRAME — the
+    * registry's queries compose) against the corpus's labeled
+    * near-dup structure (pairs sharing the 10-token head
+    * fingerprint, q167's key — the planted duplication the corpus
+    * carries by construction). Output: one row of |truth|, |pred|,
+    * |hit|, integer per-mille precision and recall. At sf0.01 the
+    * detector is measured PERFECT (25 = 25 = 25 — the banding
+    * catches every head-sharer and nothing else), which is itself
+    * the corpus property the spec asserts; partial-overlap and
+    * empty-side arithmetic is spec-driven through [[dedupEval]] on
+    * constructed frames. The oracle embeds q30's own oracle as a CTE
+    * — the evaluated detector and its oracle cannot drift.
+    *
+    * Shape: q30's audited candidate cost + one fp-grain self-join
+    * for the truth pairs + pair-grain join and three 1-row
+    * aggregates. Nothing beyond the detector's own cost model.
+    */
+  val q222 = Q("q222_dedup_eval",
+    s"""WITH pred AS (${TextQueries.q30.oracle.get}),
+       |pd AS (SELECT DISTINCT doc_a, doc_b FROM pred),
+       |fp AS (SELECT doc_id,
+       |  md5(array_to_string(string_split(text, ' ')[1:10], ' '))
+       |    AS f FROM documents),
+       |hp AS (SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id),
+       |h AS (SELECT count(*) AS c FROM pd
+       |  JOIN hp ON doc_a = da AND doc_b = db),
+       |np AS (SELECT count(*) AS c FROM pd),
+       |nt AS (SELECT count(*) AS c FROM hp)
+       |SELECT CAST(nt.c AS BIGINT) AS n_truth,
+       |  CAST(np.c AS BIGINT) AS n_pred,
+       |  CAST(h.c AS BIGINT) AS n_hit,
+       |  CAST(CASE WHEN np.c > 0 THEN 1000 * h.c // np.c
+       |    ELSE 0 END AS BIGINT) AS precision_pm,
+       |  CAST(CASE WHEN nt.c > 0 THEN 1000 * h.c // nt.c
+       |    ELSE 0 END AS BIGINT) AS recall_pm
+       |FROM np, nt, h""".stripMargin) { (s, dir) =>
+    val pred = TextQueries.q30.fn(s, dir)
+    val fp = t(s, dir, "documents").select(col("doc_id"),
+      md5(array_join(slice(split(col("text"), " "), 1, 10), " "))
+        .as("f"))
+    val truth = fp.select(col("doc_id").as("da"), col("f"))
+      .join(fp.select(col("doc_id").as("db"), col("f")), Seq("f"))
+      .filter(col("da") < col("db"))
+      .select("da", "db")
+    dedupEval(pred, truth)
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
-    q211, q213, q214, q215, q217, q218, q219, q220)
+    q211, q213, q214, q215, q217, q218, q219, q220, q221, q222)
 }

@@ -719,6 +719,55 @@ class Round10bSpec extends SparkSpec {
       "q220 oracle's reconstruction device no longer holds")
   }
 
+  // ---- q221 stored-reference PSI
+
+  test("q221: the stored-reference drift report equals q215's " +
+    "in-query report row-for-row (the same-oracle claim, checked " +
+    "engine-side too), and single-sided buckets — absent at this sf " +
+    "— contribute positive terms through constructed frames") {
+    import graft.queries.Extras2
+    import spark.implicits._
+    val a = rows(Extras2.q215.fn(spark, sf))
+    val b = rows(Extras2.q221.fn(spark, sf))
+    assert(a == b)
+    // constructed: bucket 1 only in ref, bucket 2 shared, bucket 3
+    // only in cur — both zero-filled sides must yield terms > 0
+    // (a drifted-away bucket IS drift)
+    val cnt = Seq(("f", 1L, 10L, 0L), ("f", 2L, 5L, 5L),
+      ("f", 3L, 0L, 10L))
+      .toDF("feature", "bucket", "c_ref", "c_cur")
+    val terms = Extras2.psiOf(cnt).collect()
+      .map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(terms(1L) > 0 && terms(3L) > 0,
+      s"single-sided buckets must register drift: $terms")
+    assert(terms(2L) == 0, "a perfectly shared bucket has zero term")
+  }
+
+  // ---- q222 dedup-detector evaluation
+
+  test("dedupEval: partial overlap and empty-side cases produce the " +
+    "right integer per-mille metrics (guarded divisions), and the " +
+    "corpus measurement is the perfect-agreement row (25/25/25 at " +
+    "sf0.01 grain — here checked at this sf, non-vacuous)") {
+    import graft.queries.Extras2
+    import spark.implicits._
+    val pred = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val truth = Seq((1L, 2L), (7L, 8L)).toDF("da", "db")
+    val m = Extras2.dedupEval(pred, truth).collect()(0)
+    assert((m.getLong(0), m.getLong(1), m.getLong(2),
+      m.getLong(3), m.getLong(4)) == ((2L, 3L, 1L, 333L, 500L)))
+    val empty = Extras2.dedupEval(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), truth)
+      .collect()(0)
+    assert((empty.getLong(1), empty.getLong(2), empty.getLong(3),
+      empty.getLong(4)) == ((0L, 0L, 0L, 0L)))
+    val corpus = Extras2.q222.fn(spark, sf).collect()(0)
+    assert(corpus.getLong(0) > 0, "no planted near-dup pairs — vacuous")
+    assert(corpus.getLong(3) == 1000L && corpus.getLong(4) == 1000L,
+      "the banding should catch exactly the head-sharers on this " +
+        "corpus — if this breaks, the corpus or the detector changed")
+  }
+
   // ---- q216 event-time disorder audit
 
   test("q216: the two-level block prefix-max equals a shared-nothing " +
