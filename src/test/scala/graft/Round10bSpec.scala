@@ -768,6 +768,37 @@ class Round10bSpec extends SparkSpec {
         "corpus — if this breaks, the corpus or the detector changed")
   }
 
+  // ---- partition-count invariance for the new decompositions
+
+  test("q211/q216 are shuffle-partition invariant: the bucket-grain " +
+    "budget selection and the block prefix-max produce identical " +
+    "rows at 7 and 13 shuffle partitions (cloned session + cache " +
+    "nonces, the Round8 device — the decompositions must not depend " +
+    "on physical partitioning)") {
+    import graft.queries.{Events, Extras2}
+    val base211 = rows(Extras2.q211.fn(spark, sf))
+    val base216 = rows(Events.q216.fn(spark, sf))
+    val clone = spark.newSession()
+    def atPartitions(n: Int): (Set[Seq[Any]], Set[Seq[Any]]) = {
+      clone.conf.set("spark.sql.shuffle.partitions", n.toString)
+      Materialized.setNonceForTests(clone, s"r10binv$n")
+      SessionScratch.setNonceForTests(clone, s"r10binv$n")
+      try (rows(Extras2.q211.fn(clone, sf)),
+        rows(Events.q216.fn(clone, sf)))
+      finally {
+        Materialized.clear(clone)
+        Materialized.clearNonceForTests(clone)
+        SessionScratch.clearNonceForTests(clone)
+      }
+    }
+    val (a7, b7) = atPartitions(7)
+    assert(a7 == base211, "q211 changed with 7 shuffle partitions")
+    assert(b7 == base216, "q216 changed with 7 shuffle partitions")
+    val (a13, b13) = atPartitions(13)
+    assert(a13 == base211, "q211 changed with 13 shuffle partitions")
+    assert(b13 == base216, "q216 changed with 13 shuffle partitions")
+  }
+
   // ---- q216 event-time disorder audit
 
   test("q216: the two-level block prefix-max equals a shared-nothing " +
