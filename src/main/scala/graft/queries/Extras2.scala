@@ -1253,6 +1253,43 @@ object Extras2 {
     dedupEval(pred, truth)
   }
 
+  /** MERGE-ON-READ DELETES — the lakehouse delete path
+    * ([[graft.sources.Warehouse.deleteKeys]]/`readMor`): the base
+    * table persists once; two delete waves append ONLY their keys to
+    * the sidecar vector (base files untouched — O(deletes) writes,
+    * the whole point of deletion vectors); the read subtracts the
+    * vector with one anti-join. The oracle recomputes the surviving
+    * set arithmetically from the delete predicates — a hash match
+    * proves the vector path deletes exactly the requested keys and
+    * nothing else, THROUGH the store. Duplicate/overlapping deletes
+    * (the two waves intersect at doc_id ≡ 45 mod 63) are exercised
+    * on the corpus, not just in spec. Compaction equivalence and
+    * vector idempotence are spec-driven on a scratch store.
+    */
+  val q223 = Q("q223_mor_deletes",
+    """SELECT source, count(*) AS n_live,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_live
+      |FROM documents
+      |WHERE NOT (doc_id % 9 = 0 OR doc_id % 7 = 3)
+      |GROUP BY source""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val wh = graft.sources.Warehouse(
+      graft.SessionScratch.dir(s,
+        s"morstore_${graft.SessionScratch.keyOf(dir)}"))
+    val tbl = s"mor_docs_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, tbl) {
+      wh.overwrite(docs, tbl)
+      wh.deleteKeys(
+        docs.filter(col("doc_id") % 9 === 0).select("doc_id"), tbl)
+      wh.deleteKeys(
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), tbl)
+    }
+    wh.readMor(s, tbl, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_live"),
+        sum("n_chars").cast("long").as("chars_live"))
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
-    q211, q213, q214, q215, q217, q218, q219, q220, q221, q222)
+    q211, q213, q214, q215, q217, q218, q219, q220, q221, q222, q223)
 }

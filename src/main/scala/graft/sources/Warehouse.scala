@@ -339,6 +339,60 @@ final case class Warehouse(root: String) {
     * last complete table; any `.tmp` is an unfinished write and is
     * discarded by the next write anyway).
     */
+  // ---- merge-on-read deletion vectors ------------------------------
+
+  /** Lazy DELETE at key grain — the deletion-vector semantics the
+    * lakehouse formats (Delta DVs, Iceberg equality deletes) use to
+    * avoid rewriting base files for every delete: deleted keys
+    * APPEND to a sidecar `<table>__dv` table (O(deletes) write, base
+    * untouched), reads subtract the vector ([[readMor]]), and
+    * [[compactDv]] folds it in when the vector grows. Key-grain
+    * equality deletes, not row-position deletes — this store has no
+    * stable row ids; a key in the vector is deleted wherever it
+    * appears.
+    */
+  def deleteKeys(keys: DataFrame, table: String): Unit =
+    keys.write.mode("append").parquet(dir(table + "__dv"))
+
+  /** Merge-on-read: base ANTI JOIN deletion vector on `keyCol`. No
+    * distinct on the vector side, deliberately: anti-join semantics
+    * make duplicate deleted keys harmless, so the delete path never
+    * pays a dedup shuffle — and re-applying a vector is a no-op,
+    * which is what lets [[compactDv]] drop it outside the swap
+    * window. At scale the vector is usually broadcast-sized
+    * (deletes ≪ base); AQE picks BHJ.
+    */
+  def readMor(spark: SparkSession, table: String,
+      keyCol: String): DataFrame = {
+    val base = read(spark, table)
+    val dvDir = new File(dir(table + "__dv"))
+    if (!dvDir.exists()) base
+    else base.join(
+      spark.read.parquet(dvDir.getPath)
+        .select(org.apache.spark.sql.functions.col(keyCol)),
+      Seq(keyCol), "left_anti")
+  }
+
+  /** Fold the deletion vector into the base — the compaction that
+    * bounds MOR read cost. Writes base-minus-vector aside and swaps
+    * it live (same tmp/old rename window as [[mergeOverwrite]] — no
+    * concurrent readers/writers during the swap; an ACID format
+    * removes the window), then drops the vector. Crash analysis:
+    * before the swap completes, the old base plus the full vector
+    * are intact and MOR reads are unchanged; after the swap but
+    * before the vector delete, the vector applies AGAINST THE
+    * ALREADY-COMPACTED base — idempotent by anti-join (removes
+    * nothing), which is exactly why dropping it outside the swap is
+    * safe. A re-run completes the cleanup.
+    */
+  def compactDv(spark: SparkSession, table: String,
+      keyCol: String): Unit = {
+    val dvDir = new File(dir(table + "__dv"))
+    if (!dvDir.exists()) return
+    mergeOverwrite(readMor(spark, table, keyCol), table)
+    delete(dvDir)
+  }
+
   def recover(table: String): Unit = {
     val live = new File(dir(table))
     val old = new File(dir(table + ".old"))

@@ -768,6 +768,49 @@ class Round10bSpec extends SparkSpec {
         "corpus — if this breaks, the corpus or the detector changed")
   }
 
+  // ---- q223 merge-on-read deletion vectors
+
+  test("deletion vectors: waves append without touching base files, " +
+    "MOR reads see each wave incrementally, duplicate deleted keys " +
+    "are harmless, compaction folds the vector in (and removes it), " +
+    "and re-applying a stale vector post-compaction is a no-op") {
+    import graft.sources.Warehouse
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dv").toString
+    val wh = Warehouse(root)
+    val base = (0L until 100L).map(i => (i, s"v$i"))
+      .toDF("k", "v")
+    wh.overwrite(base, "tb")
+    val baseFiles = new java.io.File(s"$root/tb").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    // wave 1
+    wh.deleteKeys(Seq(1L, 2L, 3L).toDF("k"), "tb")
+    assert(wh.readMor(spark, "tb", "k").count() == 97)
+    // base files untouched by the delete
+    val after = new java.io.File(s"$root/tb").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after == baseFiles, "a delete must not rewrite base files")
+    // wave 2 overlaps wave 1 (2,3 again) — duplicates harmless
+    wh.deleteKeys(Seq(2L, 3L, 4L, 5L).toDF("k"), "tb")
+    assert(wh.readMor(spark, "tb", "k").count() == 95)
+    // compaction: fold in, vector gone, plain read == MOR
+    val morRows = rows(wh.readMor(spark, "tb", "k"))
+    wh.compactDv(spark, "tb", "k")
+    assert(rows(wh.read(spark, "tb")) == morRows)
+    assert(!new java.io.File(s"$root/tb__dv").exists(),
+      "vector must be dropped after compaction")
+    // stale-vector idempotence: re-applying the folded keys removes
+    // nothing (the crash-window argument for deleting the vector
+    // OUTSIDE the swap)
+    wh.deleteKeys(Seq(1L, 2L, 3L, 4L, 5L).toDF("k"), "tb")
+    assert(rows(wh.readMor(spark, "tb", "k")) == morRows)
+    wh.compactDv(spark, "tb", "k")
+    // the store keeps working: a fresh delete after two compactions
+    wh.deleteKeys(Seq(10L).toDF("k"), "tb")
+    assert(wh.readMor(spark, "tb", "k").count() == 94)
+  }
+
   // ---- partition-count invariance for the new decompositions
 
   test("q211/q216 are shuffle-partition invariant: the bucket-grain " +
