@@ -1290,6 +1290,94 @@ object Extras2 {
         sum("n_chars").cast("long").as("chars_live"))
   }
 
+  /** MERGE-ON-READ UPSERTS — the other half of the q223 delete path
+    * ([[graft.sources.Warehouse.upsertRows]]/`readMorUpsert`, the
+    * Hudi-MOR shape): the base persists at version 0; two upsert
+    * waves append ONLY their changed rows (ver 1: doc_id % 6 == 0
+    * re-stamped with n_chars+1000; ver 2: doc_id % 15 == 0 with
+    * n_chars+2000 — the waves OVERLAP at doc_id ≡ 0 mod 30, where
+    * latest-wins must pick ver 2); the read resolves latest-per-key
+    * with one max-struct aggregate — no window, no sort. The oracle
+    * recomputes the effective values from the wave predicates
+    * (ver-2 wins CASE first): a hash match proves latest-wins
+    * resolution THROUGH the store, overlap included.
+    */
+  val q224 = Q("q224_mor_upserts",
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars + CASE WHEN doc_id % 15 = 0 THEN 2000
+      |    WHEN doc_id % 6 = 0 THEN 1000 ELSE 0 END) AS BIGINT)
+      |    AS chars_eff,
+      |  CAST(sum(CASE WHEN doc_id % 15 = 0 THEN 2
+      |    WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ver_total
+      |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val wh = graft.sources.Warehouse(
+      graft.SessionScratch.dir(s,
+        s"upstore_${graft.SessionScratch.keyOf(dir)}"))
+    val tbl = s"up_docs_${graft.SessionScratch.keyOf(dir)}"
+    val withVer = docs.select(col("doc_id"), col("source"),
+      col("n_chars"), lit(0L).as("ver"))
+    graft.SessionScratch.once(s, tbl) {
+      wh.overwrite(withVer, tbl)
+      wh.upsertRows(withVer.filter(col("doc_id") % 6 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .withColumn("ver", lit(1L)), tbl)
+      wh.upsertRows(withVer.filter(col("doc_id") % 15 === 0)
+        .withColumn("n_chars", col("n_chars") + 2000)
+        .withColumn("ver", lit(2L)), tbl)
+    }
+    wh.readMorUpsert(s, tbl, "doc_id", "ver")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("chars_eff"),
+        sum("ver").cast("long").as("ver_total"))
+  }
+
+  /** TIME TRAVEL — versioned immutable snapshots
+    * ([[graft.sources.Warehouse.writeVersion]]/`readVersion`): v1 is
+    * the full corpus, v2 applies deletes (doc_id % 9 == 0) and
+    * updates (+100 chars on doc_id % 4 == 0). The query reads BOTH
+    * versions AFTER v2 exists and reports each version's stats —
+    * the gate proves v1 remains bit-exact after v2 lands (the
+    * immutability that makes reproducible-experiment pins and
+    * incident rollback possible), and that v2 is what its
+    * predicates say. The oracle derives both versions from the one
+    * parquet corpus arithmetically.
+    */
+  val q225 = Q("q225_time_travel",
+    """SELECT 1 AS version, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |UNION ALL
+      |SELECT 2, count(*),
+      |  CAST(sum(n_chars + CASE WHEN doc_id % 4 = 0 THEN 100
+      |    ELSE 0 END) AS BIGINT)
+      |FROM documents WHERE doc_id % 9 <> 0""".stripMargin) {
+    (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val wh = graft.sources.Warehouse(
+        graft.SessionScratch.dir(s,
+          s"ttstore_${graft.SessionScratch.keyOf(dir)}"))
+      val tbl = s"tt_docs_${graft.SessionScratch.keyOf(dir)}"
+      graft.SessionScratch.once(s, tbl) {
+        wh.writeVersion(docs.select("doc_id", "source", "n_chars"), tbl)
+        wh.writeVersion(docs.filter(col("doc_id") % 9 =!= 0)
+          .select(col("doc_id"), col("source"),
+            (col("n_chars") + when(col("doc_id") % 4 === 0, 100L)
+              .otherwise(0L)).as("n_chars")), tbl)
+        ()
+      }
+      def statsOf(v: Int): DataFrame =
+        wh.readVersion(s, tbl, v)
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("sum_chars"))
+          .select(lit(v).cast("int").as("version"), col("n_docs"),
+            col("sum_chars"))
+      statsOf(1).unionByName(statsOf(2))
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
-    q211, q213, q214, q215, q217, q218, q219, q220, q221, q222, q223)
+    q211, q213, q214, q215, q217, q218, q219, q220, q221, q222, q223,
+    q224, q225)
 }

@@ -393,12 +393,80 @@ final case class Warehouse(root: String) {
     delete(dvDir)
   }
 
+  /** Lazy UPSERT at key grain — the other half of merge-on-read
+    * (Hudi MOR / Delta CDF shape): new row VERSIONS append to a
+    * sidecar `<table>__up` (schema-identical to the base, which
+    * carries its rows at the caller's base version), and
+    * [[readMorUpsert]] resolves latest-wins per key. Versions are
+    * caller-supplied (a lamport/batch number) — determinism is the
+    * caller's `verCol` being totally ordered per key; exact ties
+    * resolve by the remaining fields via struct ordering, never by
+    * arrival order.
+    */
+  def upsertRows(rows: DataFrame, table: String): Unit =
+    rows.write.mode("append").parquet(dir(table + "__up"))
+
+  /** Merge-on-read upsert resolution: base ∪ sidecar, one key-grain
+    * aggregate keeping the max-(version, fields...) struct — no
+    * window, no sort; the exchange carries one packed struct per
+    * (key, partition) after partial aggregation. Column order of the
+    * base table is preserved in the output.
+    */
+  def readMorUpsert(spark: SparkSession, table: String,
+      keyCol: String, verCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, struct}
+    val base = read(spark, table)
+    val upDir = new File(dir(table + "__up"))
+    val all =
+      if (!upDir.exists()) base
+      else base.unionByName(spark.read.parquet(upDir.getPath))
+    val others = all.columns.filter(_ != keyCol)
+    val packed = struct(
+      (col(verCol) +: others.filter(_ != verCol).map(col)).toSeq: _*)
+    val resolved = all.groupBy(col(keyCol)).agg(max(packed).as("__s"))
+    val restored = others.filter(_ != verCol)
+      .foldLeft(resolved.withColumn(verCol, col(s"__s.$verCol"))) {
+        (d, c) => d.withColumn(c, col(s"__s.$c"))
+      }
+    restored.select(all.columns.map(col).toSeq: _*)
+  }
+
   def recover(table: String): Unit = {
     val live = new File(dir(table))
     val old = new File(dir(table + ".old"))
     if (!live.exists() && old.exists() && !old.renameTo(live))
       sys.error(s"recovery failed: cannot restore $old to $live")
   }
+
+  // ---- versioned snapshots (time travel) ---------------------------
+
+  /** Write the next immutable snapshot `<table>@v{N}` and return N
+    * (1-based). Old versions are never touched — time travel is just
+    * reading an older directory, and the version list is the
+    * directory listing (a real deployment's transaction log; the
+    * convention here is the simplest thing that preserves the
+    * semantics: snapshots are immutable, the latest is max(N)).
+    */
+  def writeVersion(df: DataFrame, table: String): Int = {
+    val n = latestVersion(table).getOrElse(0) + 1
+    df.write.mode("errorifexists").parquet(dir(s"$table@v$n"))
+    n
+  }
+
+  def latestVersion(table: String): Option[Int] = {
+    val prefix = s"$table@v"
+    val vs = Option(new File(root).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith(prefix))
+      .flatMap(n => n.stripPrefix(prefix).toIntOption)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def readVersion(spark: SparkSession, table: String, v: Int): DataFrame =
+    spark.read.parquet(dir(s"$table@v$v"))
+
+  def readLatest(spark: SparkSession, table: String): DataFrame =
+    readVersion(spark, table, latestVersion(table).getOrElse(
+      sys.error(s"no versions of $table under $root")))
 
   private def delete(f: File): Unit = {
     if (f.isDirectory) {

@@ -811,6 +811,64 @@ class Round10bSpec extends SparkSpec {
     assert(wh.readMor(spark, "tb", "k").count() == 94)
   }
 
+  // ---- q224 merge-on-read upserts
+
+  test("upsert resolution: latest version wins per key including " +
+    "overlapping waves, ties on the version break by the remaining " +
+    "fields (struct order — never arrival order), untouched keys " +
+    "keep their base rows, and the sidecar grows by O(changes)") {
+    import graft.sources.Warehouse
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-up").toString
+    val wh = Warehouse(root)
+    wh.overwrite(Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L))
+      .toDF("k", "v", "ver"), "tu")
+    wh.upsertRows(Seq((1L, "a1", 1L)).toDF("k", "v", "ver"), "tu")
+    wh.upsertRows(Seq((1L, "a2", 2L), (2L, "b2", 2L))
+      .toDF("k", "v", "ver"), "tu")
+    val got = wh.readMorUpsert(spark, "tu", "k", "ver").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (("a2", 2L)), 2L -> (("b2", 2L)),
+      3L -> (("c", 0L))))
+    // version tie: higher remaining-field struct wins, deterministic
+    wh.upsertRows(Seq((3L, "cX", 5L), (3L, "cY", 5L))
+      .toDF("k", "v", "ver"), "tu")
+    val tied = wh.readMorUpsert(spark, "tu", "k", "ver").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tied(3L) == "cY", "equal versions must resolve by the " +
+      "remaining fields, not arrival order")
+    // column order preserved
+    assert(wh.readMorUpsert(spark, "tu", "k", "ver").columns.toSeq ==
+      Seq("k", "v", "ver"))
+  }
+
+  // ---- q225 time travel
+
+  test("time travel: v1 re-reads bit-exact AFTER v2 lands " +
+    "(immutability), readLatest resolves to the max version, " +
+    "version numbers allocate densely, and writing never touches " +
+    "older snapshot directories") {
+    import graft.sources.Warehouse
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tt").toString
+    val wh = Warehouse(root)
+    val v1 = Seq((1L, 10L), (2L, 20L)).toDF("k", "x")
+    assert(wh.writeVersion(v1, "tt") == 1)
+    val v1Rows = rows(wh.readVersion(spark, "tt", 1))
+    val files1 = new java.io.File(s"$root/tt@v1").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(wh.writeVersion(Seq((1L, 11L)).toDF("k", "x"), "tt") == 2)
+    assert(rows(wh.readVersion(spark, "tt", 1)) == v1Rows)
+    val files1b = new java.io.File(s"$root/tt@v1").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(files1b == files1, "writing v2 must not touch v1's files")
+    assert(wh.latestVersion("tt").contains(2))
+    assert(rows(wh.readLatest(spark, "tt")) ==
+      Set(Seq[Any](1L, 11L)))
+  }
+
   // ---- partition-count invariance for the new decompositions
 
   test("q211/q216 are shuffle-partition invariant: the bucket-grain " +
