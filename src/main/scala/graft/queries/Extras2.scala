@@ -1377,7 +1377,66 @@ object Extras2 {
       statsOf(1).unionByName(statsOf(2))
   }
 
+  /** CHANGE DATA FEED — what changed between two snapshot VERSIONS
+    * (Delta CDF / Iceberg changelog semantics), composed from the
+    * tiers this round built: q225's time travel supplies the two
+    * immutable versions, q199's [[graft.ops.Cdc.snapshotDiff]]
+    * classifies every key (the full-outer diff with null-safe
+    * per-attribute flags), and the feed is the per-class summary a
+    * downstream consumer subscribes to. Gating the COMPOSITION is
+    * the point (the q185/q193 stage-boundary argument): the oracle
+    * re-derives insert/delete/update/unchanged counts purely from
+    * the v2 predicates, so a pass proves the store, the versioning,
+    * and the diff agree end-to-end. v1→v2 carries deletes
+    * (doc_id % 9 == 0) and updates (+100 on doc_id % 4 == 0, minus
+    * the overlap that was deleted); inserts are structurally absent
+    * (v2 adds no rows) and the oracle pins that zero.
+    */
+  val q226 = Q("q226_change_feed",
+    """SELECT 'delete' AS change_type,
+      |  count(*) FILTER (WHERE doc_id % 9 = 0) AS n
+      |FROM documents
+      |UNION ALL
+      |SELECT 'update',
+      |  count(*) FILTER (WHERE doc_id % 9 <> 0 AND doc_id % 4 = 0)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'unchanged',
+      |  count(*) FILTER (WHERE doc_id % 9 <> 0 AND doc_id % 4 <> 0)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'insert', CAST(0 AS BIGINT)""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val wh = graft.sources.Warehouse(
+      graft.SessionScratch.dir(s,
+        s"ttstore_${graft.SessionScratch.keyOf(dir)}"))
+    val tbl = s"tt_docs_${graft.SessionScratch.keyOf(dir)}"
+    // the same store q225 builds — one shared once-key, so whichever
+    // query runs first pays the build (the q167 convention)
+    graft.SessionScratch.once(s, tbl) {
+      wh.writeVersion(docs.select("doc_id", "source", "n_chars"), tbl)
+      wh.writeVersion(docs.filter(col("doc_id") % 9 =!= 0)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + when(col("doc_id") % 4 === 0, 100L)
+            .otherwise(0L)).as("n_chars")), tbl)
+      ()
+    }
+    val diff = graft.ops.Cdc.snapshotDiff(
+      curr = wh.readVersion(s, tbl, 2),
+      prev = wh.readVersion(s, tbl, 1),
+      key = "doc_id", attrs = Seq("source", "n_chars"))
+    val counts = diff.groupBy("change_type")
+      .agg(count(lit(1)).as("n"))
+    // pin the structurally-absent class as an explicit zero row
+    val classes = s.createDataFrame(
+      Seq("insert", "delete", "update", "unchanged").map(Tuple1(_)))
+      .toDF("change_type")
+    classes.join(counts, Seq("change_type"), "left")
+      .select(col("change_type"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n"))
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
     q211, q213, q214, q215, q217, q218, q219, q220, q221, q222, q223,
-    q224, q225)
+    q224, q225, q226)
 }

@@ -468,6 +468,25 @@ final case class Warehouse(root: String) {
     readVersion(spark, table, latestVersion(table).getOrElse(
       sys.error(s"no versions of $table under $root")))
 
+  /** Snapshot retention — drop all but the newest `keep` versions
+    * (the vacuum every versioned store eventually needs, or time
+    * travel becomes unbounded storage). Never touches the newest
+    * `keep`; `keep >= 1` makes deleting the only snapshot impossible
+    * by construction. Returns the dropped version numbers; version
+    * ALLOCATION stays monotone afterwards because [[writeVersion]]
+    * numbers from the surviving maximum.
+    */
+  def vacuumVersions(table: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"vacuum must keep at least one version: $keep")
+    val prefix = s"$table@v"
+    val vs = Option(new File(root).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith(prefix))
+      .flatMap(_.stripPrefix(prefix).toIntOption).sorted
+    val dropped = vs.dropRight(keep)
+    dropped.foreach(v => delete(new File(dir(s"$table@v$v"))))
+    dropped.toSeq
+  }
+
   private def delete(f: File): Unit = {
     if (f.isDirectory) {
       val children = f.listFiles()

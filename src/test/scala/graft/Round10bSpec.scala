@@ -869,6 +869,34 @@ class Round10bSpec extends SparkSpec {
       Set(Seq[Any](1L, 11L)))
   }
 
+  // ---- snapshot retention
+
+  test("vacuumVersions: drops exactly the oldest beyond keep, " +
+    "survivors stay readable, allocation continues from the " +
+    "surviving max, keep >= 1 is enforced, and a sparse version " +
+    "set (after a prior vacuum) handles correctly") {
+    import graft.sources.Warehouse
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vac").toString
+    val wh = Warehouse(root)
+    (1 to 4).foreach(i =>
+      wh.writeVersion(Seq((i.toLong, i.toLong)).toDF("k", "x"), "tv"))
+    assert(wh.vacuumVersions("tv", keep = 2) == Seq(1, 2))
+    assert(wh.latestVersion("tv").contains(4))
+    assert(rows(wh.readVersion(spark, "tv", 3)) ==
+      Set(Seq[Any](3L, 3L)))
+    assert(!new java.io.File(s"$root/tv@v1").exists())
+    // allocation continues past the surviving max
+    assert(wh.writeVersion(Seq((9L, 9L)).toDF("k", "x"), "tv") == 5)
+    // sparse set: drop down to one survivor
+    assert(wh.vacuumVersions("tv", keep = 1) == Seq(3, 4))
+    assert(rows(wh.readLatest(spark, "tv")) == Set(Seq[Any](9L, 9L)))
+    intercept[IllegalArgumentException] {
+      wh.vacuumVersions("tv", keep = 0)
+    }
+  }
+
   // ---- partition-count invariance for the new decompositions
 
   test("q211/q216 are shuffle-partition invariant: the bucket-grain " +
