@@ -1436,7 +1436,88 @@ object Extras2 {
         coalesce(col("n"), lit(0L)).cast("long").as("n"))
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE UNDER DELETES — q208 maintains a
+    * summary view from an APPEND-ONLY delta; real tables also delete
+    * and update, and this query maintains the view from the q226
+    * CHANGE FEED instead: the stored v1 view (persisted once) plus
+    * per-change contributions — delete ⇒ (−1, −x, −x²) against the
+    * old row's group, update ⇒ subtract old + add new, insert ⇒ add
+    * — folded with one group-grain sum. Only INVERTIBLE aggregates
+    * can ride this path (count/sum/ssq form a group under addition;
+    * MIN/MAX are deliberately absent — a deleted extremum forces a
+    * rescan, the classic IVM limitation, stated not papered over;
+    * q208's merge-only view keeps them because append-only never
+    * subtracts). Groups whose count reaches zero drop from the view
+    * (spec-driven with a constructed full-group deletion). The
+    * oracle recomputes the view from v2 arithmetically — a hash
+    * match proves store + versioning + diff + delta algebra agree
+    * end-to-end, O(changes) work after the one-time base.
+    */
+  val q227 = Q("q227_ivm_deltas",
+    """SELECT source, count(*) AS n_rows,
+      |  CAST(sum(n_chars + CASE WHEN doc_id % 4 = 0 THEN 100
+      |    ELSE 0 END) AS BIGINT) AS sum_v,
+      |  CAST(sum((n_chars + CASE WHEN doc_id % 4 = 0 THEN 100
+      |      ELSE 0 END)
+      |    * (n_chars + CASE WHEN doc_id % 4 = 0 THEN 100
+      |      ELSE 0 END)) AS BIGINT) AS ssq_v
+      |FROM documents WHERE doc_id % 9 <> 0
+      |GROUP BY source""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val wh = graft.sources.Warehouse(
+      graft.SessionScratch.dir(s,
+        s"ttstore_${graft.SessionScratch.keyOf(dir)}"))
+    val tbl = s"tt_docs_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, tbl) {
+      wh.writeVersion(docs.select("doc_id", "source", "n_chars"), tbl)
+      wh.writeVersion(docs.filter(col("doc_id") % 9 =!= 0)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + when(col("doc_id") % 4 === 0, 100L)
+            .otherwise(0L)).as("n_chars")), tbl)
+      ()
+    }
+    val viewTbl = s"ivm_view_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, viewTbl) {
+      wh.overwrite(
+        wh.readVersion(s, tbl, 1).groupBy("source")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("n_chars").cast("long").as("sum_v"),
+            sum(col("n_chars") * col("n_chars")).cast("long")
+              .as("ssq_v")), viewTbl)
+    }
+    val diff = graft.ops.Cdc.snapshotDiff(
+      curr = wh.readVersion(s, tbl, 2),
+      prev = wh.readVersion(s, tbl, 1),
+      key = "doc_id", attrs = Seq("source", "n_chars"))
+    ivmApply(wh.read(s, viewTbl), diff)
+  }
+
+  /** The delta algebra alone — stored view + snapshotDiff rows →
+    * maintained view. Factored so the spec can drive a constructed
+    * FULL-GROUP deletion (the n_rows → 0 drop) the corpus never
+    * produces.
+    */
+  private[graft] def ivmApply(view: DataFrame,
+      diff: DataFrame): DataFrame = {
+    val neg = diff.filter(col("change_type").isin("delete", "update"))
+      .select(col("tgt_source").as("source"),
+        lit(-1L).as("n_rows"),
+        (-col("tgt_n_chars")).as("sum_v"),
+        (-col("tgt_n_chars") * col("tgt_n_chars")).as("ssq_v"))
+    val pos = diff.filter(col("change_type").isin("insert", "update"))
+      .select(col("src_source").as("source"),
+        lit(1L).as("n_rows"),
+        col("src_n_chars").as("sum_v"),
+        (col("src_n_chars") * col("src_n_chars")).as("ssq_v"))
+    view.unionByName(neg).unionByName(pos)
+      .groupBy("source")
+      .agg(sum("n_rows").cast("long").as("n_rows"),
+        sum("sum_v").cast("long").as("sum_v"),
+        sum("ssq_v").cast("long").as("ssq_v"))
+      .filter(col("n_rows") > 0)
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
     q211, q213, q214, q215, q217, q218, q219, q220, q221, q222, q223,
-    q224, q225, q226)
+    q224, q225, q226, q227)
 }

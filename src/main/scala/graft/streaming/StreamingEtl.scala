@@ -326,6 +326,36 @@ object StreamingEtl {
       }
       .start()
 
+  /** Streaming MERGE-ON-READ ingestion — the O(delta) sink the
+    * lazy-write warehouse tier exists for, and [[scd1Sink]]'s
+    * scalable sibling: scd1Sink re-merges and OVERWRITES the whole
+    * target every micro-batch (read-modify-write — correct, but the
+    * batch cost is the TABLE size); this sink only APPENDS each
+    * micro-batch to the upsert sidecar
+    * ([[graft.sources.Warehouse.upsertRows]]) — per-batch cost is
+    * the batch, the base is never rewritten — and readers resolve
+    * latest-wins through `readMorUpsert` whenever they ask.
+    * Correctness needs a total version order per key across batches:
+    * rows must carry a caller-supplied monotone `ver` (an event
+    * sequence/lamport stamp), NOT arrival order — a replayed batch
+    * then resolves identically, which also makes checkpoint recovery
+    * safe: re-appended duplicate (key, ver) rows are collapsed by
+    * the max-struct resolution. Compaction
+    * ([[graft.sources.Warehouse.compactDv]]-style folding via
+    * `mergeOverwrite` of the resolved read) amortizes the sidecar
+    * when it grows.
+    */
+  def upsertSink(src: DataFrame, wh: graft.sources.Warehouse,
+      table: String, checkpointDir: String): StreamingQuery =
+    src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        wh.upsertRows(batch, table)
+      }
+      .start()
+
   /** A document arriving on the curation stream. */
   final case class DocArrival(source: String, doc_id: Long, n_chars: Long)
 

@@ -897,6 +897,82 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  // ---- q227 IVM delta algebra
+
+  test("ivmApply: a full-group deletion drives n_rows to zero and " +
+    "the group DROPS from the view; updates subtract old and add " +
+    "new in one pass; inserts create new groups — the invertible-" +
+    "aggregate algebra on constructed frames") {
+    import graft.queries.Extras2
+    import spark.implicits._
+    val view = Seq(("s1", 2L, 30L, 500L), ("s2", 1L, 7L, 49L))
+      .toDF("source", "n_rows", "sum_v", "ssq_v")
+    // diff: delete BOTH s1 rows (full-group), update nothing of s2,
+    // insert a row into a brand-new group s3
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val diffSchema = StructType(Seq(
+      StructField("change_type", StringType),
+      StructField("tgt_source", StringType),
+      StructField("tgt_n_chars", LongType),
+      StructField("src_source", StringType),
+      StructField("src_n_chars", LongType)))
+    val diff = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("delete", "s1", 10L, null, null),
+        Row("delete", "s1", 20L, null, null),
+        Row("insert", null, null, "s3", 5L)),
+      diffSchema)
+    val got = Extras2.ivmApply(view, diff).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!got.contains("s1"), "emptied group must drop")
+    assert(got("s2") == ((1L, 7L, 49L)), "untouched group unchanged")
+    assert(got("s3") == ((1L, 5L, 25L)), "insert mints a new group")
+  }
+
+  // ---- streaming upsert sink
+
+  test("upsertSink: micro-batches append O(batch) to the sidecar " +
+    "(base files untouched), MOR reads resolve latest-wins across " +
+    "batch boundaries by the carried version, and replaying a batch " +
+    "(duplicate (key, ver) rows) changes nothing — the checkpoint-" +
+    "recovery property") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.Warehouse
+    import graft.streaming.StreamingEtl
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-upsink").toString
+    val wh = Warehouse(root)
+    wh.overwrite(Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L))
+      .toDF("k", "v", "ver"), "ts")
+    val baseFiles = new java.io.File(s"$root/ts").listFiles()
+      .map(_.getName).toSet
+    val in = MemoryStream[(Long, String, Long)]
+    def drain(): Unit = {
+      val q = StreamingEtl.upsertSink(
+        in.toDF().toDF("k", "v", "ver"), wh, "ts",
+        s"$root/ck")
+      q.awaitTermination()
+    }
+    in.addData((1L, "a1", 1L), (2L, "b1", 1L)); drain()
+    in.addData((1L, "a2", 2L)); drain()
+    val got = wh.readMorUpsert(spark, "ts", "k", "ver").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (("a2", 2L)), 2L -> (("b1", 1L)),
+      3L -> (("c", 0L))))
+    assert(new java.io.File(s"$root/ts").listFiles()
+      .map(_.getName).toSet == baseFiles,
+      "the sink must never rewrite base files")
+    // replay: duplicate (key, ver) rows collapse in resolution
+    wh.upsertRows(Seq((1L, "a2", 2L)).toDF("k", "v", "ver"), "ts")
+    assert(wh.readMorUpsert(spark, "ts", "k", "ver").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a2", 2L -> "b1", 3L -> "c"))
+  }
+
   // ---- partition-count invariance for the new decompositions
 
   test("q211/q216 are shuffle-partition invariant: the bucket-grain " +
