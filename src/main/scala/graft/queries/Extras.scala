@@ -3073,18 +3073,18 @@ object Extras {
 
   /** Corpus-frequent piece inventory of the given length. */
   private def segInventory(s: SparkSession, dir: String,
-      len: Int): DataFrame = {
+      len: Int, minSupport: Int = 2): DataFrame = {
     // hoisted OUT of the Materialized closure: a nested
     // Materialized call inside another's build throws
     // ConcurrentHashMap's "Recursive update" (measured)
     val wv = segWords(s, dir)
-    graft.Materialized(s, s"q192_inv${len}_$dir") {
+    graft.Materialized(s, s"q192_inv${len}_m${minSupport}_$dir") {
       wv.filter(col("n") >= len)
         .select(explode(expr(
           s"transform(sequence(1, n - ${len - 1}), i -> substring(w, i, $len))"))
           .as("g"))
         .groupBy("g").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2).select("g")
+        .filter(col("c") >= minSupport).select("g")
     }
   }
 
@@ -3099,9 +3099,9 @@ object Extras {
     * choices alike), so c0 ends as cost-at-n for every word.
     */
   private[graft] def viterbiChoices(s: SparkSession,
-      dir: String): DataFrame = {
-    val big = segInventory(s, dir, 2)
-    val tri = segInventory(s, dir, 3)
+      dir: String, minSupport: Int = 2): DataFrame = {
+    val big = segInventory(s, dir, 2, minSupport)
+    val tri = segInventory(s, dir, 3, minSupport)
     var f = segWords(s, dir).withColumn("c0", lit(0))
       .withColumn("c1", lit(null).cast("int"))
       .withColumn("c2", lit(null).cast("int"))
@@ -3128,7 +3128,8 @@ object Extras {
         when(col("n") >= i,
           when(c0n === a, 1).when(c0n === b, 2).otherwise(3))
           .otherwise(lit(null).cast("int")).as(s"ch$i")) ++ keepCh: _*)
-      if (i % 4 == 0) f = graft.Materialized(s, s"q192_dpc${i}_$dir")(f)
+      if (i % 4 == 0)
+        f = graft.Materialized(s, s"q192_dpc${i}_m${minSupport}_$dir")(f)
     }
     f
   }
@@ -3324,10 +3325,92 @@ object Extras {
           .as("chg_n_chars"))
   }
 
+  /** VOCABULARY PRUNING IMPACT — the SentencePiece prune step
+    * measured exactly: tighten the piece inventory's support
+    * threshold (corpus-frequent = count ≥ 2 → count ≥ 4) and re-run
+    * the SAME Viterbi DP, reporting per word length what the leaner
+    * vocabulary costs (opt totals under both inventories and how
+    * many words regress). Monotonicity is structural — a pruned
+    * inventory is a subset, so the DP can only lose options and
+    * opt4 ≥ opt2 everywhere (the spec asserts it word-for-word along
+    * with a strict regression somewhere — the prune must actually
+    * bite at this sf). Machinery is q192's verbatim with the support
+    * PARAMETERIZED ([[segInventory]]/[[viterbiChoices]] — one
+    * definition, two thresholds); the oracle runs both recursive DP
+    * chains side by side over shared wv. Vocab-grain end to end:
+    * per-threshold cost is corpus-independent past the one shared
+    * DISTINCT (the q192 discipline).
+    */
+  val q228 = Q("q228_vocab_prune",
+    """WITH RECURSIVE wv AS (
+      |  SELECT w, len(w) AS n FROM (
+      |    SELECT DISTINCT unnest(string_split(text,' ')) AS w
+      |    FROM documents)
+      |  WHERE len(w) BETWEEN 1 AND 12),
+      |big2 AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 2) AS g
+      |    FROM wv, unnest(range(1, n)) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 2),
+      |tri2 AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 3) AS g
+      |    FROM wv, unnest(range(1, greatest(n - 1, 1))) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 2),
+      |big4 AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 2) AS g
+      |    FROM wv, unnest(range(1, n)) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 4),
+      |tri4 AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 3) AS g
+      |    FROM wv, unnest(range(1, greatest(n - 1, 1))) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 4),
+      |rec2 AS (
+      |  SELECT w, n, 0 AS i, 0 AS c0, NULL::INT AS c1, NULL::INT AS c2
+      |  FROM wv
+      |  UNION ALL
+      |  SELECT r.w, r.n, r.i + 1,
+      |    least(r.c0 + 300,
+      |      CASE WHEN b.g IS NOT NULL THEN r.c1 + 450 END,
+      |      CASE WHEN t3.g IS NOT NULL THEN r.c2 + 800 END),
+      |    r.c0, r.c1
+      |  FROM rec2 r
+      |  LEFT JOIN big2 b  ON r.i >= 1 AND b.g  = substr(r.w, r.i, 2)
+      |  LEFT JOIN tri2 t3 ON r.i >= 2 AND t3.g = substr(r.w, r.i - 1, 3)
+      |  WHERE r.i < r.n),
+      |rec4 AS (
+      |  SELECT w, n, 0 AS i, 0 AS c0, NULL::INT AS c1, NULL::INT AS c2
+      |  FROM wv
+      |  UNION ALL
+      |  SELECT r.w, r.n, r.i + 1,
+      |    least(r.c0 + 300,
+      |      CASE WHEN b.g IS NOT NULL THEN r.c1 + 450 END,
+      |      CASE WHEN t3.g IS NOT NULL THEN r.c2 + 800 END),
+      |    r.c0, r.c1
+      |  FROM rec4 r
+      |  LEFT JOIN big4 b  ON r.i >= 1 AND b.g  = substr(r.w, r.i, 2)
+      |  LEFT JOIN tri4 t3 ON r.i >= 2 AND t3.g = substr(r.w, r.i - 1, 3)
+      |  WHERE r.i < r.n),
+      |o2 AS (SELECT w, n, c0 FROM rec2 WHERE i = n),
+      |o4 AS (SELECT w, c0 FROM rec4 WHERE i = n)
+      |SELECT CAST(o2.n AS BIGINT) AS wlen, count(*) AS n_words,
+      |  CAST(sum(o2.c0) AS BIGINT) AS opt2_total,
+      |  CAST(sum(o4.c0) AS BIGINT) AS opt4_total,
+      |  CAST(count(*) FILTER (WHERE o4.c0 > o2.c0) AS BIGINT)
+      |    AS n_regressed
+      |FROM o2 JOIN o4 ON o2.w = o4.w
+      |GROUP BY o2.n""".stripMargin) { (s, dir) =>
+    val o2 = viterbiChoices(s, dir)
+      .select(col("w"), col("n"), col("c0").as("oc2"))
+    val o4 = viterbiChoices(s, dir, minSupport = 4)
+      .select(col("w").as("w4"), col("c0").as("oc4"))
+    o2.join(o4, col("w") === col("w4"))
+      .groupBy(col("n").cast("long").as("wlen"))
+      .agg(count(lit(1)).as("n_words"),
+        sum("oc2").cast("long").as("opt2_total"),
+        sum("oc4").cast("long").as("opt4_total"),
+        sum(when(col("oc4") > col("oc2"), 1L).otherwise(0L))
+          .cast("long").as("n_regressed"))
+  }
+
   val all: Seq[Q] = Seq(q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q109, q110, q111, q112, q114, q115, q116,
     q182, q186,
     q117, q118, q124, q125, q126, q130, q132, q138, q142, q143, q147,
     q152, q153, q155, q159, q160, q161, q162, q163, q164, q170, q192,
-    q197, q198, q199)
+    q197, q198, q199, q228)
 }

@@ -897,6 +897,26 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  // ---- q228 vocabulary pruning
+
+  test("q228: pruning can only hurt — opt4 >= opt2 holds word-for-" +
+    "word structurally (subset inventory loses options), the prune " +
+    "genuinely bites at this sf (strict regression somewhere), and " +
+    "the aggregate equals the per-word recomputation") {
+    import graft.queries.Extras
+    val got = Extras.q228.fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    got.values.foreach { case (_, o2, o4, _) =>
+      assert(o4 >= o2, "a subset inventory cannot segment cheaper")
+    }
+    assert(got.values.map(_._4).sum > 0,
+      "prune never bites — threshold too low to test anything")
+    assert(got.values.exists { case (nw, _, _, nr) => nr < nw },
+      "every word regressed — suspicious for a support bump")
+  }
+
   // ---- q227 IVM delta algebra
 
   test("ivmApply: a full-group deletion drives n_rows to zero and " +
