@@ -1517,7 +1517,68 @@ object Extras2 {
       .filter(col("n_rows") > 0)
   }
 
+  /** DATA-QUALITY EXPECTATIONS SUITE — the declarative release gate
+    * (Great-Expectations practice) next to
+    * [[graft.sources.Warehouse.checkConstraints]]'s blocking
+    * pre-write check: a rule TABLE evaluated in ONE corpus pass (one
+    * aggregate carrying every rule's violation count — a
+    * rule-per-scan suite reads the table seven times at 100 TB; this
+    * reads it once), unpivoted to the (rule, n_violations, ok)
+    * report a release pipeline records. Six rules: key not-null, key
+    * uniqueness (count − distinct, the one non-row-predicate rule,
+    * riding the same aggregate), length sanity, known-language
+    * domain, non-empty text, source-format contract — plus one
+    * deliberately tight SLA rule (`n_chars ≤ 500`) the corpus
+    * genuinely violates, so the report exercises BOTH verdicts (an
+    * all-green suite proves only the happy path; the spec pins both
+    * outcomes present).
+    */
+  val q229 = Q("q229_dq_expectations",
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |    count(*) FILTER (WHERE doc_id IS NULL) AS v_null,
+      |    count(*) - count(DISTINCT doc_id) AS v_dup,
+      |    count(*) FILTER (WHERE n_chars < 1 OR n_chars > 100000)
+      |      AS v_len,
+      |    count(*) FILTER (WHERE lang NOT IN
+      |      ('de', 'en', 'es', 'fr', 'zh')) AS v_lang,
+      |    count(*) FILTER (WHERE text IS NULL OR len(text) = 0)
+      |      AS v_text,
+      |    count(*) FILTER (WHERE NOT regexp_matches(source,
+      |      '^src[0-9]+$')) AS v_src,
+      |    count(*) FILTER (WHERE n_chars > 500) AS v_sla
+      |  FROM documents)
+      |SELECT rule, CAST(v AS BIGINT) AS n_violations,
+      |  CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
+      |FROM (
+      |  SELECT unnest(['key_not_null', 'key_unique', 'len_sane',
+      |    'lang_known', 'text_nonempty', 'source_format',
+      |    'sla_len_500']) AS rule,
+      |    unnest([v_null, v_dup, v_len, v_lang, v_text, v_src,
+      |      v_sla]) AS v
+      |  FROM a)""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val a = docs.agg(
+      count(when(col("doc_id").isNull, 1)).as("v_null"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("v_dup"),
+      count(when(col("n_chars") < 1 || col("n_chars") > 100000, 1))
+        .as("v_len"),
+      count(when(!col("lang").isin("de", "en", "es", "fr", "zh"), 1))
+        .as("v_lang"),
+      count(when(col("text").isNull || length(col("text")) === 0, 1))
+        .as("v_text"),
+      count(when(!col("source").rlike("^src[0-9]+$"), 1)).as("v_src"),
+      count(when(col("n_chars") > 500, 1)).as("v_sla"))
+    a.select(expr("stack(7, " +
+        "'key_not_null', v_null, 'key_unique', v_dup, " +
+        "'len_sane', v_len, 'lang_known', v_lang, " +
+        "'text_nonempty', v_text, 'source_format', v_src, " +
+        "'sla_len_500', v_sla) AS (rule, n_violations)"))
+      .select(col("rule"), col("n_violations").cast("long"),
+        when(col("n_violations") === 0, 1L).otherwise(0L).as("ok"))
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
     q211, q213, q214, q215, q217, q218, q219, q220, q221, q222, q223,
-    q224, q225, q226, q227)
+    q224, q225, q226, q227, q229)
 }

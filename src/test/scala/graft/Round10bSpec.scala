@@ -897,6 +897,35 @@ class Round10bSpec extends SparkSpec {
     }
   }
 
+  // ---- q229 DQ expectations
+
+  test("q229: the suite reads the table ONCE (single scan in the " +
+    "plan — a rule-per-scan suite would read it seven times), both " +
+    "verdicts occur (the tight SLA rule genuinely fails, the " +
+    "contract rules genuinely pass), and the violation counts match " +
+    "a driver recomputation") {
+    import graft.queries.Extras2
+    val df = Extras2.q229.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("FileScan|BatchScan".r.findAllIn(plan).size == 1,
+      s"expected exactly one table scan:\n$plan")
+    val got = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == 7)
+    assert(got.values.exists(_._2 == 1L) &&
+      got.values.exists(_._2 == 0L),
+      "need both verdicts for the report to prove anything")
+    val over = Tables(spark, sf, "documents")
+      .filter(col("n_chars") > 500).count()
+    assert(got("sla_len_500") == ((over, if (over == 0) 1L else 0L)))
+    assert(over > 0, "the SLA rule must genuinely bite at this sf")
+    Seq("key_not_null", "key_unique", "lang_known", "len_sane",
+      "source_format", "text_nonempty").foreach { r =>
+      assert(got(r) == ((0L, 1L)), s"contract rule $r should pass")
+    }
+  }
+
   // ---- q228 vocabulary pruning
 
   test("q228: pruning can only hurt — opt4 >= opt2 holds word-for-" +
