@@ -517,12 +517,18 @@ object Extras2 {
     val docs = t(s, dir, "documents")
     val toks = docs.select(col("doc_id"), col("lang"),
       TextOps.tokens(col("text")).as("ts"))
-    val bg = toks.filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(0, size(ts) - 2), " +
-          "i -> struct(ts[i] AS a, ts[i + 1] AS b))")).as("g"))
-      .select(col("doc_id"), col("lang"),
-        col("g.a").as("a"), col("g.b").as("b"))
+    // Materialized: the bigram frame feeds the two training
+    // aggregates AND the scoring join, and three registry queries
+    // (q209/q211/q219) consume this scorer — without the cache each
+    // consumer re-explodes the token stream up to three times
+    val bg = graft.Materialized(s, s"lm_bg:$dir") {
+      toks.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(0, size(ts) - 2), " +
+            "i -> struct(ts[i] AS a, ts[i + 1] AS b))")).as("g"))
+        .select(col("doc_id"), col("lang"),
+          col("g.a").as("a"), col("g.b").as("b"))
+    }
     val train = bg.filter(col("lang") === "en")
     val c2 = train.groupBy("a", "b").agg(count(lit(1)).as("c2"))
     val c1 = train.groupBy("a").agg(count(lit(1)).as("c1"))
