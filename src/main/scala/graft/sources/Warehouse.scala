@@ -387,6 +387,11 @@ final case class Warehouse(root: String) {
     */
   def compactDv(spark: SparkSession, table: String,
       keyCol: String): Unit = {
+    // recover FIRST: after a crash inside a previous swap the base
+    // dir is absent (moved to .old) and readMor's eager schema
+    // resolution would fail before mergeOverwrite's own recover got
+    // a chance to run
+    recover(table)
     val dvDir = new File(dir(table + "__dv"))
     if (!dvDir.exists()) return
     mergeOverwrite(readMor(spark, table, keyCol), table)

@@ -980,6 +980,28 @@ class Round10bSpec extends SparkSpec {
     assert(got("s3") == ((1L, 5L, 25L)), "insert mints a new group")
   }
 
+  test("compactDv after a crashed swap: with the base moved aside " +
+    "(the mid-swap window) and the vector still present, a re-run " +
+    "recovers the base first, completes the compaction, and loses " +
+    "nothing") {
+    import graft.sources.Warehouse
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dvcrash").toString
+    val wh = Warehouse(root)
+    wh.overwrite((0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"),
+      "tc")
+    wh.deleteKeys(Seq(1L, 2L).toDF("k"), "tc")
+    // simulate the crash window: live moved to .old, tmp never landed
+    assert(new java.io.File(s"$root/tc")
+      .renameTo(new java.io.File(s"$root/tc.old")))
+    wh.compactDv(spark, "tc", "k")
+    assert(!new java.io.File(s"$root/tc__dv").exists())
+    assert(rows(wh.read(spark, "tc")) ==
+      (0L until 10L).filterNot(Set(1L, 2L))
+        .map(i => Seq[Any](i, s"v$i")).toSet)
+  }
+
   // ---- streaming upsert sink
 
   test("upsertSink: micro-batches append O(batch) to the sidecar " +
