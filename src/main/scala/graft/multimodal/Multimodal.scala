@@ -387,13 +387,20 @@ object Multimodal {
             else (8, csz0)
           if (csz < chdr || j + csz > end) return None
           if (boxTypeIs(p, j + 4, "mvhd")) {
+            // field reads are bounded by the mvhd box's OWN extent
+            // (j + csz), not the moov parent's: an mvhd whose declared
+            // size is too small for its version's layout must be
+            // corrupt (None), never silently parsed out of the
+            // following sibling's bytes
             val c = j + chdr
+            val cend = j + csz
+            if (c + 1 > cend) return None // no room for version byte
             (p(c) & 0xff) match {
               case 0 =>
-                if (c + 20 > end) return None
+                if (c + 20 > cend) return None
                 mvhd = Some((be4(p, c + 12), be4(p, c + 16), 0L))
               case 1 =>
-                if (c + 32 > end) return None
+                if (c + 32 > cend) return None
                 mvhd = Some((be4(p, c + 20), be8(p, c + 24), 1L))
               case _ => return None // unknown mvhd layout — corrupt
             }

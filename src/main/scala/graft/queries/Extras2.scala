@@ -823,7 +823,14 @@ object Extras2 {
     * weight, so 32 resamples ride ONE corpus pass as a weighted
     * aggregate — no data copies, no sampling shuffle, and a rerun
     * reproduces the exact same replicates). The weight comes from
-    * the shared Feistel: u = F(doc_id·64 + rep, seed 11) is uniform
+    * the shared Feistel: u = F((doc_id·64 + rep) mod 2^32, seed 11)
+    * — the mod keeps the input inside feistel32's documented
+    * non-negative < 2^32 domain at ANY scale factor (unmasked,
+    * doc_id ≥ 2^26 would leave it and the uniformity/bijectivity
+    * argument below would no longer hold); within one 2^32 block the
+    * map stays bijective, across blocks distinct (doc, rep) pairs can
+    * collide on the same weight, which a bootstrap tolerates (weights
+    * need to be i.i.d.-ish, not distinct). u is uniform
     * on the 32-bit domain, cut against the Poisson(1) CDF
     * PRE-QUANTIZED to integer thresholds (floor(CDF·2^32), hardcoded
     * identically in both engines — zero runtime float anywhere, so
@@ -838,7 +845,8 @@ object Extras2 {
     */
   val q214 = Q("q214_poisson_bootstrap",
     s"""WITH base AS (
-       |  SELECT doc_id, n_chars, rep, doc_id * 64 + rep AS x
+       |  SELECT doc_id, n_chars, rep,
+       |    (doc_id * 64 + rep) % 4294967296 AS x
        |  FROM documents, (SELECT unnest(range(0, 32)) AS rep)),
        |${feistelSqlChain("base", "x", "n_chars, rep", 11L, "u")},
        |w AS (
@@ -856,7 +864,8 @@ object Extras2 {
        |  CAST(sum(wt * n_chars) AS BIGINT) AS sum_chars
        |FROM w GROUP BY rep""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents")
-    val u = feistel32(col("doc_id") * 64 + col("rep"), lit(11L))
+    val u = feistel32((col("doc_id") * 64 + col("rep")) % lit(4294967296L),
+      lit(11L))
     val wt = when(u < 1580030168L, 0L)
       .when(u < 3160060337L, 1L)
       .when(u < 3950075421L, 2L)

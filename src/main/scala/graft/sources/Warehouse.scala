@@ -376,17 +376,22 @@ final case class Warehouse(root: String) {
   /** Fold the deletion vector into the base — the compaction that
     * bounds MOR read cost. Writes base-minus-vector aside and swaps
     * it live (same tmp/old rename window as [[mergeOverwrite]] — no
-    * concurrent readers/writers during the swap; an ACID format
-    * removes the window), then drops the vector. Crash analysis:
-    * before the swap completes, the old base plus the full vector
-    * are intact and MOR reads are unchanged; after the swap but
-    * before the vector delete, the vector applies AGAINST THE
-    * ALREADY-COMPACTED base — idempotent by anti-join (removes
-    * nothing), which is exactly why dropping it outside the swap is
-    * safe. A re-run completes the cleanup.
+    * concurrent readers/writers of the BASE during the swap; an ACID
+    * format removes the window), then drops the vector files it
+    * snapshotted AT ENTRY — and only those. [[deleteKeys]] appends
+    * that land anywhere in the scan-to-cleanup sequence are therefore
+    * never lost: a file not in the entry snapshot survives the
+    * cleanup and is applied by the next MOR read / compaction (if the
+    * scan happened to pick it up too, re-applying it is a no-op by
+    * anti-join). Crash analysis: before the swap completes, the old
+    * base plus the full vector are intact and MOR reads are
+    * unchanged; after the swap but before the vector-file delete, the
+    * snapshot files apply AGAINST THE ALREADY-COMPACTED base —
+    * idempotent (removes nothing), which is exactly why dropping them
+    * outside the swap is safe. A re-run completes the cleanup.
     */
-  def compactDv(spark: SparkSession, table: String,
-      keyCol: String): Unit = {
+  def compactDv(spark: SparkSession, table: String, keyCol: String,
+      afterSnapshot: () => Unit = () => ()): Unit = {
     // recover FIRST: after a crash inside a previous swap the base
     // dir is absent (moved to .old) and readMor's eager schema
     // resolution would fail before mergeOverwrite's own recover got
@@ -394,8 +399,17 @@ final case class Warehouse(root: String) {
     recover(table)
     val dvDir = new File(dir(table + "__dv"))
     if (!dvDir.exists()) return
+    // snapshot the vector's file list BEFORE the scan: concurrent
+    // appends land as NEW files (parquet append never rewrites), so
+    // deleting exactly this list can never drop a delete the scan
+    // didn't see. afterSnapshot is a test seam for injecting a
+    // concurrent append into that window (Round11Spec).
+    val snapshot = Option(dvDir.listFiles()).fold(Seq.empty[File])(_.toSeq)
+    afterSnapshot()
     mergeOverwrite(readMor(spark, table, keyCol), table)
-    delete(dvDir)
+    snapshot.foreach(delete)
+    // the sidecar dir itself goes only when nothing survived it
+    if (Option(dvDir.listFiles()).forall(_.isEmpty)) delete(dvDir)
   }
 
   /** Lazy UPSERT at key grain — the other half of merge-on-read
