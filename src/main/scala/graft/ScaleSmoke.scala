@@ -107,6 +107,7 @@ object ScaleSmoke {
     val picked =
       if (only.isEmpty) Registry.all else Registry.all.filter(q => only(q.name))
     val results = Bench.run(spark, workDir, picked)
+      .map(t => (t.name, t.sec, t.err, t.hygiene))
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""

@@ -299,9 +299,9 @@ class Round3Spec extends SparkSpec {
     val boom = Q.noOracle("boom")((_, _) =>
       throw new RuntimeException("deliberate failure"))
     val res = Bench.run(spark, "/unused", Seq(ok, boom))
-    assert(res.map(_._1) == Seq("ok", "boom"))
-    assert(res(0)._3.isEmpty && res(0)._2 >= 0)
-    assert(res(1)._2 == -1.0 &&
-      res(1)._3.exists(_.contains("deliberate failure")))
+    assert(res.map(_.name) == Seq("ok", "boom"))
+    assert(res(0).err.isEmpty && res(0).sec >= 0)
+    assert(res(1).sec == -1.0 &&
+      res(1).err.exists(_.contains("deliberate failure")))
   }
 }

@@ -75,7 +75,7 @@ class Round7Spec extends SparkSpec {
     val clean = Q.noOracle("clean")((s, _) => {
       import s.implicits._; Seq(1).toDF("x") })
     val res = Bench.run(spark, "/unused", Seq(leaky, clean))
-    val byName = res.map(r => r._1 -> r._4).toMap
+    val byName = res.map(r => r.name -> r.hygiene).toMap
     assert(byName("leaky").cleared > 0,
       "the component query's checkpoint residue must be swept and counted")
     assert(byName("clean").cleared == 0 && byName("clean").retained == 0)
