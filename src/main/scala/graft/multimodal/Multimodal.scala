@@ -7,14 +7,19 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
   * metadata, with decode/feature-extraction as per-partition batch
   * operations. The decode entry point ([[decode]]) is REAL at the
-  * container level: magic-number format sniffing plus PNG IHDR /
-  * JPEG marker-scan dimension extraction over actual bytes
-  * ([[sniffFormat]]/[[pngDims]]/[[jpegDims]]). Only PIXEL decode
-  * (which needs codec libraries this container lacks) falls back to
-  * the deterministic [[byteSumFeatures]] stand-in. The Spark-side
-  * shape — binary column, typed metadata struct, partition-batched
-  * extraction, explicit output schema — is what a production pixel
-  * decoder (JNI/codec lib) would plug into.
+  * container level — magic-number format sniffing plus PNG IHDR /
+  * JPEG marker-scan / WAV chunk-walk / MP4 box-walk extraction over
+  * actual bytes ([[sniffFormat]]/[[pngDims]]/[[jpegDims]]/[[wavMeta]]/
+  * [[mp4Meta]]) — and, for the uncompressed 24-bpp BMP tier, REAL at
+  * the PIXEL level too: [[bmpMeta]] reads the pixel array itself
+  * (row-padding-aware, orientation-aware) and derives content
+  * features from sample values. Compressed-codec pixel decode (JPEG
+  * entropy decoding etc., which needs codec libraries this container
+  * lacks) stays out of scope; the Spark-side shape — binary column,
+  * typed metadata struct, partition-batched extraction, explicit
+  * output schema — is exactly what a production codec (JNI lib)
+  * would plug into, and the BMP branch proves the plumbing end to
+  * end on real pixels.
   *
   * Scale notes: payloads stay distributed (no collect); extraction is
   * mapPartitions so a real decoder amortizes per-partition init (codec
@@ -126,6 +131,12 @@ object Multimodal {
     else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' &&
       p(2) == 'F' && p(3) == 'F' && p(8) == 'W' && p(9) == 'A' &&
       p(10) == 'V' && p(11) == 'E') "wav"
+    // BMP's magic is only 2 bytes ('BM' — printable ASCII a text
+    // payload could open with), so require the full header to be
+    // present AND the BITMAPINFOHEADER size field (40) at offset 14 —
+    // bytes 15..17 are then \0, impossible in ASCII text
+    else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M' &&
+      le4(p, 14) == 40L) "bmp"
     else if (p.length >= 12 && p(4) == 'f' && p(5) == 't' &&
       p(6) == 'y' && p(7) == 'p') "mp4"
     else "unknown"
@@ -333,6 +344,129 @@ object Multimodal {
       .toDF("media_id", "format", "width", "height", "n_bytes")
   }
 
+  private def signed32(u: Long): Long =
+    if (u > Int.MaxValue) u - 4294967296L else u
+
+  /** REAL PIXEL-LEVEL DECODE for uncompressed 24-bit BMPs (Windows
+    * BITMAPINFOHEADER layout — public spec; pure byte arithmetic, no
+    * codec library): parse the file + info headers, then read the
+    * actual PIXEL ARRAY. Returns (width, height, pix_sum,
+    * top_row_sum) where pix_sum is the sum of all PIXEL bytes
+    * (EXCLUDING each row's 4-byte-alignment padding — the thing
+    * header-only code structurally cannot compute) and top_row_sum
+    * the sum over the VISUALLY TOP row — stored LAST for the
+    * bottom-up orientation (positive biHeight) and FIRST for
+    * top-down (negative biHeight), so an orientation-blind reader
+    * fails on every top-down file. None for anything that is not an
+    * uncompressed 24-bpp BMP or whose pixel array overruns the
+    * buffer (corrupt). This completes the decode tier: container
+    * metadata came from [[pngDims]]/[[jpegDims]]/[[wavMeta]]/
+    * [[mp4Meta]]; content features now come from real sample values.
+    */
+  def bmpMeta(p: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (sniffFormat(p) != "bmp") return None
+    val off = le4(p, 10)
+    val w = signed32(le4(p, 18))
+    val hRaw = signed32(le4(p, 22))
+    val planes = le2(p, 26)
+    val bpp = le2(p, 28)
+    val comp = le4(p, 30)
+    if (planes != 1 || bpp != 24 || comp != 0L) return None
+    if (w <= 0 || w > (1 << 20) || hRaw == 0) return None
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (h > (1 << 20)) return None
+    val stride = ((3 * w + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (off < 54 || off + stride * h > p.length) return None
+    val topStored = if (topDown) 0L else h - 1
+    var pixSum = 0L
+    var topRowSum = 0L
+    var r = 0L
+    while (r < h) {
+      val base = (off + r * stride).toInt
+      var c = 0
+      while (c < 3 * w) {
+        val v = (p(base + c) & 0xff).toLong
+        pixSum += v
+        if (r == topStored) topRowSum += v
+        c += 1
+      }
+      r += 1
+    }
+    Some((w, h, pixSum, topRowSum))
+  }
+
+  /** Deterministic PIXEL media table — the BMP tier's generator
+    * ([[asImageTable]]'s device, content edition): `id%3==0` a
+    * bottom-up 24-bpp BMP, `id%3==1` a TOP-DOWN one (negative
+    * biHeight — the orientation trap), `id%3==2` raw text garbage.
+    * Geometry w=`id%6+1`, h=`id%4+1` — 3w mod 4 walks 3,6,9,12,15,18
+    * so row padding takes every value 0..3 including zero. The pixel
+    * ARRAY (padding bytes included) is the closed form
+    * `byte j = (id·7 + j) mod 251` — a full-byte-range pattern both
+    * engines can recompute without parsing, while the ENGINE reads it
+    * back through [[bmpMeta]]'s real parse. All codegen'd hex
+    * built-ins, no UDF.
+    */
+  def asBmpTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def le4h(x: Column): Column = {
+      val h = lpad(hex(x), 8, "0")
+      concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2))
+    }
+    def le2h(x: Column): Column = {
+      val h = lpad(hex(x), 4, "0")
+      concat(h.substr(3, 2), h.substr(1, 2))
+    }
+    val m = id % 3
+    val w = id % 6 + 1
+    val h = id % 4 + 1
+    val stride = ((w * 3 + 3).cast("long") / 4).cast("long") * 4
+    val pixN = stride * h
+    // top-down files encode -h as unsigned 32-bit two's complement
+    val hField = when(m === 1, lit(4294967296L) - h).otherwise(h)
+    val bmpHex = concat(
+      lit("424D"), le4h(pixN + 54), lit("00000000"), le4h(lit(54)),
+      le4h(lit(40)), le4h(w), le4h(hField), le2h(lit(1)), le2h(lit(24)),
+      le4h(lit(0)), le4h(pixN), le4h(lit(2835)), le4h(lit(2835)),
+      le4h(lit(0)), le4h(lit(0)),
+      array_join(
+        transform(sequence(lit(0L), pixN - 1),
+          j => lpad(hex((id * 7 + j) % 251), 2, "0")), ""))
+    docs.select(
+      id.as("media_id"),
+      when(m === 2, lit("text/plain")).otherwise(lit("image/bmp"))
+        .as("modality"),
+      when(m === 2, encode(col("text"), "UTF-8"))
+        .otherwise(unhex(bmpHex)).as("payload"),
+      col("source"))
+      .select(col("media_id"), col("modality"), col("payload"),
+        struct(col("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Pixel-level decode over a media table — [[decodeImageMeta]]'s
+    * content twin, running [[bmpMeta]]'s pixel read partition-batched.
+    * Unknown/corrupt payloads report ('unknown', 0...) — garbage is
+    * data at crawl scale.
+    */
+  def decodeBmpMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (mid, p) =>
+          bmpMeta(p) match {
+            case Some((w, h, ps, trs)) =>
+              (mid, "bmp", w, h, ps, trs, p.length.toLong)
+            case None => (mid, "unknown", 0L, 0L, 0L, 0L, p.length.toLong)
+          }
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "pix_sum",
+        "top_row_sum", "n_bytes")
+  }
+
   private def be8(p: Array[Byte], i: Int): Long =
     (be4(p, i) << 32) | be4(p, i + 4)
 
@@ -502,11 +636,13 @@ object Multimodal {
         "mvhd_version")
   }
 
-  /** Deterministic byte-sum features — the decode FALLBACK for
-    * payloads that sniff as no known image format: 4 "features" from
-    * byte-range sums, one "frame" per 256 bytes. (Former name
-    * `fakeDecode`; it remains the stand-in for pixel-level decode,
-    * which needs codec libraries this container lacks.)
+  /** Deterministic byte-sum features — RETAINED AS A TEST FIXTURE
+    * ONLY (no production call path since the BMP pixel tier landed):
+    * 4 "features" from byte-range sums, one "frame" per 256 bytes.
+    * It was the pixel-decode stand-in while no format with readable
+    * sample values existed; [[bmpMeta]] now derives content features
+    * from actual pixel bytes, and [[decode]] reports unknown payloads
+    * as unknown instead of dressing byte sums up as features.
     */
   def byteSumFeatures(payload: Array[Byte]): (Long, Array[Double]) = {
     val nFrames = frameCount(payload.length)
@@ -520,33 +656,46 @@ object Multimodal {
   }
 
   /** The decode dispatch: sniff the payload's REAL format first. A
-    * recognized image/audio container yields one frame and a
-    * header-derived feature vector [a, b, n_bytes, format code]
-    * (png: w,h,code 1; jpeg: w,h,code 2; wav: channels,sample_rate,
-    * code 3) — the metadata features a routing/bucketing stage
-    * consumes; any other payload takes the byte-sum fallback. This is
-    * the single decode entry point: [[extractFeatures]] (and q40
-    * through it) runs every payload through this dispatch.
+    * recognized container yields a feature vector
+    * [a, b, c, format code]: png → [w, h, n_bytes, 1]; jpeg →
+    * [w, h, n_bytes, 2]; wav → [channels, sample_rate, n_bytes, 3];
+    * bmp → [w, h, PIXEL SUM, 4] with one frame per pixel ROW — the
+    * only branch whose features come from actual sample values
+    * ([[bmpMeta]] reads the pixel array, excluding row padding).
+    * A sniffed-but-corrupt container reports [0, 0, n_bytes, -1]
+    * and an unrecognized payload [0, 0, n_bytes, 0] (frameCount
+    * frames) — garbage is identified, not dressed up as features
+    * (the former byte-sum stand-in is demoted to a test fixture).
+    * This is the single decode entry point: [[extractFeatures]]
+    * (and q40 through it) runs every payload through this dispatch.
     */
-  def decode(payload: Array[Byte]): (Long, Array[Double]) =
+  def decode(payload: Array[Byte]): (Long, Array[Double]) = {
+    val len = payload.length.toDouble
+    def corrupt = (frameCount(payload.length).toLong,
+      Array(0.0, 0.0, len, -1.0))
     sniffFormat(payload) match {
       case "png" => pngDims(payload) match {
-        case Some((w, h)) =>
-          (1L, Array(w.toDouble, h.toDouble, payload.length.toDouble, 1.0))
-        case None => byteSumFeatures(payload)
+        case Some((w, h)) => (1L, Array(w.toDouble, h.toDouble, len, 1.0))
+        case None => corrupt
       }
       case "jpeg" => jpegDims(payload) match {
-        case Some((w, h)) =>
-          (1L, Array(w.toDouble, h.toDouble, payload.length.toDouble, 2.0))
-        case None => byteSumFeatures(payload)
+        case Some((w, h)) => (1L, Array(w.toDouble, h.toDouble, len, 2.0))
+        case None => corrupt
       }
       case "wav" => wavMeta(payload) match {
         case Some((ch, sr, _, _, _)) =>
-          (1L, Array(ch.toDouble, sr.toDouble, payload.length.toDouble, 3.0))
-        case None => byteSumFeatures(payload)
+          (1L, Array(ch.toDouble, sr.toDouble, len, 3.0))
+        case None => corrupt
       }
-      case _ => byteSumFeatures(payload)
+      case "bmp" => bmpMeta(payload) match {
+        case Some((w, h, pixSum, _)) =>
+          (h, Array(w.toDouble, h.toDouble, pixSum.toDouble, 4.0))
+        case None => corrupt
+      }
+      case _ =>
+        (frameCount(payload.length).toLong, Array(0.0, 0.0, len, 0.0))
     }
+  }
 
   /** Partition-batched feature extraction over the media table —
     * typed `Dataset.mapPartitions` (stays inside Tungsten encoding; no

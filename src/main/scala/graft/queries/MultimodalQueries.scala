@@ -7,50 +7,73 @@ import graft.sources.Tables
 
 /** Multimodal-column pipeline exercised end-to-end: binary payload +
   * typed metadata + partition-batched decode through
-  * [[Multimodal.decode]]'s REAL format dispatch (magic-number sniff,
-  * PNG/JPEG header parse; byte-sum fallback for unrecognized
-  * payloads — q40/q56's ASCII text payloads all take that branch, so
-  * their oracles recompute the fallback features from the text
-  * bytes; q169 is the image branch's gate).
+  * [[Multimodal.decode]]'s REAL format dispatch (magic-number sniff;
+  * PNG/JPEG/WAV/MP4 header parse; BMP PIXEL-ARRAY read — q40/q230's
+  * content features come from actual sample values; unrecognized
+  * payloads report format `unknown`, never fake features; q169 is
+  * the image header branch's gate, q230 the pixel branch's).
   *
-  * Oracle equivalence note: the Spark path works on UTF-8 payload
-  * BYTES (encode + payload.length) while the DuckDB oracle works on
-  * CHARACTERS (ord(substr(text,i,1)), len(text)) — identical only
-  * because the generated corpus is ASCII (verified: every doc matches
-  * `^[ -~]*$`). A non-ASCII corpus would need the oracle rewritten
-  * over octet_length/encode; the engine side is byte-correct as is.
+  * Oracle equivalence note: where a query hashes payload content the
+  * Spark path works on UTF-8 payload BYTES (encode + payload.length)
+  * while the DuckDB oracle works on CHARACTERS (ord(substr(text,i,1)),
+  * len(text)) — identical only because the generated corpus is ASCII
+  * (verified: every doc matches `^[ -~]*$`). A non-ASCII corpus would
+  * need those oracles rewritten over octet_length/encode; the engine
+  * side is byte-correct as is.
   */
 object MultimodalQueries {
 
+  /** MULTIMODAL FEATURE EXTRACTION through [[Multimodal.decode]]'s
+    * full dispatch over the BMP pixel table — since round 12 the
+    * feature vector for image rows comes from ACTUAL PIXEL VALUES
+    * ([[Multimodal.bmpMeta]] reads the pixel array: f2 is the
+    * padding-excluded pixel-byte sum, n_frames the row count), and
+    * unrecognized payloads report [0, 0, n_bytes, 0] instead of the
+    * retired byte-sum stand-in. The oracle recomputes the pixel sum
+    * from the generator's closed form `(id·7 + j) mod 251` over the
+    * true stride geometry — a decoder that reads padding bytes as
+    * pixels, drops a row, or mis-handles the top-down orientation
+    * hash-fails. All features are exact integers in doubles — no
+    * rounding step at all.
+    */
   val q40 = Q("q40_multimodal_features",
-    """WITH b AS (
-      |  SELECT doc_id, text,
-      |    CAST(unnest(range(1, len(text) + 1)) AS INT) AS i
-      |  FROM documents)
-      |SELECT doc_id AS media_id,
-      |  CAST(any_value(len(text)) AS BIGINT) AS n_bytes,
-      |  CAST(greatest((any_value(len(text)) + 255) // 256, 1)
-      |    AS BIGINT) AS n_frames,
-      |  round(sum(CASE WHEN (i - 1) % 4 = 0
-      |    THEN ord(substr(text, i, 1))::DOUBLE / 255.0 ELSE 0 END), 6)
-      |    AS f0,
-      |  round(sum(CASE WHEN (i - 1) % 4 = 1
-      |    THEN ord(substr(text, i, 1))::DOUBLE / 255.0 ELSE 0 END), 6)
-      |    AS f1,
-      |  round(sum(CASE WHEN (i - 1) % 4 = 2
-      |    THEN ord(substr(text, i, 1))::DOUBLE / 255.0 ELSE 0 END), 6)
-      |    AS f2,
-      |  round(sum(CASE WHEN (i - 1) % 4 = 3
-      |    THEN ord(substr(text, i, 1))::DOUBLE / 255.0 ELSE 0 END), 6)
-      |    AS f3
-      |FROM b GROUP BY doc_id""".stripMargin) { (s, dir) =>
-    val media = Multimodal.asMediaTable(Tables(s, dir, "documents"))
+    """WITH g AS (
+      |  SELECT doc_id, text, doc_id % 3 AS m,
+      |    (doc_id % 6) + 1 AS w, (doc_id % 4) + 1 AS h
+      |  FROM documents),
+      |geo AS (
+      |  SELECT doc_id, text, m, w, h,
+      |    ((3 * w + 3) // 4) * 4 AS stride
+      |  FROM g),
+      |px AS (
+      |  SELECT doc_id,
+      |    sum((doc_id * 7 + (i // (3 * w)) * stride + i % (3 * w)) % 251)
+      |      AS pix_sum
+      |  FROM (
+      |    SELECT doc_id, w, stride,
+      |      CAST(unnest(range(0, h * 3 * w)) AS BIGINT) AS i
+      |    FROM geo WHERE m < 2) t
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id AS media_id,
+      |  CAST(CASE WHEN m < 2 THEN 54 + stride * h
+      |    ELSE len(text) END AS BIGINT) AS n_bytes,
+      |  CAST(CASE WHEN m < 2 THEN h
+      |    ELSE greatest((len(text) + 255) // 256, 1) END AS BIGINT)
+      |    AS n_frames,
+      |  CAST(CASE WHEN m < 2 THEN w ELSE 0 END AS DOUBLE) AS f0,
+      |  CAST(CASE WHEN m < 2 THEN h ELSE 0 END AS DOUBLE) AS f1,
+      |  CAST(CASE WHEN m < 2 THEN px.pix_sum
+      |    ELSE len(text) END AS DOUBLE) AS f2,
+      |  CAST(CASE WHEN m < 2 THEN 4 ELSE 0 END AS DOUBLE) AS f3
+      |FROM geo g LEFT JOIN px ON px.doc_id = g.doc_id""".stripMargin) {
+    (s, dir) =>
+    val media = Multimodal.asBmpTable(Tables(s, dir, "documents"))
     Multimodal.extractFeatures(media)
       .select(col("media_id"), col("n_bytes"), col("n_frames"),
-        round(element_at(col("feature"), 1), 6).as("f0"),
-        round(element_at(col("feature"), 2), 6).as("f1"),
-        round(element_at(col("feature"), 3), 6).as("f2"),
-        round(element_at(col("feature"), 4), 6).as("f3"))
+        element_at(col("feature"), 1).as("f0"),
+        element_at(col("feature"), 2).as("f1"),
+        element_at(col("feature"), 3).as("f2"),
+        element_at(col("feature"), 4).as("f3"))
   }
 
   /** Frame sampling: every 3rd 256-byte frame of each payload, with
@@ -711,6 +734,62 @@ object MultimodalQueries {
         .as("dur_ms"))
   }
 
+  /** REAL PIXEL-LEVEL DECODE — the tier q169/q173/q203 could not
+    * reach: [[Multimodal.bmpMeta]] parses uncompressed 24-bpp BMPs
+    * (public BITMAPINFOHEADER layout, pure byte arithmetic) and reads
+    * the PIXEL ARRAY itself. Two stats only pixels can produce:
+    * `pix_sum` (every pixel byte, EXCLUDING each row's 4-byte
+    * alignment padding — the corpus walks padding through 0..3 bytes,
+    * so padding-as-pixels misreads most files) and `top_row_sum` (the
+    * VISUALLY top row — stored last in bottom-up files, first in the
+    * corpus's top-down `id%3==1` files, so orientation-blind readers
+    * fail half the BMPs). The oracle recomputes both from the
+    * generator's closed form `(id·7 + j) mod 251` over the true
+    * stride geometry — it never parses a byte, the engine never sees
+    * the closed form (the q169/q173/q203 double-derivation device,
+    * now at pixel granularity). Raw-text rows report
+    * ('unknown', 0, ...): garbage is data at crawl scale.
+    *
+    * Shape: map-only synthesis projection + partition-batched decode —
+    * zero exchange at any scale; a real codec would amortize init per
+    * partition in the same mapPartitions seam.
+    */
+  val q230 = Q("q230_bmp_pixel_decode",
+    """WITH g AS (
+      |  SELECT doc_id, text, doc_id % 3 AS m,
+      |    (doc_id % 6) + 1 AS w, (doc_id % 4) + 1 AS h
+      |  FROM documents),
+      |geo AS (
+      |  SELECT doc_id, text, m, w, h,
+      |    ((3 * w + 3) // 4) * 4 AS stride
+      |  FROM g),
+      |px AS (
+      |  SELECT doc_id, sum(v) AS pix_sum,
+      |    sum(CASE WHEN r = tr THEN v ELSE 0 END) AS top_row_sum
+      |  FROM (
+      |    SELECT doc_id, i // (3 * w) AS r,
+      |      CASE WHEN m = 1 THEN 0 ELSE h - 1 END AS tr,
+      |      (doc_id * 7 + (i // (3 * w)) * stride + i % (3 * w)) % 251
+      |        AS v
+      |    FROM (
+      |      SELECT doc_id, m, w, h, stride,
+      |        CAST(unnest(range(0, h * 3 * w)) AS BIGINT) AS i
+      |      FROM geo WHERE m < 2) t1) t2
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id AS media_id,
+      |  CASE WHEN m < 2 THEN 'bmp' ELSE 'unknown' END AS format,
+      |  CAST(CASE WHEN m < 2 THEN w ELSE 0 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN m < 2 THEN h ELSE 0 END AS BIGINT) AS height,
+      |  CAST(coalesce(px.pix_sum, 0) AS BIGINT) AS pix_sum,
+      |  CAST(coalesce(px.top_row_sum, 0) AS BIGINT) AS top_row_sum,
+      |  CAST(CASE WHEN m < 2 THEN 54 + stride * h
+      |    ELSE len(text) END AS BIGINT) AS n_bytes
+      |FROM geo g LEFT JOIN px ON px.doc_id = g.doc_id""".stripMargin) {
+    (s, dir) =>
+    Multimodal.decodeBmpMeta(
+      Multimodal.asBmpTable(Tables(s, dir, "documents")))
+  }
+
   val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176,
-    q179, q203, q212)
+    q179, q203, q212, q230)
 }

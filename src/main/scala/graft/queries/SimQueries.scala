@@ -1696,10 +1696,14 @@ object SimQueries {
     * operates on |Q|·12 rows (Materialized once) — the unrolled
     * steps cost |Q|-grain windows regardless of corpus size. Scale
     * path: swap the scan for the IVF route; the MMR chain is
-    * unchanged. k is a LITERAL unroll here; a parameterized k would
-    * use the bpeTrain driver-loop device (bounded picks per step).
+    * unchanged. Since round 12 k is a PARAMETER ([[mmrPicks]] — the
+    * bpeTrain driver-loop device: one bounded ≤|Q|-row Materialized
+    * step per pick, loop depth chosen by the caller; the oracle
+    * generator [[mmrOracleSql]] unrolls the same chain to any k).
+    * q178 gates k=5 against DuckDB; Round12Spec pins k=10 against a
+    * shared-nothing in-memory greedy.
     */
-  val q178 = Q("q178_mmr_rerank",
+  private[graft] def mmrOracleSql(k: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings),
        |q AS (SELECT * FROM e WHERE vec_id < 8),
@@ -1730,7 +1734,7 @@ object SimQueries {
        |          PARTITION BY qid ORDER BY msim DESC, nid) AS rn
        |        FROM cand) WHERE rn = 1),
        |""".stripMargin +
-    (2 to 5).map { t =>
+    (2 to k).map { t =>
       val sel = (1 until t).map(i => s"SELECT qid, nid FROM s$i")
         .mkString(" UNION ALL ")
       s"""sel$t AS MATERIALIZED ($sel),
@@ -1752,12 +1756,24 @@ object SimQueries {
          |  ) WHERE rn = 1),
          |""".stripMargin
     }.mkString +
-    s"""picks AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
-       |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
-       |  UNION ALL SELECT * FROM s5)
+    s"""picks AS (${(1 to k).map(t => s"SELECT * FROM s$t")
+        .mkString(" UNION ALL ")})
        |SELECT qid, CAST(rank AS BIGINT) AS rank, nid,
        |  CAST(score AS BIGINT) AS score_micro
-       |FROM picks""".stripMargin) { (s, dir) =>
+       |FROM picks""".stripMargin
+
+  /** Parameterized MMR greedy — the engine half of q178 at ANY pick
+    * depth `k` (1..12, the candidate cap): candidate top-12 +
+    * pairwise-penalty tables Materialized once per corpus, then a
+    * DRIVER LOOP of k bounded relational steps (the bpeTrain device —
+    * the driver holds only the loop counter; every step is a ≤|Q|-row
+    * Materialized frame, so step t's lineage never embeds the full
+    * earlier chain and the final union is k cached unions, not a 2^k
+    * re-execution).
+    */
+  private[graft] def mmrPicks(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 12, s"k=$k outside the 12-candidate pool")
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
@@ -1800,7 +1816,7 @@ object SimQueries {
         .select(col("qid"), col("nid"),
           (lit(7L) * col("msim")).as("score"), lit(1).as("rank"))
     }
-    val picks = (2 to 5).foldLeft(Seq(s1)) { (acc, t) =>
+    val picks = (2 to k).foldLeft(Seq(s1)) { (acc, t) =>
       val sel = acc.map(_.select(col("qid"), col("nid")))
         .reduce(_ unionAll _)
       val rem = cand.join(sel, Seq("qid", "nid"), "left_anti")
@@ -1825,6 +1841,10 @@ object SimQueries {
     picks.reduce(_ unionAll _)
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("nid"), col("score").as("score_micro"))
+  }
+
+  val q178 = Q("q178_mmr_rerank", mmrOracleSql(5)) { (s, dir) =>
+    mmrPicks(s, dir, 5)
   }
 
   /** The [[q180]] oracle, generated mechanically like the q170 BPE

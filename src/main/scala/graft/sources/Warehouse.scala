@@ -378,12 +378,18 @@ final case class Warehouse(root: String) {
     * it live (same tmp/old rename window as [[mergeOverwrite]] — no
     * concurrent readers/writers of the BASE during the swap; an ACID
     * format removes the window), then drops the vector files it
-    * snapshotted AT ENTRY — and only those. [[deleteKeys]] appends
-    * that land anywhere in the scan-to-cleanup sequence are therefore
-    * never lost: a file not in the entry snapshot survives the
-    * cleanup and is applied by the next MOR read / compaction (if the
-    * scan happened to pick it up too, re-applying it is a no-op by
-    * anti-join). Crash analysis: before the swap completes, the old
+    * snapshotted AT ENTRY — and only those. Concurrency model: ONE
+    * compactor at a time (like the base swap itself), with
+    * [[deleteKeys]] appenders running freely against it. Under that
+    * model an append is never lost: it lands as a NEW file (parquet
+    * append never rewrites), so it is not in the entry snapshot and
+    * survives the per-file cleanup; in-flight `_temporary` staging is
+    * excluded from the snapshot; and the sidecar DIR is removed with
+    * the atomic empty-dir delete (File#delete fails on a non-empty
+    * directory), so an append racing the final removal keeps the dir
+    * alive rather than being swept with it. If the compaction scan
+    * happened to pick a late append up too, re-applying it is a no-op
+    * by anti-join. Crash analysis: before the swap completes, the old
     * base plus the full vector are intact and MOR reads are
     * unchanged; after the swap but before the vector-file delete, the
     * snapshot files apply AGAINST THE ALREADY-COMPACTED base —
@@ -405,11 +411,15 @@ final case class Warehouse(root: String) {
     // didn't see. afterSnapshot is a test seam for injecting a
     // concurrent append into that window (Round11Spec).
     val snapshot = Option(dvDir.listFiles()).fold(Seq.empty[File])(_.toSeq)
+      .filterNot(_.getName == "_temporary") // in-flight append staging
     afterSnapshot()
     mergeOverwrite(readMor(spark, table, keyCol), table)
     snapshot.foreach(delete)
-    // the sidecar dir itself goes only when nothing survived it
-    if (Option(dvDir.listFiles()).forall(_.isEmpty)) delete(dvDir)
+    // atomic dir removal: File#delete succeeds only on an EMPTY
+    // directory, so an append landing after the per-file cleanup
+    // keeps the dir (no list-then-delete window)
+    dvDir.delete()
+    ()
   }
 
   /** Lazy UPSERT at key grain — the other half of merge-on-read

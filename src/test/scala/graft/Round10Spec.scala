@@ -126,8 +126,9 @@ class Round10Spec extends SparkSpec {
   // ---- decode dispatch
 
   test("decode dispatch: an image payload yields header features " +
-    "(w, h, bytes, format code) and one frame; a corrupt image falls " +
-    "back to byte-sum features; text takes the fallback") {
+    "(w, h, bytes, format code) and one frame; a corrupt image " +
+    "reports code -1; unknown text reports code 0 — never fake " +
+    "features") {
     val png = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
       "00000020" + "00000010" + "0802000000" + "00000000")
     val (pf, pfeat) = Multimodal.decode(png)
@@ -139,15 +140,15 @@ class Round10Spec extends SparkSpec {
     val (jf, jfeat) = Multimodal.decode(jpeg)
     assert(jf == 1L && jfeat.sameElements(
       Array(32.0, 16.0, jpeg.length.toDouble, 2.0)))
-    // JPEG magic but EOI before SOF: sniffs jpeg, dims fail, fallback
+    // JPEG magic but EOI before SOF: sniffs jpeg, dims fail → corrupt
     val broken = hexBytes("FFD8" + "FFFE" + "0004" + "4142" + "FFD9")
     val (bf, bfeat) = Multimodal.decode(broken)
-    val (ef, efeat) = Multimodal.byteSumFeatures(broken)
-    assert(bf == ef && bfeat.sameElements(efeat))
+    assert(bf == Multimodal.frameCount(broken.length).toLong &&
+      bfeat.sameElements(Array(0.0, 0.0, broken.length.toDouble, -1.0)))
     val text = "plain ascii text".getBytes
     val (tf, tfeat) = Multimodal.decode(text)
-    val (xf, xfeat) = Multimodal.byteSumFeatures(text)
-    assert(tf == xf && tfeat.sameElements(xfeat))
+    assert(tf == Multimodal.frameCount(text.length).toLong &&
+      tfeat.sameElements(Array(0.0, 0.0, text.length.toDouble, 0.0)))
   }
 
   // ---- WAV/RIFF header decode

@@ -35,8 +35,8 @@ class Round11Spec extends SparkSpec {
       "field reads must be bounded by the mvhd box, not the moov parent")
   }
 
-  test("mp4Meta: an mvhd v1 sized for the v0 layout (108) is None — " +
-    "the 64-bit fields don't fit, sibling bytes must not be borrowed") {
+  test("mp4Meta: an mvhd v1 whose declared size (24) cannot hold the " +
+    "v1 64-bit fields is None — sibling bytes must not be borrowed") {
     // v1 needs c+32 within the box; give it csz=24 (room for v0-ish
     // prefix only) followed by a free box
     val moov = "00000030" + "6D6F6F76" +

@@ -1,0 +1,181 @@
+package graft
+
+/** Round-12 pins. First block: the bench measurement contract — the
+  * r10/r11 verdicts showed single-shot per-query timings in a 229-plan
+  * session swing 3–9× vs fresh-session isolation with zero code change,
+  * so [[Bench.run]] now bills the MINIMUM of k back-to-back reps and
+  * the session carries start/end canary reruns + GC/JIT checkpoints.
+  * These tests pin the billing semantics (min, not first; error
+  * short-circuits remaining reps) and the instrumentation's shape.
+  */
+class Round12Spec extends SparkSpec {
+
+  test("Bench.run with reps=2 bills the minimum rep, not the first") {
+    var calls = 0
+    val warmsUp = Q.noOracle("warms_up") { (s, _) =>
+      import s.implicits._
+      calls += 1
+      // first invocation pays a deliberate stall; the second doesn't —
+      // the shape of a JIT/page-cache transient
+      if (calls == 1) Thread.sleep(300)
+      Seq(1, 2).toDF("x")
+    }
+    val res = Bench.run(spark, "/unused", Seq(warmsUp), reps = 2)
+    assert(calls == 2)
+    val t = res.head
+    assert(t.repSecs.size == 2)
+    assert(t.repSecs(0) >= 0.3, "first rep must include the stall")
+    assert(t.sec == t.repSecs.min, "billed time must be the min rep")
+    assert(t.sec < 0.3, "the billed min must exclude the transient")
+  }
+
+  test("Bench.run skips remaining reps after an error and still " +
+    "records it as -1") {
+    var calls = 0
+    val boom = Q.noOracle("boom") { (_, _) =>
+      calls += 1; throw new RuntimeException("deliberate failure")
+    }
+    val res = Bench.run(spark, "/unused", Seq(boom), reps = 3)
+    assert(calls == 1, "a broken plan must not be paid for again")
+    assert(res.head.sec == -1.0)
+    assert(res.head.err.exists(_.contains("deliberate failure")))
+    assert(res.head.repSecs.isEmpty)
+  }
+
+  test("jvmCheckpoint reports live GC/JIT/code-cache numbers") {
+    val cp = Bench.jvmCheckpoint()
+    // shape: all four fields present, code cache non-trivially used in
+    // a JVM that has been running Spark codegen
+    for (f <- Seq("gc_ms", "compile_ms", "codecache_bytes", "heap_bytes"))
+      assert(cp.contains("\"" + f + "\":"), s"missing $f in $cp")
+    val cc = "\"codecache_bytes\":(\\d+)".r
+      .findFirstMatchIn(cp).get.group(1).toLong
+    assert(cc > 1000000L, "code cache should hold compiled Spark code")
+    assert(Bench.gcMillis() >= 0L)
+  }
+
+  test("canary set names resolve to registered queries") {
+    val names = Registry.all.map(_.name).toSet
+    Bench.canaryNames.foreach(c => assert(names(c), s"unknown canary $c"))
+  }
+
+  // ---- BMP pixel-level decode (the tier that retires the byte-sum
+  // feature stand-in: content stats from actual pixel bytes) ----
+
+  import graft.multimodal.Multimodal
+
+  private def le4h(x: Long): String = {
+    val h = f"${x & 0xffffffffL}%08X"
+    h.substring(6, 8) + h.substring(4, 6) + h.substring(2, 4) +
+      h.substring(0, 2)
+  }
+  private def le2h(x: Int): String = {
+    val h = f"$x%04X"
+    h.substring(2, 4) + h.substring(0, 2)
+  }
+  private def hexBytes(h: String): Array[Byte] =
+    h.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** A 2×2 24-bpp BMP: 3w=6 pixel bytes per row + 2 padding bytes
+    * (stride 8). Row-0 pixel bytes 1..6 (pad 250,251), row-1 pixel
+    * bytes 10..60 by tens (pad 252,253).
+    */
+  private def bmp2x2(hField: Long): Array[Byte] = hexBytes(
+    "424D" + le4h(54 + 16) + "00000000" + le4h(54) +
+      le4h(40) + le4h(2) + le4h(hField) + le2h(1) + le2h(24) +
+      le4h(0) + le4h(16) + le4h(2835) + le4h(2835) + le4h(0) + le4h(0) +
+      "010203040506" + "FAFB" + "0A141E28323C" + "FCFD")
+
+  test("bmpMeta: bottom-up 2x2 — pixel sum excludes padding; the " +
+    "visually top row is the LAST stored row") {
+    val Some((w, h, pixSum, topRowSum)) = Multimodal.bmpMeta(bmp2x2(2L))
+    assert(w == 2 && h == 2)
+    assert(pixSum == 21 + 210, "padding bytes 250..253 must not count")
+    assert(topRowSum == 210, "bottom-up: top row is stored row h-1")
+  }
+
+  test("bmpMeta: top-down 2x2 (negative biHeight) — same pixel sum, " +
+    "top row is the FIRST stored row") {
+    val Some((w, h, pixSum, topRowSum)) =
+      Multimodal.bmpMeta(bmp2x2(-2L & 0xffffffffL))
+    assert(w == 2 && h == 2 && pixSum == 231)
+    assert(topRowSum == 21, "top-down: top row is stored row 0")
+  }
+
+  test("bmpMeta: corrupt and unsupported inputs are None, text " +
+    "starting with 'BM' never sniffs as bmp") {
+    val good = bmp2x2(2L)
+    // truncated pixel array (drop the last byte)
+    assert(Multimodal.bmpMeta(good.dropRight(1)).isEmpty)
+    // 8-bpp (unsupported depth)
+    val bpp8 = good.clone(); bpp8(28) = 8; assert(Multimodal.bmpMeta(bpp8).isEmpty)
+    // compressed (BI_RLE8)
+    val comp = good.clone(); comp(30) = 1; assert(Multimodal.bmpMeta(comp).isEmpty)
+    // zero width
+    val w0 = good.clone(); w0(18) = 0; assert(Multimodal.bmpMeta(w0).isEmpty)
+    // ASCII text opening with BM: info-header size field can't be 40
+    val txt = ("BM plain text that is comfortably longer than " +
+      "fifty-four bytes of header requirement").getBytes
+    assert(Multimodal.sniffFormat(txt) == "unknown")
+    assert(Multimodal.bmpMeta(txt).isEmpty)
+  }
+
+  test("decode dispatch: a bmp payload yields pixel-derived features " +
+    "[w, h, pix_sum, 4] with one frame per row") {
+    val (nf, feat) = Multimodal.decode(bmp2x2(2L))
+    assert(nf == 2L)
+    assert(feat.sameElements(Array(2.0, 2.0, 231.0, 4.0)))
+  }
+
+  // ---- parameterized MMR greedy depth (q178's former literal-5
+  // unroll): the distributed driver-loop chain at k=10 must agree
+  // with a shared-nothing in-memory greedy over the same integer
+  // candidate/penalty tables ----
+
+  test("mmrPicks(k=10) matches the in-memory shared-nothing greedy " +
+    "pick-for-pick, and its k=5 prefix is exactly q178") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.SimQueries.mmrPicks(spark, dir, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+
+    // reference: collect the SAME Materialized cand/pairs frames the
+    // engine uses (integer micro-sims — the determinism boundary) and
+    // run the textbook greedy per query on the driver
+    val cand = graft.Materialized(spark, s"mmr_cand:$dir") {
+        fail("cand must already be materialized by mmrPicks") }
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val psim = graft.Materialized(spark, s"mmr_pairs:$dir") {
+        fail("pairs must already be materialized by mmrPicks") }
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    val expected = cand.groupBy(_._1).flatMap { case (qid, cs) =>
+      val pool = cs.map(c => (c._2, c._3)).sortBy(_._1)
+      var selected = Vector.empty[Long]
+      var picks = Vector.empty[(Long, Long, Long, Long)]
+      for (rank <- 1 to 10) {
+        val remaining = pool.filterNot(p => selected.contains(p._1))
+        val scored = remaining.map { case (nid, msim) =>
+          val pen = if (selected.isEmpty) 0L
+            else selected.map(s => psim((qid, nid, s))).max
+          val score = if (rank == 1) 7L * msim
+            else 7L * msim - 3L * pen
+          (nid, score)
+        }
+        val (bestN, bestS) = scored.minBy { case (nid, sc) => (-sc, nid) }
+        selected :+= bestN
+        picks :+= ((qid, rank.toLong, bestN, bestS))
+      }
+      picks
+    }.toSet
+    assert(got == expected, "distributed chain diverges from the " +
+      "shared-nothing greedy")
+    // prefix property: ranks 1..5 are exactly the registered q178 rows
+    val q178rows = graft.queries.SimQueries.q178.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got.filter(_._2 <= 5) == q178rows)
+  }
+}
