@@ -1593,7 +1593,56 @@ object Extras2 {
         when(col("n_violations") === 0, 1L).otherwise(0L).as("ok"))
   }
 
+  /** FILE-SKIPPING STATISTICS MANIFEST — the data-skipping layer the
+    * lakehouse formats keep (Delta per-file stats, Iceberg manifests)
+    * over [[graft.sources.Warehouse.writeManifest]]/`readPruned`:
+    * the store is written range-clustered on `o_orderkey` (8 range
+    * partitions — each file gets a narrow key span, the layout
+    * [[graft.ops.ZOrder.cluster]] generalizes to two keys), a
+    * per-file (min, max) manifest is persisted at write time, and
+    * the range read consults the MANIFEST to decide which files to
+    * open at all — parquet row-group stats then prune within the
+    * opened files (the standard two-level stack; the manifest level
+    * is what keeps a 100 TB table's range read from touching every
+    * file's footer). The oracle computes the same aggregate over the
+    * raw corpus with the same predicate — a manifest that drops a
+    * file it must keep (boundary rows, off-by-one on the overlap
+    * test) loses rows and hash-fails; Round12Spec additionally pins
+    * that the consult actually SKIPS files on this layout and that
+    * the pruned plan reads fewer files than the full table.
+    *
+    * Shape: store build + manifest are once-per-corpus writes (one
+    * scan each); the gated read is manifest consult (file-grain
+    * driver pull, the planner-side read every format performs) +
+    * a scan of only the overlapping files + one partial aggregate.
+    */
+  val q231 = Q("q231_manifest_skipping",
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(min(o_orderkey) AS BIGINT) AS key_min,
+      |  CAST(max(o_orderkey) AS BIGINT) AS key_max
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 1000 AND 5000
+      |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = graft.sources.Warehouse(
+      graft.SessionScratch.dir(s,
+        s"mfstore_${graft.SessionScratch.keyOf(dir)}"))
+    val tbl = s"mf_orders_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, tbl) {
+      wh.overwrite(
+        t(s, dir, "orders").repartitionByRange(8, col("o_orderkey")),
+        tbl)
+      wh.writeManifest(s, tbl, Seq("o_orderkey"))
+    }
+    wh.readPruned(s, tbl, "o_orderkey", 1000L, 5000L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        min("o_orderkey").cast("long").as("key_min"),
+        max("o_orderkey").cast("long").as("key_max"))
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
     q211, q213, q214, q215, q217, q218, q219, q220, q221, q222, q223,
-    q224, q225, q226, q227, q229)
+    q224, q225, q226, q227, q229, q231)
 }

@@ -339,6 +339,83 @@ final case class Warehouse(root: String) {
     * last complete table; any `.tmp` is an unfinished write and is
     * discarded by the next write anyway).
     */
+  // ---- file-skipping statistics manifest ---------------------------
+
+  /** Persist a per-file (min, max) statistics manifest for `cols` —
+    * the data-skipping layer every table format keeps (Delta's
+    * per-file stats in the transaction log, Iceberg's manifest
+    * files): one scan groups the table by `input_file_name()` and
+    * records each file's column extents, so a later range read can
+    * decide from the MANIFEST which files to open at all. Parquet
+    * row-group stats already prune WITHIN a file the reader opened;
+    * the manifest prunes the file LISTING itself — at a 100 TB table
+    * that is the difference between touching thousands of footers
+    * and touching the handful whose range overlaps. Columns are
+    * recorded as exact integer extents (cast to long — keys, date
+    * keys, z-values; the pruning use cases), NULLs excluded per
+    * parquet stats convention (a file of all-NULL values in `c`
+    * records NULL extents and is kept conservatively by readers).
+    *
+    * Maintenance model: like [[compact]], a single-writer operation —
+    * rewrite the manifest after a batch of appends (the write is one
+    * table scan; production formats append per-file stats at commit
+    * time instead, but the CONSUMER contract is identical). Pairs
+    * with [[graft.ops.ZOrder.cluster]]: z-ordered writes give every
+    * file a narrow span on BOTH curve keys, which is exactly what
+    * makes these extents selective.
+    */
+  def writeManifest(spark: SparkSession, table: String,
+      cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"min_$c"),
+      max(col(c).cast("long")).as(s"max_$c")))
+    read(spark, table)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir(table + "__manifest"))
+  }
+
+  /** The manifest consult: which of the table's files can contain
+    * rows with `c` in [lo, hi]? Returns (kept file paths, total file
+    * count). The manifest pull is DRIVER-SIDE and bounded at FILE
+    * grain — one row per data file, the same coordinator-side read
+    * every table format's planner performs on its transaction
+    * log/manifest list (hierarchical manifest compaction is how the
+    * real formats bound this further; out of scope here). Files with
+    * NULL extents (all-NULL stats column) are kept conservatively.
+    */
+  def prunedFiles(spark: SparkSession, table: String, c: String,
+      lo: Long, hi: Long): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions.col
+    val rows = spark.read.parquet(dir(table + "__manifest"))
+      .select(col("file"), col(s"min_$c"), col(s"max_$c")).collect()
+    val kept = rows.filter { r =>
+      r.isNullAt(1) || r.isNullAt(2) ||
+        (r.getLong(1) <= hi && r.getLong(2) >= lo)
+    }.map(_.getString(0))
+    (kept.toSeq, rows.length)
+  }
+
+  /** Range read through the manifest: open ONLY the files whose
+    * recorded [min, max] on `c` overlaps [lo, hi], then apply the
+    * exact predicate (the manifest is a superset filter; parquet
+    * row-group stats and the filter itself finish the job — the
+    * standard two-level pruning stack). Falls back to an empty
+    * same-schema frame when no file overlaps.
+    */
+  def readPruned(spark: SparkSession, table: String, c: String,
+      lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = prunedFiles(spark, table, c, lo, hi)
+    val base =
+      if (kept.isEmpty) read(spark, table).filter(lit(false))
+      else spark.read.schema(read(spark, table).schema)
+        .parquet(kept: _*)
+    base.filter(col(c).cast("long").between(lo, hi))
+  }
+
   // ---- merge-on-read deletion vectors ------------------------------
 
   /** Lazy DELETE at key grain — the deletion-vector semantics the

@@ -178,4 +178,35 @@ class Round12Spec extends SparkSpec {
         r.getLong(2), r.getLong(3))).toSet
     assert(got.filter(_._2 <= 5) == q178rows)
   }
+
+  // ---- file-skipping manifest: the consult must SKIP files on a
+  // range-clustered layout (not just pass everything through) and
+  // the pruned plan must open fewer files while returning exactly
+  // the full-scan-plus-filter rows ----
+
+  test("manifest skipping: prunedFiles skips most files for a narrow " +
+    "range, readPruned opens fewer files and matches the full scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    // build the store + manifest through the registered query's
+    // shared once-key, then consult the same warehouse directly
+    graft.queries.Extras2.q231.fn(spark, dir).collect()
+    val wh = graft.sources.Warehouse(
+      SessionScratch.dir(spark, s"mfstore_${SessionScratch.keyOf(dir)}"))
+    val tbl = s"mf_orders_${SessionScratch.keyOf(dir)}"
+    val (kept, total) = wh.prunedFiles(spark, tbl, "o_orderkey", 1L, 100L)
+    assert(total >= 8, s"expected the 8-range layout, saw $total files")
+    assert(kept.nonEmpty && kept.size < total,
+      s"narrow range must skip files (kept ${kept.size} of $total)")
+    val pruned = wh.readPruned(spark, tbl, "o_orderkey", 1L, 100L)
+    val full = wh.read(spark, tbl)
+      .filter(col("o_orderkey").between(1L, 100L))
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      "the pruned plan must read fewer files than the full table")
+    assert(rows(pruned) == rows(full))
+    // no-overlap range: empty result, same schema, zero rows
+    val none = wh.readPruned(spark, tbl, "o_orderkey",
+      Long.MaxValue - 10, Long.MaxValue)
+    assert(none.schema == full.schema && none.count() == 0)
+  }
 }
