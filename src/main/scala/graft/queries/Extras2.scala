@@ -1642,7 +1642,92 @@ object Extras2 {
         max("o_orderkey").cast("long").as("key_max"))
   }
 
+  /** POWER-LAW PAGERANK CONTRIBUTION — the skew-hardened form q205's
+    * scaladoc promised ("a real web graph's hub skew would take the
+    * q29-family salting defenses on the join key"), now BUILT: the
+    * synthesized graph gives every doc 4 out-edges whose SOURCE is
+    * rerouted to hub node 0 whenever `feistel(4·d+j) mod 4 = 0` —
+    * so ~25% of ALL edges share one join key, and the hot key's row
+    * count grows LINEARLY with the corpus (the structural killer: a
+    * plain hash join on `u` sends every hub edge to ONE reducer
+    * task whose work scales with corpus size while every other task
+    * stays flat). Destinations are Feistel-uniform; in/out of the
+    * 32-bit Feistel domain is masked (the q214 lesson — ScaleSmoke's
+    * key-shifted ids exceed small domains). One contribution round
+    * `pr'(v) = 150000 + 850·Σ(pr_u div deg_u) div 1000` in exact
+    * integers (q205's arithmetic with per-node out-degree), with the
+    * edge ⋈ node-rank join run through [[graft.ops.Skew.saltedJoin]]
+    * (8 salts): the node-grain side replicates ×8 (cheap — node
+    * grain), the hub's edge rows spread across 8 reducers, and the
+    * per-task maximum drops ×8 BY CONSTRUCTION. Round12Spec pins the
+    * mechanism deterministically (hash-partition row distribution:
+    * naive max share ≈ hub share, salted ≈ hub/8) and result
+    * equality naive ≡ salted; SCALE.md carries the f=1/4/8 rows.
+    * The aggregate on `v` needs no defense — partial aggregation
+    * (map-side combine) absorbs destination skew, which is exactly
+    * why the JOIN is the member that needs the salt.
+    */
+  private[graft] def pagerankSkewPlan(s: SparkSession, dir: String,
+      salted: Boolean): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nRow = docs.agg(count(lit(1)).as("c"))
+    val withJ = docs.select(col("doc_id")).crossJoin(broadcast(nRow))
+      .select(col("doc_id"), col("c"),
+        explode(array(lit(0L), lit(1L), lit(2L), lit(3L))).as("j"))
+    val eid = (col("doc_id") * 4 + col("j")) % lit(4294967296L)
+    val edges = graft.Materialized(s, s"pgskew_edges:$dir:$salted") {
+      withJ.select(
+        when(feistel32(eid, lit(21L)) % 4 === 0, lit(0L))
+          .otherwise(col("doc_id")).as("u"),
+        (feistel32(eid, lit(22L)) % col("c")).as("v"))
+    }
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+    val prU = deg.withColumn("pru",
+      lit(1000000L) + (col("u") % 7) * 1000)
+    val contrib =
+      if (salted) graft.ops.Skew.saltedJoin(edges, prU, Seq("u"), 8)
+      else edges.join(prU, Seq("u"))
+    val agg = contrib.select(col("v"), expr("pru div deg").as("ct"))
+      .groupBy("v").agg(sum("ct").as("sc"))
+    docs.select(col("doc_id"), col("source"))
+      .join(agg, col("doc_id") === col("v"), "left")
+      .select(col("source"),
+        (lit(150000L) + expr("850 * coalesce(sc, 0L) div 1000"))
+          .as("pr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("pr").cast("long").as("sum_pr"))
+  }
+
+  val q232 = Q("q232_pagerank_skew",
+    s"""WITH n AS (SELECT count(*) AS c FROM documents),
+       |src AS (
+       |  SELECT doc_id, CAST(unnest(range(0, 4)) AS BIGINT) AS j
+       |  FROM documents),
+       |s2 AS (
+       |  SELECT doc_id, j, (doc_id * 4 + j) % 4294967296 AS eid
+       |  FROM src),
+       |${feistelSqlChain("s2", "eid", "doc_id, j", 21L, "rt")},
+       |${feistelSqlChain("s2", "eid", "doc_id, j", 22L, "dst")},
+       |e AS MATERIALIZED (
+       |  SELECT CASE WHEN rt.y % 4 = 0 THEN 0 ELSE rt.doc_id END AS u,
+       |    dst.y % (SELECT c FROM n) AS v
+       |  FROM rt JOIN dst ON dst.doc_id = rt.doc_id AND dst.j = rt.j),
+       |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+       |pru AS (
+       |  SELECT u, deg, 1000000 + (u % 7) * 1000 AS pru FROM deg),
+       |ct AS (
+       |  SELECT e.v, sum(p.pru // p.deg) AS sc
+       |  FROM e JOIN pru p ON p.u = e.u GROUP BY e.v)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(150000 + (850 * coalesce(ct.sc, 0)) // 1000)
+       |    AS BIGINT) AS sum_pr
+       |FROM documents d LEFT JOIN ct ON ct.v = d.doc_id
+       |GROUP BY d.source""".stripMargin) { (s, dir) =>
+    pagerankSkewPlan(s, dir, salted = true)
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
     q211, q213, q214, q215, q217, q218, q219, q220, q221, q222, q223,
-    q224, q225, q226, q227, q229, q231)
+    q224, q225, q226, q227, q229, q231, q232)
 }

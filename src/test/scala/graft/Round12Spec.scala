@@ -209,4 +209,41 @@ class Round12Spec extends SparkSpec {
       Long.MaxValue - 10, Long.MaxValue)
     assert(none.schema == full.schema && none.count() == 0)
   }
+
+  // ---- power-law PageRank hardening (q232): the salted contribution
+  // join must spread the hub key's rows across reducers where the
+  // naive hash join concentrates them on one — pinned on the actual
+  // hash-partition row distribution (deterministic, unlike wall
+  // time), plus salted ≡ naive result equality ----
+
+  test("q232: hub key holds ~25% of edges; salting drops the max " +
+    "reducer load by ~the salt factor; salted result == naive result") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val salted = graft.queries.Extras2.pagerankSkewPlan(spark, dir,
+      salted = true)
+    val naive = graft.queries.Extras2.pagerankSkewPlan(spark, dir,
+      salted = false)
+    assert(rows(salted) == rows(naive),
+      "the salt must never change the result")
+    val edges = graft.Materialized(spark, s"pgskew_edges:$dir:true") {
+      fail("edges must already be materialized") }
+    val total = edges.count()
+    val hub = edges.filter(col("u") === 0L).count()
+    assert(hub.toDouble / total > 0.15 && hub.toDouble / total < 0.35,
+      s"hub share ${hub.toDouble / total} outside the planted ~25%")
+    // simulate 32 reducers: max rows any one receives under the two
+    // partitionings of the contribution join's big side
+    def maxLoad(parts: org.apache.spark.sql.Column): Long =
+      edges.groupBy(parts.as("p")).count()
+        .agg(max("count")).head.getLong(0)
+    val naiveMax = maxLoad(pmod(hash(col("u")), lit(32)))
+    val saltedMax = maxLoad(pmod(hash(col("u"),
+      graft.ops.Skew.contentSalt(edges, 8)), lit(32)))
+    assert(naiveMax >= hub,
+      "naive hash partitioning sends every hub edge to one reducer")
+    assert(saltedMax * 3 < naiveMax,
+      s"salting must spread the hub (salted max $saltedMax vs " +
+        s"naive max $naiveMax)")
+  }
 }
