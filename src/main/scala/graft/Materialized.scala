@@ -15,6 +15,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * persisted frame per (application, artifact-key), so N registry runs
   * share one cached copy, and [[clear]] releases everything at once.
   *
+  * RETENTION is byte-capped LRU (round 12): retained artifacts were
+  * healthy at 229 queries (23 MB at bench end) but unbounded in query
+  * count. When the block manager's observed storage exceeds
+  * [[capBytes]] at admission time, least-recently-USED artifacts are
+  * unpersisted (blocking) and forgotten until under cap or the cache
+  * is empty. Eviction is CORRECTNESS-NEUTRAL by the same contract
+  * that makes this cache sound at all: artifacts derive from
+  * immutable inputs, so a later request simply rebuilds — overflow
+  * costs time, never answers (spec-pinned in Round12Spec). The cap
+  * check reads the block manager (all persistent RDDs, not only this
+  * cache's) — conservative: foreign cached data squeezes artifacts
+  * out rather than pushing the JVM toward eviction-by-OOM.
+  *
   * ONLY for frames derived from immutable inputs (testdata parquet):
   * Spark's CacheManager matches canonicalized plans, so caching over a
   * path that is later overwritten would serve stale data (see the note
@@ -22,7 +35,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Materialized {
 
-  private val cache = new ConcurrentHashMap[(String, String), DataFrame]()
+  /** Retention cap on OBSERVED block-manager storage (memory + disk)
+    * before a new artifact is admitted. Default 4 GiB — two orders
+    * above the full 232-query suite's measured footprint, so the cap
+    * is a backstop against unbounded growth, not a working limit.
+    * Settable (tests shrink it to force eviction).
+    */
+  @volatile private[graft] var capBytes: Long =
+    sys.env.get("SPARK_GRAFT_MATERIALIZED_CAP_BYTES").map(_.toLong)
+      .getOrElse(4L << 30)
+
+  // access-ordered: iteration visits least-recently-used first. All
+  // access is under `lock` — the map itself is not thread-safe, and
+  // admission must be atomic with eviction. Holding the lock across
+  // `build.persist()` is safe: persist only MARKS the plan (no job).
+  private val lock = new Object
+  private val cache =
+    new java.util.LinkedHashMap[(String, String), DataFrame](16, 0.75f, true)
   // identity-keyed (SparkSession doesn't override equals): a test can
   // pin a nonce to one cloned session so that clone's artifacts key —
   // and rebuild — separately from the application-shared ones
@@ -61,12 +90,41 @@ object Materialized {
     nonces.remove(spark); ()
   }
 
+  private def storedBytes(spark: SparkSession): Long =
+    spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
+
+  /** Evict least-recently-used artifacts (any scope — storage is
+    * application-global) until observed storage fits the cap or the
+    * cache is empty. Unpersists BLOCKING so the re-read of storage
+    * reflects each eviction. Callers hold `lock`.
+    */
+  private def evictUntilUnderCap(spark: SparkSession): Unit = {
+    if (storedBytes(spark) <= capBytes) return
+    val it = cache.entrySet().iterator()
+    while (storedBytes(spark) > capBytes && it.hasNext) {
+      it.next().getValue.unpersist(blocking = true)
+      it.remove()
+    }
+  }
+
   /** The persisted frame for `key`, building (and persisting) it on
-    * first use in this Spark application. `key` must include every
-    * input the build depends on (e.g. the sf dir).
+    * first use in this Spark application — or REbuilding it if the
+    * LRU cap evicted it since. `key` must include every input the
+    * build depends on (e.g. the sf dir).
     */
   def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((scope(spark), key), _ => build.persist())
+    lock.synchronized {
+      val k = (scope(spark), key)
+      val hit = cache.get(k) // refreshes LRU position
+      if (hit != null) hit
+      else {
+        evictUntilUnderCap(spark)
+        val df = build.persist()
+        cache.put(k, df)
+        df
+      }
+    }
 
   /** Unpersist and forget every artifact of this scope — the whole
     * application for a production session, just the clone's artifacts
@@ -75,12 +133,14 @@ object Materialized {
     * concurrently running suite; see [[setNonceForTests]] for the
     * catalog-table carve-out the nonce does not cover).
     */
-  def clear(spark: SparkSession): Unit = {
+  def clear(spark: SparkSession): Unit = lock.synchronized {
     val s = scope(spark)
-    cache.forEach { (k, df) =>
-      if (k._1 == s) {
-        df.unpersist()
-        cache.remove(k)
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == s) {
+        e.getValue.unpersist()
+        it.remove()
       }
     }
   }

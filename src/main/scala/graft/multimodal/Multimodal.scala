@@ -408,16 +408,33 @@ object Multimodal {
     * back through [[bmpMeta]]'s real parse. All codegen'd hex
     * built-ins, no UDF.
     */
+  private def le4hCol(x: Column): Column = {
+    val h = lpad(hex(x), 8, "0")
+    concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2))
+  }
+  private def le2hCol(x: Column): Column = {
+    val h = lpad(hex(x), 4, "0")
+    concat(h.substr(3, 2), h.substr(1, 2))
+  }
+
+  /** The full BMP file as a hex column: 54-byte header (file +
+    * BITMAPINFOHEADER) and a pixel array whose byte at offset j is
+    * `pixByte(j)` (a hex PAIR column) — shared by [[asBmpTable]] and
+    * [[asBmpTwinTable]] so the two generators cannot drift.
+    */
+  private def bmpHexCol(w: Column, hField: Column, stride: Column,
+      pixN: Column, pixByte: Column => Column): Column =
+    concat(
+      lit("424D"), le4hCol(pixN + 54), lit("00000000"), le4hCol(lit(54)),
+      le4hCol(lit(40)), le4hCol(w), le4hCol(hField), le2hCol(lit(1)),
+      le2hCol(lit(24)), le4hCol(lit(0)), le4hCol(pixN),
+      le4hCol(lit(2835)), le4hCol(lit(2835)), le4hCol(lit(0)),
+      le4hCol(lit(0)),
+      array_join(
+        transform(sequence(lit(0L), pixN - 1), pixByte), ""))
+
   def asBmpTable(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
-    def le4h(x: Column): Column = {
-      val h = lpad(hex(x), 8, "0")
-      concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2))
-    }
-    def le2h(x: Column): Column = {
-      val h = lpad(hex(x), 4, "0")
-      concat(h.substr(3, 2), h.substr(1, 2))
-    }
     val m = id % 3
     val w = id % 6 + 1
     val h = id % 4 + 1
@@ -425,14 +442,8 @@ object Multimodal {
     val pixN = stride * h
     // top-down files encode -h as unsigned 32-bit two's complement
     val hField = when(m === 1, lit(4294967296L) - h).otherwise(h)
-    val bmpHex = concat(
-      lit("424D"), le4h(pixN + 54), lit("00000000"), le4h(lit(54)),
-      le4h(lit(40)), le4h(w), le4h(hField), le2h(lit(1)), le2h(lit(24)),
-      le4h(lit(0)), le4h(pixN), le4h(lit(2835)), le4h(lit(2835)),
-      le4h(lit(0)), le4h(lit(0)),
-      array_join(
-        transform(sequence(lit(0L), pixN - 1),
-          j => lpad(hex((id * 7 + j) % 251), 2, "0")), ""))
+    val bmpHex = bmpHexCol(w, hField, stride, pixN,
+      j => lpad(hex((id * 7 + j) % 251), 2, "0"))
     docs.select(
       id.as("media_id"),
       when(m === 2, lit("text/plain")).otherwise(lit("image/bmp"))
@@ -443,6 +454,99 @@ object Multimodal {
       .select(col("media_id"), col("modality"), col("payload"),
         struct(col("source"),
           length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Deterministic PIXEL near-dup media table — [[asTwinMediaTable]]'s
+    * device at the pixel tier: every doc contributes its
+    * [[asBmpTable]] geometry BMP twice (all bottom-up here), media
+    * `2·id` with the base pixel pattern `(id·7 + j) mod 251` and
+    * media `2·id+1` with ONE pixel byte perturbed — row 0's byte at
+    * column `id mod 3w` (always a pixel, never padding) becomes
+    * `(v + 101) mod 251` (≠ v always). One changed pixel moves one
+    * of [[pixelHash60]]'s column sums, flipping ≤ 2 code bits — the
+    * planted ground truth (the re-encoded/one-pixel-noise twin every
+    * image-dedup corpus contains), recoverable by band-LSH with the
+    * q174 pigeonhole guarantee (2 flipped bits leave ≥ 2 of 4 bands
+    * identical).
+    */
+  def asBmpTwinTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = id % 6 + 1
+    val h = id % 4 + 1
+    val stride = ((w * 3 + 3).cast("long") / 4).cast("long") * 4
+    val pixN = stride * h
+    val j0 = id % (w * 3)
+    val baseHex = bmpHexCol(w, h, stride, pixN,
+      j => lpad(hex((id * 7 + j) % 251), 2, "0"))
+    val twinHex = bmpHexCol(w, h, stride, pixN,
+      j => lpad(hex(
+        when(j === j0, ((id * 7 + j) % 251 + 101) % 251)
+          .otherwise((id * 7 + j) % 251)), 2, "0"))
+    val base = docs.select((id * 2).as("media_id"),
+      unhex(baseHex).as("payload"), col("source"))
+    val tw = docs.select((id * 2 + 1).as("media_id"),
+      unhex(twinHex).as("payload"), col("source"))
+    base.unionAll(tw)
+      .select(col("media_id"), lit("image/bmp").as("modality"),
+        col("payload"),
+        struct(col("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** PIXEL-DOMAIN perceptual hash — [[columnHash60]]'s comparison
+    * structure fed from DECODED PIXELS instead of raw file bytes:
+    * walk the image in VISUAL order (top row first — stored rows are
+    * iterated in reverse for bottom-up files, forward for top-down),
+    * fold the padding-stripped pixel bytes into 60 column sums
+    * (stream position ≡ k mod 60), one bit per adjacent-column
+    * comparison. Because the walk is orientation-NORMALIZED, the
+    * same image encoded bottom-up and top-down hashes IDENTICALLY —
+    * the property a file-byte hash structurally cannot have
+    * (spec-pinned), and the reason a production pipeline hashes
+    * after decode. None for anything [[bmpMeta]] rejects.
+    */
+  def pixelHash60(p: Array[Byte]): Option[Long] =
+    bmpMeta(p).map { case (w, h, _, _) =>
+      // re-derive layout facts (cheap, header-only reads)
+      val topDown = signed32(le4(p, 22)) < 0
+      val off = le4(p, 10).toInt
+      val stride = ((3 * w + 3) / 4 * 4).toInt
+      val s = new Array[Long](60)
+      var i = 0L
+      var vr = 0L
+      while (vr < h) {
+        val sr = if (topDown) vr else h - 1 - vr
+        val base = off + (sr * stride).toInt
+        var c = 0
+        while (c < 3 * w) {
+          s(((i % 60).toInt)) += (p(base + c) & 0xffL)
+          i += 1
+          c += 1
+        }
+        vr += 1
+      }
+      var code = 0L
+      var k = 0
+      while (k < 60) {
+        if (s(k) > s((k + 1) % 60)) code |= 1L << k
+        k += 1
+      }
+      code
+    }
+
+  /** [[pixelHash60]] over a media table, partition-batched — the
+    * pixel-tier twin of [[perceptualHash]]. Undecodable payloads are
+    * DROPPED (a pixel hash of bytes that aren't pixels is
+    * meaningless; the header gate routes those rows elsewhere).
+    */
+  def pixelPerceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        pixelHash60(p).map(sh => (id, sh))
+      })
+      .toDF("media_id", "sh")
   }
 
   /** Pixel-level decode over a media table — [[decodeImageMeta]]'s

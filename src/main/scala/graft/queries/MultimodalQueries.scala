@@ -790,6 +790,97 @@ object MultimodalQueries {
       Multimodal.asBmpTable(Tables(s, dir, "documents")))
   }
 
+  /** PIXEL-DOMAIN PERCEPTUAL NEAR-DUP — q174's retrieval pipeline
+    * (band-LSH over a 60-bit locality hash, capped buckets, Hamming
+    * verify) with the hash moved from FILE BYTES to DECODED PIXELS:
+    * [[Multimodal.pixelHash60]] walks each BMP's padding-stripped
+    * pixel array in orientation-NORMALIZED visual order (the
+    * property a file-byte hash cannot have — the same image stored
+    * bottom-up and top-down hashes identically, spec-pinned), folds
+    * into 60 column sums, one bit per adjacent comparison. The
+    * corpus ([[Multimodal.asBmpTwinTable]]) plants a one-pixel
+    * perturbed twin per doc: one changed pixel moves one column sum,
+    * flips ≤ 2 bits, and the 4×15 banding then guarantees ≥ 2
+    * identical bands per twin pair (pigeonhole) — recall is
+    * structural, not statistical. The oracle rebuilds the pixel
+    * stream from the generator's closed form (visual-order offset
+    * arithmetic it never shares with the engine, which parses real
+    * bytes), then mirrors the sums, bit assembly, banding, cap, and
+    * Hamming cut — q174's double-derivation device at the pixel
+    * tier.
+    *
+    * Shape: map-only synthesis + partition-batched pixel hash, one
+    * band-grain exchange for the bucket cap, the capped self-join,
+    * and the xor/bit_count verify — the q31/q174 cost model; nothing
+    * all-pairs at any scale.
+    */
+  val q233 = Q("q233_pixel_phash_neardup",
+    """WITH g AS (
+      |  SELECT doc_id, (doc_id % 6) + 1 AS w, (doc_id % 4) + 1 AS h
+      |  FROM documents),
+      |geo AS (
+      |  SELECT doc_id, w, h, ((3 * w + 3) // 4) * 4 AS stride FROM g),
+      |med AS (
+      |  SELECT doc_id, w, h, stride, doc_id * 2 AS media_id, 0 AS tw
+      |  FROM geo
+      |  UNION ALL
+      |  SELECT doc_id, w, h, stride, doc_id * 2 + 1, 1 FROM geo),
+      |px AS (
+      |  SELECT media_id, i % 60 AS k,
+      |    CASE WHEN tw = 1 AND
+      |        (h - 1 - i // (3 * w)) * stride + i % (3 * w)
+      |          = doc_id % (3 * w)
+      |      THEN ((doc_id * 7 + (h - 1 - i // (3 * w)) * stride
+      |        + i % (3 * w)) % 251 + 101) % 251
+      |      ELSE (doc_id * 7 + (h - 1 - i // (3 * w)) * stride
+      |        + i % (3 * w)) % 251 END AS v
+      |  FROM (SELECT *, CAST(unnest(range(0, 3 * w * h)) AS BIGINT)
+      |          AS i FROM med) t),
+      |cs AS (SELECT media_id, k, sum(v) AS s FROM px
+      |       GROUP BY media_id, k),
+      |ks AS (
+      |  SELECT mm.media_id, r.k, coalesce(cs.s, 0) AS s
+      |  FROM (SELECT DISTINCT media_id FROM med) mm
+      |  CROSS JOIN (SELECT unnest(range(0, 60)) AS k) r
+      |  LEFT JOIN cs ON cs.media_id = mm.media_id AND cs.k = r.k),
+      |bits AS (
+      |  SELECT a.media_id, a.k,
+      |    CASE WHEN a.s > b2.s THEN 1 ELSE 0 END AS bit
+      |  FROM ks a JOIN ks b2 ON b2.media_id = a.media_id
+      |    AND b2.k = (a.k + 1) % 60),
+      |code AS (
+      |  SELECT media_id,
+      |    sum(CASE WHEN bit = 1 THEN 1::BIGINT << CAST(k AS INT)
+      |        ELSE 0 END) AS sh
+      |  FROM bits GROUP BY media_id),
+      |bd AS (
+      |  SELECT media_id, sh, band,
+      |    (sh >> CAST(15 * band AS INT)) & 32767 AS key
+      |  FROM code
+      |  CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INT) AS band) r),
+      |sized AS (
+      |  SELECT band, key FROM bd GROUP BY band, key
+      |  HAVING count(*) BETWEEN 2 AND 32),
+      |pairs AS (
+      |  SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b,
+      |    a.sh AS sha, c.sh AS shb
+      |  FROM sized x
+      |  JOIN bd a ON a.band = x.band AND a.key = x.key
+      |  JOIN bd c ON c.band = x.band AND c.key = x.key
+      |    AND a.media_id < c.media_id)
+      |SELECT media_a, media_b,
+      |  CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+      |FROM pairs WHERE bit_count(xor(sha, shb)) <= 6""".stripMargin) {
+    (s, dir) =>
+    val media = Multimodal.asBmpTwinTable(Tables(s, dir, "documents"))
+    val codes = Multimodal.pixelPerceptualHash(media)
+      .withColumnRenamed("media_id", "doc_id")
+    graft.text.NearDup.simhashCandidates(codes, bands = 4,
+        blockBits = 15, bandBits = 15, maxBucket = 32, maxHamming = 6)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+  }
+
   val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176,
-    q179, q203, q212, q230)
+    q179, q203, q212, q230, q233)
 }

@@ -1677,11 +1677,12 @@ object SimQueries {
     * greedily pick the candidate maximizing λ·sim(q,d) −
     * (1−λ)·max_{s∈S} sim(d,s), so near-duplicate passages don't
     * crowd the context window). λ = 0.7, top-12 candidates, 5 picks.
-    * The greedy is expressed as FIVE UNROLLED RELATIONAL STEPS (the
-    * q163 unrolled-chain device): each step is an anti-join
-    * (remaining), a selected-grain max-penalty aggregate, and one
-    * per-query argmax window — no driver loop, no UDF; the oracle is
-    * the same chain as MATERIALIZED CTEs (the q170 inlining lesson).
+    * Each greedy step is an anti-join (remaining), a selected-grain
+    * max-penalty aggregate, and one per-query argmax window; the
+    * oracle expresses the chain as k UNROLLED MATERIALIZED CTEs (the
+    * q170 inlining lesson), the engine as a driver loop over
+    * bounded pulls (see [[mmrPicks]] for why the all-relational
+    * engine form was abandoned — measured, not stylistic).
     * Determinism is the q162 integer device: similarities quantize
     * ONCE to integer micro-units (round(cos·10⁶) — the proven 6dp
     * boundary), and the MMR objective is then PURE BIGINT
@@ -1697,8 +1698,8 @@ object SimQueries {
     * steps cost |Q|-grain windows regardless of corpus size. Scale
     * path: swap the scan for the IVF route; the MMR chain is
     * unchanged. Since round 12 k is a PARAMETER ([[mmrPicks]] — the
-    * bpeTrain driver-loop device: one bounded ≤|Q|-row Materialized
-    * step per pick, loop depth chosen by the caller; the oracle
+    * bpeTrain/kmeans driver-loop device: one bounded ≤|Q|-row driver
+    * pull per pick, loop depth chosen by the caller; the oracle
     * generator [[mmrOracleSql]] unrolls the same chain to any k).
     * q178 gates k=5 against DuckDB; Round12Spec pins k=10 against a
     * shared-nothing in-memory greedy.
@@ -1765,11 +1766,19 @@ object SimQueries {
   /** Parameterized MMR greedy — the engine half of q178 at ANY pick
     * depth `k` (1..12, the candidate cap): candidate top-12 +
     * pairwise-penalty tables Materialized once per corpus, then a
-    * DRIVER LOOP of k bounded relational steps (the bpeTrain device —
-    * the driver holds only the loop counter; every step is a ≤|Q|-row
-    * Materialized frame, so step t's lineage never embeds the full
-    * earlier chain and the final union is k cached unions, not a 2^k
-    * re-execution).
+    * DRIVER LOOP of k bounded steps (the bpeTrain/kmeansTrainMicro
+    * device): each step's ≤|Q| picked rows are PULLED TO THE DRIVER
+    * and the next step's selection set is a LITERAL frame built from
+    * them — so step t's plan references only the two cached tables
+    * plus |Q|·(t−1) literal rows, CONSTANT in size. The earlier
+    * all-relational form (every step a Materialized frame consumed by
+    * the next) was quadratic in registered plans but EXPONENTIAL in
+    * analyzed-tree size: step t's tree embeds steps 1..t−1's full
+    * plans BEFORE cache substitution can collapse them, and k=10
+    * OOMed the test JVM during analysis — the measured reason the
+    * driver-pull form is the right loop device, not a stylistic
+    * choice. The pull is the documented bounded artifact: |Q| rows
+    * (8 here) of 4 longs per step, independent of corpus size.
     */
   private[graft] def mmrPicks(s: SparkSession, dir: String,
       k: Int): DataFrame = {
@@ -1806,19 +1815,19 @@ object SimQueries {
             / (col("nna") * col("nnb")) * 1000000).cast("long")
             .as("mpsim"))
     }
-    // each step is Materialized (≤|Q| rows): without this, step t's
-    // lineage embeds every earlier step's full plan and the final
-    // union re-executes the chain ~2^k times — measured 15.3 s at
-    // f=1 un-cached vs the scan-bound cost cached
-    val s1 = graft.Materialized(s, s"mmr_s1:$dir") {
-      cand.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("qid"), col("nid"),
-          (lit(7L) * col("msim")).as("score"), lit(1).as("rank"))
-    }
-    val picks = (2 to k).foldLeft(Seq(s1)) { (acc, t) =>
-      val sel = acc.map(_.select(col("qid"), col("nid")))
-        .reduce(_ unionAll _)
+    import s.implicits._
+    // step 1: per-query argmax of 7·msim — pulled to the driver
+    // (≤|Q| rows, the bounded artifact)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, Long)] // (qid, rank, nid, score)
+    picks ++= cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nid"), (lit(7L) * col("msim")).as("s"))
+      .collect().map(r => (r.getLong(0), 1L, r.getLong(1), r.getLong(2)))
+    for (t <- 2 to k) {
+      // the selection so far as a LITERAL frame: the next step's plan
+      // never embeds earlier steps' plans
+      val sel = picks.toSeq.map(p => (p._1, p._3)).toDF("qid", "nid")
       val rem = cand.join(sel, Seq("qid", "nid"), "left_anti")
       val pen = pairs.join(sel.withColumnRenamed("nid", "nb"),
           Seq("qid", "nb"))
@@ -1827,20 +1836,16 @@ object SimQueries {
         .select(col("qid"), col("nid"), col("p"))
       val ws = Window.partitionBy("qid")
         .orderBy(col("score").desc, col("nid").asc)
-      val st = graft.Materialized(s, s"mmr_s$t:$dir") {
-        rem.join(pen, Seq("qid", "nid"))
-          .withColumn("score",
-            lit(7L) * col("msim") - lit(3L) * col("p"))
-          .withColumn("rn", row_number().over(ws))
-          .filter(col("rn") === 1)
-          .select(col("qid"), col("nid"), col("score"),
-            lit(t).as("rank"))
-      }
-      acc :+ st
+      picks ++= rem.join(pen, Seq("qid", "nid"))
+        .withColumn("score",
+          lit(7L) * col("msim") - lit(3L) * col("p"))
+        .withColumn("rn", row_number().over(ws))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), col("score"))
+        .collect()
+        .map(r => (r.getLong(0), t.toLong, r.getLong(1), r.getLong(2)))
     }
-    picks.reduce(_ unionAll _)
-      .select(col("qid"), col("rank").cast("long").as("rank"),
-        col("nid"), col("score").as("score_micro"))
+    picks.toSeq.toDF("qid", "rank", "nid", "score_micro")
   }
 
   val q178 = Q("q178_mmr_rerank", mmrOracleSql(5)) { (s, dir) =>

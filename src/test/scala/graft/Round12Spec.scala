@@ -128,6 +128,42 @@ class Round12Spec extends SparkSpec {
     assert(feat.sameElements(Array(2.0, 2.0, 231.0, 4.0)))
   }
 
+  test("pixelHash60: orientation-normalized — the same visual image " +
+    "stored bottom-up and top-down hashes identically, where the " +
+    "file-byte hash cannot") {
+    val bu = bmp2x2(2L)
+    // the SAME visual 2×2 image as a top-down file: negative
+    // biHeight, stored rows in reversed order (visual top first)
+    val td = hexBytes(
+      "424D" + le4h(54 + 16) + "00000000" + le4h(54) +
+        le4h(40) + le4h(2) + le4h(-2L & 0xffffffffL) + le2h(1) +
+        le2h(24) + le4h(0) + le4h(16) + le4h(2835) + le4h(2835) +
+        le4h(0) + le4h(0) +
+        "0A141E28323C" + "FCFD" + "010203040506" + "FAFB")
+    val hb = Multimodal.pixelHash60(bu)
+    val ht = Multimodal.pixelHash60(td)
+    assert(hb.isDefined && hb == ht,
+      "pixel hash must normalize orientation before folding")
+    assert(Multimodal.columnHash60(bu) != Multimodal.columnHash60(td),
+      "the file-byte hash sees different bytes — these vectors were " +
+        "chosen so the codes differ, proving the pixel walk is not " +
+        "just re-hashing the file")
+    // garbage payload: no pixel hash, never a crash
+    assert(Multimodal.pixelHash60("not a bmp at all".getBytes).isEmpty)
+  }
+
+  test("q233 recovers planted one-pixel twins: each reported pair at " +
+    "hamming <= 2 includes base/twin pairs (media 2i, 2i+1)") {
+    val got = graft.queries.MultimodalQueries.q233
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "the near-dup gate must fire on this corpus")
+    val twins = got.filter { case (a, b, _) => a % 2 == 0 && b == a + 1 }
+    assert(twins.nonEmpty, "planted twins must be recovered")
+    assert(twins.forall(_._3 <= 2),
+      "a one-pixel perturbation flips at most 2 code bits")
+  }
+
   // ---- parameterized MMR greedy depth (q178's former literal-5
   // unroll): the distributed driver-loop chain at k=10 must agree
   // with a shared-nothing in-memory greedy over the same integer
@@ -245,5 +281,32 @@ class Round12Spec extends SparkSpec {
     assert(saltedMax * 3 < naiveMax,
       s"salting must spread the hub (salted max $saltedMax vs " +
         s"naive max $naiveMax)")
+  }
+
+  // ---- Materialized LRU byte cap: overflow evicts the
+  // least-recently-used artifact; an evicted artifact is REBUILT on
+  // the next request — never served stale, never an error ----
+
+  test("Materialized cap: overflow evicts LRU artifacts and a " +
+    "rebuilt artifact returns the same rows") {
+    import spark.implicits._
+    val before = Materialized.capBytes
+    try {
+      val a = Materialized(spark, "captest:a") { Seq(1, 2, 3).toDF("x") }
+      assert(a.count() == 3) // materialize under the normal cap
+      // cache hit: same frame back, no rebuild
+      assert(Materialized(spark, "captest:a") {
+        fail("hit must not rebuild") } eq a)
+      Materialized.capBytes = 1L // every admission now evicts
+      val b = Materialized(spark, "captest:b") { Seq(4).toDF("x") }
+      assert(b.count() == 1)
+      // admitting b drained the over-cap cache (a included): a fresh
+      // request rebuilds a NEW frame with identical content
+      val a2 = Materialized(spark, "captest:a") { Seq(1, 2, 3).toDF("x") }
+      assert(!(a2 eq a), "evicted artifact must be rebuilt")
+      assert(rows(a2) == Set(Seq(1), Seq(2), Seq(3)))
+    } finally {
+      Materialized.capBytes = before
+    }
   }
 }
