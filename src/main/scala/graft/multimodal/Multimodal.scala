@@ -297,6 +297,128 @@ object Multimodal {
           length(col("payload")).cast("long").as("n_bytes")).as("meta"))
   }
 
+  /** SAMPLE-LEVEL PCM DECODE — the audio member of the content tier
+    * ([[bmpMeta]] is the image member): walk the RIFF chunks to the
+    * `data` payload and decode the ACTUAL SAMPLES — 16-bit files as
+    * signed little-endian (a value ≥ 0x8000 is negative via two's
+    * complement — the arithmetic a byte-summing stand-in cannot
+    * fake), 8-bit files as unsigned offset-128 (the WAV convention:
+    * 0x80 is silence). Returns (bits, channels, frames, sample_sum,
+    * peak) where frames = samples per channel and peak = max |v| —
+    * the clipping detector every audio-ingest gate runs. None unless
+    * the file is PCM (format 1), bits ∈ {8,16}, and the data size
+    * divides evenly into whole frames (a torn frame is corruption,
+    * not data).
+    */
+  def wavPcm(p: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    if (sniffFormat(p) != "wav") return None
+    var i = 12
+    var fmt: Option[(Long, Long, Long)] = None // (af, ch, bits)
+    var data: Option[(Int, Int)] = None // (offset, size)
+    while (i + 8 <= p.length) {
+      val csz = le4(p, i + 4)
+      if (i + 8 + csz > p.length) return None
+      if (p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' &&
+        p(i + 3) == ' ') {
+        if (csz < 16) return None
+        fmt = Some((le2(p, i + 8).toLong, le2(p, i + 10).toLong,
+          le2(p, i + 22).toLong))
+      } else if (p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' &&
+        p(i + 3) == 'a') data = Some((i + 8, csz.toInt))
+      i += 8 + csz.toInt + (csz % 2).toInt
+    }
+    for {
+      (af, ch, bits) <- fmt
+      (off, nd) <- data
+      if af == 1L && (bits == 8L || bits == 16L) && ch >= 1
+      bytesPerSample = (bits / 8).toInt
+      if nd % (bytesPerSample * ch.toInt) == 0
+    } yield {
+      var sum = 0L
+      var peak = 0L
+      var j = 0
+      while (j < nd) {
+        val v =
+          if (bits == 16L) {
+            val x = le2(p, off + j)
+            (if (x >= 0x8000) x - 0x10000 else x).toLong
+          } else (p(off + j) & 0xff).toLong - 128L
+        sum += v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        j += bytesPerSample
+      }
+      (bits, ch, nd.toLong / (bytesPerSample * ch), sum, peak)
+    }
+  }
+
+  /** Deterministic PCM media table — [[asBmpTable]]'s device for the
+    * audio SAMPLE tier: `id%5==4` raw text garbage; otherwise a
+    * PCM WAV with bits 8 (`id%2==0`) or 16, channels 2 when
+    * `id%3==0` else 1, `id%50+10` frames per channel, and sample k's
+    * STORED value the closed form `(id·31+k) mod 2^bits` — which the
+    * decoder must re-interpret per width (16-bit: signed two's
+    * complement; 8-bit: unsigned minus 128). Odd 8-bit data sizes
+    * exercise the RIFF pad rule on the content chunk itself.
+    */
+  def asPcmTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val m = id % 5
+    val bits = when(id % 2 === 0, 8L).otherwise(16L)
+    val ch = when(id % 3 === 0, 2L).otherwise(1L)
+    val frames = id % 50 + 10
+    val n = frames * ch
+    val ba = (ch * bits / lit(8L)).cast("long")
+    val nd = n * (bits / lit(8L)).cast("long")
+    val ndPad = nd + nd % 2
+    val dataHex = when(bits === 16L,
+      array_join(transform(sequence(lit(0L), n - 1),
+        k => le2hCol((id * 31 + k) % 65536)), ""))
+      .otherwise(
+        array_join(transform(sequence(lit(0L), n - 1),
+          k => lpad(hex((id * 31 + k) % 256), 2, "0")), ""))
+    val riffSize = lit(4L) + lit(24L) + lit(8L) + ndPad
+    val wavHex = concat(
+      lit("52494646"), le4hCol(riffSize), lit("57415645"),
+      lit("666D7420" + "10000000" + "0100"),
+      le2hCol(ch), le4hCol(lit(16000L)), le4hCol(lit(16000L) * ba),
+      le2hCol(ba), le2hCol(bits),
+      lit("64617461"), le4hCol(nd),
+      dataHex, lit("00").substr(lit(1), ((ndPad - nd) * 2).cast("int")))
+    docs.select(
+      id.as("media_id"),
+      when(m === 4, lit("text/plain")).otherwise(lit("audio/pcm"))
+        .as("modality"),
+      when(m === 4, encode(col("text"), "UTF-8"))
+        .otherwise(unhex(wavHex)).as("payload"),
+      col("source"))
+      .select(col("media_id"), col("modality"), col("payload"),
+        struct(col("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Sample-level decode over a media table — [[decodeBmpMeta]]'s
+    * audio twin, running [[wavPcm]] partition-batched. Unknown/
+    * corrupt payloads report ('unknown', 0...) — garbage is data at
+    * crawl scale.
+    */
+  def decodePcmMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (mid, p) =>
+          wavPcm(p) match {
+            case Some((bits, ch, fr, sum, peak)) =>
+              (mid, if (bits == 8L) "pcm8" else "pcm16", ch, fr, sum,
+                peak)
+            case None => (mid, "unknown", 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "format", "channels", "n_frames",
+        "sample_sum", "peak")
+  }
+
   /** Decode audio metadata over a media table — [[decodeImageMeta]]'s
     * audio twin, running [[wavMeta]]'s chunk walk partition-batched.
     * Unknown/corrupt payloads report ('unknown', 0...) — garbage is

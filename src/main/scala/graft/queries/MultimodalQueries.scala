@@ -881,6 +881,62 @@ object MultimodalQueries {
         col("hamming"))
   }
 
+  /** SAMPLE-LEVEL PCM DECODE — the audio member of the content tier
+    * (q230 is the image member; q173 stopped at the header):
+    * [[Multimodal.wavPcm]] walks the RIFF chunks to the data payload
+    * and decodes ACTUAL SAMPLES, with the two widths demanding
+    * genuinely different arithmetic — 16-bit signed two's-complement
+    * little-endian vs 8-bit unsigned offset-128 (0x80 = silence) —
+    * so a decoder that byte-sums instead of sample-decoding fails
+    * every 16-bit file with a negative sample and every 8-bit file
+    * outright. Gated stats: per-file sample sum and PEAK |v| (the
+    * clipping detector an audio-ingest gate runs). The oracle
+    * recomputes both from the generator's closed form
+    * `(id·31+k) mod 2^bits` reinterpreted per width — it never
+    * touches a byte, the engine never sees the closed form (the
+    * q230 double derivation, audio edition). Odd 8-bit data sizes
+    * put the RIFF pad rule on the CONTENT chunk; `id%5==4` rows are
+    * raw-text garbage reporting ('unknown', 0, ...).
+    *
+    * Shape: map-only synthesis + partition-batched decode — zero
+    * exchange at any scale.
+    */
+  val q234 = Q("q234_pcm_sample_decode",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 5 AS m,
+      |    CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bits,
+      |    CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch,
+      |    (doc_id % 50) + 10 AS fr
+      |  FROM documents),
+      |smp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN bits = 16 THEN
+      |      CASE WHEN (doc_id * 31 + k) % 65536 >= 32768
+      |        THEN (doc_id * 31 + k) % 65536 - 65536
+      |        ELSE (doc_id * 31 + k) % 65536 END
+      |    ELSE (doc_id * 31 + k) % 256 - 128 END AS v
+      |  FROM (
+      |    SELECT doc_id, bits,
+      |      CAST(unnest(range(0, fr * ch)) AS BIGINT) AS k
+      |    FROM p WHERE m <> 4) t),
+      |ag AS (
+      |  SELECT doc_id, sum(v) AS sample_sum, max(abs(v)) AS peak
+      |  FROM smp GROUP BY doc_id)
+      |SELECT p.doc_id AS media_id,
+      |  CASE WHEN m = 4 THEN 'unknown'
+      |    WHEN bits = 8 THEN 'pcm8' ELSE 'pcm16' END AS format,
+      |  CAST(CASE WHEN m = 4 THEN 0 ELSE ch END AS BIGINT)
+      |    AS channels,
+      |  CAST(CASE WHEN m = 4 THEN 0 ELSE fr END AS BIGINT)
+      |    AS n_frames,
+      |  CAST(coalesce(ag.sample_sum, 0) AS BIGINT) AS sample_sum,
+      |  CAST(coalesce(ag.peak, 0) AS BIGINT) AS peak
+      |FROM p LEFT JOIN ag ON ag.doc_id = p.doc_id""".stripMargin) {
+    (s, dir) =>
+    Multimodal.decodePcmMeta(
+      Multimodal.asPcmTable(Tables(s, dir, "documents")))
+  }
+
   val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176,
-    q179, q203, q212, q230, q233)
+    q179, q203, q212, q230, q233, q234)
 }

@@ -128,6 +128,35 @@ class Round12Spec extends SparkSpec {
     assert(feat.sameElements(Array(2.0, 2.0, 231.0, 4.0)))
   }
 
+  private def wavBytes(af: Int, ch: Int, bits: Int,
+      dataHex: String): Array[Byte] = {
+    val nd = dataHex.length / 2
+    val pad = if (nd % 2 == 1) "00" else ""
+    hexBytes("52494646" + le4h(4 + 24 + 8 + nd + pad.length / 2) +
+      "57415645" + "666D7420" + "10000000" + le2h(af) + le2h(ch) +
+      le4h(16000) + le4h(16000L * ch * bits / 8) +
+      le2h(ch * bits / 8) + le2h(bits) +
+      "64617461" + le4h(nd) + dataHex + pad)
+  }
+
+  test("wavPcm: 16-bit samples decode signed two's-complement LE, " +
+    "8-bit decode unsigned offset-128; torn frames and non-PCM are " +
+    "None") {
+    // samples +1 and -32768 (0x8000): a byte-summer cannot fake this
+    val s16 = Multimodal.wavPcm(wavBytes(1, 1, 16, "0100" + "0080"))
+    assert(s16.contains((16L, 1L, 2L, -32767L, 32768L)))
+    // 8-bit: 0x00 -> -128, 0x80 -> 0 (silence), 0xFF -> 127; odd data
+    // size exercises the RIFF pad on the content chunk
+    val s8 = Multimodal.wavPcm(wavBytes(1, 1, 8, "0080FF"))
+    assert(s8.contains((8L, 1L, 3L, -1L, 128L)))
+    // 6 data bytes at 16-bit stereo = 1.5 frames: torn, not data
+    assert(Multimodal.wavPcm(wavBytes(1, 2, 16, "0100" * 3)).isEmpty)
+    // non-PCM format code: header decode may report it, sample
+    // decode must refuse
+    assert(Multimodal.wavPcm(wavBytes(2, 1, 16, "0100" + "0080")).isEmpty)
+    assert(Multimodal.wavPcm("not audio".getBytes).isEmpty)
+  }
+
   test("pixelHash60: orientation-normalized — the same visual image " +
     "stored bottom-up and top-down hashes identically, where the " +
     "file-byte hash cannot") {
