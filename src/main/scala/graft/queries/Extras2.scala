@@ -1727,7 +1727,57 @@ object Extras2 {
     pagerankSkewPlan(s, dir, salted = true)
   }
 
+  /** Z-ORDER × MANIFEST BOX READ — the composition the two pieces
+    * exist for (Delta/Iceberg `ZORDER BY` + per-file stats, end to
+    * end): orders is written through [[graft.ops.ZOrder.cluster]] on
+    * (o_custkey, o_orderkey) — every file then spans a COMPACT
+    * RECTANGLE of the key plane — a manifest records both columns'
+    * per-file extents, and a 2-D box predicate consults it
+    * conjunctively ([[graft.sources.Warehouse.readPrunedBox]]),
+    * skipping files on EITHER dimension. The property that makes the
+    * curve worth its one range exchange at write time: a single-key
+    * sort leaves the second key's per-file extents spanning the full
+    * domain (its dimension never skips) — Round12Spec builds exactly
+    * that rival layout and pins strictly more files kept for the
+    * same predicate. The oracle computes the box aggregate over the
+    * raw corpus — a manifest consult that over-prunes loses rows and
+    * hash-fails.
+    *
+    * Shape: store + manifest build once (once-key); per-run cost is
+    * the file-grain consult + a scan of the overlapping files + one
+    * partial aggregate. At 100 TB the box read touches the files
+    * whose rectangles intersect the box — O(result locality), not
+    * O(table).
+    */
+  val q235 = Q("q235_zorder_box_read",
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+      |FROM orders
+      |WHERE o_custkey BETWEEN 10 AND 60
+      |  AND o_orderkey BETWEEN 1 AND 30000
+      |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = graft.sources.Warehouse(
+      graft.SessionScratch.dir(s,
+        s"zmstore_${graft.SessionScratch.keyOf(dir)}"))
+    val tbl = s"zm_orders_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, tbl) {
+      wh.overwrite(
+        graft.ops.ZOrder.cluster(t(s, dir, "orders"),
+          col("o_custkey"), col("o_orderkey"), bits = 10,
+          partitions = 8).drop("z"),
+        tbl)
+      wh.writeManifest(s, tbl, Seq("o_custkey", "o_orderkey"))
+    }
+    wh.readPrunedBox(s, tbl,
+        Seq(("o_custkey", 10L, 60L), ("o_orderkey", 1L, 30000L)))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"))
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
     q211, q213, q214, q215, q217, q218, q219, q220, q221, q222, q223,
-    q224, q225, q226, q227, q229, q231, q232)
+    q224, q225, q226, q227, q229, q231, q232, q235)
 }

@@ -387,13 +387,30 @@ final case class Warehouse(root: String) {
     * NULL extents (all-NULL stats column) are kept conservatively.
     */
   def prunedFiles(spark: SparkSession, table: String, c: String,
-      lo: Long, hi: Long): (Seq[String], Int) = {
+      lo: Long, hi: Long): (Seq[String], Int) =
+    prunedFilesAll(spark, table, Seq((c, lo, hi)))
+
+  /** Conjunctive (box) manifest consult: keep a file only if EVERY
+    * predicate's recorded [min, max] overlaps its range. This is the
+    * read path z-ordered layouts exist for ([[graft.ops.ZOrder
+    * .cluster]]): the curve gives every file a compact rectangle in
+    * (a, b) space, so a 2-D box predicate skips on BOTH dimensions —
+    * a single-key sort would leave the second key's per-file extents
+    * spanning the full domain (one dimension never skips).
+    */
+  def prunedFilesAll(spark: SparkSession, table: String,
+      preds: Seq[(String, Long, Long)]): (Seq[String], Int) = {
     import org.apache.spark.sql.functions.col
+    val cols = col("file") +: preds.flatMap { case (c, _, _) =>
+      Seq(col(s"min_$c"), col(s"max_$c")) }
     val rows = spark.read.parquet(dir(table + "__manifest"))
-      .select(col("file"), col(s"min_$c"), col(s"max_$c")).collect()
+      .select(cols: _*).collect()
     val kept = rows.filter { r =>
-      r.isNullAt(1) || r.isNullAt(2) ||
-        (r.getLong(1) <= hi && r.getLong(2) >= lo)
+      preds.zipWithIndex.forall { case ((_, lo, hi), i) =>
+        val (mi, ma) = (1 + 2 * i, 2 + 2 * i)
+        r.isNullAt(mi) || r.isNullAt(ma) ||
+          (r.getLong(mi) <= hi && r.getLong(ma) >= lo)
+      }
     }.map(_.getString(0))
     (kept.toSeq, rows.length)
   }
@@ -406,14 +423,25 @@ final case class Warehouse(root: String) {
     * same-schema frame when no file overlaps.
     */
   def readPruned(spark: SparkSession, table: String, c: String,
-      lo: Long, hi: Long): DataFrame = {
+      lo: Long, hi: Long): DataFrame =
+    readPrunedBox(spark, table, Seq((c, lo, hi)))
+
+  /** Box read through the manifest: open only files overlapping
+    * EVERY range, then apply the exact conjunctive predicate (the
+    * manifest is a superset filter; parquet row-group stats and the
+    * filter finish the job).
+    */
+  def readPrunedBox(spark: SparkSession, table: String,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val (kept, _) = prunedFiles(spark, table, c, lo, hi)
+    val (kept, _) = prunedFilesAll(spark, table, preds)
     val base =
       if (kept.isEmpty) read(spark, table).filter(lit(false))
       else spark.read.schema(read(spark, table).schema)
         .parquet(kept: _*)
-    base.filter(col(c).cast("long").between(lo, hi))
+    preds.foldLeft(base) { case (d, (c, lo, hi)) =>
+      d.filter(col(c).cast("long").between(lo, hi))
+    }
   }
 
   // ---- merge-on-read deletion vectors ------------------------------

@@ -275,6 +275,46 @@ class Round12Spec extends SparkSpec {
     assert(none.schema == full.schema && none.count() == 0)
   }
 
+  test("z-order box read (q235): the z-clustered layout skips files " +
+    "on the SECOND dimension where a single-key sort cannot, and " +
+    "the box read matches the plain filter") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    // build the z store + manifest through the registered query
+    graft.queries.Extras2.q235.fn(spark, dir).collect()
+    val wh = graft.sources.Warehouse(
+      SessionScratch.dir(spark, s"zmstore_${SessionScratch.keyOf(dir)}"))
+    val ztbl = s"zm_orders_${SessionScratch.keyOf(dir)}"
+    // rival layout: range-sorted on custkey ONLY, same manifest cols
+    val stbl = s"zm_orders_1d_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(spark, stbl) {
+      wh.overwrite(
+        graft.sources.Tables(spark, dir, "orders")
+          .repartitionByRange(8, col("o_custkey"))
+          .sortWithinPartitions("o_custkey"),
+        stbl)
+      wh.writeManifest(spark, stbl, Seq("o_custkey", "o_orderkey"))
+    }
+    // narrow predicate on the SECOND key only (first 5% of orderkeys)
+    val pred = Seq(("o_orderkey", 1L, 300L))
+    val (zKept, zTotal) = wh.prunedFilesAll(spark, ztbl, pred)
+    val (sKept, sTotal) = wh.prunedFilesAll(spark, stbl, pred)
+    assert(zTotal >= 8 && sTotal >= 8)
+    assert(zKept.size < zTotal,
+      s"z layout must skip on the second dimension " +
+        s"(kept ${zKept.size} of $zTotal)")
+    assert(zKept.size < sKept.size,
+      s"the curve must beat the single-key sort (z kept " +
+        s"${zKept.size}, 1-D kept ${sKept.size})")
+    // correctness: box read == plain filter on the same store
+    val box = Seq(("o_custkey", 10L, 60L), ("o_orderkey", 1L, 30000L))
+    val pruned = wh.readPrunedBox(spark, ztbl, box)
+    val full = wh.read(spark, ztbl)
+      .filter(col("o_custkey").between(10L, 60L) &&
+        col("o_orderkey").between(1L, 30000L))
+    assert(rows(pruned) == rows(full))
+  }
+
   // ---- power-law PageRank hardening (q232): the salted contribution
   // join must spread the hub key's rows across reducers where the
   // naive hash join concentrates them on one — pinned on the actual
