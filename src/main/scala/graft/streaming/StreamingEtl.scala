@@ -606,6 +606,39 @@ object StreamingEtl {
       .dropDuplicates("media_id", "store_id")
   }
 
+  /** Ingest-time CONTENT-FEATURE EXTRACTOR — the streaming twin of
+    * the sample/pixel decode tier (q230's [[graft.multimodal
+    * .Multimodal.bmpMeta]] and q234's `wavPcm`): each arriving
+    * payload is content-sniffed and decoded STATELESS per row,
+    * reporting (media_id, format, a, b, content_stat) — bmp →
+    * (width, height, pixel sum); PCM wav → (channels, frames, sample
+    * sum); anything else ('unknown', 0, 0, 0). The byte decoders are
+    * the single batch definitions, so batch and stream cannot drift
+    * (spec-pinned equal to the batch decode tables on a mixed feed
+    * split across micro-batches). Zero state, no watermark — a pure
+    * per-row function, restart-safe by construction; a production
+    * deployment puts this exactly here, at ingest, so the expensive
+    * content decode runs once per payload arrival rather than per
+    * downstream consumer.
+    */
+  def contentDecodeStream(media: DataFrame): DataFrame = {
+    import graft.multimodal.Multimodal
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        Multimodal.bmpMeta(p) match {
+          case Some((w, h, ps, _)) => (id, "bmp", w, h, ps)
+          case None => Multimodal.wavPcm(p) match {
+            case Some((bits, ch, fr, sum, _)) =>
+              (id, if (bits == 8L) "pcm8" else "pcm16", ch, fr, sum)
+            case None => (id, "unknown", 0L, 0L, 0L)
+          }
+        }
+      })
+      .toDF("media_id", "format", "a", "b", "content_stat")
+  }
+
   /** Streaming twin of the q204 epoch shuffle — the ONLINE shard
     * router: an arriving doc's (epoch, shard) assignment is the SAME
     * keyed bijective permutation the batch plan computes

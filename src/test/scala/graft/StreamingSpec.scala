@@ -884,4 +884,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists { case (id, t) => curTier(eByUser(id)) != t },
       "every PIT tier equals the current tier — skew contrast vacuous")
   }
+
+  test("contentDecodeStream: pixel/sample decode across micro-batch " +
+    "boundaries equals the batch q230/q234 decode tables on a mixed " +
+    "bmp+pcm+garbage feed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.multimodal.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val bmp = Multimodal.asBmpTable(docs)
+    val pcm = Multimodal.asPcmTable(docs)
+    val feed = bmp.select(($"media_id" * 2).as("media_id"), $"payload")
+      .unionByName(
+        pcm.select(($"media_id" * 2 + 1).as("media_id"), $"payload"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingEtl.contentDecodeStream(
+        input.toDF().toDF("media_id", "payload"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("content_decode_stream").start()
+    val (b1, b2) = feed.toSeq.splitAt(feed.length / 2)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // expected from the BATCH decode tables, ids remapped to the feed
+    val expBmp = Multimodal.decodeBmpMeta(bmp).collect().map { r =>
+      Seq[Any](r.getLong(0) * 2, r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)) // width, height, pix_sum
+    }
+    val expPcm = Multimodal.decodePcmMeta(pcm).collect().map { r =>
+      Seq[Any](r.getLong(0) * 2 + 1, r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)) // channels, n_frames, sample_sum
+    }
+    assert(rows(spark.table("content_decode_stream")) ==
+      (expBmp ++ expPcm).toSet,
+      "stream decode diverges from the batch decode tables")
+    // vacuity: all four formats present on the feed
+    val fmts = spark.table("content_decode_stream").collect()
+      .map(_.getString(1)).toSet
+    assert(fmts == Set("bmp", "pcm8", "pcm16", "unknown"), s"$fmts")
+  }
 }
