@@ -1777,7 +1777,51 @@ object Extras2 {
         sum("o_custkey").cast("long").as("cust_sum"))
   }
 
+  /** INCREMENTAL MANIFEST MAINTENANCE — the commit-time stats shape
+    * that makes q231's skip layer affordable under append traffic:
+    * wave 0 builds the store + manifest, wave 1 lands through
+    * [[graft.sources.Warehouse.appendWithManifest]] — the data
+    * append is O(delta) and the stats pass reads back ONLY the files
+    * the append created (listing diff), never rescanning the table
+    * (every real format writes per-file stats into the commit for
+    * exactly this reason). The waves interleave on the key
+    * (`o_orderkey mod 3`), so both span the queried range and a
+    * pruned read that misses delta manifest rows loses ~⅓ of every
+    * group — the oracle's plain filtered aggregate hash-fails on
+    * any stale-manifest bug. Round12Spec additionally pins the
+    * incremental manifest BYTE-EQUAL (row-set) to a from-scratch
+    * recompute, and that the append left existing manifest rows
+    * untouched (fragment files accrete).
+    */
+  val q236 = Q("q236_manifest_incremental",
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS cust_cnt
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 500 AND 4500
+      |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = graft.sources.Warehouse(
+      graft.SessionScratch.dir(s,
+        s"imstore_${graft.SessionScratch.keyOf(dir)}"))
+    val tbl = s"im_orders_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, tbl) {
+      val o = t(s, dir, "orders")
+      wh.overwrite(o.filter(col("o_orderkey") % 3 =!= 0)
+        .repartitionByRange(4, col("o_orderkey")), tbl)
+      wh.writeManifest(s, tbl, Seq("o_orderkey"))
+      wh.appendWithManifest(s,
+        o.filter(col("o_orderkey") % 3 === 0)
+          .repartitionByRange(4, col("o_orderkey")),
+        tbl, Seq("o_orderkey"))
+    }
+    wh.readPruned(s, tbl, "o_orderkey", 500L, 4500L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        countDistinct("o_custkey").cast("long").as("cust_cnt"))
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
     q211, q213, q214, q215, q217, q218, q219, q220, q221, q222, q223,
-    q224, q225, q226, q227, q229, q231, q232, q235)
+    q224, q225, q226, q227, q229, q231, q232, q235, q236)
 }

@@ -364,17 +364,49 @@ final case class Warehouse(root: String) {
     * file a narrow span on BOTH curve keys, which is exactly what
     * makes these extents selective.
     */
-  def writeManifest(spark: SparkSession, table: String,
-      cols: Seq[String]): Unit = {
+  private def fileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"min_$c"),
       max(col(c).cast("long")).as(s"max_$c")))
-    read(spark, table)
-      .groupBy(input_file_name().as("file"))
+    df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  def writeManifest(spark: SparkSession, table: String,
+      cols: Seq[String]): Unit =
+    fileStats(read(spark, table), cols)
       .coalesce(1)
       .write.mode("overwrite").parquet(dir(table + "__manifest"))
+
+  /** Append `df` AND extend the manifest with ONLY the new files'
+    * stats — the commit-time shape every table format uses (stats
+    * ride the commit; nothing rescans the table): the data append
+    * costs O(delta), and the stats pass reads back just the files
+    * the append created (listing diff), so manifest maintenance is
+    * O(delta) too. Existing manifest rows are untouched — a
+    * [[writeManifest]] full recompute is never needed on the append
+    * path (spec-pinned byte-identical to the recompute). Same
+    * single-writer model as the other maintenance ops; manifest
+    * fragments accrete one small file per append (readers read the
+    * directory; compact with a full [[writeManifest]] when fragment
+    * count matters).
+    */
+  def appendWithManifest(spark: SparkSession, df: DataFrame,
+      table: String, cols: Seq[String]): Unit = {
+    def parts: Set[String] =
+      Option(new File(dir(table)).listFiles()).getOrElse(Array())
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+    val before = if (exists(table)) parts else Set.empty[String]
+    append(df, table)
+    val added = (parts -- before).toSeq
+    if (added.nonEmpty)
+      fileStats(
+        spark.read.schema(read(spark, table).schema).parquet(added: _*),
+        cols)
+        .coalesce(1)
+        .write.mode("append").parquet(dir(table + "__manifest"))
   }
 
   /** The manifest consult: which of the table's files can contain

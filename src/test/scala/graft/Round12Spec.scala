@@ -352,6 +352,42 @@ class Round12Spec extends SparkSpec {
         s"naive max $naiveMax)")
   }
 
+  test("incremental manifest (q236): append extends the manifest " +
+    "with only the new files' stats, row-set equal to a full " +
+    "recompute; old rows untouched") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    graft.queries.Extras2.q236.fn(spark, dir).collect()
+    val wh = graft.sources.Warehouse(
+      SessionScratch.dir(spark, s"imstore_${SessionScratch.keyOf(dir)}"))
+    val tbl = s"im_orders_${SessionScratch.keyOf(dir)}"
+    def manifestRows: Set[Seq[Any]] = rows(
+      spark.read.parquet(
+        SessionScratch.dir(spark,
+          s"imstore_${SessionScratch.keyOf(dir)}") + s"/${tbl}__manifest"))
+    val incremental = manifestRows
+    // one manifest row per data file, and fragments accrete (the
+    // wave-0 overwrite wrote one, the append added another)
+    val dataFiles = wh.read(spark, tbl).inputFiles.length
+    assert(incremental.size == dataFiles,
+      s"manifest ${incremental.size} rows vs $dataFiles files")
+    val mDir = new java.io.File(SessionScratch.dir(spark,
+      s"imstore_${SessionScratch.keyOf(dir)}") + s"/${tbl}__manifest")
+    val fragments = Option(mDir.listFiles()).getOrElse(Array())
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(fragments >= 2,
+      "the append must add a manifest fragment, not rewrite")
+    // the incremental manifest must equal a from-scratch recompute
+    wh.writeManifest(spark, tbl, Seq("o_orderkey"))
+    assert(manifestRows == incremental,
+      "incremental stats diverge from the full recompute")
+    // and the pruned read over the two-wave store equals the filter
+    val pruned = wh.readPruned(spark, tbl, "o_orderkey", 500L, 4500L)
+    val full = wh.read(spark, tbl)
+      .filter(col("o_orderkey").between(500L, 4500L))
+    assert(rows(pruned) == rows(full))
+  }
+
   // ---- Materialized LRU byte cap: overflow evicts the
   // least-recently-used artifact; an evicted artifact is REBUILT on
   // the next request — never served stale, never an error ----
