@@ -1821,7 +1821,45 @@ object Extras2 {
         countDistinct("o_custkey").cast("long").as("cust_cnt"))
   }
 
+  /** PER-FILE BLOOM POINT LOOKUP — the equality complement to
+    * q231/q235's range extents: the store is range-clustered on
+    * o_orderkey, so every file's [min, max] on o_custkey spans
+    * nearly the whole domain and the RANGE consult keeps everything
+    * (Round12Spec pins that contrast) — but the Bloom sidecar
+    * ([[graft.sources.Warehouse.writeBloomManifest]]) records each
+    * file's k=4 hash positions per key over a 4096-bit space, and a
+    * point probe opens only files whose filter admits the key.
+    * Absence of any position is a PROOF of absence (no false
+    * negatives), so the oracle's plain `o_custkey = 42` rows gate
+    * the whole path: an over-pruning filter loses rows and
+    * hash-fails; a false positive only opens a file for nothing.
+    * Build and consult share ONE hash derivation (Spark's xxhash64
+    * fold mirrored through the same catalyst XXH64 kernel) — the
+    * two sides cannot drift.
+    *
+    * Shape: sidecar builds once (one scan, k-position explode,
+    * file-grain aggregate); the probe is a file-grain driver consult
+    * + a scan of admitted files only — at 100 TB a key lookup
+    * touches the handful of files that contain it, not the table.
+    */
+  val q237 = Q("q237_bloom_point_lookup",
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE o_custkey = 42""".stripMargin) { (s, dir) =>
+    val wh = graft.sources.Warehouse(
+      graft.SessionScratch.dir(s,
+        s"blstore_${graft.SessionScratch.keyOf(dir)}"))
+    val tbl = s"bl_orders_${graft.SessionScratch.keyOf(dir)}"
+    graft.SessionScratch.once(s, tbl) {
+      wh.overwrite(t(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderkey")), tbl)
+      wh.writeManifest(s, tbl, Seq("o_custkey"))
+      wh.writeBloomManifest(s, tbl, "o_custkey")
+    }
+    wh.readPointLookup(s, tbl, "o_custkey", 42L)
+      .select("o_orderkey", "o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
     q211, q213, q214, q215, q217, q218, q219, q220, q221, q222, q223,
-    q224, q225, q226, q227, q229, q231, q232, q235, q236)
+    q224, q225, q226, q227, q229, q231, q232, q235, q236, q237)
 }

@@ -458,6 +458,86 @@ final case class Warehouse(root: String) {
       lo: Long, hi: Long): DataFrame =
     readPrunedBox(spark, table, Seq((c, lo, hi)))
 
+  // ---- per-file Bloom membership (point-lookup skipping) -----------
+
+  /** The `k` Bloom bit positions of `key` — shared by the build
+    * (Column side) and the consult (driver side) through ONE
+    * derivation: position i is `pmod(xxhash64(i, key), bits)`, and
+    * Spark's xxhash64 folds children left-to-right from seed 42
+    * (`h = hashLong(i, 42); hashLong(key, h)`), which
+    * [[bloomPositions]] mirrors via the same catalyst XXH64 kernel —
+    * the two sides cannot drift because they call the same hash.
+    */
+  private[graft] def bloomPositions(key: Long, bits: Int,
+      k: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (0 until k).map { i =>
+      val h = XXH64.hashLong(key, XXH64.hashLong(i.toLong, 42L))
+      (((h % bits) + bits) % bits).toInt
+    }
+  }
+
+  /** Persist a per-file BLOOM membership sidecar for point lookups
+    * on `c` — the skip structure min/max extents cannot provide: on
+    * a table clustered by some OTHER key, every file's [min, max] on
+    * `c` spans the whole domain (range consult keeps everything),
+    * but an equality probe only needs to open files that MIGHT
+    * contain the key. Each file records the SORTED DISTINCT Bloom
+    * positions of its keys (`k` positions per key over a `bits`-wide
+    * space) — the sparse representation of the bitset a production
+    * format packs (Parquet/Delta bloom filters); membership testing
+    * and false-positive behavior are identical, and absence of all
+    * `k` positions is a PROOF of absence (no false negatives — the
+    * property the spec pins through result equality).
+    */
+  def writeBloomManifest(spark: SparkSession, table: String, c: String,
+      bits: Int = 4096, k: Int = 4): Unit = {
+    import org.apache.spark.sql.functions._
+    val posCols = (0 until k).map(i =>
+      pmod(xxhash64(lit(i.toLong), col(c).cast("long")), lit(bits))
+        .cast("int"))
+    read(spark, table)
+      .select(input_file_name().as("file"),
+        explode(array(posCols: _*)).as("pos"))
+      .groupBy("file")
+      .agg(sort_array(collect_set(col("pos"))).as("positions"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir(table + s"__bloom_$c"))
+  }
+
+  /** Bloom consult: files that MIGHT contain `c = key` (all `k`
+    * positions present), plus the total file count. Driver-side at
+    * file grain, like [[prunedFilesAll]].
+    */
+  def bloomPrunedFiles(spark: SparkSession, table: String, c: String,
+      key: Long, bits: Int = 4096, k: Int = 4): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions.col
+    val probe = bloomPositions(key, bits, k).toSet
+    val rows = spark.read.parquet(dir(table + s"__bloom_$c"))
+      .select(col("file"), col("positions")).collect()
+    val kept = rows.filter { r =>
+      val ps = r.getSeq[Int](1).toSet
+      probe.subsetOf(ps)
+    }.map(_.getString(0))
+    (kept.toSeq, rows.length)
+  }
+
+  /** Point lookup through the Bloom sidecar: open only files whose
+    * filter admits the key, then apply the exact equality (Bloom is
+    * a superset filter — false positives open a file for nothing,
+    * false negatives are impossible by construction).
+    */
+  def readPointLookup(spark: SparkSession, table: String, c: String,
+      key: Long, bits: Int = 4096, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = bloomPrunedFiles(spark, table, c, key, bits, k)
+    val base =
+      if (kept.isEmpty) read(spark, table).filter(lit(false))
+      else spark.read.schema(read(spark, table).schema)
+        .parquet(kept: _*)
+    base.filter(col(c).cast("long") === key)
+  }
+
   /** Box read through the manifest: open only files overlapping
     * EVERY range, then apply the exact conjunctive predicate (the
     * manifest is a superset filter; parquet row-group stats and the

@@ -388,6 +388,38 @@ class Round12Spec extends SparkSpec {
     assert(rows(pruned) == rows(full))
   }
 
+  test("bloom point lookup (q237): the range consult keeps every " +
+    "file on an off-key clustering, the bloom consult skips; probe " +
+    "rows equal the plain filter; misses prove absence") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    graft.queries.Extras2.q237.fn(spark, dir).collect()
+    val wh = graft.sources.Warehouse(
+      SessionScratch.dir(spark, s"blstore_${SessionScratch.keyOf(dir)}"))
+    val tbl = s"bl_orders_${SessionScratch.keyOf(dir)}"
+    // contrast: min/max extents on the UNclustered key keep all files
+    val (rKept, rTotal) = wh.prunedFiles(spark, tbl, "o_custkey",
+      42L, 42L)
+    val (bKept, bTotal) = wh.bloomPrunedFiles(spark, tbl, "o_custkey",
+      42L)
+    assert(rTotal >= 8 && bTotal == rTotal)
+    assert(rKept.size == rTotal,
+      "range extents on an off-key clustering cannot skip — that is " +
+        "the gap the bloom exists for")
+    assert(bKept.size < bTotal,
+      s"bloom must skip files (kept ${bKept.size} of $bTotal)")
+    // correctness: probe rows equal the plain filter, nonempty here
+    val probe = wh.readPointLookup(spark, tbl, "o_custkey", 42L)
+    val full = wh.read(spark, tbl).filter(col("o_custkey") === 42L)
+    assert(rows(probe) == rows(full) && probe.count() > 0)
+    // a key that is absent from the corpus: bloom may keep a false-
+    // positive file, but the probe returns zero rows (no false
+    // negatives is vacuous to test; no false POSITIVES in the final
+    // result is what the exact filter guarantees)
+    assert(wh.readPointLookup(spark, tbl, "o_custkey",
+      999999999L).count() == 0)
+  }
+
   // ---- Materialized LRU byte cap: overflow evicts the
   // least-recently-used artifact; an evicted artifact is REBUILT on
   // the next request — never served stale, never an error ----
