@@ -1793,13 +1793,14 @@ object Extras2 {
     * recompute, and that the append left existing manifest rows
     * untouched (fragment files accrete).
     */
-  val q236 = Q("q236_manifest_incremental",
-    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS cust_cnt
-      |FROM orders
-      |WHERE o_orderkey BETWEEN 500 AND 4500
-      |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+  /** The two-wave manifested orders store q236 and q239 share (one
+    * once-key — whichever runs first pays the build, the q167/q225
+    * convention): wave 0 overwrite + manifest, wave 1 through the
+    * O(delta) [[graft.sources.Warehouse.appendWithManifest]]; waves
+    * interleave on `o_orderkey mod 3` so both span every key range.
+    */
+  private def imStore(s: SparkSession,
+      dir: String): (graft.sources.Warehouse, String) = {
     val wh = graft.sources.Warehouse(
       graft.SessionScratch.dir(s,
         s"imstore_${graft.SessionScratch.keyOf(dir)}"))
@@ -1814,6 +1815,17 @@ object Extras2 {
           .repartitionByRange(4, col("o_orderkey")),
         tbl, Seq("o_orderkey"))
     }
+    (wh, tbl)
+  }
+
+  val q236 = Q("q236_manifest_incremental",
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS cust_cnt
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 500 AND 4500
+      |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val (wh, tbl) = imStore(s, dir)
     wh.readPruned(s, tbl, "o_orderkey", 500L, 4500L)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
@@ -1859,7 +1871,44 @@ object Extras2 {
       .select("o_orderkey", "o_orderstatus")
   }
 
+  /** METADATA-ONLY COUNT with boundary refinement — the plan every
+    * lakehouse engine runs for `SELECT count(*) WHERE key BETWEEN …`
+    * over stats-manifested files ([[graft.sources.Warehouse
+    * .countPruned]]): files whose extents sit FULLY inside the range
+    * contribute their manifest `n_rows` without being opened; only
+    * the files straddling an endpoint are scanned with the exact
+    * predicate. Three ranges gate the tiers together — the
+    * whole-domain range (every file interior: a PURE metadata
+    * answer, zero files opened — spec-pinned boundary = 0), a wide
+    * mid range (interior + 2-ish boundary files), and a narrow range
+    * (boundary-only). The oracle counts the raw corpus; any
+    * interior/boundary misclassification double- or under-counts
+    * and hash-fails. On a range-clustered 100 TB table the boundary
+    * is O(2 files) REGARDLESS of range width — count cost is
+    * metadata + two file scans where a plain plan scans the range.
+    */
+  val q239 = Q("q239_metadata_count",
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS range_id,
+      |    CAST(count(*) AS BIGINT) AS n FROM orders
+      |  WHERE o_orderkey BETWEEN 0 AND 999999999
+      |  UNION ALL
+      |  SELECT 2, count(*) FROM orders
+      |  WHERE o_orderkey BETWEEN 500 AND 4500
+      |  UNION ALL
+      |  SELECT 3, count(*) FROM orders
+      |  WHERE o_orderkey BETWEEN 700 AND 760) t""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    val (wh, tbl) = imStore(s, dir)
+    val ranges = Seq((1L, 0L, 999999999L), (2L, 500L, 4500L),
+      (3L, 700L, 760L))
+    ranges.map { case (rid, lo, hi) =>
+      (rid, wh.countPruned(s, tbl, "o_orderkey", lo, hi)._1)
+    }.toDF("range_id", "n")
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
     q211, q213, q214, q215, q217, q218, q219, q220, q221, q222, q223,
-    q224, q225, q226, q227, q229, q231, q232, q235, q236, q237)
+    q224, q225, q226, q227, q229, q231, q232, q235, q236, q237, q239)
 }

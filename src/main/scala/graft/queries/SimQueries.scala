@@ -2016,7 +2016,91 @@ object SimQueries {
       .select("qid", "nid", "sim", "rn")
   }
 
+  /** FILTERED ANN — attribute-constrained vector search (the
+    * tenant/language/recency filter every production vector store
+    * bolts onto ANN; the "filtered search" problem in the FAISS/
+    * vector-db literature): each query wants its top-3 among ONLY
+    * the corpus vectors whose `label` equals the query's target
+    * (`qid mod 5` here — a per-query predicate, not a global one).
+    * The filter applies INSIDE the probed-cell scan — PRE-filtering,
+    * so the top-k window ranks only admissible candidates and k
+    * survivors are k admissible answers. The known failure mode of
+    * the alternative (post-filtering an unfiltered top-k: selective
+    * filters leave < k results) is thereby designed out, at the
+    * documented cost that very selective filters shrink per-cell
+    * candidate counts and a production deployment widens nProbe
+    * adaptively when admissible-candidate counts run low — stated,
+    * not implemented (the adaptive loop is the bpeTrain driver
+    * device if needed).
+    *
+    * Shape: exactly q48 (broadcast centroids, one assignment
+    * exchange, bounded probe join) plus one codegen'd predicate in
+    * the cell scan — the filter rides the existing join, zero new
+    * exchanges at any scale.
+    */
+  val q238 = Q("q238_filtered_ann",
+    s"""WITH cent AS (
+       |  SELECT CAST(cid AS BIGINT) AS cid, ce
+       |  FROM (VALUES $centroidValuesSql) t(cid, ce)),
+       |e AS (
+       |  SELECT vec_id, label, embedding, $normSql AS nrm
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT e.vec_id, e.label, e.embedding, e.nrm, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY round(list_sum(list_transform(
+       |                         range(1,65), i ->
+       |                         e.embedding[CAST(i AS INT)]::DOUBLE *
+       |                         c.ce[CAST(i AS INT)]::DOUBLE)), 6) DESC,
+       |                       c.cid) AS rnp
+       |  FROM e CROSS JOIN cent c),
+       |c AS (
+       |  SELECT vec_id, label, embedding, nrm, cid
+       |  FROM sc WHERE rnp = 1 AND vec_id >= 8),
+       |qq AS (
+       |  SELECT vec_id, embedding, nrm, cid
+       |  FROM sc WHERE rnp <= $NProbe AND vec_id < 8),
+       |sims AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid, c.label,
+       |    round($dotSql / (q.nrm * c.nrm), 6) AS sim
+       |  FROM qq q JOIN c ON c.cid = q.cid
+       |    AND c.label = q.vec_id % 5)
+       |SELECT qid, nid, CAST(label AS BIGINT) AS label, sim,
+       |  CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT qid, nid, label, sim,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY sim DESC, nid) AS rn
+       |  FROM sims)
+       |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val cent = Similarity.centroidTable(s, K, D)
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    // ivfAssign carries only the vector payload; the filter column
+    // rejoins at id grain (broadcast-small here; co-bucketed with the
+    // index at store scale — the attribute table IS index metadata)
+    val corp = Similarity.ivfAssign(
+        e.drop("label").filter(col("vec_id") >= 8), cent)
+      .join(broadcast(e.select(col("vec_id"), col("label"))),
+        Seq("vec_id"))
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("label"), col("embedding").as("ne"), col("nrm").as("cn"))
+    val probes = Similarity.ivfProbes(
+        e.drop("label").filter(col("vec_id") < 8), cent, NProbe)
+      .select(col("cid"), col("vec_id").as("qid"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val sims = broadcast(probes).join(corp, Seq("cid"))
+      .filter(col("label") === col("qid") % 5)
+      .select(col("qid"), col("nid"), col("label").cast("long"),
+        round(Similarity.dot(col("qe"), col("ne"))
+          / (col("qn") * col("cn")), 6).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc,
+      col("nid").asc)
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
     q113, q128, q129, q133, q134, q135, q136, q140, q146, q154, q158,
-    q165, q177, q178, q180, q187)
+    q165, q177, q178, q180, q187, q238)
 }

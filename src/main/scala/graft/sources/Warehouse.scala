@@ -366,11 +366,51 @@ final case class Warehouse(root: String) {
     */
   private def fileStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val aggs = cols.flatMap(c => Seq(
+    // n_rows first: with per-file row counts in the manifest,
+    // aggregates over predicate-aligned files answer from METADATA
+    // (see countPruned) — the same reason every table format stores
+    // numRecords in its commit stats
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"min_$c"),
       max(col(c).cast("long")).as(s"max_$c")))
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** METADATA-ONLY COUNT with boundary refinement: `count(*) WHERE c
+    * BETWEEN lo AND hi` answered by splitting the manifest's files
+    * into INTERIOR (extents fully inside the range — their `n_rows`
+    * sum straight out of the manifest, zero files opened) and
+    * BOUNDARY (extents straddling an endpoint — only these are
+    * scanned, with the exact predicate). On a range-clustered table
+    * at 100 TB the boundary is O(2 files) regardless of range width
+    * — the classic metadata-count plan every lakehouse engine runs
+    * for `SELECT count(*)`. Returns (count, interior files, boundary
+    * files); files with NULL extents count as boundary
+    * (conservative). Same staleness contract as the manifest itself.
+    */
+  def countPruned(spark: SparkSession, table: String, c: String,
+      lo: Long, hi: Long): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val rows = spark.read.parquet(dir(table + "__manifest"))
+      .select(col("file"), col(s"min_$c"), col(s"max_$c"),
+        col("n_rows")).collect()
+    val overlapping = rows.filter { r =>
+      r.isNullAt(1) || r.isNullAt(2) ||
+        (r.getLong(1) <= hi && r.getLong(2) >= lo)
+    }
+    val (interior, boundary) = overlapping.partition { r =>
+      !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getLong(1) >= lo && r.getLong(2) <= hi
+    }
+    val metaCount = interior.map(_.getLong(3)).sum
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else spark.read.schema(read(spark, table).schema)
+        .parquet(boundary.map(_.getString(0)).toSeq: _*)
+        .filter(col(c).cast("long").between(lo, hi))
+        .count()
+    (metaCount + scanned, interior.length, boundary.length)
   }
 
   def writeManifest(spark: SparkSession, table: String,

@@ -420,6 +420,32 @@ class Round12Spec extends SparkSpec {
       999999999L).count() == 0)
   }
 
+  test("metadata count (q239): the whole-domain range answers from " +
+    "metadata alone (zero boundary files); mid ranges scan only the " +
+    "straddling files; every tier's count equals the plain filter") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    graft.queries.Extras2.q239.fn(spark, dir).collect()
+    val wh = graft.sources.Warehouse(
+      SessionScratch.dir(spark, s"imstore_${SessionScratch.keyOf(dir)}"))
+    val tbl = s"im_orders_${SessionScratch.keyOf(dir)}"
+    def exact(lo: Long, hi: Long): Long =
+      wh.read(spark, tbl)
+        .filter(col("o_orderkey").between(lo, hi)).count()
+    val (nAll, iAll, bAll) = wh.countPruned(spark, tbl, "o_orderkey",
+      0L, 999999999L)
+    assert(bAll == 0, "whole domain must be a pure metadata answer")
+    assert(iAll > 0 && nAll == exact(0L, 999999999L))
+    val (nMid, iMid, bMid) = wh.countPruned(spark, tbl, "o_orderkey",
+      500L, 4500L)
+    assert(iMid > 0 && bMid > 0,
+      s"mid range should mix tiers (interior $iMid boundary $bMid)")
+    assert(nMid == exact(500L, 4500L))
+    val (nNarrow, _, bNarrow) = wh.countPruned(spark, tbl,
+      "o_orderkey", 700L, 760L)
+    assert(bNarrow > 0 && nNarrow == exact(700L, 760L))
+  }
+
   // ---- Materialized LRU byte cap: overflow evicts the
   // least-recently-used artifact; an evicted artifact is REBUILT on
   // the next request — never served stale, never an error ----
