@@ -1908,7 +1908,59 @@ object Extras2 {
     }.toDF("range_id", "n")
   }
 
+  /** INCREMENTAL RE-CLUSTERING — the `OPTIMIZE ZORDER` maintenance
+    * pass over an appended store ([[graft.sources.Warehouse
+    * .reclusterDelta]]): wave 0 is written z-clustered (marker
+    * records its files), wave 1 appends UNclustered (manifest kept
+    * fresh by the O(delta) append path), and the recluster rewrites
+    * ONLY the delta files through the curve — closed files are never
+    * read again, the property that keeps nightly maintenance
+    * affordable at 100 TB. The commit is roll-forward journaled
+    * (stage outside the table → journal moves+deletes → mutate;
+    * Round12Spec pins crash recovery mid-commit, untouched-closed-
+    * file mtimes, and content preservation). The gated box read then
+    * consults the maintained manifest over the FULLY-clustered
+    * layout; waves interleave on the key so a recluster that drops
+    * or duplicates delta rows hash-fails against the oracle's plain
+    * box aggregate.
+    */
+  val q240 = Q("q240_recluster_incremental",
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+      |FROM orders
+      |WHERE o_custkey BETWEEN 20 AND 80
+      |  AND o_orderkey BETWEEN 100 AND 1200
+      |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = graft.sources.Warehouse(
+      graft.SessionScratch.dir(s,
+        s"rcstore_${graft.SessionScratch.keyOf(dir)}"))
+    val tbl = s"rc_orders_${graft.SessionScratch.keyOf(dir)}"
+    val mcols = Seq("o_custkey", "o_orderkey")
+    graft.SessionScratch.once(s, tbl) {
+      val o = t(s, dir, "orders")
+      wh.overwrite(
+        graft.ops.ZOrder.cluster(o.filter(col("o_orderkey") % 2 === 0),
+          col("o_custkey"), col("o_orderkey"), bits = 10,
+          partitions = 4).drop("z"),
+        tbl)
+      wh.markClustered(tbl)
+      wh.writeManifest(s, tbl, mcols)
+      wh.appendWithManifest(s,
+        o.filter(col("o_orderkey") % 2 === 1), tbl, mcols)
+      wh.reclusterDelta(s, tbl, "o_custkey", "o_orderkey", mcols,
+        partitions = 4)
+    }
+    wh.readPrunedBox(s, tbl,
+        Seq(("o_custkey", 20L, 80L), ("o_orderkey", 100L, 1200L)))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"))
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
     q211, q213, q214, q215, q217, q218, q219, q220, q221, q222, q223,
-    q224, q225, q226, q227, q229, q231, q232, q235, q236, q237, q239)
+    q224, q225, q226, q227, q229, q231, q232, q235, q236, q237, q239,
+    q240)
 }

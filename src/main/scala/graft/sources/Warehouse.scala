@@ -498,6 +498,137 @@ final case class Warehouse(root: String) {
       lo: Long, hi: Long): DataFrame =
     readPrunedBox(spark, table, Seq((c, lo, hi)))
 
+  // ---- incremental re-clustering (OPTIMIZE ZORDER-lite) ------------
+
+  private def dataFiles(table: String): Seq[String] =
+    Option(new File(dir(table)).listFiles()).getOrElse(Array())
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toSeq.sorted
+
+  private def markerFile(table: String): File = {
+    val d = new File(dir(table + "__clustered"))
+    d.mkdirs()
+    new File(d, "files.txt")
+  }
+
+  private def journalFile(table: String): File =
+    new File(new File(dir(table + "__clustered")), "journal.txt")
+
+  private def readLines(f: File): Seq[String] =
+    if (!f.exists()) Seq.empty
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().toList finally src.close()
+    }
+
+  private def writeLines(f: File, lines: Seq[String]): Unit = {
+    java.nio.file.Files.write(f.toPath,
+      lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Record the table's CURRENT data files as z-clustered — called
+    * right after an initial clustered build so later
+    * [[reclusterDelta]] calls know which files to leave alone.
+    */
+  def markClustered(table: String): Unit =
+    writeLines(markerFile(table), dataFiles(table))
+
+  /** Roll the recluster commit journal FORWARD: each `MV tmp final`
+    * whose final is absent is completed, each `RM path` deleted if
+    * still present, then the journal clears. Idempotent — a crash
+    * anywhere inside a previous [[reclusterDelta]] commit (or inside
+    * THIS recovery) re-runs to the same end state, because every
+    * step is "make this file exist/not exist".
+    */
+  def recoverRecluster(table: String): Unit = {
+    val j = journalFile(table)
+    val lines = readLines(j)
+    if (lines.isEmpty) return
+    lines.foreach { l =>
+      if (l.startsWith("MV ")) {
+        val Array(_, tmp, fin) = l.split(" ", 3)
+        val (tf, ff) = (new File(tmp), new File(fin))
+        if (!ff.exists() && tf.exists() && !tf.renameTo(ff))
+          sys.error(s"recluster recovery: cannot move $tmp to $fin")
+      } else if (l.startsWith("RM ")) {
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(l.drop(3)))
+      }
+    }
+    java.nio.file.Files.deleteIfExists(j.toPath)
+    ()
+  }
+
+  /** Incremental re-cluster — the `OPTIMIZE ZORDER` maintenance pass
+    * reduced to its essence: files the marker records as already
+    * clustered are LEFT ALONE (their bytes are never read or
+    * rewritten — the property that makes nightly maintenance
+    * affordable on a table with years of closed data); only the
+    * files appends created since are read, run through
+    * [[graft.ops.ZOrder.cluster]] on (a, b), and swapped in. The
+    * swap is a ROLL-FORWARD COMMIT: new files stage outside the
+    * table, a journal records the intended moves and deletes, and
+    * only then does the table mutate — a crash at ANY point either
+    * left the table untouched (journal written, nothing moved:
+    * recovery completes the commit) or is finished by
+    * [[recoverRecluster]] on the next call; readers never see a
+    * state with rows missing (the delta files are deleted only
+    * after their clustered replacements are in place — the window
+    * where BOTH exist is the duplicate-visible window an ACID
+    * format's atomic commit removes, stated per house convention).
+    * The manifest, if present, is maintained at METADATA cost: rows
+    * for removed files drop, stats for the new files append-compute
+    * from just those files. Returns the number of delta files
+    * reclustered. Single-writer, like every maintenance op here.
+    */
+  def reclusterDelta(spark: SparkSession, table: String, a: String,
+      b: String, manifestCols: Seq[String] = Seq.empty, bits: Int = 10,
+      partitions: Int = 8): Int = {
+    import org.apache.spark.sql.functions.col
+    recoverRecluster(table)
+    val marker = markerFile(table)
+    val clustered = readLines(marker).toSet
+    val delta = dataFiles(table).filterNot(clustered)
+    if (delta.isEmpty) return 0
+    val schema = read(spark, table).schema
+    val stageDir = new File(dir(table + ".recluster_tmp"))
+    if (stageDir.exists()) delete(stageDir)
+    graft.ops.ZOrder.cluster(
+        spark.read.schema(schema).parquet(delta: _*),
+        col(a), col(b), bits, partitions)
+      .drop("z")
+      .write.mode("overwrite").parquet(stageDir.getPath)
+    val staged = Option(stageDir.listFiles()).getOrElse(Array())
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    val moves = staged.map(f => f.getAbsolutePath ->
+      new File(dir(table), s"zc-${f.getName}").getAbsolutePath)
+    // journal THEN mutate: recovery rolls the commit forward
+    writeLines(journalFile(table),
+      moves.map { case (t, f) => s"MV $t $f" } ++
+        delta.map(d => s"RM $d"))
+    recoverRecluster(table)
+    delete(stageDir)
+    writeLines(marker,
+      (clustered -- delta).toSeq ++ moves.map(_._2))
+    if (manifestCols.nonEmpty &&
+      new File(dir(table + "__manifest")).exists()) {
+      val keep = spark.read.parquet(dir(table + "__manifest"))
+        .filter(!col("file").isin(
+          delta.map(p => "file://" + p) ++ delta: _*))
+      val fresh = fileStats(
+        spark.read.schema(schema).parquet(moves.map(_._2): _*),
+        manifestCols)
+      val merged = keep.unionByName(fresh).collect()
+      val mdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(merged.toSeq, 1),
+        fresh.schema)
+      mdf.write.mode("overwrite").parquet(dir(table + "__manifest"))
+    }
+    delta.size
+  }
+
   // ---- per-file Bloom membership (point-lookup skipping) -----------
 
   /** The `k` Bloom bit positions of `key` — shared by the build

@@ -446,6 +446,86 @@ class Round12Spec extends SparkSpec {
     assert(bNarrow > 0 && nNarrow == exact(700L, 760L))
   }
 
+  test("incremental recluster (q240): closed files untouched, delta " +
+    "rewritten through the curve, content preserved, manifest " +
+    "maintained; the journal rolls a torn commit forward") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val tag = s"rcspec_${SessionScratch.keyOf(dir)}"
+    val wh = graft.sources.Warehouse(SessionScratch.dir(spark, tag))
+    val tbl = "rcspec_orders"
+    val mcols = Seq("o_custkey", "o_orderkey")
+    val o = graft.sources.Tables(spark, dir, "orders")
+    wh.overwrite(
+      graft.ops.ZOrder.cluster(o.filter(col("o_orderkey") % 2 === 0),
+        col("o_custkey"), col("o_orderkey"), bits = 10,
+        partitions = 4).drop("z"), tbl)
+    wh.markClustered(tbl)
+    wh.writeManifest(spark, tbl, mcols)
+    wh.appendWithManifest(spark,
+      o.filter(col("o_orderkey") % 2 === 1), tbl, mcols)
+    val rowsBefore = wh.read(spark, tbl).count()
+    // identify clustered files + their mtimes before the recluster
+    val root = new java.io.File(
+      SessionScratch.dir(spark, tag) + s"/$tbl")
+    def mtimes: Map[String, Long] =
+      root.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    val pre = mtimes
+    val marked = {
+      val src = scala.io.Source.fromFile(new java.io.File(
+        SessionScratch.dir(spark, tag) + s"/${tbl}__clustered/files.txt"))
+      try src.getLines().toSet finally src.close()
+    }
+    assert(marked.nonEmpty && marked.subsetOf(pre.keySet))
+    val deltaCount = pre.keySet.size - marked.size
+    assert(deltaCount > 0, "append must have created unclustered files")
+    val n = wh.reclusterDelta(spark, tbl, "o_custkey", "o_orderkey",
+      mcols, partitions = 4)
+    assert(n == deltaCount, s"recluster must touch only the $deltaCount " +
+      s"delta files (touched $n)")
+    val post = mtimes
+    marked.foreach { f =>
+      assert(post.contains(f) && post(f) == pre(f),
+        s"closed file $f was rewritten")
+    }
+    assert(pre.keySet.diff(marked).forall(p => !post.contains(p)),
+      "former delta files must be gone")
+    assert(wh.read(spark, tbl).count() == rowsBefore,
+      "recluster changed the row count")
+    // manifest maintained: one row per current file, box read correct
+    val mrows = spark.read.parquet(
+      SessionScratch.dir(spark, tag) + s"/${tbl}__manifest").count()
+    assert(mrows == post.size, s"manifest $mrows rows vs ${post.size}")
+    val box = Seq(("o_custkey", 20L, 80L), ("o_orderkey", 100L, 1200L))
+    assert(rows(wh.readPrunedBox(spark, tbl, box)) ==
+      rows(wh.read(spark, tbl)
+        .filter(col("o_custkey").between(20L, 80L) &&
+          col("o_orderkey").between(100L, 1200L))))
+    // torn-commit recovery: stage a copy of a live file, journal the
+    // move plus the original's removal (the crash point is right
+    // after the journal write, before any mutation), roll forward
+    val victim = post.keySet.head
+    val staged = new java.io.File(
+      SessionScratch.dir(spark, tag) + "/staged-copy.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(victim),
+      staged.toPath)
+    val replacement = new java.io.File(root, "zc-recovered.parquet")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(SessionScratch.dir(spark, tag) +
+        s"/${tbl}__clustered/journal.txt"),
+      (s"MV ${staged.getAbsolutePath} ${replacement.getAbsolutePath}\n" +
+        s"RM $victim\n").getBytes)
+    wh.recoverRecluster(tbl)
+    assert(replacement.exists() && !new java.io.File(victim).exists(),
+      "recovery must complete the journaled commit")
+    assert(wh.read(spark, tbl).count() == rowsBefore,
+      "roll-forward changed the row count")
+    assert(!new java.io.File(SessionScratch.dir(spark, tag) +
+      s"/${tbl}__clustered/journal.txt").exists(),
+      "journal must clear after recovery")
+  }
+
   // ---- Materialized LRU byte cap: overflow evicts the
   // least-recently-used artifact; an evicted artifact is REBUILT on
   // the next request — never served stale, never an error ----
