@@ -2100,7 +2100,94 @@ object SimQueries {
       .filter(col("rn") <= 3)
   }
 
+  /** BINARY SIGN QUANTIZATION + ASYMMETRIC RERANK — the 1-bit
+    * embedding compression production retrieval actually deploys
+    * (sign-bit codes: 64 float dims → one BIGINT word; candidate
+    * scan = xor + popcount instead of a 64-term dot product, a
+    * ~256× byte reduction): stage 1 routes each query to its top-10
+    * corpus neighbors by HAMMING distance on 60-bit sign codes
+    * (dims 1..60 — the house 60-bit non-negative-BIGINT ceiling,
+    * q174's convention), stage 2 re-ranks ONLY that shortlist by
+    * exact float cosine and keeps 3 — the asymmetric
+    * shortlist-then-refine recipe (q187's IVF-PQ refine, binary
+    * edition). Determinism: Hamming is integer; cosine rounds at
+    * the proven 6dp boundary; both tie on the lower id. Shape: the
+    * code table is ONE LONG PER VECTOR (map-only to build); the
+    * binary scan is the same per-query top-k window every exact
+    * baseline pays but over 8-byte codes, and the float payload is
+    * touched for |Q|·10 rows only — at 100 TB the float embeddings
+    * stay on disk except for the shortlist (column pruning does the
+    * rest).
+    */
+  val q241 = Q("q241_binary_ann_rerank",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $normSql AS nrm,
+       |    list_sum(list_transform(range(0, 60), i ->
+       |      CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+       |        THEN 1::BIGINT << CAST(i AS INT) ELSE 0 END)) AS code
+       |  FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id < 8),
+       |c AS (SELECT * FROM e WHERE vec_id >= 8),
+       |ham AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS hamming,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY bit_count(xor(q.code, c.code)), c.vec_id) AS hrn
+       |  FROM q, c),
+       |short AS (SELECT qid, nid, hamming FROM ham WHERE hrn <= 10),
+       |ref AS (
+       |  SELECT s.qid, s.nid, s.hamming,
+       |    round(list_sum(list_transform(range(1, 65), i ->
+       |      qe.embedding[CAST(i AS INT)]::DOUBLE *
+       |      ce.embedding[CAST(i AS INT)]::DOUBLE))
+       |      / (qe.nrm * ce.nrm), 6) AS sim
+       |  FROM short s
+       |  JOIN q qe ON qe.vec_id = s.qid
+       |  JOIN c ce ON ce.vec_id = s.nid)
+       |SELECT qid, nid, hamming, sim, CAST(rn AS BIGINT) AS rn FROM (
+       |  SELECT qid, nid, hamming, sim,
+       |    row_number() OVER (PARTITION BY qid
+       |                       ORDER BY sim DESC, nid) AS rn
+       |  FROM ref)
+       |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val codeExpr = expr(
+      """aggregate(transform(sequence(0, 59),
+        |  i -> CASE WHEN element_at(embedding, i + 1) > CAST(0 AS FLOAT)
+        |       THEN shiftleft(CAST(1 AS BIGINT), i) ELSE 0L END),
+        |  0L, (a, x) -> a + x)""".stripMargin)
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"),
+        codeExpr.as("code"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("code").as("qc"))
+    val c = e.filter(col("vec_id") >= 8)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("cn"), col("code").as("nc"))
+    val wHam = Window.partitionBy("qid")
+      .orderBy(col("hamming").asc, col("nid").asc)
+    val short = broadcast(q.select(col("qid"), col("qc")))
+      .crossJoin(c.select(col("nid"), col("nc")))
+      .select(col("qid"), col("nid"),
+        bit_count(col("qc").bitwiseXOR(col("nc"))).cast("long")
+          .as("hamming"))
+      .withColumn("hrn", row_number().over(wHam))
+      .filter(col("hrn") <= 10).drop("hrn")
+    val wSim = Window.partitionBy("qid").orderBy(col("sim").desc,
+      col("nid").asc)
+    short
+      .join(broadcast(q.select(col("qid"), col("qe"), col("qn"))),
+        Seq("qid"))
+      .join(c.select(col("nid"), col("ne"), col("cn")), Seq("nid"))
+      .select(col("qid"), col("nid"), col("hamming"),
+        round(Similarity.dot(col("qe"), col("ne"))
+          / (col("qn") * col("cn")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wSim).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
   val all: Seq[Q] = Seq(q37, q38, q39, q48, q55, q60, q61, q77, q108,
     q113, q128, q129, q133, q134, q135, q136, q140, q146, q154, q158,
-    q165, q177, q178, q180, q187, q238)
+    q165, q177, q178, q180, q187, q238, q241)
 }
