@@ -1959,8 +1959,68 @@ object Extras2 {
         sum("o_custkey").cast("long").as("cust_sum"))
   }
 
+  /** IVM FOR NON-INVERTIBLE AGGREGATES — the rescan path q227
+    * deliberately excluded ("MIN/MAX excluded with the rescan
+    * caveat"), now BUILT: a per-source MIN/MAX view maintained under
+    * deletes by rescanning ONLY the AFFECTED groups — those where a
+    * deleted row actually ATTAINED the stored extreme (a delete that
+    * never touched the min or max cannot move either, so its group
+    * carries forward untouched — the classic textbook refinement of
+    * "MIN/MAX always rescans"). The output carries the `rescanned`
+    * flag per group, making the maintenance structure itself part of
+    * the gate; crucially the oracle computes the TRUE post-delete
+    * extremes directly from the surviving rows (algorithm-free) and
+    * derives the flag independently — so a carried group whose
+    * extreme should have moved (an under-rescan bug) hash-fails on
+    * the VALUE, not just the flag. Spec pins both flag classes
+    * non-vacuous on this corpus.
+    *
+    * Shape at 100 TB: the affected-group set is O(groups touched by
+    * deletes at their extremes) — the rescan reads only those
+    * groups' partitions (partition-pruned on the group key in a
+    * production layout); everything else is delta-grain.
+    */
+  val q242 = Q("q242_ivm_minmax_rescan",
+    """WITH v1 AS (
+      |  SELECT source, min(n_chars) AS min1, max(n_chars) AS max1
+      |  FROM documents GROUP BY source),
+      |aff AS (
+      |  SELECT DISTINCT d.source FROM documents d
+      |  JOIN v1 ON v1.source = d.source
+      |  WHERE d.doc_id % 9 = 0
+      |    AND (d.n_chars = v1.min1 OR d.n_chars = v1.max1)),
+      |v2 AS (SELECT * FROM documents WHERE doc_id % 9 <> 0)
+      |SELECT v2.source,
+      |  CAST(min(v2.n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(v2.n_chars) AS BIGINT) AS max_chars,
+      |  CAST(CASE WHEN a.source IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |    AS rescanned
+      |FROM v2 LEFT JOIN aff a ON a.source = v2.source
+      |GROUP BY v2.source, a.source""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val v1 = docs.groupBy("source")
+      .agg(min("n_chars").as("min1"), max("n_chars").as("max1"))
+    val affected = docs.filter(col("doc_id") % 9 === 0)
+      .join(v1, "source")
+      .filter(col("n_chars") === col("min1") ||
+        col("n_chars") === col("max1"))
+      .select("source").distinct()
+    val v2 = docs.filter(col("doc_id") % 9 =!= 0)
+    val rescanned = v2.join(broadcast(affected), Seq("source"))
+      .groupBy("source")
+      .agg(min("n_chars").cast("long").as("min_chars"),
+        max("n_chars").cast("long").as("max_chars"))
+      .withColumn("rescanned", lit(1L))
+    val carried = v1.join(broadcast(affected), Seq("source"),
+        "left_anti")
+      .select(col("source"), col("min1").cast("long").as("min_chars"),
+        col("max1").cast("long").as("max_chars"),
+        lit(0L).as("rescanned"))
+    rescanned.unionByName(carried)
+  }
+
   val all: Seq[Q] = Seq(q204, q205, q206, q207, q208, q209, q210,
     q211, q213, q214, q215, q217, q218, q219, q220, q221, q222, q223,
     q224, q225, q226, q227, q229, q231, q232, q235, q236, q237, q239,
-    q240)
+    q240, q242)
 }

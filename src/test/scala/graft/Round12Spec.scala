@@ -526,6 +526,18 @@ class Round12Spec extends SparkSpec {
       "journal must clear after recovery")
   }
 
+  test("q242 IVM min/max rescan: both maintenance classes fire on " +
+    "this corpus — some groups rescan (a deleted row attained the " +
+    "extreme), some carry v1 values forward") {
+    val got = graft.queries.Extras2.q242
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    val byFlag = got.groupBy(_.getLong(3)).view.mapValues(_.length)
+    assert(byFlag.getOrElse(1L, 0) > 0,
+      "no group rescanned — the rescan path is untested (vacuous)")
+    assert(byFlag.getOrElse(0L, 0) > 0,
+      "every group rescanned — the carry path is untested (vacuous)")
+  }
+
   // ---- Materialized LRU byte cap: overflow evicts the
   // least-recently-used artifact; an evicted artifact is REBUILT on
   // the next request — never served stale, never an error ----
