@@ -469,6 +469,120 @@ object Multimodal {
   private def signed32(u: Long): Long =
     if (u > Int.MaxValue) u - 4294967296L else u
 
+  /** PNG ancillary tEXt chunk extraction (ISO 15948 §11.3.3) — the
+    * metadata pass a curation pipeline runs beyond dimensions
+    * (EXIF-role metadata: author/title/comment tags ride in tEXt as
+    * `keyword NUL value` in Latin-1): a REAL chunk walk from byte 8,
+    * `length(BE4) type(4) data crc(4)` per chunk, collecting every
+    * tEXt's (keyword, value) split at the FIRST NUL, stopping at
+    * IEND. CRC bytes are skipped, not verified — checksum validation
+    * of ancillary chunks is optional per spec and needs no byte
+    * beyond the skip; a production pipeline that wants it adds a
+    * CRC32 pass over the same walk. None for non-PNG payloads or a
+    * structurally torn stream (chunk overrunning the buffer,
+    * missing IEND, tEXt without a NUL) — truncated metadata is
+    * corruption, not data.
+    */
+  def pngTextChunks(p: Array[Byte]): Option[Seq[(String, String)]] = {
+    if (sniffFormat(p) != "png") return None
+    var i = 8
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (i + 12 <= p.length) {
+      val len = be4(p, i)
+      if (i + 12 + len > p.length) return None // chunk overruns buffer
+      val isText = p(i + 4) == 't' && p(i + 5) == 'E' &&
+        p(i + 6) == 'X' && p(i + 7) == 't'
+      val isEnd = p(i + 4) == 'I' && p(i + 5) == 'E' &&
+        p(i + 6) == 'N' && p(i + 7) == 'D'
+      if (isEnd) return Some(out.toSeq)
+      if (isText) {
+        val data = p.slice(i + 8, i + 8 + len.toInt)
+        val nul = data.indexOf(0.toByte)
+        if (nul < 0) return None // keyword must be NUL-terminated
+        out += ((new String(data, 0, nul, "ISO-8859-1"),
+          new String(data, nul + 1, data.length - nul - 1,
+            "ISO-8859-1")))
+      }
+      i += 12 + len.toInt
+    }
+    None // no IEND: torn stream
+  }
+
+  /** tEXt extraction over a media table — one output row per
+    * (media, chunk) in stream order; payloads that are not PNGs or
+    * are torn produce NO rows (the walk's None), matching the
+    * oracle's generator-side knowledge of which files carry chunks.
+    */
+  def decodePngText(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (mid, p) =>
+        pngTextChunks(p).toSeq.flatMap(_.zipWithIndex.map {
+          case ((k, v), idx) => (mid, idx.toLong, k, v)
+        })
+      })
+      .toDF("media_id", "idx", "keyword", "txt")
+  }
+
+  /** Deterministic PNG-with-metadata table — [[asImageTable]]'s
+    * device for the tEXt tier: `id%3==0` a PNG carrying `id%2+1`
+    * tEXt chunks (keyword cycles Author/Title/Comment by
+    * `(id+j) mod 3`; value = 6 hex chars of `id·13+j` — ASCII, so
+    * the oracle's char arithmetic matches the engine's bytes) after
+    * IHDR and before IEND; `id%3==1` a PNG with NO tEXt (the walk
+    * must return empty, not invent rows); `id%3==2` raw text
+    * garbage (no rows). CRC fields are fixed filler bytes — skipped
+    * by the walk, present so the chunk stride is real.
+    */
+  def asPngTextTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val m = id % 3
+    def keywordHex(j: Column): Column = {
+      val pick = (id + j) % 3
+      when(pick === 0, lit("417574686F72")) // Author
+        .when(pick === 1, lit("5469746C65")) // Title
+        .otherwise(lit("436F6D6D656E74")) // Comment
+    }
+    def keywordLen(j: Column): Column = {
+      val pick = (id + j) % 3
+      when(pick === 0, lit(6)).when(pick === 1, lit(5)).otherwise(lit(7))
+    }
+    // value: 6 ASCII hex chars of id·13+j, as hex-of-ASCII bytes
+    def valueHex(j: Column): Column = {
+      val v = lpad(hex((id * 13 + j) % lit(16777216L)), 6, "0")
+      // hex-encode the ASCII string: each char to its byte pair
+      array_join(transform(sequence(lit(1), lit(6)),
+        i => lpad(hex(ascii(v.substr(i, lit(1)))), 2, "0")), "")
+    }
+    def textChunk(j: Column): Column = concat(
+      lpad(hex(keywordLen(j) + 1 + 6), 8, "0"), // length BE4
+      lit("74455874"), // tEXt
+      keywordHex(j), lit("00"), valueHex(j),
+      lit("AB12CD34")) // CRC filler (skipped by the walk)
+    val nChunks = id % 2 + 1
+    val chunksHex = concat(textChunk(lit(0L)),
+      when(nChunks === 2, textChunk(lit(1L))).otherwise(lit("")))
+    val ihdr = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex(id % 1000 + 1), 8, "0"),
+      lpad(hex(id % 777 + 1), 8, "0"),
+      lit("0802000000" + "00000000"))
+    val iend = lit("00000000" + "49454E44" + "AE426082")
+    val pngHex = concat(ihdr,
+      when(m === 0, chunksHex).otherwise(lit("")), iend)
+    docs.select(
+      id.as("media_id"),
+      when(m === 2, lit("text/plain")).otherwise(lit("image/png"))
+        .as("modality"),
+      when(m === 2, encode(col("text"), "UTF-8"))
+        .otherwise(unhex(pngHex)).as("payload"),
+      col("source"))
+      .select(col("media_id"), col("modality"), col("payload"),
+        struct(col("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
   /** REAL PIXEL-LEVEL DECODE for uncompressed 24-bit BMPs (Windows
     * BITMAPINFOHEADER layout — public spec; pure byte arithmetic, no
     * codec library): parse the file + info headers, then read the

@@ -937,6 +937,41 @@ object MultimodalQueries {
       Multimodal.asPcmTable(Tables(s, dir, "documents")))
   }
 
+  /** PNG tEXt METADATA EXTRACTION — the EXIF-role pass beyond
+    * dimensions ([[Multimodal.pngTextChunks]], ISO 15948 §11.3.3): a
+    * real chunk walk collects every `keyword NUL value` pair from
+    * ancillary tEXt chunks, skipping CRCs by stride (validation
+    * optional per spec for ancillary chunks — stated) and stopping
+    * at IEND. The corpus plants one- and two-chunk files, chunk-free
+    * PNGs (the walk must return EMPTY, not invent rows), and raw
+    * text garbage (no rows); keyword lengths VARY (Author/Title/
+    * Comment), so a fixed-stride reader cannot pass. The oracle
+    * regenerates (keyword, value) from the generator arithmetic —
+    * the engine parses bytes it never saw derived (uppercase hex
+    * values: the one case-sensitivity trap between engines,
+    * `upper(to_hex(...))` on the DuckDB side).
+    *
+    * Shape: map-only synthesis + partition-batched walk + flatMap —
+    * zero exchange at any scale.
+    */
+  val q243 = Q("q243_png_text_chunks",
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 3 AS m, doc_id % 2 + 1 AS k
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, CAST(unnest(range(0, k)) AS BIGINT) AS j
+      |  FROM g WHERE m = 0)
+      |SELECT doc_id AS media_id, j AS idx,
+      |  CASE CAST((doc_id + j) % 3 AS INT)
+      |    WHEN 0 THEN 'Author' WHEN 1 THEN 'Title'
+      |    ELSE 'Comment' END AS keyword,
+      |  upper(lpad(to_hex((doc_id * 13 + j) % 16777216), 6, '0'))
+      |    AS txt
+      |FROM ch""".stripMargin) { (s, dir) =>
+    Multimodal.decodePngText(
+      Multimodal.asPngTextTable(Tables(s, dir, "documents")))
+  }
+
   val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176,
-    q179, q203, q212, q230, q233, q234)
+    q179, q203, q212, q230, q233, q234, q243)
 }

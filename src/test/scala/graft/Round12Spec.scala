@@ -157,6 +157,34 @@ class Round12Spec extends SparkSpec {
     assert(Multimodal.wavPcm("not audio".getBytes).isEmpty)
   }
 
+  test("pngTextChunks: varying keyword lengths parse, chunk-free " +
+    "PNGs return empty, torn streams and missing NULs are None") {
+    val ihdr = "89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000020" + "00000010" + "0802000000" + "00000000"
+    val iend = "00000000" + "49454E44" + "AE426082"
+    // Title\0abc (5+1+3=9 data bytes) then Comment\0zz (7+1+2=10)
+    val t1 = "00000009" + "74455874" + "5469746C65" + "00" +
+      "616263" + "AB12CD34"
+    val t2 = "0000000A" + "74455874" + "436F6D6D656E74" + "00" +
+      "7A7A" + "AB12CD34"
+    val full = hexBytes(ihdr + t1 + t2 + iend)
+    assert(Multimodal.pngTextChunks(full)
+      .contains(Seq(("Title", "abc"), ("Comment", "zz"))))
+    // chunk-free: empty list, not None, not invented rows
+    assert(Multimodal.pngTextChunks(hexBytes(ihdr + iend))
+      .contains(Seq.empty))
+    // torn: tEXt declares more data than the buffer holds
+    assert(Multimodal.pngTextChunks(
+      hexBytes(ihdr + "000000FF" + "74455874" + "41")).isEmpty)
+    // keyword missing its NUL terminator
+    val noNul = "00000005" + "74455874" + "4142434445" + "AB12CD34"
+    assert(Multimodal.pngTextChunks(hexBytes(ihdr + noNul + iend)).isEmpty)
+    // stream without IEND
+    assert(Multimodal.pngTextChunks(hexBytes(ihdr + t1)).isEmpty)
+    // not a PNG at all
+    assert(Multimodal.pngTextChunks("plain text".getBytes).isEmpty)
+  }
+
   test("pixelHash60: orientation-normalized — the same visual image " +
     "stored bottom-up and top-down hashes identically, where the " +
     "file-byte hash cannot") {
