@@ -310,7 +310,12 @@ object Multimodal {
     * divides evenly into whole frames (a torn frame is corruption,
     * not data).
     */
-  def wavPcm(p: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+  /** The RIFF chunk walk shared by [[wavPcm]] and [[wavVad]]:
+    * validates the container and yields (bits, channels, data offset,
+    * data size) for a decodable integer-PCM payload, None otherwise —
+    * one parser, so the stats and VAD tiers cannot drift.
+    */
+  private def pcmHeader(p: Array[Byte]): Option[(Long, Long, Int, Int)] = {
     if (sniffFormat(p) != "wav") return None
     var i = 12
     var fmt: Option[(Long, Long, Long)] = None // (af, ch, bits)
@@ -331,9 +336,13 @@ object Multimodal {
       (af, ch, bits) <- fmt
       (off, nd) <- data
       if af == 1L && (bits == 8L || bits == 16L) && ch >= 1
-      bytesPerSample = (bits / 8).toInt
-      if nd % (bytesPerSample * ch.toInt) == 0
-    } yield {
+      if nd % ((bits / 8).toInt * ch.toInt) == 0
+    } yield (bits, ch, off, nd)
+  }
+
+  def wavPcm(p: Array[Byte]): Option[(Long, Long, Long, Long, Long)] =
+    pcmHeader(p).map { case (bits, ch, off, nd) =>
+      val bytesPerSample = (bits / 8).toInt
       var sum = 0L
       var peak = 0L
       var j = 0
@@ -349,6 +358,69 @@ object Multimodal {
       }
       (bits, ch, nd.toLong / (bytesPerSample * ch), sum, peak)
     }
+
+  /** FRAME-ENERGY VOICE ACTIVITY — the silence-trimming gate an
+    * audio-ingest pipeline runs before paying for transcription:
+    * decode the PCM sample stream (same [[pcmHeader]] walk as
+    * [[wavPcm]]), cut it into fixed `frameLen`-sample frames
+    * (trailing partial frame dropped), and call a frame ACTIVE when
+    * its mean |sample| reaches a quarter of full scale
+    * (`sum |v| ≥ frameLen·2^(bits-2)` — integer-exact in both
+    * engines, no float RMS). Returns (bits, n_frames, n_active,
+    * max_run) where max_run is the longest consecutive active
+    * stretch — the "is there a usable speech segment here" signal.
+    */
+  def wavVad(p: Array[Byte],
+      frameLen: Int = 10): Option[(Long, Long, Long, Long)] =
+    pcmHeader(p).map { case (bits, _, off, nd) =>
+      val bytesPerSample = (bits / 8).toInt
+      val nSamples = nd / bytesPerSample
+      val nFrames = nSamples / frameLen
+      val thr = frameLen.toLong << (bits.toInt - 2)
+      var f = 0
+      var nActive = 0L
+      var run = 0L
+      var maxRun = 0L
+      while (f < nFrames) {
+        var s = 0L
+        var k = 0
+        while (k < frameLen) {
+          val j = (f * frameLen + k) * bytesPerSample
+          val v =
+            if (bits == 16L) {
+              val x = le2(p, off + j)
+              (if (x >= 0x8000) x - 0x10000 else x).toLong
+            } else (p(off + j) & 0xff).toLong - 128L
+          s += math.abs(v)
+          k += 1
+        }
+        if (s >= thr) {
+          nActive += 1; run += 1
+          if (run > maxRun) maxRun = run
+        } else run = 0
+        f += 1
+      }
+      (bits, nFrames.toLong, nActive, maxRun)
+    }
+
+  /** VAD over a media table — [[decodePcmMeta]]'s segmentation twin,
+    * running [[wavVad]] partition-batched. Unknown/corrupt payloads
+    * report ('unknown', 0, 0, 0).
+    */
+  def decodeVadMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (mid, p) =>
+          wavVad(p) match {
+            case Some((bits, nf, na, mr)) =>
+              (mid, if (bits == 8L) "pcm8" else "pcm16", nf, na, mr)
+            case None => (mid, "unknown", 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("media_id", "format", "n_frames", "n_active", "max_run")
   }
 
   /** Deterministic PCM media table — [[asBmpTable]]'s device for the
@@ -577,6 +649,154 @@ object Multimodal {
         .as("modality"),
       when(m === 2, encode(col("text"), "UTF-8"))
         .otherwise(unhex(pngHex)).as("payload"),
+      col("source"))
+      .select(col("media_id"), col("modality"), col("payload"),
+        struct(col("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** JPEG EXIF ORIENTATION/DIMENSIONS via the REAL APP1 → TIFF → IFD0
+    * walk (EXIF 2.3 §4.5 / TIFF 6.0 §2): scan the marker stream (same
+    * discipline as [[jpegDims]]) for an APP1 segment opening
+    * `Exif\0\0`, then parse the embedded TIFF block — whose byte
+    * order is DECLARED PER FILE (`II` little / `MM` big: the one
+    * container here that carries both endiannesses, so a reader
+    * hard-coding either fails half the corpus) — and walk IFD0's
+    * 12-byte entries for ImageWidth (0x0100, LONG), ImageLength
+    * (0x0101, LONG) and Orientation (0x0112, SHORT — stored
+    * LEFT-JUSTIFIED in the 4-byte value field per TIFF 6.0, so the
+    * short sits in the field's FIRST two bytes under both orders).
+    * Every field read is bounded by the APP1 segment's own declared
+    * extent (the mvhd lesson: never read a sibling's bytes). Returns
+    * (byte_order, n_entries, width, height, orientation) with 0 for
+    * an absent tag; None for non-JPEG, no Exif APP1, or a torn TIFF.
+    */
+  def jpegExif(p: Array[Byte]): Option[(String, Long, Long, Long, Long)] = {
+    if (sniffFormat(p) != "jpeg") return None
+    var i = 2
+    while (i + 3 < p.length) {
+      if ((p(i) & 0xff) != 0xff) return None
+      while (i + 1 < p.length && (p(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 3 >= p.length) return None
+      val marker = p(i + 1) & 0xff
+      if (marker == 0xd9) return None // EOI before any Exif
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2
+      } else {
+        val len = be2(p, i + 2)
+        if (len < 2 || i + 2 + len > p.length) return None
+        if (marker == 0xe1 && len >= 16 &&
+          p(i + 4) == 'E' && p(i + 5) == 'x' && p(i + 6) == 'i' &&
+          p(i + 7) == 'f' && p(i + 8) == 0 && p(i + 9) == 0) {
+          // TIFF block: bounded by the APP1 segment's own extent
+          val t0 = i + 10
+          val tEnd = i + 2 + len
+          if (t0 + 8 > tEnd) return None
+          val little =
+            if (p(t0) == 'I' && p(t0 + 1) == 'I') true
+            else if (p(t0) == 'M' && p(t0 + 1) == 'M') false
+            else return None
+          def rd2(at: Int): Int =
+            if (little) le2(p, at) else be2(p, at)
+          def rd4(at: Int): Long =
+            if (little) le4(p, at) else be4(p, at)
+          if (rd2(t0 + 2) != 42) return None
+          val ifd = t0 + rd4(t0 + 4).toInt
+          if (ifd + 2 > tEnd) return None
+          val n = rd2(ifd)
+          if (ifd + 2 + 12 * n + 4 > tEnd) return None
+          var w = 0L; var h = 0L; var o = 0L
+          var e = 0
+          while (e < n) {
+            val at = ifd + 2 + 12 * e
+            val tag = rd2(at)
+            val typ = rd2(at + 2)
+            // inline values only (count 1, SHORT=3 or LONG=4); a
+            // SHORT is left-justified in the 4-byte value field
+            val v: Long =
+              if (typ == 3) rd2(at + 8).toLong
+              else if (typ == 4) rd4(at + 8)
+              else -1L
+            if (v >= 0) {
+              if (tag == 0x0100) w = v
+              else if (tag == 0x0101) h = v
+              else if (tag == 0x0112) o = v
+            }
+            e += 1
+          }
+          return Some((if (little) "II" else "MM", n.toLong, w, h, o))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** EXIF extraction over a media table — [[decodeImageMeta]]'s
+    * metadata twin running [[jpegExif]] partition-batched; payloads
+    * without a parsable Exif block report ('none', 0, 0, 0, 0).
+    */
+  def decodeExifMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (mid, p) =>
+        jpegExif(p) match {
+          case Some((bo, n, w, h, o)) => (mid, bo, n, w, h, o)
+          case None => (mid, "none", 0L, 0L, 0L, 0L)
+        }
+      })
+      .toDF("media_id", "byte_order", "n_entries", "width", "height",
+        "orientation")
+  }
+
+  /** Deterministic JPEG-with-EXIF table — [[asPngTextTable]]'s device
+    * for the EXIF tier: `id%5==4` raw text garbage; otherwise a JPEG
+    * whose APP1 carries a TIFF block in LITTLE-endian byte order for
+    * even ids and BIG-endian for odd (the per-file endianness the
+    * walker must honor), with IFD0 entries ImageWidth = `(id·3) mod
+    * 5000 + 16` (LONG), ImageLength = `(id·5) mod 5000 + 16` (LONG),
+    * Orientation = `id mod 8 + 1` (SHORT, left-justified). The APP1
+    * length field stays BIG-endian in both variants — JPEG marker
+    * lengths are outside TIFF scope (the cross-spec trap). A SOFn +
+    * EOI tail keeps the stream a well-formed JPEG for [[jpegDims]].
+    */
+  def asExifTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val m = id % 5
+    val little = id % 2 === 0
+    def be2h(x: Column): Column = lpad(hex(x), 4, "0")
+    def be4h(x: Column): Column = lpad(hex(x), 8, "0")
+    def u2(x: Column): Column = when(little, le2hCol(x)).otherwise(be2h(x))
+    def u4(x: Column): Column = when(little, le4hCol(x)).otherwise(be4h(x))
+    val w = (id * 3) % 5000 + 16
+    val h = (id * 5) % 5000 + 16
+    val o = id % 8 + 1
+    // entry: tag(2) type(2) count(4) value(4); SHORT left-justified
+    def entryLong(tag: Long, v: Column): Column =
+      concat(u2(lit(tag)), u2(lit(4L)), u4(lit(1L)), u4(v))
+    def entryShort(tag: Long, v: Column): Column =
+      concat(u2(lit(tag)), u2(lit(3L)), u4(lit(1L)), u2(v), lit("0000"))
+    val tiff = concat(
+      when(little, lit("49492A00" + "08000000"))
+        .otherwise(lit("4D4D002A" + "00000008")),
+      u2(lit(3L)), // IFD0 entry count
+      entryLong(0x0100L, w), entryLong(0x0101L, h),
+      entryShort(0x0112L, o),
+      lit("00000000")) // next-IFD offset: none
+    // APP1 len = 2(len) + 6(Exif\0\0) + 50(TIFF) = 58, ALWAYS BE
+    val app1 = concat(lit("FFE1"), be2h(lit(58L)),
+      lit("457869660000"), tiff)
+    // minimal SOF0 + EOI tail so the stream stays a valid JPEG
+    val sof = concat(lit("FFC0" + "0011" + "08"), be2h(h), be2h(w),
+      lit("03" + "011100" + "021101" + "031101"))
+    val jpegHex = concat(lit("FFD8"), app1, sof, lit("FFD9"))
+    docs.select(
+      id.as("media_id"),
+      when(m === 4, lit("text/plain")).otherwise(lit("image/jpeg"))
+        .as("modality"),
+      when(m === 4, encode(col("text"), "UTF-8"))
+        .otherwise(unhex(jpegHex)).as("payload"),
       col("source"))
       .select(col("media_id"), col("modality"), col("payload"),
         struct(col("source"),

@@ -141,4 +141,69 @@ object Approx {
         col("cnt") > col("__n") * support)
       .select(col(colName), col("cnt"))
   }
+
+  /** EXPLICIT HyperLogLog registers (Flajolet et al. 2007) — the
+    * md5-deterministic form of [[approxDistinct]]'s sketch, built as
+    * a first-class TABLE so it can be STORED and MERGED: 256
+    * registers per group, indexed by the hash's first 8 bits,
+    * register value = leading-zero rank of the next 60 bits (capped
+    * at `maxRho` = 40 — a rank beyond 40 needs a 2^-40 hash event),
+    * register = MAX over the group's values. Output: groupCols ++
+    * (idx, mx), ≤ 256 rows per group regardless of cardinality.
+    *
+    * The two properties that matter at 100 TB, both spec-pinned:
+    * partial-aggregated MAX means every executor ships 256 rows per
+    * group, never raw values; and MAX-merging two sketches built
+    * from any split of the data equals the sketch of the union — so
+    * yesterday's stored sketch absorbs today's delta at delta cost.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String],
+      value: Column): DataFrame = {
+    val h = md5(value.cast("string"))
+    def digit(pos: Column) = conv(h.substr(pos, lit(1)), 16, 10)
+      .cast("int")
+    // leading-zero rank candidates per nonzero hex digit of the
+    // 60-bit tail; the MIN over them is the rank at the FIRST
+    // nonzero digit (each later digit's 4·(j−1) term dominates)
+    val lzRanks = transform(
+      filter(
+        transform(sequence(lit(1), lit(15)), j => struct(j.as("j"),
+          digit(j + 2).as("d"))),
+        x => x.getField("d") > 0),
+      x => lit(4) * (x.getField("j") - 1)
+        + when(x.getField("d") === 1, 3)
+          .when(x.getField("d") <= 3, 2)
+          .when(x.getField("d") <= 7, 1).otherwise(0) + 1)
+    df.select(groupCols.map(col) ++ Seq(
+        (digit(lit(1)) * 16 + digit(lit(2))).as("idx"),
+        least(coalesce(array_min(lzRanks), lit(61)), lit(40))
+          .as("rho")): _*)
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(max("rho").as("mx"))
+  }
+
+  /** The HLL estimate from a register table ([[hllRegisters]] output,
+    * or a MAX-merge of several): harmonic mean over 256 registers
+    * with absent registers counting as rank 0, small-range linear
+    * counting below 2.5·m when zero registers remain. The harmonic
+    * sum is EXACT integer arithmetic (Σ 2^(40−mx) in BIGINT — float
+    * summation order can never diverge between engines); only the
+    * final α·m²/S division and the ln correction are floats. Output:
+    * groupCols ++ (vzero, e).
+    */
+  def hllEstimate(reg: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val st = reg.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("used"),
+        sum(expr("shiftleft(1L, cast(40 - mx as int))")).as("s1"))
+    val fin = st
+      .withColumn("stot",
+        col("s1") + (lit(256L) - col("used")) * lit(1L << 40))
+      .withColumn("vzero", lit(256L) - col("used"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val eraw = alpha * lit(65536.0) * lit(1099511627776.0) / col("stot")
+    fin.select(groupCols.map(col) ++ Seq(col("vzero"),
+      when(eraw <= lit(640.0) && col("vzero") > 0,
+        lit(256.0) * log(lit(256.0) / col("vzero")))
+        .otherwise(eraw).as("e")): _*)
+  }
 }

@@ -1,0 +1,458 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.sources.{Tables, Warehouse}
+import graft.SessionScratch
+import graft.multimodal.Multimodal
+
+/** Round-12 third batch: the transaction/governance tier (generalized
+  * MERGE, write-audit-publish), mergeable-sketch distinct counting
+  * (HyperLogLog), the KenLM-style Kneser-Ney perplexity filter, graph
+  * triangle counting, and the EXIF / voice-activity decode passes.
+  * Same determinism policy as [[Extras]]: integer arithmetic wherever
+  * a float could diverge between engines; every float that remains is
+  * computed with the identical expression shape on both sides and
+  * rounded to integer micro-units at vocabulary/register grain.
+  */
+object Extras3 {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** GENERALIZED MERGE INTO — the full three-clause Delta/Iceberg
+    * MERGE surface ([[graft.sources.Warehouse.mergeInto]]): target =
+    * even order keys, source = keys divisible by 3, `WHEN MATCHED AND
+    * key%5=0 THEN DELETE`, `WHEN MATCHED THEN UPDATE SET status='U'`,
+    * `WHEN NOT MATCHED THEN INSERT *`. The oracle enumerates the
+    * expected final table arithmetically — including the clause-order
+    * trap the suite pins: an UNMATCHED source row satisfying the
+    * delete predicate is still INSERTED (the delete clause scopes to
+    * matched rows only), so keys ≡ 0 (mod 15) that are odd land in
+    * the table while even ones are deleted.
+    *
+    * Physical shape: one full-outer sort-merge join on the key (one
+    * exchange per side, PLANS.md's q17 class) + the crash-safe swap;
+    * a bucketed layout on the key would drop both exchanges at 100 TB.
+    */
+  val q244 = Q("q244_merge_into",
+    """WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+      |kept AS (
+      |  SELECT CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+      |           THEN 'U' ELSE o_orderstatus END AS st,
+      |    o_orderkey, o_custkey
+      |  FROM tgt
+      |  WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 5 = 0)
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_orderkey, o_custkey FROM orders
+      |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0)
+      |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+      |FROM kept GROUP BY st""".stripMargin) { (s, dir) =>
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"mgstore_${SessionScratch.keyOf(dir)}"))
+    val tbl = s"mg_orders_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, tbl) {
+      val o = t(s, dir, "orders")
+      wh.overwrite(o.filter(col("o_orderkey") % 2 === 0), tbl)
+      wh.mergeInto(s, tbl, o.filter(col("o_orderkey") % 3 === 0),
+        Seq("o_orderkey"), Map("o_orderstatus" -> lit("U")),
+        col("o_orderkey") % 5 === 0)
+    }
+    wh.read(s, tbl).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"))
+  }
+
+  /** WRITE-AUDIT-PUBLISH — the staging-branch pattern (Iceberg WAP /
+    * Databricks "medallion gate") over the journaled-commit devices:
+    * wave A stages on branch `a`, passes the DQ audit (key
+    * uniqueness checked against base ∪ staged — the classic WAP hole
+    * of auditing the wave alone is closed), and publishes via the
+    * roll-forward journal; wave B deliberately duplicates every one
+    * of its keys, the audit THROWS, and the branch stays invisible —
+    * a broken gate would publish it and hash-fail the final read
+    * against the oracle's base+waveA expectation. Readers of the
+    * table never see a staged byte at any point (staging lives
+    * outside the table directory).
+    */
+  val q245 = Q("q245_wap_publish",
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"wapstore_${SessionScratch.keyOf(dir)}"))
+    val tbl = s"wap_orders_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, tbl) {
+      val o = t(s, dir, "orders")
+      wh.overwrite(o.filter(col("o_orderkey") % 3 === 0), tbl)
+      wh.wapStage(o.filter(col("o_orderkey") % 3 === 1), tbl, "a")
+      wh.wapAudit(s, tbl, "a", Seq("o_orderkey"))
+      wh.wapPublish(tbl, "a")
+      // wave B: every key duplicated — the audit must reject it
+      val waveB = o.filter(col("o_orderkey") % 3 === 2)
+      wh.wapStage(waveB.unionByName(waveB), tbl, "b")
+      val rejected =
+        try { wh.wapAudit(s, tbl, "b", Seq("o_orderkey")); false }
+        catch { case _: IllegalStateException => true }
+      // a broken gate publishes the bad wave and hash-fails the gate
+      if (!rejected) { wh.wapPublish(tbl, "b"); () }
+    }
+    wh.read(s, tbl).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"),
+        sum("o_custkey").cast("long").as("cust_sum"))
+  }
+
+  /** KNESER-NEY BIGRAM SCORING — the KenLM-style interpolated model
+    * behind CCNet's perplexity filter, upgrading q143's add-k
+    * fallback: absolute discount D=0.75 on seen bigrams, backoff
+    * weight λ(w1) = D·N1+(w1,·)/c(w1), and the CONTINUATION
+    * probability P_cont(w2) = N1+(·,w2)/|bigram types| — the term
+    * that ranks "Francisco" low despite its unigram count (it
+    * follows only "San"). Trained on the 10% doc_id≡0 split, scored
+    * on the rest. All logs are taken at VOCABULARY grain (seen-pair
+    * table, per-w1 λ table, per-w2 continuation table, one unknown
+    * constant) and micro-rounded there, so the doc-grain sum is pure
+    * integer arithmetic — the q143 determinism device. Unseen pairs
+    * decompose as λ(w1)·P_cont(w2), i.e. integer ubits ADDITION of
+    * two vocab-grain entries; OOV words hit the 1/|types| floor.
+    *
+    * Shape at 100 TB: two map-side-combined count passes (bigram,
+    * unigram grain), three vocab-sized hash joins against the raw
+    * bigram stream (broadcast when the vocab fits), one doc-grain
+    * partial-aggregated sum. Nothing is per-row float math.
+    */
+  val q246 = Q("q246_kneser_ney",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, split_part(b, ' ', 1) AS w1,
+      |    split_part(b, ' ', 2) AS w2
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, n),
+      |          i -> ts[i] || ' ' || ts[i + 1])) AS b
+      |        FROM tok WHERE n >= 2)),
+      |tb AS (SELECT w1, w2, count(*) AS cb FROM bg
+      |       WHERE doc_id % 10 = 0 GROUP BY w1, w2),
+      |tc AS (SELECT w1, sum(cb) AS cu, count(*) AS n1f
+      |       FROM tb GROUP BY w1),
+      |cn AS (SELECT w2, count(*) AS n1b FROM tb GROUP BY w2),
+      |nb AS (SELECT count(*) AS nbt FROM tb),
+      |wt AS (SELECT tb.w1, tb.w2,
+      |    CAST(round(ln((CAST(tb.cb AS DOUBLE) - 0.75) / tc.cu
+      |      + 0.75 * CAST(tc.n1f AS DOUBLE) / tc.cu * cn.n1b / nb.nbt)
+      |      * 1000000) AS BIGINT) AS ubits
+      |  FROM tb JOIN tc USING (w1) JOIN cn ON cn.w2 = tb.w2
+      |  CROSS JOIN nb),
+      |lam AS (SELECT w1,
+      |    CAST(round(ln(0.75 * CAST(n1f AS DOUBLE) / cu) * 1000000)
+      |      AS BIGINT) AS lam_ubits
+      |  FROM tc),
+      |cont AS (SELECT w2,
+      |    CAST(round(ln(CAST(n1b AS DOUBLE) / nbt) * 1000000)
+      |      AS BIGINT) AS cont_ubits
+      |  FROM cn CROSS JOIN nb),
+      |unk AS (SELECT
+      |    CAST(round(ln(1.0 / CAST(nbt AS DOUBLE)) * 1000000)
+      |      AS BIGINT) AS unk_ubits
+      |  FROM nb),
+      |sc AS (SELECT bg.doc_id,
+      |    CASE WHEN wt.ubits IS NOT NULL THEN wt.ubits
+      |      WHEN lam.lam_ubits IS NOT NULL THEN lam.lam_ubits
+      |        + coalesce(cont.cont_ubits, unk.unk_ubits)
+      |      ELSE coalesce(cont.cont_ubits, unk.unk_ubits) END AS u
+      |  FROM bg
+      |  LEFT JOIN wt ON wt.w1 = bg.w1 AND wt.w2 = bg.w2
+      |  LEFT JOIN lam ON lam.w1 = bg.w1
+      |  LEFT JOIN cont ON cont.w2 = bg.w2
+      |  CROSS JOIN unk
+      |  WHERE bg.doc_id % 10 <> 0)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(u) AS BIGINT) AS kn_ubits
+      |FROM sc GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+    val bg = toks.filter(col("n") >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ts"), lit(1), col("n") - 1),
+        slice(col("ts"), lit(2), col("n") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tb = bg.filter(col("doc_id") % 10 === 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val tc = tb.groupBy("w1")
+      .agg(sum("cb").as("cu"), count(lit(1)).as("n1f"))
+    val cn = tb.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val nbt = tb.agg(count(lit(1)).as("nbt"))
+    val wt = tb.join(tc, Seq("w1")).join(cn, Seq("w2"))
+      .crossJoin(broadcast(nbt))
+      .select(col("w1"), col("w2"),
+        round(log((col("cb").cast("double") - lit(0.75)) / col("cu")
+          + lit(0.75) * col("n1f").cast("double") / col("cu")
+            * col("n1b") / col("nbt")) * 1000000)
+          .cast("long").as("ubits"))
+    val lam = tc.select(col("w1"),
+      round(log(lit(0.75) * col("n1f").cast("double") / col("cu"))
+        * 1000000).cast("long").as("lam_ubits"))
+    val cont = cn.crossJoin(broadcast(nbt))
+      .select(col("w2"),
+        round(log(col("n1b").cast("double") / col("nbt")) * 1000000)
+          .cast("long").as("cont_ubits"))
+    val unk = nbt.select(
+      round(log(lit(1.0) / col("nbt").cast("double")) * 1000000)
+        .cast("long").as("unk_ubits"))
+    bg.filter(col("doc_id") % 10 =!= 0)
+      .join(wt, Seq("w1", "w2"), "left")
+      .join(lam, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(unk))
+      .select(col("doc_id"),
+        when(col("ubits").isNotNull, col("ubits"))
+          .when(col("lam_ubits").isNotNull, col("lam_ubits")
+            + coalesce(col("cont_ubits"), col("unk_ubits")))
+          .otherwise(coalesce(col("cont_ubits"), col("unk_ubits")))
+          .as("u"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("u").cast("long").as("kn_ubits"))
+  }
+
+  /** HYPERLOGLOG DISTINCT — the mergeable-sketch answer to
+    * COUNT(DISTINCT) at 100 TB (Flajolet et al. 2007; the algorithm
+    * behind approx_count_distinct, built EXPLICITLY so the sketch is
+    * a storable, mergeable artifact): m=256 registers indexed by the
+    * first 8 md5 bits, register value = leading-zero rank of the
+    * next 60 bits (capped at 40 — collisions beyond 2^-40 are
+    * unreachable at any corpus size), register = MAX over values.
+    * The engine builds TWO per-wave register tables (order key
+    * parity), persists them as the sketch store, and merges by
+    * register-wise MAX — the property that lets a 1000-executor scan
+    * ship 256 rows per group instead of re-shuffling raw values, and
+    * lets yesterday's sketch absorb today's delta. The harmonic-mean
+    * sum is EXACT integer arithmetic (Σ 2^(40−M_j) over BIGINT —
+    * float summation order can never diverge); only the final
+    * α·m²/S estimate and the small-range linear-counting correction
+    * are floats, computed with the identical expression shape both
+    * sides and micro-rounded. Output per priority: exact distinct
+    * (the oracle's ground truth), zero-register count, estimate.
+    */
+  val q247 = Q("q247_hll_distinct",
+    """WITH v AS (SELECT DISTINCT o_orderpriority AS pri,
+      |    md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
+      |dg AS (SELECT pri, h,
+      |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS idx
+      |  FROM v),
+      |ex AS (SELECT pri, idx, h, CAST(j AS INT) AS j,
+      |    strpos('0123456789abcdef',
+      |      substr(h, CAST(j + 2 AS INT), 1)) - 1 AS d
+      |  FROM dg, (SELECT unnest(range(1, 16)) AS j) r),
+      |rho AS (SELECT pri, idx, h,
+      |    coalesce(min(CASE WHEN d > 0 THEN 4 * (j - 1)
+      |      + (CASE WHEN d = 1 THEN 3 WHEN d <= 3 THEN 2
+      |         WHEN d <= 7 THEN 1 ELSE 0 END) + 1 END), 61) AS rho
+      |  FROM ex GROUP BY pri, idx, h),
+      |reg AS (SELECT pri, idx, max(least(rho, 40)) AS mx
+      |  FROM rho GROUP BY pri, idx),
+      |st AS (SELECT pri, count(*) AS used,
+      |    sum((CAST(1 AS BIGINT) << CAST(40 - mx AS INT))) AS s1
+      |  FROM reg GROUP BY pri),
+      |fin AS (SELECT pri, used,
+      |    s1 + (256 - used) * (CAST(1 AS BIGINT) << 40) AS stot,
+      |    256 - used AS vzero
+      |  FROM st),
+      |est AS (SELECT pri, vzero,
+      |    CASE WHEN CAST(0.7213 AS DOUBLE)
+      |        / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+      |        * 65536.0 * 1099511627776.0 / stot <= 640.0
+      |        AND vzero > 0
+      |      THEN 256.0 * ln(CAST(256 AS DOUBLE) / vzero)
+      |      ELSE CAST(0.7213 AS DOUBLE)
+      |        / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+      |        * 65536.0 * 1099511627776.0 / stot END AS e
+      |  FROM fin),
+      |ex2 AS (SELECT o_orderpriority AS pri,
+      |    count(DISTINCT o_custkey) AS ed
+      |  FROM orders GROUP BY 1)
+      |SELECT ex2.pri AS pri, CAST(ed AS BIGINT) AS exact_distinct,
+      |  CAST(vzero AS BIGINT) AS n_zero_regs,
+      |  CAST(round(e * 1000000) AS BIGINT) AS estimate_ubits
+      |FROM ex2 JOIN est ON est.pri = ex2.pri""".stripMargin) {
+    (s, dir) =>
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"hllstore_${SessionScratch.keyOf(dir)}"))
+    val tbl = s"hll_regs_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, tbl) {
+      // per-wave sketches: the storable, mergeable artifact
+      wh.overwrite(graft.ops.Approx.hllRegisters(
+        t(s, dir, "orders")
+          .withColumn("wave", col("o_orderkey") % 2)
+          .withColumnRenamed("o_orderpriority", "pri"),
+        Seq("pri", "wave"), col("o_custkey")), tbl)
+    }
+    val reg = wh.read(s, tbl)
+      .groupBy("pri", "idx").agg(max("mx").as("mx")) // sketch merge
+    val est = graft.ops.Approx.hllEstimate(reg, Seq("pri"))
+    val exact = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(countDistinct("o_custkey").as("exact_distinct"))
+    exact.join(est, Seq("pri"))
+      .select(col("pri"), col("exact_distinct"),
+        col("vzero").cast("long").as("n_zero_regs"),
+        round(col("e") * 1000000).cast("long").as("estimate_ubits"))
+  }
+
+  /** TRIANGLE COUNTING — the graph-quality primitive (clustering
+    * coefficient, spam-farm detection) on the deterministic
+    * ring+two-chord graph over the doc-id domain: edges (i, i+1),
+    * (i, i+2), (i, 7i+3) mod n, deduplicated undirected. The engine
+    * runs the DEGREE-ORDERED orientation algorithm (each undirected
+    * edge directed from its (degree, id)-smaller endpoint, wedges
+    * formed only at out-neighbors, closed against the oriented edge
+    * set) — the formulation whose wedge count is bounded by
+    * Σ out-deg² with out-degree O(√m) on ANY graph, the difference
+    * between a feasible and an impossible join at 100 TB on a
+    * power-law web graph. The oracle counts the same triangles with
+    * the naive a<b<c three-way self-join — algorithm-free ground
+    * truth. Output: per-node triangle participation counts.
+    */
+  val q248 = Q("q248_triangle_count",
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |e0 AS (SELECT doc_id AS i FROM documents),
+      |raw AS (
+      |  SELECT i AS a, (i + 1) % n AS b FROM e0 CROSS JOIN nn
+      |  UNION ALL
+      |  SELECT i, (i + 2) % n FROM e0 CROSS JOIN nn
+      |  UNION ALL
+      |  SELECT i, (i * 7 + 3) % n FROM e0 CROSS JOIN nn),
+      |ed AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      |  FROM raw WHERE a <> b),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM ed e1
+      |  JOIN ed e2 ON e2.a = e1.b
+      |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |px AS (SELECT x AS node FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM px GROUP BY node""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val nn = docs.agg(count(lit(1)).as("n"))
+    val ids = docs.select(col("doc_id").as("i")).crossJoin(broadcast(nn))
+    def edge(b: org.apache.spark.sql.Column) =
+      ids.select(col("i").as("a"), (b % col("n")).as("b"))
+    val raw = edge(col("i") + 1)
+      .unionAll(edge(col("i") + 2))
+      .unionAll(edge(col("i") * 7 + 3))
+    val ed = raw.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    graft.ops.Triangles.perNode(ed)
+  }
+
+  /** EXIF ORIENTATION/DIMENSIONS — the camera-metadata pass every
+    * image-ingest pipeline runs before resizing (a rotation-blind
+    * pipeline trains on sideways photos): [[Multimodal.jpegExif]]
+    * walks JPEG APP1 → TIFF → IFD0 with the byte order DECLARED PER
+    * FILE — even ids write `II` (little-endian), odd ids `MM`
+    * (big-endian), so a reader hard-coding either endianness fails
+    * exactly half the corpus (and the JPEG segment-length fields
+    * stay big-endian in BOTH — the cross-spec trap, planted and
+    * parsed). The oracle regenerates (order, entries, width, height,
+    * orientation) from the generator arithmetic; the engine earns
+    * them from bytes. Garbage rows ('none', 0...) — crawl reality.
+    *
+    * Shape: map-only synthesis + partition-batched walk — zero
+    * exchange at any scale.
+    */
+  val q249 = Q("q249_exif_orientation",
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 5 = 4 THEN 'none'
+      |    WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 3 END AS BIGINT)
+      |    AS n_entries,
+      |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0
+      |    ELSE (doc_id * 3) % 5000 + 16 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0
+      |    ELSE (doc_id * 5) % 5000 + 16 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 5 = 4 THEN 0
+      |    ELSE doc_id % 8 + 1 END AS BIGINT) AS orientation
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Multimodal.decodeExifMeta(
+      Multimodal.asExifTable(t(s, dir, "documents")))
+  }
+
+  /** VOICE-ACTIVITY DETECTION — the silence gate an audio pipeline
+    * runs before paying transcription cost ([[Multimodal.wavVad]]):
+    * real PCM samples (q234's corpus: 8-bit offset vs 16-bit
+    * two's-complement), 10-sample frames, a frame is ACTIVE when its
+    * |sample| sum reaches frameLen·2^(bits-2) (quarter full scale —
+    * integer-exact, no float RMS), and max_run is the longest
+    * consecutive active stretch (the "usable speech segment"
+    * signal). The oracle recomputes frames, the threshold, and the
+    * run structure from the generator's closed form with
+    * gaps-and-islands SQL — it never touches a byte; the engine
+    * never sees the closed form. Garbage rows report ('unknown',
+    * 0, 0, 0).
+    *
+    * Shape: map-only synthesis + partition-batched decode — zero
+    * exchange at any scale.
+    */
+  val q250 = Q("q250_audio_vad",
+    """WITH p AS (
+      |  SELECT doc_id, doc_id % 5 AS m,
+      |    CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bits,
+      |    CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch,
+      |    (doc_id % 50) + 10 AS fr
+      |  FROM documents),
+      |smp AS (
+      |  SELECT doc_id, bits, k // 10 AS f,
+      |    CASE WHEN bits = 16 THEN
+      |      CASE WHEN (doc_id * 31 + k) % 65536 >= 32768
+      |        THEN (doc_id * 31 + k) % 65536 - 65536
+      |        ELSE (doc_id * 31 + k) % 65536 END
+      |    ELSE (doc_id * 31 + k) % 256 - 128 END AS v
+      |  FROM (
+      |    SELECT doc_id, bits,
+      |      CAST(unnest(range(0, (fr * ch) // 10 * 10)) AS BIGINT) AS k
+      |    FROM p WHERE m <> 4) t),
+      |fs AS (SELECT doc_id, bits, f, sum(abs(v)) AS sv
+      |  FROM smp GROUP BY doc_id, bits, f),
+      |fa AS (SELECT doc_id, f,
+      |    CASE WHEN sv >= 10 * (CASE WHEN bits = 16 THEN 16384
+      |      ELSE 64 END) THEN 1 ELSE 0 END AS act
+      |  FROM fs),
+      |runs AS (SELECT doc_id, f,
+      |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+      |      AS grp
+      |  FROM fa WHERE act = 1),
+      |mr AS (SELECT doc_id, max(cnt) AS max_run
+      |  FROM (SELECT doc_id, grp, count(*) AS cnt FROM runs
+      |        GROUP BY doc_id, grp) g
+      |  GROUP BY doc_id),
+      |ag AS (SELECT doc_id, count(*) AS nf, sum(act) AS na
+      |  FROM fa GROUP BY doc_id)
+      |SELECT p.doc_id AS media_id,
+      |  CASE WHEN m = 4 THEN 'unknown'
+      |    WHEN bits = 8 THEN 'pcm8' ELSE 'pcm16' END AS format,
+      |  CAST(coalesce(ag.nf, 0) AS BIGINT) AS n_frames,
+      |  CAST(coalesce(ag.na, 0) AS BIGINT) AS n_active,
+      |  CAST(coalesce(mr.max_run, 0) AS BIGINT) AS max_run
+      |FROM p
+      |LEFT JOIN ag ON ag.doc_id = p.doc_id
+      |LEFT JOIN mr ON mr.doc_id = p.doc_id""".stripMargin) { (s, dir) =>
+    Multimodal.decodeVadMeta(
+      Multimodal.asPcmTable(t(s, dir, "documents")))
+  }
+
+  val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250)
+}

@@ -913,6 +913,139 @@ final case class Warehouse(root: String) {
     }
     f.delete(); ()
   }
+
+  // ---- generalized MERGE INTO --------------------------------------
+
+  /** Three-clause MERGE (`WHEN MATCHED AND <deleteCond> THEN DELETE;
+    * WHEN MATCHED THEN UPDATE SET <set…>; WHEN NOT MATCHED THEN
+    * INSERT *`) — the full Delta/Iceberg MERGE surface the SCD merges
+    * specialize ([[graft.ops.Scd.scd1Merge]] is the update+insert
+    * subset). Clause order follows the standard: the delete predicate
+    * is evaluated ONLY against MATCHED rows — an unmatched source row
+    * satisfying it is still INSERTED (the matched-only scope trap;
+    * spec-pinned). `deleteCond` and every `set` value are Column
+    * expressions over the SOURCE row's plain column names, evaluated
+    * on the source BEFORE the join, so callers never touch join
+    * aliasing.
+    *
+    * Physical shape: ONE full-outer sort-merge join on the key (each
+    * side shuffles exactly once — same plan class as q17's SCD1, see
+    * PLANS.md), a linear per-row CASE projection, and the crash-safe
+    * [[mergeOverwrite]] swap. No driver loops, no per-row round
+    * trips; at 100 TB a bucketed layout on the key drops both
+    * exchanges (saveBucketed exists for exactly that).
+    */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], set: Map[String, org.apache.spark.sql.Column],
+      deleteCond: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions._
+    val target = read(spark, table)
+    val cols = target.columns.toSeq
+    // evaluate delete predicate and set-values against the bare
+    // source row, then carry them through the join as reserved cols
+    val src0 = source.withColumn("__del", deleteCond)
+    val src = set.foldLeft(src0) { case (d, (c, v)) =>
+      d.withColumn(s"__set_$c", v)
+    }.withColumn("__s", lit(1))
+      .select((keys.map(col) ++ cols.filterNot(keys.contains).map(col)
+        ++ Seq(col("__del"), col("__s"))
+        ++ set.keys.toSeq.map(c => col(s"__set_$c"))): _*)
+      .toDF((keys ++ cols.filterNot(keys.contains).map("__src_" + _)
+        ++ Seq("__del", "__s") ++ set.keys.toSeq.map("__set_" + _)): _*)
+    val tgt = target.withColumn("__t", lit(1))
+    val j = tgt.join(src, keys, "full_outer")
+    val matched = col("__t").isNotNull && col("__s").isNotNull
+    val srcOnly = col("__t").isNull
+    val merged = j
+      .filter(!(matched && col("__del"))) // matched-delete clause
+      .select(cols.map { c =>
+        val tv = if (keys.contains(c)) col(c) else col(c)
+        val sv = if (keys.contains(c)) col(c) else col(s"__src_$c")
+        val updated =
+          if (set.contains(c)) when(matched, col(s"__set_$c")).otherwise(tv)
+          else tv
+        when(srcOnly, sv).otherwise(updated).as(c)
+      }: _*)
+    mergeOverwrite(merged, table)
+  }
+
+  // ---- write-audit-publish (WAP) -----------------------------------
+
+  private def wapDir(table: String, branch: String): File =
+    new File(dir(s"${table}__wap_$branch"))
+
+  private def wapJournal(table: String, branch: String): File =
+    new File(dir(s"${table}__wapj_$branch.txt"))
+
+  /** WAP step 1 — WRITE: stage a wave on an invisible branch. The
+    * staged files live OUTSIDE the table directory, so readers of the
+    * table cannot observe the wave no matter how the stage ends.
+    */
+  def wapStage(df: DataFrame, table: String, branch: String): Unit =
+    df.write.mode("overwrite").parquet(wapDir(table, branch).getPath)
+
+  /** WAP step 2 — AUDIT: run the DQ gate over the staged wave AS IT
+    * WOULD LAND — the uniqueness check runs on base ∪ staged, so a
+    * wave that duplicates a key already published fails here, not in
+    * production (checking the wave alone is the classic WAP hole).
+    * Throws (via [[checkConstraints]]) on any violation; the branch
+    * stays invisible.
+    */
+  def wapAudit(spark: SparkSession, table: String, branch: String,
+      keys: Seq[String], notNull: Seq[String] = Nil): Unit = {
+    val staged = spark.read.parquet(wapDir(table, branch).getPath)
+    val combined =
+      if (exists(table)) read(spark, table).unionByName(staged)
+      else staged
+    Warehouse.checkConstraints(combined, s"$table@$branch", keys, notNull)
+    ()
+  }
+
+  /** Roll the WAP publish journal FORWARD (same device as
+    * [[recoverRecluster]]): complete every `MV` whose target is
+    * absent, then clear. Idempotent from any crash point.
+    */
+  def recoverWap(table: String, branch: String): Unit = {
+    val jf = wapJournal(table, branch)
+    val lines = readLines(jf)
+    if (lines.isEmpty) return
+    lines.foreach { l =>
+      if (l.startsWith("MV ")) {
+        val Array(_, tmp, fin) = l.split(" ", 3)
+        val (tf, ff) = (new File(tmp), new File(fin))
+        if (!ff.exists() && tf.exists() && !tf.renameTo(ff))
+          sys.error(s"wap recovery: cannot move $tmp to $fin")
+      }
+    }
+    java.nio.file.Files.deleteIfExists(jf.toPath)
+    ()
+  }
+
+  /** WAP step 3 — PUBLISH: move the audited branch's data files into
+    * the table with a roll-forward journaled commit — journal the
+    * intended moves first, then execute; a crash at any point is
+    * completed by [[recoverWap]] on the next publish, and a crash
+    * before the journal write leaves the table untouched (the wave is
+    * simply still staged). File names are prefixed with the branch so
+    * two branches can never collide. Returns files published. The
+    * rename-per-file is atomic on a local FS; an ACID format replaces
+    * the journal with its commit protocol, callers unchanged.
+    */
+  def wapPublish(table: String, branch: String): Int = {
+    recoverWap(table, branch)
+    val sd = wapDir(table, branch)
+    val staged = Option(sd.listFiles()).getOrElse(Array())
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+    if (staged.isEmpty) return 0
+    new File(dir(table)).mkdirs()
+    val moves = staged.map(f => f.getAbsolutePath ->
+      new File(dir(table), s"wap-$branch-${f.getName}").getAbsolutePath)
+    writeLines(wapJournal(table, branch),
+      moves.map { case (t, f) => s"MV $t $f" })
+    recoverWap(table, branch)
+    delete(sd)
+    moves.size
+  }
 }
 
 object Warehouse {

@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Warehouse
+import graft.multimodal.Multimodal
+
+/** Round-12 second-half pins: the generalized MERGE clause semantics,
+  * WAP's audit/publish guarantees, HLL sketch mergeability, the
+  * degree-ordered triangle counter, and the EXIF / VAD byte walkers —
+  * each against hand-constructed vectors the production generators
+  * never emit.
+  */
+class Round12bSpec extends SparkSpec {
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def tmpWh(): Warehouse = Warehouse(
+    java.nio.file.Files.createTempDirectory("r12b-wh-").toString)
+
+  // ---- q244 mergeInto ------------------------------------------------
+
+  test("mergeInto: matched-delete, matched-update, not-matched-insert " +
+    "land per clause; unmatched target rows carry unchanged") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.overwrite(Seq((1L, "A", 10L), (2L, "B", 20L), (3L, "C", 30L))
+      .toDF("k", "st", "v"), "t")
+    // source: k=1 matched+delete; k=2 matched+update; k=9 insert
+    val src = Seq((1L, "x", 11L), (2L, "x", 22L), (9L, "N", 99L))
+      .toDF("k", "st", "v")
+    wh.mergeInto(spark, "t", src, Seq("k"),
+      Map("st" -> lit("U"), "v" -> (col("v") + 100L)),
+      col("k") === 1L)
+    val out = wh.read(spark, "t").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (2L, "U", 122L), // updated: set takes SOURCE-side v (22+100)
+      (3L, "C", 30L), // untouched target row
+      (9L, "N", 99L))) // inserted as-is
+  }
+
+  test("mergeInto: the delete clause scopes to MATCHED rows only — an " +
+    "unmatched source row satisfying it is still inserted") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.overwrite(Seq((1L, "A")).toDF("k", "st"), "t")
+    val src = Seq((7L, "G")).toDF("k", "st") // satisfies deleteCond
+    wh.mergeInto(spark, "t", src, Seq("k"), Map.empty,
+      col("k") === 7L)
+    val ks = wh.read(spark, "t").select("k").as[Long].collect().sorted
+    assert(ks.toSeq == Seq(1L, 7L),
+      "unmatched k=7 must INSERT despite matching the delete predicate")
+  }
+
+  // ---- q245 WAP ------------------------------------------------------
+
+  test("wap: a staged wave is invisible until publish; publish makes " +
+    "it visible and empties the branch") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.overwrite(Seq((1L, "a")).toDF("k", "s"), "t")
+    wh.wapStage(Seq((2L, "b")).toDF("k", "s"), "t", "br")
+    assert(wh.read(spark, "t").count() == 1,
+      "staged rows must not be readable from the table")
+    wh.wapAudit(spark, "t", "br", Seq("k"))
+    assert(wh.wapPublish("t", "br") >= 1)
+    assert(wh.read(spark, "t").select("k").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L))
+    assert(wh.wapPublish("t", "br") == 0, "branch must be drained")
+  }
+
+  test("wap: the audit checks uniqueness against base ∪ staged — a " +
+    "wave duplicating an already-published key is rejected") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.overwrite(Seq((1L, "a")).toDF("k", "s"), "t")
+    wh.wapStage(Seq((1L, "dup")).toDF("k", "s"), "t", "br")
+    val e = intercept[IllegalStateException] {
+      wh.wapAudit(spark, "t", "br", Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    assert(wh.read(spark, "t").count() == 1, "branch stays invisible")
+  }
+
+  test("wap: a torn publish (journal written, moves incomplete) rolls " +
+    "FORWARD on the next publish — every staged row lands exactly once") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.overwrite(Seq((1L, "a")).toDF("k", "s"), "t")
+    wh.wapStage(Seq((2L, "b"), (3L, "c")).toDF("k", "s")
+      .repartition(2), "t", "br")
+    val stage = new java.io.File(s"${wh.root}/t__wap_br")
+    val staged = stage.listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(staged.length >= 2, "need ≥2 files to tear the commit")
+    val moves = staged.map(f => f.getAbsolutePath ->
+      new java.io.File(s"${wh.root}/t", s"wap-br-${f.getName}")
+        .getAbsolutePath)
+    // journal as wapPublish would, then complete only the FIRST move
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${wh.root}/t__wapj_br.txt"),
+      moves.map { case (a, b) => s"MV $a $b" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(new java.io.File(moves.head._1)
+      .renameTo(new java.io.File(moves.head._2)))
+    // crash here; next publish must recover then finish the branch
+    wh.wapPublish("t", "br")
+    assert(wh.read(spark, "t").select("k").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L), "no row lost, none doubled")
+  }
+
+  // ---- q247 HLL ------------------------------------------------------
+
+  test("hll: MAX-merging sketches of any split equals the sketch of " +
+    "the union, and the estimate lands within the m=256 error bound") {
+    import spark.implicits._
+    val vals = (0L until 3000L).map(v => (v % 3, v / 3)) // 1000/group
+    val df = vals.toDF("g", "v")
+    val whole = ops.Approx.hllRegisters(df, Seq("g"), col("v"))
+    val parts = ops.Approx.hllRegisters(
+      df.withColumn("w", col("v") % 2), Seq("g", "w"), col("v"))
+      .groupBy("g", "idx").agg(max("mx").as("mx"))
+    assert(whole.exceptAll(parts).count() == 0 &&
+      parts.exceptAll(whole).count() == 0,
+      "split+merge must equal the direct sketch register-for-register")
+    val est = ops.Approx.hllEstimate(whole, Seq("g"))
+      .select("g", "e").as[(Long, Double)].collect()
+    est.foreach { case (g, e) =>
+      assert(math.abs(e - 1000.0) < 200.0,
+        s"group $g estimate $e implausible for 1000 distinct " +
+          "(3σ ≈ 20% at m=256)")
+    }
+    // register ranges: idx ∈ [0,256), mx ∈ [1,40]
+    val regs = whole.select("idx", "mx").as[(Int, Int)].collect()
+    assert(regs.forall { case (i, m) =>
+      i >= 0 && i < 256 && m >= 1 && m <= 40 })
+  }
+
+  // ---- q248 triangles ------------------------------------------------
+
+  test("triangles: K4 puts every node in 3 triangles; a path has " +
+    "none; a pendant vertex never appears") {
+    import spark.implicits._
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L)).toDF("a", "b")
+    val got = ops.Triangles.perNode(k4).as[(Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(ops.Triangles.perNode(path).count() == 0)
+    // K3 plus pendant 9: triangle nodes only
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 9L)).toDF("a", "b")
+    val nodes = ops.Triangles.perNode(g).select("node").as[Long]
+      .collect().sorted
+    assert(nodes.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  // ---- q249 EXIF -----------------------------------------------------
+
+  private val exifII = hexBytes(
+    "FFD8" + "FFE1" + "003A" + "457869660000" +
+      "4949" + "2A00" + "08000000" + "0300" +
+      "0001" + "0400" + "01000000" + "80020000" + // width 640
+      "0101" + "0400" + "01000000" + "E0010000" + // height 480
+      "1201" + "0300" + "01000000" + "06000000" + // orientation 6
+      "00000000" + "FFD9")
+
+  private val exifMM = hexBytes(
+    "FFD8" + "FFE1" + "003A" + "457869660000" +
+      "4D4D" + "002A" + "00000008" + "0003" +
+      "0100" + "0004" + "00000001" + "00000280" +
+      "0101" + "0004" + "00000001" + "000001E0" +
+      "0112" + "0003" + "00000001" + "00060000" + // SHORT left-justified
+      "00000000" + "FFD9")
+
+  test("jpegExif: the per-file byte order is honored — the same " +
+    "logical content parses identically from II and MM encodings") {
+    assert(Multimodal.jpegExif(exifII) ==
+      Some(("II", 3L, 640L, 480L, 6L)))
+    assert(Multimodal.jpegExif(exifMM) ==
+      Some(("MM", 3L, 640L, 480L, 6L)))
+  }
+
+  test("jpegExif: a TIFF whose declared IFD overruns its APP1 " +
+    "segment is refused, not read from sibling bytes") {
+    // same as exifII but IFD claims 10 entries in a 3-entry segment
+    val torn = exifII.clone()
+    torn(20) = 0x0a // LE entry count low byte (offset of '0300')
+    assert(Multimodal.jpegExif(torn).isEmpty)
+  }
+
+  test("jpegExif: a JPEG with no Exif APP1 and raw text both decode " +
+    "to None ('none' rows downstream)") {
+    // SOI + bare SOF0 + EOI: valid JPEG, no APP1
+    val noExif = hexBytes("FFD8" + "FFC0" + "0011" + "08" + "01E0" +
+      "0280" + "03" + "011100" + "021101" + "031101" + "FFD9")
+    assert(Multimodal.jpegExif(noExif).isEmpty)
+    assert(Multimodal.jpegExif("plain text".getBytes("UTF-8")).isEmpty)
+  }
+
+  // ---- q250 VAD ------------------------------------------------------
+
+  /** pcm8 mono WAV with the given unsigned sample bytes. */
+  private def wav8(samples: Seq[Int]): Array[Byte] = {
+    def le4(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X" +
+      f"${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X"
+    def le2(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+    val n = samples.size
+    val pad = if (n % 2 == 1) "00" else ""
+    hexBytes("52494646" + le4(36 + n) + "57415645" +
+      "666D7420" + le4(16) + le2(1) + le2(1) + le4(16000) + le4(16000) +
+      le2(1) + le2(8) + "64617461" + le4(n) +
+      samples.map(s => f"$s%02X").mkString + pad)
+  }
+
+  test("wavVad: threshold is inclusive at exactly quarter scale, the " +
+    "trailing partial frame is dropped, and runs count consecutively") {
+    // frame0: |v|=63 ×10 → 630 < 640 inactive; frame1: |v|=64 → 640
+    // ACTIVE (inclusive ≥); 5-sample tail dropped
+    val s = Seq.fill(10)(191) ++ Seq.fill(10)(192) ++ Seq.fill(5)(255)
+    assert(Multimodal.wavVad(wav8(s)) == Some((8L, 2L, 1L, 1L)))
+    // active-inactive-active-active → max_run 2, n_active 3
+    val s2 = Seq.fill(10)(255) ++ Seq.fill(10)(128) ++
+      Seq.fill(10)(0) ++ Seq.fill(10)(255)
+    assert(Multimodal.wavVad(wav8(s2)) == Some((8L, 4L, 3L, 2L)))
+    // silence (offset 128 = |v| 0) everywhere → no active frames
+    assert(Multimodal.wavVad(wav8(Seq.fill(20)(128))) ==
+      Some((8L, 2L, 0L, 0L)))
+  }
+
+  // ---- q246 Kneser-Ney ----------------------------------------------
+
+  test("q246: hand-computed interpolated KN on a 3-doc corpus — seen " +
+    "pair, λ·P_cont backoff, and OOV floor all land exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kn-spec-")
+      .toString
+    Seq(
+      (0L, "a b a b a c", "en", "s", 11L), // train (id%10==0)
+      (1L, "a b c", "en", "s", 5L),
+      (2L, "x a", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = queries.Extras3.q246.fn(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // train: cb(ab)=2 cb(ba)=2 cb(ac)=1; cu(a)=3 n1f(a)=2; cu(b)=2
+    // n1f(b)=1; n1b(a)=1 n1b(b)=1 n1b(c)=1; |types|=3
+    def u(x: Double) = math.round(math.log(x) * 1e6)
+    val ab = u((2.0 - 0.75) / 3 + 0.75 * 2.0 / 3 * 1.0 / 3)
+    val lamB = u(0.75 * 1.0 / 2)
+    val contC = u(1.0 / 3)
+    val contA = u(1.0 / 3)
+    assert(got.toSeq == Seq(
+      (1L, 2L, ab + (lamB + contC)), // "a b"=seen, "b c"=λ(b)·Pc(c)
+      (2L, 1L, contA))) // "x a": OOV w1 → Pc(a) alone
+  }
+}
