@@ -180,14 +180,24 @@ object Extras3 {
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .withColumn("n", size(col("ts")))
-    val bg = toks.filter(col("n") >= 2)
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("ts"), lit(1), col("n") - 1),
-        slice(col("ts"), lit(2), col("n") - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val tb = bg.filter(col("doc_id") % 10 === 0)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // Materialized: the bigram stream feeds the training aggregate
+    // AND the three scoring joins; the train-count table tb feeds
+    // four vocab-grain derivations (tc/cn/nbt/wt) — without the two
+    // caches this plan re-explodes the corpus nine times (PlanAudit:
+    // scans=9 → 2)
+    val bg = graft.Materialized(s, s"kn_bg:$dir") {
+      toks.filter(col("n") >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("ts"), lit(1), col("n") - 1),
+          slice(col("ts"), lit(2), col("n") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"),
+          col("b.w2").as("w2"))
+    }
+    val tb = graft.Materialized(s, s"kn_tb:$dir") {
+      bg.filter(col("doc_id") % 10 === 0)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    }
     val tc = tb.groupBy("w1")
       .agg(sum("cb").as("cu"), count(lit(1)).as("n1f"))
     val cn = tb.groupBy("w2").agg(count(lit(1)).as("n1b"))
@@ -352,10 +362,16 @@ object Extras3 {
     val raw = edge(col("i") + 1)
       .unionAll(edge(col("i") + 2))
       .unionAll(edge(col("i") * 7 + 3))
-    val ed = raw.filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct()
+    // Materialized: the edge list feeds the degree aggregate, both
+    // wedge legs, and the closing join — five consumers of one
+    // deduplicated frame (a production pipeline persists the edge
+    // table; PlanAudit without this re-derived the scan 90×)
+    val ed = graft.Materialized(s, s"tri_edges:$dir") {
+      raw.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct()
+    }
     graft.ops.Triangles.perNode(ed)
   }
 
