@@ -159,25 +159,20 @@ object Approx {
     */
   def hllRegisters(df: DataFrame, groupCols: Seq[String],
       value: Column): DataFrame = {
-    val h = md5(value.cast("string"))
-    def digit(pos: Column) = conv(h.substr(pos, lit(1)), 16, 10)
-      .cast("int")
-    // leading-zero rank candidates per nonzero hex digit of the
-    // 60-bit tail; the MIN over them is the rank at the FIRST
-    // nonzero digit (each later digit's 4·(j−1) term dominates)
-    val lzRanks = transform(
-      filter(
-        transform(sequence(lit(1), lit(15)), j => struct(j.as("j"),
-          digit(j + 2).as("d"))),
-        x => x.getField("d") > 0),
-      x => lit(4) * (x.getField("j") - 1)
-        + when(x.getField("d") === 1, 3)
-          .when(x.getField("d") <= 3, 2)
-          .when(x.getField("d") <= 7, 1).otherwise(0) + 1)
-    df.select(groupCols.map(col) ++ Seq(
-        (digit(lit(1)) * 16 + digit(lit(2))).as("idx"),
-        least(coalesce(array_min(lzRanks), lit(61)), lit(40))
-          .as("rho")): _*)
+    // two-step projection so the md5 is computed ONCE per row (and
+    // CollapseProject keeps it that way: 3 references, non-cheap);
+    // rho comes from integer ops — `61 − length(bin(w))` is exactly
+    // leading-zeros(60-bit w)+1, all codegen'd (the first cut's
+    // higher-order-function digit scan ran interpreted and cost 6×)
+    val withH = df.select(
+      groupCols.map(col) :+ md5(value.cast("string")).as("__h"): _*)
+    val w = conv(col("__h").substr(lit(3), lit(15)), 16, 10)
+      .cast("long")
+    withH.select(groupCols.map(col) ++ Seq(
+        conv(col("__h").substr(lit(1), lit(2)), 16, 10).cast("int")
+          .as("idx"),
+        least(when(w === 0, lit(61))
+          .otherwise(lit(61) - length(bin(w))), lit(40)).as("rho")): _*)
       .groupBy((groupCols :+ "idx").map(col): _*)
       .agg(max("rho").as("mx"))
   }
