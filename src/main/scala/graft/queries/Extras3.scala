@@ -470,5 +470,207 @@ object Extras3 {
       Multimodal.asPcmTable(t(s, dir, "documents")))
   }
 
-  val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250)
+  /** KMV (k-minimum-values / theta-sketch) SET INTERSECTION — the
+    * sketch capability HLL structurally lacks: estimate the DISTINCT
+    * OVERLAP between two populations from two k=128-row sketches
+    * (Beyer et al. 2007; the Apache DataSketches theta recipe). Per
+    * order status, the sketch is the 128 smallest md5-derived 60-bit
+    * hash values of the distinct customer set — stored, mergeable
+    * (union of sketches re-cut to k), and intersectable: for each
+    * status pair, θ = the 128th smallest of the merged sketch, and
+    * the intersection estimate is |common below θ|·(127/128)·2^60/θ.
+    * Exact intersections ride along as the oracle's ground truth.
+    * All hash math is integer; the single float division is
+    * micro-rounded at pair grain (3 rows).
+    *
+    * Shape at 100 TB: one distinct + one per-group top-k (partial
+    * TakeOrdered — each executor ships ≤ k rows per group); every
+    * pair computation runs on 256-row inputs. The exact-intersection
+    * leg (oracle support) is the only corpus-sized join.
+    */
+  val q251 = Q("q251_theta_intersect",
+    """WITH ab AS (SELECT DISTINCT o_orderstatus AS st, o_custkey AS ck
+      |  FROM orders),
+      |hx AS (SELECT st, ck,
+      |    ('0x' || substr(md5(CAST(ck AS VARCHAR)), 3, 15))::BIGINT
+      |      AS w
+      |  FROM ab),
+      |sk AS (SELECT st, w FROM (
+      |    SELECT st, w,
+      |      row_number() OVER (PARTITION BY st ORDER BY w) AS rn
+      |    FROM hx) t WHERE rn <= 128),
+      |sts AS (SELECT DISTINCT st FROM sk),
+      |pr AS (SELECT x.st AS sa, y.st AS sb FROM sts x JOIN sts y
+      |  ON x.st < y.st),
+      |uw AS (SELECT sa, sb, w, count(DISTINCT mst) AS nsides
+      |  FROM pr JOIN (SELECT st AS mst, w FROM sk) m
+      |    ON m.mst = sa OR m.mst = sb
+      |  GROUP BY sa, sb, w),
+      |rk AS (SELECT sa, sb, w, nsides,
+      |    row_number() OVER (PARTITION BY sa, sb ORDER BY w) AS rn
+      |  FROM uw),
+      |th AS (SELECT sa, sb, w AS theta FROM rk WHERE rn = 128),
+      |nc AS (SELECT sa, sb,
+      |    count(CASE WHEN nsides = 2 AND rn <= 127 THEN 1 END)
+      |      AS n_common
+      |  FROM rk GROUP BY sa, sb),
+      |exi AS (SELECT pr.sa, pr.sb, count(*) AS exact_inter
+      |  FROM pr JOIN ab a ON a.st = pr.sa JOIN ab b
+      |    ON b.st = pr.sb AND b.ck = a.ck
+      |  GROUP BY pr.sa, pr.sb)
+      |SELECT pr.sa, pr.sb,
+      |  CAST(coalesce(exi.exact_inter, 0) AS BIGINT) AS exact_inter,
+      |  CAST(nc.n_common AS BIGINT) AS n_common,
+      |  CAST(round(CAST(nc.n_common AS DOUBLE) * 127.0 / 128.0
+      |    * 1152921504606846976.0 / th.theta * 1000000) AS BIGINT)
+      |    AS est_ubits
+      |FROM pr
+      |JOIN nc ON nc.sa = pr.sa AND nc.sb = pr.sb
+      |JOIN th ON th.sa = pr.sa AND th.sb = pr.sb
+      |LEFT JOIN exi ON exi.sa = pr.sa AND exi.sb = pr.sb""".stripMargin) {
+    (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ab = t(s, dir, "orders")
+      .select(col("o_orderstatus").as("st"), col("o_custkey").as("ck"))
+      .distinct()
+    val hx = ab.withColumn("w",
+      conv(md5(col("ck").cast("string")).substr(lit(3), lit(15)),
+        16, 10).cast("long"))
+    val sk = hx
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("st").orderBy("w")))
+      .filter(col("rn") <= 128).select("st", "w")
+    val sts = sk.select("st").distinct()
+    val pr = sts.select(col("st").as("sa"))
+      .crossJoin(sts.select(col("st").as("sb")))
+      .filter(col("sa") < col("sb"))
+    val uw = pr.join(broadcast(sk.select(col("st").as("mst"), col("w"))),
+        col("mst") === col("sa") || col("mst") === col("sb"))
+      .groupBy("sa", "sb", "w")
+      .agg(countDistinct("mst").as("nsides"))
+    val rk = uw.withColumn("rn",
+      row_number().over(Window.partitionBy("sa", "sb").orderBy("w")))
+    val th = rk.filter(col("rn") === 128)
+      .select(col("sa"), col("sb"), col("w").as("theta"))
+    val nc = rk.groupBy("sa", "sb")
+      .agg(count(when(col("nsides") === 2 && col("rn") <= 127, lit(1)))
+        .as("n_common"))
+    val exi = pr
+      .join(ab.select(col("st").as("sta"), col("ck")),
+        col("sta") === col("sa"))
+      .join(ab.select(col("st").as("stb"), col("ck")),
+        Seq("ck")).filter(col("stb") === col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("exact_inter"))
+    pr.join(nc, Seq("sa", "sb")).join(th, Seq("sa", "sb"))
+      .join(exi, Seq("sa", "sb"), "left")
+      .select(col("sa"), col("sb"),
+        coalesce(col("exact_inter"), lit(0L)).cast("long")
+          .as("exact_inter"),
+        col("n_common").cast("long").as("n_common"),
+        round(col("n_common").cast("double") * lit(127.0) / lit(128.0)
+          * lit(1152921504606846976.0) / col("theta") * 1000000)
+          .cast("long").as("est_ubits"))
+  }
+
+  /** DIFFERENTIALLY-PRIVATE COUNT RELEASE (mechanism demo) — the
+    * governance sibling of q218's k-anonymity audit: per-(source,
+    * lang) document counts released through (a) a k=10 suppression
+    * threshold (small groups vanish entirely — the 83 suppressed
+    * groups on this corpus are the point) and (b) Laplace(b=2) noise,
+    * i.e. ε=0.5 for a sensitivity-1 count. The "randomness" is a
+    * SEEDED hash draw — u = (60-bit md5 of 'dp1:'+group)/2^60,
+    * inverse-CDF'd to Laplace — so the release is reproducible and
+    * oracle-checkable while exercising the exact mechanism shape
+    * (a production release swaps the hash for calibrated secret
+    * randomness and drops n_true, which rides along here as the
+    * gate's ground truth; stated per house convention). One ln per
+    * GROUP, micro-rounded at group grain.
+    *
+    * Shape: one map-side-combined count + group-grain scalar math —
+    * corpus cost is the count pass, full stop.
+    */
+  val q252 = Q("q252_dp_counts",
+    """WITH g AS (SELECT source, lang, count(*) AS n
+      |  FROM documents GROUP BY source, lang),
+      |u AS (SELECT source, lang, n,
+      |    CAST(('0x' || substr(md5('dp1:' || source || '|' || lang),
+      |      3, 15))::BIGINT AS DOUBLE) / 1152921504606846976.0 AS uu
+      |  FROM g WHERE n >= 10),
+      |x AS (SELECT source, lang, n,
+      |    CASE WHEN uu >= 0.5
+      |      THEN 0.0 - 2.0 * ln(1.0 - 2.0 * (uu - 0.5))
+      |      ELSE 2.0 * ln(1.0 - 2.0 * (0.5 - uu)) END AS noise
+      |  FROM u)
+      |SELECT source, lang, CAST(n AS BIGINT) AS n_true,
+      |  CAST(round((n + noise) * 1000000) AS BIGINT)
+      |    AS n_noised_ubits
+      |FROM x""".stripMargin) { (s, dir) =>
+    val g = t(s, dir, "documents").groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"))
+    val u = g.filter(col("n") >= 10)
+      .withColumn("uu",
+        conv(md5(concat(lit("dp1:"), col("source"), lit("|"),
+          col("lang"))).substr(lit(3), lit(15)), 16, 10)
+          .cast("long").cast("double") / lit(1152921504606846976.0))
+    u.select(col("source"), col("lang"),
+      col("n").cast("long").as("n_true"),
+      round((col("n") + when(col("uu") >= 0.5,
+        lit(0.0) - lit(2.0) * log(lit(1.0) - lit(2.0)
+          * (col("uu") - lit(0.5))))
+        .otherwise(lit(2.0) * log(lit(1.0) - lit(2.0)
+          * (lit(0.5) - col("uu"))))) * 1000000)
+        .cast("long").as("n_noised_ubits"))
+  }
+
+  /** HIERARCHICAL (TWO-LEVEL) MANIFEST — closes the stated scope gap
+    * in [[graft.sources.Warehouse.prunedFiles]] ("hierarchical
+    * manifest compaction is how the real formats bound this further;
+    * out of scope here"): the flat file manifest is range-sorted and
+    * cut into 4-file GROUPS with a per-group extent summary — the
+    * manifest-list-over-manifests structure that bounds the
+    * planner's metadata read by surviving groups, not total files
+    * (10^6 files → 10^3 summary rows + only surviving groups' file
+    * rows). Three gated ranges: whole-domain (every group survives),
+    * one mid range, and a NARROW range that lands in one group — for
+    * which the consult loads a fraction of the file rows
+    * (spec-pinned: groups_kept < groups_total AND file rows
+    * consulted < total files). The oracle aggregates the raw corpus;
+    * any group mis-assignment or extent error drops or doubles rows
+    * and hash-fails.
+    */
+  val q253 = Q("q253_manifest_two_level",
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS range_id,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(o_custkey) AS BIGINT) AS cust_sum FROM orders
+      |  WHERE o_orderkey BETWEEN 0 AND 999999999
+      |  UNION ALL
+      |  SELECT 2, count(*), CAST(sum(o_custkey) AS BIGINT) FROM orders
+      |  WHERE o_orderkey BETWEEN 2000 AND 20000
+      |  UNION ALL
+      |  SELECT 3, count(*), CAST(sum(o_custkey) AS BIGINT) FROM orders
+      |  WHERE o_orderkey BETWEEN 300 AND 420) t""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"m2store_${SessionScratch.keyOf(dir)}"))
+    val tbl = s"m2_orders_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, tbl) {
+      wh.overwrite(t(s, dir, "orders")
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), tbl)
+      wh.writeManifest(s, tbl, Seq("o_orderkey"))
+      wh.writeTwoLevelManifest(s, tbl, "o_orderkey", groupSize = 4)
+    }
+    val ranges = Seq((1L, 0L, 999999999L), (2L, 2000L, 20000L),
+      (3L, 300L, 420L))
+    ranges.map { case (rid, lo, hi) =>
+      val r = wh.readPrunedTwoLevel(s, tbl, "o_orderkey", lo, hi)
+        .agg(count(lit(1)), coalesce(sum("o_custkey"), lit(0L))).head()
+      (rid, r.getLong(0), r.getLong(1))
+    }.toDF("range_id", "n", "cust_sum")
+  }
+
+  val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250,
+    q251, q252, q253)
 }

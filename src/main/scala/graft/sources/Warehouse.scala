@@ -498,6 +498,88 @@ final case class Warehouse(root: String) {
       lo: Long, hi: Long): DataFrame =
     readPrunedBox(spark, table, Seq((c, lo, hi)))
 
+  // ---- hierarchical (two-level) manifest ---------------------------
+
+  /** Promote the flat file manifest to TWO LEVELS — the
+    * manifest-list-over-manifests structure Iceberg/Delta use so the
+    * planner's metadata read is bounded by SURVIVING GROUPS, not
+    * total files (the [[prunedFiles]] scaladoc's "hierarchical
+    * manifest compaction", now in scope): sort the file manifest by
+    * `min_$c`, cut it into `groupSize`-file groups (range-sorted, so
+    * each group owns a compact key interval — the property that
+    * makes group extents selective), stamp each file row with its
+    * group id, and write a summary table of per-group extents +
+    * row/file counts. At 10^6 files and groupSize 1000 the planner
+    * reads 10^3 summary rows plus only the surviving groups' file
+    * rows — O(√files)-ish instead of O(files).
+    */
+  def writeTwoLevelManifest(spark: SparkSession, table: String,
+      c: String, groupSize: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val m = spark.read.parquet(dir(table + "__manifest"))
+      .withColumn("gid",
+        ((row_number().over(Window.orderBy(col(s"min_$c"), col("file")))
+          - 1) / groupSize).cast("int"))
+    m.coalesce(1).write.mode("overwrite")
+      .parquet(dir(table + "__manifest_g"))
+    spark.read.parquet(dir(table + "__manifest_g"))
+      .groupBy("gid")
+      .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+        min(s"min_$c").as(s"min_$c"), max(s"max_$c").as(s"max_$c"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir(table + "__manifest2"))
+  }
+
+  /** The two-level consult: read the GROUP summary first (gid grain —
+    * the only unconditional metadata read), keep groups whose extent
+    * overlaps [lo, hi], then read ONLY those groups' file rows and
+    * prune at file grain. Returns (kept files, groups total, groups
+    * kept, file rows consulted) — the last is the planner-read bound
+    * the structure exists for: file rows outside surviving groups
+    * are never loaded (the filter prunes on gid before the driver
+    * collect; in a production format each group is a separate
+    * manifest FILE and the prune skips whole objects). NULL extents
+    * kept conservatively at both levels.
+    */
+  def prunedFilesTwoLevel(spark: SparkSession, table: String, c: String,
+      lo: Long, hi: Long): (Seq[String], Int, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val groups = spark.read.parquet(dir(table + "__manifest2"))
+      .select(col("gid"), col(s"min_$c"), col(s"max_$c")).collect()
+    val keptGids = groups.filter { r =>
+      r.isNullAt(1) || r.isNullAt(2) ||
+        (r.getLong(1) <= hi && r.getLong(2) >= lo)
+    }.map(_.getInt(0)).toSeq
+    if (keptGids.isEmpty)
+      return (Seq.empty, groups.length, 0, 0)
+    val fileRows = spark.read.parquet(dir(table + "__manifest_g"))
+      .filter(col("gid").isin(keptGids: _*))
+      .select(col("file"), col(s"min_$c"), col(s"max_$c")).collect()
+    val kept = fileRows.filter { r =>
+      r.isNullAt(1) || r.isNullAt(2) ||
+        (r.getLong(1) <= hi && r.getLong(2) >= lo)
+    }.map(_.getString(0)).toSeq
+    (kept, groups.length, keptGids.length, fileRows.length)
+  }
+
+  /** Range read through the two-level manifest — [[readPruned]] with
+    * the [[prunedFilesTwoLevel]] consult. Falls back to an empty
+    * same-schema frame when nothing survives.
+    */
+  def readPrunedTwoLevel(spark: SparkSession, table: String, c: String,
+      lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (files, _, _, _) = prunedFilesTwoLevel(spark, table, c, lo, hi)
+    val schema = read(spark, table).schema
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    base.filter(col(c).cast("long").between(lo, hi))
+  }
+
   // ---- incremental re-clustering (OPTIMIZE ZORDER-lite) ------------
 
   private def dataFiles(table: String): Seq[String] =

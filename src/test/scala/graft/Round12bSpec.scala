@@ -230,6 +230,68 @@ class Round12bSpec extends SparkSpec {
       Some((8L, 2L, 0L, 0L)))
   }
 
+  // ---- q251 KMV sketch ----------------------------------------------
+
+  test("kmv: re-cutting the union of two k-sketches equals the " +
+    "k-sketch of the union — the mergeability theta sketches promise") {
+    // k smallest of (k smallest of A ∪ k smallest of B) = k smallest
+    // of A ∪ B, because any of the union's k smallest is within the
+    // k smallest of its own side
+    val k = 16
+    val a = (0 until 200).map(i => (i * 7919L) % 100003L)
+    val b = (0 until 200).map(i => (i * 104729L) % 100003L)
+    def sketch(xs: Seq[Long]) = xs.distinct.sorted.take(k)
+    assert(sketch(sketch(a) ++ sketch(b)) == sketch(a ++ b))
+  }
+
+  // ---- q252 DP release ----------------------------------------------
+
+  test("q252: groups below the k=10 threshold are suppressed " +
+    "entirely, released counts are noised but group-grain bounded") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = queries.Extras3.q252.fn(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._3 >= 10), "no small group may be released")
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source", "lang").count().as[(String, String, Long)]
+      .collect()
+    assert(all.exists(_._3 < 10), "corpus must exercise suppression")
+    assert(out.length == all.count(_._3 >= 10),
+      "every surviving group is released exactly once")
+    // Laplace(b=2): |noise| > 10 has probability e^-5 ≈ 0.7% — on
+    // this group count, all noised values stay near truth
+    assert(out.forall { case (_, _, n, ub) =>
+      math.abs(ub / 1e6 - n) < 15.0 })
+  }
+
+  // ---- q253 two-level manifest --------------------------------------
+
+  test("two-level manifest: a narrow range consults a fraction of " +
+    "the file rows and keeps the same files as the flat consult") {
+    import spark.implicits._
+    val wh = tmpWh()
+    val df = (0L until 4000L).map(i => (i, i % 97)).toDF("k", "v")
+    wh.overwrite(df.repartitionByRange(16, col("k"))
+      .sortWithinPartitions("k"), "t")
+    wh.writeManifest(spark, "t", Seq("k"))
+    wh.writeTwoLevelManifest(spark, "t", "k", groupSize = 4)
+    val (files, gTot, gKept, consulted) =
+      wh.prunedFilesTwoLevel(spark, "t", "k", 100L, 350L)
+    assert(gTot == 4 && gKept < gTot,
+      s"narrow range must prune groups ($gKept/$gTot)")
+    assert(consulted < 16,
+      s"file rows consulted ($consulted) must be bounded by " +
+        "surviving groups, not total files")
+    val (flat, total) = wh.prunedFiles(spark, "t", "k", 100L, 350L)
+    assert(total == 16 && files.sorted == flat.sorted,
+      "two-level pruning must keep exactly the flat consult's files")
+    // the read itself returns the exact range
+    val n = wh.readPrunedTwoLevel(spark, "t", "k", 100L, 350L).count()
+    assert(n == 251)
+  }
+
   // ---- q246 Kneser-Ney ----------------------------------------------
 
   test("q246: hand-computed interpolated KN on a 3-doc corpus — seen " +
