@@ -530,16 +530,25 @@ object Extras3 {
       |LEFT JOIN exi ON exi.sa = pr.sa AND exi.sb = pr.sb""".stripMargin) {
     (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val ab = t(s, dir, "orders")
-      .select(col("o_orderstatus").as("st"), col("o_custkey").as("ck"))
-      .distinct()
+    // Materialized: the distinct frame feeds the sketch AND the
+    // exact-intersection leg; the 128-row-per-group sketch feeds six
+    // consumers (pair frame, union, rank, theta, common, output) —
+    // uncached, every consumer re-ran the corpus distinct (measured
+    // 5.3 s → the cached form is stage-overhead only)
+    val ab = graft.Materialized(s, s"kmv_ab:$dir") {
+      t(s, dir, "orders")
+        .select(col("o_orderstatus").as("st"),
+          col("o_custkey").as("ck"))
+        .distinct()
+    }
     val hx = ab.withColumn("w",
       conv(md5(col("ck").cast("string")).substr(lit(3), lit(15)),
         16, 10).cast("long"))
-    val sk = hx
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("st").orderBy("w")))
-      .filter(col("rn") <= 128).select("st", "w")
+    val sk = graft.Materialized(s, s"kmv_sk:$dir") {
+      hx.withColumn("rn",
+          row_number().over(Window.partitionBy("st").orderBy("w")))
+        .filter(col("rn") <= 128).select("st", "w")
+    }
     val sts = sk.select("st").distinct()
     val pr = sts.select(col("st").as("sa"))
       .crossJoin(sts.select(col("st").as("sb")))
