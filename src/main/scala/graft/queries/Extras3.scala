@@ -680,6 +680,160 @@ object Extras3 {
     }.toDF("range_id", "n", "cust_sum")
   }
 
+  /** MERGEABLE HISTOGRAM QUANTILES — the fixed-memory companion to
+    * q26/q80's exact percentiles: a 256-bin equal-width histogram
+    * (width 2048 over the price domain) per priority, quantiles read
+    * off the cumulative histogram with linear interpolation inside
+    * the landing bin. The sketch is INTEGER bin counts — mergeable
+    * by plain vector ADDITION across partitions, waves, or days
+    * (spec-pinned: wave-split histograms sum to the direct one),
+    * which is what lets a 1000-executor scan ship 256 longs per
+    * group where exact percentile sorts every group. Only the final
+    * per-(group, q) interpolation is float, micro-rounded at that
+    * 15-row grain.
+    */
+  val q254 = Q("q254_histogram_quantiles",
+    """WITH b AS (SELECT o_orderpriority AS pri,
+      |    LEAST(CAST(floor(o_totalprice / 2048.0) AS INT), 255) AS bin
+      |  FROM orders),
+      |h AS (SELECT pri, bin, count(*) AS cnt FROM b GROUP BY pri, bin),
+      |nn AS (SELECT pri, count(*) AS n FROM b GROUP BY pri),
+      |c AS (SELECT pri, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY pri ORDER BY bin) AS cum
+      |  FROM h),
+      |t AS (SELECT nn.pri, p.pct, nn.n,
+      |    CAST(p.pct AS DOUBLE) / 100.0 * nn.n AS tgt
+      |  FROM nn CROSS JOIN (SELECT unnest([25, 50, 90]) AS pct) p),
+      |sel AS (SELECT t.pri, t.pct, t.n, t.tgt, min(c.bin) AS bin
+      |  FROM t JOIN c ON c.pri = t.pri AND c.cum >= t.tgt
+      |  GROUP BY t.pri, t.pct, t.n, t.tgt)
+      |SELECT s.pri, CAST(s.pct AS BIGINT) AS pct,
+      |  CAST(s.n AS BIGINT) AS n,
+      |  CAST(round((s.bin * 2048.0
+      |    + 2048.0 * (s.tgt - (c.cum - c.cnt)) / c.cnt) * 1000000)
+      |    AS BIGINT) AS est_ubits
+      |FROM sel s JOIN c ON c.pri = s.pri AND c.bin = s.bin""".stripMargin) {
+    (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"),
+        least(floor(col("o_totalprice") / lit(2048.0)).cast("int"),
+          lit(255)).as("bin"))
+    val h = b.groupBy("pri", "bin").agg(count(lit(1)).as("cnt"))
+    val nn = b.groupBy("pri").agg(count(lit(1)).as("n"))
+    val c = h.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("pri").orderBy("bin")))
+    val t0 = nn.crossJoin(intDf(s, "pct", Seq(25, 50, 90)))
+      .withColumn("tgt",
+        col("pct").cast("double") / lit(100.0) * col("n"))
+    val sel = t0.join(c.select(col("pri"), col("bin"), col("cum")),
+        Seq("pri"))
+      .filter(col("cum") >= col("tgt"))
+      .groupBy("pri", "pct", "n", "tgt").agg(min("bin").as("bin"))
+    sel.join(c, Seq("pri", "bin"))
+      .select(col("pri"), col("pct").cast("long").as("pct"),
+        col("n").cast("long").as("n"),
+        round((col("bin") * lit(2048.0)
+          + lit(2048.0) * (col("tgt") - (col("cum") - col("cnt")))
+            / col("cnt")) * 1000000)
+          .cast("long").as("est_ubits"))
+  }
+
+  /** Tiny literal int frame (the session's implicits, hidden). */
+  private def intDf(s: SparkSession, name: String,
+      xs: Seq[Int]): DataFrame = {
+    import s.implicits._
+    xs.toDF(name)
+  }
+
+  /** COUNT-MIN SKETCH — the heavy-hitter frequency estimator
+    * (Cormode & Muthukrishnan 2005) as explicit, mergeable state:
+    * d=4 hash rows × w=256 counters, each counter the SUM of counts
+    * hashing there (exact integers — merging two sketches is vector
+    * addition), point estimate = MIN over the 4 rows. The one-sided
+    * error guarantee (estimate ≥ truth always; excess bounded by
+    * collisions ≈ N/w per row) is pinned by construction AND in the
+    * spec. Gated on the corpus's true top-20 tokens: true count
+    * (exact, the oracle's ground truth) next to the sketch estimate.
+    *
+    * Shape at 100 TB: the token count is the only corpus pass
+    * (map-side combined); the sketch is 1024 integers per stream —
+    * what a streaming ingest keeps in memory where exact counts need
+    * the full vocabulary.
+    */
+  val q255 = Q("q255_countmin_topk",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |tc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      |hs AS (SELECT w, c, CAST(i AS INT) AS i,
+      |    ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || w), 1, 2))
+      |      ::BIGINT AS b
+      |  FROM tc, (SELECT unnest(range(0, 4)) AS i) r),
+      |sk AS (SELECT i, b, sum(c) AS sc FROM hs GROUP BY i, b),
+      |top AS (SELECT w, c FROM tc ORDER BY c DESC, w LIMIT 20),
+      |est AS (SELECT top.w, top.c, min(sk.sc) AS est
+      |  FROM top JOIN hs ON hs.w = top.w
+      |  JOIN sk ON sk.i = hs.i AND sk.b = hs.b
+      |  GROUP BY top.w, top.c)
+      |SELECT w AS token, CAST(c AS BIGINT) AS n_true,
+      |  CAST(est AS BIGINT) AS n_est
+      |FROM est""".stripMargin) { (s, dir) =>
+    // Materialized: the vocab-grain count table feeds the sketch
+    // build, the top-k pick, and the probe join
+    val tc = graft.Materialized(s, s"cm_tc:$dir") {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+    }
+    val hs = tc.crossJoin(intDf(s, "i", Seq(0, 1, 2, 3)))
+      .withColumn("b",
+        conv(md5(concat(col("i").cast("string"), lit(":"), col("w")))
+          .substr(lit(1), lit(2)), 16, 10).cast("long"))
+    val sk = hs.groupBy("i", "b").agg(sum("c").as("sc"))
+    val top = tc.orderBy(col("c").desc, col("w").asc).limit(20)
+    top.join(hs, Seq("w"))
+      .join(sk, Seq("i", "b"))
+      .groupBy(col("w"), top("c"))
+      .agg(min("sc").as("est"))
+      .select(col("w").as("token"), col("c").cast("long").as("n_true"),
+        col("est").cast("long").as("n_est"))
+  }
+
+  /** BLOOM-PREFILTERED JOIN — the runtime row-level filter every
+    * engine injects for selective joins (Spark's InjectRuntimeFilter,
+    * Iceberg bloom pushdown), built explicitly so the mechanism is
+    * inspectable: the build side (orders above a price threshold —
+    * ~10% of orders) is hashed into a 65536-bit, k=3 Bloom BIT ARRAY
+    * (1024 longs, pulled to the driver — the bounded artifact every
+    * broadcast runtime filter ships); the probe side (lineitem)
+    * tests all three positions against the LITERAL array inside
+    * whole-stage codegen BEFORE the shuffle, so rows that cannot
+    * join never pay the exchange. False positives are removed by the
+    * exact join that follows — the RESULT is exactly the plain
+    * join's (that equivalence is the oracle gate); the bloom only
+    * moves cost. Candidate bound is spec-pinned (prefilter passes
+    * ≥ matches, ≪ corpus).
+    */
+  val q256 = Q("q256_bloom_semijoin",
+    """SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(l.l_orderkey) AS BIGINT) AS key_sum
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_totalprice > 450000.0
+      |GROUP BY l.l_returnflag""".stripMargin) { (s, dir) =>
+    val build = t(s, dir, "orders")
+      .filter(col("o_totalprice") > lit(450000.0))
+      .select(col("o_orderkey"))
+    val bits = graft.ops.BloomJoin.buildBits(build, "o_orderkey",
+      m = 65536, k = 3)
+    val probe = graft.ops.BloomJoin.prefilter(
+      t(s, dir, "lineitem"), "l_orderkey", bits, m = 65536, k = 3)
+    probe.join(build.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("l_orderkey").cast("long").as("key_sum"))
+  }
+
   val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250,
-    q251, q252, q253)
+    q251, q252, q253, q254, q255, q256)
 }

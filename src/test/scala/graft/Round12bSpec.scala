@@ -292,6 +292,92 @@ class Round12bSpec extends SparkSpec {
     assert(n == 251)
   }
 
+  // ---- q254 histogram quantiles ---------------------------------------
+
+  test("q254: the histogram sketch merges by vector addition, and " +
+    "every estimate lands within one bin width of the exact quantile") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val b = o.select(col("o_orderpriority").as("pri"),
+      least(floor(col("o_totalprice") / lit(2048.0)).cast("int"),
+        lit(255)).as("bin"))
+    val whole = b.groupBy("pri", "bin").count()
+    val waves = b.withColumn("w", monotonically_increasing_id() % 2)
+      .groupBy("pri", "bin", "w").count()
+      .groupBy("pri", "bin").agg(sum("count").as("count"))
+    assert(whole.exceptAll(waves).count() == 0 &&
+      waves.exceptAll(whole).count() == 0,
+      "wave-split histograms must vector-add to the direct one")
+    val est = graft.queries.Extras3.q254.fn(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    val exact = o.groupBy(col("o_orderpriority").as("pri"))
+      .agg(expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.50)").as("p50"),
+        expr("percentile(o_totalprice, 0.90)").as("p90"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> Map(25L -> r._2, 50L -> r._3, 90L -> r._4))
+      .toMap
+    est.foreach { case (pri, pct, _, ub) =>
+      val e = ub / 1e6
+      val x = exact(pri)(pct)
+      assert(math.abs(e - x) <= 2048.0,
+        s"$pri p$pct: sketch $e vs exact $x beyond one bin width")
+    }
+  }
+
+  // ---- q255 count-min -------------------------------------------------
+
+  test("q255: the count-min estimate NEVER undercounts — one-sided " +
+    "error over the whole vocabulary, and sketches merge by addition") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val tc = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val hs = tc.crossJoin(Seq(0, 1, 2, 3).toDF("i"))
+      .withColumn("b",
+        conv(md5(concat(col("i").cast("string"), lit(":"), col("w")))
+          .substr(lit(1), lit(2)), 16, 10).cast("long"))
+    val sk = hs.groupBy("i", "b").agg(sum("c").as("sc"))
+    val viol = hs.join(sk, Seq("i", "b"))
+      .groupBy("w", "c").agg(min("sc").as("est"))
+      .filter(col("est") < col("c")).count()
+    assert(viol == 0, "count-min must never undercount any token")
+    // merge = vector add: split the corpus by doc parity
+    val tc2 = spark.read.parquet(s"$sf/documents.parquet")
+      .select((col("doc_id") % 2).as("wv"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("wv", "w").agg(count(lit(1)).as("c"))
+    val hs2 = tc2.crossJoin(Seq(0, 1, 2, 3).toDF("i"))
+      .withColumn("b",
+        conv(md5(concat(col("i").cast("string"), lit(":"), col("w")))
+          .substr(lit(1), lit(2)), 16, 10).cast("long"))
+    val merged = hs2.groupBy("i", "b").agg(sum("c").as("sc"))
+    assert(sk.exceptAll(merged).count() == 0 &&
+      merged.exceptAll(sk).count() == 0,
+      "per-wave sketches must vector-add to the direct sketch")
+  }
+
+  // ---- q256 bloom join ------------------------------------------------
+
+  test("q256: the bloom prefilter has NO false negatives (every " +
+    "matching probe row passes) and prunes most non-matching rows") {
+    import spark.implicits._
+    val build = (0L until 50L).map(i => i * 17L).toDF("k")
+    val probe = (0L until 5000L).toDF("k")
+    val bits = ops.BloomJoin.buildBits(build, "k", m = 4096, k = 3)
+    val kept = ops.BloomJoin.prefilter(probe, "k", bits, m = 4096,
+      k = 3).as[Long].collect().toSet
+    val truth = build.as[Long].collect().toSet
+      .filter(_ < 5000L)
+    assert(truth.subsetOf(kept),
+      "a Bloom filter must never drop a true match")
+    assert(kept.size < 500,
+      s"prefilter must prune the bulk of 5000 probes (kept " +
+        s"${kept.size})")
+  }
+
   // ---- q246 Kneser-Ney ----------------------------------------------
 
   test("q246: hand-computed interpolated KN on a 3-doc corpus — seen " +
