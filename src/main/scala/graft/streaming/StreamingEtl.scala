@@ -639,6 +639,34 @@ object StreamingEtl {
       .toDF("media_id", "format", "a", "b", "content_stat")
   }
 
+  /** Streaming twin of the q249/q250 metadata tier — EXIF and
+    * voice-activity extraction AT INGEST: the same [[graft.multimodal
+    * .Multimodal.jpegExif]] / [[graft.multimodal.Multimodal.wavVad]]
+    * walks the batch queries run, applied per arriving payload.
+    * Stateless by construction (each output row is a pure function
+    * of one payload), so micro-batch boundaries cannot change any
+    * row — the StreamingSpec twin pins stream ≡ batch on a mixed
+    * jpeg+wav+garbage feed split across batches.
+    */
+  def metaExtractStream(media: DataFrame): DataFrame = {
+    import graft.multimodal.Multimodal
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        Multimodal.jpegExif(p) match {
+          case Some((bo, _, w, h, o)) => (id, "exif", bo, w, h, o)
+          case None => Multimodal.wavVad(p) match {
+            case Some((bits, nf, na, mr)) =>
+              (id, "vad", if (bits == 8L) "pcm8" else "pcm16", nf, na,
+                mr)
+            case None => (id, "unknown", "none", 0L, 0L, 0L)
+          }
+        }
+      })
+      .toDF("media_id", "kind", "variant", "a", "b", "c")
+  }
+
   /** Streaming twin of the q204 epoch shuffle — the ONLINE shard
     * router: an arriving doc's (epoch, shard) assignment is the SAME
     * keyed bijective permutation the batch plan computes

@@ -885,6 +885,54 @@ class StreamingSpec extends SparkSpec {
       "every PIT tier equals the current tier — skew contrast vacuous")
   }
 
+  test("metaExtractStream: EXIF/VAD extraction across micro-batch " +
+    "boundaries equals the batch q249/q250 decode tables on a mixed " +
+    "jpeg+wav+garbage feed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.multimodal.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, sf, "documents")
+    val jpg = Multimodal.asExifTable(docs)
+    val pcm = Multimodal.asPcmTable(docs)
+    val feed = jpg.select(($"media_id" * 2).as("media_id"), $"payload")
+      .unionByName(
+        pcm.select(($"media_id" * 2 + 1).as("media_id"), $"payload"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingEtl.metaExtractStream(
+        input.toDF().toDF("media_id", "payload"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("meta_extract_stream").start()
+    val (b1, b2) = feed.toSeq.splitAt(feed.length / 2)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // expected from the BATCH decode tables, ids remapped to the feed;
+    // the jpeg leg's garbage rows ('none') fall through to the VAD
+    // walk in the stream and still land 'unknown'
+    val expJpg = Multimodal.decodeExifMeta(jpg).collect().map { r =>
+      if (r.getString(1) == "none")
+        Seq[Any](r.getLong(0) * 2, "unknown", "none", 0L, 0L, 0L)
+      else Seq[Any](r.getLong(0) * 2, "exif", r.getString(1),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+    }
+    val expPcm = Multimodal.decodeVadMeta(pcm).collect().map { r =>
+      if (r.getString(1) == "unknown")
+        Seq[Any](r.getLong(0) * 2 + 1, "unknown", "none", 0L, 0L, 0L)
+      else Seq[Any](r.getLong(0) * 2 + 1, "vad", r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    assert(rows(spark.table("meta_extract_stream")) ==
+      (expJpg ++ expPcm).toSet,
+      "stream metadata extraction diverges from the batch tables")
+    val kinds = spark.table("meta_extract_stream").collect()
+      .map(_.getString(1)).toSet
+    assert(kinds == Set("exif", "vad", "unknown"), s"$kinds")
+  }
+
   test("contentDecodeStream: pixel/sample decode across micro-batch " +
     "boundaries equals the batch q230/q234 decode tables on a mixed " +
     "bmp+pcm+garbage feed") {
