@@ -3063,7 +3063,7 @@ object Extras {
   /** Distinct-word frame (w, n) — the vocab-grain collapse both
     * segmentation queries run over.
     */
-  private def segWords(s: SparkSession, dir: String): DataFrame =
+  private[graft] def segWords(s: SparkSession, dir: String): DataFrame =
     graft.Materialized(s, s"q192_wv_$dir") {
       docsTable(s, dir)
         .select(explode(split(col("text"), " ")).as("w")).distinct()
@@ -3072,7 +3072,7 @@ object Extras {
     }
 
   /** Corpus-frequent piece inventory of the given length. */
-  private def segInventory(s: SparkSession, dir: String,
+  private[graft] def segInventory(s: SparkSession, dir: String,
       len: Int, minSupport: Int = 2): DataFrame = {
     // hoisted OUT of the Materialized closure: a nested
     // Materialized call inside another's build throws

@@ -834,6 +834,208 @@ object Extras3 {
         sum("l_orderkey").cast("long").as("key_sum"))
   }
 
+  /** UNIGRAM-LM EM E-STEP — the SentencePiece training pass the
+    * tokenizer tier was missing (q163/q170 train BPE by greedy merge;
+    * q192 DECODES a unigram inventory by Viterbi; this computes the
+    * EXPECTED piece counts EM needs to re-estimate that inventory's
+    * weights): forward-backward over the segmentation lattice of
+    * every distinct word, under integer piece weights (char 6,
+    * corpus-frequent bigram 3, trigram 2 — an unnormalized prior),
+    * so that EVERY quantity is an exact BIGINT: α[i] = Σ_ℓ w_ℓ·α[i−ℓ]
+    * (weighted count of prefix segmentations), γ[j] the suffix twin,
+    * Z = α[n] = γ[n] (the equality is spec-pinned across the two
+    * independent recursions), and the E-step numerator for a piece
+    * occurrence (start, ℓ) is w_ℓ·α[start−1]·γ[n−start+1−ℓ]. Output
+    * per word length: Σ Z, the three per-class numerator sums, and
+    * the coverage identity Σ_ℓ ℓ·num_ℓ = n·Z carried as TWO columns
+    * (covered, nz) that both engines must agree are equal — the
+    * forward-backward correctness invariant (expected chars covered
+    * is exactly the word length), q197's recon device at sum-product
+    * strength. The M-step re-weighting is num_ℓ/Z at word grain —
+    * left as exact integer numerators so no float enters the gate.
+    *
+    * Shape: vocab-grain end to end (the q163/q192 discipline) — the
+    * only corpus-grain work is the shared DISTINCT; both 12-step
+    * walks are driver-unrolled broadcast-join chains, Materialized
+    * every 4 steps. Oracle: two WITH RECURSIVE recursions carrying
+    * shifted (a0,a1,a2) windows, position-joined — iteration-free
+    * SQL, independently derived.
+    */
+  val q257 = Q("q257_unigram_estep",
+    """WITH RECURSIVE wv AS (
+      |  SELECT w, len(w) AS n FROM (
+      |    SELECT DISTINCT unnest(string_split(text,' ')) AS w
+      |    FROM documents)
+      |  WHERE len(w) BETWEEN 1 AND 12),
+      |big AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 2) AS g
+      |    FROM wv, unnest(range(1, n)) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 2),
+      |tri AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 3) AS g
+      |    FROM wv, unnest(range(1, greatest(n - 1, 1))) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 2),
+      |fr AS (
+      |  SELECT w, n, 0 AS i, CAST(1 AS BIGINT) AS a0,
+      |    CAST(0 AS BIGINT) AS a1, CAST(0 AS BIGINT) AS a2
+      |  FROM wv
+      |  UNION ALL
+      |  SELECT r.w, r.n, r.i + 1,
+      |    6 * r.a0
+      |      + CASE WHEN b.g IS NOT NULL THEN 3 * r.a1 ELSE 0 END
+      |      + CASE WHEN t3.g IS NOT NULL THEN 2 * r.a2 ELSE 0 END,
+      |    r.a0, r.a1
+      |  FROM fr r
+      |  LEFT JOIN big b  ON r.i >= 1 AND b.g  = substr(r.w, r.i, 2)
+      |  LEFT JOIN tri t3 ON r.i >= 2 AND t3.g = substr(r.w, r.i - 1, 3)
+      |  WHERE r.i < r.n),
+      |alf AS (SELECT w, n, i, a0 AS al FROM fr),
+      |grv AS (
+      |  SELECT w, n, 0 AS j, CAST(1 AS BIGINT) AS g0,
+      |    CAST(0 AS BIGINT) AS g1, CAST(0 AS BIGINT) AS g2
+      |  FROM wv
+      |  UNION ALL
+      |  SELECT r.w, r.n, r.j + 1,
+      |    6 * r.g0
+      |      + CASE WHEN b.g IS NOT NULL THEN 3 * r.g1 ELSE 0 END
+      |      + CASE WHEN t3.g IS NOT NULL THEN 2 * r.g2 ELSE 0 END,
+      |    r.g0, r.g1
+      |  FROM grv r
+      |  LEFT JOIN big b  ON r.j >= 1
+      |    AND b.g = substr(r.w, r.n - r.j, 2)
+      |  LEFT JOIN tri t3 ON r.j >= 2
+      |    AND t3.g = substr(r.w, r.n - r.j, 3)
+      |  WHERE r.j < r.n),
+      |gam AS (SELECT w, j, g0 AS ga FROM grv),
+      |zt AS (SELECT w, n, al AS z FROM alf WHERE i = n),
+      |n1 AS (SELECT wv.w, sum(6 * a.al * g.ga) AS num1
+      |  FROM wv
+      |  JOIN alf a ON a.w = wv.w AND a.i <= wv.n - 1
+      |  JOIN gam g ON g.w = wv.w AND g.j = wv.n - (a.i + 1)
+      |  GROUP BY wv.w),
+      |n2 AS (SELECT wv.w, sum(3 * a.al * g.ga) AS num2
+      |  FROM wv
+      |  JOIN alf a ON a.w = wv.w AND a.i <= wv.n - 2
+      |  JOIN gam g ON g.w = wv.w AND g.j = wv.n - (a.i + 2)
+      |  JOIN big b ON b.g = substr(wv.w, CAST(a.i + 1 AS INT), 2)
+      |  GROUP BY wv.w),
+      |n3 AS (SELECT wv.w, sum(2 * a.al * g.ga) AS num3
+      |  FROM wv
+      |  JOIN alf a ON a.w = wv.w AND a.i <= wv.n - 3
+      |  JOIN gam g ON g.w = wv.w AND g.j = wv.n - (a.i + 3)
+      |  JOIN tri t3 ON t3.g = substr(wv.w, CAST(a.i + 1 AS INT), 3)
+      |  GROUP BY wv.w)
+      |SELECT CAST(z.n AS BIGINT) AS wlen, count(*) AS n_words,
+      |  CAST(sum(z.z) AS BIGINT) AS z_sum,
+      |  CAST(sum(coalesce(n1.num1, 0)) AS BIGINT) AS num1_sum,
+      |  CAST(sum(coalesce(n2.num2, 0)) AS BIGINT) AS num2_sum,
+      |  CAST(sum(coalesce(n3.num3, 0)) AS BIGINT) AS num3_sum,
+      |  CAST(sum(coalesce(n1.num1, 0) + 2 * coalesce(n2.num2, 0)
+      |    + 3 * coalesce(n3.num3, 0)) AS BIGINT) AS covered,
+      |  CAST(sum(z.n * z.z) AS BIGINT) AS nz
+      |FROM zt z
+      |LEFT JOIN n1 ON n1.w = z.w
+      |LEFT JOIN n2 ON n2.w = z.w
+      |LEFT JOIN n3 ON n3.w = z.w
+      |GROUP BY z.n""".stripMargin) { (s, dir) =>
+    unigramEStep(s, dir)
+  }
+
+  /** q257's body — shared with the spec (which pins the Z-equality
+    * and coverage invariants word-by-word).
+    */
+  private[graft] def unigramEStep(s: SparkSession,
+      dir: String): DataFrame = {
+    val big = Extras.segInventory(s, dir, 2)
+    val tri = Extras.segInventory(s, dir, 3)
+    // forward: positional α columns al1..al12 (α[0] is the constant
+    // 1) plus per-position usable-piece flags (hb/ht)
+    var f = Extras.segWords(s, dir)
+    def alAt(i: Int) = if (i == 0) lit(1L) else col(s"al$i")
+    for (i <- 1 to 12) {
+      val withBig =
+        if (i >= 2)
+          f.join(broadcast(big.withColumnRenamed("g", "bg")),
+            substring(col("w"), i - 1, 2) === col("bg"), "left")
+        else f.withColumn("bg", lit(null).cast("string"))
+      val withTri =
+        if (i >= 3)
+          withBig.join(broadcast(tri.withColumnRenamed("g", "tg")),
+            substring(col("w"), i - 2, 3) === col("tg"), "left")
+        else withBig.withColumn("tg", lit(null).cast("string"))
+      val alNew = lit(6L) * alAt(i - 1) +
+        when(col("bg").isNotNull,
+          lit(3L) * (if (i >= 2) alAt(i - 2) else lit(0L)))
+          .otherwise(0L) +
+        when(col("tg").isNotNull,
+          lit(2L) * (if (i >= 3) alAt(i - 3) else lit(0L)))
+          .otherwise(0L)
+      f = withTri
+        .withColumn(s"al$i",
+          when(col("n") >= i, alNew).otherwise(lit(null).cast("long")))
+        .withColumn(s"hb$i",
+          when(col("n") >= i && col("bg").isNotNull, 1L).otherwise(0L))
+        .withColumn(s"ht$i",
+          when(col("n") >= i && col("tg").isNotNull, 1L).otherwise(0L))
+        .drop("bg", "tg")
+      if (i % 4 == 0)
+        f = graft.Materialized(s, s"q257_fw${i}_$dir")(f)
+    }
+    // backward (suffix) γ columns: γ[j] = weighted segmentations of
+    // the last j chars; β[i] = γ[n−i]
+    def gaAt(i: Int) = if (i == 0) lit(1L) else col(s"ga$i")
+    for (j <- 1 to 12) {
+      val withBig =
+        if (j >= 2)
+          f.join(broadcast(big.withColumnRenamed("g", "bg")),
+            expr(s"substring(w, n - $j + 1, 2)") === col("bg"), "left")
+        else f.withColumn("bg", lit(null).cast("string"))
+      val withTri =
+        if (j >= 3)
+          withBig.join(broadcast(tri.withColumnRenamed("g", "tg")),
+            expr(s"substring(w, n - $j + 1, 3)") === col("tg"), "left")
+        else withBig.withColumn("tg", lit(null).cast("string"))
+      val gNew = lit(6L) * gaAt(j - 1) +
+        when(col("bg").isNotNull,
+          lit(3L) * (if (j >= 2) gaAt(j - 2) else lit(0L)))
+          .otherwise(0L) +
+        when(col("tg").isNotNull,
+          lit(2L) * (if (j >= 3) gaAt(j - 3) else lit(0L)))
+          .otherwise(0L)
+      f = withTri
+        .withColumn(s"ga$j",
+          when(col("n") >= j, gNew).otherwise(lit(null).cast("long")))
+        .drop("bg", "tg")
+      if (j % 4 == 0)
+        f = graft.Materialized(s, s"q257_bw${j}_$dir")(f)
+    }
+    // E-step numerators: piece (start, ℓ) contributes
+    // w_ℓ·α[start−1]·γ[n−start+1−ℓ]; γ indexed via the positional
+    // array (CaseWhen guards keep every element_at in range)
+    val gaArr = array(lit(1L) +: (1 to 12).map(j => col(s"ga$j")): _*)
+    def gaDyn(idx: org.apache.spark.sql.Column) =
+      element_at(gaArr, idx.cast("int") + 1)
+    val num1 = (1 to 12).map(i => when(col("n") >= i,
+      lit(6L) * alAt(i - 1) * gaDyn(col("n") - i)).otherwise(0L))
+      .reduce(_ + _)
+    val num2 = (2 to 12).map(i => when(col("n") >= i,
+      col(s"hb$i") * lit(3L) * alAt(i - 2) * gaDyn(col("n") - i))
+      .otherwise(0L)).reduce(_ + _)
+    val num3 = (3 to 12).map(i => when(col("n") >= i,
+      col(s"ht$i") * lit(2L) * alAt(i - 3) * gaDyn(col("n") - i))
+      .otherwise(0L)).reduce(_ + _)
+    val z = gaDyn(col("n"))
+    f.select(col("w"), col("n"), z.as("z"), num1.as("num1"),
+        num2.as("num2"), num3.as("num3"))
+      .groupBy(col("n").cast("long").as("wlen"))
+      .agg(count(lit(1)).as("n_words"),
+        sum("z").cast("long").as("z_sum"),
+        sum("num1").cast("long").as("num1_sum"),
+        sum("num2").cast("long").as("num2_sum"),
+        sum("num3").cast("long").as("num3_sum"),
+        sum(col("num1") + lit(2L) * col("num2")
+          + lit(3L) * col("num3")).cast("long").as("covered"),
+        sum(col("n") * col("z")).cast("long").as("nz"))
+  }
+
   val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250,
-    q251, q252, q253, q254, q255, q256)
+    q251, q252, q253, q254, q255, q256, q257)
 }

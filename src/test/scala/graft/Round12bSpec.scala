@@ -378,6 +378,44 @@ class Round12bSpec extends SparkSpec {
         s"${kept.size})")
   }
 
+  // ---- q257 unigram EM E-step ----------------------------------------
+
+  test("q257: hand-computed forward-backward on a 3-word corpus — " +
+    "α/γ/Z and all E-step numerators land exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("estep-spec-")
+      .toString
+    // vocabulary {ab, abx, abc}: bigram 'ab' has support 3 (in the
+    // inventory), every other piece is support-1 (out). For n=3
+    // words: Z = 6³ + 3·6 = 234 ([a,b,c] and [ab,c] weighted);
+    // for 'ab': Z = 36 + 3 = 39
+    Seq((1L, "ab abx abc", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val got = queries.Extras3.unigramEStep(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      // wlen, n_words, z, num1, num2, num3, covered, nz
+      (2L, 1L, 39L, 72L, 3L, 0L, 78L, 78L),
+      (3L, 2L, 468L, 1332L, 36L, 0L, 1404L, 1404L)))
+  }
+
+  test("q257: on the real corpus the coverage identity holds per " +
+    "length class and the bigram class is exercised") {
+    import spark.implicits._
+    val rows = queries.Extras3.unigramEStep(spark,
+        "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._7 == r._8,
+        s"wlen ${r._1}: covered ${r._7} != n·Z ${r._8} — the " +
+          "forward-backward expected-coverage invariant is broken")
+    }
+    assert(rows.map(_._5).sum > 0, "no bigram mass — inventory vacuous")
+  }
+
   // ---- q246 Kneser-Ney ----------------------------------------------
 
   test("q246: hand-computed interpolated KN on a 3-doc corpus — seen " +
