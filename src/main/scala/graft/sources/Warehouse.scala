@@ -996,6 +996,51 @@ final case class Warehouse(root: String) {
     f.delete(); ()
   }
 
+  // ---- partition evolution (layout generations) --------------------
+
+  /** Write one LAYOUT GENERATION of a table — the partition-evolution
+    * device (Iceberg's headline feature the hive layout lacks): each
+    * generation owns a subdirectory and ITS OWN partitioning spec, so
+    * changing how new data is laid out never rewrites closed
+    * generations (at 100 TB, re-partitioning history is the cost
+    * evolution exists to avoid). Spec-per-generation is recorded in a
+    * sidecar line file for the reader.
+    */
+  def writeGeneration(df: DataFrame, table: String, gen: Int,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val d = dir(s"$table@g$gen")
+    if (partitionCols.isEmpty) df.write.mode("overwrite").parquet(d)
+    else df.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(d)
+    writeLines(new File(dir(s"$table@g$gen.spec")),
+      partitionCols)
+  }
+
+  private def generations(table: String): Seq[Int] =
+    Option(new File(root).listFiles()).getOrElse(Array())
+      .map(_.getName)
+      .filter(n => n.startsWith(s"$table@g") && !n.endsWith(".spec"))
+      .flatMap(_.stripPrefix(s"$table@g").toIntOption).toSeq.sorted
+
+  /** Read ACROSS layout generations: each generation is scanned
+    * under its own spec (hive-partitioned generations recover their
+    * partition column from directory names — reads filtered on it
+    * prune whole directories; unpartitioned generations carry it as
+    * a data column), then the generations union BY NAME. A filtered
+    * read is therefore partition-pruned on new data and
+    * predicate-pushed on old — the exact mixed plan evolution buys
+    * without rewriting a byte of history.
+    */
+  def readGenerations(spark: SparkSession, table: String): DataFrame =
+    generations(table).map { g =>
+      // non-numeric partition values come back STRING from dir
+      // names, matching the data column's type in unpartitioned
+      // generations; numeric partition keys would need a cast here
+      spark.read
+        .option("basePath", dir(s"$table@g$g"))
+        .parquet(dir(s"$table@g$g"))
+    }.reduce(_.unionByName(_))
+
   // ---- generalized MERGE INTO --------------------------------------
 
   /** Three-clause MERGE (`WHEN MATCHED AND <deleteCond> THEN DELETE;

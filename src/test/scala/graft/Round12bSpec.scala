@@ -416,6 +416,81 @@ class Round12bSpec extends SparkSpec {
     assert(rows.map(_._5).sum > 0, "no bigram mass — inventory vacuous")
   }
 
+  // ---- q258 k-core ----------------------------------------------------
+
+  test("q258: six peel rounds reach the fixpoint (≡ five rounds) and " +
+    "the peel is non-vacuous on the mixed-degree graph") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val r6 = queries.Extras3.kcoreAlive(spark, sf, rounds = 6)
+      .as[(Long, Long)].collect().toSet
+    val r5 = queries.Extras3.kcoreAlive(spark, sf, rounds = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(r6 == r5, "round 6 must not change the core — fixpoint")
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(r6.nonEmpty && r6.size < total,
+      s"peel vacuous: core ${r6.size} of $total nodes")
+    assert(r6.forall(_._2 >= 3), "a core member below k=3 survived")
+    assert(r6.map(_._1) == (0L until 64L).toSet,
+      s"fixpoint must be exactly the dense 64-node core: ${r6.map(_._1)}")
+  }
+
+  // ---- q259 partition evolution ---------------------------------------
+
+  test("q259: evolving the layout never rewrites closed generations, " +
+    "and a status filter partition-prunes the evolved generation") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.writeGeneration(Seq((1L, "F", 10L), (2L, "O", 20L))
+      .toDF("k", "st", "v"), "t", gen = 0)
+    val g0 = new java.io.File(s"${wh.root}/t@g0")
+    val before = g0.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    wh.writeGeneration(Seq((3L, "F", 30L), (4L, "P", 40L))
+      .toDF("k", "st", "v"), "t", gen = 1, partitionCols = Seq("st"))
+    val after = g0.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(before == after, "gen-0 files must be untouched")
+    val all = wh.readGenerations(spark, "t")
+    assert(all.count() == 4)
+    val filtered = all.filter(col("st") === "F")
+    assert(filtered.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(st"),
+      s"gen-1 scan must partition-prune on st:\n$plan")
+  }
+
+  // ---- q260 CDC replication -------------------------------------------
+
+  test("q260: applying the change feed by MERGE reproduces the v2 " +
+    "snapshot row-for-row, with both delete and update clauses firing") {
+    import spark.implicits._
+    val wh = tmpWh()
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (9L, "z", 90L)).toDF("k", "s", "v")
+    // v2: k=9 deleted, k=2 updated, k=5 inserted
+    val v2 = Seq((1L, "a", 10L), (2L, "b", 25L), (3L, "c", 30L),
+      (5L, "e", 50L)).toDF("k", "s", "v")
+    wh.overwrite(v1, "rep")
+    val feed = ops.Cdc.snapshotDiff(v2, v1, "k", Seq("s", "v"))
+      .filter(col("change_type") =!= "unchanged")
+    val types = feed.select("change_type").as[String].collect().toSet
+    assert(types == Set("delete", "update", "insert"),
+      s"feed must exercise all three clauses: $types")
+    val src = feed.select(col("k"),
+      coalesce(col("src_s"), col("tgt_s")).as("s"),
+      coalesce(col("src_v"), col("tgt_v")).as("v"),
+      col("change_type"))
+    wh.mergeInto(spark, "rep", src, Seq("k"),
+      Map("s" -> col("s"), "v" -> col("v")),
+      col("change_type") === "delete")
+    val got = wh.read(spark, "rep").as[(Long, String, Long)]
+      .collect().toSet
+    val want = v2.as[(Long, String, Long)].collect().toSet
+    assert(got == want, s"replica $got != v2 $want")
+  }
+
   // ---- q246 Kneser-Ney ----------------------------------------------
 
   test("q246: hand-computed interpolated KN on a 3-doc corpus — seen " +
