@@ -1068,8 +1068,12 @@ object Extras3 {
     * persisted at a time and the last is released before return, the
     * bpeTrain hygiene contract.
     */
-  val q258 = Q("q258_kcore_peel",
-    """WITH nn AS (SELECT count(*) AS n FROM documents),
+  /** The oracle-side text of [[graphEdges]] — one definition, spliced
+    * into every graph query's SQL so the Spark artifact and the
+    * DuckDB oracle can never drift apart.
+    */
+  private val graphEdgeCte: String =
+    """nn AS (SELECT count(*) AS n FROM documents),
       |e0 AS MATERIALIZED (SELECT doc_id AS i FROM documents),
       |raw AS (
       |  SELECT i AS a, (i + 1) % 64 AS b FROM e0 WHERE i < 64
@@ -1084,7 +1088,10 @@ object Extras3 {
       |  UNION ALL
       |  SELECT i, i % 64 FROM e0 WHERE i % 5 = 0),
       |ed AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
-      |  FROM raw WHERE a <> b),
+      |  FROM raw WHERE a <> b)""".stripMargin
+
+  val q258 = Q("q258_kcore_peel",
+    s"""WITH $graphEdgeCte,
       |a0 AS MATERIALIZED (SELECT a AS v FROM ed UNION SELECT b FROM ed),
       |e1 AS MATERIALIZED (SELECT e.a, e.b FROM ed e JOIN a0 x ON x.v = e.a
       |  JOIN a0 y ON y.v = e.b),
@@ -1124,13 +1131,15 @@ object Extras3 {
     kcoreAlive(s, dir, rounds = 6)
   }
 
-  /** q258's body at a given unroll depth — shared with the spec
-    * (which pins rounds=6 ≡ rounds=5: the fixpoint).
+  /** The shared core-and-periphery edge list (see [[q258]] scaladoc
+    * for the topology argument) — one Materialized artifact reused by
+    * the k-core peel (q258) and the bounded-radius BFS (q261), the
+    * way a production graph pipeline materializes its edge table once
+    * and serves every traversal from it.
     */
-  private[graft] def kcoreAlive(s: SparkSession, dir: String,
-      rounds: Int): DataFrame = {
+  private[graft] def graphEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val ed = graft.Materialized(s, s"kcore_edges:$dir") {
+    graft.Materialized(s, s"kcore_edges:$dir") {
       val nn = docs.agg(count(lit(1)).as("n"))
       val ids = docs.select(col("doc_id").as("i"))
         .crossJoin(broadcast(nn))
@@ -1154,6 +1163,14 @@ object Extras3 {
           greatest(col("a"), col("b")).as("b"))
         .distinct()
     }
+  }
+
+  /** q258's body at a given unroll depth — shared with the spec
+    * (which pins rounds=6 ≡ rounds=5: the fixpoint).
+    */
+  private[graft] def kcoreAlive(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    val ed = graphEdges(s, dir)
     var alive = ed.select(col("a").as("v"))
       .union(ed.select(col("b").as("v"))).distinct()
     var lastCut: Option[DataFrame] = None
@@ -1266,6 +1283,174 @@ object Extras3 {
         sum("n_chars").cast("long").as("chars_sum"))
   }
 
+  /** BOUNDED-RADIUS BFS — hop distance from a source over the shared
+    * [[graphEdges]] artifact, six unrolled frontier-relaxation rounds
+    * (Bellman-Ford with unit weights): each round joins the directed
+    * adjacency against the current distance table and keeps the MIN
+    * hop per node. This is the neighborhood query GNN samplers and
+    * fraud-graph explorers run — bounded radius by construction, so
+    * the result is the ≤6-hop ball around the source, not whole-graph
+    * reachability. Output (node, hop) for every reached node: a wrong
+    * relaxation anywhere surfaces as a wrong min somewhere.
+    *
+    * Shape at 100 TB: per round one shuffle-hash join of the frontier
+    * against the adjacency (keyed on node id) + one min-combine —
+    * O(rounds·|E|) like the q258 peel; the distance table is rebased
+    * on its row RDD per round (it is referenced twice — union + join —
+    * so the analyzed plan would otherwise double per round, the
+    * DeduplicateRelations blowup q258 documents). Oracle CTEs
+    * MATERIALIZED for the same reason.
+    */
+  val q261 = Q("q261_bfs_hops",
+    s"""WITH $graphEdgeCte,
+      |adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM ed
+      |  UNION ALL SELECT b, a FROM ed),
+      |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop),
+      |d1 AS MATERIALIZED (SELECT node, min(hop) AS hop FROM (
+      |  SELECT node, hop FROM d0 UNION ALL
+      |  SELECT adj.dst, d0.hop + 1 FROM adj JOIN d0 ON adj.src = d0.node)
+      |  t GROUP BY node),
+      |d2 AS MATERIALIZED (SELECT node, min(hop) AS hop FROM (
+      |  SELECT node, hop FROM d1 UNION ALL
+      |  SELECT adj.dst, d1.hop + 1 FROM adj JOIN d1 ON adj.src = d1.node)
+      |  t GROUP BY node),
+      |d3 AS MATERIALIZED (SELECT node, min(hop) AS hop FROM (
+      |  SELECT node, hop FROM d2 UNION ALL
+      |  SELECT adj.dst, d2.hop + 1 FROM adj JOIN d2 ON adj.src = d2.node)
+      |  t GROUP BY node),
+      |d4 AS MATERIALIZED (SELECT node, min(hop) AS hop FROM (
+      |  SELECT node, hop FROM d3 UNION ALL
+      |  SELECT adj.dst, d3.hop + 1 FROM adj JOIN d3 ON adj.src = d3.node)
+      |  t GROUP BY node),
+      |d5 AS MATERIALIZED (SELECT node, min(hop) AS hop FROM (
+      |  SELECT node, hop FROM d4 UNION ALL
+      |  SELECT adj.dst, d4.hop + 1 FROM adj JOIN d4 ON adj.src = d4.node)
+      |  t GROUP BY node),
+      |d6 AS MATERIALIZED (SELECT node, min(hop) AS hop FROM (
+      |  SELECT node, hop FROM d5 UNION ALL
+      |  SELECT adj.dst, d5.hop + 1 FROM adj JOIN d5 ON adj.src = d5.node)
+      |  t GROUP BY node)
+      |SELECT node, hop FROM d6""".stripMargin) { (s, dir) =>
+    bfsHops(s, dir, rounds = 6)
+  }
+
+  /** q261's body at a given unroll depth — shared with the spec
+    * (which pins frontier monotonicity and the hand-checked ball).
+    */
+  private[graft] def bfsHops(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    val ed = graphEdges(s, dir)
+    val adj = ed.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(ed.select(col("b").as("src"), col("a").as("dst")))
+    var dist: DataFrame = t(s, dir, "documents")
+      .filter(col("doc_id") === 0)
+      .select(col("doc_id").as("node"), lit(0L).as("hop"))
+    var lastCut: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val relaxed = adj
+        .join(dist, adj("src") === dist("node"))
+        .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
+      val next = dist.unionAll(relaxed)
+        .groupBy("node").agg(min("hop").as("hop"))
+      val cut = s.createDataFrame(next.rdd, next.schema).persist()
+      cut.count() // eager: materialize before the previous cut drops
+      lastCut.foreach(_.unpersist(false))
+      lastCut = Some(cut)
+      dist = cut
+    }
+    val out = dist.select(col("node"), col("hop"))
+    lastCut.foreach(_.unpersist(false))
+    out
+  }
+
+  /** ROLLING-WINDOW DISTINCT — distinct users over a trailing 7-day
+    * window, per day: the DAU/WAU engagement query every analytics
+    * stack runs, and a classically scale-hostile one (COUNT(DISTINCT)
+    * OVER a RANGE frame is unsupported in Spark and quadratic done
+    * naively). The scale trick: dedup to (day, user) grain ONCE, then
+    * EXPLODE each row to the ≤7 window-ends it credits — turning the
+    * unbounded window-distinct into a bounded 7× fan-out feeding one
+    * ordinary two-phase countDistinct keyed by window end. Cost is
+    * O(7·|day-user pairs|) with map-side partials, independent of raw
+    * event volume past the first dedup; window ends are restricted to
+    * OBSERVED days (semi-join) so both engines agree on the frame.
+    */
+  val q262 = Q("q262_rolling_distinct",
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT d FROM du)
+      |SELECT days.d AS day,
+      |  CAST(count(DISTINCT du.user_id) AS BIGINT) AS users_7d
+      |FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+      |GROUP BY days.d""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val du = ev.select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val days = du.select(col("d").as("day")).distinct()
+    du.withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(date_add(col("d"), col("off")).as("day"), col("user_id"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("users_7d"))
+  }
+
+  /** ITEM CO-OCCURRENCE LIFT — the co-visitation statistic recommender
+    * pipelines mine at 100 TB ("customers who touched A also touched
+    * B"): baskets are (user, day) sessions, items the JSON `k` prop;
+    * pair counts are generated ONLY within a basket (self-join keyed
+    * on the basket, fan-out bounded by the per-basket distinct-item
+    * cap — the spec pins the corpus under it, the production recipe
+    * truncates), and lift = n_baskets·n_ab / (n_a·n_b) is computed in
+    * exact integer micros (truncating div in both engines). Marginals
+    * are item-grain (broadcast); the only corpus-sized exchange is the
+    * basket-grain dedup. Pairs below support 3 are cut — the rule
+    * mining floor that keeps the output item²-bounded, not corpus-
+    * bounded.
+    */
+  val q263 = Q("q263_cooccurrence_lift",
+    """WITH bi AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+      |  FROM events),
+      |nb AS (SELECT count(*) AS n FROM
+      |  (SELECT DISTINCT user_id, d FROM bi) t),
+      |marg AS (SELECT item, count(*) AS na FROM bi GROUP BY item),
+      |pairs AS (SELECT x.item AS item_a, y.item AS item_b,
+      |    count(*) AS n_ab
+      |  FROM bi x JOIN bi y
+      |    ON x.user_id = y.user_id AND x.d = y.d AND x.item < y.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+      |  CAST(nb.n * n_ab * 1000000 // (ma.na * mb.na) AS BIGINT)
+      |    AS lift_micro
+      |FROM pairs CROSS JOIN nb
+      |JOIN marg ma ON ma.item = pairs.item_a
+      |JOIN marg mb ON mb.item = pairs.item_b""".stripMargin) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val bi = graft.Materialized(s, s"cooc_basket_items:$dir") {
+      ev.select(col("user_id"), to_date(col("ts")).as("d"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .distinct()
+    }
+    val nb = bi.select("user_id", "d").distinct()
+      .agg(count(lit(1)).as("n"))
+    val marg = bi.groupBy("item").agg(count(lit(1)).as("na"))
+    val pairs = bi.as("x").join(bi.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.d") === col("y.d") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairs.crossJoin(broadcast(nb))
+      .join(broadcast(marg.select(col("item").as("item_a"),
+        col("na").as("na_a"))), Seq("item_a"))
+      .join(broadcast(marg.select(col("item").as("item_b"),
+        col("na").as("na_b"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        expr("CAST(n * n_ab * 1000000 div (na_a * na_b) AS BIGINT)")
+          .as("lift_micro"))
+  }
+
   val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250,
-    q251, q252, q253, q254, q255, q256, q257, q258, q259, q260)
+    q251, q252, q253, q254, q255, q256, q257, q258, q259, q260,
+    q261, q262, q263)
 }

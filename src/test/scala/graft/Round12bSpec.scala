@@ -491,6 +491,78 @@ class Round12bSpec extends SparkSpec {
     assert(got == want, s"replica $got != v2 $want")
   }
 
+  // ---- q261 bounded-radius BFS ------------------------------------------
+
+  test("q261: hop-1 ball is exactly the source's neighbor set, hops " +
+    "are bounded by the unroll, and the frontier grows monotonically") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val r6 = queries.Extras3.bfsHops(spark, sf, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(r6(0L) == 0L, "source must sit at hop 0")
+    assert(r6.values.forall(h => h >= 0 && h <= 6))
+    // neighbors of node 0 in the core-and-periphery graph (n=500):
+    // core ±1/±3/±9 mod 64, ring wrap (499,0), chords (0,2) and
+    // (498,0) (i≡0 mod 3), spoke 320 (320%64=0)
+    val hop1 = r6.filter(_._2 == 1L).keySet
+    assert(hop1 == Set(1L, 2L, 3L, 9L, 55L, 61L, 63L, 320L, 498L, 499L),
+      s"hop-1 ball wrong: $hop1")
+    val r3 = queries.Extras3.bfsHops(spark, sf, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3.keySet.subsetOf(r6.keySet), "frontier must grow")
+    assert(r3.forall { case (n, h) => r6(n) == h },
+      "settled hops must never change in later rounds")
+  }
+
+  // ---- q262 rolling distinct ----------------------------------------------
+
+  test("q262: the explode-to-window-ends plan equals a per-day direct " +
+    "range recount, and every day of the corpus is present") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = queries.Extras3.q262.fn(spark, sf)
+      .as[(java.sql.Date, Long)].collect().toMap
+    val ev = sources.Tables(spark, sf, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val days = ev.select("d").distinct()
+      .as[java.sql.Date].collect()
+    assert(got.keySet == days.toSet, "every observed day must appear")
+    days.foreach { day =>
+      val direct = ev.filter(col("d") >= date_sub(lit(day), 6) &&
+          col("d") <= lit(day))
+        .agg(countDistinct("user_id")).as[Long].head()
+      assert(got(day) == direct, s"day $day: ${got(day)} != $direct")
+    }
+  }
+
+  // ---- q263 co-occurrence lift ----------------------------------------------
+
+  test("q263: pair supports never exceed either marginal, lift matches " +
+    "exact integer math, and the basket cap holds corpus-wide") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = queries.Extras3.q263.fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "no qualifying pair — support floor vacuous")
+    val ev = sources.Tables(spark, sf, "events")
+    val bi = ev.select(col("user_id"), to_date(col("ts")).as("d"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .distinct()
+    val maxBasket = bi.groupBy("user_id", "d")
+      .agg(count(lit(1)).as("c")).agg(max("c")).as[Long].head()
+    assert(maxBasket <= 32, s"basket cap breached: $maxBasket")
+    val nb = bi.select("user_id", "d").distinct().count()
+    val marg = bi.groupBy("item").agg(count(lit(1)).as("na"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (a, b, nab, lift) =>
+      assert(a < b, "pairs must be canonical (a < b)")
+      assert(nab >= 3 && nab <= math.min(marg(a), marg(b)),
+        s"support $nab outside [3, min(${marg(a)}, ${marg(b)})]")
+      assert(lift == nb * nab * 1000000L / (marg(a) * marg(b)),
+        s"lift mismatch for ($a,$b)")
+    }
+  }
+
   // ---- q246 Kneser-Ney ----------------------------------------------
 
   test("q246: hand-computed interpolated KN on a 3-doc corpus — seen " +
