@@ -1450,7 +1450,110 @@ object Extras3 {
           .as("lift_micro"))
   }
 
+  /** WELCH'S T-TEST — the unequal-variance two-sample test every
+    * experimentation platform runs per metric-and-segment pair: doc
+    * length compared across every SOURCE PAIR (K² pairs of a K-group
+    * dimension — group-grain, never row-grain). The distributed shape
+    * is the textbook one: ONE corpus pass reduces each source to
+    * exact integer sufficient statistics (n, Σx, Σx²) with map-side
+    * partials; the t statistic and Welch–Satterthwaite df are then
+    * pure per-pair arithmetic on a K-row table. The float formula is
+    * evaluated from the EXACT integer sums with the same operation
+    * order in both engines ([[welchExpr]] splices one text into the
+    * Spark plan and the oracle SQL), so the doubles agree bit-for-bit
+    * and 6dp rounding is safe.
+    */
+  private def welchExpr(t: String): String = t match {
+    case "m" => "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    case "v" => "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)" +
+      " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
+    case _ => sys.error(t)
+  }
+
+  private val welchT =
+    "round((ma - mb) / sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)), 6)"
+  private val welchDf =
+    "round((va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) * " +
+      "(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) / " +
+      "((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) + " +
+      "(vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE)), 4)"
+
+  val q264 = Q("q264_welch_ttest",
+    s"""WITH st AS (SELECT source, count(*) AS n,
+      |    sum(n_chars) AS s, sum(n_chars * n_chars) AS q
+      |  FROM documents GROUP BY source),
+      |ex AS (SELECT source, n, ${welchExpr("m")} AS m,
+      |    ${welchExpr("v")} AS v FROM st)
+      |SELECT src_a, src_b, CAST(na AS BIGINT) AS na,
+      |  CAST(nb AS BIGINT) AS nb,
+      |  $welchT AS t_stat, $welchDf AS df
+      |FROM (SELECT source AS src_a, n AS na, m AS ma, v AS va FROM ex) a
+      |JOIN (SELECT source AS src_b, n AS nb, m AS mb, v AS vb FROM ex) b
+      |  ON src_a < src_b""".stripMargin) { (s, dir) =>
+    val st = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").as("s"),
+        sum(col("n_chars") * col("n_chars")).as("q"))
+    val ex = st.select(col("source"), col("n"),
+      expr(welchExpr("m")).as("m"), expr(welchExpr("v")).as("v"))
+    val a = ex.select(col("source").as("src_a"), col("n").as("na"),
+      col("m").as("ma"), col("v").as("va"))
+    val b = ex.select(col("source").as("src_b"), col("n").as("nb"),
+      col("m").as("mb"), col("v").as("vb"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+        expr(welchT).as("t_stat"), expr(welchDf).as("df"))
+  }
+
+  /** CHI-SQUARE INDEPENDENCE — the source × length-band contingency
+    * audit (is doc length distributed the same way in every source?),
+    * the categorical drift test data-quality monitors run corpus-wide.
+    * Observed counts are one map-side-combined pass at (source, band)
+    * grain; row totals, column totals, and N are aggregates OF that
+    * cell table (never a second corpus pass); expected counts and
+    * per-cell contributions are pure arithmetic on the K·B-row cell
+    * grid, with the double formula evaluated from exact integer counts
+    * in the same operation order in both engines. Output is the full
+    * per-cell decomposition — a wrong marginal anywhere moves every
+    * expected count in its row/column and hash-fails.
+    */
+  private val chiE =
+    "CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE)"
+  private val chiContrib =
+    s"round((CAST(o AS DOUBLE) - $chiE) * (CAST(o AS DOUBLE) - $chiE) / ($chiE), 6)"
+
+  val q265 = Q("q265_chi_square",
+    s"""WITH cell AS (SELECT source, n_chars // 100 AS band,
+      |    count(*) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT source, sum(o) AS rt FROM cell GROUP BY 1),
+      |ct AS (SELECT band, sum(o) AS ct FROM cell GROUP BY 1),
+      |tt AS (SELECT sum(o) AS tt FROM cell)
+      |SELECT cell.source, CAST(cell.band AS BIGINT) AS band,
+      |  CAST(o AS BIGINT) AS o,
+      |  round($chiE, 6) AS expected,
+      |  $chiContrib AS contrib
+      |FROM cell JOIN rt ON rt.source = cell.source
+      |JOIN ct ON ct.band = cell.band CROSS JOIN tt""".stripMargin) {
+    (s, dir) =>
+    val cell = t(s, dir, "documents")
+      .groupBy(col("source"), expr("n_chars div 100").as("band"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cell.groupBy("source").agg(sum("o").as("rt"))
+    val ct = cell.groupBy("band").agg(sum("o").as("ct"))
+    val tt = cell.agg(sum("o").as("tt"))
+    cell.join(broadcast(rt), Seq("source"))
+      .join(broadcast(ct), Seq("band"))
+      .crossJoin(broadcast(tt))
+      .select(col("source"), col("band").cast("long").as("band"),
+        col("o").cast("long").as("o"),
+        expr(s"round($chiE, 6)").as("expected"),
+        expr(chiContrib).as("contrib"))
+  }
+
   val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260,
-    q261, q262, q263)
+    q261, q262, q263, q264, q265)
 }

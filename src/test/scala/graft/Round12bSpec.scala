@@ -563,6 +563,75 @@ class Round12bSpec extends SparkSpec {
     }
   }
 
+  // ---- q264 Welch t-test ------------------------------------------------
+
+  test("q264: every pair's t and df match a driver-side recomputation " +
+    "from exact integer sums, and df sits in the Welch bounds") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = queries.Extras3.q264.fn(spark, sf)
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    assert(got.length == 190, s"C(20,2)=190 pairs, got ${got.length}")
+    val stats = sources.Tables(spark, sf, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        sum("n_chars").as("s"),
+        sum(col("n_chars") * col("n_chars")).as("q"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (src, n, s, q) =>
+        val m = s.toDouble / n.toDouble
+        val v = (q.toDouble - s.toDouble * s.toDouble / n.toDouble) /
+          (n - 1).toDouble
+        src -> ((n, m, v))
+      }.toMap
+    def r(x: Double, dp: Int): Double = {
+      val f = math.pow(10, dp.toDouble)
+      math.round(x * f) / f
+    }
+    got.foreach { case (a, b, na, nb, tS, df) =>
+      assert(a < b, "pairs must be canonical")
+      val ((n1, m1, v1), (n2, m2, v2)) = (stats(a), stats(b))
+      assert(na == n1 && nb == n2)
+      val se1 = v1 / n1; val se2 = v2 / n2
+      val t = (m1 - m2) / math.sqrt(se1 + se2)
+      val d = (se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+      assert(math.abs(tS - r(t, 6)) < 2e-6, s"($a,$b): $tS vs $t")
+      assert(math.abs(df - r(d, 4)) < 2e-4, s"($a,$b): $df vs $d")
+      assert(d > math.min(n1, n2) - 1 - 1e-9 && d <= n1 + n2 - 2 + 1e-9,
+        s"df $d outside Welch bounds for ($a,$b)")
+    }
+  }
+
+  // ---- q265 chi-square ------------------------------------------------
+
+  test("q265: marginals are consistent (expected sums to row totals) " +
+    "and contributions match a driver-side recomputation") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = queries.Extras3.q265.fn(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty && got.forall(_._5 >= 0.0))
+    val o = got.map(g => (g._1, g._2) -> g._3).toMap
+    val rowT = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val colT = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n = got.map(_._3).sum
+    assert(rowT.values.forall(_ == 25L),
+      "each sf0.001 source holds exactly 25 docs")
+    got.foreach { case (src, band, obs, e, contrib) =>
+      val eC = rowT(src).toDouble * colT(band).toDouble / n.toDouble
+      assert(math.abs(e - eC) < 2e-6, s"($src,$band): $e vs $eC")
+      val c = (obs.toDouble - eC) * (obs.toDouble - eC) / eC
+      assert(math.abs(contrib - c) < 2e-6, s"($src,$band): $contrib vs $c")
+    }
+    // expected-count marginal identity: sum over OBSERVED cells per
+    // row stays below the row total only by the weight of absent cells
+    rowT.keys.foreach { src =>
+      val eSum = got.filter(_._1 == src).map(_._4).sum
+      assert(eSum <= rowT(src) + 1e-6)
+    }
+    assert(o.values.sum == 500L, "cells must partition the corpus")
+  }
+
   // ---- q246 Kneser-Ney ----------------------------------------------
 
   test("q246: hand-computed interpolated KN on a 3-doc corpus — seen " +
