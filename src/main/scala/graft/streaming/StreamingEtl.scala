@@ -684,4 +684,65 @@ object StreamingEtl {
     docs.withColumn("y", y)
       .withColumn("shard", col("y") % nShards)
   }
+
+  /** A (window-end, user) credit — `day` in epoch days. */
+  final case class DayUser(day: Long, user_id: Long)
+
+  /** A window end's current distinct-user count. */
+  final case class DayUsers(day: Long, users_7d: Long)
+
+  /** Stateless expansion of raw events to the ≤7 trailing-window ends
+    * each one credits — q262's explode trick as the map stage of the
+    * stream (one shared algebra, so the online counter cannot drift
+    * from the batch metric).
+    */
+  def toWindowEnds(events: DataFrame): DataFrame =
+    events
+      .select(datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+        .as("d"), col("user_id"))
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select((col("d") + col("off")).as("day"), col("user_id"))
+
+  /** Streaming ROLLING-DISTINCT — q262's trailing-7-day engagement
+    * metric computed ONLINE: after the stateless [[toWindowEnds]]
+    * expansion, each window end keeps a `MapState` of users already
+    * counted and a running total, emitting the updated count on every
+    * new user (Update mode). This is the state/latency trade the batch
+    * explode trick avoids: the stream materializes one user-set per
+    * OPEN window (7 windows per active user population — bounded by
+    * construction, and expirable via TTL once a window can no longer
+    * grow) in exchange for a count that is current after every
+    * micro-batch instead of once per batch job. The StreamingSpec twin
+    * pins stream ≡ batch (q262) on the real corpus.
+    */
+  class RollingDistinctProcessor
+      extends StatefulProcessor[Long, DayUser, DayUsers] {
+    @transient private var seen: MapState[Long, Boolean] = _
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getMapState[Long, Boolean]("seen",
+        Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long]("n",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[DayUser],
+        timerValues: TimerValues): Iterator[DayUsers] = {
+      var c = if (cnt.exists()) cnt.get() else 0L
+      rows.foreach { r =>
+        if (!seen.containsKey(r.user_id)) {
+          seen.updateValue(r.user_id, true)
+          c += 1L
+        }
+      }
+      cnt.update(c)
+      Iterator.single(DayUsers(key, c))
+    }
+  }
+
+  def rollingDistinctStream(hits: Dataset[DayUser]): Dataset[DayUsers] = {
+    import hits.sparkSession.implicits._
+    hits.groupByKey(_.day)
+      .transformWithState(new RollingDistinctProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
 }

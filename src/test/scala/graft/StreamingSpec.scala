@@ -975,4 +975,53 @@ class StreamingSpec extends SparkSpec {
       .map(_.getString(1)).toSet
     assert(fmts == Set("bmp", "pcm8", "pcm16", "unknown"), s"$fmts")
   }
+
+  test("batch ≡ stream: rollingDistinctStream's per-window user-set " +
+    "counter converges to q262's batch metric on the real corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingEtl.{DayUser, DayUsers}
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val ev = sources.Tables(spark, sf, "events")
+      // the stateless map stage, run as a batch frame to split feeds
+      val hits = StreamingEtl.toWindowEnds(ev)
+        .as[DayUser].collect().toSeq
+      val input = MemoryStream[DayUser]
+      val q = StreamingEtl.rollingDistinctStream(input.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("rolling_distinct").start()
+      val (b1, b2) = hits.splitAt(hits.length / 2)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      // counts only grow: the LATEST emission per window is the max
+      val got = spark.table("rolling_distinct").as[DayUsers].collect()
+        .groupBy(_.day).view.mapValues(_.map(_.users_7d).max).toMap
+      val batch = queries.Extras3.q262.fn(spark, sf)
+        .select(datediff(col("day"), lit("1970-01-01")).cast("long"),
+          col("users_7d"))
+        .as[(Long, Long)].collect().toMap
+      // the stream also credits ends past the last observed day (it
+      // cannot know the horizon); compare on the batch's observed days
+      batch.foreach { case (day, n) =>
+        assert(got(day) == n, s"day $day: stream ${got(day)} != batch $n")
+      }
+      assert(batch.nonEmpty && got.keySet.size >= batch.size)
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
