@@ -940,12 +940,17 @@ object Extras3 {
   }
 
   /** q257's body — shared with the spec (which pins the Z-equality
-    * and coverage invariants word-by-word).
+    * and coverage invariants word-by-word) and, at non-default
+    * weights, with q266's second E-step. Weights are small positive
+    * integers (the quantized-M-step contract: scaled so their sum
+    * stays ≈11, keeping every α/γ product inside BIGINT exactly as
+    * the 6/3/2 prior does).
     */
-  private[graft] def unigramEStep(s: SparkSession,
-      dir: String): DataFrame = {
+  private[graft] def unigramEStep(s: SparkSession, dir: String,
+      w1: Long = 6L, w2: Long = 3L, w3: Long = 2L): DataFrame = {
     val big = Extras.segInventory(s, dir, 2)
     val tri = Extras.segInventory(s, dir, 3)
+    val wkey = s"$w1-$w2-$w3"
     // forward: positional α columns al1..al12 (α[0] is the constant
     // 1) plus per-position usable-piece flags (hb/ht)
     var f = Extras.segWords(s, dir)
@@ -961,12 +966,12 @@ object Extras3 {
           withBig.join(broadcast(tri.withColumnRenamed("g", "tg")),
             substring(col("w"), i - 2, 3) === col("tg"), "left")
         else withBig.withColumn("tg", lit(null).cast("string"))
-      val alNew = lit(6L) * alAt(i - 1) +
+      val alNew = lit(w1) * alAt(i - 1) +
         when(col("bg").isNotNull,
-          lit(3L) * (if (i >= 2) alAt(i - 2) else lit(0L)))
+          lit(w2) * (if (i >= 2) alAt(i - 2) else lit(0L)))
           .otherwise(0L) +
         when(col("tg").isNotNull,
-          lit(2L) * (if (i >= 3) alAt(i - 3) else lit(0L)))
+          lit(w3) * (if (i >= 3) alAt(i - 3) else lit(0L)))
           .otherwise(0L)
       f = withTri
         .withColumn(s"al$i",
@@ -977,7 +982,7 @@ object Extras3 {
           when(col("n") >= i && col("tg").isNotNull, 1L).otherwise(0L))
         .drop("bg", "tg")
       if (i % 4 == 0)
-        f = graft.Materialized(s, s"q257_fw${i}_$dir")(f)
+        f = graft.Materialized(s, s"q257_fw${i}_${wkey}_$dir")(f)
     }
     // backward (suffix) γ columns: γ[j] = weighted segmentations of
     // the last j chars; β[i] = γ[n−i]
@@ -993,19 +998,19 @@ object Extras3 {
           withBig.join(broadcast(tri.withColumnRenamed("g", "tg")),
             expr(s"substring(w, n - $j + 1, 3)") === col("tg"), "left")
         else withBig.withColumn("tg", lit(null).cast("string"))
-      val gNew = lit(6L) * gaAt(j - 1) +
+      val gNew = lit(w1) * gaAt(j - 1) +
         when(col("bg").isNotNull,
-          lit(3L) * (if (j >= 2) gaAt(j - 2) else lit(0L)))
+          lit(w2) * (if (j >= 2) gaAt(j - 2) else lit(0L)))
           .otherwise(0L) +
         when(col("tg").isNotNull,
-          lit(2L) * (if (j >= 3) gaAt(j - 3) else lit(0L)))
+          lit(w3) * (if (j >= 3) gaAt(j - 3) else lit(0L)))
           .otherwise(0L)
       f = withTri
         .withColumn(s"ga$j",
           when(col("n") >= j, gNew).otherwise(lit(null).cast("long")))
         .drop("bg", "tg")
       if (j % 4 == 0)
-        f = graft.Materialized(s, s"q257_bw${j}_$dir")(f)
+        f = graft.Materialized(s, s"q257_bw${j}_${wkey}_$dir")(f)
     }
     // E-step numerators: piece (start, ℓ) contributes
     // w_ℓ·α[start−1]·γ[n−start+1−ℓ]; γ indexed via the positional
@@ -1014,13 +1019,13 @@ object Extras3 {
     def gaDyn(idx: org.apache.spark.sql.Column) =
       element_at(gaArr, idx.cast("int") + 1)
     val num1 = (1 to 12).map(i => when(col("n") >= i,
-      lit(6L) * alAt(i - 1) * gaDyn(col("n") - i)).otherwise(0L))
+      lit(w1) * alAt(i - 1) * gaDyn(col("n") - i)).otherwise(0L))
       .reduce(_ + _)
     val num2 = (2 to 12).map(i => when(col("n") >= i,
-      col(s"hb$i") * lit(3L) * alAt(i - 2) * gaDyn(col("n") - i))
+      col(s"hb$i") * lit(w2) * alAt(i - 2) * gaDyn(col("n") - i))
       .otherwise(0L)).reduce(_ + _)
     val num3 = (3 to 12).map(i => when(col("n") >= i,
-      col(s"ht$i") * lit(2L) * alAt(i - 3) * gaDyn(col("n") - i))
+      col(s"ht$i") * lit(w3) * alAt(i - 3) * gaDyn(col("n") - i))
       .otherwise(0L)).reduce(_ + _)
     val z = gaDyn(col("n"))
     f.select(col("w"), col("n"), z.as("z"), num1.as("num1"),
@@ -1553,7 +1558,135 @@ object Extras3 {
         expr(chiContrib).as("contrib"))
   }
 
+  /** One oracle-side E-step pass at the given weight expressions —
+    * the q257 recursion pair, CTE-suffixed so q266 can run it twice
+    * (prior weights, then learned weights) in one statement. `xj`
+    * splices the weight-table cross join into every weighted block.
+    */
+  private def emPassSql(p: String, w1: String, w2: String, w3: String,
+      xj: String): String =
+    s"""fr$p AS (
+      |  SELECT w, n, 0 AS i, CAST(1 AS BIGINT) AS a0,
+      |    CAST(0 AS BIGINT) AS a1, CAST(0 AS BIGINT) AS a2
+      |  FROM wv
+      |  UNION ALL
+      |  SELECT r.w, r.n, r.i + 1,
+      |    $w1 * r.a0
+      |      + CASE WHEN b.g IS NOT NULL THEN $w2 * r.a1 ELSE 0 END
+      |      + CASE WHEN t3.g IS NOT NULL THEN $w3 * r.a2 ELSE 0 END,
+      |    r.a0, r.a1
+      |  FROM fr$p r$xj
+      |  LEFT JOIN big b  ON r.i >= 1 AND b.g  = substr(r.w, r.i, 2)
+      |  LEFT JOIN tri t3 ON r.i >= 2 AND t3.g = substr(r.w, r.i - 1, 3)
+      |  WHERE r.i < r.n),
+      |alf$p AS (SELECT w, n, i, a0 AS al FROM fr$p),
+      |grv$p AS (
+      |  SELECT w, n, 0 AS j, CAST(1 AS BIGINT) AS g0,
+      |    CAST(0 AS BIGINT) AS g1, CAST(0 AS BIGINT) AS g2
+      |  FROM wv
+      |  UNION ALL
+      |  SELECT r.w, r.n, r.j + 1,
+      |    $w1 * r.g0
+      |      + CASE WHEN b.g IS NOT NULL THEN $w2 * r.g1 ELSE 0 END
+      |      + CASE WHEN t3.g IS NOT NULL THEN $w3 * r.g2 ELSE 0 END,
+      |    r.g0, r.g1
+      |  FROM grv$p r$xj
+      |  LEFT JOIN big b  ON r.j >= 1
+      |    AND b.g = substr(r.w, r.n - r.j, 2)
+      |  LEFT JOIN tri t3 ON r.j >= 2
+      |    AND t3.g = substr(r.w, r.n - r.j, 3)
+      |  WHERE r.j < r.n),
+      |gam$p AS (SELECT w, j, g0 AS ga FROM grv$p),
+      |zt$p AS (SELECT w, n, al AS z FROM alf$p WHERE i = n),
+      |n1$p AS (SELECT wv.w, sum($w1 * a.al * g.ga) AS num1
+      |  FROM wv$xj
+      |  JOIN alf$p a ON a.w = wv.w AND a.i <= wv.n - 1
+      |  JOIN gam$p g ON g.w = wv.w AND g.j = wv.n - (a.i + 1)
+      |  GROUP BY wv.w),
+      |n2$p AS (SELECT wv.w, sum($w2 * a.al * g.ga) AS num2
+      |  FROM wv$xj
+      |  JOIN alf$p a ON a.w = wv.w AND a.i <= wv.n - 2
+      |  JOIN gam$p g ON g.w = wv.w AND g.j = wv.n - (a.i + 2)
+      |  JOIN big b ON b.g = substr(wv.w, CAST(a.i + 1 AS INT), 2)
+      |  GROUP BY wv.w),
+      |n3$p AS (SELECT wv.w, sum($w3 * a.al * g.ga) AS num3
+      |  FROM wv$xj
+      |  JOIN alf$p a ON a.w = wv.w AND a.i <= wv.n - 3
+      |  JOIN gam$p g ON g.w = wv.w AND g.j = wv.n - (a.i + 3)
+      |  JOIN tri t3 ON t3.g = substr(wv.w, CAST(a.i + 1 AS INT), 3)
+      |  GROUP BY wv.w)""".stripMargin
+
+  /** UNIGRAM EM, ONE FULL ROUND — the M-step q257 stops short of,
+    * then the E-step AGAIN at the learned weights: expected class
+    * counts from the prior-weight lattice are reduced to corpus
+    * totals, QUANTIZED to small integer weights (w_ℓ' = max(1,
+    * ⌊11·numℓ/Σnum⌋) — rescaled so the weight sum stays ≈11 and every
+    * α/γ product stays inside BIGINT, the same budget the 6/3/2 prior
+    * obeys), and the full forward-backward re-runs under them. The
+    * 3-long weight pull to the driver is the bpeTrain bounded-artifact
+    * contract (the weights ARE the model a tokenizer trainer
+    * persists). Output: the second E-step's per-length summary with
+    * the learned weights as columns — the coverage identity
+    * (covered = nz) must hold under ANY weights, so the gate certifies
+    * the re-parameterized sum-product, not just the prior's.
+    */
+  val q266 = Q("q266_unigram_em_round",
+    s"""WITH RECURSIVE wv AS (
+      |  SELECT w, len(w) AS n FROM (
+      |    SELECT DISTINCT unnest(string_split(text,' ')) AS w
+      |    FROM documents)
+      |  WHERE len(w) BETWEEN 1 AND 12),
+      |big AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 2) AS g
+      |    FROM wv, unnest(range(1, n)) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 2),
+      |tri AS (SELECT g FROM (SELECT substr(w, CAST(i AS INT), 3) AS g
+      |    FROM wv, unnest(range(1, greatest(n - 1, 1))) AS t(i))
+      |  GROUP BY g HAVING count(*) >= 2),
+      |${emPassSql("1", "6", "3", "2", "")},
+      |tot AS (SELECT sum(coalesce(n1.num1, 0)) AS t1,
+      |    sum(coalesce(n2.num2, 0)) AS t2,
+      |    sum(coalesce(n3.num3, 0)) AS t3
+      |  FROM zt1 z
+      |  LEFT JOIN n11 n1 ON n1.w = z.w
+      |  LEFT JOIN n21 n2 ON n2.w = z.w
+      |  LEFT JOIN n31 n3 ON n3.w = z.w),
+      |wts AS (SELECT
+      |    greatest(1, 11 * t1 // (t1 + t2 + t3)) AS w1,
+      |    greatest(1, 11 * t2 // (t1 + t2 + t3)) AS w2,
+      |    greatest(1, 11 * t3 // (t1 + t2 + t3)) AS w3
+      |  FROM tot),
+      |${emPassSql("2", "wt.w1", "wt.w2", "wt.w3", " CROSS JOIN wts wt")}
+      |SELECT CAST(z.n AS BIGINT) AS wlen, count(*) AS n_words,
+      |  CAST(sum(z.z) AS BIGINT) AS z_sum,
+      |  CAST(sum(coalesce(n1.num1, 0)) AS BIGINT) AS num1_sum,
+      |  CAST(sum(coalesce(n2.num2, 0)) AS BIGINT) AS num2_sum,
+      |  CAST(sum(coalesce(n3.num3, 0)) AS BIGINT) AS num3_sum,
+      |  CAST(sum(coalesce(n1.num1, 0) + 2 * coalesce(n2.num2, 0)
+      |    + 3 * coalesce(n3.num3, 0)) AS BIGINT) AS covered,
+      |  CAST(sum(z.n * z.z) AS BIGINT) AS nz,
+      |  CAST(wt.w1 AS BIGINT) AS w1, CAST(wt.w2 AS BIGINT) AS w2,
+      |  CAST(wt.w3 AS BIGINT) AS w3
+      |FROM zt2 z
+      |LEFT JOIN n12 n1 ON n1.w = z.w
+      |LEFT JOIN n22 n2 ON n2.w = z.w
+      |LEFT JOIN n32 n3 ON n3.w = z.w
+      |CROSS JOIN wts wt
+      |GROUP BY z.n, wt.w1, wt.w2, wt.w3""".stripMargin) { (s, dir) =>
+    val e1 = unigramEStep(s, dir)
+    // M-step: the corpus-total expected class counts are a 3-long
+    // bounded pull (the learned weights ARE the persisted model)
+    val tot = e1.agg(sum("num1_sum").as("t1"), sum("num2_sum").as("t2"),
+      sum("num3_sum").as("t3")).head()
+    val (t1, t2, t3) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val tt = t1 + t2 + t3
+    def wq(t: Long): Long = math.max(1L, 11L * t / tt)
+    val (w1, w2, w3) = (wq(t1), wq(t2), wq(t3))
+    unigramEStep(s, dir, w1, w2, w3)
+      .withColumn("w1", lit(w1)).withColumn("w2", lit(w2))
+      .withColumn("w3", lit(w3))
+  }
+
   val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260,
-    q261, q262, q263, q264, q265)
+    q261, q262, q263, q264, q265, q266)
 }

@@ -632,6 +632,31 @@ class Round12bSpec extends SparkSpec {
     assert(o.values.sum == 500L, "cells must partition the corpus")
   }
 
+  // ---- q266 unigram EM round ------------------------------------------
+
+  test("q266: the coverage identity survives re-parameterization, the " +
+    "learned weights move off the prior, and Z mass actually shifts") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val e2 = queries.Extras3.q266.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(e2.nonEmpty)
+    e2.foreach { r =>
+      assert(r._7 == r._8,
+        s"coverage identity broken at wlen ${r._1}: ${r._7} != ${r._8}")
+    }
+    val (w1, w2, w3) = (e2.head._9, e2.head._10, e2.head._11)
+    assert(w1 >= 1 && w2 >= 1 && w3 >= 1 && w1 + w2 + w3 <= 13,
+      s"quantized weights outside the BIGINT budget: ($w1,$w2,$w3)")
+    assert((w1, w2, w3) != ((6L, 3L, 2L)),
+      "M-step must move the weights off the prior on this corpus")
+    val e1 = queries.Extras3.unigramEStep(spark, sf)
+      .select("wlen", "z_sum").as[(Long, Long)].collect().toMap
+    assert(e2.exists(r => e1(r._1) != r._3),
+      "re-parameterization must shift Z for at least one length class")
+  }
+
   // ---- q246 Kneser-Ney ----------------------------------------------
 
   test("q246: hand-computed interpolated KN on a 3-doc corpus — seen " +
