@@ -1690,7 +1690,61 @@ object Extras3 {
       .withColumn("w3", lit(w3))
   }
 
+  /** The AMS ±1 sign for estimator `j` and the row's key — one text,
+    * spliced into both engines (md5 of the same string, first hex
+    * digit's parity), so the sketches agree bit-for-bit.
+    */
+  private[graft] val amsSign =
+    "CASE WHEN substr(md5(concat(CAST(j AS STRING), ':', " +
+      "CAST(user_id AS STRING))), 1, 1) IN " +
+      "('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END"
+
+  /** AMS F2 SKETCH — the LINEAR sketch that estimates SELF-JOIN SIZE
+    * (F2 = Σ_k c_k², the quantity a query planner needs to size a
+    * shuffle-hash join's output before running it): 64 independent
+    * estimators z_j = Σ_rows sign_j(key), each an exact BIGINT;
+    * E[z_j²] = F2. Unlike HLL (q247, max-merge) and count-min (q255,
+    * grid-add), this sketch is LINEAR — sketch(A∪B) = sketch(A) +
+    * sketch(B) signed-elementwise, so it also supports DELETIONS,
+    * the property the other sketches lack (spec-pinned). Output: one
+    * row per estimator with z, z², the exact F2 (the second,
+    * key-grain pass the sketch exists to avoid at scale), and n —
+    * the spec pins mean(z²) within 3·sqrt(2/64)·F2 of exact, the AMS
+    * variance bound.
+    *
+    * Shape at 100 TB: the sketch pass is ONE scan with a 64-way
+    * explode collapsing into 64 counters via map-side partials —
+    * nothing key-grain crosses the wire; the exact pass (key-grain
+    * exchange) is the oracle's luxury at small SF, and exactly what
+    * the sketch replaces in production.
+    */
+  val q267 = Q("q267_ams_f2",
+    s"""WITH ev AS (SELECT user_id FROM events),
+      |js AS (SELECT unnest(range(0, 64)) AS j),
+      |z AS (SELECT j, CAST(sum($amsSign) AS BIGINT) AS z
+      |  FROM ev CROSS JOIN js GROUP BY j),
+      |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact,
+      |    CAST(sum(c) AS BIGINT) AS n
+      |  FROM (SELECT count(*) AS c FROM ev GROUP BY user_id))
+      |SELECT CAST(j AS BIGINT) AS j, z, z * z AS z2,
+      |  f2_exact, n
+      |FROM z CROSS JOIN ex""".stripMargin
+      .replace("CAST(j AS STRING)", "CAST(j AS VARCHAR)")
+      .replace("CAST(user_id AS STRING)", "CAST(user_id AS VARCHAR)")) {
+    (s, dir) =>
+    val ev = t(s, dir, "events").select("user_id")
+    val z = ev.withColumn("j", explode(sequence(lit(0), lit(63))))
+      .groupBy("j")
+      .agg(sum(expr(amsSign)).cast("long").as("z"))
+    val ex = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).cast("long").as("f2_exact"),
+        sum("c").cast("long").as("n"))
+    z.crossJoin(broadcast(ex))
+      .select(col("j").cast("long").as("j"), col("z"),
+        (col("z") * col("z")).as("z2"), col("f2_exact"), col("n"))
+  }
+
   val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260,
-    q261, q262, q263, q264, q265, q266)
+    q261, q262, q263, q264, q265, q266, q267)
 }

@@ -657,6 +657,37 @@ class Round12bSpec extends SparkSpec {
       "re-parameterization must shift Z for at least one length class")
   }
 
+  // ---- q267 AMS F2 sketch ------------------------------------------------
+
+  test("q267: the sketch is LINEAR — split sketches add to the whole, " +
+    "deletion subtracts cleanly — and mean(z²) sits in the 3σ bound") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ev = sources.Tables(spark, sf, "events").select("user_id")
+    def sketch(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.withColumn("j", explode(sequence(lit(0), lit(63))))
+        .groupBy("j")
+        .agg(sum(expr(queries.Extras3.amsSign)).cast("long").as("z"))
+        .as[(Long, Long)].collect().toMap
+    val whole = sketch(ev)
+    val partA = sketch(ev.filter(col("user_id") % 2 === 0))
+    val partB = sketch(ev.filter(col("user_id") % 2 =!= 0))
+    (0L until 64L).foreach { j =>
+      assert(whole(j) == partA.getOrElse(j, 0L) + partB.getOrElse(j, 0L),
+        s"linearity broken at estimator $j")
+      // deletion: removing B's rows is subtracting B's sketch
+      assert(whole(j) - partB.getOrElse(j, 0L) == partA.getOrElse(j, 0L))
+    }
+    val rows = queries.Extras3.q267.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 64)
+    val f2 = rows.head._4
+    val mean = rows.map(_._3).sum.toDouble / rows.length
+    assert(math.abs(mean - f2) <= 3.0 * math.sqrt(2.0 / 64) * f2,
+      s"mean z² $mean outside the AMS 3σ band around $f2")
+    rows.foreach { r => assert(r._3 == r._2 * r._2) }
+  }
+
   // ---- q246 Kneser-Ney ----------------------------------------------
 
   test("q246: hand-computed interpolated KN on a 3-doc corpus — seen " +
