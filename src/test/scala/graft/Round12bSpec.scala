@@ -665,9 +665,7 @@ class Round12bSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     val ev = sources.Tables(spark, sf, "events").select("user_id")
     def sketch(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
-      df.withColumn("j", explode(sequence(lit(0), lit(63))))
-        .groupBy("j")
-        .agg(sum(expr(queries.Extras3.amsSign)).cast("long").as("z"))
+      queries.Extras3.amsSketch(spark, df)
         .as[(Long, Long)].collect().toMap
     val whole = sketch(ev)
     val partA = sketch(ev.filter(col("user_id") % 2 === 0))
