@@ -1767,7 +1767,191 @@ object Extras3 {
     one.selectExpr(s"stack(64, $stack) AS (j, z)")
   }
 
+  /** MULTI-TABLE TRANSACTION — a fact summary and its per-source
+    * rollup published in ONE [[graft.sources.Warehouse.transact]]
+    * commit: both tables are staged fully, then land under a single
+    * roll-forward journal, so no reader (or restart) can ever observe
+    * the pair half-updated. The gate JOINS the two tables and checks
+    * them against one oracle pass over the raw corpus — a torn commit
+    * leaves one side stale and hash-fails the join.
+    */
+  val q268 = Q("q268_multi_table_txn",
+    """WITH per AS (SELECT source, lang,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY source, lang)
+      |SELECT p.source, p.lang, p.n, p.chars,
+      |  CAST(sum(p.n) OVER (PARTITION BY p.source) AS BIGINT)
+      |    AS src_n,
+      |  CAST(sum(p.chars) OVER (PARTITION BY p.source) AS BIGINT)
+      |    AS src_chars
+      |FROM per p""".stripMargin) { (s, dir) =>
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"txnstore_${SessionScratch.keyOf(dir)}"))
+    val detailT = s"txn_detail_${SessionScratch.keyOf(dir)}"
+    val rollupT = s"txn_rollup_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, detailT) {
+      val docs = t(s, dir, "documents")
+      val detail = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      val rollup = docs.groupBy("source")
+        .agg(count(lit(1)).as("src_n"),
+          sum("n_chars").as("src_chars"))
+      wh.transact(Seq(detailT -> detail, rollupT -> rollup))
+    }
+    wh.read(s, detailT).join(wh.read(s, rollupT), Seq("source"))
+      .select(col("source"), col("lang"),
+        col("n").cast("long").as("n"),
+        col("chars").cast("long").as("chars"),
+        col("src_n").cast("long").as("src_n"),
+        col("src_chars").cast("long").as("src_chars"))
+  }
+
+  /** GDPR ERASURE — one user-set erased from EVERY table that knows
+    * them, atomically: two event-derived tables (per-type activity
+    * and per-type value) are rebuilt minus the erased users and land
+    * in one [[graft.sources.Warehouse.transact]] commit — the legal
+    * requirement is precisely the cross-table invariant (no restart
+    * may leave the user present in one table and absent in another).
+    * Erasure is an anti-join (O(|table|) rewrite here; the MOR
+    * deletion-vector tier is the O(delta) variant — this op is about
+    * the MULTI-TABLE commit, not the per-table mechanics). The gate
+    * aggregates both tables; the oracle filters the raw corpus.
+    */
+  val q269 = Q("q269_gdpr_erasure",
+    """WITH kept AS (SELECT * FROM events WHERE user_id % 37 <> 0)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM kept GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"gdprstore_${SessionScratch.keyOf(dir)}"))
+    val actT = s"gdpr_act_${SessionScratch.keyOf(dir)}"
+    val valT = s"gdpr_val_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, actT) {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val act = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val vl = ev.groupBy("user_id", "event_type")
+        .agg(sum("cents").as("cents"))
+      wh.transact(Seq(actT -> act, valT -> vl))
+      // the erasure wave: rebuild both minus the erased set, land in
+      // ONE commit
+      val erased = col("user_id") % 37 === 0
+      wh.transact(Seq(
+        actT -> wh.read(s, actT).filter(!erased),
+        valT -> wh.read(s, valT).filter(!erased)))
+    }
+    wh.read(s, actT)
+      .join(wh.read(s, valT), Seq("user_id", "event_type"))
+      .groupBy("event_type")
+      .agg(sum("n").cast("long").as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum("cents").cast("long").as("value_cents"))
+  }
+
+  /** MANN-WHITNEY U — the nonparametric two-sample test (q264's
+    * rank-based sibling, the right tool when lengths are skewed):
+    * sources split into two cohorts, doc length ranked over the
+    * COMBINED sample with midrank ties. Everything stays exact
+    * integers by the doubling trick: 2·midrank(v) = 2·|{x < v}| +
+    * |{x = v}| + 1, so 2·U_A = Σ_A 2·midrank − n_A(n_A+1). The
+    * identity U_A + U_B = n_A·n_B rides in the output as both U
+    * columns. Distributed shape: one VALUE-GRAIN aggregation (counts
+    * per distinct length — bounded by the value domain, not the
+    * corpus) + a prefix sum over that value table; the corpus is
+    * touched exactly once.
+    */
+  val q270 = Q("q270_mann_whitney_u",
+    """WITH v AS (SELECT n_chars AS x,
+      |    count(*) AS c,
+      |    CAST(sum(CASE WHEN CAST(substr(source, 4, 2) AS BIGINT) < 10
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS ca
+      |  FROM documents GROUP BY n_chars),
+      |p AS (SELECT x, c, ca,
+      |    coalesce(sum(c) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cl
+      |  FROM v),
+      |s AS (SELECT
+      |    CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(c - ca) AS BIGINT) AS nb,
+      |    CAST(sum(ca * (2 * cl + c + 1)) AS BIGINT) AS r2a
+      |  FROM p)
+      |SELECT na, nb,
+      |  r2a - na * (na + 1) AS u2_a,
+      |  2 * na * nb - (r2a - na * (na + 1)) AS u2_b
+      |FROM s""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val isA = substring(col("source"), 4, 2).cast("long") < 10
+    val v = docs.groupBy(col("n_chars").as("x"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(isA, 1L).otherwise(0L)).as("ca"))
+    // value-grain prefix sum: the window runs over ≤|value domain|
+    // rows, never the corpus
+    val p = v.withColumn("cl",
+      coalesce(sum("c").over(Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val st = p.agg(sum("ca").cast("long").as("na"),
+      sum(col("c") - col("ca")).cast("long").as("nb"),
+      sum(col("ca") * (lit(2L) * col("cl") + col("c") + 1))
+        .cast("long").as("r2a"))
+    st.select(col("na"), col("nb"),
+      (col("r2a") - col("na") * (col("na") + 1)).as("u2_a"),
+      (lit(2L) * col("na") * col("nb")
+        - (col("r2a") - col("na") * (col("na") + 1))).as("u2_b"))
+  }
+
+  /** BENFORD FIRST-DIGIT AUDIT — the fraud/data-quality screen run
+    * over money columns at scale: observed first-significant-digit
+    * counts of order totals vs the Benford expectation. The digit is
+    * taken from the INTEGER cents rendered as a string (both engines
+    * format integers identically — no float log10 near a power of
+    * ten can flip a digit), and the expected masses log10(1+1/d) are
+    * inlined as PRE-COMPUTED integer ppm literals, one source of
+    * truth for both engines — no runtime transcendental enters the
+    * gate. One map-side-combined pass; 9 output rows.
+    */
+  val q271 = Q("q271_benford_audit", {
+    val ppm = (1 to 9).map(d =>
+      d -> math.round(1e6 * math.log10(1.0 + 1.0 / d)))
+    val caseSql = ppm.map { case (d, m) => s"WHEN '$d' THEN $m" }
+      .mkString(" ")
+    s"""WITH o AS (SELECT substr(CAST(CAST(round(o_totalprice * 100)
+      |    AS BIGINT) AS VARCHAR), 1, 1) AS d
+      |  FROM orders),
+      |n AS (SELECT count(*) AS total FROM o)
+      |SELECT CAST(d AS BIGINT) AS digit,
+      |  CAST(count(*) AS BIGINT) AS observed,
+      |  CAST(CASE d $caseSql END AS BIGINT) AS expected_ppm,
+      |  CAST(count(*) * 1000000 // (SELECT total FROM n) AS BIGINT)
+      |    AS observed_ppm
+      |FROM o GROUP BY d""".stripMargin
+  }) { (s, dir) =>
+    val ppm = (1 to 9).map(d =>
+      d.toString -> math.round(1e6 * math.log10(1.0 + 1.0 / d)))
+    val o = t(s, dir, "orders")
+      .select(substring(round(col("o_totalprice") * 100)
+        .cast("long").cast("string"), 1, 1).as("d"))
+    val n = o.agg(count(lit(1)).as("total"))
+    val expected = ppm.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, m)) => when(col("d") === d, lit(m)).otherwise(acc)
+    }
+    o.groupBy("d").agg(count(lit(1)).as("observed"))
+      .crossJoin(broadcast(n))
+      .select(col("d").cast("long").as("digit"),
+        col("observed").cast("long").as("observed"),
+        expected.as("expected_ppm"),
+        expr("CAST(observed * 1000000 div total AS BIGINT)")
+          .as("observed_ppm"))
+  }
+
   val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260,
-    q261, q262, q263, q264, q265, q266, q267)
+    q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
+    q271)
 }

@@ -1041,6 +1041,68 @@ final case class Warehouse(root: String) {
         .parquet(dir(s"$table@g$g"))
     }.reduce(_.unionByName(_))
 
+  // ---- multi-table atomic commit ------------------------------------
+
+  private def txnJournal(): File = new File(dir("__txn_journal.txt"))
+
+  /** Roll a torn multi-table commit FORWARD (same device as
+    * [[recoverWap]]): each SWAP line is completed from whatever point
+    * it tore — staged still present → finish both renames; staged
+    * gone → that table already landed. Trash dirs are then dropped
+    * and the journal cleared. Idempotent from any crash point.
+    */
+  def recoverTransact(): Unit = {
+    val jf = txnJournal()
+    val lines = readLines(jf)
+    if (lines.isEmpty) return
+    lines.foreach { l =>
+      if (l.startsWith("SWAP ")) {
+        val Array(_, staged, tbl, trash) = l.split(" ", 4)
+        val (sf, tf, rf) = (new File(staged), new File(tbl), new File(trash))
+        if (sf.exists()) {
+          if (tf.exists() && !rf.exists() && !tf.renameTo(rf))
+            sys.error(s"txn recovery: cannot move $tbl aside")
+          if (!tf.exists() && !sf.renameTo(tf))
+            sys.error(s"txn recovery: cannot land $staged")
+        }
+      }
+    }
+    lines.foreach { l =>
+      if (l.startsWith("SWAP ")) delete(new File(l.split(" ", 4)(3)))
+    }
+    java.nio.file.Files.deleteIfExists(jf.toPath)
+    ()
+  }
+
+  /** MULTI-TABLE ATOMIC COMMIT — publish a CONSISTENT snapshot across
+    * several tables at once (the cross-table invariant every warehouse
+    * eventually needs: a fact and its aggregate, or one user erased
+    * from every table that knows them, may never be observable
+    * half-done across a restart). All new states are fully WRITTEN to
+    * txn staging dirs first — a crash during the expensive work leaves
+    * every table untouched; then ONE journal records every swap, and
+    * the swaps execute (rename current aside, land staged, drop the
+    * old). A crash after the journal write is rolled FORWARD by
+    * [[recoverTransact]] (called on entry here, so the next writer
+    * heals the previous one) — after recovery ALL tables carry the new
+    * snapshot, never a mix. Single-writer local-FS model, the same
+    * contract as [[mergeOverwrite]]; an ACID table format replaces
+    * the journal with its commit protocol, callers unchanged.
+    */
+  def transact(writes: Seq[(String, DataFrame)]): Unit = {
+    require(writes.map(_._1).distinct.size == writes.size,
+      "one write per table per transaction")
+    recoverTransact()
+    val plan = writes.map { case (tbl, df) =>
+      val staged = dir(s"${tbl}__txn_staged")
+      df.write.mode("overwrite").parquet(staged)
+      (staged, dir(tbl), dir(s"${tbl}__txn_trash"))
+    }
+    writeLines(txnJournal(),
+      plan.map { case (s, t, r) => s"SWAP $s $t $r" })
+    recoverTransact()
+  }
+
   // ---- generalized MERGE INTO --------------------------------------
 
   /** Three-clause MERGE (`WHEN MATCHED AND <deleteCond> THEN DELETE;

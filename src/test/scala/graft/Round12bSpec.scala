@@ -686,6 +686,127 @@ class Round12bSpec extends SparkSpec {
     rows.foreach { r => assert(r._3 == r._2 * r._2) }
   }
 
+  // ---- q268 multi-table transaction --------------------------------------
+
+  test("transact: both tables swap together; a crash BEFORE the " +
+    "journal leaves both untouched") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.transact(Seq(
+      "a" -> Seq((1L, 10L)).toDF("k", "v"),
+      "b" -> Seq((1L, 100L)).toDF("k", "v")))
+    assert(wh.read(spark, "a").count() == 1)
+    assert(wh.read(spark, "b").count() == 1)
+    // simulate the crash-before-journal point: staged dirs exist,
+    // journal absent — tables must still read v1
+    Seq((2L, 20L)).toDF("k", "v").write.mode("overwrite")
+      .parquet(s"${wh.root}/a__txn_staged")
+    Seq((2L, 200L)).toDF("k", "v").write.mode("overwrite")
+      .parquet(s"${wh.root}/b__txn_staged")
+    assert(wh.read(spark, "a").as[(Long, Long)].head() == ((1L, 10L)))
+    assert(wh.read(spark, "b").as[(Long, Long)].head() == ((1L, 100L)))
+  }
+
+  test("transact: a TORN commit (journal written, only the first " +
+    "table's swap executed) rolls FORWARD — never a mixed snapshot") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.transact(Seq(
+      "a" -> Seq((1L, 10L)).toDF("k", "v"),
+      "b" -> Seq((1L, 100L)).toDF("k", "v")))
+    // stage v2 for both, write the journal by hand, then complete
+    // ONLY table a's swap — the crash point mid-execution
+    Seq((2L, 20L)).toDF("k", "v").write.mode("overwrite")
+      .parquet(s"${wh.root}/a__txn_staged")
+    Seq((2L, 200L)).toDF("k", "v").write.mode("overwrite")
+      .parquet(s"${wh.root}/b__txn_staged")
+    def f(p: String) = new java.io.File(s"${wh.root}/$p")
+    java.nio.file.Files.write(f("__txn_journal.txt").toPath,
+      Seq("SWAP " + f("a__txn_staged") + " " + f("a") + " " +
+          f("a__txn_trash"),
+        "SWAP " + f("b__txn_staged") + " " + f("b") + " " +
+          f("b__txn_trash"))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(f("a").renameTo(f("a__txn_trash")))
+    assert(f("a__txn_staged").renameTo(f("a")))
+    // crash here; recovery (run by the next writer) must land b too
+    wh.recoverTransact()
+    assert(wh.read(spark, "a").as[(Long, Long)].head() == ((2L, 20L)))
+    assert(wh.read(spark, "b").as[(Long, Long)].head() == ((2L, 200L)))
+    assert(!f("a__txn_trash").exists() && !f("b__txn_trash").exists())
+    assert(!f("__txn_journal.txt").exists())
+  }
+
+  // ---- q269 GDPR erasure ---------------------------------------------
+
+  test("q269: erased users are absent from BOTH tables, everyone " +
+    "else is intact") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    queries.Extras3.q269.fn(spark, sf).collect() // builds the store
+    val wh = Warehouse(SessionScratch.dir(spark,
+      s"gdprstore_${SessionScratch.keyOf(sf)}"))
+    val key = SessionScratch.keyOf(sf)
+    Seq(s"gdpr_act_$key", s"gdpr_val_$key").foreach { tbl =>
+      val users = wh.read(spark, tbl).select("user_id")
+        .distinct().as[Long].collect()
+      assert(users.forall(_ % 37 != 0), s"$tbl still knows erased users")
+    }
+    val expected = sources.Tables(spark, sf, "events")
+      .filter(col("user_id") % 37 =!= 0)
+      .select("user_id").distinct().count()
+    assert(wh.read(spark, s"gdpr_act_$key").select("user_id")
+      .distinct().count() == expected, "a kept user was lost")
+  }
+
+  // ---- q270 Mann-Whitney --------------------------------------------
+
+  test("q270: U statistics match a driver-side midrank recomputation " +
+    "and satisfy U_A + U_B = nA*nB") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val (na, nb, u2a, u2b) = queries.Extras3.q270.fn(spark, sf)
+      .as[(Long, Long, Long, Long)].head()
+    assert(u2a + u2b == 2 * na * nb, "rank-sum identity broken")
+    val rows = sources.Tables(spark, sf, "documents")
+      .select(col("n_chars"),
+        (substring(col("source"), 4, 2).cast("long") < 10).as("a"))
+      .as[(Long, Boolean)].collect()
+    val sorted = rows.map(_._1).sorted
+    def rank2(v: Long): Long = {
+      val lo = sorted.count(_ < v); val eq = sorted.count(_ == v)
+      2L * lo + eq + 1
+    }
+    val naC = rows.count(_._2).toLong
+    val r2aC = rows.filter(_._2).map(r => rank2(r._1)).sum
+    assert(na == naC && nb == rows.length - naC)
+    assert(u2a == r2aC - naC * (naC + 1),
+      s"u2_a $u2a != recomputed ${r2aC - naC * (naC + 1)}")
+  }
+
+  // ---- q271 Benford -------------------------------------------------
+
+  test("q271: digits partition the orders, expected masses sum to one " +
+    "million ppm (±rounding), and digits match a driver recount") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = queries.Extras3.q271.fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val total = sources.Tables(spark, sf, "orders").count()
+    assert(got.map(_._2).sum == total, "digits must partition the table")
+    val expSum = (1 to 9)
+      .map(d => math.round(1e6 * math.log10(1.0 + 1.0 / d))).sum
+    assert(math.abs(expSum - 1000000L) <= 5, s"ppm masses sum $expSum")
+    val recount = sources.Tables(spark, sf, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+      .as[Long].collect()
+      .groupBy(c => c.toString.head.asDigit.toLong)
+      .view.mapValues(_.length.toLong).toMap
+    got.foreach { case (d, obs, _, _) =>
+      assert(recount(d) == obs, s"digit $d: $obs vs ${recount(d)}")
+    }
+  }
+
   // ---- q246 Kneser-Ney ----------------------------------------------
 
   test("q246: hand-computed interpolated KN on a 3-doc corpus — seen " +
