@@ -1950,8 +1950,93 @@ object Extras3 {
           .as("observed_ppm"))
   }
 
+  /** 2-D SKYLINE (Pareto frontier) — the multi-criteria shortlist
+    * query (documents maximal in BOTH length and events-per-char
+    * proxy; at 100 TB: "candidates no other candidate dominates").
+    * The naive form is the O(n²) NOT-EXISTS-dominator the ORACLE
+    * runs; the engine uses the sort-scan identity: group to (x, best
+    * y per x) — value-grain — then a point is on the frontier iff
+    * its y strictly exceeds the running max of y over all LARGER x.
+    * One corpus pass to the value-grain table, one ≤|x-domain|-row
+    * window — the quadratic never materializes. Dominance here is
+    * maximize-both with strict-in-at-least-one (distinct frontier
+    * coordinates by construction).
+    */
+  val q272 = Q("q272_skyline_2d",
+    """WITH pt AS (SELECT n_chars AS x,
+      |    CAST(doc_id % 97 AS BIGINT) AS y
+      |  FROM documents),
+      |d AS (SELECT x, max(y) AS y FROM pt GROUP BY x)
+      |SELECT x, y FROM d a
+      |WHERE NOT EXISTS (SELECT 1 FROM d b
+      |  WHERE b.x >= a.x AND b.y >= a.y
+      |    AND (b.x > a.x OR b.y > a.y))""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pt = t(s, dir, "documents")
+      .select(col("n_chars").as("x"),
+        (col("doc_id") % 97).cast("long").as("y"))
+    val d = pt.groupBy("x").agg(max("y").as("y"))
+    // running max of y over strictly larger x; frontier = strict
+    // improvement. Window over the value-grain table, not the corpus.
+    val w = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("my", max("y").over(w))
+      .filter(col("my").isNull || col("y") > col("my"))
+      .select("x", "y")
+  }
+
+  /** 1-D WASSERSTEIN (earth-mover) DISTANCE — the distribution-shift
+    * metric that, unlike PSI (q215, bucketed log-ratios), respects
+    * the METRIC on the value axis: W₁ between two cohorts' length
+    * distributions = ∫|CDF_A − CDF_B|. Exact integers by cross-
+    * multiplying: with cumulative counts cumA/cumB at each distinct
+    * value and gap Δ to the next value, W₁·n_A·n_B =
+    * Σ Δ·|cumA·n_B − cumB·n_A| — the output ships that integer
+    * numerator plus the two denominators, no float anywhere. Shape:
+    * one corpus pass to value-grain counts, prefix sums + a 1-lead
+    * window over ≤|value domain| rows.
+    */
+  val q273 = Q("q273_wasserstein_1d",
+    """WITH v AS (SELECT n_chars AS x, count(*) AS c,
+      |    CAST(sum(CASE WHEN CAST(substr(source, 4, 2) AS BIGINT) < 10
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS ca
+      |  FROM documents GROUP BY n_chars),
+      |p AS (SELECT x,
+      |    sum(ca) OVER (ORDER BY x) AS cuma,
+      |    sum(c - ca) OVER (ORDER BY x) AS cumb,
+      |    lead(x) OVER (ORDER BY x) - x AS gap
+      |  FROM v),
+      |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(c - ca) AS BIGINT) AS nb FROM v)
+      |SELECT na, nb,
+      |  CAST(sum(gap * abs(cuma * nb - cumb * na)) AS BIGINT)
+      |    AS w1_num
+      |FROM p CROSS JOIN tot
+      |WHERE gap IS NOT NULL
+      |GROUP BY na, nb""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val isA = substring(col("source"), 4, 2).cast("long") < 10
+    val v = docs.groupBy(col("n_chars").as("x"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(isA, 1L).otherwise(0L)).as("ca"))
+    val w = Window.orderBy("x")
+    val p = v.select(col("x"),
+      sum("ca").over(w).as("cuma"),
+      sum(col("c") - col("ca")).over(w).as("cumb"),
+      (lead("x", 1).over(w) - col("x")).as("gap"))
+    val tot = v.agg(sum("ca").cast("long").as("na"),
+      sum(col("c") - col("ca")).cast("long").as("nb"))
+    p.filter(col("gap").isNotNull)
+      .crossJoin(broadcast(tot))
+      .groupBy("na", "nb")
+      .agg(sum(col("gap") * abs(col("cuma") * col("nb")
+        - col("cumb") * col("na"))).cast("long").as("w1_num"))
+      .select(col("na"), col("nb"), col("w1_num"))
+  }
+
   val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260,
     q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
-    q271)
+    q271, q272, q273)
 }

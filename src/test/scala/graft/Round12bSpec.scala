@@ -807,6 +807,55 @@ class Round12bSpec extends SparkSpec {
     }
   }
 
+  // ---- q272 skyline ---------------------------------------------------
+
+  test("q272: the frontier is sound (nothing dominates a member) and " +
+    "complete (every non-member is dominated by a member)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val front = queries.Extras3.q272.fn(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val pts = sources.Tables(spark, sf, "documents")
+      .select(col("n_chars").as("x"), (col("doc_id") % 97).as("y"))
+      .groupBy("x").agg(max("y").as("y"))
+      .as[(Long, Long)].collect().toSet
+    def dominates(a: (Long, Long), b: (Long, Long)) =
+      a._1 >= b._1 && a._2 >= b._2 && (a._1 > b._1 || a._2 > b._2)
+    front.foreach { f =>
+      assert(!pts.exists(p => dominates(p, f)),
+        s"frontier member $f is dominated")
+    }
+    (pts -- front).foreach { p =>
+      assert(front.exists(f => dominates(f, p)),
+        s"non-member $p dominated by no frontier member")
+    }
+    assert(front.nonEmpty && front.size < pts.size)
+  }
+
+  // ---- q273 Wasserstein ------------------------------------------------
+
+  test("q273: W1 matches a driver-side sorted-merge recomputation " +
+    "exactly, and differing length mixes yield a positive distance") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val (na, nb, w1) = queries.Extras3.q273.fn(spark, sf)
+      .as[(Long, Long, Long)].head()
+    val rows = sources.Tables(spark, sf, "documents")
+      .select(col("n_chars"),
+        (substring(col("source"), 4, 2).cast("long") < 10).as("a"))
+      .as[(Long, Boolean)].collect()
+    val xs = rows.map(_._1).distinct.sorted
+    var (cumA, cumB, acc) = (0L, 0L, 0L)
+    xs.sliding(2).foreach { case Array(x, nx) =>
+      cumA += rows.count(r => r._1 == x && r._2)
+      cumB += rows.count(r => r._1 == x && !r._2)
+      acc += (nx - x) * math.abs(cumA * nb - cumB * na)
+    }
+    assert(na == rows.count(_._2) && nb == rows.count(!_._2))
+    assert(w1 == acc, s"W1 numerator $w1 != recomputed $acc")
+    assert(w1 > 0, "cohorts with different length mixes must differ")
+  }
+
   // ---- q246 Kneser-Ney ----------------------------------------------
 
   test("q246: hand-computed interpolated KN on a 3-doc corpus — seen " +
