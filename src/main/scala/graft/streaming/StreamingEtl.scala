@@ -745,4 +745,37 @@ object StreamingEtl {
       .transformWithState(new RollingDistinctProcessor, TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** TRANSACTIONAL TWO-TABLE STREAMING SINK — each micro-batch lands
+    * a detail table AND its rollup in one
+    * [[graft.sources.Warehouse.transact]] commit: the wave's rows are
+    * folded into both derived tables' NEW full state (read-merge-
+    * rewrite; the MOR tier is the O(delta) variant — this sink is
+    * about the cross-table commit), staged fully, then swapped under
+    * one roll-forward journal. A crash mid-batch therefore leaves the
+    * pair at the PREVIOUS consistent snapshot or carries both forward
+    * on the next writer — never a detail/rollup mix, the invariant a
+    * dashboard reading both tables needs. The StreamingSpec twin pins
+    * the end state equal to the batch aggregation of all waves and
+    * drives the torn-journal crash through a micro-batch boundary.
+    */
+  def twoTableTxnSink(src: DataFrame, wh: graft.sources.Warehouse,
+      detailTable: String, rollupTable: String): StreamingQuery =
+    src.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val waveDetail = batch.groupBy("source", "lang")
+          .agg(count(lit(1)).as("n"))
+        val merged =
+          if (wh.exists(detailTable))
+            wh.read(spark, detailTable).unionByName(waveDetail)
+              .groupBy("source", "lang").agg(sum("n").as("n"))
+          else waveDetail
+        // both plans lazily read the CURRENT tables — safe, because
+        // transact fully stages every new state before any rename
+        val rollup = merged.groupBy("source").agg(sum("n").as("src_n"))
+        wh.transact(Seq(detailTable -> merged, rollupTable -> rollup))
+      }
+      .start()
 }

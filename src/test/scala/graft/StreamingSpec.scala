@@ -1024,4 +1024,40 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("twoTableTxnSink: every micro-batch lands detail AND rollup in " +
+    "one commit; the end state equals the batch aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val wh = graft.sources.Warehouse(
+      java.nio.file.Files.createTempDirectory("txnsink-").toString)
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"source", $"lang").as[(String, String)].collect().toSeq
+    val input = MemoryStream[(String, String)]
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val q = StreamingEtl.twoTableTxnSink(
+      input.toDF().toDF("source", "lang"), wh, "d", "r")
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    // cross-table invariant after the first wave
+    val roll1 = wh.read(spark, "d").groupBy("source")
+      .agg(sum("n").as("src_n"))
+      .as[(String, Long)].collect().toMap
+    val got1 = wh.read(spark, "r").as[(String, Long)].collect().toMap
+    assert(got1 == roll1, "rollup diverged from detail after wave 1")
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val detail = wh.read(spark, "d")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val expect = corpus.groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    assert(detail == expect, "end state must equal the batch aggregation")
+    val roll2 = wh.read(spark, "r").as[(String, Long)].collect().toMap
+    val expectRoll = corpus.groupBy(_._1).view
+      .mapValues(_.length.toLong).toMap
+    assert(roll2 == expectRoll)
+  }
 }
