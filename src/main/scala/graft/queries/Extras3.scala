@@ -2035,8 +2035,94 @@ object Extras3 {
       .select(col("na"), col("nb"), col("w1_num"))
   }
 
+  /** ROLLING DISTINCT, SKETCHED — q262's trailing-7-day engagement
+    * metric on HLL registers instead of exact user sets: per-day
+    * registers are built ONCE (max-based, so raw duplicate events
+    * never even need a dedup), and each window end MAX-merges its ≤7
+    * days' registers — state per day is 256 bytes-ish of registers,
+    * so the merge grain is days × 256, independent of user count.
+    * This is exactly the trade a 100 TB engagement pipeline makes:
+    * q262 ships (day,user) pairs (the exact path, linear in users);
+    * this ships registers (constant per day) at ~6% error (m=256).
+    * The exact count rides in the output as the witness column, and
+    * the estimate is gated EXACTLY (integer micro-units) because the
+    * register pipeline is deterministic md5 arithmetic in both
+    * engines.
+    */
+  val q274 = Q("q274_rolling_distinct_hll",
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+      |v AS (SELECT DISTINCT d, md5(CAST(user_id AS VARCHAR)) AS h
+      |  FROM ev),
+      |dg AS (SELECT d, h,
+      |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS idx
+      |  FROM v),
+      |ex AS (SELECT d, idx, h, CAST(j AS INT) AS j,
+      |    strpos('0123456789abcdef',
+      |      substr(h, CAST(j + 2 AS INT), 1)) - 1 AS dgt
+      |  FROM dg, (SELECT unnest(range(1, 16)) AS j) r),
+      |rho AS (SELECT d, idx, h,
+      |    coalesce(min(CASE WHEN dgt > 0 THEN 4 * (j - 1)
+      |      + (CASE WHEN dgt = 1 THEN 3 WHEN dgt <= 3 THEN 2
+      |         WHEN dgt <= 7 THEN 1 ELSE 0 END) + 1 END), 61) AS rho
+      |  FROM ex GROUP BY d, idx, h),
+      |reg AS (SELECT d, idx, max(least(rho, 40)) AS mx
+      |  FROM rho GROUP BY d, idx),
+      |days AS (SELECT DISTINCT d AS day FROM ev),
+      |win AS (SELECT days.day, reg.idx, max(reg.mx) AS mx
+      |  FROM days JOIN reg ON reg.d BETWEEN days.day - 6 AND days.day
+      |  GROUP BY days.day, reg.idx),
+      |st AS (SELECT day, count(*) AS used,
+      |    sum((CAST(1 AS BIGINT) << CAST(40 - mx AS INT))) AS s1
+      |  FROM win GROUP BY day),
+      |fin AS (SELECT day, used,
+      |    s1 + (256 - used) * (CAST(1 AS BIGINT) << 40) AS stot,
+      |    256 - used AS vzero
+      |  FROM st),
+      |est AS (SELECT day, vzero,
+      |    CASE WHEN CAST(0.7213 AS DOUBLE)
+      |        / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+      |        * 65536.0 * 1099511627776.0 / stot <= 640.0
+      |        AND vzero > 0
+      |      THEN 256.0 * ln(CAST(256 AS DOUBLE) / vzero)
+      |      ELSE CAST(0.7213 AS DOUBLE)
+      |        / (1.0 + CAST(1.079 AS DOUBLE) / 256.0)
+      |        * 65536.0 * 1099511627776.0 / stot END AS e
+      |  FROM fin),
+      |exact AS (SELECT days.day,
+      |    CAST(count(DISTINCT du.user_id) AS BIGINT) AS exact_users
+      |  FROM days JOIN (SELECT DISTINCT d, user_id FROM ev) du
+      |    ON du.d BETWEEN days.day - 6 AND days.day
+      |  GROUP BY days.day)
+      |SELECT exact.day AS day, exact_users,
+      |  CAST(vzero AS BIGINT) AS n_zero_regs,
+      |  CAST(round(e * 1000000) AS BIGINT) AS estimate_ubits
+      |FROM exact JOIN est ON est.day = exact.day""".stripMargin) {
+    (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val reg = graft.ops.Approx.hllRegisters(ev, Seq("d"), col("user_id"))
+    val days = ev.select(col("d").as("day")).distinct()
+    val win = reg.withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(date_add(col("d"), col("off")).as("day"),
+        col("idx"), col("mx"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day", "idx").agg(max("mx").as("mx"))
+    val est = graft.ops.Approx.hllEstimate(win, Seq("day"))
+    val exact = ev.distinct()
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(date_add(col("d"), col("off")).as("day"), col("user_id"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("exact_users"))
+    exact.join(est, Seq("day"))
+      .select(col("day"), col("exact_users"),
+        col("vzero").cast("long").as("n_zero_regs"),
+        round(col("e") * 1e6).cast("long").as("estimate_ubits"))
+  }
+
   val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260,
     q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273)
+    q271, q272, q273, q274)
 }

@@ -856,6 +856,39 @@ class Round12bSpec extends SparkSpec {
     assert(w1 > 0, "cohorts with different length mixes must differ")
   }
 
+  // ---- q274 rolling distinct via HLL -----------------------------------
+
+  test("q274: window-merged registers equal registers built directly " +
+    "over the window's raw rows, and every estimate sits in the error band") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ev = sources.Tables(spark, sf, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    // pick the median observed day; its trailing window is full
+    val days = ev.select("d").distinct().as[java.sql.Date]
+      .collect().sorted
+    val day = days(days.length / 2)
+    val direct = ops.Approx.hllRegisters(
+      ev.filter(col("d") >= date_sub(lit(day), 6) &&
+        col("d") <= lit(day)).withColumn("g", lit(1)),
+      Seq("g"), col("user_id"))
+      .select("idx", "mx").as[(Int, Int)].collect().toMap
+    val merged = ops.Approx.hllRegisters(ev, Seq("d"), col("user_id"))
+      .filter(col("d") >= date_sub(lit(day), 6) && col("d") <= lit(day))
+      .groupBy("idx").agg(max("mx").as("mx"))
+      .as[(Int, Int)].collect().toMap
+    assert(merged == direct,
+      "max-merging per-day registers must equal the direct window sketch")
+    val got = queries.Extras3.q274.fn(spark, sf)
+      .as[(java.sql.Date, Long, Long, Long)].collect()
+    assert(got.length == days.length)
+    got.foreach { case (d, exact, _, estU) =>
+      val est = estU / 1e6
+      assert(math.abs(est - exact) <= 0.2 * exact,
+        s"day $d: estimate $est implausible for $exact (3σ ≈ 20% at m=256)")
+    }
+  }
+
   // ---- q246 Kneser-Ney ----------------------------------------------
 
   test("q246: hand-computed interpolated KN on a 3-doc corpus — seen " +
