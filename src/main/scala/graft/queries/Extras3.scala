@@ -651,13 +651,13 @@ object Extras3 {
     """SELECT * FROM (
       |  SELECT CAST(1 AS BIGINT) AS range_id,
       |    CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(o_custkey) AS BIGINT) AS cust_sum FROM orders
+      |    CAST(coalesce(sum(o_custkey), 0) AS BIGINT) AS cust_sum FROM orders
       |  WHERE o_orderkey BETWEEN 0 AND 999999999
       |  UNION ALL
-      |  SELECT 2, count(*), CAST(sum(o_custkey) AS BIGINT) FROM orders
+      |  SELECT 2, count(*), CAST(coalesce(sum(o_custkey), 0) AS BIGINT) FROM orders
       |  WHERE o_orderkey BETWEEN 2000 AND 20000
       |  UNION ALL
-      |  SELECT 3, count(*), CAST(sum(o_custkey) AS BIGINT) FROM orders
+      |  SELECT 3, count(*), CAST(coalesce(sum(o_custkey), 0) AS BIGINT) FROM orders
       |  WHERE o_orderkey BETWEEN 300 AND 420) t""".stripMargin) {
     (s, dir) =>
     import s.implicits._
