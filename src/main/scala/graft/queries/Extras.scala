@@ -1212,8 +1212,7 @@ object Extras {
       |  FROM c, n)
       |SELECT doc_id, count(*) AS n_tokens,
       |  CAST(sum(ubits) AS BIGINT) AS sum_ubits,
-      |  round(CAST(sum(ubits) AS DOUBLE) / 1000000 / count(*), 4)
-      |    AS avg_bits
+      |  CAST(sum(ubits) // count(*) AS BIGINT) AS avg_ubits
       |FROM tok JOIN u USING (w)
       |GROUP BY doc_id""".stripMargin) { (s, dir) =>
     val tok = docsTable(s, dir)
@@ -1224,12 +1223,17 @@ object Extras {
       .select(col("w"),
         round(log2(col("total").cast("double") / col("cnt")) * 1000000)
           .cast("long").as("ubits"))
+    // the mean ships as exact integer micro-bits (sum div count):
+    // a rounded-double mean hit a .00005 knife edge at sf0.1 where
+    // Spark's BigDecimal HALF_UP and DuckDB's raw-double rounding
+    // split (112689650/23 → 4.89955 exactly) — integer division
+    // cannot
     tok.join(u, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        sum(col("ubits")).cast("long").as("sum_ubits"),
-        round(sum(col("ubits")).cast("double") / 1000000 /
-          count(lit(1)), 4).as("avg_bits"))
+        sum(col("ubits")).cast("long").as("sum_ubits"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_ubits"),
+        expr("CAST(sum_ubits div n_tokens AS BIGINT)").as("avg_ubits"))
   }
 
   /** Data-quality extension — single-pass COLUMN PROFILE of `orders`

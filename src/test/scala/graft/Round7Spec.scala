@@ -322,10 +322,10 @@ class Round7Spec extends SparkSpec {
     val out = queries.Extras.q116.fn(spark, sf).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      val (n, s, a) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (n, s, a) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(n > 0 && s > 0)
-      assert(math.abs(s.toDouble / 1e6 / n - a) <= 5e-5,
-        s"avg_bits $a drifted from its own integer sum $s/$n")
+      assert(a == s / n,
+        s"avg_ubits $a drifted from its own integer sum $s/$n")
     }
     val expected = spark.read.parquet(s"$sf/documents.parquet")
       .select(size(split($"text", " ")).cast("long")).as[Long]
