@@ -2121,8 +2121,61 @@ object Extras3 {
         round(col("e") * 1e6).cast("long").as("estimate_ubits"))
   }
 
+  /** The Wilson lower bound at z=1.96 from integer (k, n) — one text
+    * spliced into both engines, evaluated from exact integer counts
+    * in the same operation order, so the doubles agree bit-for-bit.
+    */
+  private val wilsonLo =
+    "round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)" +
+      " + 3.8416 / (2.0 * CAST(n AS DOUBLE))" +
+      " - 1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))" +
+      " * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)" +
+      " + 3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))" +
+      " / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6)"
+
+  /** DAILY CONVERSION WITH WILSON BOUND — the A/B-dashboard metric at
+    * its honest grain: per day, n = users who clicked, k = users who
+    * clicked AND purchased that day, rate shipped as exact integer
+    * ppm, and the Wilson score LOWER bound (z = 1.96) — the interval
+    * that stays sane at small n where the naive ±1.96·√(p(1−p)/n)
+    * goes negative or degenerate. Shape: one corpus pass to
+    * (day, user, flags) grain with map-side partials, then day-grain
+    * arithmetic; the float formula is one shared text over exact
+    * integer counts (the q264 device), so 6-dp rounding is safe.
+    */
+  val q275 = Q("q275_wilson_conversion",
+    s"""WITH du AS (SELECT CAST(ts AS DATE) AS day, user_id,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS clicked,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS bought
+      |  FROM events GROUP BY 1, 2),
+      |d AS (SELECT day, CAST(sum(clicked) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN clicked = 1 AND bought = 1 THEN 1
+      |      ELSE 0 END) AS BIGINT) AS k
+      |  FROM du GROUP BY day)
+      |SELECT day, n, k,
+      |  CAST(k * 1000000 // n AS BIGINT) AS rate_ppm,
+      |  $wilsonLo AS wilson_lo
+      |FROM d WHERE n > 0""".stripMargin) { (s, dir) =>
+    val du = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0))
+          .as("clicked"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("bought"))
+    du.groupBy("day")
+      .agg(sum("clicked").cast("long").as("n"),
+        sum(when(col("clicked") === 1 && col("bought") === 1, 1)
+          .otherwise(0)).cast("long").as("k"))
+      .filter(col("n") > 0)
+      .select(col("day"), col("n"), col("k"),
+        expr("CAST(k * 1000000 div n AS BIGINT)").as("rate_ppm"),
+        expr(wilsonLo).as("wilson_lo"))
+  }
+
   val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260,
     q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273, q274)
+    q271, q272, q273, q274, q275)
 }

@@ -889,6 +889,31 @@ class Round12bSpec extends SparkSpec {
     }
   }
 
+  // ---- q275 Wilson conversion --------------------------------------------
+
+  test("q275: the Wilson bound matches a driver recomputation, always " +
+    "sits in (0, rate], and beats the naive interval at small n") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = queries.Extras3.q275.fn(spark, sf)
+      .as[(java.sql.Date, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (day, n, k, ppm, lo) =>
+      assert(k <= n && ppm == k * 1000000L / n)
+      val p = k.toDouble / n
+      val z2 = 3.8416
+      val w = (p + z2 / (2.0 * n) - 1.96 * math.sqrt(
+        p * (1.0 - p) / n + z2 / (4.0 * n * n))) / (1.0 + z2 / n)
+      assert(math.abs(lo - math.round(w * 1e6) / 1e6) < 2e-6,
+        s"$day: wilson $lo vs recomputed $w")
+      assert(lo >= 0.0 && lo <= p + 1e-9,
+        s"$day: bound $lo outside [0, p=$p]")
+      // the naive interval can go NEGATIVE at these n; Wilson cannot
+      val naive = p - 1.96 * math.sqrt(p * (1.0 - p) / n)
+      assert(lo >= naive - 1e-9)
+    }
+  }
+
   // ---- q246 Kneser-Ney ----------------------------------------------
 
   test("q246: hand-computed interpolated KN on a 3-doc corpus — seen " +
