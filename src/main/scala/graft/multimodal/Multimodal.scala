@@ -701,7 +701,15 @@ object Multimodal {
           def rd4(at: Int): Long =
             if (little) le4(p, at) else be4(p, at)
           if (rd2(t0 + 2) != 42) return None
-          val ifd = t0 + rd4(t0 + 4).toInt
+          // the IFD offset is an unsigned 32-bit field from untrusted
+          // bytes: validate it as a Long BEFORE narrowing — an offset
+          // ≥ 2^31 would go negative under toInt and index p below
+          // the TIFF block (executor ArrayIndexOutOfBounds instead of
+          // the documented None row); it must also land at or after
+          // the 8-byte TIFF header, never before it
+          val ifdOff = rd4(t0 + 4)
+          if (ifdOff < 8L || t0 + ifdOff + 2L > tEnd) return None
+          val ifd = t0 + ifdOff.toInt
           if (ifd + 2 > tEnd) return None
           val n = rd2(ifd)
           if (ifd + 2 + 12 * n + 4 > tEnd) return None

@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
+  // hash the column AS-IS: xxhash64 handles any input type natively.
+  // A cast("long") here would turn every non-numeric key into NULL
+  // (xxhash64 skips NULL children, so all string keys would collapse
+  // onto one position set and the filter silently degenerates to
+  // pass-everything) and would truncate fractional numeric keys.
   private def positions(c: Column, m: Int, k: Int): Seq[Column] =
     (0 until k).map(i =>
-      pmod(xxhash64(lit(i.toLong), c.cast("long")), lit(m)).cast("int"))
+      pmod(xxhash64(lit(i.toLong), c), lit(m)).cast("int"))
 
   /** The packed bit array of the build side's keys: m bits as m/64
     * longs. One distributed aggregate (collect_set of positions —

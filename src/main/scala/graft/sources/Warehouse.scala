@@ -526,7 +526,14 @@ final case class Warehouse(root: String) {
     spark.read.parquet(dir(table + "__manifest_g"))
       .groupBy("gid")
       .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
-        min(s"min_$c").as(s"min_$c"), max(s"max_$c").as(s"max_$c"))
+        min(s"min_$c").as(s"min_$c"), max(s"max_$c").as(s"max_$c"),
+        // min/max SKIP NULLs, so a NULL-extent file (all-NULL stats
+        // column) grouped with non-NULL files would hide behind the
+        // group's non-NULL extent and get pruned away with it — the
+        // flag forces such groups to be kept conservatively, matching
+        // the flat manifest's NULL-keeps-file behavior at group grain
+        max(when(col(s"min_$c").isNull || col(s"max_$c").isNull, 1)
+          .otherwise(0)).as("has_null_extent"))
       .coalesce(1).write.mode("overwrite")
       .parquet(dir(table + "__manifest2"))
   }
@@ -546,9 +553,10 @@ final case class Warehouse(root: String) {
       lo: Long, hi: Long): (Seq[String], Int, Int, Int) = {
     import org.apache.spark.sql.functions.col
     val groups = spark.read.parquet(dir(table + "__manifest2"))
-      .select(col("gid"), col(s"min_$c"), col(s"max_$c")).collect()
+      .select(col("gid"), col(s"min_$c"), col(s"max_$c"),
+        col("has_null_extent")).collect()
     val keptGids = groups.filter { r =>
-      r.isNullAt(1) || r.isNullAt(2) ||
+      r.isNullAt(1) || r.isNullAt(2) || r.getInt(3) == 1 ||
         (r.getLong(1) <= hi && r.getLong(2) >= lo)
     }.map(_.getInt(0)).toSeq
     if (keptGids.isEmpty)
@@ -603,10 +611,22 @@ final case class Warehouse(root: String) {
       try src.getLines().toList finally src.close()
     }
 
+  /** Atomic line-file write: content lands in a temp sibling first and
+    * is RENAMED into place, so a reader (or a crash-recovery pass)
+    * never observes a partially-written file. This is load-bearing for
+    * every journal ([[transact]], [[wapPublish]], [[reclusterDelta]]):
+    * a torn journal would make roll-forward recovery land a SUBSET of
+    * the recorded swaps — exactly the half-committed state the
+    * journals exist to prevent. With the rename, the journal either
+    * exists complete or not at all.
+    */
   private def writeLines(f: File, lines: Seq[String]): Unit = {
-    java.nio.file.Files.write(f.toPath,
+    import java.nio.file.{Files, StandardCopyOption => O}
+    val tmp = new File(f.getParentFile, f.getName + ".tmp")
+    Files.write(tmp.toPath,
       lines.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, f.toPath, O.ATOMIC_MOVE, O.REPLACE_EXISTING)
     ()
   }
 
@@ -629,7 +649,7 @@ final case class Warehouse(root: String) {
     val lines = readLines(j)
     if (lines.isEmpty) return
     lines.foreach { l =>
-      if (l.startsWith("MV ")) {
+      if (l.startsWith("MV ") && l.split(" ", 3).length == 3) {
         val Array(_, tmp, fin) = l.split(" ", 3)
         val (tf, ff) = (new File(tmp), new File(fin))
         if (!ff.exists() && tf.exists() && !tf.renameTo(ff))
@@ -1055,21 +1075,25 @@ final case class Warehouse(root: String) {
     val jf = txnJournal()
     val lines = readLines(jf)
     if (lines.isEmpty) return
-    lines.foreach { l =>
-      if (l.startsWith("SWAP ")) {
+    // defensive parse: the atomic writeLines rename means a journal is
+    // either complete or absent, but a journal written by an older
+    // build (or hand-edited) must still not crash recovery — malformed
+    // lines are skipped, well-formed swaps still roll forward
+    val swaps = lines.collect {
+      case l if l.startsWith("SWAP ") && l.split(" ", 4).length == 4 =>
         val Array(_, staged, tbl, trash) = l.split(" ", 4)
-        val (sf, tf, rf) = (new File(staged), new File(tbl), new File(trash))
-        if (sf.exists()) {
-          if (tf.exists() && !rf.exists() && !tf.renameTo(rf))
-            sys.error(s"txn recovery: cannot move $tbl aside")
-          if (!tf.exists() && !sf.renameTo(tf))
-            sys.error(s"txn recovery: cannot land $staged")
-        }
+        (staged, tbl, trash)
+    }
+    swaps.foreach { case (staged, tbl, trash) =>
+      val (sf, tf, rf) = (new File(staged), new File(tbl), new File(trash))
+      if (sf.exists()) {
+        if (tf.exists() && !rf.exists() && !tf.renameTo(rf))
+          sys.error(s"txn recovery: cannot move $tbl aside")
+        if (!tf.exists() && !sf.renameTo(tf))
+          sys.error(s"txn recovery: cannot land $staged")
       }
     }
-    lines.foreach { l =>
-      if (l.startsWith("SWAP ")) delete(new File(l.split(" ", 4)(3)))
-    }
+    swaps.foreach { case (_, _, trash) => delete(new File(trash)) }
     java.nio.file.Files.deleteIfExists(jf.toPath)
     ()
   }
@@ -1145,8 +1169,12 @@ final case class Warehouse(root: String) {
     val j = tgt.join(src, keys, "full_outer")
     val matched = col("__t").isNotNull && col("__s").isNotNull
     val srcOnly = col("__t").isNull
+    // a NULL delete predicate must read as NOT-satisfied (Delta/Spark
+    // MERGE semantics: the row is kept/updated) — without the coalesce,
+    // `!(matched && NULL)` is NULL under three-valued logic and filter
+    // would silently DROP the row
     val merged = j
-      .filter(!(matched && col("__del"))) // matched-delete clause
+      .filter(!(matched && coalesce(col("__del"), lit(false))))
       .select(cols.map { c =>
         val tv = if (keys.contains(c)) col(c) else col(c)
         val sv = if (keys.contains(c)) col(c) else col(s"__src_$c")
@@ -1199,7 +1227,7 @@ final case class Warehouse(root: String) {
     val lines = readLines(jf)
     if (lines.isEmpty) return
     lines.foreach { l =>
-      if (l.startsWith("MV ")) {
+      if (l.startsWith("MV ") && l.split(" ", 3).length == 3) {
         val Array(_, tmp, fin) = l.split(" ", 3)
         val (tf, ff) = (new File(tmp), new File(fin))
         if (!ff.exists() && tf.exists() && !tf.renameTo(ff))

@@ -10,7 +10,7 @@ package graft
   */
 class Round12Spec extends SparkSpec {
 
-  test("Bench.run with reps=2 bills the minimum rep, not the first") {
+  test("Bench.run with passes=2 bills the minimum pass, not the first") {
     var calls = 0
     val warmsUp = Q.noOracle("warms_up") { (s, _) =>
       import s.implicits._
@@ -20,22 +20,22 @@ class Round12Spec extends SparkSpec {
       if (calls == 1) Thread.sleep(300)
       Seq(1, 2).toDF("x")
     }
-    val res = Bench.run(spark, "/unused", Seq(warmsUp), reps = 2)
+    val res = Bench.run(spark, "/unused", Seq(warmsUp), passes = 2)
     assert(calls == 2)
     val t = res.head
     assert(t.repSecs.size == 2)
-    assert(t.repSecs(0) >= 0.3, "first rep must include the stall")
-    assert(t.sec == t.repSecs.min, "billed time must be the min rep")
+    assert(t.repSecs(0) >= 0.3, "first pass must include the stall")
+    assert(t.sec == t.repSecs.min, "billed time must be the min pass")
     assert(t.sec < 0.3, "the billed min must exclude the transient")
   }
 
-  test("Bench.run skips remaining reps after an error and still " +
+  test("Bench.run skips remaining passes after an error and still " +
     "records it as -1") {
     var calls = 0
     val boom = Q.noOracle("boom") { (_, _) =>
       calls += 1; throw new RuntimeException("deliberate failure")
     }
-    val res = Bench.run(spark, "/unused", Seq(boom), reps = 3)
+    val res = Bench.run(spark, "/unused", Seq(boom), passes = 3)
     assert(calls == 1, "a broken plan must not be paid for again")
     assert(res.head.sec == -1.0)
     assert(res.head.err.exists(_.contains("deliberate failure")))
