@@ -471,20 +471,72 @@ final case class Warehouse(root: String) {
     * spanning the full domain (one dimension never skips).
     */
   def prunedFilesAll(spark: SparkSession, table: String,
-      preds: Seq[(String, Long, Long)]): (Seq[String], Int) = {
+      preds: Seq[(String, Long, Long)]): (Seq[String], Int) =
+    twoLevelConsult(spark, table, preds) match {
+      // group-level first whenever the hierarchical manifest exists:
+      // the driver pulls the group summary plus only SURVIVING groups'
+      // file rows, never the full file-grain manifest
+      case Some(r) => (r.kept, r.filesTotal)
+      case None =>
+        import org.apache.spark.sql.functions.col
+        val cols = col("file") +: preds.flatMap { case (c, _, _) =>
+          Seq(col(s"min_$c"), col(s"max_$c")) }
+        val rows = spark.read.parquet(dir(table + "__manifest"))
+          .select(cols: _*).collect()
+        val kept = rows.filter { r =>
+          preds.zipWithIndex.forall { case ((_, lo, hi), i) =>
+            val (mi, ma) = (1 + 2 * i, 2 + 2 * i)
+            r.isNullAt(mi) || r.isNullAt(ma) ||
+              (r.getLong(mi) <= hi && r.getLong(ma) >= lo)
+          }
+        }.map(_.getString(0))
+        (kept.toSeq, rows.length)
+    }
+
+  /** The shared two-level consult: group summary first (the only
+    * unconditional metadata read), then ONLY surviving groups' file
+    * rows — `None` when the table has no hierarchical manifest or the
+    * summary carries extents for none of the predicate columns (the
+    * caller falls back to the flat file-grain consult). The group
+    * tier prunes on the subset of predicates the summary covers (the
+    * clustering column); the file tier applies ALL predicates.
+    */
+  private def twoLevelConsult(spark: SparkSession, table: String,
+      preds: Seq[(String, Long, Long)]): Option[TwoLevelResult] = {
     import org.apache.spark.sql.functions.col
-    val cols = col("file") +: preds.flatMap { case (c, _, _) =>
+    if (!new File(dir(table + "__manifest2")).exists()) return None
+    val summary = spark.read.parquet(dir(table + "__manifest2"))
+    val sch = summary.schema.fieldNames.toSet
+    val gPreds = preds.filter(p =>
+      sch(s"min_${p._1}") && sch(s"max_${p._1}"))
+    if (gPreds.isEmpty) return None
+    val gCols = Seq(col("gid"), col("has_null_extent"), col("n_files")) ++
+      gPreds.flatMap { case (c, _, _) => Seq(col(s"min_$c"), col(s"max_$c")) }
+    val groups = summary.select(gCols: _*).collect()
+    val totalFiles = groups.map(_.getLong(2)).sum.toInt
+    val keptGids = groups.filter { r =>
+      r.getInt(1) == 1 || gPreds.zipWithIndex.forall { case ((_, lo, hi), i) =>
+        val (mi, ma) = (3 + 2 * i, 4 + 2 * i)
+        r.isNullAt(mi) || r.isNullAt(ma) ||
+          (r.getLong(mi) <= hi && r.getLong(ma) >= lo)
+      }
+    }.map(_.getInt(0)).toSeq
+    if (keptGids.isEmpty)
+      return Some(TwoLevelResult(Seq.empty, totalFiles, groups.length, 0, 0))
+    val fCols = col("file") +: preds.flatMap { case (c, _, _) =>
       Seq(col(s"min_$c"), col(s"max_$c")) }
-    val rows = spark.read.parquet(dir(table + "__manifest"))
-      .select(cols: _*).collect()
-    val kept = rows.filter { r =>
+    val fileRows = spark.read.parquet(dir(table + "__manifest_g"))
+      .filter(col("gid").isin(keptGids: _*))
+      .select(fCols: _*).collect()
+    val kept = fileRows.filter { r =>
       preds.zipWithIndex.forall { case ((_, lo, hi), i) =>
         val (mi, ma) = (1 + 2 * i, 2 + 2 * i)
         r.isNullAt(mi) || r.isNullAt(ma) ||
           (r.getLong(mi) <= hi && r.getLong(ma) >= lo)
       }
-    }.map(_.getString(0))
-    (kept.toSeq, rows.length)
+    }.map(_.getString(0)).toSeq
+    Some(TwoLevelResult(kept, totalFiles, groups.length, keptGids.length,
+      fileRows.length))
   }
 
   /** Range read through the manifest: open ONLY the files whose
@@ -551,24 +603,9 @@ final case class Warehouse(root: String) {
     */
   def prunedFilesTwoLevel(spark: SparkSession, table: String, c: String,
       lo: Long, hi: Long): (Seq[String], Int, Int, Int) = {
-    import org.apache.spark.sql.functions.col
-    val groups = spark.read.parquet(dir(table + "__manifest2"))
-      .select(col("gid"), col(s"min_$c"), col(s"max_$c"),
-        col("has_null_extent")).collect()
-    val keptGids = groups.filter { r =>
-      r.isNullAt(1) || r.isNullAt(2) || r.getInt(3) == 1 ||
-        (r.getLong(1) <= hi && r.getLong(2) >= lo)
-    }.map(_.getInt(0)).toSeq
-    if (keptGids.isEmpty)
-      return (Seq.empty, groups.length, 0, 0)
-    val fileRows = spark.read.parquet(dir(table + "__manifest_g"))
-      .filter(col("gid").isin(keptGids: _*))
-      .select(col("file"), col(s"min_$c"), col(s"max_$c")).collect()
-    val kept = fileRows.filter { r =>
-      r.isNullAt(1) || r.isNullAt(2) ||
-        (r.getLong(1) <= hi && r.getLong(2) >= lo)
-    }.map(_.getString(0)).toSeq
-    (kept, groups.length, keptGids.length, fileRows.length)
+    val r = twoLevelConsult(spark, table, Seq((c, lo, hi)))
+      .getOrElse(sys.error(s"no two-level manifest on $table covers $c"))
+    (r.kept, r.groupsTotal, r.groupsKept, r.fileRowsPulled)
   }
 
   /** Range read through the two-level manifest — [[readPruned]] with
@@ -722,11 +759,12 @@ final case class Warehouse(root: String) {
       val fresh = fileStats(
         spark.read.schema(schema).parquet(moves.map(_._2): _*),
         manifestCols)
-      val merged = keep.unionByName(fresh).collect()
-      val mdf = spark.createDataFrame(
-        spark.sparkContext.parallelize(merged.toSeq, 1),
-        fresh.schema)
-      mdf.write.mode("overwrite").parquet(dir(table + "__manifest"))
+      // no driver roundtrip: the merged manifest is written aside and
+      // swapped in ([[mergeOverwrite]]'s crash-safe rename), so the
+      // self-read (keep scans the live manifest) never races its own
+      // overwrite and the merge stays distributed at any file count
+      mergeOverwrite(keep.unionByName(fresh).coalesce(1),
+        table + "__manifest")
     }
     delta.size
   }
@@ -795,6 +833,59 @@ final case class Warehouse(root: String) {
     (kept.toSeq, rows.length)
   }
 
+  /** Promote the per-file Bloom sidecar to TWO LEVELS, mirroring
+    * [[writeTwoLevelManifest]] for the point-lookup path: file rows
+    * are cut into `groupSize`-file groups and each group summarizes
+    * the UNION of its files' Bloom positions (Bloom bitsets are
+    * mergeable by OR — the union admits exactly the keys any member
+    * file might hold, so group-level absence is still a PROOF of
+    * absence for every file in the group). The planner then reads
+    * nGroups summary rows plus only surviving groups' file rows,
+    * never the full file-grain sidecar.
+    */
+  def writeTwoLevelBloomManifest(spark: SparkSession, table: String,
+      c: String, groupSize: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val b = spark.read.parquet(dir(table + s"__bloom_$c"))
+      .withColumn("gid",
+        ((row_number().over(Window.orderBy(col("file"))) - 1)
+          / groupSize).cast("int"))
+    b.coalesce(1).write.mode("overwrite")
+      .parquet(dir(table + s"__bloom_${c}_g"))
+    spark.read.parquet(dir(table + s"__bloom_${c}_g"))
+      .groupBy("gid")
+      .agg(count(lit(1)).as("n_files"),
+        sort_array(array_distinct(flatten(
+          collect_list(col("positions"))))).as("positions"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dir(table + s"__bloom_${c}2"))
+  }
+
+  /** Two-level Bloom consult: group summaries first (the unconditional
+    * metadata read), then only surviving groups' file rows. Returns
+    * (kept files, groups total, groups kept, file rows pulled) — the
+    * last is bounded by surviving-group sizes, the point of the tier.
+    */
+  def bloomPrunedFilesTwoLevel(spark: SparkSession, table: String,
+      c: String, key: Long, bits: Int = 4096,
+      k: Int = 4): (Seq[String], Int, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val probe = bloomPositions(key, bits, k).toSet
+    val groups = spark.read.parquet(dir(table + s"__bloom_${c}2"))
+      .select(col("gid"), col("positions")).collect()
+    val keptGids = groups.filter(r =>
+      probe.subsetOf(r.getSeq[Int](1).toSet)).map(_.getInt(0)).toSeq
+    if (keptGids.isEmpty)
+      return (Seq.empty, groups.length, 0, 0)
+    val fileRows = spark.read.parquet(dir(table + s"__bloom_${c}_g"))
+      .filter(col("gid").isin(keptGids: _*))
+      .select(col("file"), col("positions")).collect()
+    val kept = fileRows.filter(r =>
+      probe.subsetOf(r.getSeq[Int](1).toSet)).map(_.getString(0)).toSeq
+    (kept, groups.length, keptGids.length, fileRows.length)
+  }
+
   /** Point lookup through the Bloom sidecar: open only files whose
     * filter admits the key, then apply the exact equality (Bloom is
     * a superset filter — false positives open a file for nothing,
@@ -803,7 +894,12 @@ final case class Warehouse(root: String) {
   def readPointLookup(spark: SparkSession, table: String, c: String,
       key: Long, bits: Int = 4096, k: Int = 4): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val (kept, _) = bloomPrunedFiles(spark, table, c, key, bits, k)
+    // group-level first when the hierarchical sidecar exists — the
+    // driver never pulls the full file-grain Bloom table
+    val kept =
+      if (new File(dir(table + s"__bloom_${c}2")).exists())
+        bloomPrunedFilesTwoLevel(spark, table, c, key, bits, k)._1
+      else bloomPrunedFiles(spark, table, c, key, bits, k)._1
     val base =
       if (kept.isEmpty) read(spark, table).filter(lit(false))
       else spark.read.schema(read(spark, table).schema)
@@ -1311,3 +1407,12 @@ object Warehouse {
     df
   }
 }
+
+/** Result of a hierarchical (two-level) manifest consult: the kept
+  * data files plus the read-cost accounting the structure exists for —
+  * `fileRowsPulled` is the driver's file-grain read, bounded by the
+  * SURVIVING groups' sizes rather than the table's total file count.
+  */
+private[sources] final case class TwoLevelResult(kept: Seq[String],
+    filesTotal: Int, groupsTotal: Int, groupsKept: Int,
+    fileRowsPulled: Int)

@@ -116,6 +116,63 @@ class Round13Spec extends SparkSpec {
       "two-level and flat consults must keep the same files")
   }
 
+  // ---- group-level-first consults (r13 tasks 5/6) ----------------------
+
+  test("prunedFilesAll consults group-level first when the two-level " +
+    "manifest exists, keeping exactly the flat manifest's files") {
+    import spark.implicits._
+    val wh = tmpWh()
+    val df = (0L until 4000L).map(i => (i, i % 97)).toDF("k", "v")
+    wh.overwrite(df.repartitionByRange(16, col("k"))
+      .sortWithinPartitions("k"), "t")
+    wh.writeManifest(spark, "t", Seq("k"))
+    wh.writeTwoLevelManifest(spark, "t", "k", groupSize = 4)
+    val (kept, total) = wh.prunedFiles(spark, "t", "k", 100L, 350L)
+    assert(total == 16)
+    // flat expectation computed directly from the file manifest
+    val expected = spark.read.parquet(wh.root + "/t__manifest")
+      .filter(col("min_k") <= 350L && col("max_k") >= 100L)
+      .select("file").as[String].collect().toSet
+    assert(kept.toSet == expected,
+      "group-level-first consult must keep the flat consult's files")
+    // and the consult's driver pull is bounded by surviving groups
+    val (_, gTot, gKept, pulled) =
+      wh.prunedFilesTwoLevel(spark, "t", "k", 100L, 350L)
+    assert(gKept < gTot && pulled <= gKept * 4,
+      s"file rows pulled ($pulled) must be <= surviving groups x size")
+    assert(wh.readPruned(spark, "t", "k", 100L, 350L).count() == 251L)
+  }
+
+  test("two-level Bloom sidecar: group-level consult keeps the same " +
+    "files as the flat consult, pulls only surviving groups' rows, " +
+    "and readPointLookup matches the plain filter") {
+    import spark.implicits._
+    val wh = tmpWh()
+    // 16 files clustered by v (NOT k): range extents on k are useless,
+    // the Bloom sidecar is the only skip structure for k-equality
+    val df = (0L until 4000L).map(i => (i, i % 16)).toDF("k", "v")
+    wh.overwrite(df.repartition(16, col("v")), "t")
+    wh.writeBloomManifest(spark, "t", "k")
+    wh.writeTwoLevelBloomManifest(spark, "t", "k", groupSize = 4)
+    val key = 1234L
+    val (flat, nFiles) = wh.bloomPrunedFiles(spark, "t", "k", key)
+    val (kept, gTot, gKept, pulled) =
+      wh.bloomPrunedFilesTwoLevel(spark, "t", "k", key)
+    // hash-partitioning by v leaves some of the 16 partitions empty
+    // or zero-row (collisions), so don't pin 16: the sidecar has one
+    // row per file that holds rows
+    assert(nFiles >= 8 && gTot == (nFiles + 3) / 4)
+    assert(kept.toSet == flat.toSet,
+      "two levels must admit exactly the flat consult's files")
+    assert(pulled <= gKept * 4,
+      s"file rows pulled ($pulled) must be bounded by surviving groups")
+    val got = wh.readPointLookup(spark, "t", "k", key)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1234L, 1234L % 16)))
+    // absent key: proof of absence at whichever level prunes first
+    assert(wh.readPointLookup(spark, "t", "k", 999999L).count() == 0L)
+  }
+
   // ---- transaction journal: torn/malformed lines ----------------------
 
   test("recoverTransact: malformed journal lines are skipped, " +
