@@ -10,16 +10,19 @@ import org.apache.spark.sql.types._
   * container level — magic-number format sniffing plus PNG IHDR /
   * JPEG marker-scan / WAV chunk-walk / MP4 box-walk extraction over
   * actual bytes ([[sniffFormat]]/[[pngDims]]/[[jpegDims]]/[[wavMeta]]/
-  * [[mp4Meta]]) — and, for the uncompressed 24-bpp BMP tier, REAL at
-  * the PIXEL level too: [[bmpMeta]] reads the pixel array itself
-  * (row-padding-aware, orientation-aware) and derives content
-  * features from sample values. Compressed-codec pixel decode (JPEG
-  * entropy decoding etc., which needs codec libraries this container
-  * lacks) stays out of scope; the Spark-side shape — binary column,
-  * typed metadata struct, partition-batched extraction, explicit
-  * output schema — is exactly what a production codec (JNI lib)
-  * would plug into, and the BMP branch proves the plumbing end to
-  * end on real pixels.
+  * [[mp4Meta]]) — and REAL at the PIXEL level for two formats:
+  * [[bmpMeta]] reads the uncompressed 24-bpp BMP pixel array itself
+  * (row-padding-aware, orientation-aware), and [[pngPixels]] decodes
+  * 8-bit RGB PNGs end to end — chunk walk, a from-scratch [[inflate]]
+  * for stored/fixed-Huffman deflate blocks (RFC 1950/1951, including
+  * LZ77 back-references), and full five-filter scanline
+  * reconstruction (RFC 2083) — both deriving content features from
+  * actual sample values. JPEG entropy decode (a full arithmetic/
+  * Huffman DCT codec) stays out of scope; the Spark-side shape —
+  * binary column, typed metadata struct, partition-batched
+  * extraction, explicit output schema — is exactly what a production
+  * codec (JNI lib) would plug into, and the BMP + PNG branches prove
+  * the plumbing end to end on real pixels.
   *
   * Scale notes: payloads stay distributed (no collect); extraction is
   * mapPartitions so a real decoder amortizes per-partition init (codec
@@ -957,6 +960,110 @@ object Multimodal {
           length(col("payload")).cast("long").as("n_bytes")).as("meta"))
   }
 
+  private def be4hCol(x: Column): Column = lpad(hex(x), 8, "0")
+
+  /** The full PNG file as a hex column — [[bmpHexCol]]'s device at
+    * the PNG tier, shared by [[asPngPixelTable]] and
+    * [[asPixelPairTable]] so generators cannot drift. Pixel content
+    * is the closed form v(k) = (id·7 + k) mod 251 over VISUAL stream
+    * position k = r·3w + c (PNG rows are unpadded and top-down — the
+    * two layout differences from BMP). Rows are FILTERED at write
+    * time with ft = (id + r) mod 5 — every one of PNG's five filters
+    * (None/Sub/Up/Average/Paeth) appears across the corpus, each
+    * encoded as the spec's difference against reconstructed
+    * neighbors (which are closed-form v values, so the arithmetic
+    * stays column-expressible): a decoder that skips or botches any
+    * reconstruction rule fails the oracle on those rows. The IDAT is
+    * ONE stored-deflate block (LEN/NLEN framing); checksums are
+    * zeroed — the decoder checks structure, the oracle gates
+    * content. All codegen'd hex built-ins, no UDF.
+    */
+  private def pngHexCol(id: Column, w: Column, h: Column): Column = {
+    val threeW = w * 3
+    val rowLen = threeW + 1
+    val rawN = h * rowLen
+    def vAt(t: Column): Column = (id * 7 + t) % 251
+    val rawHex = array_join(
+      transform(sequence(lit(0L), rawN - 1), j => {
+        val r = floor(j / rowLen).cast("long")
+        val pos = j % rowLen
+        val c = pos - 1
+        val k = r * threeW + c
+        val ft = (id + r) % 5
+        val left = when(c >= 3, vAt(k - 3)).otherwise(lit(0L))
+        val up = when(r >= 1, vAt(k - threeW)).otherwise(lit(0L))
+        val ul = when(r >= 1 && c >= 3, vAt(k - threeW - 3))
+          .otherwise(lit(0L))
+        val pr = left + up - ul
+        val pa = abs(pr - left); val pb = abs(pr - up)
+        val pd = abs(pr - ul)
+        val paeth = when(pa <= pb && pa <= pd, left)
+          .when(pb <= pd, up).otherwise(ul)
+        val pred = when(ft === 1, left).when(ft === 2, up)
+          .when(ft === 3, floor((left + up) / 2).cast("long"))
+          .when(ft === 4, paeth).otherwise(lit(0L))
+        val fb = pmod(vAt(k) - pred, lit(256L))
+        lpad(hex(when(pos === 0, ft).otherwise(fb)), 2, "0")
+      }), "")
+    concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D" + "49484452"), be4hCol(w), be4hCol(h),
+      lit("0802000000" + "00000000"), // 8-bit RGB; CRC zeroed
+      be4hCol(rawN + 11), lit("49444154"), // IDAT: zlib+stored+adler
+      lit("7801" + "01"), le2hCol(rawN), le2hCol(lit(65535L) - rawN),
+      rawHex, lit("00000000" + "00000000"), // adler + CRC zeroed
+      lit("00000000" + "49454E44" + "00000000")) // IEND
+  }
+
+  /** Deterministic PNG pixel table — [[asBmpTable]]'s device at the
+    * PNG tier: `id%3==2` raw text garbage (the undecodable path);
+    * otherwise the [[pngHexCol]] image at [[asBmpTable]]'s geometry
+    * (w = id%6+1, h = id%4+1).
+    */
+  def asPngPixelTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val m = id % 3
+    val pngHex = pngHexCol(id, id % 6 + 1, id % 4 + 1)
+    docs.select(
+      id.as("media_id"),
+      when(m === 2, lit("text/plain")).otherwise(lit("image/png"))
+        .as("modality"),
+      when(m === 2, encode(col("text"), "UTF-8"))
+        .otherwise(unhex(pngHex)).as("payload"),
+      col("source"))
+      .select(col("media_id"), col("modality"), col("payload"),
+        struct(col("source"),
+          length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** Cross-format pair table: every doc's pixel content — the SAME
+    * closed form v(k) over visual position — encoded BOTH as a
+    * bottom-up 24-bpp BMP (stored rows reversed, padded) and as a
+    * filtered PNG ([[pngHexCol]]). The two files share not one byte
+    * of layout; only the decoded content coincides — the planted
+    * ground truth for [[crossFormatHash]]'s container-invariance.
+    */
+  def asPixelPairTable(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = id % 6 + 1
+    val h = id % 4 + 1
+    val stride = ((w * 3 + 3).cast("long") / 4).cast("long") * 4
+    val pixN = stride * h
+    val threeW = w * 3
+    // stored offset j in a bottom-up BMP: stored row j/stride is
+    // visual row h-1-that, so the visual position is recomputed per
+    // byte; padding bytes (c >= 3w) carry 0 and are never hashed
+    val bmpHex = bmpHexCol(w, h, stride, pixN, j => {
+      val sr = floor(j / stride).cast("long")
+      val c = j % stride
+      val k = (h - 1 - sr) * threeW + c
+      lpad(hex(when(c < threeW, (id * 7 + k) % 251)
+        .otherwise(lit(0L))), 2, "0")
+    })
+    docs.select(id.as("media_id"), unhex(bmpHex).as("bmp"),
+      unhex(pngHexCol(id, w, h)).as("png"))
+  }
+
   /** PIXEL-DOMAIN perceptual hash — [[columnHash60]]'s comparison
     * structure fed from DECODED PIXELS instead of raw file bytes:
     * walk the image in VISUAL order (top row first — stored rows are
@@ -1033,6 +1140,280 @@ object Multimodal {
       }
       .toDF("media_id", "format", "width", "height", "pix_sum",
         "top_row_sum", "n_bytes")
+  }
+
+  // ---- PNG pixel tier: stored/fixed-Huffman inflate + defilter ------
+
+  // RFC 1951 §3.2.5 length/distance code tables (public constants)
+  private val lenBase = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17,
+    19, 23, 27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195,
+    227, 258)
+  private val lenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2,
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+  private val distBase = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33,
+    49, 65, 97, 129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073,
+    4097, 6145, 8193, 12289, 16385, 24577)
+  private val distExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5,
+    5, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+
+  /** Minimal INFLATE (RFC 1950/1951) for the DEFLATE subset a decoder
+    * can implement as pure byte arithmetic: STORED (BTYPE=00) and
+    * FIXED-HUFFMAN (BTYPE=01) blocks, including LZ77 length/distance
+    * back-references — dynamic-Huffman (BTYPE=10) returns None (its
+    * code-length-code machinery is a full codec, the same line
+    * [[jpegDims]] draws before entropy decode). The zlib wrapper is
+    * checked structurally (CM=8, no preset dictionary); adler32 is
+    * NOT verified — checksums are integrity, not structure, and the
+    * pixel content is gated end-to-end by the oracle. `outCap`
+    * bounds the output — a hostile stream cannot balloon memory, and
+    * any read past the buffer resolves to None, never a throw (the
+    * jpegExif lesson: executors must get the documented miss row).
+    */
+  private[graft] def inflate(z: Array[Byte],
+      outCap: Int): Option[Array[Byte]] = {
+    if (z.length < 3 || (z(0) & 0x0f) != 8 || (z(1) & 0x20) != 0)
+      return None
+    val nBits = z.length * 8
+    var bitPos = 16 // past the 2-byte zlib header
+    def bit(): Int = {
+      val b = (z(bitPos >> 3) >> (bitPos & 7)) & 1; bitPos += 1; b
+    }
+    // extra-bit fields are LSB-first (DEFLATE's natural bit order)...
+    def bitsLsb(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v |= bit() << i; i += 1 }; v
+    }
+    // ...but Huffman CODES are read most-significant code bit first
+    def bitsMsb(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }; v
+    }
+    val out = new Array[Byte](outCap)
+    var oLen = 0
+    try {
+      var fin = false
+      while (!fin) {
+        if (bitPos + 3 > nBits) return None
+        fin = bit() == 1
+        val btype = bitsLsb(2)
+        if (btype == 0) { // stored: byte-align, LEN/NLEN, raw copy
+          bitPos = (bitPos + 7) & ~7
+          val at = bitPos >> 3
+          if (at + 4 > z.length) return None
+          val len = (z(at) & 0xff) | ((z(at + 1) & 0xff) << 8)
+          val nlen = (z(at + 2) & 0xff) | ((z(at + 3) & 0xff) << 8)
+          if ((len ^ 0xffff) != nlen) return None
+          if (at + 4 + len > z.length || oLen + len > outCap) return None
+          System.arraycopy(z, at + 4, out, oLen, len)
+          oLen += len
+          bitPos = (at + 4 + len) << 3
+        } else if (btype == 1) { // fixed Huffman (RFC 1951 §3.2.6)
+          var eob = false
+          while (!eob) {
+            // lit/len alphabet: 7-bit codes 0-23 → 256-279; 8-bit
+            // 48-191 → 0-143; 8-bit 192-199 → 280-287; 9-bit
+            // 400-511 → 144-255
+            var c = bitsMsb(7)
+            val sym =
+              if (c <= 23) 256 + c
+              else {
+                c = (c << 1) | bit()
+                if (c >= 48 && c <= 191) c - 48
+                else if (c >= 192 && c <= 199) 280 + (c - 192)
+                else {
+                  c = (c << 1) | bit()
+                  if (c >= 400 && c <= 511) 144 + (c - 400)
+                  else return None
+                }
+              }
+            if (sym < 256) {
+              if (oLen >= outCap) return None
+              out(oLen) = sym.toByte; oLen += 1
+            } else if (sym == 256) eob = true
+            else {
+              if (sym > 285) return None
+              val li = sym - 257
+              val len = lenBase(li) + bitsLsb(lenExtra(li))
+              val dc = bitsMsb(5)
+              if (dc > 29) return None
+              val dist = distBase(dc) + bitsLsb(distExtra(dc))
+              if (dist > oLen || oLen + len > outCap) return None
+              var k = 0
+              while (k < len) { // byte-by-byte: overlap is defined
+                out(oLen) = out(oLen - dist); oLen += 1; k += 1
+              }
+            }
+          }
+        } else return None // dynamic Huffman: outside this subset
+      }
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => return None
+    }
+    Some(java.util.Arrays.copyOf(out, oLen))
+  }
+
+  /** REAL PIXEL-LEVEL DECODE for 8-bit RGB (color type 2,
+    * non-interlaced) PNGs whose IDAT stream uses stored or
+    * fixed-Huffman deflate blocks — [[bmpMeta]]'s pixel path extended
+    * to the format web corpora actually carry: IHDR geometry check,
+    * IDAT concatenation across chunks (the spec allows any split),
+    * [[inflate]], then scanline DEFILTERING — all five PNG filters
+    * (None/Sub/Up/Average/Paeth, RFC 2083 §6.2-6.6) are reconstructed
+    * byte-exactly, so the return is actual SAMPLE values, not file
+    * bytes (a decoder that skips defiltering gets every non-None row
+    * wrong — the oracle-gated property). Chunk CRCs are not verified
+    * (structure, not integrity — same line as [[inflate]]'s adler).
+    * Returns (width, height, pixels) with rows already in VISUAL
+    * top-down order (PNG stores top-first, unpadded — the two layout
+    * differences from BMP). None for non-PNG, other color
+    * types/depths, interlace, or a truncated/mismatched stream.
+    */
+  def pngPixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (sniffFormat(p) != "png" || p.length < 45) return None
+    if (be4(p, 8) != 13L || !(p(12) == 'I' && p(13) == 'H' &&
+      p(14) == 'D' && p(15) == 'R')) return None
+    val w = be4(p, 16); val h = be4(p, 20)
+    if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return None
+    if (p(24) != 8 || p(25) != 2 || p(26) != 0 || p(27) != 0 ||
+      p(28) != 0) return None
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 33 // signature(8) + IHDR chunk(25)
+    var done = false
+    while (!done && i + 12 <= p.length) {
+      val len = be4(p, i)
+      if (len < 0 || i + 12 + len > p.length) return None
+      if (p(i + 4) == 'I' && p(i + 5) == 'D' && p(i + 6) == 'A' &&
+        p(i + 7) == 'T') idat.write(p, i + 8, len.toInt)
+      if (p(i + 4) == 'I' && p(i + 5) == 'E' && p(i + 6) == 'N' &&
+        p(i + 7) == 'D') done = true
+      i += 12 + len.toInt
+    }
+    if (!done || idat.size() == 0) return None
+    val (wi, hi) = (w.toInt, h.toInt)
+    val rowLen = 1 + 3 * wi
+    val rawLen = rowLen * hi
+    val raw = inflate(idat.toByteArray, rawLen) match {
+      case Some(r) if r.length == rawLen => r
+      case _ => return None
+    }
+    val px = new Array[Byte](3 * wi * hi)
+    var r = 0
+    while (r < hi) {
+      val ft = raw(r * rowLen) & 0xff
+      if (ft > 4) return None
+      var c = 0
+      while (c < 3 * wi) {
+        val x = raw(r * rowLen + 1 + c) & 0xff
+        // bpp = 3: "left" is the same channel one PIXEL back
+        val a = if (c >= 3) px(r * 3 * wi + c - 3) & 0xff else 0
+        val b = if (r > 0) px((r - 1) * 3 * wi + c) & 0xff else 0
+        val d = if (r > 0 && c >= 3) px((r - 1) * 3 * wi + c - 3) & 0xff
+          else 0
+        val rec = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case _ => // Paeth: nearest of a/b/d to p=a+b-d, ties a,b,d
+            val pr = a + b - d
+            val pa = math.abs(pr - a); val pb = math.abs(pr - b)
+            val pd = math.abs(pr - d)
+            x + (if (pa <= pb && pa <= pd) a else if (pb <= pd) b else d)
+        }
+        px(r * 3 * wi + c) = (rec & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    Some((wi, hi, px))
+  }
+
+  /** [[bmpMeta]]'s quadruple for PNGs: (width, height, pix_sum,
+    * top_row_sum) over [[pngPixels]]' reconstructed samples — the
+    * top row is row 0 (PNG is stored top-down; no orientation branch
+    * to get wrong, but the sums are over DEFILTERED bytes, which
+    * file-level arithmetic structurally cannot produce).
+    */
+  def pngPixelMeta(p: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    pngPixels(p).map { case (w, _, px) =>
+      var s = 0L; var t = 0L; var i = 0
+      while (i < px.length) {
+        val v = px(i) & 0xffL
+        s += v; if (i < 3 * w) t += v
+        i += 1
+      }
+      (w.toLong, (px.length / (3 * w)).toLong, s, t)
+    }
+
+  /** Fold a visual-order pixel stream into the 60-bit comparison code
+    * ([[pixelHash60]]'s structure, factored so every format feeds the
+    * SAME fold): position-k bytes accumulate into column sum k mod
+    * 60, one bit per adjacent-column comparison.
+    */
+  private def fold60(px: Array[Byte]): Long = {
+    val s = new Array[Long](60)
+    var i = 0
+    while (i < px.length) { s(i % 60) += px(i) & 0xffL; i += 1 }
+    var code = 0L
+    var k = 0
+    while (k < 60) {
+      if (s(k) > s((k + 1) % 60)) code |= 1L << k
+      k += 1
+    }
+    code
+  }
+
+  /** [[pixelHash60]] with FORMAT DISPATCH: BMPs walk the stored array
+    * orientation-normalized, PNGs fold [[pngPixels]]' already-visual
+    * defiltered rows — so the same pixel content hashes IDENTICALLY
+    * whichever container carried it (spec-pinned, and oracle-gated by
+    * the cross-format query). That is the property that makes the
+    * hash a CONTENT key rather than a file key: a corpus's
+    * re-encoded duplicates (same image, different container) land in
+    * the same LSH buckets.
+    */
+  def pixelHash60Any(p: Array[Byte]): Option[Long] = sniffFormat(p) match {
+    case "bmp" => pixelHash60(p)
+    case "png" => pngPixels(p).map { case (_, _, px) => fold60(px) }
+    case _ => None
+  }
+
+  /** Pixel-level decode over a media table, PNG edition —
+    * [[decodeBmpMeta]]'s schema with [[pngPixelMeta]]'s parse.
+    */
+  def decodePngMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (mid, p) =>
+          pngPixelMeta(p) match {
+            case Some((w, h, ps, trs)) =>
+              (mid, "png", w, h, ps, trs, p.length.toLong)
+            case None => (mid, "unknown", 0L, 0L, 0L, 0L, p.length.toLong)
+          }
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "pix_sum",
+        "top_row_sum", "n_bytes")
+  }
+
+  /** Cross-format pixel hash over a paired media table (bmp + png
+    * payloads carrying the SAME pixel content): one partition-batched
+    * pass computing both [[pixelHash60Any]] values per row. -1 marks
+    * an undecodable payload (never expected on the generated corpus —
+    * the oracle would catch it as a hash mismatch).
+    */
+  def crossFormatHash(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select("media_id", "bmp", "png")
+      .as[(Long, Array[Byte], Array[Byte])]
+      .mapPartitions(_.map { case (id, b, g) =>
+        (id, pixelHash60Any(b).getOrElse(-1L),
+          pixelHash60Any(g).getOrElse(-1L))
+      })
+      .toDF("media_id", "phash_bmp", "phash_png")
   }
 
   private def be8(p: Array[Byte], i: Int): Long =

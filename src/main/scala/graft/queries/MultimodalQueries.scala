@@ -972,6 +972,101 @@ object MultimodalQueries {
       Multimodal.asPngTextTable(Tables(s, dir, "documents")))
   }
 
+  /** PNG PIXEL DECODE — q230's real-pixel gate extended to the format
+    * web corpora actually carry: [[Multimodal.asPngPixelTable]] emits
+    * 8-bit RGB PNGs whose single stored-deflate IDAT carries
+    * scanlines FILTERED at write time with ft = (id + r) mod 5 — all
+    * five PNG filters appear, each encoded as the spec's difference
+    * against reconstructed neighbors. The engine parses real bytes
+    * ([[Multimodal.pngPixels]]: chunk walk → inflate → defilter); the
+    * oracle recomputes pix_sum/top_row_sum from the generator's
+    * closed form v(k) = (id·7 + k) mod 251 over VISUAL position (no
+    * padding — PNG rows are unpadded, the layout difference from
+    * q230's BMP) — the double-derivation device: a decoder that
+    * skips defiltering, or botches Sub/Up/Average/Paeth
+    * reconstruction, fails on those rows. `id%3==2` rows are raw
+    * text exercising the 'unknown' path.
+    *
+    * Shape: map-only synthesis + partition-batched decode (no
+    * exchange at all before the sink) — at 100 TB this is the
+    * embarrassingly-parallel scan every media pipeline starts with.
+    */
+  val q276 = Q("q276_png_pixel_decode",
+    """WITH g AS (
+      |  SELECT doc_id, text, doc_id % 3 AS m,
+      |    (doc_id % 6) + 1 AS w, (doc_id % 4) + 1 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, sum(v) AS pix_sum,
+      |    sum(CASE WHEN i < 3 * w THEN v ELSE 0 END) AS top_row_sum
+      |  FROM (
+      |    SELECT doc_id, w, i, (doc_id * 7 + i) % 251 AS v
+      |    FROM (
+      |      SELECT doc_id, w, h,
+      |        CAST(unnest(range(0, h * 3 * w)) AS BIGINT) AS i
+      |      FROM g WHERE m < 2) t1) t2
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id AS media_id,
+      |  CASE WHEN m < 2 THEN 'png' ELSE 'unknown' END AS format,
+      |  CAST(CASE WHEN m < 2 THEN w ELSE 0 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN m < 2 THEN h ELSE 0 END AS BIGINT) AS height,
+      |  CAST(coalesce(px.pix_sum, 0) AS BIGINT) AS pix_sum,
+      |  CAST(coalesce(px.top_row_sum, 0) AS BIGINT) AS top_row_sum,
+      |  CAST(CASE WHEN m < 2 THEN 68 + h * (1 + 3 * w)
+      |    ELSE len(text) END AS BIGINT) AS n_bytes
+      |FROM g LEFT JOIN px ON px.doc_id = g.doc_id""".stripMargin) {
+    (s, dir) =>
+    Multimodal.decodePngMeta(
+      Multimodal.asPngPixelTable(Tables(s, dir, "documents")))
+  }
+
+  /** CROSS-FORMAT PIXEL-HASH INVARIANCE — the property that makes
+    * q233's perceptual hash a CONTENT key rather than a file key:
+    * [[Multimodal.asPixelPairTable]] encodes each doc's pixel content
+    * (closed form over visual position) BOTH as a bottom-up padded
+    * BMP and as a filtered stored-deflate PNG — two containers
+    * sharing not one byte of layout — and
+    * [[Multimodal.crossFormatHash]] decodes each through its real
+    * parser and folds both into the 60-bit code. The oracle computes
+    * the hash ONCE from the closed form (q233's sum/bit assembly)
+    * and emits it for BOTH columns: any decode divergence between
+    * the two format paths, or any orientation/padding slip, breaks
+    * the equality. This is the dedup story for re-encoded duplicates
+    * (same image, different container) every crawl corpus contains.
+    *
+    * Shape: map-only synthesis + one partition-batched double decode;
+    * no exchange — the hash feeds q233's band-LSH downstream.
+    */
+  val q277 = Q("q277_pixel_phash_crossformat",
+    """WITH g AS (
+      |  SELECT doc_id, (doc_id % 6) + 1 AS w, (doc_id % 4) + 1 AS h
+      |  FROM documents),
+      |cs AS (
+      |  SELECT doc_id, i % 60 AS k, sum((doc_id * 7 + i) % 251) AS s
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(unnest(range(0, h * 3 * w)) AS BIGINT) AS i
+      |    FROM g) t
+      |  GROUP BY doc_id, i % 60),
+      |ks AS (
+      |  SELECT g.doc_id, r.k, coalesce(cs.s, 0) AS s
+      |  FROM g
+      |  CROSS JOIN (SELECT unnest(range(0, 60)) AS k) r
+      |  LEFT JOIN cs ON cs.doc_id = g.doc_id AND cs.k = r.k),
+      |code AS (
+      |  SELECT a.doc_id,
+      |    sum(CASE WHEN a.s > b2.s THEN 1::BIGINT << CAST(a.k AS INT)
+      |        ELSE 0 END) AS sh
+      |  FROM ks a JOIN ks b2 ON b2.doc_id = a.doc_id
+      |    AND b2.k = (a.k + 1) % 60
+      |  GROUP BY a.doc_id)
+      |SELECT doc_id AS media_id, CAST(sh AS BIGINT) AS phash_bmp,
+      |  CAST(sh AS BIGINT) AS phash_png
+      |FROM code""".stripMargin) { (s, dir) =>
+    Multimodal.crossFormatHash(
+      Multimodal.asPixelPairTable(Tables(s, dir, "documents")))
+  }
+
   val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176,
-    q179, q203, q212, q230, q233, q234, q243)
+    q179, q203, q212, q230, q233, q234, q243, q276, q277)
 }

@@ -173,6 +173,157 @@ class Round13Spec extends SparkSpec {
     assert(wh.readPointLookup(spark, "t", "k", 999999L).count() == 0L)
   }
 
+  // ---- PNG pixel tier (r13 task 3) -------------------------------------
+
+  // LSB-first bit writer for hand-encoding deflate test vectors
+  private class BitW {
+    private val bytes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    private var cur = 0; private var n = 0
+    def putLsb(v: Int, bits: Int): Unit = {
+      var i = 0
+      while (i < bits) {
+        cur |= ((v >> i) & 1) << n; n += 1
+        if (n == 8) { bytes += cur; cur = 0; n = 0 }
+        i += 1
+      }
+    }
+    // Huffman codes go on the wire most-significant code bit first
+    def putMsb(v: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) { putLsb((v >> i) & 1, 1); i -= 1 }
+    }
+    def result(): Array[Byte] = {
+      val out = bytes.toArray :+ (if (n > 0) cur else -1)
+      (if (n > 0) out else bytes.toArray).filter(_ >= 0).map(_.toByte)
+    }
+  }
+
+  private def fixedLit(bw: BitW, b: Int): Unit =
+    if (b < 144) bw.putMsb(48 + b, 8) else bw.putMsb(400 + (b - 144), 9)
+
+  test("inflate: a fixed-Huffman block with 9-bit literals and an " +
+    "LZ77 length/distance repeat decodes exactly; dynamic is None") {
+    val bw = new BitW
+    bw.putLsb(1, 1) // BFINAL
+    bw.putLsb(1, 2) // BTYPE fixed
+    // literals: 10, 200 (9-bit range), 30
+    Seq(10, 200, 30).foreach(fixedLit(bw, _))
+    // repeat length 4, distance 3 -> copies 10,200,30,10
+    bw.putMsb(0 + (257 - 256 + 23 - 22), 7) // len code 258 = 7-bit code 2
+    bw.putMsb(2, 5) // dist code 2 = distance 3, no extra bits
+    bw.putMsb(0, 7) // end of block (code 256 = 7-bit 0)
+    val body = bw.result()
+    val z = Array[Byte](0x78.toByte, 0x01) ++ body ++ Array.fill(4)(0.toByte)
+    val got = Multimodal.inflate(z, 16)
+    assert(got.map(_.toSeq.map(_ & 0xff)) ==
+      Some(Seq(10, 200, 30, 10, 200, 30, 10)))
+    // dynamic-Huffman block type is refused, not misparsed
+    val dyn = new BitW
+    dyn.putLsb(1, 1); dyn.putLsb(2, 2)
+    assert(Multimodal.inflate(
+      Array[Byte](0x78.toByte, 0x01) ++ dyn.result(), 16).isEmpty)
+    // truncated stream resolves to None, never a throw
+    assert(Multimodal.inflate(z.dropRight(6), 16).isEmpty)
+  }
+
+  test("inflate: stored blocks round-trip, bad NLEN is refused") {
+    val payload = (0 until 40).map(i => ((i * 37) % 256).toByte).toArray
+    val len = payload.length
+    val z = Array[Byte](0x78.toByte, 0x01, 0x01,
+      (len & 0xff).toByte, ((len >> 8) & 0xff).toByte,
+      (~len & 0xff).toByte, ((~len >> 8) & 0xff).toByte) ++
+      payload ++ Array.fill(4)(0.toByte)
+    assert(Multimodal.inflate(z, 64).map(_.toSeq) == Some(payload.toSeq))
+    val bad = z.clone(); bad(5) = (bad(5) ^ 1).toByte
+    assert(Multimodal.inflate(bad, 64).isEmpty)
+  }
+
+  test("pngPixels: every filter type reconstructs byte-exactly on a " +
+    "hand-built 2x3 image (one row per filter class)") {
+    // pixels (2 wide, 3 rows, RGB): visual bytes 0..17 scaled
+    val px = Array.tabulate(18)(i => (i * 13 % 256))
+    // encode rows with filters: row0 Sub(1), row1 Up(2), row2 Paeth(4)
+    val rowLen = 7
+    val raw = new Array[Byte](3 * rowLen)
+    raw(0) = 1
+    for (c <- 0 until 6) {
+      val a = if (c >= 3) px(c - 3) else 0
+      raw(1 + c) = ((px(c) - a) & 0xff).toByte
+    }
+    raw(rowLen) = 2
+    for (c <- 0 until 6)
+      raw(rowLen + 1 + c) = ((px(6 + c) - px(c)) & 0xff).toByte
+    raw(2 * rowLen) = 4
+    for (c <- 0 until 6) {
+      val a = if (c >= 3) px(12 + c - 3) else 0
+      val b = px(6 + c)
+      val d = if (c >= 3) px(6 + c - 3) else 0
+      val pr = a + b - d
+      val pa = math.abs(pr - a); val pb = math.abs(pr - b)
+      val pd = math.abs(pr - d)
+      val pred = if (pa <= pb && pa <= pd) a else if (pb <= pd) b else d
+      raw(2 * rowLen + 1 + c) = ((px(12 + c) - pred) & 0xff).toByte
+    }
+    val n = raw.length
+    val zlib = Array[Byte](0x78.toByte, 0x01, 0x01,
+      (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+      (~n & 0xff).toByte, ((~n >> 8) & 0xff).toByte) ++
+      raw ++ Array.fill(4)(0.toByte)
+    def be4(v: Int) = Array[Byte](((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    val png = hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452") ++
+      be4(2) ++ be4(3) ++
+      hexBytes("0802000000" + "00000000") ++
+      be4(zlib.length) ++ "IDAT".getBytes("US-ASCII") ++ zlib ++
+      hexBytes("00000000") ++
+      hexBytes("00000000") ++ "IEND".getBytes("US-ASCII") ++
+      hexBytes("00000000")
+    val got = Multimodal.pngPixels(png)
+    assert(got.isDefined, "the hand-built PNG must decode")
+    val (w, h, out) = got.get
+    assert(w == 2 && h == 3)
+    assert(out.toSeq.map(_ & 0xff) == px.toSeq)
+  }
+
+  test("cross-format pixel hash: the same content as bottom-up BMP " +
+    "and as filtered PNG hashes identically for every doc") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, s"doc $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val hashed = Multimodal.crossFormatHash(
+      Multimodal.asPixelPairTable(docs))
+      .as[(Long, Long, Long)].collect()
+    assert(hashed.length == 60)
+    assert(hashed.forall(r => r._2 >= 0 && r._3 >= 0),
+      "every generated payload must decode")
+    assert(hashed.forall(r => r._2 == r._3),
+      "container must not change the content hash")
+  }
+
+  test("decodePngMeta agrees with the closed-form pixel sums on the " +
+    "generated corpus (all five filters in play)") {
+    import spark.implicits._
+    val docs = (1L to 45L).map(i => (i, s"doc $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Multimodal.decodePngMeta(Multimodal.asPngPixelTable(docs))
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    (1L to 45L).foreach { id =>
+      val r = got(id)
+      if (id % 3 == 2) assert(r._2 == "unknown" && r._5 == 0L)
+      else {
+        val w = (id % 6 + 1).toInt; val h = (id % 4 + 1).toInt
+        val vs = (0 until h * 3 * w).map(k => (id * 7 + k) % 251)
+        assert(r._2 == "png" && r._3 == w && r._4 == h,
+          s"id $id geometry")
+        assert(r._5 == vs.sum, s"id $id pix_sum")
+        assert(r._6 == vs.take(3 * w).sum, s"id $id top_row_sum")
+        assert(r._7 == 68L + h * (1 + 3 * w), s"id $id n_bytes")
+      }
+    }
+  }
+
   // ---- transaction journal: torn/malformed lines ----------------------
 
   test("recoverTransact: malformed journal lines are skipped, " +
