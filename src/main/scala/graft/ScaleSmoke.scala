@@ -106,7 +106,13 @@ object ScaleSmoke {
     graft.queries.Extras.prewarm(spark, workDir)
     val picked =
       if (only.isEmpty) Registry.all else Registry.all.filter(q => only(q.name))
-    val results = Bench.run(spark, workDir, picked)
+    // min across two full passes (Bench's billing): a single-shot
+    // sample at one factor is session-JIT-sensitive enough to fake
+    // super-linearity (q266's f=8 spread was 66-86 s across identical
+    // runs before this); the pass-2 warm sample is comparable ACROSS
+    // factors, which is all a ratio needs
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val results = Bench.run(spark, workDir, picked, passes)
       .map(t => (t.name, t.sec, t.err, t.hygiene))
     def jstr(s: String): String =
       "\"" + s.flatMap {

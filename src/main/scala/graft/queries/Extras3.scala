@@ -2174,8 +2174,57 @@ object Extras3 {
         expr(wilsonLo).as("wilson_lo"))
   }
 
+  /** CAS COMMIT LOG — the multi-writer tier the journaled single-
+    * writer devices (q268's transact, q244's mergeInto) cannot give:
+    * table state is a chain of commit files published by atomic
+    * create-if-absent ([[Warehouse.casTryCommit]]'s hard-link CAS —
+    * the Iceberg/Delta catalog-CAS pattern on a local FS), so two
+    * uncoordinated writers race safely: one wins each version, the
+    * loser retries against the new head (Round13Spec pins the
+    * interleave — no lost rows, and a conflicting mid-merge append
+    * forces the merge to recompute, never apply to a stale base).
+    * The query drives the full read path: three CAS-appended waves,
+    * a CAS REPLACE (keep urgent orders only), then a post-replace
+    * append — [[Warehouse.casRead]] must replay from the LAST replace
+    * and union exactly the surviving commits' directories. The oracle
+    * states the equivalent set algebra directly.
+    *
+    * 100 TB shape: the log replay is driver-side at COMMIT grain (one
+    * line per commit — the transaction-log read every table format's
+    * planner performs); data files stay distributed and are opened
+    * only if their commit survives the replay.
+    */
+  val q278 = Q("q278_cas_commit_log",
+    """WITH kept AS (
+      |  SELECT o_orderpriority, o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderpriority, o_orderkey FROM orders
+      |  WHERE o_orderkey % 7 = 0)
+      |SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM kept GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"casstore_${SessionScratch.keyOf(dir)}"))
+    val tbl = s"cas_orders_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, tbl) {
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      (0L to 2L).foreach(i =>
+        wh.casAppend(o.filter(col("o_orderkey") % 3 === i), tbl))
+      wh.casReplace(s, tbl)(cur =>
+        cur.filter(col("o_orderpriority") === "1-URGENT"))
+      wh.casAppend(o.filter(col("o_orderkey") % 7 === 0), tbl)
+      ()
+    }
+    wh.casRead(s, tbl).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"))
+  }
+
   val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260,
     q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273, q274, q275)
+    q271, q272, q273, q274, q275, q278)
 }

@@ -1053,6 +1053,135 @@ final case class Warehouse(root: String) {
       sys.error(s"recovery failed: cannot restore $old to $live")
   }
 
+  // ---- optimistic concurrency: CAS commit log ----------------------
+
+  private def casLogDir(table: String): File = {
+    val d = new File(dir(table + "__log")); d.mkdirs(); d
+  }
+
+  private def casCommitFile(table: String, n: Int): File =
+    new File(casLogDir(table), f"$n%09d.commit")
+
+  /** Highest committed version of a CAS-logged table (0 = empty).
+    * Versions are contiguous by construction: committing N requires
+    * observing head N-1 (inductively, every committed number's
+    * predecessor existed first), so max IS the head.
+    */
+  def casHead(table: String): Int =
+    Option(casLogDir(table).listFiles()).getOrElse(Array())
+      .map(_.getName).filter(_.endsWith(".commit"))
+      .flatMap(_.stripSuffix(".commit").toIntOption)
+      .foldLeft(0)(math.max)
+
+  /** The compare-and-swap primitive: publish `lines` as version `n`
+    * IF AND ONLY IF no other writer got there first. The content is
+    * fully written to a private temp file, then HARD-LINKED to the
+    * commit name — link(2) is atomic create-if-absent WITH content
+    * (a plain rename would silently replace a concurrent winner on
+    * POSIX; O_EXCL creation alone cannot carry content atomically).
+    * Returns false on conflict — the commit file either appears
+    * complete or not at all, never torn. This is the same primitive
+    * an object-store deployment gets from conditional PUT
+    * (If-None-Match) and Iceberg/Delta get from their catalog CAS.
+    */
+  private def casTryCommit(table: String, n: Int,
+      lines: Seq[String]): Boolean = {
+    val tmp = new File(casLogDir(table),
+      f"$n%09d.tmp-" + java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.write(tmp.toPath,
+      lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      java.nio.file.Files.createLink(
+        casCommitFile(table, n).toPath, tmp.toPath)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp.toPath)
+      ()
+    }
+  }
+
+  /** Thrown when a CAS writer exhausts its retries — the caller
+    * decides whether to back off and resubmit; no partial state
+    * exists (staged-but-uncommitted files are invisible to readers).
+    */
+  final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  /** MULTI-WRITER APPEND — optimistic concurrency for the insert
+    * path: data files land under a writer-unique staging directory
+    * FIRST (uncommitted data is invisible: [[casRead]] only opens
+    * directories the log names), then the writer loops CAS attempts
+    * at head+1. A loser re-reads the head and retries — its staged
+    * files are still there, so NO ROWS ARE LOST under any interleave
+    * (spec-pinned with an injected mid-window competitor). This is
+    * what the single-writer journal devices ([[transact]],
+    * [[mergeOverwrite]]) cannot give: two uncoordinated writers, one
+    * winner per version, loser retries cleanly. `beforeCommit` is a
+    * test seam firing between the head read and the CAS attempt.
+    */
+  def casAppend(df: DataFrame, table: String, retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): Int = {
+    val staged = new File(new File(dir(table + "__data")),
+      java.util.UUID.randomUUID().toString)
+    df.write.mode("errorifexists").parquet(staged.getPath)
+    var attempt = 0
+    while (attempt < retries) {
+      val n = casHead(table) + 1
+      beforeCommit()
+      if (casTryCommit(table, n, Seq("ADD " + staged.getPath))) return n
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casAppend($table): lost $retries CAS races; staged data " +
+        s"retained at ${staged.getPath}")
+  }
+
+  /** MULTI-WRITER READ-MODIFY-REPLACE — the OCC form of
+    * [[mergeInto]]/[[mergeOverwrite]]: compute the full new state
+    * from the CURRENT snapshot, stage it, and CAS a REPLACE commit
+    * at head+1. On conflict the ENTIRE transform re-runs against the
+    * new head (optimistic concurrency's retry contract — the merge
+    * must not be applied to a stale base, which is exactly the
+    * check-then-act race the single-writer devices cannot detect).
+    */
+  def casReplace(spark: SparkSession, table: String,
+      retries: Int = 8, beforeCommit: () => Unit = () => ())(
+      fn: DataFrame => DataFrame): Int = {
+    var attempt = 0
+    while (attempt < retries) {
+      val head = casHead(table)
+      val out = fn(casRead(spark, table))
+      val staged = new File(new File(dir(table + "__data")),
+        java.util.UUID.randomUUID().toString)
+      out.write.mode("errorifexists").parquet(staged.getPath)
+      beforeCommit()
+      if (casTryCommit(table, head + 1,
+        Seq("REPLACE " + staged.getPath))) return head + 1
+      attempt += 1 // conflict: recompute against the new snapshot
+    }
+    throw new CommitConflict(
+      s"casReplace($table): lost $retries CAS races")
+  }
+
+  /** Snapshot read of a CAS-logged table: replay the log from the
+    * last REPLACE commit (or the beginning) and union the named ADD
+    * directories. The log read is driver-side at COMMIT grain (one
+    * line per commit — the transaction-log replay every table format
+    * performs); data stays distributed.
+    */
+  def casRead(spark: SparkSession, table: String): DataFrame = {
+    val head = casHead(table)
+    val cmds = (1 to head).map(n =>
+      readLines(casCommitFile(table, n)).head)
+    val lastRep = cmds.lastIndexWhere(_.startsWith("REPLACE "))
+    val active = if (lastRep >= 0) cmds.drop(lastRep) else cmds
+    val paths = active.map(_.split(" ", 2)(1))
+    require(paths.nonEmpty, s"casRead($table): no commits under $root")
+    spark.read.parquet(paths: _*)
+  }
+
   // ---- versioned snapshots (time travel) ---------------------------
 
   /** Write the next immutable snapshot `<table>@v{N}` and return N

@@ -324,6 +324,71 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // ---- CAS multi-writer commit (r13 task 7) -----------------------------
+
+  test("casAppend: two uncoordinated writers interleave — one commit " +
+    "wins each version, the loser retries cleanly, no rows lost") {
+    import spark.implicits._
+    val wh = tmpWh()
+    var raced = false
+    // writer A stages and reads head=0; in its commit window writer B
+    // runs a FULL append (stage + CAS) and wins version 1; A's CAS at
+    // 1 fails, it re-reads head and lands at 2
+    val vA = wh.casAppend(Seq((1L, "A")).toDF("k", "who"), "t",
+      beforeCommit = () => {
+        if (!raced) {
+          raced = true
+          val vB = wh.casAppend(Seq((2L, "B")).toDF("k", "who"), "t")
+          assert(vB == 1, "the mid-window competitor must win v1")
+        }
+      })
+    assert(vA == 2, s"the loser must retry into v2, got $vA")
+    assert(wh.casHead("t") == 2)
+    val rows = wh.casRead(spark, "t").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "A"), (2L, "B")), "no rows may be lost")
+  }
+
+  test("casReplace: a conflicting append forces the merge to recompute " +
+    "against the NEW snapshot, never a stale base") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppend(Seq((1L, 10L)).toDF("k", "v"), "t")
+    var raced = false
+    var applications = 0
+    // the replace doubles every v; mid-window a competitor appends a
+    // new row — the first attempt's output (computed without that row)
+    // must be DISCARDED and the transform re-run over both rows
+    val ver = wh.casReplace(spark, "t", beforeCommit = () => {
+      if (!raced) { raced = true; wh.casAppend(
+        Seq((2L, 100L)).toDF("k", "v"), "t") }
+    }) { cur => applications += 1; cur.withColumn("v", col("v") * 2L) }
+    assert(applications == 2, "the stale first attempt must be retried")
+    assert(ver == 3)
+    val rows = wh.casRead(spark, "t").as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 20L), (2L, 200L)),
+      "the committed merge must include the competitor's row")
+  }
+
+  test("casReplace compacts the read path: commits before the last " +
+    "REPLACE are not opened; retries exhaust into CommitConflict") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppend(Seq(1L).toDF("k"), "t")
+    wh.casAppend(Seq(2L).toDF("k"), "t")
+    wh.casReplace(spark, "t")(cur => cur.filter(col("k") === 2L))
+    wh.casAppend(Seq(3L).toDF("k"), "t")
+    assert(wh.casRead(spark, "t").as[Long].collect().toSet == Set(2L, 3L))
+    // a writer that loses every race must surface, not spin: seed a
+    // competitor INSIDE every commit window
+    val boom = intercept[Exception] {
+      wh.casAppend(Seq(9L).toDF("k"), "t", retries = 2,
+        beforeCommit = () => {
+          wh.casAppend(Seq(0L).toDF("k"), "t"); ()
+        })
+    }
+    assert(boom.getMessage.contains("CAS races"))
+  }
+
   // ---- transaction journal: torn/malformed lines ----------------------
 
   test("recoverTransact: malformed journal lines are skipped, " +
