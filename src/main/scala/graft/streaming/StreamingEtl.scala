@@ -629,10 +629,13 @@ object StreamingEtl {
       .mapPartitions(_.map { case (id, p) =>
         Multimodal.bmpMeta(p) match {
           case Some((w, h, ps, _)) => (id, "bmp", w, h, ps)
-          case None => Multimodal.wavPcm(p) match {
-            case Some((bits, ch, fr, sum, _)) =>
-              (id, if (bits == 8L) "pcm8" else "pcm16", ch, fr, sum)
-            case None => (id, "unknown", 0L, 0L, 0L)
+          case None => Multimodal.pngPixelMeta(p) match {
+            case Some((w, h, ps, _)) => (id, "png", w, h, ps)
+            case None => Multimodal.wavPcm(p) match {
+              case Some((bits, ch, fr, sum, _)) =>
+                (id, if (bits == 8L) "pcm8" else "pcm16", ch, fr, sum)
+              case None => (id, "unknown", 0L, 0L, 0L)
+            }
           }
         }
       })

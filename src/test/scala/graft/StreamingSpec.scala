@@ -943,9 +943,12 @@ class StreamingSpec extends SparkSpec {
     val docs = graft.sources.Tables(spark, sf, "documents")
     val bmp = Multimodal.asBmpTable(docs)
     val pcm = Multimodal.asPcmTable(docs)
-    val feed = bmp.select(($"media_id" * 2).as("media_id"), $"payload")
+    val png = Multimodal.asPngPixelTable(docs)
+    val feed = bmp.select(($"media_id" * 3).as("media_id"), $"payload")
       .unionByName(
-        pcm.select(($"media_id" * 2 + 1).as("media_id"), $"payload"))
+        pcm.select(($"media_id" * 3 + 1).as("media_id"), $"payload"))
+      .unionByName(
+        png.select(($"media_id" * 3 + 2).as("media_id"), $"payload"))
       .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
     val input = MemoryStream[(Long, Array[Byte])]
     val q = StreamingEtl.contentDecodeStream(
@@ -960,20 +963,24 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     // expected from the BATCH decode tables, ids remapped to the feed
     val expBmp = Multimodal.decodeBmpMeta(bmp).collect().map { r =>
-      Seq[Any](r.getLong(0) * 2, r.getString(1), r.getLong(2),
+      Seq[Any](r.getLong(0) * 3, r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4)) // width, height, pix_sum
     }
     val expPcm = Multimodal.decodePcmMeta(pcm).collect().map { r =>
-      Seq[Any](r.getLong(0) * 2 + 1, r.getString(1), r.getLong(2),
+      Seq[Any](r.getLong(0) * 3 + 1, r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4)) // channels, n_frames, sample_sum
     }
+    val expPng = Multimodal.decodePngMeta(png).collect().map { r =>
+      Seq[Any](r.getLong(0) * 3 + 2, r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)) // width, height, pix_sum
+    }
     assert(rows(spark.table("content_decode_stream")) ==
-      (expBmp ++ expPcm).toSet,
+      (expBmp ++ expPcm ++ expPng).toSet,
       "stream decode diverges from the batch decode tables")
-    // vacuity: all four formats present on the feed
+    // vacuity: all five formats present on the feed
     val fmts = spark.table("content_decode_stream").collect()
       .map(_.getString(1)).toSet
-    assert(fmts == Set("bmp", "pcm8", "pcm16", "unknown"), s"$fmts")
+    assert(fmts == Set("bmp", "png", "pcm8", "pcm16", "unknown"), s"$fmts")
   }
 
   test("batch ≡ stream: rollingDistinctStream's per-window user-set " +
