@@ -1156,18 +1156,65 @@ object Multimodal {
   private val distExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5,
     5, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
 
-  /** Minimal INFLATE (RFC 1950/1951) for the DEFLATE subset a decoder
-    * can implement as pure byte arithmetic: STORED (BTYPE=00) and
-    * FIXED-HUFFMAN (BTYPE=01) blocks, including LZ77 length/distance
-    * back-references — dynamic-Huffman (BTYPE=10) returns None (its
-    * code-length-code machinery is a full codec, the same line
-    * [[jpegDims]] draws before entropy decode). The zlib wrapper is
-    * checked structurally (CM=8, no preset dictionary); adler32 is
-    * NOT verified — checksums are integrity, not structure, and the
-    * pixel content is gated end-to-end by the oracle. `outCap`
-    * bounds the output — a hostile stream cannot balloon memory, and
-    * any read past the buffer resolves to None, never a throw (the
-    * jpegExif lesson: executors must get the documented miss row).
+  /** Canonical-Huffman decoder built from a code-length array (RFC
+    * 1951 §3.2.2): per-length count/first-code/offset tables, decoded
+    * bit-by-bit — the classic O(bits-per-symbol) walk (a production
+    * codec adds a lookup-table fast path; same answers). Returns -1
+    * for a code outside the table (corrupt stream → caller miss).
+    */
+  private final class Huff(lengths: Array[Int]) {
+    private val maxLen = 15
+    private val count = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) count(l) += 1)
+    private val first = new Array[Int](maxLen + 1)
+    private val offs = new Array[Int](maxLen + 1)
+    private val syms = new Array[Int](lengths.count(_ > 0))
+    locally {
+      var code = 0; var o = 0; var l = 1
+      while (l <= maxLen) {
+        first(l) = code; offs(l) = o
+        code = (code + count(l)) << 1; o += count(l)
+        l += 1
+      }
+      val idx = offs.clone()
+      var i = 0
+      while (i < lengths.length) {
+        if (lengths(i) > 0) { syms(idx(lengths(i))) = i
+          idx(lengths(i)) += 1 }
+        i += 1
+      }
+    }
+    def decode(bit: () => Int): Int = {
+      var code = 0; var l = 1
+      while (l <= maxLen) {
+        code = (code << 1) | bit()
+        if (code - first(l) < count(l))
+          return syms(offs(l) + code - first(l))
+        l += 1
+      }
+      -1
+    }
+  }
+
+  // §3.2.7: the order code-length-code lengths arrive in
+  private val clOrder = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11,
+    4, 12, 3, 13, 2, 14, 1, 15)
+
+  /** COMPLETE INFLATE (RFC 1950/1951) in pure byte arithmetic — all
+    * three DEFLATE block types: STORED (BTYPE=00), FIXED-HUFFMAN
+    * (BTYPE=01), and DYNAMIC-HUFFMAN (BTYPE=10, the type every real
+    * encoder emits: code-length-code table → run-length-decoded
+    * lit/len + distance code lengths → canonical [[Huff]] decoders),
+    * with LZ77 length/distance back-references throughout. Pinned
+    * against the JDK Deflater's own output across compression levels
+    * (Round13Spec) — the decoder and a production encoder agree. The
+    * zlib wrapper is checked structurally (CM=8, no preset
+    * dictionary); adler32 is NOT verified — checksums are integrity,
+    * not structure, and pixel content is gated end-to-end by the
+    * oracle. `outCap` bounds the output — a hostile stream cannot
+    * balloon memory, and any read past the buffer resolves to None,
+    * never a throw (the jpegExif lesson: executors must get the
+    * documented miss row).
     */
   private[graft] def inflate(z: Array[Byte],
       outCap: Int): Option[Array[Byte]] = {
@@ -1190,6 +1237,47 @@ object Multimodal {
     }
     val out = new Array[Byte](outCap)
     var oLen = 0
+    // the shared LZ77 loop: decode symbols until end-of-block (true)
+    // or a malformed stream (false), emitting literals and copies
+    def lz77(litSym: () => Int, distSym: () => Int): Boolean = {
+      var going = true
+      while (going) {
+        val sym = litSym()
+        if (sym < 0 || sym > 285) return false
+        else if (sym == 256) going = false
+        else if (sym < 256) {
+          if (oLen >= outCap) return false
+          out(oLen) = sym.toByte; oLen += 1
+        } else {
+          val li = sym - 257
+          val len = lenBase(li) + bitsLsb(lenExtra(li))
+          val dc = distSym()
+          if (dc < 0 || dc > 29) return false
+          val dist = distBase(dc) + bitsLsb(distExtra(dc))
+          if (dist > oLen || oLen + len > outCap) return false
+          var k = 0
+          while (k < len) { // byte-by-byte: overlap is defined
+            out(oLen) = out(oLen - dist); oLen += 1; k += 1
+          }
+        }
+      }
+      true
+    }
+    // fixed lit/len alphabet (§3.2.6): 7-bit codes 0-23 → 256-279;
+    // 8-bit 48-191 → 0-143; 8-bit 192-199 → 280-287; 9-bit → 144-255
+    def fixedLit(): Int = {
+      var c = bitsMsb(7)
+      if (c <= 23) 256 + c
+      else {
+        c = (c << 1) | bit()
+        if (c >= 48 && c <= 191) c - 48
+        else if (c >= 192 && c <= 199) 280 + (c - 192)
+        else {
+          c = (c << 1) | bit()
+          if (c >= 400 && c <= 511) 144 + (c - 400) else -1
+        }
+      }
+    }
     try {
       var fin = false
       while (!fin) {
@@ -1207,44 +1295,43 @@ object Multimodal {
           System.arraycopy(z, at + 4, out, oLen, len)
           oLen += len
           bitPos = (at + 4 + len) << 3
-        } else if (btype == 1) { // fixed Huffman (RFC 1951 §3.2.6)
-          var eob = false
-          while (!eob) {
-            // lit/len alphabet: 7-bit codes 0-23 → 256-279; 8-bit
-            // 48-191 → 0-143; 8-bit 192-199 → 280-287; 9-bit
-            // 400-511 → 144-255
-            var c = bitsMsb(7)
-            val sym =
-              if (c <= 23) 256 + c
-              else {
-                c = (c << 1) | bit()
-                if (c >= 48 && c <= 191) c - 48
-                else if (c >= 192 && c <= 199) 280 + (c - 192)
-                else {
-                  c = (c << 1) | bit()
-                  if (c >= 400 && c <= 511) 144 + (c - 400)
-                  else return None
-                }
-              }
-            if (sym < 256) {
-              if (oLen >= outCap) return None
-              out(oLen) = sym.toByte; oLen += 1
-            } else if (sym == 256) eob = true
-            else {
-              if (sym > 285) return None
-              val li = sym - 257
-              val len = lenBase(li) + bitsLsb(lenExtra(li))
-              val dc = bitsMsb(5)
-              if (dc > 29) return None
-              val dist = distBase(dc) + bitsLsb(distExtra(dc))
-              if (dist > oLen || oLen + len > outCap) return None
+        } else if (btype == 1) {
+          if (!lz77(() => fixedLit(), () => bitsMsb(5))) return None
+        } else if (btype == 2) { // dynamic Huffman (§3.2.7)
+          val hlit = bitsLsb(5) + 257
+          val hdist = bitsLsb(5) + 1
+          val hclen = bitsLsb(4) + 4
+          if (hlit > 286 || hdist > 30) return None
+          val clen = new Array[Int](19)
+          var i = 0
+          while (i < hclen) { clen(clOrder(i)) = bitsLsb(3); i += 1 }
+          val clHuff = new Huff(clen)
+          // run-length decode the HLIT+HDIST code lengths: 16 copies
+          // the previous length 3-6×, 17/18 emit 3-10 / 11-138 zeros
+          val lens = new Array[Int](hlit + hdist)
+          var li = 0
+          while (li < lens.length) {
+            val s = clHuff.decode(() => bit())
+            if (s < 0 || s > 18) return None
+            if (s < 16) { lens(li) = s; li += 1 }
+            else if (s == 16) {
+              if (li == 0) return None
+              val rep = 3 + bitsLsb(2); val v = lens(li - 1)
               var k = 0
-              while (k < len) { // byte-by-byte: overlap is defined
-                out(oLen) = out(oLen - dist); oLen += 1; k += 1
+              while (k < rep) {
+                if (li >= lens.length) return None
+                lens(li) = v; li += 1; k += 1
               }
-            }
+            } else if (s == 17) li += 3 + bitsLsb(3)
+            else li += 11 + bitsLsb(7)
+            if (li > lens.length) return None
           }
-        } else return None // dynamic Huffman: outside this subset
+          val litHuff = new Huff(java.util.Arrays.copyOfRange(lens, 0, hlit))
+          val distHuff = new Huff(
+            java.util.Arrays.copyOfRange(lens, hlit, hlit + hdist))
+          if (!lz77(() => litHuff.decode(() => bit()),
+            () => distHuff.decode(() => bit()))) return None
+        } else return None // BTYPE=11 is reserved (§3.2.3)
       }
     } catch {
       case _: ArrayIndexOutOfBoundsException => return None
@@ -1376,6 +1463,99 @@ object Multimodal {
     case "bmp" => pixelHash60(p)
     case "png" => pngPixels(p).map { case (_, _, px) => fold60(px) }
     case _ => None
+  }
+
+  private def paethPred(a: Int, b: Int, d: Int): Int = {
+    val pr = a + b - d
+    val pa = math.abs(pr - a); val pb = math.abs(pr - b)
+    val pd = math.abs(pr - d)
+    if (pa <= pb && pa <= pd) a else if (pb <= pd) b else d
+  }
+
+  /** Build a standards-complete PNG (8-bit RGB, real chunk CRCs, one
+    * IDAT) around the given visual-order pixel bytes: each row is
+    * FILTERED per `ftOf(r)` (the spec's difference against
+    * reconstructed neighbors) and the scanline stream is compressed
+    * with the JDK zlib Deflater — REAL dynamic-Huffman streams, the
+    * bytes every production encoder emits. The encode side is
+    * allowed a library; the decode under test ([[inflate]] →
+    * [[pngPixels]]) is from scratch — that asymmetry is the point:
+    * the generator and decoder share no code path at all.
+    */
+  private[graft] def buildPng(px: Array[Byte], w: Int, h: Int,
+      ftOf: Int => Int, level: Int): Array[Byte] = {
+    val rowLen = 1 + 3 * w
+    val raw = new Array[Byte](rowLen * h)
+    var r = 0
+    while (r < h) {
+      val ft = ftOf(r)
+      raw(r * rowLen) = ft.toByte
+      var c = 0
+      while (c < 3 * w) {
+        val x = px(r * 3 * w + c) & 0xff
+        val a = if (c >= 3) px(r * 3 * w + c - 3) & 0xff else 0
+        val b = if (r > 0) px((r - 1) * 3 * w + c) & 0xff else 0
+        val d = if (r > 0 && c >= 3) px((r - 1) * 3 * w + c - 3) & 0xff
+          else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paethPred(a, b, d)
+        }
+        raw(r * rowLen + 1 + c) = ((x - pred) & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater(level, false)
+    defl.setInput(raw); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](raw.length + 64)
+    while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    def be4a(v: Int): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      crc.update(body)
+      be4a(body.length) ++
+        typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        body ++ be4a(crc.getValue.toInt)
+    }
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", be4a(w) ++ be4a(h) ++
+        Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", zOut.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** PNG media table with REAL deflate streams — [[asPngPixelTable]]'s
+    * sibling for the dynamic-Huffman path: the same closed-form pixel
+    * content and per-row filters, but the IDAT is produced by the JDK
+    * zlib encoder at level 1/5/9 cycling with id (different levels
+    * emit different block shapes — stored runs, fixed, dynamic), so
+    * [[pngPixels]] must survive arbitrary real encoder output, not
+    * just the hand-framed stored blocks. Built per-partition
+    * (mapPartitions — the codec-tier exemption), compressed BYTES are
+    * encoder-dependent but the decoded CONTENT is the closed form the
+    * oracle mirrors.
+    */
+  def asPngDeflateTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 6 + 1).toInt; val h = (id % 4 + 1).toInt
+        val px = Array.tabulate(3 * w * h)(k =>
+          (((id * 7 + k) % 251) & 0xff).toByte)
+        (id, buildPng(px, w, h, r => ((id + r) % 5).toInt,
+          level = ((id % 3) * 4 + 1).toInt))
+      })
+      .toDF("media_id", "payload")
   }
 
   /** Pixel-level decode over a media table, PNG edition —

@@ -1067,6 +1067,46 @@ object MultimodalQueries {
       Multimodal.asPixelPairTable(Tables(s, dir, "documents")))
   }
 
+  /** REAL-ENCODER PNG DECODE — q276's gate on the dynamic-Huffman
+    * path: [[Multimodal.asPngDeflateTable]] compresses the filtered
+    * scanlines with the JDK zlib encoder (levels 1/5/9 cycling, so
+    * stored/fixed/dynamic block shapes all occur across the corpus)
+    * and [[Multimodal.pngPixels]] decodes them with the from-scratch
+    * [[Multimodal.inflate]] — encoder and decoder share no code, and
+    * the oracle mirrors only the closed-form CONTENT (compressed
+    * bytes are encoder-dependent, so n_bytes is deliberately not in
+    * the output). This is the compatibility claim: the decoder
+    * handles what production encoders actually emit, not just its
+    * own generator's framing.
+    *
+    * Shape: map-only synthesis + partition-batched decode; no
+    * exchange — q276's cost model.
+    */
+  val q279 = Q("q279_png_deflate_decode",
+    """WITH g AS (
+      |  SELECT doc_id, (doc_id % 6) + 1 AS w, (doc_id % 4) + 1 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, sum(v) AS pix_sum,
+      |    sum(CASE WHEN i < 3 * w THEN v ELSE 0 END) AS top_row_sum
+      |  FROM (
+      |    SELECT doc_id, w, i, (doc_id * 7 + i) % 251 AS v
+      |    FROM (
+      |      SELECT doc_id, w, h,
+      |        CAST(unnest(range(0, h * 3 * w)) AS BIGINT) AS i
+      |      FROM g) t1) t2
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id AS media_id, 'png' AS format,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(px.pix_sum AS BIGINT) AS pix_sum,
+      |  CAST(px.top_row_sum AS BIGINT) AS top_row_sum
+      |FROM g JOIN px ON px.doc_id = g.doc_id""".stripMargin) {
+    (s, dir) =>
+    Multimodal.decodePngMeta(
+      Multimodal.asPngDeflateTable(Tables(s, dir, "documents")))
+      .drop("n_bytes")
+  }
+
   val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176,
-    q179, q203, q212, q230, q233, q234, q243, q276, q277)
+    q179, q203, q212, q230, q233, q234, q243, q276, q277, q279)
 }

@@ -389,6 +389,61 @@ class Round13Spec extends SparkSpec {
     assert(boom.getMessage.contains("CAS races"))
   }
 
+  // ---- complete inflate: dynamic Huffman vs the JDK encoder ------------
+
+  private def jdkDeflate(data: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level, false)
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  test("inflate: round-trips the JDK Deflater's real output — " +
+    "dynamic-Huffman blocks, every compression level, assorted data " +
+    "shapes") {
+    val shapes: Seq[Array[Byte]] = Seq(
+      // highly repetitive: long LZ77 matches, dynamic tables
+      Array.fill(5000)("abcabcab".getBytes("US-ASCII")).flatten.toArray,
+      // pseudo-random full-byte-range: literal-heavy
+      Array.tabulate(3000)(i => ((i * 131 + 17) % 256).toByte),
+      // text-like: skewed symbol frequencies (dynamic's sweet spot)
+      ("the quick brown fox jumps over the lazy dog " * 200)
+        .getBytes("US-ASCII"),
+      // tiny input (often a stored or fixed block)
+      "x".getBytes("US-ASCII"),
+      Array.emptyByteArray)
+    for (data <- shapes; level <- Seq(0, 1, 5, 9)) {
+      val z = jdkDeflate(data, level)
+      val got = Multimodal.inflate(z, data.length.max(1))
+      assert(got.isDefined,
+        s"level $level, ${data.length} bytes: decode must succeed")
+      assert(java.util.Arrays.equals(got.get, data),
+        s"level $level, ${data.length} bytes: content must round-trip")
+    }
+  }
+
+  test("asPngDeflateTable payloads decode through the from-scratch " +
+    "path to the closed-form pixel sums (real dynamic streams)") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"d$i", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Multimodal.decodePngMeta(
+        Multimodal.asPngDeflateTable(docs))
+      .select("media_id", "format", "width", "height", "pix_sum")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(got.length == 40)
+    got.foreach { case (id, fmt, w, h, ps) =>
+      assert(fmt == "png", s"id $id must decode (got $fmt)")
+      val ew = id % 6 + 1; val eh = id % 4 + 1
+      assert(w == ew && h == eh)
+      assert(ps == (0 until (3 * ew * eh).toInt)
+        .map(k => (id * 7 + k) % 251).sum, s"id $id pix_sum")
+    }
+  }
+
   // ---- transaction journal: torn/malformed lines ----------------------
 
   test("recoverTransact: malformed journal lines are skipped, " +
