@@ -2223,8 +2223,51 @@ object Extras3 {
         sum("o_orderkey").cast("long").as("key_sum"))
   }
 
+  /** COMMIT-GRAIN STATS PRUNING over the CAS log — q278's protocol
+    * composed with q231's skipping: [[Warehouse.casAppendStats]] puts
+    * each wave's [min, max] extent ON THE COMMIT LINE (one O(wave)
+    * aggregate before the CAS — stats ride the commit, the
+    * Delta/Iceberg shape, correct under concurrent writers because
+    * they describe only the commit's own files), and
+    * [[Warehouse.casReadPruned]] skips whole commits during log
+    * replay — the transaction log IS the skip structure, no separate
+    * manifest. Four range-disjoint waves land by bucket quartile; the
+    * [30, 60] probe must open exactly the two overlapping commits
+    * (Round13Spec pins 2-of-4 and NULL-extent conservatism).
+    *
+    * 100 TB shape: consult at COMMIT grain (driver reads one line per
+    * commit), data distributed; a production log compacts commit
+    * lines exactly like q253's two-level manifest when commit count
+    * itself grows.
+    */
+  val q280 = Q("q280_cas_stats_pruned",
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders WHERE o_orderkey % 100 BETWEEN 30 AND 60
+      |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"casstat_${SessionScratch.keyOf(dir)}"))
+    val tbl = s"cas_stats_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, tbl) {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_orderkey") % 100).as("bucket"))
+      Seq((0L, 25L), (25L, 50L), (50L, 75L), (75L, 100L)).foreach {
+        case (a, b) =>
+          wh.casAppendStats(s,
+            o.filter(col("bucket") >= a && col("bucket") < b),
+            tbl, "bucket")
+          ()
+      }
+    }
+    wh.casReadPruned(s, tbl, "bucket", 30L, 60L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").cast("long").as("key_sum"))
+  }
+
   val all: Seq[Q] = Seq(q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260,
     q261, q262, q263, q264, q265, q266, q267, q268, q269, q270,
-    q271, q272, q273, q274, q275, q278)
+    q271, q272, q273, q274, q275, q278, q280)
 }

@@ -1165,6 +1165,21 @@ final case class Warehouse(root: String) {
       s"casReplace($table): lost $retries CAS races")
   }
 
+  /** The active commit lines after REPLACE compaction: everything
+    * from the last REPLACE (or the beginning) to head.
+    */
+  private def casActiveCmds(table: String): Seq[String] = {
+    val cmds = (1 to casHead(table)).map(n =>
+      readLines(casCommitFile(table, n)).head)
+    val lastRep = cmds.lastIndexWhere(_.startsWith("REPLACE "))
+    if (lastRep >= 0) cmds.drop(lastRep) else cmds
+  }
+
+  // ADD <path> | ADDS <min|-> <max|-> <path> | REPLACE <path>
+  private def casCmdPath(cmd: String): String =
+    if (cmd.startsWith("ADDS ")) cmd.split(" ", 4)(3)
+    else cmd.split(" ", 2)(1)
+
   /** Snapshot read of a CAS-logged table: replay the log from the
     * last REPLACE commit (or the beginning) and union the named ADD
     * directories. The log read is driver-side at COMMIT grain (one
@@ -1172,14 +1187,81 @@ final case class Warehouse(root: String) {
     * performs); data stays distributed.
     */
   def casRead(spark: SparkSession, table: String): DataFrame = {
-    val head = casHead(table)
-    val cmds = (1 to head).map(n =>
-      readLines(casCommitFile(table, n)).head)
-    val lastRep = cmds.lastIndexWhere(_.startsWith("REPLACE "))
-    val active = if (lastRep >= 0) cmds.drop(lastRep) else cmds
-    val paths = active.map(_.split(" ", 2)(1))
+    val paths = casActiveCmds(table).map(casCmdPath)
     require(paths.nonEmpty, s"casRead($table): no commits under $root")
     spark.read.parquet(paths: _*)
+  }
+
+  /** CAS append WITH COMMIT-TIME STATISTICS — [[casAppend]] composed
+    * with the manifest tier at COMMIT grain: the commit line carries
+    * the staged wave's [min, max] extent on `c` (one aggregate over
+    * the wave BEFORE the CAS — O(wave), the cost every format pays to
+    * put stats in its commit), so [[casReadPruned]] can skip whole
+    * COMMITS during log replay with no separate manifest structure.
+    * The stats stay correct under concurrent writers by construction:
+    * they describe only this commit's own files, and the CAS decides
+    * ordering. An all-NULL wave records `-` extents and is kept
+    * conservatively by every consult.
+    */
+  def casAppendStats(spark: SparkSession, df: DataFrame, table: String,
+      c: String, retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): Int = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val staged = new File(new File(dir(table + "__data")),
+      java.util.UUID.randomUUID().toString)
+    df.write.mode("errorifexists").parquet(staged.getPath)
+    // stats from the staged files (what readers will see), not the
+    // possibly-nondeterministic input plan
+    val r = spark.read.parquet(staged.getPath)
+      .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
+    val (lo, hi) =
+      (if (r.isNullAt(0)) "-" else r.getLong(0).toString,
+        if (r.isNullAt(1)) "-" else r.getLong(1).toString)
+    var attempt = 0
+    while (attempt < retries) {
+      val n = casHead(table) + 1
+      beforeCommit()
+      if (casTryCommit(table, n, Seq(s"ADDS $lo $hi ${staged.getPath}")))
+        return n
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casAppendStats($table): lost $retries CAS races")
+  }
+
+  /** Commit-grain pruning consult: the active commits whose recorded
+    * extent on the stats column overlaps [lo, hi]. Commits without
+    * stats (plain ADD, REPLACE) and `-` extents are kept
+    * conservatively. Returns (kept paths, active commits total) —
+    * the skip evidence the spec pins.
+    */
+  def casPrunedCommits(table: String, lo: Long,
+      hi: Long): (Seq[String], Int) = {
+    val active = casActiveCmds(table)
+    val kept = active.filter { cmd =>
+      if (!cmd.startsWith("ADDS ")) true
+      else {
+        val p = cmd.split(" ", 4)
+        p(1) == "-" || p(2) == "-" ||
+          (p(1).toLong <= hi && p(2).toLong >= lo)
+      }
+    }.map(casCmdPath)
+    (kept, active.size)
+  }
+
+  /** Range read over a CAS-logged table through the commit-grain
+    * stats: open ONLY commits whose extent overlaps, then apply the
+    * exact predicate — [[readPruned]]'s two-level discipline with the
+    * transaction log itself as the skip structure.
+    */
+  def casReadPruned(spark: SparkSession, table: String, c: String,
+      lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (paths, _) = casPrunedCommits(table, lo, hi)
+    val base =
+      if (paths.isEmpty) casRead(spark, table).filter(lit(false))
+      else spark.read.parquet(paths: _*)
+    base.filter(col(c).cast("long").between(lo, hi))
   }
 
   // ---- versioned snapshots (time travel) ---------------------------

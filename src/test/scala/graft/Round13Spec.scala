@@ -444,6 +444,35 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("casAppendStats + casReadPruned: commit-grain stats skip " +
+    "non-overlapping commits; NULL-extent waves are kept " +
+    "conservatively; results equal the full-scan filter") {
+    import spark.implicits._
+    val wh = tmpWh()
+    Seq((0L, 25L), (25L, 50L), (50L, 75L), (75L, 100L)).foreach {
+      case (a, b) =>
+        wh.casAppendStats(spark,
+          (a until b).map(v => (v, v * 10)).toDF("bucket", "payload"),
+          "t", "bucket")
+    }
+    // an all-NULL wave: `-` extents, must survive every consult
+    wh.casAppendStats(spark,
+      Seq.fill(3)((Option.empty[Long], 0L)).toDF("bucket", "payload"),
+      "t", "bucket")
+    val (kept, total) = wh.casPrunedCommits("t", 30L, 60L)
+    assert(total == 5)
+    assert(kept.size == 3,
+      s"[30,60] overlaps waves [25,50)+[50,75) plus the NULL wave, " +
+        s"got ${kept.size}")
+    val got = wh.casReadPruned(spark, "t", "bucket", 30L, 60L)
+      .as[(Option[Long], Long)].collect().toSet
+    val full = wh.casRead(spark, "t")
+      .filter(col("bucket").between(30L, 60L))
+      .as[(Option[Long], Long)].collect().toSet
+    assert(got == full && got.size == 31,
+      "pruned read must equal the full-scan filter")
+  }
+
   // ---- transaction journal: torn/malformed lines ----------------------
 
   test("recoverTransact: malformed journal lines are skipped, " +
