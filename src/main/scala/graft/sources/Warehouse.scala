@@ -1175,9 +1175,11 @@ final case class Warehouse(root: String) {
     if (lastRep >= 0) cmds.drop(lastRep) else cmds
   }
 
-  // ADD <path> | ADDS <min|-> <max|-> <path> | REPLACE <path>
+  // ADD <path> | ADDS <min|-> <max|-> <path> |
+  // ADDB <stream> <batchId> <path> | REPLACE <path>
   private def casCmdPath(cmd: String): String =
-    if (cmd.startsWith("ADDS ")) cmd.split(" ", 4)(3)
+    if (cmd.startsWith("ADDS ") || cmd.startsWith("ADDB "))
+      cmd.split(" ", 4)(3)
     else cmd.split(" ", 2)(1)
 
   /** Snapshot read of a CAS-logged table: replay the log from the
@@ -1262,6 +1264,69 @@ final case class Warehouse(root: String) {
       if (paths.isEmpty) casRead(spark, table).filter(lit(false))
       else spark.read.parquet(paths: _*)
     base.filter(col(c).cast("long").between(lo, hi))
+  }
+
+  /** Has `batchId` of `stream` already committed to this table? The
+    * replay check behind [[casAppendBatch]]'s exactly-once contract —
+    * driver-side at commit grain, like every log consult here.
+    */
+  def casCommittedBatch(table: String, stream: String,
+      batchId: Long): Boolean =
+    (1 to casHead(table)).exists(n =>
+      readLines(casCommitFile(table, n)).headOption
+        .exists(_.startsWith(s"ADDB $stream $batchId ")))
+
+  /** EXACTLY-ONCE batch commit — the idempotent-sink half of
+    * Structured Streaming's end-to-end guarantee: the commit line
+    * carries the (stream, batchId) pair, so a REPLAYED batch (the
+    * engine re-delivers the last uncommitted batch after recovery)
+    * finds its id already in the log and returns None without
+    * landing a second copy. The CAS makes the check-then-commit safe
+    * even against a concurrent instance of the same stream: the
+    * check re-runs inside every retry, and whichever instance wins
+    * the CAS owns the batch. Returns the committed version, or None
+    * for an already-committed (deduplicated) batch.
+    */
+  def casAppendBatch(df: DataFrame, table: String, stream: String,
+      batchId: Long, retries: Int = 8): Option[Int] = {
+    if (casCommittedBatch(table, stream, batchId)) return None
+    val staged = new File(new File(dir(table + "__data")),
+      java.util.UUID.randomUUID().toString)
+    df.write.mode("errorifexists").parquet(staged.getPath)
+    var attempt = 0
+    while (attempt < retries) {
+      if (casCommittedBatch(table, stream, batchId)) return None
+      val n = casHead(table) + 1
+      if (casTryCommit(table, n,
+        Seq(s"ADDB $stream $batchId ${staged.getPath}"))) return Some(n)
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casAppendBatch($table, $stream, $batchId): lost $retries races")
+  }
+
+  /** Garbage-collect staged directories that NO commit references —
+    * the storage leak optimistic concurrency creates: a crashed
+    * writer, or one that exhausted its retries, leaves its staged
+    * wave under `<table>__data` forever (invisible to readers,
+    * costly on storage). A directory is deleted only when (a) no
+    * line anywhere in the log names it — the WHOLE log, not just the
+    * post-REPLACE active suffix, so time-travel-style reads of older
+    * commits stay safe — and (b) it is older than `minAgeMs`, the
+    * grace window protecting a writer that has staged but not yet
+    * won its CAS (the same retention trade Delta's VACUUM documents).
+    * Returns the deleted directory paths.
+    */
+  def casVacuum(table: String, minAgeMs: Long = 0L): Seq[String] = {
+    val referenced = (1 to casHead(table)).flatMap(n =>
+      readLines(casCommitFile(table, n)).headOption).map(casCmdPath)
+      .map(new File(_).getName).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val dataDir = new File(dir(table + "__data"))
+    Option(dataDir.listFiles()).getOrElse(Array()).toSeq
+      .filter(d => d.isDirectory && !referenced(d.getName) &&
+        d.lastModified() < cutoff)
+      .map { d => delete(d); d.getPath }
   }
 
   // ---- versioned snapshots (time travel) ---------------------------

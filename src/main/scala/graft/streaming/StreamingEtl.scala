@@ -356,6 +356,30 @@ object StreamingEtl {
       }
       .start()
 
+  /** EXACTLY-ONCE CAS-committed streaming sink: each micro-batch
+    * lands through [[graft.sources.Warehouse.casAppendBatch]], which
+    * records the (stream, batchId) pair ON the commit line — a
+    * replayed batch (Structured Streaming re-delivers the last
+    * uncommitted batch after recovery) finds its id already committed
+    * and is dropped, the idempotent-sink contract foreachBatch
+    * requires for the end-to-end exactly-once guarantee. Unlike
+    * [[upsertSink]]'s append (at-least-once; dedup deferred to the
+    * read), duplicates never land AT ALL, and the CAS keeps the sink
+    * safe alongside concurrent BATCH writers of the same table.
+    */
+  def casSink(src: DataFrame, wh: graft.sources.Warehouse,
+      table: String, stream: String,
+      checkpointDir: String): StreamingQuery =
+    src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        wh.casAppendBatch(batch, table, stream, batchId)
+        ()
+      }
+      .start()
+
   /** A document arriving on the curation stream. */
   final case class DocArrival(source: String, doc_id: Long, n_chars: Long)
 

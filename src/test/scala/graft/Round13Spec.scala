@@ -473,6 +473,59 @@ class Round13Spec extends SparkSpec {
       "pruned read must equal the full-scan filter")
   }
 
+  test("casAppendBatch: a replayed (stream, batchId) is deduplicated " +
+    "— None returned, no second copy lands; a foreign writer's " +
+    "commit interleaves safely; orphans vacuum away") {
+    import spark.implicits._
+    val wh = tmpWh()
+    assert(wh.casAppendBatch(Seq(1L).toDF("k"), "t", "s1", 0L).isDefined)
+    // a concurrent plain writer of the same table
+    wh.casAppend(Seq(100L).toDF("k"), "t")
+    assert(wh.casAppendBatch(Seq(2L).toDF("k"), "t", "s1", 1L).isDefined)
+    // recovery replay: batch 1 re-delivered with the same id
+    assert(wh.casAppendBatch(Seq(2L).toDF("k"), "t", "s1", 1L).isEmpty,
+      "a committed batch id must be dropped, not landed twice")
+    // a DIFFERENT stream may reuse the same batch id
+    assert(wh.casAppendBatch(Seq(9L).toDF("k"), "t", "s2", 1L).isDefined)
+    assert(wh.casRead(spark, "t").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 9L, 100L))
+    // orphan: stage-without-commit residue (a crashed writer) is
+    // vacuumed; every committed dir survives
+    val orphan = new java.io.File(
+      new java.io.File(wh.root + "/t__data"), "orphan-dir")
+    orphan.mkdirs()
+    val removed = wh.casVacuum("t")
+    assert(removed.exists(_.endsWith("orphan-dir")) && removed.size == 1)
+    assert(wh.casRead(spark, "t").count() == 4L,
+      "vacuum must never touch committed data")
+    // grace window: a just-staged dir survives a min-age vacuum
+    val fresh = new java.io.File(
+      new java.io.File(wh.root + "/t__data"), "inflight")
+    fresh.mkdirs()
+    assert(wh.casVacuum("t", minAgeMs = 60000L).isEmpty)
+  }
+
+  test("casSink: the streaming sink lands each micro-batch exactly " +
+    "once through the CAS log (batch ≡ stream on the same rows)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = tmpWh()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("r13-ckpt-").toString
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "a"), (2L, "b"))
+    val q1 = graft.streaming.StreamingEtl.casSink(
+      input.toDF().toDF("k", "v"), wh, "t", "feed", ckpt)
+    q1.awaitTermination()
+    input.addData((3L, "c"))
+    val q2 = graft.streaming.StreamingEtl.casSink(
+      input.toDF().toDF("k", "v"), wh, "t", "feed", ckpt)
+    q2.awaitTermination()
+    assert(wh.casRead(spark, "t").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   // ---- transaction journal: torn/malformed lines ----------------------
 
   test("recoverTransact: malformed journal lines are skipped, " +
