@@ -1355,14 +1355,34 @@ object Multimodal {
     * differences from BMP). None for non-PNG, other color
     * types/depths, interlace, or a truncated/mismatched stream.
     */
-  def pngPixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  def pngPixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    pngPixelsCt(p).map { case (w, h, _, px) => (w, h, px) }
+
+  /** [[pngPixels]] with the color type surfaced — the decode itself
+    * is COLOR-TYPE PARAMETRIC over the common 8-bit types: grayscale
+    * (0, 1 byte/pixel), truecolor RGB (2, 3 B/px) and RGBA (6,
+    * 4 B/px); the only place bpp enters the spec is the filters'
+    * "left neighbor is the same channel one PIXEL back" offset (RFC
+    * 2083 §6.2 — a decoder hard-coding 3 corrupts every Sub/Paeth
+    * row of the other types). Palette (3) and 16-bit depths stay
+    * out: they add a lookup/width dimension without a new decode
+    * idea. Returns (width, height, colorType, pixels).
+    */
+  def pngPixelsCt(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (sniffFormat(p) != "png" || p.length < 45) return None
     if (be4(p, 8) != 13L || !(p(12) == 'I' && p(13) == 'H' &&
       p(14) == 'D' && p(15) == 'R')) return None
     val w = be4(p, 16); val h = be4(p, 20)
     if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return None
-    if (p(24) != 8 || p(25) != 2 || p(26) != 0 || p(27) != 0 ||
-      p(28) != 0) return None
+    val ct = p(25) & 0xff
+    val bpp = ct match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // truecolor
+      case 6 => 4 // truecolor + alpha
+      case _ => return None
+    }
+    if (p(24) != 8 || p(26) != 0 || p(27) != 0 || p(28) != 0)
+      return None
     val idat = new java.io.ByteArrayOutputStream()
     var i = 33 // signature(8) + IHDR chunk(25)
     var done = false
@@ -1377,25 +1397,26 @@ object Multimodal {
     }
     if (!done || idat.size() == 0) return None
     val (wi, hi) = (w.toInt, h.toInt)
-    val rowLen = 1 + 3 * wi
+    val rowBytes = bpp * wi
+    val rowLen = 1 + rowBytes
     val rawLen = rowLen * hi
     val raw = inflate(idat.toByteArray, rawLen) match {
       case Some(r) if r.length == rawLen => r
       case _ => return None
     }
-    val px = new Array[Byte](3 * wi * hi)
+    val px = new Array[Byte](rowBytes * hi)
     var r = 0
     while (r < hi) {
       val ft = raw(r * rowLen) & 0xff
       if (ft > 4) return None
       var c = 0
-      while (c < 3 * wi) {
+      while (c < rowBytes) {
         val x = raw(r * rowLen + 1 + c) & 0xff
-        // bpp = 3: "left" is the same channel one PIXEL back
-        val a = if (c >= 3) px(r * 3 * wi + c - 3) & 0xff else 0
-        val b = if (r > 0) px((r - 1) * 3 * wi + c) & 0xff else 0
-        val d = if (r > 0 && c >= 3) px((r - 1) * 3 * wi + c - 3) & 0xff
-          else 0
+        // "left" is the same channel one PIXEL (bpp bytes) back
+        val a = if (c >= bpp) px(r * rowBytes + c - bpp) & 0xff else 0
+        val b = if (r > 0) px((r - 1) * rowBytes + c) & 0xff else 0
+        val d = if (r > 0 && c >= bpp)
+          px((r - 1) * rowBytes + c - bpp) & 0xff else 0
         val rec = ft match {
           case 0 => x
           case 1 => x + a
@@ -1407,12 +1428,12 @@ object Multimodal {
             val pd = math.abs(pr - d)
             x + (if (pa <= pb && pa <= pd) a else if (pb <= pd) b else d)
         }
-        px(r * 3 * wi + c) = (rec & 0xff).toByte
+        px(r * rowBytes + c) = (rec & 0xff).toByte
         c += 1
       }
       r += 1
     }
-    Some((wi, hi, px))
+    Some((wi, hi, ct, px))
   }
 
   /** [[bmpMeta]]'s quadruple for PNGs: (width, height, pix_sum,
@@ -1422,14 +1443,15 @@ object Multimodal {
     * file-level arithmetic structurally cannot produce).
     */
   def pngPixelMeta(p: Array[Byte]): Option[(Long, Long, Long, Long)] =
-    pngPixels(p).map { case (w, _, px) =>
+    pngPixelsCt(p).map { case (w, h, _, px) =>
+      val rowBytes = px.length / h // bpp·w, any color type
       var s = 0L; var t = 0L; var i = 0
       while (i < px.length) {
         val v = px(i) & 0xffL
-        s += v; if (i < 3 * w) t += v
+        s += v; if (i < rowBytes) t += v
         i += 1
       }
-      (w.toLong, (px.length / (3 * w)).toLong, s, t)
+      (w.toLong, h.toLong, s, t)
     }
 
   /** Fold a visual-order pixel stream into the 60-bit comparison code
@@ -1483,20 +1505,22 @@ object Multimodal {
     * the generator and decoder share no code path at all.
     */
   private[graft] def buildPng(px: Array[Byte], w: Int, h: Int,
-      ftOf: Int => Int, level: Int): Array[Byte] = {
-    val rowLen = 1 + 3 * w
+      ftOf: Int => Int, level: Int, colorType: Int = 2): Array[Byte] = {
+    val bpp = colorType match { case 0 => 1; case 6 => 4; case _ => 3 }
+    val rowBytes = bpp * w
+    val rowLen = 1 + rowBytes
     val raw = new Array[Byte](rowLen * h)
     var r = 0
     while (r < h) {
       val ft = ftOf(r)
       raw(r * rowLen) = ft.toByte
       var c = 0
-      while (c < 3 * w) {
-        val x = px(r * 3 * w + c) & 0xff
-        val a = if (c >= 3) px(r * 3 * w + c - 3) & 0xff else 0
-        val b = if (r > 0) px((r - 1) * 3 * w + c) & 0xff else 0
-        val d = if (r > 0 && c >= 3) px((r - 1) * 3 * w + c - 3) & 0xff
-          else 0
+      while (c < rowBytes) {
+        val x = px(r * rowBytes + c) & 0xff
+        val a = if (c >= bpp) px(r * rowBytes + c - bpp) & 0xff else 0
+        val b = if (r > 0) px((r - 1) * rowBytes + c) & 0xff else 0
+        val d = if (r > 0 && c >= bpp)
+          px((r - 1) * rowBytes + c - bpp) & 0xff else 0
         val pred = ft match {
           case 0 => 0
           case 1 => a
@@ -1528,7 +1552,7 @@ object Multimodal {
     }
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
       chunk("IHDR", be4a(w) ++ be4a(h) ++
-        Array[Byte](8, 2, 0, 0, 0)) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 0)) ++
       chunk("IDAT", zOut.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)
   }
@@ -1556,6 +1580,54 @@ object Multimodal {
           level = ((id % 3) * 4 + 1).toInt))
       })
       .toDF("media_id", "payload")
+  }
+
+  /** PNG media table across the COLOR-TYPE MATRIX: id%3 picks
+    * grayscale (ct 0, 1 B/px) / RGB (ct 2) / RGBA (ct 6), the same
+    * closed-form content over the bpp·w·h visual stream, per-row
+    * filters cycling all five, JDK-deflated (levels 1/9 alternating).
+    * A decoder hard-coding bpp=3 corrupts every Sub/Average/Paeth row
+    * of the other two types — the property q281 gates.
+    */
+  def asPngColorTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val ct = (id % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+        val bpp = ct match { case 0 => 1; case 2 => 3; case _ => 4 }
+        val w = (id % 6 + 1).toInt; val h = (id % 4 + 1).toInt
+        val px = Array.tabulate(bpp * w * h)(k =>
+          (((id * 7 + k) % 251) & 0xff).toByte)
+        (id, buildPng(px, w, h, r => ((id + r) % 5).toInt,
+          level = ((id % 2) * 8 + 1).toInt, colorType = ct))
+      })
+      .toDF("media_id", "payload")
+  }
+
+  /** Color-type-aware decode over a media table: [[pngPixelsCt]]'s
+    * parse with the color type in the output (-1 = undecodable).
+    */
+  def decodePngCtMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (mid, p) =>
+        pngPixelsCt(p) match {
+          case Some((w, h, ct, px)) =>
+            val rowBytes = px.length / h
+            var s = 0L; var t = 0L; var i = 0
+            while (i < px.length) {
+              val v = px(i) & 0xffL
+              s += v; if (i < rowBytes) t += v
+              i += 1
+            }
+            (mid, ct.toLong, w.toLong, h.toLong, s, t)
+          case None => (mid, -1L, 0L, 0L, 0L, 0L)
+        }
+      })
+      .toDF("media_id", "color_type", "width", "height", "pix_sum",
+        "top_row_sum")
   }
 
   /** Pixel-level decode over a media table, PNG edition —

@@ -1107,6 +1107,43 @@ object MultimodalQueries {
       .drop("n_bytes")
   }
 
+  /** COLOR-TYPE MATRIX — q279's real-encoder decode across PNG's
+    * common 8-bit color types: grayscale (ct 0, 1 byte/pixel), RGB
+    * (ct 2) and RGBA (ct 6). The decode is bpp-parametric in exactly
+    * one place — the filters' "left neighbor is the same channel one
+    * PIXEL back" offset — and a decoder hard-coding bpp=3 corrupts
+    * every Sub/Average/Paeth row of the other two types, which is
+    * the failure the oracle's per-type closed-form sums would catch.
+    * Map-only, q276's cost model.
+    */
+  val q281 = Q("q281_png_color_types",
+    """WITH g AS (
+      |  SELECT doc_id, (doc_id % 6) + 1 AS w, (doc_id % 4) + 1 AS h,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS ct,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS bpp
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, sum(v) AS pix_sum,
+      |    sum(CASE WHEN i < bpp * w THEN v ELSE 0 END) AS top_row_sum
+      |  FROM (
+      |    SELECT doc_id, bpp, w, i, (doc_id * 7 + i) % 251 AS v
+      |    FROM (
+      |      SELECT doc_id, w, h, bpp,
+      |        CAST(unnest(range(0, h * bpp * w)) AS BIGINT) AS i
+      |      FROM g) t1) t2
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id AS media_id, CAST(ct AS BIGINT) AS color_type,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(px.pix_sum AS BIGINT) AS pix_sum,
+      |  CAST(px.top_row_sum AS BIGINT) AS top_row_sum
+      |FROM g JOIN px ON px.doc_id = g.doc_id""".stripMargin) {
+    (s, dir) =>
+    Multimodal.decodePngCtMeta(
+      Multimodal.asPngColorTable(Tables(s, dir, "documents")))
+  }
+
   val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176,
-    q179, q203, q212, q230, q233, q234, q243, q276, q277, q279)
+    q179, q203, q212, q230, q233, q234, q243, q276, q277, q279, q281)
 }

@@ -526,6 +526,27 @@ class Round13Spec extends SparkSpec {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("pngPixelsCt: grayscale and RGBA decode with the correct " +
+    "per-pixel filter offset — a bpp=3 assumption would corrupt " +
+    "Sub/Paeth rows of both") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, s"d$i", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Multimodal.decodePngCtMeta(
+        Multimodal.asPngColorTable(docs))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 30)
+    got.foreach { case (id, ct, w, h, ps, trs) =>
+      val ect = (id % 3) match { case 0 => 0L; case 1 => 2L; case _ => 6L }
+      val bpp = ect match { case 0L => 1; case 2L => 3; case _ => 4 }
+      assert(ct == ect && w == id % 6 + 1 && h == id % 4 + 1,
+        s"id $id header")
+      val vs = (0 until (bpp * w * h).toInt).map(k => (id * 7 + k) % 251)
+      assert(ps == vs.sum, s"id $id pix_sum (ct $ct)")
+      assert(trs == vs.take((bpp * w).toInt).sum, s"id $id top row")
+    }
+  }
+
   // ---- transaction journal: torn/malformed lines ----------------------
 
   test("recoverTransact: malformed journal lines are skipped, " +
