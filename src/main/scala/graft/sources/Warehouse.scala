@@ -1165,14 +1165,48 @@ final case class Warehouse(root: String) {
       s"casReplace($table): lost $retries CAS races")
   }
 
-  /** The active commit lines after REPLACE compaction: everything
-    * from the last REPLACE (or the beginning) to head.
+  /** The active commit lines: scan BACKWARD from head, stopping at
+    * the first compaction point — a REPLACE commit (whole new state)
+    * or a CKPT commit ([[casCheckpoint]]'s snapshot of the then-active
+    * lines). The backward scan is what bounds replay cost: the driver
+    * reads O(commits since the last checkpoint) small files, not the
+    * whole log — the Delta checkpoint discipline. Commits may carry
+    * multiple lines (a CKPT commit carries the full snapshot).
     */
   private def casActiveCmds(table: String): Seq[String] = {
-    val cmds = (1 to casHead(table)).map(n =>
-      readLines(casCommitFile(table, n)).head)
-    val lastRep = cmds.lastIndexWhere(_.startsWith("REPLACE "))
-    if (lastRep >= 0) cmds.drop(lastRep) else cmds
+    var acc = List.empty[String]
+    var n = casHead(table)
+    var atStop = false
+    while (n >= 1 && !atStop) {
+      val ls = readLines(casCommitFile(table, n))
+      acc = ls.toList ++ acc
+      if (ls.exists(l => l.startsWith("REPLACE ") || l == "CKPT"))
+        atStop = true
+      n -= 1
+    }
+    acc.filter(_ != "CKPT")
+  }
+
+  /** LOG CHECKPOINT — fold the active command lines into ONE commit
+    * (marker line `CKPT` + the lines verbatim, stats and all), so the
+    * next reader's backward replay stops here: consult cost becomes
+    * O(commits since checkpoint) instead of O(log length), with NO
+    * data movement — unlike [[casReplace]], nothing is rewritten, so
+    * a checkpoint is metadata-cheap at any table size. Published by
+    * the same CAS as every commit: a concurrent append between the
+    * snapshot read and the CAS makes the checkpoint retry, so it can
+    * never swallow a commit it did not include.
+    */
+  def casCheckpoint(table: String, retries: Int = 8): Int = {
+    var attempt = 0
+    while (attempt < retries) {
+      val head = casHead(table)
+      val active = casActiveCmds(table)
+      if (casTryCommit(table, head + 1, "CKPT" +: active)) return head + 1
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casCheckpoint($table): lost $retries CAS races")
   }
 
   // ADD <path> | ADDS <min|-> <max|-> <path> |
@@ -1272,8 +1306,10 @@ final case class Warehouse(root: String) {
     */
   def casCommittedBatch(table: String, stream: String,
       batchId: Long): Boolean =
+    // every line of every commit: an ADDB line survives inside a
+    // CKPT commit's snapshot, and must still deduplicate its batch
     (1 to casHead(table)).exists(n =>
-      readLines(casCommitFile(table, n)).headOption
+      readLines(casCommitFile(table, n))
         .exists(_.startsWith(s"ADDB $stream $batchId ")))
 
   /** EXACTLY-ONCE batch commit — the idempotent-sink half of
@@ -1318,9 +1354,12 @@ final case class Warehouse(root: String) {
     * Returns the deleted directory paths.
     */
   def casVacuum(table: String, minAgeMs: Long = 0L): Seq[String] = {
+    // EVERY line of EVERY commit counts as a reference — a CKPT
+    // commit carries the snapshot's paths on its non-marker lines,
+    // and missing them here would delete LIVE data
     val referenced = (1 to casHead(table)).flatMap(n =>
-      readLines(casCommitFile(table, n)).headOption).map(casCmdPath)
-      .map(new File(_).getName).toSet
+      readLines(casCommitFile(table, n))).filter(_ != "CKPT")
+      .map(casCmdPath).map(new File(_).getName).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val dataDir = new File(dir(table + "__data"))
     Option(dataDir.listFiles()).getOrElse(Array()).toSeq

@@ -547,6 +547,40 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("casCheckpoint: replay stops at the checkpoint (one commit " +
+    "carries the snapshot), stats survive through it, vacuum keeps " +
+    "checkpointed data, and post-checkpoint commits compose") {
+    import spark.implicits._
+    val wh = tmpWh()
+    Seq((0L, 25L), (25L, 50L), (50L, 75L)).foreach { case (a, b) =>
+      wh.casAppendStats(spark,
+        (a until b).map(v => (v, v)).toDF("bucket", "payload"),
+        "t", "bucket")
+    }
+    val ckptV = wh.casCheckpoint("t")
+    assert(ckptV == 4)
+    wh.casAppendStats(spark,
+      (75L until 100L).map(v => (v, v)).toDF("bucket", "payload"),
+      "t", "bucket")
+    // full read sees all four waves
+    assert(wh.casRead(spark, "t").count() == 100L)
+    // commit-grain stats SURVIVE the checkpoint: [30,60] still skips
+    // the [0,25) and [75,100) waves
+    val (kept, total) = wh.casPrunedCommits("t", 30L, 60L)
+    assert(total == 4 && kept.size == 2,
+      s"stats must prune through the checkpoint (kept ${kept.size})")
+    assert(wh.casReadPruned(spark, "t", "bucket", 30L, 60L)
+      .count() == 31L)
+    // vacuum must treat snapshot lines as references
+    assert(wh.casVacuum("t").isEmpty,
+      "checkpointed waves are live and must survive vacuum")
+    assert(wh.casRead(spark, "t").count() == 100L)
+    // a replayed streaming batch inside a checkpoint still dedups
+    wh.casAppendBatch(Seq(1L).toDF("k2"), "t2", "s", 7L)
+    wh.casCheckpoint("t2")
+    assert(wh.casAppendBatch(Seq(1L).toDF("k2"), "t2", "s", 7L).isEmpty)
+  }
+
   // ---- transaction journal: torn/malformed lines ----------------------
 
   test("recoverTransact: malformed journal lines are skipped, " +
