@@ -140,4 +140,38 @@ class PropertySpec extends SparkSpec {
         s"mismatch seed=$seed")
     }
   }
+
+
+  // ---- inflate round-trip (r13): property over generated byte arrays
+
+  private val bytesGen: Gen[Array[Byte]] = for {
+    n <- Gen.choose(0, 8192)
+    mode <- Gen.choose(0, 2)
+    seed <- Gen.choose(0, 1 << 20)
+  } yield mode match {
+    case 0 => Array.tabulate(n)(i => ((i * 131 + seed) % 256).toByte)
+    case 1 => // runs: long LZ77 matches
+      Array.tabulate(n)(i => (((i / 97) * 7 + seed) % 256).toByte)
+    case _ => // tiny alphabet: skewed Huffman tables
+      Array.tabulate(n)(i => ((i * i + seed) % 4 + 65).toByte)
+  }
+
+  test("property: inflate(jdkDeflate(data)) == data for generated " +
+    "inputs across modes and levels — the from-scratch decoder " +
+    "agrees with the reference encoder on arbitrary content") {
+    val params = Gen.Parameters.default
+    for (seed <- 1L to 30L; level <- Seq(1, 6, 9)) {
+      val data = bytesGen.pureApply(params, Seed(seed * 31 + level))
+      val d = new java.util.zip.Deflater(level, false)
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      val got = graft.multimodal.Multimodal.inflate(
+        out.toByteArray, data.length.max(1))
+      assert(got.isDefined && java.util.Arrays.equals(got.get, data),
+        s"seed $seed level $level n=${data.length}")
+    }
+  }
 }
