@@ -1180,7 +1180,7 @@ final case class Warehouse(root: String) {
     while (n >= 1 && !atStop) {
       val ls = readLines(casCommitFile(table, n))
       acc = ls.toList ++ acc
-      if (ls.exists(l => l.startsWith("REPLACE ") || l == "CKPT"))
+      if (ls.exists(l => casIsReplace(l) || l == "CKPT"))
         atStop = true
       n -= 1
     }
@@ -1210,11 +1210,16 @@ final case class Warehouse(root: String) {
   }
 
   // ADD <path> | ADDS <min|-> <max|-> <path> |
-  // ADDB <stream> <batchId> <path> | REPLACE <path>
+  // ADDB <stream> <batchId> <path> | REPLACE <path> |
+  // REPLACES <min|-> <max|-> <path>
   private def casCmdPath(cmd: String): String =
-    if (cmd.startsWith("ADDS ") || cmd.startsWith("ADDB "))
+    if (cmd.startsWith("ADDS ") || cmd.startsWith("ADDB ") ||
+      cmd.startsWith("REPLACES "))
       cmd.split(" ", 4)(3)
     else cmd.split(" ", 2)(1)
+
+  private def casIsReplace(cmd: String): Boolean =
+    cmd.startsWith("REPLACE ") || cmd.startsWith("REPLACES ")
 
   /** Snapshot read of a CAS-logged table: replay the log from the
     * last REPLACE commit (or the beginning) and union the named ADD
@@ -1275,7 +1280,9 @@ final case class Warehouse(root: String) {
       hi: Long): (Seq[String], Int) = {
     val active = casActiveCmds(table)
     val kept = active.filter { cmd =>
-      if (!cmd.startsWith("ADDS ")) true
+      // stats-carrying lines (ADDS, REPLACES) prune; everything else
+      // (plain ADD, stat-less REPLACE, ADDB) is kept conservatively
+      if (!cmd.startsWith("ADDS ") && !cmd.startsWith("REPLACES ")) true
       else {
         val p = cmd.split(" ", 4)
         p(1) == "-" || p(2) == "-" ||
@@ -1298,6 +1305,36 @@ final case class Warehouse(root: String) {
       if (paths.isEmpty) casRead(spark, table).filter(lit(false))
       else spark.read.parquet(paths: _*)
     base.filter(col(c).cast("long").between(lo, hi))
+  }
+
+  /** [[casReplace]] with COMMIT-TIME STATISTICS — the replace commit
+    * carries the new state's [min, max] extent on `c` (REPLACES
+    * line), so [[casReadPruned]] keeps skipping AFTER a replace: a
+    * stat-less REPLACE would otherwise force every later range read
+    * to open the replaced snapshot conservatively. Same OCC retry
+    * contract as [[casReplace]].
+    */
+  def casReplaceStats(spark: SparkSession, table: String, c: String,
+      retries: Int = 8)(fn: DataFrame => DataFrame): Int = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    var attempt = 0
+    while (attempt < retries) {
+      val head = casHead(table)
+      val out = fn(casRead(spark, table))
+      val staged = new File(new File(dir(table + "__data")),
+        java.util.UUID.randomUUID().toString)
+      out.write.mode("errorifexists").parquet(staged.getPath)
+      val r = spark.read.parquet(staged.getPath)
+        .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
+      val (lo, hi) =
+        (if (r.isNullAt(0)) "-" else r.getLong(0).toString,
+          if (r.isNullAt(1)) "-" else r.getLong(1).toString)
+      if (casTryCommit(table, head + 1,
+        Seq(s"REPLACES $lo $hi ${staged.getPath}"))) return head + 1
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casReplaceStats($table): lost $retries CAS races")
   }
 
   /** Has `batchId` of `stream` already committed to this table? The

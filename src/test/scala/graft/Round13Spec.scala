@@ -581,6 +581,33 @@ class Round13Spec extends SparkSpec {
     assert(wh.casAppendBatch(Seq(1L).toDF("k2"), "t2", "s", 7L).isEmpty)
   }
 
+  test("casReplaceStats: pruning keeps working after a replace — the " +
+    "REPLACES commit carries the new extent and skips like any wave") {
+    import spark.implicits._
+    val wh = tmpWh()
+    Seq((0L, 50L), (50L, 100L)).foreach { case (a, b) =>
+      wh.casAppendStats(spark,
+        (a until b).map(v => (v, v)).toDF("bucket", "payload"),
+        "t", "bucket")
+    }
+    // replace: keep bucket < 40 only — the new state's extent [0,39]
+    wh.casReplaceStats(spark, "t", "bucket")(_.filter(col("bucket") < 40L))
+    // a post-replace wave in [200, 225)
+    wh.casAppendStats(spark,
+      (200L until 225L).map(v => (v, v)).toDF("bucket", "payload"),
+      "t", "bucket")
+    // range above the replaced extent: the REPLACES commit is skipped
+    val (kept, total) = wh.casPrunedCommits("t", 150L, 300L)
+    assert(total == 2 && kept.size == 1,
+      s"the [0,39] replace snapshot must be skipped (kept ${kept.size})")
+    assert(wh.casReadPruned(spark, "t", "bucket", 150L, 300L)
+      .count() == 25L)
+    // range inside it: kept, and results equal the full filter
+    assert(wh.casReadPruned(spark, "t", "bucket", 10L, 20L)
+      .count() == 11L)
+    assert(wh.casRead(spark, "t").count() == 65L)
+  }
+
   // ---- transaction journal: torn/malformed lines ----------------------
 
   test("recoverTransact: malformed journal lines are skipped, " +
