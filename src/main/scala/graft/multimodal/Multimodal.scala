@@ -1381,7 +1381,8 @@ object Multimodal {
       case 6 => 4 // truecolor + alpha
       case _ => return None
     }
-    if (p(24) != 8 || p(26) != 0 || p(27) != 0 || p(28) != 0)
+    val interlace = p(28) & 0xff
+    if (p(24) != 8 || p(26) != 0 || p(27) != 0 || interlace > 1)
       return None
     val idat = new java.io.ByteArrayOutputStream()
     var i = 33 // signature(8) + IHDR chunk(25)
@@ -1398,20 +1399,84 @@ object Multimodal {
     if (!done || idat.size() == 0) return None
     val (wi, hi) = (w.toInt, h.toInt)
     val rowBytes = bpp * wi
-    val rowLen = 1 + rowBytes
-    val rawLen = rowLen * hi
-    val raw = inflate(idat.toByteArray, rawLen) match {
-      case Some(r) if r.length == rawLen => r
-      case _ => return None
+    if (interlace == 0) {
+      val rawLen = (1 + rowBytes) * hi
+      val raw = inflate(idat.toByteArray, rawLen) match {
+        case Some(r) if r.length == rawLen => r
+        case _ => return None
+      }
+      defilterScanlines(raw, 0, wi, hi, bpp)
+        .map(px => (wi, hi, ct, px))
+    } else {
+      // Adam7 (RFC 2083 §8.2): seven passes, each a sub-image with
+      // its OWN scanlines and filters (neighbors are pass-local,
+      // never final-image-local — the defilter reuse is exact);
+      // empty passes (sub-image width or height 0) contribute no
+      // scanlines at all, not even filter bytes
+      val dims = adam7.map { case (x0, y0, dx, dy) =>
+        val wP = if (wi > x0) (wi - x0 + dx - 1) / dx else 0
+        val hP = if (hi > y0) (hi - y0 + dy - 1) / dy else 0
+        (x0, y0, dx, dy, wP, hP)
+      }
+      val rawLen = dims.map { case (_, _, _, _, wP, hP) =>
+        if (wP > 0 && hP > 0) hP * (1 + bpp * wP) else 0
+      }.sum
+      val raw = inflate(idat.toByteArray, rawLen) match {
+        case Some(r) if r.length == rawLen => r
+        case _ => return None
+      }
+      val px = new Array[Byte](rowBytes * hi)
+      var off = 0
+      dims.foreach { case (x0, y0, dx, dy, wP, hP) =>
+        if (wP > 0 && hP > 0) {
+          val sub = defilterScanlines(raw, off, wP, hP, bpp) match {
+            case Some(s) => s
+            case None => return None
+          }
+          off += hP * (1 + bpp * wP)
+          // scatter the pass's pixels to their final positions
+          var r = 0
+          while (r < hP) {
+            var c = 0
+            while (c < wP) {
+              var ch = 0
+              while (ch < bpp) {
+                px((y0 + r * dy) * rowBytes + (x0 + c * dx) * bpp + ch) =
+                  sub(r * bpp * wP + c * bpp + ch)
+                ch += 1
+              }
+              c += 1
+            }
+            r += 1
+          }
+        }
+      }
+      Some((wi, hi, ct, px))
     }
-    val px = new Array[Byte](rowBytes * hi)
+  }
+
+  // Adam7 pass origins/strides: (xStart, yStart, xStep, yStep)
+  private val adam7 = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+    (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Reconstruct `h` filtered scanlines of a `w`-pixel-wide sub-image
+    * starting at `off` in the raw stream — the shared defilter for
+    * the sequential image and each Adam7 pass (whose neighbor
+    * relations are pass-LOCAL by spec). None on an invalid filter
+    * type.
+    */
+  private def defilterScanlines(raw: Array[Byte], off: Int, w: Int,
+      h: Int, bpp: Int): Option[Array[Byte]] = {
+    val rowBytes = bpp * w
+    val rowLen = 1 + rowBytes
+    val px = new Array[Byte](rowBytes * h)
     var r = 0
-    while (r < hi) {
-      val ft = raw(r * rowLen) & 0xff
+    while (r < h) {
+      val ft = raw(off + r * rowLen) & 0xff
       if (ft > 4) return None
       var c = 0
       while (c < rowBytes) {
-        val x = raw(r * rowLen + 1 + c) & 0xff
+        val x = raw(off + r * rowLen + 1 + c) & 0xff
         // "left" is the same channel one PIXEL (bpp bytes) back
         val a = if (c >= bpp) px(r * rowBytes + c - bpp) & 0xff else 0
         val b = if (r > 0) px((r - 1) * rowBytes + c) & 0xff else 0
@@ -1433,7 +1498,7 @@ object Multimodal {
       }
       r += 1
     }
-    Some((wi, hi, ct, px))
+    Some(px)
   }
 
   /** [[bmpMeta]]'s quadruple for PNGs: (width, height, pix_sum,
@@ -1504,9 +1569,12 @@ object Multimodal {
     * [[pngPixels]]) is from scratch — that asymmetry is the point:
     * the generator and decoder share no code path at all.
     */
-  private[graft] def buildPng(px: Array[Byte], w: Int, h: Int,
-      ftOf: Int => Int, level: Int, colorType: Int = 2): Array[Byte] = {
-    val bpp = colorType match { case 0 => 1; case 6 => 4; case _ => 3 }
+  /** Filter `h` scanlines of a `w`-pixel sub-image — the encode-side
+    * twin of the decoder's defilter, shared by the sequential build
+    * and each Adam7 pass. `ftOf` picks the filter per row.
+    */
+  private def filterScanlines(px: Array[Byte], w: Int, h: Int,
+      bpp: Int, ftOf: Int => Int): Array[Byte] = {
     val rowBytes = bpp * w
     val rowLen = 1 + rowBytes
     val raw = new Array[Byte](rowLen * h)
@@ -1533,6 +1601,48 @@ object Multimodal {
       }
       r += 1
     }
+    raw
+  }
+
+  private[graft] def buildPng(px: Array[Byte], w: Int, h: Int,
+      ftOf: Int => Int, level: Int, colorType: Int = 2,
+      interlaced: Boolean = false): Array[Byte] = {
+    val bpp = colorType match { case 0 => 1; case 6 => 4; case _ => 3 }
+    val rowBytes = bpp * w
+    val raw: Array[Byte] =
+      if (!interlaced) filterScanlines(px, w, h, bpp, ftOf)
+      else {
+        // Adam7 encode: extract each pass's sub-image, filter it with
+        // pass-LOCAL neighbors, concatenate pass streams in order
+        val out = new java.io.ByteArrayOutputStream()
+        var rowSeq = 0
+        adam7.foreach { case (x0, y0, dx, dy) =>
+          val wP = if (w > x0) (w - x0 + dx - 1) / dx else 0
+          val hP = if (h > y0) (h - y0 + dy - 1) / dy else 0
+          if (wP > 0 && hP > 0) {
+            val sub = new Array[Byte](bpp * wP * hP)
+            var r = 0
+            while (r < hP) {
+              var c = 0
+              while (c < wP) {
+                var ch = 0
+                while (ch < bpp) {
+                  sub(r * bpp * wP + c * bpp + ch) =
+                    px((y0 + r * dy) * rowBytes + (x0 + c * dx) * bpp + ch)
+                  ch += 1
+                }
+                c += 1
+              }
+              r += 1
+            }
+            val base = rowSeq
+            out.write(filterScanlines(sub, wP, hP, bpp,
+              r => ftOf(base + r)))
+            rowSeq += hP
+          }
+        }
+        out.toByteArray
+      }
     val defl = new java.util.zip.Deflater(level, false)
     defl.setInput(raw); defl.finish()
     val zOut = new java.io.ByteArrayOutputStream()
@@ -1552,7 +1662,8 @@ object Multimodal {
     }
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
       chunk("IHDR", be4a(w) ++ be4a(h) ++
-        Array[Byte](8, colorType.toByte, 0, 0, 0)) ++
+        Array[Byte](8, colorType.toByte, 0, 0,
+          if (interlaced) 1 else 0)) ++
       chunk("IDAT", zOut.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)
   }
@@ -1601,6 +1712,30 @@ object Multimodal {
           (((id * 7 + k) % 251) & 0xff).toByte)
         (id, buildPng(px, w, h, r => ((id + r) % 5).toInt,
           level = ((id % 2) * 8 + 1).toInt, colorType = ct))
+      })
+      .toDF("media_id", "payload")
+  }
+
+  /** INTERLACED PNG media table — [[asPngDeflateTable]]'s content at
+    * richer geometry (w = id%13+1, h = id%9+1, so images >= 8 wide/
+    * tall exercise ALL seven Adam7 passes while small ones hit the
+    * empty-pass edges), encoded PROGRESSIVE (IHDR interlace = 1):
+    * pass sub-images extracted, filtered pass-locally, concatenated,
+    * JDK-deflated. Interlacing permutes STORAGE order only — the
+    * decoded content equals the same closed form, which is exactly
+    * what the oracle (and the sequential-equality spec) pin.
+    */
+  def asPngInterlacedTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 13 + 1).toInt; val h = (id % 9 + 1).toInt
+        val px = Array.tabulate(3 * w * h)(k =>
+          (((id * 7 + k) % 251) & 0xff).toByte)
+        (id, buildPng(px, w, h, r => ((id + r) % 5).toInt,
+          level = ((id % 3) * 4 + 1).toInt, colorType = 2,
+          interlaced = true))
       })
       .toDF("media_id", "payload")
   }

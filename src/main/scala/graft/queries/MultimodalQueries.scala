@@ -1144,6 +1144,46 @@ object MultimodalQueries {
       Multimodal.asPngColorTable(Tables(s, dir, "documents")))
   }
 
+  /** ADAM7 INTERLACED DECODE — the progressive storage layout every
+    * real PNG decoder must handle: seven passes, each a sub-image
+    * with its OWN scanlines and PASS-LOCAL filter neighbors, empty
+    * passes contributing no bytes at all (small images — most of
+    * this corpus — hit that edge constantly). Interlacing permutes
+    * STORAGE order only, so the oracle is the same closed-form
+    * content sum as the sequential q279 — a decoder that defilters
+    * against final-image neighbors, miscomputes a pass geometry, or
+    * mis-scatters a pass fails it. Geometry runs to 13×9 so all
+    * seven passes are non-empty on the larger ids.
+    *
+    * Shape: map-only synthesis + partition-batched decode, q276's
+    * cost model.
+    */
+  val q282 = Q("q282_png_interlaced_decode",
+    """WITH g AS (
+      |  SELECT doc_id, (doc_id % 13) + 1 AS w, (doc_id % 9) + 1 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, sum(v) AS pix_sum,
+      |    sum(CASE WHEN i < 3 * w THEN v ELSE 0 END) AS top_row_sum
+      |  FROM (
+      |    SELECT doc_id, w, i, (doc_id * 7 + i) % 251 AS v
+      |    FROM (
+      |      SELECT doc_id, w, h,
+      |        CAST(unnest(range(0, h * 3 * w)) AS BIGINT) AS i
+      |      FROM g) t1) t2
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id AS media_id, 'png' AS format,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(px.pix_sum AS BIGINT) AS pix_sum,
+      |  CAST(px.top_row_sum AS BIGINT) AS top_row_sum
+      |FROM g JOIN px ON px.doc_id = g.doc_id""".stripMargin) {
+    (s, dir) =>
+    Multimodal.decodePngMeta(
+      Multimodal.asPngInterlacedTable(Tables(s, dir, "documents")))
+      .drop("n_bytes")
+  }
+
   val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176,
-    q179, q203, q212, q230, q233, q234, q243, q276, q277, q279, q281)
+    q179, q203, q212, q230, q233, q234, q243, q276, q277, q279, q281,
+    q282)
 }

@@ -608,6 +608,42 @@ class Round13Spec extends SparkSpec {
     assert(wh.casRead(spark, "t").count() == 65L)
   }
 
+  test("Adam7: interlaced and sequential encodings of the same " +
+    "content decode to IDENTICAL pixels across geometries, including " +
+    "empty-pass edges and full seven-pass images") {
+    for ((w, h) <- Seq((1, 1), (2, 3), (5, 4), (7, 8), (8, 8),
+      (13, 11), (16, 9))) {
+      val px = Array.tabulate(3 * w * h)(k => ((k * 37 + 11) % 251).toByte)
+      val seq7 = Multimodal.buildPng(px, w, h, r => r % 5, 6)
+      val il = Multimodal.buildPng(px, w, h, r => r % 5, 6,
+        colorType = 2, interlaced = true)
+      val a = Multimodal.pngPixels(seq7)
+      val b = Multimodal.pngPixels(il)
+      assert(a.isDefined && b.isDefined, s"${w}x$h must decode both ways")
+      assert(java.util.Arrays.equals(a.get._3, b.get._3),
+        s"${w}x$h: interlacing must be storage-order only")
+      assert(java.util.Arrays.equals(a.get._3, px),
+        s"${w}x$h: decoded content must equal the source pixels")
+    }
+  }
+
+  test("Adam7: the interlaced corpus generator decodes to the " +
+    "closed-form sums (all seven passes live on large geometries)") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, s"d$i", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Multimodal.decodePngMeta(
+        Multimodal.asPngInterlacedTable(docs))
+      .select("media_id", "format", "width", "height", "pix_sum")
+      .as[(Long, String, Long, Long, Long)].collect()
+    got.foreach { case (id, fmt, w, h, ps) =>
+      assert(fmt == "png" && w == id % 13 + 1 && h == id % 9 + 1,
+        s"id $id header (got $fmt ${w}x$h)")
+      assert(ps == (0 until (3 * w * h).toInt)
+        .map(k => (id * 7 + k) % 251).sum, s"id $id pix_sum")
+    }
+  }
+
   // ---- transaction journal: torn/malformed lines ----------------------
 
   test("recoverTransact: malformed journal lines are skipped, " +
