@@ -558,6 +558,51 @@ object Multimodal {
     * missing IEND, tEXt without a NUL) — truncated metadata is
     * corruption, not data.
     */
+  /** tEXt AND zTXt metadata walk — [[pngTextChunks]] extended to the
+    * COMPRESSED text chunk (RFC 2083 §4.4: keyword NUL method-byte
+    * zlib-deflated-value), decompressed through the from-scratch
+    * [[inflate]] — the same decoder the IDAT path uses, composed at
+    * the metadata tier. A zTXt with an unknown compression method or
+    * a broken stream poisons the whole walk to None (torn metadata is
+    * torn metadata); `valueCap` bounds decompressed size per chunk —
+    * a zip-bomb zTXt cannot balloon executor memory.
+    */
+  def pngAllTextChunks(p: Array[Byte],
+      valueCap: Int = 1 << 16): Option[Seq[(String, String, String)]] = {
+    if (sniffFormat(p) != "png") return None
+    var i = 8
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    while (i + 12 <= p.length) {
+      val len = be4(p, i)
+      if (i + 12 + len > p.length) return None
+      val kind = new String(p, i + 4, 4, "ISO-8859-1")
+      if (kind == "IEND") return Some(out.toSeq)
+      if (kind == "tEXt" || kind == "zTXt") {
+        val data = p.slice(i + 8, i + 8 + len.toInt)
+        val nul = data.indexOf(0.toByte)
+        if (nul < 0) return None
+        val keyword = new String(data, 0, nul, "ISO-8859-1")
+        if (kind == "tEXt")
+          out += ((keyword, "tEXt",
+            new String(data, nul + 1, data.length - nul - 1,
+              "ISO-8859-1")))
+        else {
+          if (nul + 2 > data.length || data(nul + 1) != 0)
+            return None // method 0 (deflate) is the only defined one
+          val z = java.util.Arrays.copyOfRange(data, nul + 2, data.length)
+          inflate(z, valueCap) match {
+            case Some(v) =>
+              out += ((keyword, "zTXt", new String(v, "ISO-8859-1")))
+            case None => return None
+          }
+        }
+      }
+      i += 12 + len.toInt
+    }
+    None // no IEND: torn stream
+  }
+
   def pngTextChunks(p: Array[Byte]): Option[Seq[(String, String)]] = {
     if (sniffFormat(p) != "png") return None
     var i = 8
@@ -1763,6 +1808,73 @@ object Multimodal {
       })
       .toDF("media_id", "color_type", "width", "height", "pix_sum",
         "top_row_sum")
+  }
+
+  /** Deterministic tEXt+zTXt PNG table — q243's closed forms with
+    * every other chunk COMPRESSED (zTXt, JDK-deflated): chunk j of
+    * doc id carries keyword Author/Title/Comment by (id+j) mod 3 and
+    * value hex((id·13+j) mod 2^24) zero-padded to 6, as tEXt for even
+    * (id+j) and zTXt for odd. Compressed bytes are encoder-dependent;
+    * the decoded CONTENT is the closed form the oracle mirrors.
+    */
+  def asPngZTextTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def be4a(v: Int): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      crc.update(body)
+      be4a(body.length) ++
+        typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        body ++ be4a(crc.getValue.toInt)
+    }
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (id % 3 + 1).toInt
+        val textChunks = (0 until n).flatMap { j =>
+          val kw = Seq("Author", "Title", "Comment")(((id + j) % 3).toInt)
+          val v = f"${(id * 13 + j) % 16777216}%06X"
+          val kb = kw.getBytes("ISO-8859-1")
+          val vb = v.getBytes("ISO-8859-1")
+          if ((id + j) % 2 == 0)
+            chunk("tEXt", kb ++ Array[Byte](0) ++ vb)
+          else {
+            val d = new java.util.zip.Deflater(6, false)
+            d.setInput(vb); d.finish()
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](256)
+            while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+            d.end()
+            chunk("zTXt", kb ++ Array[Byte](0, 0) ++ out.toByteArray)
+          }
+        }.toArray
+        val ihdr = chunk("IHDR", be4a(1) ++ be4a(1) ++
+          Array[Byte](8, 2, 0, 0, 0))
+        (id, Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+          0x1a, 0x0a) ++ ihdr ++ textChunks ++
+          chunk("IEND", Array.emptyByteArray))
+      })
+      .toDF("media_id", "payload")
+  }
+
+  /** [[pngAllTextChunks]] over a media table: one row per text chunk,
+    * in stream order, with the chunk kind surfaced. Undecodable
+    * payloads are dropped (the walk poisons to None on any torn
+    * chunk — metadata is all-or-nothing per file).
+    */
+  def decodePngAllText(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (mid, p) =>
+        pngAllTextChunks(p).toSeq.flatten.map { case (kw, kind, v) =>
+          (mid, kw, kind, v)
+        }
+      })
+      .toDF("media_id", "keyword", "kind", "txt")
   }
 
   /** Pixel-level decode over a media table, PNG edition —

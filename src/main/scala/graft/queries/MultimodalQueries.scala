@@ -1183,7 +1183,36 @@ object MultimodalQueries {
       .drop("n_bytes")
   }
 
+  /** COMPRESSED TEXT METADATA (zTXt) — q243's ancillary-chunk walk
+    * composed with the from-scratch inflate at the metadata tier:
+    * every other chunk's value is zlib-DEFLATED per RFC 2083 §4.4
+    * (keyword NUL method-byte compressed-value), and the walk
+    * decompresses it through the same decoder the IDAT path uses.
+    * The oracle mirrors the closed-form keyword/value content for
+    * BOTH kinds — compressed bytes are encoder-dependent and never
+    * compared. Map-only.
+    */
+  val q283 = Q("q283_png_ztxt_metadata",
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 3 + 1 AS BIGINT) AS n
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, CAST(unnest(range(0, n)) AS BIGINT) AS j
+      |  FROM g)
+      |SELECT doc_id AS media_id,
+      |  CASE CAST((doc_id + j) % 3 AS INT)
+      |    WHEN 0 THEN 'Author' WHEN 1 THEN 'Title'
+      |    ELSE 'Comment' END AS keyword,
+      |  CASE WHEN (doc_id + j) % 2 = 0 THEN 'tEXt'
+      |    ELSE 'zTXt' END AS kind,
+      |  upper(lpad(to_hex((doc_id * 13 + j) % 16777216), 6, '0'))
+      |    AS txt
+      |FROM ch""".stripMargin) { (s, dir) =>
+    Multimodal.decodePngAllText(
+      Multimodal.asPngZTextTable(Tables(s, dir, "documents")))
+  }
+
   val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176,
     q179, q203, q212, q230, q233, q234, q243, q276, q277, q279, q281,
-    q282)
+    q282, q283)
 }

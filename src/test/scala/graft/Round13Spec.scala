@@ -644,6 +644,53 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("pngAllTextChunks: zTXt values decompress through the shared " +
+    "inflate; hostile method byte / broken stream / zip-bomb cap all " +
+    "poison the walk to None") {
+    import spark.implicits._
+    val docs = (1L to 24L).map(i => (i, s"d$i", "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = Multimodal.decodePngAllText(
+        Multimodal.asPngZTextTable(docs))
+      .as[(Long, String, String, String)].collect()
+    assert(rows.length == (1L to 24L).map(_ % 3 + 1).sum)
+    rows.foreach { case (id, kw, kind, v) =>
+      val j = v // recompute j from content: find the j with this value
+      val n = (id % 3 + 1).toInt
+      val ok = (0 until n).exists { jj =>
+        kw == Seq("Author", "Title", "Comment")(((id + jj) % 3).toInt) &&
+          kind == (if ((id + jj) % 2 == 0) "tEXt" else "zTXt") &&
+          v == f"${(id * 13 + jj) % 16777216}%06X"
+      }
+      assert(ok, s"id $id row ($kw, $kind, $v) matches no closed form")
+    }
+    assert(rows.exists(_._3 == "zTXt") && rows.exists(_._3 == "tEXt"),
+      "both chunk kinds must occur (vacuity)")
+    // hostile: method byte != 0 poisons the walk
+    val good = Multimodal.asPngZTextTable(docs.filter(col("doc_id") === 1L))
+      .select("payload").as[Array[Byte]].head()
+    // find a zTXt chunk and corrupt its method byte: id=1 has chunks
+    // j=0 (odd -> zTXt) and j=1 (even -> tEXt)
+    val zAt = {
+      var k = -1
+      for (i <- 0 until good.length - 4)
+        if (k < 0 && good(i) == 'z' && good(i + 1) == 'T' &&
+          good(i + 2) == 'X' && good(i + 3) == 't') k = i
+      k
+    }
+    assert(zAt > 0)
+    val bad = good.clone()
+    // method byte follows "zTXt" + keyword + NUL; keyword here is
+    // Title (j=0: (1+0)%3=1) = 5 chars
+    bad(zAt + 4 + 5 + 1) = 1
+    assert(Multimodal.pngAllTextChunks(bad).isEmpty,
+      "unknown compression method must poison the walk")
+    val torn = good.clone()
+    torn(zAt + 4 + 5 + 2) = (torn(zAt + 4 + 5 + 2) ^ 0x55).toByte
+    assert(Multimodal.pngAllTextChunks(torn).isEmpty,
+      "a corrupted zlib header must poison the walk")
+  }
+
   // ---- transaction journal: torn/malformed lines ----------------------
 
   test("recoverTransact: malformed journal lines are skipped, " +
