@@ -1233,8 +1233,11 @@ object Multimodal {
       var code = 0; var l = 1
       while (l <= maxLen) {
         code = (code << 1) | bit()
-        if (code - first(l) < count(l))
-          return syms(offs(l) + code - first(l))
+        val d = code - first(l)
+        // both bounds explicit: a hostile (oversubscribed) table can
+        // put code BELOW first(l) — relying on the negative-index
+        // throw would be correct but opaque
+        if (d >= 0 && d < count(l)) return syms(offs(l) + d)
         l += 1
       }
       -1

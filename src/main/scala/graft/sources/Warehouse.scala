@@ -1387,10 +1387,13 @@ final case class Warehouse(root: String) {
     * post-REPLACE active suffix, so time-travel-style reads of older
     * commits stay safe — and (b) it is older than `minAgeMs`, the
     * grace window protecting a writer that has staged but not yet
-    * won its CAS (the same retention trade Delta's VACUUM documents).
+    * won its CAS (the same retention trade Delta's VACUUM documents;
+    * the default 15 min comfortably exceeds any stage-to-commit gap —
+    * pass 0 only when no concurrent writer can exist, as tests do).
     * Returns the deleted directory paths.
     */
-  def casVacuum(table: String, minAgeMs: Long = 0L): Seq[String] = {
+  def casVacuum(table: String,
+      minAgeMs: Long = 15L * 60L * 1000L): Seq[String] = {
     // EVERY line of EVERY commit counts as a reference — a CKPT
     // commit carries the snapshot's paths on its non-marker lines,
     // and missing them here would delete LIVE data

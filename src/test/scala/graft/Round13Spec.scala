@@ -494,7 +494,7 @@ class Round13Spec extends SparkSpec {
     val orphan = new java.io.File(
       new java.io.File(wh.root + "/t__data"), "orphan-dir")
     orphan.mkdirs()
-    val removed = wh.casVacuum("t")
+    val removed = wh.casVacuum("t", minAgeMs = 0L)
     assert(removed.exists(_.endsWith("orphan-dir")) && removed.size == 1)
     assert(wh.casRead(spark, "t").count() == 4L,
       "vacuum must never touch committed data")
@@ -502,7 +502,8 @@ class Round13Spec extends SparkSpec {
     val fresh = new java.io.File(
       new java.io.File(wh.root + "/t__data"), "inflight")
     fresh.mkdirs()
-    assert(wh.casVacuum("t", minAgeMs = 60000L).isEmpty)
+    assert(wh.casVacuum("t").isEmpty,
+      "the default grace window must protect a just-staged writer")
   }
 
   test("casSink: the streaming sink lands each micro-batch exactly " +
