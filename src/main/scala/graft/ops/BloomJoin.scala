@@ -18,11 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
-  // hash the column AS-IS: xxhash64 handles any input type natively.
-  // A cast("long") here would turn every non-numeric key into NULL
-  // (xxhash64 skips NULL children, so all string keys would collapse
-  // onto one position set and the filter silently degenerates to
-  // pass-everything) and would truncate fractional numeric keys.
+  // hash the NORMALIZED key: xxhash64 hashes equal values of
+  // DIFFERENT types differently (int 5 vs long 5 land on disjoint
+  // positions), so a build side keyed by int and a probe side keyed
+  // by long would produce FALSE NEGATIVES — matching probe rows
+  // silently filtered out before the join. Integral and scale-0
+  // decimal keys therefore canonicalize to long on BOTH sides (a
+  // widening cast, value-preserving by construction); every other
+  // type (string, binary, fractional) hashes as-is — a blanket
+  // cast("long") there would NULL every non-numeric key and collapse
+  // the filter to pass-everything. Non-integral build/probe key
+  // types must match exactly (documented contract).
+  private def normalize(df: DataFrame, keyCol: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(keyCol).cast("long")
+      case d: DecimalType if d.scale == 0 && d.precision <= 18 =>
+        col(keyCol).cast("long")
+      case _ => col(keyCol)
+    }
+  }
+
   private def positions(c: Column, m: Int, k: Int): Seq[Column] =
     (0 until k).map(i =>
       pmod(xxhash64(lit(i.toLong), c), lit(m)).cast("int"))
@@ -35,7 +52,8 @@ object BloomJoin {
       k: Int): Array[Long] = {
     require(m % 64 == 0, s"m must pack into longs: $m")
     val ps = build
-      .select(explode(array(positions(col(keyCol), m, k): _*)).as("p"))
+      .select(explode(array(
+        positions(normalize(build, keyCol), m, k): _*)).as("p"))
       .agg(collect_set(col("p")).as("ps"))
       .head().getSeq[Int](0)
     val bits = new Array[Long](m / 64)
@@ -50,7 +68,7 @@ object BloomJoin {
   def prefilter(probe: DataFrame, keyCol: String, bits: Array[Long],
       m: Int, k: Int): DataFrame = {
     val arr = typedLit(bits.toSeq)
-    val cond = positions(col(keyCol), m, k)
+    val cond = positions(normalize(probe, keyCol), m, k)
       .map(p => (element_at(arr, (p / 64).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L), p % 64))
         =!= 0L))

@@ -414,10 +414,48 @@ final case class Warehouse(root: String) {
   }
 
   def writeManifest(spark: SparkSession, table: String,
-      cols: Seq[String]): Unit =
+      cols: Seq[String]): Unit = {
     fileStats(read(spark, table), cols)
       .coalesce(1)
       .write.mode("overwrite").parquet(dir(table + "__manifest"))
+    refreshTwoLevel(spark, table)
+  }
+
+  // the hierarchical tier's build parameters (stats column, group
+  // size), recorded so every flat-manifest REWRITE can rebuild the
+  // tier instead of leaving a stale group manifest silently naming
+  // dead files
+  private def manifest2Spec(table: String): File =
+    new File(dir(table + "__manifest2.spec"))
+
+  /** Re-derive (or retire) the hierarchical manifest after the flat
+    * `__manifest` was REWRITTEN: with a recorded spec the tier is
+    * rebuilt from the new flat manifest (metadata-grain — one sort of
+    * file-stat rows, no data read); without one, any existing tier is
+    * DELETED, because a group manifest that survived a flat rewrite
+    * names files that may no longer exist — the consult then falls
+    * back to the flat form, which is always correct.
+    */
+  private def refreshTwoLevel(spark: SparkSession, table: String): Unit = {
+    val spec = manifest2Spec(table)
+    if (spec.exists()) {
+      val ls = readLines(spec)
+      val sch = spark.read.parquet(dir(table + "__manifest"))
+        .schema.fieldNames.toSet
+      if (sch(s"min_${ls.head}"))
+        writeTwoLevelManifest(spark, table, ls.head, ls(1).toInt)
+      else {
+        // the rewrite dropped the tier's stats column — the tier (and
+        // its spec) cannot be maintained any further
+        java.nio.file.Files.deleteIfExists(spec.toPath)
+        delete(new File(dir(table + "__manifest2")))
+        delete(new File(dir(table + "__manifest_g")))
+      }
+    } else if (new File(dir(table + "__manifest2")).exists()) {
+      delete(new File(dir(table + "__manifest2")))
+      delete(new File(dir(table + "__manifest_g")))
+    }
+  }
 
   /** Append `df` AND extend the manifest with ONLY the new files'
     * stats — the commit-time shape every table format uses (stats
@@ -431,9 +469,24 @@ final case class Warehouse(root: String) {
     * fragments accrete one small file per append (readers read the
     * directory; compact with a full [[writeManifest]] when fragment
     * count matters).
+    *
+    * The HIERARCHICAL tier rides the same O(delta) append: a brand-new
+    * table gets its group manifest ([[writeTwoLevelManifest]]'s
+    * structure, clustered on `cols.head`) built from the first wave,
+    * and every later wave lands as its own fresh group(s) — new group
+    * rows APPEND to `__manifest_g`/`__manifest2`, old groups are never
+    * rewritten, so [[prunedFilesAll]]'s flat driver-collect fallback
+    * is dead code on tables born here (it remains reachable only for
+    * pre-existing tables whose tier was never built). Delta groups may
+    * overlap older groups' key ranges (appends arrive in arrival
+    * order, not global sort order) — correctness is untouched, and a
+    * periodic [[writeTwoLevelManifest]] rebuild restores the globally
+    * range-sorted grouping when selectivity matters.
     */
   def appendWithManifest(spark: SparkSession, df: DataFrame,
-      table: String, cols: Seq[String]): Unit = {
+      table: String, cols: Seq[String], groupSize: Int = 1000): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     def parts: Set[String] =
       Option(new File(dir(table)).listFiles()).getOrElse(Array())
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -441,12 +494,52 @@ final case class Warehouse(root: String) {
     val before = if (exists(table)) parts else Set.empty[String]
     append(df, table)
     val added = (parts -- before).toSeq
-    if (added.nonEmpty)
-      fileStats(
+    if (added.nonEmpty) {
+      val st = fileStats(
         spark.read.schema(read(spark, table).schema).parquet(added: _*),
-        cols)
-        .coalesce(1)
+        cols).cache()
+      st.coalesce(1)
         .write.mode("append").parquet(dir(table + "__manifest"))
+      val spec = manifest2Spec(table)
+      // extend the tier when it exists; CREATE it when the table is
+      // brand-new; leave pre-existing tierless tables flat (a tier
+      // covering only the delta would hide every older file from the
+      // group-level consult)
+      if (spec.exists() || before.isEmpty) {
+        val (c, gs) =
+          if (spec.exists()) {
+            val ls = readLines(spec); (ls.head, ls(1).toInt)
+          } else (cols.head, groupSize)
+        val maxGid =
+          if (new File(dir(table + "__manifest2")).exists())
+            spark.read.parquet(dir(table + "__manifest2"))
+              .agg(max(col("gid"))).head().getInt(0)
+          else -1
+        val stG = st.withColumn("gid",
+          (lit(maxGid + 1) +
+            (row_number().over(Window.orderBy(col(s"min_$c"),
+              col("file"))) - 1) / gs).cast("int"))
+        stG.coalesce(1)
+          .write.mode("append").parquet(dir(table + "__manifest_g"))
+        stG.groupBy("gid")
+          .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+            min(s"min_$c").as(s"min_$c"), max(s"max_$c").as(s"max_$c"),
+            max(when(col(s"min_$c").isNull || col(s"max_$c").isNull, 1)
+              .otherwise(0)).as("has_null_extent"))
+          .coalesce(1)
+          .write.mode("append").parquet(dir(table + "__manifest2"))
+        if (!spec.exists()) writeLines(spec, Seq(c, gs.toString))
+      } else if (new File(dir(table + "__manifest2")).exists()) {
+        // a spec-less tier (hand-built before the spec existed) cannot
+        // be extended — after this append it would hide the new files
+        // from the group-level consult, so it must retire; the flat
+        // fallback stays correct
+        delete(new File(dir(table + "__manifest2")))
+        delete(new File(dir(table + "__manifest_g")))
+      }
+      st.unpersist()
+      ()
+    }
   }
 
   /** The manifest consult: which of the table's files can contain
@@ -507,6 +600,11 @@ final case class Warehouse(root: String) {
     if (!new File(dir(table + "__manifest2")).exists()) return None
     val summary = spark.read.parquet(dir(table + "__manifest2"))
     val sch = summary.schema.fieldNames.toSet
+    // a summary written by an earlier layout (or any foreign store)
+    // may lack the NULL-extent flag / file counts — falling back to
+    // the flat manifest is always correct; throwing here would brick
+    // every consult of the table
+    if (!sch("has_null_extent") || !sch("n_files")) return None
     val gPreds = preds.filter(p =>
       sch(s"min_${p._1}") && sch(s"max_${p._1}"))
     if (gPreds.isEmpty) return None
@@ -588,6 +686,10 @@ final case class Warehouse(root: String) {
           .otherwise(0)).as("has_null_extent"))
       .coalesce(1).write.mode("overwrite")
       .parquet(dir(table + "__manifest2"))
+    // record the build parameters so every later flat-manifest rewrite
+    // ([[writeManifest]], [[reclusterDelta]]) rebuilds the tier instead
+    // of leaving it stale, and [[appendWithManifest]] extends it
+    writeLines(manifest2Spec(table), Seq(c, groupSize.toString))
   }
 
   /** The two-level consult: read the GROUP summary first (gid grain —
@@ -765,6 +867,9 @@ final case class Warehouse(root: String) {
       // overwrite and the merge stays distributed at any file count
       mergeOverwrite(keep.unionByName(fresh).coalesce(1),
         table + "__manifest")
+      // the flat manifest changed shape (rows dropped + added), so the
+      // hierarchical tier rebuilds from it — or retires, if no spec
+      refreshTwoLevel(spark, table)
     }
     delta.size
   }
@@ -1085,15 +1190,22 @@ final case class Warehouse(root: String) {
     * (If-None-Match) and Iceberg/Delta get from their catalog CAS.
     */
   private def casTryCommit(table: String, n: Int,
+      lines: Seq[String]): Boolean =
+    tryCommitIn(casLogDir(table), n, lines)
+
+  // the raw hard-link CAS against an arbitrary log directory — shared
+  // by the per-table log and the catalog log, so both tiers publish
+  // through literally the same primitive
+  private def tryCommitIn(logDir: File, n: Int,
       lines: Seq[String]): Boolean = {
-    val tmp = new File(casLogDir(table),
+    val tmp = new File(logDir,
       f"$n%09d.tmp-" + java.util.UUID.randomUUID().toString)
     java.nio.file.Files.write(tmp.toPath,
       lines.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     try {
       java.nio.file.Files.createLink(
-        casCommitFile(table, n).toPath, tmp.toPath)
+        new File(logDir, f"$n%09d.commit").toPath, tmp.toPath)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
@@ -1130,7 +1242,10 @@ final case class Warehouse(root: String) {
     while (attempt < retries) {
       val n = casHead(table) + 1
       beforeCommit()
-      if (casTryCommit(table, n, Seq("ADD " + staged.getPath))) return n
+      if (casTryCommit(table, n, Seq("ADD " + staged.getPath))) {
+        casMaybeVacuum(table, n)
+        return n
+      }
       attempt += 1
     }
     throw new CommitConflict(
@@ -1159,6 +1274,11 @@ final case class Warehouse(root: String) {
       beforeCommit()
       if (casTryCommit(table, head + 1,
         Seq("REPLACE " + staged.getPath))) return head + 1
+      // loser's staged state is stale BY DEFINITION (it derives from a
+      // snapshot that is no longer the head) and is recomputed on the
+      // retry anyway — drop it now instead of leaving an orphan for
+      // casVacuum to find
+      delete(staged)
       attempt += 1 // conflict: recompute against the new snapshot
     }
     throw new CommitConflict(
@@ -1184,7 +1304,40 @@ final case class Warehouse(root: String) {
         atStop = true
       n -= 1
     }
-    acc.filter(_ != "CKPT")
+    acc.filterNot(casIsMeta)
+  }
+
+  // metadata lines carry no data path: the CKPT marker and the
+  // per-stream TXN summaries a checkpoint records for batch dedup
+  private def casIsMeta(l: String): Boolean =
+    l == "CKPT" || l.startsWith("TXN ")
+
+  /** Per-stream maximum committed batch id, folded BACKWARD to the
+    * last checkpoint: ADDB lines since the checkpoint max-merge over
+    * the TXN summary the checkpoint itself carries — so computing the
+    * state is O(commits since checkpoint), never a full log scan, and
+    * each checkpoint's summary is complete over ALL history by
+    * induction (its predecessor's was).
+    */
+  private def casTxnState(table: String): Map[String, Long] = {
+    var acc = Map.empty[String, Long]
+    def merge(s: String, b: Long): Unit =
+      if (acc.getOrElse(s, Long.MinValue) < b) acc += (s -> b)
+    var n = casHead(table)
+    var atStop = false
+    while (n >= 1 && !atStop) {
+      val ls = readLines(casCommitFile(table, n))
+      ls.foreach { l =>
+        if (l.startsWith("ADDB ")) {
+          val p = l.split(" ", 4); merge(p(1), p(2).toLong)
+        } else if (l.startsWith("TXN ")) {
+          val p = l.split(" ", 3); merge(p(1), p(2).toLong)
+        }
+      }
+      if (ls.contains("CKPT")) atStop = true
+      n -= 1
+    }
+    acc
   }
 
   /** LOG CHECKPOINT — fold the active command lines into ONE commit
@@ -1202,7 +1355,15 @@ final case class Warehouse(root: String) {
     while (attempt < retries) {
       val head = casHead(table)
       val active = casActiveCmds(table)
-      if (casTryCommit(table, head + 1, "CKPT" +: active)) return head + 1
+      // the TXN summary rides every checkpoint so the BATCH-DEDUP
+      // path gets the same O(commits since checkpoint) bound as the
+      // read path: ADDB history older than the checkpoint survives as
+      // one line per stream (sound because batch ids are monotone per
+      // stream — the Delta txn-action discipline)
+      val txn = casTxnState(table).toSeq.sortBy(_._1)
+        .map { case (s, b) => s"TXN $s $b" }
+      if (casTryCommit(table, head + 1, "CKPT" +: (txn ++ active)))
+        return head + 1
       attempt += 1
     }
     throw new CommitConflict(
@@ -1262,8 +1423,11 @@ final case class Warehouse(root: String) {
     while (attempt < retries) {
       val n = casHead(table) + 1
       beforeCommit()
-      if (casTryCommit(table, n, Seq(s"ADDS $lo $hi ${staged.getPath}")))
+      if (casTryCommit(table, n,
+        Seq(s"ADDS $lo $hi ${staged.getPath}"))) {
+        casMaybeVacuum(table, n)
         return n
+      }
       attempt += 1
     }
     throw new CommitConflict(
@@ -1331,6 +1495,7 @@ final case class Warehouse(root: String) {
           if (r.isNullAt(1)) "-" else r.getLong(1).toString)
       if (casTryCommit(table, head + 1,
         Seq(s"REPLACES $lo $hi ${staged.getPath}"))) return head + 1
+      delete(staged) // stale loser output, recomputed on retry
       attempt += 1
     }
     throw new CommitConflict(
@@ -1343,40 +1508,87 @@ final case class Warehouse(root: String) {
     */
   def casCommittedBatch(table: String, stream: String,
       batchId: Long): Boolean =
-    // every line of every commit: an ADDB line survives inside a
-    // CKPT commit's snapshot, and must still deduplicate its batch
-    (1 to casHead(table)).exists(n =>
-      readLines(casCommitFile(table, n))
-        .exists(_.startsWith(s"ADDB $stream $batchId ")))
+    casCommittedBatchBelow(table, stream, batchId, casHead(table) + 1)
+
+  /** The dedup check over versions STRICTLY BELOW `below`, scanning
+    * BACKWARD and stopping at the first checkpoint: an ADDB line in
+    * the window answers directly, and the checkpoint's TXN summary
+    * (per-stream max committed batch id, complete over all history —
+    * see [[casTxnState]]) answers for everything older, because batch
+    * ids are monotone per stream. Cost: O(commits since checkpoint)
+    * per micro-batch — the same bound [[casActiveCmds]] gives reads —
+    * instead of the full-log scan the pre-checkpoint form paid.
+    */
+  private def casCommittedBatchBelow(table: String, stream: String,
+      batchId: Long, below: Int): Boolean = {
+    var n = below - 1
+    while (n >= 1) {
+      val ls = readLines(casCommitFile(table, n))
+      if (ls.exists(_.startsWith(s"ADDB $stream $batchId "))) return true
+      if (ls.exists { l =>
+        l.startsWith(s"TXN $stream ") &&
+          l.split(" ", 3)(2).toLong >= batchId
+      }) return true
+      if (ls.contains("CKPT")) return false
+      n -= 1
+    }
+    false
+  }
 
   /** EXACTLY-ONCE batch commit — the idempotent-sink half of
     * Structured Streaming's end-to-end guarantee: the commit line
     * carries the (stream, batchId) pair, so a REPLAYED batch (the
     * engine re-delivers the last uncommitted batch after recovery)
     * finds its id already in the log and returns None without
-    * landing a second copy. The CAS makes the check-then-commit safe
-    * even against a concurrent instance of the same stream: the
-    * check re-runs inside every retry, and whichever instance wins
-    * the CAS owns the batch. Returns the committed version, or None
-    * for an already-committed (deduplicated) batch.
+    * landing a second copy. The CAS makes the check-then-commit
+    * LINEARIZABLE even against a concurrent instance of the same
+    * stream, through its ordering: the head is read FIRST, the dedup
+    * check covers exactly the versions below head+1, and the CAS
+    * targets head+1 — any commit landing between check and CAS
+    * occupies head+1, fails the CAS, and the retry re-runs the check
+    * over a window that now includes it. (Checking before reading
+    * the head would leave a window where a concurrent instance's
+    * ADDB lands unseen and the same batch commits twice.) Returns
+    * the committed version, or None for an already-committed
+    * (deduplicated) batch.
     */
   def casAppendBatch(df: DataFrame, table: String, stream: String,
       batchId: Long, retries: Int = 8): Option[Int] = {
+    // pre-stage fast path only: committment is monotone, so a hit
+    // here is final — but a MISS proves nothing; the authoritative
+    // check is the head-bounded one inside the CAS loop
     if (casCommittedBatch(table, stream, batchId)) return None
     val staged = new File(new File(dir(table + "__data")),
       java.util.UUID.randomUUID().toString)
     df.write.mode("errorifexists").parquet(staged.getPath)
     var attempt = 0
     while (attempt < retries) {
-      if (casCommittedBatch(table, stream, batchId)) return None
       val n = casHead(table) + 1
+      if (casCommittedBatchBelow(table, stream, batchId, n)) {
+        delete(staged) // a concurrent instance owns the batch
+        return None
+      }
       if (casTryCommit(table, n,
-        Seq(s"ADDB $stream $batchId ${staged.getPath}"))) return Some(n)
+        Seq(s"ADDB $stream $batchId ${staged.getPath}"))) {
+        casMaybeVacuum(table, n)
+        return Some(n)
+      }
       attempt += 1
     }
     throw new CommitConflict(
       s"casAppendBatch($table, $stream, $batchId): lost $retries races")
   }
+
+  /** Opportunistic staging GC from the commit path — every 16th
+    * version the winner sweeps expired unreferenced staging dirs
+    * (default grace), so crashed or retry-exhausted writers' waves
+    * cannot accumulate unboundedly between manual [[casVacuum]] runs.
+    * Amortized O(log/16) driver file reads per commit; the grace
+    * window keeps any in-flight writer's staged-but-uncommitted wave
+    * safe, exactly as the manual form does.
+    */
+  private def casMaybeVacuum(table: String, n: Int): Unit =
+    if (n % 16 == 0) { casVacuum(table); () }
 
   /** Garbage-collect staged directories that NO commit references —
     * the storage leak optimistic concurrency creates: a crashed
@@ -1396,10 +1608,14 @@ final case class Warehouse(root: String) {
       minAgeMs: Long = 15L * 60L * 1000L): Seq[String] = {
     // EVERY line of EVERY commit counts as a reference — a CKPT
     // commit carries the snapshot's paths on its non-marker lines,
-    // and missing them here would delete LIVE data
-    val referenced = (1 to casHead(table)).flatMap(n =>
-      readLines(casCommitFile(table, n))).filter(_ != "CKPT")
-      .map(casCmdPath).map(new File(_).getName).toSet
+    // and missing them here would delete LIVE data. The CATALOG log's
+    // references count too: a table published through [[catCommit]]
+    // stages under the same `<table>__data`, and a per-table vacuum
+    // that ignored the catalog would delete live cross-table commits.
+    val referenced = ((1 to casHead(table)).flatMap(n =>
+      readLines(casCommitFile(table, n))).filterNot(casIsMeta)
+      .map(casCmdPath) ++ catReferencedPaths(table))
+      .map(new File(_).getName).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val dataDir = new File(dir(table + "__data"))
     Option(dataDir.listFiles()).getOrElse(Array()).toSeq
