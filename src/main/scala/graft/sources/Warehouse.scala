@@ -428,6 +428,32 @@ final case class Warehouse(root: String) {
   private def manifest2Spec(table: String): File =
     new File(dir(table + "__manifest2.spec"))
 
+  /** The recorded tier parameters, VALIDATED: a truncated or
+    * corrupted spec file (crash mid-write on a filesystem without
+    * atomic rename, manual tampering) must read as "no usable spec"
+    * so callers retire the tier and fall back to the always-correct
+    * flat consult — never throw from inside a maintenance op.
+    */
+  private def readManifest2Spec(table: String): Option[(String, Int)] = {
+    val spec = manifest2Spec(table)
+    if (!spec.exists()) None
+    else {
+      val ls = readLines(spec)
+      if (ls.length >= 2 && ls.head.nonEmpty)
+        ls(1).toIntOption.filter(_ > 0).map(g => (ls.head, g))
+      else None
+    }
+  }
+
+  // a tier whose spec is unusable (or whose stats column vanished)
+  // cannot be maintained — delete all three artifacts so consults
+  // fall back to the flat manifest
+  private def retireTier(table: String): Unit = {
+    java.nio.file.Files.deleteIfExists(manifest2Spec(table).toPath)
+    delete(new File(dir(table + "__manifest2")))
+    delete(new File(dir(table + "__manifest_g")))
+  }
+
   /** Re-derive (or retire) the hierarchical manifest after the flat
     * `__manifest` was REWRITTEN: with a recorded spec the tier is
     * rebuilt from the new flat manifest (metadata-grain — one sort of
@@ -436,26 +462,20 @@ final case class Warehouse(root: String) {
     * names files that may no longer exist — the consult then falls
     * back to the flat form, which is always correct.
     */
-  private def refreshTwoLevel(spark: SparkSession, table: String): Unit = {
-    val spec = manifest2Spec(table)
-    if (spec.exists()) {
-      val ls = readLines(spec)
-      val sch = spark.read.parquet(dir(table + "__manifest"))
-        .schema.fieldNames.toSet
-      if (sch(s"min_${ls.head}"))
-        writeTwoLevelManifest(spark, table, ls.head, ls(1).toInt)
-      else {
-        // the rewrite dropped the tier's stats column — the tier (and
-        // its spec) cannot be maintained any further
-        java.nio.file.Files.deleteIfExists(spec.toPath)
-        delete(new File(dir(table + "__manifest2")))
-        delete(new File(dir(table + "__manifest_g")))
-      }
-    } else if (new File(dir(table + "__manifest2")).exists()) {
-      delete(new File(dir(table + "__manifest2")))
-      delete(new File(dir(table + "__manifest_g")))
+  private def refreshTwoLevel(spark: SparkSession, table: String): Unit =
+    readManifest2Spec(table) match {
+      case Some((c, gs)) =>
+        val sch = spark.read.parquet(dir(table + "__manifest"))
+          .schema.fieldNames.toSet
+        if (sch(s"min_$c")) writeTwoLevelManifest(spark, table, c, gs)
+        else retireTier(table) // rewrite dropped the stats column
+      case None =>
+        // spec absent OR unusable (malformed) — a surviving tier
+        // would name files the rewrite may have removed
+        if (manifest2Spec(table).exists() ||
+          new File(dir(table + "__manifest2")).exists())
+          retireTier(table)
     }
-  }
 
   /** Append `df` AND extend the manifest with ONLY the new files'
     * stats — the commit-time shape every table format uses (stats
@@ -491,7 +511,7 @@ final case class Warehouse(root: String) {
       Option(new File(dir(table)).listFiles()).getOrElse(Array())
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
         .map(_.getAbsolutePath).toSet
-    val before = if (exists(table)) parts else Set.empty[String]
+    val before = if (this.exists(table)) parts else Set.empty[String]
     append(df, table)
     val added = (parts -- before).toSeq
     if (added.nonEmpty) {
@@ -501,15 +521,25 @@ final case class Warehouse(root: String) {
       st.coalesce(1)
         .write.mode("append").parquet(dir(table + "__manifest"))
       val spec = manifest2Spec(table)
+      val specInfo = readManifest2Spec(table)
       // extend the tier when it exists; CREATE it when the table is
       // brand-new; leave pre-existing tierless tables flat (a tier
       // covering only the delta would hide every older file from the
       // group-level consult)
-      if (spec.exists() || before.isEmpty) {
-        val (c, gs) =
-          if (spec.exists()) {
-            val ls = readLines(spec); (ls.head, ls(1).toInt)
-          } else (cols.head, groupSize)
+      if (spec.exists() && specInfo.isEmpty) {
+        // unreadable spec: the tier's build parameters are lost, so
+        // it cannot be extended — retire rather than throw
+        retireTier(table)
+      } else if ((specInfo.isDefined &&
+        !st.columns.contains(s"min_${specInfo.get._1}")) ||
+        (specInfo.isEmpty && before.isEmpty && cols.isEmpty)) {
+        // this append's `cols` does not cover the tier's stats column
+        // (or covers nothing at all): new files would carry no extent
+        // on it, and a tier that hides them from the group consult is
+        // wrong — retire; the flat fallback stays correct
+        retireTier(table)
+      } else if (specInfo.isDefined || before.isEmpty) {
+        val (c, gs) = specInfo.getOrElse((cols.head, groupSize))
         val maxGid =
           if (new File(dir(table + "__manifest2")).exists())
             spark.read.parquet(dir(table + "__manifest2"))
@@ -1293,12 +1323,27 @@ final case class Warehouse(root: String) {
     * whole log — the Delta checkpoint discipline. Commits may carry
     * multiple lines (a CKPT commit carries the full snapshot).
     */
-  private def casActiveCmds(table: String): Seq[String] = {
+  private def casActiveCmds(table: String): Seq[String] =
+    casActiveCmdsAt(table, casHead(table))
+
+  /** The active lines of the snapshot AT version `upTo` — the same
+    * backward replay bounded below head, which is all CAS time travel
+    * is ([[casReadAt]]) and what resolves a CATALOG pin to concrete
+    * data paths. A missing commit inside the replay window fails
+    * LOUDLY: [[casTruncate]] may have retired it, and silently
+    * returning the partial suffix would serve a wrong (subset)
+    * snapshot.
+    */
+  private def casActiveCmdsAt(table: String, upTo: Int): Seq[String] = {
     var acc = List.empty[String]
-    var n = casHead(table)
+    var n = upTo
     var atStop = false
     while (n >= 1 && !atStop) {
-      val ls = readLines(casCommitFile(table, n))
+      val f = casCommitFile(table, n)
+      if (!f.exists())
+        sys.error(s"casActiveCmdsAt($table, $upTo): commit $n is " +
+          "missing (truncated log?) — snapshot unreadable")
+      val ls = readLines(f)
       acc = ls.toList ++ acc
       if (ls.exists(l => casIsReplace(l) || l == "CKPT"))
         atStop = true
@@ -1334,7 +1379,13 @@ final case class Warehouse(root: String) {
           val p = l.split(" ", 3); merge(p(1), p(2).toLong)
         }
       }
-      if (ls.contains("CKPT")) atStop = true
+      // same legacy discipline as [[casCommittedBatchBelow]]: a
+      // checkpoint summarizes all older history only if it actually
+      // wrote TXN lines — scan past a TXN-less (legacy) checkpoint,
+      // because ADDB lines a REPLACE compacted away before it are
+      // not in its snapshot
+      if (ls.contains("CKPT") && ls.exists(_.startsWith("TXN ")))
+        atStop = true
       n -= 1
     }
     acc
@@ -1391,6 +1442,20 @@ final case class Warehouse(root: String) {
   def casRead(spark: SparkSession, table: String): DataFrame = {
     val paths = casActiveCmds(table).map(casCmdPath)
     require(paths.nonEmpty, s"casRead($table): no commits under $root")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** TIME TRAVEL over the CAS log: the snapshot as of version `v` —
+    * replay bounded at `v` instead of head. O(commits in the active
+    * window at v) driver file reads, data untouched; versions below a
+    * [[casTruncate]] point are gone by an explicit retention decision
+    * and fail loudly.
+    */
+  def casReadAt(spark: SparkSession, table: String, v: Int): DataFrame = {
+    require(v >= 1 && v <= casHead(table),
+      s"casReadAt($table, $v): version out of range 1..${casHead(table)}")
+    val paths = casActiveCmdsAt(table, v).map(casCmdPath)
+    require(paths.nonEmpty, s"casReadAt($table, $v): empty snapshot")
     spark.read.parquet(paths: _*)
   }
 
@@ -1529,7 +1594,16 @@ final case class Warehouse(root: String) {
         l.startsWith(s"TXN $stream ") &&
           l.split(" ", 3)(2).toLong >= batchId
       }) return true
-      if (ls.contains("CKPT")) return false
+      // a checkpoint's TXN summary is complete over ALL history for
+      // every stream — but only if the checkpoint WROTE TXN lines. A
+      // legacy checkpoint (written before summaries existed) carries
+      // none; its snapshot also omits any ADDB line a REPLACE had
+      // compacted away, so stopping at it would re-admit a replayed
+      // batch. Trust the summary only when it exists; otherwise keep
+      // scanning the raw commits below (they still hold the original
+      // ADDB lines — commits are immutable).
+      if (ls.contains("CKPT") && ls.exists(_.startsWith("TXN ")))
+        return false
       n -= 1
     }
     false
@@ -1553,7 +1627,8 @@ final case class Warehouse(root: String) {
     * (deduplicated) batch.
     */
   def casAppendBatch(df: DataFrame, table: String, stream: String,
-      batchId: Long, retries: Int = 8): Option[Int] = {
+      batchId: Long, retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): Option[Int] = {
     // pre-stage fast path only: committment is monotone, so a hit
     // here is final — but a MISS proves nothing; the authoritative
     // check is the head-bounded one inside the CAS loop
@@ -1568,6 +1643,7 @@ final case class Warehouse(root: String) {
         delete(staged) // a concurrent instance owns the batch
         return None
       }
+      beforeCommit() // test seam: the check-to-CAS window
       if (casTryCommit(table, n,
         Seq(s"ADDB $stream $batchId ${staged.getPath}"))) {
         casMaybeVacuum(table, n)
@@ -1588,7 +1664,15 @@ final case class Warehouse(root: String) {
     * safe, exactly as the manual form does.
     */
   private def casMaybeVacuum(table: String, n: Int): Unit =
-    if (n % 16 == 0) { casVacuum(table); () }
+    if (n % 16 == 0) { casVacuum(table, autoVacuumGraceMs); () }
+
+  /** Grace for the OPPORTUNISTIC vacuum only — much larger than the
+    * manual default, because nobody chose the timing: a writer that
+    * stalls a full 6 h between staging and winning its CAS keeps its
+    * wave; the manual [[casVacuum]] stays operator-controlled with
+    * its own (tighter) default.
+    */
+  private val autoVacuumGraceMs: Long = 6L * 60L * 60L * 1000L
 
   /** Garbage-collect staged directories that NO commit references —
     * the storage leak optimistic concurrency creates: a crashed
@@ -1606,16 +1690,21 @@ final case class Warehouse(root: String) {
     */
   def casVacuum(table: String,
       minAgeMs: Long = 15L * 60L * 1000L): Seq[String] = {
-    // EVERY line of EVERY commit counts as a reference — a CKPT
-    // commit carries the snapshot's paths on its non-marker lines,
-    // and missing them here would delete LIVE data. The CATALOG log's
-    // references count too: a table published through [[catCommit]]
-    // stages under the same `<table>__data`, and a per-table vacuum
-    // that ignored the catalog would delete live cross-table commits.
-    val referenced = ((1 to casHead(table)).flatMap(n =>
-      readLines(casCommitFile(table, n))).filterNot(casIsMeta)
+    // EVERY line of EVERY EXISTING commit counts as a reference — a
+    // CKPT commit carries the snapshot's paths on its non-marker
+    // lines, and missing them here would delete LIVE data. Commits a
+    // [[casTruncate]] retired no longer pin their paths (that is the
+    // GC: a replaced snapshot's directories become collectable once
+    // the log forgets them) — EXCEPT data the CATALOG still names: a
+    // table version pinned by [[catCommit]] must stay readable
+    // through [[catRead]] even after per-table truncation, so the
+    // catalog's resolved paths count as references too.
+    val commits = Option(casLogDir(table).listFiles())
+      .getOrElse(Array()).toSeq
+      .filter(_.getName.endsWith(".commit"))
+    val referenced = (commits.flatMap(readLines).filterNot(casIsMeta)
       .map(casCmdPath) ++ catReferencedPaths(table))
-      .map(new File(_).getName).toSet
+      .map(p => new File(p).getName).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val dataDir = new File(dir(table + "__data"))
     Option(dataDir.listFiles()).getOrElse(Array()).toSeq
@@ -1623,6 +1712,167 @@ final case class Warehouse(root: String) {
         d.lastModified() < cutoff)
       .map { d => delete(d); d.getPath }
   }
+
+  /** LOG RETENTION — delete commit files the current snapshot no
+    * longer replays: write a FRESH checkpoint (new format, TXN
+    * summaries — so reads, batch dedup, and stats consults all stop
+    * there), then drop every commit strictly below it, clamped so no
+    * CATALOG-pinned snapshot loses its replay window. This is the
+    * half of GC [[casVacuum]] alone cannot do: vacuum only reclaims
+    * directories NO commit names, and an immortal log names every
+    * directory forever. After truncation, replaced/compacted waves
+    * fall out of the reference set and the next vacuum reclaims
+    * them — Delta's logRetentionDuration discipline. Time travel
+    * below the truncation point fails loudly by design
+    * ([[casActiveCmdsAt]]); catalog pins keep THEIR windows alive via
+    * the clamp. Returns the number of commit files deleted.
+    */
+  def casTruncate(table: String, retries: Int = 8): Int = {
+    val ck = casCheckpoint(table, retries)
+    // a pinned snapshot at v replays [stopOf(v), v] — keep every
+    // commit any pin's window still needs
+    val floor = catPinnedVersions(table) match {
+      case vs if vs.isEmpty => ck
+      case vs => math.min(ck, vs.map(casWindowStart(table, _)).min)
+    }
+    val deleted = (1 until floor).map(casCommitFile(table, _))
+      .filter(_.exists())
+    deleted.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+    deleted.size
+  }
+
+  // the version where the backward replay of the snapshot at `v`
+  // stops: its last REPLACE/CKPT commit, or 1
+  private def casWindowStart(table: String, v: Int): Int = {
+    var n = v
+    while (n >= 1) {
+      val ls = readLines(casCommitFile(table, n))
+      if (ls.exists(l => casIsReplace(l) || l == "CKPT")) return n
+      n -= 1
+    }
+    1
+  }
+
+  // ---- catalog: cross-table atomic commits -------------------------
+  //
+  // The multi-TABLE analogue of the per-table CAS log, matching the
+  // reference's one-transaction warehouse build (BikesDWSQl.sql:202
+  // commits every dim+fact load as a single T-SQL transaction): one
+  // catalog commit file names a VERSION PIN for every table the
+  // transaction wrote, published through the SAME hard-link CAS
+  // primitive (tryCommitIn) as per-table commits. A catalog reader
+  // resolves each table to its pinned version and replays that
+  // table's own log bounded there — so a cross-table transaction is
+  // visible BOTH-OR-NEITHER: either the catalog commit exists (every
+  // pin it carries resolves) or it does not (no pin resolves). An
+  // Iceberg-REST-style multi-table commit, on the same local-FS CAS.
+
+  private def catLogDir: File = {
+    val d = new File(root, "__catalog__log"); d.mkdirs(); d
+  }
+
+  /** Highest committed catalog version (0 = empty catalog). */
+  def catHead: Int =
+    Option(catLogDir.listFiles()).getOrElse(Array())
+      .map(_.getName).filter(_.endsWith(".commit"))
+      .flatMap(_.stripSuffix(".commit").toIntOption)
+      .foldLeft(0)(math.max)
+
+  /** ATOMIC CROSS-TABLE COMMIT: publish one catalog commit pinning
+    * `writes` = (table, per-table version) — all-or-nothing by the
+    * CAS (the commit file appears complete or not at all, never a
+    * subset of its pins). Each pinned version must already be
+    * committed in its table's own log (pins reference immutable
+    * versions, so a lost CAS race retries with the SAME pins — no
+    * recompute is ever needed, unlike [[casReplace]]). Returns the
+    * catalog version.
+    */
+  def catCommit(writes: Seq[(String, Int)], retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): Int = {
+    require(writes.nonEmpty, "catCommit: empty transaction")
+    require(writes.map(_._1).distinct.size == writes.size,
+      s"catCommit: duplicate table in ${writes.map(_._1)}")
+    writes.foreach { case (t, v) =>
+      require(v >= 1 && v <= casHead(t),
+        s"catCommit: $t@$v is not a committed version (head ${casHead(t)})")
+    }
+    val lines = writes.map { case (t, v) => s"PIN $t $v" }
+    var attempt = 0
+    while (attempt < retries) {
+      val n = catHead + 1
+      beforeCommit()
+      if (tryCommitIn(catLogDir, n, lines)) return n
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"catCommit(${writes.map(_._1).mkString(",")}): lost $retries races")
+  }
+
+  /** The convenience transaction writer: CAS-append every table's
+    * wave (each lands in its OWN log first — visible to direct
+    * [[casRead]]ers immediately, to CATALOG readers only after the
+    * pin), then publish one catalog commit pinning all of them.
+    * `beforeCommit` fires between the last append and the catalog
+    * CAS — the seam interleave specs inject a competitor into.
+    * Returns (catalog version, per-table versions).
+    */
+  def catAppendAll(writes: Seq[(String, DataFrame)], retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): (Int, Map[String, Int]) = {
+    val vs = writes.map { case (t, df) => (t, casAppend(df, t, retries)) }
+    beforeCommit()
+    (catCommit(vs, retries), vs.toMap)
+  }
+
+  /** The catalog snapshot at catalog version `asOf` (default: head):
+    * each table resolved to its LATEST pin at or below `asOf`. A
+    * forward fold over the catalog log — O(catalog commits) driver
+    * file reads; catalog logs are transaction-grain small.
+    */
+  def catSnapshot(asOf: Int = -1): Map[String, Int] = {
+    val upTo = if (asOf < 0) catHead else asOf
+    (1 to upTo).foldLeft(Map.empty[String, Int]) { (m, n) =>
+      readLines(new File(catLogDir, f"$n%09d.commit"))
+        .filter(_.startsWith("PIN ")).foldLeft(m) { (m2, l) =>
+          val p = l.split(" ", 3); m2 + (p(1) -> p(2).toInt)
+        }
+    }
+  }
+
+  /** Catalog read: `table` AT its catalog-pinned version — the
+    * snapshot a cross-table transaction published, NOT the table's
+    * own (possibly newer) head. Concurrent per-table appends stay
+    * invisible here until some transaction pins past them: that
+    * staleness is the consistency — X and Y read at mutually
+    * committed versions. Errors if the catalog never pinned `table`.
+    */
+  def catRead(spark: SparkSession, table: String,
+      asOf: Int = -1): DataFrame =
+    catSnapshot(asOf).get(table) match {
+      case Some(v) => casReadAt(spark, table, v)
+      case None => sys.error(
+        s"catRead($table): not pinned by any catalog commit")
+    }
+
+  /** Every version of `table` ANY catalog commit ever pinned —
+    * historical catalog snapshots stay readable, so every pin's
+    * replay window stays protected ([[casTruncate]] clamp,
+    * [[casVacuum]] references).
+    */
+  def catPinnedVersions(table: String): Seq[Int] =
+    (1 to catHead).flatMap(n =>
+      readLines(new File(catLogDir, f"$n%09d.commit"))
+        .filter(_.startsWith(s"PIN $table "))
+        .map(_.split(" ", 3)(2).toInt)).distinct
+
+  /** The data directories catalog pins of `table` resolve to — the
+    * second root of the [[casVacuum]] reference set: per-table
+    * truncation may have dropped the commits that originally named a
+    * pinned wave, but the pin still makes it LIVE.
+    */
+  def catReferencedPaths(table: String): Seq[String] =
+    catPinnedVersions(table)
+      .flatMap(v => casActiveCmdsAt(table, v).map(casCmdPath))
+      .distinct
 
   // ---- versioned snapshots (time travel) ---------------------------
 
