@@ -33,5 +33,6 @@ object Registry {
     graft.queries.Parity.all ++ graft.queries.Events.all ++
       graft.queries.TextQueries.all ++ graft.queries.SimQueries.all ++
       graft.queries.MultimodalQueries.all ++ graft.queries.Extras.all ++
-      graft.queries.Extras2.all ++ graft.queries.Extras3.all
+      graft.queries.Extras2.all ++ graft.queries.Extras3.all ++
+      graft.queries.Extras4.all
 }
