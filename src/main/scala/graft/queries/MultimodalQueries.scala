@@ -1212,7 +1212,62 @@ object MultimodalQueries {
       Multimodal.asPngZTextTable(Tables(s, dir, "documents")))
   }
 
+  /** GIF PIXEL DECODE — the last web-corpus raster format after BMP
+    * (q230) and PNG (q276-q283), and the first LOSSLESS-COMPRESSED
+    * palette container: [[graft.multimodal.Gif.asGifTable]] emits
+    * real GIF89a bytes (global color table 4/8/16 by id%3, pixels
+    * LZW-compressed with the from-scratch variable-width encoder,
+    * every even id stored INTERLACED, id%5==0 prefixed with
+    * graphic-control + comment extension blocks the parser must skip
+    * structurally, id%9==0 raw text → 'unknown'); the engine decodes
+    * through [[graft.multimodal.Gif.gifPixels]] — sub-block
+    * reassembly → variable-width LZW (dictionary growth, width
+    * bumps, KwKwK) → 4-pass deinterlace → palette map. The oracle
+    * recomputes every sum from the generator's closed forms: idx_sum
+    * proves the code stream, rgb_sum the palette mapping, and
+    * top_row_sum the ROW ORDER (an interlace slip reorders rows and
+    * breaks it). Round15Spec pins the decoder against the JDK's
+    * independent ImageIO GIF writer and roundtrips across the
+    * 4096-entry dictionary reset.
+    *
+    * Shape: map-only synthesis + partition-batched decode, q276's
+    * cost model — the embarrassingly-parallel media scan.
+    */
+  val q287 = Q("q287_gif_lzw_decode",
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 9 AS m, (doc_id % 6) + 1 AS w,
+      |    (doc_id % 4) + 1 AS h,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 4 WHEN 1 THEN 8
+      |      ELSE 16 END AS nc
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, sum(idx) AS idx_sum,
+      |    sum(CASE WHEN k < w THEN idx ELSE 0 END) AS top_row_sum,
+      |    sum((doc_id * 3 + idx * 7) % 256
+      |      + (doc_id * 3 + idx * 7 + 11) % 256
+      |      + (doc_id * 3 + idx * 7 + 22) % 256) AS rgb_sum
+      |  FROM (
+      |    SELECT doc_id, w, k, (doc_id * 7 + k) % nc AS idx
+      |    FROM (
+      |      SELECT doc_id, w, nc,
+      |        CAST(unnest(range(0, w * h)) AS BIGINT) AS k
+      |      FROM g WHERE m <> 0) t1) t2
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id AS media_id,
+      |  CASE WHEN m <> 0 THEN 'gif' ELSE 'unknown' END AS format,
+      |  CAST(CASE WHEN m <> 0 THEN w ELSE 0 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN m <> 0 THEN h ELSE 0 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN m <> 0 THEN nc ELSE 0 END AS BIGINT) AS n_colors,
+      |  CAST(coalesce(px.idx_sum, 0) AS BIGINT) AS idx_sum,
+      |  CAST(coalesce(px.rgb_sum, 0) AS BIGINT) AS rgb_sum,
+      |  CAST(coalesce(px.top_row_sum, 0) AS BIGINT) AS top_row_sum
+      |FROM g LEFT JOIN px ON px.doc_id = g.doc_id""".stripMargin) {
+    (s, dir) =>
+    graft.multimodal.Gif.decodeGifMeta(
+      graft.multimodal.Gif.asGifTable(Tables(s, dir, "documents")))
+  }
+
   val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176,
     q179, q203, q212, q230, q233, q234, q243, q276, q277, q279, q281,
-    q282, q283)
+    q282, q283, q287)
 }

@@ -374,4 +374,98 @@ class Round15Spec extends SparkSpec {
     assert(wh.casVacuum("t", minAgeMs = 0L).isEmpty)
     assert(wh.catRead(spark, "t").as[Long].collect().toSet == Set(1L))
   }
+
+  // ---- GIF / LZW --------------------------------------------------
+
+  test("GIF LZW: encode/decode roundtrips cross every code-width " +
+    "boundary and the 4096-entry dictionary reset; run-heavy input " +
+    "exercises KwKwK; truncation fails, never fabricates") {
+    import graft.multimodal.Gif
+    for (mcs <- Seq(2, 4, 8)) {
+      val n = 30000
+      val syms = 1 << mcs
+      val xs = Array.tabulate(n)(i => (i * 31 + (i * i) % 97) % syms)
+      val enc = Gif.lzwEncode(xs, mcs)
+      val dec = Gif.lzwDecode(enc, mcs, n)
+      assert(dec.exists(_.sameElements(xs)), s"mcs $mcs roundtrip")
+      // near-random high-entropy input only bounds the expansion
+      // (12-bit codes over 8-bit symbols); LOW-entropy input below
+      // must genuinely compress
+      assert(enc.length < 2 * n,
+        s"mcs $mcs expansion bound: $n syms -> ${enc.length} B")
+    }
+    // run-heavy stream: cccc... emits a code right after defining it
+    // (the KwKwK case the decoder must infer) — and must compress
+    val runs = Array.tabulate(5000)(i => (i / 7) % 4)
+    val runsEnc = Gif.lzwEncode(runs, 2)
+    assert(Gif.lzwDecode(runsEnc, 2, runs.length)
+      .exists(_.sameElements(runs)))
+    assert(runsEnc.length < runs.length / 2,
+      s"low-entropy runs must compress: ${runsEnc.length} B")
+    val one = Array(3)
+    assert(Gif.lzwDecode(Gif.lzwEncode(one, 2), 2, 1)
+      .exists(_.sameElements(one)))
+    val enc = Gif.lzwEncode(Array.tabulate(100)(_ % 4), 2)
+    assert(Gif.lzwDecode(enc.dropRight(1), 2, 100).isEmpty,
+      "a truncated code stream must report failure")
+  }
+
+  test("gifPixels ≡ the JDK ImageIO GIF writer (independent " +
+    "encoder): every pixel's palette-mapped RGB matches, across " +
+    "geometries wider than the interlace strides") {
+    import graft.multimodal.Gif
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    for (seed <- 1L to 12L) {
+      val w = (seed % 11 + 2).toInt; val h = (seed % 7 + 2).toInt
+      val n = 16
+      val r = Array.tabulate(n)(c => ((seed * 3 + c * 7) % 256).toByte)
+      val g = Array.tabulate(n)(c =>
+        ((seed * 3 + c * 7 + 11) % 256).toByte)
+      val b = Array.tabulate(n)(c =>
+        ((seed * 3 + c * 7 + 22) % 256).toByte)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED,
+        new IndexColorModel(4, n, r, g, b))
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, ((seed * 7 + y * w + x) % n).toInt)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "gif", baos))
+      val got = Gif.gifPixels(baos.toByteArray)
+      assert(got.isDefined, s"seed $seed: JDK gif must decode")
+      val (dw, dh, _, ix, pal) = got.get
+      assert(dw == w && dh == h, s"seed $seed geometry")
+      for (y <- 0 until h; x <- 0 until w)
+        assert((pal(ix(y * w + x)) | 0xff000000) == img.getRGB(x, y),
+          s"seed $seed pixel ($x,$y)")
+    }
+  }
+
+  test("GIF container: interlaced storage decodes to the same " +
+    "visual rows as sequential; extension blocks are skipped " +
+    "structurally; hostile bytes degrade, never throw") {
+    import graft.multimodal.Gif
+    val w = 7; val h = 9
+    val pal = Array.tabulate(8)(c => c * 0x010203 + 5)
+    val idx = Array.tabulate(w * h)(k => (k * 5 + 3) % 8)
+    val seqG = Gif.buildGif(idx, w, h, pal)
+    val intG = Gif.buildGif(idx, w, h, pal, interlaced = true,
+      withExtensions = true)
+    assert(!seqG.sameElements(intG),
+      "interlace must permute the stored stream")
+    Seq(seqG, intG).foreach { bytes =>
+      val got = Gif.gifPixels(bytes)
+      assert(got.isDefined)
+      val (dw, dh, nc, ix, dp) = got.get
+      assert(dw == w && dh == h && nc == 8)
+      assert(ix.sameElements(idx), "visual row order restored")
+      assert(dp.sameElements(pal))
+    }
+    assert(Gif.gifPixels("not a gif at all".getBytes).isEmpty)
+    assert(Gif.gifPixels(seqG.take(20)).isEmpty,
+      "header-only prefix must fail cleanly")
+    // corrupt the code stream: any outcome but an exception
+    val bad = seqG.clone()
+    bad(bad.length - 5) = (bad(bad.length - 5) ^ 0x55).toByte
+    Gif.gifPixels(bad)
+    ()
+  }
 }
