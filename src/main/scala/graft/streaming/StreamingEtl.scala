@@ -380,6 +380,54 @@ object StreamingEtl {
       }
       .start()
 
+  /** One micro-batch of the CATALOG-consistent two-table sink: land
+    * the wave's detail and rollup APPENDS exactly-once in each
+    * table's own CAS log ([[graft.sources.Warehouse.casAppendBatch]]
+    * dedups a replay per table independently), then advance the
+    * catalog pins to both heads in ONE commit. The pin is the
+    * consistency device: it is published only after BOTH tables
+    * contain the batch, so a catalog reader can never observe the
+    * detail of batch N without its rollup — even across a crash
+    * between the two appends (the replay dedups the landed half,
+    * lands the missing half, and THEN pins; until then the catalog
+    * still serves the previous consistent pair). This is
+    * [[twoTableTxnSink]]'s guarantee re-based from the single-writer
+    * journal onto the multi-writer CAS+catalog tier — concurrent
+    * batch writers of the same tables stay safe, and direct casRead
+    * readers see appends early (documented catalog-vs-direct
+    * visibility split).
+    */
+  def catTxnBatch(wh: graft.sources.Warehouse, batch: DataFrame,
+      batchId: Long, detailTable: String, rollupTable: String,
+      stream: String): Unit = {
+    val detail = batch.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"))
+    val rollup = detail.groupBy("source").agg(sum("n").as("src_n"))
+    wh.casAppendBatch(detail, detailTable, stream, batchId)
+    wh.casAppendBatch(rollup, rollupTable, stream, batchId)
+    wh.catCommit(Seq(detailTable -> wh.casHead(detailTable),
+      rollupTable -> wh.casHead(rollupTable)))
+    ()
+  }
+
+  /** EXACTLY-ONCE two-table streaming sink over the CAS + catalog
+    * tier — every micro-batch runs [[catTxnBatch]]; read the pair
+    * through [[graft.sources.Warehouse.catRead]] + aggregate (the
+    * append-then-aggregate-on-read shape, vs [[twoTableTxnSink]]'s
+    * merged-state rewrite).
+    */
+  def catTxnSink(src: DataFrame, wh: graft.sources.Warehouse,
+      detailTable: String, rollupTable: String, stream: String,
+      checkpointDir: String): StreamingQuery =
+    src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        catTxnBatch(wh, batch, batchId, detailTable, rollupTable, stream)
+      }
+      .start()
+
   /** A document arriving on the curation stream. */
   final case class DocArrival(source: String, doc_id: Long, n_chars: Long)
 

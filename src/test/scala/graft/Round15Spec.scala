@@ -375,6 +375,49 @@ class Round15Spec extends SparkSpec {
     assert(wh.catRead(spark, "t").as[Long].collect().toSet == Set(1L))
   }
 
+  test("catTxnSink: exactly-once two-table landing with catalog-" +
+    "consistent pins — a replayed batch after a simulated crash " +
+    "between the two appends lands only its missing half, and the " +
+    "catalog never exposes detail without its rollup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = tmpWh()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("r15-ckpt-").toString
+    val input = MemoryStream[(String, String)]
+    input.addData(("web", "en"), ("web", "de"), ("books", "en"))
+    graft.streaming.StreamingEtl.catTxnSink(
+      input.toDF().toDF("source", "lang"), wh, "d", "r", "feed", ckpt)
+      .awaitTermination()
+    input.addData(("web", "en"))
+    graft.streaming.StreamingEtl.catTxnSink(
+      input.toDF().toDF("source", "lang"), wh, "d", "r", "feed", ckpt)
+      .awaitTermination()
+    def dAgg = wh.catRead(spark, "d").groupBy("source", "lang")
+      .agg(sum("n")).as[(String, String, Long)].collect().toSet
+    def rAgg = wh.catRead(spark, "r").groupBy("source")
+      .agg(sum("src_n")).as[(String, Long)].collect().toSet
+    val base = Set(("web", "en", 2L), ("web", "de", 1L),
+      ("books", "en", 1L))
+    assert(dAgg == base && rAgg == Set(("web", 3L), ("books", 1L)))
+    // crash window: batch 99's DETAIL landed, rollup + pin did not
+    val wave = Seq(("news", "fr")).toDF("source", "lang")
+    wh.casAppendBatch(
+      wave.groupBy("source", "lang").agg(count(lit(1)).as("n")),
+      "d", "feed", 99L)
+    assert(dAgg == base,
+      "the catalog pin must not expose the half-landed batch")
+    assert(rAgg == Set(("web", 3L), ("books", 1L)))
+    // recovery replay of batch 99: detail dedups, rollup lands, pin
+    // advances — both tables now carry the batch, exactly once
+    graft.streaming.StreamingEtl.catTxnBatch(
+      wh, wave, 99L, "d", "r", "feed")
+    assert(dAgg == base + (("news", "fr", 1L)),
+      "exactly one landed copy of the replayed batch's detail")
+    assert(rAgg == Set(("web", 3L), ("books", 1L), ("news", 1L)))
+  }
+
   // ---- GIF / LZW --------------------------------------------------
 
   test("GIF LZW: encode/decode roundtrips cross every code-width " +
