@@ -545,6 +545,11 @@ final case class Warehouse(root: String) {
             spark.read.parquet(dir(table + "__manifest2"))
               .agg(max(col("gid"))).head().getInt(0)
           else -1
+        // unpartitioned window = single partition, but the input is
+        // METADATA-grain: one row per file THIS append created (the
+        // listing diff), bounded by the wave's file count — never the
+        // table's; same bounded-collect convention as the SimQueries
+        // probe lists
         val stG = st.withColumn("gid",
           (lit(maxGid + 1) +
             (row_number().over(Window.orderBy(col(s"min_$c"),
