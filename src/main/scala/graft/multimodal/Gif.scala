@@ -176,20 +176,27 @@ object Gif {
     */
   def buildGif(idx: Array[Int], w: Int, h: Int, palette: Array[Int],
       interlaced: Boolean = false,
-      withExtensions: Boolean = false): Array[Byte] = {
+      withExtensions: Boolean = false,
+      localPalette: Boolean = false): Array[Byte] = {
     require(idx.length == w * h, "index count != w*h")
     require(palette.length >= 4 && palette.length <= 256 &&
       Integer.bitCount(palette.length) == 1, "palette must be 2^n in [4,256]")
     val ncBits = Integer.numberOfTrailingZeros(palette.length) - 1
+    def writePalette(out: java.io.ByteArrayOutputStream): Unit =
+      palette.foreach { c =>
+        out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff)
+        out.write(c & 0xff)
+      }
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     out.write(le2(w)); out.write(le2(h))
-    out.write(0x80 | (7 << 4) | ncBits) // GCT present, size bits
+    // either a global color table or (localPalette) none here and a
+    // per-frame table on the image descriptor — both real-corpus
+    // layouts; the decoder must honor the frame-local override
+    out.write((if (localPalette) 0x00 else 0x80) | (7 << 4) |
+      (if (localPalette) 0 else ncBits))
     out.write(0); out.write(0) // bg index, aspect
-    palette.foreach { c =>
-      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff)
-      out.write(c & 0xff)
-    }
+    if (!localPalette) writePalette(out)
     if (withExtensions) {
       // graphic control extension: introducer, label, block size 4,
       // packed/delay/transparent, terminator
@@ -203,7 +210,9 @@ object Gif {
     }
     out.write(0x2c) // image descriptor
     out.write(le2(0)); out.write(le2(0)); out.write(le2(w)); out.write(le2(h))
-    out.write(if (interlaced) 0x40 else 0x00) // no LCT
+    out.write((if (localPalette) 0x80 | ncBits else 0x00) |
+      (if (interlaced) 0x40 else 0x00))
+    if (localPalette) writePalette(out)
     val stored =
       if (!interlaced) idx
       else interlaceOrder(h).flatMap(r => idx.slice(r * w, r * w + w))
@@ -334,8 +343,13 @@ object Gif {
               (((id * 3 + c * 7 + 11) % 256) << 8) |
               ((id * 3 + c * 7 + 22) % 256)).toInt)
           val idx = Array.tabulate(w * h)(k => ((id * 7 + k) % nc).toInt)
+          // id%7==3 stores the SAME palette as a frame-LOCAL color
+          // table (no GCT) — content-invariant, so the oracle's
+          // closed forms are untouched; the decoder must honor the
+          // per-frame override
           (id, buildGif(idx, w, h, pal, interlaced = id % 2 == 0,
-            withExtensions = id % 5 == 0))
+            withExtensions = id % 5 == 0,
+            localPalette = id % 7 == 3))
         }
       })
       .toDF("media_id", "payload")

@@ -1830,17 +1830,50 @@ final case class Warehouse(root: String) {
 
   /** The catalog snapshot at catalog version `asOf` (default: head):
     * each table resolved to its LATEST pin at or below `asOf`. A
-    * forward fold over the catalog log — O(catalog commits) driver
-    * file reads; catalog logs are transaction-grain small.
+    * BACKWARD scan (first pin seen per table wins = latest), stopping
+    * at the first [[catCheckpoint]] commit — which carries the
+    * complete map at its version — so resolution reads O(commits
+    * since checkpoint), the same bound [[casActiveCmds]] gives table
+    * reads.
     */
   def catSnapshot(asOf: Int = -1): Map[String, Int] = {
     val upTo = if (asOf < 0) catHead else asOf
-    (1 to upTo).foldLeft(Map.empty[String, Int]) { (m, n) =>
-      readLines(new File(catLogDir, f"$n%09d.commit"))
-        .filter(_.startsWith("PIN ")).foldLeft(m) { (m2, l) =>
-          val p = l.split(" ", 3); m2 + (p(1) -> p(2).toInt)
-        }
+    var m = Map.empty[String, Int]
+    var n = upTo
+    var atStop = false
+    while (n >= 1 && !atStop) {
+      val ls = readLines(new File(catLogDir, f"$n%09d.commit"))
+      ls.filter(_.startsWith("PIN ")).foreach { l =>
+        val p = l.split(" ", 3)
+        if (!m.contains(p(1))) m += (p(1) -> p(2).toInt)
+      }
+      if (ls.contains("CCKPT")) atStop = true
+      n -= 1
     }
+    m
+  }
+
+  /** CATALOG CHECKPOINT — fold the resolved pin map into ONE commit
+    * (`CCKPT` marker + a PIN line per table), so [[catSnapshot]]'s
+    * backward scan stops here: resolution cost becomes O(commits
+    * since checkpoint) instead of O(catalog length). Metadata-only
+    * (pins are tiny), published through the same CAS as every
+    * catalog commit — a concurrent transaction between the snapshot
+    * read and the CAS forces a retry, so a checkpoint can never
+    * swallow a pin it did not include. The [[casCheckpoint]]
+    * discipline at the catalog tier.
+    */
+  def catCheckpoint(retries: Int = 8): Int = {
+    var attempt = 0
+    while (attempt < retries) {
+      val head = catHead
+      val snap = catSnapshot(head).toSeq.sortBy(_._1)
+        .map { case (t, v) => s"PIN $t $v" }
+      if (tryCommitIn(catLogDir, head + 1, "CCKPT" +: snap))
+        return head + 1
+      attempt += 1
+    }
+    throw new CommitConflict(s"catCheckpoint: lost $retries CAS races")
   }
 
   /** Catalog read: `table` AT its catalog-pinned version — the

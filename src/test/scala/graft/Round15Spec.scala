@@ -418,6 +418,35 @@ class Round15Spec extends SparkSpec {
     assert(rAgg == Set(("web", 3L), ("books", 1L), ("news", 1L)))
   }
 
+  test("catCheckpoint: resolution stops at the checkpoint (older " +
+    "catalog commits are no longer read), the folded map equals the " +
+    "pre-checkpoint snapshot, and post-checkpoint pins compose") {
+    import spark.implicits._
+    val wh = tmpWh()
+    val vx = wh.casAppend(Seq(1L).toDF("k"), "x")
+    val vy = wh.casAppend(Seq(2L).toDF("k"), "y")
+    wh.catCommit(Seq("x" -> vx))
+    wh.catCommit(Seq("y" -> vy))
+    val before = wh.catSnapshot()
+    val ck = wh.catCheckpoint()
+    assert(ck == 3 && wh.catSnapshot() == before)
+    // the pin map rides the checkpoint commit itself: resolution
+    // must not need anything below it — prove by deleting an older
+    // catalog commit outright
+    val old = new java.io.File(
+      new java.io.File(wh.root, "__catalog__log"), f"${1}%09d.commit")
+    assert(old.delete(), "setup: old catalog commit removed")
+    assert(wh.catSnapshot() == before,
+      "resolution must stop at the checkpoint, not read below it")
+    assert(wh.catRead(spark, "x").as[Long].collect().toSet == Set(1L))
+    // pins after the checkpoint still win over its folded map
+    val vx2 = wh.casAppend(Seq(9L).toDF("k"), "x")
+    wh.catCommit(Seq("x" -> vx2))
+    assert(wh.catSnapshot() == before + ("x" -> vx2))
+    assert(wh.catRead(spark, "x").as[Long].collect().toSet ==
+      Set(1L, 9L))
+  }
+
   // ---- GIF / LZW --------------------------------------------------
 
   test("GIF LZW: encode/decode roundtrips cross every code-width " +
@@ -502,6 +531,14 @@ class Round15Spec extends SparkSpec {
       assert(ix.sameElements(idx), "visual row order restored")
       assert(dp.sameElements(pal))
     }
+    // frame-LOCAL color table (no GCT): same pixels, same palette,
+    // different container layout — the decoder must take the
+    // per-frame override
+    val lct = Gif.buildGif(idx, w, h, pal, localPalette = true)
+    assert(!lct.sameElements(seqG))
+    val gotL = Gif.gifPixels(lct)
+    assert(gotL.isDefined)
+    assert(gotL.get._4.sameElements(idx) && gotL.get._5.sameElements(pal))
     assert(Gif.gifPixels("not a gif at all".getBytes).isEmpty)
     assert(Gif.gifPixels(seqG.take(20)).isEmpty,
       "header-only prefix must fail cleanly")
