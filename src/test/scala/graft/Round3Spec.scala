@@ -266,7 +266,7 @@ class Round3Spec extends SparkSpec {
     import graft.queries.{MultimodalQueries => M, SimQueries => Si,
       TextQueries => T}
     val mapOnly = Seq(T.q29, T.q32, T.q34, T.q36, T.q50, T.q52, T.q53,
-      M.q40, M.q56, Si.q60)
+      M.q40, M.q56, M.q287, Si.q60)
     for (q <- mapOnly) {
       val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
