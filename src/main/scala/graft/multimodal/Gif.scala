@@ -229,55 +229,128 @@ object Gif {
     out.toByteArray
   }
 
-  /** Parse the FIRST frame of a GIF: (width, height, color count,
-    * row-major indices in VISUAL order, palette RGB ints). None on
-    * anything malformed — truncated header, bad signature, code
-    * stream errors, missing image descriptor.
+  /** Serialize an ANIMATED GIF89a: shared global color table, one
+    * graphic-control extension (delay in centiseconds) + full-screen
+    * image block per frame, NETSCAPE2.0 loop extension up front (the
+    * block every real animation carries — decoders must skip it
+    * structurally). Sequential storage per frame.
     */
-  def gifPixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Int],
-      Array[Int])] = {
+  def buildGifAnim(frames: Seq[Array[Int]], w: Int, h: Int,
+      palette: Array[Int], delaysCs: Seq[Int]): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == w * h),
+      "every frame must be w*h indices")
+    require(delaysCs.length == frames.length, "one delay per frame")
+    require(palette.length >= 4 && palette.length <= 256 &&
+      Integer.bitCount(palette.length) == 1, "palette must be 2^n in [4,256]")
+    val ncBits = Integer.numberOfTrailingZeros(palette.length) - 1
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(le2(w)); out.write(le2(h))
+    out.write(0x80 | (7 << 4) | ncBits)
+    out.write(0); out.write(0)
+    palette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff)
+      out.write(c & 0xff)
+    }
+    // NETSCAPE2.0 application extension (infinite loop)
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(3); out.write(1); out.write(le2(0)); out.write(0)
+    val mcs = math.max(2, ncBits + 1)
+    frames.zip(delaysCs).foreach { case (idx, delay) =>
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); out.write(le2(delay)); out.write(0); out.write(0)
+      out.write(0x2c)
+      out.write(le2(0)); out.write(le2(0)); out.write(le2(w)); out.write(le2(h))
+      out.write(0x00)
+      out.write(mcs)
+      val z = lzwEncode(idx, mcs)
+      var off = 0
+      while (off < z.length) {
+        val len = math.min(255, z.length - off)
+        out.write(len); out.write(z, off, len); off += len
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** One decoded GIF frame: its sub-rectangle on the logical screen,
+    * the delay the preceding graphic-control extension declared
+    * (centiseconds, 0 when none), indices in VISUAL row order, and
+    * the palette in effect (frame-local table overriding the global
+    * one). Disposal/compositing semantics are deliberately out of
+    * scope — a frame-sampling pipeline consumes raw frames, not a
+    * composited canvas.
+    */
+  final case class GifFrame(left: Int, top: Int, w: Int, h: Int,
+      delayCs: Int, idx: Array[Int], palette: Array[Int])
+
+  /** Parse EVERY frame of a GIF (animated or single). None on
+    * anything malformed — truncated header, bad signature, code
+    * stream errors, zero frames before the trailer.
+    */
+  def gifFrames(p: Array[Byte]): Option[Seq[GifFrame]] = {
     if (p.length < 13) return None
     val sig = new String(p, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
     if (sig != "GIF87a" && sig != "GIF89a") return None
     def u8(i: Int): Int = p(i) & 0xff
     def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     var pos = 6
-    pos += 4 // screen w/h (frame carries its own)
+    pos += 4 // screen w/h (frames carry their own)
     val packed = u8(pos); pos += 3 // packed, bg, aspect
-    var palette = Array.empty[Int]
-    if ((packed & 0x80) != 0) {
-      val sz = 1 << ((packed & 7) + 1)
-      if (pos + 3 * sz > p.length) return None
-      palette = Array.tabulate(sz)(i =>
-        (u8(pos + 3 * i) << 16) | (u8(pos + 3 * i + 1) << 8) |
-          u8(pos + 3 * i + 2))
-      pos += 3 * sz
+    var global = Array.empty[Int]
+    def readPalette(sz: Int): Option[Array[Int]] = {
+      if (pos + 3 * sz > p.length) None
+      else {
+        val t = Array.tabulate(sz)(i =>
+          (u8(pos + 3 * i) << 16) | (u8(pos + 3 * i + 1) << 8) |
+            u8(pos + 3 * i + 2))
+        pos += 3 * sz
+        Some(t)
+      }
     }
+    if ((packed & 0x80) != 0) readPalette(1 << ((packed & 7) + 1)) match {
+      case Some(t) => global = t
+      case None => return None
+    }
+    val frames = scala.collection.mutable.ArrayBuffer.empty[GifFrame]
+    var pendingDelay = 0
     while (pos < p.length) {
       u8(pos) match {
         case 0x21 => // extension: label + sub-blocks
+          val label = if (pos + 1 < p.length) u8(pos + 1) else -1
           pos += 2
+          var first = true
           var ok = true
           while (ok) {
             if (pos >= p.length) return None
-            val len = u8(pos); pos += 1 + len
+            val len = u8(pos)
+            // a graphic-control extension's first (only) data block
+            // carries the next frame's delay in centiseconds
+            if (label == 0xf9 && first && len >= 3 && pos + 3 < p.length)
+              pendingDelay = u16(pos + 2)
+            first = false
+            pos += 1 + len
             if (len == 0) ok = false
           }
         case 0x2c => // image descriptor
           if (pos + 10 > p.length) return None
+          val left = u16(pos + 1); val top = u16(pos + 3)
           val iw = u16(pos + 5); val ih = u16(pos + 7)
           val ipk = u8(pos + 9)
           pos += 10
-          if ((ipk & 0x80) != 0) { // local color table overrides
-            val sz = 1 << ((ipk & 7) + 1)
-            if (pos + 3 * sz > p.length) return None
-            palette = Array.tabulate(sz)(i =>
-              (u8(pos + 3 * i) << 16) | (u8(pos + 3 * i + 1) << 8) |
-                u8(pos + 3 * i + 2))
-            pos += 3 * sz
-          }
+          var palette = global
+          if ((ipk & 0x80) != 0) // local color table overrides
+            readPalette(1 << ((ipk & 7) + 1)) match {
+              case Some(t) => palette = t
+              case None => return None
+            }
           if (palette.isEmpty || iw <= 0 || ih <= 0) return None
           if (iw.toLong * ih > (1L << 24)) return None // hostile dims
+          if (frames.length >= 4096) return None // hostile frame count
           if (pos >= p.length) return None
           val mcs = u8(pos); pos += 1
           val z = new java.io.ByteArrayOutputStream()
@@ -291,9 +364,11 @@ object Gif {
               z.write(p, pos, len); pos += len
             }
           }
-          return lzwDecode(z.toByteArray, mcs, iw * ih).flatMap { st =>
-            if (st.exists(_ >= palette.length)) None
-            else {
+          val pal = palette
+          lzwDecode(z.toByteArray, mcs, iw * ih) match {
+            case None => return None
+            case Some(st) =>
+              if (st.exists(_ >= pal.length)) return None
               val visual =
                 if ((ipk & 0x40) == 0) st
                 else { // undo 4-pass interlace
@@ -306,15 +381,28 @@ object Gif {
                   }
                   v
                 }
-              Some((iw, ih, palette.length, visual, palette))
-            }
+              frames += GifFrame(left, top, iw, ih, pendingDelay,
+                visual, pal)
+              pendingDelay = 0
           }
-        case 0x3b => return None // trailer before any image
+        case 0x3b => // trailer
+          return if (frames.nonEmpty) Some(frames.toSeq) else None
         case _ => return None
       }
     }
-    None
+    None // ran off the end without a trailer
   }
+
+  /** Parse the FIRST frame of a GIF: (width, height, color count,
+    * row-major indices in VISUAL order, palette RGB ints). None on
+    * anything malformed.
+    */
+  def gifPixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Int],
+      Array[Int])] =
+    gifFrames(p).map { fs =>
+      val f = fs.head
+      (f.w, f.h, f.palette.length, f.idx, f.palette)
+    }
 
   // ---- media tables + decode (the q287 surfaces) -------------------
 
@@ -353,6 +441,60 @@ object Gif {
         }
       })
       .toDF("media_id", "payload")
+  }
+
+  /** Deterministic ANIMATED-GIF media table: nf = id%3+1 frames of
+    * w = id%5+2 by h = id%4+1, shared 8-color palette (entry c,ch =
+    * (id·3 + c·7 + ch·11) mod 256), frame f pixel k =
+    * (id·7 + f·13 + k) mod 8, delay (id + f·3) mod 50 + 1 cs, with
+    * the NETSCAPE loop block up front. Closed forms the oracle
+    * mirrors; id%9==0 is raw text (undecodable path).
+    */
+  def asGifAnimTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        if (id % 9 == 0)
+          (id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        else {
+          val nf = (id % 3 + 1).toInt
+          val w = (id % 5 + 2).toInt; val h = (id % 4 + 1).toInt
+          val pal = Array.tabulate(8)(c =>
+            ((((id * 3 + c * 7) % 256) << 16) |
+              (((id * 3 + c * 7 + 11) % 256) << 8) |
+              ((id * 3 + c * 7 + 22) % 256)).toInt)
+          val frames = (0 until nf).map(f =>
+            Array.tabulate(w * h)(k => ((id * 7 + f * 13 + k) % 8).toInt))
+          val delays = (0 until nf).map(f => ((id + f * 3) % 50 + 1).toInt)
+          (id, buildGifAnim(frames, w, h, pal, delays))
+        }
+      })
+      .toDF("media_id", "payload")
+  }
+
+  /** Frame-grain decode over an animated-GIF media table: ONE ROW PER
+    * FRAME (media_id, frame_idx, delay_cs, idx_sum) — the shape a
+    * frame-sampling pipeline feeds downstream; undecodable payloads
+    * produce a single (-1, 0, 0) verdict row, never silence.
+    */
+  def decodeGifFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (mid, p) =>
+        gifFrames(p) match {
+          case Some(fs) => fs.zipWithIndex.map { case (f, i) =>
+            var s = 0L
+            var k = 0
+            while (k < f.idx.length) { s += f.idx(k); k += 1 }
+            (mid, i.toLong, f.delayCs.toLong, s)
+          }
+          case None => Seq((mid, -1L, 0L, 0L))
+        }
+      })
+      .toDF("media_id", "frame_idx", "delay_cs", "idx_sum")
   }
 
   /** Decode pass over a GIF media table: index sums prove the LZW +

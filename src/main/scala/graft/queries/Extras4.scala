@@ -190,5 +190,62 @@ object Extras4 {
     }.toDF("range_id", "n", "cust_sum")
   }
 
-  val all: Seq[Q] = Seq(q284, q285, q286)
+  /** CATALOG-CONSISTENT FACT ⋈ DIM JOIN — the reference's actual DW
+    * transaction story (BikesDWSQl.sql:202 loads dims AND facts in
+    * one transaction precisely so a reader never joins new facts to
+    * old dims): dim (customer) and the EVEN-keyed half of the fact
+    * (orders) publish as one catalog transaction; a direct writer
+    * then lands the odd half per-table WITHOUT a pin (a half-done
+    * next load); a second transaction publishes it, carrying the dim
+    * pin forward. The query joins fact to dim THROUGH THE CATALOG at
+    * both snapshots: at v1 the unpinned odd half is invisible (the
+    * join sees a mutually-committed pair), at head it is published.
+    * The oracle states both joins from the raw corpus.
+    *
+    * 100 TB shape: the dim side is explicitly broadcast (the
+    * always-broadcast-dims rule); catalog resolution is driver-side
+    * metadata; fact data stays distributed and only pinned waves'
+    * directories are opened.
+    */
+  val q288 = Q("q288_catalog_join_consistency",
+    """SELECT * FROM (
+      |  SELECT 'cat_head' AS snap, c_mktsegment,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  GROUP BY c_mktsegment
+      |  UNION ALL
+      |  SELECT 'cat_v1', c_mktsegment, count(*),
+      |    CAST(sum(o_orderkey) AS BIGINT)
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  WHERE o_orderkey % 2 = 0 GROUP BY c_mktsegment) t""".stripMargin) {
+    (s, dir) =>
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"catjoin_${SessionScratch.keyOf(dir)}"))
+    val key = s"cat_join_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      wh.catAppendAll(Seq(
+        "jdim" -> c,
+        "jfact" -> o.filter(col("o_orderkey") % 2 === 0)))
+      // a half-done next load: data lands per-table, no pin yet
+      wh.casAppend(o.filter(col("o_orderkey") % 2 === 1), "jfact")
+      // the next transaction publishes it, dim pin carried forward
+      wh.catCommit(Seq("jfact" -> wh.casHead("jfact"), "jdim" -> 1))
+      ()
+    }
+    def joined(asOf: Int, snap: String) =
+      wh.catRead(s, "jfact", asOf)
+        .join(broadcast(wh.catRead(s, "jdim", asOf)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sum"))
+        .select(lit(snap).as("snap"), col("c_mktsegment"),
+          col("n"), col("key_sum"))
+    joined(-1, "cat_head").unionByName(joined(1, "cat_v1"))
+  }
+
+  val all: Seq[Q] = Seq(q284, q285, q286, q288)
 }

@@ -1267,7 +1267,52 @@ object MultimodalQueries {
       graft.multimodal.Gif.asGifTable(Tables(s, dir, "documents")))
   }
 
+  /** ANIMATED GIF FRAME DECODE — q287's container walked to EVERY
+    * frame: [[graft.multimodal.Gif.asGifAnimTable]] emits real
+    * multi-frame GIF89a (shared global color table, NETSCAPE2.0 loop
+    * block skipped structurally, per-frame graphic-control DELAYS,
+    * each frame its own LZW stream), and
+    * [[graft.multimodal.Gif.decodeGifFrames]] returns ONE ROW PER
+    * FRAME with the delay and content sum — the frame-sampling shape
+    * (q56's stride sampler) on a real animation container. The
+    * oracle enumerates (doc, frame) pairs and recomputes each
+    * frame's sum and delay from the closed forms; a decoder that
+    * misses a frame, mis-attributes a delay, or bleeds LZW state
+    * across frames hash-fails. id%9==0 raw text degrades to a
+    * single (-1, 0, 0) verdict row.
+    *
+    * Shape: map-only synthesis + partition-batched per-frame decode
+    * (flatMap), no exchange — q276's cost model at frame grain.
+    */
+  val q289 = Q("q289_gif_anim_frames",
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 9 AS m, (doc_id % 3) + 1 AS nf,
+      |    (doc_id % 5) + 2 AS w, (doc_id % 4) + 1 AS h
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, CAST(unnest(range(0, nf)) AS BIGINT) AS f,
+      |    w, h FROM g WHERE m <> 0),
+      |px AS (
+      |  SELECT doc_id, f,
+      |    sum((doc_id * 7 + f * 13 + k) % 8) AS idx_sum
+      |  FROM (
+      |    SELECT doc_id, f,
+      |      CAST(unnest(range(0, w * h)) AS BIGINT) AS k
+      |    FROM fr) t
+      |  GROUP BY doc_id, f)
+      |SELECT * FROM (
+      |  SELECT fr.doc_id AS media_id, fr.f AS frame_idx,
+      |    CAST((fr.doc_id + fr.f * 3) % 50 + 1 AS BIGINT) AS delay_cs,
+      |    CAST(px.idx_sum AS BIGINT) AS idx_sum
+      |  FROM fr JOIN px ON px.doc_id = fr.doc_id AND px.f = fr.f
+      |  UNION ALL
+      |  SELECT doc_id, CAST(-1 AS BIGINT), 0, 0
+      |  FROM g WHERE m = 0) t""".stripMargin) { (s, dir) =>
+    graft.multimodal.Gif.decodeGifFrames(
+      graft.multimodal.Gif.asGifAnimTable(Tables(s, dir, "documents")))
+  }
+
   val all: Seq[Q] = Seq(q40, q56, q156, q157, q169, q173, q174, q176,
     q179, q203, q212, q230, q233, q234, q243, q276, q277, q279, q281,
-    q282, q283, q287)
+    q282, q283, q287, q289)
 }

@@ -539,6 +539,25 @@ class Round15Spec extends SparkSpec {
     val gotL = Gif.gifPixels(lct)
     assert(gotL.isDefined)
     assert(gotL.get._4.sameElements(idx) && gotL.get._5.sameElements(pal))
+    // animation: every frame decodes with its own LZW stream and
+    // declared delay; the NETSCAPE loop block is skipped; the
+    // first-frame view (gifPixels) agrees with the frame walk
+    val f0 = Array.tabulate(w * h)(k => (k * 3 + 1) % 8)
+    val f1 = Array.tabulate(w * h)(k => (k * 5 + 2) % 8)
+    val f2 = Array.tabulate(w * h)(k => (7 - k % 8))
+    val anim = Gif.buildGifAnim(Seq(f0, f1, f2), w, h, pal,
+      delaysCs = Seq(10, 25, 40))
+    val fsOpt = Gif.gifFrames(anim)
+    assert(fsOpt.isDefined)
+    val fs = fsOpt.get
+    assert(fs.length == 3)
+    assert(fs.map(_.delayCs) == Seq(10, 25, 40))
+    assert(fs(0).idx.sameElements(f0) && fs(1).idx.sameElements(f1) &&
+      fs(2).idx.sameElements(f2),
+      "no LZW state may bleed across frames")
+    fs.foreach(f => assert(f.w == w && f.h == h &&
+      f.palette.sameElements(pal)))
+    assert(Gif.gifPixels(anim).exists(_._4.sameElements(f0)))
     assert(Gif.gifPixels("not a gif at all".getBytes).isEmpty)
     assert(Gif.gifPixels(seqG.take(20)).isEmpty,
       "header-only prefix must fail cleanly")
