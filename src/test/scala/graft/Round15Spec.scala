@@ -447,6 +447,45 @@ class Round15Spec extends SparkSpec {
       Set(1L, 9L))
   }
 
+  test("casAppend under REAL thread concurrency: 8 writers x 4 " +
+    "appends race freely — every wave lands exactly once, versions " +
+    "are contiguous, nothing is lost") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppend(Seq(-1L).toDF("k"), "t")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (0 until 8).map { th =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (0 until 4).foreach { i =>
+            wh.casAppend(Seq((th * 100 + i).toLong).toDF("k"), "t",
+              retries = 64)
+            ()
+          }
+        })
+      }
+      futs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(wh.casHead("t") == 33, "32 concurrent appends + seed")
+    val got = wh.casRead(spark, "t").as[Long].collect().toList
+    val want = (for (th <- 0 until 8; i <- 0 until 4)
+      yield (th * 100 + i).toLong).toList :+ -1L
+    assert(got.sorted == want.sorted,
+      "every concurrent append lands exactly once — no loss, no dup")
+    (1 to 33).foreach(n => assert(
+      new java.io.File(new java.io.File(wh.root, "t__log"),
+        f"$n%09d.commit").exists(), s"version $n missing — gap"))
+  }
+
+  test("plan hygiene: q288's catalog join broadcasts the dim side " +
+    "(no shuffle on the join)") {
+    val plan = graft.queries.Extras4.q288
+      .fn(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the dim side must broadcast")
+  }
+
   // ---- GIF / LZW --------------------------------------------------
 
   test("GIF LZW: encode/decode roundtrips cross every code-width " +
