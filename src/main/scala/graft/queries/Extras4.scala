@@ -247,5 +247,61 @@ object Extras4 {
     joined(-1, "cat_head").unionByName(joined(1, "cat_v1"))
   }
 
-  val all: Seq[Q] = Seq(q284, q285, q286, q288)
+  /** ATOMIC CROSS-TABLE FULL REFRESH (q288's write-side complement)
+    * — the reference DW REBUILD as one transaction: load 1 publishes
+    * dim + the 'O'-status fact slice through
+    * [[graft.sources.Warehouse.catOverwriteAll]]; load 2 REPLACES
+    * the fact with the 'F' slice and re-pins both in one catalog
+    * commit. The catalog join at v1 must see ONLY load 1's fact
+    * (replace semantics through a pin — not a union), and at head
+    * ONLY load 2's: a catalog reader flips between two complete
+    * consistent warehouses with nothing in between (spec pins the
+    * in-between window via the commit seam). Oracle states both
+    * joins from the raw corpus.
+    *
+    * 100 TB shape: each table's refresh is one distributed write +
+    * a one-line commit; the atomic flip is a driver-side metadata
+    * CAS — no cross-table coordination ever touches data.
+    */
+  val q290 = Q("q290_catalog_full_refresh",
+    """SELECT * FROM (
+      |  SELECT 'load1' AS snap, c_mktsegment,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  WHERE o_orderstatus = 'O' GROUP BY c_mktsegment
+      |  UNION ALL
+      |  SELECT 'load2', c_mktsegment, count(*),
+      |    CAST(sum(o_orderkey) AS BIGINT)
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  WHERE o_orderstatus = 'F' GROUP BY c_mktsegment) t""".stripMargin) {
+    (s, dir) =>
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"catrf_${SessionScratch.keyOf(dir)}"))
+    val key = s"cat_refresh_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      wh.catOverwriteAll(Seq(
+        "rdim" -> c,
+        "rfact" -> o.filter(col("o_orderstatus") === "O")))
+      wh.catOverwriteAll(Seq(
+        "rdim" -> c,
+        "rfact" -> o.filter(col("o_orderstatus") === "F")))
+      ()
+    }
+    def joined(asOf: Int, snap: String) =
+      wh.catRead(s, "rfact", asOf)
+        .join(broadcast(wh.catRead(s, "rdim", asOf)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum("o_orderkey").cast("long").as("key_sum"))
+        .select(lit(snap).as("snap"), col("c_mktsegment"),
+          col("n"), col("key_sum"))
+    joined(1, "load1").unionByName(joined(2, "load2"))
+  }
+
+  val all: Seq[Q] = Seq(q284, q285, q286, q288, q290)
 }

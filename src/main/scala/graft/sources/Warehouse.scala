@@ -1828,6 +1828,51 @@ final case class Warehouse(root: String) {
     (catCommit(vs, retries), vs.toMap)
   }
 
+  /** MULTI-WRITER FULL REFRESH — the OCC form of [[overwrite]] (S6:
+    * DELETE all + INSERT SELECT): stage the complete new state, CAS
+    * a REPLACE commit at head+1. Unlike [[casReplace]] the content
+    * does NOT derive from the current snapshot, so a lost race
+    * retries with the SAME staged data — no recompute, no
+    * staged-dir churn. Readers replay from this commit; prior waves
+    * become history (reclaimable after [[casTruncate]]).
+    */
+  def casOverwrite(df: DataFrame, table: String, retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): Int = {
+    val staged = new File(new File(dir(table + "__data")),
+      java.util.UUID.randomUUID().toString)
+    df.write.mode("errorifexists").parquet(staged.getPath)
+    var attempt = 0
+    while (attempt < retries) {
+      val n = casHead(table) + 1
+      beforeCommit()
+      if (casTryCommit(table, n, Seq("REPLACE " + staged.getPath)))
+        return n
+      attempt += 1
+    }
+    delete(staged) // never committed — don't leave it for vacuum
+    throw new CommitConflict(
+      s"casOverwrite($table): lost $retries CAS races")
+  }
+
+  /** ATOMIC CROSS-TABLE FULL REFRESH — the reference's warehouse
+    * REBUILD as one transaction (BikesDWSQl.sql truncates and
+    * reloads every dim and fact inside a single commit): each
+    * table's complete new state lands as its own REPLACE commit
+    * ([[casOverwrite]]), then ONE catalog commit pins all of them —
+    * catalog readers flip from the old consistent set to the new
+    * consistent set with nothing in between. `beforeCommit` fires
+    * between the last replace and the catalog CAS.
+    */
+  def catOverwriteAll(writes: Seq[(String, DataFrame)],
+      retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): (Int, Map[String, Int]) = {
+    val vs = writes.map { case (t, df) =>
+      (t, casOverwrite(df, t, retries))
+    }
+    beforeCommit()
+    (catCommit(vs, retries), vs.toMap)
+  }
+
   /** The catalog snapshot at catalog version `asOf` (default: head):
     * each table resolved to its LATEST pin at or below `asOf`. A
     * BACKWARD scan (first pin seen per table wins = latest), stopping

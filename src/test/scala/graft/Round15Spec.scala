@@ -447,6 +447,39 @@ class Round15Spec extends SparkSpec {
       Set(1L, 9L))
   }
 
+  test("catOverwriteAll: the atomic cross-table full refresh — " +
+    "catalog readers flip old-pair -> new-pair with nothing in " +
+    "between; casOverwrite replaces, never unions; a lost race " +
+    "leaves no staged orphan") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.catOverwriteAll(Seq("d" -> Seq(1L).toDF("k"),
+      "f" -> Seq(10L, 11L).toDF("k")))
+    var midD: Set[Long] = null
+    var midF: Set[Long] = null
+    wh.catOverwriteAll(Seq("d" -> Seq(2L).toDF("k"),
+      "f" -> Seq(20L).toDF("k")), beforeCommit = () => {
+        // both REPLACE commits are already in the per-table logs,
+        // but the catalog still serves the OLD consistent pair
+        midD = wh.catRead(spark, "d").as[Long].collect().toSet
+        midF = wh.catRead(spark, "f").as[Long].collect().toSet
+      })
+    assert(midD == Set(1L) && midF == Set(10L, 11L),
+      "in the replace-to-pin window the catalog must serve the old pair")
+    assert(wh.catRead(spark, "d").as[Long].collect().toSet == Set(2L))
+    assert(wh.catRead(spark, "f").as[Long].collect().toSet == Set(20L),
+      "full refresh REPLACES the fact — old rows must be gone")
+    // historical catalog snapshot still serves load 1
+    assert(wh.catRead(spark, "f", asOf = 1).as[Long].collect()
+      .toSet == Set(10L, 11L))
+    // lost-race cleanup: a casOverwrite that exhausts retries deletes
+    // its staged dir (retries=0 loses immediately)
+    intercept[graft.sources.Warehouse#CommitConflict](
+      wh.casOverwrite(Seq(99L).toDF("k"), "f", retries = 0))
+    assert(wh.casVacuum("f", minAgeMs = 0L).isEmpty,
+      "no staged orphan after an exhausted overwrite")
+  }
+
   test("casAppend under REAL thread concurrency: 8 writers x 4 " +
     "appends race freely — every wave lands exactly once, versions " +
     "are contiguous, nothing is lost") {
