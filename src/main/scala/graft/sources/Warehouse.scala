@@ -1800,6 +1800,12 @@ final case class Warehouse(root: String) {
     writes.foreach { case (t, v) =>
       require(v >= 1 && v <= casHead(t),
         s"catCommit: $t@$v is not a committed version (head ${casHead(t)})")
+      // fail FAST on an unreadable snapshot: pinning a version whose
+      // replay window a [[casTruncate]] already retired would poison
+      // every later catReferencedPaths/casVacuum consult — surface
+      // the error to THIS caller, before the pin publishes
+      casActiveCmdsAt(t, v)
+      ()
     }
     val lines = writes.map { case (t, v) => s"PIN $t $v" }
     var attempt = 0

@@ -447,6 +447,27 @@ class Round15Spec extends SparkSpec {
       Set(1L, 9L))
   }
 
+  test("catCommit rejects a pin whose replay window truncation " +
+    "already retired — the poison pin fails at COMMIT time, not in " +
+    "every later vacuum") {
+    import spark.implicits._
+    val wh = tmpWh()
+    (0L to 2L).foreach(i => wh.casAppend(Seq(i).toDF("k"), "t"))
+    wh.casReplace(spark, "t")(cur => cur.filter(col("k") > 0L))
+    assert(wh.casTruncate("t") == 4)
+    // v2's window is gone; pinning it must error NOW
+    intercept[RuntimeException](wh.catCommit(Seq("t" -> 2)))
+    assert(wh.catHead == 0, "the rejected pin must not publish")
+    // the current (checkpointed) head pins fine, and vacuum stays
+    // healthy afterwards
+    wh.catCommit(Seq("t" -> wh.casHead("t")))
+    assert(wh.catRead(spark, "t").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    wh.casVacuum("t", minAgeMs = 0L)
+    assert(wh.catRead(spark, "t").as[Long].collect().toSet ==
+      Set(1L, 2L))
+  }
+
   test("catOverwriteAll: the atomic cross-table full refresh — " +
     "catalog readers flip old-pair -> new-pair with nothing in " +
     "between; casOverwrite replaces, never unions; a lost race " +
