@@ -1893,7 +1893,14 @@ final case class Warehouse(root: String) {
     var n = upTo
     var atStop = false
     while (n >= 1 && !atStop) {
-      val ls = readLines(new File(catLogDir, f"$n%09d.commit"))
+      val f = new File(catLogDir, f"$n%09d.commit")
+      // a commit missing INSIDE the replay window means a
+      // [[catTruncate]] retired this historical snapshot — fail
+      // loudly rather than resolve a partial (wrong) map
+      if (!f.exists())
+        sys.error(s"catSnapshot($upTo): catalog commit $n is " +
+          "missing (truncated catalog?) — snapshot unreadable")
+      val ls = readLines(f)
       ls.filter(_.startsWith("PIN ")).foreach { l =>
         val p = l.split(" ", 3)
         if (!m.contains(p(1))) m += (p(1) -> p(2).toInt)
@@ -1902,6 +1909,25 @@ final case class Warehouse(root: String) {
       n -= 1
     }
     m
+  }
+
+  /** CATALOG LOG RETENTION — the [[casTruncate]] discipline one tier
+    * up: write a fresh [[catCheckpoint]] (it carries the complete
+    * resolved pin map), then delete every catalog commit strictly
+    * below it. Catalog snapshots below the truncation point become
+    * unreadable BY AN EXPLICIT RETENTION DECISION (and fail loudly —
+    * [[catSnapshot]]); the pins those dead snapshots held no longer
+    * protect data, so a following per-table [[casTruncate]] +
+    * [[casVacuum]] can reclaim what only dead catalog history
+    * referenced. Returns the number of commit files deleted.
+    */
+  def catTruncate(retries: Int = 8): Int = {
+    val ck = catCheckpoint(retries)
+    val deleted = (1 until ck)
+      .map(n => new File(catLogDir, f"$n%09d.commit"))
+      .filter(_.exists())
+    deleted.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+    deleted.size
   }
 
   /** CATALOG CHECKPOINT — fold the resolved pin map into ONE commit

@@ -447,6 +447,33 @@ class Round15Spec extends SparkSpec {
       Set(1L, 9L))
   }
 
+  test("catTruncate: catalog history below the checkpoint retires — " +
+    "head resolution unchanged, dead snapshots fail loudly, and data " +
+    "only dead catalog history pinned becomes reclaimable") {
+    import spark.implicits._
+    val wh = tmpWh()
+    val v1 = wh.casAppend(Seq(1L).toDF("k"), "t")
+    wh.catCommit(Seq("t" -> v1))
+    val v2 = wh.casReplace(spark, "t")(c => c.filter(col("k") < 0L))
+    wh.catCommit(Seq("t" -> v2))
+    // per-table truncation is clamped by the live pin t@1
+    assert(wh.casTruncate("t") == 0)
+    val removed = wh.catTruncate()
+    assert(removed == 2 && wh.catHead == 3)
+    assert(wh.catRead(spark, "t").count() == 0L,
+      "head resolves through the checkpoint's folded map")
+    val e = intercept[RuntimeException](wh.catSnapshot(asOf = 1))
+    assert(e.getMessage.contains("truncated"),
+      s"dead catalog snapshots must fail loudly: ${e.getMessage}")
+    // the t@1 pin died with the catalog history: per-table
+    // truncation now retires v1's window and vacuum reclaims the
+    // wave only that pin kept alive
+    assert(wh.casTruncate("t") == 1)
+    assert(wh.casVacuum("t", minAgeMs = 0L).size == 1,
+      "the dead pin's wave is reclaimable")
+    assert(wh.catRead(spark, "t").count() == 0L)
+  }
+
   test("catCommit rejects a pin whose replay window truncation " +
     "already retired — the poison pin fails at COMMIT time, not in " +
     "every later vacuum") {
