@@ -161,4 +161,171 @@ object Pipeline {
     wh.overwrite(BikesPipeline.actPerdDim(spark, "2018-01-01",
       "2020-12-31", asOf), "dw_act_perd_dim")
   }
+
+  /** Every table one daily refresh writes — the 9 ODS SCD targets
+    * (E1) and the 7 DW builds (E2). [[runDailyCat]] pins ALL of them
+    * in one catalog commit.
+    */
+  val allTables: Seq[String] = Seq(
+    "ods_customer", "ods_address", "ods_business_partner",
+    "ods_product_category", "ods_product_detail", "ods_store",
+    "ods_sales_order", "ods_sales_order_items", "ods_product_hist",
+    "dw_prdct_sm_fct", "dw_ordr_sm_fct", "dw_ordr_dtl_fct",
+    "dw_cust_dim", "dw_str_dim", "dw_prdct_dim", "dw_act_perd_dim")
+
+  /** The DW zone alone (E2's seven statements). */
+  val dwTables: Seq[String] = allTables.filter(_.startsWith("dw_"))
+
+  /** [[runDaily]] re-based onto the CATALOG tier: the ENTIRE daily
+    * refresh — nine SCD merges and seven DW builds — publishes as ONE
+    * cross-table catalog transaction, which is the reference's actual
+    * transaction story (BikesDWSQl.sql runs every DW statement inside
+    * a single T-SQL batch ending in one `commit`, line 202: a reader
+    * can never join new `Prdct_Sm_Fct` against old `Cust_Dim`).
+    * [[runDaily]]'s single-writer devices cannot give that across
+    * TABLES — a catalog reader mid-refresh there sees whichever
+    * subset has landed. Here:
+    *
+    *  1. every read of prior state resolves through ONE catalog
+    *     snapshot taken at entry (`base`) — the refresh derives from
+    *     a consistent old warehouse even while concurrent
+    *     transactions land;
+    *  2. each table's COMPLETE new state lands as a REPLACE commit in
+    *     its own CAS log ([[Warehouse.casOverwrite]]) — invisible to
+    *     catalog readers, visible to direct `casRead`ers (the
+    *     documented catalog-vs-direct visibility split). DW builds
+    *     read the just-committed ODS versions back from parquet, so
+    *     the staging lineage is never recomputed;
+    *  3. ONE [[Warehouse.catCommit]] pins all 16 tables: the refresh
+    *     flips old-complete → new-complete atomically, nothing in
+    *     between (`beforeCommit` is the seam the mid-refresh-reader
+    *     spec and q291 inject into).
+    *
+    * A failure anywhere (e.g. the constraint gate) leaves the catalog
+    * untouched: staged REPLACE commits without a pin are dead
+    * versions the next successful refresh supersedes. Incremental
+    * facts stay incremental — the delta is computed against the
+    * pinned prior fact and UNIONED with it, so the landed REPLACE is
+    * the complete new fact state (O(new state) write, same as the
+    * single-writer form's merge-overwrite rewrite).
+    *
+    * Returns (catalog version, per-table pinned versions).
+    */
+  def runDailyCat(spark: SparkSession, wh: Warehouse, raw: Inputs,
+      asOf: String, retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): (Int, Map[String, Int]) = {
+    val asOfD = lit(java.sql.Date.valueOf(asOf))
+    val base = wh.catSnapshot() // the one consistent read base
+    def prior(n: String): Option[DataFrame] =
+      base.get(n).map(v => wh.casReadAt(spark, n, v))
+
+    // ---- E1: ODS SCD merges, each landing as an unpinned REPLACE --
+    val vs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def publishScd1(name: String, staged: DataFrame, keys: Seq[String],
+        attrs: Seq[String]): Unit = {
+      val cached = staged.persist()
+      try {
+        Warehouse.checkConstraints(cached, name, keys)
+        val merged = prior(name) match {
+          case Some(tgt) => Scd.scd1Merge(cached, tgt, keys, attrs)
+          case None => cached
+        }
+        vs(name) = wh.casOverwrite(merged, name, retries)
+      } finally {
+        cached.unpersist()
+        ()
+      }
+    }
+    publishScd1("ods_customer",
+      BikesPipeline.stageCustomer(raw.customer, asOfD),
+      Seq("customer_id"),
+      Seq("first_name", "last_name", "gender", "DOB", "Age", "Agerange"))
+    val rawByName: Map[String, DataFrame] = Map(
+      "ods_address" -> raw.address,
+      "ods_business_partner" -> raw.businessPartner,
+      "ods_product_category" -> raw.productCategory,
+      "ods_product_detail" -> raw.productDetail,
+      "ods_store" -> raw.store,
+      "ods_sales_order" -> raw.salesOrder,
+      "ods_sales_order_items" -> raw.salesOrderItems)
+    scd1Tables.foreach { case (name, keep, dateCols, keys, attrs) =>
+      publishScd1(name, BikesPipeline.stage(rawByName(name), keep,
+        dateCols), keys, attrs)
+    }
+
+    val stagedProd = BikesPipeline.stage(raw.product,
+      Seq("PRODUCTID", "PRODCATEGORYID", "PARTNERID", "PRICE"))
+      .persist()
+    try {
+      Warehouse.checkConstraints(stagedProd, "ods_product_hist",
+        Seq("PRODUCTID"))
+      val prodAttrs = Seq("PRODCATEGORYID", "PARTNERID", "PRICE")
+      val prodHist = prior("ods_product_hist") match {
+        case Some(h) =>
+          Scd.scd2Merge(stagedProd, h, Seq("PRODUCTID"), prodAttrs, asOfD)
+        case None => stagedProd
+          .withColumn("current_flag", lit(1L))
+          .withColumn("eff_dt", asOfD)
+          .withColumn("exp_dt", lit(null).cast("date"))
+      }
+      vs("ods_product_hist") =
+        wh.casOverwrite(prodHist, "ods_product_hist", retries)
+    } finally {
+      stagedProd.unpersist()
+      ()
+    }
+
+    // ---- E2: DW builds over the JUST-COMMITTED ODS versions -------
+    def ods(n: String) = wh.casReadAt(spark, n, vs(n))
+    val items = ods("ods_sales_order_items")
+    val orders = ods("ods_sales_order")
+
+    vs("dw_prdct_sm_fct") = wh.casOverwrite(
+      BikesPipeline.prdctSmFct(items, orders, asOfD),
+      "dw_prdct_sm_fct", retries)
+
+    val smPrior = prior("dw_ordr_sm_fct")
+    val smExisting = smPrior.map(_.select("Ordr_ID")).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("Ordr_ID", org.apache.spark.sql.types.LongType)))
+    val smDelta = BikesPipeline.ordrSmFct(items, orders, smExisting,
+      asOfD)
+    vs("dw_ordr_sm_fct") = wh.casOverwrite(
+      smPrior.map(_.unionByName(smDelta)).getOrElse(smDelta),
+      "dw_ordr_sm_fct", retries)
+
+    val dtlPrior = prior("dw_ordr_dtl_fct")
+    val dtlExisting = dtlPrior.map(_.select("Ordr_ID", "Prdct_ID"))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("Ordr_ID", org.apache.spark.sql.types.LongType)
+          .add("Prdct_ID", org.apache.spark.sql.types.StringType)))
+    val dtlDelta = BikesPipeline.ordrDtlFct(items, orders, dtlExisting,
+      asOfD)
+    vs("dw_ordr_dtl_fct") = wh.casOverwrite(
+      dtlPrior.map(_.unionByName(dtlDelta)).getOrElse(dtlDelta),
+      "dw_ordr_dtl_fct", retries)
+
+    vs("dw_cust_dim") = wh.casOverwrite(
+      BikesPipeline.custDim(ods("ods_customer"), asOfD),
+      "dw_cust_dim", retries)
+    vs("dw_str_dim") = wh.casOverwrite(
+      BikesPipeline.strDim(ods("ods_store"), ods("ods_address"), asOfD),
+      "dw_str_dim", retries)
+    vs("dw_prdct_dim") = wh.casOverwrite(
+      BikesPipeline.prdctDim(ods("ods_product_hist"),
+        ods("ods_product_category"), ods("ods_product_detail"),
+        ods("ods_business_partner"), ods("ods_address"), asOfD),
+      "dw_prdct_dim", retries)
+    vs("dw_act_perd_dim") = wh.casOverwrite(
+      BikesPipeline.actPerdDim(spark, "2018-01-01", "2020-12-31", asOf),
+      "dw_act_perd_dim", retries)
+
+    // ---- the reference's line-202 `commit`: ONE pin set -----------
+    beforeCommit()
+    (wh.catCommit(vs.toSeq, retries), vs.toMap)
+  }
 }

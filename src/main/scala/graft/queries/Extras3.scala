@@ -1174,12 +1174,21 @@ object Extras3 {
     * (which pins rounds=6 ≡ rounds=5: the fixpoint).
     */
   private[graft] def kcoreAlive(s: SparkSession, dir: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, earlyExit: Boolean = true): DataFrame = {
     val ed = graphEdges(s, dir)
     var alive = ed.select(col("a").as("v"))
       .union(ed.select(col("b").as("v"))).distinct()
     var lastCut: Option[DataFrame] = None
-    for (_ <- 1 to rounds) {
+    // convergence early-exit on the count the loop ALREADY pays: the
+    // peel is monotone (next ⊆ alive — kept edges only join alive
+    // endpoints, and f is monotone in the alive set), so an UNCHANGED
+    // count proves set equality = the fixpoint, and every remaining
+    // round would reproduce it verbatim (spec-pinned: early-exit ≡
+    // full unroll). `rounds` stays as the hard cap.
+    var prevCount = -1L
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val kept = ed
         .join(alive.select(col("v").as("a")), Seq("a"))
         .join(alive.select(col("v").as("b")), Seq("b"))
@@ -1188,10 +1197,13 @@ object Extras3 {
         .groupBy("v").agg(count(lit(1)).as("d"))
         .filter(col("d") >= 3).select("v")
       val cut = s.createDataFrame(next.rdd, next.schema).persist()
-      cut.count() // eager: materialize before the previous cut drops
+      val n = cut.count() // eager: materialize before the prev drops
       lastCut.foreach(_.unpersist(false))
       lastCut = Some(cut)
       alive = cut
+      converged = earlyExit && n == prevCount
+      prevCount = n
+      r += 1
     }
     val fin = ed
       .join(alive.select(col("v").as("a")), Seq("a"))
@@ -1343,7 +1355,7 @@ object Extras3 {
     * (which pins frontier monotonicity and the hand-checked ball).
     */
   private[graft] def bfsHops(s: SparkSession, dir: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, earlyExit: Boolean = true): DataFrame = {
     val ed = graphEdges(s, dir)
     val adj = ed.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(ed.select(col("b").as("src"), col("a").as("dst")))
@@ -1351,17 +1363,31 @@ object Extras3 {
       .filter(col("doc_id") === 0)
       .select(col("doc_id").as("node"), lit(0L).as("hop"))
     var lastCut: Option[DataFrame] = None
-    for (_ <- 1 to rounds) {
+    // convergence early-exit on the count the loop ALREADY pays: with
+    // unit weights a node's hop is FINAL the round it first appears
+    // (BFS layers — its minimizing neighbor appeared one round
+    // earlier), so the reached SET is the only thing that grows; an
+    // unchanged count means no new nodes, hence no new frontier, and
+    // every remaining round reproduces the table verbatim
+    // (spec-pinned: early-exit ≡ full unroll). `rounds` caps the
+    // radius as before.
+    var prevCount = -1L
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
       val relaxed = adj
         .join(dist, adj("src") === dist("node"))
         .select(col("dst").as("node"), (col("hop") + 1L).as("hop"))
       val next = dist.unionAll(relaxed)
         .groupBy("node").agg(min("hop").as("hop"))
       val cut = s.createDataFrame(next.rdd, next.schema).persist()
-      cut.count() // eager: materialize before the previous cut drops
+      val n = cut.count() // eager: materialize before the prev drops
       lastCut.foreach(_.unpersist(false))
       lastCut = Some(cut)
       dist = cut
+      converged = earlyExit && n == prevCount
+      prevCount = n
+      r += 1
     }
     val out = dist.select(col("node"), col("hop"))
     lastCut.foreach(_.unpersist(false))

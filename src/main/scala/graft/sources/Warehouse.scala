@@ -1614,6 +1614,36 @@ final case class Warehouse(root: String) {
     false
   }
 
+  /** The table version at which a committed (stream, batchId) pair is
+    * guaranteed visible: the ADDB commit that landed it, or — when
+    * the batch is older than the last checkpoint — the checkpoint
+    * whose TXN summary covers it (its snapshot already contains the
+    * batch's rows, folded or compacted). None if the batch was never
+    * committed. This is what a CATALOG transaction pins after a
+    * dedup'd replay ([[graft.streaming.StreamingEtl.catTxnBatch]]):
+    * pinning the RAW head instead would publish a CONCURRENT writer's
+    * not-yet-pinned appends along with our own.
+    */
+  def casBatchVersion(table: String, stream: String,
+      batchId: Long): Option[Int] = {
+    var n = casHead(table)
+    while (n >= 1) {
+      val ls = readLines(casCommitFile(table, n))
+      if (ls.exists(_.startsWith(s"ADDB $stream $batchId ")))
+        return Some(n)
+      if (ls.exists { l =>
+        l.startsWith(s"TXN $stream ") &&
+          l.split(" ", 3)(2).toLong >= batchId
+      }) return Some(n)
+      // same legacy discipline as [[casCommittedBatchBelow]]: only a
+      // TXN-carrying checkpoint summarizes all older history
+      if (ls.contains("CKPT") && ls.exists(_.startsWith("TXN ")))
+        return None
+      n -= 1
+    }
+    None
+  }
+
   /** EXACTLY-ONCE batch commit — the idempotent-sink half of
     * Structured Streaming's end-to-end guarantee: the commit line
     * carries the (stream, batchId) pair, so a REPLAYED batch (the
@@ -1704,18 +1734,44 @@ final case class Warehouse(root: String) {
     // table version pinned by [[catCommit]] must stay readable
     // through [[catRead]] even after per-table truncation, so the
     // catalog's resolved paths count as references too.
-    val commits = Option(casLogDir(table).listFiles())
-      .getOrElse(Array()).toSeq
-      .filter(_.getName.endsWith(".commit"))
-    val referenced = (commits.flatMap(readLines).filterNot(casIsMeta)
-      .map(casCmdPath) ++ catReferencedPaths(table))
-      .map(p => new File(p).getName).toSet
-    val cutoff = System.currentTimeMillis() - minAgeMs
-    val dataDir = new File(dir(table + "__data"))
-    Option(dataDir.listFiles()).getOrElse(Array()).toSeq
-      .filter(d => d.isDirectory && !referenced(d.getName) &&
-        d.lastModified() < cutoff)
-      .map { d => delete(d); d.getPath }
+    //
+    // RACE GUARD against a concurrent [[casTruncate]]: the list-then-
+    // read is not atomic — a commit file listed here can be retired
+    // (deleted) before its readLines, which would silently DROP its
+    // lines from the reference set, and the truncation's fresh
+    // checkpoint (written after our listing) would not be in the
+    // listing either: live directories could be swept. A commit file
+    // is never empty by construction ([[tryCommitIn]] always writes
+    // at least one line), so empty-read + vanished-file is definitive
+    // evidence of the race — re-list and recompute; the new listing
+    // contains the truncation's checkpoint, whose lines carry every
+    // surviving reference.
+    var attempt = 0
+    while (attempt < 8) {
+      val commits = Option(casLogDir(table).listFiles())
+        .getOrElse(Array()).toSeq
+        .filter(_.getName.endsWith(".commit"))
+      var vanished = false
+      val lines = commits.flatMap { f =>
+        val ls = readLines(f)
+        if (ls.isEmpty && !f.exists()) { vanished = true; Nil } else ls
+      }
+      if (!vanished) {
+        val referenced = (lines.filterNot(casIsMeta)
+          .map(casCmdPath) ++ catReferencedPaths(table))
+          .map(p => new File(p).getName).toSet
+        val cutoff = System.currentTimeMillis() - minAgeMs
+        val dataDir = new File(dir(table + "__data"))
+        return Option(dataDir.listFiles()).getOrElse(Array()).toSeq
+          .filter(d => d.isDirectory && !referenced(d.getName) &&
+            d.lastModified() < cutoff)
+          .map { d => delete(d); d.getPath }
+      }
+      attempt += 1
+    }
+    sys.error(s"casVacuum($table): commit files kept vanishing " +
+      "mid-scan (concurrent casTruncate churn) across 8 attempts — " +
+      "refusing to compute a reference set from torn listings")
   }
 
   /** LOG RETENTION — delete commit files the current snapshot no
@@ -1736,10 +1792,22 @@ final case class Warehouse(root: String) {
     val ck = casCheckpoint(table, retries)
     // a pinned snapshot at v replays [stopOf(v), v] — keep every
     // commit any pin's window still needs
-    val floor = catPinnedVersions(table) match {
+    def floorNow(): Int = catPinnedVersions(table) match {
       case vs if vs.isEmpty => ck
       case vs => math.min(ck, vs.map(casWindowStart(table, _)).min)
     }
+    val selected = floorNow()
+    // TOCTOU narrowing against a concurrent [[catCommit]]: its pin
+    // validation can pass BEFORE our first consult saw the pin, with
+    // the pin publishing only after — re-read the pin set immediately
+    // before deleting and honor any newly-published window. The
+    // residual window is the re-read-to-delete gap; [[catCommit]]'s
+    // own post-publish re-validation (the other half of the
+    // handshake) turns anything that still slips through into a LOUD
+    // error at the committer, and dead pins are excluded from every
+    // later consult ([[catPinnedVersions]]), so retention and vacuum
+    // stay healthy regardless.
+    val floor = math.min(selected, floorNow())
     val deleted = (1 until floor).map(casCommitFile(table, _))
       .filter(_.exists())
     deleted.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
@@ -1812,11 +1880,84 @@ final case class Warehouse(root: String) {
     while (attempt < retries) {
       val n = catHead + 1
       beforeCommit()
-      if (tryCommitIn(catLogDir, n, lines)) return n
+      if (tryCommitIn(catLogDir, n, lines)) {
+        // post-publish RE-validation — the other half of the
+        // [[casTruncate]] TOCTOU handshake: a truncation that read
+        // the pin set between our fail-fast check above and the CAS
+        // win may have retired a pinned window. The commit file is
+        // already published (unpublishing would tear the contiguous
+        // catalog log), so the failure mode is made LOUD at the
+        // committer: the caller knows its transaction's snapshot is
+        // unreadable and must re-run against current heads. Every
+        // later consult excludes the dead pin
+        // ([[catPinnedVersions]]), so nothing downstream wedges.
+        writes.foreach { case (t, v) =>
+          if (!casWindowReadable(t, v))
+            sys.error(s"catCommit: pin $t@$v published at catalog " +
+              s"version $n but its replay window was concurrently " +
+              "truncated — the pinned snapshot is unreadable; re-run " +
+              "the transaction against current table heads")
+        }
+        return n
+      }
       attempt += 1
     }
     throw new CommitConflict(
       s"catCommit(${writes.map(_._1).mkString(",")}): lost $retries races")
+  }
+
+  /** MONOTONE cross-table pin advance — [[catCommit]] for CONCURRENT
+    * transaction writers of the SAME tables: each table's published
+    * pin is max(requested, currently pinned), recomputed against the
+    * catalog snapshot INSIDE every CAS attempt. The CAS gives this
+    * linearizability: an attempt at catalog version n reads the
+    * snapshot at n-1, and winning n proves no other commit landed
+    * between the read and the win — so a concurrent writer's
+    * already-pinned versions are always incorporated and pins can
+    * never regress, the interleave raw [[catCommit]] cannot rule out
+    * (two writers reading stale snapshots publish each other's
+    * detail without its rollup; see
+    * [[graft.streaming.StreamingEtl.catTxnBatch]]). Requested
+    * versions are validated like [[catCommit]]'s; the snapshot side
+    * needs no validation (whatever pinned it already validated).
+    */
+  def catCommitMax(writes: Seq[(String, Int)], retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): Int = {
+    require(writes.nonEmpty, "catCommitMax: empty transaction")
+    require(writes.map(_._1).distinct.size == writes.size,
+      s"catCommitMax: duplicate table in ${writes.map(_._1)}")
+    writes.foreach { case (t, v) =>
+      require(v >= 1 && v <= casHead(t),
+        s"catCommitMax: $t@$v is not a committed version " +
+          s"(head ${casHead(t)})")
+      casActiveCmdsAt(t, v)
+      ()
+    }
+    var attempt = 0
+    while (attempt < retries) {
+      val head = catHead
+      val snap = catSnapshot(head)
+      val merged = writes.map { case (t, v) =>
+        (t, math.max(v, snap.getOrElse(t, 0)))
+      }
+      beforeCommit()
+      if (tryCommitIn(catLogDir, head + 1,
+        merged.map { case (t, v) => s"PIN $t $v" })) {
+        merged.foreach { case (t, v) =>
+          if (!casWindowReadable(t, v))
+            sys.error(s"catCommitMax: pin $t@$v published at catalog " +
+              s"version ${head + 1} but its replay window was " +
+              "concurrently truncated — the pinned snapshot is " +
+              "unreadable; re-run the transaction against current " +
+              "table heads")
+        }
+        return head + 1
+      }
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"catCommitMax(${writes.map(_._1).mkString(",")}): " +
+        s"lost $retries races")
   }
 
   /** The convenience transaction writer: CAS-append every table's
@@ -1922,7 +2063,17 @@ final case class Warehouse(root: String) {
     * referenced. Returns the number of commit files deleted.
     */
   def catTruncate(retries: Int = 8): Int = {
-    val ck = catCheckpoint(retries)
+    // the truncation checkpoint's HISTORY summary is the PIN MAP
+    // ALONE: every catalog snapshot below it is about to become
+    // unreadable, so the pins only those snapshots held stop
+    // protecting data THE MOMENT this commit publishes — carrying
+    // them forward as HPIN lines would make dead history immortal.
+    // (A crash between this commit and the deletes below leaves the
+    // dead-declared snapshots temporarily readable; their windows
+    // are already fair game for per-table retention, and reads of a
+    // reclaimed window fail loudly — re-run catTruncate to finish.)
+    val ck = catCheckpointWith(snap =>
+      snap.map { case (t, v) => t -> Set(v) }, retries)
     val deleted = (1 until ck)
       .map(n => new File(catLogDir, f"$n%09d.commit"))
       .filter(_.exists())
@@ -1933,24 +2084,105 @@ final case class Warehouse(root: String) {
   /** CATALOG CHECKPOINT — fold the resolved pin map into ONE commit
     * (`CCKPT` marker + a PIN line per table), so [[catSnapshot]]'s
     * backward scan stops here: resolution cost becomes O(commits
-    * since checkpoint) instead of O(catalog length). Metadata-only
-    * (pins are tiny), published through the same CAS as every
-    * catalog commit — a concurrent transaction between the snapshot
-    * read and the CAS forces a retry, so a checkpoint can never
-    * swallow a pin it did not include. The [[casCheckpoint]]
-    * discipline at the catalog tier.
+    * since checkpoint) instead of O(catalog length). The commit also
+    * carries the HISTORICAL pin summary (`HSUM` marker + an HPIN
+    * line per (table, version) any LIVE catalog commit pins), so the
+    * retention/vacuum consult ([[catPinnedVersions]]) gets the same
+    * O(since-checkpoint) bound as resolution — the exact treatment
+    * [[casTxnState]] gave batch dedup one tier down. Dead pins
+    * (windows a truncation already retired) are dropped at fold
+    * time: they protect nothing and must not ride forward forever.
+    * Metadata-only (pins are tiny), published through the same CAS
+    * as every catalog commit — a concurrent transaction between the
+    * snapshot read and the CAS forces a retry, so a checkpoint can
+    * never swallow a pin it did not include.
     */
-  def catCheckpoint(retries: Int = 8): Int = {
+  def catCheckpoint(retries: Int = 8): Int =
+    catCheckpointWith(snap => {
+      val hist = scala.collection.mutable.Map.empty[String, Set[Int]]
+      catAllPins().foreach { case (t, v) =>
+        if (casWindowReadable(t, v))
+          hist(t) = hist.getOrElse(t, Set.empty) + v
+      }
+      snap.foreach { case (t, v) =>
+        hist(t) = hist.getOrElse(t, Set.empty) + v
+      }
+      hist.toMap
+    }, retries)
+
+  // the shared checkpoint writer: `histOf` maps the resolved pin map
+  // to the (table -> pinned versions) summary the HPIN lines carry —
+  // full live history for an ordinary checkpoint, the pin map alone
+  // for a truncation (see both call sites). Recomputed per CAS
+  // attempt so a lost race can never fold a stale view.
+  private def catCheckpointWith(
+      histOf: Map[String, Int] => Map[String, Set[Int]],
+      retries: Int): Int = {
     var attempt = 0
     while (attempt < retries) {
       val head = catHead
-      val snap = catSnapshot(head).toSeq.sortBy(_._1)
+      val snap = catSnapshot(head)
+      val pins = snap.toSeq.sortBy(_._1)
         .map { case (t, v) => s"PIN $t $v" }
-      if (tryCommitIn(catLogDir, head + 1, "CCKPT" +: snap))
+      val hpins = histOf(snap).toSeq.sortBy(_._1).flatMap {
+        case (t, vs) => vs.toSeq.sorted.map(v => s"HPIN $t $v")
+      }
+      if (tryCommitIn(catLogDir, head + 1,
+        Seq("CCKPT", "HSUM") ++ pins ++ hpins))
         return head + 1
       attempt += 1
     }
     throw new CommitConflict(s"catCheckpoint: lost $retries CAS races")
+  }
+
+  /** Every (table, version) pin any LIVE catalog commit carries —
+    * the backward scan behind [[catPinnedVersions]], bounded at the
+    * first `HSUM`-carrying checkpoint (whose HPIN lines summarize
+    * everything below, complete by induction: its own fold used this
+    * scan). A LEGACY checkpoint (pre-HSUM) summarizes only the
+    * resolved map, so the scan continues past it — the same
+    * trust-the-summary-only-when-it-exists discipline as
+    * [[casTxnState]]. A MISSING commit below head means a
+    * [[catTruncate]] retired it: everything below is dead history
+    * whose pins protect nothing — stop.
+    */
+  private def catAllPins(): Seq[(String, Int)] = {
+    val acc = scala.collection.mutable.LinkedHashSet.empty[(String, Int)]
+    var n = catHead
+    var atStop = false
+    while (n >= 1 && !atStop) {
+      val f = new File(catLogDir, f"$n%09d.commit")
+      if (!f.exists()) atStop = true
+      else {
+        val ls = readLines(f)
+        ls.foreach { l =>
+          if (l.startsWith("PIN ") || l.startsWith("HPIN ")) {
+            val p = l.split(" ", 3)
+            acc += ((p(1), p(2).toInt))
+          }
+        }
+        if (ls.contains("CCKPT") && ls.contains("HSUM")) atStop = true
+      }
+      n -= 1
+    }
+    acc.toSeq
+  }
+
+  /** Whether version `v`'s replay window is still fully present in
+    * `table`'s log — false once a [[casTruncate]] retired any commit
+    * the backward replay of `v` needs. The liveness test behind
+    * dead-pin exclusion and [[catCommit]]'s post-publish check.
+    */
+  private def casWindowReadable(table: String, v: Int): Boolean = {
+    var n = v
+    while (n >= 1) {
+      val f = casCommitFile(table, n)
+      if (!f.exists()) return false
+      if (readLines(f).exists(l => casIsReplace(l) || l == "CKPT"))
+        return true
+      n -= 1
+    }
+    true
   }
 
   /** Catalog read: `table` AT its catalog-pinned version — the
@@ -1968,16 +2200,23 @@ final case class Warehouse(root: String) {
         s"catRead($table): not pinned by any catalog commit")
     }
 
-  /** Every version of `table` ANY catalog commit ever pinned —
-    * historical catalog snapshots stay readable, so every pin's
-    * replay window stays protected ([[casTruncate]] clamp,
-    * [[casVacuum]] references).
+  /** Every LIVE pinned version of `table` — versions some readable
+    * catalog snapshot still resolves, so their replay windows stay
+    * protected ([[casTruncate]] clamp, [[casVacuum]] references).
+    * O(catalog commits since the last checkpoint): the backward scan
+    * stops at the first HSUM checkpoint ([[catAllPins]]) instead of
+    * reading `1 to catHead` — the consult [[casMaybeVacuum]] pays
+    * every 16th commit must not grow with catalog age. DEAD pins
+    * (replay window already retired — the poison a catCommit/
+    * casTruncate TOCTOU can leave) are EXCLUDED: a dead pin's
+    * snapshot is unreadable for every reader (loud [[casReadAt]]
+    * error), so it protects nothing, and excluding it here is what
+    * keeps retention and vacuum healthy instead of permanently
+    * wedged on the first poison pin.
     */
   def catPinnedVersions(table: String): Seq[Int] =
-    (1 to catHead).flatMap(n =>
-      readLines(new File(catLogDir, f"$n%09d.commit"))
-        .filter(_.startsWith(s"PIN $table "))
-        .map(_.split(" ", 3)(2).toInt)).distinct
+    catAllPins().collect { case (t, v) if t == table => v }
+      .distinct.filter(casWindowReadable(table, _))
 
   /** The data directories catalog pins of `table` resolve to — the
     * second root of the [[casVacuum]] reference set: per-table

@@ -396,17 +396,48 @@ object StreamingEtl {
     * batch writers of the same tables stay safe, and direct casRead
     * readers see appends early (documented catalog-vs-direct
     * visibility split).
+    *
+    * The pin is each table's version FOR THIS BATCH (the append's
+    * returned version; after a dedup'd replay, the version the
+    * earlier landing is visible at —
+    * [[graft.sources.Warehouse.casBatchVersion]]), NOT the raw
+    * casHead: pinning the head would publish a CONCURRENT writer's
+    * detail append before that writer's rollup lands — exactly the
+    * detail-without-rollup state the pin exists to prevent. The
+    * catalog commit goes through
+    * [[graft.sources.Warehouse.catCommitMax]], which merges
+    * max(own version, currently pinned) inside the CAS loop, so two
+    * concurrent batch writers of the same table pair can never
+    * regress each other's pins whatever the interleave.
+    *
+    * Exact concurrency contract (stated, not hand-waved): THIS
+    * writer's batch is never observable half-landed, and no
+    * interleave loses or regresses a pin. What concurrent writers of
+    * the SAME pair do NOT get is pair-atomicity of each other's
+    * in-flight batches: if writer B's detail version sorts below
+    * writer A's, A's pin necessarily publishes B's detail rows
+    * (version pins are prefixes) before B's own rollup pin lands —
+    * transient, healed by B's commit, and inherent to per-table
+    * version pins without cross-writer coordination. Single-writer
+    * deployments (the streaming norm: one query owns one sink pair)
+    * see strict pair-atomicity.
     */
   def catTxnBatch(wh: graft.sources.Warehouse, batch: DataFrame,
       batchId: Long, detailTable: String, rollupTable: String,
-      stream: String): Unit = {
+      stream: String,
+      beforeRollup: () => Unit = () => ()): Unit = {
     val detail = batch.groupBy("source", "lang")
       .agg(count(lit(1)).as("n"))
     val rollup = detail.groupBy("source").agg(sum("n").as("src_n"))
-    wh.casAppendBatch(detail, detailTable, stream, batchId)
-    wh.casAppendBatch(rollup, rollupTable, stream, batchId)
-    wh.catCommit(Seq(detailTable -> wh.casHead(detailTable),
-      rollupTable -> wh.casHead(rollupTable)))
+    def land(df: DataFrame, table: String): Int =
+      wh.casAppendBatch(df, table, stream, batchId)
+        .orElse(wh.casBatchVersion(table, stream, batchId))
+        .getOrElse(sys.error(s"catTxnBatch($table, $stream, " +
+          s"$batchId): batch neither landed nor found committed"))
+    val dv = land(detail, detailTable)
+    beforeRollup() // test seam: the crash window between the appends
+    val rv = land(rollup, rollupTable)
+    wh.catCommitMax(Seq(detailTable -> dv, rollupTable -> rv))
     ()
   }
 
@@ -418,13 +449,15 @@ object StreamingEtl {
     */
   def catTxnSink(src: DataFrame, wh: graft.sources.Warehouse,
       detailTable: String, rollupTable: String, stream: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      beforeRollup: () => Unit = () => ()): StreamingQuery =
     src.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        catTxnBatch(wh, batch, batchId, detailTable, rollupTable, stream)
+        catTxnBatch(wh, batch, batchId, detailTable, rollupTable,
+          stream, beforeRollup)
       }
       .start()
 
