@@ -376,6 +376,26 @@ class Round16Spec extends SparkSpec {
     assert(wh.catRead(spark, "ods_product_hist").count() == 3)
   }
 
+  test("runDailyCat ≡ runDaily: the catalog-transactional refresh " +
+    "produces ROW-IDENTICAL tables to the single-writer form over " +
+    "the same two-day input sequence — the transaction changes " +
+    "visibility, never content") {
+    val whA = tmpWh()
+    val whB = tmpWh()
+    Seq(("Medendorp@@", 100L, false, "2024-06-15"),
+      ("Smith", 120L, true, "2024-06-16")).foreach {
+      case (nm, px, extra, day) =>
+        graft.etl.Pipeline.runDaily(spark, whA, bikes(nm, px, extra), day)
+        graft.etl.Pipeline.runDailyCat(spark, whB, bikes(nm, px, extra),
+          day)
+        ()
+    }
+    graft.etl.Pipeline.allTables.foreach { t =>
+      assert(rows(whA.read(spark, t)) == rows(whB.catRead(spark, t)),
+        s"$t diverged between the single-writer and catalog forms")
+    }
+  }
+
   test("runDailyCat: a failing constraint gate leaves the CATALOG " +
     "untouched — readers keep the previous complete warehouse, " +
     "staged REPLACEs stay unpinned dead versions") {
