@@ -365,5 +365,76 @@ object Extras5 {
       .crossJoin(wh.read(s, "ck_evidence"))
   }
 
-  val all: Seq[Q] = Seq(q291, q292, q293)
+  /** CROSS-VERSION CDC THROUGH CATALOG PINS — "what changed between
+    * yesterday's published warehouse and today's": two catalog
+    * transactions publish successive full states of a customer
+    * table (day 2 = day 1 with every 4th segment re-labelled, +100
+    * balance on even keys, every 9th customer erased, a new key for
+    * every 25th), and the change feed is
+    * [[graft.ops.Cdc.snapshotDiff]] over `catRead(asOf=2)` vs
+    * `catRead(asOf=1)` — the log-shipping producer (q226/q260's
+    * operator) re-based onto catalog TIME TRAVEL, so the diff is
+    * between two PUBLISHED consistent snapshots, never a half-landed
+    * state (the pin is what makes "yesterday" well-defined under
+    * concurrent writers). Reported at change_type grain with key
+    * sums; the oracle derives the same feed arithmetically from the
+    * raw corpus — a mis-pinned version, phantom delete, or missed
+    * update moves a count or key sum and hash-fails.
+    *
+    * 100 TB shape: both sides resolve to pinned version replays
+    * (driver metadata), the diff is ONE full-outer join on the key —
+    * the O(|A|+|B|) shuffle any snapshot diff pays — and the output
+    * is change-grain; nothing is re-copied.
+    */
+  val q294 = Q("q294_catalog_snapshot_cdc",
+    """WITH v1 AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    round(c_acctbal, 2) AS bal FROM customer),
+      |v2 AS (
+      |  SELECT k,
+      |    CASE WHEN k % 4 = 0 THEN 'CHANGED' ELSE seg END AS seg,
+      |    round(bal + CASE WHEN k % 2 = 0 THEN 100 ELSE 0 END, 2) AS bal
+      |  FROM v1 WHERE k % 9 <> 0
+      |  UNION ALL
+      |  SELECT k + 1000000, 'NEWSEG', 1.0 FROM v1 WHERE k % 25 = 0),
+      |diff AS (
+      |  SELECT coalesce(a.k, b.k) AS k,
+      |    CASE WHEN b.k IS NULL THEN 'insert'
+      |         WHEN a.k IS NULL THEN 'delete'
+      |         WHEN a.seg IS DISTINCT FROM b.seg
+      |           OR a.bal IS DISTINCT FROM b.bal THEN 'update'
+      |         ELSE 'unchanged' END AS change_type
+      |  FROM v2 a FULL OUTER JOIN v1 b ON a.k = b.k)
+      |SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(k) AS BIGINT) AS key_sum
+      |FROM diff GROUP BY change_type""".stripMargin) { (s, dir) =>
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"catcdc_${SessionScratch.keyOf(dir)}"))
+    val key = s"cat_cdc_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val v1 = t(s, dir, "customer").select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal"), 2).as("bal"))
+      val v2 = v1.filter(col("k") % 9 =!= 0).select(
+        col("k"),
+        when(col("k") % 4 === 0, "CHANGED").otherwise(col("seg"))
+          .as("seg"),
+        round(col("bal") +
+          when(col("k") % 2 === 0, 100.0).otherwise(0.0), 2).as("bal"))
+        .unionByName(v1.filter(col("k") % 25 === 0).select(
+          (col("k") + 1000000L).as("k"), lit("NEWSEG").as("seg"),
+          lit(1.0).as("bal")))
+      wh.catOverwriteAll(Seq("cdc_t" -> v1))
+      wh.catOverwriteAll(Seq("cdc_t" -> v2))
+      ()
+    }
+    graft.ops.Cdc.snapshotDiff(
+      wh.catRead(s, "cdc_t", asOf = 2),
+      wh.catRead(s, "cdc_t", asOf = 1), "k", Seq("seg", "bal"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").cast("long").as("key_sum"))
+  }
+
+  val all: Seq[Q] = Seq(q291, q292, q293, q294)
 }

@@ -49,6 +49,40 @@ class Round16Spec extends SparkSpec {
       Set(10L, 20L))
   }
 
+  test("catCommitMax under 8 REAL threads: every transaction lands, " +
+    "the final catalog pins are the per-table maxima, and both " +
+    "tables resolve complete — monotone advance under true " +
+    "parallelism, not just seam-injected interleaves") {
+    import spark.implicits._
+    val wh = tmpWh()
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        try {
+          val dv = wh.casAppend(Seq(i.toLong).toDF("k"), "cc_d",
+            retries = 64)
+          val rv = wh.casAppend(Seq(i * 10L).toDF("k"), "cc_r",
+            retries = 64)
+          wh.catCommitMax(Seq("cc_d" -> dv, "cc_r" -> rv), retries = 64)
+          ()
+        } catch { case t: Throwable => err.compareAndSet(null, t); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(err.get() == null, s"a writer died: ${err.get()}")
+    assert(wh.catHead == 8, "every transaction published")
+    // the writer of version 8's pin landed SOMEWHERE in the chain;
+    // every later merge carries it forward — the final snapshot must
+    // be the maxima whatever the thread schedule
+    assert(wh.catSnapshot() == Map("cc_d" -> 8, "cc_r" -> 8),
+      s"pins must converge to the maxima: ${wh.catSnapshot()}")
+    assert(wh.catRead(spark, "cc_d").as[Long].collect().toSet ==
+      (1L to 8L).toSet)
+    assert(wh.catRead(spark, "cc_r").as[Long].collect().toSet ==
+      (1L to 8L).map(_ * 10L).toSet)
+  }
+
   test("catTxnBatch pins its OWN landed version, not the raw head: a " +
     "concurrent writer's detail landing between our appends and our " +
     "pin stays invisible through the catalog until that writer pins") {
@@ -163,6 +197,28 @@ class Round16Spec extends SparkSpec {
   private def commitHasHsum(wh: Warehouse, n: Int): Boolean = {
     val src = scala.io.Source.fromFile(catFile(wh, n))
     try src.getLines().contains("HSUM") finally src.close()
+  }
+
+  test("legacy (pre-HSUM) catalog checkpoints do NOT stop the pin " +
+    "scan: history below them still lives in raw commits, and " +
+    "trusting a summary that was never written would lose those " +
+    "pins' protection") {
+    import spark.implicits._
+    val wh = tmpWh()
+    val v1 = wh.casAppend(Seq(1L).toDF("k"), "t")
+    val v2 = wh.casAppend(Seq(2L).toDF("k"), "t")
+    wh.catCommit(Seq("t" -> v1))
+    // a LEGACY checkpoint: folded map only (latest pin), no HSUM, no
+    // HPIN — written by hand the way the pre-upgrade code wrote it
+    val f = catFile(wh, 2)
+    java.nio.file.Files.write(f.toPath,
+      s"CCKPT\nPIN t $v2\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    assert(wh.catPinnedVersions("t").toSet == Set(v1, v2),
+      "the t@1 pin below the legacy checkpoint must stay protected: " +
+        s"${wh.catPinnedVersions("t")}")
+    // and retention honors it: nothing below t@1's window goes
+    assert(wh.casTruncate("t") == 0)
   }
 
   test("catTruncate's checkpoint carries the PIN MAP alone as its " +
