@@ -436,5 +436,178 @@ object Extras5 {
         sum("k").cast("long").as("key_sum"))
   }
 
-  val all: Seq[Q] = Seq(q291, q292, q293, q294)
+  /** GDPR COPY-ON-WRITE DELETE with commit-grain file skipping — the
+    * right-to-be-forgotten pass a training-data warehouse runs on an
+    * opt-out list ([[graft.sources.Warehouse.casDeleteWhere]]):
+    * documents land as four stats-carrying waves (doc_id quartile
+    * ranges, commit extents recorded at append time), the forget-set
+    * is every doc_id divisible by 37 inside the SECOND quartile, and
+    * the delete rewrites EXACTLY ONE commit — the other three are
+    * retained by reference (directories never opened, stats riding
+    * into the delete commit so later range reads keep skipping;
+    * RowDeleteSpec pins the path-identity evidence). The oracle
+    * re-derives the surviving corpus and the forget count
+    * arithmetically; the rewritten/retained counts are structural
+    * constants of the quartile construction.
+    *
+    * 100 TB shape: cost is O(one wave's data) + one tiny commit file
+    * — the forget-set that touches 3 of 10,000 waves rewrites 3;
+    * physical removal (not a view-level filter), which is what the
+    * compliance deadline needs. (q269 is this pass at single-writer
+    * whole-table grain — rebuild both tables minus the erased set;
+    * this one is the multi-writer form that does NOT rewrite the
+    * untouched 9,997 waves.)
+    */
+  val q295 = Q("q295_gdpr_delete",
+    """WITH q AS (
+      |  SELECT CAST(floor((max(doc_id) + 1) / 4) AS BIGINT) AS qs
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id FROM documents, q
+      |  WHERE doc_id % 37 = 0 AND doc_id >= qs AND doc_id < 2 * qs)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+      |  CAST(1 AS BIGINT) AS rewritten,
+      |  CAST(3 AS BIGINT) AS retained,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM f) AS deleted
+      |FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM f)""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"gdprstore_${SessionScratch.keyOf(dir)}"))
+    val key = s"gdpr_del_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id", "n_chars")
+      val maxId = d.agg(max("doc_id")).as[Long].head()
+      val qs = (maxId + 1L) / 4L
+      // four waves at doc_id quartile grain; the last takes the tail
+      Seq((0L, qs), (qs, 2 * qs), (2 * qs, 3 * qs), (3 * qs, maxId + 1))
+        .foreach { case (lo, hi) =>
+          wh.casAppendStats(s,
+            d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            "gdpr_docs", "doc_id")
+        }
+      val forget = d.filter(col("doc_id") % 37 === 0 &&
+        col("doc_id") >= qs && col("doc_id") < 2 * qs)
+        .select("doc_id").as[Long].collect().toSeq
+      val st = wh.casDeleteWhere(s, "gdpr_docs", "doc_id", forget)
+      wh.overwrite(Seq((st.rewrittenCommits.toLong,
+        st.retainedCommits.toLong, st.deletedRows))
+        .toDF("rewritten", "retained", "deleted"), "gdpr_evidence")
+    }
+    wh.casRead(s, "gdpr_docs")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("chars_sum"))
+      .crossJoin(wh.read(s, "gdpr_evidence"))
+  }
+
+  /** MERGE-ON-READ DELETE LIFECYCLE — Iceberg equality-deletes /
+    * Delta deletion vectors on this log
+    * ([[graft.sources.Warehouse.casDeleteMoR]]): the opt-out list
+    * lands as ONE tombstone commit (no data file touched — the
+    * write-cheap half), every reader from that version anti-joins it
+    * out while time travel below still shows the rows (pre/mor
+    * evidence), then [[graft.sources.Warehouse.casCompactDeletes]]
+    * materializes a plain REPLACE and truncate+vacuum physically
+    * erase the waves AND the tombstone — the compliance point. The
+    * retention counters are structural constants of the 7-commit
+    * construction (4 appends + DEL + REPLACE + checkpoint).
+    *
+    * 100 TB shape: the delete itself is O(forget-set) regardless of
+    * table size; readers pay one broadcast anti-join until compaction
+    * folds it in — the deferred-rewrite trade every MoR format makes.
+    * (q223's deleteKeys/readMor is this shape on the single-writer
+    * journal; this one is the multi-writer commit-log form with the
+    * full lifecycle — versioned visibility, compaction, and the
+    * truncate+vacuum erasure point.)
+    */
+  val q296 = Q("q296_mor_delete_lifecycle",
+    """WITH f AS (SELECT doc_id FROM documents WHERE doc_id % 41 = 0),
+      |kept AS (
+      |  SELECT * FROM documents
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM f))
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS pre_n,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS mor_n,
+      |  CAST(6 AS BIGINT) AS removed_commits,
+      |  CAST(5 AS BIGINT) AS swept_dirs,
+      |  CAST(1 AS BIGINT) AS log_files
+      |FROM kept""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"morstore_${SessionScratch.keyOf(dir)}"))
+    val key = s"mor_del_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id", "n_chars")
+      (0 to 3).foreach(w =>
+        wh.casAppend(d.filter(col("doc_id") % 4 === w), "mor_docs"))
+      val preN = wh.casRead(s, "mor_docs").count()
+      wh.casDeleteMoR(s, "mor_docs", "doc_id",
+        d.filter(col("doc_id") % 41 === 0).select("doc_id"))
+      val morN = wh.casRead(s, "mor_docs").count()
+      wh.casCompactDeletes(s, "mor_docs")
+      val removed = wh.casTruncate("mor_docs")
+      val swept = wh.casVacuum("mor_docs", minAgeMs = 0L).size
+      val logFiles = Option(new java.io.File(wh.root, "mor_docs__log")
+        .listFiles()).getOrElse(Array())
+        .count(_.getName.endsWith(".commit"))
+      wh.overwrite(Seq((preN, morN, removed.toLong, swept.toLong,
+        logFiles.toLong)).toDF("pre_n", "mor_n", "removed_commits",
+        "swept_dirs", "log_files"), "mor_evidence")
+    }
+    wh.casRead(s, "mor_docs")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").cast("long").as("id_sum"))
+      .crossJoin(wh.read(s, "mor_evidence"))
+  }
+
+  /** SCHEMA EVOLUTION on the CAS log — Delta's `mergeSchema` write as
+    * a commit-log fact ([[graft.sources.Warehouse.casAppendEvolved]]):
+    * wave 1 lands (doc_id, n_chars), wave 2 ADDS a `quality` column
+    * (ADDE commit), and the snapshot read surfaces the union schema —
+    * old rows NULL on the new column, aggregates counting exactly the
+    * evolved wave — while time travel below the evolution still
+    * serves the narrow schema (v1_n evidence). The oracle restates
+    * the union arithmetically with CASE over wave membership.
+    *
+    * 100 TB shape: evolution is one commit-line flag — no backfill
+    * rewrite of the old petabytes (the entire point of add-column
+    * evolution); the footer-merge read tax drains at the next
+    * materializing REPLACE.
+    */
+  val q297 = Q("q297_schema_evolution",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+      |  CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+      |    AS q_n,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 7 END)
+      |    AS BIGINT) AS q_sum,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE doc_id % 2 = 0) AS v1_n
+      |FROM documents""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"evostore_${SessionScratch.keyOf(dir)}"))
+    val key = s"cas_evo_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id", "n_chars")
+      wh.casAppend(d.filter(col("doc_id") % 2 === 0), "evo_docs")
+      wh.casAppendEvolved(d.filter(col("doc_id") % 2 === 1)
+        .withColumn("quality", col("n_chars") % 7), "evo_docs")
+      val v1n = wh.casReadAt(s, "evo_docs", 1).count()
+      wh.overwrite(Seq(Tuple1(v1n)).toDF("v1_n"), "evo_evidence")
+    }
+    wh.casRead(s, "evo_docs")
+      .agg(count(lit(1)).as("n"),
+        sum("n_chars").cast("long").as("chars_sum"),
+        count(col("quality")).as("q_n"),
+        sum("quality").cast("long").as("q_sum"))
+      .crossJoin(wh.read(s, "evo_evidence"))
+  }
+
+  val all: Seq[Q] = Seq(q291, q292, q293, q294, q295, q296, q297)
 }

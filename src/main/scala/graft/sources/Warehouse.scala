@@ -16,6 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ACID table format (Delta/Iceberg — not in this container) replaces
   * the swap with an atomic commit; callers are unchanged.
   */
+/** Evidence a [[Warehouse.casDeleteWhere]] returns: the committed
+  * version, how many active commits were rewritten vs retained by
+  * reference (the file-skipping proof), and the physical rows
+  * removed. `version` is the pre-delete head when nothing was
+  * affected (no commit published).
+  */
+final case class CasDeleteStats(version: Int, rewrittenCommits: Int,
+    retainedCommits: Int, deletedRows: Long)
+
 final case class Warehouse(root: String) {
 
   private def dir(table: String) = s"$root/$table"
@@ -1427,27 +1436,76 @@ final case class Warehouse(root: String) {
   }
 
   // ADD <path> | ADDS <min|-> <max|-> <path> |
-  // ADDB <stream> <batchId> <path> | REPLACE <path> |
-  // REPLACES <min|-> <max|-> <path>
+  // ADDB <stream> <batchId> <path> | ADDE <path> (schema-evolved) |
+  // REPLACE <path> | REPLACES <min|-> <max|-> <path> |
+  // REPLACEE <min|-> <max|-> <path> (stats-carrying replace whose
+  //   snapshot still spans evolved schemas — [[casDeleteWhere]] on a
+  //   table with active ADDE commits) |
+  // DEL <keyCol> <path> (merge-on-read equality-delete tombstone)
   private def casCmdPath(cmd: String): String =
     if (cmd.startsWith("ADDS ") || cmd.startsWith("ADDB ") ||
-      cmd.startsWith("REPLACES "))
+      cmd.startsWith("REPLACES ") || cmd.startsWith("REPLACEE "))
       cmd.split(" ", 4)(3)
+    else if (cmd.startsWith("DEL "))
+      cmd.split(" ", 3)(2)
     else cmd.split(" ", 2)(1)
 
+  private def casIsDel(cmd: String): Boolean = cmd.startsWith("DEL ")
+
+  // lines whose snapshot may span files of different (compatible)
+  // schemas — the reader must merge footers instead of trusting one
+  private def casIsEvolved(cmd: String): Boolean =
+    cmd.startsWith("ADDE ") || cmd.startsWith("REPLACEE ")
+
   private def casIsReplace(cmd: String): Boolean =
-    cmd.startsWith("REPLACE ") || cmd.startsWith("REPLACES ")
+    cmd.startsWith("REPLACE ") || cmd.startsWith("REPLACES ") ||
+      cmd.startsWith("REPLACEE ")
+
+  /** Resolve a set of active commit lines to a DataFrame — the one
+    * place the line VERBS acquire read semantics, shared by
+    * [[casRead]], [[casReadAt]] (and through it [[catRead]]) and
+    * [[casReadPruned]]:
+    *
+    *  - data lines (ADD/ADDS/ADDB/ADDE/REPLACE/REPLACES) union;
+    *  - any active ADDE line turns on `mergeSchema` — the snapshot
+    *    spans files written under different (compatible) schemas, and
+    *    the default first-footer read would silently drop the evolved
+    *    columns (Delta's schema-evolution read path);
+    *  - DEL lines ([[casDeleteMoR]]) anti-join their tombstone keys
+    *    out, grouped by key column — Iceberg's equality-delete files.
+    *    Tombstones are forget-list grain (bounded, broadcast); a
+    *    delete too large to broadcast belongs on the copy-on-write
+    *    path ([[casDeleteWhere]]) or behind [[casCompactDeletes]].
+    */
+  private def casResolveRead(spark: SparkSession, cmds: Seq[String],
+      ctx: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val (dels, datas) = cmds.partition(casIsDel)
+    require(datas.nonEmpty, s"$ctx: empty snapshot under $root")
+    val reader =
+      if (datas.exists(casIsEvolved))
+        spark.read.option("mergeSchema", "true")
+      else spark.read
+    val base = reader.parquet(datas.map(casCmdPath): _*)
+    dels.groupBy(_.split(" ", 3)(1)).foldLeft(base) {
+      case (df, (keyCol, lines)) =>
+        val tomb = spark.read.parquet(lines.map(casCmdPath): _*)
+          .select(col(keyCol)).distinct()
+        df.join(broadcast(tomb), Seq(keyCol), "left_anti")
+    }
+  }
 
   /** Snapshot read of a CAS-logged table: replay the log from the
     * last REPLACE commit (or the beginning) and union the named ADD
-    * directories. The log read is driver-side at COMMIT grain (one
-    * line per commit — the transaction-log replay every table format
-    * performs); data stays distributed.
+    * directories ([[casResolveRead]] applies delete tombstones and
+    * evolved-schema merging). The log read is driver-side at COMMIT
+    * grain (one line per commit — the transaction-log replay every
+    * table format performs); data stays distributed.
     */
   def casRead(spark: SparkSession, table: String): DataFrame = {
-    val paths = casActiveCmds(table).map(casCmdPath)
-    require(paths.nonEmpty, s"casRead($table): no commits under $root")
-    spark.read.parquet(paths: _*)
+    val cmds = casActiveCmds(table)
+    require(cmds.nonEmpty, s"casRead($table): no commits under $root")
+    casResolveRead(spark, cmds, s"casRead($table)")
   }
 
   /** TIME TRAVEL over the CAS log: the snapshot as of version `v` —
@@ -1459,9 +1517,8 @@ final case class Warehouse(root: String) {
   def casReadAt(spark: SparkSession, table: String, v: Int): DataFrame = {
     require(v >= 1 && v <= casHead(table),
       s"casReadAt($table, $v): version out of range 1..${casHead(table)}")
-    val paths = casActiveCmdsAt(table, v).map(casCmdPath)
-    require(paths.nonEmpty, s"casReadAt($table, $v): empty snapshot")
-    spark.read.parquet(paths: _*)
+    casResolveRead(spark, casActiveCmdsAt(table, v),
+      s"casReadAt($table, $v)")
   }
 
   /** CAS append WITH COMMIT-TIME STATISTICS — [[casAppend]] composed
@@ -1512,11 +1569,15 @@ final case class Warehouse(root: String) {
     */
   def casPrunedCommits(table: String, lo: Long,
       hi: Long): (Seq[String], Int) = {
-    val active = casActiveCmds(table)
+    // DEL tombstones are not data: they carry no extent and are never
+    // candidates for the union read — counts here are DATA lines only
+    val active = casActiveCmds(table).filterNot(casIsDel)
     val kept = active.filter { cmd =>
-      // stats-carrying lines (ADDS, REPLACES) prune; everything else
-      // (plain ADD, stat-less REPLACE, ADDB) is kept conservatively
-      if (!cmd.startsWith("ADDS ") && !cmd.startsWith("REPLACES ")) true
+      // stats-carrying lines (ADDS, REPLACES, REPLACEE) prune;
+      // everything else (plain ADD, stat-less REPLACE, ADDB, ADDE) is
+      // kept conservatively
+      if (!cmd.startsWith("ADDS ") && !cmd.startsWith("REPLACES ") &&
+        !cmd.startsWith("REPLACEE ")) true
       else {
         val p = cmd.split(" ", 4)
         p(1) == "-" || p(2) == "-" ||
@@ -1534,10 +1595,16 @@ final case class Warehouse(root: String) {
   def casReadPruned(spark: SparkSession, table: String, c: String,
       lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    val active = casActiveCmds(table)
     val (paths, _) = casPrunedCommits(table, lo, hi)
+    // re-attach the active DEL lines: a pruned read must not
+    // resurrect tombstoned rows that happen to fall inside [lo, hi]
+    val keptLines = active.filter(l =>
+      casIsDel(l) || paths.contains(casCmdPath(l)))
     val base =
-      if (paths.isEmpty) casRead(spark, table).filter(lit(false))
-      else spark.read.parquet(paths: _*)
+      if (!keptLines.exists(l => !casIsDel(l)))
+        casRead(spark, table).filter(lit(false))
+      else casResolveRead(spark, keptLines, s"casReadPruned($table)")
     base.filter(col(c).cast("long").between(lo, hi))
   }
 
@@ -1570,6 +1637,206 @@ final case class Warehouse(root: String) {
     }
     throw new CommitConflict(
       s"casReplaceStats($table): lost $retries CAS races")
+  }
+
+  // ---- row-level deletes (right-to-be-forgotten) -------------------
+
+  /** COPY-ON-WRITE ROW DELETE with commit-grain skipping — the
+    * GDPR/right-to-be-forgotten pass a training-data warehouse runs
+    * when documents are opted out: physically remove every row whose
+    * key column `c` is in `keys`, rewriting ONLY the commits whose
+    * recorded [min, max] extent can contain a forget key. Commits
+    * provably disjoint from every key are RETAINED BY REFERENCE —
+    * their line rides into the new commit verbatim (stats and all, so
+    * later range reads keep skipping), their directories are never
+    * opened, never copied. This is Delta/Iceberg `DELETE WHERE` with
+    * file skipping, at this log's commit grain.
+    *
+    * The new commit is one multi-line CAS publish: a stats-carrying
+    * REPLACES (or REPLACEE when the snapshot spans evolved schemas)
+    * naming the rewritten remainder, plus the retained lines. The
+    * backward replay stops at it (it contains a replace line), so the
+    * snapshot is exactly retained ∪ rewritten. Retained REPLACES
+    * lines demote to ADDS (same path, same stats — "kept by
+    * reference"); active DEL tombstones ride along verbatim and keep
+    * applying (idempotent on the rewritten part). OCC contract as
+    * everywhere: a lost CAS recomputes against the new head.
+    *
+    * `deletedRows` counts physical rows removed from the rewritten
+    * commits (rows already hidden by a MoR tombstone are still
+    * physical until [[casCompactDeletes]]).
+    *
+    * 100 TB shape: cost is O(rewritten commits' data) + one tiny
+    * commit file — a forget-set that touches 3 of 10,000 waves
+    * rewrites 3. The driver side is O(active commits) string work; no
+    * data ever moves for retained commits. A delete on a table whose
+    * commits carry no stats degrades honestly to a full rewrite
+    * (every line is conservatively "affected"), which is what every
+    * format without file stats pays.
+    */
+  def casDeleteWhere(spark: SparkSession, table: String, c: String,
+      keys: Seq[Long], retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): CasDeleteStats = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(keys.nonEmpty, s"casDeleteWhere($table): empty forget-set")
+    var attempt = 0
+    while (attempt < retries) {
+      val head = casHead(table)
+      val cmds = casActiveCmdsAt(table, head)
+      val (dels, datas) = cmds.partition(casIsDel)
+      val (retained, affected) = datas.partition { cmd =>
+        (cmd.startsWith("ADDS ") || cmd.startsWith("REPLACES ") ||
+          cmd.startsWith("REPLACEE ")) && {
+          val p = cmd.split(" ", 4)
+          p(1) != "-" && p(2) != "-" && {
+            val (mn, mx) = (p(1).toLong, p(2).toLong)
+            keys.forall(k => k < mn || k > mx)
+          }
+        }
+      }
+      if (affected.isEmpty)
+        return CasDeleteStats(head, 0, retained.size, 0L)
+      val hit = casResolveRead(spark, affected,
+        s"casDeleteWhere($table)")
+      val deleted = hit.filter(col(c).isin(keys: _*)).count()
+      val remain = hit.filter(!col(c).isin(keys: _*))
+      val staged = new File(new File(dir(table + "__data")),
+        java.util.UUID.randomUUID().toString)
+      remain.write.mode("errorifexists").parquet(staged.getPath)
+      val r = spark.read.parquet(staged.getPath)
+        .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
+      val (lo, hi) =
+        (if (r.isNullAt(0)) "-" else r.getLong(0).toString,
+          if (r.isNullAt(1)) "-" else r.getLong(1).toString)
+      val verb =
+        if (datas.exists(casIsEvolved)) "REPLACEE" else "REPLACES"
+      // retained replaces demote to adds: one replace line per
+      // commit, and it names the rewrite
+      val keptLines = retained.map { l =>
+        if (l.startsWith("REPLACES ")) "ADDS " + l.stripPrefix("REPLACES ")
+        else if (l.startsWith("REPLACEE ")) "ADDE " +
+          l.split(" ", 4)(3) // evolved replace keeps only its path+flag
+        else l
+      }
+      beforeCommit()
+      if (casTryCommit(table, head + 1,
+        s"$verb $lo $hi ${staged.getPath}" +: (keptLines ++ dels))) {
+        casMaybeVacuum(table, head + 1)
+        return CasDeleteStats(head + 1, affected.size, retained.size,
+          deleted)
+      }
+      delete(staged) // stale loser rewrite, recomputed on retry
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casDeleteWhere($table): lost $retries CAS races")
+  }
+
+  /** MERGE-ON-READ ROW DELETE — Iceberg's equality-delete files: the
+    * forget keys land as a tombstone parquet under staging and ONE
+    * tiny `DEL <keyCol> <path>` commit publishes them; no data file
+    * is touched. Every snapshot reader from this version on
+    * ([[casRead]], [[casReadAt]], [[catRead]] through its pin,
+    * [[casReadPruned]]) anti-joins the tombstone keys out —
+    * [[casResolveRead]] is the single choke point. Time travel BELOW
+    * this version still shows the rows: the delete is a versioned
+    * fact, not an erasure — [[casCompactDeletes]] (or any
+    * replace/truncate+vacuum cycle) is the physical-erasure step a
+    * compliance deadline actually needs.
+    *
+    * 100 TB shape: the delete itself is O(forget-set) — milliseconds
+    * regardless of table size; readers pay one broadcast anti-join
+    * until compaction folds the tombstone in. That deferred-rewrite
+    * trade (write-cheap, read-taxed, compact-later) is exactly
+    * Delta's deletion vectors / Iceberg MoR.
+    */
+  def casDeleteMoR(spark: SparkSession, table: String, keyCol: String,
+      keys: DataFrame, retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): Int = {
+    import org.apache.spark.sql.functions.col
+    val staged = new File(new File(dir(table + "__data")),
+      java.util.UUID.randomUUID().toString)
+    keys.select(col(keyCol)).distinct()
+      .write.mode("errorifexists").parquet(staged.getPath)
+    var attempt = 0
+    while (attempt < retries) {
+      val n = casHead(table) + 1
+      beforeCommit()
+      if (casTryCommit(table, n,
+        Seq(s"DEL $keyCol ${staged.getPath}"))) {
+        casMaybeVacuum(table, n)
+        return n
+      }
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casDeleteMoR($table): lost $retries CAS races; tombstone " +
+        s"retained at ${staged.getPath}")
+  }
+
+  /** DELETE COMPACTION — materialize the current snapshot with every
+    * MoR tombstone applied and publish it as ONE plain REPLACE: the
+    * anti-join read tax disappears, the tombstoned rows stop being
+    * physical (after [[casTruncate]] + [[casVacuum]] reclaim the old
+    * wave directories — THAT is the GDPR erasure point), and schema
+    * evolution collapses too (the materialized output carries the
+    * merged schema uniformly, so the evolved-read flag drops). No-op
+    * (returns the current head, commits nothing) when no tombstone is
+    * active. Same OCC retry contract as [[casReplace]].
+    */
+  def casCompactDeletes(spark: SparkSession, table: String,
+      retries: Int = 8): Int = {
+    var attempt = 0
+    while (attempt < retries) {
+      val head = casHead(table)
+      val cmds = casActiveCmdsAt(table, head)
+      if (!cmds.exists(casIsDel)) return head
+      val out = casResolveRead(spark, cmds, s"casCompactDeletes($table)")
+      val staged = new File(new File(dir(table + "__data")),
+        java.util.UUID.randomUUID().toString)
+      out.write.mode("errorifexists").parquet(staged.getPath)
+      if (casTryCommit(table, head + 1,
+        Seq("REPLACE " + staged.getPath))) return head + 1
+      delete(staged)
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casCompactDeletes($table): lost $retries CAS races")
+  }
+
+  // ---- schema evolution ---------------------------------------------
+
+  /** SCHEMA-EVOLVED APPEND — land a wave whose schema ADDS columns
+    * relative to the table's earlier waves (Delta's
+    * `mergeSchema=true` write): the commit line is `ADDE <path>`, and
+    * its presence in the active window switches every snapshot read
+    * to footer-merging ([[casResolveRead]]), so old rows surface the
+    * new columns as NULL instead of the first-footer read silently
+    * dropping them. The flag drains naturally: a REPLACE that
+    * materializes a uniform schema ([[casCompactDeletes]], any
+    * [[casReplace]]) stops the replay above the ADDE lines and plain
+    * single-footer reads resume. Columns may only be ADDED (parquet
+    * footer merge rejects incompatible types loudly) — the
+    * widen-only evolution contract every format ships first.
+    */
+  def casAppendEvolved(df: DataFrame, table: String, retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): Int = {
+    val staged = new File(new File(dir(table + "__data")),
+      java.util.UUID.randomUUID().toString)
+    df.write.mode("errorifexists").parquet(staged.getPath)
+    var attempt = 0
+    while (attempt < retries) {
+      val n = casHead(table) + 1
+      beforeCommit()
+      if (casTryCommit(table, n, Seq("ADDE " + staged.getPath))) {
+        casMaybeVacuum(table, n)
+        return n
+      }
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casAppendEvolved($table): lost $retries CAS races; staged " +
+        s"data retained at ${staged.getPath}")
   }
 
   /** Has `batchId` of `stream` already committed to this table? The

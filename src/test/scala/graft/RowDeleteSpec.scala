@@ -1,0 +1,263 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Warehouse
+
+/** Row-level deletes on the CAS table format (round 16): the
+  * copy-on-write `casDeleteWhere` (commit-grain file skipping — the
+  * GDPR physical-removal pass), the merge-on-read `casDeleteMoR`
+  * (equality-delete tombstones), `casCompactDeletes` (fold tombstones
+  * into a plain REPLACE → the erasure point with truncate+vacuum),
+  * and `casAppendEvolved` (add-column schema evolution with
+  * footer-merging reads). Every pin drives the REAL log files — the
+  * assertions read commit lines and staging directories straight off
+  * the filesystem, not through the API being tested.
+  */
+class RowDeleteSpec extends SparkSpec {
+
+  private def tmpWh(): Warehouse = Warehouse(
+    java.nio.file.Files.createTempDirectory("rd-wh-").toString)
+
+  private def commitLines(wh: Warehouse, table: String,
+      n: Int): Seq[String] = {
+    val f = new java.io.File(
+      new java.io.File(wh.root, table + "__log"), f"$n%09d.commit")
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(f.toPath)).asScala.toSeq
+  }
+
+  private def dataDirs(wh: Warehouse, table: String): Set[String] =
+    Option(new java.io.File(wh.root, table + "__data").listFiles())
+      .getOrElse(Array()).filter(_.isDirectory).map(_.getName).toSet
+
+  // four stats-carrying waves with disjoint key ranges
+  private def fourWaves(wh: Warehouse, table: String): Unit = {
+    import spark.implicits._
+    (0 to 3).foreach { w =>
+      val lo = w * 25L
+      wh.casAppendStats(spark,
+        (lo until lo + 25L).toDF("k").withColumn("v", col("k") * 10L),
+        table, "k")
+    }
+  }
+
+  // ---- casDeleteWhere: copy-on-write with commit-grain skipping ----
+
+  test("casDeleteWhere rewrites ONLY the commits whose extent can " +
+    "hold a forget key — the others are retained by reference " +
+    "(same directory, stats intact) and keep pruning range reads") {
+    import spark.implicits._
+    val wh = tmpWh()
+    fourWaves(wh, "gd")
+    val before = dataDirs(wh, "gd")
+    val st = wh.casDeleteWhere(spark, "gd", "k", Seq(30L, 60L))
+    assert(st.rewrittenCommits == 2 && st.retainedCommits == 2,
+      s"waves 1 and 2 hold the keys, 0 and 3 are disjoint: $st")
+    assert(st.deletedRows == 2L && st.version == 5)
+    // exactly one new staging dir (the rewrite) — retained dirs were
+    // never copied
+    val after = dataDirs(wh, "gd")
+    assert((after -- before).size == 1 && (before -- after).isEmpty,
+      s"one rewrite dir, nothing else touched: $before -> $after")
+    // the delete commit: one stats-carrying REPLACES + the two
+    // retained ADDS lines VERBATIM (stats ride so pruning survives)
+    val lines = commitLines(wh, "gd", 5)
+    assert(lines.count(_.startsWith("REPLACES ")) == 1)
+    val retained = lines.filter(_.startsWith("ADDS "))
+    assert(retained.size == 2 &&
+      retained.exists(_.startsWith("ADDS 0 24 ")) &&
+      retained.exists(_.startsWith("ADDS 75 99 ")), lines.toString)
+    // contents: everything but the two forget keys
+    assert(wh.casRead(spark, "gd").agg(count(lit(1)), sum("k")).as[(Long,
+      Long)].head() == (98L, (0L until 100L).sum - 90L))
+    // range read into a retained wave still skips: only the retained
+    // commit (and nothing conservative) serves [80, 90]
+    val (kept, total) = wh.casPrunedCommits("gd", 80L, 90L)
+    assert(total == 3, s"3 data lines active after the delete: $total")
+    assert(kept.size == 1, s"only wave 3's retained line overlaps: $kept")
+    assert(wh.casReadPruned(spark, "gd", "k", 80L, 90L)
+      .agg(count(lit(1))).as[Long].head() == 11L)
+  }
+
+  test("casDeleteWhere is a NO-OP (no commit published) when every " +
+    "active extent is provably disjoint from the forget-set") {
+    val wh = tmpWh()
+    fourWaves(wh, "gn")
+    val st = wh.casDeleteWhere(spark, "gn", "k", Seq(1000L, -5L))
+    assert(st == graft.sources.CasDeleteStats(4, 0, 4, 0L), st.toString)
+    assert(wh.casHead("gn") == 4, "nothing committed")
+  }
+
+  test("casDeleteWhere on stat-less commits degrades honestly to a " +
+    "full rewrite — no stats, no skipping, correct result") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppend((0L until 50L).toDF("k"), "gp")
+    wh.casAppend((50L until 100L).toDF("k"), "gp")
+    val st = wh.casDeleteWhere(spark, "gp", "k", Seq(7L, 77L))
+    assert(st.rewrittenCommits == 2 && st.retainedCommits == 0)
+    assert(st.deletedRows == 2L)
+    assert(wh.casRead(spark, "gp").agg(sum("k")).as[Long].head() ==
+      (0L until 100L).sum - 84L)
+  }
+
+  test("casDeleteWhere OCC: a concurrent append landing in the CAS " +
+    "seam forces a recompute against the new head — the late wave's " +
+    "matching rows are deleted too, no lost update either way") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppendStats(spark, (0L until 10L).toDF("k"), "go", "k")
+    var fired = false
+    val st = wh.casDeleteWhere(spark, "go", "k", Seq(5L, 15L),
+      beforeCommit = () => if (!fired) {
+        fired = true
+        wh.casAppendStats(spark, (10L until 20L).toDF("k"), "go", "k")
+        ()
+      })
+    // retry saw both waves; both hold a forget key
+    assert(st.rewrittenCommits == 2 && st.deletedRows == 2L, st.toString)
+    assert(wh.casRead(spark, "go").as[Long].collect().toSet ==
+      (0L until 20L).toSet -- Set(5L, 15L))
+  }
+
+  test("casDeleteWhere handles an all-rows-deleted rewrite: the " +
+    "staged remainder is empty, the snapshot is exactly the " +
+    "retained waves") {
+    import spark.implicits._
+    val wh = tmpWh()
+    fourWaves(wh, "ge")
+    // forget wave 2 wholesale
+    val st = wh.casDeleteWhere(spark, "ge", "k", (50L until 75L).toSeq)
+    assert(st.rewrittenCommits == 1 && st.retainedCommits == 3 &&
+      st.deletedRows == 25L, st.toString)
+    assert(wh.casRead(spark, "ge").agg(count(lit(1)), sum("k"))
+      .as[(Long, Long)].head() ==
+      (75L, (0L until 100L).sum - (50L until 75L).sum))
+  }
+
+  // ---- casDeleteMoR: merge-on-read tombstones ----------------------
+
+  test("casDeleteMoR hides rows from every reader from its version " +
+    "on — snapshot read, pruned range read, catalog read — while " +
+    "time travel BELOW the delete still shows them") {
+    import spark.implicits._
+    val wh = tmpWh()
+    fourWaves(wh, "mo")
+    wh.catCommit(Seq("mo" -> 4))
+    val v = wh.casDeleteMoR(spark, "mo", "k", Seq(30L, 60L).toDF("k"))
+    assert(v == 5)
+    assert(wh.casRead(spark, "mo").agg(count(lit(1)), sum("k"))
+      .as[(Long, Long)].head() == (98L, (0L until 100L).sum - 90L))
+    // pruned range read must not resurrect a tombstoned row
+    assert(wh.casReadPruned(spark, "mo", "k", 25L, 49L)
+      .as[(Long, Long)].collect().map(_._1).toSet ==
+      (25L until 50L).toSet - 30L)
+    // the delete is a versioned fact: v4 still has the rows...
+    assert(wh.casReadAt(spark, "mo", 4).agg(count(lit(1)))
+      .as[Long].head() == 100L)
+    // ...and so does the catalog pin taken before it
+    assert(wh.catRead(spark, "mo").agg(count(lit(1)))
+      .as[Long].head() == 100L)
+    wh.catCommit(Seq("mo" -> 5))
+    assert(wh.catRead(spark, "mo").agg(count(lit(1)))
+      .as[Long].head() == 98L)
+  }
+
+  test("casVacuum keeps an active tombstone alive (it is referenced " +
+    "by its DEL line); casCompactDeletes + casTruncate + casVacuum " +
+    "is the physical-erasure point where it is reclaimed") {
+    import spark.implicits._
+    val wh = tmpWh()
+    fourWaves(wh, "mv")
+    val before = dataDirs(wh, "mv")
+    wh.casDeleteMoR(spark, "mv", "k", Seq(30L).toDF("k"))
+    val tombDir = (dataDirs(wh, "mv") -- before).head
+    // pre-compaction: a zero-grace vacuum reclaims NOTHING — waves
+    // and tombstone are all referenced
+    assert(wh.casVacuum("mv", minAgeMs = 0L).isEmpty)
+    assert(dataDirs(wh, "mv").contains(tombDir))
+    // compaction folds the tombstone into a plain REPLACE
+    val cv = wh.casCompactDeletes(spark, "mv")
+    assert(cv == 6 &&
+      commitLines(wh, "mv", 6).forall(_.startsWith("REPLACE ")))
+    assert(wh.casRead(spark, "mv").agg(count(lit(1)))
+      .as[Long].head() == 99L)
+    // retention + GC: old waves AND the tombstone become collectable
+    wh.casTruncate("mv")
+    val swept = wh.casVacuum("mv", minAgeMs = 0L)
+    assert(swept.exists(_.endsWith(tombDir)),
+      s"tombstone must be physically erased: $swept")
+    assert(dataDirs(wh, "mv").size == 1, "only the compacted state")
+    assert(wh.casRead(spark, "mv").agg(count(lit(1)))
+      .as[Long].head() == 99L)
+  }
+
+  test("casCompactDeletes is a no-op (no commit) when no tombstone " +
+    "is active") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppend(Seq(1L, 2L).toDF("k"), "mn")
+    assert(wh.casCompactDeletes(spark, "mn") == 1)
+    assert(wh.casHead("mn") == 1)
+  }
+
+  test("an active tombstone keeps applying through a later " +
+    "casDeleteWhere: the DEL line rides the delete commit verbatim") {
+    import spark.implicits._
+    val wh = tmpWh()
+    fourWaves(wh, "mx")
+    wh.casDeleteMoR(spark, "mx", "k", Seq(10L).toDF("k"))
+    val st = wh.casDeleteWhere(spark, "mx", "k", Seq(60L))
+    assert(st.rewrittenCommits == 1, st.toString)
+    assert(commitLines(wh, "mx", st.version).exists(_.startsWith("DEL k ")))
+    assert(wh.casRead(spark, "mx").agg(count(lit(1)), sum("k"))
+      .as[(Long, Long)].head() == (98L, (0L until 100L).sum - 70L))
+  }
+
+  // ---- casAppendEvolved: add-column schema evolution ---------------
+
+  test("casAppendEvolved: the evolved wave's new column surfaces as " +
+    "NULL on the old rows for every snapshot reader, and the " +
+    "footer-merge flag drains when a REPLACE materializes a " +
+    "uniform schema") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppend((0L until 10L).toDF("k"), "ev")
+    wh.casAppendEvolved((10L until 20L).toDF("k")
+      .withColumn("quality", col("k") * 2L), "ev")
+    val snap = wh.casRead(spark, "ev")
+    assert(snap.columns.toSet == Set("k", "quality"))
+    val r = snap.agg(count(lit(1)), count(col("quality")),
+      sum("quality")).as[(Long, Long, Long)].head()
+    assert(r == (20L, 10L, (10L until 20L).map(_ * 2L).sum))
+    // time travel below the evolution sees the old schema
+    assert(wh.casReadAt(spark, "ev", 1).columns.toSet == Set("k"))
+    // a materializing replace collapses the evolution: the head
+    // commit is schema-uniform and reads stay correct
+    wh.casReplace(spark, "ev")(cur => cur)
+    assert(commitLines(wh, "ev", 3).forall(_.startsWith("REPLACE ")))
+    assert(wh.casRead(spark, "ev").agg(count(lit(1)),
+      count(col("quality"))).as[(Long, Long)].head() == (20L, 10L))
+  }
+
+  test("casDeleteWhere on an evolved snapshot publishes REPLACEE — " +
+    "the footer-merge flag survives the rewrite and the evolved " +
+    "column stays visible") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppendStats(spark, (0L until 10L).toDF("k")
+      .withColumn("v", lit(1L)), "ew", "k")
+    wh.casAppendEvolved((10L until 20L).toDF("k")
+      .withColumn("v", lit(1L)).withColumn("quality", col("k")), "ew")
+    // the ADDE wave is stat-less → affected; wave 1 is disjoint from
+    // the forget key and retained with its old schema
+    val st = wh.casDeleteWhere(spark, "ew", "k", Seq(15L))
+    assert(st.rewrittenCommits == 1 && st.retainedCommits == 1)
+    assert(commitLines(wh, "ew", st.version)
+      .exists(_.startsWith("REPLACEE ")))
+    val snap = wh.casRead(spark, "ew")
+    assert(snap.columns.toSet == Set("k", "v", "quality"))
+    assert(snap.agg(count(lit(1)), count(col("quality")))
+      .as[(Long, Long)].head() == (19L, 9L))
+  }
+}
