@@ -609,5 +609,112 @@ object Extras5 {
       .crossJoin(wh.read(s, "evo_evidence"))
   }
 
-  val all: Seq[Q] = Seq(q291, q292, q293, q294, q295, q296, q297)
+  /** SMALL-WAVE COMPACTION (`OPTIMIZE`) — the maintenance pass a
+    * streaming-fed table runs nightly
+    * ([[graft.sources.Warehouse.casOptimize]]): twelve micro-waves
+    * accrete (one commit each — the shape a per-minute
+    * micro-batch feed leaves behind), then one optimize folds the
+    * NINE smallest into a single rewrite and retains the three
+    * biggest by reference (directories never opened — the
+    * [[graft.sources.Warehouse.casDeleteWhere]] commit shape with a
+    * union extent computed from the log alone). The corpus aggregate
+    * is invariant — compaction moves bytes, never rows — and the
+    * wave counters are structural constants of the 12→4 fold.
+    *
+    * 100 TB shape: cost is O(merged waves' bytes), by construction
+    * the smallest; steady state is bounded at maxWaves directories
+    * per table regardless of append rate, which is what keeps
+    * snapshot-read unions and file listings flat as the feed runs
+    * for years.
+    */
+  val q298 = Q("q298_cas_optimize",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+      |  CAST(12 AS BIGINT) AS waves_before,
+      |  CAST(9 AS BIGINT) AS compacted,
+      |  CAST(3 AS BIGINT) AS retained,
+      |  CAST(13 AS BIGINT) AS head_version
+      |FROM documents""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"optstore_${SessionScratch.keyOf(dir)}"))
+    val key = s"cas_opt_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id", "n_chars")
+      (0 to 11).foreach(w => wh.casAppendStats(s,
+        d.filter(col("doc_id") % 12 === w), "opt_docs", "doc_id"))
+      val before = wh.casHead("opt_docs").toLong
+      val st = wh.casOptimize(s, "opt_docs", maxWaves = 4)
+      wh.overwrite(Seq((before, st.compacted.toLong,
+        st.retained.toLong, st.version.toLong))
+        .toDF("waves_before", "compacted", "retained", "head_version"),
+        "opt_evidence")
+    }
+    wh.casRead(s, "opt_docs")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("chars_sum"))
+      .crossJoin(wh.read(s, "opt_evidence"))
+  }
+
+  /** CATALOG TAGS — named dataset releases
+    * ([[graft.sources.Warehouse.catTag]], Iceberg tags): the
+    * "training run X read exactly THIS warehouse" pointer a data
+    * lineage audit needs. Three waves land behind three catalog
+    * pins; the tag names the two-wave snapshot; then the FULL
+    * retention stack runs — catTruncate (clamped: only the one
+    * commit below the tag's window retires), casTruncate, zero-grace
+    * casVacuum — and the tagged release still resolves byte-exact
+    * while head readers see all three waves. The oracle states both
+    * snapshots arithmetically; removed_cat_commits = 1 is the clamp
+    * evidence (an untagged catalog would have retired every commit
+    * below the truncation checkpoint — q285's shape).
+    *
+    * 100 TB shape: a tag is one tiny immutable file; the retention
+    * clamp is driver-side metadata, and the cost of keeping a
+    * release alive is exactly the data it pins — nothing else
+    * escapes GC (the spec pins reclamation after catDeleteTag).
+    */
+  val q299 = Q("q299_catalog_tag_retention",
+    """SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE doc_id % 3 IN (0, 1)) AS tag_n,
+      |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
+      |   WHERE doc_id % 3 IN (0, 1)) AS tag_id_sum,
+      |  CAST(count(*) AS BIGINT) AS head_n,
+      |  CAST(sum(doc_id) AS BIGINT) AS head_id_sum,
+      |  CAST(1 AS BIGINT) AS removed_cat_commits
+      |FROM documents""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"tagstore_${SessionScratch.keyOf(dir)}"))
+    val key = s"cat_tag_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id")
+      wh.casAppend(d.filter(col("doc_id") % 3 === 0), "tag_docs")
+      wh.catCommit(Seq("tag_docs" -> 1))          // cat 1
+      wh.catCheckpoint()                          // cat 2 (CCKPT)
+      wh.casAppend(d.filter(col("doc_id") % 3 === 1), "tag_docs")
+      wh.catCommit(Seq("tag_docs" -> 2))          // cat 3
+      wh.catTag("train_data_v1", 3)
+      wh.casAppend(d.filter(col("doc_id") % 3 === 2), "tag_docs")
+      wh.catCommit(Seq("tag_docs" -> 3))          // cat 4
+      val removed = wh.catTruncate()              // clamped to floor 2
+      wh.casTruncate("tag_docs")
+      wh.casVacuum("tag_docs", minAgeMs = 0L)
+      wh.overwrite(Seq(Tuple1(removed.toLong))
+        .toDF("removed_cat_commits"), "tag_evidence")
+    }
+    val tagged = wh.catReadTag(s, "tag_docs", "train_data_v1")
+      .agg(count(lit(1)).as("tag_n"),
+        sum("doc_id").cast("long").as("tag_id_sum"))
+    val head = wh.catRead(s, "tag_docs")
+      .agg(count(lit(1)).as("head_n"),
+        sum("doc_id").cast("long").as("head_id_sum"))
+    tagged.crossJoin(head).crossJoin(wh.read(s, "tag_evidence"))
+  }
+
+  val all: Seq[Q] = Seq(q291, q292, q293, q294, q295, q296, q297,
+    q298, q299)
 }

@@ -25,6 +25,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class CasDeleteStats(version: Int, rewrittenCommits: Int,
     retainedCommits: Int, deletedRows: Long)
 
+/** Evidence a [[Warehouse.casOptimize]] returns: the committed
+  * version, how many small waves were folded into the one rewrite,
+  * and how many big waves were retained by reference. `version` is
+  * the pre-optimize head when the table was already within budget
+  * (no commit published, `compacted` = 0).
+  */
+final case class CasOptimizeStats(version: Int, compacted: Int,
+    retained: Int)
+
 final case class Warehouse(root: String) {
 
   private def dir(table: String) = s"$root/$table"
@@ -1457,6 +1466,16 @@ final case class Warehouse(root: String) {
   private def casIsEvolved(cmd: String): Boolean =
     cmd.startsWith("ADDE ") || cmd.startsWith("REPLACEE ")
 
+  // a retained-by-reference replace line demotes to its add form:
+  // the new commit carries exactly ONE replace line (the stop line,
+  // naming the rewrite), and the demotion keeps what matters —
+  // REPLACES keeps its stats as ADDS, REPLACEE keeps the evolved
+  // flag as ADDE (stats dropped: no stats-carrying evolved add verb)
+  private def casDemote(l: String): String =
+    if (l.startsWith("REPLACES ")) "ADDS " + l.stripPrefix("REPLACES ")
+    else if (l.startsWith("REPLACEE ")) "ADDE " + l.split(" ", 4)(3)
+    else l
+
   private def casIsReplace(cmd: String): Boolean =
     cmd.startsWith("REPLACE ") || cmd.startsWith("REPLACES ") ||
       cmd.startsWith("REPLACEE ")
@@ -1710,14 +1729,7 @@ final case class Warehouse(root: String) {
           if (r.isNullAt(1)) "-" else r.getLong(1).toString)
       val verb =
         if (datas.exists(casIsEvolved)) "REPLACEE" else "REPLACES"
-      // retained replaces demote to adds: one replace line per
-      // commit, and it names the rewrite
-      val keptLines = retained.map { l =>
-        if (l.startsWith("REPLACES ")) "ADDS " + l.stripPrefix("REPLACES ")
-        else if (l.startsWith("REPLACEE ")) "ADDE " +
-          l.split(" ", 4)(3) // evolved replace keeps only its path+flag
-        else l
-      }
+      val keptLines = retained.map(casDemote)
       beforeCommit()
       if (casTryCommit(table, head + 1,
         s"$verb $lo $hi ${staged.getPath}" +: (keptLines ++ dels))) {
@@ -1802,6 +1814,88 @@ final case class Warehouse(root: String) {
     }
     throw new CommitConflict(
       s"casCompactDeletes($table): lost $retries CAS races")
+  }
+
+  /** SMALL-WAVE COMPACTION (`OPTIMIZE`) — the maintenance pass a
+    * streaming-fed table needs: micro-batch appends accrete one wave
+    * directory per commit, and a 100 TB table fed every minute is
+    * half a million tiny waves a year — every snapshot read unions
+    * them all. When the active window holds more than `maxWaves` data
+    * lines, the SMALLEST excess waves (by on-disk bytes — the
+    * bin-packing criterion every OPTIMIZE uses) are rewritten into
+    * ONE directory; the big waves are retained by reference, exactly
+    * the [[casDeleteWhere]] commit shape (one stats-carrying replace
+    * line naming the rewrite + the retained lines verbatim + active
+    * tombstones riding along).
+    *
+    * The merged line's extent is the UNION of the merged extents when
+    * every merged line carries stats — computed from the log alone,
+    * NO data read beyond the rewrite itself (min-of-mins is the true
+    * min). Any stat-less merged line degrades the extent to `-`
+    * conservatively. Same single-stats-column caller contract as
+    * [[casReadPruned]]. Merged tombstones are NOT applied to the
+    * rewrite (active DEL lines keep applying, idempotently); merged
+    * ADDB waves lose their active-window dedup line, but batch-dedup
+    * state survives the deep scan / TXN checkpoint summaries
+    * ([[casTxnState]]) exactly as it does across a REPLACE.
+    *
+    * 100 TB shape: cost is O(merged waves' bytes) — by construction
+    * the smallest ones — and the steady state is bounded at
+    * `maxWaves` directories per table regardless of append rate; the
+    * commit is one CAS file publish, concurrent appends just retry it.
+    */
+  def casOptimize(spark: SparkSession, table: String,
+      maxWaves: Int = 16, retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): CasOptimizeStats = {
+    require(maxWaves >= 1, s"casOptimize($table): maxWaves < 1")
+    var attempt = 0
+    while (attempt < retries) {
+      val head = casHead(table)
+      val cmds = casActiveCmdsAt(table, head)
+      val (dels, datas) = cmds.partition(casIsDel)
+      if (datas.size <= maxWaves)
+        return CasOptimizeStats(head, 0, datas.size)
+      def dirBytes(p: String): Long = {
+        def walk(f: File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).getOrElse(Array()).map(walk).sum
+        walk(new File(p))
+      }
+      val bySize = datas.sortBy(l => dirBytes(casCmdPath(l)))
+      val (merged, retained) = bySize.splitAt(datas.size - maxWaves + 1)
+      val out = casResolveRead(spark, merged, s"casOptimize($table)")
+      val staged = new File(new File(dir(table + "__data")),
+        java.util.UUID.randomUUID().toString)
+      out.write.mode("errorifexists").parquet(staged.getPath)
+      // union extent from the log alone — valid because min-of-mins /
+      // max-of-maxes over the merged inputs is the rewrite's extent
+      val exts = merged.map { l =>
+        if (l.startsWith("ADDS ") || l.startsWith("REPLACES ") ||
+          l.startsWith("REPLACEE ")) {
+          val p = l.split(" ", 4)
+          if (p(1) == "-" || p(2) == "-") None
+          else Some((p(1).toLong, p(2).toLong))
+        } else None
+      }
+      val (lo, hi) =
+        if (exts.forall(_.isDefined))
+          (exts.flatten.map(_._1).min.toString,
+            exts.flatten.map(_._2).max.toString)
+        else ("-", "-")
+      val verb =
+        if (merged.exists(casIsEvolved)) "REPLACEE" else "REPLACES"
+      beforeCommit()
+      if (casTryCommit(table, head + 1,
+        s"$verb $lo $hi ${staged.getPath}" +:
+          (retained.map(casDemote) ++ dels))) {
+        casMaybeVacuum(table, head + 1)
+        return CasOptimizeStats(head + 1, merged.size, retained.size)
+      }
+      delete(staged) // stale loser rewrite, recomputed on retry
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casOptimize($table): lost $retries CAS races")
   }
 
   // ---- schema evolution ---------------------------------------------
@@ -2331,17 +2425,50 @@ final case class Warehouse(root: String) {
     */
   def catTruncate(retries: Int = 8): Int = {
     // the truncation checkpoint's HISTORY summary is the PIN MAP
-    // ALONE: every catalog snapshot below it is about to become
-    // unreadable, so the pins only those snapshots held stop
-    // protecting data THE MOMENT this commit publishes — carrying
-    // them forward as HPIN lines would make dead history immortal.
+    // plus the pins of every commit a live TAG keeps alive: catalog
+    // snapshots below the deletion floor become unreadable BY
+    // RETENTION DECISION and their pins die with them — but a tagged
+    // window survives the truncation, stays readable, and therefore
+    // its table pins must ride the HSUM chain (the consult
+    // [[catAllPins]] stops at this checkpoint and would otherwise
+    // never see them, letting casTruncate/casVacuum reclaim data a
+    // tagged release still resolves).
     // (A crash between this commit and the deletes below leaves the
     // dead-declared snapshots temporarily readable; their windows
     // are already fair game for per-table retention, and reads of a
     // reclaimed window fail loudly — re-run catTruncate to finish.)
-    val ck = catCheckpointWith(snap =>
-      snap.map { case (t, v) => t -> Set(v) }, retries)
-    val deleted = (1 until ck)
+    def liveTagFloor(): Int =
+      catTags().values.toSeq.flatMap(catWindowStart) match {
+        case Nil => Int.MaxValue
+        case fs => fs.min
+      }
+    val ck = catCheckpointWith(snap => {
+      val hist = scala.collection.mutable.Map.empty[String, Set[Int]]
+      snap.foreach { case (t, v) =>
+        hist(t) = hist.getOrElse(t, Set.empty) + v
+      }
+      // pins of the commits a live tag's window keeps readable
+      val floor = liveTagFloor()
+      if (floor != Int.MaxValue) {
+        var n = floor
+        while (n <= catHead) {
+          val f = new File(catLogDir, f"$n%09d.commit")
+          if (f.exists()) readLines(f)
+            .filter(l => l.startsWith("PIN ") || l.startsWith("HPIN "))
+            .foreach { l =>
+              val p = l.split(" ", 3)
+              if (casWindowReadable(p(1), p(2).toInt))
+                hist(p(1)) = hist.getOrElse(p(1), Set.empty) + p(2).toInt
+            }
+          n += 1
+        }
+      }
+      hist.toMap
+    }, retries)
+    // z124 narrowing: honor any tag that published since the floor
+    // was folded — re-read immediately before deleting
+    val floor = math.min(ck, liveTagFloor())
+    val deleted = (1 until floor)
       .map(n => new File(catLogDir, f"$n%09d.commit"))
       .filter(_.exists())
     deleted.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
@@ -2494,6 +2621,106 @@ final case class Warehouse(root: String) {
     catPinnedVersions(table)
       .flatMap(v => casActiveCmdsAt(table, v).map(casCmdPath))
       .distinct
+
+  // ---- catalog tags (named dataset releases) ------------------------
+
+  private def catTagDir: File = {
+    val d = new File(dir("__catalog__tags")); d.mkdirs(); d
+  }
+
+  /** TAG a catalog version with a NAME — Iceberg tags / Delta named
+    * snapshots: "training-run-2024-07" points at one immutable,
+    * cross-table-consistent catalog snapshot forever. A tag is one
+    * tiny immutable file published by the same hard-link
+    * create-if-absent primitive as every commit (re-tagging a name
+    * fails loudly — releases don't move; [[catDeleteTag]] first).
+    * Retention honors tags: [[catTruncate]] clamps its deletion floor
+    * so every live tag's replay window survives, and the tagged
+    * snapshot's table pins keep protecting data through the HSUM
+    * summary chain — a tagged release stays readable after any
+    * amount of catalog/table retention (spec-pinned).
+    *
+    * TOCTOU discipline (the [[catCommit]]-vs-[[casTruncate]] z124
+    * treatment, one tier up): catTag RE-validates the window after
+    * the tag file lands and deletes it + fails loudly if a concurrent
+    * catTruncate retired the window; catTruncate re-reads the tag
+    * list immediately before deleting. A dead tag (window torn
+    * anyway) is excluded from every retention consult — it protects
+    * nothing and must not wedge truncation.
+    */
+  def catTag(name: String, v: Int = -1): Int = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"catTag($name): tag names are [A-Za-z0-9._-]+")
+    val ver = if (v < 0) catHead else v
+    require(ver >= 1 && ver <= catHead,
+      s"catTag($name, $ver): version out of range 1..$catHead")
+    require(catWindowStart(ver).isDefined,
+      s"catTag($name, $ver): snapshot already truncated")
+    val tmp = new File(catTagDir,
+      ".tmp-" + java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.write(tmp.toPath,
+      (ver.toString + "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    val tag = new File(catTagDir, name + ".tag")
+    try {
+      java.nio.file.Files.createLink(tag.toPath, tmp.toPath)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        sys.error(s"catTag($name): tag exists (tags are immutable — " +
+          "catDeleteTag first)")
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp.toPath)
+      ()
+    }
+    // z124 re-validation: a concurrent catTruncate that selected its
+    // floor before this tag published may have retired the window —
+    // a tag that can never resolve must fail AT THE TAGGER, loudly
+    if (catWindowStart(ver).isEmpty) {
+      java.nio.file.Files.deleteIfExists(tag.toPath)
+      sys.error(s"catTag($name, $ver): snapshot truncated while " +
+        "tagging — tag not created")
+    }
+    ver
+  }
+
+  /** All tags on disk, name → catalog version (dead tags included —
+    * filter with [[catWindowStart]] for retention purposes).
+    */
+  def catTags(): Map[String, Int] =
+    Option(catTagDir.listFiles()).getOrElse(Array())
+      .filter(_.getName.endsWith(".tag"))
+      .map(f => f.getName.stripSuffix(".tag") ->
+        readLines(f).headOption.flatMap(_.trim.toIntOption)
+          .getOrElse(sys.error(s"catTags: unreadable tag ${f.getName}")))
+      .toMap
+
+  def catDeleteTag(name: String): Boolean =
+    java.nio.file.Files.deleteIfExists(
+      new File(catTagDir, name + ".tag").toPath)
+
+  /** Read `table` at the snapshot a tag names — the "give me exactly
+    * the dataset that trained run X" API.
+    */
+  def catReadTag(spark: SparkSession, table: String,
+      tag: String): DataFrame =
+    catRead(spark, table, asOf = catTags().getOrElse(tag,
+      sys.error(s"catReadTag($tag): no such tag")))
+
+  /** The first catalog commit the snapshot at `v` replays (its
+    * backward scan's stop point — the nearest CCKPT at-or-below, or
+    * commit 1). None when the window is torn (a commit inside it was
+    * truncated): that snapshot is dead for every reader.
+    */
+  private def catWindowStart(v: Int): Option[Int] = {
+    var n = v
+    while (n >= 1) {
+      val f = new File(catLogDir, f"$n%09d.commit")
+      if (!f.exists()) return None
+      if (readLines(f).contains("CCKPT")) return Some(n)
+      n -= 1
+    }
+    Some(1)
+  }
 
   // ---- versioned snapshots (time travel) ---------------------------
 
