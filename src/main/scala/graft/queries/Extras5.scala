@@ -715,6 +715,66 @@ object Extras5 {
     tagged.crossJoin(head).crossJoin(wh.read(s, "tag_evidence"))
   }
 
+  /** TIME-BASED RETENTION — the scheduled "delete events older than
+    * the cutoff" pass ([[graft.sources.Warehouse.casDeleteRange]]):
+    * events land as four time-quartile waves (commit extents on epoch
+    * seconds), the cutoff falls mid-quartile-2, and the delete
+    * decides THREE of the four waves from the log alone — quartile 1
+    * drops WHOLE (no read, no rewrite — the partition-drop fast
+    * path; its rows are counted at parquet-footer grain), quartiles
+    * 3-4 retain by reference, and only the straddling quartile 2
+    * rewrites. The oracle restates the surviving corpus and the
+    * removed count from the raw events; the wave counters are
+    * structural constants of the quartile construction.
+    *
+    * 100 TB shape: a daily retention job over time-bucketed waves is
+    * one boundary rewrite per run regardless of table size — the
+    * whole point of putting time extents in the commit log.
+    */
+  val q300 = Q("q300_time_retention",
+    """WITH t AS (
+      |  SELECT event_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
+      |b AS (
+      |  SELECT min(ts_s) AS mn,
+      |    (max(ts_s) - min(ts_s) + 1) // 4 AS q FROM t),
+      |cut AS (SELECT mn + q + q // 2 AS c FROM b)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+      |  CAST(1 AS BIGINT) AS dropped,
+      |  CAST(1 AS BIGINT) AS rewritten,
+      |  CAST(2 AS BIGINT) AS retained,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM t, cut
+      |   WHERE ts_s < c) AS deleted
+      |FROM t, cut WHERE ts_s >= c""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"retnstore_${SessionScratch.keyOf(dir)}"))
+    val key = s"time_retn_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val e = t(s, dir, "events").select(col("event_id"),
+        col("ts").cast("long").as("ts_s"))
+      val r = e.agg(min("ts_s"), max("ts_s")).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val q = (mx - mn + 1L) / 4L
+      Seq((mn, mn + q), (mn + q, mn + 2 * q), (mn + 2 * q, mn + 3 * q),
+        (mn + 3 * q, mx + 1)).foreach { case (lo, hi) =>
+        wh.casAppendStats(s,
+          e.filter(col("ts_s") >= lo && col("ts_s") < hi),
+          "retn_events", "ts_s")
+      }
+      val cut = mn + q + q / 2 // delete [mn, cut-1]
+      val st = wh.casDeleteRange(s, "retn_events", "ts_s", mn, cut - 1)
+      wh.overwrite(Seq((st.droppedCommits.toLong,
+        st.rewrittenCommits.toLong, st.retainedCommits.toLong,
+        st.deletedRows)).toDF("dropped", "rewritten", "retained",
+        "deleted"), "retn_evidence")
+    }
+    wh.casRead(s, "retn_events")
+      .agg(count(lit(1)).as("n"),
+        sum("event_id").cast("long").as("id_sum"))
+      .crossJoin(wh.read(s, "retn_evidence"))
+  }
+
   val all: Seq[Q] = Seq(q291, q292, q293, q294, q295, q296, q297,
-    q298, q299)
+    q298, q299, q300)
 }

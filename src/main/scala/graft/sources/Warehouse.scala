@@ -25,6 +25,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class CasDeleteStats(version: Int, rewrittenCommits: Int,
     retainedCommits: Int, deletedRows: Long)
 
+/** Evidence a [[Warehouse.casDeleteRange]] returns: the committed
+  * version, how many commits were dropped whole (no read — the
+  * partition-drop fast path), rewritten (boundary straddlers), and
+  * retained by reference, plus the rows removed (footer-grain count
+  * of the dropped waves + rows filtered out of rewrites). `version`
+  * is the pre-delete head when nothing was affected.
+  */
+final case class CasRangeDeleteStats(version: Int, droppedCommits: Int,
+    rewrittenCommits: Int, retainedCommits: Int, deletedRows: Long)
+
 /** Evidence a [[Warehouse.casOptimize]] returns: the committed
   * version, how many small waves were folded into the one rewrite,
   * and how many big waves were retained by reference. `version` is
@@ -1742,6 +1752,94 @@ final case class Warehouse(root: String) {
     }
     throw new CommitConflict(
       s"casDeleteWhere($table): lost $retries CAS races")
+  }
+
+  /** RANGE DELETE — time-based retention ("delete everything older
+    * than 90 days"), the other compliance delete a 100 TB warehouse
+    * runs on schedule. Against time-ordered append waves the commit
+    * extents make most of the log decidable WITHOUT READING DATA:
+    * a commit whose [min, max] extent lies fully inside [lo, hi] is
+    * DROPPED outright — its line simply does not ride into the new
+    * commit (the partition-drop fast path: no read, no rewrite; the
+    * directory becomes collectable after truncate+vacuum); a commit
+    * fully outside is RETAINED by reference; only BOUNDARY commits
+    * (straddling lo or hi, or stat-less) are rewritten. For a daily
+    * retention job over time-bucketed waves that is one boundary
+    * rewrite per run regardless of table size.
+    *
+    * Same commit shape and OCC contract as [[casDeleteWhere]]. When
+    * every affected commit is dropped whole (nothing to rewrite) the
+    * stop line is a `CKPT` marker carrying the retained lines — no
+    * rewrite directory is fabricated. `deletedRows` counts dropped
+    * rows at parquet-footer grain (metadata read, no data scan) plus
+    * the rows filtered out of boundary rewrites.
+    */
+  def casDeleteRange(spark: SparkSession, table: String, c: String,
+      lo: Long, hi: Long, retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): CasRangeDeleteStats = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(lo <= hi, s"casDeleteRange($table): empty range")
+    var attempt = 0
+    while (attempt < retries) {
+      val head = casHead(table)
+      val cmds = casActiveCmdsAt(table, head)
+      val (dels, datas) = cmds.partition(casIsDel)
+      def ext(l: String): Option[(Long, Long)] =
+        if (l.startsWith("ADDS ") || l.startsWith("REPLACES ") ||
+          l.startsWith("REPLACEE ")) {
+          val p = l.split(" ", 4)
+          if (p(1) == "-" || p(2) == "-") None
+          else Some((p(1).toLong, p(2).toLong))
+        } else None
+      val dropped = datas.filter(l => ext(l).exists {
+        case (mn, mx) => mn >= lo && mx <= hi
+      })
+      val retained = datas.filter(l => ext(l).exists {
+        case (mn, mx) => mx < lo || mn > hi
+      })
+      val boundary = datas.diff(dropped).diff(retained)
+      if (dropped.isEmpty && boundary.isEmpty)
+        return CasRangeDeleteStats(head, 0, 0, retained.size, 0L)
+      // footer-grain count of the whole-dropped waves (no data scan)
+      val droppedRows =
+        if (dropped.isEmpty) 0L
+        else spark.read.parquet(dropped.map(casCmdPath): _*).count()
+      val (rewriteLines, filteredRows) =
+        if (boundary.isEmpty) (Nil, 0L)
+        else {
+          val hit = casResolveRead(spark, boundary,
+            s"casDeleteRange($table)")
+          val inRange = col(c).cast("long").between(lo, hi)
+          val filtered = hit.filter(inRange).count()
+          val remain = hit.filter(!inRange)
+          val staged = new File(new File(dir(table + "__data")),
+            java.util.UUID.randomUUID().toString)
+          remain.write.mode("errorifexists").parquet(staged.getPath)
+          val r = spark.read.parquet(staged.getPath)
+            .agg(min(col(c).cast("long")), max(col(c).cast("long")))
+            .head()
+          val (slo, shi) =
+            (if (r.isNullAt(0)) "-" else r.getLong(0).toString,
+              if (r.isNullAt(1)) "-" else r.getLong(1).toString)
+          val verb =
+            if (datas.exists(casIsEvolved)) "REPLACEE" else "REPLACES"
+          (Seq(s"$verb $slo $shi ${staged.getPath}"), filtered)
+        }
+      val lines =
+        if (rewriteLines.nonEmpty)
+          rewriteLines ++ retained.map(casDemote) ++ dels
+        else "CKPT" +: (retained ++ dels)
+      beforeCommit()
+      if (casTryCommit(table, head + 1, lines)) {
+        casMaybeVacuum(table, head + 1)
+        return CasRangeDeleteStats(head + 1, dropped.size,
+          boundary.size, retained.size, droppedRows + filteredRows)
+      }
+      rewriteLines.foreach(l => delete(new File(casCmdPath(l))))
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casDeleteRange($table): lost $retries CAS races")
   }
 
   /** MERGE-ON-READ ROW DELETE — Iceberg's equality-delete files: the

@@ -135,6 +135,76 @@ class RowDeleteSpec extends SparkSpec {
       (75L, (0L until 100L).sum - (50L until 75L).sum))
   }
 
+  // ---- casDeleteRange: time-based retention ------------------------
+
+  test("casDeleteRange drops fully-inside waves WITHOUT reading them " +
+    "(no new directory), rewrites only the boundary straddler, and " +
+    "retains the rest — the partition-drop retention fast path") {
+    import spark.implicits._
+    val wh = tmpWh()
+    fourWaves(wh, "rr") // extents [0,24] [25,49] [50,74] [75,99]
+    val before = dataDirs(wh, "rr")
+    // retention cut at 37: wave 0 drops whole, wave 1 straddles,
+    // waves 2-3 survive untouched
+    val st = wh.casDeleteRange(spark, "rr", "k", 0L, 37L)
+    assert(st == graft.sources.CasRangeDeleteStats(5, 1, 1, 2, 38L),
+      st.toString)
+    // exactly one new dir: the boundary rewrite — the dropped wave
+    // was never read, never copied
+    assert((dataDirs(wh, "rr") -- before).size == 1)
+    val lines = commitLines(wh, "rr", 5)
+    assert(lines.count(_.startsWith("REPLACES 38 49 ")) == 1,
+      lines.toString)
+    assert(lines.exists(_.startsWith("ADDS 50 74 ")) &&
+      lines.exists(_.startsWith("ADDS 75 99 ")), lines.toString)
+    assert(wh.casRead(spark, "rr").agg(count(lit(1)), sum("k"))
+      .as[(Long, Long)].head() == (62L, (38L until 100L).sum))
+    // no-op when the range misses every extent
+    assert(wh.casDeleteRange(spark, "rr", "k", 200L, 300L) ==
+      graft.sources.CasRangeDeleteStats(5, 0, 0, 3, 0L))
+  }
+
+  test("casDeleteRange with nothing to rewrite (every affected wave " +
+    "dropped whole) publishes a CKPT-marker stop commit — no rewrite " +
+    "directory is fabricated, retained lines ride verbatim") {
+    import spark.implicits._
+    val wh = tmpWh()
+    fourWaves(wh, "rw")
+    val before = dataDirs(wh, "rw")
+    val st = wh.casDeleteRange(spark, "rw", "k", 0L, 49L)
+    assert(st == graft.sources.CasRangeDeleteStats(5, 2, 0, 2, 50L),
+      st.toString)
+    assert(dataDirs(wh, "rw") == before, "no new directory")
+    val lines = commitLines(wh, "rw", 5)
+    assert(lines.head == "CKPT" && lines.count(_.startsWith("ADDS ")) == 2,
+      lines.toString)
+    assert(wh.casRead(spark, "rw").agg(count(lit(1)), sum("k"))
+      .as[(Long, Long)].head() == (50L, (50L until 100L).sum))
+    // truncate + vacuum reclaim the two dropped wave dirs
+    wh.casTruncate("rw")
+    assert(wh.casVacuum("rw", minAgeMs = 0L).size == 2)
+    assert(wh.casRead(spark, "rw").agg(count(lit(1)))
+      .as[Long].head() == 50L)
+  }
+
+  test("casDeleteRange keeps MoR tombstones riding and stat-less " +
+    "waves rewrite conservatively") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppend((0L until 50L).toDF("k"), "rs") // stat-less
+    wh.casAppendStats(spark, (50L until 100L).toDF("k"), "rs", "k")
+    wh.casDeleteMoR(spark, "rs", "k", Seq(70L).toDF("k"))
+    val st = wh.casDeleteRange(spark, "rs", "k", 0L, 9L)
+    // stat-less wave is a boundary rewrite; the stats wave is
+    // disjoint and retained
+    assert(st == graft.sources.CasRangeDeleteStats(4, 0, 1, 1, 10L),
+      st.toString)
+    assert(commitLines(wh, "rs", 4).exists(_.startsWith("DEL k ")))
+    assert(wh.casRead(spark, "rs").agg(count(lit(1)), sum("k"))
+      .as[(Long, Long)].head() ==
+      (89L, (10L until 100L).sum - 70L))
+  }
+
   // ---- casDeleteMoR: merge-on-read tombstones ----------------------
 
   test("casDeleteMoR hides rows from every reader from its version " +
