@@ -775,6 +775,62 @@ object Extras5 {
       .crossJoin(wh.read(s, "retn_evidence"))
   }
 
+  /** STREAMING OPT-OUT PROPAGATION — the user-deletion queue drained
+    * by the REAL Structured Streaming engine
+    * ([[graft.streaming.StreamingEtl.optOutSink]]): two micro-batched
+    * waves of forget keys (every 13th doc, then every 17th) land as
+    * one merge-on-read tombstone commit each against the CAS table,
+    * through a MemoryStream + AvailableNow run per wave over the same
+    * checkpoint. The visible snapshot is documents minus both
+    * forget-sets; the commit counter pins that exactly TWO tombstone
+    * commits exist (one per non-empty batch — empty batches commit
+    * nothing). Replay idempotence (crash after commit, restart,
+    * redundant second tombstone, unchanged snapshot) is
+    * RowDeleteSpec's engine-restart pin.
+    *
+    * 100 TB shape: each batch is O(its forget-set) — one tiny
+    * tombstone parquet + one commit file, no data touched; readers
+    * pay one broadcast anti-join until compaction folds it in.
+    */
+  val q301 = Q("q301_streaming_optout",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(2 AS BIGINT) AS tombstone_commits
+      |FROM documents
+      |WHERE doc_id % 13 <> 0 AND doc_id % 17 <> 5""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"soptstore_${SessionScratch.keyOf(dir)}"))
+    val key = s"stream_opt_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val d = t(s, dir, "documents").select("doc_id")
+      wh.casAppend(d, "sopt_docs")
+      val head0 = wh.casHead("sopt_docs")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("sopt-ckpt-").toString
+      val feed = MemoryStream[Long]
+      def drain(): Unit =
+        graft.streaming.StreamingEtl.optOutSink(
+          feed.toDF().toDF("doc_id"), wh, "sopt_docs", "doc_id", ckpt)
+          .awaitTermination()
+      feed.addData(d.filter(col("doc_id") % 13 === 0)
+        .as[Long].collect().toSeq: _*)
+      drain()
+      feed.addData(d.filter(col("doc_id") % 17 === 5)
+        .as[Long].collect().toSeq: _*)
+      drain()
+      wh.overwrite(Seq(Tuple1((wh.casHead("sopt_docs") - head0).toLong))
+        .toDF("tombstone_commits"), "sopt_evidence")
+    }
+    wh.casRead(s, "sopt_docs")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").cast("long").as("id_sum"))
+      .crossJoin(wh.read(s, "sopt_evidence"))
+  }
+
   val all: Seq[Q] = Seq(q291, q292, q293, q294, q295, q296, q297,
-    q298, q299, q300)
+    q298, q299, q300, q301)
 }

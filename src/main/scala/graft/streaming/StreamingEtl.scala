@@ -380,6 +380,41 @@ object StreamingEtl {
       }
       .start()
 
+  /** STREAMING OPT-OUT PROPAGATION — a feed of forget keys (the
+    * user-deletion queue every hosted corpus has) applied to a CAS
+    * table as one merge-on-read tombstone commit per micro-batch
+    * ([[graft.sources.Warehouse.casDeleteMoR]]): rows hide from every
+    * snapshot/catalog reader at the NEXT read after the batch lands,
+    * at O(forget-set) cost per batch regardless of table size;
+    * physical erasure follows asynchronously via
+    * [[graft.sources.Warehouse.casCompactDeletes]] + retention.
+    *
+    * Replay safety WITHOUT a dedup ledger — the structural contrast
+    * to [[casSink]]: a re-delivered append batch would duplicate
+    * ROWS (hence ADDB exactly-once), but a re-delivered DELETE batch
+    * republishes the same key set as a second tombstone, and the
+    * anti-join is idempotent over duplicate keys — the replayed
+    * commit is redundant metadata, never wrong data (spec pins a
+    * REAL crash-after-commit restart: two DEL commits, identical
+    * snapshot). Empty micro-batches commit nothing. `afterDelete` is
+    * the crash seam between the tombstone CAS and the checkpoint.
+    */
+  def optOutSink(keys: DataFrame, wh: graft.sources.Warehouse,
+      table: String, keyCol: String, checkpointDir: String,
+      afterDelete: () => Unit = () => ()): StreamingQuery =
+    keys.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          wh.casDeleteMoR(batch.sparkSession, table, keyCol, batch)
+          afterDelete()
+        }
+        ()
+      }
+      .start()
+
   /** One micro-batch of the CATALOG-consistent two-table sink: land
     * the wave's detail and rollup APPENDS exactly-once in each
     * table's own CAS log ([[graft.sources.Warehouse.casAppendBatch]]

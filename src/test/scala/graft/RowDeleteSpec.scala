@@ -284,6 +284,49 @@ class RowDeleteSpec extends SparkSpec {
       .as[(Long, Long)].head() == (98L, (0L until 100L).sum - 70L))
   }
 
+  // ---- optOutSink: streaming opt-out propagation --------------------
+
+  test("optOutSink crash AFTER the tombstone commit, REAL restart " +
+    "from the streaming checkpoint: the replayed batch publishes a " +
+    "second (redundant) DEL commit and the snapshot is unchanged — " +
+    "delete idempotence needs no ADDB-style dedup ledger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = tmpWh()
+    fourWaves(wh, "so")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("rd-ckpt-").toString
+    val input = MemoryStream[Long]
+    input.addData(30L, 60L)
+    val crashed = graft.streaming.StreamingEtl.optOutSink(
+      input.toDF().toDF("k"), wh, "so", "k", ckpt,
+      afterDelete = () => sys.error("injected crash after commit"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crashed.awaitTermination()
+    }
+    assert(wh.casHead("so") == 5, "crash shape: the tombstone landed")
+    // restart re-delivers the uncommitted batch; a second DEL commit
+    // is fine — duplicate keys are idempotent under the anti-join
+    graft.streaming.StreamingEtl.optOutSink(
+      input.toDF().toDF("k"), wh, "so", "k", ckpt).awaitTermination()
+    assert(wh.casHead("so") == 6, "replayed batch commits redundantly")
+    assert((5 to 6).forall(n =>
+      commitLines(wh, "so", n).forall(_.startsWith("DEL k "))))
+    assert(wh.casRead(spark, "so").agg(count(lit(1)), sum("k"))
+      .as[(Long, Long)].head() == (98L, (0L until 100L).sum - 90L))
+    // a later batch through the same checkpoint applies new keys
+    input.addData(10L)
+    graft.streaming.StreamingEtl.optOutSink(
+      input.toDF().toDF("k"), wh, "so", "k", ckpt).awaitTermination()
+    assert(wh.casRead(spark, "so").agg(count(lit(1)), sum("k"))
+      .as[(Long, Long)].head() == (97L, (0L until 100L).sum - 100L))
+    // compaction still folds everything
+    wh.casCompactDeletes(spark, "so")
+    assert(wh.casRead(spark, "so").agg(count(lit(1)))
+      .as[Long].head() == 97L)
+  }
+
   // ---- casAppendEvolved: add-column schema evolution ---------------
 
   test("casAppendEvolved: the evolved wave's new column surfaces as " +
