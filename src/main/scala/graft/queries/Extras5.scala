@@ -831,6 +831,61 @@ object Extras5 {
       .crossJoin(wh.read(s, "sopt_evidence"))
   }
 
+  /** BULK TENANT ERASURE — q295's copy-on-write delete with a
+    * DISTRIBUTED forget-set
+    * ([[graft.sources.Warehouse.casDeleteWhereKeys]]): the departing
+    * tenant owns the entire top doc_id quartile, so the forget-set is
+    * a DataFrame (a quarter of the corpus — far past any `isin`
+    * literal), classification is one broadcast-extents pass whose
+    * result collects at COMMIT grain, and the delete rewrites exactly
+    * the tenant's wave — to an EMPTY remainder (every row matched) —
+    * while the three other quartiles retain by reference. The oracle
+    * restates the survivors and the erased count arithmetically.
+    *
+    * 100 TB shape: the forget-set never lands on the driver (the
+    * Seq form's 10^5-key plan ceiling is the point of this twin);
+    * extent classification is O(keys) map-side against a
+    * commit-count broadcast, and the rewrite cost is the tenant's
+    * own wave, nothing else.
+    */
+  val q302 = Q("q302_tenant_erasure",
+    """WITH q AS (
+      |  SELECT CAST(floor((max(doc_id) + 1) / 4) AS BIGINT) AS qs
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(1 AS BIGINT) AS rewritten,
+      |  CAST(3 AS BIGINT) AS retained,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents, q
+      |   WHERE doc_id >= 3 * qs) AS deleted
+      |FROM documents, q WHERE doc_id < 3 * qs""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"tenstore_${SessionScratch.keyOf(dir)}"))
+    val key = s"tenant_del_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id", "n_chars")
+      val maxId = d.agg(max("doc_id")).as[Long].head()
+      val qs = (maxId + 1L) / 4L
+      Seq((0L, qs), (qs, 2 * qs), (2 * qs, 3 * qs), (3 * qs, maxId + 1))
+        .foreach { case (lo, hi) =>
+          wh.casAppendStats(s,
+            d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            "ten_docs", "doc_id")
+        }
+      val st = wh.casDeleteWhereKeys(s, "ten_docs", "doc_id",
+        d.filter(col("doc_id") >= 3 * qs).select("doc_id"))
+      wh.overwrite(Seq((st.rewrittenCommits.toLong,
+        st.retainedCommits.toLong, st.deletedRows))
+        .toDF("rewritten", "retained", "deleted"), "ten_evidence")
+    }
+    wh.casRead(s, "ten_docs")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").cast("long").as("id_sum"))
+      .crossJoin(wh.read(s, "ten_evidence"))
+  }
+
   val all: Seq[Q] = Seq(q291, q292, q293, q294, q295, q296, q297,
-    q298, q299, q300, q301)
+    q298, q299, q300, q301, q302)
 }

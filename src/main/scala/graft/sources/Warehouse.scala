@@ -1706,29 +1706,93 @@ final case class Warehouse(root: String) {
   def casDeleteWhere(spark: SparkSession, table: String, c: String,
       keys: Seq[Long], retries: Int = 8,
       beforeCommit: () => Unit = () => ()): CasDeleteStats = {
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, s"casDeleteWhere($table): empty forget-set")
+    casDeleteCow(spark, table, c, retries, beforeCommit,
+      disjoint = (mn, mx) => keys.forall(k => k < mn || k > mx),
+      remainOf = hit => (hit.filter(!col(c).isin(keys: _*)),
+        hit.filter(col(c).isin(keys: _*)).count()))
+  }
+
+  /** [[casDeleteWhere]] with a DISTRIBUTED forget-set — the bulk
+    * erasure path (a whole tenant, millions of opted-out users):
+    * a driver `Seq` + `isin` caps out at plan-size limits around
+    * 10^5 keys, so here the keys stay a DataFrame end to end. The
+    * commit-extent classification becomes ONE distributed pass —
+    * the tiny extent table (one row per active commit) broadcasts
+    * against the keys, surviving extent ids collect (bounded by the
+    * commit count, never the key count) — and the rewrite removes
+    * matches with a key-grain anti-join instead of an `isin`
+    * literal. Same commit shape, OCC retry, and evidence as the
+    * Seq form; RowDeleteSpec pins both forms classify and delete
+    * identically.
+    */
+  def casDeleteWhereKeys(spark: SparkSession, table: String, c: String,
+      keys: DataFrame, retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): CasDeleteStats = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val k = keys.select(col(keys.columns.head).cast("long").as("__k"))
+      .distinct()
+    casDeleteCow(spark, table, c, retries, beforeCommit,
+      disjointAll = { exts =>
+        if (exts.isEmpty) Set.empty[Int]
+        else {
+          val extDf = exts.map { case (i, mn, mx) => (i, mn, mx) }
+            .toDF("__eid", "__mn", "__mx")
+          // keys × extents: extents are commit-count rows, broadcast;
+          // the hit set collects at extent grain, never key grain
+          k.join(broadcast(extDf),
+              col("__k").between(col("__mn"), col("__mx")))
+            .select("__eid").distinct().as[Int].collect().toSet
+        }
+      },
+      remainOf = hit => {
+        val deleted = hit.join(k, hit(c).cast("long") === col("__k"),
+          "left_semi").count()
+        (hit.join(k, hit(c).cast("long") === col("__k"), "left_anti"),
+          deleted)
+      })
+  }
+
+  // the shared copy-on-write delete core: classification by commit
+  // extent (either a per-extent local predicate or one distributed
+  // pass returning the HIT extent ids), then rewrite-affected /
+  // retain-disjoint under the usual OCC loop and multi-line commit
+  private def casDeleteCow(spark: SparkSession, table: String,
+      c: String, retries: Int, beforeCommit: () => Unit,
+      disjoint: (Long, Long) => Boolean = null,
+      disjointAll: Seq[(Int, Long, Long)] => Set[Int] = null,
+      remainOf: DataFrame => (DataFrame, Long)): CasDeleteStats = {
+    import org.apache.spark.sql.functions.{col, max, min}
     var attempt = 0
     while (attempt < retries) {
       val head = casHead(table)
       val cmds = casActiveCmdsAt(table, head)
       val (dels, datas) = cmds.partition(casIsDel)
-      val (retained, affected) = datas.partition { cmd =>
-        (cmd.startsWith("ADDS ") || cmd.startsWith("REPLACES ") ||
-          cmd.startsWith("REPLACEE ")) && {
+      val exts = datas.zipWithIndex.flatMap { case (cmd, i) =>
+        if (cmd.startsWith("ADDS ") || cmd.startsWith("REPLACES ") ||
+          cmd.startsWith("REPLACEE ")) {
           val p = cmd.split(" ", 4)
-          p(1) != "-" && p(2) != "-" && {
-            val (mn, mx) = (p(1).toLong, p(2).toLong)
-            keys.forall(k => k < mn || k > mx)
-          }
-        }
+          if (p(1) == "-" || p(2) == "-") None
+          else Some((i, p(1).toLong, p(2).toLong))
+        } else None
       }
+      val hitIds: Set[Int] =
+        if (disjointAll != null) disjointAll(exts)
+        else exts.collect {
+          case (i, mn, mx) if !disjoint(mn, mx) => i
+        }.toSet
+      val extIds = exts.map(_._1).toSet
+      val (retainedIdx, affectedIdx) = datas.indices.partition(i =>
+        extIds(i) && !hitIds(i))
+      val retained = retainedIdx.map(datas)
+      val affected = affectedIdx.map(datas)
       if (affected.isEmpty)
         return CasDeleteStats(head, 0, retained.size, 0L)
       val hit = casResolveRead(spark, affected,
         s"casDeleteWhere($table)")
-      val deleted = hit.filter(col(c).isin(keys: _*)).count()
-      val remain = hit.filter(!col(c).isin(keys: _*))
+      val (remain, deleted) = remainOf(hit)
       val staged = new File(new File(dir(table + "__data")),
         java.util.UUID.randomUUID().toString)
       remain.write.mode("errorifexists").parquet(staged.getPath)

@@ -135,6 +135,36 @@ class RowDeleteSpec extends SparkSpec {
       (75L, (0L until 100L).sum - (50L until 75L).sum))
   }
 
+  test("casDeleteWhereKeys (DataFrame forget-set) classifies and " +
+    "deletes identically to the Seq form — the bulk-erasure path " +
+    "with no isin literal, keys distributed end to end") {
+    import spark.implicits._
+    val wh = tmpWh()
+    fourWaves(wh, "gk")
+    val st = wh.casDeleteWhereKeys(spark, "gk", "k",
+      Seq(30L, 60L).toDF("k"))
+    assert(st.rewrittenCommits == 2 && st.retainedCommits == 2 &&
+      st.deletedRows == 2L && st.version == 5, st.toString)
+    assert(wh.casRead(spark, "gk").agg(count(lit(1)), sum("k"))
+      .as[(Long, Long)].head() == (98L, (0L until 100L).sum - 90L))
+    // retained stats lines ride verbatim, as in the Seq form
+    val lines = commitLines(wh, "gk", 5)
+    assert(lines.exists(_.startsWith("ADDS 0 24 ")) &&
+      lines.exists(_.startsWith("ADDS 75 99 ")), lines.toString)
+    // a 100k-key forget-set (far past isin plan limits) still
+    // classifies at extent grain and deletes exactly its hits
+    val wide = spark.range(10000L, 110000L).toDF("k")
+    val st2 = wh.casDeleteWhereKeys(spark, "gk", "k", wide)
+    assert(st2 == graft.sources.CasDeleteStats(5, 0, 3, 0L),
+      s"disjoint bulk set is a no-op: $st2")
+    val st3 = wh.casDeleteWhereKeys(spark, "gk", "k",
+      spark.range(80L, 110000L).toDF("k"))
+    assert(st3.rewrittenCommits == 1 && st3.deletedRows == 20L,
+      st3.toString)
+    assert(wh.casRead(spark, "gk").agg(count(lit(1)))
+      .as[Long].head() == 78L)
+  }
+
   // ---- casDeleteRange: time-based retention ------------------------
 
   test("casDeleteRange drops fully-inside waves WITHOUT reading them " +
