@@ -886,6 +886,103 @@ object Extras5 {
       .crossJoin(wh.read(s, "ten_evidence"))
   }
 
+  /** TABLE ROLLBACK — Delta `RESTORE TABLE` on the CAS log
+    * ([[graft.sources.Warehouse.casRestore]]): four stats waves + a
+    * merge-on-read tombstone are the good state; a bad REPLACE
+    * (someone ships a filter bug that drops most of the corpus)
+    * becomes the head; ONE metadata commit restores the good
+    * snapshot — stats, tombstone and all ride with the restored
+    * lines, and the bad version stays time-travelable in between
+    * (its row count is captured as evidence before the restore;
+    * the bad REPLACE materialized THROUGH the tombstone —
+    * casReplace reads the resolved snapshot — so the tombstoned id
+    * below the filter cut is already absent from it).
+    * The oracle restates the restored corpus and the bad snapshot's
+    * size arithmetically; the version counter pins the 7-commit
+    * shape (4 appends + DEL + bad REPLACE + restore).
+    *
+    * 100 TB shape: rollback of any size table is one tiny commit
+    * file — snapshot-by-reference is the whole point.
+    */
+  val q303 = Q("q303_table_rollback",
+    """WITH f AS (SELECT doc_id FROM documents WHERE doc_id % 43 = 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE doc_id < 10 AND doc_id % 43 <> 0) AS bad_n,
+      |  CAST(7 AS BIGINT) AS head_version
+      |FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM f)""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"rbstore_${SessionScratch.keyOf(dir)}"))
+    val key = s"tbl_rollback_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id")
+      val maxId = d.agg(max("doc_id")).as[Long].head()
+      val qs = (maxId + 1L) / 4L
+      Seq((0L, qs), (qs, 2 * qs), (2 * qs, 3 * qs), (3 * qs, maxId + 1))
+        .foreach { case (lo, hi) =>
+          wh.casAppendStats(s,
+            d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            "rb_docs", "doc_id")
+        }
+      wh.casDeleteMoR(s, "rb_docs", "doc_id",
+        d.filter(col("doc_id") % 43 === 0))             // v5: good state
+      wh.casReplace(s, "rb_docs")(cur =>
+        cur.filter(col("doc_id") < 10))                 // v6: the bad load
+      val badN = wh.casRead(s, "rb_docs").count()
+      val rv = wh.casRestore(s, "rb_docs", 5)           // v7
+      wh.overwrite(Seq((badN, rv.toLong))
+        .toDF("bad_n", "head_version"), "rb_evidence")
+    }
+    wh.casRead(s, "rb_docs")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").cast("long").as("id_sum"))
+      .crossJoin(wh.read(s, "rb_evidence"))
+  }
+
+  /** WAREHOUSE ROLLBACK to a tagged release
+    * ([[graft.sources.Warehouse.catRestoreTag]]): the good release
+    * (even doc_ids) is tagged; a bad load lands the odd half and
+    * advances the catalog; one catalog transaction re-publishes the
+    * tag's pins and head readers flip back to exactly the release —
+    * while the bad interval stays time-travelable (its size captured
+    * at catalog asOf=2 as evidence). Oracle restates both snapshots;
+    * restored_cat_version pins the 3-commit catalog shape.
+    *
+    * 100 TB shape: the rollback is one catalog commit naming pins —
+    * no table data read or moved at any warehouse size.
+    */
+  val q304 = Q("q304_release_rollback",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS bad_n,
+      |  CAST(3 AS BIGINT) AS restored_cat_version
+      |FROM documents WHERE doc_id % 2 = 0""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"rrstore_${SessionScratch.keyOf(dir)}"))
+    val key = s"rel_rollback_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id")
+      wh.casAppend(d.filter(col("doc_id") % 2 === 0), "rr_docs")
+      wh.catCommit(Seq("rr_docs" -> 1))               // cat 1
+      wh.catTag("release_v1", 1)
+      wh.casAppend(d.filter(col("doc_id") % 2 === 1), "rr_docs")
+      wh.catCommit(Seq("rr_docs" -> 2))               // cat 2: bad load
+      val badN = wh.catRead(s, "rr_docs").count()
+      val rv = wh.catRestoreTag("release_v1")         // cat 3
+      wh.overwrite(Seq((badN, rv.toLong))
+        .toDF("bad_n", "restored_cat_version"), "rr_evidence")
+    }
+    wh.catRead(s, "rr_docs")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").cast("long").as("id_sum"))
+      .crossJoin(wh.read(s, "rr_evidence"))
+  }
+
   val all: Seq[Q] = Seq(q291, q292, q293, q294, q295, q296, q297,
-    q298, q299, q300, q301, q302)
+    q298, q299, q300, q301, q302, q303, q304)
 }

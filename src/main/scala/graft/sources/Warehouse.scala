@@ -2060,6 +2060,40 @@ final case class Warehouse(root: String) {
       s"casOptimize($table): lost $retries CAS races")
   }
 
+  /** RESTORE — roll the table back to version `v` (Delta `RESTORE
+    * TABLE ... TO VERSION`): publish ONE metadata commit whose lines
+    * are v's active snapshot verbatim behind a `CKPT` stop marker —
+    * no data moves, the old waves become the head again, and every
+    * property of the restored snapshot rides with its lines (ADDS
+    * stats keep pruning, ADDE keeps the footer-merge flag, DEL
+    * tombstones keep applying). History is preserved, not rewritten:
+    * the bad versions stay readable between `v` and the restore
+    * commit (time travel still serves them), and the restored waves
+    * are re-referenced so retention/vacuum keep them alive even
+    * after the bad REPLACE's own window is truncated. Restoring a
+    * version whose replay window a [[casTruncate]] retired fails
+    * loudly ([[casActiveCmdsAt]]).
+    *
+    * 100 TB shape: rollback of any size table is one tiny commit
+    * file — the whole point of snapshot-by-reference.
+    */
+  def casRestore(spark: SparkSession, table: String, v: Int,
+      retries: Int = 8, beforeCommit: () => Unit = () => ()): Int = {
+    var attempt = 0
+    while (attempt < retries) {
+      val head = casHead(table)
+      require(v >= 1 && v <= head,
+        s"casRestore($table, $v): version out of range 1..$head")
+      val lines = casActiveCmdsAt(table, v)
+      beforeCommit()
+      if (casTryCommit(table, head + 1, "CKPT" +: lines))
+        return head + 1
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casRestore($table): lost $retries CAS races")
+  }
+
   // ---- schema evolution ---------------------------------------------
 
   /** SCHEMA-EVOLVED APPEND — land a wave whose schema ADDS columns
@@ -2867,6 +2901,30 @@ final case class Warehouse(root: String) {
       tag: String): DataFrame =
     catRead(spark, table, asOf = catTags().getOrElse(tag,
       sys.error(s"catReadTag($tag): no such tag")))
+
+  /** WAREHOUSE ROLLBACK to a tagged release — publish the tag's pin
+    * map as one new catalog transaction ([[catCommit]] validates
+    * every pin's replay window is still readable, so a rollback onto
+    * retired data fails loudly at the committer). Head readers flip
+    * to exactly the release's cross-table-consistent snapshot for
+    * every table the release pinned; tables first pinned AFTER the
+    * tag keep their current pins (the restore commit does not name
+    * them, so resolution falls through to the newer history —
+    * "restore what the release knew, leave the rest alone").
+    * History is preserved: the bad versions stay time-travelable
+    * between the tag and the restore commit. One tiny commit file
+    * at any warehouse size.
+    */
+  def catRestoreTag(tag: String, retries: Int = 8): Int =
+    catRestore(catTags().getOrElse(tag,
+      sys.error(s"catRestoreTag($tag): no such tag")), retries)
+
+  /** [[catRestoreTag]] for an explicit catalog version. */
+  def catRestore(asOf: Int, retries: Int = 8): Int = {
+    val pins = catSnapshot(asOf).toSeq.sortBy(_._1)
+    require(pins.nonEmpty, s"catRestore($asOf): empty snapshot")
+    catCommit(pins, retries)
+  }
 
   /** The first catalog commit the snapshot at `v` replays (its
     * backward scan's stop point — the nearest CCKPT at-or-below, or

@@ -103,6 +103,47 @@ class OptimizeTagSpec extends SparkSpec {
       .as[Long].head() == 60L)
   }
 
+  // ---- casRestore ----------------------------------------------------
+
+  test("casRestore rolls the head back to an old snapshot as ONE " +
+    "metadata commit — stats, evolved flags and tombstones ride with " +
+    "the restored lines, history in between stays time-travelable, " +
+    "and the restored waves survive later retention") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppendStats(spark, (0L until 50L).toDF("k"), "rb", "k")
+    wh.casAppendStats(spark, (50L until 100L).toDF("k"), "rb", "k")
+    wh.casDeleteMoR(spark, "rb", "k", Seq(7L).toDF("k"))  // v3
+    // the bad load: a replace that drops most of the table
+    wh.casReplace(spark, "rb")(cur => cur.filter(col("k") < 5L)) // v4
+    assert(wh.casRead(spark, "rb").agg(count(lit(1)))
+      .as[Long].head() == 5L)
+    val rv = wh.casRestore(spark, "rb", 3)
+    assert(rv == 5)
+    // restored head: both waves minus the tombstoned row
+    assert(wh.casRead(spark, "rb").agg(count(lit(1)), sum("k"))
+      .as[(Long, Long)].head() == (99L, (0L until 100L).sum - 7L))
+    // the restored commit carries v3's lines verbatim behind CKPT
+    val lines = commitLines(wh, "rb", 5)
+    assert(lines.head == "CKPT" &&
+      lines.count(_.startsWith("ADDS ")) == 2 &&
+      lines.count(_.startsWith("DEL k ")) == 1, lines.toString)
+    // stats still prune through the restore
+    val (kept, total) = wh.casPrunedCommits("rb", 80L, 90L)
+    assert(total == 2 && kept.size == 1, s"$kept/$total")
+    // the bad version stays readable between v3 and the restore
+    assert(wh.casReadAt(spark, "rb", 4).agg(count(lit(1)))
+      .as[Long].head() == 5L)
+    // retention keeps the restored waves (they are the head snapshot)
+    wh.casTruncate("rb")
+    wh.casVacuum("rb", minAgeMs = 0L)
+    assert(wh.casRead(spark, "rb").agg(count(lit(1)))
+      .as[Long].head() == 99L)
+    // restoring into a retired window fails loudly
+    assert(intercept[RuntimeException](
+      wh.casRestore(spark, "rb", 2)).getMessage.contains("missing"))
+  }
+
   // ---- catalog tags --------------------------------------------------
 
   test("catTag names a catalog snapshot; catReadTag resolves it; " +
@@ -196,6 +237,40 @@ class OptimizeTagSpec extends SparkSpec {
       .contains("missing"))
     assert(wh.catRead(spark, "td").as[Long].collect().toSet ==
       Set(1L, 2L))
+  }
+
+  test("catRestoreTag rolls the warehouse to the tagged release: " +
+    "every table the release pinned flips back, tables pinned only " +
+    "AFTER the tag keep their current state, the bad interval stays " +
+    "time-travelable, and restoring onto retired data fails loudly") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppend(Seq(1L).toDF("k"), "ra")
+    wh.casAppend(Seq(10L).toDF("k"), "rz")
+    wh.catCommit(Seq("ra" -> 1, "rz" -> 1))        // cat 1
+    wh.catTag("good-release")
+    // the bad load touches ra; a NEW table rx appears after the tag
+    wh.casAppend(Seq(2L, 3L).toDF("k"), "ra")
+    wh.casAppend(Seq(99L).toDF("k"), "rx")
+    wh.catCommit(Seq("ra" -> 2, "rx" -> 1))        // cat 2
+    assert(wh.catRead(spark, "ra").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    val rv = wh.catRestoreTag("good-release")
+    assert(rv == 3)
+    assert(wh.catRead(spark, "ra").as[Long].collect().toSet == Set(1L),
+      "the release's pin is the head again")
+    assert(wh.catRead(spark, "rz").as[Long].collect().toSet == Set(10L))
+    assert(wh.catRead(spark, "rx").as[Long].collect().toSet ==
+      Set(99L), "a table the release never pinned keeps its state")
+    // the bad interval is still history
+    assert(wh.catRead(spark, "ra", asOf = 2).as[Long]
+      .collect().toSet == Set(1L, 2L, 3L))
+    // rollback onto retired data fails at the committer: retire ra's
+    // old window (drop the tag so retention can move past it)
+    wh.catDeleteTag("good-release")
+    wh.catTruncate()
+    wh.casTruncate("ra")
+    intercept[RuntimeException](wh.catRestore(2))
   }
 
   test("catTag pre-validation: tagging a version whose window a " +
