@@ -35,6 +35,14 @@ final case class CasDeleteStats(version: Int, rewrittenCommits: Int,
 final case class CasRangeDeleteStats(version: Int, droppedCommits: Int,
     rewrittenCommits: Int, retainedCommits: Int, deletedRows: Long)
 
+/** One row of [[Warehouse.casHistory]] — DESCRIBE HISTORY at commit
+  * grain: the operation class derived from the commit's verbs, line
+  * counts, and the commit file's mtime (wall-clock evidence only;
+  * ordering truth is the version number).
+  */
+final case class CasCommitInfo(version: Int, operation: String,
+    lines: Int, dataLines: Int, delLines: Int, modifiedMs: Long)
+
 /** Evidence a [[Warehouse.casOptimize]] returns: the committed
   * version, how many small waves were folded into the one rewrite,
   * and how many big waves were retained by reference. `version` is
@@ -2093,6 +2101,33 @@ final case class Warehouse(root: String) {
     throw new CommitConflict(
       s"casRestore($table): lost $retries CAS races")
   }
+
+  /** DESCRIBE HISTORY — the operation log every table format exposes:
+    * one row per EXISTING commit (retired versions are absent — their
+    * absence IS the retention record), with the operation class
+    * derived from the commit's verbs and the line/path counts. Pure
+    * driver metadata (one small file read per commit, newest first);
+    * no data is touched at any table size.
+    */
+  def casHistory(table: String): Seq[CasCommitInfo] =
+    Option(casLogDir(table).listFiles()).getOrElse(Array())
+      .filter(_.getName.endsWith(".commit"))
+      .flatMap(f => f.getName.stripSuffix(".commit").toIntOption
+        .map(n => (n, f))).sortBy(-_._1).toSeq
+      .map { case (n, f) =>
+        val ls = readLines(f)
+        val op =
+          if (ls.contains("CKPT")) "CHECKPOINT" // incl. restore/drop
+          else if (ls.forall(casIsDel)) "DELETE_MOR"
+          else if (ls.exists(casIsReplace) && ls.size > 1) "REWRITE"
+          else if (ls.exists(casIsReplace)) "REPLACE"
+          else if (ls.exists(_.startsWith("ADDB "))) "APPEND_BATCH"
+          else if (ls.exists(_.startsWith("ADDE "))) "APPEND_EVOLVED"
+          else "APPEND"
+        CasCommitInfo(n, op, ls.size,
+          ls.count(l => !casIsMeta(l) && !casIsDel(l)),
+          ls.count(casIsDel), f.lastModified())
+      }
 
   // ---- schema evolution ---------------------------------------------
 

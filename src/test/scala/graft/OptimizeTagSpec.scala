@@ -144,6 +144,32 @@ class OptimizeTagSpec extends SparkSpec {
       wh.casRestore(spark, "rb", 2)).getMessage.contains("missing"))
   }
 
+  test("casHistory classifies every commit by its verbs, newest " +
+    "first, and retired versions are simply absent") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppendStats(spark, (0L until 10L).toDF("k"), "hs", "k") // 1
+    wh.casAppendBatch(Seq(10L).toDF("k"), "hs", "s", 1L)          // 2
+    wh.casAppendEvolved(Seq(11L).toDF("k")
+      .withColumn("extra", lit(1L)), "hs")                        // 3
+    wh.casDeleteMoR(spark, "hs", "k", Seq(3L).toDF("k"))          // 4
+    wh.casDeleteWhere(spark, "hs", "k", Seq(5L))                  // 5
+    wh.casReplace(spark, "hs")(cur => cur)                        // 6
+    wh.casRestore(spark, "hs", 5)                                 // 7
+    val h = wh.casHistory("hs")
+    assert(h.map(i => (i.version, i.operation)) == Seq(
+      7 -> "CHECKPOINT", 6 -> "REPLACE", 5 -> "REWRITE",
+      4 -> "DELETE_MOR", 3 -> "APPEND_EVOLVED", 2 -> "APPEND_BATCH",
+      1 -> "APPEND"), h.toString)
+    assert(h.find(_.version == 5).exists(i =>
+      i.delLines == 1 && i.dataLines >= 1), "the rewrite carries " +
+      "the riding tombstone and its data lines")
+    wh.casTruncate("hs") // 8: fresh checkpoint, below retired
+    val h2 = wh.casHistory("hs")
+    assert(h2.map(_.version) == Seq(8) &&
+      h2.head.operation == "CHECKPOINT", h2.toString)
+  }
+
   // ---- catalog tags --------------------------------------------------
 
   test("catTag names a catalog snapshot; catReadTag resolves it; " +

@@ -357,6 +357,73 @@ class RowDeleteSpec extends SparkSpec {
       .as[Long].head() == 97L)
   }
 
+  // ---- mixed churn under real threads --------------------------------
+
+  test("8 REAL threads of mixed churn — appends, MoR deletes, " +
+    "copy-on-write deletes, an optimize — serialize through the CAS " +
+    "with no lost update: the final snapshot is exactly (all appended " +
+    "keys) minus (all deleted keys), the log is contiguous, and a " +
+    "zero-grace vacuum after truncation reclaims only unreferenced " +
+    "waves") {
+    import spark.implicits._
+    val wh = tmpWh()
+    // base: keys 0..799 in eight stats waves
+    (0 to 7).foreach(w => wh.casAppendStats(spark,
+      (w * 100L until w * 100L + 100L).toDF("k"), "mc", "k"))
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = (0 to 7).map { i =>
+      new Thread(() => {
+        try {
+          i % 4 match {
+            case 0 => // appender: a fresh 10-key wave above the base
+              wh.casAppendStats(spark,
+                (1000L + i * 10L until 1000L + i * 10L + 10L).toDF("k"),
+                "mc", "k", retries = 64)
+              ()
+            case 1 => // MoR delete: two keys from its own slice
+              wh.casDeleteMoR(spark, "mc", "k",
+                Seq(i * 100L + 1L, i * 100L + 2L).toDF("k"),
+                retries = 64)
+              ()
+            case 2 => // copy-on-write delete: one key
+              wh.casDeleteWhere(spark, "mc", "k", Seq(i * 100L + 3L),
+                retries = 64)
+              ()
+            case 3 => // optimize under churn
+              wh.casOptimize(spark, "mc", maxWaves = 4, retries = 64)
+              ()
+          }
+        } catch { case t: Throwable => err.compareAndSet(null, t); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(err.get() == null, s"a writer died: ${err.get()}")
+    // base 8 + the churn commits: the two optimize threads may
+    // each legitimately no-op (a rival optimize already brought the
+    // table within budget), so head is 14..16 — and the log must be
+    // CONTIGUOUS (every version below head exists) whatever happened
+    val head = wh.casHead("mc")
+    assert(head >= 14 && head <= 16, s"head $head")
+    val commitFiles = Option(new java.io.File(wh.root, "mc__log")
+      .listFiles()).getOrElse(Array())
+      .count(_.getName.endsWith(".commit"))
+    assert(commitFiles == head, s"contiguous log: $commitFiles vs $head")
+    val appended = (0L until 800L) ++
+      Seq(0, 4).flatMap(i => 1000L + i * 10L until 1000L + i * 10L + 10L)
+    val deleted = Seq(1, 5).flatMap(i =>
+      Seq(i * 100L + 1L, i * 100L + 2L)) ++
+      Seq(2, 6).map(i => i * 100L + 3L)
+    assert(wh.casRead(spark, "mc").as[Long].collect().toSet ==
+      appended.toSet -- deleted.toSet,
+      "final snapshot = appends minus deletes, whatever the schedule")
+    // retention + GC stay healthy after the churn
+    wh.casTruncate("mc")
+    wh.casVacuum("mc", minAgeMs = 0L)
+    assert(wh.casRead(spark, "mc").as[Long].collect().toSet ==
+      appended.toSet -- deleted.toSet)
+  }
+
   // ---- casAppendEvolved: add-column schema evolution ---------------
 
   test("casAppendEvolved: the evolved wave's new column surfaces as " +
