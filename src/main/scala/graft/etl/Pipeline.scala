@@ -204,10 +204,12 @@ object Pipeline {
     * A failure anywhere (e.g. the constraint gate) leaves the catalog
     * untouched: staged REPLACE commits without a pin are dead
     * versions the next successful refresh supersedes. Incremental
-    * facts stay incremental — the delta is computed against the
-    * pinned prior fact and UNIONED with it, so the landed REPLACE is
-    * the complete new fact state (O(new state) write, same as the
-    * single-writer form's merge-overwrite rewrite).
+    * facts are O(delta): the CDC delta (computed against the pinned
+    * prior) lands as ONE casAppend wave when the fact log is at its
+    * pinned base — the reference's INSERT-only fact loads
+    * (BikesDWSQl.sql:41,75) — falling back to a full prior∪delta
+    * REPLACE only when the log head moved past the base (dead
+    * versions from a failed refresh, or concurrent direct writers).
     *
     * Returns (catalog version, per-table pinned versions).
     */
@@ -284,17 +286,39 @@ object Pipeline {
       BikesPipeline.prdctSmFct(items, orders, asOfD),
       "dw_prdct_sm_fct", retries)
 
+    // incremental facts land O(delta), matching the reference's
+    // INSERT-only fact loads (BikesDWSQl.sql:41 `insert into
+    // Ordr_Sm_Fct`, :75 `insert into Ordr_Dtl_Fct` — never a
+    // truncate): when the fact log's head IS the pinned base version
+    // (the normal daily cadence), the CDC delta APPENDS as one ADD
+    // wave and the pin advances over it — a day's refresh writes the
+    // day's rows, not the table. A head that moved past the base (a
+    // failed refresh's dead unpinned REPLACE, or a concurrent direct
+    // writer) falls back to the full prior∪delta REPLACE, which is
+    // correct under ANY log state because it derives only from the
+    // pinned snapshot. At 100 TB the fast path is the difference
+    // between O(day) and O(history) daily writes; [[Warehouse
+    // .casMaybeOptimize]] keeps the accumulated daily waves' read
+    // fan-in bounded.
+    def publishFact(name: String, delta: DataFrame,
+        priorDf: Option[DataFrame]): Unit =
+      vs(name) = priorDf match {
+        case Some(_) if wh.casHead(name) == base(name) =>
+          wh.casAppend(delta, name, retries)
+        case Some(p) =>
+          wh.casOverwrite(p.unionByName(delta), name, retries)
+        case None => wh.casOverwrite(delta, name, retries)
+      }
+
     val smPrior = prior("dw_ordr_sm_fct")
     val smExisting = smPrior.map(_.select("Ordr_ID")).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         new org.apache.spark.sql.types.StructType()
           .add("Ordr_ID", org.apache.spark.sql.types.LongType)))
-    val smDelta = BikesPipeline.ordrSmFct(items, orders, smExisting,
-      asOfD)
-    vs("dw_ordr_sm_fct") = wh.casOverwrite(
-      smPrior.map(_.unionByName(smDelta)).getOrElse(smDelta),
-      "dw_ordr_sm_fct", retries)
+    publishFact("dw_ordr_sm_fct",
+      BikesPipeline.ordrSmFct(items, orders, smExisting, asOfD),
+      smPrior)
 
     val dtlPrior = prior("dw_ordr_dtl_fct")
     val dtlExisting = dtlPrior.map(_.select("Ordr_ID", "Prdct_ID"))
@@ -303,11 +327,9 @@ object Pipeline {
         new org.apache.spark.sql.types.StructType()
           .add("Ordr_ID", org.apache.spark.sql.types.LongType)
           .add("Prdct_ID", org.apache.spark.sql.types.StringType)))
-    val dtlDelta = BikesPipeline.ordrDtlFct(items, orders, dtlExisting,
-      asOfD)
-    vs("dw_ordr_dtl_fct") = wh.casOverwrite(
-      dtlPrior.map(_.unionByName(dtlDelta)).getOrElse(dtlDelta),
-      "dw_ordr_dtl_fct", retries)
+    publishFact("dw_ordr_dtl_fct",
+      BikesPipeline.ordrDtlFct(items, orders, dtlExisting, asOfD),
+      dtlPrior)
 
     vs("dw_cust_dim") = wh.casOverwrite(
       BikesPipeline.custDim(ods("ods_customer"), asOfD),
@@ -325,7 +347,11 @@ object Pipeline {
       "dw_act_perd_dim", retries)
 
     // ---- the reference's line-202 `commit`: ONE pin set -----------
+    // catCommitMax, not catCommit: the fact pins ADVANCE over
+    // appended deltas, and the monotone merge means a concurrent
+    // transaction's pins on the same tables can never be regressed
+    // by this refresh (the q292 device)
     beforeCommit()
-    (wh.catCommit(vs.toSeq, retries), vs.toMap)
+    (wh.catCommitMax(vs.toSeq, retries), vs.toMap)
   }
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.io.File
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Parquet-backed warehouse table (SURVEY S2, S4-S6): read, append
   * (insert-only load), full refresh (DELETE+INSERT → overwrite), and
@@ -24,6 +24,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class CasDeleteStats(version: Int, rewrittenCommits: Int,
     retainedCommits: Int, deletedRows: Long)
+
+/** Evidence a [[Warehouse.casUpdateWhere]] returns: the committed
+  * version, the rewritten-vs-retained commit split (the same
+  * extent-skipping proof as the CoW delete), and the rows the SET
+  * clauses actually touched. `version` is the pre-update head when
+  * no commit could contain a key (no commit published).
+  */
+final case class CasUpdateStats(version: Int, rewrittenCommits: Int,
+    retainedCommits: Int, updatedRows: Long)
 
 /** Evidence a [[Warehouse.casDeleteRange]] returns: the committed
   * version, how many commits were dropped whole (no read — the
@@ -52,7 +61,8 @@ final case class CasCommitInfo(version: Int, operation: String,
 final case class CasOptimizeStats(version: Int, compacted: Int,
     retained: Int)
 
-final case class Warehouse(root: String) {
+final case class Warehouse(root: String,
+    clock: () => Long = () => System.currentTimeMillis()) {
 
   private def dir(table: String) = s"$root/$table"
 
@@ -1266,13 +1276,26 @@ final case class Warehouse(root: String) {
 
   // the raw hard-link CAS against an arbitrary log directory — shared
   // by the per-table log and the catalog log, so both tiers publish
-  // through literally the same primitive
+  // through literally the same primitive. Every commit leads with a
+  // `TS <millis>` metadata line from the injected clock, clamped
+  // monotone against the predecessor commit (two racing writers read
+  // their clocks before the CAS decides order; the clamp keeps the
+  // recorded timeline nondecreasing, which is what lets
+  // [[casVersionAsOf]]/[[catVersionAsOf]] binary-search it) — the
+  // Delta commitInfo-timestamp discipline.
   private def tryCommitIn(logDir: File, n: Int,
       lines: Seq[String]): Boolean = {
+    val prevTs =
+      if (n <= 1) Long.MinValue
+      else readLines(new File(logDir, f"${n - 1}%09d.commit"))
+        .headOption.filter(_.startsWith("TS "))
+        .flatMap(_.stripPrefix("TS ").toLongOption)
+        .getOrElse(Long.MinValue)
+    val ts = math.max(clock(), prevTs)
     val tmp = new File(logDir,
       f"$n%09d.tmp-" + java.util.UUID.randomUUID().toString)
     java.nio.file.Files.write(tmp.toPath,
-      lines.mkString("", "\n", "\n")
+      (s"TS $ts" +: lines).mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     try {
       java.nio.file.Files.createLink(
@@ -1315,6 +1338,7 @@ final case class Warehouse(root: String) {
       beforeCommit()
       if (casTryCommit(table, n, Seq("ADD " + staged.getPath))) {
         casMaybeVacuum(table, n)
+        casMaybeOptimize(df.sparkSession, table, n)
         return n
       }
       attempt += 1
@@ -1393,10 +1417,11 @@ final case class Warehouse(root: String) {
     acc.filterNot(casIsMeta)
   }
 
-  // metadata lines carry no data path: the CKPT marker and the
-  // per-stream TXN summaries a checkpoint records for batch dedup
+  // metadata lines carry no data path: the CKPT marker, the
+  // per-stream TXN summaries a checkpoint records for batch dedup,
+  // and the commit timestamp every commit leads with
   private def casIsMeta(l: String): Boolean =
-    l == "CKPT" || l.startsWith("TXN ")
+    l == "CKPT" || l.startsWith("TXN ") || l.startsWith("TS ")
 
   /** Per-stream maximum committed batch id, folded BACKWARD to the
     * last checkpoint: ADDB lines since the checkpoint max-merge over
@@ -1464,6 +1489,8 @@ final case class Warehouse(root: String) {
 
   // ADD <path> | ADDS <min|-> <max|-> <path> |
   // ADDB <stream> <batchId> <path> | ADDE <path> (schema-evolved) |
+  // ADDES <min|-> <max|-> <path> (stats-carrying evolved add — a
+  //   retained REPLACEE demoted without losing its extent) |
   // REPLACE <path> | REPLACES <min|-> <max|-> <path> |
   // REPLACEE <min|-> <max|-> <path> (stats-carrying replace whose
   //   snapshot still spans evolved schemas — [[casDeleteWhere]] on a
@@ -1471,7 +1498,8 @@ final case class Warehouse(root: String) {
   // DEL <keyCol> <path> (merge-on-read equality-delete tombstone)
   private def casCmdPath(cmd: String): String =
     if (cmd.startsWith("ADDS ") || cmd.startsWith("ADDB ") ||
-      cmd.startsWith("REPLACES ") || cmd.startsWith("REPLACEE "))
+      cmd.startsWith("ADDES ") || cmd.startsWith("REPLACES ") ||
+      cmd.startsWith("REPLACEE "))
       cmd.split(" ", 4)(3)
     else if (cmd.startsWith("DEL "))
       cmd.split(" ", 3)(2)
@@ -1482,16 +1510,36 @@ final case class Warehouse(root: String) {
   // lines whose snapshot may span files of different (compatible)
   // schemas — the reader must merge footers instead of trusting one
   private def casIsEvolved(cmd: String): Boolean =
-    cmd.startsWith("ADDE ") || cmd.startsWith("REPLACEE ")
+    cmd.startsWith("ADDE ") || cmd.startsWith("ADDES ") ||
+      cmd.startsWith("REPLACEE ")
+
+  // lines carrying a [min, max] extent at positions 1/2 — the commit-
+  // grain skip structure every pruning consult reads
+  private def casHasStats(l: String): Boolean =
+    l.startsWith("ADDS ") || l.startsWith("ADDES ") ||
+      l.startsWith("REPLACES ") || l.startsWith("REPLACEE ")
+
+  // the recorded extent, None when the line carries none (stat-less
+  // verb, or a `-` bound from an empty/null-keyed wave)
+  private def casExtent(l: String): Option[(Long, Long)] =
+    if (!casHasStats(l)) None
+    else {
+      val p = l.split(" ", 4)
+      if (p(1) == "-" || p(2) == "-") None
+      else Some((p(1).toLong, p(2).toLong))
+    }
 
   // a retained-by-reference replace line demotes to its add form:
   // the new commit carries exactly ONE replace line (the stop line,
   // naming the rewrite), and the demotion keeps what matters —
-  // REPLACES keeps its stats as ADDS, REPLACEE keeps the evolved
-  // flag as ADDE (stats dropped: no stats-carrying evolved add verb)
+  // REPLACES keeps its stats as ADDS, REPLACEE keeps BOTH the
+  // evolved flag and its stats as ADDES (losing the extent would
+  // make every later delete/range consult conservatively rewrite
+  // the retained wave)
   private def casDemote(l: String): String =
     if (l.startsWith("REPLACES ")) "ADDS " + l.stripPrefix("REPLACES ")
-    else if (l.startsWith("REPLACEE ")) "ADDE " + l.split(" ", 4)(3)
+    else if (l.startsWith("REPLACEE "))
+      "ADDES " + l.stripPrefix("REPLACEE ")
     else l
 
   private def casIsReplace(cmd: String): Boolean =
@@ -1558,6 +1606,76 @@ final case class Warehouse(root: String) {
       s"casReadAt($table, $v)")
   }
 
+  // largest version in [1, head] whose recorded TS is ≤ ts — binary
+  // search over the monotone timeline [[tryCommitIn]] clamps
+  // (O(log commits) driver file reads, data untouched: Delta's
+  // `TIMESTAMP AS OF` resolution). A MISSING probe (a commit
+  // [[casTruncate]]/[[catTruncate]] retired) orders as -∞ — it
+  // predates everything alive — and so does a legacy commit written
+  // before timestamps existed; resolving ONTO a retired commit fails
+  // loudly, the same retention contract as version time travel.
+  private def versionAsOfIn(logDir: File, head: Int, ts: Long,
+      ctx: String): Int = {
+    require(head >= 1, s"$ctx: empty log")
+    def tsOf(n: Int): Option[Long] = {
+      val f = new File(logDir, f"$n%09d.commit")
+      if (!f.exists()) None
+      else readLines(f).headOption.filter(_.startsWith("TS "))
+        .flatMap(_.stripPrefix("TS ").toLongOption)
+    }
+    var lo = 1
+    var hi = head
+    var best = 0
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (tsOf(mid).forall(_ <= ts)) { best = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (best == 0)
+      sys.error(s"$ctx: no commit at or before timestamp $ts")
+    if (!new File(logDir, f"$best%09d.commit").exists())
+      sys.error(s"$ctx: the snapshot at-or-before $ts was retired " +
+        "by retention — unreadable")
+    best
+  }
+
+  /** The table version a wall-clock instant resolves to — the latest
+    * commit whose `TS` is at or before `ts`.
+    */
+  def casVersionAsOf(table: String, ts: Long): Int =
+    versionAsOfIn(casLogDir(table), casHead(table), ts,
+      s"casVersionAsOf($table, $ts)")
+
+  /** TIMESTAMP TIME TRAVEL — [[casReadAt]] addressed by the injected
+    * clock instead of a version number (`SELECT … TIMESTAMP AS OF`):
+    * resolve by binary search over the commit timestamps, then replay
+    * the resolved version's window. A `ts` below the table's first
+    * live commit, or resolving into a [[casTruncate]]-retired window,
+    * fails loudly — retention decisions stay visible, never silent.
+    */
+  def casReadAsOf(spark: SparkSession, table: String,
+      ts: Long): DataFrame =
+    casReadAt(spark, table, casVersionAsOf(table, ts))
+
+  /** The [lo, hi] extent a commit line records for a staged wave on
+    * `c`, as line tokens. `-` bounds when the wave is empty OR any
+    * row's key is NULL / fails the long cast: min/max are blind to
+    * such rows, and an extent that hides them would let
+    * [[casDeleteRange]]'s whole-drop fast path physically delete
+    * NULL-keyed rows no range ever selects. A `-` wave is handled
+    * conservatively everywhere (kept by pruned reads, rewritten —
+    * null-safely — by deletes), so correctness never rests on the
+    * extent; NOT-NULL keys, the normal case, keep full skipping.
+    */
+  private def casStatsOf(staged: DataFrame, c: String): (String, String) = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val k = col(c).cast("long")
+    val r = staged.agg(min(k), max(k), count(lit(1)), count(k)).head()
+    if (r.isNullAt(0) || r.isNullAt(1) || r.getLong(2) != r.getLong(3))
+      ("-", "-")
+    else (r.getLong(0).toString, r.getLong(1).toString)
+  }
+
   /** CAS append WITH COMMIT-TIME STATISTICS — [[casAppend]] composed
     * with the manifest tier at COMMIT grain: the commit line carries
     * the staged wave's [min, max] extent on `c` (one aggregate over
@@ -1566,23 +1684,19 @@ final case class Warehouse(root: String) {
     * COMMITS during log replay with no separate manifest structure.
     * The stats stay correct under concurrent writers by construction:
     * they describe only this commit's own files, and the CAS decides
-    * ordering. An all-NULL wave records `-` extents and is kept
-    * conservatively by every consult.
+    * ordering. A wave carrying any NULL (or uncastable) key records
+    * `-` extents and is kept conservatively by every consult
+    * ([[casStatsOf]]).
     */
   def casAppendStats(spark: SparkSession, df: DataFrame, table: String,
       c: String, retries: Int = 8,
       beforeCommit: () => Unit = () => ()): Int = {
-    import org.apache.spark.sql.functions.{col, max, min}
     val staged = new File(new File(dir(table + "__data")),
       java.util.UUID.randomUUID().toString)
     df.write.mode("errorifexists").parquet(staged.getPath)
     // stats from the staged files (what readers will see), not the
     // possibly-nondeterministic input plan
-    val r = spark.read.parquet(staged.getPath)
-      .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
-    val (lo, hi) =
-      (if (r.isNullAt(0)) "-" else r.getLong(0).toString,
-        if (r.isNullAt(1)) "-" else r.getLong(1).toString)
+    val (lo, hi) = casStatsOf(spark.read.parquet(staged.getPath), c)
     var attempt = 0
     while (attempt < retries) {
       val n = casHead(table) + 1
@@ -1605,23 +1719,28 @@ final case class Warehouse(root: String) {
     * the skip evidence the spec pins.
     */
   def casPrunedCommits(table: String, lo: Long,
+      hi: Long): (Seq[String], Int) =
+    casPruneLines(casActiveCmds(table), lo, hi)
+
+  // the pure pruning fold over ONE set of active lines — shared by
+  // the public consult above and [[casReadPruned]], which must derive
+  // both the kept data lines and the riding DEL lines from a SINGLE
+  // log snapshot (two independent listings can straddle a concurrent
+  // rewrite commit and intersect to a silent subset)
+  private def casPruneLines(active: Seq[String], lo: Long,
       hi: Long): (Seq[String], Int) = {
     // DEL tombstones are not data: they carry no extent and are never
     // candidates for the union read — counts here are DATA lines only
-    val active = casActiveCmds(table).filterNot(casIsDel)
-    val kept = active.filter { cmd =>
-      // stats-carrying lines (ADDS, REPLACES, REPLACEE) prune;
+    val datas = active.filterNot(casIsDel)
+    val kept = datas.filter { cmd =>
+      // stats-carrying lines (ADDS/ADDES/REPLACES/REPLACEE) prune;
       // everything else (plain ADD, stat-less REPLACE, ADDB, ADDE) is
-      // kept conservatively
-      if (!cmd.startsWith("ADDS ") && !cmd.startsWith("REPLACES ") &&
-        !cmd.startsWith("REPLACEE ")) true
-      else {
-        val p = cmd.split(" ", 4)
-        p(1) == "-" || p(2) == "-" ||
-          (p(1).toLong <= hi && p(2).toLong >= lo)
+      // kept conservatively, as is a `-` extent
+      !casHasStats(cmd) || casExtent(cmd).forall {
+        case (mn, mx) => mn <= hi && mx >= lo
       }
     }.map(casCmdPath)
-    (kept, active.size)
+    (kept, datas.size)
   }
 
   /** Range read over a CAS-logged table through the commit-grain
@@ -1632,8 +1751,12 @@ final case class Warehouse(root: String) {
   def casReadPruned(spark: SparkSession, table: String, c: String,
       lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    // ONE log snapshot feeds both the pruning fold and the DEL
+    // re-attach below — a second independent listing could disagree
+    // with this one across a concurrent rewrite and silently drop
+    // the rewrite's lines from the intersection
     val active = casActiveCmds(table)
-    val (paths, _) = casPrunedCommits(table, lo, hi)
+    val (paths, _) = casPruneLines(active, lo, hi)
     // re-attach the active DEL lines: a pruned read must not
     // resurrect tombstoned rows that happen to fall inside [lo, hi]
     val keptLines = active.filter(l =>
@@ -1662,11 +1785,7 @@ final case class Warehouse(root: String) {
       val staged = new File(new File(dir(table + "__data")),
         java.util.UUID.randomUUID().toString)
       out.write.mode("errorifexists").parquet(staged.getPath)
-      val r = spark.read.parquet(staged.getPath)
-        .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
-      val (lo, hi) =
-        (if (r.isNullAt(0)) "-" else r.getLong(0).toString,
-          if (r.isNullAt(1)) "-" else r.getLong(1).toString)
+      val (lo, hi) = casStatsOf(spark.read.parquet(staged.getPath), c)
       if (casTryCommit(table, head + 1,
         Seq(s"REPLACES $lo $hi ${staged.getPath}"))) return head + 1
       delete(staged) // stale loser output, recomputed on retry
@@ -1714,12 +1833,18 @@ final case class Warehouse(root: String) {
   def casDeleteWhere(spark: SparkSession, table: String, c: String,
       keys: Seq[Long], retries: Int = 8,
       beforeCommit: () => Unit = () => ()): CasDeleteStats = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     require(keys.nonEmpty, s"casDeleteWhere($table): empty forget-set")
+    // NULL-SAFE classification: a row whose key is NULL (or fails the
+    // long comparison) is NOT in the forget-set and must be RETAINED —
+    // three-valued `!isin` evaluates to NULL on it and a plain filter
+    // would silently drop it from the rewrite (data loss beyond the
+    // requested keys). Same retention the keyed form's left_anti join
+    // gives; Round17Spec pins the parity.
+    val inSet = coalesce(col(c).isin(keys: _*), lit(false))
     casDeleteCow(spark, table, c, retries, beforeCommit,
       disjoint = (mn, mx) => keys.forall(k => k < mn || k > mx),
-      remainOf = hit => (hit.filter(!col(c).isin(keys: _*)),
-        hit.filter(col(c).isin(keys: _*)).count()))
+      remainOf = hit => (hit.filter(!inSet), hit.filter(inSet).count()))
   }
 
   /** [[casDeleteWhere]] with a DISTRIBUTED forget-set — the bulk
@@ -1763,6 +1888,56 @@ final case class Warehouse(root: String) {
       })
   }
 
+  /** COPY-ON-WRITE ROW UPDATE — `UPDATE t SET … WHERE c IN keys`,
+    * completing the multi-writer DML triangle on exactly
+    * [[casDeleteWhere]]'s extent-classification core: commits whose
+    * recorded [min, max] extent can contain an update key are
+    * rewritten with the SET clauses applied to matching rows; commits
+    * provably disjoint from every key are RETAINED BY REFERENCE —
+    * never opened, never copied, their lines (stats and all) ride
+    * into the new commit. Same single multi-line publish
+    * (REPLACES/REPLACEE naming the rewrite + demoted retained lines +
+    * riding DEL tombstones), same OCC retry contract, REPLACEE when
+    * the snapshot spans evolved schemas. NULL-keyed rows never match
+    * (`IN` semantics) and are retained unchanged — the null-safe
+    * discipline the delete forms pin.
+    *
+    * `set` maps column name → replacement expression, evaluated over
+    * the matched row (`col("v") * 2` works); every named column must
+    * already exist — UPDATE is not schema evolution. The key column
+    * itself may be updated: the rewrite's extent is recomputed from
+    * the staged output, so later consults stay sound.
+    *
+    * 100 TB shape: identical to the CoW delete — O(hit commits' data)
+    * + one tiny commit file; an update touching 3 of 10,000 waves
+    * rewrites 3. This is what makes catalog-tier SCD-style merges
+    * touch only changed extents instead of the whole table.
+    */
+  def casUpdateWhere(spark: SparkSession, table: String, c: String,
+      keys: Seq[Long], set: Map[String, Column], retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): CasUpdateStats = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(keys.nonEmpty, s"casUpdateWhere($table): empty key set")
+    require(set.nonEmpty, s"casUpdateWhere($table): empty SET clause")
+    val hitK = coalesce(col(c).isin(keys: _*), lit(false))
+    val st = casDeleteCow(spark, table, c, retries, beforeCommit,
+      disjoint = (mn, mx) => keys.forall(k => k < mn || k > mx),
+      remainOf = hit => {
+        set.keys.foreach(k => require(hit.columns.contains(k),
+          s"casUpdateWhere($table): SET names absent column $k"))
+        val updated = hit.select(hit.columns.toSeq.map { cn =>
+          set.get(cn) match {
+            case Some(e) => when(hitK, e).otherwise(col(cn)).as(cn)
+            case None => col(cn)
+          }
+        }: _*)
+        (updated, hit.filter(hitK).count())
+      },
+      ctx = "casUpdateWhere")
+    CasUpdateStats(st.version, st.rewrittenCommits,
+      st.retainedCommits, st.deletedRows)
+  }
+
   // the shared copy-on-write delete core: classification by commit
   // extent (either a per-extent local predicate or one distributed
   // pass returning the HIT extent ids), then rewrite-affected /
@@ -1771,7 +1946,8 @@ final case class Warehouse(root: String) {
       c: String, retries: Int, beforeCommit: () => Unit,
       disjoint: (Long, Long) => Boolean = null,
       disjointAll: Seq[(Int, Long, Long)] => Set[Int] = null,
-      remainOf: DataFrame => (DataFrame, Long)): CasDeleteStats = {
+      remainOf: DataFrame => (DataFrame, Long),
+      ctx: String = "casDeleteWhere"): CasDeleteStats = {
     import org.apache.spark.sql.functions.{col, max, min}
     var attempt = 0
     while (attempt < retries) {
@@ -1779,12 +1955,7 @@ final case class Warehouse(root: String) {
       val cmds = casActiveCmdsAt(table, head)
       val (dels, datas) = cmds.partition(casIsDel)
       val exts = datas.zipWithIndex.flatMap { case (cmd, i) =>
-        if (cmd.startsWith("ADDS ") || cmd.startsWith("REPLACES ") ||
-          cmd.startsWith("REPLACEE ")) {
-          val p = cmd.split(" ", 4)
-          if (p(1) == "-" || p(2) == "-") None
-          else Some((i, p(1).toLong, p(2).toLong))
-        } else None
+        casExtent(cmd).map { case (mn, mx) => (i, mn, mx) }
       }
       val hitIds: Set[Int] =
         if (disjointAll != null) disjointAll(exts)
@@ -1799,16 +1970,12 @@ final case class Warehouse(root: String) {
       if (affected.isEmpty)
         return CasDeleteStats(head, 0, retained.size, 0L)
       val hit = casResolveRead(spark, affected,
-        s"casDeleteWhere($table)")
+        s"$ctx($table)")
       val (remain, deleted) = remainOf(hit)
       val staged = new File(new File(dir(table + "__data")),
         java.util.UUID.randomUUID().toString)
       remain.write.mode("errorifexists").parquet(staged.getPath)
-      val r = spark.read.parquet(staged.getPath)
-        .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
-      val (lo, hi) =
-        (if (r.isNullAt(0)) "-" else r.getLong(0).toString,
-          if (r.isNullAt(1)) "-" else r.getLong(1).toString)
+      val (lo, hi) = casStatsOf(spark.read.parquet(staged.getPath), c)
       val verb =
         if (datas.exists(casIsEvolved)) "REPLACEE" else "REPLACES"
       val keptLines = retained.map(casDemote)
@@ -1823,7 +1990,7 @@ final case class Warehouse(root: String) {
       attempt += 1
     }
     throw new CommitConflict(
-      s"casDeleteWhere($table): lost $retries CAS races")
+      s"$ctx($table): lost $retries CAS races")
   }
 
   /** RANGE DELETE — time-based retention ("delete everything older
@@ -1856,17 +2023,20 @@ final case class Warehouse(root: String) {
       val head = casHead(table)
       val cmds = casActiveCmdsAt(table, head)
       val (dels, datas) = cmds.partition(casIsDel)
-      def ext(l: String): Option[(Long, Long)] =
-        if (l.startsWith("ADDS ") || l.startsWith("REPLACES ") ||
-          l.startsWith("REPLACEE ")) {
-          val p = l.split(" ", 4)
-          if (p(1) == "-" || p(2) == "-") None
-          else Some((p(1).toLong, p(2).toLong))
-        } else None
-      val dropped = datas.filter(l => ext(l).exists {
+      // NULL caveat on the whole-drop fast path: a wave whose extent
+      // lies fully inside [lo, hi] can still carry NULL-keyed rows
+      // (min/max ignore NULLs) — NULL rows are outside every range
+      // and must be retained, so fully-inside waves are only DROPPED
+      // when their footer rowcount equals their in-range rowcount…
+      // which we cannot know without reading. Extent stats here are
+      // written over `cast(long)` of a NOT-NULL key column by every
+      // producer ([[casAppendStats]]); a wave with NULL keys gets a
+      // `-` bound and lands on the boundary (rewrite) path, where the
+      // null-safe filter below retains its NULL rows.
+      val dropped = datas.filter(l => casExtent(l).exists {
         case (mn, mx) => mn >= lo && mx <= hi
       })
-      val retained = datas.filter(l => ext(l).exists {
+      val retained = datas.filter(l => casExtent(l).exists {
         case (mn, mx) => mx < lo || mn > hi
       })
       val boundary = datas.diff(dropped).diff(retained)
@@ -1881,18 +2051,20 @@ final case class Warehouse(root: String) {
         else {
           val hit = casResolveRead(spark, boundary,
             s"casDeleteRange($table)")
-          val inRange = col(c).cast("long").between(lo, hi)
+          // NULL-SAFE: a NULL (or uncastable) key is outside every
+          // range and must be RETAINED — three-valued `!between`
+          // evaluates to NULL on it and a plain filter would silently
+          // drop it from the rewrite
+          val inRange = org.apache.spark.sql.functions.coalesce(
+            col(c).cast("long").between(lo, hi),
+            org.apache.spark.sql.functions.lit(false))
           val filtered = hit.filter(inRange).count()
           val remain = hit.filter(!inRange)
           val staged = new File(new File(dir(table + "__data")),
             java.util.UUID.randomUUID().toString)
           remain.write.mode("errorifexists").parquet(staged.getPath)
-          val r = spark.read.parquet(staged.getPath)
-            .agg(min(col(c).cast("long")), max(col(c).cast("long")))
-            .head()
           val (slo, shi) =
-            (if (r.isNullAt(0)) "-" else r.getLong(0).toString,
-              if (r.isNullAt(1)) "-" else r.getLong(1).toString)
+            casStatsOf(spark.read.parquet(staged.getPath), c)
           val verb =
             if (datas.exists(casIsEvolved)) "REPLACEE" else "REPLACES"
           (Seq(s"$verb $slo $shi ${staged.getPath}"), filtered)
@@ -2039,14 +2211,9 @@ final case class Warehouse(root: String) {
       out.write.mode("errorifexists").parquet(staged.getPath)
       // union extent from the log alone — valid because min-of-mins /
       // max-of-maxes over the merged inputs is the rewrite's extent
-      val exts = merged.map { l =>
-        if (l.startsWith("ADDS ") || l.startsWith("REPLACES ") ||
-          l.startsWith("REPLACEE ")) {
-          val p = l.split(" ", 4)
-          if (p(1) == "-" || p(2) == "-") None
-          else Some((p(1).toLong, p(2).toLong))
-        } else None
-      }
+      // (a `-` input forces `-` out: the merged wave may carry NULL
+      // keys the bounds cannot describe)
+      val exts = merged.map(casExtent)
       val (lo, hi) =
         if (exts.forall(_.isDefined))
           (exts.flatten.map(_._1).min.toString,
@@ -2115,14 +2282,16 @@ final case class Warehouse(root: String) {
       .flatMap(f => f.getName.stripSuffix(".commit").toIntOption
         .map(n => (n, f))).sortBy(-_._1).toSeq
       .map { case (n, f) =>
-        val ls = readLines(f)
+        // classification over the payload lines — the leading TS
+        // metadata line is not an operation
+        val ls = readLines(f).filterNot(_.startsWith("TS "))
         val op =
           if (ls.contains("CKPT")) "CHECKPOINT" // incl. restore/drop
           else if (ls.forall(casIsDel)) "DELETE_MOR"
           else if (ls.exists(casIsReplace) && ls.size > 1) "REWRITE"
           else if (ls.exists(casIsReplace)) "REPLACE"
           else if (ls.exists(_.startsWith("ADDB "))) "APPEND_BATCH"
-          else if (ls.exists(_.startsWith("ADDE "))) "APPEND_EVOLVED"
+          else if (ls.exists(casIsEvolved)) "APPEND_EVOLVED"
           else "APPEND"
         CasCommitInfo(n, op, ls.size,
           ls.count(l => !casIsMeta(l) && !casIsDel(l)),
@@ -2155,6 +2324,7 @@ final case class Warehouse(root: String) {
       beforeCommit()
       if (casTryCommit(table, n, Seq("ADDE " + staged.getPath))) {
         casMaybeVacuum(table, n)
+        casMaybeOptimize(df.sparkSession, table, n)
         return n
       }
       attempt += 1
@@ -2274,6 +2444,7 @@ final case class Warehouse(root: String) {
       if (casTryCommit(table, n,
         Seq(s"ADDB $stream $batchId ${staged.getPath}"))) {
         casMaybeVacuum(table, n)
+        casMaybeOptimize(df.sparkSession, table, n)
         return Some(n)
       }
       attempt += 1
@@ -2292,6 +2463,30 @@ final case class Warehouse(root: String) {
     */
   private def casMaybeVacuum(table: String, n: Int): Unit =
     if (n % 16 == 0) { casVacuum(table, autoVacuumGraceMs); () }
+
+  /** Opportunistic small-wave compaction from the append path — the
+    * [[casMaybeVacuum]] treatment for [[casOptimize]]: every 16th
+    * version an append winner folds the active log back under
+    * [[autoOptimizeMaxWaves]] waves, so an append-heavy table's
+    * union-scan read stays flat FOREVER without any operator action
+    * (between triggers the wave count is bounded by maxWaves + the
+    * trigger period). A cheap driver no-op when the table already
+    * holds few waves; BEST-EFFORT under contention — losing the
+    * optimize's own CAS races must never fail the append that
+    * triggered it (the data is committed; compaction is
+    * housekeeping the next trigger retries). [[casAppendStats]]
+    * waves are deliberately NOT auto-folded: their per-wave extents
+    * are the skip structure, and merging them trades skipping for
+    * read fan-in — an explicit operator decision ([[casOptimize]]).
+    */
+  private def casMaybeOptimize(spark: SparkSession, table: String,
+      n: Int): Unit =
+    if (n % 16 == 0) {
+      try { casOptimize(spark, table, autoOptimizeMaxWaves); () }
+      catch { case _: CommitConflict => () }
+    }
+
+  private val autoOptimizeMaxWaves: Int = 16
 
   /** Grace for the OPPORTUNISTIC vacuum only — much larger than the
     * manual default, because nobody chose the timing: a writer that
@@ -2644,6 +2839,30 @@ final case class Warehouse(root: String) {
     m
   }
 
+  /** The catalog version a wall-clock instant resolves to — the
+    * latest catalog commit whose `TS` is at or before `ts`
+    * (O(log catalog commits) driver reads).
+    */
+  def catVersionAsOf(ts: Long): Int =
+    versionAsOfIn(catLogDir, catHead, ts, s"catVersionAsOf($ts)")
+
+  /** TIMESTAMP TIME TRAVEL over the CATALOG — the cross-table pin map
+    * as of an instant: "what did the whole warehouse look like at
+    * 14:05?" answered consistently for every table at once, because
+    * the resolved snapshot is one atomic catalog commit's pin set.
+    * Resolving below catalog retention fails loudly ([[catSnapshot]]
+    * on a truncated window), same as dead pins.
+    */
+  def catSnapshotAt(ts: Long): Map[String, Int] =
+    catSnapshot(catVersionAsOf(ts))
+
+  /** [[catRead]] addressed by timestamp: `table` at the version the
+    * catalog pinned as of instant `ts`.
+    */
+  def catReadAsOf(spark: SparkSession, table: String,
+      ts: Long): DataFrame =
+    catRead(spark, table, asOf = catVersionAsOf(ts))
+
   /** CATALOG LOG RETENTION — the [[casTruncate]] discipline one tier
     * up: write a fresh [[catCheckpoint]] (it carries the complete
     * resolved pin map), then delete every catalog commit strictly
@@ -2654,7 +2873,8 @@ final case class Warehouse(root: String) {
     * [[casVacuum]] can reclaim what only dead catalog history
     * referenced. Returns the number of commit files deleted.
     */
-  def catTruncate(retries: Int = 8): Int = {
+  def catTruncate(retries: Int = 8,
+      afterFold: () => Unit = () => ()): Int = {
     // the truncation checkpoint's HISTORY summary is the PIN MAP
     // plus the pins of every commit a live TAG keeps alive: catalog
     // snapshots below the deletion floor become unreadable BY
@@ -2673,29 +2893,56 @@ final case class Warehouse(root: String) {
         case Nil => Int.MaxValue
         case fs => fs.min
       }
-    val ck = catCheckpointWith(snap => {
-      val hist = scala.collection.mutable.Map.empty[String, Set[Int]]
-      snap.foreach { case (t, v) =>
-        hist(t) = hist.getOrElse(t, Set.empty) + v
-      }
-      // pins of the commits a live tag's window keeps readable
-      val floor = liveTagFloor()
-      if (floor != Int.MaxValue) {
-        var n = floor
-        while (n <= catHead) {
-          val f = new File(catLogDir, f"$n%09d.commit")
-          if (f.exists()) readLines(f)
-            .filter(l => l.startsWith("PIN ") || l.startsWith("HPIN "))
-            .foreach { l =>
-              val p = l.split(" ", 3)
-              if (casWindowReadable(p(1), p(2).toInt))
-                hist(p(1)) = hist.getOrElse(p(1), Set.empty) + p(2).toInt
-            }
-          n += 1
+    // one fold attempt; returns (checkpoint version, the tag floor
+    // the fold actually consulted)
+    def foldOnce(): (Int, Int) = {
+      var usedFloor = Int.MaxValue
+      val ck = catCheckpointWith(snap => {
+        val hist = scala.collection.mutable.Map.empty[String, Set[Int]]
+        snap.foreach { case (t, v) =>
+          hist(t) = hist.getOrElse(t, Set.empty) + v
         }
-      }
-      hist.toMap
-    }, retries)
+        // pins of the commits a live tag's window keeps readable
+        val floor = liveTagFloor()
+        usedFloor = floor
+        if (floor != Int.MaxValue) {
+          var n = floor
+          while (n <= catHead) {
+            val f = new File(catLogDir, f"$n%09d.commit")
+            if (f.exists()) readLines(f)
+              .filter(l => l.startsWith("PIN ") || l.startsWith("HPIN "))
+              .foreach { l =>
+                val p = l.split(" ", 3)
+                if (casWindowReadable(p(1), p(2).toInt))
+                  hist(p(1)) = hist.getOrElse(p(1), Set.empty) + p(2).toInt
+              }
+            n += 1
+          }
+        }
+        hist.toMap
+      }, retries)
+      (ck, usedFloor)
+    }
+    var (ck, usedFloor) = foldOnce()
+    afterFold() // test seam: the fold-to-refold-check window
+    // a tag published BETWEEN the fold and here can keep a catalog
+    // window below the fold's floor alive (the narrowing below spares
+    // its commits from deletion) — but its TABLE pins never entered
+    // the new checkpoint's HSUM, and [[catAllPins]] stops there, so
+    // per-table retention could reclaim data the tagged release still
+    // resolves. RE-FOLD until no tag window predates the floor the winning
+    // fold consulted: each re-fold reads the late tag's window and
+    // carries its pins into a fresh (newer, and therefore consulted)
+    // checkpoint.
+    var refolds = 0
+    while (liveTagFloor() < usedFloor && refolds < retries) {
+      val r = foldOnce(); ck = r._1; usedFloor = r._2
+      refolds += 1
+    }
+    if (liveTagFloor() < usedFloor)
+      sys.error("catTruncate: tags kept publishing pre-floor windows " +
+        s"across $retries re-folds — aborting before any deletion " +
+        "(nothing was retired; re-run when tagging settles)")
     // z124 narrowing: honor any tag that published since the floor
     // was folded — re-read immediately before deleting
     val floor = math.min(ck, liveTagFloor())
@@ -2920,9 +3167,19 @@ final case class Warehouse(root: String) {
   def catTags(): Map[String, Int] =
     Option(catTagDir.listFiles()).getOrElse(Array())
       .filter(_.getName.endsWith(".tag"))
-      .map(f => f.getName.stripSuffix(".tag") ->
-        readLines(f).headOption.flatMap(_.trim.toIntOption)
-          .getOrElse(sys.error(s"catTags: unreadable tag ${f.getName}")))
+      .flatMap { f =>
+        val ls = readLines(f)
+        // list-then-read is not atomic: a tag deleted by a concurrent
+        // [[catDeleteTag]] between the listing and the read comes back
+        // empty with the file gone — that tag is simply ABSENT (the
+        // same vanished-file discipline as [[casVacuum]]), not an
+        // error; a tag file that EXISTS but holds no parseable version
+        // is real corruption and stays loud
+        if (ls.isEmpty && !f.exists()) None
+        else Some(f.getName.stripSuffix(".tag") ->
+          ls.headOption.flatMap(_.trim.toIntOption).getOrElse(
+            sys.error(s"catTags: unreadable tag ${f.getName}")))
+      }
       .toMap
 
   def catDeleteTag(name: String): Boolean =

@@ -30,7 +30,8 @@ class Round15Spec extends SparkSpec {
     val f = new java.io.File(
       new java.io.File(wh.root, table + "__log"), f"$n%09d.commit")
     val src = scala.io.Source.fromFile(f)
-    try src.getLines().toList finally src.close()
+    try src.getLines().toList.filterNot(_.startsWith("TS "))
+    finally src.close() // payload view: drop the clock line
   }
 
   private def dataDirs(wh: Warehouse, table: String): Set[String] =
@@ -547,13 +548,18 @@ class Round15Spec extends SparkSpec {
       }
       futs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
     } finally pool.shutdown()
-    assert(wh.casHead("t") == 33, "32 concurrent appends + seed")
+    // 33 append commits; the winner of version 32 triggers one
+    // best-effort auto-optimize (casMaybeOptimize), which adds one
+    // REWRITE commit unless it exhausted its races under the barrage
+    val head = wh.casHead("t")
+    assert(head == 33 || head == 34,
+      s"32 concurrent appends + seed (+ at most one auto-optimize): $head")
     val got = wh.casRead(spark, "t").as[Long].collect().toList
     val want = (for (th <- 0 until 8; i <- 0 until 4)
       yield (th * 100 + i).toLong).toList :+ -1L
     assert(got.sorted == want.sorted,
       "every concurrent append lands exactly once — no loss, no dup")
-    (1 to 33).foreach(n => assert(
+    (1 to head).foreach(n => assert(
       new java.io.File(new java.io.File(wh.root, "t__log"),
         f"$n%09d.commit").exists(), s"version $n missing — gap"))
   }

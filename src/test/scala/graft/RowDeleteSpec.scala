@@ -24,6 +24,7 @@ class RowDeleteSpec extends SparkSpec {
       new java.io.File(wh.root, table + "__log"), f"$n%09d.commit")
     scala.jdk.CollectionConverters.ListHasAsScala(
       java.nio.file.Files.readAllLines(f.toPath)).asScala.toSeq
+      .filterNot(_.startsWith("TS ")) // payload view: drop the clock line
   }
 
   private def dataDirs(wh: Warehouse, table: String): Set[String] =
