@@ -34,5 +34,6 @@ object Registry {
       graft.queries.TextQueries.all ++ graft.queries.SimQueries.all ++
       graft.queries.MultimodalQueries.all ++ graft.queries.Extras.all ++
       graft.queries.Extras2.all ++ graft.queries.Extras3.all ++
-      graft.queries.Extras4.all ++ graft.queries.Extras5.all
+      graft.queries.Extras4.all ++ graft.queries.Extras5.all ++
+      graft.queries.Extras6.all
 }

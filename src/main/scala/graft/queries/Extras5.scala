@@ -32,7 +32,7 @@ object Extras5 {
     * `l_partkey % 200` — run 2 raises every third product's price,
     * the SCD2 change.
     */
-  private def bikesInputs(s: SparkSession, dir: String,
+  private[queries] def bikesInputs(s: SparkSession, dir: String,
       run2: Boolean): Pipeline.Inputs = {
     val o0 = t(s, dir, "orders")
     val li0 = t(s, dir, "lineitem")

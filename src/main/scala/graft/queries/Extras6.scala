@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.etl.Pipeline
+import graft.sources.{Tables, Warehouse}
+import graft.SessionScratch
+
+/** Round-17 batch: the O(delta) incremental fact path of the catalog
+  * daily refresh (q305 — the reference's INSERT-only fact loads,
+  * BikesDWSQl.sql:41/75, finally landing as deltas instead of
+  * full-table REPLACEs), timestamp time travel over the injected
+  * commit clock (q306), and copy-on-write UPDATE with commit-grain
+  * extent skipping (q307). Same determinism policy as [[Extras5]]:
+  * integer aggregates only, evidence persisted at setup.
+  */
+object Extras6 {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** O(DELTA) INCREMENTAL FACTS IN THE CATALOG REFRESH — the
+    * reference's fact loads are INSERT-only (`insert into
+    * Ordr_Sm_Fct` DW:41, `insert into Ordr_Dtl_Fct` DW:75 — never a
+    * truncate), and [[graft.etl.Pipeline.runDailyCat]] now matches
+    * that cost shape: day 2's CDC delta lands as ONE casAppend wave
+    * per fact (commit-verb evidence: a single `ADD` line at version
+    * day1+1) and the catalog pin advances over it via catCommitMax —
+    * a day's refresh writes the day's rows, not the table. The
+    * oracle states the HEAD fact contents directly from the raw
+    * corpus (identical to what the old prior∪delta REPLACE produced —
+    * the path changes cost, never content) plus the structural verb
+    * evidence.
+    *
+    * 100 TB shape: this is the difference between O(day) and
+    * O(history) daily fact writes; the accumulated daily waves'
+    * read fan-in is bounded by the auto-OPTIMIZE hook
+    * ([[graft.sources.Warehouse.casOptimize]] every 16th commit).
+    */
+  val q305 = Q("q305_incremental_fact_delta",
+    """SELECT * FROM (
+      |  SELECT 'dw_ordr_sm_fct' AS tbl,
+      |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * 10) AS BIGINT) AS isum,
+      |    CAST(2 AS BIGINT) AS head_ver,
+      |    CAST(1 AS BIGINT) AS day2_lines,
+      |    'ADD' AS day2_verb
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'dw_ordr_dtl_fct', CAST(count(*) AS BIGINT),
+      |    CAST(sum(samt) AS BIGINT), CAST(2 AS BIGINT),
+      |    CAST(1 AS BIGINT), 'ADD'
+      |  FROM (SELECT l_orderkey, l_partkey % 200 AS pid,
+      |      sum(CAST(l_quantity AS BIGINT) * 10) AS samt
+      |    FROM lineitem GROUP BY 1, 2) g
+      |) t""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"factdelta_${SessionScratch.keyOf(dir)}"))
+    val key = s"fact_delta_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      // day 1: even order keys; day 2: the full set — the CDC delta
+      Pipeline.runDailyCat(s, wh,
+        Extras5.bikesInputs(s, dir, run2 = false), "2019-07-01")
+      Pipeline.runDailyCat(s, wh,
+        Extras5.bikesInputs(s, dir, run2 = true), "2019-07-02")
+      val ev = Seq("dw_ordr_sm_fct", "dw_ordr_dtl_fct").map { tbl =>
+        val head = wh.casHead(tbl)
+        val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(new java.io.File(
+            new java.io.File(wh.root, tbl + "__log"),
+            f"$head%09d.commit").toPath)).asScala.toSeq
+          .filterNot(_.startsWith("TS "))
+        (tbl, head.toLong, lines.size.toLong,
+          lines.head.split(" ", 2)(0))
+      }
+      wh.overwrite(ev.toDF("tbl", "head_ver", "day2_lines",
+        "day2_verb"), "factdelta_evidence")
+    }
+    val sums = Seq("dw_ordr_sm_fct" -> "Ordr_Amt",
+      "dw_ordr_dtl_fct" -> "Sale_Amt").map { case (tbl, c) =>
+      val r = wh.catRead(s, tbl)
+        .agg(count(lit(1)), coalesce(sum(col(c)), lit(0L))
+          .cast("long")).head()
+      (tbl, r.getLong(0), r.getLong(1))
+    }
+    sums.toDF("tbl", "n", "isum")
+      .join(wh.read(s, "factdelta_evidence"), Seq("tbl"))
+      .select("tbl", "n", "isum", "head_ver", "day2_lines",
+        "day2_verb")
+  }
+
+  /** TIMESTAMP TIME TRAVEL — `SELECT … TIMESTAMP AS OF` over the
+    * monotone `TS` line every commit leads with
+    * ([[graft.sources.Warehouse.casReadAsOf]] /
+    * [[graft.sources.Warehouse.catSnapshotAt]]): three order waves
+    * land under an injected clock (t=1000/2000/3000, each pinned by a
+    * catalog transaction at the same instant), and the evidence reads
+    * the warehouse at t=2500 — resolution is a BINARY SEARCH over
+    * commit timestamps (O(log commits) driver file reads, data
+    * untouched), landing on version 2 at both tiers; the head read
+    * sees all three waves. The oracle restates both snapshots from
+    * the raw corpus; the resolved version numbers ride as structural
+    * columns.
+    *
+    * 100 TB shape: timestamp resolution never scans the log linearly
+    * and never touches data; "what did the warehouse look like at
+    * 14:05" is answered cross-table-consistently from ONE catalog
+    * commit's pin set.
+    */
+  val q306 = Q("q306_timestamp_time_travel",
+    """SELECT * FROM (
+      |  SELECT 'asof' AS snap, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |    CAST(2 AS BIGINT) AS ver, CAST(2 AS BIGINT) AS cat_ver
+      |  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |  UNION ALL
+      |  SELECT 'head', CAST(count(*) AS BIGINT),
+      |    CAST(sum(o_orderkey) AS BIGINT),
+      |    CAST(3 AS BIGINT), CAST(3 AS BIGINT)
+      |  FROM orders
+      |) t""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    var now = 0L
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"tstravel_${SessionScratch.keyOf(dir)}"),
+      () => now)
+    val key = s"ts_travel_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val o = t(s, dir, "orders").select("o_orderkey")
+      Seq(1000L, 2000L, 3000L).zipWithIndex.foreach { case (ts, i) =>
+        now = ts
+        val v = wh.casAppend(o.filter(col("o_orderkey") % 3 === i),
+          "tt_orders")
+        wh.catCommit(Seq("tt_orders" -> v))
+        ()
+      }
+    }
+    val asofVer = wh.casVersionAsOf("tt_orders", 2500L).toLong
+    val catVer = wh.catVersionAsOf(2500L).toLong
+    val headVer = wh.casHead("tt_orders").toLong
+    val asof = wh.casReadAsOf(s, "tt_orders", 2500L)
+      .agg(count(lit(1)), sum("o_orderkey").cast("long")).head()
+    val head = wh.catRead(s, "tt_orders")
+      .agg(count(lit(1)), sum("o_orderkey").cast("long")).head()
+    Seq(
+      ("asof", asof.getLong(0), asof.getLong(1), asofVer, catVer),
+      ("head", head.getLong(0), head.getLong(1), headVer,
+        wh.catHead.toLong))
+      .toDF("snap", "n", "key_sum", "ver", "cat_ver")
+  }
+
+  /** COPY-ON-WRITE UPDATE with commit-grain extent skipping —
+    * [[graft.sources.Warehouse.casUpdateWhere]], the UPDATE member of
+    * the DML triangle (q295 is the delete, q300 the range retention):
+    * documents land as four stats-carrying quartile waves, the update
+    * set is every doc_id divisible by 53 inside the THIRD quartile
+    * (`SET n_chars = n_chars + 1000000`), and the update rewrites
+    * EXACTLY ONE commit — the other three are retained by reference,
+    * directories never opened, stats riding so later consults keep
+    * skipping. The oracle re-derives the updated corpus
+    * arithmetically; rewritten/retained are structural constants of
+    * the quartile construction.
+    *
+    * 100 TB shape: O(one wave's data) + one tiny commit file — an
+    * UPDATE touching 3 of 10,000 waves rewrites 3; no driver-side
+    * row loop, no full-table rewrite.
+    */
+  val q307 = Q("q307_cow_update",
+    """WITH q AS (
+      |  SELECT CAST(floor((max(doc_id) + 1) / 4) AS BIGINT) AS qs
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id FROM documents, q
+      |  WHERE doc_id % 53 = 0 AND doc_id >= 2 * qs AND doc_id < 3 * qs)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars + CASE WHEN doc_id IN (SELECT doc_id FROM u)
+      |    THEN 1000000 ELSE 0 END) AS BIGINT) AS chars_sum,
+      |  CAST(1 AS BIGINT) AS rewritten,
+      |  CAST(3 AS BIGINT) AS retained,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM u) AS updated
+      |FROM documents""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"cowupd_${SessionScratch.keyOf(dir)}"))
+    val key = s"cow_upd_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id", "n_chars")
+      val maxId = d.agg(max("doc_id")).as[Long].head()
+      val qs = (maxId + 1L) / 4L
+      Seq((0L, qs), (qs, 2 * qs), (2 * qs, 3 * qs), (3 * qs, maxId + 1))
+        .foreach { case (lo, hi) =>
+          wh.casAppendStats(s,
+            d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            "upd_docs", "doc_id")
+        }
+      val keys = d.filter(col("doc_id") % 53 === 0 &&
+        col("doc_id") >= 2 * qs && col("doc_id") < 3 * qs)
+        .select("doc_id").as[Long].collect().toSeq
+      val st = wh.casUpdateWhere(s, "upd_docs", "doc_id", keys,
+        Map("n_chars" -> (col("n_chars") + 1000000L)))
+      wh.overwrite(Seq((st.rewrittenCommits.toLong,
+        st.retainedCommits.toLong, st.updatedRows))
+        .toDF("rewritten", "retained", "updated"), "upd_evidence")
+    }
+    wh.casRead(s, "upd_docs")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("chars_sum"))
+      .crossJoin(wh.read(s, "upd_evidence"))
+  }
+
+  val all: Seq[Q] = Seq(q305, q306, q307)
+}
