@@ -126,6 +126,30 @@ object Materialized {
       }
     }
 
+  /** DISK-BACKED sibling of [[apply]] for TRANSIENT chain
+    * checkpoints (EM forward/backward frames, BPE per-merge symbol
+    * tables, Viterbi DP cuts): the frame is written ONCE per
+    * (session scope, key) to [[SessionScratch]] parquet and every
+    * consumer reads the files back. Lineage is severed exactly as a
+    * persist would sever it — the reader's plan is a flat scan — but
+    * NOTHING stays in the block manager after the run, so the bench
+    * hygiene ledger shows retained:0 for these queries. Use this for
+    * intermediates whose only job is bounding plan depth in an
+    * iterative build; keep [[apply]] for artifacts whose re-read is
+    * hot enough to want memory (ANN stores probed per query). Same
+    * immutable-inputs contract as [[apply]].
+    */
+  def scratch(spark: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = {
+    val safe = key.replaceAll("[^A-Za-z0-9._-]", "_").take(64) +
+      "_" + SessionScratch.keyOf(key)
+    val dir = SessionScratch.dir(spark, "mat") + "/" + safe
+    SessionScratch.once(spark, "mat:" + key) {
+      build.write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir)
+  }
+
   /** Unpersist and forget every artifact of this scope — the whole
     * application for a production session, just the clone's artifacts
     * for a nonce-pinned test session (so a mid-suite clear of THIS

@@ -2633,7 +2633,7 @@ object Extras {
     * would persist anyway. `sq` is the sentinel-spaced char sequence.
     */
   private def bpeS0(s: SparkSession, dir: String): DataFrame =
-    graft.Materialized(s, s"bpe_s0:$dir") {
+    graft.Materialized.scratch(s, s"bpe_s0:$dir") {
       docsTable(s, dir)
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 2)
@@ -2686,12 +2686,12 @@ object Extras {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val s0 = bpeS0(s, dir)
     val b1 = bpeBestPair(s0)
-    val st1 = graft.Materialized(s, s"bpe_s1:$dir")(bpeContract(s0, b1))
+    val st1 = graft.Materialized.scratch(s, s"bpe_s1:$dir")(bpeContract(s0, b1))
     val b2 = bpeBestPair(st1)
-    val st2 = graft.Materialized(s, s"bpe_s2:$dir")(bpeContract(st1, b2))
+    val st2 = graft.Materialized.scratch(s, s"bpe_s2:$dir")(bpeContract(st1, b2))
     val b3 = bpeBestPair(st2)
     (b1, b2, b3,
-      graft.Materialized(s, s"bpe_s3:$dir")(bpeContract(st2, b3)))
+      graft.Materialized.scratch(s, s"bpe_s3:$dir")(bpeContract(st2, b3)))
   }
 
   /** GENERALIZED BPE TRAINING — the [[q163]] machinery behind a
@@ -3068,7 +3068,7 @@ object Extras {
     * segmentation queries run over.
     */
   private[graft] def segWords(s: SparkSession, dir: String): DataFrame =
-    graft.Materialized(s, s"q192_wv_$dir") {
+    graft.Materialized.scratch(s, s"q192_wv_$dir") {
       docsTable(s, dir)
         .select(explode(split(col("text"), " ")).as("w")).distinct()
         .filter(length(col("w")).between(1, 12))
@@ -3078,11 +3078,11 @@ object Extras {
   /** Corpus-frequent piece inventory of the given length. */
   private[graft] def segInventory(s: SparkSession, dir: String,
       len: Int, minSupport: Int = 2): DataFrame = {
-    // hoisted OUT of the Materialized closure: a nested
-    // Materialized call inside another's build throws
+    // hoisted OUT of the materialize closure: a nested
+    // once-guarded call inside another's build risks
     // ConcurrentHashMap's "Recursive update" (measured)
     val wv = segWords(s, dir)
-    graft.Materialized(s, s"q192_inv${len}_m${minSupport}_$dir") {
+    graft.Materialized.scratch(s, s"q192_inv${len}_m${minSupport}_$dir") {
       wv.filter(col("n") >= len)
         .select(explode(expr(
           s"transform(sequence(1, n - ${len - 1}), i -> substring(w, i, $len))"))
@@ -3133,7 +3133,7 @@ object Extras {
           when(c0n === a, 1).when(c0n === b, 2).otherwise(3))
           .otherwise(lit(null).cast("int")).as(s"ch$i")) ++ keepCh: _*)
       if (i % 4 == 0)
-        f = graft.Materialized(s, s"q192_dpc${i}_m${minSupport}_$dir")(f)
+        f = graft.Materialized.scratch(s, s"q192_dpc${i}_m${minSupport}_$dir")(f)
     }
     f
   }
@@ -3183,7 +3183,7 @@ object Extras {
             .otherwise(col("cost")).as("cost"),
           when(col("pos") <= col("n"), col("np") + 1L)
             .otherwise(col("np")).as("np"))
-      if (i % 4 == 0) g = graft.Materialized(s, s"q192_gr${i}_$dir")(g)
+      if (i % 4 == 0) g = graft.Materialized.scratch(s, s"q192_gr${i}_$dir")(g)
     }
     g.select(col("w"), col("n"), col("cost").as("gc"), col("np"))
   }

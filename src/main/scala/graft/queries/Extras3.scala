@@ -982,7 +982,7 @@ object Extras3 {
           when(col("n") >= i && col("tg").isNotNull, 1L).otherwise(0L))
         .drop("bg", "tg")
       if (i % 4 == 0)
-        f = graft.Materialized(s, s"q257_fw${i}_${wkey}_$dir")(f)
+        f = graft.Materialized.scratch(s, s"q257_fw${i}_${wkey}_$dir")(f)
     }
     // backward (suffix) γ columns: γ[j] = weighted segmentations of
     // the last j chars; β[i] = γ[n−i]
@@ -1010,7 +1010,7 @@ object Extras3 {
           when(col("n") >= j, gNew).otherwise(lit(null).cast("long")))
         .drop("bg", "tg")
       if (j % 4 == 0)
-        f = graft.Materialized(s, s"q257_bw${j}_${wkey}_$dir")(f)
+        f = graft.Materialized.scratch(s, s"q257_bw${j}_${wkey}_$dir")(f)
     }
     // E-step numerators: piece (start, ℓ) contributes
     // w_ℓ·α[start−1]·γ[n−start+1−ℓ]; γ indexed via the positional
@@ -1702,7 +1702,7 @@ object Extras3 {
     // tokenizer pipeline persists — materialized once per session so
     // registry consumers (Verify/Bench reps) price only the LIVE
     // second E-step, not a rebuild of pass 1
-    val e1 = graft.Materialized(s, s"q266_e1:$dir")(unigramEStep(s, dir))
+    val e1 = graft.Materialized.scratch(s, s"q266_e1:$dir")(unigramEStep(s, dir))
     // M-step: the corpus-total expected class counts are a 3-long
     // bounded pull (the learned weights ARE the persisted model)
     val tot = e1.agg(sum("num1_sum").as("t1"), sum("num2_sum").as("t2"),

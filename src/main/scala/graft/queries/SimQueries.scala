@@ -1794,7 +1794,7 @@ object SimQueries {
         col("nrm").as("cn"))
     val w = Window.partitionBy("qid").orderBy(col("msim").desc,
       col("nid").asc)
-    val cand = graft.Materialized(s, s"mmr_cand:$dir") {
+    val cand = graft.Materialized.scratch(s, s"mmr_cand:$dir") {
       broadcast(q).crossJoin(c)
         .select(col("qid"), col("nid"),
           round(Similarity.dot(col("qe"), col("ne"))
@@ -1804,7 +1804,7 @@ object SimQueries {
         .filter(col("rn") <= 12).drop("rn")
     }
     val cp = cand.join(c, Seq("nid"))
-    val pairs = graft.Materialized(s, s"mmr_pairs:$dir") {
+    val pairs = graft.Materialized.scratch(s, s"mmr_pairs:$dir") {
       val a = cp.select(col("qid"), col("nid").as("na"),
         col("ne").as("ea"), col("cn").as("nna"))
       val b = cp.select(col("qid"), col("nid").as("nb"),

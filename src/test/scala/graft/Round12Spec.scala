@@ -233,13 +233,13 @@ class Round12Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getLong(2), r.getLong(3))).toSet
 
-    // reference: collect the SAME Materialized cand/pairs frames the
-    // engine uses (integer micro-sims — the determinism boundary) and
-    // run the textbook greedy per query on the driver
-    val cand = graft.Materialized(spark, s"mmr_cand:$dir") {
+    // reference: collect the SAME scratch-materialized cand/pairs
+    // frames the engine uses (integer micro-sims — the determinism
+    // boundary) and run the textbook greedy per query on the driver
+    val cand = graft.Materialized.scratch(spark, s"mmr_cand:$dir") {
         fail("cand must already be materialized by mmrPicks") }
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val psim = graft.Materialized(spark, s"mmr_pairs:$dir") {
+    val psim = graft.Materialized.scratch(spark, s"mmr_pairs:$dir") {
         fail("pairs must already be materialized by mmrPicks") }
       .collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
