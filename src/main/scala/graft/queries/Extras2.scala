@@ -521,7 +521,7 @@ object Extras2 {
     // aggregates AND the scoring join, and three registry queries
     // (q209/q211/q219) consume this scorer — without the cache each
     // consumer re-explodes the token stream up to three times
-    val bg = graft.Materialized(s, s"lm_bg:$dir") {
+    val bg = graft.Materialized.scratch(s, s"lm_bg:$dir") {
       toks.filter(size(col("ts")) >= 2)
         .select(col("doc_id"), col("lang"),
           explode(expr("transform(sequence(0, size(ts) - 2), " +

@@ -185,7 +185,7 @@ object Extras3 {
     // four vocab-grain derivations (tc/cn/nbt/wt) — without the two
     // caches this plan re-explodes the corpus nine times (PlanAudit:
     // scans=9 → 2)
-    val bg = graft.Materialized(s, s"kn_bg:$dir") {
+    val bg = graft.Materialized.scratch(s, s"kn_bg:$dir") {
       toks.filter(col("n") >= 2)
         .select(col("doc_id"), explode(zip_with(
           slice(col("ts"), lit(1), col("n") - 1),
@@ -194,7 +194,7 @@ object Extras3 {
         .select(col("doc_id"), col("b.w1").as("w1"),
           col("b.w2").as("w2"))
     }
-    val tb = graft.Materialized(s, s"kn_tb:$dir") {
+    val tb = graft.Materialized.scratch(s, s"kn_tb:$dir") {
       bg.filter(col("doc_id") % 10 === 0)
         .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     }
@@ -366,7 +366,7 @@ object Extras3 {
     // wedge legs, and the closing join — five consumers of one
     // deduplicated frame (a production pipeline persists the edge
     // table; PlanAudit without this re-derived the scan 90×)
-    val ed = graft.Materialized(s, s"tri_edges:$dir") {
+    val ed = graft.Materialized.scratch(s, s"tri_edges:$dir") {
       raw.filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"))
@@ -535,7 +535,7 @@ object Extras3 {
     // consumers (pair frame, union, rank, theta, common, output) —
     // uncached, every consumer re-ran the corpus distinct (measured
     // 5.3 s → the cached form is stage-overhead only)
-    val ab = graft.Materialized(s, s"kmv_ab:$dir") {
+    val ab = graft.Materialized.scratch(s, s"kmv_ab:$dir") {
       t(s, dir, "orders")
         .select(col("o_orderstatus").as("st"),
           col("o_custkey").as("ck"))
@@ -544,7 +544,7 @@ object Extras3 {
     val hx = ab.withColumn("w",
       conv(md5(col("ck").cast("string")).substr(lit(3), lit(15)),
         16, 10).cast("long"))
-    val sk = graft.Materialized(s, s"kmv_sk:$dir") {
+    val sk = graft.Materialized.scratch(s, s"kmv_sk:$dir") {
       hx.withColumn("rn",
           row_number().over(Window.partitionBy("st").orderBy("w")))
         .filter(col("rn") <= 128).select("st", "w")
@@ -780,7 +780,7 @@ object Extras3 {
       |FROM est""".stripMargin) { (s, dir) =>
     // Materialized: the vocab-grain count table feeds the sketch
     // build, the top-k pick, and the probe join
-    val tc = graft.Materialized(s, s"cm_tc:$dir") {
+    val tc = graft.Materialized.scratch(s, s"cm_tc:$dir") {
       t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c"))
@@ -1457,7 +1457,7 @@ object Extras3 {
       |JOIN marg ma ON ma.item = pairs.item_a
       |JOIN marg mb ON mb.item = pairs.item_b""".stripMargin) { (s, dir) =>
     val ev = t(s, dir, "events")
-    val bi = graft.Materialized(s, s"cooc_basket_items:$dir") {
+    val bi = graft.Materialized.scratch(s, s"cooc_basket_items:$dir") {
       ev.select(col("user_id"), to_date(col("ts")).as("d"),
           get_json_object(col("props"), "$.k").cast("long").as("item"))
         .distinct()
