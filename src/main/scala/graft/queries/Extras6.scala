@@ -211,5 +211,82 @@ object Extras6 {
       .crossJoin(wh.read(s, "upd_evidence"))
   }
 
-  val all: Seq[Q] = Seq(q305, q306, q307)
+  /** MULTI-WRITER MERGE — [[graft.sources.Warehouse.casMergeInto]],
+    * the upsert completing the CAS DML surface (q295 delete, q300
+    * retention, q307 update, MERGE here): documents land as four
+    * stats-carrying quartile waves; the merge source UPDATES every
+    * doc_id divisible by 43 inside the SECOND quartile (`SET n_chars
+    * = -doc_id`) and INSERTS one brand-new row per matched key at
+    * doc_id + 1,000,000 — all in ONE commit that rewrites EXACTLY ONE
+    * wave (REPLACES), lands the inserts as a SEPARATE tight-extent
+    * ADDS line (so the new-key range never widens the rewrite's
+    * skip extent), and retains the other three waves by reference.
+    * The oracle re-derives the merged corpus arithmetically;
+    * rewritten/retained are structural constants of the quartile
+    * construction.
+    *
+    * 100 TB shape: a daily dimension upsert whose changed keys
+    * cluster in 3 of 10,000 waves rewrites 3 and appends 1 — the
+    * device that makes catalog-tier SCD1 O(changed), not
+    * O(dimension). Spec matrix: CasMergeSpec (multiplicity, NULL ON
+    * semantics, ANSI duplicate-source rejection, OCC race, MoR
+    * tombstone interplay, evolved schemas).
+    */
+  val q308 = Q("q308_cas_merge",
+    """WITH q AS (
+      |  SELECT CAST(floor((max(doc_id) + 1) / 4) AS BIGINT) AS qs
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id FROM documents, q
+      |  WHERE doc_id % 43 = 0 AND doc_id >= qs AND doc_id < 2 * qs),
+      |t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id IN (SELECT doc_id FROM m)
+      |      THEN -doc_id ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id FROM m)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+      |  CAST(1 AS BIGINT) AS rewritten,
+      |  CAST(3 AS BIGINT) AS retained,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM m) AS updated,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM m) AS inserted
+      |FROM t""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"casmrg_${SessionScratch.keyOf(dir)}"))
+    val key = s"cas_mrg_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id", "n_chars")
+      val maxId = d.agg(max("doc_id")).as[Long].head()
+      val qs = (maxId + 1L) / 4L
+      Seq((0L, qs), (qs, 2 * qs), (2 * qs, 3 * qs), (3 * qs, maxId + 1))
+        .foreach { case (lo, hi) =>
+          wh.casAppendStats(s,
+            d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            "mrg_docs", "doc_id")
+        }
+      val m = d.filter(col("doc_id") % 43 === 0 &&
+        col("doc_id") >= qs && col("doc_id") < 2 * qs)
+        .select("doc_id")
+      val src = m.select(col("doc_id"),
+          (-col("doc_id")).cast("long").as("n_chars"))
+        .unionByName(m.select((col("doc_id") + 1000000L).as("doc_id"),
+          col("doc_id").cast("long").as("n_chars")))
+      val st = wh.casMergeInto(s, "mrg_docs", "doc_id", src)
+      wh.overwrite(Seq((st.rewrittenCommits.toLong,
+        st.retainedCommits.toLong, st.updatedRows, st.insertedRows))
+        .toDF("rewritten", "retained", "updated", "inserted"),
+        "mrg_evidence")
+    }
+    wh.casRead(s, "mrg_docs")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("chars_sum"))
+      .crossJoin(wh.read(s, "mrg_evidence"))
+  }
+
+  val all: Seq[Q] = Seq(q305, q306, q307, q308)
 }

@@ -34,6 +34,16 @@ final case class CasDeleteStats(version: Int, rewrittenCommits: Int,
 final case class CasUpdateStats(version: Int, rewrittenCommits: Int,
     retainedCommits: Int, updatedRows: Long)
 
+/** Evidence a [[Warehouse.casMergeInto]] returns: the committed
+  * version, the rewritten-vs-retained commit split (the same
+  * extent-skipping proof as the CoW delete/update), matched target
+  * rows replaced by their source row, and unmatched source rows
+  * landed as the insert wave. `version` is the pre-merge head when
+  * the source was empty (no commit published).
+  */
+final case class CasMergeStats(version: Int, rewrittenCommits: Int,
+    retainedCommits: Int, updatedRows: Long, insertedRows: Long)
+
 /** Evidence a [[Warehouse.casDeleteRange]] returns: the committed
   * version, how many commits were dropped whole (no read — the
   * partition-drop fast path), rewritten (boundary straddlers), and
@@ -1936,6 +1946,162 @@ final case class Warehouse(root: String,
       ctx = "casUpdateWhere")
     CasUpdateStats(st.version, st.rewrittenCommits,
       st.retainedCommits, st.deletedRows)
+  }
+
+  /** MULTI-WRITER MERGE — `MERGE INTO t USING src ON t.c = src.c
+    * WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`,
+    * the whole-row upsert every SCD1 dimension load is, completing
+    * the CAS tier's DML surface (insert [[casAppend]] / delete
+    * [[casDeleteWhere]] / update [[casUpdateWhere]] / upsert HERE) in
+    * ONE commit. Classification is [[casDeleteWhereKeys]]'s
+    * distributed pass: the tiny extent table (one row per active
+    * commit) broadcasts against the source keys, so a wave provably
+    * disjoint from every source key is RETAINED BY REFERENCE — never
+    * opened, its stats riding. Affected waves rewrite with each
+    * matched target row replaced IN PLACE by its source row's values
+    * (per-row, so duplicate target keys keep their multiplicity —
+    * ANSI MERGE's UPDATE semantics, not a dedup); unmatched source
+    * rows land as a SEPARATE stats-carrying insert wave in the same
+    * commit, keeping the (usually new-key-range) insert extent tight
+    * instead of widening the rewrite's. NULL-keyed target rows never
+    * match and are retained unchanged; NULL-keyed source rows never
+    * match and INSERT (the ON clause's three-valued equality).
+    * Duplicate source keys are rejected up front — two source rows
+    * updating one target row is the ambiguity ANSI MERGE errors on.
+    * Active MoR tombstones ([[casDeleteMoR]]) ride the commit and
+    * keep winning BY KEY until [[casCompactDeletes]]: merging a
+    * tombstoned key updates/inserts its physical rows but they stay
+    * logically deleted — compact first when resurrection is intended
+    * (same tombstone-wins discipline as the other CoW forms).
+    *
+    * 100 TB shape: O(hit waves' data + source) + one commit file. A
+    * daily dimension merge whose changed keys cluster in 3 of 10,000
+    * waves rewrites 3 and appends 1 — the device that makes
+    * catalog-tier SCD1 O(changed), not O(dimension).
+    */
+  def casMergeInto(spark: SparkSession, table: String, c: String,
+      source: DataFrame, retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): CasMergeStats = {
+    import org.apache.spark.sql.functions.{broadcast, col, count,
+      countDistinct, lit, when}
+    import spark.implicits._
+    val cols = casRead(spark, table).columns.toSeq
+    require(source.columns.toSet == cols.toSet,
+      s"casMergeInto($table): source columns " +
+        s"${source.columns.toSet} differ from table's ${cols.toSet}")
+    val src = source.select(cols.map(col): _*).persist()
+    try {
+      val prof = src.agg(count(lit(1)), count(col(c)),
+        countDistinct(col(c))).head()
+      require(prof.getLong(1) == prof.getLong(2),
+        s"casMergeInto($table): duplicate source keys on $c — " +
+          "ANSI MERGE ambiguity, dedup the source first")
+      if (prof.getLong(0) == 0L)
+        return CasMergeStats(casHead(table), 0,
+          casActiveCmds(table).count(l => !casIsDel(l)), 0L, 0L)
+      val k = src.select(col(c).cast("long").as("__k"))
+        .filter(col("__k").isNotNull).distinct()
+      var attempt = 0
+      while (attempt < retries) {
+        val head = casHead(table)
+        val cmds = casActiveCmdsAt(table, head)
+        val (dels, datas) = cmds.partition(casIsDel)
+        val exts = datas.zipWithIndex.flatMap { case (cmd, i) =>
+          casExtent(cmd).map { case (mn, mx) => (i, mn, mx) }
+        }
+        // keys x extents: extents are commit-count rows, broadcast;
+        // hit ids collect at extent grain, never key grain
+        val hitIds: Set[Int] =
+          if (exts.isEmpty) Set.empty[Int]
+          else k.join(broadcast(exts.toDF("__eid", "__mn", "__mx")),
+              col("__k").between(col("__mn"), col("__mx")))
+            .select("__eid").distinct().as[Int].collect().toSet
+        val extIds = exts.map(_._1).toSet
+        val (retainedIdx, affectedIdx) = datas.indices.partition(i =>
+          extIds(i) && !hitIds(i))
+        val retained = retainedIdx.map(datas)
+        val affected = affectedIdx.map(datas)
+        val evolved = datas.exists(casIsEvolved)
+        val dataDir = new File(dir(table + "__data"))
+        val insName = java.util.UUID.randomUUID().toString
+
+        if (affected.isEmpty) {
+          // every wave is provably key-disjoint: the whole source is
+          // an insert, landing as ONE delta ADDS commit (retained
+          // lines and tombstones keep riding implicitly)
+          val staged = new File(dataDir, insName)
+          src.write.mode("errorifexists").parquet(staged.getPath)
+          val (lo, hi) = casStatsOf(spark.read.parquet(staged.getPath), c)
+          val n = spark.read.parquet(staged.getPath).count()
+          val verb = if (evolved) "ADDES" else "ADDS"
+          beforeCommit()
+          if (casTryCommit(table, head + 1,
+            Seq(s"$verb $lo $hi ${staged.getPath}"))) {
+            casMaybeVacuum(table, head + 1)
+            return CasMergeStats(head + 1, 0, retained.size, 0L, n)
+          }
+          delete(staged)
+        } else {
+          val hit = casResolveRead(spark, affected,
+            s"casMergeInto($table)")
+          // per-row matched update: LEFT JOIN the source on the key
+          // and take the source's value column-wise — multiplicity
+          // preserved, NULL keys never match
+          val s2 = src.select(
+            (cols.map(cn => col(cn).as("__s_" + cn)) :+
+              col(c).cast("long").as("__sk")): _*)
+          // no broadcast hint on the source: a daily delta broadcasts
+          // via AQE's size rule, a bulk backfill shuffles — both
+          // correct without hand-picking
+          val joined = hit.withColumn("__tk", col(c).cast("long"))
+            .join(s2, col("__tk") === col("__sk"), "left")
+          val matchedT = col("__sk").isNotNull
+          val rewrite = joined.select(hit.columns.toSeq.map(cn =>
+            when(matchedT, col("__s_" + cn)).otherwise(col(cn))
+              .as(cn)): _*)
+          val updatedRows = joined.filter(matchedT).count()
+          // unmatched source rows insert; matched ones were consumed
+          // by the rewrite above
+          val hitKeys = hit.select(col(c).cast("long").as("__hk"))
+            .filter(col("__hk").isNotNull).distinct()
+          val insert = src.join(hitKeys,
+            col(c).cast("long") === col("__hk"), "left_anti")
+          val stagedR = new File(dataDir,
+            java.util.UUID.randomUUID().toString)
+          rewrite.write.mode("errorifexists").parquet(stagedR.getPath)
+          val (rlo, rhi) =
+            casStatsOf(spark.read.parquet(stagedR.getPath), c)
+          val rVerb = if (evolved) "REPLACEE" else "REPLACES"
+          val stagedI = new File(dataDir, insName)
+          insert.write.mode("errorifexists").parquet(stagedI.getPath)
+          val insN = spark.read.parquet(stagedI.getPath).count()
+          val insLine =
+            if (insN == 0L) { delete(stagedI); Nil }
+            else {
+              val (ilo, ihi) =
+                casStatsOf(spark.read.parquet(stagedI.getPath), c)
+              val iVerb = if (evolved) "ADDES" else "ADDS"
+              Seq(s"$iVerb $ilo $ihi ${stagedI.getPath}")
+            }
+          beforeCommit()
+          if (casTryCommit(table, head + 1,
+            s"$rVerb $rlo $rhi ${stagedR.getPath}" +:
+              (insLine ++ retained.map(casDemote) ++ dels))) {
+            casMaybeVacuum(table, head + 1)
+            return CasMergeStats(head + 1, affected.size,
+              retained.size, updatedRows, insN)
+          }
+          delete(stagedR)
+          if (insLine.nonEmpty) delete(stagedI)
+        }
+        attempt += 1
+      }
+      throw new CommitConflict(
+        s"casMergeInto($table): lost $retries CAS races")
+    } finally {
+      src.unpersist()
+      ()
+    }
   }
 
   // the shared copy-on-write delete core: classification by commit
