@@ -42,6 +42,27 @@ object Scd {
     tgt.join(s, keys, "full_outer").select(out: _*)
   }
 
+  /** The SCD1 DELTA — the src rows a [[scd1Merge]] would actually
+    * change: keys absent from `tgt` (inserts) plus keys whose
+    * attributes differ null-safely (updates). Feeding this delta to
+    * an upsert ([[graft.sources.Warehouse.casMergeInto]]) yields the
+    * exact [[scd1Merge]] result — matched-unchanged rows carry src
+    * values either way, and src-absent target rows pass through both
+    * paths — at O(changed) write cost instead of a full-table
+    * rewrite. One left join on the key (same shuffle the full merge
+    * pays), no windows, no collect.
+    */
+  def scd1Delta(src: DataFrame, tgt: DataFrame, keys: Seq[String],
+      attrs: Seq[String]): DataFrame = {
+    val t = suffixed(tgt.select((keys ++ attrs).map(col): _*),
+      attrs, "__t").withColumn("__tgt_present", lit(1))
+    src.select((keys ++ attrs).map(col): _*)
+      .join(t, keys, "left")
+      .filter(col("__tgt_present").isNull ||
+        attrs.map(a => !(col(a) <=> col(a + "__t"))).reduce(_ || _))
+      .select((keys ++ attrs).map(col): _*)
+  }
+
   /** Deterministic version surrogate key: md5 over (business keys,
     * effective date). The reference's Product dimension carries
     * `PID numeric Identity(1,1)` (SQLserver Scripts/Createtables_BIKES

@@ -288,5 +288,104 @@ object Extras6 {
       .crossJoin(wh.read(s, "mrg_evidence"))
   }
 
-  val all: Seq[Q] = Seq(q305, q306, q307, q308)
+  /** CATALOG-TIER SCD1 AT O(changed) — the device q307/q308 exist
+    * for, end to end: a customer dimension lands on day 1 as four
+    * key-quartile stats waves pinned by one catalog commit; day 2's
+    * FULL re-extract (the reference's daily CSV drop) mutates one
+    * attribute for keys divisible by 97 inside the THIRD quartile and
+    * adds brand-new keys (divisible by 211, re-keyed beyond max).
+    * [[graft.ops.Scd.scd1Delta]] reduces the extract to exactly the
+    * changed∪new rows against the PINNED prior,
+    * [[graft.sources.Warehouse.casMergeInto]] lands that delta in one
+    * commit — rewriting only the quartile the changes cluster in,
+    * retaining the other three by reference, inserting the new keys
+    * as a tight-extent ADDS — and `catCommitMax` advances the pin.
+    * The oracle restates the day-2 dimension arithmetically; the
+    * structural columns pin the O(changed) claim (delta_rows =
+    * changed + new, NOT the extract size) and the extent locality
+    * (rewritten = 1 of 4).
+    *
+    * 100 TB shape: the daily dimension refresh writes O(changed keys'
+    * waves), not O(dimension) — the full-extract diff costs the same
+    * one key-join every SCD1 merge already pays, and the write
+    * collapses from the table to the touched extents. This is the
+    * layout-dependent win: it needs the dim clustered into bounded
+    * key ranges (here the quartile construction; at scale
+    * [[graft.sources.Warehouse.casOptimize]]-maintained waves).
+    */
+  val q309 = Q("q309_catalog_scd1_delta",
+    """WITH q AS (
+      |  SELECT CAST(floor((max(c_custkey) + 1) / 4) AS BIGINT) AS qs
+      |  FROM customer),
+      |ch AS (
+      |  SELECT c_custkey FROM customer, q
+      |  WHERE c_custkey % 97 = 0
+      |    AND c_custkey >= 2 * qs AND c_custkey < 3 * qs),
+      |nw AS (SELECT c_custkey FROM customer WHERE c_custkey % 211 = 0),
+      |fin AS (
+      |  SELECT c_custkey AS cust_id,
+      |    CAST(c_nationkey AS BIGINT) +
+      |      CASE WHEN c_custkey IN (SELECT c_custkey FROM ch)
+      |        THEN 100 ELSE 0 END AS nat
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, CAST(c_nationkey AS BIGINT)
+      |  FROM customer WHERE c_custkey % 211 = 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cust_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(nat) AS BIGINT) AS nat_sum,
+      |  CAST(1 AS BIGINT) AS rewritten,
+      |  CAST(3 AS BIGINT) AS retained,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ch) +
+      |    (SELECT CAST(count(*) AS BIGINT) FROM nw) AS delta_rows,
+      |  CAST(2 AS BIGINT) AS cat_ver
+      |FROM fin""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"scd1d_${SessionScratch.keyOf(dir)}"))
+    val key = s"scd1_delta_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val c = t(s, dir, "customer")
+      val day1 = c.select(col("c_custkey").as("cust_id"),
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_name").as("nm"))
+      val maxId = day1.agg(max("cust_id")).as[Long].head()
+      val qs = (maxId + 1L) / 4L
+      var v = 0
+      Seq((0L, qs), (qs, 2 * qs), (2 * qs, 3 * qs), (3 * qs, maxId + 1))
+        .foreach { case (lo, hi) =>
+          v = wh.casAppendStats(s,
+            day1.filter(col("cust_id") >= lo && col("cust_id") < hi),
+            "scd_cust_dim", "cust_id")
+        }
+      wh.catCommit(Seq("scd_cust_dim" -> v))
+      // day 2: the FULL extract again — one attr mutated for the
+      // clustered change set, plus brand-new keys beyond max
+      val day2 = day1.withColumn("nat",
+          when(col("cust_id") % 97 === 0 &&
+            col("cust_id") >= 2 * qs && col("cust_id") < 3 * qs,
+            col("nat") + 100L).otherwise(col("nat")))
+        .unionByName(day1.filter(col("cust_id") % 211 === 0)
+          .select((col("cust_id") + 10000000L).as("cust_id"),
+            col("nat"), col("nm")))
+      val prior = wh.catRead(s, "scd_cust_dim")
+      val delta = graft.ops.Scd.scd1Delta(day2, prior,
+        Seq("cust_id"), Seq("nat", "nm")).persist()
+      val deltaRows = delta.count()
+      val st = wh.casMergeInto(s, "scd_cust_dim", "cust_id", delta)
+      delta.unpersist()
+      val catVer = wh.catCommitMax(Seq("scd_cust_dim" -> st.version))
+      wh.overwrite(Seq((st.rewrittenCommits.toLong,
+        st.retainedCommits.toLong, deltaRows, catVer.toLong))
+        .toDF("rewritten", "retained", "delta_rows", "cat_ver"),
+        "scd1d_evidence")
+    }
+    wh.catRead(s, "scd_cust_dim")
+      .agg(count(lit(1)).as("n"),
+        sum("cust_id").cast("long").as("id_sum"),
+        sum("nat").cast("long").as("nat_sum"))
+      .crossJoin(wh.read(s, "scd1d_evidence"))
+  }
+
+  val all: Seq[Q] = Seq(q305, q306, q307, q308, q309)
 }

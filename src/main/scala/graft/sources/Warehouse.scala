@@ -1992,10 +1992,17 @@ final case class Warehouse(root: String,
     val src = source.select(cols.map(col): _*).persist()
     try {
       val prof = src.agg(count(lit(1)), count(col(c)),
-        countDistinct(col(c))).head()
+        countDistinct(col(c)), count(col(c).cast("long"))).head()
       require(prof.getLong(1) == prof.getLong(2),
         s"casMergeInto($table): duplicate source keys on $c — " +
           "ANSI MERGE ambiguity, dedup the source first")
+      // the ON equality runs over cast(long): a non-null source key
+      // that fails the cast would never match anything and silently
+      // re-INSERT rows it meant to update — reject it loudly
+      require(prof.getLong(1) == prof.getLong(3),
+        s"casMergeInto($table): source keys on $c must be " +
+          "long-castable (extent classification and the ON equality " +
+          "run over cast(long))")
       if (prof.getLong(0) == 0L)
         return CasMergeStats(casHead(table), 0,
           casActiveCmds(table).count(l => !casIsDel(l)), 0L, 0L)

@@ -200,6 +200,35 @@ class CasMergeSpec extends SparkSpec {
       ks().size == 40, "compaction folds the tombstone, same view")
   }
 
+  test("scd1Delta + casMergeInto is row-identical to the full " +
+    "scd1Merge, the delta is exactly changed∪new (null-safe: a " +
+    "NULL<=>NULL attribute is UNCHANGED, never re-updated forever)") {
+    import spark.implicits._
+    import graft.ops.Scd
+    val tgt = Seq(
+      (1L, Option(10L), "a"), // unchanged
+      (2L, Option(20L), "b"), // attr changes
+      (3L, Option.empty[Long], "c"), // NULL attr, src also NULL
+      (4L, Option(40L), "d") // absent from src: passes through
+    ).toDF("k", "x", "s")
+    val src = Seq(
+      (1L, Option(10L), "a"),
+      (2L, Option(21L), "b"),
+      (3L, Option.empty[Long], "c"),
+      (5L, Option(50L), "e") // new key
+    ).toDF("k", "x", "s")
+    val delta = Scd.scd1Delta(src, tgt, Seq("k"), Seq("x", "s"))
+    assert(rows(delta) == Set(Seq(2L, 21L, "b"), Seq(5L, 50L, "e")),
+      s"changed + new ONLY — the pandas NaN!=NaN bug would drag " +
+        s"key 3 in forever: ${rows(delta)}")
+    val wh = tmpWh()
+    wh.casAppendStats(spark, tgt, "sd", "k")
+    wh.casMergeInto(spark, "sd", "k", delta)
+    assert(rows(wh.casRead(spark, "sd")) ==
+      rows(Scd.scd1Merge(src, tgt, Seq("k"), Seq("x", "s"))),
+      "delta-merge must be row-identical to the full SCD1 merge")
+  }
+
   test("merge on an evolved table publishes REPLACEE/ADDES so the " +
     "snapshot keeps footer-merging, and the evolved column survives") {
     import spark.implicits._
