@@ -387,5 +387,67 @@ object Extras6 {
       .crossJoin(wh.read(s, "scd1d_evidence"))
   }
 
-  val all: Seq[Q] = Seq(q305, q306, q307, q308, q309)
+  /** SORT-CLUSTERED REWRITE — [[graft.sources.Warehouse.casClusterBy]]
+    * (Delta's `OPTIMIZE … ZORDER BY` in one dimension): documents
+    * land as four INTERLEAVED mod-4 stripes — every wave spans the
+    * whole doc_id domain, so the extents exist but skip NOTHING (a
+    * point consult opens all four). One cluster pass rewrites the
+    * snapshot as four RANGE-DISJOINT sorted waves via a single
+    * range-shuffle (the TeraSort shape), after which the same point
+    * consult opens exactly ONE wave and a single-key CoW delete
+    * rewrites one of four. The oracle restates the corpus (clustering
+    * is a layout change, never a content change) minus the one
+    * deleted row; kept-before/kept-after/waves/delete-locality ride
+    * as structural evidence.
+    *
+    * 100 TB shape: this is the maintenance operator that keeps q307/
+    * q308/q309 extent-local forever — O(table) once, at the cadence
+    * layout drift warrants, buying O(one-wave) point consults and
+    * O(changed-extent) DML in between.
+    */
+  val q310 = Q("q310_cluster_rewrite",
+    """WITH mid AS (
+      |  SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS m
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+      |  CAST(4 AS BIGINT) AS kept_before,
+      |  CAST(1 AS BIGINT) AS kept_after,
+      |  CAST(4 AS BIGINT) AS waves,
+      |  CAST(1 AS BIGINT) AS del_rewritten,
+      |  CAST(3 AS BIGINT) AS del_retained
+      |FROM documents, mid WHERE doc_id <> m""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"clus_${SessionScratch.keyOf(dir)}"))
+    val key = s"cluster_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id", "n_chars")
+      val mid = d.agg((floor(max("doc_id") / 2)).cast("long"))
+        .as[Long].head()
+      (0 until 4).foreach { w =>
+        wh.casAppendStats(s, d.filter(col("doc_id") % 4 === w),
+          "clus_docs", "doc_id")
+      }
+      val keptBefore =
+        wh.casPrunedCommits("clus_docs", mid, mid)._1.size
+      val st = wh.casClusterBy(s, "clus_docs", "doc_id", 4)
+      val keptAfter =
+        wh.casPrunedCommits("clus_docs", mid, mid)._1.size
+      val del = wh.casDeleteWhere(s, "clus_docs", "doc_id", Seq(mid))
+      wh.overwrite(Seq((keptBefore.toLong, keptAfter.toLong,
+        st.waves.toLong, del.rewrittenCommits.toLong,
+        del.retainedCommits.toLong))
+        .toDF("kept_before", "kept_after", "waves", "del_rewritten",
+          "del_retained"), "clus_evidence")
+    }
+    wh.casRead(s, "clus_docs")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("chars_sum"))
+      .crossJoin(wh.read(s, "clus_evidence"))
+  }
+
+  val all: Seq[Q] = Seq(q305, q306, q307, q308, q309, q310)
 }

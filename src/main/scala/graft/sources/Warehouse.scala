@@ -44,6 +44,13 @@ final case class CasUpdateStats(version: Int, rewrittenCommits: Int,
 final case class CasMergeStats(version: Int, rewrittenCommits: Int,
     retainedCommits: Int, updatedRows: Long, insertedRows: Long)
 
+/** Evidence a [[Warehouse.casClusterBy]] returns: the committed
+  * version, how many sorted waves the rewrite produced, how many
+  * data commits it consumed, and the snapshot's row count.
+  */
+final case class CasClusterStats(version: Int, waves: Int,
+    inputCommits: Int, rows: Long)
+
 /** Evidence a [[Warehouse.casDeleteRange]] returns: the committed
   * version, how many commits were dropped whole (no read — the
   * partition-drop fast path), rewritten (boundary straddlers), and
@@ -2109,6 +2116,107 @@ final case class Warehouse(root: String,
       src.unpersist()
       ()
     }
+  }
+
+  /** SORT-CLUSTERED REWRITE — Delta's `OPTIMIZE … ZORDER BY (c)` in
+    * one dimension / Iceberg's sort-ordered rewrite: rewrite the
+    * whole snapshot as `waves` RANGE-DISJOINT sorted waves, each its
+    * own commit line with a tight [min, max] extent. This is the
+    * LAYOUT-MAINTENANCE half of the extent-skipping story: appends
+    * and merges keep extents useful only while keys arrive
+    * clustered; once waves overlap, every pruning consult and every
+    * CoW delete/update/merge degrades to opening most of the table.
+    * One cluster pass restores point/range consults to opening ONE
+    * wave and makes later DML extent-local again (q309's
+    * precondition).
+    *
+    * Mechanics: ONE range-shuffle + within-partition sort over the
+    * snapshot (the TeraSort shape — RangePartitioner samples split
+    * points, no global sort barrier), written once; each part file
+    * then becomes its own wave directory via a metadata-grain move
+    * (the directory grain [[casVacuum]]'s reference set is built
+    * on), with per-wave extents computed in one grouped pass over
+    * the staged output. MoR tombstones are FOLDED (the snapshot read
+    * applies them, and they do not ride the commit) — clustering is
+    * also a compaction. Rows whose key is NULL (or fails the long
+    * cast) sort into the first range partition and give that wave a
+    * conservative `-` extent, never a lying one. Same OCC contract
+    * as every rewrite; a lost race deletes its staged waves and
+    * recomputes.
+    *
+    * 100 TB shape: O(table) once — the cost every format charges for
+    * a clustering rewrite — buying O(1-wave) point consults and
+    * extent-local DML until the layout drifts again. Run it at the
+    * cadence layout drift warrants, not per write.
+    */
+  def casClusterBy(spark: SparkSession, table: String, c: String,
+      waves: Int, retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): CasClusterStats = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name,
+      lit, max, min}
+    require(waves >= 1, s"casClusterBy($table): waves must be >= 1")
+    var attempt = 0
+    while (attempt < retries) {
+      val head = casHead(table)
+      val cmds = casActiveCmdsAt(table, head)
+      val (dels, datas) = cmds.partition(casIsDel)
+      val snapshot = casResolveRead(spark, cmds,
+        s"casClusterBy($table)")
+      val dataDir = new File(dir(table + "__data"))
+      val tmp = new File(dataDir,
+        java.util.UUID.randomUUID().toString + ".clustering")
+      val k = col(c).cast("long")
+      snapshot.repartitionByRange(waves, k)
+        .sortWithinPartitions(k)
+        .write.mode("errorifexists").parquet(tmp.getPath)
+      // one grouped pass over the staged output: per-file extent +
+      // rowcount (bounded output — one row per part file)
+      val stats = spark.read.parquet(tmp.getPath)
+        .groupBy(input_file_name().as("__f"))
+        .agg(min(k).as("__mn"), max(k).as("__mx"),
+          count(lit(1)).as("__n"), count(k).as("__nk"))
+        .collect().toSeq
+        .sortBy(r => if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
+      var moved = List.empty[File]
+      val lines: Seq[String] =
+        if (stats.isEmpty) {
+          // fully-tombstoned snapshot: publish one empty wave so the
+          // table stays readable with its schema
+          val wdir = new File(dataDir,
+            java.util.UUID.randomUUID().toString)
+          snapshot.limit(0).write.mode("errorifexists")
+            .parquet(wdir.getPath)
+          moved = wdir :: moved
+          Seq(s"REPLACES - - ${wdir.getPath}")
+        } else stats.zipWithIndex.map { case (r, i) =>
+          val src = new File(new java.net.URI(r.getString(0)).getPath)
+          val wdir = new File(dataDir,
+            java.util.UUID.randomUUID().toString)
+          require(wdir.mkdirs() && src.renameTo(new File(wdir,
+            src.getName)), s"casClusterBy($table): move failed for " +
+            s"${src.getPath}")
+          moved = wdir :: moved
+          val (lo, hi) =
+            if (r.isNullAt(1) || r.isNullAt(2) ||
+              r.getLong(3) != r.getLong(4)) ("-", "-")
+            else (r.getLong(1).toString, r.getLong(2).toString)
+          val verb = if (i == 0) "REPLACES" else "ADDS"
+          s"$verb $lo $hi ${wdir.getPath}"
+        }
+      val rows = stats.map(_.getLong(3)).sum
+      beforeCommit()
+      if (casTryCommit(table, head + 1, lines)) {
+        delete(tmp)
+        casMaybeVacuum(table, head + 1)
+        return CasClusterStats(head + 1, lines.size,
+          datas.size, rows)
+      }
+      moved.foreach(delete)
+      delete(tmp)
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casClusterBy($table): lost $retries CAS races")
   }
 
   // the shared copy-on-write delete core: classification by commit
