@@ -449,5 +449,94 @@ object Extras6 {
       .crossJoin(wh.read(s, "clus_evidence"))
   }
 
-  val all: Seq[Q] = Seq(q305, q306, q307, q308, q309, q310)
+  /** STREAMING MERGE — [[graft.streaming.StreamingEtl.mergeSink]]:
+    * a CDC feed of whole-row upserts applied to a multi-writer CAS
+    * table, one exactly-once [[graft.sources.Warehouse.casMergeBatch]]
+    * per micro-batch. Batch 1 updates first-quartile keys (divisible
+    * by 97) and inserts brand-new keys (divisible by 211, re-keyed
+    * +2,000,000); batch 2 updates fourth-quartile keys AND the rows
+    * batch 1 just inserted — the cross-batch insert-then-update
+    * lifecycle a CDC stream actually produces. Each batch rewrites
+    * only its extent-hit waves and carries a (stream, batchId) TXN
+    * marker, so a crash-replay dedups instead of rolling concurrent
+    * writers back (CasMergeSpec pins the real restart). The oracle
+    * restates the final corpus arithmetically; the two-commit
+    * evidence rides as a structural column.
+    *
+    * 100 TB shape: per batch O(extent-hit waves + batch) + one
+    * metadata commit; the accumulated insert waves are
+    * [[graft.sources.Warehouse.casClusterBy]]'s job.
+    */
+  val q311 = Q("q311_streaming_merge",
+    """WITH q AS (
+      |  SELECT CAST(floor((max(doc_id) + 1) / 4) AS BIGINT) AS qs
+      |  FROM documents),
+      |u1 AS (
+      |  SELECT doc_id FROM documents, q
+      |  WHERE doc_id % 97 = 0 AND doc_id < qs),
+      |u2 AS (
+      |  SELECT doc_id FROM documents, q
+      |  WHERE doc_id % 97 = 0 AND doc_id >= 3 * qs),
+      |ins AS (SELECT doc_id FROM documents WHERE doc_id % 211 = 0),
+      |fin AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id IN (SELECT doc_id FROM u1) THEN -doc_id
+      |         WHEN doc_id IN (SELECT doc_id FROM u2)
+      |           THEN -2 * doc_id
+      |         ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, 2 * doc_id FROM ins)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+      |  CAST(2 AS BIGINT) AS merge_commits
+      |FROM fin""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"smrg_${SessionScratch.keyOf(dir)}"))
+    val key = s"stream_mrg_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val d = t(s, dir, "documents").select("doc_id", "n_chars")
+      val maxId = d.agg(max("doc_id")).as[Long].head()
+      val qs = (maxId + 1L) / 4L
+      Seq((0L, qs), (qs, 2 * qs), (2 * qs, 3 * qs), (3 * qs, maxId + 1))
+        .foreach { case (lo, hi) =>
+          wh.casAppendStats(s,
+            d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            "smrg_docs", "doc_id")
+        }
+      val head0 = wh.casHead("smrg_docs")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("smrg-ckpt-").toString
+      val feed = MemoryStream[(Long, Long)]
+      def drain(): Unit =
+        graft.streaming.StreamingEtl.mergeSink(
+          feed.toDF().toDF("doc_id", "n_chars"), wh, "smrg_docs",
+          "doc_id", "cdc", ckpt).awaitTermination()
+      // test feed: bounded key sets collect to drive MemoryStream
+      def ids(f: org.apache.spark.sql.Column): Seq[Long] =
+        d.filter(f).select("doc_id").as[Long].collect().toSeq
+      val u1 = ids(col("doc_id") % 97 === 0 && col("doc_id") < qs)
+      val u2 = ids(col("doc_id") % 97 === 0 && col("doc_id") >= 3 * qs)
+      val ins = ids(col("doc_id") % 211 === 0)
+      feed.addData(u1.map(k => (k, -k)) ++
+        ins.map(k => (k + 2000000L, k)): _*)
+      drain()
+      feed.addData(u2.map(k => (k, -2 * k)) ++
+        ins.map(k => (k + 2000000L, 2 * k)): _*)
+      drain()
+      wh.overwrite(Seq(Tuple1((wh.casHead("smrg_docs") - head0).toLong))
+        .toDF("merge_commits"), "smrg_evidence")
+    }
+    wh.casRead(s, "smrg_docs")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("chars_sum"))
+      .crossJoin(wh.read(s, "smrg_evidence"))
+  }
+
+  val all: Seq[Q] = Seq(q305, q306, q307, q308, q309, q310, q311)
 }

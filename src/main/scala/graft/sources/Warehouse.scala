@@ -1988,10 +1988,43 @@ final case class Warehouse(root: String,
     */
   def casMergeInto(spark: SparkSession, table: String, c: String,
       source: DataFrame, retries: Int = 8,
-      beforeCommit: () => Unit = () => ()): CasMergeStats = {
+      beforeCommit: () => Unit = () => ()): CasMergeStats =
+    casMergeImpl(spark, table, c, source, retries, beforeCommit, None)
+      .getOrElse(sys.error(s"casMergeInto($table): unreachable — " +
+        "dedup applies only to the batch form"))
+
+  /** EXACTLY-ONCE streaming MERGE — [[casMergeInto]] carrying a
+    * (stream, batchId) TXN marker on its commit, so a REPLAYED
+    * micro-batch (engine redelivery after recovery) finds its id in
+    * the log and returns None without re-merging. The marker matters
+    * more for MERGE than for append: a replayed merge is idempotent
+    * against its OWN result, but a replay landing AFTER a concurrent
+    * writer touched the same keys would silently roll their rows
+    * back to the batch's stale values — the dedup closes that
+    * window. Same linearizable check-then-CAS as [[casAppendBatch]]
+    * (head first, check bounded below head+1, CAS targets head+1);
+    * the TXN line is a per-stream summary claim ("batches <= id are
+    * in"), sound because Structured Streaming delivers each sink's
+    * batches in order, and it rides checkpoints via the same
+    * [[casTxnState]] fold as ADDB history.
+    */
+  def casMergeBatch(spark: SparkSession, table: String, c: String,
+      source: DataFrame, stream: String, batchId: Long,
+      retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): Option[CasMergeStats] = {
+    if (casCommittedBatch(table, stream, batchId)) return None
+    casMergeImpl(spark, table, c, source, retries, beforeCommit,
+      Some((stream, batchId)))
+  }
+
+  private def casMergeImpl(spark: SparkSession, table: String,
+      c: String, source: DataFrame, retries: Int,
+      beforeCommit: () => Unit,
+      txn: Option[(String, Long)]): Option[CasMergeStats] = {
     import org.apache.spark.sql.functions.{broadcast, col, count,
       countDistinct, lit, when}
     import spark.implicits._
+    val txnLines = txn.map { case (s, b) => s"TXN $s $b" }.toSeq
     val cols = casRead(spark, table).columns.toSeq
     require(source.columns.toSet == cols.toSet,
       s"casMergeInto($table): source columns " +
@@ -2011,13 +2044,19 @@ final case class Warehouse(root: String,
           "long-castable (extent classification and the ON equality " +
           "run over cast(long))")
       if (prof.getLong(0) == 0L)
-        return CasMergeStats(casHead(table), 0,
-          casActiveCmds(table).count(l => !casIsDel(l)), 0L, 0L)
+        return Some(CasMergeStats(casHead(table), 0,
+          casActiveCmds(table).count(l => !casIsDel(l)), 0L, 0L))
       val k = src.select(col(c).cast("long").as("__k"))
         .filter(col("__k").isNotNull).distinct()
       var attempt = 0
       while (attempt < retries) {
         val head = casHead(table)
+        // the authoritative dedup check, bounded below the CAS
+        // target — any commit racing in between occupies head+1,
+        // fails our CAS, and the retry re-checks over it
+        if (txn.exists { case (s, b) =>
+          casCommittedBatchBelow(table, s, b, head + 1) })
+          return None
         val cmds = casActiveCmdsAt(table, head)
         val (dels, datas) = cmds.partition(casIsDel)
         val exts = datas.zipWithIndex.flatMap { case (cmd, i) =>
@@ -2050,9 +2089,10 @@ final case class Warehouse(root: String,
           val verb = if (evolved) "ADDES" else "ADDS"
           beforeCommit()
           if (casTryCommit(table, head + 1,
-            Seq(s"$verb $lo $hi ${staged.getPath}"))) {
+            s"$verb $lo $hi ${staged.getPath}" +: txnLines)) {
             casMaybeVacuum(table, head + 1)
-            return CasMergeStats(head + 1, 0, retained.size, 0L, n)
+            return Some(CasMergeStats(head + 1, 0, retained.size,
+              0L, n))
           }
           delete(staged)
         } else {
@@ -2100,10 +2140,11 @@ final case class Warehouse(root: String,
           beforeCommit()
           if (casTryCommit(table, head + 1,
             s"$rVerb $rlo $rhi ${stagedR.getPath}" +:
-              (insLine ++ retained.map(casDemote) ++ dels))) {
+              (insLine ++ retained.map(casDemote) ++ dels ++
+                txnLines))) {
             casMaybeVacuum(table, head + 1)
-            return CasMergeStats(head + 1, affected.size,
-              retained.size, updatedRows, insN)
+            return Some(CasMergeStats(head + 1, affected.size,
+              retained.size, updatedRows, insN))
           }
           delete(stagedR)
           if (insLine.nonEmpty) delete(stagedI)

@@ -415,6 +415,46 @@ object StreamingEtl {
       }
       .start()
 
+  /** STREAMING MERGE SINK — a CDC feed of whole-row upserts applied
+    * to a MULTI-WRITER CAS table, one
+    * [[graft.sources.Warehouse.casMergeBatch]] per micro-batch:
+    * matched keys update in place inside extent-hit waves, new keys
+    * land as tight-extent insert waves, and every batch commits
+    * EXACTLY ONCE — the commit carries a (stream, batchId) TXN
+    * marker, so the batch the engine re-delivers after a crash
+    * between the merge CAS and the checkpoint write (the
+    * `afterMerge` seam) dedups instead of rolling concurrently-
+    * updated rows back to stale values. This is [[upsertSink]]
+    * re-based from the single-writer MoR sidecar onto the CAS tier:
+    * no sidecar read tax, concurrent writers safe, and the table
+    * stays a plain CAS table every DML/OPTIMIZE/RESTORE operator
+    * already handles. Batches must carry at most one row per key
+    * (the CDC-compacted shape; [[casMergeBatch]] rejects ambiguous
+    * batches loudly rather than guessing an order).
+    *
+    * 100 TB shape: per batch O(extent-hit waves + batch), metadata
+    * commit; layout drift from many small insert waves is what
+    * [[graft.sources.Warehouse.casClusterBy]] and the auto-OPTIMIZE
+    * hook exist for.
+    */
+  def mergeSink(src: DataFrame, wh: graft.sources.Warehouse,
+      table: String, keyCol: String, stream: String,
+      checkpointDir: String,
+      afterMerge: () => Unit = () => ()): StreamingQuery =
+    src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          wh.casMergeBatch(batch.sparkSession, table, keyCol, batch,
+            stream, id)
+          afterMerge()
+        }
+        ()
+      }
+      .start()
+
   /** One micro-batch of the CATALOG-consistent two-table sink: land
     * the wave's detail and rollup APPENDS exactly-once in each
     * table's own CAS log ([[graft.sources.Warehouse.casAppendBatch]]

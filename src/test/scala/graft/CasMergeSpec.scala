@@ -229,6 +229,70 @@ class CasMergeSpec extends SparkSpec {
       "delta-merge must be row-identical to the full SCD1 merge")
   }
 
+  test("mergeSink crash AFTER the merge commit, REAL restart from " +
+    "the streaming checkpoint: the replayed batch DEDUPS on its TXN " +
+    "marker instead of rolling a concurrent writer's rows back to " +
+    "the batch's stale values") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = tmpWh()
+    quadWaves(wh, "sm")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("mrg-ckpt-").toString
+    val input = MemoryStream[(Long, Long)]
+    input.addData((25L, -25L), (100L, -100L))
+    val crashed = graft.streaming.StreamingEtl.mergeSink(
+      input.toDF().toDF("k", "v"), wh, "sm", "k", "s1", ckpt,
+      afterMerge = () => sys.error("injected crash after commit"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crashed.awaitTermination()
+    }
+    assert(wh.casHead("sm") == 5, "crash shape: the merge landed")
+    def vOf(k: Long): Long = wh.casRead(spark, "sm")
+      .filter(col("k") === k).select("v").collect().head.getLong(0)
+    assert(vOf(25L) == -25L && vOf(100L) == -100L)
+    // a CONCURRENT writer touches one of the batch's keys before
+    // the restart — the exact window a naive replay would corrupt
+    wh.casMergeInto(spark, "sm", "k", Seq((25L, 777L)).toDF("k", "v"))
+    assert(wh.casHead("sm") == 6 && vOf(25L) == 777L)
+    // restart re-delivers batch 0: it must DEDUP, not re-merge
+    graft.streaming.StreamingEtl.mergeSink(
+      input.toDF().toDF("k", "v"), wh, "sm", "k", "s1", ckpt)
+      .awaitTermination()
+    assert(wh.casHead("sm") == 6,
+      "the replayed batch published nothing")
+    assert(vOf(25L) == 777L,
+      "the concurrent writer's value SURVIVES the replay — the " +
+        "stale-rollback the TXN marker exists to prevent")
+    // a NEW batch through the same checkpoint still merges
+    input.addData((26L, -26L))
+    graft.streaming.StreamingEtl.mergeSink(
+      input.toDF().toDF("k", "v"), wh, "sm", "k", "s1", ckpt)
+      .awaitTermination()
+    assert(vOf(26L) == -26L && vOf(25L) == 777L &&
+      wh.casRead(spark, "sm").count() == 41L)
+  }
+
+  test("the merge TXN marker rides checkpoints: a replay arriving " +
+    "after casCheckpoint folded the log still dedups (the TXN " +
+    "summary covers it), and casBatchVersion resolves the batch") {
+    import spark.implicits._
+    val wh = tmpWh()
+    quadWaves(wh, "tc")
+    val st = wh.casMergeBatch(spark, "tc", "k",
+      Seq((5L, -5L)).toDF("k", "v"), "s2", 0L)
+    assert(st.isDefined && st.get.updatedRows == 1L)
+    wh.casCheckpoint("tc")
+    assert(wh.casMergeBatch(spark, "tc", "k",
+      Seq((5L, -999L)).toDF("k", "v"), "s2", 0L).isEmpty,
+      "dedup through the checkpoint's TXN summary")
+    assert(wh.casBatchVersion("tc", "s2", 0L).isDefined)
+    // the next batch id is NOT covered by the summary claim
+    assert(wh.casMergeBatch(spark, "tc", "k",
+      Seq((6L, -6L)).toDF("k", "v"), "s2", 1L).isDefined)
+  }
+
   test("merge on an evolved table publishes REPLACEE/ADDES so the " +
     "snapshot keeps footer-merging, and the evolved column survives") {
     import spark.implicits._
