@@ -538,5 +538,94 @@ object Extras6 {
       .crossJoin(wh.read(s, "smrg_evidence"))
   }
 
-  val all: Seq[Q] = Seq(q305, q306, q307, q308, q309, q310, q311)
+  /** CDC APPLY — [[graft.sources.Warehouse.casApplyCdc]], MERGE with
+    * the delete clause: ONE Debezium-shaped change batch (deletes
+    * for doc_id%59 in the FOURTH quartile, whole-row updates for
+    * doc_id%53 in the SECOND, inserts re-keyed +3,000,000 for
+    * doc_id%223) applied atomically — one commit rewrites exactly
+    * the two extent-hit quartile waves, retains the other two by
+    * reference, and lands the inserts as a tight-extent ADDS; a
+    * reader can never observe the batch's inserts without its
+    * deletes. The oracle re-derives the post-apply corpus
+    * arithmetically; the per-clause row counts and the
+    * rewritten/retained split ride as structural evidence.
+    * CasCdcSpec pins the corners (absent-key deletes, pure-delete
+    * batches, NULL keys, ambiguity rejection, the cdcSink
+    * crash-replay dedup).
+    *
+    * 100 TB shape: replicating a transactional upstream costs
+    * O(extent-hit waves + batch) + one commit file per batch — the
+    * table-size term is gone, and atomicity needs no cross-commit
+    * coordination.
+    */
+  val q312 = Q("q312_cdc_apply",
+    """WITH q AS (
+      |  SELECT CAST(floor((max(doc_id) + 1) / 4) AS BIGINT) AS qs
+      |  FROM documents),
+      |del AS (
+      |  SELECT doc_id FROM documents, q
+      |  WHERE doc_id % 59 = 0 AND doc_id >= 3 * qs),
+      |upd AS (
+      |  SELECT doc_id FROM documents, q
+      |  WHERE doc_id % 53 = 0 AND doc_id >= qs AND doc_id < 2 * qs),
+      |ins AS (SELECT doc_id FROM documents WHERE doc_id % 223 = 0),
+      |fin AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id IN (SELECT doc_id FROM upd)
+      |      THEN -doc_id ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM del)
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, doc_id FROM ins)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+      |  CAST(2 AS BIGINT) AS rewritten,
+      |  CAST(2 AS BIGINT) AS retained,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM del) AS deleted,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM upd) AS updated,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ins) AS inserted
+      |FROM fin""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"cdcap_${SessionScratch.keyOf(dir)}"))
+    val key = s"cdc_apply_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id", "n_chars")
+      val maxId = d.agg(max("doc_id")).as[Long].head()
+      val qs = (maxId + 1L) / 4L
+      Seq((0L, qs), (qs, 2 * qs), (2 * qs, 3 * qs), (3 * qs, maxId + 1))
+        .foreach { case (lo, hi) =>
+          wh.casAppendStats(s,
+            d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            "cdc_docs", "doc_id")
+        }
+      val dels = d.filter(col("doc_id") % 59 === 0 &&
+        col("doc_id") >= 3 * qs)
+        .select(col("doc_id"), lit(0L).as("n_chars"),
+          lit("D").as("op"))
+      val upds = d.filter(col("doc_id") % 53 === 0 &&
+        col("doc_id") >= qs && col("doc_id") < 2 * qs)
+        .select(col("doc_id"),
+          (-col("doc_id")).cast("long").as("n_chars"),
+          lit("U").as("op"))
+      val inss = d.filter(col("doc_id") % 223 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          col("doc_id").cast("long").as("n_chars"), lit("I").as("op"))
+      val st = wh.casApplyCdc(s, "cdc_docs", "doc_id",
+        dels.unionByName(upds).unionByName(inss))
+      wh.overwrite(Seq((st.rewrittenCommits.toLong,
+        st.retainedCommits.toLong, st.deletedRows, st.updatedRows,
+        st.insertedRows))
+        .toDF("rewritten", "retained", "deleted", "updated",
+          "inserted"), "cdc_evidence")
+    }
+    wh.casRead(s, "cdc_docs")
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum("n_chars").cast("long").as("chars_sum"))
+      .crossJoin(wh.read(s, "cdc_evidence"))
+  }
+
+  val all: Seq[Q] = Seq(q305, q306, q307, q308, q309, q310, q311, q312)
 }

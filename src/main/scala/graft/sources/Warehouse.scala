@@ -44,6 +44,15 @@ final case class CasUpdateStats(version: Int, rewrittenCommits: Int,
 final case class CasMergeStats(version: Int, rewrittenCommits: Int,
     retainedCommits: Int, updatedRows: Long, insertedRows: Long)
 
+/** Evidence a [[Warehouse.casApplyCdc]] returns: the committed
+  * version, the rewritten-vs-retained commit split, and the rows
+  * each CDC clause touched. `version` is the pre-apply head when
+  * the change set was empty (no commit published).
+  */
+final case class CasCdcStats(version: Int, rewrittenCommits: Int,
+    retainedCommits: Int, updatedRows: Long, insertedRows: Long,
+    deletedRows: Long)
+
 /** Evidence a [[Warehouse.casClusterBy]] returns: the committed
   * version, how many sorted waves the rewrite produced, how many
   * data commits it consumed, and the snapshot's row count.
@@ -2155,6 +2164,205 @@ final case class Warehouse(root: String,
         s"casMergeInto($table): lost $retries CAS races")
     } finally {
       src.unpersist()
+      ()
+    }
+  }
+
+  /** CDC APPLY — the full `MERGE … WHEN MATCHED AND op = 'D' THEN
+    * DELETE WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    * INSERT *`: one CDC batch (upserts AND deletes, discriminated by
+    * `opCol` — `'D'` deletes, anything else upserts) applied to a
+    * multi-writer CAS table in ONE atomic commit; a reader can never
+    * observe the batch's inserts without its deletes. Classification,
+    * OCC contract, NULL/duplicate-key discipline, and tombstone
+    * interplay are [[casMergeInto]]'s, with the delete clause folded
+    * into the same rewrite pass: commits extent-disjoint from EVERY
+    * change key (upsert or delete) retain by reference; affected
+    * waves rewrite with deleted keys' rows removed (null-safe
+    * anti-join) and matched upsert rows replaced in place; unmatched
+    * upsert rows land as the tight-extent insert wave. A delete for
+    * an absent key is a no-op, not an error (CDC replays and
+    * out-of-order feeds produce them).
+    *
+    * This is what replicating a transactional upstream INTO the
+    * warehouse actually needs (Debezium-shaped feeds): per batch
+    * O(extent-hit waves + batch) + one commit file at any table
+    * size.
+    */
+  def casApplyCdc(spark: SparkSession, table: String, c: String,
+      changes: DataFrame, opCol: String = "op", retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): CasCdcStats =
+    casApplyCdcImpl(spark, table, c, changes, opCol, retries,
+      beforeCommit, None).getOrElse(
+      sys.error(s"casApplyCdc($table): unreachable — dedup applies " +
+        "only to the batch form"))
+
+  /** EXACTLY-ONCE streaming CDC apply — [[casApplyCdc]] carrying the
+    * same (stream, batchId) TXN marker as [[casMergeBatch]]: a
+    * crash-replayed batch dedups instead of re-deleting rows a
+    * concurrent writer re-inserted or rolling their updates back.
+    */
+  def casApplyCdcBatch(spark: SparkSession, table: String, c: String,
+      changes: DataFrame, opCol: String, stream: String,
+      batchId: Long, retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): Option[CasCdcStats] = {
+    if (casCommittedBatch(table, stream, batchId)) return None
+    casApplyCdcImpl(spark, table, c, changes, opCol, retries,
+      beforeCommit, Some((stream, batchId)))
+  }
+
+  private def casApplyCdcImpl(spark: SparkSession, table: String,
+      c: String, changes: DataFrame, opCol: String, retries: Int,
+      beforeCommit: () => Unit,
+      txn: Option[(String, Long)]): Option[CasCdcStats] = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct,
+      lit, when}
+    import spark.implicits._
+    val txnLines = txn.map { case (s, b) => s"TXN $s $b" }.toSeq
+    val cols = casRead(spark, table).columns.toSeq
+    require(changes.columns.contains(opCol),
+      s"casApplyCdc($table): changes carry no op column '$opCol'")
+    require((changes.columns.toSet - opCol) == cols.toSet,
+      s"casApplyCdc($table): change columns " +
+        s"${changes.columns.toSet - opCol} differ from table's " +
+        s"${cols.toSet}")
+    val chg = changes.select((cols.map(col) :+
+      (col(opCol) === lit("D")).as("__del")): _*).persist()
+    try {
+      val prof = chg.agg(count(lit(1)), count(col(c)),
+        countDistinct(col(c)), count(col(c).cast("long"))).head()
+      require(prof.getLong(1) == prof.getLong(2),
+        s"casApplyCdc($table): duplicate change keys on $c — " +
+          "compact the batch to its last change per key first")
+      require(prof.getLong(1) == prof.getLong(3),
+        s"casApplyCdc($table): change keys on $c must be " +
+          "long-castable")
+      if (prof.getLong(0) == 0L)
+        return Some(CasCdcStats(casHead(table), 0,
+          casActiveCmds(table).count(l => !casIsDel(l)), 0L, 0L, 0L))
+      val ups = chg.filter(!col("__del")).drop("__del")
+      val k = chg.select(col(c).cast("long").as("__k"))
+        .filter(col("__k").isNotNull).distinct()
+      val delK = chg.filter(col("__del"))
+        .select(col(c).cast("long").as("__dk"))
+        .filter(col("__dk").isNotNull).distinct()
+      var attempt = 0
+      while (attempt < retries) {
+        val head = casHead(table)
+        if (txn.exists { case (s, b) =>
+          casCommittedBatchBelow(table, s, b, head + 1) })
+          return None
+        val cmds = casActiveCmdsAt(table, head)
+        val (dels, datas) = cmds.partition(casIsDel)
+        val exts = datas.zipWithIndex.flatMap { case (cmd, i) =>
+          casExtent(cmd).map { case (mn, mx) => (i, mn, mx) }
+        }
+        val hitIds: Set[Int] =
+          if (exts.isEmpty) Set.empty[Int]
+          else k.join(org.apache.spark.sql.functions.broadcast(
+              exts.toDF("__eid", "__mn", "__mx")),
+              col("__k").between(col("__mn"), col("__mx")))
+            .select("__eid").distinct().as[Int].collect().toSet
+        val extIds = exts.map(_._1).toSet
+        val (retainedIdx, affectedIdx) = datas.indices.partition(i =>
+          extIds(i) && !hitIds(i))
+        val retained = retainedIdx.map(datas)
+        val affected = affectedIdx.map(datas)
+        val evolved = datas.exists(casIsEvolved)
+        val dataDir = new File(dir(table + "__data"))
+
+        if (affected.isEmpty) {
+          // every wave key-disjoint: deletes are all no-ops, the
+          // upserts are all inserts — one delta ADDS commit
+          val staged = new File(dataDir,
+            java.util.UUID.randomUUID().toString)
+          ups.write.mode("errorifexists").parquet(staged.getPath)
+          val stagedDf = spark.read.parquet(staged.getPath)
+          val (lo, hi) = casStatsOf(stagedDf, c)
+          val n = stagedDf.count()
+          if (n == 0L) {
+            // a pure-delete batch over disjoint extents: nothing to
+            // publish beyond the TXN marker (batch form) — or
+            // nothing at all
+            delete(staged)
+            if (txnLines.isEmpty)
+              return Some(CasCdcStats(head, 0, retained.size,
+                0L, 0L, 0L))
+            beforeCommit()
+            if (casTryCommit(table, head + 1, txnLines))
+              return Some(CasCdcStats(head + 1, 0, retained.size,
+                0L, 0L, 0L))
+          } else {
+            val verb = if (evolved) "ADDES" else "ADDS"
+            beforeCommit()
+            if (casTryCommit(table, head + 1,
+              s"$verb $lo $hi ${staged.getPath}" +: txnLines)) {
+              casMaybeVacuum(table, head + 1)
+              return Some(CasCdcStats(head + 1, 0, retained.size,
+                0L, n, 0L))
+            }
+            delete(staged)
+          }
+        } else {
+          val hit = casResolveRead(spark, affected,
+            s"casApplyCdc($table)")
+          val hitK = col(c).cast("long")
+          // delete clause first: matched delete keys' rows leave the
+          // rewrite (null-safe — NULL-keyed target rows never match)
+          val deletedRows = hit.join(delK, hitK === col("__dk"),
+            "left_semi").count()
+          val kept = hit.join(delK, hitK === col("__dk"), "left_anti")
+          // then the upsert clause over the survivors
+          val s2 = ups.select(
+            (cols.map(cn => col(cn).as("__s_" + cn)) :+
+              col(c).cast("long").as("__sk")): _*)
+          val joined = kept.withColumn("__tk", hitK)
+            .join(s2, col("__tk") === col("__sk"), "left")
+          val matchedT = col("__sk").isNotNull
+          val rewrite = joined.select(kept.columns.toSeq.map(cn =>
+            when(matchedT, col("__s_" + cn)).otherwise(col(cn))
+              .as(cn)): _*)
+          val updatedRows = joined.filter(matchedT).count()
+          val hitKeys = hit.select(hitK.as("__hk"))
+            .filter(col("__hk").isNotNull).distinct()
+          val insert = ups.join(hitKeys,
+            col(c).cast("long") === col("__hk"), "left_anti")
+          val stagedR = new File(dataDir,
+            java.util.UUID.randomUUID().toString)
+          rewrite.write.mode("errorifexists").parquet(stagedR.getPath)
+          val (rlo, rhi) =
+            casStatsOf(spark.read.parquet(stagedR.getPath), c)
+          val rVerb = if (evolved) "REPLACEE" else "REPLACES"
+          val stagedI = new File(dataDir,
+            java.util.UUID.randomUUID().toString)
+          insert.write.mode("errorifexists").parquet(stagedI.getPath)
+          val insN = spark.read.parquet(stagedI.getPath).count()
+          val insLine =
+            if (insN == 0L) { delete(stagedI); Nil }
+            else {
+              val (ilo, ihi) =
+                casStatsOf(spark.read.parquet(stagedI.getPath), c)
+              val iVerb = if (evolved) "ADDES" else "ADDS"
+              Seq(s"$iVerb $ilo $ihi ${stagedI.getPath}")
+            }
+          beforeCommit()
+          if (casTryCommit(table, head + 1,
+            s"$rVerb $rlo $rhi ${stagedR.getPath}" +:
+              (insLine ++ retained.map(casDemote) ++ dels ++
+                txnLines))) {
+            casMaybeVacuum(table, head + 1)
+            return Some(CasCdcStats(head + 1, affected.size,
+              retained.size, updatedRows, insN, deletedRows))
+          }
+          delete(stagedR)
+          if (insLine.nonEmpty) delete(stagedI)
+        }
+        attempt += 1
+      }
+      throw new CommitConflict(
+        s"casApplyCdc($table): lost $retries CAS races")
+    } finally {
+      chg.unpersist()
       ()
     }
   }

@@ -455,6 +455,33 @@ object StreamingEtl {
       }
       .start()
 
+  /** STREAMING CDC APPLY — [[mergeSink]] for a Debezium-shaped feed
+    * that carries DELETES too: each micro-batch (table columns + an
+    * op column, `'D'` = delete, else upsert) applies atomically via
+    * [[graft.sources.Warehouse.casApplyCdcBatch]] — a reader can
+    * never see a batch's inserts without its deletes — with the same
+    * (stream, batchId) exactly-once marker as the merge sink.
+    * Batches must be key-compacted (one change per key); the apply
+    * rejects ambiguous batches loudly.
+    */
+  def cdcSink(src: DataFrame, wh: graft.sources.Warehouse,
+      table: String, keyCol: String, opCol: String, stream: String,
+      checkpointDir: String,
+      afterApply: () => Unit = () => ()): StreamingQuery =
+    src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          wh.casApplyCdcBatch(batch.sparkSession, table, keyCol,
+            batch, opCol, stream, id)
+          afterApply()
+        }
+        ()
+      }
+      .start()
+
   /** One micro-batch of the CATALOG-consistent two-table sink: land
     * the wave's detail and rollup APPENDS exactly-once in each
     * table's own CAS log ([[graft.sources.Warehouse.casAppendBatch]]
