@@ -173,6 +173,79 @@ class CasCdcSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("8 REAL threads of round-17 churn — merges, CDC applies, " +
+    "CoW updates, cluster rewrites — serialize through the CAS with " +
+    "no lost update: the final snapshot is the commutative fold of " +
+    "every thread's slice-local operations, the log is contiguous, " +
+    "and retention + GC stay healthy") {
+    import spark.implicits._
+    val wh = tmpWh()
+    (0 to 7).foreach(w => wh.casAppendStats(spark,
+      (w * 100L until w * 100L + 100L).toDF("k")
+        .withColumn("v", col("k") * 100L), "r17", "k"))
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = (0 to 7).map { i =>
+      new Thread(() => {
+        try {
+          i % 4 match {
+            case 0 => // merge: one slice-local update + one insert
+              wh.casMergeInto(spark, "r17", "k",
+                Seq((i * 100L + 1L, -1L), (2000L + i, i.toLong))
+                  .toDF("k", "v"), retries = 64)
+              ()
+            case 1 => // CDC: delete + update + insert, one commit
+              wh.casApplyCdc(spark, "r17", "k",
+                Seq((i * 100L + 2L, 0L, "D"),
+                  (i * 100L + 3L, -3L, "U"),
+                  (3000L + i, i.toLong, "I")).toDF("k", "v", "op"),
+                retries = 64)
+              ()
+            case 2 => // copy-on-write update
+              wh.casUpdateWhere(spark, "r17", "k", Seq(i * 100L + 4L),
+                Map("v" -> (col("v") + 1000000L)), retries = 64)
+              ()
+            case 3 => // cluster rewrite under churn (content-neutral)
+              wh.casClusterBy(spark, "r17", "k", 4, retries = 64)
+              ()
+          }
+        } catch { case t: Throwable => err.compareAndSet(null, t); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(180000))
+    assert(err.get() == null, s"a writer died: ${err.get()}")
+    // 8 base + 2 merges + 2 CDC + 2 updates + 2 clusters, contiguous
+    val head = wh.casHead("r17")
+    assert(head == 16, s"head $head")
+    val commitFiles = Option(new java.io.File(wh.root, "r17__log")
+      .listFiles()).getOrElse(Array())
+      .count(_.getName.endsWith(".commit"))
+    assert(commitFiles == head, s"contiguous log: $commitFiles")
+    val expected = scala.collection.mutable.Map[Long, Long]()
+    (0L until 800L).foreach(k => expected(k) = k * 100L)
+    Seq(0, 4).foreach { i =>
+      expected(i * 100L + 1L) = -1L
+      expected(2000L + i) = i.toLong
+    }
+    Seq(1, 5).foreach { i =>
+      expected.remove(i * 100L + 2L)
+      expected(i * 100L + 3L) = -3L
+      expected(3000L + i) = i.toLong
+    }
+    Seq(2, 6).foreach { i =>
+      expected(i * 100L + 4L) = (i * 100L + 4L) * 100L + 1000000L
+    }
+    val got = wh.casRead(spark, "r17").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected.toMap,
+      s"commutative fold whatever the schedule: ${got.size} vs " +
+        s"${expected.size}")
+    wh.casTruncate("r17")
+    wh.casVacuum("r17", minAgeMs = 0L)
+    assert(wh.casRead(spark, "r17").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expected.toMap)
+  }
+
   test("a pure-delete DISJOINT batch in the exactly-once form still " +
     "records its TXN marker (the batch must not re-apply on replay " +
     "after the keys later appear)") {
