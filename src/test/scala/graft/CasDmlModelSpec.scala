@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Warehouse
+
+/** Model-based randomized DML: a fixed-seed stream of merges, CDC
+  * applies, CoW updates, CoW/MoR/range deletes, compactions,
+  * clusterings, optimizes and checkpoints runs against both the CAS
+  * table and an exact in-memory model (physical rows + active
+  * tombstone set — the split the format's documented
+  * tombstone-wins-until-compaction semantics require), with the
+  * visible snapshot checked after EVERY step. This is the spec that
+  * catches interaction bugs no per-operator matrix can enumerate:
+  * merge-after-MoR-delete, cluster folding tombstones mid-history,
+  * range deletes over waves a merge just rewrote, optimize folding
+  * the merge's insert waves, checkpoints in between.
+  */
+class CasDmlModelSpec extends SparkSpec {
+
+  test("60 seeded random DML steps stay exactly equal to the " +
+    "physical+tombstone model, and truncate+vacuum at the end " +
+    "changes nothing") {
+    import spark.implicits._
+    val wh = Warehouse(
+      java.nio.file.Files.createTempDirectory("r17-model-").toString)
+    val t = "m"
+    val rnd = new scala.util.Random(1717L)
+    // model state: physical rows and the active equality tombstones
+    var phys = Map.empty[Long, Long]
+    var tomb = Set.empty[Long]
+    def view: Map[Long, Long] = phys -- tomb
+
+    // init: keys 0..79 in four stats waves
+    (0 until 4).foreach { w =>
+      val rows = (w * 20L until w * 20L + 20L).map(k => (k, k * 10L))
+      wh.casAppendStats(spark, rows.toDF("k", "v"), t, "k")
+      phys ++= rows
+    }
+
+    def keys(n: Int): Seq[Long] =
+      Seq.fill(n)(rnd.nextInt(120).toLong).distinct
+
+    var step = 0
+    while (step < 60) {
+      step += 1
+      val op = rnd.nextInt(10)
+      op match {
+        case 0 | 1 => // MERGE: whole-row upsert of 1..5 keys
+          val ks = keys(1 + rnd.nextInt(5))
+          val src = ks.map(k => (k, step * 1000L + k))
+          wh.casMergeInto(spark, t, "k", src.toDF("k", "v"))
+          phys ++= src
+        case 2 => // CDC: deletes and upserts in one commit
+          val ks = keys(2 + rnd.nextInt(5))
+          val (d, u) = ks.splitAt(ks.size / 2)
+          val changes = d.map(k => (k, 0L, "D")) ++
+            u.map(k => (k, step * 1000L + k, "U"))
+          wh.casApplyCdc(spark, t, "k", changes.toDF("k", "v", "op"))
+          phys --= d
+          phys ++= u.map(k => k -> (step * 1000L + k))
+        case 3 => // CoW UPDATE of present-or-absent keys
+          val ks = keys(1 + rnd.nextInt(4))
+          wh.casUpdateWhere(spark, t, "k", ks,
+            Map("v" -> (col("v") + 7L)))
+          phys = phys.map { case (k, v) =>
+            k -> (if (ks.contains(k)) v + 7L else v)
+          }
+        case 4 => // CoW delete
+          val ks = keys(1 + rnd.nextInt(4))
+          wh.casDeleteWhere(spark, t, "k", ks)
+          phys --= ks
+        case 5 => // MoR tombstone delete
+          val ks = keys(1 + rnd.nextInt(4))
+          wh.casDeleteMoR(spark, t, "k", ks.toDF("k"))
+          tomb ++= ks
+        case 6 => // range delete (physical; tombstones ride)
+          val lo = rnd.nextInt(110).toLong
+          val hi = lo + rnd.nextInt(15)
+          wh.casDeleteRange(spark, t, "k", lo, hi)
+          phys = phys.filterNot { case (k, _) => k >= lo && k <= hi }
+        case 7 => // compact tombstones into the data
+          wh.casCompactDeletes(spark, t)
+          phys = phys -- tomb
+          tomb = Set.empty
+        case 8 => // cluster: layout change that also folds tombstones
+          wh.casClusterBy(spark, t, "k", 1 + rnd.nextInt(4))
+          phys = phys -- tomb
+          tomb = Set.empty
+        case 9 => // maintenance that must be content-neutral
+          if (rnd.nextBoolean()) wh.casOptimize(spark, t, maxWaves = 3)
+          else wh.casCheckpoint(t)
+          ()
+      }
+      val got = wh.casRead(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == view,
+        s"step $step op $op diverged: extra=${got.keySet -- view.keySet} " +
+          s"missing=${view.keySet -- got.keySet} " +
+          s"wrong=${view.collect { case (k, v) if got.get(k).exists(_ != v) => k }}")
+    }
+    // retention + GC at the end must preserve the visible snapshot
+    wh.casTruncate(t)
+    wh.casVacuum(t, minAgeMs = 0L)
+    val fin = wh.casRead(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin == view, "truncate+vacuum changed the snapshot")
+  }
+}
