@@ -627,5 +627,67 @@ object Extras6 {
       .crossJoin(wh.read(s, "cdc_evidence"))
   }
 
-  val all: Seq[Q] = Seq(q305, q306, q307, q308, q309, q310, q311, q312)
+  /** INCREMENTAL TAIL-READ —
+    * [[graft.sources.Warehouse.casChangesSince]]: documents land as
+    * three mod-3 append waves; a consumer whose cursor stopped after
+    * wave 1 reads EXACTLY waves 2∪3 (O(delta) — the consult is
+    * driver file reads over the window, the frame scans only the
+    * appended waves). A copy-on-write delete then rewrites history,
+    * and the same consult returns the full-refresh signal instead of
+    * silently double-counting across the rewrite; the consumer
+    * re-derives from the snapshot. The oracle restates the change
+    * window and the post-rewrite snapshot arithmetically; the
+    * two signal flags ride as structural evidence.
+    *
+    * 100 TB shape: following a table costs the data that arrived
+    * since the cursor, never the table — and a rewrite anywhere in
+    * the window is DETECTED, not glossed (the incremental consumer's
+    * correctness contract).
+    */
+  val q313 = Q("q313_incremental_tail_read",
+    """SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE doc_id % 3 <> 0) AS n_changes,
+      |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
+      |   WHERE doc_id % 3 <> 0) AS changes_sum,
+      |  CAST(1 AS BIGINT) AS incremental,
+      |  CAST(0 AS BIGINT) AS post_rewrite_incremental,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE doc_id % 101 <> 0) AS n_resync,
+      |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
+      |   WHERE doc_id % 101 <> 0) AS resync_sum""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"tail_${SessionScratch.keyOf(dir)}"))
+    val key = s"tail_read_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id")
+      (0 until 3).foreach { w =>
+        wh.casAppendStats(s, d.filter(col("doc_id") % 3 === w),
+          "tail_docs", "doc_id")
+      }
+      val (chg, h1) = wh.casChangesSince(s, "tail_docs", 1)
+      val agg = chg.get.agg(count(lit(1)),
+        coalesce(sum("doc_id"), lit(0L)).cast("long")).head()
+      val delKeys = d.filter(col("doc_id") % 101 === 0)
+        .as[Long].collect().toSeq
+      wh.casDeleteWhere(s, "tail_docs", "doc_id", delKeys)
+      val (post, _) = wh.casChangesSince(s, "tail_docs", h1)
+      wh.overwrite(Seq((agg.getLong(0), agg.getLong(1),
+        if (chg.isDefined) 1L else 0L,
+        if (post.isDefined) 1L else 0L))
+        .toDF("n_changes", "changes_sum", "incremental",
+          "post_rewrite_incremental"), "tail_evidence")
+    }
+    wh.casRead(s, "tail_docs")
+      .agg(count(lit(1)).as("n_resync"),
+        sum("doc_id").cast("long").as("resync_sum"))
+      .crossJoin(wh.read(s, "tail_evidence"))
+      .select("n_changes", "changes_sum", "incremental",
+        "post_rewrite_incremental", "n_resync", "resync_sum")
+  }
+
+  val all: Seq[Q] = Seq(q305, q306, q307, q308, q309, q310, q311, q312,
+    q313)
 }

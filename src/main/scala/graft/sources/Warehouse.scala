@@ -2168,6 +2168,67 @@ final case class Warehouse(root: String,
     }
   }
 
+  /** INCREMENTAL TAIL-READ — the O(delta) consumption device a
+    * downstream pipeline needs to follow a CAS table without
+    * rescanning it (Iceberg's incremental scan / Delta CDF over an
+    * append window): `Some(df)` holding EXACTLY the rows appended in
+    * commits (fromV, head] when that window is append-only, `None`
+    * when any commit in the window changed or removed existing rows
+    * (REPLACE-class rewrites — deletes, updates, merges, compaction,
+    * clustering — or MoR tombstones), in which case the caller must
+    * re-derive from a snapshot read; silently unioning appends
+    * across a rewrite would double-count or resurrect rows.
+    *
+    * CKPT commits need the one subtle case split: a log CHECKPOINT
+    * restates the active lines verbatim (content-neutral — skipped),
+    * but a RESTORE is also published as a CKPT-stopped commit and
+    * DOES change content — the two are told apart by comparing the
+    * commit's restated active set against the previous version's
+    * (driver-side line-set compare, no data touched). TXN-marker
+    * and other pure-metadata commits are content-neutral by
+    * construction and skipped.
+    *
+    * 100 TB shape: the consult is O(commits in the window) driver
+    * file reads and the returned frame scans ONLY the appended
+    * waves — following a table costs the data that arrived, never
+    * the table. Pair the returned head with the next call's `fromV`.
+    */
+  def casChangesSince(spark: SparkSession, table: String,
+      fromV: Int): (Option[DataFrame], Int) = {
+    val head = casHead(table)
+    require(fromV >= 0 && fromV <= head,
+      s"casChangesSince($table, $fromV): cursor out of range 0..$head")
+    if (fromV == head) return (Some(casRead(spark, table).limit(0)), head)
+    var appended = List.empty[String]
+    var n = fromV + 1
+    while (n <= head) {
+      val f = casCommitFile(table, n)
+      if (!f.exists())
+        sys.error(s"casChangesSince($table): commit $n was retired " +
+          "by retention — window unreadable, re-derive from a " +
+          "snapshot read")
+      val ls = readLines(f).filterNot(_.startsWith("TS "))
+      if (ls.contains("CKPT")) {
+        // checkpoint (content-neutral, skip) vs restore (content
+        // change): compare the restated active set to the previous
+        // version's
+        if (casActiveCmdsAt(table, n).toSet !=
+          casActiveCmdsAt(table, n - 1).toSet)
+          return (None, head)
+      } else if (ls.exists(l => casIsReplace(l) || casIsDel(l))) {
+        return (None, head)
+      } else {
+        appended = appended ++ ls.filterNot(casIsMeta)
+      }
+      n += 1
+    }
+    if (appended.isEmpty)
+      (Some(casRead(spark, table).limit(0)), head)
+    else
+      (Some(casResolveRead(spark, appended,
+        s"casChangesSince($table)")), head)
+  }
+
   /** CDC APPLY — the full `MERGE … WHEN MATCHED AND op = 'D' THEN
     * DELETE WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
     * INSERT *`: one CDC batch (upserts AND deletes, discriminated by

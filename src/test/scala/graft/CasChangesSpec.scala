@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Warehouse
+
+/** [[Warehouse.casChangesSince]] — the O(delta) tail-read: exact
+  * append windows, checkpoint neutrality vs restore, every
+  * rewrite/tombstone forcing the full-refresh signal, retention
+  * loudness, evolved appends, and the running-aggregate consumption
+  * pattern the device exists for.
+  */
+class CasChangesSpec extends SparkSpec {
+
+  private def tmpWh(): Warehouse = Warehouse(
+    java.nio.file.Files.createTempDirectory("r17-chg-").toString)
+
+  test("an append-only window returns EXACTLY the appended rows; an " +
+    "empty window returns an empty frame with the table schema; the " +
+    "returned head is the next cursor") {
+    import spark.implicits._
+    val wh = tmpWh()
+    (0 until 3).foreach { w =>
+      wh.casAppendStats(spark,
+        (w * 10L until w * 10L + 10L).toDF("k"), "a", "k")
+    }
+    val (df1, h1) = wh.casChangesSince(spark, "a", 1)
+    assert(h1 == 3)
+    assert(rows(df1.get) == (10L until 30L).map(Seq(_)).toSet)
+    val (df2, h2) = wh.casChangesSince(spark, "a", 3)
+    assert(h2 == 3 && df2.get.count() == 0L &&
+      df2.get.columns.toSeq == Seq("k"))
+    val (df0, _) = wh.casChangesSince(spark, "a", 0)
+    assert(df0.get.count() == 30L, "from zero = everything")
+  }
+
+  test("a CHECKPOINT inside the window is content-neutral and " +
+    "skipped (no double count); a RESTORE is a CKPT commit too but " +
+    "changes content and forces the refresh signal") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppendStats(spark, (0L until 10L).toDF("k"), "c", "k")
+    wh.casCheckpoint("c") // v2
+    wh.casAppendStats(spark, (10L until 20L).toDF("k"), "c", "k") // v3
+    val (df, h) = wh.casChangesSince(spark, "c", 1)
+    assert(h == 3 && rows(df.get) == (10L until 20L).map(Seq(_)).toSet,
+      "the checkpoint's restated lines must not re-emit old rows")
+    wh.casRestore(spark, "c", 1) // v4: CKPT verb, content CHANGE
+    val (df2, h2) = wh.casChangesSince(spark, "c", 3)
+    assert(h2 == 4 && df2.isEmpty,
+      "a restore inside the window forces the refresh signal")
+  }
+
+  test("every rewrite class and the MoR tombstone force the " +
+    "refresh signal: CoW delete, merge, optimize, cluster, DEL") {
+    import spark.implicits._
+    def base(): Warehouse = {
+      val wh = tmpWh()
+      (0 until 5).foreach { w =>
+        wh.casAppendStats(spark,
+          (w * 10L until w * 10L + 10L).toDF("k")
+            .withColumn("v", col("k")), "r", "k")
+      }
+      wh
+    }
+    val a = base(); a.casDeleteWhere(spark, "r", "k", Seq(5L))
+    assert(a.casChangesSince(spark, "r", 5)._1.isEmpty)
+    val b = base(); b.casMergeInto(spark, "r", "k",
+      Seq((5L, -5L)).toDF("k", "v"))
+    assert(b.casChangesSince(spark, "r", 5)._1.isEmpty)
+    val c = base(); c.casOptimize(spark, "r", maxWaves = 2)
+    assert(c.casChangesSince(spark, "r", 5)._1.isEmpty)
+    val d = base(); d.casClusterBy(spark, "r", "k", 2)
+    assert(d.casChangesSince(spark, "r", 5)._1.isEmpty)
+    val e = base(); e.casDeleteMoR(spark, "r", "k", Seq(5L).toDF("k"))
+    assert(e.casChangesSince(spark, "r", 5)._1.isEmpty)
+    // but appends AFTER the cursor that follow a pre-cursor rewrite
+    // are still incremental — only the WINDOW matters
+    val f = base(); f.casDeleteWhere(spark, "r", "k", Seq(5L)) // v6
+    f.casAppendStats(spark, (100L until 110L).toDF("k")
+      .withColumn("v", col("k")), "r", "k") // v7
+    val (df, h) = f.casChangesSince(spark, "r", 6)
+    assert(h == 7 && df.get.count() == 10L)
+  }
+
+  test("a TXN-only commit (deduped pure-delete CDC batch over " +
+    "disjoint extents) is metadata, not content — skipped") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppendStats(spark, (0L until 10L).toDF("k")
+      .withColumn("v", col("k")), "t", "k")
+    wh.casApplyCdcBatch(spark, "t", "k",
+      Seq((500L, 0L, "D")).toDF("k", "v", "op"), "op", "s", 0L) // v2
+    wh.casAppendStats(spark, (10L until 20L).toDF("k")
+      .withColumn("v", col("k")), "t", "k") // v3
+    val (df, h) = wh.casChangesSince(spark, "t", 1)
+    assert(h == 3 && df.get.count() == 10L)
+  }
+
+  test("a window truncated by retention fails LOUDLY, and an " +
+    "evolved append in the window comes back with the merged schema") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppendStats(spark, (0L until 10L).toDF("k"), "e", "k")
+    wh.casAppendEvolved((10L until 20L).toDF("k")
+      .withColumn("extra", lit(7L)), "e")
+    val (df, _) = wh.casChangesSince(spark, "e", 1)
+    assert(df.get.columns.toSet == Set("k", "extra") &&
+      df.get.count() == 10L)
+    wh.casReplace(spark, "e")(cur => cur) // v3
+    wh.casTruncate("e")
+    intercept[RuntimeException] {
+      wh.casChangesSince(spark, "e", 1)
+    }
+  }
+
+  test("the consumption pattern: a running aggregate maintained " +
+    "from successive change windows equals the snapshot aggregate") {
+    import spark.implicits._
+    val wh = tmpWh()
+    var cursor = 0
+    var running = 0L
+    def consume(): Unit = {
+      val (df, h) = wh.casChangesSince(spark, "s", cursor)
+      running += df.get.agg(coalesce(sum("k"), lit(0L)))
+        .as[Long].head()
+      cursor = h
+    }
+    wh.casAppendStats(spark, (0L until 10L).toDF("k"), "s", "k")
+    consume()
+    wh.casAppendStats(spark, (10L until 30L).toDF("k"), "s", "k")
+    wh.casCheckpoint("s")
+    wh.casAppendStats(spark, (30L until 40L).toDF("k"), "s", "k")
+    consume()
+    assert(running == (0L until 40L).sum)
+    assert(running == wh.casRead(spark, "s").agg(sum("k"))
+      .as[Long].head())
+  }
+}
