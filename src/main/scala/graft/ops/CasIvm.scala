@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Warehouse
+
+/** Incrementally-maintained rollup over a CAS table — the round's
+  * devices composed into the thing a 100 TB pipeline actually runs:
+  * [[Warehouse.casChangesSince]] supplies the O(delta) input,
+  * [[Warehouse.casMergeInto]] lands the touched groups' new totals
+  * as an extent-local upsert, and the full-refresh signal (any
+  * rewrite in the window) degrades to a REPLACE recompute instead
+  * of silently drifting. SUM/COUNT are self-additive, so the merge
+  * source is (prior totals of touched groups) + (delta totals) —
+  * one semi-join read of the small rollup, never a source rescan.
+  */
+object CasIvm {
+
+  /** One maintenance run of `rollup` = SELECT g, sum(v), count(*)
+    * FROM src GROUP BY g. Returns the maintenance mode actually
+    * taken: "bootstrap" (first run), "incremental" (append-only
+    * window merged), "refresh" (rewrite detected, full recompute),
+    * or "noop" (empty window). The cursor persists in a one-row
+    * sidecar table under the same warehouse root; single-maintainer
+    * contract (the streaming twin would carry a TXN marker instead).
+    */
+  def maintainSumCount(spark: SparkSession, wh: Warehouse,
+      src: String, rollup: String, g: String, v: String): String = {
+    val cursorT = rollup + "__cursor"
+    val cursor =
+      if (wh.exists(cursorT))
+        wh.read(spark, cursorT).head().getLong(0).toInt
+      else 0
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col(g)).agg(sum(col(v)).cast("long").as("sum_v"),
+        count(lit(1)).as("n_rows"))
+    val (chg, head) = wh.casChangesSince(spark, src, cursor)
+    val mode = chg match {
+      case None =>
+        // a rewrite (delete/update/merge/compaction) invalidated the
+        // additive path: recompute from the snapshot — correct under
+        // ANY history, and the detection is the point
+        wh.casOverwrite(aggOf(wh.casRead(spark, src)), rollup)
+        "refresh"
+      case Some(delta) if cursor == 0 =>
+        wh.casAppendStats(spark, aggOf(delta), rollup, g)
+        "bootstrap"
+      case Some(delta) =>
+        val d = aggOf(delta)
+        if (d.isEmpty) "noop"
+        else {
+          // touched groups only: prior totals semi-joined against the
+          // delta's group keys (the rollup is group-cardinality small;
+          // the SOURCE is never rescanned)
+          val prior = wh.casRead(spark, rollup)
+            .join(d.select(col(g)), Seq(g), "left_semi")
+          val merged = prior.select(col(g),
+              col("sum_v").as("p_sum"), col("n_rows").as("p_n"))
+            .join(d, Seq(g), "full_outer")
+            .select(col(g),
+              (coalesce(col("p_sum"), lit(0L)) +
+                coalesce(col("sum_v"), lit(0L))).as("sum_v"),
+              (coalesce(col("p_n"), lit(0L)) +
+                coalesce(col("n_rows"), lit(0L))).as("n_rows"))
+          wh.casMergeInto(spark, rollup, g, merged)
+          "incremental"
+        }
+    }
+    wh.overwrite(spark.range(1).select(lit(head.toLong).as("cursor")),
+      cursorT)
+    mode
+  }
+}

@@ -688,6 +688,58 @@ object Extras6 {
         "post_rewrite_incremental", "n_resync", "resync_sum")
   }
 
+  /** INCREMENTALLY-MAINTAINED ROLLUP — [[graft.ops.CasIvm]], the
+    * round's devices composed: four maintenance runs of a per-group
+    * SUM/COUNT rollup over a growing documents table — bootstrap on
+    * wave 1, additive [[graft.sources.Warehouse.casMergeInto]] of
+    * ONLY the touched groups' new totals on waves 2 and 3 (the
+    * source is never rescanned — the tail-read supplies the delta,
+    * the rollup read is group-cardinality small), and the REFRESH
+    * degradation when a copy-on-write delete rewrites history (the
+    * signal q313 pins) — recompute instead of silent drift. The
+    * oracle is the plain GROUP BY over the surviving corpus; the
+    * four observed maintenance modes ride as structural columns.
+    *
+    * 100 TB shape: daily rollup maintenance costs O(day's rows +
+    * touched groups), and correctness under compaction/GDPR
+    * rewrites is DETECTED, never assumed.
+    */
+  val q314 = Q("q314_ivm_tail_rollup",
+    """SELECT CAST(doc_id % 7 AS BIGINT) AS g,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_v,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  'bootstrap' AS m1, 'incremental' AS m2,
+      |  'incremental' AS m3, 'refresh' AS m4
+      |FROM documents WHERE doc_id % 101 <> 0
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"ivmr_${SessionScratch.keyOf(dir)}"))
+    val key = s"ivm_rollup_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 7).as("g"),
+          col("n_chars").as("v"))
+      def maintain(): String = graft.ops.CasIvm.maintainSumCount(
+        s, wh, "ivm_src", "ivm_roll", "g", "v")
+      val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 until 3).foreach { w =>
+        wh.casAppendStats(s, d.filter(col("doc_id") % 3 === w),
+          "ivm_src", "doc_id")
+        modes += maintain()
+      }
+      val delKeys = d.filter(col("doc_id") % 101 === 0)
+        .select("doc_id").as[Long].collect().toSeq
+      wh.casDeleteWhere(s, "ivm_src", "doc_id", delKeys)
+      modes += maintain()
+      wh.overwrite(Seq((modes(0), modes(1), modes(2), modes(3)))
+        .toDF("m1", "m2", "m3", "m4"), "ivm_evidence")
+    }
+    wh.casRead(s, "ivm_roll")
+      .select(col("g"), col("sum_v"), col("n_rows"))
+      .crossJoin(wh.read(s, "ivm_evidence"))
+  }
+
   val all: Seq[Q] = Seq(q305, q306, q307, q308, q309, q310, q311, q312,
-    q313)
+    q313, q314)
 }

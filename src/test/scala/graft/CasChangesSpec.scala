@@ -113,6 +113,41 @@ class CasChangesSpec extends SparkSpec {
     }
   }
 
+  test("CasIvm.maintainSumCount: bootstrap, additive incremental " +
+    "merge of touched groups, noop on empty windows, and the " +
+    "refresh degradation when a rewrite invalidates additivity — " +
+    "rollup equal to the full GROUP BY after every run") {
+    import spark.implicits._
+    import graft.ops.CasIvm
+    val wh = tmpWh()
+    def fullAgg(): Set[Seq[Any]] = rows(wh.casRead(spark, "src")
+      .groupBy(col("g")).agg(sum("v").cast("long").as("sum_v"),
+        count(lit(1)).as("n_rows")))
+    def roll(): Set[Seq[Any]] = rows(wh.casRead(spark, "roll"))
+    def maintain(): String = CasIvm.maintainSumCount(
+      spark, wh, "src", "roll", "g", "v")
+
+    wh.casAppendStats(spark, (0L until 30L).map(k => (k, k % 3, k))
+      .toDF("k", "g", "v"), "src", "k")
+    assert(maintain() == "bootstrap")
+    assert(roll() == fullAgg())
+    wh.casAppendStats(spark, (30L until 50L).map(k => (k, k % 3, k))
+      .toDF("k", "g", "v"), "src", "k")
+    assert(maintain() == "incremental")
+    assert(roll() == fullAgg())
+    assert(maintain() == "noop", "cursor advanced, nothing new")
+    assert(roll() == fullAgg())
+    // a rewrite in the window invalidates the additive path
+    wh.casDeleteWhere(spark, "src", "k", Seq(7L, 41L))
+    assert(maintain() == "refresh")
+    assert(roll() == fullAgg())
+    // and the cursor healed: appends after the refresh merge again
+    wh.casAppendStats(spark, (50L until 60L).map(k => (k, k % 3, k))
+      .toDF("k", "g", "v"), "src", "k")
+    assert(maintain() == "incremental")
+    assert(roll() == fullAgg())
+  }
+
   test("the consumption pattern: a running aggregate maintained " +
     "from successive change windows equals the snapshot aggregate") {
     import spark.implicits._
