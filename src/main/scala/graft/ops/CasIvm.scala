@@ -70,4 +70,24 @@ object CasIvm {
       cursorT)
     mode
   }
+
+  /** [[maintainSumCount]] with the CATALOG-CONSISTENT publish: one
+    * [[Warehouse.catCommitMax]] pins the source AT THE CURSOR the
+    * rollup now reflects together with the rollup's new version —
+    * so a catalog reader can NEVER join a rollup against source
+    * rows it has not absorbed (or vice versa), even while direct
+    * appends keep landing past the cursor (they stay visible to
+    * direct `casRead`ers, the documented catalog-vs-direct split,
+    * and enter the pinned view at the next maintenance). The
+    * monotone pin merge means concurrent maintainers/refreshers of
+    * the same pair can never regress each other.
+    */
+  def maintainSumCountCat(spark: SparkSession, wh: Warehouse,
+      src: String, rollup: String, g: String, v: String): String = {
+    val mode = maintainSumCount(spark, wh, src, rollup, g, v)
+    val cursor = wh.read(spark, rollup + "__cursor").head()
+      .getLong(0).toInt
+    wh.catCommitMax(Seq(src -> cursor, rollup -> wh.casHead(rollup)))
+    mode
+  }
 }

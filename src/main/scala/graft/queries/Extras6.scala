@@ -740,6 +740,60 @@ object Extras6 {
       .crossJoin(wh.read(s, "ivm_evidence"))
   }
 
+  /** CATALOG-CONSISTENT IVM — [[graft.ops.CasIvm.maintainSumCountCat]]:
+    * every maintenance publishes (source@cursor, rollup@version) as
+    * ONE catalog transaction, so a catalog reader can never join the
+    * rollup against source rows it has not absorbed. The evidence is
+    * taken MID-WINDOW: a third wave lands with NO maintenance run —
+    * the direct read sees it (documented catalog-vs-direct split),
+    * the pinned pair does not, and the rollup equals the pinned
+    * source's GROUP BY exactly. The oracle restates the pinned
+    * two-wave state and both row counts arithmetically.
+    *
+    * 100 TB shape: consistency between a fact stream and its derived
+    * rollups costs one metadata commit per maintenance — no
+    * dual-write window, no read-side reconciliation.
+    */
+  val q315 = Q("q315_catalog_consistent_ivm",
+    """SELECT CAST(doc_id % 7 AS BIGINT) AS g,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_v,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE doc_id % 3 <> 2) AS pinned_n,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS direct_n,
+      |  'bootstrap' AS m1, 'incremental' AS m2
+      |FROM documents WHERE doc_id % 3 <> 2
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"civm_${SessionScratch.keyOf(dir)}"))
+    val key = s"cat_ivm_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 7).as("g"),
+          col("n_chars").as("v"))
+      def maintain(): String = graft.ops.CasIvm.maintainSumCountCat(
+        s, wh, "civ_src", "civ_roll", "g", "v")
+      wh.casAppendStats(s, d.filter(col("doc_id") % 3 === 0),
+        "civ_src", "doc_id")
+      val m1 = maintain()
+      wh.casAppendStats(s, d.filter(col("doc_id") % 3 === 1),
+        "civ_src", "doc_id")
+      val m2 = maintain()
+      // the mid-window wave: lands, is NOT maintained — the pinned
+      // pair must stay mutually consistent without it
+      wh.casAppendStats(s, d.filter(col("doc_id") % 3 === 2),
+        "civ_src", "doc_id")
+      val pinnedN = wh.catRead(s, "civ_src").count()
+      val directN = wh.casRead(s, "civ_src").count()
+      wh.overwrite(Seq((pinnedN, directN, m1, m2))
+        .toDF("pinned_n", "direct_n", "m1", "m2"), "civ_evidence")
+    }
+    wh.catRead(s, "civ_roll")
+      .select(col("g"), col("sum_v"), col("n_rows"))
+      .crossJoin(wh.read(s, "civ_evidence"))
+  }
+
   val all: Seq[Q] = Seq(q305, q306, q307, q308, q309, q310, q311, q312,
-    q313, q314)
+    q313, q314, q315)
 }

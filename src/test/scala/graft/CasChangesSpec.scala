@@ -148,6 +148,39 @@ class CasChangesSpec extends SparkSpec {
     assert(roll() == fullAgg())
   }
 
+  test("maintainSumCountCat: the catalog pins (source@cursor, " +
+    "rollup@version) as ONE transaction — a catalog reader's pair " +
+    "stays consistent even while direct appends run ahead of the " +
+    "last maintenance") {
+    import spark.implicits._
+    import graft.ops.CasIvm
+    val wh = tmpWh()
+    def pinnedSrcAgg(): Set[Seq[Any]] = rows(
+      wh.catRead(spark, "csrc").groupBy(col("g"))
+        .agg(sum("v").cast("long").as("sum_v"),
+          count(lit(1)).as("n_rows")))
+    wh.casAppendStats(spark, (0L until 30L).map(k => (k, k % 3, k))
+      .toDF("k", "g", "v"), "csrc", "k")
+    assert(CasIvm.maintainSumCountCat(
+      spark, wh, "csrc", "croll", "g", "v") == "bootstrap")
+    assert(rows(wh.catRead(spark, "croll")) == pinnedSrcAgg())
+    // direct appends land PAST the cursor: the catalog pair must
+    // stay mutually consistent (rollup == pinned source view), while
+    // the direct read sees the new rows already
+    wh.casAppendStats(spark, (30L until 40L).map(k => (k, k % 3, k))
+      .toDF("k", "g", "v"), "csrc", "k")
+    assert(rows(wh.catRead(spark, "croll")) == pinnedSrcAgg(),
+      "reader can never join the rollup against unabsorbed rows")
+    assert(wh.casRead(spark, "csrc").count() == 40L &&
+      wh.catRead(spark, "csrc").count() == 30L,
+      "the documented catalog-vs-direct visibility split")
+    // the next maintenance absorbs the wave and advances BOTH pins
+    assert(CasIvm.maintainSumCountCat(
+      spark, wh, "csrc", "croll", "g", "v") == "incremental")
+    assert(wh.catRead(spark, "csrc").count() == 40L)
+    assert(rows(wh.catRead(spark, "croll")) == pinnedSrcAgg())
+  }
+
   test("the consumption pattern: a running aggregate maintained " +
     "from successive change windows equals the snapshot aggregate") {
     import spark.implicits._
