@@ -7,26 +7,41 @@ import graft.sources.Warehouse
 /** Incrementally-maintained rollup over a CAS table — the round's
   * devices composed into the thing a 100 TB pipeline actually runs:
   * [[Warehouse.casChangesSince]] supplies the O(delta) input,
-  * [[Warehouse.casMergeInto]] lands the touched groups' new totals
+  * [[Warehouse.casMergeBatch]] lands the touched groups' new totals
   * as an extent-local upsert, and the full-refresh signal (any
   * rewrite in the window) degrades to a REPLACE recompute instead
   * of silently drifting. SUM/COUNT are self-additive, so the merge
   * source is (prior totals of touched groups) + (delta totals) —
   * one semi-join read of the small rollup, never a source rescan.
+  *
+  * CRASH SAFETY: the cursor sidecar is written AFTER the landing
+  * commit, so a crash between them re-consumes the same window on
+  * restart — which would DOUBLE-COUNT an additive delta. The merge
+  * therefore lands through [[Warehouse.casMergeBatch]] with the
+  * source head as the batch id: the re-run recomputes the identical
+  * merge and DEDUPS on the marker (the recomputed totals are equal
+  * because the window is, by definition, the same). The refresh
+  * path is a recompute and idempotent by construction; the
+  * bootstrap seeds an empty rollup first so its landing rides the
+  * same marker. `afterLand` is the crash seam the spec injects into.
   */
 object CasIvm {
 
   /** One maintenance run of `rollup` = SELECT g, sum(v), count(*)
     * FROM src GROUP BY g. Returns the maintenance mode actually
     * taken: "bootstrap" (first run), "incremental" (append-only
-    * window merged), "refresh" (rewrite detected, full recompute),
-    * or "noop" (empty window). The cursor persists in a one-row
-    * sidecar table under the same warehouse root; single-maintainer
-    * contract (the streaming twin would carry a TXN marker instead).
+    * window merged — or its crash-replay, deduped on the marker),
+    * "refresh" (rewrite detected, full recompute), or "noop" (empty
+    * window). The cursor persists in a one-row sidecar table under
+    * the same warehouse root; single-maintainer contract (the
+    * marker closes the crash-replay window, not concurrent
+    * maintainers).
     */
   def maintainSumCount(spark: SparkSession, wh: Warehouse,
-      src: String, rollup: String, g: String, v: String): String = {
+      src: String, rollup: String, g: String, v: String,
+      afterLand: () => Unit = () => ()): String = {
     val cursorT = rollup + "__cursor"
+    val stream = "ivm:" + src
     val cursor =
       if (wh.exists(cursorT))
         wh.read(spark, cursorT).head().getLong(0).toInt
@@ -39,19 +54,22 @@ object CasIvm {
       case None =>
         // a rewrite (delete/update/merge/compaction) invalidated the
         // additive path: recompute from the snapshot — correct under
-        // ANY history, and the detection is the point
+        // ANY history (and under re-runs), and the detection is the
+        // point
         wh.casOverwrite(aggOf(wh.casRead(spark, src)), rollup)
         "refresh"
-      case Some(delta) if cursor == 0 =>
-        wh.casAppendStats(spark, aggOf(delta), rollup, g)
-        "bootstrap"
       case Some(delta) =>
         val d = aggOf(delta)
         if (d.isEmpty) "noop"
         else {
+          val boot = cursor == 0
+          if (boot)
+            // seed an empty rollup so the first landing goes through
+            // the same marker-carrying merge as every later one
+            wh.casAppendStats(spark, d.limit(0), rollup, g)
           // touched groups only: prior totals semi-joined against the
-          // delta's group keys (the rollup is group-cardinality small;
-          // the SOURCE is never rescanned)
+          // delta's group keys (the rollup is group-cardinality
+          // small; the SOURCE is never rescanned)
           val prior = wh.casRead(spark, rollup)
             .join(d.select(col(g)), Seq(g), "left_semi")
           val merged = prior.select(col(g),
@@ -62,10 +80,15 @@ object CasIvm {
                 coalesce(col("sum_v"), lit(0L))).as("sum_v"),
               (coalesce(col("p_n"), lit(0L)) +
                 coalesce(col("n_rows"), lit(0L))).as("n_rows"))
-          wh.casMergeInto(spark, rollup, g, merged)
-          "incremental"
+          // batchId = the source head this window reaches: a crash
+          // between this commit and the cursor write re-runs the
+          // SAME window and dedups here instead of double-counting
+          wh.casMergeBatch(spark, rollup, g, merged, stream,
+            head.toLong)
+          if (boot) "bootstrap" else "incremental"
         }
     }
+    afterLand() // test seam: the land-to-cursor crash window
     wh.overwrite(spark.range(1).select(lit(head.toLong).as("cursor")),
       cursorT)
     mode

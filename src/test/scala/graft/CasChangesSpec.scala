@@ -148,6 +148,40 @@ class CasChangesSpec extends SparkSpec {
     assert(roll() == fullAgg())
   }
 
+  test("maintenance crash between the landing commit and the cursor " +
+    "write: the re-run re-consumes the SAME window and DEDUPS on the " +
+    "marker instead of double-counting the additive delta") {
+    import spark.implicits._
+    import graft.ops.CasIvm
+    val wh = tmpWh()
+    def fullAgg(): Set[Seq[Any]] = rows(wh.casRead(spark, "xsrc")
+      .groupBy(col("g")).agg(sum("v").cast("long").as("sum_v"),
+        count(lit(1)).as("n_rows")))
+    wh.casAppendStats(spark, (0L until 30L).map(k => (k, k % 3, k))
+      .toDF("k", "g", "v"), "xsrc", "k")
+    CasIvm.maintainSumCount(spark, wh, "xsrc", "xroll", "g", "v")
+    wh.casAppendStats(spark, (30L until 50L).map(k => (k, k % 3, k))
+      .toDF("k", "g", "v"), "xsrc", "k")
+    intercept[RuntimeException] {
+      CasIvm.maintainSumCount(spark, wh, "xsrc", "xroll", "g", "v",
+        afterLand = () => sys.error("crash before the cursor write"))
+    }
+    // crash shape: the merge LANDED, the cursor did not advance
+    assert(rows(wh.casRead(spark, "xroll")) == fullAgg(),
+      "the delta landed before the crash")
+    // restart: same window re-consumed, marker dedups the landing
+    assert(CasIvm.maintainSumCount(
+      spark, wh, "xsrc", "xroll", "g", "v") == "incremental")
+    assert(rows(wh.casRead(spark, "xroll")) == fullAgg(),
+      "NOT double-counted — the additive-replay hazard the TXN " +
+        "marker closes")
+    // and the healed cursor keeps absorbing new waves
+    wh.casAppendStats(spark, (50L until 60L).map(k => (k, k % 3, k))
+      .toDF("k", "g", "v"), "xsrc", "k")
+    CasIvm.maintainSumCount(spark, wh, "xsrc", "xroll", "g", "v")
+    assert(rows(wh.casRead(spark, "xroll")) == fullAgg())
+  }
+
   test("maintainSumCountCat: the catalog pins (source@cursor, " +
     "rollup@version) as ONE transaction — a catalog reader's pair " +
     "stays consistent even while direct appends run ahead of the " +
