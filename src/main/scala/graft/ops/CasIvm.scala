@@ -94,6 +94,67 @@ object CasIvm {
     mode
   }
 
+  /** JOIN-MV maintenance — `mv = SELECT k, <a-cols>, <b-cols> FROM a
+    * JOIN b USING (k)` kept current from BOTH sides' tail-reads with
+    * the textbook delta-join: the new pairs of a window are exactly
+    * `(ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB)` — ΔA joins the OTHER side's new
+    * state, ΔB joins the other side's OLD state (time travel at the
+    * cursor), so a pair born from both deltas lands exactly once.
+    * Sources are append-only with unique keys per table (the
+    * event/entity-id shape); any rewrite on either side fires q313's
+    * refresh signal and the MV recomputes — drift detected, never
+    * assumed away. The landing rides [[Warehouse.casMergeBatch]]
+    * with `headA+headB` as the (monotone) batch id: an exact-window
+    * crash replay dedups on the marker, and a grown-window replay is
+    * ALSO safe because the merge updates the already-landed pairs in
+    * place with identical values instead of duplicating them.
+    *
+    * 100 TB shape: per maintenance O(ΔA ⋈ B + A ⋈ ΔB) join work and
+    * an extent-local MV upsert — the full sides are scanned as JOIN
+    * inputs (prunable by the deltas' key extents), never rewritten.
+    */
+  def maintainJoin(spark: SparkSession, wh: Warehouse,
+      a: String, b: String, mv: String, k: String,
+      afterLand: () => Unit = () => ()): String = {
+    val cursorT = mv + "__jcursor"
+    val stream = s"ivmj:$a:$b"
+    val (curA, curB) =
+      if (wh.exists(cursorT)) {
+        val r = wh.read(spark, cursorT).head()
+        (r.getLong(0).toInt, r.getLong(1).toInt)
+      } else (0, 0)
+    val (chgA, headA) = wh.casChangesSince(spark, a, curA)
+    val (chgB, headB) = wh.casChangesSince(spark, b, curB)
+    val mode = (chgA, chgB) match {
+      case (None, _) | (_, None) =>
+        wh.casOverwrite(wh.casRead(spark, a)
+          .join(wh.casRead(spark, b), Seq(k)), mv)
+        "refresh"
+      case (Some(da), Some(db)) =>
+        if (da.isEmpty && db.isEmpty) "noop"
+        else {
+          val boot = curA == 0 && curB == 0
+          val aOld =
+            if (curA == 0) da.limit(0)
+            else wh.casReadAt(spark, a, curA)
+          // B at the WINDOW's head, not a fresh read: appends landing
+          // after the consult belong to the next window
+          val bNew = wh.casReadAt(spark, b, headB)
+          val delta = da.join(bNew, Seq(k))
+            .unionByName(aOld.join(db, Seq(k)))
+          if (boot) wh.casAppendStats(spark, delta.limit(0), mv, k)
+          wh.casMergeBatch(spark, mv, k, delta, stream,
+            headA.toLong + headB.toLong)
+          if (boot) "bootstrap" else "incremental"
+        }
+    }
+    afterLand() // test seam: the land-to-cursor crash window
+    wh.overwrite(spark.range(1).select(
+      lit(headA.toLong).as("cur_a"), lit(headB.toLong).as("cur_b")),
+      cursorT)
+    mode
+  }
+
   /** [[maintainSumCount]] with the CATALOG-CONSISTENT publish: one
     * [[Warehouse.catCommitMax]] pins the source AT THE CURSOR the
     * rollup now reflects together with the rollup's new version —

@@ -794,6 +794,63 @@ object Extras6 {
       .crossJoin(wh.read(s, "civ_evidence"))
   }
 
+  /** JOIN-MV MAINTENANCE — [[graft.ops.CasIvm.maintainJoin]], the
+    * delta-join classic over two tail-read streams: documents (side
+    * A) and an even-doc_id attribute table (side B) each land in two
+    * waves with a maintenance run between every landing — the MV
+    * absorbs `ΔA ⋈ B_new` when A grows, `A_old ⋈ ΔB` when B grows
+    * (time travel supplies the OLD other side, so no pair lands
+    * twice), and a copy-on-write delete on A fires the refresh
+    * signal (recompute, never drift). Landings carry the monotone
+    * headA+headB marker, so crash replays dedup. The oracle is the
+    * plain inner join over the surviving corpus; the four observed
+    * modes ride as structural columns.
+    *
+    * 100 TB shape: keeping a joined view current costs the deltas'
+    * join work per run — the full sides are join INPUTS (prunable by
+    * the deltas' key extents), never rewritten.
+    */
+  val q316 = Q("q316_join_mv_maintain",
+    """SELECT doc_id, n_chars, CAST(doc_id % 7 AS BIGINT) AS lb,
+      |  'bootstrap' AS m1, 'incremental' AS m2,
+      |  'incremental' AS m3, 'refresh' AS m4
+      |FROM documents
+      |WHERE doc_id % 2 = 0 AND doc_id % 101 <> 0""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"jmv_${SessionScratch.keyOf(dir)}"))
+    val key = s"join_mv_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id", "n_chars")
+      val bAll = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), (col("doc_id") % 7).as("lb"))
+      def maintain(): String = graft.ops.CasIvm.maintainJoin(
+        s, wh, "jmv_a", "jmv_b", "jmv_mv", "doc_id")
+      val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+      wh.casAppendStats(s, d.filter(col("doc_id") % 3 === 0),
+        "jmv_a", "doc_id")
+      wh.casAppendStats(s, bAll.filter(col("doc_id") % 5 < 3),
+        "jmv_b", "doc_id")
+      modes += maintain()
+      wh.casAppendStats(s, d.filter(col("doc_id") % 3 =!= 0),
+        "jmv_a", "doc_id")
+      modes += maintain()
+      wh.casAppendStats(s, bAll.filter(col("doc_id") % 5 >= 3),
+        "jmv_b", "doc_id")
+      modes += maintain()
+      val delKeys = d.filter(col("doc_id") % 101 === 0)
+        .select("doc_id").as[Long].collect().toSeq
+      wh.casDeleteWhere(s, "jmv_a", "doc_id", delKeys)
+      modes += maintain()
+      wh.overwrite(Seq((modes(0), modes(1), modes(2), modes(3)))
+        .toDF("m1", "m2", "m3", "m4"), "jmv_evidence")
+    }
+    wh.casRead(s, "jmv_mv")
+      .select("doc_id", "n_chars", "lb")
+      .crossJoin(wh.read(s, "jmv_evidence"))
+  }
+
   val all: Seq[Q] = Seq(q305, q306, q307, q308, q309, q310, q311, q312,
-    q313, q314, q315)
+    q313, q314, q315, q316)
 }

@@ -182,6 +182,53 @@ class CasChangesSpec extends SparkSpec {
     assert(rows(wh.casRead(spark, "xroll")) == fullAgg())
   }
 
+  test("maintainJoin: the delta-join covers ΔA⋈B_new, A_old⋈ΔB, and " +
+    "both-delta pairs exactly once; crash replay dedups; a rewrite " +
+    "on EITHER side refreshes — MV equal to the full join after " +
+    "every run") {
+    import spark.implicits._
+    import graft.ops.CasIvm
+    val wh = tmpWh()
+    def fullJoin(): Set[Seq[Any]] = rows(wh.casRead(spark, "ja")
+      .join(wh.casRead(spark, "jb"), Seq("k")))
+    def mv(): Set[Seq[Any]] = rows(wh.casRead(spark, "jmv"))
+    def maintain(after: () => Unit = () => ()): String =
+      CasIvm.maintainJoin(spark, wh, "ja", "jb", "jmv", "k", after)
+    def landA(ks: Range): Unit = { wh.casAppendStats(spark,
+      ks.map(k => (k.toLong, k * 10L)).toDF("k", "va"), "ja", "k"); () }
+    def landB(ks: Range): Unit = { wh.casAppendStats(spark,
+      ks.map(k => (k.toLong, k * 100L)).toDF("k", "vb"), "jb", "k"); () }
+
+    landA(0 until 20); landB(10 until 30)
+    assert(maintain() == "bootstrap")
+    assert(mv() == fullJoin() && mv().size == 10)
+    // ΔA joins B_new
+    landA(20 until 25)
+    assert(maintain() == "incremental")
+    assert(mv() == fullJoin() && mv().size == 15)
+    // A_old joins ΔB
+    landB(0 until 5)
+    assert(maintain() == "incremental")
+    assert(mv() == fullJoin() && mv().size == 20)
+    // both deltas in one window, including pairs born from BOTH
+    landA(40 until 45); landB(40 until 43)
+    assert(maintain() == "incremental")
+    assert(mv() == fullJoin() && mv().size == 23)
+    // crash between landing and cursor write: replay dedups
+    landA(50 until 52); landB(50 until 52)
+    intercept[RuntimeException] {
+      maintain(() => sys.error("crash before the cursor write"))
+    }
+    assert(mv() == fullJoin() && mv().size == 25, "the delta landed")
+    assert(maintain() == "incremental")
+    assert(mv() == fullJoin() && mv().size == 25, "not duplicated")
+    // a rewrite on side B refreshes the MV
+    wh.casDeleteWhere(spark, "jb", "k", Seq(12L))
+    assert(maintain() == "refresh")
+    assert(mv() == fullJoin() && mv().size == 24)
+    assert(maintain() == "noop")
+  }
+
   test("maintainSumCountCat: the catalog pins (source@cursor, " +
     "rollup@version) as ONE transaction — a catalog reader's pair " +
     "stays consistent even while direct appends run ahead of the " +
