@@ -2224,9 +2224,17 @@ final case class Warehouse(root: String,
     }
     if (appended.isEmpty)
       (Some(casRead(spark, table).limit(0)), head)
-    else
-      (Some(casResolveRead(spark, appended,
+    else {
+      // a tombstone published BEFORE the cursor is still active at
+      // head: an append in the window that re-uses a tombstoned key
+      // is INVISIBLE to every snapshot reader, and the tail-read
+      // must agree — resolve the appends against the head's active
+      // DEL set (a NEW tombstone in the window already forced the
+      // refresh signal above, so these are all pre-cursor)
+      val activeDels = casActiveCmdsAt(table, head).filter(casIsDel)
+      (Some(casResolveRead(spark, appended ++ activeDels,
         s"casChangesSince($table)")), head)
+    }
   }
 
   /** CDC APPLY — the full `MERGE … WHEN MATCHED AND op = 'D' THEN

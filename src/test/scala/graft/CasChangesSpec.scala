@@ -82,6 +82,23 @@ class CasChangesSpec extends SparkSpec {
     assert(h == 7 && df.get.count() == 10L)
   }
 
+  test("an append of a key tombstoned BEFORE the cursor is invisible " +
+    "at head and the tail-read agrees (pre-cursor DELs apply to the " +
+    "window's appends)") {
+    import spark.implicits._
+    val wh = tmpWh()
+    wh.casAppendStats(spark, (0L until 10L).toDF("k"), "tb", "k") // v1
+    wh.casDeleteMoR(spark, "tb", "k", Seq(500L).toDF("k")) // v2
+    // the window: a pure append re-using the tombstoned key
+    wh.casAppendStats(spark, Seq(500L, 600L).toDF("k"), "tb", "k") // v3
+    val (df, h) = wh.casChangesSince(spark, "tb", 2)
+    assert(h == 3 && rows(df.get) == Set(Seq(600L)),
+      "the tombstoned key must not reach the consumer — the table " +
+        "read hides it too")
+    assert(wh.casRead(spark, "tb").filter(col("k") === 500L)
+      .count() == 0L)
+  }
+
   test("a TXN-only commit (deduped pure-delete CDC batch over " +
     "disjoint extents) is metadata, not content — skipped") {
     import spark.implicits._

@@ -36,6 +36,11 @@ class CasDmlModelSpec extends SparkSpec {
       wh.casAppendStats(spark, rows.toDF("k", "v"), t, "k")
       phys ++= rows
     }
+    // a tail-read consumer rides along: accumulate appends, resync
+    // on the refresh signal — its view must equal the table's after
+    // every step (the q313 contract under arbitrary histories)
+    var cursor = 0
+    var cView = Map.empty[Long, Long]
 
     def keys(n: Int): Seq[Long] =
       Seq.fill(n)(rnd.nextInt(120).toLong).distinct
@@ -97,6 +102,15 @@ class CasDmlModelSpec extends SparkSpec {
         s"step $step op $op diverged: extra=${got.keySet -- view.keySet} " +
           s"missing=${view.keySet -- got.keySet} " +
           s"wrong=${view.collect { case (k, v) if got.get(k).exists(_ != v) => k }}")
+      val (chg, h) = wh.casChangesSince(spark, t, cursor)
+      cView = chg match {
+        case None => got // refresh signal: resync from the snapshot
+        case Some(df) => cView ++ df.collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+      }
+      cursor = h
+      assert(cView == got,
+        s"step $step op $op: the tail consumer diverged")
     }
     // retention + GC at the end must preserve the visible snapshot
     wh.casTruncate(t)
