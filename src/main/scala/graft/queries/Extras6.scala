@@ -851,6 +851,62 @@ object Extras6 {
       .crossJoin(wh.read(s, "jmv_evidence"))
   }
 
+  /** STREAMING MATERIALIZED VIEW —
+    * [[graft.streaming.StreamingEtl.ivmSink]], the round's devices
+    * composed end to end one micro-batch at a time: three document
+    * waves stream in, each batch landing exactly-once in the
+    * source's CAS log (ADDB), absorbed into the per-group rollup by
+    * an O(delta) maintenance, and published with ONE catalog pin of
+    * (source@cursor, rollup@version) — a catalog reader never sees
+    * a batch's rows without their rollup contribution, at any crash
+    * point (CasChangesSpec pins the replay matrix). The oracle is
+    * the plain GROUP BY over the corpus; the per-batch maintenance
+    * modes ride as structural columns.
+    *
+    * 100 TB shape: a continuously-maintained metric layer costs
+    * O(batch + touched groups) per trigger and one metadata pin —
+    * the source is never rescanned, and exactly-once composes from
+    * the parts instead of being asserted.
+    */
+  val q317 = Q("q317_streaming_mv",
+    """SELECT CAST(doc_id % 7 AS BIGINT) AS g,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_v,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  'bootstrap' AS m1, 'incremental' AS m2,
+      |  'incremental' AS m3
+      |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"smv_${SessionScratch.keyOf(dir)}"))
+    val key = s"stream_mv_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 7).as("g"),
+          col("n_chars").as("v"))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("smv-ckpt-").toString
+      val feed = MemoryStream[(Long, Long, Long)]
+      val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+      def drain(): Unit =
+        graft.streaming.StreamingEtl.ivmSink(
+          feed.toDF().toDF("doc_id", "g", "v"), wh, "smv_src",
+          "smv_roll", "g", "v", "docs", ckpt,
+          m => { modes += m; () }).awaitTermination()
+      (0 until 3).foreach { w =>
+        feed.addData(d.filter(col("doc_id") % 3 === w)
+          .as[(Long, Long, Long)].collect().toSeq: _*)
+        drain()
+      }
+      wh.overwrite(Seq((modes(0), modes(1), modes(2)))
+        .toDF("m1", "m2", "m3"), "smv_evidence")
+    }
+    wh.catRead(s, "smv_roll")
+      .select(col("g"), col("sum_v"), col("n_rows"))
+      .crossJoin(wh.read(s, "smv_evidence"))
+  }
+
   val all: Seq[Q] = Seq(q305, q306, q307, q308, q309, q310, q311, q312,
-    q313, q314, q315, q316)
+    q313, q314, q315, q316, q317)
 }

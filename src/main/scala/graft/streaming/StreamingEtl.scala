@@ -482,6 +482,41 @@ object StreamingEtl {
       }
       .start()
 
+  /** STREAMING MATERIALIZED VIEW — the end-to-end composition of the
+    * round's devices, one micro-batch at a time: the batch lands in
+    * the source's CAS log exactly-once
+    * ([[graft.sources.Warehouse.casAppendBatch]]), then
+    * [[graft.ops.CasIvm.maintainSumCountCat]] absorbs the tail-read
+    * window into the rollup and pins (source@cursor, rollup@version)
+    * as ONE catalog transaction. Every seam is individually
+    * crash-safe, so the composition is: a replay after a crash
+    * between the append and the maintenance dedups the append (ADDB)
+    * and the maintenance simply absorbs the already-landed window; a
+    * replay after the maintenance dedups the append AND the
+    * maintenance no-ops (cursor at head) — the rollup can never
+    * double-count whatever the checkpoint lost. `afterBatch` is the
+    * crash seam the spec injects into.
+    */
+  def ivmSink(src: DataFrame, wh: graft.sources.Warehouse,
+      srcTable: String, rollup: String, g: String, v: String,
+      stream: String, checkpointDir: String,
+      onMode: String => Unit = _ => (),
+      afterBatch: () => Unit = () => ()): StreamingQuery =
+    src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          wh.casAppendBatch(batch, srcTable, stream, id)
+          onMode(graft.ops.CasIvm.maintainSumCountCat(
+            batch.sparkSession, wh, srcTable, rollup, g, v))
+          afterBatch()
+        }
+        ()
+      }
+      .start()
+
   /** One micro-batch of the CATALOG-consistent two-table sink: land
     * the wave's detail and rollup APPENDS exactly-once in each
     * table's own CAS log ([[graft.sources.Warehouse.casAppendBatch]]

@@ -279,6 +279,50 @@ class CasChangesSpec extends SparkSpec {
     assert(rows(wh.catRead(spark, "croll")) == pinnedSrcAgg())
   }
 
+  test("ivmSink: per-batch exactly-once landing + maintenance + " +
+    "catalog pin; a crash AFTER the whole batch (before the " +
+    "checkpoint) replays with a deduped append and a noop " +
+    "maintenance — the rollup never double-counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = tmpWh()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ivm-ckpt-").toString
+    val input = MemoryStream[(Long, Long, Long)]
+    val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+    def run(after: () => Unit = () => ()): Unit =
+      graft.streaming.StreamingEtl.ivmSink(
+        input.toDF().toDF("k", "g", "v"), wh, "isrc", "iroll",
+        "g", "v", "s1", ckpt, m => { modes += m; () }, after)
+        .awaitTermination()
+    def fullAgg(): Set[Seq[Any]] = rows(wh.catRead(spark, "isrc")
+      .groupBy(col("g")).agg(sum("v").cast("long").as("sum_v"),
+        count(lit(1)).as("n_rows")))
+    input.addData((0L until 30L).map(k => (k, k % 3, k)): _*)
+    run()
+    assert(modes.toSeq == Seq("bootstrap") &&
+      rows(wh.catRead(spark, "iroll")) == fullAgg())
+    // crash after the batch fully landed, BEFORE the checkpoint
+    input.addData((30L until 50L).map(k => (k, k % 3, k)): _*)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(() => sys.error("crash before the checkpoint"))
+    }
+    assert(modes.toSeq == Seq("bootstrap", "incremental"))
+    // restart replays the batch: append dedups, maintenance no-ops
+    run()
+    assert(modes.toSeq ==
+      Seq("bootstrap", "incremental", "noop"), modes.toString)
+    assert(rows(wh.catRead(spark, "iroll")) == fullAgg(),
+      "no double count across the replay")
+    assert(wh.catRead(spark, "isrc").count() == 50L)
+    // and the stream keeps absorbing
+    input.addData((50L until 60L).map(k => (k, k % 3, k)): _*)
+    run()
+    assert(modes.last == "incremental" &&
+      rows(wh.catRead(spark, "iroll")) == fullAgg())
+  }
+
   test("the consumption pattern: a running aggregate maintained " +
     "from successive change windows equals the snapshot aggregate") {
     import spark.implicits._
