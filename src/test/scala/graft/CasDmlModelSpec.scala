@@ -41,6 +41,18 @@ class CasDmlModelSpec extends SparkSpec {
     // every step (the q313 contract under arbitrary histories)
     var cursor = 0
     var cView = Map.empty[Long, Long]
+    // and an IVM rollup rides along too (keyed by k, so touched
+    // groups = the delta's keys): after every maintenance the rollup
+    // must equal the per-key GROUP BY of the visible snapshot —
+    // incremental merges and refresh recomputes both land here under
+    // whatever history the seed produced
+    def maintainAndCheck(got: Map[Long, Long], step: Int): Unit = {
+      graft.ops.CasIvm.maintainSumCount(spark, wh, t, "roll", "k", "v")
+      val roll = wh.casRead(spark, "roll").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(roll == got.map { case (k, v) => (k, v, 1L) }.toSet,
+        s"step $step: the IVM rollup diverged from the snapshot")
+    }
 
     def keys(n: Int): Seq[Long] =
       Seq.fill(n)(rnd.nextInt(120).toLong).distinct
@@ -111,6 +123,7 @@ class CasDmlModelSpec extends SparkSpec {
       cursor = h
       assert(cView == got,
         s"step $step op $op: the tail consumer diverged")
+      if (step % 5 == 0) maintainAndCheck(got, step)
     }
     // retention + GC at the end must preserve the visible snapshot
     wh.casTruncate(t)
