@@ -195,6 +195,8 @@ object Extras6 {
             d.filter(col("doc_id") >= lo && col("doc_id") < hi),
             "upd_docs", "doc_id")
         }
+      // bounded modulo key set (forget-set grain — the Seq form's
+      // documented shape; q302 is the distributed twin)
       val keys = d.filter(col("doc_id") % 53 === 0 &&
         col("doc_id") >= 2 * qs && col("doc_id") < 3 * qs)
         .select("doc_id").as[Long].collect().toSeq
@@ -670,6 +672,8 @@ object Extras6 {
       val (chg, h1) = wh.casChangesSince(s, "tail_docs", 1)
       val agg = chg.get.agg(count(lit(1)),
         coalesce(sum("doc_id"), lit(0L)).cast("long")).head()
+      // bounded modulo forget-set (Seq-form delete; q302 is the
+      // distributed twin)
       val delKeys = d.filter(col("doc_id") % 101 === 0)
         .as[Long].collect().toSeq
       wh.casDeleteWhere(s, "tail_docs", "doc_id", delKeys)
@@ -728,6 +732,8 @@ object Extras6 {
           "ivm_src", "doc_id")
         modes += maintain()
       }
+      // bounded modulo forget-set (Seq-form delete; q302 is the
+      // distributed twin)
       val delKeys = d.filter(col("doc_id") % 101 === 0)
         .select("doc_id").as[Long].collect().toSeq
       wh.casDeleteWhere(s, "ivm_src", "doc_id", delKeys)
@@ -839,6 +845,8 @@ object Extras6 {
       wh.casAppendStats(s, bAll.filter(col("doc_id") % 5 >= 3),
         "jmv_b", "doc_id")
       modes += maintain()
+      // bounded modulo forget-set (Seq-form delete; q302 is the
+      // distributed twin)
       val delKeys = d.filter(col("doc_id") % 101 === 0)
         .select("doc_id").as[Long].collect().toSeq
       wh.casDeleteWhere(s, "jmv_a", "doc_id", delKeys)
@@ -894,6 +902,7 @@ object Extras6 {
           feed.toDF().toDF("doc_id", "g", "v"), wh, "smv_src",
           "smv_roll", "g", "v", "docs", ckpt,
           m => { modes += m; () }).awaitTermination()
+      // test feed: bounded collects drive the MemoryStream
       (0 until 3).foreach { w =>
         feed.addData(d.filter(col("doc_id") % 3 === w)
           .as[(Long, Long, Long)].collect().toSeq: _*)
