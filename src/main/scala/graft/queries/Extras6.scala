@@ -11,9 +11,15 @@ import graft.SessionScratch
   * daily refresh (q305 — the reference's INSERT-only fact loads,
   * BikesDWSQl.sql:41/75, finally landing as deltas instead of
   * full-table REPLACEs), timestamp time travel over the injected
-  * commit clock (q306), and copy-on-write UPDATE with commit-grain
-  * extent skipping (q307). Same determinism policy as [[Extras5]]:
-  * integer aggregates only, evidence persisted at setup.
+  * commit clock (q306), the rest of the multi-writer DML surface —
+  * copy-on-write UPDATE (q307), ANSI MERGE (q308), atomic CDC apply
+  * (q312) — catalog-tier SCD1 at O(changed) (q309), the
+  * sort-clustered rewrite (q310), exactly-once streaming MERGE
+  * (q311), the incremental tail-read (q313), and the IVM tier built
+  * on it (q314 grouped rollup, q315 catalog-consistent publish,
+  * q316 delta-join MV, q317 streaming MV). Same determinism policy
+  * as [[Extras5]]: integer aggregates only, evidence persisted at
+  * setup.
   */
 object Extras6 {
 
