@@ -24,7 +24,11 @@ class CasDmlModelSpec extends SparkSpec {
     val wh = Warehouse(
       java.nio.file.Files.createTempDirectory("r17-model-").toString)
     val t = "m"
-    val rnd = new scala.util.Random(1717L)
+    // default seed pinned for the gate; extra shake-out runs can vary
+    // it without touching committed behavior
+    val seed = sys.env.get("GRAFT_MODEL_SEED")
+      .flatMap(_.toLongOption).getOrElse(1717L)
+    val rnd = new scala.util.Random(seed)
     // model state: physical rows and the active equality tombstones
     var phys = Map.empty[Long, Long]
     var tomb = Set.empty[Long]
