@@ -1,97 +1,236 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Warehouse
 
-/** Incrementally-maintained rollup over a CAS table — the round's
-  * devices composed into the thing a 100 TB pipeline actually runs:
-  * [[Warehouse.casChangesSince]] supplies the O(delta) input,
-  * [[Warehouse.casMergeBatch]] lands the touched groups' new totals
-  * as an extent-local upsert, and the full-refresh signal (any
-  * rewrite in the window) degrades to a REPLACE recompute instead
-  * of silently drifting. SUM/COUNT are self-additive, so the merge
-  * source is (prior totals of touched groups) + (delta totals) —
-  * one semi-join read of the small rollup, never a source rescan.
+/** Incrementally-maintained rollups over CAS tables — the table
+  * format's devices composed into what a 100 TB pipeline actually
+  * runs: [[Warehouse.casChangesSinceCdf]] supplies the O(delta)
+  * row-level (+insert, -retraction) feed ACROSS copy-on-write
+  * rewrites, and every landing is ONE fenced commit that carries
+  * both the new totals and the absorbed cursor.
   *
-  * CRASH SAFETY: the cursor sidecar is written AFTER the landing
-  * commit, so a crash between them re-consumes the same window on
-  * restart — which would DOUBLE-COUNT an additive delta. The merge
-  * therefore lands through [[Warehouse.casMergeBatch]] with the
-  * source head as the batch id: the re-run recomputes the identical
-  * merge and DEDUPS on the marker (the recomputed totals are equal
-  * because the window is, by definition, the same). The refresh
-  * path is a recompute and idempotent by construction; the
-  * bootstrap seeds an empty rollup first so its landing rides the
-  * same marker. `afterLand` is the crash seam the spec injects into.
+  * THE CURSOR IS THE LOG, NOT A SIDECAR: each maintenance commit
+  * rides a `TXN <stream> <source-head>` line, and the cursor is read
+  * back with [[Warehouse.casStreamCursor]] — so "what the rollup
+  * holds" and "what it absorbed" are one atomic fact. There is no
+  * land-to-cursor crash window (a crash anywhere replays as a noop:
+  * the re-read cursor already names the landed head), no plain-file
+  * cursor write to tear, and no single-maintainer contract:
+  * concurrent maintainers SERIALIZE on the fence ([[Warehouse
+  * .casApplyCdcBatch]]'s `fence` — commit only if the stream cursor
+  * is still the one this window was derived from), the loser
+  * re-reads the advanced cursor and re-derives. `afterLand` is a
+  * test seam kept from the sidecar era; it fires after the landing
+  * (which is now also the cursor write).
+  *
+  * Maintenance modes: "bootstrap" (first landing), "incremental"
+  * (window absorbed additively — including windows holding CoW
+  * deletes/updates/merges/compactions, via the signed feed),
+  * "refresh" (non-diffable window: MoR tombstone, restore, schema
+  * evolution meeting a rewrite — recompute FROM THE CONSULTED
+  * VERSION, so the rollup and cursor still describe one snapshot),
+  * "noop" (nothing to absorb).
   */
 object CasIvm {
 
+  // retry budget for the cursor-race loop: every fenced None PROVES
+  // the cursor advanced (monotone), so this bound is never hit by
+  // livelock — it turns a logic bug into a loud error instead of a
+  // spin
+  private val MaxRounds = 64
+
+  private def spent(ctx: String): Nothing =
+    sys.error(s"$ctx: cursor advanced $MaxRounds times without this " +
+      "maintainer landing — starved or mis-fenced")
+
   /** One maintenance run of `rollup` = SELECT g, sum(v), count(*)
-    * FROM src GROUP BY g. Returns the maintenance mode actually
-    * taken: "bootstrap" (first run), "incremental" (append-only
-    * window merged — or its crash-replay, deduped on the marker),
-    * "refresh" (rewrite detected, full recompute), or "noop" (empty
-    * window). The cursor persists in a one-row sidecar table under
-    * the same warehouse root; single-maintainer contract (the
-    * marker closes the crash-replay window, not concurrent
-    * maintainers).
+    * FROM src GROUP BY g. O(delta rows + touched groups) per run:
+    * the signed feed is aggregated per group, prior totals of ONLY
+    * the touched groups are semi-joined in (the rollup is group-
+    * cardinality small; the source is never rescanned), retractions
+    * subtract (SUM/COUNT are self-inverse), and groups whose count
+    * reaches zero are DELETED from the rollup (GROUP BY semantics —
+    * an emptied group vanishes). The landing is one fenced
+    * [[Warehouse.casApplyCdcBatch]] upsert/delete commit carrying
+    * the cursor.
     */
   def maintainSumCount(spark: SparkSession, wh: Warehouse,
       src: String, rollup: String, g: String, v: String,
       afterLand: () => Unit = () => ()): String = {
-    val cursorT = rollup + "__cursor"
     val stream = "ivm:" + src
-    val cursor =
-      if (wh.exists(cursorT))
-        wh.read(spark, cursorT).head().getLong(0).toInt
-      else 0
     def aggOf(df: DataFrame): DataFrame =
       df.groupBy(col(g)).agg(sum(col(v)).cast("long").as("sum_v"),
         count(lit(1)).as("n_rows"))
-    val (chg, head) = wh.casChangesSince(spark, src, cursor)
-    val mode = chg match {
-      case None =>
-        // a rewrite (delete/update/merge/compaction) invalidated the
-        // additive path: recompute from the snapshot — correct under
-        // ANY history (and under re-runs), and the detection is the
-        // point
-        wh.casOverwrite(aggOf(wh.casRead(spark, src)), rollup)
-        "refresh"
-      case Some(delta) =>
-        val d = aggOf(delta)
-        if (d.isEmpty) "noop"
-        else {
-          val boot = cursor == 0
-          if (boot)
-            // seed an empty rollup so the first landing goes through
-            // the same marker-carrying merge as every later one
-            wh.casAppendStats(spark, d.limit(0), rollup, g)
-          // touched groups only: prior totals semi-joined against the
-          // delta's group keys (the rollup is group-cardinality
-          // small; the SOURCE is never rescanned)
-          val prior = wh.casRead(spark, rollup)
-            .join(d.select(col(g)), Seq(g), "left_semi")
-          val merged = prior.select(col(g),
-              col("sum_v").as("p_sum"), col("n_rows").as("p_n"))
-            .join(d, Seq(g), "full_outer")
-            .select(col(g),
-              (coalesce(col("p_sum"), lit(0L)) +
-                coalesce(col("sum_v"), lit(0L))).as("sum_v"),
-              (coalesce(col("p_n"), lit(0L)) +
-                coalesce(col("n_rows"), lit(0L))).as("n_rows"))
-          // batchId = the source head this window reaches: a crash
-          // between this commit and the cursor write re-runs the
-          // SAME window and dedups here instead of double-counting
-          wh.casMergeBatch(spark, rollup, g, merged, stream,
-            head.toLong)
-          if (boot) "bootstrap" else "incremental"
-        }
+    var out = Option.empty[String]
+    var round = 0
+    while (out.isEmpty) {
+      if (round >= MaxRounds) spent(s"maintainSumCount($rollup)")
+      round += 1
+      val cursor = wh.casStreamCursor(rollup, stream)
+      val (chg, head) = wh.casChangesSinceCdf(spark, src, cursor.toInt)
+      if (head == cursor) out = Some("noop")
+      else chg match {
+        case None =>
+          // non-diffable window: recompute from the CONSULTED
+          // version — an append racing past `head` stays in the NEXT
+          // window instead of being absorbed twice
+          if (wh.casOverwriteTxn(aggOf(wh.casReadAt(spark, src,
+            head)), rollup, stream, head.toLong, cursor).isDefined)
+            out = Some("refresh")
+        case Some(delta) =>
+          val d = delta.groupBy(col(g)).agg(
+            sum(col(v).cast("long") * col("_sign")).as("sum_v"),
+            sum(col("_sign").cast("long")).as("n_rows"))
+            .filter(col("n_rows") =!= 0L ||
+              coalesce(col("sum_v"), lit(0L)) =!= 0L)
+          if (d.isEmpty) {
+            // rows cancelled (pure layout change) or empty appends:
+            // advance the cursor with a metadata-only fenced commit
+            // so later consults stop re-walking this window
+            if (wh.casTxnAdvance(rollup, stream, head.toLong,
+              cursor).isDefined)
+              out = Some("noop")
+          } else {
+            val boot = wh.casHead(rollup) == 0
+            if (boot)
+              // seed an empty rollup so the first landing goes
+              // through the same fenced cursor-carrying commit as
+              // every later one
+              wh.casAppendStats(spark, d.limit(0), rollup, g)
+            // touched groups only: prior totals semi-joined against
+            // the delta's group keys — the SOURCE is never rescanned
+            val prior = wh.casRead(spark, rollup)
+              .join(d.select(col(g)), Seq(g), "left_semi")
+            val merged = prior.select(col(g),
+                col("sum_v").as("p_sum"), col("n_rows").as("p_n"))
+              .join(d, Seq(g), "full_outer")
+              .select(col(g),
+                (coalesce(col("p_sum"), lit(0L)) +
+                  coalesce(col("sum_v"), lit(0L))).as("sum_v"),
+                (coalesce(col("p_n"), lit(0L)) +
+                  coalesce(col("n_rows"), lit(0L))).as("n_rows"))
+            val changes = merged.withColumn("op",
+              when(col("n_rows") === 0L, lit("D")).otherwise(lit("U")))
+            if (wh.casApplyCdcBatch(spark, rollup, g, changes, "op",
+              stream, head.toLong, fence = Some(cursor)).isDefined)
+              out = Some(if (boot) "bootstrap" else "incremental")
+          }
+      }
     }
-    afterLand() // test seam: the land-to-cursor crash window
-    wh.overwrite(spark.range(1).select(lit(head.toLong).as("cursor")),
-      cursorT)
-    mode
+    afterLand()
+    out.get
+  }
+
+  /** MIN/MAX (+count) rollup maintenance — the NON-invertible
+    * aggregates: inserts can only extend a group's extrema (fold with
+    * least/greatest), but a retraction AT the current extremum can
+    * move it in a direction no algebra recovers. Per run: groups with
+    * no retraction, or retractions strictly inside (min, max), update
+    * algebraically from the delta alone; ONLY groups whose
+    * retractions touch their prior extremum (or whose whole window is
+    * self-contained churn) are RESCANNED — a source read at the
+    * consulted version filtered to exactly those group keys, never
+    * the table. Groups emptied by retraction are deleted. `onRescan`
+    * is the evidence seam: it receives the rescanned group keys
+    * (bounded by retraction-touched groups — group-cardinality grain,
+    * the same class as the rollup itself).
+    */
+  def maintainMinMax(spark: SparkSession, wh: Warehouse,
+      src: String, rollup: String, g: String, v: String,
+      onRescan: Seq[Any] => Unit = _ => (),
+      afterLand: () => Unit = () => ()): String = {
+    val stream = "ivmx:" + src
+    val vl = col(v).cast("long")
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col(g)).agg(min(vl).as("min_v"), max(vl).as("max_v"),
+        count(lit(1)).as("n_rows"))
+    var out = Option.empty[String]
+    var round = 0
+    while (out.isEmpty) {
+      if (round >= MaxRounds) spent(s"maintainMinMax($rollup)")
+      round += 1
+      val cursor = wh.casStreamCursor(rollup, stream)
+      val (chg, head) = wh.casChangesSinceCdf(spark, src, cursor.toInt)
+      if (head == cursor) out = Some("noop")
+      else chg match {
+        case None =>
+          if (wh.casOverwriteTxn(aggOf(wh.casReadAt(spark, src,
+            head)), rollup, stream, head.toLong, cursor).isDefined)
+            out = Some("refresh")
+        case Some(delta) =>
+          val dIns = delta.filter(col("_sign") === 1).groupBy(col(g))
+            .agg(min(vl).as("i_min"), max(vl).as("i_max"),
+              count(lit(1)).as("i_n"))
+          val dRet = delta.filter(col("_sign") === -1).groupBy(col(g))
+            .agg(min(vl).as("r_min"), max(vl).as("r_max"),
+              count(lit(1)).as("r_n"))
+          val touched = dIns.select(col(g))
+            .union(dRet.select(col(g))).distinct()
+          if (touched.isEmpty) {
+            if (wh.casTxnAdvance(rollup, stream, head.toLong,
+              cursor).isDefined)
+              out = Some("noop")
+          } else {
+            val boot = wh.casHead(rollup) == 0
+            if (boot)
+              wh.casAppendStats(spark, aggOf(delta.limit(0)),
+                rollup, g)
+            val prior = (if (boot) aggOf(delta.limit(0))
+              else wh.casRead(spark, rollup))
+              .join(touched, Seq(g), "left_semi")
+              .select(col(g), col("min_v").as("p_min"),
+                col("max_v").as("p_max"), col("n_rows").as("p_n"))
+            val j = touched.join(prior, Seq(g), "left")
+              .join(dIns, Seq(g), "left").join(dRet, Seq(g), "left")
+              .persist()
+            try {
+              // a retraction at (or tied with) the prior extremum, or
+              // retraction churn inside a group born in this window,
+              // needs the exact answer only a group rescan gives
+              val needRescan: Column = col("r_n").isNotNull &&
+                (col("p_n").isNull ||
+                  col("r_min") <= col("p_min") ||
+                  col("r_max") >= col("p_max"))
+              // bounded collect: retraction-touched group KEYS —
+              // group-cardinality grain, never row grain
+              val rescanKeys = j.filter(needRescan).select(col(g))
+                .collect().map(_.get(0)).toSeq
+              onRescan(rescanKeys)
+              val algebraic = j.filter(!needRescan).select(col(g),
+                least(col("p_min"), col("i_min")).as("min_v"),
+                greatest(col("p_max"), col("i_max")).as("max_v"),
+                (coalesce(col("p_n"), lit(0L)) +
+                  coalesce(col("i_n"), lit(0L)) -
+                  coalesce(col("r_n"), lit(0L))).as("n_rows"))
+                .withColumn("op", lit("U"))
+              val changes =
+                if (rescanKeys.isEmpty) algebraic
+                else {
+                  val re = aggOf(wh.casReadAt(spark, src, head)
+                    .filter(col(g).isin(rescanKeys: _*)))
+                  // rescanned groups with no surviving rows vanish
+                  val gone = j.filter(needRescan).select(col(g))
+                    .join(re, Seq(g), "left_anti")
+                    .select(col(g), lit(null).cast("long").as("min_v"),
+                      lit(null).cast("long").as("max_v"),
+                      lit(0L).as("n_rows"))
+                  algebraic.unionByName(re.withColumn("op", lit("U")))
+                    .unionByName(gone.withColumn("op", lit("D")))
+                }
+              if (wh.casApplyCdcBatch(spark, rollup, g, changes, "op",
+                stream, head.toLong, fence = Some(cursor)).isDefined)
+                out = Some(if (boot) "bootstrap" else "incremental")
+            } finally {
+              j.unpersist()
+              ()
+            }
+          }
+      }
+    }
+    afterLand()
+    out.get
   }
 
   /** JOIN-MV maintenance — `mv = SELECT k, <a-cols>, <b-cols> FROM a
@@ -101,77 +240,119 @@ object CasIvm {
     * state, ΔB joins the other side's OLD state (time travel at the
     * cursor), so a pair born from both deltas lands exactly once.
     * Sources are append-only with unique keys per table (the
-    * event/entity-id shape); any rewrite on either side fires q313's
-    * refresh signal and the MV recomputes — drift detected, never
-    * assumed away. The landing rides [[Warehouse.casMergeBatch]]
-    * with `headA+headB` as the (monotone) batch id: an exact-window
-    * crash replay dedups on the marker, and a grown-window replay is
-    * ALSO safe because the merge updates the already-landed pairs in
-    * place with identical values instead of duplicating them.
+    * event/entity-id shape); any rewrite on either side degrades to
+    * a refresh RECOMPUTED AT THE CONSULTED HEADS — drift detected,
+    * never assumed away, and appends racing past the consult stay in
+    * the next window. Both cursors pack into ONE monotone batch id
+    * (headA·2³² + headB) on the fenced landing, so the cursor pair,
+    * like everything else, lives in the MV's own log.
     *
-    * 100 TB shape: per maintenance O(ΔA ⋈ B + A ⋈ ΔB) join work and
-    * an extent-local MV upsert — the full sides are scanned as JOIN
-    * inputs (prunable by the deltas' key extents), never rewritten.
+    * 100 TB shape: per maintenance the big sides are read EXTENT-
+    * PRUNED at the deltas' key range ([[Warehouse.casReadPrunedAt]]
+    * — a delta touching 1 of 10,000 waves of B opens 1), the MV
+    * upsert is extent-local, and nothing is ever rewritten but the
+    * hit waves.
     */
   def maintainJoin(spark: SparkSession, wh: Warehouse,
       a: String, b: String, mv: String, k: String,
       afterLand: () => Unit = () => ()): String = {
-    val cursorT = mv + "__jcursor"
     val stream = s"ivmj:$a:$b"
-    val (curA, curB) =
-      if (wh.exists(cursorT)) {
-        val r = wh.read(spark, cursorT).head()
-        (r.getLong(0).toInt, r.getLong(1).toInt)
-      } else (0, 0)
-    val (chgA, headA) = wh.casChangesSince(spark, a, curA)
-    val (chgB, headB) = wh.casChangesSince(spark, b, curB)
-    val mode = (chgA, chgB) match {
-      case (None, _) | (_, None) =>
-        wh.casOverwrite(wh.casRead(spark, a)
-          .join(wh.casRead(spark, b), Seq(k)), mv)
-        "refresh"
-      case (Some(da), Some(db)) =>
-        if (da.isEmpty && db.isEmpty) "noop"
-        else {
-          val boot = curA == 0 && curB == 0
-          val aOld =
-            if (curA == 0) da.limit(0)
-            else wh.casReadAt(spark, a, curA)
-          // B at the WINDOW's head, not a fresh read: appends landing
-          // after the consult belong to the next window
-          val bNew = wh.casReadAt(spark, b, headB)
-          val delta = da.join(bNew, Seq(k))
-            .unionByName(aOld.join(db, Seq(k)))
-          if (boot) wh.casAppendStats(spark, delta.limit(0), mv, k)
-          wh.casMergeBatch(spark, mv, k, delta, stream,
-            headA.toLong + headB.toLong)
-          if (boot) "bootstrap" else "incremental"
-        }
+    def pack(x: Int, y: Int): Long =
+      (x.toLong << 32) | (y.toLong & 0xffffffffL)
+    // the big-side read: extent-pruned by the delta's key range when
+    // every delta key casts to long (the stats discipline), full
+    // time-travel read otherwise — never the HEAD (appends past the
+    // consult belong to the next window)
+    def sideAt(table: String, ver: Int, delta: DataFrame): DataFrame = {
+      val r = delta.agg(min(col(k).cast("long")),
+        max(col(k).cast("long")), count(lit(1)),
+        count(col(k).cast("long"))).head()
+      if (r.isNullAt(0) || r.getLong(2) != r.getLong(3))
+        wh.casReadAt(spark, table, ver)
+      else wh.casReadPrunedAt(spark, table, k, r.getLong(0),
+        r.getLong(1), ver)
     }
-    afterLand() // test seam: the land-to-cursor crash window
-    wh.overwrite(spark.range(1).select(
-      lit(headA.toLong).as("cur_a"), lit(headB.toLong).as("cur_b")),
-      cursorT)
-    mode
+    // the window consult is the driver-side PLAN, not a frame: an
+    // empty or meta-only window must cost ZERO data-path listings
+    // (the frame shortcut would resolve every active wave just to
+    // produce an empty schema), and a rewrite anywhere degrades to
+    // the refresh before any data is touched
+    def win(table: String,
+        from: Int): (Boolean, Option[DataFrame], Int) = {
+      val (plan, head) = wh.casCdfPlan(table, from)
+      val rewrite = plan.forall(_.exists(_.removed.nonEmpty))
+      val df =
+        if (rewrite || plan.get.isEmpty) None
+        else {
+          val d = wh.casChangesSince(spark, table, from)._1.getOrElse(
+            sys.error(s"maintainJoin($mv): plan/frame consult " +
+              s"disagree on $table@$from"))
+          if (d.isEmpty) None else Some(d)
+        }
+      (rewrite, df, head)
+    }
+    var out = Option.empty[String]
+    var round = 0
+    while (out.isEmpty) {
+      if (round >= MaxRounds) spent(s"maintainJoin($mv)")
+      round += 1
+      val cur = wh.casStreamCursor(mv, stream)
+      val (curA, curB) = ((cur >>> 32).toInt, cur.toInt)
+      val (rewA, da, headA) = win(a, curA)
+      val (rewB, db, headB) = win(b, curB)
+      val toB = pack(headA, headB)
+      if (headA == curA && headB == curB) out = Some("noop")
+      else if (rewA || rewB) {
+        if (wh.casOverwriteTxn(
+          wh.casReadAt(spark, a, headA)
+            .join(wh.casReadAt(spark, b, headB), Seq(k)),
+          mv, stream, toB, cur).isDefined)
+          out = Some("refresh")
+      } else (da, db) match {
+        case (None, None) =>
+          if (wh.casTxnAdvance(mv, stream, toB, cur).isDefined)
+            out = Some("noop")
+        case _ =>
+          val boot = curA == 0 && curB == 0
+          val parts =
+            da.map(d => d.join(sideAt(b, headB, d), Seq(k))).toSeq ++
+            (if (curA == 0) Nil // ΔB ⋈ A@0 = ΔB ⋈ ∅
+             else db.map(d => sideAt(a, curA, d).join(d, Seq(k))))
+          if (parts.isEmpty) {
+            if (wh.casTxnAdvance(mv, stream, toB, cur).isDefined)
+              out = Some("noop")
+          } else {
+            val delta = parts.reduce(_ unionByName _)
+            if (boot) wh.casAppendStats(spark, delta.limit(0), mv, k)
+            if (wh.casMergeBatch(spark, mv, k, delta, stream, toB,
+              fence = Some(cur)).isDefined)
+              out = Some(if (boot) "bootstrap" else "incremental")
+          }
+      }
+    }
+    afterLand()
+    out.get
   }
 
   /** [[maintainSumCount]] with the CATALOG-CONSISTENT publish: one
     * [[Warehouse.catCommitMax]] pins the source AT THE CURSOR the
-    * rollup now reflects together with the rollup's new version —
-    * so a catalog reader can NEVER join a rollup against source
-    * rows it has not absorbed (or vice versa), even while direct
-    * appends keep landing past the cursor (they stay visible to
-    * direct `casRead`ers, the documented catalog-vs-direct split,
-    * and enter the pinned view at the next maintenance). The
-    * monotone pin merge means concurrent maintainers/refreshers of
-    * the same pair can never regress each other.
+    * rollup reflects together with the rollup's version — so a
+    * catalog reader can NEVER join a rollup against source rows it
+    * has not absorbed (or vice versa), even while direct appends
+    * keep landing past the cursor (they stay visible to direct
+    * `casRead`ers, the documented catalog-vs-direct split, and enter
+    * the pinned view at the next maintenance). Both pins derive from
+    * ONE rollup-log consult ([[Warehouse.casStreamCursorAt]] at the
+    * observed head), so concurrent maintainers can never publish a
+    * skewed pair; the monotone pin merge means they never regress
+    * each other either.
     */
   def maintainSumCountCat(spark: SparkSession, wh: Warehouse,
       src: String, rollup: String, g: String, v: String): String = {
     val mode = maintainSumCount(spark, wh, src, rollup, g, v)
-    val cursor = wh.read(spark, rollup + "__cursor").head()
-      .getLong(0).toInt
-    wh.catCommitMax(Seq(src -> cursor, rollup -> wh.casHead(rollup)))
+    val rollHead = wh.casHead(rollup)
+    val cursor = wh.casStreamCursorAt(rollup, "ivm:" + src, rollHead)
+    wh.catCommitMax(Seq(src -> cursor.toInt, rollup -> rollHead))
     mode
   }
 }

@@ -75,6 +75,81 @@ object Scd {
   def mintPid(keys: Seq[Column], eff: Column): Column =
     md5(concat_ws("|", (keys :+ eff).map(_.cast("string")): _*))
 
+  /** Numeric version surrogate for the CATALOG tier: `pid = day·2⁴⁰ +
+    * key`. The md5 [[mintPid]] distributes perfectly but is not
+    * long-castable, and the CAS DML tier's extent skipping
+    * ([[graft.sources.Warehouse.casMergeInto]]) runs on long keys —
+    * this mint keeps every property that tier needs: deterministic
+    * (no coordination, reproducible by any engine), unique per (key,
+    * version-day), and EXTENT-TIGHT by construction — a day's fresh
+    * versions all share the day's high bits, so they land as one
+    * tight-extent insert wave ABOVE all history and never widen an
+    * existing wave's skip extent. Contract: keys < 2⁴⁰, day ordinal
+    * < 2²³ (both loud-checkable upstream; TPC-ish surrogate domains
+    * sit far below).
+    */
+  def mintPidLong(key: Column, dayOrdinal: Column): Column =
+    dayOrdinal.cast("long") * lit(1L << 40) + key.cast("long")
+
+  /** The CATALOG-TIER SCD2 CHANGE SET — the O(changed) twin of
+    * [[scd2Merge]] (which rewrites the full history each run): given
+    * the incoming extract and the dim's CURRENT state, produce
+    * exactly the rows an SCD2 day-roll writes, keyed by the version
+    * surrogate `pidCol`, ready for ONE
+    * [[graft.sources.Warehouse.casMergeInto]] commit:
+    *
+    *  - EXPIRE updates: for each changed key, its current row with
+    *    `flagCol`→0 and `expCol`→asOf, SAME pid — a matched in-place
+    *    update that rewrites only the extent-hit waves the old
+    *    version lives in;
+    *  - FRESH inserts: the changed keys' new versions plus brand-new
+    *    keys, flag 1, `effCol`=asOf, `expCol` null, pid =
+    *    `pidOf(keys)` — unmatched rows landing as the tight-extent
+    *    insert wave.
+    *
+    * Change detection is [[scd2Merge]]'s exactly (vs current rows
+    * only, null-safe `<=>`), so feeding this to an upsert yields a
+    * history row-identical to the full merge (spec-pinned) at
+    * O(changed) write cost. Same preconditions as [[scd2Merge]]:
+    * one src row per business key, `hist` carries flag/eff/exp/pid.
+    */
+  def scd2CatChanges(src: DataFrame, hist: DataFrame,
+      keys: Seq[String], attrs: Seq[String], asOf: Column,
+      pidOf: Seq[Column] => Column,
+      flagCol: String = "current_flag",
+      effCol: String = "eff_dt", expCol: String = "exp_dt",
+      pidCol: String = "pid"): DataFrame = {
+    val histCols = hist.columns.toSeq
+    val cur = hist.filter(col(flagCol) === 1)
+    val s = suffixed(src.select((keys ++ attrs).map(col): _*),
+      attrs, "__s").withColumn("__src", lit(1))
+    // ONE classification join: src drives (right), cur's pid marks
+    // presence — new keys have no current row, changed keys differ
+    // null-safely on any attribute
+    val j = cur.join(s, keys, "right")
+    val isNew = col(pidCol).isNull
+    val isChanged = !isNew && anyAttrDiffers(attrs, "__s")
+    val versioned = j.filter(isNew || isChanged)
+    val expired = versioned.filter(isChanged).select(histCols.map {
+      case `flagCol` => lit(0L).cast(
+        hist.schema(flagCol).dataType).as(flagCol)
+      case `expCol` => asOf.cast(
+        hist.schema(expCol).dataType).as(expCol)
+      case c => col(c)
+    }: _*)
+    val fresh = versioned
+      .select(keys.map(col) ++
+        attrs.map(a => col(a + "__s").as(a)): _*)
+      .withColumn(flagCol,
+        lit(1L).cast(hist.schema(flagCol).dataType))
+      .withColumn(effCol, asOf.cast(hist.schema(effCol).dataType))
+      .withColumn(expCol,
+        lit(null).cast(hist.schema(expCol).dataType))
+      .withColumn(pidCol, pidOf(keys.map(col)))
+      .select(histCols.map(col): _*)
+    expired.unionByName(fresh)
+  }
+
   /** SCD Type-2 merge: versioned history. Change detection runs against
     * current rows only (py:637); changed keys get their current row
     * expired (`current_flag`→0, `expCol`→asOf; py:676-681) and a fresh
@@ -99,7 +174,8 @@ object Scd {
       attrs: Seq[String], asOf: Column,
       flagCol: String = "current_flag",
       effCol: String = "eff_dt", expCol: String = "exp_dt",
-      pidCol: Option[String] = None): DataFrame = {
+      pidCol: Option[String] = None,
+      mint: (Seq[Column], Column) => Column = mintPid): DataFrame = {
     // NOTE: deliberately no .persist() inside this operator — Spark's
     // cache manager matches by canonicalized logical plan, so caching a
     // frame derived from a warehouse path here would serve STALE data
@@ -142,7 +218,7 @@ object Scd {
       .withColumn(expCol, lit(null).cast(
         expired.schema(expCol).dataType))
     val fresh = pidCol.fold(freshBase)(p =>
-        freshBase.withColumn(p, mintPid(keys.map(col), asOf)))
+        freshBase.withColumn(p, mint(keys.map(col), asOf)))
       .select(histCols.map(col): _*)
 
     expired.unionByName(fresh)

@@ -701,25 +701,29 @@ object Extras6 {
   /** INCREMENTALLY-MAINTAINED ROLLUP — [[graft.ops.CasIvm]], the
     * round's devices composed: four maintenance runs of a per-group
     * SUM/COUNT rollup over a growing documents table — bootstrap on
-    * wave 1, additive [[graft.sources.Warehouse.casMergeInto]] of
-    * ONLY the touched groups' new totals on waves 2 and 3 (the
-    * source is never rescanned — the tail-read supplies the delta,
-    * the rollup read is group-cardinality small), and the REFRESH
-    * degradation when a copy-on-write delete rewrites history (the
-    * signal q313 pins) — recompute instead of silent drift. The
+    * wave 1, additive landings of ONLY the touched groups' new
+    * totals on waves 2 and 3 (the source is never rescanned — the
+    * tail-read supplies the delta, the rollup read is
+    * group-cardinality small), and — since round 18 — a
+    * copy-on-write GDPR delete absorbed INCREMENTALLY too: the
+    * retraction-carrying feed
+    * ([[graft.sources.Warehouse.casChangesSinceCdf]]) reads only the
+    * rewritten waves' row diff and SUBTRACTS it (q318 carries the
+    * wave-grain evidence; the refresh degradation now fires only for
+    * the genuinely non-diffable — MoR tombstones, restores). The
     * oracle is the plain GROUP BY over the surviving corpus; the
     * four observed maintenance modes ride as structural columns.
     *
-    * 100 TB shape: daily rollup maintenance costs O(day's rows +
-    * touched groups), and correctness under compaction/GDPR
-    * rewrites is DETECTED, never assumed.
+    * 100 TB shape: daily rollup maintenance costs O(delta rows +
+    * touched groups) even across routine GDPR rewrites, and the
+    * non-invertible cases are DETECTED, never assumed.
     */
   val q314 = Q("q314_ivm_tail_rollup",
     """SELECT CAST(doc_id % 7 AS BIGINT) AS g,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_v,
       |  CAST(count(*) AS BIGINT) AS n_rows,
       |  'bootstrap' AS m1, 'incremental' AS m2,
-      |  'incremental' AS m3, 'refresh' AS m4
+      |  'incremental' AS m3, 'incremental' AS m4
       |FROM documents WHERE doc_id % 101 <> 0
       |GROUP BY 1""".stripMargin) { (s, dir) =>
     import s.implicits._
@@ -813,8 +817,12 @@ object Extras6 {
     * absorbs `ΔA ⋈ B_new` when A grows, `A_old ⋈ ΔB` when B grows
     * (time travel supplies the OLD other side, so no pair lands
     * twice), and a copy-on-write delete on A fires the refresh
-    * signal (recompute, never drift). Landings carry the monotone
-    * headA+headB marker, so crash replays dedup. The oracle is the
+    * signal (recompute at the consulted heads, never drift).
+    * Landings carry the packed (headA·2³², headB) cursor pair as a
+    * fenced TXN marker — the cursor lives in the MV's own log, so
+    * crash replays no-op and concurrent maintainers serialize. The
+    * big sides are read extent-pruned at the deltas' key range
+    * (r18; the poisoned-wave spec). The oracle is the
     * plain inner join over the surviving corpus; the four observed
     * modes ride as structural columns.
     *

@@ -87,6 +87,16 @@ final case class CasCommitInfo(version: Int, operation: String,
 final case class CasOptimizeStats(version: Int, compacted: Int,
     retained: Int)
 
+/** One commit of a [[Warehouse.casCdfPlan]] window — the read-set
+  * evidence of the retraction-carrying change feed: `removed` /
+  * `added` are the commit lines whose DATA the feed must actually
+  * open (a pure append has an empty `removed`; a rewrite names only
+  * the waves whose path left/entered the active set — retained-by-
+  * reference waves appear in NEITHER). What the wave-grain spec pins.
+  */
+final case class CasCdfStep(version: Int, removed: Seq[String],
+    added: Seq[String])
+
 final case class Warehouse(root: String,
     clock: () => Long = () => System.currentTimeMillis()) {
 
@@ -1456,11 +1466,15 @@ final case class Warehouse(root: String,
     * each checkpoint's summary is complete over ALL history by
     * induction (its predecessor's was).
     */
-  private def casTxnState(table: String): Map[String, Long] = {
+  private def casTxnState(table: String): Map[String, Long] =
+    casTxnStateBelow(table, casHead(table) + 1)
+
+  private def casTxnStateBelow(table: String,
+      below: Int): Map[String, Long] = {
     var acc = Map.empty[String, Long]
     def merge(s: String, b: Long): Unit =
       if (acc.getOrElse(s, Long.MinValue) < b) acc += (s -> b)
-    var n = casHead(table)
+    var n = below - 1
     var atStop = false
     while (n >= 1 && !atStop) {
       val ls = readLines(casCommitFile(table, n))
@@ -1748,6 +1762,15 @@ final case class Warehouse(root: String,
       hi: Long): (Seq[String], Int) =
     casPruneLines(casActiveCmds(table), lo, hi)
 
+  /** [[casPrunedCommits]] over the snapshot AT version `v` — the
+    * skip-evidence consult for pruned TIME-TRAVEL reads
+    * ([[casReadPrunedAt]], the delta-join maintainer's big-side
+    * read).
+    */
+  def casPrunedCommitsAt(table: String, lo: Long, hi: Long,
+      v: Int): (Seq[String], Int) =
+    casPruneLines(casActiveCmdsAt(table, v), lo, hi)
+
   // the pure pruning fold over ONE set of active lines — shared by
   // the public consult above and [[casReadPruned]], which must derive
   // both the kept data lines and the riding DEL lines from a SINGLE
@@ -1775,13 +1798,29 @@ final case class Warehouse(root: String,
     * transaction log itself as the skip structure.
     */
   def casReadPruned(spark: SparkSession, table: String, c: String,
-      lo: Long, hi: Long): DataFrame = {
+      lo: Long, hi: Long): DataFrame =
+    casReadPrunedLines(spark, table, c, lo, hi, casActiveCmds(table))
+
+  /** [[casReadPruned]] over the snapshot AT version `v` — pruned
+    * time travel: open only the commits whose extent overlaps
+    * [lo, hi] in the HISTORICAL active set. What lets an incremental
+    * maintainer join a tiny delta against a petabyte side by opening
+    * only the extent-hit waves of the version its window pins
+    * ([[graft.ops.CasIvm.maintainJoin]]).
+    */
+  def casReadPrunedAt(spark: SparkSession, table: String, c: String,
+      lo: Long, hi: Long, v: Int): DataFrame =
+    casReadPrunedLines(spark, table, c, lo, hi,
+      casActiveCmdsAt(table, v))
+
+  private def casReadPrunedLines(spark: SparkSession, table: String,
+      c: String, lo: Long, hi: Long,
+      active: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     // ONE log snapshot feeds both the pruning fold and the DEL
     // re-attach below — a second independent listing could disagree
     // with this one across a concurrent rewrite and silently drop
     // the rewrite's lines from the intersection
-    val active = casActiveCmds(table)
     val (paths, _) = casPruneLines(active, lo, hi)
     // re-attach the active DEL lines: a pruned read must not
     // resurrect tombstoned rows that happen to fall inside [lo, hi]
@@ -2020,16 +2059,18 @@ final case class Warehouse(root: String,
   def casMergeBatch(spark: SparkSession, table: String, c: String,
       source: DataFrame, stream: String, batchId: Long,
       retries: Int = 8,
-      beforeCommit: () => Unit = () => ()): Option[CasMergeStats] = {
+      beforeCommit: () => Unit = () => (),
+      fence: Option[Long] = None): Option[CasMergeStats] = {
     if (casCommittedBatch(table, stream, batchId)) return None
     casMergeImpl(spark, table, c, source, retries, beforeCommit,
-      Some((stream, batchId)))
+      Some((stream, batchId)), fence)
   }
 
   private def casMergeImpl(spark: SparkSession, table: String,
       c: String, source: DataFrame, retries: Int,
       beforeCommit: () => Unit,
-      txn: Option[(String, Long)]): Option[CasMergeStats] = {
+      txn: Option[(String, Long)],
+      fence: Option[Long] = None): Option[CasMergeStats] = {
     import org.apache.spark.sql.functions.{broadcast, col, count,
       countDistinct, lit, when}
     import spark.implicits._
@@ -2065,6 +2106,13 @@ final case class Warehouse(root: String,
         // fails our CAS, and the retry re-checks over it
         if (txn.exists { case (s, b) =>
           casCommittedBatchBelow(table, s, b, head + 1) })
+          return None
+        // the maintainer fence: a competitor moved the stream cursor
+        // (possibly over a DIFFERENT window) — overlapping additive
+        // merges double-count, so the caller must re-read the cursor
+        // and re-derive, not land
+        if (fence.exists(f => txn.exists { case (s, _) =>
+          !casFenceHolds(table, s, f, head + 1) }))
           return None
         val cmds = casActiveCmdsAt(table, head)
         val (dels, datas) = cmds.partition(casIsDel)
@@ -2237,6 +2285,151 @@ final case class Warehouse(root: String,
     }
   }
 
+  // the CDF walk: per-commit read plan + the tombstone sets each
+  // side must be resolved under. None = the window is not row-level
+  // diffable (new MoR tombstone — it hides rows in waves the commit
+  // never names; a restore — it can resurrect arbitrary history;
+  // schema evolution meeting a rewrite — the two diff sides would
+  // not align). Driver-only: O(window commits) file reads, no data.
+  private def casCdfWalk(table: String, fromV: Int): (Option[Seq[
+      (CasCdfStep, Seq[String], Seq[String])]], Int) = {
+    val head = casHead(table)
+    require(fromV >= 0 && fromV <= head,
+      s"casCdfPlan($table, $fromV): cursor out of range 0..$head")
+    var steps = List.empty[(CasCdfStep, Seq[String], Seq[String])]
+    var evolvedSeen = false
+    var rewriteSeen = false
+    var n = fromV + 1
+    while (n <= head) {
+      val f = casCommitFile(table, n)
+      if (!f.exists())
+        sys.error(s"casCdfPlan($table): commit $n was retired by " +
+          "retention — window unreadable, re-derive from a snapshot")
+      val ls = readLines(f).filterNot(_.startsWith("TS "))
+      if (ls.contains("CKPT")) {
+        // checkpoint = content-neutral restatement; restore = CKPT
+        // verb with a content CHANGE — refresh, it can resurrect
+        // history no wave-grain diff can account for
+        if (casActiveCmdsAt(table, n).toSet !=
+          casActiveCmdsAt(table, n - 1).toSet)
+          return (None, head)
+      } else if (ls.exists(casIsReplace)) {
+        val prev = casActiveCmdsAt(table, n - 1)
+        val cur = casActiveCmdsAt(table, n)
+        val prevDel = prev.filter(casIsDel)
+        val curDel = cur.filter(casIsDel)
+        // a rewrite may DROP tombstones (compaction folded them —
+        // their matches are physically gone from every rewritten
+        // wave) but never ADD one: a new tombstone hides rows in
+        // waves this commit does not name
+        if ((curDel.toSet -- prevDel.toSet).nonEmpty)
+          return (None, head)
+        val prevPaths = prev.filterNot(casIsDel).map(casCmdPath).toSet
+        val curPaths = cur.filterNot(casIsDel).map(casCmdPath).toSet
+        val removed = prev.filterNot(casIsDel)
+          .filterNot(l => curPaths(casCmdPath(l)))
+        val added = cur.filterNot(casIsDel)
+          .filterNot(l => prevPaths(casCmdPath(l)))
+        rewriteSeen = true
+        evolvedSeen ||= (removed ++ added).exists(casIsEvolved)
+        steps = steps :+ ((CasCdfStep(n, removed, added),
+          prevDel, curDel))
+      } else if (ls.exists(casIsDel)) {
+        return (None, head) // new MoR tombstone
+      } else {
+        val added = ls.filterNot(casIsMeta)
+        evolvedSeen ||= added.exists(casIsEvolved)
+        if (added.nonEmpty) {
+          // a pure append diffs against nothing; it resolves under
+          // the tombstones active AT ITS OWN commit (all pre-window
+          // — a new one just returned None above)
+          val dels = casActiveCmdsAt(table, n).filter(casIsDel)
+          steps = steps :+ ((CasCdfStep(n, Nil, added), dels, dels))
+        }
+      }
+      n += 1
+    }
+    // an evolved wave on either side of a rewrite diff would leave
+    // the two exceptAll inputs with different schemas — refresh
+    if (evolvedSeen && rewriteSeen) return (None, head)
+    (Some(steps), head)
+  }
+
+  /** The read plan of [[casChangesSinceCdf]] — per commit, exactly
+    * which waves the feed opens (`removed`/`added`; retained-by-
+    * reference waves appear in neither). The wave-grain cost
+    * evidence: a CoW delete hitting 1 of 4 extents plans a diff over
+    * 1 old wave + its rewritten remainder, never the table.
+    */
+  def casCdfPlan(table: String,
+      fromV: Int): (Option[Seq[CasCdfStep]], Int) = {
+    val (w, head) = casCdfWalk(table, fromV)
+    (w.map(_.map(_._1)), head)
+  }
+
+  /** RETRACTION-CARRYING CHANGE FEED — Delta CDF / the DBSP shape
+    * over this log: the row-level changes of commits (fromV, head]
+    * as a frame of the table's columns plus `_sign` (+1 inserted,
+    * -1 retracted), readable ACROSS copy-on-write rewrites — a
+    * DELETE/UPDATE/MERGE in the window emits the rewritten waves'
+    * exact row diff (old⊖new retractions, new⊖old insertions,
+    * multiset semantics via exceptAll) instead of
+    * [[casChangesSince]]'s whole-window refresh signal. A
+    * compaction/cluster rewrite diffs to ZERO rows — layout changes
+    * are invisible to the feed, so downstream incremental rollups
+    * ride through OPTIMIZE untouched. `None` (re-derive from a
+    * snapshot) only for the genuinely non-diffable: a new MoR
+    * tombstone, a restore, schema evolution meeting a rewrite, a
+    * retention-retired window (loud error).
+    *
+    * Self-inverse consumers (SUM/COUNT — [[graft.ops.CasIvm]])
+    * SUBTRACT retractions and stay O(delta) under GDPR deletes;
+    * non-invertible ones (MIN/MAX) rescan only the groups whose
+    * retractions touch their extremum.
+    *
+    * 100 TB shape: the consult is O(window commits) driver file
+    * reads; the frame scans ONLY waves whose path entered or left
+    * the active set — a delete that rewrote 3 of 10,000 waves costs
+    * 3 old + 3 new waves, never the table. Old waves must still be
+    * on disk (vacuum grace = the feed's retention window — the same
+    * contract Delta CDF ships with).
+    */
+  def casChangesSinceCdf(spark: SparkSession, table: String,
+      fromV: Int): (Option[DataFrame], Int) = {
+    import org.apache.spark.sql.functions.lit
+    val (walk, head) = casCdfWalk(table, fromV)
+    walk match {
+      case None => (None, head)
+      case Some(steps) =>
+        val frames = steps.flatMap { case (st, prevDel, curDel) =>
+          def side(lines: Seq[String], dels: Seq[String]) =
+            if (lines.isEmpty) None
+            else Some(casResolveRead(spark, lines ++ dels,
+              s"casChangesSinceCdf($table@${st.version})"))
+          (side(st.added, curDel), side(st.removed, prevDel)) match {
+            case (Some(nw), Some(old)) => Seq(
+              nw.exceptAll(old).withColumn("_sign", lit(1)),
+              old.exceptAll(nw).withColumn("_sign", lit(-1)))
+            case (Some(nw), None) =>
+              Seq(nw.withColumn("_sign", lit(1)))
+            case (None, Some(old)) =>
+              Seq(old.withColumn("_sign", lit(-1)))
+            case (None, None) => Nil
+          }
+        }
+        // the union seeds from the WINDOW's own frames, not a
+        // casRead(..).limit(0): seeding from a snapshot read would
+        // resolve EVERY active path just to borrow a schema — the
+        // feed must list only the waves the plan names (poisoned-
+        // wave spec). allowMissingColumns mirrors the mergeSchema
+        // union an evolved append-only window needs.
+        (Some(
+          if (frames.isEmpty)
+            casRead(spark, table).limit(0).withColumn("_sign", lit(1))
+          else frames.reduce(_.unionByName(_, true))), head)
+    }
+  }
+
   /** CDC APPLY — the full `MERGE … WHEN MATCHED AND op = 'D' THEN
     * DELETE WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
     * INSERT *`: one CDC batch (upserts AND deletes, discriminated by
@@ -2274,16 +2467,18 @@ final case class Warehouse(root: String,
   def casApplyCdcBatch(spark: SparkSession, table: String, c: String,
       changes: DataFrame, opCol: String, stream: String,
       batchId: Long, retries: Int = 8,
-      beforeCommit: () => Unit = () => ()): Option[CasCdcStats] = {
+      beforeCommit: () => Unit = () => (),
+      fence: Option[Long] = None): Option[CasCdcStats] = {
     if (casCommittedBatch(table, stream, batchId)) return None
     casApplyCdcImpl(spark, table, c, changes, opCol, retries,
-      beforeCommit, Some((stream, batchId)))
+      beforeCommit, Some((stream, batchId)), fence)
   }
 
   private def casApplyCdcImpl(spark: SparkSession, table: String,
       c: String, changes: DataFrame, opCol: String, retries: Int,
       beforeCommit: () => Unit,
-      txn: Option[(String, Long)]): Option[CasCdcStats] = {
+      txn: Option[(String, Long)],
+      fence: Option[Long] = None): Option[CasCdcStats] = {
     import org.apache.spark.sql.functions.{col, count, countDistinct,
       lit, when}
     import spark.implicits._
@@ -2320,6 +2515,10 @@ final case class Warehouse(root: String,
         val head = casHead(table)
         if (txn.exists { case (s, b) =>
           casCommittedBatchBelow(table, s, b, head + 1) })
+          return None
+        // maintainer fence — same contract as [[casMergeImpl]]'s
+        if (fence.exists(f => txn.exists { case (s, _) =>
+          !casFenceHolds(table, s, f, head + 1) }))
           return None
         val cmds = casActiveCmdsAt(table, head)
         val (dels, datas) = cmds.partition(casIsDel)
@@ -3003,6 +3202,97 @@ final case class Warehouse(root: String,
       n -= 1
     }
     None
+  }
+
+  /** The maximum committed batch id for `stream` in this table's log
+    * (0 when the stream has never committed) — the LOG-DERIVED cursor
+    * of every incremental maintainer ([[graft.ops.CasIvm]]): because
+    * the cursor is a TXN line ON the maintenance commit itself, "what
+    * was absorbed" and "what the table holds" are ONE atomic fact —
+    * no sidecar file, no land-to-cursor crash window, nothing to
+    * fsync separately. O(commits since checkpoint) driver file reads
+    * ([[casTxnState]]'s bound).
+    */
+  def casStreamCursor(table: String, stream: String): Long =
+    casTxnState(table).getOrElse(stream, 0L)
+
+  /** [[casStreamCursor]] AT table version `v` — what lets a catalog
+    * publisher pin (source@cursor, rollup@v) as a MUTUALLY CONSISTENT
+    * pair even while other maintainers advance the rollup past `v`:
+    * the cursor is read from the same log prefix the rollup version
+    * names, so the pair can never be skewed by a read-read race.
+    */
+  def casStreamCursorAt(table: String, stream: String, v: Int): Long =
+    casTxnStateBelow(table, v + 1).getOrElse(stream, 0L)
+
+  // the fence predicate of the fenced writers below, bounded at a
+  // CAS target: commit only if the stream's committed cursor is
+  // still exactly `expected`. Checked INSIDE the OCC loop with the
+  // same head-first ordering as [[casCommittedBatchBelow]], so a
+  // cursor-moving commit racing in occupies head+1, fails the CAS,
+  // and the retry re-evaluates the fence over it — the check-then-
+  // commit is linearizable.
+  private def casFenceHolds(table: String, stream: String,
+      expected: Long, below: Int): Boolean =
+    casTxnStateBelow(table, below).getOrElse(stream, 0L) == expected
+
+  /** FENCED FULL REFRESH — [[casOverwrite]] carrying a `TXN stream
+    * batchId` cursor line, committed ONLY IF the stream's cursor is
+    * still `fence`: the incremental maintainer's recompute path. The
+    * REPLACE and the cursor advance are one atomic commit, and two
+    * maintainers racing the same window serialize — the loser
+    * returns None (its fence fails), re-reads the cursor, and
+    * re-derives instead of clobbering the winner's newer state with
+    * a recompute of an older snapshot. Returns the committed
+    * version, None when fenced off.
+    */
+  def casOverwriteTxn(df: DataFrame, table: String, stream: String,
+      batchId: Long, fence: Long, retries: Int = 8,
+      beforeCommit: () => Unit = () => ()): Option[Int] = {
+    val staged = new File(new File(dir(table + "__data")),
+      java.util.UUID.randomUUID().toString)
+    df.write.mode("errorifexists").parquet(staged.getPath)
+    var attempt = 0
+    while (attempt < retries) {
+      val n = casHead(table) + 1
+      if (!casFenceHolds(table, stream, fence, n)) {
+        delete(staged) // a competing maintainer moved the cursor
+        return None
+      }
+      beforeCommit()
+      if (casTryCommit(table, n, Seq("REPLACE " + staged.getPath,
+        s"TXN $stream $batchId"))) {
+        casMaybeVacuum(table, n)
+        return Some(n)
+      }
+      attempt += 1
+    }
+    delete(staged)
+    throw new CommitConflict(
+      s"casOverwriteTxn($table, $stream): lost $retries CAS races")
+  }
+
+  /** CURSOR-ONLY ADVANCE — a pure-metadata commit moving `stream`'s
+    * cursor from `fence` to `batchId` with NO content change (the
+    * TXN line is [[casIsMeta]]; every reader and tail-read skips
+    * it). The incremental maintainer's noop-with-progress: a window
+    * holding only empty appends or other streams' markers has no
+    * rows to land, but leaving the cursor behind would make every
+    * later consult re-walk those commits forever. Fenced like every
+    * cursor move; None when a competitor advanced first.
+    */
+  def casTxnAdvance(table: String, stream: String, batchId: Long,
+      fence: Long, retries: Int = 8): Option[Int] = {
+    var attempt = 0
+    while (attempt < retries) {
+      val n = casHead(table) + 1
+      if (!casFenceHolds(table, stream, fence, n)) return None
+      if (casTryCommit(table, n, Seq(s"TXN $stream $batchId")))
+        return Some(n)
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casTxnAdvance($table, $stream): lost $retries CAS races")
   }
 
   /** EXACTLY-ONCE batch commit — the idempotent-sink half of

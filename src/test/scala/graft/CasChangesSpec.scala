@@ -131,9 +131,11 @@ class CasChangesSpec extends SparkSpec {
   }
 
   test("CasIvm.maintainSumCount: bootstrap, additive incremental " +
-    "merge of touched groups, noop on empty windows, and the " +
-    "refresh degradation when a rewrite invalidates additivity — " +
-    "rollup equal to the full GROUP BY after every run") {
+    "merge of touched groups, noop on empty windows, a CoW delete " +
+    "in the window absorbed INCREMENTALLY (the signed feed — no " +
+    "refresh), and the refresh degradation only for the genuinely " +
+    "non-diffable (MoR tombstone) — rollup equal to the full " +
+    "GROUP BY after every run") {
     import spark.implicits._
     import graft.ops.CasIvm
     val wh = tmpWh()
@@ -154,8 +156,20 @@ class CasChangesSpec extends SparkSpec {
     assert(roll() == fullAgg())
     assert(maintain() == "noop", "cursor advanced, nothing new")
     assert(roll() == fullAgg())
-    // a rewrite in the window invalidates the additive path
+    // a CoW delete in the window: retractions SUBTRACT — the
+    // maintenance stays incremental and exact
     wh.casDeleteWhere(spark, "src", "k", Seq(7L, 41L))
+    assert(maintain() == "incremental",
+      "a CoW rewrite is row-level diffable — no refresh")
+    assert(roll() == fullAgg())
+    // a CoW UPDATE too (-old +new through the same feed)
+    wh.casUpdateWhere(spark, "src", "k", Seq(8L),
+      Map("v" -> lit(800L)))
+    assert(maintain() == "incremental")
+    assert(roll() == fullAgg())
+    // a MoR tombstone is NOT diffable (it hides rows in waves the
+    // commit never names): honest refresh, recomputed consistently
+    wh.casDeleteMoR(spark, "src", "k", Seq(9L).toDF("k"))
     assert(maintain() == "refresh")
     assert(roll() == fullAgg())
     // and the cursor healed: appends after the refresh merge again
@@ -163,11 +177,21 @@ class CasChangesSpec extends SparkSpec {
       .toDF("k", "g", "v"), "src", "k")
     assert(maintain() == "incremental")
     assert(roll() == fullAgg())
+    // a group emptied by a CoW delete VANISHES from the rollup
+    // (GROUP BY semantics), not a zero-count tombstone row
+    val g2 = wh.casRead(spark, "src").filter(col("g") === 2L)
+      .select("k").as[Long].collect().toSeq
+    wh.casDeleteWhere(spark, "src", "k", g2)
+    assert(maintain() == "incremental")
+    assert(roll() == fullAgg())
+    assert(!roll().exists(_.head == 2L), "emptied group deleted")
   }
 
-  test("maintenance crash between the landing commit and the cursor " +
-    "write: the re-run re-consumes the SAME window and DEDUPS on the " +
-    "marker instead of double-counting the additive delta") {
+  test("maintenance crash anywhere after the landing: the cursor " +
+    "RODE the landing commit (there is no sidecar to lose), so the " +
+    "re-run reads it back from the log and no-ops — never " +
+    "double-counts; a GROWN window on the replay (a direct append " +
+    "landed between crash and restart) absorbs exactly the new rows") {
     import spark.implicits._
     import graft.ops.CasIvm
     val wh = tmpWh()
@@ -181,22 +205,60 @@ class CasChangesSpec extends SparkSpec {
       .toDF("k", "g", "v"), "xsrc", "k")
     intercept[RuntimeException] {
       CasIvm.maintainSumCount(spark, wh, "xsrc", "xroll", "g", "v",
-        afterLand = () => sys.error("crash before the cursor write"))
+        afterLand = () => sys.error("crash right after the landing"))
     }
-    // crash shape: the merge LANDED, the cursor did not advance
+    // crash shape: the landing committed, and the cursor WITH it
     assert(rows(wh.casRead(spark, "xroll")) == fullAgg(),
       "the delta landed before the crash")
-    // restart: same window re-consumed, marker dedups the landing
+    assert(wh.casStreamCursor("xroll", "ivm:xsrc") ==
+      wh.casHead("xsrc").toLong,
+      "the cursor is IN the landing commit — atomic with the totals")
+    // restart: nothing to re-consume — the r17 double-count hazard
+    // (same-window replay) and its grown-window sibling (the
+    // ADVICE.md medium finding) are both structurally gone
     assert(CasIvm.maintainSumCount(
-      spark, wh, "xsrc", "xroll", "g", "v") == "incremental")
-    assert(rows(wh.casRead(spark, "xroll")) == fullAgg(),
-      "NOT double-counted — the additive-replay hazard the TXN " +
-        "marker closes")
-    // and the healed cursor keeps absorbing new waves
+      spark, wh, "xsrc", "xroll", "g", "v") == "noop")
+    assert(rows(wh.casRead(spark, "xroll")) == fullAgg())
+    // the grown-window crash shape: a DIRECT append lands between
+    // the crash and the restart — the replay's window starts at the
+    // landed cursor, so it absorbs exactly the new rows, once
     wh.casAppendStats(spark, (50L until 60L).map(k => (k, k % 3, k))
       .toDF("k", "g", "v"), "xsrc", "k")
-    CasIvm.maintainSumCount(spark, wh, "xsrc", "xroll", "g", "v")
+    assert(CasIvm.maintainSumCount(
+      spark, wh, "xsrc", "xroll", "g", "v") == "incremental")
     assert(rows(wh.casRead(spark, "xroll")) == fullAgg())
+  }
+
+  test("two maintainers racing the same window SERIALIZE on the " +
+    "fence: exactly one lands, the loser re-reads the advanced " +
+    "cursor and no-ops — never a double count (8 rounds, 2 real " +
+    "threads)") {
+    import spark.implicits._
+    import graft.ops.CasIvm
+    val wh = tmpWh()
+    def fullAgg(): Set[Seq[Any]] = rows(wh.casRead(spark, "rsrc")
+      .groupBy(col("g")).agg(sum("v").cast("long").as("sum_v"),
+        count(lit(1)).as("n_rows")))
+    (0 until 8).foreach { r =>
+      wh.casAppendStats(spark,
+        (r * 10L until r * 10L + 10L).map(k => (k, k % 3, k))
+          .toDF("k", "g", "v"), "rsrc", "k")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fs = (0 until 2).map(_ => pool.submit(
+          new java.util.concurrent.Callable[String] {
+            def call(): String = CasIvm.maintainSumCount(
+              spark, wh, "rsrc", "rroll", "g", "v")
+          }))
+        val modes = fs.map(_.get()).sorted
+        assert(modes.forall(m => m == "noop" ||
+          m == "incremental" || m == "bootstrap"), modes.toString)
+      } finally pool.shutdown()
+      assert(rows(wh.casRead(spark, "rroll")) == fullAgg(),
+        s"round $r: exactly-once absorption under the race")
+    }
+    assert(wh.casStreamCursor("rroll", "ivm:rsrc") ==
+      wh.casHead("rsrc").toLong)
   }
 
   test("maintainJoin: the delta-join covers ΔA⋈B_new, A_old⋈ΔB, and " +
@@ -231,13 +293,14 @@ class CasChangesSpec extends SparkSpec {
     landA(40 until 45); landB(40 until 43)
     assert(maintain() == "incremental")
     assert(mv() == fullJoin() && mv().size == 23)
-    // crash between landing and cursor write: replay dedups
+    // crash after the landing: the packed cursor pair RODE the
+    // landing commit, so the replay reads it back and no-ops
     landA(50 until 52); landB(50 until 52)
     intercept[RuntimeException] {
-      maintain(() => sys.error("crash before the cursor write"))
+      maintain(() => sys.error("crash right after the landing"))
     }
     assert(mv() == fullJoin() && mv().size == 25, "the delta landed")
-    assert(maintain() == "incremental")
+    assert(maintain() == "noop")
     assert(mv() == fullJoin() && mv().size == 25, "not duplicated")
     // a rewrite on side B refreshes the MV
     wh.casDeleteWhere(spark, "jb", "k", Seq(12L))

@@ -45,6 +45,15 @@ class CasDmlModelSpec extends SparkSpec {
     // every step (the q313 contract under arbitrary histories)
     var cursor = 0
     var cView = Map.empty[Long, Long]
+    // a RETRACTION-CARRYING consumer rides along too: it applies the
+    // signed feed (±1 per row) and must stay equal to the snapshot
+    // across EVERY diffable window — CoW deletes, updates, merges,
+    // range deletes, compactions and clusterings included; only the
+    // genuinely non-diffable (new MoR tombstone, restore) resync
+    var cdfCursor = 0
+    var cdfView = Map.empty[Long, Long]
+    var cdfResyncs = 0
+    var cdfIncrements = 0
     // and an IVM rollup rides along too (keyed by k, so touched
     // groups = the delta's keys): after every maintenance the rollup
     // must equal the per-key GROUP BY of the visible snapshot —
@@ -127,8 +136,39 @@ class CasDmlModelSpec extends SparkSpec {
       cursor = h
       assert(cView == got,
         s"step $step op $op: the tail consumer diverged")
+      val (cchg, ch) = wh.casChangesSinceCdf(spark, t, cdfCursor)
+      cdfView = cchg match {
+        case None => cdfResyncs += 1; got
+        case Some(df) =>
+          cdfIncrements += 1
+          val net = df.collect()
+            .groupBy(r => (r.getLong(0), r.getLong(1)))
+            .view.mapValues(_.map(_.getInt(2)).sum).toMap
+          // retractions first: an in-window update emits -old +new
+          // for the same key, and the add must win
+          val dropped = net.collect { case ((k, v), -1) => (k, v) }
+            .foldLeft(cdfView) { case (m, (k, v)) =>
+              assert(m.get(k).contains(v),
+                s"step $step: retraction of a row the consumer " +
+                  s"never held: ($k, $v)")
+              m - k
+            }
+          net.foldLeft(dropped) {
+            case (m, ((k, v), 1)) => m + (k -> v)
+            case (m, (_, s)) if s == 0 || s == -1 => m
+            case (_, ((k, v), s)) =>
+              sys.error(s"step $step: net sign $s for ($k, $v)")
+          }
+      }
+      cdfCursor = ch
+      assert(cdfView == got,
+        s"step $step op $op: the CDF consumer diverged")
       if (step % 5 == 0) maintainAndCheck(got, step)
     }
+    assert(cdfIncrements > cdfResyncs,
+      s"the CDF consumer should ride MOST windows incrementally " +
+        s"(got $cdfIncrements incremental vs $cdfResyncs resyncs) — " +
+        "only new-MoR-tombstone windows resync")
     // retention + GC at the end must preserve the visible snapshot
     wh.casTruncate(t)
     wh.casVacuum(t, minAgeMs = 0L)
