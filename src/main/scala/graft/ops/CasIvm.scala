@@ -234,24 +234,29 @@ object CasIvm {
   }
 
   /** JOIN-MV maintenance — `mv = SELECT k, <a-cols>, <b-cols> FROM a
-    * JOIN b USING (k)` kept current from BOTH sides' tail-reads with
-    * the textbook delta-join: the new pairs of a window are exactly
-    * `(ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB)` — ΔA joins the OTHER side's new
-    * state, ΔB joins the other side's OLD state (time travel at the
-    * cursor), so a pair born from both deltas lands exactly once.
-    * Sources are append-only with unique keys per table (the
-    * event/entity-id shape); any rewrite on either side degrades to
-    * a refresh RECOMPUTED AT THE CONSULTED HEADS — drift detected,
-    * never assumed away, and appends racing past the consult stay in
-    * the next window. Both cursors pack into ONE monotone batch id
-    * (headA·2³² + headB) on the fenced landing, so the cursor pair,
-    * like everything else, lives in the MV's own log.
+    * JOIN b USING (k)` kept current from BOTH sides' signed feeds.
+    * With the unique-key-per-side contract (the entity/dimension
+    * shape — enforced loudly by the landing), the bilinear delta-join
+    * collapses to AFFECTED-KEY RECOMPUTE: the only pairs that can
+    * change in a window are those of keys appearing in ΔA ∪ ΔB
+    * (inserts OR retractions — the retraction-carrying feed supplies
+    * both across CoW deletes/updates/merges), so the maintenance
+    * reads each side's NEW state at the window head, EXTENT-PRUNED
+    * to the affected keys' range and semi-joined to exactly them,
+    * joins the two slivers, and lands upserts for keys with a pair
+    * plus DELETES for affected keys without one — one fenced atomic
+    * commit carrying the packed (headA·2³², headB) cursor pair.
+    * Rewrites on either side therefore stay `incremental`; only the
+    * non-diffable (new MoR tombstone, restore, evolution meeting a
+    * rewrite) degrades to a refresh RECOMPUTED AT THE CONSULTED
+    * HEADS — drift detected, never assumed away, and appends racing
+    * past the consult stay in the next window.
     *
-    * 100 TB shape: per maintenance the big sides are read EXTENT-
-    * PRUNED at the deltas' key range ([[Warehouse.casReadPrunedAt]]
-    * — a delta touching 1 of 10,000 waves of B opens 1), the MV
-    * upsert is extent-local, and nothing is ever rewritten but the
-    * hit waves.
+    * 100 TB shape: per maintenance O(affected keys' extent-hit waves
+    * on both sides + MV hit waves) — a delta touching 1 of 10,000
+    * waves of B opens 1 ([[Warehouse.casReadPrunedAt]]; the
+    * poisoned-wave spec), and a GDPR delete on either source costs
+    * the MV its own affected keys, never a rebuild.
     */
   def maintainJoin(spark: SparkSession, wh: Warehouse,
       a: String, b: String, mv: String, k: String,
@@ -259,37 +264,39 @@ object CasIvm {
     val stream = s"ivmj:$a:$b"
     def pack(x: Int, y: Int): Long =
       (x.toLong << 32) | (y.toLong & 0xffffffffL)
-    // the big-side read: extent-pruned by the delta's key range when
-    // every delta key casts to long (the stats discipline), full
-    // time-travel read otherwise — never the HEAD (appends past the
-    // consult belong to the next window)
-    def sideAt(table: String, ver: Int, delta: DataFrame): DataFrame = {
-      val r = delta.agg(min(col(k).cast("long")),
+    // a side's state at the WINDOW's head, restricted to the
+    // affected keys: extent-pruned by their range when every key
+    // casts to long (the stats discipline), full time-travel read
+    // otherwise — never the live HEAD (appends past the consult
+    // belong to the next window)
+    def sliverAt(table: String, ver: Int, keys: DataFrame): DataFrame = {
+      val r = keys.agg(min(col(k).cast("long")),
         max(col(k).cast("long")), count(lit(1)),
         count(col(k).cast("long"))).head()
-      if (r.isNullAt(0) || r.getLong(2) != r.getLong(3))
-        wh.casReadAt(spark, table, ver)
-      else wh.casReadPrunedAt(spark, table, k, r.getLong(0),
-        r.getLong(1), ver)
+      val base =
+        if (r.isNullAt(0) || r.getLong(2) != r.getLong(3))
+          wh.casReadAt(spark, table, ver)
+        else wh.casReadPrunedAt(spark, table, k, r.getLong(0),
+          r.getLong(1), ver)
+      base.join(keys, Seq(k), "left_semi")
     }
-    // the window consult is the driver-side PLAN, not a frame: an
-    // empty or meta-only window must cost ZERO data-path listings
-    // (the frame shortcut would resolve every active wave just to
-    // produce an empty schema), and a rewrite anywhere degrades to
-    // the refresh before any data is touched
+    // the window consult is the driver-side PLAN first: an empty or
+    // meta-only window must cost ZERO data-path listings (the frame
+    // shortcut would resolve every active wave just to produce an
+    // empty schema). None = non-diffable (refresh); Some(None) =
+    // nothing to read; Some(Some(df)) = the signed delta.
     def win(table: String,
-        from: Int): (Boolean, Option[DataFrame], Int) = {
+        from: Int): (Option[Option[DataFrame]], Int) = {
       val (plan, head) = wh.casCdfPlan(table, from)
-      val rewrite = plan.forall(_.exists(_.removed.nonEmpty))
-      val df =
-        if (rewrite || plan.get.isEmpty) None
-        else {
-          val d = wh.casChangesSince(spark, table, from)._1.getOrElse(
-            sys.error(s"maintainJoin($mv): plan/frame consult " +
-              s"disagree on $table@$from"))
-          if (d.isEmpty) None else Some(d)
-        }
-      (rewrite, df, head)
+      plan match {
+        case None => (None, head)
+        case Some(steps) if steps.isEmpty => (Some(None), head)
+        case Some(_) =>
+          val d = wh.casChangesSinceCdf(spark, table, from)._1
+            .getOrElse(sys.error(s"maintainJoin($mv): plan/frame " +
+              s"consult disagree on $table@$from"))
+          (Some(Some(d)), head)
+      }
     }
     var out = Option.empty[String]
     var round = 0
@@ -298,36 +305,52 @@ object CasIvm {
       round += 1
       val cur = wh.casStreamCursor(mv, stream)
       val (curA, curB) = ((cur >>> 32).toInt, cur.toInt)
-      val (rewA, da, headA) = win(a, curA)
-      val (rewB, db, headB) = win(b, curB)
+      val (winA, headA) = win(a, curA)
+      val (winB, headB) = win(b, curB)
       val toB = pack(headA, headB)
       if (headA == curA && headB == curB) out = Some("noop")
-      else if (rewA || rewB) {
+      else if (winA.isEmpty || winB.isEmpty) {
         if (wh.casOverwriteTxn(
           wh.casReadAt(spark, a, headA)
             .join(wh.casReadAt(spark, b, headB), Seq(k)),
           mv, stream, toB, cur).isDefined)
           out = Some("refresh")
-      } else (da, db) match {
-        case (None, None) =>
-          if (wh.casTxnAdvance(mv, stream, toB, cur).isDefined)
-            out = Some("noop")
-        case _ =>
-          val boot = curA == 0 && curB == 0
-          val parts =
-            da.map(d => d.join(sideAt(b, headB, d), Seq(k))).toSeq ++
-            (if (curA == 0) Nil // ΔB ⋈ A@0 = ΔB ⋈ ∅
-             else db.map(d => sideAt(a, curA, d).join(d, Seq(k))))
-          if (parts.isEmpty) {
+      } else {
+        val deltas = Seq(winA, winB).flatMap(_.flatten)
+        val kd =
+          if (deltas.isEmpty) None
+          else {
+            val keys = deltas.map(_.select(col(k)))
+              .reduce(_ union _).distinct().persist()
+            if (keys.isEmpty) { keys.unpersist(); None }
+            else Some(keys)
+          }
+        kd match {
+          case None => // meta-only window or fully-cancelled diff
             if (wh.casTxnAdvance(mv, stream, toB, cur).isDefined)
               out = Some("noop")
-          } else {
-            val delta = parts.reduce(_ unionByName _)
-            if (boot) wh.casAppendStats(spark, delta.limit(0), mv, k)
-            if (wh.casMergeBatch(spark, mv, k, delta, stream, toB,
-              fence = Some(cur)).isDefined)
-              out = Some(if (boot) "bootstrap" else "incremental")
-          }
+          case Some(keys) =>
+            try {
+              val boot = curA == 0 && curB == 0
+              val pairs = sliverAt(a, headA, keys)
+                .join(sliverAt(b, headB, keys), Seq(k))
+              // affected keys with no surviving pair LEAVE the MV
+              // (a deleted source row, or a key still waiting for
+              // its other side)
+              val gone = keys.join(pairs.select(col(k)), Seq(k),
+                  "left_anti")
+                .select(col(k) +: pairs.columns.filterNot(_ == k)
+                  .map(c => lit(null).cast(pairs.schema(c).dataType)
+                    .as(c)).toSeq: _*)
+              val changes = pairs.withColumn("op", lit("U"))
+                .unionByName(gone.withColumn("op", lit("D")))
+              if (boot)
+                wh.casAppendStats(spark, pairs.limit(0), mv, k)
+              if (wh.casApplyCdcBatch(spark, mv, k, changes, "op",
+                stream, toB, fence = Some(cur)).isDefined)
+                out = Some(if (boot) "bootstrap" else "incremental")
+            } finally { keys.unpersist(); () }
+        }
       }
     }
     afterLand()

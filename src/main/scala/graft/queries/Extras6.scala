@@ -813,27 +813,29 @@ object Extras6 {
   /** JOIN-MV MAINTENANCE — [[graft.ops.CasIvm.maintainJoin]], the
     * delta-join classic over two tail-read streams: documents (side
     * A) and an even-doc_id attribute table (side B) each land in two
-    * waves with a maintenance run between every landing — the MV
-    * absorbs `ΔA ⋈ B_new` when A grows, `A_old ⋈ ΔB` when B grows
-    * (time travel supplies the OLD other side, so no pair lands
-    * twice), and a copy-on-write delete on A fires the refresh
-    * signal (recompute at the consulted heads, never drift).
-    * Landings carry the packed (headA·2³², headB) cursor pair as a
-    * fenced TXN marker — the cursor lives in the MV's own log, so
-    * crash replays no-op and concurrent maintainers serialize. The
-    * big sides are read extent-pruned at the deltas' key range
-    * (r18; the poisoned-wave spec). The oracle is the
-    * plain inner join over the surviving corpus; the four observed
-    * modes ride as structural columns.
+    * waves with a maintenance run between every landing — each
+    * window's AFFECTED KEYS (ΔA ∪ ΔB, from the signed feeds) are
+    * recomputed from both sides' extent-pruned slivers at the window
+    * heads, so every new pair lands exactly once — and a
+    * copy-on-write GDPR delete on A stays INCREMENTAL too (r18): the
+    * retractions name the affected keys, their pairs leave the MV as
+    * op-D rows in the same fenced commit; no rebuild, refresh only
+    * for the non-diffable (MoR/restore). Landings carry the packed
+    * (headA·2³², headB) cursor pair as a fenced TXN marker — the
+    * cursor lives in the MV's own log, so crash replays no-op and
+    * concurrent maintainers serialize. The oracle is the plain inner
+    * join over the surviving corpus; the four observed modes (no
+    * 'refresh' anywhere) ride as structural columns.
     *
-    * 100 TB shape: keeping a joined view current costs the deltas'
-    * join work per run — the full sides are join INPUTS (prunable by
-    * the deltas' key extents), never rewritten.
+    * 100 TB shape: keeping a joined view current costs the affected
+    * keys' extent-hit waves per run ([[graft.sources.Warehouse
+    * .casReadPrunedAt]]; poisoned-wave spec) — the full sides are
+    * never reread, never rewritten.
     */
   val q316 = Q("q316_join_mv_maintain",
     """SELECT doc_id, n_chars, CAST(doc_id % 7 AS BIGINT) AS lb,
       |  'bootstrap' AS m1, 'incremental' AS m2,
-      |  'incremental' AS m3, 'refresh' AS m4
+      |  'incremental' AS m3, 'incremental' AS m4
       |FROM documents
       |WHERE doc_id % 2 = 0 AND doc_id % 101 <> 0""".stripMargin) {
     (s, dir) =>

@@ -261,10 +261,11 @@ class CasChangesSpec extends SparkSpec {
       wh.casHead("rsrc").toLong)
   }
 
-  test("maintainJoin: the delta-join covers ΔA⋈B_new, A_old⋈ΔB, and " +
-    "both-delta pairs exactly once; crash replay dedups; a rewrite " +
-    "on EITHER side refreshes — MV equal to the full join after " +
-    "every run") {
+  test("maintainJoin: affected-key recompute covers ΔA-only, " +
+    "ΔB-only, and both-delta windows exactly once; crash replay " +
+    "no-ops; a CoW delete on either side stays INCREMENTAL (the " +
+    "signed feed); only a MoR tombstone refreshes — MV equal to " +
+    "the full join after every run") {
     import spark.implicits._
     import graft.ops.CasIvm
     val wh = tmpWh()
@@ -302,10 +303,21 @@ class CasChangesSpec extends SparkSpec {
     assert(mv() == fullJoin() && mv().size == 25, "the delta landed")
     assert(maintain() == "noop")
     assert(mv() == fullJoin() && mv().size == 25, "not duplicated")
-    // a rewrite on side B refreshes the MV
+    // a CoW delete on side B: the retraction names the affected key,
+    // its pair leaves the MV — INCREMENTAL, no rebuild
     wh.casDeleteWhere(spark, "jb", "k", Seq(12L))
-    assert(maintain() == "refresh")
+    assert(maintain() == "incremental",
+      "a CoW rewrite is row-level diffable — no refresh")
     assert(mv() == fullJoin() && mv().size == 24)
+    // a CoW UPDATE on side A rides the same path (-old +new)
+    wh.casUpdateWhere(spark, "ja", "k", Seq(14L),
+      Map("va" -> lit(1400L)))
+    assert(maintain() == "incremental")
+    assert(mv() == fullJoin() && mv().size == 24)
+    // only the genuinely non-diffable refreshes: a MoR tombstone
+    wh.casDeleteMoR(spark, "jb", "k", Seq(13L).toDF("k"))
+    assert(maintain() == "refresh")
+    assert(mv() == fullJoin() && mv().size == 23)
     assert(maintain() == "noop")
   }
 
