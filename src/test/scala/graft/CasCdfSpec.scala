@@ -247,6 +247,70 @@ class CasCdfSpec extends SparkSpec {
         "touching the non-hit waves")
   }
 
+  test("a CHECKPOINT inside a CDF window is content-neutral and " +
+    "skipped; a truncated window fails LOUDLY; and OPTIMIZE between " +
+    "maintenances yields a NOOP maintenance (not a refresh) — " +
+    "rollups ride through layout maintenance untouched") {
+    import spark.implicits._
+    import graft.ops.CasIvm
+    val wh = tmpWh()
+    wh.casAppendStats(spark, (0L until 10L).map(k => (k, k % 3, k))
+      .toDF("k", "g", "v"), "o", "k") // v1
+    wh.casCheckpoint("o") // v2 — restates, must not re-emit
+    wh.casAppendStats(spark, (10L until 20L).map(k => (k, k % 3, k))
+      .toDF("k", "g", "v"), "o", "k") // v3
+    val (chg, h) = wh.casChangesSinceCdf(spark, "o", 1)
+    assert(h == 3 && chg.get.count() == 10L,
+      "the checkpoint's restated lines must not double-count")
+    def fullAgg(): Set[Seq[Any]] = rows(wh.casRead(spark, "o")
+      .groupBy(col("g")).agg(sum("v").cast("long").as("sum_v"),
+        count(lit(1)).as("n_rows")))
+    def maintain(): String = CasIvm.maintainSumCount(
+      spark, wh, "o", "oroll", "g", "v")
+    assert(maintain() == "bootstrap")
+    wh.casOptimize(spark, "o", maxWaves = 1)
+    assert(maintain() == "noop",
+      "a pure layout change diffs to zero rows — the cursor " +
+        "advances with a metadata commit, no recompute, no refresh")
+    assert(rows(wh.casRead(spark, "oroll")) == fullAgg())
+    wh.casAppendStats(spark, (20L until 30L).map(k => (k, k % 3, k))
+      .toDF("k", "g", "v"), "o", "k")
+    assert(maintain() == "incremental")
+    assert(rows(wh.casRead(spark, "oroll")) == fullAgg())
+    // retention retires the window: the feed fails loudly, never
+    // serves a silent subset
+    wh.casReplace(spark, "o")(cur => cur)
+    wh.casTruncate("o")
+    intercept[RuntimeException] { wh.casCdfPlan("o", 1) }
+  }
+
+  test("two-maintainer race on maintainJoin serializes on the " +
+    "fence — exactly-once pair absorption, MV exact after each " +
+    "round") {
+    import spark.implicits._
+    import graft.ops.CasIvm
+    val wh = tmpWh()
+    def fullJoin(): Set[Seq[Any]] = rows(wh.casRead(spark, "ra")
+      .join(wh.casRead(spark, "rb"), Seq("k")))
+    (0 until 4).foreach { r =>
+      wh.casAppendStats(spark, (r * 10L until r * 10L + 10L)
+        .map(k => (k, k * 10L)).toDF("k", "va"), "ra", "k")
+      wh.casAppendStats(spark, (r * 10L until r * 10L + 10L)
+        .filter(_ % 2 == 0).map(k => (k, k * 100L)).toDF("k", "vb"),
+        "rb", "k")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fs = (0 until 2).map(_ => pool.submit(
+          new java.util.concurrent.Callable[String] {
+            def call(): String = CasIvm.maintainJoin(
+              spark, wh, "ra", "rb", "rmv", "k")
+          }))
+        fs.foreach(_.get())
+      } finally pool.shutdown()
+      assert(rows(wh.casRead(spark, "rmv")) == fullJoin(), s"round $r")
+    }
+  }
+
   test("two-maintainer race on maintainMinMax serializes on the " +
     "fence — exactly-once absorption, rollup exact after each round") {
     import spark.implicits._

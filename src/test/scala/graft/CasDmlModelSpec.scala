@@ -65,6 +65,15 @@ class CasDmlModelSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(roll == got.map { case (k, v) => (k, v, 1L) }.toSet,
         s"step $step: the IVM rollup diverged from the snapshot")
+      // the MIN/MAX maintainer rides the same history: per-key groups
+      // make every retraction an extremum retraction, so the rescan
+      // path is exercised by every delete/update the seed produces
+      graft.ops.CasIvm.maintainMinMax(spark, wh, t, "mroll", "k", "v")
+      val mroll = wh.casRead(spark, "mroll").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(mroll == got.map { case (k, v) => (k, v, v, 1L) }.toSet,
+        s"step $step: the MIN/MAX rollup diverged from the snapshot")
     }
 
     def keys(n: Int): Seq[Long] =
