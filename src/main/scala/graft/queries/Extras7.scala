@@ -307,5 +307,68 @@ object Extras7 {
       .crossJoin(wh.read(s, "mmx_evidence"))
   }
 
-  val all: Seq[Q] = Seq(q318, q319, q320)
+  /** THE IVM DAG — incremental views COMPOSE: documents (side A) ⋈
+    * attribute table (side B) maintained as an MV
+    * ([[graft.ops.CasIvm.maintainJoin]]), and a per-label SUM/COUNT
+    * rollup maintained OVER THE MV
+    * ([[graft.ops.CasIvm.maintainSumCount]] with the MV as its
+    * source) — zero special composition code, because the MV's own
+    * maintenance commits are ordinary CAS rewrites and therefore
+    * row-level diffable: the downstream rollup consumes the MV's
+    * retraction-carrying feed exactly as it would a base table's. A
+    * copy-on-write GDPR delete at the BASE then propagates the whole
+    * depth incrementally — the join maintenance lands op-D rows for
+    * the affected keys, the rollup subtracts their retractions — six
+    * maintenance runs, no 'refresh' anywhere (the mode evidence).
+    * The oracle is the plain GROUP BY over the surviving joined
+    * corpus.
+    *
+    * 100 TB shape: a metric DAG (bronze → silver join → gold rollup)
+    * costs O(delta) at EVERY level per day, GDPR deletes included —
+    * the property that makes a lakehouse metric layer operable at
+    * all.
+    */
+  val q321 = Q("q321_ivm_dag",
+    """SELECT CAST(doc_id % 7 AS BIGINT) AS lb,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_v,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  'bootstrap' AS j1, 'incremental' AS j2, 'incremental' AS j3,
+      |  'bootstrap' AS r1, 'incremental' AS r2, 'incremental' AS r3
+      |FROM documents
+      |WHERE doc_id % 2 = 0 AND doc_id % 101 <> 0
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"dag_${SessionScratch.keyOf(dir)}"))
+    val key = s"ivm_dag_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents").select("doc_id", "n_chars")
+      val bAll = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), (col("doc_id") % 7).as("lb"))
+      def joinM(): String = graft.ops.CasIvm.maintainJoin(
+        s, wh, "dag_a", "dag_b", "dag_mv", "doc_id")
+      def rollM(): String = graft.ops.CasIvm.maintainSumCount(
+        s, wh, "dag_mv", "dag_roll", "lb", "n_chars")
+      wh.casAppendStats(s, d.filter(col("doc_id") % 3 === 0),
+        "dag_a", "doc_id")
+      wh.casAppendStats(s, bAll, "dag_b", "doc_id")
+      val j1 = joinM(); val r1 = rollM()
+      wh.casAppendStats(s, d.filter(col("doc_id") % 3 =!= 0),
+        "dag_a", "doc_id")
+      val j2 = joinM(); val r2 = rollM()
+      // the base-table GDPR delete: propagates the full DAG depth
+      // incrementally (op-D pairs out of the MV, retractions
+      // subtracted from the rollup)
+      wh.casDeleteWhereKeys(s, "dag_a", "doc_id",
+        d.filter(col("doc_id") % 101 === 0).select("doc_id"))
+      val j3 = joinM(); val r3 = rollM()
+      wh.overwrite(Seq((j1, j2, j3, r1, r2, r3))
+        .toDF("j1", "j2", "j3", "r1", "r2", "r3"), "dag_evidence")
+    }
+    wh.casRead(s, "dag_roll")
+      .select(col("lb"), col("sum_v"), col("n_rows"))
+      .crossJoin(wh.read(s, "dag_evidence"))
+  }
+
+  val all: Seq[Q] = Seq(q318, q319, q320, q321)
 }

@@ -284,6 +284,50 @@ class CasCdfSpec extends SparkSpec {
     intercept[RuntimeException] { wh.casCdfPlan("o", 1) }
   }
 
+  test("the IVM DAG composes with no special code: a rollup " +
+    "maintained OVER a join MV consumes the MV's own feed — base " +
+    "UPDATEs and CoW DELETEs propagate the full depth " +
+    "incrementally, and even an upstream REFRESH reaches the " +
+    "downstream as an ordinary (diffable) rewrite") {
+    import spark.implicits._
+    import graft.ops.CasIvm
+    val wh = tmpWh()
+    def joinM(): String =
+      CasIvm.maintainJoin(spark, wh, "da", "db", "dmv", "k")
+    def rollM(): String =
+      CasIvm.maintainSumCount(spark, wh, "dmv", "droll", "lb", "va")
+    def expected(): Set[Seq[Any]] = rows(
+      wh.casRead(spark, "da").join(wh.casRead(spark, "db"), Seq("k"))
+        .groupBy(col("lb")).agg(sum("va").cast("long").as("sum_v"),
+          count(lit(1)).as("n_rows")))
+    def roll(): Set[Seq[Any]] = rows(wh.casRead(spark, "droll"))
+
+    wh.casAppendStats(spark, (0L until 30L).map(k => (k, k * 10L))
+      .toDF("k", "va"), "da", "k")
+    wh.casAppendStats(spark, (0L until 30L by 2)
+      .map(k => (k, k % 3)).toDF("k", "lb"), "db", "k")
+    assert(joinM() == "bootstrap" && rollM() == "bootstrap")
+    assert(roll() == expected())
+    // a base UPDATE rides -old +new through BOTH stages
+    wh.casUpdateWhere(spark, "da", "k", Seq(4L),
+      Map("va" -> lit(4000L)))
+    assert(joinM() == "incremental" && rollM() == "incremental")
+    assert(roll() == expected())
+    // a base CoW delete: op-D out of the MV, subtraction in the roll
+    wh.casDeleteWhere(spark, "da", "k", Seq(6L, 8L))
+    assert(joinM() == "incremental" && rollM() == "incremental")
+    assert(roll() == expected())
+    // a MoR tombstone refreshes the JOIN stage — but the refresh is
+    // an ordinary REPLACE commit on the MV, so the DOWNSTREAM stage
+    // diffs it and stays incremental: refresh does not cascade
+    wh.casDeleteMoR(spark, "da", "k", Seq(10L).toDF("k"))
+    assert(joinM() == "refresh")
+    assert(rollM() == "incremental",
+      "an upstream refresh reaches the consumer as a diffable " +
+        "rewrite — the degradation never cascades down the DAG")
+    assert(roll() == expected())
+  }
+
   test("two-maintainer race on maintainJoin serializes on the " +
     "fence — exactly-once pair absorption, MV exact after each " +
     "round") {
