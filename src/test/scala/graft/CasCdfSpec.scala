@@ -355,6 +355,53 @@ class CasCdfSpec extends SparkSpec {
     }
   }
 
+  test("LIVE traffic: a direct writer (appends and CoW deletes) " +
+    "races two maintainers for 12 rounds — nothing is lost, " +
+    "double-counted, or absorbed into the wrong window; the rollup " +
+    "equals the GROUP BY at every quiescent point") {
+    import spark.implicits._
+    import graft.ops.CasIvm
+    val wh = tmpWh()
+    def fullAgg(): Set[Seq[Any]] = rows(wh.casRead(spark, "ls")
+      .groupBy(col("g")).agg(sum("v").cast("long").as("sum_v"),
+        count(lit(1)).as("n_rows")))
+    wh.casAppendStats(spark, (0L until 20L).map(k => (k, k % 3, k))
+      .toDF("k", "g", "v"), "ls", "k")
+    CasIvm.maintainSumCount(spark, wh, "ls", "lroll", "g", "v")
+    (1 to 12).foreach { r =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      try {
+        val writer = pool.submit(new Runnable { def run(): Unit = {
+          if (r % 3 == 0)
+            // the CoW delete mid-maintenance: the CDF window a
+            // racing maintainer consults may or may not contain it —
+            // the fence forces the loser to re-derive either way
+            wh.casDeleteWhere(spark, "ls", "k",
+              Seq(r * 20L - 5L, r * 20L - 7L))
+          else {
+            wh.casAppendStats(spark,
+              (r * 20L until r * 20L + 20L).map(k => (k, k % 3, k))
+                .toDF("k", "g", "v"), "ls", "k")
+            ()
+          }
+        }})
+        val ms = (0 until 2).map(_ => pool.submit(
+          new java.util.concurrent.Callable[String] {
+            def call(): String = CasIvm.maintainSumCount(
+              spark, wh, "ls", "lroll", "g", "v")
+          }))
+        writer.get(); ms.foreach(_.get())
+      } finally pool.shutdown()
+      // quiescence: one more maintenance absorbs whatever landed
+      // after the racers' windows, then the rollup must be EXACT
+      CasIvm.maintainSumCount(spark, wh, "ls", "lroll", "g", "v")
+      assert(rows(wh.casRead(spark, "lroll")) == fullAgg(),
+        s"round $r: drift under live traffic")
+    }
+    assert(wh.casStreamCursor("lroll", "ivm:ls") ==
+      wh.casHead("ls").toLong)
+  }
+
   test("two-maintainer race on maintainMinMax serializes on the " +
     "fence — exactly-once absorption, rollup exact after each round") {
     import spark.implicits._
