@@ -28,8 +28,10 @@ import graft.sources.Warehouse
   * Maintenance modes: "bootstrap" (first landing), "incremental"
   * (window absorbed additively — including windows holding CoW
   * deletes/updates/merges/compactions, via the signed feed),
-  * "refresh" (non-diffable window: MoR tombstone, restore, schema
-  * evolution meeting a rewrite — recompute FROM THE CONSULTED
+  * "refresh" (non-diffable window: restore, or schema
+  * evolution meeting a rewrite — MoR tombstones diff too since the
+  * feed retracts their hidden rows at forget-set grain; recompute
+  * happens FROM THE CONSULTED
   * VERSION, so the rollup and cursor still describe one snapshot),
   * "noop" (nothing to absorb).
   */
@@ -247,7 +249,7 @@ object CasIvm {
     * plus DELETES for affected keys without one — one fenced atomic
     * commit carrying the packed (headA·2³², headB) cursor pair.
     * Rewrites on either side therefore stay `incremental`; only the
-    * non-diffable (new MoR tombstone, restore, evolution meeting a
+    * non-diffable (restore, evolution meeting a
     * rewrite) degrades to a refresh RECOMPUTED AT THE CONSULTED
     * HEADS — drift detected, never assumed away, and appends racing
     * past the consult stay in the next window.

@@ -93,9 +93,14 @@ final case class CasOptimizeStats(version: Int, compacted: Int,
   * open (a pure append has an empty `removed`; a rewrite names only
   * the waves whose path left/entered the active set — retained-by-
   * reference waves appear in NEITHER). What the wave-grain spec pins.
+  * `tombstones` names a new-MoR-tombstone commit's DEL lines: its
+  * retractions are resolved at FRAME time (the pre-commit snapshot,
+  * extent-pruned by the forget keys' range — the key extent is only
+  * known after reading the key file, so the plan lists the DEL
+  * lines, not the hit waves).
   */
 final case class CasCdfStep(version: Int, removed: Seq[String],
-    added: Seq[String])
+    added: Seq[String], tombstones: Seq[String] = Nil)
 
 final case class Warehouse(root: String,
     clock: () => Long = () => System.currentTimeMillis()) {
@@ -2287,8 +2292,7 @@ final case class Warehouse(root: String,
 
   // the CDF walk: per-commit read plan + the tombstone sets each
   // side must be resolved under. None = the window is not row-level
-  // diffable (new MoR tombstone — it hides rows in waves the commit
-  // never names; a restore — it can resurrect arbitrary history;
+  // diffable (a restore — it can resurrect arbitrary history;
   // schema evolution meeting a rewrite — the two diff sides would
   // not align). Driver-only: O(window commits) file reads, no data.
   private def casCdfWalk(table: String, fromV: Int): (Option[Seq[
@@ -2335,7 +2339,18 @@ final case class Warehouse(root: String,
         steps = steps :+ ((CasCdfStep(n, removed, added),
           prevDel, curDel))
       } else if (ls.exists(casIsDel)) {
-        return (None, head) // new MoR tombstone
+        // a NEW MoR tombstone hides rows in waves the commit never
+        // names — but those rows are addressable: the frame builder
+        // retracts them with an extent-pruned read of the PRE-commit
+        // snapshot semi-joined to the forget keys (forget-set
+        // grain). A commit mixing tombstones with data lines is no
+        // writer's shape — refresh conservatively if one appears.
+        if (ls.exists(l => !casIsMeta(l) && !casIsDel(l)))
+          return (None, head)
+        val prevDel = casActiveCmdsAt(table, n - 1).filter(casIsDel)
+        val newDels = ls.filter(casIsDel)
+        steps = steps :+ ((CasCdfStep(n, Nil, Nil, newDels),
+          prevDel, prevDel ++ newDels))
       } else {
         val added = ls.filterNot(casIsMeta)
         evolvedSeen ||= added.exists(casIsEvolved)
@@ -2377,10 +2392,14 @@ final case class Warehouse(root: String,
     * [[casChangesSince]]'s whole-window refresh signal. A
     * compaction/cluster rewrite diffs to ZERO rows — layout changes
     * are invisible to the feed, so downstream incremental rollups
-    * ride through OPTIMIZE untouched. `None` (re-derive from a
-    * snapshot) only for the genuinely non-diffable: a new MoR
-    * tombstone, a restore, schema evolution meeting a rewrite, a
-    * retention-retired window (loud error).
+    * ride through OPTIMIZE untouched. A new MoR TOMBSTONE is
+    * diffable too: its retractions are the pre-commit snapshot's
+    * visible rows with a forget key — an extent-pruned read
+    * semi-joined to the (forget-set-grain, broadcast) keys, the same
+    * cost class as the CoW diff. `None` (re-derive from a snapshot)
+    * only for the genuinely non-diffable: a restore, schema
+    * evolution meeting a rewrite, a retention-retired window (loud
+    * error).
     *
     * Self-inverse consumers (SUM/COUNT — [[graft.ops.CasIvm]])
     * SUBTRACT retractions and stay O(delta) under GDPR deletes;
@@ -2406,16 +2425,51 @@ final case class Warehouse(root: String,
             if (lines.isEmpty) None
             else Some(casResolveRead(spark, lines ++ dels,
               s"casChangesSinceCdf($table@${st.version})"))
-          (side(st.added, curDel), side(st.removed, prevDel)) match {
-            case (Some(nw), Some(old)) => Seq(
-              nw.exceptAll(old).withColumn("_sign", lit(1)),
-              old.exceptAll(nw).withColumn("_sign", lit(-1)))
-            case (Some(nw), None) =>
-              Seq(nw.withColumn("_sign", lit(1)))
-            case (None, Some(old)) =>
-              Seq(old.withColumn("_sign", lit(-1)))
-            case (None, None) => Nil
-          }
+          val diff =
+            (side(st.added, curDel), side(st.removed, prevDel)) match {
+              case (Some(nw), Some(old)) => Seq(
+                nw.exceptAll(old).withColumn("_sign", lit(1)),
+                old.exceptAll(nw).withColumn("_sign", lit(-1)))
+              case (Some(nw), None) =>
+                Seq(nw.withColumn("_sign", lit(1)))
+              case (None, Some(old)) =>
+                Seq(old.withColumn("_sign", lit(-1)))
+              case (None, None) => Nil
+            }
+          // new-tombstone retractions: the rows the tombstone hides
+          // = the PRE-commit snapshot's visible rows with a forget
+          // key, read extent-pruned by the keys' range (conservative
+          // when keys are not long-castable) with the OLDER
+          // tombstones applied, so already-hidden rows never
+          // re-retract — O(forget-set + extent-hit waves)
+          val tomb = st.tombstones
+            .groupBy(_.split(" ", 3)(1)).toSeq.flatMap {
+              case (keyCol, lines) =>
+                import org.apache.spark.sql.functions.{broadcast,
+                  col, count, max, min}
+                val keys = spark.read
+                  .parquet(lines.map(casCmdPath): _*)
+                  .select(col(keyCol)).distinct()
+                val r = keys.agg(min(col(keyCol).cast("long")),
+                  max(col(keyCol).cast("long")), count(lit(1)),
+                  count(col(keyCol).cast("long"))).head()
+                val prevActive = casActiveCmdsAt(table, st.version - 1)
+                val keptData =
+                  if (r.isNullAt(0) || r.getLong(2) != r.getLong(3))
+                    prevActive.filterNot(casIsDel)
+                  else {
+                    val (paths, _) = casPruneLines(prevActive,
+                      r.getLong(0), r.getLong(1))
+                    prevActive.filter(l => !casIsDel(l) &&
+                      paths.contains(casCmdPath(l)))
+                  }
+                if (keptData.isEmpty) None
+                else Some(casResolveRead(spark, keptData ++ prevDel,
+                    s"casChangesSinceCdf($table@${st.version}:mor)")
+                  .join(broadcast(keys), Seq(keyCol), "left_semi")
+                  .withColumn("_sign", lit(-1)))
+            }
+          diff ++ tomb
         }
         // the union seeds from the WINDOW's own frames, not a
         // casRead(..).limit(0): seeding from a snapshot read would

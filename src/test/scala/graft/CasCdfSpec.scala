@@ -116,16 +116,20 @@ class CasCdfSpec extends SparkSpec {
       plan2.get.head.added.size == 1)
   }
 
-  test("non-diffable windows signal refresh (None): a NEW MoR " +
-    "tombstone, a RESTORE, and schema evolution meeting a rewrite; " +
-    "pre-window tombstones ride fine") {
+  test("a NEW MoR tombstone RETRACTS exactly the rows it hides " +
+    "(forget-set-grain read of the pre-commit snapshot); truly " +
+    "non-diffable windows — RESTORE, evolution meeting a rewrite — " +
+    "signal refresh (None); pre-window tombstones ride fine") {
     import spark.implicits._
     val a = tmpWh()
     a.casAppendStats(spark, (0L until 10L).map(k => (k, k))
       .toDF("k", "v"), "m", "k")
     a.casDeleteMoR(spark, "m", "k", Seq(5L).toDF("k"))
-    assert(a.casChangesSinceCdf(spark, "m", 1)._1.isEmpty,
-      "a new tombstone hides rows in waves the commit never names")
+    val (morFeed, _) = a.casChangesSinceCdf(spark, "m", 1)
+    assert(rows(morFeed.get) == Set(Seq(5L, 5L, -1)),
+      "the tombstone's hidden rows come back as -1 retractions")
+    // and the universal property holds across the tombstone window
+    assert(applied(a, "m", 1) == bag(a.casRead(spark, "m")))
     // but a tombstone BEFORE the window applies to its appends
     a.casAppendStats(spark, Seq((5L, 5L), (20L, 20L)).toDF("k", "v"),
       "m", "k")
@@ -198,11 +202,18 @@ class CasCdfSpec extends SparkSpec {
     assert(maintain() == "incremental")
     assert(roll() == fullAgg() && !roll().exists(_.head == 2L))
     assert(scans == Seq(Seq(2L)))
-    // MoR tombstone: honest refresh
+    // a MoR tombstone rides the same signed path — and its inner
+    // retraction (v=4 sits strictly inside group 1's extrema) does
+    // not rescan either
+    scans = Nil
     wh.casDeleteMoR(spark, "s", "k", Seq(4L).toDF("k"))
+    assert(maintain() == "incremental")
+    assert(roll() == fullAgg() && scans == Seq(Seq()))
+    assert(maintain() == "noop")
+    // the one remaining degradation: RESTORE
+    wh.casRestore(spark, "s", wh.casHead("s") - 1)
     assert(maintain() == "refresh")
     assert(roll() == fullAgg())
-    assert(maintain() == "noop")
   }
 
   test("maintainJoin reads the big side EXTENT-PRUNED at the " +
@@ -317,10 +328,14 @@ class CasCdfSpec extends SparkSpec {
     wh.casDeleteWhere(spark, "da", "k", Seq(6L, 8L))
     assert(joinM() == "incremental" && rollM() == "incremental")
     assert(roll() == expected())
-    // a MoR tombstone refreshes the JOIN stage — but the refresh is
-    // an ordinary REPLACE commit on the MV, so the DOWNSTREAM stage
-    // diffs it and stays incremental: refresh does not cascade
+    // a MoR tombstone propagates incrementally too (r18)
     wh.casDeleteMoR(spark, "da", "k", Seq(10L).toDF("k"))
+    assert(joinM() == "incremental" && rollM() == "incremental")
+    assert(roll() == expected())
+    // a RESTORE refreshes the JOIN stage — but the refresh is an
+    // ordinary REPLACE commit on the MV, so the DOWNSTREAM stage
+    // diffs it and stays incremental: refresh does not cascade
+    wh.casRestore(spark, "da", wh.casHead("da") - 1)
     assert(joinM() == "refresh")
     assert(rollM() == "incremental",
       "an upstream refresh reaches the consumer as a diffable " +

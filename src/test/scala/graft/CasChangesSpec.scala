@@ -133,9 +133,9 @@ class CasChangesSpec extends SparkSpec {
   test("CasIvm.maintainSumCount: bootstrap, additive incremental " +
     "merge of touched groups, noop on empty windows, a CoW delete " +
     "in the window absorbed INCREMENTALLY (the signed feed — no " +
-    "refresh), and the refresh degradation only for the genuinely " +
-    "non-diffable (MoR tombstone) — rollup equal to the full " +
-    "GROUP BY after every run") {
+    "refresh), MoR tombstones absorbed incrementally too, and the " +
+    "refresh degradation only for a RESTORE — rollup equal to the " +
+    "full GROUP BY after every run") {
     import spark.implicits._
     import graft.ops.CasIvm
     val wh = tmpWh()
@@ -167,12 +167,12 @@ class CasChangesSpec extends SparkSpec {
       Map("v" -> lit(800L)))
     assert(maintain() == "incremental")
     assert(roll() == fullAgg())
-    // a MoR tombstone is NOT diffable (it hides rows in waves the
-    // commit never names): honest refresh, recomputed consistently
+    // a MoR tombstone diffs too (r18): the feed retracts exactly the
+    // rows it hides, at forget-set grain — still incremental
     wh.casDeleteMoR(spark, "src", "k", Seq(9L).toDF("k"))
-    assert(maintain() == "refresh")
+    assert(maintain() == "incremental")
     assert(roll() == fullAgg())
-    // and the cursor healed: appends after the refresh merge again
+    // and the cursor keeps absorbing appends
     wh.casAppendStats(spark, (50L until 60L).map(k => (k, k % 3, k))
       .toDF("k", "g", "v"), "src", "k")
     assert(maintain() == "incremental")
@@ -185,6 +185,11 @@ class CasChangesSpec extends SparkSpec {
     assert(maintain() == "incremental")
     assert(roll() == fullAgg())
     assert(!roll().exists(_.head == 2L), "emptied group deleted")
+    // the one remaining degradation: a RESTORE rewinds history no
+    // diff accounts for — honest refresh, recomputed consistently
+    wh.casRestore(spark, "src", wh.casHead("src") - 2)
+    assert(maintain() == "refresh")
+    assert(roll() == fullAgg())
   }
 
   test("maintenance crash anywhere after the landing: the cursor " +
@@ -263,9 +268,9 @@ class CasChangesSpec extends SparkSpec {
 
   test("maintainJoin: affected-key recompute covers ΔA-only, " +
     "ΔB-only, and both-delta windows exactly once; crash replay " +
-    "no-ops; a CoW delete on either side stays INCREMENTAL (the " +
-    "signed feed); only a MoR tombstone refreshes — MV equal to " +
-    "the full join after every run") {
+    "no-ops; CoW deletes AND MoR tombstones on either side stay " +
+    "INCREMENTAL (the signed feed); only a RESTORE refreshes — MV " +
+    "equal to the full join after every run") {
     import spark.implicits._
     import graft.ops.CasIvm
     val wh = tmpWh()
@@ -314,10 +319,16 @@ class CasChangesSpec extends SparkSpec {
       Map("va" -> lit(1400L)))
     assert(maintain() == "incremental")
     assert(mv() == fullJoin() && mv().size == 24)
-    // only the genuinely non-diffable refreshes: a MoR tombstone
+    // a MoR tombstone on B diffs too: the retraction names the
+    // affected key, its pair leaves the MV — still incremental
     wh.casDeleteMoR(spark, "jb", "k", Seq(13L).toDF("k"))
-    assert(maintain() == "refresh")
+    assert(maintain() == "incremental")
     assert(mv() == fullJoin() && mv().size == 23)
+    // only a RESTORE refreshes (rewinds history no diff accounts
+    // for) — recomputed at the consulted heads
+    wh.casRestore(spark, "jb", wh.casHead("jb") - 1)
+    assert(maintain() == "refresh")
+    assert(mv() == fullJoin())
     assert(maintain() == "noop")
   }
 

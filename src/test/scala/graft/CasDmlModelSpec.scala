@@ -47,9 +47,9 @@ class CasDmlModelSpec extends SparkSpec {
     var cView = Map.empty[Long, Long]
     // a RETRACTION-CARRYING consumer rides along too: it applies the
     // signed feed (±1 per row) and must stay equal to the snapshot
-    // across EVERY diffable window — CoW deletes, updates, merges,
-    // range deletes, compactions and clusterings included; only the
-    // genuinely non-diffable (new MoR tombstone, restore) resync
+    // across EVERY window — CoW deletes, updates, merges, range
+    // deletes, MoR tombstones, compactions and clusterings included;
+    // only a restore would resync (the model never restores)
     var cdfCursor = 0
     var cdfView = Map.empty[Long, Long]
     var cdfResyncs = 0
@@ -174,10 +174,10 @@ class CasDmlModelSpec extends SparkSpec {
         s"step $step op $op: the CDF consumer diverged")
       if (step % 5 == 0) maintainAndCheck(got, step)
     }
-    assert(cdfIncrements > cdfResyncs,
-      s"the CDF consumer should ride MOST windows incrementally " +
-        s"(got $cdfIncrements incremental vs $cdfResyncs resyncs) — " +
-        "only new-MoR-tombstone windows resync")
+    assert(cdfResyncs == 0 && cdfIncrements == 60,
+      s"every window this model produces is diffable — expected 60 " +
+        s"incremental consults, got $cdfIncrements incremental / " +
+        s"$cdfResyncs resyncs")
     // retention + GC at the end must preserve the visible snapshot
     wh.casTruncate(t)
     wh.casVacuum(t, minAgeMs = 0L)
