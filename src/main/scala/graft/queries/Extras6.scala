@@ -710,7 +710,8 @@ object Extras6 {
     * ([[graft.sources.Warehouse.casChangesSinceCdf]]) reads only the
     * rewritten waves' row diff and SUBTRACTS it (q318 carries the
     * wave-grain evidence; the refresh degradation now fires only for
-    * the genuinely non-diffable — MoR tombstones, restores). The
+    * the genuinely non-diffable — restores, evolution meeting a
+    * rewrite; MoR tombstones diff too). The
     * oracle is the plain GROUP BY over the surviving corpus; the
     * four observed maintenance modes ride as structural columns.
     *

@@ -39,7 +39,8 @@ object Extras7 {
     * every dependent rollup to rescan its source — maintenance cost
     * stays O(delta + rewritten waves' diff + touched groups), and
     * the refresh path survives only for the genuinely non-diffable
-    * (MoR tombstones, restores).
+    * (restores,
+    * evolution meeting a rewrite — MoR tombstones diff too, r18).
     */
   val q318 = Q("q318_ivm_cdf_delete",
     """WITH q AS (
