@@ -35,5 +35,6 @@ object Registry {
       graft.queries.MultimodalQueries.all ++ graft.queries.Extras.all ++
       graft.queries.Extras2.all ++ graft.queries.Extras3.all ++
       graft.queries.Extras4.all ++ graft.queries.Extras5.all ++
-      graft.queries.Extras6.all ++ graft.queries.Extras7.all
+      graft.queries.Extras6.all ++ graft.queries.Extras7.all ++
+      graft.queries.Extras8.all
 }

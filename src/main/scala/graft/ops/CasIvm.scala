@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Warehouse
+import graft.sources.{CasCdfResult, Warehouse}
 
 /** Incrementally-maintained rollups over CAS tables — the table
   * format's devices composed into what a 100 TB pipeline actually
@@ -28,12 +28,16 @@ import graft.sources.Warehouse
   * Maintenance modes: "bootstrap" (first landing), "incremental"
   * (window absorbed additively — including windows holding CoW
   * deletes/updates/merges/compactions, via the signed feed),
-  * "refresh" (non-diffable window: restore, or schema
-  * evolution meeting a rewrite — MoR tombstones diff too since the
+  * "refresh" (non-diffable window: restore, schema evolution meeting
+  * a rewrite, or a RETENTION-RETIRED window — a lagging cursor a
+  * [[Warehouse.casTruncate]] crossed; MoR tombstones diff since the
   * feed retracts their hidden rows at forget-set grain; recompute
-  * happens FROM THE CONSULTED
-  * VERSION, so the rollup and cursor still describe one snapshot),
-  * "noop" (nothing to absorb).
+  * happens FROM THE CONSULTED VERSION, so the rollup and cursor
+  * still describe one snapshot), "noop" (nothing to absorb). The
+  * window consult is the TYPED [[Warehouse.casCdfFeed]] — one log
+  * walk yields verdict and frame, so the maintainer can never see a
+  * plan/frame disagreement, and every degradation above is a typed
+  * case, not an error to catch.
   */
 object CasIvm {
 
@@ -57,13 +61,26 @@ object CasIvm {
     * an emptied group vanishes). The landing is one fenced
     * [[Warehouse.casApplyCdcBatch]] upsert/delete commit carrying
     * the cursor.
+    *
+    * `where` makes it a FILTERED MV — `SELECT g, sum(v), count(*)
+    * FROM src WHERE <where> GROUP BY g`: filtering is linear, so it
+    * commutes with the signed feed (a retraction of a passing row
+    * subtracts, a non-passing row never contributes on either sign)
+    * and with the refresh recompute. The shape an SCD2 dimension's
+    * CURRENT-rows rollup is (`where = current_flag === 1`): a
+    * day-roll's expire rewrite retracts the old current version
+    * (decrement), inserts its expired twin (filtered out) and the
+    * fresh current version (increment) — O(changed keys), never a
+    * history rescan.
     */
   def maintainSumCount(spark: SparkSession, wh: Warehouse,
       src: String, rollup: String, g: String, v: String,
-      afterLand: () => Unit = () => ()): String = {
+      afterLand: () => Unit = () => (),
+      where: Option[Column] = None): String = {
     val stream = "ivm:" + src
     def aggOf(df: DataFrame): DataFrame =
-      df.groupBy(col(g)).agg(sum(col(v)).cast("long").as("sum_v"),
+      where.fold(df)(df.filter)
+        .groupBy(col(g)).agg(sum(col(v)).cast("long").as("sum_v"),
         count(lit(1)).as("n_rows"))
     var out = Option.empty[String]
     var round = 0
@@ -71,31 +88,44 @@ object CasIvm {
       if (round >= MaxRounds) spent(s"maintainSumCount($rollup)")
       round += 1
       val cursor = wh.casStreamCursor(rollup, stream)
-      val (chg, head) = wh.casChangesSinceCdf(spark, src, cursor.toInt)
+      val (feed, head) = wh.casCdfFeed(spark, src, cursor.toInt)
       if (head == cursor) out = Some("noop")
-      else chg match {
-        case None =>
-          // non-diffable window: recompute from the CONSULTED
-          // version — an append racing past `head` stays in the NEXT
-          // window instead of being absorbed twice
+      else feed match {
+        case CasCdfResult.NonDiffable | CasCdfResult.Retired(_) =>
+          // non-diffable window (restore, evolution meeting a
+          // rewrite) OR a retention-retired one (the lagging-
+          // maintainer × casTruncate crossing): recompute from the
+          // CONSULTED version — an append racing past `head` stays
+          // in the NEXT window instead of being absorbed twice
           if (wh.casOverwriteTxn(aggOf(wh.casReadAt(spark, src,
             head)), rollup, stream, head.toLong, cursor).isDefined)
             out = Some("refresh")
-        case Some(delta) =>
+        case CasCdfResult.Empty =>
+          // meta-only window: advance the cursor with a metadata-
+          // only fenced commit so later consults stop re-walking it
+          if (wh.casTxnAdvance(rollup, stream, head.toLong,
+            cursor).isDefined)
+            out = Some("noop")
+        case CasCdfResult.Delta(delta0, _) =>
+          // the filter commutes with the signed multiset: apply it
+          // to the delta exactly as to the snapshot
+          val delta = where.fold(delta0)(delta0.filter)
           val d = delta.groupBy(col(g)).agg(
             sum(col(v).cast("long") * col("_sign")).as("sum_v"),
             sum(col("_sign").cast("long")).as("n_rows"))
             .filter(col("n_rows") =!= 0L ||
               coalesce(col("sum_v"), lit(0L)) =!= 0L)
           if (d.isEmpty) {
-            // rows cancelled (pure layout change) or empty appends:
-            // advance the cursor with a metadata-only fenced commit
-            // so later consults stop re-walking this window
+            // rows cancelled (a pure layout change): cursor-only
+            // fenced advance, same as the Empty window
             if (wh.casTxnAdvance(rollup, stream, head.toLong,
               cursor).isDefined)
               out = Some("noop")
           } else {
-            val boot = wh.casHead(rollup) == 0
+            // boot = no DATA commit yet — casHead alone would
+            // misread a rollup whose first windows were cursor-only
+            // advances (net-zero windows) and skip the seed forever
+            val boot = !wh.casHasData(rollup)
             if (boot)
               // seed an empty rollup so the first landing goes
               // through the same fenced cursor-carrying commit as
@@ -132,17 +162,39 @@ object CasIvm {
     * no retraction, or retractions strictly inside (min, max), update
     * algebraically from the delta alone; ONLY groups whose
     * retractions touch their prior extremum (or whose whole window is
-    * self-contained churn) are RESCANNED — a source read at the
-    * consulted version filtered to exactly those group keys, never
-    * the table. Groups emptied by retraction are deleted. `onRescan`
-    * is the evidence seam: it receives the rescanned group keys
-    * (bounded by retraction-touched groups — group-cardinality grain,
-    * the same class as the rollup itself).
+    * self-contained churn) are RESCANNED. Groups emptied by
+    * retraction are deleted. `onRescan` is the evidence seam: it
+    * receives the rescanned group keys (bounded by retraction-touched
+    * groups — group-cardinality grain, the same class as the rollup
+    * itself).
+    *
+    * RESCAN COST, honestly: the default rescan is ROW-bounded (a
+    * group-keyed filter over the source at the consulted version) but
+    * BYTE-wise opens every wave — group values are not correlated
+    * with the table's extent column, so no wave prunes. `clusteredBy
+    * = Some((keyCol, groupRange))` is the wave-bounded path for a
+    * GROUP-CLUSTERED layout: when the table's extent column is a
+    * composite group-prefixed key (each group's rows contiguous in
+    * `keyCol` — the partition-by-group shape every format uses at
+    * scale), `groupRange` maps a group value to its key range and the
+    * rescan opens ONLY the extent-hit waves
+    * ([[Warehouse.casReadPrunedRangesAt]]); `onRescanIo` receives
+    * (opened, active) wave counts as the skip evidence. The caller
+    * owns the layout contract: every stats-carrying commit must
+    * record its extent ON `keyCol` (the same single-extent-column
+    * discipline all extent-keyed DML already requires — appends,
+    * deletes, and merges keyed on `keyCol` preserve it; stat-less
+    * lines stay conservatively kept). Passing `clusteredBy` for a
+    * table whose extents describe a DIFFERENT column would prune
+    * wrongly — exactly as a delete keyed off the extent column
+    * would misclassify.
     */
   def maintainMinMax(spark: SparkSession, wh: Warehouse,
       src: String, rollup: String, g: String, v: String,
       onRescan: Seq[Any] => Unit = _ => (),
-      afterLand: () => Unit = () => ()): String = {
+      afterLand: () => Unit = () => (),
+      clusteredBy: Option[(String, Any => (Long, Long))] = None,
+      onRescanIo: (Int, Int) => Unit = (_, _) => ()): String = {
     val stream = "ivmx:" + src
     val vl = col(v).cast("long")
     def aggOf(df: DataFrame): DataFrame =
@@ -154,14 +206,18 @@ object CasIvm {
       if (round >= MaxRounds) spent(s"maintainMinMax($rollup)")
       round += 1
       val cursor = wh.casStreamCursor(rollup, stream)
-      val (chg, head) = wh.casChangesSinceCdf(spark, src, cursor.toInt)
+      val (feed, head) = wh.casCdfFeed(spark, src, cursor.toInt)
       if (head == cursor) out = Some("noop")
-      else chg match {
-        case None =>
+      else feed match {
+        case CasCdfResult.NonDiffable | CasCdfResult.Retired(_) =>
           if (wh.casOverwriteTxn(aggOf(wh.casReadAt(spark, src,
             head)), rollup, stream, head.toLong, cursor).isDefined)
             out = Some("refresh")
-        case Some(delta) =>
+        case CasCdfResult.Empty =>
+          if (wh.casTxnAdvance(rollup, stream, head.toLong,
+            cursor).isDefined)
+            out = Some("noop")
+        case CasCdfResult.Delta(delta, _) =>
           val dIns = delta.filter(col("_sign") === 1).groupBy(col(g))
             .agg(min(vl).as("i_min"), max(vl).as("i_max"),
               count(lit(1)).as("i_n"))
@@ -175,7 +231,7 @@ object CasIvm {
               cursor).isDefined)
               out = Some("noop")
           } else {
-            val boot = wh.casHead(rollup) == 0
+            val boot = !wh.casHasData(rollup)
             if (boot)
               wh.casAppendStats(spark, aggOf(delta.limit(0)),
                 rollup, g)
@@ -210,7 +266,17 @@ object CasIvm {
               val changes =
                 if (rescanKeys.isEmpty) algebraic
                 else {
-                  val re = aggOf(wh.casReadAt(spark, src, head)
+                  // the rescan read: wave-bounded under the
+                  // group-clustered contract, row-bounded otherwise
+                  val reBase = clusteredBy match {
+                    case Some((kc, rng)) =>
+                      val (df, kept, total) = wh.casReadPrunedRangesAt(
+                        spark, src, kc, rescanKeys.map(rng), head)
+                      onRescanIo(kept, total)
+                      df
+                    case None => wh.casReadAt(spark, src, head)
+                  }
+                  val re = aggOf(reBase
                     .filter(col(g).isin(rescanKeys: _*)))
                   // rescanned groups with no surviving rows vanish
                   val gone = j.filter(needRescan).select(col(g))
@@ -236,23 +302,28 @@ object CasIvm {
   }
 
   /** JOIN-MV maintenance — `mv = SELECT k, <a-cols>, <b-cols> FROM a
-    * JOIN b USING (k)` kept current from BOTH sides' signed feeds.
-    * With the unique-key-per-side contract (the entity/dimension
-    * shape — enforced loudly by the landing), the bilinear delta-join
-    * collapses to AFFECTED-KEY RECOMPUTE: the only pairs that can
-    * change in a window are those of keys appearing in ΔA ∪ ΔB
-    * (inserts OR retractions — the retraction-carrying feed supplies
-    * both across CoW deletes/updates/merges), so the maintenance
-    * reads each side's NEW state at the window head, EXTENT-PRUNED
-    * to the affected keys' range and semi-joined to exactly them,
-    * joins the two slivers, and lands upserts for keys with a pair
-    * plus DELETES for affected keys without one — one fenced atomic
-    * commit carrying the packed (headA·2³², headB) cursor pair.
-    * Rewrites on either side therefore stay `incremental`; only the
-    * non-diffable (restore, evolution meeting a
-    * rewrite) degrades to a refresh RECOMPUTED AT THE CONSULTED
-    * HEADS — drift detected, never assumed away, and appends racing
-    * past the consult stay in the next window.
+    * JOIN b USING (k)` kept current from BOTH sides' signed feeds,
+    * with GENERAL N:M multiplicity: duplicate keys on either side
+    * (the fact⋈fact shape a metric layer actually hits) are carried
+    * by the MV's physical rows — no unique-key contract. The
+    * bilinear delta-join collapses to AFFECTED-KEY RECOMPUTE, which
+    * is multiplicity-blind: the only keys whose PAIR SET can change
+    * in a window are those appearing in ΔA ∪ ΔB (inserts OR
+    * retractions — the retraction-carrying feed supplies both across
+    * CoW deletes/updates/merges), so the maintenance reads each
+    * side's NEW state at the window head, EXTENT-PRUNED to the
+    * affected keys' range and semi-joined to exactly them, joins the
+    * two slivers (now multi-row per key), and lands the result as
+    * ONE key-grain group replace ([[Warehouse.casReplaceKeys]]):
+    * every affected key's pair set is swapped wholesale, so an
+    * affected key with no surviving pair simply leaves the MV — one
+    * fenced atomic commit carrying the packed (headA·2³², headB)
+    * cursor pair. Rewrites on either side therefore stay
+    * `incremental`; only the non-diffable (restore, evolution
+    * meeting a rewrite) or retention-retired window degrades to a
+    * refresh RECOMPUTED AT THE CONSULTED HEADS — drift detected,
+    * never assumed away, and appends racing past the consult stay in
+    * the next window.
     *
     * 100 TB shape: per maintenance O(affected keys' extent-hit waves
     * on both sides + MV hit waves) — a delta touching 1 of 10,000
@@ -282,24 +353,20 @@ object CasIvm {
           r.getLong(1), ver)
       base.join(keys, Seq(k), "left_semi")
     }
-    // the window consult is the driver-side PLAN first: an empty or
-    // meta-only window must cost ZERO data-path listings (the frame
-    // shortcut would resolve every active wave just to produce an
-    // empty schema). None = non-diffable (refresh); Some(None) =
-    // nothing to read; Some(Some(df)) = the signed delta.
+    // the typed window consult: ONE log walk yields verdict + frame
+    // ([[Warehouse.casCdfFeed]]), so plan and frame can never
+    // disagree across a racing commit; an empty or meta-only window
+    // costs ZERO data-path listings, and a retention-retired window
+    // degrades to the refresh path like any non-diffable one. None =
+    // refresh; Some(None) = nothing to read; Some(Some(df)) = delta.
     def win(table: String,
-        from: Int): (Option[Option[DataFrame]], Int) = {
-      val (plan, head) = wh.casCdfPlan(table, from)
-      plan match {
-        case None => (None, head)
-        case Some(steps) if steps.isEmpty => (Some(None), head)
-        case Some(_) =>
-          val d = wh.casChangesSinceCdf(spark, table, from)._1
-            .getOrElse(sys.error(s"maintainJoin($mv): plan/frame " +
-              s"consult disagree on $table@$from"))
-          (Some(Some(d)), head)
+        from: Int): (Option[Option[DataFrame]], Int) =
+      wh.casCdfFeed(spark, table, from) match {
+        case (CasCdfResult.NonDiffable | CasCdfResult.Retired(_),
+          head) => (None, head)
+        case (CasCdfResult.Empty, head) => (Some(None), head)
+        case (CasCdfResult.Delta(d, _), head) => (Some(Some(d)), head)
       }
-    }
     var out = Option.empty[String]
     var round = 0
     while (out.isEmpty) {
@@ -333,22 +400,17 @@ object CasIvm {
               out = Some("noop")
           case Some(keys) =>
             try {
-              val boot = curA == 0 && curB == 0
+              val boot = !wh.casHasData(mv)
               val pairs = sliverAt(a, headA, keys)
                 .join(sliverAt(b, headB, keys), Seq(k))
-              // affected keys with no surviving pair LEAVE the MV
-              // (a deleted source row, or a key still waiting for
-              // its other side)
-              val gone = keys.join(pairs.select(col(k)), Seq(k),
-                  "left_anti")
-                .select(col(k) +: pairs.columns.filterNot(_ == k)
-                  .map(c => lit(null).cast(pairs.schema(c).dataType)
-                    .as(c)).toSeq: _*)
-              val changes = pairs.withColumn("op", lit("U"))
-                .unionByName(gone.withColumn("op", lit("D")))
               if (boot)
                 wh.casAppendStats(spark, pairs.limit(0), mv, k)
-              if (wh.casApplyCdcBatch(spark, mv, k, changes, "op",
+              // ONE key-grain group replace: each affected key's
+              // pair SET is swapped wholesale (N:M multiplicities
+              // ride as physical rows), and an affected key with no
+              // surviving pair — a deleted source row, or a key
+              // still waiting for its other side — leaves the MV
+              if (wh.casReplaceKeys(spark, mv, k, keys, pairs,
                 stream, toB, fence = Some(cur)).isDefined)
                 out = Some(if (boot) "bootstrap" else "incremental")
             } finally { keys.unpersist(); () }

@@ -102,6 +102,36 @@ final case class CasOptimizeStats(version: Int, compacted: Int,
 final case class CasCdfStep(version: Int, removed: Seq[String],
     added: Seq[String], tombstones: Seq[String] = Nil)
 
+/** The TYPED window consult of the change feed
+  * ([[Warehouse.casCdfFeed]]) — one log walk produces both the
+  * verdict and (when diffable) the frame, so a plan consult and a
+  * frame consult can never disagree across a racing commit, and an
+  * empty window never borrows a schema by resolving every active
+  * wave. The cases are exactly the recoveries a maintainer owns:
+  *
+  *  - [[CasCdfResult.Retired]] — retention ([[Warehouse.casTruncate]])
+  *    retired a commit inside the window: the history is GONE, but
+  *    the snapshot at the head is intact — recompute from it (the
+  *    refresh path), don't die. Ad-hoc readers
+  *    ([[Warehouse.casChangesSinceCdf]]) still fail loudly.
+  *  - [[CasCdfResult.NonDiffable]] — a restore or schema evolution
+  *    meeting a rewrite: well-formed history no row-level diff can
+  *    express; refresh.
+  *  - [[CasCdfResult.Empty]] — nothing to read (meta-only commits,
+  *    or a tombstone over an empty extent): advance the cursor with
+  *    a metadata commit, zero data-path listings.
+  *  - [[CasCdfResult.Delta]] — the signed frame plus its wave-grain
+  *    read plan.
+  */
+sealed trait CasCdfResult
+object CasCdfResult {
+  final case class Retired(reason: String) extends CasCdfResult
+  case object NonDiffable extends CasCdfResult
+  case object Empty extends CasCdfResult
+  final case class Delta(frame: DataFrame,
+      plan: Seq[CasCdfStep]) extends CasCdfResult
+}
+
 final case class Warehouse(root: String,
     clock: () => Long = () => System.currentTimeMillis()) {
 
@@ -1300,6 +1330,17 @@ final case class Warehouse(root: String,
       .flatMap(_.stripSuffix(".commit").toIntOption)
       .foldLeft(0)(math.max)
 
+  /** Whether the table's current snapshot names any data wave at all
+    * — the BOOT detection incremental maintainers need: `casHead > 0`
+    * alone misclassifies a table whose only commits are cursor-only
+    * TXN advances (a first maintenance window that netted to zero
+    * rows), leaving it forever unreadable because the empty seed
+    * append never happens. A readable-but-empty snapshot (a REPLACE
+    * of zero rows) still counts as data.
+    */
+  def casHasData(table: String): Boolean =
+    casHead(table) > 0 && casActiveCmds(table).nonEmpty
+
   /** The compare-and-swap primitive: publish `lines` as version `n`
     * IF AND ONLY IF no other writer got there first. The content is
     * fully written to a private temp file, then HARD-LINKED to the
@@ -1460,9 +1501,12 @@ final case class Warehouse(root: String,
 
   // metadata lines carry no data path: the CKPT marker, the
   // per-stream TXN summaries a checkpoint records for batch dedup,
-  // and the commit timestamp every commit leads with
+  // the SUB subscriber registrations (+ the SUBCK restatement
+  // sentinel checkpoints carry), and the commit timestamp every
+  // commit leads with
   private def casIsMeta(l: String): Boolean =
-    l == "CKPT" || l.startsWith("TXN ") || l.startsWith("TS ")
+    l == "CKPT" || l == "SUBCK" || l.startsWith("TXN ") ||
+      l.startsWith("SUB ") || l.startsWith("TS ")
 
   /** Per-stream maximum committed batch id, folded BACKWARD to the
     * last checkpoint: ADDB lines since the checkpoint max-merge over
@@ -1524,7 +1568,14 @@ final case class Warehouse(root: String,
       // stream — the Delta txn-action discipline)
       val txn = casTxnState(table).toSeq.sortBy(_._1)
         .map { case (s, b) => s"TXN $s $b" }
-      if (casTryCommit(table, head + 1, "CKPT" +: (txn ++ active)))
+      // subscriber registrations get the same restatement (SUBCK
+      // marks "fully restated here" — the backward consult stops at
+      // it), so a registration survives [[casTruncate]] retiring the
+      // commit that carried it
+      val subs = "SUBCK" +: casSubscribers(table).toSeq.sortBy(_._1)
+        .map { case (s, (p, r)) => s"SUB $s $p $r" }
+      if (casTryCommit(table, head + 1,
+        "CKPT" +: (txn ++ subs ++ active)))
         return head + 1
       attempt += 1
     }
@@ -1817,6 +1868,44 @@ final case class Warehouse(root: String,
       lo: Long, hi: Long, v: Int): DataFrame =
     casReadPrunedLines(spark, table, c, lo, hi,
       casActiveCmdsAt(table, v))
+
+  /** MULTI-RANGE pruned time-travel read — [[casReadPrunedAt]] over
+    * a UNION of key ranges, with the skip evidence returned: open
+    * only the commits whose extent on `c` overlaps ANY of `ranges`
+    * (stat-less lines and `-` extents kept conservatively), apply the
+    * exact disjunction, and report (kept data waves, total data
+    * waves). The consult a GROUP-CLUSTERED layout turns into
+    * wave-bounded group rescans: when a table's extent column is a
+    * composite (group-prefixed) key — [[casClusterBy]] on it, or
+    * appends arriving group-contiguous — each group's rows live in a
+    * contiguous key range, so a k-group rescan opens only those
+    * groups' waves ([[graft.ops.CasIvm.maintainMinMax]]'s
+    * `clusteredBy` path).
+    */
+  def casReadPrunedRangesAt(spark: SparkSession, table: String,
+      c: String, ranges: Seq[(Long, Long)],
+      v: Int): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(ranges.nonEmpty,
+      s"casReadPrunedRangesAt($table): empty range set")
+    val active = casActiveCmdsAt(table, v)
+    val (dels, datas) = active.partition(casIsDel)
+    val kept = datas.filter { l =>
+      !casHasStats(l) || casExtent(l).forall { case (mn, mx) =>
+        ranges.exists { case (lo, hi) => mn <= hi && mx >= lo }
+      }
+    }
+    val base =
+      if (kept.isEmpty)
+        // no wave can hold a row in any range: an empty frame (the
+        // snapshot resolve is only paid on this rare edge)
+        casReadAt(spark, table, v).filter(lit(false))
+      else casResolveRead(spark, kept ++ dels,
+        s"casReadPrunedRangesAt($table)")
+    val pred = ranges.map { case (lo, hi) =>
+      col(c).cast("long").between(lo, hi) }.reduce(_ || _)
+    (base.filter(pred), kept.size, datas.size)
+  }
 
   private def casReadPrunedLines(spark: SparkSession, table: String,
       c: String, lo: Long, hi: Long,
@@ -2291,12 +2380,17 @@ final case class Warehouse(root: String,
   }
 
   // the CDF walk: per-commit read plan + the tombstone sets each
-  // side must be resolved under. None = the window is not row-level
-  // diffable (a restore — it can resurrect arbitrary history;
-  // schema evolution meeting a rewrite — the two diff sides would
-  // not align). Driver-only: O(window commits) file reads, no data.
-  private def casCdfWalk(table: String, fromV: Int): (Option[Seq[
-      (CasCdfStep, Seq[String], Seq[String])]], Int) = {
+  // side must be resolved under, as ONE log pass shared by the plan,
+  // frame, and typed-feed consults (so none of them can ever
+  // disagree). Right(None) = the window is not row-level diffable (a
+  // restore — it can resurrect arbitrary history; schema evolution
+  // meeting a rewrite — the two diff sides would not align).
+  // Left(reason) = retention retired a commit inside the window: the
+  // typed feed degrades the caller to a snapshot recompute, the
+  // legacy entry points raise. Driver-only: O(window commits) file
+  // reads, no data.
+  private def casCdfWalk(table: String, fromV: Int): (Either[String,
+      Option[Seq[(CasCdfStep, Seq[String], Seq[String])]]], Int) = {
     val head = casHead(table)
     require(fromV >= 0 && fromV <= head,
       s"casCdfPlan($table, $fromV): cursor out of range 0..$head")
@@ -2307,8 +2401,9 @@ final case class Warehouse(root: String,
     while (n <= head) {
       val f = casCommitFile(table, n)
       if (!f.exists())
-        sys.error(s"casCdfPlan($table): commit $n was retired by " +
-          "retention — window unreadable, re-derive from a snapshot")
+        return (Left(s"casCdfPlan($table): commit $n was retired " +
+          "by retention — window unreadable, re-derive from a " +
+          "snapshot"), head)
       val ls = readLines(f).filterNot(_.startsWith("TS "))
       if (ls.contains("CKPT")) {
         // checkpoint = content-neutral restatement; restore = CKPT
@@ -2316,7 +2411,7 @@ final case class Warehouse(root: String,
         // history no wave-grain diff can account for
         if (casActiveCmdsAt(table, n).toSet !=
           casActiveCmdsAt(table, n - 1).toSet)
-          return (None, head)
+          return (Right(None), head)
       } else if (ls.exists(casIsReplace)) {
         val prev = casActiveCmdsAt(table, n - 1)
         val cur = casActiveCmdsAt(table, n)
@@ -2327,7 +2422,7 @@ final case class Warehouse(root: String,
         // wave) but never ADD one: a new tombstone hides rows in
         // waves this commit does not name
         if ((curDel.toSet -- prevDel.toSet).nonEmpty)
-          return (None, head)
+          return (Right(None), head)
         val prevPaths = prev.filterNot(casIsDel).map(casCmdPath).toSet
         val curPaths = cur.filterNot(casIsDel).map(casCmdPath).toSet
         val removed = prev.filterNot(casIsDel)
@@ -2346,7 +2441,7 @@ final case class Warehouse(root: String,
         // grain). A commit mixing tombstones with data lines is no
         // writer's shape — refresh conservatively if one appears.
         if (ls.exists(l => !casIsMeta(l) && !casIsDel(l)))
-          return (None, head)
+          return (Right(None), head)
         val prevDel = casActiveCmdsAt(table, n - 1).filter(casIsDel)
         val newDels = ls.filter(casIsDel)
         steps = steps :+ ((CasCdfStep(n, Nil, Nil, newDels),
@@ -2366,8 +2461,8 @@ final case class Warehouse(root: String,
     }
     // an evolved wave on either side of a rewrite diff would leave
     // the two exceptAll inputs with different schemas — refresh
-    if (evolvedSeen && rewriteSeen) return (None, head)
-    (Some(steps), head)
+    if (evolvedSeen && rewriteSeen) return (Right(None), head)
+    (Right(Some(steps)), head)
   }
 
   /** The read plan of [[casChangesSinceCdf]] — per commit, exactly
@@ -2379,7 +2474,7 @@ final case class Warehouse(root: String,
   def casCdfPlan(table: String,
       fromV: Int): (Option[Seq[CasCdfStep]], Int) = {
     val (w, head) = casCdfWalk(table, fromV)
-    (w.map(_.map(_._1)), head)
+    (w.fold(sys.error, _.map(_.map(_._1))), head)
   }
 
   /** RETRACTION-CARRYING CHANGE FEED — Delta CDF / the DBSP shape
@@ -2417,10 +2512,43 @@ final case class Warehouse(root: String,
       fromV: Int): (Option[DataFrame], Int) = {
     import org.apache.spark.sql.functions.lit
     val (walk, head) = casCdfWalk(table, fromV)
-    walk match {
+    walk.fold(sys.error, identity) match {
       case None => (None, head)
       case Some(steps) =>
-        val frames = steps.flatMap { case (st, prevDel, curDel) =>
+        val frames = casCdfFrames(spark, table, steps)
+        // the union seeds from the WINDOW's own frames; an empty
+        // window borrows its schema from ONE active wave's footer
+        // (every active wave only when schemas evolved) instead of
+        // resolving the whole snapshot — maintainers on the typed
+        // [[casCdfFeed]] never even reach this branch (they get
+        // [[CasCdfResult.Empty]]). allowMissingColumns mirrors the
+        // mergeSchema union an evolved append-only window needs.
+        (Some(
+          if (frames.isEmpty)
+            casEmptySchemaFrame(spark, table)
+              .withColumn("_sign", lit(1))
+          else frames.reduce(_.unionByName(_, true))), head)
+    }
+  }
+
+  // schema-only frame for an empty CDF window: one active wave's
+  // footer suffices when the snapshot spans a single schema; only an
+  // evolved snapshot (or a DEL-only edge) pays the full resolve
+  private def casEmptySchemaFrame(spark: SparkSession,
+      table: String): DataFrame = {
+    val datas = casActiveCmds(table).filterNot(casIsDel)
+    if (datas.isEmpty || datas.exists(casIsEvolved))
+      casRead(spark, table).limit(0)
+    else spark.read.parquet(casCmdPath(datas.last)).limit(0)
+  }
+
+  // the frame builder over ONE walk's steps — shared by the legacy
+  // frame consult above and the typed [[casCdfFeed]]
+  private def casCdfFrames(spark: SparkSession, table: String,
+      steps: Seq[(CasCdfStep, Seq[String], Seq[String])])
+      : Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    steps.flatMap { case (st, prevDel, curDel) =>
           def side(lines: Seq[String], dels: Seq[String]) =
             if (lines.isEmpty) None
             else Some(casResolveRead(spark, lines ++ dels,
@@ -2470,17 +2598,33 @@ final case class Warehouse(root: String,
                   .withColumn("_sign", lit(-1)))
             }
           diff ++ tomb
-        }
-        // the union seeds from the WINDOW's own frames, not a
-        // casRead(..).limit(0): seeding from a snapshot read would
-        // resolve EVERY active path just to borrow a schema — the
-        // feed must list only the waves the plan names (poisoned-
-        // wave spec). allowMissingColumns mirrors the mergeSchema
-        // union an evolved append-only window needs.
-        (Some(
-          if (frames.isEmpty)
-            casRead(spark, table).limit(0).withColumn("_sign", lit(1))
-          else frames.reduce(_.unionByName(_, true))), head)
+    }
+  }
+
+  /** THE MAINTAINER'S WINDOW CONSULT — [[casChangesSinceCdf]] as one
+    * typed verdict from ONE log walk ([[CasCdfResult]]): the plan and
+    * the frame can never disagree across a racing commit, an empty or
+    * meta-only window costs ZERO data-path listings (no schema borrow
+    * — [[CasCdfResult.Empty]]), and a retention-retired window comes
+    * back as [[CasCdfResult.Retired]] instead of an error, because a
+    * maintainer owns a well-defined recovery the ad-hoc reader does
+    * not: recompute from the consulted head (the refresh path). At
+    * 100 TB, retention jobs and lagging maintainers WILL cross — the
+    * crossing must degrade, not kill the pipeline
+    * ([[graft.ops.CasIvm]]).
+    */
+  def casCdfFeed(spark: SparkSession, table: String,
+      fromV: Int): (CasCdfResult, Int) = {
+    val (walk, head) = casCdfWalk(table, fromV)
+    walk match {
+      case Left(reason) => (CasCdfResult.Retired(reason), head)
+      case Right(None) => (CasCdfResult.NonDiffable, head)
+      case Right(Some(steps)) =>
+        val frames = casCdfFrames(spark, table, steps)
+        if (frames.isEmpty) (CasCdfResult.Empty, head)
+        else (CasCdfResult.Delta(
+          frames.reduce(_.unionByName(_, true)),
+          steps.map(_._1)), head)
     }
   }
 
@@ -2685,6 +2829,146 @@ final case class Warehouse(root: String,
         s"casApplyCdc($table): lost $retries CAS races")
     } finally {
       chg.unpersist()
+      ()
+    }
+  }
+
+  /** KEY-GRAIN GROUP REPLACE — the N:M CDC landing: atomically
+    * DELETE every row whose key (`c`, cast long) is in `keys` and
+    * INSERT `rows`, as ONE commit carrying the (stream, batchId) TXN
+    * marker — `INSERT OVERWRITE ... PARTITION` semantics at KEY
+    * grain instead of partition grain. Where [[casApplyCdcBatch]]
+    * upserts at one-row-per-key (and loudly rejects duplicate change
+    * keys), this form replaces a key's WHOLE ROW GROUP — exactly the
+    * landing a join-MV with duplicate keys on either side needs
+    * ([[graft.ops.CasIvm.maintainJoin]]'s N:M case: a key's pair set
+    * changes as a set, not as one row), and the general device for
+    * any multiplicity-carrying materialization.
+    *
+    * Classification is [[casDeleteWhereKeys]]'s distributed pass:
+    * the extent table (one row per active commit) broadcasts against
+    * the keys; waves provably disjoint from every key are RETAINED
+    * BY REFERENCE, hit waves rewrite with the keyed rows removed
+    * (null-safe — a NULL/uncastable target key never matches and is
+    * retained), and `rows` land as a separate stats-tight insert
+    * wave in the same commit. Exactly-once via the TXN dedup and the
+    * optional maintainer `fence` ([[casApplyCdcBatch]]'s contract:
+    * None = this batch already landed, or the fence moved — re-read
+    * and re-derive). Contract: every row of `rows` must carry a key
+    * in `keys` (the caller derives both from one change set; rows
+    * outside `keys` would land as plain inserts untracked by the
+    * delete side).
+    *
+    * 100 TB shape: O(hit waves' data + new rows) + one commit file —
+    * a window touching 3 of 10,000 waves rewrites 3, and the insert
+    * extent stays tight instead of widening a rewrite's.
+    */
+  def casReplaceKeys(spark: SparkSession, table: String, c: String,
+      keys: DataFrame, rows: DataFrame, stream: String,
+      batchId: Long, retries: Int = 8,
+      beforeCommit: () => Unit = () => (),
+      fence: Option[Long] = None): Option[CasCdcStats] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    if (casCommittedBatch(table, stream, batchId)) return None
+    val cols = casRead(spark, table).columns.toSeq
+    require(rows.columns.toSet == cols.toSet,
+      s"casReplaceKeys($table): row columns ${rows.columns.toSet} " +
+        s"differ from table's ${cols.toSet}")
+    val ins = rows.select(cols.map(col): _*)
+    // a NULL/uncastable key could never classify its waves — the
+    // delete side would silently no-op; reject loudly instead
+    // ([[casApplyCdc]]'s discipline)
+    val kProf = keys.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.count(
+        col(keys.columns.head).cast("long"))).head()
+    require(kProf.getLong(0) == kProf.getLong(1),
+      s"casReplaceKeys($table): keys on $c must be long-castable")
+    val k = keys.select(col(keys.columns.head).cast("long").as("__k"))
+      .filter(col("__k").isNotNull).distinct().persist()
+    try {
+      var attempt = 0
+      while (attempt < retries) {
+        val head = casHead(table)
+        if (casCommittedBatchBelow(table, stream, batchId, head + 1))
+          return None
+        if (fence.exists(f => !casFenceHolds(table, stream, f,
+          head + 1)))
+          return None
+        val cmds = casActiveCmdsAt(table, head)
+        val (dels, datas) = cmds.partition(casIsDel)
+        val exts = datas.zipWithIndex.flatMap { case (cmd, i) =>
+          casExtent(cmd).map { case (mn, mx) => (i, mn, mx) }
+        }
+        val hitIds: Set[Int] =
+          if (exts.isEmpty) Set.empty[Int]
+          else k.join(broadcast(exts.toDF("__eid", "__mn", "__mx")),
+              col("__k").between(col("__mn"), col("__mx")))
+            .select("__eid").distinct().as[Int].collect().toSet
+        val extIds = exts.map(_._1).toSet
+        val (retainedIdx, affectedIdx) = datas.indices.partition(i =>
+          extIds(i) && !hitIds(i))
+        val retained = retainedIdx.map(datas)
+        val affected = affectedIdx.map(datas)
+        val evolved = datas.exists(casIsEvolved)
+        val dataDir = new File(dir(table + "__data"))
+        val txnLines = Seq(s"TXN $stream $batchId")
+        val stagedI = new File(dataDir,
+          java.util.UUID.randomUUID().toString)
+        ins.write.mode("errorifexists").parquet(stagedI.getPath)
+        val stagedDf = spark.read.parquet(stagedI.getPath)
+        val insN = stagedDf.count()
+        val insLine =
+          if (insN == 0L) { delete(stagedI); Nil }
+          else {
+            val (ilo, ihi) = casStatsOf(stagedDf, c)
+            val iVerb = if (evolved) "ADDES" else "ADDS"
+            Seq(s"$iVerb $ilo $ihi ${stagedI.getPath}")
+          }
+        if (affected.isEmpty) {
+          // every wave key-disjoint: the delete side is a no-op and
+          // the commit is the insert wave (or TXN-only) — the
+          // O(delta) append fast path
+          beforeCommit()
+          if (casTryCommit(table, head + 1, insLine ++ txnLines)) {
+            casMaybeVacuum(table, head + 1)
+            return Some(CasCdcStats(head + 1, 0, retained.size, 0L,
+              insN, 0L))
+          }
+          if (insLine.nonEmpty) delete(stagedI)
+        } else {
+          val hit = casResolveRead(spark, affected,
+            s"casReplaceKeys($table)")
+          val hitK = hit(c).cast("long")
+          val removed = hit.join(k, hitK === col("__k"), "left_semi")
+            .count()
+          val kept = hit.join(k, hitK === col("__k"), "left_anti")
+          val stagedR = new File(dataDir,
+            java.util.UUID.randomUUID().toString)
+          kept.write.mode("errorifexists").parquet(stagedR.getPath)
+          val (rlo, rhi) =
+            casStatsOf(spark.read.parquet(stagedR.getPath), c)
+          val rVerb = if (evolved) "REPLACEE" else "REPLACES"
+          beforeCommit()
+          if (casTryCommit(table, head + 1,
+            s"$rVerb $rlo $rhi ${stagedR.getPath}" +:
+              (insLine ++ retained.map(casDemote) ++ dels ++
+                txnLines))) {
+            casMaybeVacuum(table, head + 1)
+            return Some(CasCdcStats(head + 1, affected.size,
+              retained.size, 0L, insN, removed))
+          }
+          delete(stagedR)
+          if (insLine.nonEmpty) delete(stagedI)
+        }
+        attempt += 1
+      }
+      throw new CommitConflict(
+        s"casReplaceKeys($table): lost $retries CAS races")
+    } finally {
+      k.unpersist()
       ()
     }
   }
@@ -3270,6 +3554,64 @@ final case class Warehouse(root: String,
   def casStreamCursor(table: String, stream: String): Long =
     casTxnState(table).getOrElse(stream, 0L)
 
+  /** REGISTER an incremental maintainer with its SOURCE table — the
+    * retention handshake: the maintainer's cursor lives as TXN lines
+    * on its OWN rollup's log (atomic with each landing), so retention
+    * on the source cannot see it without a pointer. `casSubscribe`
+    * publishes that pointer as a metadata commit line
+    * (`SUB <stream> <part> <rollup>`) in the source's log;
+    * [[casTruncate]] resolves each registered stream's cursor through
+    * it and, by default, CLAMPS retention so no live maintainer's
+    * incremental window is retired. `part` decodes multi-source
+    * cursors: "all" for a plain cursor (the packed value IS this
+    * source's head), "hi"/"lo" for [[graft.ops.CasIvm.maintainJoin]]'s
+    * packed (headA·2³², headB) pair. Registrations survive
+    * checkpoints and truncation (restated like TXN summaries) and are
+    * idempotent per stream (latest wins).
+    */
+  def casSubscribe(table: String, stream: String, rollup: String,
+      part: String = "all", retries: Int = 8): Int = {
+    require(Set("all", "hi", "lo")(part),
+      s"casSubscribe($table, $stream): part must be all|hi|lo")
+    require(!stream.contains(" ") && !rollup.contains(" "),
+      s"casSubscribe($table): stream/rollup must not contain spaces")
+    var attempt = 0
+    while (attempt < retries) {
+      val n = casHead(table) + 1
+      if (casTryCommit(table, n, Seq(s"SUB $stream $part $rollup")))
+        return n
+      attempt += 1
+    }
+    throw new CommitConflict(
+      s"casSubscribe($table, $stream): lost $retries CAS races")
+  }
+
+  /** The registered maintainer streams of `table`:
+    * stream -> (part, rollup table). Backward fold to the last
+    * SUBCK-carrying checkpoint (the restatement sentinel — the same
+    * O(commits since checkpoint) bound as every consult; latest
+    * registration per stream wins).
+    */
+  def casSubscribers(table: String): Map[String, (String, String)] = {
+    var acc = Map.empty[String, (String, String)]
+    var n = casHead(table)
+    var atStop = false
+    while (n >= 1 && !atStop) {
+      val ls = readLines(casCommitFile(table, n))
+      ls.foreach { l =>
+        if (l.startsWith("SUB ")) {
+          val p = l.split(" ", 4)
+          if (!acc.contains(p(1))) acc += (p(1) -> ((p(2), p(3))))
+        }
+      }
+      // only a SUBCK-carrying checkpoint restates ALL registrations;
+      // scan past legacy checkpoints (same discipline as the TXN fold)
+      if (ls.contains("SUBCK")) atStop = true
+      n -= 1
+    }
+    acc
+  }
+
   /** [[casStreamCursor]] AT table version `v` — what lets a catalog
     * publisher pin (source@cursor, rollup@v) as a MUTUALLY CONSISTENT
     * pair even while other maintainers advance the rollup past `v`:
@@ -3516,16 +3858,54 @@ final case class Warehouse(root: String,
     * them — Delta's logRetentionDuration discipline. Time travel
     * below the truncation point fails loudly by design
     * ([[casActiveCmdsAt]]); catalog pins keep THEIR windows alive via
-    * the clamp. Returns the number of commit files deleted.
+    * the clamp, and so (by default) do REGISTERED incremental
+    * maintainers ([[casSubscribe]]): their lagging cursors clamp the
+    * floor the same way, because retiring a live maintainer's window
+    * silently converts its next O(delta) run into an O(table)
+    * refresh. `strandSubscribers = true` is the deliberate override
+    * (retention pressure beats a wedged maintainer) — the maintainer
+    * then sees [[CasCdfResult.Retired]] and degrades to the refresh
+    * path instead of dying. `onLagging` fires with the
+    * (stream, absorbed-version) pairs whose windows the pin-only
+    * floor would retire — the warn half of the handshake, in BOTH
+    * modes. Returns the number of commit files deleted.
     */
-  def casTruncate(table: String, retries: Int = 8): Int = {
+  def casTruncate(table: String, retries: Int = 8,
+      strandSubscribers: Boolean = false,
+      onLagging: Seq[(String, Int)] => Unit = _ => ()): Int = {
     val ck = casCheckpoint(table, retries)
+    // registered incremental maintainers ([[casSubscribe]]): each
+    // stream's absorbed source version, decoded from its rollup's
+    // cursor. A maintainer at cursor c needs c's whole REPLAY window
+    // [windowStart(c), head] to stay incremental — the CDF walk
+    // resolves pre-rewrite snapshots (casActiveCmdsAt at n-1), whose
+    // backward replay crosses below c down to its last REPLACE/CKPT
+    // — exactly the clamp catalog pins already get.
+    def subCursors(): Seq[(String, Int)] =
+      casSubscribers(table).toSeq.map {
+        case (stream, (part, rollup)) =>
+          val c = casStreamCursor(rollup, stream)
+          (stream, (part match {
+            case "hi" => c >>> 32
+            case "lo" => c & 0xffffffffL
+            case _ => c
+          }).toInt)
+      }
     // a pinned snapshot at v replays [stopOf(v), v] — keep every
-    // commit any pin's window still needs
-    def floorNow(): Int = catPinnedVersions(table) match {
+    // commit any pin's window still needs; by default extend the
+    // same courtesy to registered maintainers' incremental windows
+    // (strandSubscribers = the operator override: retire anyway and
+    // let the maintainer's typed Retired verdict degrade it to a
+    // refresh — [[casCdfFeed]])
+    def pinFloor(): Int = catPinnedVersions(table) match {
       case vs if vs.isEmpty => ck
       case vs => math.min(ck, vs.map(casWindowStart(table, _)).min)
     }
+    def floorNow(): Int =
+      if (strandSubscribers) pinFloor()
+      else subCursors().foldLeft(pinFloor()) {
+        case (f, (_, cur)) => math.min(f, casWindowStart(table, cur))
+      }
     val selected = floorNow()
     // TOCTOU narrowing against a concurrent [[catCommit]]: its pin
     // validation can pass BEFORE our first consult saw the pin, with
@@ -3538,6 +3918,15 @@ final case class Warehouse(root: String,
     // later consult ([[catPinnedVersions]]), so retention and vacuum
     // stay healthy regardless.
     val floor = math.min(selected, floorNow())
+    // the warn/refuse seam: every registered maintainer whose
+    // incremental window the PIN-ONLY floor (what retention would do
+    // absent subscribers) retires. With the default clamp these are
+    // the lagging streams that held retention back (operational
+    // signal: a wedged maintainer makes the log grow forever — fix
+    // it or strand it deliberately); with strandSubscribers they are
+    // the streams this call is about to strand into a refresh.
+    onLagging(subCursors()
+      .filter(s => casWindowStart(table, s._2) < pinFloor()))
     val deleted = (1 until floor).map(casCommitFile(table, _))
       .filter(_.exists())
     deleted.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
