@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.sources.Warehouse
 
 /** Model-based randomized DML: a fixed-seed stream of merges, CDC
-  * applies, CoW updates, CoW/MoR/range deletes, compactions,
+  * applies, CoW updates, CoW/MoR/range deletes, key-grain group
+  * replaces, compactions,
   * clusterings, optimizes and checkpoints runs against both the CAS
   * table and an exact in-memory model (physical rows + active
   * tombstone set — the split the format's documented
@@ -82,7 +83,7 @@ class CasDmlModelSpec extends SparkSpec {
     var step = 0
     while (step < 60) {
       step += 1
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(11)
       op match {
         case 0 | 1 => // MERGE: whole-row upsert of 1..5 keys
           val ks = keys(1 + rnd.nextInt(5))
@@ -129,6 +130,14 @@ class CasDmlModelSpec extends SparkSpec {
           if (rnd.nextBoolean()) wh.casOptimize(spark, t, maxWaves = 3)
           else wh.casCheckpoint(t)
           ()
+        case 10 => // key-grain group replace (INSERT OVERWRITE by key)
+          val ks = keys(1 + rnd.nextInt(4))
+          val rows = ks.filter(_ => rnd.nextBoolean())
+            .map(k => (k, step * 1000L + 500L + k))
+          wh.casReplaceKeys(spark, t, "k", ks.toDF("k"),
+            rows.toDF("k", "v"), "model-rk", step.toLong)
+          phys --= ks
+          phys ++= rows
       }
       val got = wh.casRead(spark, t).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
