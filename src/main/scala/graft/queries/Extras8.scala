@@ -353,5 +353,84 @@ object Extras8 {
       .crossJoin(wh.read(s, "s2iv_evidence"))
   }
 
-  val all: Seq[Q] = Seq(q322, q323, q324, q325)
+  /** WAVE-BOUNDED MIN/MAX RESCAN — the byte-cost half of q320's
+    * story: documents land GROUP-CLUSTERED under a composite key
+    * (gk = g·2⁴⁰ + doc_id — each group's rows a contiguous key
+    * range, one wave per group, extents on gk), so when a CoW
+    * delete (keyed on gk — the same extent column, preserving the
+    * discipline) removes the min-holders of groups 1, 2 and 5, the
+    * extremum rescan [[graft.ops.CasIvm.maintainMinMax]] runs with
+    * `clusteredBy` and OPENS ONLY THOSE GROUPS' WAVES
+    * ([[graft.sources.Warehouse.casReadPrunedRangesAt]]): the
+    * `opened`/`active` evidence pins opened < active — q320's
+    * group-grain claim turned from rows-true to bytes-true. The
+    * oracle restates the survivors' GROUP BY min/max/count.
+    *
+    * 100 TB shape: a GDPR delete touching 3 of 10,000 tenants'
+    * minima costs the min/max rollup 3 wave reads, not a table
+    * scan — IF the layout is group-clustered, which is exactly the
+    * layout such tables already keep for query pruning.
+    */
+  val q326 = Q("q326_minmax_clustered_rescan",
+    """WITH d AS (
+      |  SELECT CAST(doc_id % 7 AS BIGINT) AS g, n_chars,
+      |    min(n_chars) OVER (PARTITION BY doc_id % 7) AS gmin
+      |  FROM documents),
+      |surv AS (
+      |  SELECT g, n_chars FROM d
+      |  WHERE NOT (g IN (1, 2, 5) AND n_chars = gmin))
+      |SELECT g, CAST(min(n_chars) AS BIGINT) AS min_v,
+      |  CAST(max(n_chars) AS BIGINT) AS max_v,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  'bootstrap' AS m1, 'incremental' AS m2,
+      |  CAST(3 AS BIGINT) AS rescanned,
+      |  CAST(1 AS BIGINT) AS wave_bounded
+      |FROM surv GROUP BY g""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"mmc_${SessionScratch.keyOf(dir)}"))
+    val key = s"mm_clustered_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val G = 1L << 40
+      val d = t(s, dir, "documents")
+        .select((col("doc_id") % 7 * G + col("doc_id")).as("gk"),
+          (col("doc_id") % 7).as("g"), col("n_chars").as("v"))
+      // one wave per group: extents on gk are group-tight by layout
+      (0L until 7L).foreach { gi =>
+        wh.casAppendStats(s, d.filter(col("g") === gi),
+          "mmc_src", "gk")
+        ()
+      }
+      val rescans = scala.collection.mutable.Set.empty[Any]
+      var io = Option.empty[(Int, Int)]
+      def maintain(): String = graft.ops.CasIvm.maintainMinMax(
+        s, wh, "mmc_src", "mmc_roll", "g", "v",
+        onRescan = ks => { rescans ++= ks; () },
+        clusteredBy = Some(("gk", (gv: Any) => {
+          val gl = gv.asInstanceOf[Long]
+          (gl * G, (gl + 1) * G - 1)
+        })),
+        onRescanIo = (kept, total) => io = Some((kept, total)))
+      val m1 = maintain()
+      // delete EXACTLY the min-holding rows of groups 1, 2, 5 —
+      // keyed on gk, so the rewrite stays on those groups' waves
+      // and records gk extents (the discipline survives the DML)
+      val gmin = d.groupBy("g").agg(min("v").as("gmin"))
+      val delKeys = d.join(gmin, Seq("g"))
+        .filter(col("g").isin(1L, 2L, 5L) && col("v") === col("gmin"))
+        .select("gk")
+      wh.casDeleteWhereKeys(s, "mmc_src", "gk", delKeys)
+      val m2 = maintain()
+      val (kept, total) = io.getOrElse((-1, -1))
+      wh.overwrite(Seq((m1, m2, rescans.size.toLong,
+        if (kept >= 1 && kept < total) 1L else 0L))
+        .toDF("m1", "m2", "rescanned", "wave_bounded"),
+        "mmc_evidence")
+    }
+    wh.casRead(s, "mmc_roll")
+      .select(col("g"), col("min_v"), col("max_v"), col("n_rows"))
+      .crossJoin(wh.read(s, "mmc_evidence"))
+  }
+
+  val all: Seq[Q] = Seq(q322, q323, q324, q325, q326)
 }

@@ -429,6 +429,23 @@ class Round19Spec extends SparkSpec {
       Seq((7L, 7000L)).toDF("k", "va"), "na", "k")
     assert(m() == "incremental")
     assert(mvRows() == fullJoin())
+    // COMPOSITION: the N:M MV's casReplaceKeys landings are ordinary
+    // CAS rewrites, hence diffable — it is a valid CDF source for a
+    // downstream rollup with zero composition code (the q321
+    // argument, now at N:M multiplicity)
+    def roll(): String = CasIvm.maintainSumCount(spark, wh,
+      "nmv", "nmroll", "k", "vb")
+    assert(roll() == "bootstrap")
+    def expectRoll(): Set[Seq[Any]] = rows(
+      wh.casRead(spark, "nmv").groupBy(col("k"))
+        .agg(sum("vb").cast("long").as("sum_v"),
+          count(lit(1)).as("n_rows")))
+    assert(rows(wh.casRead(spark, "nmroll")) == expectRoll())
+    // one more multiplicity change propagates the depth incrementally
+    wh.casDeleteWhere(spark, "nb", "k", Seq(8L))
+    assert(m() == "incremental" && roll() == "incremental")
+    assert(mvRows() == fullJoin())
+    assert(rows(wh.casRead(spark, "nmroll")) == expectRoll())
   }
 
   test("a join-MV maintainer registers BOTH sides with hi/lo cursor " +
