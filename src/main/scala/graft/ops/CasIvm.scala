@@ -155,6 +155,91 @@ object CasIvm {
     out.get
   }
 
+  /** MOMENTS rollup maintenance — `SELECT g, sum(v), sum(v*v),
+    * count(*) FROM src [WHERE w] GROUP BY g`, the invertible family
+    * one tier up from [[maintainSumCount]]: the second moment rides
+    * the same signed fold (retractions subtract both sums), so AVG,
+    * population/sample VARIANCE and STDDEV are all derivable from
+    * the rollup with zero extra maintenance cost — the statistics a
+    * metric layer actually serves. Identical contract to
+    * [[maintainSumCount]] (typed window consult, fenced
+    * cursor-carrying landing, filtered form, boot via
+    * [[Warehouse.casHasData]], emptied groups deleted); O(delta rows
+    * + touched groups) per run including CoW-delete windows.
+    * `sum_sq` is exact in Long for |v| ≤ ~3·10⁹ per row and ~2⁶³
+    * per group — the overflow bound the caller owns, same as any
+    * integer SUM.
+    */
+  def maintainMoments(spark: SparkSession, wh: Warehouse,
+      src: String, rollup: String, g: String, v: String,
+      afterLand: () => Unit = () => (),
+      where: Option[Column] = None): String = {
+    val stream = "ivmm:" + src
+    val vl = col(v).cast("long")
+    def aggOf(df: DataFrame): DataFrame =
+      where.fold(df)(df.filter)
+        .groupBy(col(g)).agg(sum(vl).cast("long").as("sum_v"),
+          sum(vl * vl).cast("long").as("sum_sq"),
+          count(lit(1)).as("n_rows"))
+    var out = Option.empty[String]
+    var round = 0
+    while (out.isEmpty) {
+      if (round >= MaxRounds) spent(s"maintainMoments($rollup)")
+      round += 1
+      val cursor = wh.casStreamCursor(rollup, stream)
+      val (feed, head) = wh.casCdfFeed(spark, src, cursor.toInt)
+      if (head == cursor) out = Some("noop")
+      else feed match {
+        case CasCdfResult.NonDiffable | CasCdfResult.Retired(_) =>
+          if (wh.casOverwriteTxn(aggOf(wh.casReadAt(spark, src,
+            head)), rollup, stream, head.toLong, cursor).isDefined)
+            out = Some("refresh")
+        case CasCdfResult.Empty =>
+          if (wh.casTxnAdvance(rollup, stream, head.toLong,
+            cursor).isDefined)
+            out = Some("noop")
+        case CasCdfResult.Delta(delta0, _) =>
+          val delta = where.fold(delta0)(delta0.filter)
+          val d = delta.groupBy(col(g)).agg(
+            sum(vl * col("_sign")).as("sum_v"),
+            sum(vl * vl * col("_sign")).as("sum_sq"),
+            sum(col("_sign").cast("long")).as("n_rows"))
+            .filter(col("n_rows") =!= 0L ||
+              coalesce(col("sum_v"), lit(0L)) =!= 0L ||
+              coalesce(col("sum_sq"), lit(0L)) =!= 0L)
+          if (d.isEmpty) {
+            if (wh.casTxnAdvance(rollup, stream, head.toLong,
+              cursor).isDefined)
+              out = Some("noop")
+          } else {
+            val boot = !wh.casHasData(rollup)
+            if (boot)
+              wh.casAppendStats(spark, d.limit(0), rollup, g)
+            val prior = wh.casRead(spark, rollup)
+              .join(d.select(col(g)), Seq(g), "left_semi")
+            val merged = prior.select(col(g),
+                col("sum_v").as("p_sum"), col("sum_sq").as("p_sq"),
+                col("n_rows").as("p_n"))
+              .join(d, Seq(g), "full_outer")
+              .select(col(g),
+                (coalesce(col("p_sum"), lit(0L)) +
+                  coalesce(col("sum_v"), lit(0L))).as("sum_v"),
+                (coalesce(col("p_sq"), lit(0L)) +
+                  coalesce(col("sum_sq"), lit(0L))).as("sum_sq"),
+                (coalesce(col("p_n"), lit(0L)) +
+                  coalesce(col("n_rows"), lit(0L))).as("n_rows"))
+            val changes = merged.withColumn("op",
+              when(col("n_rows") === 0L, lit("D")).otherwise(lit("U")))
+            if (wh.casApplyCdcBatch(spark, rollup, g, changes, "op",
+              stream, head.toLong, fence = Some(cursor)).isDefined)
+              out = Some(if (boot) "bootstrap" else "incremental")
+          }
+      }
+    }
+    afterLand()
+    out.get
+  }
+
   /** MIN/MAX (+count) rollup maintenance — the NON-invertible
     * aggregates: inserts can only extend a group's extrema (fold with
     * least/greatest), but a retraction AT the current extremum can

@@ -432,5 +432,68 @@ object Extras8 {
       .crossJoin(wh.read(s, "mmc_evidence"))
   }
 
-  val all: Seq[Q] = Seq(q322, q323, q324, q325, q326)
+  /** MOMENTS MV — AVG/VARIANCE/STDDEV maintained incrementally
+    * ([[graft.ops.CasIvm.maintainMoments]]): the second moment is as
+    * invertible as the first, so one (sum, sum_sq, count) rollup
+    * serves every dispersion statistic a metric layer reports, and a
+    * CoW GDPR delete SUBTRACTS from both sums at O(rewritten waves'
+    * diff + touched groups) — where a naive stddev materialization
+    * would rescan the corpus. The oracle restates the survivors'
+    * moments (and the derived avg/variance as the IDENTICAL double
+    * expression, so IEEE evaluation matches bit-for-bit); the
+    * maintenance modes pin no-refresh.
+    *
+    * 100 TB shape: dashboard dispersion metrics (p50 proxies,
+    * z-scores, SLO spreads) stay O(delta) under churn — the
+    * invertible-family argument extends beyond SUM/COUNT for free.
+    */
+  val q327 = Q("q327_ivm_moments",
+    """WITH surv AS (
+      |  SELECT CAST(doc_id % 7 AS BIGINT) AS g,
+      |    CAST(n_chars AS BIGINT) AS v
+      |  FROM documents WHERE doc_id % 101 <> 0)
+      |SELECT g, CAST(sum(v) AS BIGINT) AS sum_v,
+      |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(v) AS DOUBLE) / count(*) AS avg_v,
+      |  CAST(sum(v * v) AS DOUBLE) / count(*)
+      |    - (CAST(sum(v) AS DOUBLE) / count(*))
+      |      * (CAST(sum(v) AS DOUBLE) / count(*)) AS var_pop,
+      |  'bootstrap' AS m1, 'incremental' AS m2, 'incremental' AS m3
+      |FROM surv GROUP BY g""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val wh = Warehouse(
+      SessionScratch.dir(s, s"mom_${SessionScratch.keyOf(dir)}"))
+    val key = s"ivm_mom_${SessionScratch.keyOf(dir)}"
+    SessionScratch.once(s, key) {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 7).as("g"),
+          col("n_chars").cast("long").as("v"))
+      val maxId = d.agg(max("doc_id")).as[Long].head()
+      val half = (maxId + 1L) / 2L
+      def m(): String = graft.ops.CasIvm.maintainMoments(
+        s, wh, "mom_src", "mom_roll", "g", "v")
+      wh.casAppendStats(s, d.filter(col("doc_id") < half),
+        "mom_src", "doc_id")
+      val m1 = m()
+      wh.casAppendStats(s, d.filter(col("doc_id") >= half),
+        "mom_src", "doc_id")
+      val m2 = m()
+      wh.casDeleteWhereKeys(s, "mom_src", "doc_id",
+        d.filter(col("doc_id") % 101 === 0).select("doc_id"))
+      val m3 = m()
+      wh.overwrite(Seq((m1, m2, m3)).toDF("m1", "m2", "m3"),
+        "mom_evidence")
+    }
+    wh.casRead(s, "mom_roll")
+      .select(col("g"), col("sum_v"), col("sum_sq"), col("n_rows"),
+        (col("sum_v").cast("double") / col("n_rows")).as("avg_v"),
+        (col("sum_sq").cast("double") / col("n_rows")
+          - (col("sum_v").cast("double") / col("n_rows"))
+            * (col("sum_v").cast("double") / col("n_rows")))
+          .as("var_pop"))
+      .crossJoin(wh.read(s, "mom_evidence"))
+  }
+
+  val all: Seq[Q] = Seq(q322, q323, q324, q325, q326, q327)
 }

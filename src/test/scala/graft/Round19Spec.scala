@@ -342,6 +342,37 @@ class Round19Spec extends SparkSpec {
         .filter(col("current_flag") === 1L).count())
   }
 
+  // ---- moments rollup (sum, sum_sq, count) -------------------------
+
+  test("maintainMoments keeps (sum, sum_sq, count) exact through " +
+    "appends, a CoW delete, and a group emptied by retraction — " +
+    "variance/stddev derivable with zero extra maintenance") {
+    import spark.implicits._
+    val wh = tmpWh()
+    def m(): String = CasIvm.maintainMoments(spark, wh,
+      "mo", "moroll", "g", "v")
+    def expect(): Set[Seq[Any]] = rows(
+      wh.casRead(spark, "mo").groupBy(col("g"))
+        .agg(sum(col("v").cast("long")).cast("long").as("sum_v"),
+          sum(col("v").cast("long") * col("v").cast("long"))
+            .cast("long").as("sum_sq"),
+          count(lit(1)).as("n_rows")))
+    wh.casAppendStats(spark, src(0, 40), "mo", "k")
+    assert(m() == "bootstrap")
+    assert(rows(wh.casRead(spark, "moroll")) == expect())
+    wh.casAppendStats(spark, src(40, 60), "mo", "k")
+    assert(m() == "incremental")
+    assert(rows(wh.casRead(spark, "moroll")) == expect())
+    // CoW delete: both moments subtract; group 2 emptied entirely
+    wh.casDeleteWhereKeys(spark, "mo", "k",
+      (0L until 60L).filter(k => k % 3 == 2 || k % 7 == 0)
+        .toDF("k"))
+    assert(m() == "incremental")
+    assert(rows(wh.casRead(spark, "moroll")) == expect())
+    assert(!rows(wh.casRead(spark, "moroll")).exists(_.head == 2L),
+      "the emptied group must vanish from the rollup")
+  }
+
   // ---- the subscriber handshake ------------------------------------
 
   test("a REGISTERED maintainer clamps retention by default: its " +
