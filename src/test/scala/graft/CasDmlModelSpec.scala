@@ -75,6 +75,15 @@ class CasDmlModelSpec extends SparkSpec {
           r.getLong(3))).toSet
       assert(mroll == got.map { case (k, v) => (k, v, v, 1L) }.toSet,
         s"step $step: the MIN/MAX rollup diverged from the snapshot")
+      // the moments maintainer rides too: per-key groups make every
+      // delete a double-subtraction (sum and sum_sq) and every
+      // emptied key a group-vanish
+      graft.ops.CasIvm.maintainMoments(spark, wh, t, "qroll", "k", "v")
+      val qroll = wh.casRead(spark, "qroll").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(qroll == got.map { case (k, v) => (k, v, v * v, 1L) }.toSet,
+        s"step $step: the moments rollup diverged from the snapshot")
     }
 
     def keys(n: Int): Seq[Long] =
