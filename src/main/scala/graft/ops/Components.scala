@@ -100,9 +100,18 @@ object Components {
       b: String = "doc_b", maxRounds: Int = 50): DataFrame = {
     // materialize the edge list ONCE — every round joins against it,
     // and without this each round would re-execute the pair-generation
-    // lineage (the whole LSH candidate pipeline when fed from q30)
-    val edges = cp(pairs.select(col(a).as("src"), col(b).as("dst"))
-      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
+    // lineage (the whole LSH candidate pipeline when fed from q30).
+    // Symmetrize with ONE explode instead of a self-union: a union of
+    // two projections of `pairs` evaluates the pair-generation subtree
+    // TWICE (Spark only dedups Exchange nodes, not arbitrary
+    // subtrees), and the feeding pipeline is the expensive part —
+    // candidate generation over the whole corpus (guide §2.4: remove
+    // duplicated work before removing shuffles)
+    val edges = cp(pairs
+      .select(explode(array(
+        struct(col(a).as("src"), col(b).as("dst")),
+        struct(col(b).as("src"), col(a).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct())
     var labels = cp(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp")))
@@ -179,8 +188,11 @@ object Components {
     */
   def connectedStar(pairs: DataFrame, a: String = "doc_a",
       b: String = "doc_b", maxRounds: Int = 100): DataFrame = {
-    val nodes = cp(pairs.select(col(a).as("node"))
-      .unionByName(pairs.select(col(b).as("node"))).distinct())
+    // ONE evaluation of the (possibly expensive) pair-generation
+    // subtree: explode each pair into its two endpoints (same
+    // guide-§2.4 rationale as [[connected]]'s edge build)
+    val nodes = cp(pairs
+      .select(explode(array(col(a), col(b))).as("node")).distinct())
     // canonical (larger, smaller) orientation; self-loops carry no
     // connectivity (their nodes are preserved via `nodes`)
     var edges = cp(pairs

@@ -1192,8 +1192,12 @@ object Extras3 {
       val kept = ed
         .join(alive.select(col("v").as("a")), Seq("a"))
         .join(alive.select(col("v").as("b")), Seq("b"))
-      val next = kept.select(col("a").as("v"))
-        .unionAll(kept.select(col("b").as("v")))
+      // endpoint degrees via ONE explode of the kept edges, not a
+      // self-union — the union's two branches would re-execute the
+      // two-join `kept` subtree twice per round (guide §2.4:
+      // duplicated subtrees; Spark dedups only Exchange nodes)
+      val next = kept
+        .select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("d"))
         .filter(col("d") >= 3).select("v")
       val cut = s.createDataFrame(next.rdd, next.schema).persist()
@@ -1208,8 +1212,9 @@ object Extras3 {
     val fin = ed
       .join(alive.select(col("v").as("a")), Seq("a"))
       .join(alive.select(col("v").as("b")), Seq("b"))
-    val out = fin.select(col("a").as("node"))
-      .unionAll(fin.select(col("b").as("node")))
+    // same single-evaluation endpoint explode as the loop body
+    val out = fin
+      .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // release the final cut (bench-hygiene contract): a consumer's
     // action recomputes it through the flat RDD DAG — shuffle outputs
