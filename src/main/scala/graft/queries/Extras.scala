@@ -1098,7 +1098,10 @@ object Extras {
     * (the oracle's `WHERE len(t) >= 5` is the same fence).
     */
   private def fiveGrams(s: SparkSession, dir: String) =
-    docsTable(s, dir)
+    // Par.spread: the 5-gram explode is this family's map-side bulk
+    // and every consumer aggregates exact counts — spread the
+    // under-parallel corpus scan before it (guide §2.5)
+    graft.ops.Par.spread(docsTable(s, dir))
       .withColumn("t", split(col("text"), " "))
       .filter(size(col("t")) >= 5)
       .select(col("doc_id"), explode(transform(
@@ -1262,7 +1265,11 @@ object Extras {
       block("o_orderdate", "CAST(o_orderdate AS DATE)"))
       .mkString("\nUNION ALL\n")
   }) { (s, dir) =>
-    graft.ops.Profile.profile(t(s, dir, "orders"), Seq(
+    // Par.spread: the Expand-based 5-way exact-distinct partial
+    // aggregate is the profile's whole cost and every statistic is
+    // exact (counts, value sets, decimal/string min-max) —
+    // partitioning-independent, so spread the single-task scan
+    graft.ops.Profile.profile(graft.ops.Par.spread(t(s, dir, "orders")), Seq(
       "o_orderkey" -> col("o_orderkey"),
       "o_custkey" -> col("o_custkey"),
       "o_orderstatus" -> col("o_orderstatus"),

@@ -51,6 +51,11 @@ object TextQueries {
     // the element_at unpacking sits above the cache so projection
     // collapse can't inline the build 6×
     graft.Materialized(s, s"minhash_signatures:$dir") {
+      // NOT Par.spread: measured 2025-08 (OPTIMIZATION_r19.md) — a
+      // 32/64-partition signature cache makes every downstream
+      // candidate-pair stage schedule dozens of tiny tasks and the
+      // LSH consumers regress (q120 2.0x, q127 1.6x) for no win; the
+      // few-row artifact reads faster at the scan's native layout
       docs(s, dir).select(col("doc_id"),
         graft.functions.TextHashF.minhashSig(col("text"), 8, 4, 6)
           .as("mh"))
@@ -76,7 +81,9 @@ object TextQueries {
     */
   private def gramSets(s: SparkSession, dir: String): DataFrame =
     graft.Materialized(s, s"gram_sets:$dir") {
-      // immutable testdata; referenced by both join sides
+      // immutable testdata; referenced by both join sides.
+      // NOT Par.spread: same measured join-consumer regression as
+      // signatures() (q91 0.39s -> 0.99s with a 32-partition cache)
       docs(s, dir).select(col("doc_id"),
         graft.functions.TextHashF.shingleSet(col("text"), 4, 1).as("gs"))
     }
@@ -262,7 +269,9 @@ object TextQueries {
     */
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     graft.Materialized(s, s"simhash60:$dir") {
-      // native builder, spec = TextOps.simhash (Round3Spec equivalence)
+      // native builder, spec = TextOps.simhash (Round3Spec equivalence).
+      // NOT Par.spread — same measured consumer regression as
+      // signatures(); see that build's note
       docs(s, dir).select(col("doc_id"),
         graft.functions.TextHashF.simhash(col("text"), Simhash49Bits)
           .as("sh"))
@@ -1731,8 +1740,14 @@ object TextQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
       .withColumn("hit0", lit(1))
-    // the index's own shingle space: 8-char shingles at stride 4
-    val sets = docs(s, dir).filter(col("doc_id") % stride < 2)
+    // the index's own shingle space: 8-char shingles at stride 4.
+    // Par.spread AFTER the sample gate: the ~500-doc calibration
+    // sample is constant-size by construction, and the exact
+    // all-pairs verify below it (C(500,2) array_intersects) is the
+    // query's dominant cost — spread it across the cores instead of
+    // one NLJ task (integer set intersections: partition-independent)
+    val sets = graft.ops.Par.spread(
+        docs(s, dir).filter(col("doc_id") % stride < 2))
       .select(col("doc_id"),
         graft.functions.TextHashF.shingleSet(col("text"), 8, 4).as("gs"))
     val a = sets.select(col("doc_id").as("doc_a"), col("gs").as("ga"))
@@ -2616,7 +2631,12 @@ object TextQueries {
       DataFrame, DataFrame, Map[String, Long], Long,
       Map[String, Long], Long) = {
     val langs = Seq("de", "en", "es", "fr", "zh")
-    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+    // Par.spread: the trigram explode + weight join + per-doc sums
+    // below are the module's heaviest map-side chain and all its
+    // aggregation is exact-integer (micro-nat longs, counts) —
+    // partitioning-independent by the determinism policy
+    val d = graft.ops.Par.spread(
+      docs(s, dir).select(col("doc_id"), col("lang"), col("text")))
     val tok = d.select(col("doc_id"), col("lang"),
       explode(charTrigrams(col("text"))).as("g"))
     val cnt = graft.Materialized(s, s"langid_cnt:$dir") {
