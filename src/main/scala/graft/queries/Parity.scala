@@ -85,14 +85,23 @@ object Parity {
       |  sum(l_quantity) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin) { (s, dir) =>
-    t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"),
+    // pre-aggregate lineitem at the JOIN KEY before joining (guide
+    // §2.3 "aggregate before you shuffle"): the join then carries one
+    // row per order instead of one per line item, and n_orders is a
+    // plain count — no distinct-aggregate Expand machinery, one fewer
+    // full-width shuffle of the fact. Bit-exact: the money sum
+    // accumulates in DECIMAL (reassociation-exact) and l_quantity is
+    // integer-valued, so partial sums are exact at any partitioning.
+    val pre = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(discPriceDec).as("rev"), sum("l_quantity").as("qty"))
+    pre.join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"), "inner")
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
-        round(sum(discPriceDec), 4).cast("double").as("revenue"),
-        countDistinct("o_orderkey").as("n_orders"),
-        sum("l_quantity").as("sum_qty"))
+        round(sum("rev"), 4).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        sum("qty").as("sum_qty"))
   }
 
   /** A3 (conditional aggregation / pivot-style), A4 — reference
@@ -201,17 +210,27 @@ object Parity {
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name""".stripMargin) { (s, dir) =>
-    t(s, dir, "lineitem")
-      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    // same pre-aggregation-below-join shape as q02: revenue
+    // accumulates per order BEFORE the dimension chain, so the
+    // 4-join star carries order-grain rows and the per-(region,
+    // nation) distinct-order count is a plain count of the join
+    // output (each surviving row IS one distinct order)
+    val pre = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(discPriceDec).as("rev"))
+    pre
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        round(sum(discPriceDec), 4).cast("double").as("revenue"),
-        countDistinct("o_orderkey").as("n_orders"))
+        round(sum("rev"), 4).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
   }
 
   /** J5 (CDC anti-join) + A1 — the incremental-fact pattern
@@ -666,6 +685,11 @@ object Parity {
       |  count(DISTINCT l_partkey) AS n_parts
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand""".stripMargin) { (s, dir) =>
+    // left as-is after measurement (r19 optimization round): the
+    // q02-style pre-aggregation-below-join variant was tried and
+    // billed 1.15x — this plan is already one broadcast hash join
+    // with map-side partial aggregation and a single exchange at
+    // (brand, partkey) grain, so the pre-agg only added an exchange
     t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part")),
         col("l_partkey") === col("p_partkey"), "inner")
