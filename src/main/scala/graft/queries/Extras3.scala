@@ -1175,7 +1175,15 @@ object Extras3 {
     */
   private[graft] def kcoreAlive(s: SparkSession, dir: String,
       rounds: Int, earlyExit: Boolean = true): DataFrame = {
-    val ed = graphEdges(s, dir)
+    // materialize the shared artifact, then coalesce its cached
+    // 32-block layout to the AQE advisory size: every peel round
+    // re-scans the edges twice (join build + probe), and the cached
+    // plan keeps its pre-AQE partition count, so each round otherwise
+    // schedules ~2x|cache partitions| near-empty tasks (guide §2.2;
+    // measured r20: q258 isolated 4.33 s -> see OPTIMIZATION_r20.md)
+    val ed0 = graphEdges(s, dir)
+    ed0.count()
+    val ed = graft.ops.Par.packToAdvisory(ed0)
     var alive = ed.select(col("a").as("v"))
       .union(ed.select(col("b").as("v"))).distinct()
     var lastCut: Option[DataFrame] = None
@@ -1361,7 +1369,14 @@ object Extras3 {
     */
   private[graft] def bfsHops(s: SparkSession, dir: String,
       rounds: Int, earlyExit: Boolean = true): DataFrame = {
-    val ed = graphEdges(s, dir)
+    // same cached-layout pack as [[kcoreAlive]]: six relaxation
+    // rounds each re-scan the adjacency (= 2x the cached edge
+    // artifact), so the pre-AQE 32-block cache layout costs ~65
+    // near-empty map tasks per round (guide §2.2; measured r20:
+    // q261 isolated 4.57 s -> see OPTIMIZATION_r20.md)
+    val ed0 = graphEdges(s, dir)
+    ed0.count()
+    val ed = graft.ops.Par.packToAdvisory(ed0)
     val adj = ed.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(ed.select(col("b").as("src"), col("a").as("dst")))
     var dist: DataFrame = t(s, dir, "documents")
