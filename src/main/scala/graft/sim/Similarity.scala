@@ -213,7 +213,7 @@ object Similarity {
       dim: Int, maxBucket: Int, minSim: Double, cacheKey: String)
       : DataFrame = {
     val s = e.sparkSession
-    val cd = graft.Materialized(s, cacheKey) {
+    val cd0 = graft.Materialized(s, cacheKey) {
       ivfAssign(e.select(col("vec_id"), col("embedding"),
           norm(col("embedding")).as("nrm")), cent)
         .withColumn("bkt", lshBucket(col("embedding"), nPlanes, dim))
@@ -222,6 +222,16 @@ object Similarity {
           / (col("nrm") * norm(col("ce"))), 6))
         .drop("ce")
     }
+    // materialize, then coalesce the cached layout to the AQE
+    // advisory size: cd's build ends in ivfAssign's vec_id exchange,
+    // so the cache keeps the session's full shuffle-partition count,
+    // and the FOUR cd references below (cap sizing, both pair sides,
+    // member info) each scheduled that many near-empty tasks per run
+    // (guide §2.2; measured r20 — StageProbe showed three 32-task
+    // ~1 s stages re-reading the 0.6 MB cache; no-op at cluster
+    // scale where the artifact meets the advisory size)
+    cd0.count()
+    val cd = graft.ops.Par.packToAdvisory(cd0)
     val sized = cd.groupBy("cid", "bkt").agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, maxBucket)).select("cid", "bkt")
     val inb = cd.join(broadcast(sized), Seq("cid", "bkt"))
