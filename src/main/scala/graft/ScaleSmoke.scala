@@ -84,7 +84,7 @@ object ScaleSmoke {
     val (srcDir, workDir, factor) = (args(0), args(1), args(2).toInt)
     val only = args.drop(3).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning.withAqe(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
