@@ -1049,7 +1049,12 @@ object Extras {
     // cap-bounded distinct candidate ids → broadcast; prune the corpus
     // BEFORE tokenizing/exploding so gram volume tracks candidates
     val ids = winnowCandidateIds(s, dir)
-    val tok = docsTable(s, dir)
+    // spread the single-split scan below the 6-gram hash explode:
+    // the xxhash64 gram chain otherwise serializes on ONE task
+    // (StageProbe r20: a 741 ms single-task stage wrote the 5.3 MB
+    // gram exchange); runs/anchors are exact integers ->
+    // partitioning-independent
+    val tok = graft.ops.Par.spread(docsTable(s, dir))
       .join(broadcast(ids), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
     // xxhash64, not md5: the gram hash exists only to carry EQUALITY
@@ -1137,6 +1142,12 @@ object Extras {
        |  count(*) AS n_occur
        |FROM g GROUP BY gram
        |HAVING count(DISTINCT doc_id) >= 3""".stripMargin) { (s, dir) =>
+    // Measured r20, NOT changed: an explicit (gram, doc_id) pre-agg
+    // cascade plans IDENTICALLY to this single mixed agg (Spark's
+    // one-distinct rewrite already produces the same two-shuffle
+    // cascade, no Expand — plan dumps in plans/r20/ show 12
+    // exchanges / 16 HashAggregates both ways) and measured 0.97x
+    // (noise). Original kept.
     fiveGrams(s, dir).groupBy("gram")
       .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
         count(lit(1)).as("n_occur"))
@@ -1169,6 +1180,11 @@ object Extras {
        |    AS DOUBLE) / count(*), 6) AS boiler_frac
        |FROM g LEFT JOIN b ON b.gram = g.gram
        |GROUP BY g.doc_id""".stripMargin) { (s, dir) =>
+    // Measured r20, NOT changed: routing both branches through a
+    // (gram, doc_id) pre-aggregate (so the explode runs once instead
+    // of once per branch) A/B'd 1.08x WORSE isolated — the extra
+    // pre-agg exchange costs more than the duplicated map work saves
+    // at this explode cost. Original two-branch shape kept.
     val g = fiveGrams(s, dir)
     val b = g.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -1639,6 +1655,11 @@ object Extras {
     * surface as a mismatch).
     */
   private def dupSpanGroups(s: SparkSession, dir: String): DataFrame = {
+    // Measured r20, NOT changed: Par.spread(docTokens) here A/B'd
+    // 1.19x (q132) / 1.14x (q138) WORSE isolated — the round-robin
+    // exchange of the text rows (local sort + serialize, paid once
+    // per pruned consumer reference) costs more than parallelizing
+    // the tokenize+hash chain saves. Native scan layout kept.
     val p = docTokens(s, dir)
       .select(col("doc_id"), size(col("t")).cast("long").as("nt"),
         posexplode(transform(
