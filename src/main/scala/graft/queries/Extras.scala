@@ -2021,15 +2021,30 @@ object Extras {
         slice(col("ts"), lit(2), col("n") - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bc = bgx.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val e = bc.select(col("w1").as("u"), col("w2").as("v"), col("c"))
-      .unionAll(bc.select(col("w2").as("u"), col("w1").as("v"), col("c")))
-      .groupBy("u", "v").agg(sum("c").as("w"))
-    val d = e.groupBy("u").agg(sum("w").as("wu"))
-    val qm = e.join(d, Seq("u"))
-      .select(col("u"), col("v"),
-        expr("div(2 * w * 1000000 + wu, 2 * wu)").as("q"))
-    val v0 = d.select(col("u").as("ty"), lit(1000000L).as("m"))
+    // ONE evaluation of the corpus-derived transition table (guide
+    // §2.4): previously (a) the symmetrization self-union evaluated
+    // the bigram-count subtree twice (Spark dedups only identical
+    // exchanges, and the two projections differ), and (b) every
+    // power-iteration step re-derived qm (and its whole corpus
+    // lineage) for its join side — StageProbe r20 showed SIX ~250 ms
+    // single-task corpus stages with pairwise-identical shuffle
+    // writes. Symmetrize via one explode, and checkpoint the
+    // vocab-pair-grain qm to session scratch so the three steps read
+    // a flat table. All integers — bit-identical.
+    val qm = graft.Materialized.scratch(s, s"textrank_qm:$dir") {
+      val bc = bgx.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val e = bc.select(explode(array(
+          struct(col("w1").as("u"), col("w2").as("v"), col("c")),
+          struct(col("w2").as("u"), col("w1").as("v"), col("c")))).as("x"))
+        .select(col("x.u").as("u"), col("x.v").as("v"), col("x.c").as("c"))
+        .groupBy("u", "v").agg(sum("c").as("w"))
+      val d = e.groupBy("u").agg(sum("w").as("wu"))
+      e.join(d, Seq("u"))
+        .select(col("u"), col("v"),
+          expr("div(2 * w * 1000000 + wu, 2 * wu)").as("q"))
+    }
+    val v0 = qm.select(col("u")).distinct()
+      .select(col("u").as("ty"), lit(1000000L).as("m"))
     def step(v: DataFrame): DataFrame =
       v.join(qm, v("ty") === qm("u"))
         .groupBy(col("v"))

@@ -512,7 +512,19 @@ object Extras2 {
     * by q209 (gated directly) and q211 (as the quality signal), so
     * the engine sides cannot drift either.
     */
-  private def lmScored(s: SparkSession, dir: String): DataFrame = {
+  private def lmScored(s: SparkSession, dir: String): DataFrame =
+    // the whole scorer output is itself a shared artifact: FOUR
+    // registry queries consume it (q209 directly, q211's budget
+    // selection, q219's rho selection, q222's dedup eval) and each
+    // otherwise re-runs the scoring join + doc aggregate over the
+    // cached bigram frame (StageProbe r20: ~320 ms single-task
+    // scoring stages per consumer). Same session-scratch policy as
+    // the bigram frame below.
+    graft.Materialized.scratch(s, s"lm_scored:$dir") {
+      lmScoredBuild(s, dir)
+    }
+
+  private def lmScoredBuild(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TextOps
     val docs = t(s, dir, "documents")
     val toks = docs.select(col("doc_id"), col("lang"),
