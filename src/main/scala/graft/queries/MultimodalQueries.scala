@@ -1063,8 +1063,14 @@ object MultimodalQueries {
       |SELECT doc_id AS media_id, CAST(sh AS BIGINT) AS phash_bmp,
       |  CAST(sh AS BIGINT) AS phash_png
       |FROM code""".stripMargin) { (s, dir) =>
+    // spread the single-split scan below the per-row dual decode:
+    // the whole query is one map-only stage (synthesize PNG+BMP,
+    // decode both, pHash both) that otherwise runs as ONE task
+    // (StageProbe r20: a single 1.18 s no-shuffle stage was the
+    // query). Per-row outputs -> partitioning-independent.
     Multimodal.crossFormatHash(
-      Multimodal.asPixelPairTable(Tables(s, dir, "documents")))
+      Multimodal.asPixelPairTable(
+        graft.ops.Par.spread(Tables(s, dir, "documents"))))
   }
 
   /** REAL-ENCODER PNG DECODE — q276's gate on the dynamic-Huffman

@@ -1938,6 +1938,12 @@ object SimQueries {
        |LEFT JOIN (SELECT cid, CAST(count(*) AS BIGINT) AS n
        |           FROM a$KmIters GROUP BY cid) n ON n.cid = c.cid""".stripMargin) {
     (s, dir) =>
+    // Measured r20, NOT changed: Par.spread(em) under the loop A/B'd
+    // 2.32x WORSE isolated — each Lloyd round re-executes the spread
+    // exchange (scan + round-robin sort + write) before its argmin,
+    // and the added per-round exchange dominates the parallelism it
+    // buys on the 130-210 ms single-task assign stages. Native scan
+    // layout kept.
     val em = Tables(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x =>
