@@ -64,8 +64,18 @@ object StageProbe {
       Thread.sleep(300)
       spark.sparkContext.removeSparkListener(listener)
       val snap = stages.synchronized(stages.toVector)
+      // r19 advisor note: the fixed drain sleep can drop late
+      // stage-completed events on loaded runs — make the gap visible
+      // by comparing the stage-ms sum against pass-2 wall time (a sum
+      // far below wall means either driver-bound time OR dropped
+      // events; a sum above wall just means parallel stages)
+      val sumMs = snap.map(_.ms).sum
+      val warn =
+        if (sumMs < (sec * 1000 * 0.5).toLong)
+          "  [stage-ms << wall: driver-bound or listener drop]"
+        else ""
       println(f"\n===== $name pass2=$sec%.3f s (pass1 $warmSec%.3f s), " +
-        f"${snap.size} stages, stage-ms sum=${snap.map(_.ms).sum} =====")
+        f"${snap.size} stages, stage-ms sum=$sumMs =====$warn")
       snap.sortBy(-_.ms).take(25).foreach { s =>
         println(f"  stage ${s.id}%4d ${s.ms}%6d ms tasks=${s.tasks}%3d " +
           f"in=${s.input}%10d sr=${s.srBytes}%9d sw=${s.swBytes}%9d ${s.site.take(90)}")

@@ -95,6 +95,15 @@ object Components {
 
   /** (node, comp) for every node appearing in `pairs`(a, b); `comp`
     * is the component's minimum node id — deterministic in any engine.
+    *
+    * INPUT CONTRACT (r19 advisor note): both endpoint columns must
+    * already share one type — the explode-based symmetrization below
+    * builds `array(struct(a, b), struct(b, a))`, which requires a
+    * common struct type and fails ANALYSIS on mixed-typed endpoints
+    * (the pre-r19 unionByName would have widened each column
+    * independently). Every current caller passes same-typed ids;
+    * a mixed-typed caller should cast explicitly at the call site,
+    * where the intended width is known.
     */
   def connected(pairs: DataFrame, a: String = "doc_a",
       b: String = "doc_b", maxRounds: Int = 50): DataFrame = {

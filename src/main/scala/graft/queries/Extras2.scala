@@ -360,6 +360,8 @@ object Extras2 {
           * 1000000).cast("long").as("cm"))
       .groupBy("doc_id").agg(sum("cm").cast("long").as("sm"))
       .orderBy(col("sm").desc, col("doc_id")).limit(20)
+    // single-partition window is BOUNDED: it ranks the limit(20)
+    // frame above, never the corpus (r20 window audit)
     val lex = lexTop.withColumn("lex_rank",
         row_number().over(
           Window.orderBy(col("sm").desc, col("doc_id"))).cast("long"))
@@ -375,6 +377,7 @@ object Extras2 {
         round(Similarity.dot(col("embedding"), col("qe"))
           / (col("nrm") * col("qn")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id")).limit(20)
+    // bounded like the lexical arm: ranks the limit(20) frame only
     val den = denTop.withColumn("vec_rank",
         row_number().over(
           Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))

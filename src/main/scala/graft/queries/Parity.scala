@@ -1009,6 +1009,9 @@ object Parity {
       .groupBy((year(col("o_orderdate")) * 100
         + month(col("o_orderdate"))).cast("long").as("ym"))
       .agg(sum(dec2("o_totalprice")).as("rev"))
+    // single-partition window is BOUNDED: it runs over the MONTH
+    // grain (one row per ym after the aggregate — calendar-bounded
+    // at any corpus size), never the fact table (r20 window audit)
     val w = Window.orderBy("ym")
     val prev = lag(col("rev"), 1).over(w)
     m.select(col("ym"),

@@ -2938,6 +2938,9 @@ object TextQueries {
       .select("doc_id", "source", "w", "r", "fkey")
     val top = f.orderBy(col("fkey").asc, col("source").asc,
       col("doc_id").asc).limit(CurriculumTake)
+    // single-partition window is BOUNDED: it numbers the
+    // limit(CurriculumTake) frame above, never the corpus
+    // (r20 window audit)
     val sched = Window.orderBy(col("fkey").asc, col("source").asc,
       col("doc_id").asc)
     top.withColumn("pos", row_number().over(sched).cast("long"))
