@@ -1413,6 +1413,10 @@ object SimQueries {
     val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
     val qdf = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    // Measured r20, NOT changed: Par.spread under the exact-distance
+    // arm (a 1.2 s single-task zip_with stage in StageProbe) A/B'd
+    // 0.98x — a wash; the round-robin exchange of the embedding rows
+    // costs what the parallel distance map saves here. Kept original.
     val corpus = e.filter(col("vec_id") >= 8)
       .select(col("vec_id").as("nid"), col("embedding").as("ne"))
     val ex = broadcast(qdf).crossJoin(corpus)
